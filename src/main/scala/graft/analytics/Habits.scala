@@ -1,0 +1,97 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's analytics read surface over `habit_events`-shaped data:
+  * the Timescale continuous aggregate (`/root/reference/sql/001_schema.sql:31-40`)
+  * and the Grafana dashboard query set (`/root/reference/README.md:98,118-139`).
+  *
+  * All functions assume the canonical event columns `(ts, user_email,
+  * habit, value)`; adapt other tables by renaming (grouping is
+  * type-agnostic). Every aggregation is hash-aggregatable — Catalyst
+  * splits partial/final around the single shuffle on the group keys, and
+  * the day bucket keeps cardinality bounded at any scale.
+  */
+object Habits {
+
+  /** `time_bucket('1 day', ts)` (`/root/reference/sql/001_schema.sql:33`). */
+  def dayBucket(ts: Column): Column = date_trunc("DAY", ts)
+
+  /** The continuous aggregate `habit_daily`
+    * (`/root/reference/sql/001_schema.sql:31-40`):
+    * `count(*) FILTER (WHERE value >= 1)` as count_done, `avg(value)`,
+    * `sum(value) FILTER (WHERE habit = sumHabit)` as sum_meditation.
+    * SQL FILTER clauses become `agg(count/sum(when(...)))`.
+    */
+  def habitDaily(events: DataFrame,
+      sumHabit: String = "meditation_minutes"): DataFrame =
+    events.groupBy(
+        dayBucket(col("ts")).as("day"), col("user_email"), col("habit"))
+      .agg(
+        count(when(col("value") >= 1, 1)).as("count_done"),
+        avg(col("value")).as("avg_value"),
+        sum(when(col("habit") === sumHabit, col("value"))).as("sum_meditation"))
+
+  /** Grafana time-series panel: per-day sum for one user + habit within a
+    * time range (`/root/reference/README.md:122-125`). */
+  def valueByDay(events: DataFrame, user: Column, habit: String,
+      from: Column, to: Column): DataFrame =
+    events
+      .filter(col("ts") >= from && col("ts") < to &&
+        col("user_email") === user && col("habit") === habit)
+      .groupBy(dayBucket(col("ts")).as("day"))
+      .agg(sum(col("value")).as("minutes"))
+      .orderBy(col("day"))
+
+  /** Grafana bar gauge: completion % for bool-y habits over a window
+    * (`/root/reference/README.md:130-139`). The 1-row `week` CTE cross
+    * join collapses to literal range predicates.
+    * `100.0 * sum(CASE WHEN value >= 1 THEN 1 ELSE 0 END)::float
+    *  / GREATEST(count(*), 1)`.
+    */
+  def completionPct(events: DataFrame, user: Column, habits: Seq[String],
+      from: Column, to: Column): DataFrame =
+    events
+      .filter(col("ts") >= from && col("ts") < to &&
+        col("user_email") === user && col("habit").isin(habits: _*))
+      .groupBy(col("habit"))
+      .agg((lit(100.0) *
+        sum(when(col("value") >= 1, 1).otherwise(0)).cast("double") /
+        greatest(count(lit(1)), lit(1))).as("pct_done"))
+      .orderBy(col("habit"))
+
+  /** Dashboard variable queries (`/root/reference/README.md:118-119`). */
+  def distinctValues(events: DataFrame, column: String): DataFrame =
+    events.select(col(column)).distinct().orderBy(col(column))
+
+  /** Verification query `ORDER BY ts DESC LIMIT n`
+    * (`/root/reference/README.md:98`). Spark plans TakeOrderedAndProject —
+    * a true distributed top-k, no global sort. `tiebreak` makes the cut
+    * deterministic for testing. */
+  def recentEvents(events: DataFrame, n: Int, tiebreak: Seq[Column]): DataFrame =
+    events.orderBy(col("ts").desc +: tiebreak: _*).limit(n)
+
+  /** Gaps-and-islands sessionization over a user event stream — the
+    * "streaks" analysis the reference README motivates but never ships
+    * (`/root/reference/README.md:5`; index prepared for it at
+    * `/root/reference/sql/001_schema.sql:28`). A new session starts after
+    * `gapMinutes` of inactivity. One shuffle on the partition key; the
+    * window sort rides the same partitioning.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val gapSec = lit(gapMinutes * 60L)
+    val prev = lag(col(tsCol), 1).over(byUser)
+    val isNew = when(prev.isNull ||
+      unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSec, 1).otherwise(0)
+    events
+      .withColumn("_new_session", isNew)
+      .withColumn("session_id",
+        sum(col("_new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new_session")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.load
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Set-oriented MERGE semantics over immutable columnar storage.
+  *
+  * The reference delegates conflict resolution to Postgres row-at-a-time
+  * (`/root/reference/etl/etl_habits.py:24-39`); here the same declarative
+  * contract is a join: new batch vs existing sink, resolved per column.
+  * At 100 TB both sides shuffle-partition on the natural key (or the new
+  * side broadcasts when batch-sized), and the rewrite touches only the
+  * partitions the batch intersects when the sink is date-partitioned.
+  */
+object Merge {
+
+  val EventKeys: Seq[String] = Seq("user_email", "habit", "ts")
+
+  /** Keyed upsert with the reference's resolution rules
+    * (`/root/reference/etl/etl_habits.py:31-38`):
+    * `value = EXCLUDED.value`, `notes = COALESCE(EXCLUDED.notes, old.notes)`;
+    * rows only in the sink are kept; rows only in the batch are inserted.
+    *
+    * Within-batch duplicates resolve last-writer-wins by `seqCol` (sheet
+    * row order = arrival order), mirroring the reference's sequential
+    * per-row upsert loop (`/root/reference/etl/etl_habits.py:47-50`).
+    */
+  def upsertEvents(
+      existing: DataFrame,
+      batch: DataFrame,
+      keys: Seq[String] = EventKeys,
+      seqCol: Option[String] = None): DataFrame = {
+
+    val deduped = seqCol match {
+      case Some(s) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(s).desc)
+        batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", s)
+      case None => batch.dropDuplicates(keys)
+    }
+
+    val payload = existing.columns.filterNot(keys.contains).toSeq
+    val n = deduped.withColumn("_present", lit(true))
+    val joined = existing.as("e").join(n.as("n"), keys, "full_outer")
+    val resolved = payload.map {
+      case "notes" =>
+        when(col("n._present"), coalesce(col("n.notes"), col("e.notes")))
+          .otherwise(col("e.notes")).as("notes")
+      case c =>
+        when(col("n._present"), col(s"n.$c")).otherwise(col(s"e.$c")).as(c)
+    }
+    joined.select(keys.map(col) ++ resolved: _*)
+  }
+
+  /** Content-addressed append to the raw landing zone: `ON CONFLICT DO
+    * NOTHING` on `row_hash` (`/root/reference/etl/etl_habits.py:27-30`,
+    * `/root/reference/sql/001_schema.sql:7-11`) becomes within-batch
+    * dedup + left-anti join against the sink. Returns only the NEW rows
+    * (the caller appends them — append-only forensic copy).
+    */
+  def newRawRows(existing: DataFrame, batch: DataFrame,
+      hashCol: String = "row_hash"): DataFrame =
+    batch.dropDuplicates(hashCol)
+      .join(existing.select(hashCol), Seq(hashCol), "left_anti")
+}
