@@ -1,0 +1,70 @@
+package graft
+
+import graft.analytics.Habits
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the continuous-aggregate semantics
+  * (`/root/reference/sql/001_schema.sql:31-40`): FILTER-ed count/sum and
+  * the division guard of the completion query
+  * (`/root/reference/README.md:130-139`).
+  */
+class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
+
+  import java.sql.Timestamp
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mkEvents() = {
+    import spark.implicits._
+    Seq(
+      (ts("2025-08-20 17:00:00"), "a@b.com", "workout", 1.0),
+      (ts("2025-08-20 18:00:00"), "a@b.com", "workout", 0.0),
+      (ts("2025-08-20 17:00:00"), "a@b.com", "meditation_minutes", 25.0),
+      (ts("2025-08-21 17:00:00"), "a@b.com", "meditation_minutes", 10.0),
+      (ts("2025-08-20 17:00:00"), "c@d.com", "mood_score", 0.5))
+      .toDF("ts", "user_email", "habit", "value")
+  }
+
+  test("habitDaily: count_done counts value>=1, avg over all, sum filtered") {
+    val out = Habits.habitDaily(mkEvents()).collect().map { r =>
+      (r.getAs[Timestamp]("day").toInstant.toString.take(10),
+        r.getAs[String]("user_email"), r.getAs[String]("habit")) ->
+        (r.getAs[Long]("count_done"), r.getAs[Double]("avg_value"),
+          Option(r.getAs[java.lang.Double]("sum_meditation")))
+    }.toMap
+    assert(out(("2025-08-20", "a@b.com", "workout")) == (1L, 0.5, None))
+    assert(out(("2025-08-20", "a@b.com", "meditation_minutes")) ==
+      (1L, 25.0, Some(25.0)))
+    assert(out(("2025-08-21", "a@b.com", "meditation_minutes")) ==
+      (1L, 10.0, Some(10.0)))
+    assert(out(("2025-08-20", "c@d.com", "mood_score")) == (0L, 0.5, None))
+  }
+
+  test("completionPct matches the README bar-gauge formula") {
+    val out = Habits.completionPct(mkEvents(), lit("a@b.com"), Seq("workout"),
+      lit(ts("2025-08-18 00:00:00")), lit(ts("2025-08-25 00:00:00"))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("pct_done") == 50.0) // 1 of 2 >= 1
+  }
+
+  test("recentEvents is a deterministic top-k") {
+    val out = Habits.recentEvents(mkEvents(), 2,
+      Seq(col("user_email"), col("habit"))).collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Timestamp]("ts") == ts("2025-08-21 17:00:00"))
+  }
+
+  test("sessionize splits on gaps > threshold per user") {
+    import spark.implicits._
+    val ev = Seq(
+      (ts("2025-08-20 10:00:00"), "u1"),
+      (ts("2025-08-20 10:10:00"), "u1"), // same session
+      (ts("2025-08-20 11:00:00"), "u1"), // 50 min gap -> new session
+      (ts("2025-08-20 10:00:00"), "u2"))
+      .toDF("ts", "user_email")
+    val out = Habits.sessionize(ev, "user_email", "ts", 30)
+      .groupBy($"user_email").agg(max($"session_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("u1" -> 2L, "u2" -> 1L))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.load.Merge
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the upsert conflict semantics of the reference
+  * (`/root/reference/etl/etl_habits.py:31-38`): value always replaced,
+  * notes coalesced, unmatched sink rows kept, idempotent on replay.
+  */
+class MergeSpec extends AnyFunSuite with SparkTestSession {
+
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (String, String, String, Double, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (t, u, h, v, n) =>
+      (ts(t), u, h, v, Option(n), "sheets")
+    }.toDF("ts", "user_email", "habit", "value", "notes", "source")
+  }
+
+  private val existing = events(
+    ("2025-08-20 17:00:00", "a@b.com", "workout", 1.0, "old note"),
+    ("2025-08-20 17:00:00", "a@b.com", "mood_score", 7.0, null),
+    ("2025-08-21 17:00:00", "c@d.com", "workout", 0.0, "keep me"))
+
+  test("conflict: value replaced, non-null new notes win") {
+    val batch = events(("2025-08-20 17:00:00", "a@b.com", "workout", 0.0, "new note"))
+    val out = Merge.upsertEvents(existing, batch).collect()
+      .map(r => (r.getAs[String]("user_email"), r.getAs[String]("habit")) ->
+        (r.getAs[Double]("value"), r.getAs[String]("notes"))).toMap
+    assert(out(("a@b.com", "workout")) == (0.0, "new note"))
+    assert(out(("c@d.com", "workout")) == (0.0, "keep me")) // untouched
+    assert(out.size == 3)
+  }
+
+  test("conflict: NULL new notes keep the old notes (COALESCE rule)") {
+    val batch = events(("2025-08-20 17:00:00", "a@b.com", "workout", 5.0, null))
+    val out = Merge.upsertEvents(existing, batch).collect()
+      .map(r => (r.getAs[String]("user_email"), r.getAs[String]("habit")) ->
+        r.getAs[String]("notes")).toMap
+    assert(out(("a@b.com", "workout")) == "old note")
+  }
+
+  test("new key inserts") {
+    val batch = events(("2025-08-22 17:00:00", "e@f.com", "workout", 1.0, null))
+    assert(Merge.upsertEvents(existing, batch).count() == 4)
+  }
+
+  test("idempotent: applying the same batch twice equals once") {
+    val batch = events(
+      ("2025-08-20 17:00:00", "a@b.com", "workout", 0.5, "n1"),
+      ("2025-08-23 17:00:00", "x@y.com", "sleep_hours", 8.0, null))
+    val once = Merge.upsertEvents(existing, batch)
+    val twice = Merge.upsertEvents(once, batch)
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("within-batch duplicates: last writer (by seq) wins") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts("2025-08-20 17:00:00"), "a@b.com", "workout", 10.0, Option("first"), "sheets"),
+      (2L, ts("2025-08-20 17:00:00"), "a@b.com", "workout", 20.0, Option.empty[String], "sheets"))
+      .toDF("seq", "ts", "user_email", "habit", "value", "notes", "source")
+    val out = Merge.upsertEvents(existing, batch, seqCol = Some("seq")).collect()
+      .filter(r => r.getAs[String]("habit") == "workout" &&
+        r.getAs[String]("user_email") == "a@b.com")
+    assert(out.head.getAs[Double]("value") == 20.0)
+    // seq 2 had NULL notes -> COALESCE falls back to the sink's old note
+    assert(out.head.getAs[String]("notes") == "old note")
+  }
+
+  test("newRawRows: within-batch + against-sink dedup on row_hash") {
+    import spark.implicits._
+    val sink = Seq(("h1", "p1")).toDF("row_hash", "payload")
+    val batch = Seq(("h1", "p1"), ("h2", "p2"), ("h2", "p2"), ("h3", "p3"))
+      .toDF("row_hash", "payload")
+    val out = Merge.newRawRows(sink, batch).collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("h2", "h3"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.config.{EtlConfig, HabitSpec}
+import graft.transform.HabitTransform
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports the reference's unpivot test
+  * (`/root/reference/tests/test_transform.py`) and pins every untested
+  * behavior SURVEY §5 flags: bool truthy/invert, numeric-failure skip,
+  * blank skip, required-field skip, notes assembly.
+  */
+class TransformSpec extends AnyFunSuite with SparkTestSession {
+
+  // The reference unit-test config (tests/test_transform.py:3-13).
+  private val cfg = EtlConfig(
+    habits = Seq(
+      "Workout" -> HabitSpec("workout", "bool"),
+      "Meditation (Number of Minutes)" -> HabitSpec("meditation_minutes", "number"),
+      "Mood" -> HabitSpec("mood_score", "number")),
+    notesColumns = Seq("Notes"))
+
+  private val cols =
+    Seq("Report Date", "Email Address", "Workout",
+      "Meditation (Number of Minutes)", "Mood", "Notes")
+
+  private def wide(rows: Seq[String]*): DataFrame = {
+    val schema = StructType(cols.map(StructField(_, StringType, nullable = true)))
+    val data = rows.map(r => Row(r.map(v => if (v == "<null>") null else v): _*))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toSeq), schema)
+  }
+
+  private val referenceRow =
+    Seq("08/20/2025", "Test@Example.com", "Yes", "25", "8", "did intervals")
+
+  test("reference row unpivots to the 3 configured habits") {
+    val ev = HabitTransform.toEvents(wide(referenceRow), cfg).collect()
+    assert(ev.map(_.getAs[String]("habit")).toSet ==
+      Set("workout", "meditation_minutes", "mood_score"))
+    assert(ev.map(_.getAs[String]("user_email")).toSet == Set("test@example.com"))
+    assert(ev.forall(!_.isNullAt(0))) // ts non-null
+    assert(ev.forall(_.getAs[String]("source") == "sheets"))
+  }
+
+  test("values coerce: bool Yes -> 1.0, numbers parse") {
+    val ev = HabitTransform.toEvents(wide(referenceRow), cfg).collect()
+      .map(r => r.getAs[String]("habit") -> r.getAs[Double]("value")).toMap
+    assert(ev == Map("workout" -> 1.0, "meditation_minutes" -> 25.0,
+      "mood_score" -> 8.0))
+  }
+
+  test("notes assembly: '<col>: <val>' replicated on every event") {
+    val ev = HabitTransform.toEvents(wide(referenceRow), cfg).collect()
+    assert(ev.map(_.getAs[String]("notes")).toSet == Set("Notes: did intervals"))
+  }
+
+  test("empty notes -> NULL notes") {
+    val ev = HabitTransform.toEvents(
+      wide(Seq("08/20/2025", "a@b.com", "Yes", "25", "8", "")), cfg).collect()
+    assert(ev.forall(_.isNullAt(ev.head.fieldIndex("notes"))))
+  }
+
+  test("missing date or email skips the whole row") {
+    val ev = HabitTransform.toEvents(wide(
+      Seq("", "a@b.com", "Yes", "25", "8", ""),
+      Seq("<null>", "a@b.com", "Yes", "25", "8", ""),
+      Seq("08/20/2025", "", "Yes", "25", "8", ""),
+      Seq("08/20/2025", "<null>", "Yes", "25", "8", "")), cfg).collect()
+    assert(ev.isEmpty)
+  }
+
+  test("blank habit cell emits no event; others on the row survive") {
+    val ev = HabitTransform.toEvents(
+      wide(Seq("08/20/2025", "a@b.com", "  ", "<null>", "8", "")), cfg).collect()
+    assert(ev.map(_.getAs[String]("habit")).toSet == Set("mood_score"))
+  }
+
+  test("non-numeric cell in a number habit drops that event only") {
+    val ev = HabitTransform.toEvents(
+      wide(Seq("08/20/2025", "a@b.com", "Yes", "abc", "8", "")), cfg).collect()
+    assert(ev.map(_.getAs[String]("habit")).toSet == Set("workout", "mood_score"))
+  }
+
+  test("bool truthy set is case/space-insensitive; everything else is 0.0") {
+    for ((raw, expect) <- Seq("Yes" -> 1.0, "no" -> 0.0, "TRUE" -> 1.0,
+        "1" -> 1.0, " on " -> 1.0, "t" -> 1.0, "Y" -> 1.0, "nope" -> 0.0,
+        "0" -> 0.0, "false" -> 0.0)) {
+      val ev = HabitTransform.toEvents(
+        wide(Seq("08/20/2025", "a@b.com", raw, "<null>", "<null>", "")), cfg)
+        .collect()
+      assert(ev.head.getAs[Double]("value") == expect, s"raw=$raw")
+    }
+  }
+
+  test("invert flips a bool: 1 - v") {
+    val inv = cfg.copy(habits = Seq("Workout" -> HabitSpec("rest_day", "bool",
+      invert = true)))
+    val ev = HabitTransform.toEvents(
+      wide(Seq("08/20/2025", "a@b.com", "Yes", "<null>", "<null>", "")), inv)
+      .collect()
+    assert(ev.head.getAs[Double]("value") == 0.0)
+  }
+
+  test("numeric coercion trims whitespace and accepts scientific notation") {
+    val ev = HabitTransform.toEvents(
+      wide(Seq("08/20/2025", "a@b.com", "<null>", "  25.5  ", "1e1", "")), cfg)
+      .collect()
+      .map(r => r.getAs[String]("habit") -> r.getAs[Double]("value")).toMap
+    assert(ev == Map("meditation_minutes" -> 25.5, "mood_score" -> 10.0))
+  }
+
+  test("bad date drops the row (documented deviation from raising)") {
+    val ev = HabitTransform.toEvents(
+      wide(Seq("garbage", "a@b.com", "Yes", "25", "8", "")), cfg).collect()
+    assert(ev.isEmpty)
+  }
+
+  test("rowHash is deterministic and column-order independent") {
+    import org.apache.spark.sql.functions.col
+    val df1 = wide(referenceRow).select(HabitTransform.rowHash(cols).as("h"))
+    val df2 = wide(referenceRow).select(cols.reverse.map(col): _*)
+      .select(HabitTransform.rowHash(cols).as("h"))
+    assert(df1.collect()(0).getString(0) == df2.collect()(0).getString(0))
+    assert(df1.collect()(0).getString(0).matches("[0-9a-f]{64}"))
+  }
+}
