@@ -1,7 +1,9 @@
 package graft
 
 import graft.analytics.Habits
+import graft.ext.{Dedup, MediaRecord, Multimodal, Similarity, TextAnalysis}
 import graft.load.Merge
+import graft.streaming.Streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -131,8 +133,8 @@ object SparkEntry {
       orders.join(customer, col("o_custkey") === col("c_custkey"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
-        .select(col("c_mktsegment"), col("rank"), col("o_orderkey"),
-          col("o_totalprice"))
+        .select(col("c_mktsegment"), col("rank").cast("long").as("rank"),
+          col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("c_mktsegment"), col("rank"))
     }),
 
@@ -140,8 +142,113 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) =>
       Tables.read(s, dir, "documents")
         .select(col("doc_id"),
-          size(split(col("text"), " ", -1)).as("n_tokens"), col("n_chars"))
-        .orderBy(col("doc_id"))))
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
+          r6(TextAnalysis.meanTokenLen(col("text"))).as("mean_token_len"),
+          r6(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+          r6(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio"),
+          r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q_token_stats" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_ws_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).cast("long")
+            .as("n_re_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.polyFingerprint(col("text")).as("poly_fp"),
+          TextAnalysis.minKgramFingerprint(col("text"), 8).as("kgram_min_fp"))
+        .orderBy(col("doc_id"))),
+
+    // ── Extension scope: dedup family (SURVEY §7.5) ────────────────────
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDupPairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramDupPairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", "n_chars", threshold = 0.5, blockWidth = 50)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashSignatures(Tables.read(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ── Extension scope: similarity search (SURVEY §7.5) ───────────────
+    "q_knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnLsh(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nPlanes = 4)
+        .select(col("query_id"), col("bucket"),
+          col("rank").cast("long").as("rank"), col("nn_id"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── Extension scope: multimodal binary columns (SURVEY §7.5) ───────
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.framesWithBytes(
+          Multimodal.packDocuments(Tables.read(s, dir, "documents"),
+            "doc_id", "text"), n = 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_len"), col("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    "q_media_features" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.decodeFeatures(
+          Multimodal.packDocuments(Tables.read(s, dir, "documents"),
+            "doc_id", "text").as[MediaRecord])
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("checksum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ── Extension scope: streaming analog of the rollup (SURVEY §2.7) ──
+    "q_habit_daily_stream" -> ((s, dir) =>
+      Streaming.habitDailyAvailableNow(s, dir, sumHabit = "purchase",
+          Streaming.nextQueryName("graft_hds"))
+        .select(ntz(col("day")).as("day"), col("user_email"), col("habit"),
+          col("count_done"), r6(col("avg_value")).as("avg_value"),
+          r6(col("sum_meditation")).as("sum_meditation"))
+        .orderBy(col("day"), col("user_email"), col("habit"))))
 
   /** DuckDB-equivalent SQL per query (same parquet tables, table name =
     * file stem). Omitted keys get a weaker rows-only check. */
@@ -247,6 +354,209 @@ object SparkEntry {
          ) WHERE rank <= 5 ORDER BY c_mktsegment, rank""",
 
     "q_token_count" ->
-      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars
-         FROM documents ORDER BY doc_id""")
+      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q_lang_id" -> {
+      val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      }
+      val scores = markers.map { case (l, arr) =>
+        s"len(list_filter(l, x -> list_contains($arr, x))) AS s_$l"
+      }.mkString(",\n                ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l =>
+        s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         s AS (SELECT doc_id, $scores FROM t),
+         b AS (SELECT *, $best AS best FROM s)
+         SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
+         FROM b ORDER BY doc_id"""
+    },
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+                length(text) AS n, len(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS n_stop
+              FROM documents),
+         m AS (SELECT doc_id, n_tokens,
+                (n - (n_tokens - 1))::DOUBLE / n_tokens::DOUBLE AS mtl,
+                length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                  / greatest(n, 1)::DOUBLE AS pr,
+                n_stop::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS sr
+              FROM t)
+         SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                round(mtl, 6) AS mean_token_len,
+                round(pr, 6) AS punct_ratio,
+                round(sr, 6) AS stopword_ratio,
+                round(25.0 * least(n_tokens::DOUBLE / 50.0, 1.0)
+                      + 25.0 * least(mtl / 6.0, 1.0)
+                      + 25.0 * (1.0 - pr)
+                      + 25.0 * least(sr * 8.0, 1.0), 6) AS quality
+         FROM m ORDER BY doc_id""",
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+                len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_re_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q_fingerprint" ->
+      """WITH fp AS (SELECT doc_id, text,
+                list_reduce(list_prepend(0::BIGINT,
+                    [ascii(x)::BIGINT for x in string_split(text, '')]),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp
+              FROM documents)
+         SELECT doc_id, poly_fp,
+                CASE WHEN length(text) >= 8 THEN
+                  list_min([list_reduce(list_prepend(0::BIGINT,
+                      [ascii(x)::BIGINT for x in string_split(substr(text, i, 8), '')]),
+                    (a, b) -> (a * 31 + b) % 1000000007)
+                    for i in generate_series(1, length(text) - 7)])
+                ELSE poly_fp END AS kgram_min_fp
+         FROM fp ORDER BY doc_id""",
+
+    "q_dedup_minhash" -> {
+      val k = 16; val bands = 4; val r = k / bands
+      val mins = (0 until k).map(j =>
+        s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+      val bandCases = (0 until bands).map { b =>
+        val slice = (b * r until (b + 1) * r).map(j => s"h$j")
+          .mkString(" || ',' || ")
+        s"WHEN $b THEN md5($slice)"
+      }.mkString(" ")
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+         sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, b.b AS band,
+                CASE b.b $bandCases END AS band_key
+              FROM sig, (SELECT unnest(generate_series(0, ${bands - 1})) AS b) b),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a JOIN band b
+                ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+         jac AS (SELECT id_a, id_b,
+                len(list_intersect(x.ss, y.ss))::DOUBLE
+                  / len(list_distinct(x.ss || y.ss))::DOUBLE AS j
+              FROM cand JOIN shl x ON x.doc_id = id_a
+                        JOIN shl y ON y.doc_id = id_b)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac
+         WHERE round(j, 6) >= 0.5 ORDER BY id_a, id_b"""
+    },
+
+    "q_dedup_ngram" ->
+      """WITH tok AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS l
+              FROM documents),
+         shl AS (SELECT doc_id, n_chars, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         blk AS (SELECT doc_id, ss,
+                unnest([n_chars // 50, n_chars // 50 + 1]) AS block FROM shl),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.ss, b.ss))::DOUBLE
+                  / len(list_distinct(a.ss || b.ss))::DOUBLE AS j
+              FROM blk a JOIN blk b
+                ON a.block = b.block AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
+         WHERE round(j, 6) >= 0.5 ORDER BY id_a, id_b""",
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+         h AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
+         bits AS (SELECT doc_id, p.p AS p,
+                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
+         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p)
+         SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+                                 ELSE 0 END)::BIGINT AS simhash
+         FROM sv GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 4) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    "q_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS nn_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (SELECT query_id, nn_id,
+                round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+              FROM q JOIN c ON query_id <> nn_id),
+         r AS (SELECT query_id, nn_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, nn_id)::BIGINT AS rank FROM s)
+         SELECT query_id, rank, nn_id, cos_sim FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_knn_lsh" ->
+      """WITH planes AS (SELECT j.j AS j,
+                [((('0x' || substr(md5(j.j || ',' || d), 1, 15))::UBIGINT
+                   % 2001)::BIGINT - 1000) / 1000.0
+                 for d in generate_series(0, 63)] AS pv
+              FROM (SELECT unnest(generate_series(0, 3)) AS j) j),
+         emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sig AS (SELECT e.vec_id,
+                sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                         THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS bucket
+              FROM emb e CROSS JOIN planes p GROUP BY e.vec_id),
+         q AS (SELECT s.vec_id AS query_id, s.bucket, e.v AS qv
+              FROM sig s JOIN emb e ON s.vec_id = e.vec_id WHERE s.vec_id < 8),
+         c AS (SELECT s.vec_id AS nn_id, s.bucket AS cbucket, e.v AS cv
+              FROM sig s JOIN emb e ON s.vec_id = e.vec_id),
+         sc AS (SELECT query_id, bucket, nn_id,
+                round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+              FROM q JOIN c ON bucket = cbucket AND query_id <> nn_id),
+         r AS (SELECT query_id, bucket, nn_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, nn_id)::BIGINT AS rank FROM sc)
+         SELECT query_id, bucket, rank, nn_id, cos_sim FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_media_frames" ->
+      """WITH f AS (SELECT doc_id AS media_id, text, length(text) AS len,
+                unnest(generate_series(0, 3)) AS frame_idx FROM documents),
+         s AS (SELECT media_id, frame_idx::BIGINT AS frame_idx,
+                (frame_idx * len) // 4 + 1 AS st,
+                ((frame_idx + 1) * len) // 4 AS en, text FROM f)
+         SELECT media_id, frame_idx, (en - st + 1)::BIGINT AS frame_len,
+                md5(substr(text, st::INT, (en - st + 1)::INT)) AS frame_md5
+         FROM s ORDER BY media_id, frame_idx""",
+
+    "q_media_features" ->
+      """SELECT doc_id::BIGINT AS media_id, 'text/plain' AS kind,
+                length(text)::BIGINT AS n_bytes,
+                (16 + length(text) % 640)::BIGINT AS width,
+                (16 + length(text) % 480)::BIGINT AS height,
+                list_reduce(list_prepend(0::BIGINT,
+                    [ascii(x)::BIGINT for x in string_split(text, '')]),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+         FROM documents ORDER BY media_id""",
+
+    "q_habit_daily_stream" ->
+      """SELECT date_trunc('day', ts) AS day,
+                user_id AS user_email,
+                event_type AS habit,
+                count(*) FILTER (WHERE value >= 1) AS count_done,
+                round(avg(value), 6) AS avg_value,
+                round(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
+                  AS sum_meditation
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
 }

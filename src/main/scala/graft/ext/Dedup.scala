@@ -1,0 +1,218 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora, from exact to
+  * approximate: content-hash, MinHash+LSH, SimHash, blocked n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Extension scope (SURVEY.md §7.5): scale-up of the reference's
+  * content-addressed dedup idea — `habits_raw`'s SHA-256 row hash
+  * (`/root/reference/etl/transform.py:16-18`,
+  * `/root/reference/sql/001_schema.sql:7-11`) — to near-duplicate
+  * detection over text and vectors.
+  *
+  * Scale notes (100 TB): every stage is a hash-partitioned groupBy/join
+  * on a derived key (hash, band key, block id) — no driver-side state,
+  * no cross product except *within* blocks/buckets, which banding and
+  * blocking keep small by construction. All expressions are built-ins
+  * (codegen'd); md5/sha2 are the only per-row heavyweight ops.
+  */
+object Dedup {
+
+  // ── Exact (hash) dedup ─────────────────────────────────────────────────
+
+  /** Exact dedup groups by content digest; `repCol`'s min is the
+    * surviving representative (deterministic). Generalizes S4
+    * (`/root/reference/etl/etl_habits.py:27-30`). */
+  def exactGroups(df: DataFrame, contentCol: String, repCol: String): DataFrame =
+    df.groupBy(sha2(col(contentCol), 256).as("row_hash"))
+      .agg(min(col(repCol)).as(repCol), count(lit(1)).as("n_copies"))
+
+  // ── MinHash + LSH ──────────────────────────────────────────────────────
+
+  /** One row per (id, distinct word-n-gram shingle). The explode is the
+    * only data expansion: ~tokens-per-doc rows per doc. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      explode(TextAnalysis.shingleSet(col(textCol), n)).as("shingle"))
+
+  /** k-permutation MinHash signature as `sig: array<string>`. Each
+    * "permutation" is the lexicographic min of a salted md5 over the
+    * doc's shingle set — deterministic, engine-independent, and computed
+    * in ONE hash-aggregate pass (k min-aggs, no salt explosion). */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, n: Int = 3): DataFrame = {
+    val mins = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"_h$j"))
+    shingleRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(j => col(s"_h$j")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-signature into `bands` bands of
+    * `k / bands` rows; band key = md5 of the band slice. Docs sharing
+    * any (band, key) become candidate pairs. */
+  def bandKeys(sig: DataFrame, idCol: String, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val r = k / bands
+    sig.select(col(idCol), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws(",", slice(col("sig"), b * r + 1, r)))): _*))
+        .as(Seq("band", "band_key")))
+  }
+
+  /** Distinct candidate pairs (a < b) from shared LSH buckets. The
+    * self-join shuffles on (band, band_key) — bucket-local cross
+    * products only. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+
+  /** Exact Jaccard over distinct shingle sets for given (id_a, id_b)
+    * pairs. Collect each doc's shingle set once, join it to the (few)
+    * candidate pairs, and intersect in-memory per pair. */
+  def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      TextAnalysis.shingleSet(col(textCol), n).as("ss"))
+    pairs
+      .join(sets.withColumnRenamed("ss", "ss_a"), col("id_a") === col("id"))
+      .drop("id")
+      .join(sets.withColumnRenamed("ss", "ss_b"), col("id_b") === col("id"))
+      .drop("id")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b"))).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified at `threshold`.
+    * With k=16, bands=4 (r=4): P(candidate) ≈ 98.6% at J=0.9, ≈ 0.6% at
+    * J=0.2 — high recall on true dups, tiny false-candidate load on the
+    * verifier. */
+  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, k, n)
+    val cand = candidatePairs(bandKeys(sig, idCol, k, bands), idCol)
+    jaccardForPairs(cand, docs, idCol, textCol, n)
+      .filter(round(col("jaccard"), 6) >= threshold)
+  }
+
+  // ── Blocked n-gram Jaccard (exact, no hashing) ─────────────────────────
+
+  /** Exact n-gram Jaccard dedup with length blocking: each doc lands in
+    * buckets floor(len/w) and floor(len/w)+1, so any pair within `w`
+    * chars of each other shares a bucket (overlap ⇒ no missed pair with
+    * |len_a − len_b| < w); pairs farther apart are assumed non-dups.
+    *
+    * Computed as an inverted-index self-join on (block, shingle) —
+    * |A ∩ B| falls out of a hash equi-join + count, |A ∪ B| from the
+    * precomputed set sizes — NOT per-pair array intersections, which
+    * would do O(|set|) work per blocked pair and die at scale. Pairs
+    * sharing zero shingles never materialize (their Jaccard is 0 <
+    * threshold by contract). At 100 TB (block, shingle) is the shuffle
+    * key; hot shingles bound the skew, so shingle width n sets the
+    * worst-case fan-in. */
+  def ngramDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      lenCol: String, threshold: Double = 0.5, blockWidth: Int = 50,
+      n: Int = 3): DataFrame = {
+    require(threshold > 0.0, "zero-overlap pairs are never materialized")
+    val rows = docs.select(col(idCol).as("id"),
+        TextAnalysis.shingleSet(col(textCol), n).as("ss"),
+        (col(lenCol) / blockWidth).cast("long").as("blk"))
+      .select(col("id"), size(col("ss")).as("sz"), col("ss"),
+        explode(array(col("blk"), col("blk") + 1)).as("block"))
+      .select(col("id"), col("sz"), col("block"),
+        explode(col("ss")).as("shingle"))
+    rows.as("a").join(rows.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.shingle") === col("b.shingle") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // a close pair shares both of its blocks → count DISTINCT shingles
+      .agg(countDistinct(col("a.shingle")).as("inter"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(round(col("jaccard"), 6) >= threshold)
+  }
+
+  // ── SimHash ────────────────────────────────────────────────────────────
+
+  /** 60-bit SimHash over the distinct shingle set: per shingle take the
+    * top-60-bit md5 value, per bit position sum ±1, keep the sign bits.
+    * 60 bits (15 hex chars) so the value is portable in a signed int64.
+    *
+    * The 60 per-bit tallies are 60 agg columns in ONE hash aggregate on
+    * the doc id (partial agg does the heavy lifting map-side) — not a
+    * 60-way posexplode, which would shuffle 60× the shingle count. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val h = expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)")
+    val bitSums = (0 until 60).map(p =>
+      sum(expr(s"cast(shiftright(h, $p) & 1 as int) * 2 - 1")).as(s"_b$p"))
+    val packed = (0 until 60).map(p =>
+      when(col(s"_b$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    shingleRows(docs, idCol, textCol, n)
+      .select(col(idCol), h.as("h"))
+      .groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two SimHash values — pair filter for
+    * near-dup candidates (e.g. ≤ 3 of 60 bits). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // ── Embedding-cosine near-dup ──────────────────────────────────────────
+
+  /** Dot product of two equal-length double arrays — built-in zip_with +
+    * aggregate, stays inside codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Id + double vector + precomputed L2 norm. The norm is materialized
+    * on the join INPUT (once per row, n rows) so the n² pair loop pays
+    * one dot product per pair, not dot + two fresh norms — Catalyst
+    * can't hoist an aggregate out of a join condition for us. */
+  private[ext] def withNorm(embs: DataFrame, idCol: String, vecCol: String,
+      idAlias: String, vecAlias: String): DataFrame =
+    embs.select(col(idCol).as(idAlias),
+        col(vecCol).cast("array<double>").as(vecAlias))
+      .withColumn(s"${vecAlias}_nrm", l2Norm(col(vecAlias)))
+
+  /** Embedding near-dup pairs at `threshold` cosine (rounded to 4 dp so
+    * the cut is reproducible across engines). Brute-force all-pairs with
+    * norms precomputed per row — correct baseline at test scale; at
+    * 100 TB route through [[Similarity.lshBucket]] first and compare
+    * within buckets. */
+  def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = withNorm(embs, idCol, vecCol, "id", "v")
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) /
+          (col("a.v_nrm") * col("b.v_nrm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline and
+  * a random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Extension scope (SURVEY.md §7.5; driver table `embeddings`).
+  *
+  * The LSH planes are derived from md5 — pseudo-random but fully
+  * deterministic and reproducible in ANY engine from the formula
+  * `plane[j][d] = (int(md5(\"j,d\")[0:15 hex]) mod 2001 − 1000) / 1000`,
+  * so an external oracle can regenerate them without sharing code. Spark
+  * gets them as a broadcast literal (computed once on the driver).
+  *
+  * Scale notes (100 TB): brute-force is a broadcast of the (small) query
+  * set against a partitioned scan of the corpus — linear, no shuffle
+  * until the per-query top-k (TakeOrdered-style). The LSH variant joins
+  * on the bucket id: corpus hashed once, candidates are bucket-local.
+  */
+object Similarity {
+
+  val NumPlanes = 16
+  val Dim = 64
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** First 60 bits of md5 as a non-negative long — same value as
+    * Spark SQL `conv(substr(md5(s),1,15),16,10)` and DuckDB
+    * `('0x'||substr(md5(s),1,15))::UBIGINT`. */
+  def md5H60(s: String): Long = java.lang.Long.parseLong(md5Hex(s).take(15), 16)
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1]^dim. */
+  def planes(nPlanes: Int = NumPlanes, dim: Int = Dim): Seq[Seq[Double]] =
+    (0 until nPlanes).map(j => (0 until dim).map(d =>
+      (md5H60(s"$j,$d") % 2001 - 1000) / 1000.0))
+
+  /** Random-hyperplane LSH bucket id: bit j = sign(v · plane_j), packed
+    * little-endian into a long. 16 planes → 65536 buckets. */
+  def lshBucket(v: Column, nPlanes: Int = NumPlanes, dim: Int = Dim): Column =
+    planes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
+      when(Dedup.dot(v, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact top-k by cosine for each query vector (brute force).
+    * `queries` should be small (it is broadcast); ranking uses the
+    * 4-dp-rounded similarity with id tiebreak so the cut is total-order
+    * deterministic. */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = Dedup.withNorm(corpus, idCol, vecCol, "nn_id", "cv")
+    val q = Dedup.withNorm(queries, idCol, vecCol, "query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(Dedup.dot(col("qv"), col("cv")) /
+          (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** ANN top-k: candidates restricted to the query's LSH bucket, then
+    * exact cosine rank within the bucket. Trades recall for a corpus-
+    * hash + bucket-equi-join plan that scales linearly. Pick `nPlanes`
+    * so expected bucket occupancy stays in the hundreds-to-thousands
+    * (2^nPlanes buckets); use several plane sets (bands) for recall in
+    * production. */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 4): DataFrame = {
+    val c = Dedup.withNorm(corpus, idCol, vecCol, "nn_id", "cv")
+      .withColumn("bucket", lshBucket(col("cv"), nPlanes))
+    val q = Dedup.withNorm(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("bucket"), col("nn_id"),
+        round(Dedup.dot(col("qv"), col("cv")) /
+          (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

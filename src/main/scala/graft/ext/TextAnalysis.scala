@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Extension scope beyond the reference (SURVEY.md §7.5) — the reference
+  * stores free text only as an opaque `notes` column
+  * (`/root/reference/sql/001_schema.sql:20`); these operators generalize
+  * the engine to document corpora (driver table `documents`).
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — codegen-friendly, no UDFs, fully
+  * pushdown/prune-transparent, and embarrassingly parallel at 100 TB
+  * (per-row work, no shuffle).
+  */
+object TextAnalysis {
+
+  /** Canonical whitespace tokenizer (documents are single-space joined). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles, in order, possibly repeated. Documents shorter
+    * than n tokens contribute one shingle: the whole text. NB
+    * `sequence(1, 0)` yields a DESCENDING [1,0] in Spark, not an empty
+    * array — the `when` guard is load-bearing. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array(text))
+  }
+
+  /** Distinct shingle set — the unit of Jaccard similarity. */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    array_distinct(wordShingles(text, n))
+
+  // ── Language ID ────────────────────────────────────────────────────────
+
+  /** Marker stopwords per language, checked in this fixed precedence
+    * order (earlier wins ties). Tiny curated sets — the heuristic is
+    * n-gram/stopword counting, not a trained model. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est", "pour", "dans", "qui", "pas"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"))
+
+  /** Number of tokens that are markers of `lang` (with multiplicity). */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+
+  /** Argmax language by marker-token count; ties resolve by precedence
+    * order; all-zero scores → "und". */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), rest) =>
+      when(s > 0 && s === best, lit(l)).otherwise(rest)
+    }
+  }
+
+  // ── Quality scoring ────────────────────────────────────────────────────
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** Mean token length in chars (token chars = total minus separators). */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (nTokens(text) - lit(1))).cast("double") /
+      nTokens(text).cast("double")
+
+  /** Fraction of characters outside [a-z0-9 ] (punctuation-ish). */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column =
+    langScore(text, LangMarkers.head._2).cast("double") /
+      greatest(nTokens(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0, 100]: length, word-shape,
+    * cleanliness, and stopword-presence terms, equally weighted. The
+    * formula is this engine's own deterministic heuristic (the usual
+    * length/punct/stopword-ratio family). */
+  def qualityScore(text: Column): Column =
+    lit(25.0) * least(nTokens(text).cast("double") / lit(50.0), lit(1.0)) +
+      lit(25.0) * least(meanTokenLen(text) / lit(6.0), lit(1.0)) +
+      lit(25.0) * (lit(1.0) - punctRatio(text)) +
+      lit(25.0) * least(stopwordRatio(text) * lit(8.0), lit(1.0))
+
+  // ── Token counting ─────────────────────────────────────────────────────
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, and single
+    * non-alphanumeric marks (the GPT-2 pre-tokenizer family, ASCII-only
+    * regex so Java and RE2-style engines agree). */
+  val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(TokenRegex), lit(0))
+
+  def regexTokenCount(text: Column): Column = size(regexTokens(text))
+
+  // ── Fingerprinting ─────────────────────────────────────────────────────
+
+  val HashMod = 1000000007L
+
+  /** Polynomial rolling hash (base 31, mod 1e9+7) over the whole string —
+    * a content fingerprint cheaper than a cryptographic digest and
+    * incrementally computable. */
+  def polyFingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(HashMod)))
+
+  /** Winnowing-style minimum over the rolling hashes of all char k-grams:
+    * robust to local edits (an edit perturbs only k windows). Texts
+    * shorter than k fall back to the whole-string hash. */
+  def minKgramFingerprint(text: Column, k: Int = 8): Column =
+    when(length(text) >= k,
+      array_min(transform(sequence(lit(1), length(text) - (k - 1)),
+        i => polyFingerprint(text.substr(i, lit(k))))))
+      .otherwise(polyFingerprint(text))
+}

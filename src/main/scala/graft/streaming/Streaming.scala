@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.analytics.Habits
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming analog of the reference's incremental analytics:
+  * the Timescale continuous aggregate + refresh policy
+  * (`/root/reference/sql/001_schema.sql:31-46`) becomes a watermarked
+  * 1-day-windowed aggregation; the CronJob re-ingest + upsert idempotency
+  * (`/root/reference/README.md:176-178`, `etl_habits.py:24-39`) becomes
+  * watermark-bounded streaming dedup (SURVEY.md §2.7 ST1-ST4).
+  *
+  * Scale notes: state is keyed by (day, user_email, habit) — the same
+  * bounded-cardinality key as the batch rollup; at a 60-day watermark ×
+  * real user counts use the RocksDB state store
+  * (`spark.sql.streaming.stateStore.providerClass`).
+  */
+object Streaming {
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Unique memory-sink table name (a session may run the same logical
+    * stream more than once, e.g. verify then bench). */
+  def nextQueryName(prefix: String): String =
+    s"${prefix}_${streamSeq.incrementAndGet()}"
+
+  /** `habit_daily` over a STREAMING frame: tumbling 1-day window with the
+    * reference's aggregate set. `endOffset` mirrors the continuous
+    * aggregate's `start_offset => '60 days'`: late events inside the
+    * watermark still update their bucket; older ones are dropped
+    * (`/root/reference/sql/001_schema.sql:43-46`). */
+  def habitDailyStream(events: DataFrame, watermark: String = "60 days",
+      sumHabit: String = "meditation_minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        col("user_email"), col("habit"))
+      .agg(
+        count(when(col("value") >= 1, 1)).as("count_done"),
+        avg(col("value")).as("avg_value"),
+        sum(when(col("habit") === sumHabit, col("value"))).as("sum_meditation"))
+      .select(col("w.start").as("day"), col("user_email"), col("habit"),
+        col("count_done"), col("avg_value"), col("sum_meditation"))
+
+  /** Streaming replay-dedup — the `habits_raw` PK / `ON CONFLICT DO
+    * NOTHING` semantics (`/root/reference/etl/etl_habits.py:27-30`) with
+    * state bounded by the watermark. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "60 days"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Run [[habitDailyStream]] over the driver's `events` parquet as a
+    * bounded stream (Trigger.AvailableNow → memory sink, complete mode)
+    * and return the final table — lets the batch oracle check the
+    * streaming path. The nanos→micros read mirrors `Tables.events`. */
+  def habitDailyAvailableNow(spark: SparkSession, dir: String,
+      sumHabit: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file stream source wants a DIRECTORY; the testdata table is a
+    // single file. Stage a symlink in a temp dir (no data copy).
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumnRenamed("user_id", "user_email")
+      .withColumnRenamed("event_type", "habit")
+    val q = habitDailyStream(stream, watermark = "60 days", sumHabit)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
