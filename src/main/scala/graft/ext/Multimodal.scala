@@ -88,7 +88,7 @@ object Multimodal {
       .withColumn("frame", expr(
         "substring(payload, cast(_start as int), cast(_end - _start + 1 as int))"))
       .select(col("media_id"), col("frame_idx"),
-        octet_length(col("frame")).as("frame_len"),
+        octet_length(col("frame")).cast("long").as("frame_len"),
         md5(col("frame")).as("frame_md5"))
 
   /** "Resize" stub for fixed-rate media: keep every `stride`-th byte —
@@ -102,7 +102,7 @@ object Multimodal {
       .withColumn("payload_small",
         expr("aggregate(payload_small, cast('' as binary), (a, x) -> concat(a, x))"))
       .select(col("media_id"), col("kind"),
-        octet_length(col("payload")).as("n_bytes"),
-        octet_length(col("payload_small")).as("n_bytes_small"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        octet_length(col("payload_small")).cast("long").as("n_bytes_small"),
         md5(col("payload_small")).as("small_md5"))
 }

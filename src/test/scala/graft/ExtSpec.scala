@@ -1,0 +1,180 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the extension-scope operator semantics (SURVEY §7.5): text
+  * analysis, the dedup family, and similarity search. These are the
+  * contracts the oracle SQL in SparkEntry mirrors — if one of these
+  * breaks, the DuckDB compare breaks with it.
+  */
+class ExtSpec extends AnyFunSuite with SparkTestSession {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  // ── TextAnalysis ───────────────────────────────────────────────────────
+
+  test("wordShingles yields ordered 3-grams; short text falls back whole") {
+    val out = docs((1L, "a b c d e"), (2L, "x y"))
+      .select(col("doc_id"), TextAnalysis.wordShingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d", "c d e"))
+    assert(out(2L) == Seq("x y"))
+  }
+
+  test("langId picks argmax marker count with precedence ties; und on zero") {
+    val out = docs(
+      (1L, "the cat and the dog"),      // en
+      (2L, "el que de la casa y"),      // es
+      (3L, "zzz qqq www"),              // no markers -> und
+      (4L, "the la"))                   // 1-1 tie -> precedence: en
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und", 4L -> "en"))
+  }
+
+  test("quality score is bounded and rewards clean stopword-bearing text") {
+    val out = docs(
+      (1L, "the quick brown fox jumps over the lazy dog it is a fine day " +
+        "for a walk in the park and everyone is happy about it"),
+      (2L, "@@ ## !! %%"))
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > 60.0 && out(1L) <= 100.0)
+    assert(out(2L) < 50.0)
+    assert(out.values.forall(q => q >= 0.0 && q <= 100.0))
+  }
+
+  test("regex token count: letter runs, digit runs, single marks") {
+    val out = docs((1L, "Hello, world! 42 a-b"))
+      .select(TextAnalysis.regexTokenCount(col("text")))
+      .head().getInt(0)
+    // Hello , world ! 42 a - b
+    assert(out == 8)
+  }
+
+  test("polyFingerprint matches the documented base-31 mod-1e9+7 hash") {
+    val out = docs((1L, "abc"))
+      .select(TextAnalysis.polyFingerprint(col("text"))).head().getLong(0)
+    // ((0*31+97)*31+98)*31+99 mod 1e9+7
+    assert(out == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("minKgramFingerprint is invariant to a far-away edit") {
+    val base = "aaaa bbbb cccc dddd eeee ffff gggg"
+    val Seq(f1, f2) = docs((1L, base + " zzzz"), (2L, base + " yyyy"))
+      .select(TextAnalysis.minKgramFingerprint(col("text"), 8))
+      .collect().toSeq.map(_.getLong(0))
+    // min over shared windows usually survives a tail edit
+    assert(f1 == f2)
+  }
+
+  // ── Dedup ──────────────────────────────────────────────────────────────
+
+  private val nearDupDocs = docs(
+    (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again no"),
+    (3L, "completely different text with nothing shared at all here folks"),
+    (4L, "short one"))
+
+  test("minhashDupPairs finds the engineered near-dup and nothing else") {
+    val pairs = Dedup.minhashDupPairs(nearDupDocs, "doc_id", "text", 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngramDupPairs agrees and reports the exact Jaccard") {
+    val rows = Dedup.ngramDupPairs(nearDupDocs, "doc_id", "text", "n_chars",
+        threshold = 0.5, blockWidth = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.keySet == Set((1L, 2L)))
+    // 13 tokens -> 11 shingles each, last differs: J = 10 / 12
+    assert(math.abs(rows((1L, 2L)) - 10.0 / 12.0) < 1e-9)
+  }
+
+  test("simhash of near-dups is close in Hamming distance, far docs far") {
+    val sig = Dedup.simhashSignatures(nearDupDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+    assert(ham(sig(1L), sig(2L)) <= 20)
+  }
+
+  test("hammingDistance column matches bitCount of xor") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((5L, 3L)).toDF("a", "b")
+      .select(Dedup.hammingDistance(col("a"), col("b"))).head().getInt(0)
+    assert(d == java.lang.Long.bitCount(5L ^ 3L))
+  }
+
+  test("embeddingDupPairs thresholds on rounded cosine") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // cos ~ 0.9939
+      (3L, Seq(0.0f, 1.0f, 0.0f)))   // orthogonal to 1
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(e, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("exactGroups collapses byte-identical content") {
+    val g = Dedup.exactGroups(docs((1L, "same"), (2L, "same"), (3L, "diff")),
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g == Set((1L, 2L), (3L, 1L))) // (min doc_id, n_copies)
+  }
+
+  // ── Similarity ─────────────────────────────────────────────────────────
+
+  test("planes are deterministic and match the md5 derivation") {
+    val p = Similarity.planes(2, 3)
+    assert(p == Similarity.planes(2, 3))
+    assert(p(0)(0) == (Similarity.md5H60("0,0") % 2001 - 1000) / 1000.0)
+    assert(p.flatten.forall(x => x >= -1.0 && x <= 1.0))
+  }
+
+  test("knnBruteForce returns k ranked neighbors, nearest first") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnBruteForce(e, e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("nn_id"), r.getAs[Int]("rank")))
+    assert(out.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("knnLsh only pairs vectors in the same bucket") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(-1.0f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnLsh(e, e, "vec_id", "embedding", k = 5,
+      nPlanes = 4)
+    val buckets = out.select(col("query_id"), col("bucket")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every returned neighbor pair shares the query's bucket by construction
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("bucket") == buckets(r.getAs[Long]("query_id")))
+    }
+  }
+}
