@@ -1,9 +1,11 @@
 package graft
 
 import graft.analytics.Habits
+import graft.config.{EtlConfig, HabitSpec}
 import graft.ext.{Dedup, MediaRecord, Multimodal, Similarity, TextAnalysis}
 import graft.load.Merge
 import graft.streaming.Streaming
+import graft.transform.HabitTransform
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,6 +87,38 @@ object SparkEntry {
         .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
           col("habit"), col("value"), col("props"))
         .orderBy(col("event_id"))
+    }),
+
+    // Golden end-to-end run of the signature transform chain (P1-P8 +
+    // F2 date parsing, SURVEY §2.2-2.3) on an inline edge-case fixture:
+    // serial dates (incl. fractional), month names, datetime, DST winter
+    // vs summer, blank cells, junk numerics, truthy variants, dropped
+    // rows. The oracle is the hand-verified expected output.
+    "q_transform_wide" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val cfg = EtlConfig(
+        habits = Seq(
+          "Workout" -> HabitSpec("workout", "bool"),
+          "Meditation (Number of Minutes)" ->
+            HabitSpec("meditation_minutes", "number"),
+          "Mood" -> HabitSpec("mood_score", "number")),
+        notesColumns = Seq("Notes"))
+      val wide = Seq(
+        ("8/22/2025", "Alice@Example.com", "Yes", "25", "8", "felt great"),
+        ("45519", "bob@x.com", "no", "", "junk", ""),
+        ("2025-01-15", "Carol@Y.com", "TRUE", "10.5", "", null),
+        ("Aug 3, 2025", "dave@z.com", "on", "1e2", "7", "ok"),
+        ("2025-08-22 08:30:00", "eve@w.com", "0", "5", "6", null),
+        ("", "frank@x.com", "yes", "1", "1", null),
+        ("8/22/2025", "", "yes", "1", "1", null),
+        ("45519.25", "gina@x.com", "y", "3", "2", null))
+        .toDF("Report Date", "Email Address", "Workout",
+          "Meditation (Number of Minutes)", "Mood", "Notes")
+      HabitTransform.toEvents(wide, cfg)
+        .select(ntz(col("ts")).as("ts"), col("user_email"), col("habit"),
+          col("value"), col("notes"), col("source"))
+        .orderBy(col("user_email"), col("habit"))
     }),
 
     "q_raw_dedup" -> ((s, dir) =>
@@ -318,6 +352,26 @@ object SparkEntry {
                   AS value,
                 props
          FROM events ORDER BY event_id""",
+
+    "q_transform_wide" ->
+      """SELECT * FROM (VALUES
+           (TIMESTAMP '2025-08-22 17:00:00', 'alice@example.com', 'meditation_minutes', 25.0::DOUBLE, 'Notes: felt great', 'sheets'),
+           (TIMESTAMP '2025-08-22 17:00:00', 'alice@example.com', 'mood_score', 8.0::DOUBLE, 'Notes: felt great', 'sheets'),
+           (TIMESTAMP '2025-08-22 17:00:00', 'alice@example.com', 'workout', 1.0::DOUBLE, 'Notes: felt great', 'sheets'),
+           (TIMESTAMP '2024-08-15 17:00:00', 'bob@x.com', 'workout', 0.0::DOUBLE, NULL::VARCHAR, 'sheets'),
+           (TIMESTAMP '2025-01-15 18:00:00', 'carol@y.com', 'meditation_minutes', 10.5::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2025-01-15 18:00:00', 'carol@y.com', 'workout', 1.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2025-08-03 17:00:00', 'dave@z.com', 'meditation_minutes', 100.0::DOUBLE, 'Notes: ok', 'sheets'),
+           (TIMESTAMP '2025-08-03 17:00:00', 'dave@z.com', 'mood_score', 7.0::DOUBLE, 'Notes: ok', 'sheets'),
+           (TIMESTAMP '2025-08-03 17:00:00', 'dave@z.com', 'workout', 1.0::DOUBLE, 'Notes: ok', 'sheets'),
+           (TIMESTAMP '2025-08-22 13:30:00', 'eve@w.com', 'meditation_minutes', 5.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2025-08-22 13:30:00', 'eve@w.com', 'mood_score', 6.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2025-08-22 13:30:00', 'eve@w.com', 'workout', 0.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2024-08-15 11:00:00', 'gina@x.com', 'meditation_minutes', 3.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2024-08-15 11:00:00', 'gina@x.com', 'mood_score', 2.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2024-08-15 11:00:00', 'gina@x.com', 'workout', 1.0::DOUBLE, NULL, 'sheets')
+         ) t(ts, user_email, habit, value, notes, source)
+         ORDER BY user_email, habit""",
 
     "q_raw_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS row_hash,
