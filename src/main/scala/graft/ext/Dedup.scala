@@ -180,8 +180,10 @@ object Dedup {
 
   // ── Embedding-cosine near-dup ──────────────────────────────────────────
 
-  /** Dot product of two equal-length double arrays — built-in zip_with +
-    * aggregate, stays inside codegen. */
+  /** Dot product of two equal-length double arrays via higher-order
+    * functions. NB: lambda expressions are interpreted, not whole-stage
+    * codegen'd — fine off the hot path; inside an n² pair loop prefer
+    * [[dotUnrolled]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -195,7 +197,7 @@ object Dedup {
     * on the join INPUT (once per row, n rows) so the n² pair loop pays
     * one dot product per pair, not dot + two fresh norms — Catalyst
     * can't hoist an aggregate out of a join condition for us. */
-  private[ext] def withNorm(embs: DataFrame, idCol: String, vecCol: String,
+  def withNorm(embs: DataFrame, idCol: String, vecCol: String,
       idAlias: String, vecAlias: String): DataFrame =
     embs.select(col(idCol).as(idAlias),
         col(vecCol).cast("array<double>").as(vecAlias))
@@ -208,11 +210,27 @@ object Dedup {
     * within buckets. */
   def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    val sp = embs.sparkSession
+    import sp.implicits._
     val e = withNorm(embs, idCol, vecCol, "id", "v")
+    // The n-squared pair loop is a pure numeric kernel; interpreted
+    // higher-order-function dots cost ~10 us/pair, so drop to a typed
+    // partition-local while-loop over primitive arrays (still fully
+    // distributed: the pair set comes from the join above). Left-to-right
+    // summation and java.math.BigDecimal HALF_UP rounding reproduce
+    // `round(aggregate(zip_with(...)), 4)` bit for bit.
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.v"), col("b.v")) /
-          (col("a.v_nrm") * col("b.v_nrm")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      .select(col("a.id"), col("b.id"), col("a.v"), col("b.v"),
+        col("a.v_nrm"), col("b.v_nrm"))
+      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
+      .mapPartitions(_.flatMap { case (ia, ib, va, vb, na, nb) =>
+        var s = 0.0
+        var i = 0
+        while (i < va.length) { s += va(i) * vb(i); i += 1 }
+        val r = java.math.BigDecimal.valueOf(s / (na * nb))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (r >= threshold) Iterator.single((ia, ib, r)) else Iterator.empty
+      })
+      .toDF("id_a", "id_b", "cos_sim")
   }
 }
