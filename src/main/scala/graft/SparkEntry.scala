@@ -69,6 +69,27 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_email"))),
 
+    "q_streaks" -> ((s, dir) =>
+      Habits.streaks(Tables.eventsAsHabits(s, dir))
+        .orderBy(col("user_email"), col("habit"))),
+
+    "q_habit_rollup" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .rollup(ntz(Habits.dayBucket(col("ts"))).as("day"), col("habit"))
+        .agg(count(lit(1)).as("n_events"), r6(sum(col("value"))).as("total"))
+        .orderBy(col("day").asc_nulls_first, col("habit").asc_nulls_first)),
+
+    "q_set_ops" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      def users(h: String) =
+        ev.filter(col("habit") === h).select(col("user_email")).distinct()
+      val both = users("click").intersect(users("view"))
+        .select(lit("both").as("grp"), col("user_email"))
+      val clickOnly = users("click").except(users("view"))
+        .select(lit("click_only").as("grp"), col("user_email"))
+      both.union(clickOnly).orderBy(col("grp"), col("user_email"))
+    }),
+
     // ── Reference parity: unpivot + merge + dedup (SURVEY §2.1-2.2) ────
     "q_unpivot_orders" -> ((s, dir) => {
       val o = Tables.read(s, dir, "orders")
@@ -337,6 +358,39 @@ object SparkEntry {
          SELECT user_id AS user_email, sum(new_s) AS n_sessions,
                 count(*) AS n_events
          FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type,
+                date_trunc('day', ts)::DATE AS day
+              FROM events WHERE value >= 1),
+         g AS (SELECT user_id, event_type, day,
+                day - row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY day)::INT AS anchor
+              FROM d),
+         runs AS (SELECT user_id, event_type, anchor, count(*) AS run_len
+              FROM g GROUP BY 1, 2, 3)
+         SELECT user_id AS user_email, event_type AS habit,
+                max(run_len)::BIGINT AS longest_streak
+         FROM runs GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_habit_rollup" ->
+      """SELECT date_trunc('day', ts) AS day, event_type AS habit,
+                count(*) AS n_events, round(sum(value), 6) AS total
+         FROM events
+         GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+         ORDER BY day NULLS FIRST, habit NULLS FIRST""",
+
+    "q_set_ops" ->
+      """SELECT 'both' AS grp, user_id AS user_email FROM
+           (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+         UNION ALL
+         SELECT 'click_only' AS grp, user_id AS user_email FROM
+           (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+         ORDER BY grp, user_email""",
 
     "q_unpivot_orders" ->
       """SELECT o_orderkey, 'o_custkey' AS metric,

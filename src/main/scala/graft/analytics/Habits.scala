@@ -72,6 +72,31 @@ object Habits {
   def recentEvents(events: DataFrame, n: Int, tiebreak: Seq[Column]): DataFrame =
     events.orderBy(col("ts").desc +: tiebreak: _*).limit(n)
 
+  /** Longest consecutive-day streak of habit completion per (user,
+    * habit) — the "streaks" analysis the reference README motivates but
+    * never ships (`/root/reference/README.md:5`). Classic gaps-and-
+    * islands: distinct completion days, anchor = day − row_number days
+    * (constant within a consecutive run), count per anchor, max per key.
+    * Two hash aggregates + one window, all keyed on (user, habit) — the
+    * same shuffle key throughout, so one exchange at scale.
+    */
+  def streaks(events: DataFrame, threshold: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_email"), col("habit"))
+      .orderBy(col("day"))
+    events
+      .filter(col("value") >= threshold)
+      .select(col("user_email"), col("habit"),
+        to_date(dayBucket(col("ts"))).as("day"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("anchor", expr("date_sub(day, rn)"))
+      .groupBy(col("user_email"), col("habit"), col("anchor"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_email"), col("habit"))
+      .agg(max(col("run_len")).as("longest_streak"))
+  }
+
   /** Gaps-and-islands sessionization over a user event stream — the
     * "streaks" analysis the reference README motivates but never ships
     * (`/root/reference/README.md:5`; index prepared for it at

@@ -54,6 +54,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.head.getAs[Timestamp]("ts") == ts("2025-08-21 17:00:00"))
   }
 
+  test("streaks finds the longest consecutive-day completion run") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1/workout: done 8/18, 8/19, 8/20 (streak 3), gap, 8/22 (streak 1)
+      (ts("2025-08-18 10:00:00"), "u1", "workout", 1.0),
+      (ts("2025-08-19 09:00:00"), "u1", "workout", 1.0),
+      (ts("2025-08-19 21:00:00"), "u1", "workout", 1.0), // same day twice
+      (ts("2025-08-20 10:00:00"), "u1", "workout", 1.0),
+      (ts("2025-08-22 10:00:00"), "u1", "workout", 1.0),
+      // not-done days break nothing they never start
+      (ts("2025-08-21 10:00:00"), "u1", "workout", 0.0),
+      (ts("2025-08-18 10:00:00"), "u2", "workout", 1.0))
+      .toDF("ts", "user_email", "habit", "value")
+    val out = Habits.streaks(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("u1", "workout") -> 3L, ("u2", "workout") -> 1L))
+  }
+
   test("sessionize splits on gaps > threshold per user") {
     import spark.implicits._
     val ev = Seq(
