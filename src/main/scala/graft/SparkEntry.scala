@@ -69,6 +69,25 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_email"))),
 
+    "q_json_extract" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .select(col("habit"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          r6(avg(col("k"))).as("avg_k"))
+        .orderBy(col("habit"))),
+
+    "q_json_roundtrip" -> ((s, dir) =>
+      Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_totalprice"))).as("js"))
+        .select(col("o_orderkey"),
+          from_json(col("js"), "o_orderkey BIGINT, o_totalprice DOUBLE",
+            Map.empty[String, String]).getField("o_totalprice")
+            .as("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
     "q_streaks" -> ((s, dir) =>
       Habits.streaks(Tables.eventsAsHabits(s, dir))
         .orderBy(col("user_email"), col("habit"))),
@@ -358,6 +377,15 @@ object SparkEntry {
          SELECT user_id AS user_email, sum(new_s) AS n_sessions,
                 count(*) AS n_events
          FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q_json_extract" ->
+      """SELECT event_type AS habit, count(*) AS n,
+                sum((props ->> '$.k')::BIGINT)::BIGINT AS sum_k,
+                round(avg((props ->> '$.k')::BIGINT), 6) AS avg_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_json_roundtrip" ->
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""",
 
     "q_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type,
