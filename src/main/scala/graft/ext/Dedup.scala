@@ -32,12 +32,44 @@ object Dedup {
 
   // ── MinHash + LSH ──────────────────────────────────────────────────────
 
+  /** (id, distinct word-n-gram shingle set) via a typed partition-local
+    * shingler. Semantically identical to
+    * `array_distinct(TextAnalysis.wordShingles(...))` (regex split with
+    * -1 limit, first-occurrence distinct, whole-text fallback under n
+    * tokens) but ~3× faster: shingling is per-row string CPU, and the
+    * interpreted higher-order-function path pays lambda dispatch per
+    * token. Requires a numeric/long-castable id. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val shingles: Array[String] =
+          if (toks.length >= n) {
+            val out = new Array[String](toks.length - n + 1)
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+              out(i) = sb.toString
+              i += 1
+            }
+            out.distinct
+          } else Array(text)
+        (id, shingles)
+      }).toDF(idCol, "ss")
+  }
+
   /** One row per (id, distinct word-n-gram shingle). The explode is the
     * only data expansion: ~tokens-per-doc rows per doc. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
-    docs.select(col(idCol),
-      explode(TextAnalysis.shingleSet(col(textCol), n)).as("shingle"))
+    shingleSets(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("ss")).as("shingle"))
 
   /** k-permutation MinHash signature as `sig: array<string>`. Each
     * "permutation" is the lexicographic min of a salted md5 over the
@@ -98,13 +130,42 @@ object Dedup {
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified at `threshold`.
     * With k=16, bands=4 (r=4): P(candidate) ≈ 98.6% at J=0.9, ≈ 0.6% at
     * J=0.2 — high recall on true dups, tiny false-candidate load on the
-    * verifier. */
+    * verifier.
+    *
+    * The (id, shingle-set) relation feeds three DAG branches (signature,
+    * banding self-join, Jaccard verify); Spark re-executes unshared
+    * branches, so it is persisted for the duration of the plan —
+    * shingling is ~4× the cost of everything else combined. Size is
+    * O(corpus tokens); MEMORY_AND_DISK spills rather than OOMs at scale.
+    */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
       n: Int = 3): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol, k, n)
-    val cand = candidatePairs(bandKeys(sig, idCol, k, bands), idCol)
-    jaccardForPairs(cand, docs, idCol, textCol, n)
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = sets.select(col(idCol), explode(col("ss")).as("shingle"))
+    val mins = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"_h$j"))
+    val sig = rows.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(j => col(s"_h$j")): _*).as("sig"))
+    // the banding self-join references its input twice; persist the
+    // (small, 4-rows-per-doc) band relation so the signature aggregate
+    // runs once
+    val banded = bandKeys(sig, idCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(banded, idCol)
+    val bySet = sets.withColumnRenamed(idCol, "id")
+    cand
+      .join(bySet.withColumnRenamed("ss", "ss_a"), col("id_a") === col("id"))
+      .drop("id")
+      .join(bySet.withColumnRenamed("ss", "ss_b"), col("id_b") === col("id"))
+      .drop("id")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b"))).cast("double"))
+          .as("jaccard"))
       .filter(round(col("jaccard"), 6) >= threshold)
   }
 
@@ -127,13 +188,17 @@ object Dedup {
       lenCol: String, threshold: Double = 0.5, blockWidth: Int = 50,
       n: Int = 3): DataFrame = {
     require(threshold > 0.0, "zero-overlap pairs are never materialized")
-    val rows = docs.select(col(idCol).as("id"),
-        TextAnalysis.shingleSet(col(textCol), n).as("ss"),
-        (col(lenCol) / blockWidth).cast("long").as("blk"))
+    val rows = shingleSets(docs, idCol, textCol, n)
+      .withColumnRenamed(idCol, "id")
+      .join(docs.select(col(idCol).cast("long").as("id"),
+        (col(lenCol) / blockWidth).cast("long").as("blk")), "id")
       .select(col("id"), size(col("ss")).as("sz"), col("ss"),
         explode(array(col("blk"), col("blk") + 1)).as("block"))
       .select(col("id"), col("sz"), col("block"),
         explode(col("ss")).as("shingle"))
+      // referenced on both sides of the self-join below; persist so the
+      // (lambda-interpreted, relatively costly) shingling runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rows.as("a").join(rows.as("b"),
         col("a.block") === col("b.block") &&
           col("a.shingle") === col("b.shingle") &&
