@@ -6,6 +6,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+/** Input row for [[Streaming.sessionizeStream]]. */
+case class SessionEvent(user_email: String, ts: java.sql.Timestamp)
+
+/** Per-user state for [[Streaming.sessionizeStream]]: last-seen event
+  * millis + running session counter. */
+case class SessionState(lastMs: Long, sessionId: Long)
+
+/** Output of [[Streaming.sessionizeStream]]. */
+case class SessionAssignment(user_email: String, ts: java.sql.Timestamp,
+    session_id: Long)
+
 /** Structured Streaming analog of the reference's incremental analytics:
   * the Timescale continuous aggregate + refresh policy
   * (`/root/reference/sql/001_schema.sql:31-46`) becomes a watermarked
@@ -52,6 +63,44 @@ object Streaming {
       watermark: String = "60 days"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming gaps-and-islands sessionization via arbitrary stateful
+    * processing (`flatMapGroupsWithState`) — the streaming analog of
+    * [[graft.analytics.Habits.sessionize]]. Per user the state holds
+    * (last event time, session counter); an event more than `gapMinutes`
+    * after the last one opens a new session. Event-time timeout closes
+    * idle state once the watermark passes the gap. Emits one row per
+    * event: (user_email, ts, session_id). */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_email)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: String, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
+              val t = e.ts.getTime
+              if (s.lastMs == Long.MinValue || t - s.lastMs > gapMs)
+                s = SessionState(t, s.sessionId + 1)
+              else s = SessionState(t, s.sessionId)
+              SessionAssignment(user, e.ts, s.sessionId)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            out.iterator
+          }
+      }.toDF()
+  }
 
   /** Run [[habitDailyStream]] over the driver's `events` parquet as a
     * bounded stream (Trigger.AvailableNow → memory sink, complete mode)

@@ -86,6 +86,20 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     (3L, "completely different text with nothing shared at all here folks"),
     (4L, "short one"))
 
+  test("typed shingleSets matches the expression shingle semantics") {
+    val fixtures = docs(
+      (1L, "a b c d e"),
+      (2L, "x y"),                 // shorter than n -> whole text
+      (3L, "a  b c"),              // double space -> empty token, kept
+      (4L, "p q r p q r p q r"))   // repeats -> distinct, first-occurrence
+    val typed = Dedup.shingleSets(fixtures, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val expr = fixtures.select(col("doc_id"),
+        graft.ext.TextAnalysis.shingleSet(col("text"), 3).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(typed == expr)
+  }
+
   test("minhashDupPairs finds the engineered near-dup and nothing else") {
     val pairs = Dedup.minhashDupPairs(nearDupDocs, "doc_id", "text", 0.5)
       .select(col("id_a"), col("id_b")).collect()

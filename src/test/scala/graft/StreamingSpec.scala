@@ -43,6 +43,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
   }
 
+  test("sessionizeStream assigns gap-based session ids with state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.SessionEvent
+    val mem = MemoryStream[SessionEvent]
+    mem.addData(
+      SessionEvent("u1", ts("2024-01-01 10:00:00")),
+      SessionEvent("u1", ts("2024-01-01 10:10:00")), // same session
+      SessionEvent("u1", ts("2024-01-01 11:00:00")), // 50 min gap -> new
+      SessionEvent("u2", ts("2024-01-01 10:00:00")))
+    val qn = Streaming.nextQueryName("spec_sess")
+    val q = Streaming.sessionizeStream(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(qn).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      ("u1", "2024-01-01 10:00:00.0", 1L),
+      ("u1", "2024-01-01 10:10:00.0", 1L),
+      ("u1", "2024-01-01 11:00:00.0", 2L),
+      ("u2", "2024-01-01 10:00:00.0", 1L)))
+    // agrees with the batch sessionizer on the same data
+    val batch = Habits.sessionize(
+        s.table(qn).select(col("ts"), col("user_email")),
+        "user_email", "ts", 30)
+      .select(col("user_email"), col("ts"), col("session_id")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .toSet
+    assert(batch == out)
+  }
+
   test("dedupStream drops replayed keys within the watermark") {
     val s = spark
     import s.implicits._
