@@ -25,6 +25,17 @@ object SparkEntry {
   private def ntz(c: Column): Column = c.cast("timestamp_ntz")
   private def r6(c: Column): Column = round(c, 6)
 
+  /** 3-habit config used by the fixture-driven transform queries
+    * (mirrors the reference unit-test config,
+    * `/root/reference/tests/test_transform.py:3-13`). */
+  private val cfg3 = EtlConfig(
+    habits = Seq(
+      "Workout" -> HabitSpec("workout", "bool"),
+      "Meditation (Number of Minutes)" ->
+        HabitSpec("meditation_minutes", "number"),
+      "Mood" -> HabitSpec("mood_score", "number")),
+    notesColumns = Seq("Notes"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_habit_daily")(spark, "/root/testdata/sf0.001")
@@ -68,6 +79,19 @@ object SparkEntry {
         .agg(max(col("session_id")).as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_email"))),
+
+    // The custom DataSource V2 table (graft.sources.FormResponseSource)
+    // through the full transform: proves the scan partitioning, schema
+    // inference, and InternalRow emission feed the engine end to end.
+    "q_dsv2_form_source" -> ((s, dir) => {
+      val wide = s.read.format("graft.sources.FormResponseSource")
+        .option("users", 4).option("days", 9)
+        .option("startdate", "2024-01-01").load()
+      HabitTransform.toEvents(wide, cfg3)
+        .select(ntz(col("ts")).as("ts"), col("user_email"), col("habit"),
+          col("value"), col("notes"), col("source"))
+        .orderBy(col("user_email"), col("habit"), col("ts"))
+    }),
 
     "q_json_extract" -> ((s, dir) =>
       Tables.eventsAsHabits(s, dir)
@@ -137,13 +161,6 @@ object SparkEntry {
     "q_transform_wide" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
-      val cfg = EtlConfig(
-        habits = Seq(
-          "Workout" -> HabitSpec("workout", "bool"),
-          "Meditation (Number of Minutes)" ->
-            HabitSpec("meditation_minutes", "number"),
-          "Mood" -> HabitSpec("mood_score", "number")),
-        notesColumns = Seq("Notes"))
       val wide = Seq(
         ("8/22/2025", "Alice@Example.com", "Yes", "25", "8", "felt great"),
         ("45519", "bob@x.com", "no", "", "junk", ""),
@@ -155,7 +172,7 @@ object SparkEntry {
         ("45519.25", "gina@x.com", "y", "3", "2", null))
         .toDF("Report Date", "Email Address", "Workout",
           "Meditation (Number of Minutes)", "Mood", "Notes")
-      HabitTransform.toEvents(wide, cfg)
+      HabitTransform.toEvents(wide, cfg3)
         .select(ntz(col("ts")).as("ts"), col("user_email"), col("habit"),
           col("value"), col("notes"), col("source"))
         .orderBy(col("user_email"), col("habit"))
@@ -377,6 +394,31 @@ object SparkEntry {
          SELECT user_id AS user_email, sum(new_s) AS n_sessions,
                 count(*) AS n_events
          FROM g GROUP BY 1 ORDER BY 1""",
+
+    // Mirrors FormResponseSource's closed-form cell math: January 2024 is
+    // CST (UTC-6), so date-only noon-anchored rows land at 18:00Z; a mood
+    // of (u+d)%11 = 10 is emitted as junk and must drop that event.
+    "q_dsv2_form_source" ->
+      """WITH g AS (SELECT u.u AS u, d.d AS d
+              FROM (SELECT unnest(generate_series(0, 3)) AS u) u,
+                   (SELECT unnest(generate_series(0, 8)) AS d) d),
+         base AS (SELECT u, d,
+                TIMESTAMP '2024-01-01 18:00:00' + d * INTERVAL 1 DAY AS ts,
+                'user' || u || '@example.com' AS user_email,
+                CASE WHEN d % 3 = 0 THEN 'Notes: good day'
+                     ELSE NULL END AS notes
+              FROM g)
+         SELECT ts, user_email, 'workout' AS habit,
+                (CASE WHEN (u + d) % 2 = 0 THEN 1.0 ELSE 0.0 END)::DOUBLE
+                  AS value, notes, 'sheets' AS source FROM base
+         UNION ALL
+         SELECT ts, user_email, 'meditation_minutes',
+                ((u * 7 + d * 3) % 60)::DOUBLE, notes, 'sheets' FROM base
+         UNION ALL
+         SELECT ts, user_email, 'mood_score',
+                ((u + d) % 11)::DOUBLE, notes, 'sheets' FROM base
+         WHERE (u + d) % 11 <> 10
+         ORDER BY user_email, habit, ts""",
 
     "q_json_extract" ->
       """SELECT event_type AS habit, count(*) AS n,

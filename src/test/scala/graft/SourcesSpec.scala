@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom DataSource V2 form-response table (SURVEY §2.1 S1). */
+class SourcesSpec extends AnyFunSuite with SparkTestSession {
+
+  private def read(users: Int, days: Int) =
+    spark.read.format("graft.sources.FormResponseSource")
+      .option("users", users).option("days", days)
+      .option("startdate", "2024-01-01").load()
+
+  test("schema is the untyped sheet header row") {
+    val df = read(2, 2)
+    assert(df.columns.toSeq == Seq("Timestamp", "Report Date",
+      "Email Address", "Workout", "Meditation (Number of Minutes)",
+      "Mood", "Notes"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("one row per (user, day); one partition per day block") {
+    val df = read(3, 4)
+    assert(df.count() == 12)
+    assert(df.rdd.getNumPartitions == 4)
+  }
+
+  test("cells follow the documented closed-form math") {
+    val r = read(3, 4).filter(col("`Report Date`") === "1/3/2024" &&
+      col("`Email Address`") === "User2@Example.com").head()
+    // u=2, d=2: workout (2+2)%2==0 -> Yes; meditation (14+6)%60=20;
+    // mood (2+2)%11=4; d%3!=0 -> blank notes
+    assert(r.getAs[String]("Workout") == "Yes")
+    assert(r.getAs[String]("Meditation (Number of Minutes)") == "20")
+    assert(r.getAs[String]("Mood") == "4")
+    assert(r.getAs[String]("Notes") == "")
+  }
+
+  test("junk mood cell appears where (u+d)%11 == 10") {
+    val junk = read(4, 9).filter(col("Mood") === "n/a")
+      .select(col("`Email Address`"), col("`Report Date`")).collect()
+    assert(junk.nonEmpty)
+  }
+}
