@@ -260,11 +260,14 @@ object SparkEntry {
             .as("n_re_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Uses the NATIVE codegen'd PolyHash expression (graft.plans) —
+    // values identical to the pure-builtin form, pinned by ExtSpec.
     "q_fingerprint" -> ((s, dir) =>
       Tables.read(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.polyFingerprint(col("text")).as("poly_fp"),
-          TextAnalysis.minKgramFingerprint(col("text"), 8).as("kgram_min_fp"))
+          TextAnalysis.polyFingerprintNative(col("text")).as("poly_fp"),
+          TextAnalysis.minKgramFingerprintNative(col("text"), 8)
+            .as("kgram_min_fp"))
         .orderBy(col("doc_id"))),
 
     // ── Extension scope: dedup family (SURVEY §7.5) ────────────────────

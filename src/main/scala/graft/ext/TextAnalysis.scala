@@ -115,6 +115,13 @@ object TextAnalysis {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(HashMod)))
 
+  /** [[polyFingerprint]] via the native codegen'd Catalyst expression
+    * (`graft.plans.PolyHash`) — same values, no per-char interpreted
+    * lambda. Requires the session to register
+    * `graft.plans.GraftExtensions`. */
+  def polyFingerprintNative(text: Column): Column =
+    call_function("graft_polyhash", text)
+
   /** Winnowing-style minimum over the rolling hashes of all char k-grams:
     * robust to local edits (an edit perturbs only k windows). Texts
     * shorter than k fall back to the whole-string hash. */
@@ -123,4 +130,11 @@ object TextAnalysis {
       array_min(transform(sequence(lit(1), length(text) - (k - 1)),
         i => polyFingerprint(text.substr(i, lit(k))))))
       .otherwise(polyFingerprint(text))
+
+  /** [[minKgramFingerprint]] using the native hash for each window. */
+  def minKgramFingerprintNative(text: Column, k: Int = 8): Column =
+    when(length(text) >= k,
+      array_min(transform(sequence(lit(1), length(text) - (k - 1)),
+        i => polyFingerprintNative(text.substr(i, lit(k))))))
+      .otherwise(polyFingerprintNative(text))
 }

@@ -69,6 +69,23 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
   }
 
+  test("native PolyHash expression equals the builtin-expression form") {
+    val d = docs((1L, "abc"), (2L, ""), (3L, "the quick brown fox 42!"),
+      (4L, "héllo wörld"))
+    val out = d.select(
+        TextAnalysis.polyFingerprint(col("text")).as("a"),
+        TextAnalysis.polyFingerprintNative(col("text")).as("b"),
+        TextAnalysis.minKgramFingerprint(col("text"), 8).as("ka"),
+        TextAnalysis.minKgramFingerprintNative(col("text"), 8).as("kb"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+    // and the driver-side reference implementation agrees
+    assert(out(0).getLong(0) == graft.plans.PolyHash.hash("abc"))
+  }
+
   test("minKgramFingerprint is invariant to a far-away edit") {
     val base = "aaaa bbbb cccc dddd eeee ffff gggg"
     val Seq(f1, f2) = docs((1L, base + " zzzz"), (2L, base + " yyyy"))
