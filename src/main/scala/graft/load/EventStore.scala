@@ -1,0 +1,61 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Day-partitioned parquet event store — the engine's analog of the
+  * reference's Timescale hypertable + indexes
+  * (`/root/reference/sql/001_schema.sql:26-28`):
+  *
+  *   - `create_hypertable('habit_events','ts')` → `partitionBy(day)`
+  *     directory layout; time-range predicates become partition pruning
+  *     (directories never listed, let alone read).
+  *   - the `(user_email, habit, ts DESC)` index → `sortWithinPartitions`
+  *     on write; parquet row-group min/max stats then skip pages for
+  *     per-user/habit reads.
+  *
+  * At 100 TB the day partition bounds every maintenance operation: a
+  * batch upsert rewrites only the day directories the batch touches
+  * (dynamic partition overwrite), exactly like Timescale's bounded
+  * 60-day refresh window (`/root/reference/sql/001_schema.sql:43-46`).
+  */
+object EventStore {
+
+  val DayCol = "day"
+
+  /** Write/replace the store: day directories, intra-partition sort for
+    * row-group skipping. One shuffle on the partition key. */
+  def write(events: DataFrame, path: String): Unit =
+    events.withColumn(DayCol, to_date(col("ts")))
+      .repartition(col(DayCol))
+      .sortWithinPartitions(col("user_email"), col("habit"), col("ts"))
+      .write.mode("overwrite").partitionBy(DayCol).parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(DayCol)
+
+  /** Upsert a batch, rewriting ONLY the day partitions the batch
+    * intersects (reference semantics via [[Merge.upsertEvents]]: new
+    * value wins, notes coalesce). `localCheckpoint` materializes the
+    * merged slice so the dynamic-partition overwrite is not reading the
+    * files it replaces. */
+  def upsert(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String] = Merge.EventKeys): Unit = {
+    val existing = spark.read.parquet(path)
+    val touched = batch.select(to_date(col("ts")).as(DayCol)).distinct()
+    val scoped = existing.join(broadcast(touched), Seq(DayCol), "left_semi")
+      .drop(DayCol)
+    val merged = Merge.upsertEvents(scoped, batch, keys)
+      .withColumn(DayCol, to_date(col("ts")))
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(DayCol).parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}
