@@ -143,6 +143,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("metric"))
     }),
 
+    // The partitioned store (EventStore) under the gate: write the
+    // events table day-partitioned, upsert a modified batch rewriting
+    // only touched days, read back. Same merge contract as
+    // q_upsert_merge, so it shares that oracle's expected output.
+    "q_upsert_partitioned" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_store_q").resolve("events").toString
+      val existing = Tables.eventsAsHabits(s, dir)
+      graft.load.EventStore.write(existing, path)
+      val batch = existing.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+      graft.load.EventStore.upsert(s, path, batch,
+        keys = Seq("user_email", "habit", "ts"))
+      graft.load.EventStore.read(s, path)
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          col("habit"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_upsert_merge" -> ((s, dir) => {
       val existing = Tables.eventsAsHabits(s, dir)
       val batch = existing.filter(col("event_id") % 3 === 0)
@@ -472,6 +491,13 @@ object SparkEntry {
          SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val
          FROM orders
          ORDER BY o_orderkey, metric""",
+
+    "q_upsert_partitioned" ->
+      """SELECT event_id, ts, user_id AS user_email, event_type AS habit,
+                CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+                  AS value,
+                props
+         FROM events ORDER BY event_id""",
 
     "q_upsert_merge" ->
       """SELECT event_id, ts, user_id AS user_email, event_type AS habit,
