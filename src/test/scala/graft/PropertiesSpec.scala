@@ -1,0 +1,119 @@
+package graft
+
+import java.time.LocalDate
+import java.time.temporal.ChronoUnit
+
+import graft.ext.{Dedup, TextAnalysis}
+import graft.functions.Dates
+import graft.load.Merge
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.Parameters
+
+/** ScalaCheck properties (SURVEY §5 strategy item 2). Each property
+  * batches its generated cases into ONE DataFrame evaluation so the
+  * Spark-job count stays sane. */
+object PropertiesSpec extends Properties("graft") {
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkTestSession.session
+
+  private val epoch = LocalDate.of(1899, 12, 30)
+  private val dateGen: Gen[LocalDate] = for {
+    y <- Gen.choose(2000, 2030)
+    m <- Gen.choose(1, 12)
+    d <- Gen.choose(1, 28)
+  } yield LocalDate.of(y, m, d)
+
+  private val monthNames = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+  property("parseReportDate: all date-only spellings agree with the serial") =
+    forAll(Gen.listOfN(12, dateGen)) { dates =>
+      val s = spark
+      import s.implicits._
+      val rows = dates.map { dt =>
+        val serial = ChronoUnit.DAYS.between(epoch, dt).toString
+        val mdy = s"${dt.getMonthValue}/${dt.getDayOfMonth}/${dt.getYear}"
+        val iso = dt.toString
+        val mon = s"${monthNames(dt.getMonthValue - 1)} ${dt.getDayOfMonth}, ${dt.getYear}"
+        (serial, mdy, iso, mon)
+      }
+      val parsed = rows.toDF("serial", "mdy", "iso", "mon")
+        .select(Seq("serial", "mdy", "iso", "mon").map(c =>
+          Dates.parseReportDate(col(c), "America/Chicago").as(c)): _*)
+        .collect()
+      parsed.forall { r =>
+        val ts = (0 until 4).map(r.getTimestamp)
+        ts.forall(_ != null) && ts.distinct.size == 1
+      }
+    }
+
+  property("typed shingler == expression shingler on random token lists") =
+    forAll(Gen.listOfN(6,
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d", "", "ee"))
+        .map(_.mkString(" ")))) { texts =>
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val typed = Dedup.shingleSets(docs, "doc_id", "text", 3)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      val exprForm = docs.select(col("doc_id"),
+          TextAnalysis.shingleSet(col("text"), 3).as("ss"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      typed == exprForm
+    }
+
+  property("native PolyHash == builtin form == driver-side reference") =
+    forAll(Gen.listOfN(8, Gen.asciiPrintableStr)) { strs =>
+      val s = spark
+      import s.implicits._
+      val out = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("text"),
+          TextAnalysis.polyFingerprint(col("text")).as("a"),
+          TextAnalysis.polyFingerprintNative(col("text")).as("b"))
+        .collect()
+      out.forall(r => r.getLong(1) == r.getLong(2) &&
+        r.getLong(1) == graft.plans.PolyHash.hash(r.getString(0)))
+    }
+
+  property("upsertEvents is idempotent under batch replay") =
+    forAll(Gen.listOfN(10, for {
+      u <- Gen.oneOf("a@x", "b@x", "c@x")
+      h <- Gen.oneOf("workout", "mood")
+      day <- Gen.choose(1, 5)
+      v <- Gen.choose(0.0, 9.0)
+    } yield (u, h, day, v))) { tuples =>
+      val s = spark
+      import s.implicits._
+      def mk(ts: Seq[(String, String, Int, Double)]) =
+        ts.map { case (u, h, d, v) =>
+          (java.sql.Timestamp.valueOf(f"2024-01-0$d%d 10:00:00"), u, h, v,
+            None: Option[String])
+        }.toDF("ts", "user_email", "habit", "value", "notes")
+      val existing = mk(tuples.take(5)).dropDuplicates(Merge.EventKeys)
+      val batch = mk(tuples.drop(5)).dropDuplicates(Merge.EventKeys)
+      val once = Merge.upsertEvents(existing, batch)
+      val twice = Merge.upsertEvents(once, batch)
+      val k = Seq("ts", "user_email", "habit", "value")
+      once.select(k.map(col): _*).collect().map(_.toSeq).toSet ==
+        twice.select(k.map(col): _*).collect().map(_.toSeq).toSet
+    }
+
+  property("qualityScore stays within [0, 100]") =
+    forAll(Gen.listOfN(8, Gen.asciiPrintableStr.suchThat(_.nonEmpty))) { ts =>
+      val s = spark
+      import s.implicits._
+      ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(TextAnalysis.qualityScore(col("text")).as("q"))
+        .collect().forall { r =>
+          val q = r.getDouble(0); q >= 0.0 && q <= 100.0
+        }
+    }
+}
