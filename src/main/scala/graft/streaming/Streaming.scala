@@ -127,7 +127,9 @@ object Streaming {
     val q = habitDailyStream(stream, watermark = "60 days", sumHabit)
       .writeStream.format("memory").queryName(queryName)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // AvailableNow terminates on its own; the bound is a guard so a hung
+    // stream degrades to one failed query instead of a stuck Verify run.
+    if (!q.awaitTermination(300000L)) q.stop()
     spark.table(queryName)
   }
 }
