@@ -112,6 +112,24 @@ object SparkEntry {
             .as("o_totalprice"))
         .orderBy(col("o_orderkey"))),
 
+    "q_rolling_avg" -> ((s, dir) =>
+      Habits.rollingDailyAvg(Tables.eventsAsHabits(s, dir),
+          Seq("purchase", "click"), anchor = "2024-01-01", windowDays = 7)
+        .select(col("habit"), ntz(col("day")).as("day"),
+          r6(col("rolling_avg")).as("rolling_avg"))
+        .orderBy(col("habit"), col("day"))),
+
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(col("habit"))
+        .agg(count_distinct(col("user_email")).as("exact_n"),
+          approx_count_distinct(col("user_email")).as("_approx"))
+        // the oracle pins `approx_ok = true`: HLL must land within 5%
+        .select(col("habit"), col("exact_n"),
+          (abs(col("_approx") - col("exact_n")).cast("double") /
+            col("exact_n").cast("double") <= 0.05).as("approx_ok"))
+        .orderBy(col("habit"))),
+
     "q_streaks" -> ((s, dir) =>
       Habits.streaks(Tables.eventsAsHabits(s, dir))
         .orderBy(col("user_email"), col("habit"))),
@@ -307,6 +325,13 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashDupPairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 7)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingDupPairs(Tables.read(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4)
@@ -450,6 +475,24 @@ object SparkEntry {
 
     "q_json_roundtrip" ->
       """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""",
+
+    "q_rolling_avg" ->
+      """WITH daily AS (SELECT event_type AS habit,
+                date_trunc('day', ts) AS day, sum(value) AS day_total
+              FROM events WHERE event_type IN ('purchase', 'click')
+              GROUP BY 1, 2)
+         SELECT habit, day,
+                round(avg(day_total) OVER (PARTITION BY habit
+                  ORDER BY date_diff('day', DATE '2024-01-01', day::DATE)
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                  AS rolling_avg
+         FROM daily ORDER BY habit, day""",
+
+    "q_approx_distinct" ->
+      """SELECT event_type AS habit,
+                count(DISTINCT user_id)::BIGINT AS exact_n,
+                true AS approx_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type,
@@ -690,6 +733,34 @@ object SparkEntry {
          SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
                                  ELSE 0 END)::BIGINT AS simhash
          FROM sv GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_dedup_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+         h AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
+         bits AS (SELECT doc_id, p.p AS p,
+                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
+         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
+         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+                                         ELSE 0 END)::BIGINT AS simhash
+              FROM sv GROUP BY doc_id),
+         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
+                (simhash >> (c.c * 8)) & 255 AS ckey
+              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT
+                  AS hamming
+              FROM chunked a JOIN chunked b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey
+                   AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 7 ORDER BY id_a, id_b""",
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

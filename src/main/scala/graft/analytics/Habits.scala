@@ -72,6 +72,24 @@ object Habits {
   def recentEvents(events: DataFrame, n: Int, tiebreak: Seq[Column]): DataFrame =
     events.orderBy(col("ts").desc +: tiebreak: _*).limit(n)
 
+  /** Rolling `windowDays`-day average of the per-day value total, per
+    * habit — a RANGE window frame over integer day offsets (frames are
+    * the one window feature the reference's SQL never uses, SURVEY
+    * §2.6). Partitioned by habit: the frame sort rides the per-habit
+    * shuffle. */
+  def rollingDailyAvg(events: DataFrame, habits: Seq[String],
+      anchor: String, windowDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("habit").isin(habits: _*))
+      .groupBy(col("habit"), dayBucket(col("ts")).as("day"))
+      .agg(sum(col("value")).as("day_total"))
+    val w = Window.partitionBy(col("habit"))
+      .orderBy(datediff(to_date(col("day")), to_date(lit(anchor))))
+      .rangeBetween(-(windowDays - 1), Window.currentRow)
+    daily.select(col("habit"), col("day"),
+      avg(col("day_total")).over(w).as("rolling_avg"))
+  }
+
   /** Longest consecutive-day streak of habit completion per (user,
     * habit) — the "streaks" analysis the reference README motivates but
     * never ships (`/root/reference/README.md:5`). Classic gaps-and-

@@ -243,6 +243,32 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs at `maxHamming` via the pigeonhole chunk
+    * join: split the 60-bit signature into 8 byte chunks — any pair
+    * within Hamming ≤ 7 must agree on at least one whole chunk — then
+    * equi-join on (chunk index, chunk value) and verify exact Hamming.
+    * No all-pairs scan: the shuffle key is the chunk, bucket sizes are
+    * corpus/256 per position. `maxHamming` must stay < chunks for the
+    * pigeonhole guarantee. */
+  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7, n: Int = 3): DataFrame = {
+    val chunks = 8
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val sig = simhashSignatures(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        expr(s"shiftright(simhash, ${c * 8}) & 255")): _*))
+        .as(Seq("chunk", "ckey")))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ── Embedding-cosine near-dup ──────────────────────────────────────────
 
   /** Dot product of two equal-length double arrays via higher-order

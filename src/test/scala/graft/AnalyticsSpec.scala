@@ -54,6 +54,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.head.getAs[Timestamp]("ts") == ts("2025-08-21 17:00:00"))
   }
 
+  test("rollingDailyAvg applies a day-range frame, not a row frame") {
+    import spark.implicits._
+    val ev = Seq(
+      // gap between 1/1 and 1/5 — a ROW frame would wrongly average them
+      (ts("2024-01-01 10:00:00"), "u1", "workout", 10.0),
+      (ts("2024-01-05 10:00:00"), "u1", "workout", 30.0),
+      (ts("2024-01-06 10:00:00"), "u1", "workout", 50.0))
+      .toDF("ts", "user_email", "habit", "value")
+    val out = Habits.rollingDailyAvg(ev, Seq("workout"), "2024-01-01", 3)
+      .orderBy($"day").collect().map(_.getDouble(2))
+    // 1/1: avg(10); 1/5: avg(30) (1/1 outside 3-day range); 1/6: avg(30,50)
+    assert(out.toSeq == Seq(10.0, 30.0, 40.0))
+  }
+
   test("streaks finds the longest consecutive-day completion run") {
     import spark.implicits._
     val ev = Seq(

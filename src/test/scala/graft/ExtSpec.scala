@@ -141,6 +141,28 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(ham(sig(1L), sig(2L)) <= 20)
   }
 
+  test("simhashDupPairs equals brute-force all-pairs Hamming filtering") {
+    // long docs (many shingles) so a near-dup lands at small Hamming;
+    // one short unrelated doc
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, base + " tail one"),
+      (2L, base + " tail two"),
+      (3L, "something else entirely unrelated to the rest of them"),
+      (4L, base.split(" ").reverse.mkString(" ")))
+    val pairs = Dedup.simhashDupPairs(d, "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the signatures
+    val sig = Dedup.simhashSignatures(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 7
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+    assert(pairs.contains((1L, 2L))) // the engineered near-dup is caught
+  }
+
   test("hammingDistance column matches bitCount of xor") {
     val s = spark
     import s.implicits._
