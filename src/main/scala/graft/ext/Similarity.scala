@@ -69,6 +69,59 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: partition the corpus into `nCentroids` cells (each
+    * vector assigned to its max-cosine centroid), probe the query's
+    * `nProbes` nearest cells, exact-rank within the probed candidates.
+    *
+    * Centroids are the first `nCentroids` corpus vectors by id —
+    * deterministic seeding (k-means refinement would improve cell
+    * balance but adds nothing to the plan shape; swap in trained
+    * centroids at will). Assignment ties break by centroid id on the
+    * 6-dp-rounded cosine so any engine reproduces the same cells.
+    *
+    * Plan shape at scale: corpus×centroids is a broadcast nested loop
+    * over a tiny build side (centroid count), the probe join is an
+    * equi-join on cell id — linear in the corpus, like [[knnLsh]] but
+    * with data-adaptive cells. */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16,
+      nProbes: Int = 4): DataFrame = {
+    val cents = Dedup.withNorm(
+      corpus.filter(col(idCol) < nCentroids), idCol, vecCol, "cent_id", "ce")
+    def cosC = round(Dedup.dot(col("v"), col("ce")) /
+      (col("v_nrm") * col("ce_nrm")), 6)
+    val byCell = Window.partitionBy(col("id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+
+    val c = Dedup.withNorm(corpus, idCol, vecCol, "id", "v")
+      .join(broadcast(cents))
+      .select(col("id"), col("v"), col("v_nrm"), col("cent_id"),
+        cosC.as("cent_cos"))
+      .withColumn("_r", row_number().over(byCell))
+      .filter(col("_r") === 1) // corpus vector -> single nearest cell
+      .select(col("id").as("nn_id"), col("v").as("cv"),
+        col("v_nrm").as("cv_nrm"), col("cent_id").as("cell"))
+
+    val q = Dedup.withNorm(queries, idCol, vecCol, "id", "v")
+      .join(broadcast(cents))
+      .select(col("id"), col("v"), col("v_nrm"), col("cent_id"),
+        cosC.as("cent_cos"))
+      .withColumn("_r", row_number().over(byCell))
+      .filter(col("_r") <= nProbes) // query probes its nProbes cells
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("v_nrm").as("qv_nrm"), col("cent_id").as("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(Dedup.dot(col("qv"), col("cv")) /
+          (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k: candidates restricted to the query's LSH bucket, then
     * exact cosine rank within the bucket. Trades recall for a corpus-
     * hash + bucket-equi-join plan that scales linearly. Pick `nPlanes`

@@ -214,6 +214,24 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
+  test("knnIvf probing every cell equals brute force") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 12).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat,
+        (i % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+    val ivf = Similarity.knnIvf(e, q, "vec_id", "embedding", k = 4,
+        nCentroids = 4, nProbes = 4)
+      .select(col("query_id"), col("rank"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.knnBruteForce(e, q, "vec_id", "embedding", k = 4)
+      .select(col("query_id"), col("rank"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
   test("knnLsh only pairs vectors in the same bucket") {
     val s = spark
     import s.implicits._
