@@ -238,6 +238,19 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // Correlated subquery through spark.sql — Catalyst decorrelates it
+    // into an aggregate + join (no per-row re-execution).
+    "q_above_avg_orders" -> ((s, dir) => {
+      Tables.read(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n_above, round(max(o_totalprice), 6)
+          AS max_price
+        FROM orders_v o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey ORDER BY o_custkey""")
+    }),
+
     "q_revenue_by_nation" -> ((s, dir) => {
       val orders = Tables.read(s, dir, "orders")
       val customer = Tables.read(s, dir, "customer")
@@ -595,6 +608,14 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_above_avg_orders" ->
+      """SELECT o_custkey, count(*) AS n_above,
+                round(max(o_totalprice), 6) AS max_price
+         FROM orders o
+         WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                               WHERE o2.o_custkey = o.o_custkey)
+         GROUP BY o_custkey ORDER BY o_custkey""",
 
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(o_totalprice), 6) AS revenue,
