@@ -151,6 +151,16 @@ object SparkEntry {
       both.union(clickOnly).orderBy(col("grp"), col("user_email"))
     }),
 
+    // pivot — the inverse of the signature unpivot: long events back to
+    // one wide row per (day, user) with a column per habit.
+    "q_pivot_daily" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(ntz(Habits.dayBucket(col("ts"))).as("day"),
+          col("user_email"))
+        .pivot("habit", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(r6(sum(col("value"))))
+        .orderBy(col("day"), col("user_email"))),
+
     // ── Reference parity: unpivot + merge + dedup (SURVEY §2.1-2.2) ────
     "q_unpivot_orders" -> ((s, dir) => {
       val o = Tables.read(s, dir, "orders")
@@ -548,6 +558,15 @@ object SparkEntry {
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
          ORDER BY grp, user_email""",
+
+    "q_pivot_daily" ->
+      """SELECT date_trunc('day', ts) AS day, user_id AS user_email,
+                round(sum(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+                round(sum(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+                round(sum(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+                round(sum(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+                round(sum(value) FILTER (WHERE event_type = 'view'), 6) AS view
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_unpivot_orders" ->
       """SELECT o_orderkey, 'o_custkey' AS metric,
