@@ -134,6 +134,20 @@ object SparkEntry {
       Habits.streaks(Tables.eventsAsHabits(s, dir))
         .orderBy(col("user_email"), col("habit"))),
 
+    "q_gap_fill" -> ((s, dir) =>
+      Habits.gapFillDaily(Tables.eventsAsHabits(s, dir), "purchase")
+        .select(col("user_email"), col("habit"),
+          ntz(col("day")).as("day"), col("day_total"), col("filled_total"))
+        .orderBy(col("user_email"), col("habit"), col("day"))),
+
+    "q_habit_cube" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .filter(col("habit").isin("click", "view"))
+        .cube(col("user_email"), col("habit"))
+        .agg(count(lit(1)).as("n_events"), r6(sum(col("value"))).as("total"))
+        .orderBy(col("user_email").asc_nulls_first,
+          col("habit").asc_nulls_first)),
+
     "q_habit_rollup" -> ((s, dir) =>
       Tables.eventsAsHabits(s, dir)
         .rollup(ntz(Habits.dayBucket(col("ts"))).as("day"), col("habit"))
@@ -539,6 +553,34 @@ object SparkEntry {
          SELECT user_id AS user_email, event_type AS habit,
                 max(run_len)::BIGINT AS longest_streak
          FROM runs GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT user_id AS user_email, event_type AS habit,
+                date_trunc('day', ts)::DATE AS day,
+                round(sum(value), 6) AS day_total
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3),
+         bounds AS (SELECT user_email, habit, min(day) AS d0, max(day) AS d1
+              FROM daily GROUP BY 1, 2),
+         spine AS (SELECT user_email, habit,
+                unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+              FROM bounds),
+         j AS (SELECT s.user_email, s.habit, s.day, d.day_total
+              FROM spine s LEFT JOIN daily d
+                ON s.user_email = d.user_email AND s.habit = d.habit
+                   AND s.day = d.day)
+         SELECT user_email, habit, day::TIMESTAMP AS day, day_total,
+                last_value(day_total IGNORE NULLS) OVER (
+                  PARTITION BY user_email, habit ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS filled_total
+         FROM j ORDER BY user_email, habit, day""",
+
+    "q_habit_cube" ->
+      """SELECT user_id AS user_email, event_type AS habit,
+                count(*) AS n_events, round(sum(value), 6) AS total
+         FROM events WHERE event_type IN ('click', 'view')
+         GROUP BY CUBE (user_id, event_type)
+         ORDER BY user_email NULLS FIRST, habit NULLS FIRST""",
 
     "q_habit_rollup" ->
       """SELECT date_trunc('day', ts) AS day, event_type AS habit,

@@ -90,6 +90,30 @@ object Habits {
       avg(col("day_total")).over(w).as("rolling_avg"))
   }
 
+  /** Calendar gap-fill + forward-fill: build the full day spine per
+    * (user, habit) between that pair's first and last active day, left
+    * join the actual daily totals, and carry the last observed value
+    * through the gaps (`last(..., ignoreNulls)` over an unbounded
+    * preceding frame). The spine explode is per-key bounded (≤ days in
+    * range); the fill rides the same (user, habit) shuffle as the join. */
+  def gapFillDaily(events: DataFrame, habit: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("habit") === habit)
+      .groupBy(col("user_email"), col("habit"),
+        to_date(dayBucket(col("ts"))).as("day"))
+      .agg(round(sum(col("value")), 6).as("day_total"))
+    val spine = daily.groupBy(col("user_email"), col("habit"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_email"), col("habit"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_email"), col("habit"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_email", "habit", "day"), "left")
+      .withColumn("filled_total",
+        last(col("day_total"), ignoreNulls = true).over(w))
+  }
+
   /** Longest consecutive-day streak of habit completion per (user,
     * habit) — the "streaks" analysis the reference README motivates but
     * never ships (`/root/reference/README.md:5`). Classic gaps-and-

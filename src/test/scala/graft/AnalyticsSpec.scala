@@ -54,6 +54,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.head.getAs[Timestamp]("ts") == ts("2025-08-21 17:00:00"))
   }
 
+  test("gapFillDaily builds the day spine and forward-fills gaps") {
+    import spark.implicits._
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), "u1", "purchase", 10.0),
+      // 1/2 and 1/3 missing -> spine rows with filled_total = 10.0
+      (ts("2024-01-04 10:00:00"), "u1", "purchase", 4.0))
+      .toDF("ts", "user_email", "habit", "value")
+    val out = Habits.gapFillDaily(ev, "purchase")
+      .orderBy($"day").collect()
+      .map(r => (r.getDate(2).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", Some(10.0), 10.0),
+      ("2024-01-02", None, 10.0),
+      ("2024-01-03", None, 10.0),
+      ("2024-01-04", Some(4.0), 4.0)))
+  }
+
   test("rollingDailyAvg applies a day-range frame, not a row frame") {
     import spark.implicits._
     val ev = Seq(
