@@ -165,6 +165,22 @@ object SparkEntry {
       both.union(clickOnly).orderBy(col("grp"), col("user_email"))
     }),
 
+    // As-of join: each click paired with the user's most recent
+    // prior-or-equal purchase. Oracle is DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+      graft.ext.AsOf.asofJoin(clicks, purchases, "user_email", "ts",
+          Seq("pvalue"))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
     // pivot — the inverse of the signature unpivot: long events back to
     // one wide row per (day, user) with a column per habit.
     "q_pivot_daily" -> ((s, dir) =>
@@ -600,6 +616,18 @@ object SparkEntry {
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
          ORDER BY grp, user_email""",
+
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id AS user_email, ts
+              FROM events WHERE event_type = 'click'),
+         purch AS (SELECT user_id AS user_email, ts,
+                round(max(value), 6) AS pvalue
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, c.ts, c.user_email,
+                p.ts AS asof_ts, p.pvalue AS asof_pvalue
+         FROM clicks c ASOF LEFT JOIN purch p
+           ON c.user_email = p.user_email AND c.ts >= p.ts
+         ORDER BY c.event_id""",
 
     "q_pivot_daily" ->
       """SELECT date_trunc('day', ts) AS day, user_id AS user_email,

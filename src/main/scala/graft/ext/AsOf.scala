@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the latest right row with
+  * `right.ts <= left.ts` on the same key. The canonical time-series
+  * operator Spark's built-ins lack (build-brief extension list; DuckDB
+  * ships it natively as `ASOF JOIN`, which is the oracle).
+  *
+  * Formulated as UNION + windowed carry-forward, not a range join:
+  * tag both inputs, union them, sort per key by (ts, tag) with right
+  * rows first at equal timestamps (≤ semantics), carry the last right
+  * payload with `last(..., ignoreNulls)`, keep left rows. ONE shuffle
+  * on the key, no per-row range scan, no candidate explosion — the
+  * formulation that survives 100 TB, unlike `left.ts >= right.ts`
+  * theta joins.
+  *
+  * Right rows must be unique per (key, ts) — pre-aggregate duplicates
+  * (the result would otherwise depend on intra-timestamp order). */
+object AsOf {
+
+  /** @param left       probe side
+    * @param right      reference side, unique per (key, ts)
+    * @param key        equi-join key column name (both sides)
+    * @param tsCol      event-time column name (both sides)
+    * @param rightCols  right payload columns to carry (renamed
+    *                   `asof_<name>` in the output) */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct((tsCol +: rightCols).map(col): _*)
+    val rpType = right.select(payload.as("_rp")).schema("_rp").dataType
+
+    val lNorm = left.select(col(key), col(tsCol), lit(1).as("_src"),
+      lit(null).cast(rpType).as("_rp"),
+      struct(leftCols.map(col): _*).as("_lrow"))
+    val lrowType = lNorm.schema("_lrow").dataType
+    val rNorm = right.select(col(key), col(tsCol), lit(0).as("_src"),
+      payload.as("_rp"), lit(null).cast(lrowType).as("_lrow"))
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = lNorm.unionByName(rNorm)
+      .withColumn("_asof", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_src") === 1)
+
+    val out = leftCols.map(c => col(s"_lrow.$c").as(c)) ++
+      (tsCol +: rightCols).map(c => col(s"_asof.$c").as(s"asof_$c"))
+    carried.select(out: _*)
+  }
+}

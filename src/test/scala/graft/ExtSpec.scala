@@ -191,6 +191,28 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(g == Set((1L, 2L), (3L, 1L))) // (min doc_id, n_copies)
   }
 
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val clicks = Seq(
+      (1L, "u1", t("2024-01-01 10:00:00")), // before any purchase -> null
+      (2L, "u1", t("2024-01-01 12:00:00")), // ties purchase at 12:00
+      (3L, "u1", t("2024-01-01 15:00:00")), // after both -> 14:00 one
+      (4L, "u2", t("2024-01-01 12:00:00"))) // other user -> null
+      .toDF("event_id", "user_email", "ts")
+    val purchases = Seq(
+      ("u1", t("2024-01-01 12:00:00"), 5.0),
+      ("u1", t("2024-01-01 14:00:00"), 9.0))
+      .toDF("user_email", "ts", "pvalue")
+    val out = graft.ext.AsOf.asofJoin(clicks, purchases, "user_email",
+        "ts", Seq("pvalue"))
+      .orderBy(col("event_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)))
+    assert(out.toSeq == Seq(1L -> None, 2L -> Some(5.0), 3L -> Some(9.0),
+      4L -> None))
+  }
+
   // ── Similarity ─────────────────────────────────────────────────────────
 
   test("planes are deterministic and match the md5 derivation") {
