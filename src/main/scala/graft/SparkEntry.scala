@@ -181,6 +181,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Range join: clicks falling inside 2-hour windows opened by each
+    // purchase, via the bucketized equi-join formulation.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val windows = ev.filter(col("habit") === "purchase")
+        .select(col("user_email"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+        .distinct()
+      graft.ext.RangeJoin.pointInInterval(clicks, windows, "user_email",
+          "ts", "w_start", "w_end", bucketSeconds = 3600L)
+        .select(col("event_id"), col("user_email"), ntz(col("ts")).as("ts"),
+          ntz(col("w_start")).as("w_start"))
+        .orderBy(col("event_id"), col("w_start"))
+    }),
+
     // pivot — the inverse of the signature unpivot: long events back to
     // one wide row per (day, user) with a column per habit.
     "q_pivot_daily" -> ((s, dir) =>
@@ -616,6 +633,18 @@ object SparkEntry {
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
          ORDER BY grp, user_email""",
+
+    "q_range_join" ->
+      """WITH clicks AS (SELECT event_id, user_id AS user_email, ts
+              FROM events WHERE event_type = 'click'),
+         wnd AS (SELECT DISTINCT user_id AS user_email, ts AS w_start,
+                ts + INTERVAL 2 HOUR AS w_end
+              FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_email, c.ts, w.w_start
+         FROM clicks c JOIN wnd w
+           ON c.user_email = w.user_email
+              AND c.ts >= w.w_start AND c.ts < w.w_end
+         ORDER BY c.event_id, w.w_start""",
 
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id AS user_email, ts

@@ -213,6 +213,31 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       4L -> None))
   }
 
+  test("pointInInterval matches the theta-join semantics incl. bucket edges") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val points = Seq(
+      (1L, "u1", t("2024-01-01 10:30:00")), // inside first window
+      (2L, "u1", t("2024-01-01 12:00:00")), // exactly at w_end -> excluded
+      (3L, "u1", t("2024-01-01 11:59:59")), // crosses a bucket boundary
+      (4L, "u2", t("2024-01-01 10:30:00"))) // other key -> no window
+      .toDF("event_id", "user_email", "ts")
+    val intervals = Seq(
+      ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 12:00:00")),
+      ("u1", t("2024-01-01 11:00:00"), t("2024-01-01 13:00:00")))
+      .toDF("user_email", "w_start", "w_end")
+    val got = graft.ext.RangeJoin.pointInInterval(points, intervals,
+        "user_email", "ts", "w_start", "w_end", bucketSeconds = 3600L)
+      .select(col("event_id"), col("w_start")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0"),
+      (2L, "2024-01-01 11:00:00.0"), // in the second window only
+      (3L, "2024-01-01 10:00:00.0"),
+      (3L, "2024-01-01 11:00:00.0")))
+  }
+
   // ── Similarity ─────────────────────────────────────────────────────────
 
   test("planes are deterministic and match the md5 derivation") {
