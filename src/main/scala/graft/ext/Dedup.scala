@@ -114,8 +114,8 @@ object Dedup {
     * candidate pairs, and intersect in-memory per pair. */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      TextAnalysis.shingleSet(col(textCol), n).as("ss"))
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .withColumnRenamed(idCol, "id")
     pairs
       .join(sets.withColumnRenamed("ss", "ss_a"), col("id_a") === col("id"))
       .drop("id")
