@@ -377,6 +377,14 @@ object SparkEntry {
             .as("kgram_min_fp"))
         .orderBy(col("doc_id"))),
 
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.read(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))),
+
     // ── Extension scope: dedup family (SURVEY §7.5) ────────────────────
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDupPairs(Tables.read(s, dir, "documents"),
@@ -800,6 +808,21 @@ object SparkEntry {
                 len(regexp_extract_all(text,
                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_re_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT t.doc_id, t.term,
+                round(t.tf * ln(n.n_docs::DOUBLE / d.df::DOUBLE), 6) AS tfidf
+              FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n),
+         r AS (SELECT doc_id, term, tfidf,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term)::BIGINT AS rank FROM scored)
+         SELECT doc_id, rank, term, tfidf FROM r
+         WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""",
 
     "q_fingerprint" ->
       """WITH fp AS (SELECT doc_id, text,

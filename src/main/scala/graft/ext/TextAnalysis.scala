@@ -104,6 +104,34 @@ object TextAnalysis {
 
   def regexTokenCount(text: Column): Column = size(regexTokens(text))
 
+  // ── Corpus statistics ──────────────────────────────────────────────────
+
+  /** Top-k terms per document by tf·idf (idf = ln(N/df)). Corpus size N
+    * rides along as a broadcast 1-row aggregate — no driver action, no
+    * collect. Shuffles: tf on (doc, term), df on term, the df join on
+    * term, top-k window on doc. Ranking uses the 6-dp-rounded score with
+    * term tiebreak so the cut is reproducible across engines. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") /
+          col("df").cast("double")), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ── Fingerprinting ─────────────────────────────────────────────────────
 
   val HashMod = 1000000007L
