@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * (`/root/reference/sql/001_schema.sql:20`); these operators generalize
   * the engine to document corpora (driver table `documents`).
   *
-  * Everything here is a pure `Column` expression built from
-  * `org.apache.spark.sql.functions` — codegen-friendly, no UDFs, fully
-  * pushdown/prune-transparent, and embarrassingly parallel at 100 TB
-  * (per-row work, no shuffle).
+  * Everything here except [[TextAnalysis.tfidfTopTerms]] is a pure
+  * `Column` expression built from `org.apache.spark.sql.functions` —
+  * codegen-friendly, no UDFs, fully pushdown/prune-transparent, and
+  * embarrassingly parallel at 100 TB (per-row work, no shuffle).
+  * tf-idf is the one corpus-level operator (aggregates + a join).
   */
 object TextAnalysis {
 
@@ -108,18 +109,21 @@ object TextAnalysis {
 
   /** Top-k terms per document by tf·idf (idf = ln(N/df)). Corpus size N
     * rides along as a broadcast 1-row aggregate — no driver action, no
-    * collect. Shuffles: tf on (doc, term), df on term, the df join on
-    * term, top-k window on doc. Ranking uses the 6-dp-rounded score with
-    * term tiebreak so the cut is reproducible across engines. */
+    * collect. Unlike the rest of this file this is a DataFrame-level
+    * corpus operator WITH shuffles: tf on (doc, term), df on term (hot
+    * stopword terms concentrate there — partial agg absorbs it), the df
+    * join, and the top-k window on doc. df is derived from the tf
+    * relation (one row per distinct (doc, term)), NOT from a second
+    * corpus scan. Ranking uses the 6-dp-rounded score with term tiebreak
+    * so the cut is reproducible across engines. */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col(idCol),
-      explode(tokens(col(textCol))).as("term"))
-    val tf = tok.groupBy(col(idCol), col("term"))
+    val tf = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("term"))
-      .agg(count_distinct(col(idCol)).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))

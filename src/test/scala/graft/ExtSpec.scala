@@ -191,6 +191,25 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(g == Set((1L, 2L), (3L, 1L))) // (min doc_id, n_copies)
   }
 
+  test("tfidfTopTerms: idf zero for ubiquitous terms; k may exceed terms") {
+    val d = docs(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma"))
+    val out = graft.ext.TextAnalysis.tfidfTopTerms(d, "doc_id", "text", 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+    val byDoc = out.groupBy(_._1)
+    // "common" is in every doc -> idf = ln(3/3) = 0
+    assert(out.filter(_._2 == "common").forall(_._3 == 0.0))
+    // doc 1 has only 2 distinct terms; k=5 must not pad
+    assert(byDoc(1L).size == 2)
+    // distinctive term outranks the ubiquitous one
+    val top1 = graft.ext.TextAnalysis.tfidfTopTerms(d, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
   test("asofJoin picks the latest right row at or before each left ts") {
     val s = spark
     import s.implicits._
