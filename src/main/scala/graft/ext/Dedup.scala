@@ -44,24 +44,30 @@ object Dedup {
     val sp = docs.sparkSession
     import sp.implicits._
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val toks = text.split(" ", -1)
-        val shingles: Array[String] =
-          if (toks.length >= n) {
-            val out = new Array[String](toks.length - n + 1)
-            var i = 0
-            while (i <= toks.length - n) {
-              val sb = new java.lang.StringBuilder(toks(i))
-              var j = 1
-              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-              out(i) = sb.toString
-              i += 1
-            }
-            out.distinct
-          } else Array(text)
-        (id, shingles)
-      }).toDF(idCol, "ss")
+      .as[(java.lang.Long, String)]
+      .flatMap { case (id, text) =>
+        // null id: no dedup identity — drop. null text: no shingles —
+        // the doc simply never matches (documented operator contract).
+        if (id == null) None
+        else if (text == null) Some((id.longValue, Array.empty[String]))
+        else {
+          val toks = text.split(" ", -1)
+          val shingles: Array[String] =
+            if (toks.length >= n) {
+              val out = new Array[String](toks.length - n + 1)
+              var i = 0
+              while (i <= toks.length - n) {
+                val sb = new java.lang.StringBuilder(toks(i))
+                var j = 1
+                while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+                out(i) = sb.toString
+                i += 1
+              }
+              out.distinct
+            } else Array(text)
+          Some((id.longValue, shingles))
+        }
+      }.toDF(idCol, "ss")
   }
 
   /** One row per (id, distinct word-n-gram shingle). The explode is the
@@ -71,26 +77,49 @@ object Dedup {
     shingleSets(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("ss")).as("shingle"))
 
-  /** k-permutation MinHash signature as `sig: array<string>`. Each
-    * "permutation" is the lexicographic min of a salted md5 over the
-    * doc's shingle set — deterministic, engine-independent, and computed
-    * in ONE hash-aggregate pass (k min-aggs, no salt explosion). */
-  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, n: Int = 3): DataFrame = {
+  /** k salted-md5 min-aggs over exploded (id, shingle) rows → one
+    * signature array per id, in ONE hash-aggregate pass (no salt
+    * explosion). Shared by [[minhashSignature]] and [[minhashDupPairs]]. */
+  private def signatureFromRows(rows: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val mins = (0 until k).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"_h$j"))
-    shingleRows(docs, idCol, textCol, n)
-      .groupBy(col(idCol))
+    rows.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
         array((0 until k).map(j => col(s"_h$j")): _*).as("sig"))
   }
+
+  /** Exact Jaccard from precomputed (id, ss) shingle-set relations for
+    * given (id_a, id_b) pairs. Shared by [[jaccardForPairs]] and
+    * [[minhashDupPairs]]. */
+  private def jaccardFromSets(pairs: DataFrame, sets: DataFrame): DataFrame =
+    pairs
+      .join(sets.withColumnRenamed("ss", "ss_a"), col("id_a") === col("id"))
+      .drop("id")
+      .join(sets.withColumnRenamed("ss", "ss_b"), col("id_b") === col("id"))
+      .drop("id")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b"))).cast("double"))
+          .as("jaccard"))
+
+  /** k-permutation MinHash signature as `sig: array<string>`. Each
+    * "permutation" is the lexicographic min of a salted md5 over the
+    * doc's shingle set — deterministic and engine-independent. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, n: Int = 3): DataFrame =
+    signatureFromRows(shingleRows(docs, idCol, textCol, n), idCol, k)
 
   /** LSH banding: split the k-signature into `bands` bands of
     * `k / bands` rows; band key = md5 of the band slice. Docs sharing
     * any (band, key) become candidate pairs. */
   def bandKeys(sig: DataFrame, idCol: String, k: Int = 16,
       bands: Int = 4): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands: an empty band slice " +
+        "would give every doc the same key (degenerate n^2 join) and a " +
+        "remainder would silently ignore signature tail elements")
     val r = k / bands
     sig.select(col(idCol), posexplode(
         array((0 until bands).map(b =>
@@ -113,19 +142,9 @@ object Dedup {
     * pairs. Collect each doc's shingle set once, join it to the (few)
     * candidate pairs, and intersect in-memory per pair. */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, n: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
-      .withColumnRenamed(idCol, "id")
-    pairs
-      .join(sets.withColumnRenamed("ss", "ss_a"), col("id_a") === col("id"))
-      .drop("id")
-      .join(sets.withColumnRenamed("ss", "ss_b"), col("id_b") === col("id"))
-      .drop("id")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
-          size(array_union(col("ss_a"), col("ss_b"))).cast("double"))
-          .as("jaccard"))
-  }
+      textCol: String, n: Int = 3): DataFrame =
+    jaccardFromSets(pairs,
+      shingleSets(docs, idCol, textCol, n).withColumnRenamed(idCol, "id"))
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified at `threshold`.
     * With k=16, bands=4 (r=4): P(candidate) ≈ 98.6% at J=0.9, ≈ 0.6% at
@@ -144,28 +163,14 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = sets.select(col(idCol), explode(col("ss")).as("shingle"))
-    val mins = (0 until k).map(j =>
-      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"_h$j"))
-    val sig = rows.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until k).map(j => col(s"_h$j")): _*).as("sig"))
+    val sig = signatureFromRows(rows, idCol, k)
     // the banding self-join references its input twice; persist the
-    // (small, 4-rows-per-doc) band relation so the signature aggregate
-    // runs once
+    // (small, bands-rows-per-doc) band relation so the signature
+    // aggregate runs once
     val banded = bandKeys(sig, idCol, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(banded, idCol)
-    val bySet = sets.withColumnRenamed(idCol, "id")
-    cand
-      .join(bySet.withColumnRenamed("ss", "ss_a"), col("id_a") === col("id"))
-      .drop("id")
-      .join(bySet.withColumnRenamed("ss", "ss_b"), col("id_b") === col("id"))
-      .drop("id")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
-          size(array_union(col("ss_a"), col("ss_b"))).cast("double"))
-          .as("jaccard"))
+    jaccardFromSets(cand, sets.withColumnRenamed(idCol, "id"))
       .filter(round(col("jaccard"), 6) >= threshold)
   }
 

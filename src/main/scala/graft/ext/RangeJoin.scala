@@ -26,11 +26,21 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
       tsCol: String, startCol: String, endCol: String,
       bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0)
     val p = points.withColumn("_bucket",
       floor(unix_timestamp(col(tsCol)) / bucketSeconds))
-    val i = intervals.withColumn("_bucket", explode(sequence(
-      floor(unix_timestamp(col(startCol)) / bucketSeconds),
-      floor(unix_timestamp(col(endCol)) / bucketSeconds))))
+    // Guard degenerate intervals BEFORE the bucket explode: an inverted
+    // interval would make sequence() count DOWNWARD (Spark's
+    // sequence(hi, lo) trap) and a null bound would sequence to null.
+    // A corrupt far-future end still bounds the fan-out at one row per
+    // spanned bucket — pick bucketSeconds ≈ the typical interval span
+    // and sanity-filter interval lengths upstream for hostile data.
+    val i = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn("_bucket", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / bucketSeconds),
+        floor(unix_timestamp(col(endCol)) / bucketSeconds))))
     p.join(i, Seq(key, "_bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bucket")

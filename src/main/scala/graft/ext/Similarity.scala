@@ -86,8 +86,11 @@ object Similarity {
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16,
       nProbes: Int = 4): DataFrame = {
+    // "first nCentroids by id" literally — filter(id < n) would silently
+    // yield zero centroids (and an empty result) for non-0-based ids
     val cents = Dedup.withNorm(
-      corpus.filter(col(idCol) < nCentroids), idCol, vecCol, "cent_id", "ce")
+      corpus.orderBy(col(idCol)).limit(nCentroids), idCol, vecCol,
+      "cent_id", "ce")
     def cosC = round(Dedup.dot(col("v"), col("ce")) /
       (col("v_nrm") * col("ce_nrm")), 6)
     val byCell = Window.partitionBy(col("id"))

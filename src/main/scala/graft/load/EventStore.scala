@@ -48,6 +48,10 @@ object EventStore {
     val merged = Merge.upsertEvents(scoped, batch, keys)
       .withColumn(DayCol, to_date(col("ts")))
       .localCheckpoint(true)
+      // rewritten partitions must keep the write()-time layout contract:
+      // one consolidated file per day, sorted for row-group skipping
+      .repartition(col(DayCol))
+      .sortWithinPartitions(col("user_email"), col("habit"), col("ts"))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode("overwrite").partitionBy(DayCol).parquet(path)

@@ -68,9 +68,17 @@ object Streaming {
     * processing (`flatMapGroupsWithState`) — the streaming analog of
     * [[graft.analytics.Habits.sessionize]]. Per user the state holds
     * (last event time, session counter); an event more than `gapMinutes`
-    * after the last one opens a new session. Event-time timeout closes
-    * idle state once the watermark passes the gap. Emits one row per
-    * event: (user_email, ts, session_id). */
+    * after the last one opens a new session. Emits one row per event:
+    * (user_email, ts, session_id).
+    *
+    * On event-time timeout the state collapses to a TOMBSTONE — last
+    * event time cleared, session counter kept — so post-idle sessions
+    * continue numbering where they left off instead of restarting at 1
+    * (which would collide with earlier session ids downstream). State is
+    * therefore O(distinct users), constant-size per user. Late
+    * out-of-order events never move the session clock backwards
+    * (`max(lastMs, t)`), so a straggler cannot spuriously split the
+    * following session. */
   def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
       gapMinutes: Int): DataFrame = {
     import events.sparkSession.implicits._
@@ -84,7 +92,10 @@ object Streaming {
         (user: String, it: Iterator[SessionEvent],
          state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            state.remove()
+            // keep the counter so numbering never restarts; clear the
+            // clock so the next event opens a fresh session
+            state.update(SessionState(Long.MinValue,
+              state.getOption.map(_.sessionId).getOrElse(0L)))
             Iterator.empty
           } else {
             var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
@@ -92,11 +103,12 @@ object Streaming {
               val t = e.ts.getTime
               if (s.lastMs == Long.MinValue || t - s.lastMs > gapMs)
                 s = SessionState(t, s.sessionId + 1)
-              else s = SessionState(t, s.sessionId)
+              else s = SessionState(math.max(s.lastMs, t), s.sessionId)
               SessionAssignment(user, e.ts, s.sessionId)
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            if (s.lastMs != Long.MinValue)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
             out.iterator
           }
       }.toDF()
@@ -105,9 +117,20 @@ object Streaming {
   /** Run [[habitDailyStream]] over the driver's `events` parquet as a
     * bounded stream (Trigger.AvailableNow → memory sink, complete mode)
     * and return the final table — lets the batch oracle check the
-    * streaming path. The nanos→micros read mirrors `Tables.events`. */
+    * streaming path. The nanos→micros read mirrors `Tables.events`.
+    *
+    * NB the streaming day bucket (`window(ts, '1 day')`) is epoch/UTC
+    * aligned while the batch `date_trunc` is session-tz aligned — they
+    * agree only under a UTC session timezone (all entry points pin it;
+    * asserted here so a misconfigured session fails loudly, not with a
+    * silently shifted bucket). */
   def habitDailyAvailableNow(spark: SparkSession, dir: String,
       sumHabit: String, queryName: String): DataFrame = {
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "habitDailyAvailableNow requires spark.sql.session.timeZone=UTC " +
+        "for window()/date_trunc day-bucket agreement")
+    val prevNanos =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -116,20 +139,36 @@ object Streaming {
     // The file stream source wants a DIRECTORY; the testdata table is a
     // single file. Stage a symlink in a temp dir (no data copy).
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withColumnRenamed("user_id", "user_email")
-      .withColumnRenamed("event_type", "habit")
-    val q = habitDailyStream(stream, watermark = "60 days", sumHabit)
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    // AvailableNow terminates on its own; the bound is a guard so a hung
-    // stream degrades to one failed query instead of a stuck Verify run.
-    if (!q.awaitTermination(300000L)) q.stop()
-    spark.table(queryName)
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        staged.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = spark.readStream.schema(schema)
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumnRenamed("user_id", "user_email")
+        .withColumnRenamed("event_type", "habit")
+      val q = habitDailyStream(stream, watermark = "60 days", sumHabit)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      // AvailableNow terminates on its own; the bound is a guard so a
+      // hung stream fails THIS query loudly instead of wedging the whole
+      // Verify run or returning a silently partial table.
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new RuntimeException(
+          s"stream $queryName did not terminate within 300s")
+      }
+      spark.table(queryName)
+    } finally {
+      prevNanos match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(staged)
+    }
   }
 }

@@ -117,6 +117,30 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(typed == expr)
   }
 
+  test("shingleSets survives null text and null ids") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((Some(1L), Option("a b c d")), (Some(2L), None),
+      (None, Option("x y z w")))
+      .toDF("doc_id", "text")
+    val out = Dedup.shingleSets(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).size).toMap
+    assert(out == Map(1L -> 2, 2L -> 0)) // null id dropped, null text empty
+    // and the dedup entry points don't blow up on such rows
+    assert(Dedup.minhashDupPairs(d, "doc_id", "text", 0.5).count() == 0L)
+  }
+
+  test("knnIvf centroids come from orderBy/limit, not a 0-based id filter") {
+    val s = spark
+    import s.implicits._
+    val e = (1000 until 1012).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.knnIvf(e, e.filter(col("vec_id") < 1002),
+      "vec_id", "embedding", k = 2, nCentroids = 4, nProbes = 4)
+    assert(out.count() > 0) // id-offset corpus must not yield empty cells
+  }
+
   test("minhashDupPairs finds the engineered near-dup and nothing else") {
     val pairs = Dedup.minhashDupPairs(nearDupDocs, "doc_id", "text", 0.5)
       .select(col("id_a"), col("id_b")).collect()
