@@ -65,22 +65,27 @@ object Multimodal {
     * "frames" (frame i covers bytes (i·len/n, (i+1)·len/n]) and emit
     * per-frame length + md5 — the shape of a video frame-sampler, as
     * pure expressions (no UDF). */
-  def frames(media: DataFrame, n: Int): DataFrame =
+  def frames(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, "frame count must be positive")
     media
-      .withColumn("_len", octet_length(col("payload")))
+      // long BEFORE the multiply: frame_idx * len in int32 overflows at
+      // ~2 GiB/n payloads (ANSI crash, or negative offsets with ANSI off)
+      .withColumn("_len", octet_length(col("payload")).cast("long"))
       .select(col("media_id"), col("_len"),
         explode(sequence(lit(0), lit(n - 1))).as("frame_idx"))
       .withColumn("_start", (col("frame_idx") * col("_len") / n).cast("long") + 1)
       .withColumn("_end", ((col("frame_idx") + 1) * col("_len") / n).cast("long"))
       .withColumn("frame_len", (col("_end") - col("_start") + 1).cast("long"))
       .select(col("media_id"), col("frame_idx"), col("frame_len"))
+  }
 
   /** Frame-sample carrying the sliced bytes and their digest (kept
     * separate from [[frames]] so metadata-only consumers never touch
     * payload bytes). */
-  def framesWithBytes(media: DataFrame, n: Int): DataFrame =
+  def framesWithBytes(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, "frame count must be positive")
     media
-      .withColumn("_len", octet_length(col("payload")))
+      .withColumn("_len", octet_length(col("payload")).cast("long"))
       .select(col("media_id"), col("payload"), col("_len"),
         explode(sequence(lit(0), lit(n - 1))).as("frame_idx"))
       .withColumn("_start", (col("frame_idx") * col("_len") / n).cast("long") + 1)
@@ -90,19 +95,30 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         octet_length(col("frame")).cast("long").as("frame_len"),
         md5(col("frame")).as("frame_md5"))
+  }
 
-  /** "Resize" stub for fixed-rate media: keep every `stride`-th byte —
-    * the downsampling access pattern (gather over the payload) without a
-    * codec. Deterministic, expression-only. */
-  def downsample(media: DataFrame, stride: Int): DataFrame =
-    media.withColumn("payload_small",
-      expr(s"filter(transform(sequence(1, octet_length(payload)), " +
-        s"i -> IF(i % $stride = 1, substring(payload, i, 1), null)), " +
-        "x -> x is not null)"))
-      .withColumn("payload_small",
-        expr("aggregate(payload_small, cast('' as binary), (a, x) -> concat(a, x))"))
-      .select(col("media_id"), col("kind"),
-        octet_length(col("payload")).cast("long").as("n_bytes"),
+  /** "Resize" stub for fixed-rate media: keep bytes 0, stride, 2*stride,
+    * ... — the downsampling access pattern without a codec. A typed
+    * partition-local kernel: the per-byte expression form (array of
+    * single-byte slices + incremental concat) copies the accumulator per
+    * step — O(bytes^2 / stride) movement per row, unusable at media
+    * sizes. */
+  def downsample(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id").cast("long"), col("kind"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, payload) =>
+        val small = new Array[Byte]((payload.length + stride - 1) / stride)
+        var i = 0
+        while (i < small.length) { small(i) = payload(i * stride); i += 1 }
+        (id, kind, payload.length.toLong, small)
+      })
+      .toDF("media_id", "kind", "n_bytes", "payload_small")
+      .select(col("media_id"), col("kind"), col("n_bytes"),
         octet_length(col("payload_small")).cast("long").as("n_bytes_small"),
         md5(col("payload_small")).as("small_md5"))
+  }
 }

@@ -24,6 +24,13 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would null-extend the UNMATCHED replicated
+    // copies of a small row (up to `salts` phantom rows per key) — not
+    // result-identical to the unsalted join, so reject them.
+    require(Set("inner", "cross", "left", "leftouter", "left_outer",
+        "leftsemi", "left_semi", "leftanti", "left_anti")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti join types, got $joinType")
     val salted = large.withColumn("_salt",
       pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val replicated = small.withColumn("_salt",

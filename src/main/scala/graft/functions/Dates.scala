@@ -38,8 +38,31 @@ import org.apache.spark.sql.functions._
   */
 object Dates {
 
+  /** Python-`str.strip()` parity trim: Unicode whitespace at both ends
+    * (tabs, newlines, NBSP, ...), not just ASCII space like Spark's
+    * `trim`. Multiline/padded Sheets cells otherwise flip bool values
+    * ('yes\n' not in the truthy set) and drop parseable dates. */
+  def pyTrim(c: Column): Column =
+    regexp_replace(c, "^[\\p{IsWhite_Space}]+|[\\p{IsWhite_Space}]+$", "")
+
   private val SerialRe = "^-?\\d+(\\.\\d+)?$"
-  private val OffsetRe = "(Z|z|[+-]\\d{2}:?\\d{2})$"
+
+  /** Zone designators Spark's ISO parser honors: 'Z', numeric offsets
+    * with or without minutes/colon ('+05', '+0500', '+05:00'), named
+    * zones ('UTC', 'GMT'), and region ids ('America/Chicago'). If one is
+    * present the parsed instant must NOT be re-interpreted in the local
+    * tz — doing so would apply the offset twice. */
+  private val OffsetRe =
+    "(Z|z|[+-]\\d{2}(:?\\d{2})?|UTC|GMT|[A-Za-z_]+/[A-Za-z_]+)\\s*$"
+
+  /** Google/Excel serial bounds: 9999-12-31 is serial 2958465; anything
+    * outside [-693593, 2958465] (year 1..9999) is junk digits (phone
+    * numbers, ids) — without this guard a 10-digit cell doesn't fall
+    * through to the other branches, it ABORTS the whole job with a
+    * DATETIME_OVERFLOW under Spark 4's default ANSI mode (violating the
+    * null-not-crash contract below). */
+  private val SerialMin = -693593.0
+  private val SerialMax = 2958465.0
 
   /** Interpret `wall` (a timestamp holding LOCAL wall-clock fields) in
     * `tz` and return the UTC instant. */
@@ -54,13 +77,14 @@ object Dates {
     * timedelta is wall-clock arithmetic; `astimezone` resolves afterward).
     * Python `round` is banker's rounding — `bround` matches. */
   private def serialBranch(s: Column, tz: String): Column = {
-    val num = s.cast("double")
+    val num = s.try_cast("double")
     val whole = num.cast("long") // trunc-toward-zero, same as Python int()
     val secs = bround((num - whole) * lit(86400.0), 0).cast("long")
     val base = to_timestamp(lit("1899-12-30 00:00:00"))
     val wall = timestamp_add("SECOND", secs, timestamp_add("DAY", whole, base))
     val anchored = when(secs === 0L, noon(wall)).otherwise(wall)
-    when(s.rlike(SerialRe), wallToUtc(anchored, tz))
+    when(s.rlike(SerialRe) &&
+      num.between(lit(SerialMin), lit(SerialMax)), wallToUtc(anchored, tz))
   }
 
   private def dateOnly(s: Column, fmt: String, tz: String): Column =
@@ -79,7 +103,7 @@ object Dates {
   /** The reference-parity parser. `s` may be any string cell (serials
     * arrive as digit strings from CSV where Python saw numerics). */
   def parseReportDate(s: Column, tz: String): Column = {
-    val t = trim(s)
+    val t = pyTrim(s)
     coalesce(
       serialBranch(t, tz),
       dateOnly(t, "M/d/yyyy", tz),

@@ -9,16 +9,16 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's polynomial rolling hash
-  * (base 31, mod 1e9+7 over UTF-16 code units) — the codegen'd form of
+  * (base 31, mod 1e9+7 over Unicode code points) — the codegen'd form of
   * `TextAnalysis.polyFingerprint`'s `aggregate(split(text,''), ...)`
   * chain, which pays interpreted-lambda dispatch per character.
   *
   * Semantics contract (must stay equal to the expression form and the
-  * DuckDB oracle): fold left over the string's UTF-16 code units with
-  * `acc = (acc * 31 + unit) % 1_000_000_007`, empty string → 0, null →
-  * null. `split(text, '')` yields one code unit per element and `ascii`
-  * returns its numeric value, so unit-wise iteration matches exactly
-  * (byte-wise would diverge on non-ASCII).
+  * DuckDB oracle): fold left over the string's Unicode CODE POINTS with
+  * `acc = (acc * 31 + codepoint) % 1_000_000_007`, empty string → 0,
+  * null → null. Code points, not UTF-16 units: `split(text, '')` never
+  * splits a surrogate pair and Spark's `ascii` returns `codePointAt`,
+  * so unit-wise iteration would diverge on non-BMP text (emoji).
   *
   * This is extension ladder rung (b) from the build brief: a scalar
   * `Expression` with `doGenCode`, registered via
@@ -43,12 +43,16 @@ case class PolyHash(child: Expression)
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("phStr")
       val i = ctx.freshName("phIdx")
+      val cp = ctx.freshName("phCp")
       val acc = ctx.freshName("phAcc")
       s"""
          |String $s = $c.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * 31L + (long) $s.charAt($i)) % 1000000007L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + (long) $cp) % 1000000007L;
+         |  $i += Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -65,8 +69,9 @@ object PolyHash {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31L + s.charAt(i).toLong) % Mod
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp.toLong) % Mod
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -80,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getCanonicalName, "graft_polyhash"),
-      (children: Seq[Expression]) => PolyHash(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_polyhash takes exactly 1 argument, got ${children.size}")
+        PolyHash(children.head)
+      }))
   }
 }

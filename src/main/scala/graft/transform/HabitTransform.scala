@@ -35,14 +35,15 @@ object HabitTransform {
   /** Bool coercion + optional invert
     * (`/root/reference/etl/transform.py:96-99`). */
   def boolValue(raw: Column, invert: Boolean): Column = {
-    val v = when(lower(trim(raw)).isin(EtlConfig.Truthy: _*), 1.0).otherwise(0.0)
+    val v = when(lower(Dates.pyTrim(raw)).isin(EtlConfig.Truthy: _*), 1.0)
+      .otherwise(0.0)
     if (invert) lit(1.0) - v else v
   }
 
   /** Number coercion: unparseable -> NULL (caller filters), mirroring the
     * reference's `except ValueError: continue`
     * (`/root/reference/etl/transform.py:100-104`). */
-  def numberValue(raw: Column): Column = try_cast_double(trim(raw))
+  def numberValue(raw: Column): Column = try_cast_double(Dates.pyTrim(raw))
 
   private def try_cast_double(c: Column): Column = c.try_cast("double")
 
@@ -61,7 +62,7 @@ object HabitTransform {
     val withRow = gated
       .withColumn("ts", Dates.parseReportDate(dateC, cfg.timezone))
       .filter(col("ts").isNotNull) // deviation: bad date drops row, not run
-      .withColumn("user_email", lower(trim(emailC)))
+      .withColumn("user_email", lower(Dates.pyTrim(emailC)))
       .withColumn("notes", notesColumn(cfg))
 
     // Built-in unpivot: one row x N configured habit columns -> N rows.
@@ -73,7 +74,8 @@ object HabitTransform {
 
     // Blank-cell filter (/root/reference/etl/transform.py:93-94): Python
     // skips None or strip()=="".
-    val nonBlank = long.filter(col("raw").isNotNull && trim(col("raw")) =!= "")
+    val nonBlank = long.filter(col("raw").isNotNull &&
+      Dates.pyTrim(col("raw")) =!= "")
 
     // sheet_col -> (habit id, coerced value) via a chained CASE over the
     // (tiny, config-sized) habit mapping — stays inside codegen; no join.

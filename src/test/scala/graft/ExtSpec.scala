@@ -71,7 +71,7 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
 
   test("native PolyHash expression equals the builtin-expression form") {
     val d = docs((1L, "abc"), (2L, ""), (3L, "the quick brown fox 42!"),
-      (4L, "héllo wörld"))
+      (4L, "héllo wörld"), (5L, "emoji 😀 tail")) // non-BMP
     val out = d.select(
         TextAnalysis.polyFingerprint(col("text")).as("a"),
         TextAnalysis.polyFingerprintNative(col("text")).as("b"),
