@@ -15,7 +15,11 @@ object Tables {
     * `div 1000` is lossless and matches DuckDB's ns->µs read exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NB session-level side effect, intentionally NOT restored: the
+    // returned DataFrame is lazy and the flag must still hold when it
+    // executes. Verify/Bench/test sessions also pin it at construction;
+    // ad-hoc sessions get it set here on first use (any later genuine
+    // TIMESTAMP(NANOS) read in the same session then surfaces as long).
     read(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

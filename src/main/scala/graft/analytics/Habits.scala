@@ -150,10 +150,13 @@ object Habits {
       gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
-    val gapSec = lit(gapMinutes * 60L)
+    // microsecond precision: unix_timestamp() truncates to seconds, so a
+    // true gap in (gap, gap+1s) could compare as exactly == gap and
+    // merge two sessions a full-precision engine would split
+    val gapMicros = lit(gapMinutes * 60L * 1000000L)
     val prev = lag(col(tsCol), 1).over(byUser)
     val isNew = when(prev.isNull ||
-      unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSec, 1).otherwise(0)
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapMicros, 1).otherwise(0)
     events
       .withColumn("_new_session", isNew)
       .withColumn("session_id",
