@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * paired `oracleSql` is the same computation in DuckDB SQL. Conventions
   * for hash-stable compares:
   *   - every query ends in a deterministic total ORDER BY;
-  *   - aggregated doubles are rounded to 6 places on both sides;
+  *   - aggregated doubles are rounded on both sides: 6 dp for small
+  *     magnitudes, 2 dp for sums that can reach ~1e9 (engine summation
+  *     order disagrees beyond ~15 significant digits, so 6 dp there
+  *     flips at larger scale factors), 4 dp for cosine similarities;
+  *   - counts/ranks/sizes are cast to BIGINT (DuckDB's int64 defaults);
   *   - timestamps are emitted as timestamp_ntz (UTC wall time), matching
   *     DuckDB's naive TIMESTAMP read of the same parquet.
   */
@@ -131,6 +135,16 @@ object SparkEntry {
           (abs(col("_approx") - col("exact_n")).cast("double") /
             col("exact_n").cast("double") <= 0.05).as("approx_ok"))
         .orderBy(col("habit"))),
+
+    // Reproducible 80/10/10 dataset split by content-independent hash of
+    // the doc id — same assignment on any engine, any partitioning.
+    "q_sample_split" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))),
 
     "q_streaks" -> ((s, dir) =>
       Habits.streaks(Tables.eventsAsHabits(s, dir))
@@ -592,6 +606,18 @@ object SparkEntry {
                 count(DISTINCT user_id)::BIGINT AS exact_n,
                 true AS approx_ok
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_sample_split" ->
+      """WITH b AS (SELECT lang, n_chars,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                  % 100 AS bucket
+              FROM documents)
+         SELECT lang,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type,

@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling and dataset splitting —
+  * the reproducible train/val/test assignment a training-data pipeline
+  * needs: the same row gets the same split on every run, on every
+  * engine, regardless of partitioning (unlike `rand()`-based
+  * `randomSplit`, which is seed- and partitioning-dependent).
+  *
+  * The bucket is the top-60-bit md5 of the key modulo `buckets` — the
+  * same portable hash used across this codebase (reproducible in DuckDB
+  * as `('0x' || substr(md5(k), 1, 15))::UBIGINT % buckets`).
+  *
+  * Scale notes: pure per-row expression work, no shuffle; a split is a
+  * pushdown-friendly filter, so reading one split scans row groups the
+  * predicate can skip.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the string form of `key`. */
+  def hashBucket(key: Column, buckets: Int = 100): Column = {
+    require(buckets > 0)
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+  }
+
+  /** Split label from cumulative percentage cut points, e.g.
+    * `Seq("train" -> 80, "val" -> 90)` + default "test" ⇒ 80/10/10. */
+  def splitLabel(key: Column, cuts: Seq[(String, Int)],
+      lastLabel: String): Column = {
+    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.last._2 <= 100, "cuts must be ascending percentages <= 100")
+    val b = hashBucket(key, 100)
+    cuts.foldRight(lit(lastLabel): Column) { case ((label, cut), rest) =>
+      when(b < cut, lit(label)).otherwise(rest)
+    }
+  }
+
+  /** Deterministic `pct`% sample: keep rows whose bucket falls below the
+    * cut. Complementary cuts partition exactly (no overlap, no gaps). */
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100)
+    df.filter(hashBucket(key, 100) < pct)
+  }
+}

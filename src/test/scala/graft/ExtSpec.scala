@@ -234,6 +234,29 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(top1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
   }
 
+  test("hash split partitions exactly, deterministically, roughly by pct") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 1000L).toDF("id")
+      .withColumn("split", graft.ext.Sampling.splitLabel(col("id"),
+        Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+    val counts = d.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L) // exact partition: no gaps/overlap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 150)
+    // determinism: re-evaluation yields the identical assignment
+    val again = (0L until 1000L).toDF("id")
+      .withColumn("split", graft.ext.Sampling.splitLabel(col("id"),
+        Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+    assert(d.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+    // complementary sample cuts partition too
+    val n10 = graft.ext.Sampling.hashSample(d, col("id"), 10).count()
+    val n90rest = d.filter(graft.ext.Sampling.hashBucket(col("id")) >= 10)
+      .count()
+    assert(n10 + n90rest == 1000L)
+  }
+
   test("asofJoin picks the latest right row at or before each left ts") {
     val s = spark
     import s.implicits._
