@@ -79,6 +79,29 @@ class DatesSpec extends AnyFunSuite with SparkTestSession {
   test("garbage parses to null") { assert(parse("not a date") == null) }
   test("whitespace-only parses to null") { assert(parse("   ") == null) }
 
+  // -- review regression pins ---------------------------------------------
+
+  test("ISO with hour-only offset is not double-shifted") {
+    assert(parse("2025-06-01T12:00:00+05") == "2025-06-01T07:00:00Z")
+  }
+
+  test("ISO with full offset, no colon") {
+    assert(parse("2025-06-01T12:00:00+0500") == "2025-06-01T07:00:00Z")
+  }
+
+  test("junk all-digit cells (phone numbers, long ids) yield null, not a crash") {
+    assert(parse("5551234567") == null)          // DATETIME_OVERFLOW trap
+    assert(parse("99999999999999999999") == null) // CAST_OVERFLOW trap
+  }
+
+  test("serial at the valid bound still parses") {
+    assert(parse("2958465") != null) // 9999-12-31
+  }
+
+  test("dates padded with tabs/newlines parse (Python strip parity)") {
+    assert(parse("\t8/22/2025\n") == "2025-08-22T17:00:00Z")
+  }
+
   test("leading/trailing whitespace is trimmed") {
     assert(parse("  8/22/2025  ") == "2025-08-22T17:00:00Z")
   }

@@ -84,9 +84,11 @@ class TransformSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("bool truthy set is case/space-insensitive; everything else is 0.0") {
+    // "yes\n" / tabbed cells: Python str.strip() strips ALL whitespace —
+    // a multiline Sheets cell must not silently flip to 0.0
     for ((raw, expect) <- Seq("Yes" -> 1.0, "no" -> 0.0, "TRUE" -> 1.0,
         "1" -> 1.0, " on " -> 1.0, "t" -> 1.0, "Y" -> 1.0, "nope" -> 0.0,
-        "0" -> 0.0, "false" -> 0.0)) {
+        "0" -> 0.0, "false" -> 0.0, "yes\n" -> 1.0, "\ttrue\t" -> 1.0)) {
       val ev = HabitTransform.toEvents(
         wide(Seq("08/20/2025", "a@b.com", raw, "<null>", "<null>", "")), cfg)
         .collect()
