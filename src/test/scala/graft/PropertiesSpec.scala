@@ -105,6 +105,67 @@ object PropertiesSpec extends Properties("graft") {
         twice.select(k.map(col): _*).collect().map(_.toSeq).toSet
     }
 
+  property("asofJoin == per-left-row max(right.ts <= left.ts) reference") =
+    forAll(
+      Gen.listOfN(8, for {
+        u <- Gen.oneOf("u1", "u2"); s <- Gen.choose(0, 50)
+      } yield (u, s)),
+      Gen.listOfN(6, for {
+        u <- Gen.oneOf("u1", "u2"); s <- Gen.choose(0, 50)
+      } yield (u, s))) { (ls, rsRaw) =>
+      val s = spark
+      import s.implicits._
+      def t(sec: Int) =
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d")
+      val rs = rsRaw.distinct // right unique per (key, ts) by contract
+      val left = ls.zipWithIndex
+        .map { case ((u, sec), i) => (i.toLong, u, t(sec)) }
+        .toDF("event_id", "user_email", "ts")
+      val right = rs.map { case (u, sec) => (u, t(sec), sec.toDouble) }
+        .toDF("user_email", "ts", "pvalue")
+      val got = graft.ext.AsOf.asofJoin(left, right, "user_email", "ts",
+          Seq("pvalue")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+      // naive reference: scan the right list per left row
+      ls.zipWithIndex.forall { case ((u, sec), i) =>
+        val cands = rs.filter { case (ru, rsec) => ru == u && rsec <= sec }
+        val expect =
+          if (cands.isEmpty) None
+          else Some(cands.maxBy(_._2)._2.toDouble)
+        got(i.toLong) == expect
+      }
+    }
+
+  property("pointInInterval == naive theta join, any bucket width") =
+    forAll(
+      Gen.listOfN(8, for {
+        u <- Gen.oneOf("a", "b"); s <- Gen.choose(0, 3000)
+      } yield (u, s)),
+      Gen.listOfN(5, for {
+        u <- Gen.oneOf("a", "b"); s <- Gen.choose(0, 3000)
+        w <- Gen.choose(0, 1200)
+      } yield (u, s, s + w)),
+      Gen.oneOf(60L, 600L, 3600L)) { (ps, is, width) =>
+      val s = spark
+      import s.implicits._
+      def t(sec: Int) = java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${10 + sec / 3600}%02d:${(sec / 60) % 60}%02d:${sec % 60}%02d")
+      val points = ps.zipWithIndex
+        .map { case ((u, sec), i) => (i.toLong, u, t(sec)) }
+        .toDF("event_id", "k", "ts")
+      val intervals = is.map { case (u, s0, s1) => (u, t(s0), t(s1)) }
+        .toDF("k", "w_start", "w_end")
+      val got = graft.ext.RangeJoin.pointInInterval(points, intervals,
+          "k", "ts", "w_start", "w_end", width)
+        .select(col("event_id"), col("w_start")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      val expect = (for {
+        ((u, sec), i) <- ps.zipWithIndex
+        (iu, s0, s1) <- is if iu == u && sec >= s0 && sec < s1
+      } yield (i.toLong, t(s0))).toSet
+      got == expect
+    }
+
   property("qualityScore stays within [0, 100]") =
     forAll(Gen.listOfN(8, Gen.asciiPrintableStr.suchThat(_.nonEmpty))) { ts =>
       val s = spark
