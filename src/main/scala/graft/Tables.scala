@@ -20,6 +20,7 @@ object Tables {
     // executes. Verify/Bench/test sessions also pin it at construction;
     // ad-hoc sessions get it set here on first use (any later genuine
     // TIMESTAMP(NANOS) read in the same session then surfaces as long).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
