@@ -123,6 +123,17 @@ object SparkEntry {
           r6(col("rolling_avg")).as("rolling_avg"))
         .orderBy(col("habit"), col("day"))),
 
+    // Exact interpolated percentiles — both engines implement the
+    // classic linear-interpolation quantile, so values match bit-level.
+    "q_percentiles" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(col("habit"))
+        .agg(
+          r6(expr("percentile(value, 0.5)")).as("p50"),
+          r6(expr("percentile(value, 0.9)")).as("p90"),
+          r6(expr("percentile(value, 0.99)")).as("p99"))
+        .orderBy(col("habit"))),
+
     "q_approx_distinct" -> ((s, dir) =>
       Tables.eventsAsHabits(s, dir)
         .groupBy(col("habit"))
@@ -600,6 +611,13 @@ object SparkEntry {
                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
                   AS rolling_avg
          FROM daily ORDER BY habit, day""",
+
+    "q_percentiles" ->
+      """SELECT event_type AS habit,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90,
+                round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_approx_distinct" ->
       """SELECT event_type AS habit,
