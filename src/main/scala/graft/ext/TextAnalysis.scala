@@ -163,10 +163,9 @@ object TextAnalysis {
         i => polyFingerprint(text.substr(i, lit(k))))))
       .otherwise(polyFingerprint(text))
 
-  /** [[minKgramFingerprint]] using the native hash for each window. */
+  /** [[minKgramFingerprint]] as ONE native single-pass expression
+    * (`graft.plans.MinKgramHash`) — no per-window interpreted lambda,
+    * no substring materialization. Same values. */
   def minKgramFingerprintNative(text: Column, k: Int = 8): Column =
-    when(length(text) >= k,
-      array_min(transform(sequence(lit(1), length(text) - (k - 1)),
-        i => polyFingerprintNative(text.substr(i, lit(k))))))
-      .otherwise(polyFingerprintNative(text))
+    call_function("graft_minkgram", text, lit(k))
 }

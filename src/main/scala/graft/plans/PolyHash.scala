@@ -77,6 +77,58 @@ object PolyHash {
   }
 }
 
+/** Winnowing-style fingerprint as ONE native pass: the minimum
+  * [[PolyHash]] over every `k`-code-point window of the string. The
+  * expression-tree form (`transform(sequence(...), i => hash(substr))`)
+  * pays an interpreted lambda per window; this emits a tight nested
+  * loop in codegen. Contract matches
+  * `TextAnalysis.minKgramFingerprint`: windows over CODE POINTS,
+  * whole-string hash when the text is shorter than `k`. */
+case class MinKgramHash(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, "window size must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_minkgram requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_minkgram"
+
+  override def nullSafeEval(input: Any): Any =
+    MinKgramHash.minHash(input.asInstanceOf[UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.MinKgramHash.minHash($c.toString(), $k);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinKgramHash = copy(child = newChild)
+}
+
+object MinKgramHash {
+  /** Shared by interpreted eval and codegen (called directly from the
+    * generated code — no reflection, one static-dispatch call per row). */
+  def minHash(s: String, k: Int): Long = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return PolyHash.hash(s)
+    var best = Long.MaxValue
+    var i = 0
+    while (i <= cps.length - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        acc = (acc * 31L + cps(i + j).toLong) % PolyHash.Mod
+        j += 1
+      }
+      if (acc < best) best = acc
+      i += 1
+    }
+    best
+  }
+}
+
 /** Session extension registering the engine's native functions.
   * Activate with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
@@ -89,6 +141,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"graft_polyhash takes exactly 1 argument, got ${children.size}")
         PolyHash(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minkgram"),
+      new ExpressionInfo(classOf[MinKgramHash].getCanonicalName,
+        "graft_minkgram"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_minkgram takes (text, k), got ${children.size} arguments")
+        val k = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_minkgram window size must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_minkgram window size must be a literal")
+        }
+        MinKgramHash(children.head, k)
       }))
   }
 }
