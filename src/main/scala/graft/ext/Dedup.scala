@@ -308,25 +308,44 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sp = embs.sparkSession
     import sp.implicits._
-    val e = withNorm(embs, idCol, vecCol, "id", "v")
-    // The n-squared pair loop is a pure numeric kernel; interpreted
-    // higher-order-function dots cost ~10 us/pair, so drop to a typed
-    // partition-local while-loop over primitive arrays (still fully
-    // distributed: the pair set comes from the join above). Left-to-right
-    // summation and java.math.BigDecimal HALF_UP rounding reproduce
+    val e = embs.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    // The n² pair loop is a pure numeric kernel. A self-join would
+    // materialize + decode both vectors PER PAIR (~2 GB of tuple traffic
+    // for 2M pairs); instead broadcast the whole normalized matrix once
+    // — bounded by the same constraint brute force already imposes (an
+    // n² scan means the corpus is broadcast-sized; LSH buckets / IVF
+    // cells are the scale paths) — and stream the corpus against it.
+    // Left-to-right summation and BigDecimal HALF_UP rounding reproduce
     // `round(aggregate(zip_with(...)), 4)` bit for bit.
-    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id"), col("b.id"), col("a.v"), col("b.v"),
-        col("a.v_nrm"), col("b.v_nrm"))
-      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
-      .mapPartitions(_.flatMap { case (ia, ib, va, vb, na, nb) =>
-        var s = 0.0
+    require(e.count() <= 200000L,
+      "brute-force pair scan is the small-corpus baseline; block with " +
+        "Similarity.lshBucket or knnIvf cells at scale")
+    val mat = e.collect().map { case (id, v) =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (id, v, math.sqrt(s))
+    }.sortBy(_._1)
+    val bc = sp.sparkContext.broadcast(mat)
+    e.mapPartitions { it =>
+      val m = bc.value
+      it.flatMap { case (ia, va) =>
+        var sn = 0.0
         var i = 0
-        while (i < va.length) { s += va(i) * vb(i); i += 1 }
-        val r = java.math.BigDecimal.valueOf(s / (na * nb))
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (r >= threshold) Iterator.single((ia, ib, r)) else Iterator.empty
-      })
-      .toDF("id_a", "id_b", "cos_sim")
+        while (i < va.length) { sn += va(i) * va(i); i += 1 }
+        val na = math.sqrt(sn)
+        m.iterator.filter(_._1 > ia).flatMap { case (ib, vb, nb) =>
+          var s = 0.0
+          var j = 0
+          while (j < va.length) { s += va(j) * vb(j); j += 1 }
+          val r = java.math.BigDecimal.valueOf(s / (na * nb))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (r >= threshold) Iterator.single((ia, ib, r))
+          else Iterator.empty
+        }
+      }
+    }.toDF("id_a", "id_b", "cos_sim")
   }
 }
