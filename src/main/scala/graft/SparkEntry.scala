@@ -562,7 +562,7 @@ object SparkEntry {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
          )
-         SELECT user_id AS user_email, sum(new_s) AS n_sessions,
+         SELECT user_id AS user_email, sum(new_s)::BIGINT AS n_sessions,
                 count(*) AS n_events
          FROM g GROUP BY 1 ORDER BY 1""",
 

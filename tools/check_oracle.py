@@ -46,15 +46,26 @@ for qname in sorted(oracle):
         print(f"FAIL {qname}: rows {len(sdf)} vs {len(ddf)}")
         fails += 1
         continue
-    # normalize dtypes for compare (e.g. int32 vs int64)
+    # The driver hashes stringified values, so an int64 5 vs a float64 5.0
+    # (e.g. DuckDB HUGEINT sum -> pandas float64) is a REAL mismatch even
+    # though Python == forgives it. Flag dtype-kind drift loudly.
     mism = None
+    kind_fail = None
+    for c in sdf.columns:
+        ka, kb = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if {ka, kb} <= {"i", "u"}:
+            continue  # int width differences hash the same
+        if ka != kb:
+            kind_fail = (c, sdf[c].dtype, ddf[c].dtype)
+            break
+    if kind_fail:
+        c, da, db = kind_fail
+        print(f"FAIL {qname}: col {c} dtype kind spark={da} duckdb={db}"
+              f" (driver hash would differ — cast to BIGINT/DOUBLE on both sides)")
+        fails += 1
+        continue
     for c in sdf.columns:
         a, b = sdf[c], ddf[c]
-        try:
-            if a.dtype != object and b.dtype != object:
-                pass
-        except Exception:
-            pass
         eq = a.reset_index(drop=True).astype(object).where(pd.notnull(a.reset_index(drop=True)), None) \
              .combine(b.reset_index(drop=True).astype(object).where(pd.notnull(b.reset_index(drop=True)), None),
                       lambda x, y: x == y)
