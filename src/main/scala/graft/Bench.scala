@@ -24,7 +24,11 @@ object Bench {
           false
         }
       // a failed query reports -1, never a fast-looking elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // free any result caches the operator left behind (outside the
+      // timed window: the query's own work is fully paid above)
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val Spill = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Force `result` into its own cache, then free the large cached
+    * intermediates that fed it. The returned relation stays persisted —
+    * bounded by the OUTPUT size (near-dup pairs above threshold), not
+    * the O(corpus-tokens) shingle/signature relations — so a long-lived
+    * session running many dedups back-to-back (Verify/Bench) doesn't
+    * accumulate corpus-sized cache blocks. Callers may `unpersist()` the
+    * result when done; Verify/Bench clear the session cache per query. */
+  private def materializeReleasing(result: DataFrame,
+      intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(Spill)
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   // ── Exact (hash) dedup ─────────────────────────────────────────────────
 
   /** Exact dedup groups by content digest; `repCol`'s min is the
@@ -160,18 +177,18 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
       n: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = shingleSets(docs, idCol, textCol, n).persist(Spill)
     val rows = sets.select(col(idCol), explode(col("ss")).as("shingle"))
     val sig = signatureFromRows(rows, idCol, k)
     // the banding self-join references its input twice; persist the
     // (small, bands-rows-per-doc) band relation so the signature
     // aggregate runs once
-    val banded = bandKeys(sig, idCol, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandKeys(sig, idCol, k, bands).persist(Spill)
     val cand = candidatePairs(banded, idCol)
-    jaccardFromSets(cand, sets.withColumnRenamed(idCol, "id"))
-      .filter(round(col("jaccard"), 6) >= threshold)
+    materializeReleasing(
+      jaccardFromSets(cand, sets.withColumnRenamed(idCol, "id"))
+        .filter(round(col("jaccard"), 6) >= threshold),
+      sets, banded)
   }
 
   // ── Blocked n-gram Jaccard (exact, no hashing) ─────────────────────────
@@ -203,8 +220,8 @@ object Dedup {
         explode(col("ss")).as("shingle"))
       // referenced on both sides of the self-join below; persist so the
       // (lambda-interpreted, relatively costly) shingling runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rows.as("a").join(rows.as("b"),
+      .persist(Spill)
+    val out = rows.as("a").join(rows.as("b"),
         col("a.block") === col("b.block") &&
           col("a.shingle") === col("b.shingle") &&
           col("a.id") < col("b.id"))
@@ -217,6 +234,7 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
           .as("jaccard"))
       .filter(round(col("jaccard"), 6) >= threshold)
+    materializeReleasing(out, rows)
   }
 
   // ── SimHash ────────────────────────────────────────────────────────────
@@ -259,19 +277,19 @@ object Dedup {
       maxHamming: Int = 7, n: Int = 3): DataFrame = {
     val chunks = 8
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    val sig = simhashSignatures(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = simhashSignatures(docs, idCol, textCol, n).persist(Spill)
     val chunked = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         expr(s"shiftright(simhash, ${c * 8}) & 255")): _*))
         .as(Seq("chunk", "ckey")))
-    chunked.as("a").join(chunked.as("b"),
+    val out = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    materializeReleasing(out, sig)
   }
 
   // ── Embedding-cosine near-dup ──────────────────────────────────────────
@@ -340,10 +358,18 @@ object Dedup {
           var s = 0.0
           var j = 0
           while (j < va.length) { s += va(j) * vb(j); j += 1 }
-          val r = java.math.BigDecimal.valueOf(s / (na * nb))
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (r >= threshold) Iterator.single((ia, ib, r))
-          else Iterator.empty
+          // zero-norm (or otherwise degenerate) vectors: the builtin
+          // expression round(cosine, 4) yields NaN/null and the pair is
+          // filtered out; BigDecimal.valueOf(NaN) would instead THROW and
+          // kill the job, so skip before rounding
+          val c = s / (na * nb)
+          if (!java.lang.Double.isFinite(c)) Iterator.empty
+          else {
+            val r = java.math.BigDecimal.valueOf(c)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (r >= threshold) Iterator.single((ia, ib, r))
+            else Iterator.empty
+          }
         }
       }
     }.toDF("id_a", "id_b", "cos_sim")

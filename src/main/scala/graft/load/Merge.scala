@@ -35,7 +35,19 @@ object Merge {
     val deduped = seqCol match {
       case Some(s) =>
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(s).desc)
-        batch.withColumn("_rn", row_number().over(w))
+        // The reference's loop applies notes = COALESCE(new, current) row
+        // by row, so a last-duplicate with NULL notes still inherits an
+        // earlier duplicate's notes. Last-writer-wins on `value` alone
+        // would drop it; carry the running last non-null notes forward
+        // before picking the winning row.
+        val withNotes =
+          if (batch.columns.contains("notes")) {
+            val run = Window.partitionBy(keys.map(col): _*).orderBy(col(s))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            batch.withColumn("notes",
+              last(col("notes"), ignoreNulls = true).over(run))
+          } else batch
+        withNotes.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", s)
       case None => batch.dropDuplicates(keys)
     }

@@ -208,6 +208,19 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embeddingDupPairs skips zero-norm vectors instead of crashing") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)),   // zero norm: cosine undefined -> no pair
+      (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(e, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)))
+  }
+
   test("exactGroups collapses byte-identical content") {
     val g = Dedup.exactGroups(docs((1L, "same"), (2L, "same"), (3L, "diff")),
         "text", "doc_id")

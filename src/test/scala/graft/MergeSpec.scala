@@ -68,7 +68,21 @@ class MergeSpec extends AnyFunSuite with SparkTestSession {
       .filter(r => r.getAs[String]("habit") == "workout" &&
         r.getAs[String]("user_email") == "a@b.com")
     assert(out.head.getAs[Double]("value") == 20.0)
-    // seq 2 had NULL notes -> COALESCE falls back to the sink's old note
+    // the reference applies notes = COALESCE(new, current) row by row:
+    // seq 1 sets "first", seq 2's NULL keeps it — NOT the sink's note
+    assert(out.head.getAs[String]("notes") == "first")
+  }
+
+  test("within-batch duplicates: all-null notes fall back to sink notes") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts("2025-08-20 17:00:00"), "a@b.com", "workout", 10.0, Option.empty[String], "sheets"),
+      (2L, ts("2025-08-20 17:00:00"), "a@b.com", "workout", 20.0, Option.empty[String], "sheets"))
+      .toDF("seq", "ts", "user_email", "habit", "value", "notes", "source")
+    val out = Merge.upsertEvents(existing, batch, seqCol = Some("seq")).collect()
+      .filter(r => r.getAs[String]("habit") == "workout" &&
+        r.getAs[String]("user_email") == "a@b.com")
+    assert(out.head.getAs[Double]("value") == 20.0)
     assert(out.head.getAs[String]("notes") == "old note")
   }
 
