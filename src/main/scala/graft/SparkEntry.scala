@@ -2,7 +2,8 @@ package graft
 
 import graft.analytics.Habits
 import graft.config.{EtlConfig, HabitSpec}
-import graft.ext.{Dedup, MediaRecord, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, History, MediaRecord, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.functions.Aggregators
 import graft.load.Merge
 import graft.streaming.Streaming
 import graft.transform.HabitTransform
@@ -76,6 +77,47 @@ object SparkEntry {
           to_timestamp(lit("2024-01-01 00:00:00")),
           to_timestamp(lit("2024-01-25 00:00:00")))
         .select(col("habit"), r6(col("pct_done")).as("pct_done"))),
+
+    // SCD2 intervals over each (user, habit)'s daily-total change stream:
+    // consecutive equal totals merge, each surviving row carries its
+    // validity window (valid_to NULL while current).
+    "q_scd2" -> ((s, dir) => {
+      val daily = Tables.eventsAsHabits(s, dir)
+        .groupBy(col("user_email"), col("habit"),
+          Habits.dayBucket(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("day_total"))
+      History.scd2(daily, Seq("user_email", "habit"), "day", "day_total")
+        .select(col("user_email"), col("habit"),
+          ntz(col("valid_from")).as("valid_from"),
+          ntz(col("valid_to")).as("valid_to"), col("day_total"))
+        .orderBy(col("user_email"), col("habit"), col("valid_from"))
+    }),
+
+    // Typed UDAF (Aggregator) under the oracle gate: per-habit geometric
+    // mean of positive values via sum-of-logs partial aggregation.
+    "q_geomean" -> ((s, dir) => {
+      val geoMean = udaf(Aggregators.GeoMean)
+      Tables.eventsAsHabits(s, dir)
+        .filter(col("value") > 0)
+        .groupBy(col("habit"))
+        .agg(r6(geoMean(col("value"))).as("geo_mean"),
+          count(lit(1)).as("n_pos"))
+        .orderBy(col("habit"))
+    }),
+
+    // Skew utilities under the gate: salting must be result-identical to
+    // the unsalted form — exactly what the oracle compare proves.
+    "q_salted_distinct" -> ((s, dir) =>
+      Skew.saltedCountDistinct(Tables.eventsAsHabits(s, dir),
+          "habit", "user_email", salts = 8)
+        .orderBy(col("habit"))),
+
+    "q_salted_topk" -> ((s, dir) =>
+      Skew.saltedTopK(
+          Tables.eventsAsHabits(s, dir)
+            .select(col("habit"), col("event_id"), col("value")),
+          "habit", Seq(col("value").desc, col("event_id")), k = 5, salts = 8)
+        .orderBy(col("habit"), col("value").desc, col("event_id"))),
 
     "q_sessionize" -> ((s, dir) =>
       Habits.sessionize(Tables.eventsAsHabits(s, dir), "user_email", "ts", 30)
@@ -307,6 +349,37 @@ object SparkEntry {
         .orderBy(col("user_email"), col("habit"))
     }),
 
+    // Same transform chain fed from a FILE-based wide CSV — the primary
+    // SURVEY §2.1 S1 mapping (a user's first act is reading an exported
+    // sheet): write the fixture to disk, spark.read.csv with header,
+    // transform. Empty CSV cells read back as NULL where the inline
+    // fixture had "" — the transform's blank/present gates treat both
+    // identically, so the oracle is the same expected table.
+    "q_transform_csv" -> ((s, dir) => {
+      val csv =
+        """Report Date,Email Address,Workout,Meditation (Number of Minutes),Mood,Notes
+          |8/22/2025,Alice@Example.com,Yes,25,8,felt great
+          |45519,bob@x.com,no,,junk,
+          |2025-01-15,Carol@Y.com,TRUE,10.5,,
+          |"Aug 3, 2025",dave@z.com,on,1e2,7,ok
+          |2025-08-22 08:30:00,eve@w.com,0,5,6,
+          |,frank@x.com,yes,1,1,
+          |8/22/2025,,yes,1,1,
+          |45519.25,gina@x.com,y,3,2,
+          |""".stripMargin
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_")
+      java.nio.file.Files.writeString(tmp.resolve("habits.csv"), csv)
+      val wide = s.read.option("header", true).csv(tmp.toString)
+      // materialize before deleting the temp file under the scan
+      val out = HabitTransform.toEvents(wide, cfg3)
+        .select(ntz(col("ts")).as("ts"), col("user_email"), col("habit"),
+          col("value"), col("notes"), col("source"))
+        .orderBy(col("user_email"), col("habit"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      out
+    }),
+
     "q_raw_dedup" -> ((s, dir) =>
       Tables.read(s, dir, "documents")
         .groupBy(sha2(col("text"), 256).as("row_hash"))
@@ -452,6 +525,13 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The bucketed (no-collect) scale path: same near-dup contract, but
+    // candidates restricted to pairs sharing an LSH bucket in any band.
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingDupPairsLsh(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, nPlanes = 4, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ── Extension scope: similarity search (SURVEY §7.5) ───────────────
     "q_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
@@ -590,6 +670,43 @@ object SparkEntry {
                 ((u + d) % 11)::DOUBLE, notes, 'sheets' FROM base
          WHERE (u + d) % 11 <> 10
          ORDER BY user_email, habit, ts""",
+
+    "q_scd2" ->
+      """WITH daily AS (SELECT user_id AS user_email, event_type AS habit,
+                date_trunc('day', ts) AS day, round(sum(value), 6) AS day_total
+              FROM events GROUP BY 1, 2, 3),
+         c AS (SELECT user_email, habit, day, day_total,
+                CASE WHEN row_number() OVER w = 1 THEN 1
+                     WHEN lag(day_total) OVER w IS NOT DISTINCT FROM day_total
+                       THEN 0
+                     ELSE 1 END AS chg
+              FROM daily WINDOW w AS (PARTITION BY user_email, habit
+                                      ORDER BY day)),
+         f AS (SELECT user_email, habit, day AS valid_from, day_total
+              FROM c WHERE chg = 1)
+         SELECT user_email, habit, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_email, habit
+                  ORDER BY valid_from) AS valid_to,
+                day_total
+         FROM f ORDER BY user_email, habit, valid_from""",
+
+    "q_geomean" ->
+      """SELECT event_type AS habit, round(exp(avg(ln(value))), 6) AS geo_mean,
+                count(*) AS n_pos
+         FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1""",
+
+    "q_salted_distinct" ->
+      """SELECT event_type AS habit, count(DISTINCT user_id)::BIGINT
+                  AS n_distinct
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_salted_topk" ->
+      """SELECT habit, event_id, value FROM (
+           SELECT event_type AS habit, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS r
+           FROM events) WHERE r <= 5
+         ORDER BY habit, value DESC, event_id""",
 
     "q_json_extract" ->
       """SELECT event_type AS habit, count(*) AS n,
@@ -754,6 +871,28 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
 
     "q_transform_wide" ->
+      """SELECT * FROM (VALUES
+           (TIMESTAMP '2025-08-22 17:00:00', 'alice@example.com', 'meditation_minutes', 25.0::DOUBLE, 'Notes: felt great', 'sheets'),
+           (TIMESTAMP '2025-08-22 17:00:00', 'alice@example.com', 'mood_score', 8.0::DOUBLE, 'Notes: felt great', 'sheets'),
+           (TIMESTAMP '2025-08-22 17:00:00', 'alice@example.com', 'workout', 1.0::DOUBLE, 'Notes: felt great', 'sheets'),
+           (TIMESTAMP '2024-08-15 17:00:00', 'bob@x.com', 'workout', 0.0::DOUBLE, NULL::VARCHAR, 'sheets'),
+           (TIMESTAMP '2025-01-15 18:00:00', 'carol@y.com', 'meditation_minutes', 10.5::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2025-01-15 18:00:00', 'carol@y.com', 'workout', 1.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2025-08-03 17:00:00', 'dave@z.com', 'meditation_minutes', 100.0::DOUBLE, 'Notes: ok', 'sheets'),
+           (TIMESTAMP '2025-08-03 17:00:00', 'dave@z.com', 'mood_score', 7.0::DOUBLE, 'Notes: ok', 'sheets'),
+           (TIMESTAMP '2025-08-03 17:00:00', 'dave@z.com', 'workout', 1.0::DOUBLE, 'Notes: ok', 'sheets'),
+           (TIMESTAMP '2025-08-22 13:30:00', 'eve@w.com', 'meditation_minutes', 5.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2025-08-22 13:30:00', 'eve@w.com', 'mood_score', 6.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2025-08-22 13:30:00', 'eve@w.com', 'workout', 0.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2024-08-15 11:00:00', 'gina@x.com', 'meditation_minutes', 3.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2024-08-15 11:00:00', 'gina@x.com', 'mood_score', 2.0::DOUBLE, NULL, 'sheets'),
+           (TIMESTAMP '2024-08-15 11:00:00', 'gina@x.com', 'workout', 1.0::DOUBLE, NULL, 'sheets')
+         ) t(ts, user_email, habit, value, notes, source)
+         ORDER BY user_email, habit""",
+
+    // identical expected table to q_transform_wide: the CSV roundtrip
+    // must not change the transform's output
+    "q_transform_csv" ->
       """SELECT * FROM (VALUES
            (TIMESTAMP '2025-08-22 17:00:00', 'alice@example.com', 'meditation_minutes', 25.0::DOUBLE, 'Notes: felt great', 'sheets'),
            (TIMESTAMP '2025-08-22 17:00:00', 'alice@example.com', 'mood_score', 8.0::DOUBLE, 'Notes: felt great', 'sheets'),
@@ -997,6 +1136,29 @@ object SparkEntry {
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                             b.embedding::DOUBLE[]), 4) >= 0.4
          ORDER BY id_a, id_b""",
+
+    "q_dedup_embedding_lsh" ->
+      """WITH planes AS (SELECT j.j AS j,
+                [((('0x' || substr(md5(j.j || ',' || d), 1, 15))::UBIGINT
+                   % 2001)::BIGINT - 1000) / 1000.0
+                 for d in generate_series(0, 63)] AS pv
+              FROM (SELECT unnest(generate_series(0, 15)) AS j) j),
+         emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sig AS (SELECT e.vec_id, p.j // 4 AS band,
+                sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                         THEN (1::BIGINT << (p.j % 4)) ELSE 0 END)::BIGINT
+                  AS bucket
+              FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.j // 4),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id),
+         sc AS (SELECT id_a, id_b,
+                round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+              FROM cand JOIN emb x ON x.vec_id = id_a
+                        JOIN emb y ON y.vec_id = id_b)
+         SELECT id_a, id_b, cos_sim FROM sc
+         WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
 
     "q_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -23,20 +23,17 @@ object Dedup {
 
   private val Spill = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-  /** Force `result` into its own cache, then free the large cached
-    * intermediates that fed it. The returned relation stays persisted —
-    * bounded by the OUTPUT size (near-dup pairs above threshold), not
-    * the O(corpus-tokens) shingle/signature relations — so a long-lived
-    * session running many dedups back-to-back (Verify/Bench) doesn't
-    * accumulate corpus-sized cache blocks. Callers may `unpersist()` the
-    * result when done; Verify/Bench clear the session cache per query. */
-  private def materializeReleasing(result: DataFrame,
-      intermediates: DataFrame*): DataFrame = {
-    val out = result.persist(Spill)
-    out.count()
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
-  }
+  // Caching contract for the pair-finders (minhash / ngram / simhash):
+  // each persists O(corpus-token) intermediates that feed multiple DAG
+  // branches. The persists are LAZY — populated during the caller's
+  // first action and reused across branches within it — and they REMAIN
+  // in the session cache afterwards. Long-lived sessions running many
+  // dedups back-to-back should release them between runs via
+  // `spark.catalog.clearCache()` (Verify/Bench do exactly this) or by
+  // re-deriving and unpersisting. An eager materialize-then-release
+  // inside the operator was tried and reverted: forcing a count() before
+  // the caller's own terminal action evaluates the whole pipeline twice
+  // and doubled the end-to-end dedup times (round-2 bench).
 
   // ── Exact (hash) dedup ─────────────────────────────────────────────────
 
@@ -185,10 +182,8 @@ object Dedup {
     // aggregate runs once
     val banded = bandKeys(sig, idCol, k, bands).persist(Spill)
     val cand = candidatePairs(banded, idCol)
-    materializeReleasing(
-      jaccardFromSets(cand, sets.withColumnRenamed(idCol, "id"))
-        .filter(round(col("jaccard"), 6) >= threshold),
-      sets, banded)
+    jaccardFromSets(cand, sets.withColumnRenamed(idCol, "id"))
+      .filter(round(col("jaccard"), 6) >= threshold)
   }
 
   // ── Blocked n-gram Jaccard (exact, no hashing) ─────────────────────────
@@ -221,7 +216,7 @@ object Dedup {
       // referenced on both sides of the self-join below; persist so the
       // (lambda-interpreted, relatively costly) shingling runs once
       .persist(Spill)
-    val out = rows.as("a").join(rows.as("b"),
+    rows.as("a").join(rows.as("b"),
         col("a.block") === col("b.block") &&
           col("a.shingle") === col("b.shingle") &&
           col("a.id") < col("b.id"))
@@ -234,7 +229,6 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
           .as("jaccard"))
       .filter(round(col("jaccard"), 6) >= threshold)
-    materializeReleasing(out, rows)
   }
 
   // ── SimHash ────────────────────────────────────────────────────────────
@@ -282,14 +276,13 @@ object Dedup {
       posexplode(array((0 until chunks).map(c =>
         expr(s"shiftright(simhash, ${c * 8}) & 255")): _*))
         .as(Seq("chunk", "ckey")))
-    val out = chunked.as("a").join(chunked.as("b"),
+    chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    materializeReleasing(out, sig)
   }
 
   // ── Embedding-cosine near-dup ──────────────────────────────────────────
@@ -317,11 +310,56 @@ object Dedup {
         col(vecCol).cast("array<double>").as(vecAlias))
       .withColumn(s"${vecAlias}_nrm", l2Norm(col(vecAlias)))
 
+  /** Bucketed embedding near-dup — the 100 TB path. Random-hyperplane
+    * LSH over `bands` independent plane sets: each vector is hashed into
+    * one bucket per band (bands × nPlanes codegen-safe dot products per
+    * row), candidate pairs are ids sharing ANY (band, bucket), and each
+    * candidate is exact-cosine-verified at `threshold` (4 dp rounding so
+    * the cut is engine-reproducible). No driver-side state: the corpus
+    * is scanned once to hash, the candidate self-join shuffles on
+    * (band, bucket) — bucket-local cross products only — and the verify
+    * join touches only the (few) candidates.
+    *
+    * Recall at cosine c is 1 − (1 − p^nPlanes)^bands with
+    * p = 1 − acos(c)/π: ≈ 95% at c = 0.9 under the 4×4 default. At
+    * scale size nPlanes ≈ log2(corpus / target-bucket-size) so
+    * per-bucket cross products stay bounded, and add bands to buy back
+    * recall. Planes come from the deterministic md5 derivation
+    * ([[Similarity.planes]]) — any engine reproduces the exact
+    * candidate set. */
+  def embeddingDupPairsLsh(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 4, bands: Int = 4,
+      dim: Int = Similarity.Dim): DataFrame = {
+    // normalized corpus feeds both the bucketing scan and the two verify
+    // joins; persist so the norm pass runs once
+    val e = withNorm(embs, idCol, vecCol, "id", "v").persist(Spill)
+    val bucketed = e.select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          Similarity.lshBucketBand(col("v"), b, nPlanes, dim)): _*))
+        .as(Seq("band", "bucket")))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va"),
+        col("v_nrm").as("na")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"),
+        col("v_nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cos_sim"))
+      // Spark compares NaN ABOVE all doubles, so a zero-norm vector's
+      // NaN cosine would pass a bare >= threshold — exclude it (same
+      // contract as the brute-force kernel's finite check)
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+  }
+
   /** Embedding near-dup pairs at `threshold` cosine (rounded to 4 dp so
     * the cut is reproducible across engines). Brute-force all-pairs with
-    * norms precomputed per row — correct baseline at test scale; at
-    * 100 TB route through [[Similarity.lshBucket]] first and compare
-    * within buckets. */
+    * norms precomputed per row — the exact small-corpus kernel; at
+    * 100 TB use [[embeddingDupPairsLsh]] (bucketed, no collect). */
   def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val sp = embs.sparkSession
@@ -337,10 +375,11 @@ object Dedup {
     // cells are the scale paths) — and stream the corpus against it.
     // Left-to-right summation and BigDecimal HALF_UP rounding reproduce
     // `round(aggregate(zip_with(...)), 4)` bit for bit.
-    require(e.count() <= 200000L,
-      "brute-force pair scan is the small-corpus baseline; block with " +
-        "Similarity.lshBucket or knnIvf cells at scale")
-    val mat = e.collect().map { case (id, v) =>
+    val collected = e.collect()
+    require(collected.length <= 200000,
+      "brute-force pair scan is the small-corpus baseline; use " +
+        "embeddingDupPairsLsh (bucketed, no collect) at scale")
+    val mat = collected.map { case (id, v) =>
       var s = 0.0
       var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }

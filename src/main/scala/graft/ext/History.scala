@@ -25,9 +25,14 @@ object History {
       valueCol: String): DataFrame = {
     val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     df
+      // the first row of a key is ALWAYS a change: lag() is NULL there,
+      // and a NULL initial value would otherwise satisfy NULL <=> NULL
+      // and silently drop the entity's opening interval
       .withColumn("_chg",
-        when(lag(col(valueCol), 1).over(byKey) <=> col(valueCol), 0)
-          .otherwise(1))
+        when(row_number().over(byKey) === 1, 1)
+          .otherwise(
+            when(lag(col(valueCol), 1).over(byKey) <=> col(valueCol), 0)
+              .otherwise(1)))
       .filter(col("_chg") === 1)
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))

@@ -47,8 +47,18 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: bit j = sign(v · plane_j), packed
     * little-endian into a long. 16 planes → 65536 buckets. */
   def lshBucket(v: Column, nPlanes: Int = NumPlanes, dim: Int = Dim): Column =
-    planes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
-      when(Dedup.dot(v, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    lshBucketBand(v, 0, nPlanes, dim)
+
+  /** Bucket id for band `band` of a multi-band LSH scheme: band b draws
+    * from the global deterministic plane sequence at indices
+    * [b·nPlanes, (b+1)·nPlanes), so bands are independent hash
+    * functions and each stays oracle-reproducible from the md5 formula.
+    * `lshBucket` is band 0. */
+  def lshBucketBand(v: Column, band: Int, nPlanes: Int,
+      dim: Int = Dim): Column =
+    planes((band + 1) * nPlanes, dim).drop(band * nPlanes).zipWithIndex.map {
+      case (p, j) =>
+        when(Dedup.dot(v, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Exact top-k by cosine for each query vector (brute force).

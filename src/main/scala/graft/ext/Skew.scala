@@ -57,13 +57,20 @@ object Skew {
     * each (key, salt) bucket first, so the final per-key sort sees at
     * most `salts × k` rows per key instead of every row of a hot key. */
   def saltedTopK(df: DataFrame, key: String, orderBy: Column, k: Int,
+      salts: Int): DataFrame =
+    saltedTopK(df, key, Seq(orderBy), k, salts)
+
+  /** Multi-column ordering variant — pass a tiebreak (e.g.
+    * `Seq(col("v").desc, col("id"))`) so the top-k cut is a total order
+    * and therefore deterministic across runs and engines. */
+  def saltedTopK(df: DataFrame, key: String, orderBy: Seq[Column], k: Int,
       salts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(salts > 0 && k > 0)
     val salted = df.withColumn("_salt",
       pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
-    val local = Window.partitionBy(col(key), col("_salt")).orderBy(orderBy)
-    val global = Window.partitionBy(col(key)).orderBy(orderBy)
+    val local = Window.partitionBy(col(key), col("_salt")).orderBy(orderBy: _*)
+    val global = Window.partitionBy(col(key)).orderBy(orderBy: _*)
     salted
       .withColumn("_lr", row_number().over(local))
       .filter(col("_lr") <= k)

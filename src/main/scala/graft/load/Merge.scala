@@ -69,10 +69,15 @@ object Merge {
     * NOTHING` on `row_hash` (`/root/reference/etl/etl_habits.py:27-30`,
     * `/root/reference/sql/001_schema.sql:7-11`) becomes within-batch
     * dedup + left-anti join against the sink. Returns only the NEW rows
-    * (the caller appends them — append-only forensic copy).
+    * (the caller appends them — append-only forensic copy), each stamped
+    * with `ingested_at`, the landing table's `now()` default
+    * (`/root/reference/sql/001_schema.sql:9`). The stamp is the batch
+    * ingest time (query start), evaluated once per plan — all rows of a
+    * batch share it, like a single INSERT's `now()`.
     */
   def newRawRows(existing: DataFrame, batch: DataFrame,
       hashCol: String = "row_hash"): DataFrame =
     batch.dropDuplicates(hashCol)
       .join(existing.select(hashCol), Seq(hashCol), "left_anti")
+      .withColumn("ingested_at", current_timestamp())
 }

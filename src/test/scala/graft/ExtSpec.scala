@@ -221,6 +221,99 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((1L, 3L)))
   }
 
+  test("embeddingDupPairsLsh: bucketed path loses recall, never precision") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(8)((rnd.nextDouble() - 0.5).toFloat)
+    val base = vec()
+    val near = base.clone(); near(0) = near(0) + 0.001f
+    val e = (Seq(1L -> base, 2L -> near) ++ (3L to 40L).map(_ -> vec()))
+      .map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingDupPairsLsh(e, "vec_id", "embedding", 0.9,
+        nPlanes = 2, bands = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Dedup.embeddingDupPairs(e, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair is a true above-threshold pair with the same
+    // 4-dp-verified cosine as brute force
+    assert(lsh.keySet.subsetOf(brute.keySet))
+    lsh.foreach { case (k, v) => assert(v == brute(k)) }
+    // a near-identical pair agrees on (essentially) every plane sign, so
+    // at least one of the 4 bands catches it
+    assert(lsh.contains((1L, 2L)))
+  }
+
+  // ── History (SCD2) ─────────────────────────────────────────────────────
+
+  private def changeStream(rows: (String, String, Option[Double])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.map { case (k, d, v) =>
+      (k, java.sql.Timestamp.valueOf(d + " 00:00:00"), v)
+    }.toDF("k", "ts", "v")
+  }
+
+  test("scd2: consecutive equals merge; intervals close at the next change") {
+    val out = graft.ext.History.scd2(changeStream(
+        ("e1", "2024-01-01", Some(1.0)),
+        ("e1", "2024-01-02", Some(1.0)),  // equal -> merged
+        ("e1", "2024-01-03", Some(2.0)),  // change
+        ("e1", "2024-01-06", Some(2.0))), // equal -> merged
+      Seq("k"), "ts", "v")
+      .orderBy(col("valid_from")).collect()
+      .map(r => (r.getTimestamp(1).toString.take(10),
+        Option(r.getTimestamp(2)).map(_.toString.take(10)),
+        Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", Some("2024-01-03"), Some(1.0)),
+      ("2024-01-03", None, Some(2.0)))) // open current row
+  }
+
+  test("scd2: NULL initial value opens an interval; x<->NULL are changes") {
+    val out = graft.ext.History.scd2(changeStream(
+        ("e1", "2024-01-01", None),       // NULL first value: must survive
+        ("e1", "2024-01-02", Some(1.0)),  // NULL -> x change
+        ("e1", "2024-01-03", None),       // x -> NULL change
+        ("e1", "2024-01-04", None),       // NULL == NULL -> merged
+        ("e2", "2024-01-05", Some(9.0))), // second key independent
+      Seq("k"), "ts", "v")
+      .orderBy(col("k"), col("valid_from")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+        Option(r.getTimestamp(2)).map(_.toString.take(10)),
+        Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      ("e1", "2024-01-01", Some("2024-01-02"), None),
+      ("e1", "2024-01-02", Some("2024-01-03"), Some(1.0)),
+      ("e1", "2024-01-03", None, None),
+      ("e2", "2024-01-05", None, Some(9.0))))
+  }
+
+  // ── Aggregators ────────────────────────────────────────────────────────
+
+  test("GeoMean UDAF: multi-partition merge equals exp(mean(ln))") {
+    val s = spark
+    import s.implicits._
+    val vals = (1 to 100).map(_.toDouble)
+    val gm = udaf(graft.functions.Aggregators.GeoMean)
+    val got = vals.toDF("v").repartition(8)
+      .agg(gm(col("v"))).head().getDouble(0)
+    val want = math.exp(vals.map(math.log).sum / vals.size)
+    assert(math.abs(got - want) < 1e-9)
+    // grouped path: per-group buffers stay independent
+    val grouped = (vals.map(("a", _)) ++ Seq(("b", 8.0), ("b", 2.0)))
+      .toDF("g", "v").repartition(8)
+      .groupBy(col("g")).agg(gm(col("v")).as("gm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(grouped("a") - want) < 1e-9)
+    assert(math.abs(grouped("b") - 4.0) < 1e-9)
+  }
+
+  test("GeoMean finishes NaN on the empty buffer") {
+    import graft.functions.Aggregators.GeoMean
+    assert(GeoMean.finish(GeoMean.zero).isNaN)
+  }
+
   test("exactGroups collapses byte-identical content") {
     val g = Dedup.exactGroups(docs((1L, "same"), (2L, "same"), (3L, "diff")),
         "text", "doc_id")

@@ -94,4 +94,20 @@ class MergeSpec extends AnyFunSuite with SparkTestSession {
     val out = Merge.newRawRows(sink, batch).collect().map(_.getString(0)).sorted
     assert(out.toSeq == Seq("h2", "h3"))
   }
+
+  test("newRawRows stamps ingested_at with the batch ingest time (F11)") {
+    import spark.implicits._
+    val sink = Seq(("h1", "p1")).toDF("row_hash", "payload")
+    val batch = Seq(("h2", "p2"), ("h3", "p3")).toDF("row_hash", "payload")
+    val before = System.currentTimeMillis() - 60000L
+    val rows = Merge.newRawRows(sink, batch).collect()
+    val after = System.currentTimeMillis() + 60000L
+    val stamps = rows.map(_.getAs[java.sql.Timestamp]("ingested_at"))
+    assert(stamps.length == 2)
+    stamps.foreach { t =>
+      assert(t.getTime >= before && t.getTime <= after)
+    }
+    // one INSERT, one now(): all rows of a batch share the same stamp
+    assert(stamps.distinct.length == 1)
+  }
 }

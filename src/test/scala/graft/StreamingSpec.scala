@@ -77,6 +77,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch == out)
   }
 
+  test("update mode + RocksDB: late-in-watermark updates, too-late drops") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // the incremental-refresh semantics of the reference's continuous
+    // aggregate (001_schema.sql:43-46): update mode re-emits only the
+    // changed day buckets; RocksDB is the at-scale state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, String, String, Double)]
+      val stream = mem.toDF().toDF("ts", "user_email", "habit", "value")
+      val qn = Streaming.nextQueryName("spec_upd")
+      val q = Streaming.habitDailyStream(stream, watermark = "2 days")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("update").start()
+      try {
+        mem.addData(
+          (ts("2024-01-01 10:00:00"), "a@x", "workout", 1.0),
+          (ts("2024-01-10 10:00:00"), "b@x", "workout", 1.0))
+        q.processAllAvailable()
+        assert(s.table(qn).count() == 2) // both new buckets emitted
+        // watermark is now 2024-01-08 10:00. A 01-09 event is late but
+        // inside -> its bucket re-emits updated; 01-02 is older -> dropped.
+        mem.addData(
+          (ts("2024-01-09 10:00:00"), "a@x", "workout", 1.0),
+          (ts("2024-01-02 10:00:00"), "a@x", "workout", 1.0))
+        q.processAllAvailable()
+        val emitted = s.table(qn).collect()
+          .map(r => (r.getTimestamp(0).toString.take(10),
+            r.getString(1), r.getLong(3)))
+        // exactly one new emission (the 01-09 bucket), nothing for 01-02
+        assert(emitted.length == 3)
+        assert(emitted.count(_._1 == "2024-01-09") == 1)
+        assert(emitted.filter(_._1 == "2024-01-09").head == ("2024-01-09", "a@x", 1L))
+        assert(!emitted.exists(_._1 == "2024-01-02"))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("dedupStream drops replayed keys within the watermark") {
     val s = spark
     import s.implicits._
