@@ -289,10 +289,18 @@ object Dedup {
 
   /** Dot product of two equal-length double arrays via higher-order
     * functions. NB: lambda expressions are interpreted, not whole-stage
-    * codegen'd — fine off the hot path; inside an n² pair loop prefer
-    * [[dotUnrolled]]. */
+    * codegen'd — this is the no-extensions fallback form; every hot path
+    * uses [[dotNative]], which is bit-identical (spec-pinned). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd native dot product ([[graft.plans.DotProduct]]): the same
+    * left-to-right double summation as [[dot]] — same value bit for bit,
+    * same NULL contract (null input/element or length mismatch → NULL) —
+    * without the interpreted per-element lambda dispatch (~10× on the
+    * ANN/near-dup scoring loops). Requires the session to register
+    * `graft.plans.GraftExtensions`. */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
@@ -308,7 +316,9 @@ object Dedup {
       idAlias: String, vecAlias: String): DataFrame =
     embs.select(col(idCol).as(idAlias),
         col(vecCol).cast("array<double>").as(vecAlias))
-      .withColumn(s"${vecAlias}_nrm", l2Norm(col(vecAlias)))
+      // dotNative(v, v) sums x_i * x_i left to right — the identical
+      // accumulation the HOF l2Norm performs, codegen'd
+      .withColumn(s"${vecAlias}_nrm", sqrt(dotNative(col(vecAlias), col(vecAlias))))
 
   /** Bucketed embedding near-dup — the 100 TB path. Random-hyperplane
     * LSH over `bands` independent plane sets: each vector is hashed into
@@ -333,10 +343,14 @@ object Dedup {
     // normalized corpus feeds both the bucketing scan and the two verify
     // joins; persist so the norm pass runs once
     val e = withNorm(embs, idCol, vecCol, "id", "v").persist(Spill)
+    // (id, band, bucket) is tiny (bands rows per id) but referenced on
+    // both sides of the self-join — persist so the bands × nPlanes
+    // plane dots per row run once, not twice
     val bucketed = e.select(col("id"), posexplode(
         array((0 until bands).map(b =>
           Similarity.lshBucketBand(col("v"), b, nPlanes, dim)): _*))
         .as(Seq("band", "bucket")))
+      .persist(Spill)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -348,7 +362,7 @@ object Dedup {
       .join(e.select(col("id").as("id_b"), col("v").as("vb"),
         col("v_nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+        round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("cos_sim"))
       // Spark compares NaN ABOVE all doubles, so a zero-norm vector's
       // NaN cosine would pass a bare >= threshold — exclude it (same

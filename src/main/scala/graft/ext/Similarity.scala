@@ -58,7 +58,8 @@ object Similarity {
       dim: Int = Dim): Column =
     planes((band + 1) * nPlanes, dim).drop(band * nPlanes).zipWithIndex.map {
       case (p, j) =>
-        when(Dedup.dot(v, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+        when(Dedup.dotNative(v, typedLit(p)) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Exact top-k by cosine for each query vector (brute force).
@@ -73,7 +74,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("nn_id"))
     c.join(broadcast(q), col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
-        round(Dedup.dot(col("qv"), col("cv")) /
+        round(Dedup.dotNative(col("qv"), col("cv")) /
           (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -101,7 +102,7 @@ object Similarity {
     val cents = Dedup.withNorm(
       corpus.orderBy(col(idCol)).limit(nCentroids), idCol, vecCol,
       "cent_id", "ce")
-    def cosC = round(Dedup.dot(col("v"), col("ce")) /
+    def cosC = round(Dedup.dotNative(col("v"), col("ce")) /
       (col("v_nrm") * col("ce_nrm")), 6)
     val byCell = Window.partitionBy(col("id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
@@ -129,7 +130,7 @@ object Similarity {
     c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
-        round(Dedup.dot(col("qv"), col("cv")) /
+        round(Dedup.dotNative(col("qv"), col("cv")) /
           (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -152,7 +153,7 @@ object Similarity {
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("bucket"), col("nn_id"),
-        round(Dedup.dot(col("qv"), col("cv")) /
+        round(Dedup.dotNative(col("qv"), col("cv")) /
           (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

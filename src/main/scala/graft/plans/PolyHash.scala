@@ -161,5 +161,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinKgramHash(children.head, k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_dot takes exactly 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }))
   }
 }

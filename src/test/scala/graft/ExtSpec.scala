@@ -221,6 +221,30 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((1L, 3L)))
   }
 
+  test("native graft_dot equals the higher-order-function dot, incl. NULLs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),   // plain
+      (Some(Seq(0.1, -0.2, 0.3)), Some(Seq(-0.7, 0.11, 0.0))), // signs
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0, 3.0))),        // len mismatch
+      (None, Some(Seq(1.0))),                                  // null array
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])))      // empty -> 0
+      .toDF("a", "b")
+    val out = df.select(
+        Dedup.dot(col("a"), col("b")).as("hof"),
+        Dedup.dotNative(col("a"), col("b")).as("nat"))
+      .collect()
+    out.foreach { r =>
+      // bit-identical, including which rows are NULL
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+    assert(out(0).getDouble(1) == 1.0 * 4 + 2 * 5 + 3 * 6)
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+    assert(out(4).getDouble(1) == 0.0)
+  }
+
   test("embeddingDupPairsLsh: bucketed path loses recall, never precision") {
     val s = spark
     import s.implicits._
