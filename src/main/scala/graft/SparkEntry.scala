@@ -487,6 +487,29 @@ object SparkEntry {
             .as("kgram_min_fp"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repeated-n-gram quality signal: fraction of a doc's
+    // word 3-grams that repeat an earlier shingle (typed kernel form,
+    // value-identical to the expression form per ExtSpec).
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatios(Tables.read(s, dir, "documents"),
+          "doc_id", "text", 3)
+        .select(col("doc_id"), r6(col("rep_ratio")).as("rep_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // PII scan + redaction: match counts on the raw text plus the md5 of
+    // the masked text — a cross-engine proof the redaction is identical.
+    "q_pii_scan" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.countMatches(col("text"), TextAnalysis.EmailRegex)
+            .cast("long").as("n_emails"),
+          TextAnalysis.countMatches(col("text"), TextAnalysis.UrlRegex)
+            .cast("long").as("n_urls"),
+          TextAnalysis.countMatches(col("text"), TextAnalysis.LongNumberRegex)
+            .cast("long").as("n_long_numbers"),
+          md5(TextAnalysis.maskPii(col("text"))).as("masked_md5"))
+        .orderBy(col("doc_id"))),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.read(s, dir, "documents"),
           "doc_id", "text", k = 3)
@@ -1002,6 +1025,34 @@ object SparkEntry {
                 len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
                 len(regexp_extract_all(text,
                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_re_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q_repetition" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l
+              FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN [array_to_string(l[i:i+2], ' ')
+                      for i in generate_series(1, len(l) - 2)]
+                ELSE [text] END AS s FROM tok)
+         SELECT doc_id,
+                round(1.0 - len(list_distinct(s))::DOUBLE / len(s)::DOUBLE, 6)
+                  AS rep_ratio
+         FROM sh ORDER BY doc_id""",
+
+    "q_pii_scan" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                  AS n_emails,
+                len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT
+                  AS n_urls,
+                len(regexp_extract_all(text, '[0-9]{7,}'))::BIGINT
+                  AS n_long_numbers,
+                md5(regexp_replace(regexp_replace(regexp_replace(text,
+                  'https?://[^\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '[0-9]{7,}', '<NUM>', 'g')) AS masked_md5
          FROM documents ORDER BY doc_id""",
 
     "q_tfidf" ->

@@ -65,19 +65,49 @@ object Similarity {
   /** Exact top-k by cosine for each query vector (brute force).
     * `queries` should be small (it is broadcast); ranking uses the
     * 4-dp-rounded similarity with id tiebreak so the cut is total-order
-    * deterministic. */
+    * deterministic.
+    *
+    * Scoring is map-side (broadcast join, no shuffle); before the
+    * per-query ranking window each scan partition is cut to its LOCAL
+    * top-k per query (sortWithinPartitions + a streaming counter — the
+    * global top-k is a subset of every partition-local top-k, so this
+    * is lossless). The window therefore shuffles O(partitions × q × k)
+    * rows instead of the full n × q scored relation — the difference
+    * between a bounded and a corpus-sized shuffle at 100 TB. */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = Dedup.withNorm(corpus, idCol, vecCol, "nn_id", "cv")
     val q = Dedup.withNorm(queries, idCol, vecCol, "query_id", "qv")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id"))
-    c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         round(Dedup.dotNative(col("qv"), col("cv")) /
           (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
+    val pruned = localTopK(scored, k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    pruned
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Partition-local per-query top-k over a (query_id, nn_id, cos_sim)
+    * relation: local sort (no shuffle) in window order, then a streaming
+    * counter keeps the first `k` rows of each query per partition. */
+  private def localTopK(scored: DataFrame, k: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(scored.schema)
+    scored
+      .sortWithinPartitions(col("query_id"), col("cos_sim").desc,
+        col("nn_id"))
+      .mapPartitions { it =>
+        var cur: Any = null
+        var seen = 0
+        it.filter { r =>
+          val qid = r.get(0)
+          if (qid != cur) { cur = qid; seen = 0 }
+          seen += 1
+          seen <= k
+        }
+      }(enc)
   }
 
   /** IVF-style ANN: partition the corpus into `nCentroids` cells (each

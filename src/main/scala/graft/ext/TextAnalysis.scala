@@ -93,6 +93,77 @@ object TextAnalysis {
       lit(25.0) * (lit(1.0) - punctRatio(text)) +
       lit(25.0) * least(stopwordRatio(text) * lit(8.0), lit(1.0))
 
+  /** Fraction of word n-gram shingles that are repeats of an earlier
+    * shingle in the same document — the classic repeated-n-gram
+    * quality signal for training corpora (high ratio = boilerplate /
+    * degenerate repetition). Per-row expression, shuffle-free. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = wordShingles(text, n)
+    lit(1.0) - size(array_distinct(sh)).cast("double") /
+      size(sh).cast("double")
+  }
+
+  /** [[repetitionRatio]] over a whole table via a typed partition-local
+    * kernel — same values (spec-pinned), ~5× the expression form, which
+    * pays an interpreted lambda per shingle window. Contract mirrors
+    * [[Dedup.shingleSets]]: numeric/long-castable ids, null id or null
+    * text drops the row. */
+  def repetitionRatios(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(java.lang.Long, String)]
+      .flatMap { case (id, text) =>
+        if (id == null || text == null) None
+        else {
+          val toks = text.split(" ", -1)
+          var ratio = 0.0
+          if (toks.length >= n) {
+            val total = toks.length - n + 1
+            val seen = new java.util.HashSet[String](total * 2)
+            var distinct = 0
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+              if (seen.add(sb.toString)) distinct += 1
+              i += 1
+            }
+            // identical arithmetic to the expression form: exact int
+            // division in double, so values match bit for bit
+            ratio = 1.0 - distinct.toDouble / total.toDouble
+          } // under n tokens: one whole-text shingle, 1 distinct -> 0.0
+          Some((id.longValue, ratio))
+        }
+      }.toDF(idCol, "rep_ratio")
+  }
+
+  // ── PII scanning / redaction ───────────────────────────────────────────
+
+  /** ASCII-only regexes shared verbatim with the oracle (Java regex and
+    * RE2 agree on this subset: character classes, bounded repeats,
+    * alternation — no lookaround, no backrefs). */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRegex = "https?://[^\\s]+"
+  val LongNumberRegex = "[0-9]{7,}"
+
+  /** Non-overlapping match count of `regex` in `text`. */
+  def countMatches(text: Column, regex: String): Column =
+    size(regexp_extract_all(text, lit(regex), lit(0)))
+
+  /** Redact URLs, then emails, then long digit runs (that order: the
+    * placeholder tokens contain no digits or '@', so later passes can't
+    * re-match inside an earlier replacement). Deterministic, per-row,
+    * shuffle-free — the standard pre-training PII scrub pass. */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRegex, "<URL>"),
+        EmailRegex, "<EMAIL>"),
+      LongNumberRegex, "<NUM>")
+
   // ── Token counting ─────────────────────────────────────────────────────
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, and single

@@ -54,6 +54,46 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.values.forall(q => q >= 0.0 && q <= 100.0))
   }
 
+  test("repetitionRatio: repeated shingles raise the ratio; short text 0") {
+    val out = docs(
+      (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct -> 4/7
+      (2L, "all distinct words here now"),
+      (3L, "x y"))               // short -> whole-text shingle, ratio 0
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 4.0 / 7.0) < 1e-9)
+    assert(out(2L) == 0.0 && out(3L) == 0.0)
+    // the typed kernel form is value-identical to the expression form
+    val fixtures = docs((1L, "a b c a b c a b c"),
+      (2L, "all distinct words here now"), (3L, "x y"),
+      (4L, "p q p q p q p q"), (5L, "one two  three two  three"))
+    val kernel = TextAnalysis.repetitionRatios(fixtures, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exprForm = fixtures.select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel == exprForm)
+  }
+
+  test("piiScan counts and maskPii redacts emails, urls, long numbers") {
+    val d = docs(
+      (1L, "mail a@b.co or see https://x.y/z?p=1 then call 12345678 now"),
+      (2L, "clean text with no pii at all"))
+    val out = d.select(col("doc_id"),
+        TextAnalysis.countMatches(col("text"), TextAnalysis.EmailRegex).as("e"),
+        TextAnalysis.countMatches(col("text"), TextAnalysis.UrlRegex).as("u"),
+        TextAnalysis.countMatches(col("text"), TextAnalysis.LongNumberRegex).as("n"),
+        TextAnalysis.maskPii(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    assert(out(1L)._1 == ((1, 1, 1)))
+    assert(out(1L)._2 ==
+      "mail <EMAIL> or see <URL> then call <NUM> now")
+    assert(out(2L)._1 == ((0, 0, 0)))
+    assert(out(2L)._2 == "clean text with no pii at all")
+  }
+
   test("regex token count: letter runs, digit runs, single marks") {
     val out = docs((1L, "Hello, world! 42 a-b"))
       .select(TextAnalysis.regexTokenCount(col("text")))
