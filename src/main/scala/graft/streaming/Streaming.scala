@@ -114,6 +114,39 @@ object Streaming {
       }.toDF()
   }
 
+  /** Incremental ETL sink: each micro-batch upserts into the
+    * day-partitioned [[graft.load.EventStore]] via `foreachBatch` — the
+    * streaming form of the reference's 15-minute CronJob re-ingest +
+    * idempotent upsert loop (`/root/reference/README.md:176-178`,
+    * `/root/reference/etl/etl_habits.py:24-39`). `Trigger.AvailableNow`
+    * + a shared checkpoint makes each invocation one "cron tick": it
+    * drains whatever arrived since the last run and terminates. Replays
+    * converge because the MERGE is idempotent per key — at-least-once
+    * delivery yields exactly-once store state. The first batch
+    * bootstraps the store.
+    *
+    * Scale notes: each micro-batch rewrites only the day partitions it
+    * touches (dynamic partition overwrite inside `EventStore.upsert`),
+    * so incremental maintenance cost tracks batch size, not store size —
+    * the same bound Timescale's 60-day refresh window provides. */
+  def upsertStream(events: DataFrame, storePath: String,
+      checkpointDir: String,
+      keys: Seq[String] = graft.load.Merge.EventKeys)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val df = batch.toDF()
+          if (new java.io.File(storePath).exists())
+            graft.load.EventStore.upsert(df.sparkSession, storePath, df, keys)
+          else graft.load.EventStore.write(df, storePath)
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run [[habitDailyStream]] over the driver's `events` parquet as a
     * bounded stream (Trigger.AvailableNow → memory sink, complete mode)
     * and return the final table — lets the batch oracle check the

@@ -124,6 +124,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("upsertStream: successive AvailableNow ticks converge the store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ustream_")
+    val store = dir.resolve("events").toString
+    val cp = dir.resolve("cp").toString
+    try {
+      val mem = MemoryStream[(Timestamp, String, String, Double, Option[String], String)]
+      def stream = mem.toDF()
+        .toDF("ts", "user_email", "habit", "value", "notes", "source")
+      // tick 1: bootstrap
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "a@x", "workout", 1.0, Some("n1"), "sheets"),
+        (ts("2024-01-02 10:00:00"), "b@x", "workout", 0.0, None, "sheets"))
+      Streaming.upsertStream(stream, store, cp).awaitTermination()
+      // tick 2: update one key (value replaced, NULL notes keep old),
+      // insert one new key; b@x untouched
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "a@x", "workout", 5.0, None, "sheets"),
+        (ts("2024-01-03 10:00:00"), "c@x", "mood", 7.0, Some("new"), "sheets"))
+      Streaming.upsertStream(stream, store, cp).awaitTermination()
+
+      val out = graft.load.EventStore.read(s, store).collect()
+        .map(r => (r.getAs[String]("user_email"), r.getAs[String]("habit")) ->
+          (r.getAs[Double]("value"), Option(r.getAs[String]("notes"))))
+        .toMap
+      assert(out.size == 3)
+      assert(out(("a@x", "workout")) == ((5.0, Some("n1")))) // COALESCE rule
+      assert(out(("b@x", "workout")) == ((0.0, None)))       // untouched
+      assert(out(("c@x", "mood"))    == ((7.0, Some("new")))) // inserted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("dedupStream drops replayed keys within the watermark") {
     val s = spark
     import s.implicits._
