@@ -43,4 +43,41 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
   test("knn vec_id<8 query filter reaches the embeddings scan") {
     assert(plan("q_knn_bruteforce").contains("LessThan(vec_id,8)"))
   }
+
+  test("knn brute force: partition-local top-k precedes the ranking window") {
+    val p = plan("q_knn_bruteforce")
+    // the pre-window cut is a typed mapPartitions over a local sort —
+    // no Exchange between the scoring join and the local top-k
+    assert(p.contains("MapPartitions"),
+      "partition-local top-k kernel must be in the plan")
+    val mapIdx = p.indexOf("MapPartitions")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && winIdx < mapIdx,
+      "ranking window must consume the pruned (mapPartitions) relation")
+  }
+
+  test("embedding LSH dedup: equi-join on (band, bucket), no cartesian") {
+    val p = plan("q_dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must be a bucket equi-join")
+    assert(p.contains("graft_dot"),
+      "verification must use the native codegen'd dot product")
+    assert(p.contains("InMemoryTableScan"),
+      "bucketed relation must be persisted across the self-join")
+  }
+
+  test("salted top-k: local (key, salt) window prunes before the global one") {
+    val p = plan("q_salted_topk")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "both the local and the global rank filters must push group limits")
+  }
+
+  test("scd2: both window passes reuse one shuffle on the entity keys") {
+    val p = plan("q_scd2")
+    // change detection + interval close partition the same way; Catalyst
+    // must not re-exchange between them
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, // one for the groupBy, one for the windows
+      s"expected the two window passes to share one shuffle, saw $exchanges:\n$p")
+  }
 }
