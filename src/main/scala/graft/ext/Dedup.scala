@@ -91,18 +91,22 @@ object Dedup {
     shingleSets(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("ss")).as("shingle"))
 
-  /** k salted-md5 min-aggs over exploded (id, shingle) rows → one
-    * signature array per id, in ONE hash-aggregate pass (no salt
-    * explosion). Shared by [[minhashSignature]] and [[minhashDupPairs]]. */
-  private def signatureFromRows(rows: DataFrame, idCol: String,
+  /** k salted-md5 min-aggs over exploded (id, shingle) rows, one wide
+    * `_h0.._h{k-1}` column per permutation — ONE hash-aggregate pass (no
+    * salt explosion). Shared by [[minhashSignature]] and
+    * [[minhashDupPairs]]. */
+  private def signatureWide(rows: DataFrame, idCol: String,
       k: Int): DataFrame = {
     val mins = (0 until k).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"_h$j"))
-    rows.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
+    rows.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  private def signatureFromRows(rows: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    signatureWide(rows, idCol, k)
       .select(col(idCol),
         array((0 until k).map(j => col(s"_h$j")): _*).as("sig"))
-  }
 
   /** Exact Jaccard from precomputed (id, ss) shingle-set relations for
     * given (id_a, id_b) pairs. Shared by [[jaccardForPairs]] and
@@ -174,13 +178,24 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
       n: Int = 3): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands")
+    val r = k / bands
     val sets = shingleSets(docs, idCol, textCol, n).persist(Spill)
     val rows = sets.select(col(idCol), explode(col("ss")).as("shingle"))
-    val sig = signatureFromRows(rows, idCol, k)
-    // the banding self-join references its input twice; persist the
-    // (small, bands-rows-per-doc) band relation so the signature
-    // aggregate runs once
-    val banded = bandKeys(sig, idCol, k, bands).persist(Spill)
+    // band keys straight from the wide _h agg columns — value-identical
+    // to bandKeys-over-the-array (concat_ws of the slice elements) but
+    // skips building + re-slicing the signature array per band; the
+    // banding self-join references its input twice, so persist the
+    // (small, bands-rows-per-doc) band relation so the k-min-md5
+    // aggregate — the pipeline's dominant cost — runs once
+    val banded = signatureWide(rows, idCol, k)
+      .select(col(idCol), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws(",",
+            (b * r until (b + 1) * r).map(j => col(s"_h$j")): _*))): _*))
+        .as(Seq("band", "band_key")))
+      .persist(Spill)
     val cand = candidatePairs(banded, idCol)
     jaccardFromSets(cand, sets.withColumnRenamed(idCol, "id"))
       .filter(round(col("jaccard"), 6) >= threshold)
