@@ -431,7 +431,13 @@ object Dedup {
           // filtered out; BigDecimal.valueOf(NaN) would instead THROW and
           // kill the job, so skip before rounding
           val c = s / (na * nb)
-          if (!java.lang.Double.isFinite(c)) Iterator.empty
+          // cheap pre-cut before the exact (allocating) BigDecimal
+          // rounding: HALF_UP can lift a value by at most 0.5e-4, so
+          // anything below threshold − 1e-4 can never round across it —
+          // that's almost every pair, so the BigDecimal path runs only
+          // for the handful of near/above-threshold candidates
+          if (!java.lang.Double.isFinite(c) || c < threshold - 1e-4)
+            Iterator.empty
           else {
             val r = java.math.BigDecimal.valueOf(c)
               .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
