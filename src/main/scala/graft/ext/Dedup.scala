@@ -174,6 +174,10 @@ object Dedup {
     * branches, so it is persisted for the duration of the plan —
     * shingling is ~4× the cost of everything else combined. Size is
     * O(corpus tokens); MEMORY_AND_DISK spills rather than OOMs at scale.
+    * Caching contract: the persists are lazy and REMAIN in the session
+    * cache after the caller's action — release with
+    * `spark.catalog.clearCache()` between runs (see the note above
+    * [[exactGroups]]).
     */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
@@ -215,7 +219,9 @@ object Dedup {
     * sharing zero shingles never materialize (their Jaccard is 0 <
     * threshold by contract). At 100 TB (block, shingle) is the shuffle
     * key; hot shingles bound the skew, so shingle width n sets the
-    * worst-case fan-in. */
+    * worst-case fan-in. Caching contract: the persisted inverted-index
+    * relation stays in the session cache after the caller's action —
+    * `clearCache()` between runs. */
   def ngramDupPairs(docs: DataFrame, idCol: String, textCol: String,
       lenCol: String, threshold: Double = 0.5, blockWidth: Int = 50,
       n: Int = 3): DataFrame = {
@@ -281,7 +287,9 @@ object Dedup {
     * equi-join on (chunk index, chunk value) and verify exact Hamming.
     * No all-pairs scan: the shuffle key is the chunk, bucket sizes are
     * corpus/256 per position. `maxHamming` must stay < chunks for the
-    * pigeonhole guarantee. */
+    * pigeonhole guarantee. Caching contract: the persisted signature
+    * relation stays in the session cache after the caller's action —
+    * `clearCache()` between runs. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7, n: Int = 3): DataFrame = {
     val chunks = 8
@@ -351,7 +359,9 @@ object Dedup {
     * per-bucket cross products stay bounded, and add bands to buy back
     * recall. Planes come from the deterministic md5 derivation
     * ([[Similarity.planes]]) — any engine reproduces the exact
-    * candidate set. */
+    * candidate set. Caching contract: the persisted normalized-corpus
+    * and bucket relations stay in the session cache after the caller's
+    * action — `clearCache()` between runs. */
   def embeddingDupPairsLsh(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 4, bands: Int = 4,
       dim: Int = Similarity.Dim): DataFrame = {
