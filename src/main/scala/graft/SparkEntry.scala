@@ -487,6 +487,16 @@ object SparkEntry {
             .as("kgram_min_fp"))
         .orderBy(col("doc_id"))),
 
+    // Sequence packing: each doc split into consecutive 32-token
+    // training chunks; chunk md5 proves byte-identical chunking.
+    "q_chunk_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenChunks(Tables.read(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 32)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(split(col("chunk"), " ", -1)).cast("long").as("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Gopher-style repeated-n-gram quality signal: fraction of a doc's
     // word 3-grams that repeat an earlier shingle (typed kernel form,
     // value-identical to the expression form per ExtSpec).
@@ -1026,6 +1036,18 @@ object SparkEntry {
                 len(regexp_extract_all(text,
                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_re_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         c AS (SELECT doc_id, l,
+                unnest(generate_series(0, (len(l) - 1) // 32)) AS i FROM t),
+         s AS (SELECT doc_id, i::BIGINT AS chunk_idx,
+                array_to_string(l[i * 32 + 1 : i * 32 + 32], ' ') AS chunk
+              FROM c)
+         SELECT doc_id, chunk_idx,
+                len(string_split(chunk, ' '))::BIGINT AS n_tokens,
+                md5(chunk) AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_idx""",
 
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l

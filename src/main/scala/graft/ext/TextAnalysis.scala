@@ -176,6 +176,25 @@ object TextAnalysis {
 
   def regexTokenCount(text: Column): Column = size(regexTokens(text))
 
+  // ── Sequence chunking ──────────────────────────────────────────────────
+
+  /** Split each document's token stream into consecutive fixed-size
+    * training chunks of `chunkSize` tokens (final partial chunk kept) —
+    * the sequence-packing step of a pre-training pipeline. One output
+    * row per (doc, chunk_idx); per-row expression work only, no
+    * shuffle, so it scales as a narrow map over the corpus. */
+  def tokenChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val t = tokens(col(textCol))
+    docs.select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0), ((size(t) - 1) / lit(chunkSize)).cast("int")),
+          i => concat_ws(" ",
+            slice(t, i * chunkSize + lit(1), lit(chunkSize)))))
+        .as(Seq("chunk_idx", "chunk")))
+  }
+
   // ── Corpus statistics ──────────────────────────────────────────────────
 
   /** Top-k terms per document by tf·idf (idf = ln(N/df)). Corpus size N

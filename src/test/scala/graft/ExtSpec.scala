@@ -76,6 +76,16 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(kernel == exprForm)
   }
 
+  test("tokenChunks packs consecutive fixed-size chunks, partial tail kept") {
+    val out = TextAnalysis.tokenChunks(
+        docs((1L, "a b c d e f g"), (2L, "x")), "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(out == Map(
+      (1L, 0) -> "a b c", (1L, 1) -> "d e f", (1L, 2) -> "g",
+      (2L, 0) -> "x"))
+  }
+
   test("piiScan counts and maskPii redacts emails, urls, long numbers") {
     val d = docs(
       (1L, "mail a@b.co or see https://x.y/z?p=1 then call 12345678 now"),
