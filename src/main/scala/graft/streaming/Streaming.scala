@@ -114,6 +114,31 @@ object Streaming {
       }.toDF()
   }
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key whose timestamp falls in
+    * `[left.ts − lowerBound, left.ts + upperBound]` — the streaming
+    * form of [[graft.ext.RangeJoin]]'s point-in-interval semantics
+    * (e.g. clicks joined to purchases within a 2-hour window, computed
+    * continuously instead of in batch).
+    *
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so Spark can expire join state: each
+    * side's buffer holds only rows inside watermark + interval — state
+    * is O(rate × window), not unbounded. Output columns are prefixed
+    * `l_`/`r_` to keep the two sides' schemas disjoint. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, lowerBound: String, upperBound: String,
+      watermark: String): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+    val l = prefixed(left, "l_").withWatermark(s"l_$tsCol", watermark)
+    val r = prefixed(right, "r_").withWatermark(s"r_$tsCol", watermark)
+    l.join(r, expr(
+      s"""l_$key = r_$key AND
+         |r_$tsCol >= l_$tsCol - interval $lowerBound AND
+         |r_$tsCol <= l_$tsCol + interval $upperBound""".stripMargin))
+  }
+
   /** Incremental ETL sink: each micro-batch upserts into the
     * day-partitioned [[graft.load.EventStore]] via `foreachBatch` — the
     * streaming form of the reference's 15-minute CronJob re-ingest +

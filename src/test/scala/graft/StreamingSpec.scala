@@ -124,6 +124,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("stream-stream interval join pairs keys within the time bounds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[(String, Timestamp, Long)]
+    val purchases = MemoryStream[(String, Timestamp, Double)]
+    clicks.addData(
+      ("u1", ts("2024-01-01 10:00:00"), 1L),
+      ("u1", ts("2024-01-01 13:30:00"), 2L),  // > 2h after the purchase
+      ("u2", ts("2024-01-01 10:30:00"), 3L))  // no purchase for u2
+    purchases.addData(
+      ("u1", ts("2024-01-01 11:00:00"), 9.99))
+    val joined = Streaming.intervalJoinStream(
+      clicks.toDF().toDF("user", "ts", "click_id"),
+      purchases.toDF().toDF("user", "ts", "amount"),
+      key = "user", tsCol = "ts",
+      lowerBound = "0 seconds", upperBound = "2 hours",
+      watermark = "1 hour")
+    val qn = Streaming.nextQueryName("spec_ssj")
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(qn).collect()
+      .map(r => (r.getAs[Long]("l_click_id"), r.getAs[Double]("r_amount")))
+      .toSet
+    // only click 1 has a purchase within (ts, ts + 2h] on its key
+    assert(out == Set((1L, 9.99)))
+  }
+
   test("upsertStream: successive AvailableNow ticks converge the store") {
     val s = spark
     import s.implicits._
