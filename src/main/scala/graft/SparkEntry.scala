@@ -199,6 +199,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))),
 
+    // Deterministic stratified sampling: per-language keep rates (the
+    // training-mix reweighting op), reproducible on any engine.
+    "q_stratified" -> ((s, dir) =>
+      graft.ext.Sampling.stratifiedSample(Tables.read(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          pcts = Map("en" -> 50, "es" -> 25), defaultPct = 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))),
+
+    // Decontamination: test-split docs whose winnowing fingerprint also
+    // appears in the train split (composed from splitLabel + the native
+    // MinKgramHash + a semi-join on fingerprint).
+    "q_contamination" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+        .withColumn("fp",
+          TextAnalysis.minKgramFingerprintNative(col("text"), 8))
+      val trainFps = d.filter(col("split") === "train")
+        .select(col("fp")).distinct()
+      d.filter(col("split") === "test")
+        .select(col("doc_id"), col("fp"))
+        .join(trainFps, "fp")
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_streaks" -> ((s, dir) =>
       Habits.streaks(Tables.eventsAsHabits(s, dir))
         .orderBy(col("user_email"), col("habit"))),
@@ -786,6 +814,35 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_stratified" ->
+      """WITH b AS (SELECT lang, n_chars,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                  % 100 AS bucket
+              FROM documents)
+         SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS sum_chars
+         FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25
+                                  ELSE 10 END
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_contamination" ->
+      """WITH fp AS (SELECT doc_id,
+                CASE WHEN length(text) >= 8 THEN
+                  list_min([list_reduce(list_prepend(0::BIGINT,
+                      [ascii(x)::BIGINT for x in string_split(substr(text, i, 8), '')]),
+                    (a, b) -> (a * 31 + b) % 1000000007)
+                    for i in generate_series(1, length(text) - 7)])
+                ELSE list_reduce(list_prepend(0::BIGINT,
+                      [ascii(x)::BIGINT for x in string_split(text, '')]),
+                    (a, b) -> (a * 31 + b) % 1000000007) END AS fp,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                  % 100 AS bucket
+              FROM documents),
+         tr AS (SELECT DISTINCT fp FROM fp WHERE bucket < 80),
+         te AS (SELECT doc_id, fp FROM fp WHERE bucket >= 90)
+         SELECT te.doc_id, te.fp FROM te JOIN tr ON te.fp = tr.fp
+         ORDER BY te.doc_id""",
 
     "q_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type,

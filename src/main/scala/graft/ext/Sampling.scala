@@ -44,4 +44,20 @@ object Sampling {
     require(pct >= 0 && pct <= 100)
     df.filter(hashBucket(key, 100) < pct)
   }
+
+  /** Deterministic STRATIFIED sample: a keep-percentage per stratum
+    * value (`defaultPct` for unlisted strata) — up-/down-weighting
+    * languages or sources in a training mix. Same contract as
+    * [[hashSample]]: assignment depends only on the key, so changing a
+    * stratum's rate monotonically grows/shrinks its kept set instead of
+    * resampling it (rows kept at 10% stay kept at 20%). */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      pcts: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((pcts.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "percentages must be in [0, 100]")
+    val rate = pcts.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): Column) {
+      case (acc, (v, p)) => when(stratum === v, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, 100) < rate)
+  }
 }

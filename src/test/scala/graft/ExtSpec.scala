@@ -437,6 +437,26 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(n10 + n90rest == 1000L)
   }
 
+  test("stratifiedSample: per-stratum rates, monotone under rate growth") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 600L).map(i => (i, if (i % 2 == 0) "en" else "es"))
+      .toDF("id", "lang")
+    def kept(pcts: Map[String, Int]) =
+      graft.ext.Sampling.stratifiedSample(d, col("id"), col("lang"), pcts, 0)
+        .collect().map(_.getLong(0)).toSet
+    val low = kept(Map("en" -> 20, "es" -> 10))
+    val high = kept(Map("en" -> 40, "es" -> 10))
+    // growing one stratum's rate only ADDS rows — no resampling
+    assert(low.subsetOf(high))
+    // and the es stratum is untouched by the en change
+    val esLow = low.filter(_ % 2 == 1)
+    assert(high.filter(_ % 2 == 1) == esLow)
+    // rough rate sanity on the en stratum (hash-uniform over 300 ids)
+    val enLow = low.count(_ % 2 == 0)
+    assert(enLow > 30 && enLow < 90)
+  }
+
   test("asofJoin picks the latest right row at or before each left ts") {
     val s = spark
     import s.implicits._
