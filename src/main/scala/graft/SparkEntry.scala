@@ -176,6 +176,24 @@ object SparkEntry {
           r6(expr("percentile(value, 0.99)")).as("p99"))
         .orderBy(col("habit"))),
 
+    // Approximate quantiles: the oracle pins `approx_ok = true` — the
+    // sketch's p50 must land within 2% RELATIVE RANK of the exact
+    // distribution (checked against the exact interpolated quantiles at
+    // ±2 percentile points), the accuracy-invariant pattern shared with
+    // q_approx_distinct.
+    "q_approx_quantiles" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(col("habit"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 10000)").as("_ap50"),
+          expr("percentile(value, 0.48)").as("_lo"),
+          expr("percentile(value, 0.52)").as("_hi"),
+          count(lit(1)).as("n"))
+        .select(col("habit"), col("n"),
+          (col("_ap50") >= col("_lo") && col("_ap50") <= col("_hi"))
+            .as("approx_ok"))
+        .orderBy(col("habit"))),
+
     "q_approx_distinct" -> ((s, dir) =>
       Tables.eventsAsHabits(s, dir)
         .groupBy(col("habit"))
@@ -795,6 +813,10 @@ object SparkEntry {
                 round(quantile_cont(value, 0.5), 6) AS p50,
                 round(quantile_cont(value, 0.9), 6) AS p90,
                 round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_approx_quantiles" ->
+      """SELECT event_type AS habit, count(*) AS n, true AS approx_ok
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_approx_distinct" ->
