@@ -231,11 +231,14 @@ object SparkEntry {
     // appears in the train split (composed from splitLabel + the native
     // MinKgramHash + a semi-join on fingerprint).
     "q_contamination" -> ((s, dir) => {
+      // the fingerprint pass feeds both branches below — persist it
+      // (released by the harness clearCache, see Dedup's cache contract)
       val d = Tables.read(s, dir, "documents")
         .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
           Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
         .withColumn("fp",
           TextAnalysis.minKgramFingerprintNative(col("text"), 8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val trainFps = d.filter(col("split") === "train")
         .select(col("fp")).distinct()
       d.filter(col("split") === "test")
@@ -340,24 +343,23 @@ object SparkEntry {
     // only touched days, read back. Same merge contract as
     // q_upsert_merge, so it shares that oracle's expected output.
     "q_upsert_partitioned" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_store_q").resolve("events").toString
-      val existing = Tables.eventsAsHabits(s, dir)
-      graft.load.EventStore.write(existing, path)
-      val batch = existing.filter(col("event_id") % 3 === 0)
-        .withColumn("value", col("value") * 2)
-      graft.load.EventStore.upsert(s, path, batch,
-        keys = Seq("user_email", "habit", "ts"))
-      // materialize, then delete the temp store — otherwise every
-      // verify/bench invocation leaks two copies of events into /tmp
-      val out = graft.load.EventStore.read(s, path)
-        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
-          col("habit"), col("value"), col("props"))
-        .orderBy(col("event_id"))
-        .localCheckpoint(true)
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(path).getParentFile)
-      out
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_q")
+      try {
+        val path = tmp.resolve("events").toString
+        val existing = Tables.eventsAsHabits(s, dir)
+        graft.load.EventStore.write(existing, path)
+        val batch = existing.filter(col("event_id") % 3 === 0)
+          .withColumn("value", col("value") * 2)
+        graft.load.EventStore.upsert(s, path, batch,
+          keys = Seq("user_email", "habit", "ts"))
+        // materialize before the finally deletes the temp store —
+        // otherwise every verify/bench run leaks two copies of events
+        graft.load.EventStore.read(s, path)
+          .select(col("event_id"), ntz(col("ts")).as("ts"),
+            col("user_email"), col("habit"), col("value"), col("props"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
     "q_upsert_merge" -> ((s, dir) => {
@@ -414,16 +416,16 @@ object SparkEntry {
           |45519.25,gina@x.com,y,3,2,
           |""".stripMargin
       val tmp = java.nio.file.Files.createTempDirectory("graft_csv_")
-      java.nio.file.Files.writeString(tmp.resolve("habits.csv"), csv)
-      val wide = s.read.option("header", true).csv(tmp.toString)
-      // materialize before deleting the temp file under the scan
-      val out = HabitTransform.toEvents(wide, cfg3)
-        .select(ntz(col("ts")).as("ts"), col("user_email"), col("habit"),
-          col("value"), col("notes"), col("source"))
-        .orderBy(col("user_email"), col("habit"))
-        .localCheckpoint(true)
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      out
+      try {
+        java.nio.file.Files.writeString(tmp.resolve("habits.csv"), csv)
+        val wide = s.read.option("header", true).csv(tmp.toString)
+        // materialize before deleting the temp file under the scan
+        HabitTransform.toEvents(wide, cfg3)
+          .select(ntz(col("ts")).as("ts"), col("user_email"), col("habit"),
+            col("value"), col("notes"), col("source"))
+          .orderBy(col("user_email"), col("habit"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
     "q_raw_dedup" -> ((s, dir) =>
@@ -1145,12 +1147,12 @@ object SparkEntry {
                 len(regexp_extract_all(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
                   AS n_emails,
-                len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT
-                  AS n_urls,
+                len(regexp_extract_all(text,
+                  'https?://[^ \t\n\r\f]+'))::BIGINT AS n_urls,
                 len(regexp_extract_all(text, '[0-9]{7,}'))::BIGINT
                   AS n_long_numbers,
                 md5(regexp_replace(regexp_replace(regexp_replace(text,
-                  'https?://[^\s]+', '<URL>', 'g'),
+                  'https?://[^ \t\n\r\f]+', '<URL>', 'g'),
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                   '<EMAIL>', 'g'),
                   '[0-9]{7,}', '<NUM>', 'g')) AS masked_md5

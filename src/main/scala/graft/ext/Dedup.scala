@@ -321,9 +321,15 @@ object Dedup {
     * left-to-right double summation as [[dot]] — same value bit for bit,
     * same NULL contract (null input/element or length mismatch → NULL) —
     * without the interpreted per-element lambda dispatch (~10× on the
-    * ANN/near-dup scoring loops). Requires the session to register
-    * `graft.plans.GraftExtensions`. */
-  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+    * ANN/near-dup scoring loops). Sessions that never registered
+    * `graft.plans.GraftExtensions` transparently fall back to the HOF
+    * form (checked once per Column construction, driver-side), so the
+    * public vector APIs stay usable on a plain SparkSession. */
+  def dotNative(a: Column, b: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_dot")))
+      call_function("graft_dot", a, b)
+    else dot(a, b)
 
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))

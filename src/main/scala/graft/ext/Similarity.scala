@@ -82,6 +82,10 @@ object Similarity {
       .select(col("query_id"), col("nn_id"),
         round(Dedup.dotNative(col("qv"), col("cv")) /
           (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
+      // a zero-norm vector's NaN cosine would rank FIRST under Spark's
+      // NaN-is-largest sort — exclude it (same contract as the dedup
+      // verifiers' finite check)
+      .filter(!isnan(col("cos_sim")))
     val pruned = localTopK(scored, k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
@@ -162,6 +166,7 @@ object Similarity {
       .select(col("query_id"), col("nn_id"),
         round(Dedup.dotNative(col("qv"), col("cv")) /
           (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
+      .filter(!isnan(col("cos_sim"))) // zero-norm guard, see knnBruteForce
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -185,6 +190,7 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("nn_id"),
         round(Dedup.dotNative(col("qv"), col("cv")) /
           (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
+      .filter(!isnan(col("cos_sim"))) // zero-norm guard, see knnBruteForce
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -143,10 +143,12 @@ object TextAnalysis {
   // ── PII scanning / redaction ───────────────────────────────────────────
 
   /** ASCII-only regexes shared verbatim with the oracle (Java regex and
-    * RE2 agree on this subset: character classes, bounded repeats,
-    * alternation — no lookaround, no backrefs). */
+    * RE2 agree on this subset: explicit character classes, bounded
+    * repeats, alternation — no lookaround, no backrefs, and no `\s`,
+    * which the engines define differently: Java's includes `\x0B`,
+    * RE2's does not — hence the spelled-out whitespace class). */
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRegex = "https?://[^\\s]+"
+  val UrlRegex = "https?://[^ \\t\\n\\r\\f]+"
   val LongNumberRegex = "[0-9]{7,}"
 
   /** Non-overlapping match count of `regex` in `text`. */

@@ -76,8 +76,12 @@ object Merge {
     * batch share it, like a single INSERT's `now()`.
     */
   def newRawRows(existing: DataFrame, batch: DataFrame,
-      hashCol: String = "row_hash"): DataFrame =
-    batch.dropDuplicates(hashCol)
+      hashCol: String = "row_hash"): DataFrame = {
+    val fresh = batch.dropDuplicates(hashCol)
       .join(existing.select(hashCol), Seq(hashCol), "left_anti")
-      .withColumn("ingested_at", current_timestamp())
+    // a batch replayed from the forensic copy already carries its
+    // original landing stamp — preserve that lineage, don't re-stamp
+    if (batch.columns.contains("ingested_at")) fresh
+    else fresh.withColumn("ingested_at", current_timestamp())
+  }
 }

@@ -164,8 +164,14 @@ object Streaming {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
           val df = batch.toDF()
-          if (new java.io.File(storePath).exists())
-            graft.load.EventStore.upsert(df.sparkSession, storePath, df, keys)
+          val sp = df.sparkSession
+          // Hadoop FileSystem, NOT java.io.File: the store may live on
+          // HDFS/S3, where a local-file exists() is always false and the
+          // bootstrap branch's overwrite would wipe the store every tick
+          val p = new org.apache.hadoop.fs.Path(storePath)
+          val exists = p.getFileSystem(sp.sessionState.newHadoopConf())
+            .exists(p)
+          if (exists) graft.load.EventStore.upsert(sp, storePath, df, keys)
           else graft.load.EventStore.write(df, storePath)
           ()
       }
