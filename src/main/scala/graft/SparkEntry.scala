@@ -65,6 +65,24 @@ object SparkEntry {
           r6(col("sum_meditation")).as("sum_meditation"))
         .orderBy(col("day"), col("user_email"), col("habit"))),
 
+    // Incremental matview refresh (batch form of the reference's
+    // continuous-aggregate policy): rollup state from 80% of events
+    // merged with the remaining 20%'s state must equal the one-shot
+    // rollup — which is exactly what the shared q_habit_daily oracle
+    // proves.
+    "q_habit_daily_incremental" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val stored = Habits.habitDailyState(
+        ev.filter(col("event_id") % 5 < 4), sumHabit = "purchase")
+      val increment = Habits.habitDailyState(
+        ev.filter(col("event_id") % 5 >= 4), sumHabit = "purchase")
+      Habits.finishDaily(Habits.mergeDailyState(stored, increment))
+        .select(ntz(col("day")).as("day"), col("user_email"), col("habit"),
+          col("count_done"), r6(col("avg_value")).as("avg_value"),
+          r6(col("sum_meditation")).as("sum_meditation"))
+        .orderBy(col("day"), col("user_email"), col("habit"))
+    }),
+
     "q_value_by_day" -> ((s, dir) =>
       Habits.valueByDay(Tables.eventsAsHabits(s, dir), lit(7L), "purchase",
           to_timestamp(lit("2024-01-05 00:00:00")),
@@ -687,6 +705,16 @@ object SparkEntry {
       "SELECT DISTINCT event_type AS habit FROM events ORDER BY 1",
 
     "q_habit_daily" ->
+      """SELECT date_trunc('day', ts) AS day,
+                user_id AS user_email,
+                event_type AS habit,
+                count(*) FILTER (WHERE value >= 1) AS count_done,
+                round(avg(value), 6) AS avg_value,
+                round(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
+                  AS sum_meditation
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q_habit_daily_incremental" ->
       """SELECT date_trunc('day', ts) AS day,
                 user_id AS user_email,
                 event_type AS habit,

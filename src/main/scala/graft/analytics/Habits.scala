@@ -33,6 +33,49 @@ object Habits {
         avg(col("value")).as("avg_value"),
         sum(when(col("habit") === sumHabit, col("value"))).as("sum_meditation"))
 
+  /** Combinable partial-aggregate STATE of [[habitDaily]] — the algebra
+    * behind incremental materialized-view refresh (the batch form of
+    * Timescale's continuous-aggregate policy,
+    * `/root/reference/sql/001_schema.sql:43-46`): every state column is
+    * a sum or count, so states computed from disjoint batches merge by
+    * addition instead of re-scanning history. `avg` decomposes into
+    * (sum_value, n_value). */
+  def habitDailyState(events: DataFrame,
+      sumHabit: String = "meditation_minutes"): DataFrame =
+    events.groupBy(
+        dayBucket(col("ts")).as("day"), col("user_email"), col("habit"))
+      .agg(
+        count(when(col("value") >= 1, 1)).as("count_done"),
+        sum(col("value")).as("sum_value"),
+        count(col("value")).as("n_value"),
+        sum(when(col("habit") === sumHabit, col("value"))).as("sum_meditation"))
+
+  /** Merge two [[habitDailyState]] relations computed from DISJOINT
+    * event batches: full-outer join on the bucket keys, state columns
+    * add null-safely (NULL means "no contributing rows on this side";
+    * both NULL stays NULL, preserving sum-of-empty semantics). One
+    * shuffle on the keys — refresh cost tracks the increment, not the
+    * stored history. */
+  def mergeDailyState(stored: DataFrame, increment: DataFrame): DataFrame = {
+    val keys = Seq("day", "user_email", "habit")
+    val states = stored.columns.filterNot(keys.contains).toSeq
+    val inc = states.foldLeft(increment)((d, c) =>
+      d.withColumnRenamed(c, c + "_inc"))
+    stored.join(inc, keys, "full_outer")
+      .select(keys.map(col) ++ states.map { c =>
+        val l = col(c); val r = col(c + "_inc")
+        when(l.isNull && r.isNull, lit(null))
+          .otherwise(coalesce(l, lit(0)) + coalesce(r, lit(0))).as(c)
+      }: _*)
+  }
+
+  /** Finish a (possibly merged) state into the [[habitDaily]] shape. */
+  def finishDaily(state: DataFrame): DataFrame =
+    state.select(col("day"), col("user_email"), col("habit"),
+      col("count_done"),
+      (col("sum_value") / col("n_value")).as("avg_value"),
+      col("sum_meditation"))
+
   /** Grafana time-series panel: per-day sum for one user + habit within a
     * time range (`/root/reference/README.md:122-125`). */
   def valueByDay(events: DataFrame, user: Column, habit: String,

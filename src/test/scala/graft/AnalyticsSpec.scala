@@ -40,6 +40,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(("2025-08-20", "c@d.com", "mood_score")) == (0L, 0.5, None))
   }
 
+  test("incremental state merge equals the one-shot habitDaily rollup") {
+    val ev = mkEvents()
+    // disjoint split: first batch = workout rows, increment = the rest
+    val stored = Habits.habitDailyState(ev.filter(col("habit") === "workout"))
+    val inc = Habits.habitDailyState(ev.filter(col("habit") =!= "workout"))
+    val merged = Habits.finishDaily(Habits.mergeDailyState(stored, inc))
+      .collect().map { r =>
+        (r.getAs[Timestamp]("day"), r.getAs[String]("user_email"),
+          r.getAs[String]("habit")) ->
+          (r.getAs[Long]("count_done"), r.getAs[Double]("avg_value"),
+            Option(r.getAs[java.lang.Double]("sum_meditation")))
+      }.toMap
+    val oneShot = Habits.habitDaily(ev).collect().map { r =>
+      (r.getAs[Timestamp]("day"), r.getAs[String]("user_email"),
+        r.getAs[String]("habit")) ->
+        (r.getAs[Long]("count_done"), r.getAs[Double]("avg_value"),
+          Option(r.getAs[java.lang.Double]("sum_meditation")))
+    }.toMap
+    assert(merged == oneShot)
+  }
+
   test("completionPct matches the README bar-gauge formula") {
     val out = Habits.completionPct(mkEvents(), lit("a@b.com"), Seq("workout"),
       lit(ts("2025-08-18 00:00:00")), lit(ts("2025-08-25 00:00:00"))).collect()
