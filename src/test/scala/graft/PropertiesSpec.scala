@@ -166,6 +166,69 @@ object PropertiesSpec extends Properties("graft") {
       got == expect
     }
 
+  property("tokenChunks reassembles to the original text, any chunk size") =
+    forAll(
+      Gen.listOfN(5, Gen.listOf(Gen.oneOf("a", "bb", "ccc", "", "dd"))
+        .map(_.mkString(" "))),
+      Gen.choose(1, 5)) { (texts, chunkSize) =>
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rejoined = TextAnalysis.tokenChunks(docs, "doc_id", "text", chunkSize)
+        .groupBy(col("doc_id"))
+        .agg(array_join(array_sort(collect_list(
+          struct(col("chunk_idx"), col("chunk")))).getField("chunk"), " ")
+          .as("re"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      texts.zipWithIndex.forall { case (t, i) => rejoined(i.toLong) == t }
+    }
+
+  property("embeddingDupPairsLsh never exceeds brute force, cosines equal") =
+    forAll(Gen.listOfN(12,
+      Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat / 5.0f)))) { vecsRaw =>
+      val s = spark
+      import s.implicits._
+      // drop zero vectors: both paths exclude NaN cosines by contract
+      val vecs = vecsRaw.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+      val e = vecs.toDF("vec_id", "embedding")
+      val lsh = Dedup.embeddingDupPairsLsh(e, "vec_id", "embedding", 0.5,
+          nPlanes = 2, bands = 2, dim = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val brute = Dedup.embeddingDupPairs(e, "vec_id", "embedding", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      lsh.keySet.subsetOf(brute.keySet) &&
+        lsh.forall { case (k, v) => brute(k) == v }
+    }
+
+  property("scd2 intervals chain per key and merge equal runs") =
+    forAll(Gen.listOfN(10, Gen.option(Gen.choose(0, 2)))) { vals =>
+      val s = spark
+      import s.implicits._
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        ("k1", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"),
+          v.map(_.toDouble))
+      }
+      val out = graft.ext.History.scd2(rows.toDF("k", "ts", "v"),
+          Seq("k"), "ts", "v")
+        .orderBy(col("valid_from")).collect()
+        .map(r => (r.getTimestamp(1), Option(r.getTimestamp(2)),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      // naive run compression over the input order
+      val runs = rows.map(r => (r._2, r._3)).foldLeft(
+        List.empty[(java.sql.Timestamp, Option[Double])]) {
+        case (acc, (ts, v)) =>
+          if (acc.nonEmpty && acc.head._2 == v) acc else (ts, v) :: acc
+      }.reverse
+      val expect = runs.zipWithIndex.map { case ((ts, v), i) =>
+        (ts, runs.lift(i + 1).map(_._1), v)
+      }
+      out.toSeq == expect
+    }
+
   property("qualityScore stays within [0, 100]") =
     forAll(Gen.listOfN(8, Gen.asciiPrintableStr.suchThat(_.nonEmpty))) { ts =>
       val s = spark
