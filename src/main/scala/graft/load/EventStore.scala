@@ -34,6 +34,20 @@ object EventStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(DayCol)
 
+  /** Compact the store back to the [[write]] layout contract — one
+    * sorted file per day partition. Repeated partition-scoped upserts
+    * and streaming ticks fragment partitions into many small files
+    * (each micro-batch writes at least one); at 100 TB periodic
+    * compaction is what keeps scan task counts and row-group skipping
+    * healthy. Full rewrite here; at scale, scope it to recently-touched
+    * partitions the same way [[upsert]] scopes its rewrite. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    // localCheckpoint: materialize BEFORE the overwrite deletes the
+    // files the plan would otherwise still be reading
+    val snapshot = read(spark, path).localCheckpoint(true)
+    write(snapshot, path)
+  }
+
   /** Upsert a batch, rewriting ONLY the day partitions the batch
     * intersects (reference semantics via [[Merge.upsertEvents]]: new
     * value wins, notes coalesce). `localCheckpoint` materializes the

@@ -65,6 +65,26 @@ object Merge {
     joined.select(keys.map(col) ++ resolved: _*)
   }
 
+  /** [[upsertEvents]] with SCHEMA EVOLUTION: payload columns present on
+    * only one side are null-filled on the other before the merge, so a
+    * batch that starts carrying a new column (a new form field, a new
+    * enrichment) widens the sink instead of being silently projected
+    * down to the old schema — the ALTER TABLE ADD COLUMN moment of the
+    * reference's Postgres sink, done declaratively. Column order:
+    * existing's columns first, then the batch's new ones. */
+  def upsertEventsEvolving(existing: DataFrame, batch: DataFrame,
+      keys: Seq[String] = EventKeys,
+      seqCol: Option[String] = None): DataFrame = {
+    val batchCols = batch.columns.toSeq.filterNot(seqCol.contains)
+    val newCols = batchCols.filterNot(existing.columns.contains)
+    val missingInBatch = existing.columns.toSeq.filterNot(batchCols.contains)
+    val widenedExisting = newCols.foldLeft(existing)((d, c) =>
+      d.withColumn(c, lit(null).cast(batch.schema(c).dataType)))
+    val widenedBatch = missingInBatch.foldLeft(batch)((d, c) =>
+      d.withColumn(c, lit(null).cast(existing.schema(c).dataType)))
+    upsertEvents(widenedExisting, widenedBatch, keys, seqCol)
+  }
+
   /** Content-addressed append to the raw landing zone: `ON CONFLICT DO
     * NOTHING` on `row_hash` (`/root/reference/etl/etl_habits.py:27-30`,
     * `/root/reference/sql/001_schema.sql:7-11`) becomes within-batch

@@ -41,6 +41,27 @@ class EventStoreSpec extends AnyFunSuite with SparkTestSession {
       Seq("habit", "notes", "ts", "user_email", "value"))
   }
 
+  test("compact collapses fragmented day partitions to one sorted file") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    EventStore.write(events, path)
+    // fragment day 1 with two single-row upserts (each writes new files)
+    Seq(1, 2).foreach { i =>
+      val b = Seq((ts("2024-01-01 10:00:00"), "a@x", "workout",
+        i.toDouble, Option(s"n$i")))
+        .toDF("ts", "user_email", "habit", "value", "notes")
+      EventStore.upsert(s, path, b)
+    }
+    def day1Files() = new java.io.File(path, "day=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = EventStore.read(s, path).collect().map(_.toSeq).toSet
+    EventStore.compact(s, path)
+    assert(day1Files() == 1, "compaction must leave one file per day")
+    val after = EventStore.read(s, path).collect().map(_.toSeq).toSet
+    assert(after == before, "compaction must not change the data")
+  }
+
   test("time-range predicates prune partitions at plan time") {
     val path = tmp()
     EventStore.write(events, path)

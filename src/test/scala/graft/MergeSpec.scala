@@ -86,6 +86,30 @@ class MergeSpec extends AnyFunSuite with SparkTestSession {
     assert(out.head.getAs[String]("notes") == "old note")
   }
 
+  test("upsertEventsEvolving widens the sink with the batch's new column") {
+    import spark.implicits._
+    val batch = Seq(
+      (ts("2025-08-20 17:00:00"), "a@b.com", "workout", 5.0,
+        Option.empty[String], "sheets", "ios"),
+      (ts("2025-08-22 17:00:00"), "e@f.com", "workout", 1.0,
+        Option.empty[String], "sheets", "web"))
+      .toDF("ts", "user_email", "habit", "value", "notes", "source", "device")
+    val out = Merge.upsertEventsEvolving(existing, batch).collect()
+      .map(r => (r.getAs[String]("user_email"), r.getAs[String]("habit")) ->
+        Option(r.getAs[String]("device"))).toMap
+    assert(out.size == 4)
+    assert(out(("a@b.com", "workout")) == Some("ios"))   // updated row
+    assert(out(("e@f.com", "workout")) == Some("web"))   // inserted row
+    assert(out(("c@d.com", "workout")).isEmpty)          // untouched: null
+    // and a batch MISSING a sink column still merges (null-filled)
+    val narrow = Seq((ts("2025-08-20 17:00:00"), "a@b.com", "workout", 9.0))
+      .toDF("ts", "user_email", "habit", "value")
+    val out2 = Merge.upsertEventsEvolving(existing, narrow).collect()
+      .map(r => (r.getAs[String]("user_email"), r.getAs[String]("habit")) ->
+        (r.getAs[Double]("value"), Option(r.getAs[String]("notes")))).toMap
+    assert(out2(("a@b.com", "workout")) == ((9.0, Some("old note"))))
+  }
+
   test("newRawRows: within-batch + against-sink dedup on row_hash") {
     import spark.implicits._
     val sink = Seq(("h1", "p1")).toDF("row_hash", "payload")
