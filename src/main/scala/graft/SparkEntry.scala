@@ -292,6 +292,23 @@ object SparkEntry {
           round(sum(col("value")), 2).as("total"))
         .orderBy(col("day").asc_nulls_first, col("habit").asc_nulls_first)),
 
+    // left-anti join (the newRawRows dedup shape) under the gate
+    // directly: (user, day) pairs with click activity but no purchase.
+    "q_anti_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("user_email"), Habits.dayBucket(col("ts")).as("day"),
+          col("value"))
+      val purchaseDays = ev.filter(col("habit") === "purchase")
+        .select(col("user_email"), Habits.dayBucket(col("ts")).as("day"))
+        .distinct()
+      clicks.join(purchaseDays, Seq("user_email", "day"), "left_anti")
+        .groupBy(col("user_email"), ntz(col("day")).as("day"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("value")), 6).as("click_value"))
+        .orderBy(col("user_email"), col("day"))
+    }),
+
     "q_set_ops" -> ((s, dir) => {
       val ev = Tables.eventsAsHabits(s, dir)
       def users(h: String) =
@@ -944,6 +961,18 @@ object SparkEntry {
          FROM events
          GROUP BY ROLLUP (date_trunc('day', ts), event_type)
          ORDER BY day NULLS FIRST, habit NULLS FIRST""",
+
+    "q_anti_join" ->
+      """SELECT user_id AS user_email, date_trunc('day', ts) AS day,
+                count(*) AS n_clicks, round(sum(value), 6) AS click_value
+         FROM events c
+         WHERE c.event_type = 'click'
+           AND NOT EXISTS (SELECT 1 FROM events p
+                           WHERE p.event_type = 'purchase'
+                             AND p.user_id = c.user_id
+                             AND date_trunc('day', p.ts)
+                                 = date_trunc('day', c.ts))
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_set_ops" ->
       """SELECT 'both' AS grp, user_id AS user_email FROM

@@ -41,4 +41,25 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       .select(col("`Email Address`"), col("`Report Date`")).collect()
     assert(junk.nonEmpty)
   }
+  test("DigestSink: V2 commit combines every partition, order-independent") {
+    import graft.sources.DigestSink
+    val s = spark
+    import s.implicits._
+    val df = (1 to 500)
+      .map(i => (i.toLong, s"row$i", i * 0.5)).toDF("id", "name", "v")
+    DigestSink.clear("spec1"); DigestSink.clear("spec2")
+    df.repartition(1).write.format("graft.sources.DigestSink")
+      .option("runId", "spec1").mode("append").save()
+    df.repartition(7).write.format("graft.sources.DigestSink")
+      .option("runId", "spec2").mode("append").save()
+    val r1 = DigestSink.result("spec1").get
+    val r2 = DigestSink.result("spec2").get
+    // expected digest computed driver-side from the external rows
+    val expect = df.collect().map(r => DigestSink.rowDigest(r.toSeq)).sum
+    assert(r1.rows == 500 && r2.rows == 500)
+    assert(r1.digest == expect && r2.digest == expect,
+      "digest must be partitioning- and order-independent")
+    assert(r1.partitions == 1 && r2.partitions == 7,
+      "driver must have combined one commit message per partition")
+  }
 }
