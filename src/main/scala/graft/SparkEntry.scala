@@ -708,6 +708,19 @@ object SparkEntry {
           r6(col("sum_meditation")).as("sum_meditation"))
         .orderBy(col("day"), col("user_email"), col("habit"))))
 
+  /** One oracle for both the one-shot rollup and its incremental
+    * state-merge equivalent — a single definition so a future fix can't
+    * drift between the two gates. */
+  private val habitDailyOracle =
+    """SELECT date_trunc('day', ts) AS day,
+                user_id AS user_email,
+                event_type AS habit,
+                count(*) FILTER (WHERE value >= 1) AS count_done,
+                round(avg(value), 6) AS avg_value,
+                round(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
+                  AS sum_meditation
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   /** DuckDB-equivalent SQL per query (same parquet tables, table name =
     * file stem). Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -721,25 +734,9 @@ object SparkEntry {
     "q_distinct_habits" ->
       "SELECT DISTINCT event_type AS habit FROM events ORDER BY 1",
 
-    "q_habit_daily" ->
-      """SELECT date_trunc('day', ts) AS day,
-                user_id AS user_email,
-                event_type AS habit,
-                count(*) FILTER (WHERE value >= 1) AS count_done,
-                round(avg(value), 6) AS avg_value,
-                round(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
-                  AS sum_meditation
-         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_habit_daily" -> habitDailyOracle,
 
-    "q_habit_daily_incremental" ->
-      """SELECT date_trunc('day', ts) AS day,
-                user_id AS user_email,
-                event_type AS habit,
-                count(*) FILTER (WHERE value >= 1) AS count_done,
-                round(avg(value), 6) AS avg_value,
-                round(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
-                  AS sum_meditation
-         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_habit_daily_incremental" -> habitDailyOracle,
 
     "q_value_by_day" ->
       """SELECT date_trunc('day', ts) AS day, round(sum(value), 6) AS minutes
@@ -1453,13 +1450,5 @@ object SparkEntry {
                   (a, b) -> (a * 31 + b) % 1000000007) AS checksum
          FROM documents ORDER BY media_id""",
 
-    "q_habit_daily_stream" ->
-      """SELECT date_trunc('day', ts) AS day,
-                user_id AS user_email,
-                event_type AS habit,
-                count(*) FILTER (WHERE value >= 1) AS count_done,
-                round(avg(value), 6) AS avg_value,
-                round(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
-                  AS sum_meditation
-         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+    "q_habit_daily_stream" -> habitDailyOracle)
 }

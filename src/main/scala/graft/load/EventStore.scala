@@ -39,13 +39,26 @@ object EventStore {
     * and streaming ticks fragment partitions into many small files
     * (each micro-batch writes at least one); at 100 TB periodic
     * compaction is what keeps scan task counts and row-group skipping
-    * healthy. Full rewrite here; at scale, scope it to recently-touched
-    * partitions the same way [[upsert]] scopes its rewrite. */
+    * healthy.
+    *
+    * Crash-safe write-to-temp-then-swap: the compacted copy is fully
+    * DURABLE (written beside the store, reading from the live files —
+    * no overwrite-what-you-read, no lineage-truncating checkpoint)
+    * before the old store is touched; a failure at any point leaves at
+    * least one complete copy on disk. Full rewrite here; at scale,
+    * scope it to recently-touched partitions the same way [[upsert]]
+    * scopes its rewrite. */
   def compact(spark: SparkSession, path: String): Unit = {
-    // localCheckpoint: materialize BEFORE the overwrite deletes the
-    // files the plan would otherwise still be reading
-    val snapshot = read(spark, path).localCheckpoint(true)
-    write(snapshot, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
+    fs.delete(tmp, true); fs.delete(old, true) // stale leftovers
+    write(read(spark, path), tmp.toString)
+    fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
   }
 
   /** Upsert a batch, rewriting ONLY the day partitions the batch

@@ -77,7 +77,11 @@ object Merge {
       seqCol: Option[String] = None): DataFrame = {
     val batchCols = batch.columns.toSeq.filterNot(seqCol.contains)
     val newCols = batchCols.filterNot(existing.columns.contains)
-    val missingInBatch = existing.columns.toSeq.filterNot(batchCols.contains)
+    // compare against the batch's FULL column set: if the sink happens to
+    // carry a column named like seqCol, treating it as missing would
+    // null-overwrite the batch's real sequence values
+    val missingInBatch = existing.columns.toSeq
+      .filterNot(batch.columns.contains).filterNot(seqCol.contains)
     val widenedExisting = newCols.foldLeft(existing)((d, c) =>
       d.withColumn(c, lit(null).cast(batch.schema(c).dataType)))
     val widenedBatch = missingInBatch.foldLeft(batch)((d, c) =>

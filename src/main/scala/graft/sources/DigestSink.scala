@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 WRITE path — the sink-side counterpart of
@@ -59,11 +59,38 @@ object DigestSink {
 
   /** Deterministic per-row hash over the row's rendered field values,
     * position-weighted; rows combine by ADDITION so the total is
-    * independent of partitioning and order. */
+    * independent of partitioning and order. Only [[supportedType]]
+    * fields are accepted (enforced at write-build time): atomic types
+    * whose INTERNAL Catalyst value renders canonically — binary /
+    * array / struct / map values have identity-based or non-value
+    * toString and would make the digest nondeterministic. */
   def rowDigest(values: Seq[Any]): Long =
     values.zipWithIndex.map { case (v, i) =>
       (if (v == null) 0L else v.toString.hashCode.toLong) * (i + 1)
     }.sum
+
+  private[sources] def supportedType(t: DataType): Boolean = t match {
+    case _: NumericType => true
+    case StringType | BooleanType | TimestampType | TimestampNTZType |
+         DateType => true
+    case _ => false
+  }
+
+  /** [[rowDigest]] over an EXTERNAL (driver-side) `Row`, converting
+    * temporal values to the internal primitives the executor writers
+    * render — the cross-check companion for audits and specs. */
+  def rowDigestExternal(row: org.apache.spark.sql.Row): Long = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    rowDigest(row.toSeq.map {
+      case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant => DateTimeUtils.instantToMicros(t)
+      case t: java.time.LocalDateTime =>
+        DateTimeUtils.localDateTimeToMicros(t)
+      case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case v => v
+    })
+  }
 }
 
 class DigestTable(schema: StructType, runId: String)
@@ -72,13 +99,19 @@ class DigestTable(schema: StructType, runId: String)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val bad = info.schema().fields.filterNot(f =>
+      DigestSink.supportedType(f.dataType))
+    require(bad.isEmpty,
+      "DigestSink digests atomic columns only (numeric, string, boolean, " +
+        s"timestamp, date); unsupported: ${bad.map(_.name).mkString(", ")}")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new DigestBatchWrite(info.schema(), runId)
       }
     }
+  }
 }
 
 class DigestBatchWrite(schema: StructType, runId: String) extends BatchWrite {

@@ -46,7 +46,9 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     val s = spark
     import s.implicits._
     val df = (1 to 500)
-      .map(i => (i.toLong, s"row$i", i * 0.5)).toDF("id", "name", "v")
+      .map(i => (i.toLong, s"row$i", i * 0.5,
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00")))
+      .toDF("id", "name", "v", "ts")
     DigestSink.clear("spec1"); DigestSink.clear("spec2")
     df.repartition(1).write.format("graft.sources.DigestSink")
       .option("runId", "spec1").mode("append").save()
@@ -55,11 +57,20 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     val r1 = DigestSink.result("spec1").get
     val r2 = DigestSink.result("spec2").get
     // expected digest computed driver-side from the external rows
-    val expect = df.collect().map(r => DigestSink.rowDigest(r.toSeq)).sum
+    // (temporal values converted to the internal primitives the
+    // executor-side writers render)
+    val expect = df.collect().map(DigestSink.rowDigestExternal).sum
     assert(r1.rows == 500 && r2.rows == 500)
     assert(r1.digest == expect && r2.digest == expect,
       "digest must be partitioning- and order-independent")
     assert(r1.partitions == 1 && r2.partitions == 7,
       "driver must have combined one commit message per partition")
+    // non-atomic columns are rejected up front, not silently mis-hashed
+    val err = intercept[Exception] {
+      Seq((1L, Array[Byte](1, 2))).toDF("id", "payload")
+        .write.format("graft.sources.DigestSink")
+        .option("runId", "specbad").mode("append").save()
+    }
+    assert(err.getMessage.contains("unsupported: payload"))
   }
 }
