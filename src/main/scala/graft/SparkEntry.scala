@@ -166,6 +166,19 @@ object SparkEntry {
           r6(avg(col("k"))).as("avg_k"))
         .orderBy(col("habit"))),
 
+    // Spark 4 VARIANT path for semi-structured props: parse once into
+    // the binary variant encoding, extract with variant_get — same
+    // results as the string-path q_json_extract, so it shares the
+    // oracle's expected values.
+    "q_json_variant" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .select(col("habit"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          r6(avg(col("k"))).as("avg_k"))
+        .orderBy(col("habit"))),
+
     "q_json_roundtrip" -> ((s, dir) =>
       Tables.read(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -832,6 +845,12 @@ object SparkEntry {
          ORDER BY habit, value DESC, event_id""",
 
     "q_json_extract" ->
+      """SELECT event_type AS habit, count(*) AS n,
+                sum((props ->> '$.k')::BIGINT)::BIGINT AS sum_k,
+                round(avg((props ->> '$.k')::BIGINT), 6) AS avg_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_json_variant" ->
       """SELECT event_type AS habit, count(*) AS n,
                 sum((props ->> '$.k')::BIGINT)::BIGINT AS sum_k,
                 round(avg((props ->> '$.k')::BIGINT), 6) AS avg_k

@@ -271,6 +271,17 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((1L, 3L)))
   }
 
+  test("native functions resolve from plain SQL text via the extension") {
+    val out = spark.sql(
+      """SELECT graft_polyhash('abc') AS p,
+                graft_minkgram('abcdefghij', 8) AS m,
+                graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""")
+      .head()
+    assert(out.getLong(0) == graft.plans.PolyHash.hash("abc"))
+    assert(out.getLong(1) == graft.plans.MinKgramHash.minHash("abcdefghij", 8))
+    assert(out.getDouble(2) == 11.0)
+  }
+
   test("native graft_dot equals the higher-order-function dot, incl. NULLs") {
     val s = spark
     import s.implicits._

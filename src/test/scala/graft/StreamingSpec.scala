@@ -124,6 +124,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("built-in session_window agrees with the stateful sessionizer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.SessionEvent
+    val mem = MemoryStream[SessionEvent]
+    mem.addData(
+      SessionEvent("u1", ts("2024-01-01 10:00:00")),
+      SessionEvent("u1", ts("2024-01-01 10:10:00")),  // same session
+      SessionEvent("u1", ts("2024-01-01 11:00:00")),  // 50 min gap -> new
+      SessionEvent("u2", ts("2024-01-01 10:00:00")))
+    val qn = Streaming.nextQueryName("spec_sw")
+    // the DECLARATIVE form of sessionizeStream: Spark's native session
+    // window merges events closer than the gap into one window
+    val q = mem.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_email"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sessions = s.table(qn).collect()
+      .map(r => r.getAs[String]("user_email") -> r.getAs[Long]("n_events"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // u1: one 2-event session + one 1-event session; u2: one session —
+    // the same partitioning sessionizeStream (and the batch sessionizer)
+    // produce for this data
+    assert(sessions == Map("u1" -> Seq(1L, 2L), "u2" -> Seq(1L)))
+  }
+
   test("stream-stream interval join pairs keys within the time bounds") {
     val s = spark
     import s.implicits._
