@@ -72,6 +72,24 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "both the local and the global rank filters must push group limits")
   }
 
+  test("QueryMetrics: shuffle bytes and row counts are observable") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 1000).map(i => (s"k${i % 10}", i)).toDF("k", "v")
+      .groupBy(col("k")).agg(org.apache.spark.sql.functions.sum(col("v")))
+    val p = graft.plans.QueryMetrics.profile(df)
+    assert(p.shuffleBytesWritten > 0, "groupBy must report shuffle writes")
+    assert(p.perNode.exists { case (k, v) =>
+      k.startsWith("HashAggregate") && k.contains("number of output rows") &&
+        v >= 10
+    }, s"expected aggregate output rows in ${p.perNode.keys}")
+    // a narrow projection shuffles nothing
+    val narrow = graft.plans.QueryMetrics.profile(
+      (1 to 100).toDF("v").select(col("v") * 2))
+    assert(narrow.shuffleBytesWritten == 0)
+  }
+
   test("scd2: both window passes reuse one shuffle on the entity keys") {
     val p = plan("q_scd2")
     // change detection + interval close partition the same way; Catalyst
