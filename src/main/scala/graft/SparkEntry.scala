@@ -542,6 +542,31 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("rank"))
     }),
 
+    // Bloom-pruned fact⋈dim: lineitem rows shed map-side through a
+    // bloom of the qualifying orders' keys before the exact join — the
+    // explicit form of runtime row-level filtering. False positives are
+    // dropped by the join, so the oracle is the plain unpruned SQL.
+    "q_bloom_join" -> ((s, dir) => {
+      val hot = Tables.read(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+      graft.ext.Bloom.bloomPrunedJoin(
+          Tables.read(s, dir, "lineitem"), hot,
+          "l_orderkey", "o_orderkey", expectedKeys = 20000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // One-scan dataset profile (rows/nulls/NDV/min/max per column) in
+    // long form — the pre-ingest statistics sweep. Exact NDVs ride a
+    // single Expand-based aggregate, not one query per column.
+    "q_profile" -> ((s, dir) =>
+      graft.ext.Profile.profile(Tables.read(s, dir, "events"),
+          Seq("event_id", "user_id", "event_type", "value"))
+        .orderBy(col("col_name"))),
+
     // ── Extension scope: text analysis (SURVEY §7.5) ───────────────────
     "q_token_count" -> ((s, dir) =>
       Tables.read(s, dir, "documents")
@@ -616,6 +641,24 @@ object SparkEntry {
           md5(TextAnalysis.maskPii(col("text"))).as("masked_md5"))
         .orderBy(col("doc_id"))),
 
+    // Exact corpus heavy hitters through the pigeonhole candidate
+    // pre-filter (local count ≥ ⌈minCount/P⌉ guarantees a candidate
+    // superset); the oracle is the plain exact GROUP BY ... HAVING.
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.read(s, dir, "documents"),
+          "text", minCount = 200L)
+        .select(col("term"), col("cnt"))
+        .orderBy(col("term"))),
+
+    // Character-distribution Shannon entropy via the native codegen'd
+    // graft_entropy expression — per-row, shuffle-free; the oracle
+    // recomputes the same log2 formula from per-char counts.
+    "q_char_entropy" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          r6(TextAnalysis.charEntropy(col("text"))).as("char_entropy"))
+        .orderBy(col("doc_id"))),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.read(s, dir, "documents"),
           "doc_id", "text", k = 3)
@@ -635,6 +678,14 @@ object SparkEntry {
       Dedup.ngramDupPairs(Tables.read(s, dir, "documents"),
           "doc_id", "text", "n_chars", threshold = 0.5, blockWidth = 50)
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Typo-tolerant record linkage: Levenshtein ≤ 2 pairs over part
+    // names, blocked on brand + length band (no all-pairs compare);
+    // the oracle brute-forces the same predicate within brands.
+    "q_fuzzy_dedup" -> ((s, dir) =>
+      graft.ext.Fuzzy.editDistancePairs(Tables.read(s, dir, "part"),
+          "p_partkey", "p_name", Seq("p_brand"), maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_dedup_simhash" -> ((s, dir) =>
@@ -1141,6 +1192,46 @@ object SparkEntry {
            FROM orders JOIN customer ON o_custkey = c_custkey
          ) WHERE rank <= 5 ORDER BY c_mktsegment, rank""",
 
+    // plain unpruned join — proves the bloom pre-filter changes nothing
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 450000
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_profile" ->
+      """SELECT * FROM (
+           SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
+                  (count(*) - count(event_id))::BIGINT AS n_null,
+                  count(DISTINCT event_id)::BIGINT AS n_distinct,
+                  min(event_id)::DOUBLE AS min_num,
+                  max(event_id)::DOUBLE AS max_num,
+                  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+           FROM events
+           UNION ALL
+           SELECT 'user_id', count(*)::BIGINT,
+                  (count(*) - count(user_id))::BIGINT,
+                  count(DISTINCT user_id)::BIGINT,
+                  min(user_id)::DOUBLE, max(user_id)::DOUBLE,
+                  NULL::VARCHAR, NULL::VARCHAR
+           FROM events
+           UNION ALL
+           SELECT 'event_type', count(*)::BIGINT,
+                  (count(*) - count(event_type))::BIGINT,
+                  count(DISTINCT event_type)::BIGINT,
+                  NULL::DOUBLE, NULL::DOUBLE,
+                  min(event_type), max(event_type)
+           FROM events
+           UNION ALL
+           SELECT 'value', count(*)::BIGINT,
+                  (count(*) - count(value))::BIGINT,
+                  count(DISTINCT value)::BIGINT,
+                  min(value)::DOUBLE, max(value)::DOUBLE,
+                  NULL::VARCHAR, NULL::VARCHAR
+           FROM events
+         ) ORDER BY col_name""",
+
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, n_chars
          FROM documents ORDER BY doc_id""",
@@ -1230,6 +1321,23 @@ object SparkEntry {
                   '<EMAIL>', 'g'),
                   '[0-9]{7,}', '<NUM>', 'g')) AS masked_md5
          FROM documents ORDER BY doc_id""",
+
+    "q_heavy_hitters" ->
+      """SELECT term, count(*)::BIGINT AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         GROUP BY term HAVING count(*) >= 200 ORDER BY term""",
+
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+                unnest([text[i] for i in generate_series(1, length(text))])
+                  AS c
+              FROM documents),
+         cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k
+              FROM ch GROUP BY 1, 2)
+         SELECT doc_id,
+                round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 6)
+                  AS char_entropy
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -1326,6 +1434,15 @@ object SparkEntry {
          SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
                                  ELSE 0 END)::BIGINT AS simhash
          FROM sv GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_fuzzy_dedup" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                a.p_name AS str_a, b.p_name AS str_b,
+                levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2
+         ORDER BY id_a, id_b""",
 
     "q_dedup_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),

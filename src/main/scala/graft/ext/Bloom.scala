@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join pruning — build a keys-bloom over the (filtered)
+  * dimension side and drop non-matching fact rows BEFORE the join
+  * shuffle. The manual, explicitly-sized form of Spark's own runtime
+  * row-level filtering (`InjectRuntimeFilter`), for when the planner's
+  * heuristics don't fire or the build side comes from outside the query
+  * (e.g. yesterday's key set).
+  *
+  * Scale design: the win case is a dimension too large to broadcast
+  * whose KEY BLOOM still broadcasts — n keys cost ~1.2·n·log2(1/fpp)
+  * bits, e.g. 10M keys at 1% fpp ≈ 14 MB, two orders of magnitude under
+  * the rows themselves. The fact side then sheds (1 − selectivity −
+  * fpp) of its rows map-side, shrinking the join shuffle by the same
+  * factor. False positives are harmless: the exact join that follows
+  * drops them, so the result is identical to the unpruned join (the
+  * oracle proves exactly this). The sketch is built with one
+  * distributed aggregate (`stat.bloomFilter` tree-aggregates partition
+  * blooms); only the fixed-size bitmap ever reaches the driver.
+  */
+object Bloom {
+
+  /** Inner equi-join `fact ⋈ dim ON factKey = dimKey`, with `fact`
+    * pre-filtered through a bloom of `dim`'s keys. Key columns must be
+    * integral (the sketch stores longs).
+    *
+    * @param expectedKeys  sketch sizing — an UPPER bound on distinct
+    *                      `dimKey` values (overshooting wastes bitmap
+    *                      bits; undershooting inflates fpp, which costs
+    *                      shuffle volume but never correctness)
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedKeys > 0, "expectedKeys must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val bloom = dim.select(col(dimKey).cast("long").as(dimKey))
+      .stat.bloomFilter(dimKey, expectedKeys, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+    // Scalar UDF, not codegen — acceptable here: it runs once per fact
+    // row as a standalone filter stage and replaces a full-width
+    // shuffle of the non-matching rows.
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    fact
+      .filter(col(factKey).isNotNull &&
+        mightContain(col(factKey).cast("long")))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Dataset profiling — the schema/statistics sweep a pipeline runs
+  * before ingesting a new data drop: per-column row/null/distinct
+  * counts and min/max, computed in ONE aggregate over the table and
+  * returned in long (one-row-per-column) form.
+  *
+  * Scale design: all statistics for all columns ride a single scan —
+  * never one query per column (k scans of a 100 TB table). The exact
+  * `count_distinct`s make Catalyst plan a single Expand-based
+  * aggregate: still one scan, one shuffle, with rows replicated per
+  * distinct-column — the standard cost of exact multi-column NDV. For
+  * a quick look at wider tables swap in `approx_count_distinct`, which
+  * collapses the plan to one partial-aggregate pass (not used here
+  * because HLL estimates aren't oracle-comparable across engines).
+  * Numeric min/max surface as doubles, everything else as strings, so
+  * heterogeneous columns share one output schema without lossy
+  * cross-type formatting.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        count_distinct(col(c)).as(s"_nd_$c"),
+        (if (numeric) min(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"_mnn_$c"),
+        (if (numeric) max(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"_mxn_$c"),
+        (if (numeric) lit(null).cast("string")
+         else min(col(c)).cast("string")).as(s"_mns_$c"),
+        (if (numeric) lit(null).cast("string")
+         else max(col(c)).cast("string")).as(s"_mxs_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_mnn_$c").as("min_num"),
+        col(s"_mxn_$c").as("max_num"),
+        col(s"_mns_$c").as("min_str"),
+        col(s"_mxs_$c").as("max_str"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

@@ -166,6 +166,12 @@ object TextAnalysis {
         EmailRegex, "<EMAIL>"),
       LongNumberRegex, "<NUM>")
 
+  /** Shannon entropy (bits) of the text's character distribution via
+    * the native codegen'd expression (`graft.plans.CharEntropy`) —
+    * per-row, shuffle-free. Requires `graft.plans.GraftExtensions`. */
+  def charEntropy(text: Column): Column =
+    call_function("graft_entropy", text)
+
   // ── Token counting ─────────────────────────────────────────────────────
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, and single
@@ -195,6 +201,47 @@ object TextAnalysis {
           i => concat_ws(" ",
             slice(t, i * chunkSize + lit(1), lit(chunkSize)))))
         .as(Seq("chunk_idx", "chunk")))
+  }
+
+  // ── Heavy hitters ──────────────────────────────────────────────────────
+
+  /** EXACT heavy hitters (tokens with corpus count ≥ `minCount`) via a
+    * pigeonhole candidate pre-filter: pass 1 counts tokens
+    * partition-locally and keeps those with local count ≥
+    * ⌈minCount / P⌉ — any token with GLOBAL count ≥ minCount must clear
+    * that bar in at least one of the P partitions, so the candidate set
+    * is a guaranteed superset. Pass 2 exact-counts only the candidates
+    * (broadcast semi-join) and applies the true threshold.
+    *
+    * Scale rationale: a plain `groupBy(token).count().filter(...)`
+    * shuffles one partial count per (partition, distinct token) — at
+    * web-corpus vocabulary sizes that is the dominant cost even after
+    * map-side combine. Here the shuffle carries only locally-frequent
+    * candidates (bounded by partitionTokens / localMin per partition)
+    * at the price of a second corpus scan; results are identical, which
+    * is what the oracle checks. */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val toks = docs.select(explode(tokens(col(textCol))).as("term"))
+    val p = toks.rdd.getNumPartitions.max(1)
+    val localMin = (minCount + p - 1) / p
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      it.foreach { t =>
+        val cur = counts.get(t)
+        counts.put(t, if (cur == null) 1L else cur + 1L)
+      }
+      val keep = Vector.newBuilder[String]
+      counts.forEach((k, v) => if (v >= localMin) keep += k)
+      keep.result().iterator
+    }.toDF("term").distinct()
+    toks.join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
   }
 
   // ── Corpus statistics ──────────────────────────────────────────────────

@@ -162,6 +162,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinKgramHash(children.head, k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getCanonicalName,
+        "graft_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_entropy takes exactly 1 argument, got ${children.size}")
+        CharEntropy(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (children: Seq[Expression]) => {

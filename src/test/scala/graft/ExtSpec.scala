@@ -572,4 +572,161 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getAs[Long]("bucket") == buckets(r.getAs[Long]("query_id")))
     }
   }
+
+  // ── Fuzzy (blocked Levenshtein) ────────────────────────────────────────
+
+  test("editDistancePairs finds cross-length-band pairs once, within blocks") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "b1", "widget"),   // len 6, band 2
+      (2L, "b1", "widgets"),  // len 7, band 2 — dist 1 to widget
+      (3L, "b1", "gadget"),   // dist 2 from widget
+      (4L, "b2", "widget"),   // other block: never paired with b1
+      (5L, "b1", "sprocket"), // len 8, band 2, dist > 2 from all
+      (6L, "b1", "aawidget"), // len 8, band 2, dist 2 from widget
+      (7L, "b1", "idget"))    // len 5, band 1 — CROSS-band dist-1 pair
+      .toDF("id", "blk", "name")
+    val got = graft.ext.Fuzzy.editDistancePairs(df, "id", "name",
+        Seq("blk"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 2L), (1L, 6L, 2L),
+      (1L, 7L, 1L), (2L, 7L, 2L), (3L, 7L, 2L)))
+  }
+
+  test("editDistancePairs equals the brute-force predicate on random-ish data") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("cat", "cart", "carts", "chart", "dog", "dig", "dug",
+      "digger", "bigger", "bag", "bags", "bagss")
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, (i % 2).toString, w) }
+      .toDF("id", "blk", "name")
+    val banded = graft.ext.Fuzzy.editDistancePairs(df, "id", "name",
+        Seq("blk"), maxDist = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, i) <- words.zipWithIndex; (b, j) <- words.zipWithIndex
+      if i < j && i % 2 == j % 2
+    } yield (i.toLong, j.toLong, levDist(a, b)))
+      .filter(_._3 <= 2).map(t => (t._1, t._2)).toSet
+    assert(banded == brute)
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // ── Bloom-pruned join ──────────────────────────────────────────────────
+
+  test("bloomPrunedJoin result is identical to the plain join") {
+    val s = spark
+    import s.implicits._
+    val fact = (1L to 200L).map(i => (i, i % 20)).toDF("f_id", "f_key")
+    val dim = Seq((3L, "a"), (7L, "b"), (11L, "c"))
+      .toDF("d_key", "d_val")
+    val pruned = graft.ext.Bloom.bloomPrunedJoin(fact, dim, "f_key", "d_key",
+        expectedKeys = 100L)
+      .select("f_id", "d_val").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = fact.join(dim, col("f_key") === col("d_key"))
+      .select("f_id", "d_val").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned == plain && plain.size == 30)
+  }
+
+  test("bloomPrunedJoin drops null fact keys like an inner join does") {
+    val s = spark
+    import s.implicits._
+    val fact = Seq((1L, java.lang.Long.valueOf(3L)), (2L, null))
+      .toDF("f_id", "f_key")
+    val dim = Seq((3L, "a")).toDF("d_key", "d_val")
+    val out = graft.ext.Bloom.bloomPrunedJoin(fact, dim, "f_key", "d_key", 10L)
+    assert(out.select("f_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  // ── Heavy hitters ──────────────────────────────────────────────────────
+
+  test("heavyHitters equals the exact GROUP BY / HAVING across partitions") {
+    val s = spark
+    import s.implicits._
+    // spread docs over several partitions so the pigeonhole path is real
+    val docs = (0 until 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "hot hot hot warm" else "warm cold" + i)
+    }.toDF("doc_id", "text").repartition(7)
+    val got = TextAnalysis.heavyHitters(docs, "text", minCount = 20L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact: hot=60, warm=40, cold<i> singletons
+    assert(got == Map("hot" -> 60L, "warm" -> 40L))
+  }
+
+  // ── Char entropy ───────────────────────────────────────────────────────
+
+  test("charEntropy matches closed-form values, empty → 0, null → null") {
+    val s = spark
+    import s.implicits._
+    val out = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, ""),
+        (5L, null.asInstanceOf[String]), (6L, "aéé")) // non-ASCII path
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.charEntropy(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
+      .toMap
+    assert(out(1L) == 0.0)                       // single symbol
+    assert(math.abs(out(2L) - 1.0) < 1e-12)      // two equiprobable
+    assert(math.abs(out(3L) - 2.0) < 1e-12)      // four equiprobable
+    assert(out(4L) == 0.0)
+    assert(out(5L) == null)
+    // {a:1, é:2}: H = log2(3) - (1*0 + 2*1)/3
+    assert(math.abs(out(6L) -
+      (math.log(3.0) / math.log(2.0) - 2.0 / 3.0)) < 1e-12)
+  }
+
+  test("charEntropy native expression equals a DataFrame recomputation") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, "zzzzzz zz"),
+      (3L, "a1b2c3 d4e5")).toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 9).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val recomputed = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).cast("double").as("k"))
+      .groupBy("doc_id")
+      .agg(round(log2(sum(col("k"))) -
+        sum(col("k") * log2(col("k"))) / sum(col("k")), 9).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native == recomputed)
+  }
+
+  // ── Profile ────────────────────────────────────────────────────────────
+
+  test("profile computes per-column stats in long form from one scan") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some(2.5), Some("x")),
+      (2L, None, Some("y")),
+      (3L, Some(7.25), None),
+      (4L, Some(2.5), Some("x")))
+      .toDF("id", "v", "tag")
+    val got = graft.ext.Profile.profile(df, Seq("id", "v", "tag"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("id").getLong(1) == 4 && got("id").getLong(2) == 0 &&
+      got("id").getLong(3) == 4 && got("id").getDouble(4) == 1.0 &&
+      got("id").getDouble(5) == 4.0 && got("id").isNullAt(6))
+    assert(got("v").getLong(2) == 1 && got("v").getLong(3) == 2 &&
+      got("v").getDouble(4) == 2.5 && got("v").getDouble(5) == 7.25)
+    assert(got("tag").getLong(2) == 1 && got("tag").getLong(3) == 2 &&
+      got("tag").isNullAt(4) && got("tag").getString(6) == "x" &&
+      got("tag").getString(7) == "y")
+  }
 }

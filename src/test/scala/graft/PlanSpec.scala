@@ -98,4 +98,35 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges <= 2, // one for the groupBy, one for the windows
       s"expected the two window passes to share one shuffle, saw $exchanges:\n$p")
   }
+
+  test("fuzzy dedup: blocked pairing is an equi-join, never a cartesian") {
+    val p = plan("q_fuzzy_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"length-band blocking must keep the join equi-keyed:\n$p")
+  }
+
+  test("bloom join: fact side is filtered BEFORE the join") {
+    val p = plan("q_bloom_join")
+    val joinIdx = p.indexOf("Join")
+    // the bloom probe renders as a scalar UDF inside a Filter on the
+    // fact branch, below the join in the tree (children print after
+    // parents)
+    val filterIdx = p.indexOf("UDF(knownnotnull(l_orderkey", joinIdx.max(0))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom pre-filter must sit under the join on the fact branch:\n$p")
+  }
+
+  test("heavy hitters: candidate semi-join broadcasts, never shuffles tokens") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidates must broadcast into a semi-join:\n$p")
+  }
+
+  test("profile: exact multi-column NDV is ONE Expand scan, not k scans") {
+    val p = plan("q_profile")
+    assert("Expand".r.findAllIn(p).size >= 1, "expected Expand-based NDV")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile must read the table exactly once:\n$p")
+  }
 }
