@@ -464,4 +464,71 @@ object Dedup {
       }
     }.toDF("id_a", "id_b", "cos_sim")
   }
+
+  // ── Cluster resolution ─────────────────────────────────────────────────
+
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step
+    * between any pair-finder above and actually dropping documents: a
+    * corpus keeps ONE survivor per connected component of the duplicate
+    * graph, not per pair (pairs chain: a≈b, b≈c ⇒ {a,b,c} is one
+    * cluster even when a,c were never compared).
+    *
+    * Distributed connected components by iterative min-label
+    * propagation: every node starts labeled with its own id; each round
+    * every node takes the min of its label and its neighbors' labels;
+    * fixpoint = every node carries its component's min id, which
+    * becomes `cluster_id`. Each round is one join + one aggregate —
+    * fully distributed, shuffle-partitioned on node id; the driver only
+    * orchestrates the loop and checks convergence (a 1-row count per
+    * round, like any Pregel-style driver). Rounds needed = graph
+    * diameter, which for near-dup clusters is small (dup clusters are
+    * dense); `maxIterations` bounds hostile chains — the
+    * alternating large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce") drops that to
+    * O(log diameter) if ever needed. Lineage is cut every round
+    * (`localCheckpoint`) so plans don't grow with iterations.
+    *
+    * Output: `(id, cluster_id)` for every node that appears in a pair
+    * — singletons are their own implicit cluster and don't need rows.
+    */
+  def dupClusters(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIterations: Int = 50): DataFrame = {
+    require(maxIterations > 0)
+    val edges = pairs
+      .select(col(idACol).cast("long").as("src"),
+        col(idBCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // both directions, so one join propagates labels along every edge
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(Spill)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    try {
+      while (!converged && round < maxIterations) {
+        // min neighbor label per node, NULL-free by construction
+        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy(sym("src").as("nid"))
+          .agg(min(col("lbl")).as("nbr_lbl"))
+        val next = labels.join(nbrMin, labels("id") === col("nid"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+            (col("nbr_lbl") < col("lbl")).as("_improved"))
+          .localCheckpoint(true) // cut lineage; also materializes the round
+        // the checkpoint above already materialized the round, so this
+        // probe reads cached blocks, not a recompute
+        converged = next.filter(col("_improved")).limit(1).isEmpty
+        labels = next.drop("_improved")
+        round += 1
+      }
+    } finally sym.unpersist()
+    require(converged,
+      s"dupClusters did not converge in $maxIterations rounds — " +
+        "component diameter exceeds the bound; raise maxIterations")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
 }

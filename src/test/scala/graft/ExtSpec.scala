@@ -573,6 +573,52 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // ── Cluster resolution ─────────────────────────────────────────────────
+
+  test("dupClusters resolves chained pairs into components with min-id label") {
+    val s = spark
+    import s.implicits._
+    // component {1,2,3} via chain (1-2, 2-3); pair {8,9}; {5,7} via (7,5)
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L), (7L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      8L -> 8L, 9L -> 8L, 5L -> 5L, 7L -> 5L))
+  }
+
+  test("dupClusters converges on a long path (diameter > one round)") {
+    val s = spark
+    import s.implicits._
+    // path 10-9-8-…-1: min label must walk the full diameter
+    val pairs = (1L until 10L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 10L).map(_ -> 1L).toMap)
+  }
+
+  // ── Curation (composed pipeline) ───────────────────────────────────────
+
+  test("curate gates lang + quality, keeps cluster canonicals, labels splits") {
+    val s = spark
+    import s.implicits._
+    val clean = "the quick brown fox jumps over the lazy dog and it is " +
+      "a fine day for a walk in the park and everyone is happy about it " +
+      "because the sun is out and the air is warm for everyone"
+    val docs = Seq(
+      (1L, clean),                    // en, high quality — canonical
+      (2L, clean),                    // exact dup of 1 → same cluster, dropped
+      (3L, "el que de la casa y un los se no el que de la casa"), // es → gated
+      (4L, "the !!!!!!!"))            // en but low quality → gated
+      .toDF("doc_id", "text")
+    val out = graft.ext.Curation.curate(docs, "doc_id", "text",
+        lang = "en", minQuality = 60.0)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    assert(Set("train", "val").contains(out.head.getAs[String]("split")))
+    assert(out.head.getAs[Double]("quality") >= 60.0)
+  }
+
   // ── Fuzzy (blocked Levenshtein) ────────────────────────────────────────
 
   test("editDistancePairs finds cross-length-band pairs once, within blocks") {
