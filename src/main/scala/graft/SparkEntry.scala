@@ -1353,17 +1353,24 @@ object SparkEntry {
          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
          GROUP BY term HAVING count(*) >= 200 ORDER BY term""",
 
+    // LEFT JOIN back to documents so empty-text docs keep their 0.0 row
+    // and NULL text stays NULL — matching CharEntropy's contract
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id,
                 unnest([text[i] for i in generate_series(1, length(text))])
                   AS c
               FROM documents),
          cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k
-              FROM ch GROUP BY 1, 2)
-         SELECT doc_id,
+              FROM ch GROUP BY 1, 2),
+         e AS (SELECT doc_id,
                 round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 6)
                   AS char_entropy
-         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+              FROM cnt GROUP BY doc_id)
+         SELECT d.doc_id,
+                CASE WHEN d.text IS NULL THEN NULL
+                     ELSE coalesce(e.char_entropy, 0.0) END AS char_entropy
+         FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+         ORDER BY d.doc_id""",
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

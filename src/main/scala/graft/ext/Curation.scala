@@ -32,17 +32,24 @@ object Curation {
       lang: String, minQuality: Double, maxHamming: Int = 7,
       cuts: Seq[(String, Int)] = Seq("train" -> 90),
       lastLabel: String = "val"): DataFrame = {
+    // `kept` feeds two DAG branches (the dedup pipeline and the final
+    // survivor join) — persist so the gate expressions run once per
+    // row. Same caching contract as the Dedup pair-finders: lazy
+    // persist, released by the caller's clearCache between runs.
     val kept = docs
       .select(col(idCol), col(textCol),
         TextAnalysis.qualityScore(col(textCol)).as("quality"),
         TextAnalysis.nTokens(col(textCol)).as("n_tokens"))
       .filter(TextAnalysis.langId(col(textCol)) === lang &&
         col("quality") >= minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clusters =
       Dedup.dupClusters(Dedup.simhashDupPairs(kept, idCol, textCol, maxHamming))
-    kept.join(clusters, kept(idCol) === clusters("id"), "left")
+        // avoid capture by the caller's possible "id"/"cluster_id" names
+        .toDF("_dup_id", "_dup_cluster")
+    kept.join(clusters, kept(idCol) === col("_dup_id"), "left")
       // survivors: docs in no duplicate pair (null cluster) + canonicals
-      .filter(col("id").isNull || col("cluster_id") === kept(idCol))
+      .filter(col("_dup_id").isNull || col("_dup_cluster") === kept(idCol))
       .select(kept(idCol), col("quality"), col("n_tokens"),
         Sampling.splitLabel(kept(idCol), cuts, lastLabel).as("split"))
   }

@@ -494,9 +494,11 @@ object Dedup {
   def dupClusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIterations: Int = 50): DataFrame = {
     require(maxIterations > 0)
+    // ids keep their ORIGINAL type — propagation only needs an ordered
+    // min, which works for numeric and string keys alike (a lossy
+    // cast-to-long here would silently drop string-keyed pairs)
     val edges = pairs
-      .select(col(idACol).cast("long").as("src"),
-        col(idBCol).cast("long").as("dst"))
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     // both directions, so one join propagates labels along every edge
     val sym = edges

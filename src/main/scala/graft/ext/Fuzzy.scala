@@ -52,12 +52,16 @@ object Fuzzy {
     // LESS selective, never incorrect.
     val mask = expr(s"aggregate(split(`$strCol`, ''), CAST(0 AS BIGINT), " +
       "(acc, c) -> acc | shiftleft(CAST(1 AS BIGINT), pmod(ascii(c), 64)))")
+    // both join sides derive from `base`; persist so the scan and the
+    // interpreted per-char mask aggregate run once per row, not twice
+    // (caching contract as in Dedup: lazy persist, caller clearCache)
     val base = df
       .filter(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(blockCols.map(col) ++
         Seq(col(idCol), col(strCol), length(col(strCol)).as("_len"),
           mask.as("_mask"),
           floor(length(col(strCol)) / band).as("_band")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Meet-once banding with MINIMAL fan-out: the build side emits only
     // {b, b+1} (not b−1 too). A same-band pair meets twice (both
     // orientations) — the id order keeps one; a cross-band pair meets

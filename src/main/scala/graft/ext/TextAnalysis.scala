@@ -228,16 +228,27 @@ object TextAnalysis {
     val toks = docs.select(explode(tokens(col(textCol))).as("term"))
     val p = toks.rdd.getNumPartitions.max(1)
     val localMin = (minCount + p - 1) / p
-    val candidates = toks.as[String].mapPartitions { it =>
-      val counts = new java.util.HashMap[String, java.lang.Long]()
-      it.foreach { t =>
-        val cur = counts.get(t)
-        counts.put(t, if (cur == null) 1L else cur + 1L)
-      }
-      val keep = Vector.newBuilder[String]
-      counts.forEach((k, v) => if (v >= localMin) keep += k)
-      keep.result().iterator
-    }.toDF("term").distinct()
+    // Local counting rides a partition-LOCAL sort (Spark's spillable
+    // external sorter — no shuffle) + a streaming run-length scan, so
+    // candidate generation is memory-bounded even when a partition's
+    // vocabulary dwarfs the heap (a hash-map pass would hold every
+    // distinct token and could OOM exactly where plain groupBy spills).
+    val candidates = toks.sortWithinPartitions(col("term")).as[String]
+      .mapPartitions { it =>
+        var current: String = null
+        var run = 0L
+        it.flatMap { t =>
+          if (t == current) {
+            run += 1L
+            // emit exactly once, at the moment the run clears the bar
+            if (run == localMin) Iterator.single(t) else Iterator.empty
+          } else {
+            current = t
+            run = 1L
+            if (localMin == 1L) Iterator.single(t) else Iterator.empty
+          }
+        }
+      }.toDF("term").distinct()
     toks.join(broadcast(candidates), Seq("term"), "left_semi")
       .groupBy(col("term"))
       .agg(count(lit(1)).as("cnt"))

@@ -587,6 +587,17 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       8L -> 8L, 9L -> 8L, 5L -> 5L, 7L -> 5L))
   }
 
+  test("dupClusters keeps string keys (no lossy numeric cast)") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a"))
+  }
+
   test("dupClusters converges on a long path (diameter > one round)") {
     val s = spark
     import s.implicits._
