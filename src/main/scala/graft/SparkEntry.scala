@@ -483,6 +483,36 @@ object SparkEntry {
         .select(col("doc_id"), col("row_hash"), col("n_copies"))
         .orderBy(col("doc_id"))),
 
+    // Ordered conversion funnel over raw events: users reaching each
+    // stage strictly after completing the previous one.
+    "q_funnel" -> ((s, dir) =>
+      Habits.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    // Mergeable-sketch distinct rollup: per-day HLL sketches of user_id
+    // union into weekly estimates WITHOUT touching raw rows again — the
+    // 100 TB pattern for distinct-over-rollup. The estimate itself
+    // isn't cross-engine comparable, so the gate checks the exact
+    // weekly count plus a 5%-accuracy invariant (same pattern as
+    // q_approx_distinct / q_approx_quantiles).
+    "q_hll_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val weekly = daily
+        .groupBy(date_trunc("WEEK", col("day")).as("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev
+        .groupBy(date_trunc("WEEK", date_trunc("DAY", col("ts"))).as("week"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, "week")
+        .select(ntz(col("week")).as("week"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_ok"))
+        .orderBy(col("week"))
+    }),
+
     // ── Scale workload: joins / aggs / window top-k over TPC-H-ish ─────
     "q1_pricing_summary" -> ((s, dir) =>
       Tables.read(s, dir, "lineitem")
@@ -962,6 +992,30 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT event_type AS habit,
                 count(DISTINCT user_id)::BIGINT AS exact_n,
+                true AS approx_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+              WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT * FROM (
+           SELECT 1::BIGINT AS stage_idx, 'view' AS stage,
+                  (SELECT count(*) FROM s1)::BIGINT AS n_users
+           UNION ALL
+           SELECT 2, 'click', (SELECT count(*) FROM s2)
+           UNION ALL
+           SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+         ) ORDER BY stage_idx""",
+
+    "q_hll_rollup" ->
+      """SELECT date_trunc('week', date_trunc('day', ts)) AS week,
+                count(DISTINCT user_id)::BIGINT AS exact_users,
                 true AS approx_ok
          FROM events GROUP BY 1 ORDER BY 1""",
 

@@ -189,6 +189,42 @@ object Habits {
     * `gapMinutes` of inactivity. One shuffle on the partition key; the
     * window sort rides the same partitioning.
     */
+  /** Ordered conversion funnel: how many users performed `stages(0)`,
+    * then `stages(1)` STRICTLY AFTER their first `stages(0)`, then
+    * `stages(2)` strictly after that, … — the standard product-analytics
+    * staged-conversion query. One row per stage with the surviving user
+    * count.
+    *
+    * Stage k's reached-set derives from stage k−1's by an equi-join on
+    * the user plus a time bound, then a min-ts aggregate — so the whole
+    * funnel is a chain of co-partitioned joins/aggregates on the user
+    * key (one logical shuffle key end to end, no windows over the full
+    * event stream). Each reached-set feeds two branches (next stage +
+    * its own count), hence the persist; caller releases via
+    * `clearCache` (same contract as the dedup operators).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val spill = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (stage index, reached-set as (user, first-completion ts))
+    val reached = stages.tail.scanLeft(
+      events.filter(col(typeCol) === stages.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+        .persist(spill)) { (prev, stage) =>
+      events.filter(col(typeCol) === stage).as("e")
+        .join(prev.select(col(userCol).as("_u"), col("_t").as("_prev_t")),
+          col(userCol) === col("_u") && col(tsCol) > col("_prev_t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+        .persist(spill)
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage_idx"),
+          lit(stage).as("stage"), col("n_users"))
+    }.reduce(_ union _)
+  }
+
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -139,4 +139,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("u1" -> 2L, "u2" -> 1L))
   }
+
+  test("funnel requires stages strictly in time order per user") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", "view", ts("2025-08-20 10:00:00")),   // full ordered funnel
+      ("a", "click", ts("2025-08-20 10:05:00")),
+      ("a", "purchase", ts("2025-08-20 10:10:00")),
+      ("b", "click", ts("2025-08-20 09:00:00")),  // click BEFORE view:
+      ("b", "view", ts("2025-08-20 09:30:00")),   //   stalls at stage 1
+      ("c", "view", ts("2025-08-20 08:00:00")),   // stage 1 only
+      ("d", "click", ts("2025-08-20 08:00:00")))  // never viewed
+      .toDF("user_id", "event_type", "ts")
+    val out = Habits.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+  }
 }

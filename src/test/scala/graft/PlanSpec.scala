@@ -123,6 +123,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"candidates must broadcast into a semi-join:\n$p")
   }
 
+  test("funnel: stage chain is equi-joins + aggregates, no windows, no cartesian") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"funnel must chain joins/aggs on the user key:\n$p")
+  }
+
+  test("hll rollup: sketch aggregation splits partial/final (map-side combine)") {
+    val p = plan("q_hll_rollup")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"HLL sketches must partially aggregate before the shuffle:\n$p")
+  }
+
   test("profile: exact multi-column NDV is ONE Expand scan, not k scans") {
     val p = plan("q_profile")
     assert("Expand".r.findAllIn(p).size >= 1, "expected Expand-based NDV")
