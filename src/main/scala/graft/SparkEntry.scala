@@ -30,6 +30,41 @@ object SparkEntry {
   private def ntz(c: Column): Column = c.cast("timestamp_ntz")
   private def r6(c: Column): Column = round(c, 6)
 
+  /** DuckDB oracle for the MinHash+LSH pipeline (k=16, bands=4,
+    * threshold 0.5 over documents); `extraWhere` narrows the final pair
+    * set (used by the incremental variant). */
+  private def minhashOracleSql(extraWhere: String): String = {
+    val k = 16; val bands = 4; val r = k / bands
+    val mins = (0 until k).map(j =>
+      s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+    val bandCases = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(j => s"h$j")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN md5($slice)"
+    }.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+       shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+              THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                  for i in generate_series(1, len(l) - 2)])
+              ELSE [text] END AS ss FROM tok),
+       sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+       sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       band AS (SELECT doc_id, b.b AS band,
+              CASE b.b $bandCases END AS band_key
+            FROM sig, (SELECT unnest(generate_series(0, ${bands - 1})) AS b) b),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id),
+       jac AS (SELECT id_a, id_b,
+              len(list_intersect(x.ss, y.ss))::DOUBLE
+                / len(list_distinct(x.ss || y.ss))::DOUBLE AS j
+            FROM cand JOIN shl x ON x.doc_id = id_a
+                      JOIN shl y ON y.doc_id = id_b)
+       SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac
+       WHERE round(j, 6) >= 0.5$extraWhere ORDER BY id_a, id_b"""
+  }
+
   /** 3-habit config used by the fixture-driven transform queries
     * (mirrors the reference unit-test config,
     * `/root/reference/tests/test_transform.py:3-13`). */
@@ -483,6 +518,14 @@ object SparkEntry {
         .select(col("doc_id"), col("row_hash"), col("n_copies"))
         .orderBy(col("doc_id"))),
 
+    // Rolling 7-day distinct users per day ("7-day actives"): distinct
+    // can't ride a window frame, so (user, day) pairs explode to the 7
+    // window-ends they contribute to, then exact distinct per end.
+    "q_rolling_distinct" -> ((s, dir) =>
+      Habits.rollingDistinct(Tables.events(s, dir), "user_id", "ts", 7)
+        .select(ntz(col("window_end")).as("window_end"), col("n_users"))
+        .orderBy(col("window_end"))),
+
     // Ordered conversion funnel over raw events: users reaching each
     // stage strictly after completing the previous one.
     "q_funnel" -> ((s, dir) =>
@@ -703,6 +746,19 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.5)
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Incremental ingest dedup: only pairs touching the new batch
+    // (doc_id % 10 = 0) are found — existing × existing is never
+    // compared, the per-batch cost at scale.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.minhashDupPairsIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramDupPairs(Tables.read(s, dir, "documents"),
@@ -994,6 +1050,16 @@ object SparkEntry {
                 count(DISTINCT user_id)::BIGINT AS exact_n,
                 true AS approx_ok
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_rolling_distinct" ->
+      """WITH daily AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+              FROM events),
+         days AS (SELECT DISTINCT day FROM daily)
+         SELECT d.day AS window_end, count(DISTINCT a.user_id)::BIGINT
+                  AS n_users
+         FROM days d JOIN daily a
+           ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+         GROUP BY 1 ORDER BY 1""",
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
@@ -1456,37 +1522,12 @@ object SparkEntry {
                 ELSE poly_fp END AS kgram_min_fp
          FROM fp ORDER BY doc_id""",
 
-    "q_dedup_minhash" -> {
-      val k = 16; val bands = 4; val r = k / bands
-      val mins = (0 until k).map(j =>
-        s"min(md5('$j|' || s)) AS h$j").mkString(", ")
-      val bandCases = (0 until bands).map { b =>
-        val slice = (b * r until (b + 1) * r).map(j => s"h$j")
-          .mkString(" || ',' || ")
-        s"WHEN $b THEN md5($slice)"
-      }.mkString(" ")
-      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
-         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
-                THEN list_distinct([array_to_string(l[i:i+2], ' ')
-                                    for i in generate_series(1, len(l) - 2)])
-                ELSE [text] END AS ss FROM tok),
-         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
-         sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         band AS (SELECT doc_id, b.b AS band,
-                CASE b.b $bandCases END AS band_key
-              FROM sig, (SELECT unnest(generate_series(0, ${bands - 1})) AS b) b),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM band a JOIN band b
-                ON a.band = b.band AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id),
-         jac AS (SELECT id_a, id_b,
-                len(list_intersect(x.ss, y.ss))::DOUBLE
-                  / len(list_distinct(x.ss || y.ss))::DOUBLE AS j
-              FROM cand JOIN shl x ON x.doc_id = id_a
-                        JOIN shl y ON y.doc_id = id_b)
-         SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac
-         WHERE round(j, 6) >= 0.5 ORDER BY id_a, id_b"""
-    },
+    "q_dedup_minhash" -> minhashOracleSql(""),
+
+    // identical minhash pipeline, restricted to pairs touching the
+    // batch (doc_id % 10 = 0) — exactly the incremental contract
+    "q_dedup_incremental" ->
+      minhashOracleSql(" AND (id_a % 10 = 0 OR id_b % 10 = 0)"),
 
     "q_dedup_ngram" ->
       """WITH tok AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS l

@@ -189,6 +189,31 @@ object Habits {
     * `gapMinutes` of inactivity. One shuffle on the partition key; the
     * window sort rides the same partitioning.
     */
+  /** Rolling `windowDays`-day distinct users per day — the "7-day
+    * active users" metric. DISTINCT cannot ride a window frame (no
+    * engine supports `count(DISTINCT) OVER (RANGE ...)` at scale), so
+    * the scalable form is: per-day distinct (user, day) pairs, each
+    * EXPLODED to the `windowDays` window-ends it contributes to, then
+    * an exact distinct count per window-end. Work scales as
+    * rows × windowDays with map-side dedup before each shuffle; only
+    * window-ends that are observed event days are reported.
+    */
+  def rollingDistinct(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays > 0)
+    val daily = events
+      .select(dayBucket(col(tsCol)).as("day"), col(userCol).as("_u"))
+      .distinct()
+    val contrib = daily.withColumn("window_end",
+      explode(sequence(col("day"),
+        col("day") + expr(s"INTERVAL ${windowDays - 1} DAYS"),
+        expr("INTERVAL 1 DAY"))))
+    val days = daily.select(col("day").as("window_end")).distinct()
+    contrib.join(days, "window_end")
+      .groupBy(col("window_end"))
+      .agg(count_distinct(col("_u")).as("n_users"))
+  }
+
   /** Ordered conversion funnel: how many users performed `stages(0)`,
     * then `stages(1)` STRICTLY AFTER their first `stages(0)`, then
     * `stages(2)` strictly after that, … — the standard product-analytics

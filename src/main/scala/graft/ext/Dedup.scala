@@ -205,6 +205,55 @@ object Dedup {
       .filter(round(col("jaccard"), 6) >= threshold)
   }
 
+  /** INCREMENTAL MinHash+LSH dedup: near-dup pairs TOUCHING a new
+    * batch — (batch × existing) ∪ (batch × batch) — without ever
+    * comparing existing × existing. This is the daily-ingest shape: the
+    * corpus is already deduplicated; only pairs involving new documents
+    * matter, so candidate generation joins the batch's band keys
+    * against each side instead of self-joining the whole corpus.
+    *
+    * Result contract (what the oracle proves): identical to
+    * `minhashDupPairs(batch ∪ existing, …)` filtered to pairs with at
+    * least one batch id. At 100 TB the existing side's band relation is
+    * computed once and STORED (a signature table maintained by the
+    * ingest job); each batch then pays O(batch) hashing plus a
+    * batch-sized (broadcastable) join against it — per-batch cost
+    * independent of corpus size. Ids must be disjoint across the two
+    * inputs. Caching contract as [[minhashDupPairs]]: lazy persists,
+    * caller releases via `clearCache`.
+    */
+  def minhashDupPairsIncremental(batch: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands")
+    val r = k / bands
+    // shingle each side ONCE; bands and the Jaccard verify both read
+    // from these persisted relations
+    val setsB = shingleSets(batch, idCol, textCol, n).persist(Spill)
+    val setsE = shingleSets(existing, idCol, textCol, n).persist(Spill)
+    def banded(sets: DataFrame): DataFrame =
+      signatureWide(
+          sets.select(col(idCol), explode(col("ss")).as("shingle")), idCol, k)
+        .select(col(idCol), posexplode(
+          array((0 until bands).map(b =>
+            md5(concat_ws(",",
+              (b * r until (b + 1) * r).map(j => col(s"_h$j")): _*))): _*))
+          .as(Seq("band", "band_key")))
+    val bb = banded(setsB).persist(Spill)
+    val be = banded(setsE)
+    // batch × existing: either id order is possible — normalize
+    val newOld = bb.as("a").join(be.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+    val cand = newOld.union(candidatePairs(bb, idCol)).distinct()
+    jaccardFromSets(cand,
+        setsB.unionByName(setsE).withColumnRenamed(idCol, "id"))
+      .filter(round(col("jaccard"), 6) >= threshold)
+  }
+
   // ── Blocked n-gram Jaccard (exact, no hashing) ─────────────────────────
 
   /** Exact n-gram Jaccard dedup with length blocking: each doc lands in

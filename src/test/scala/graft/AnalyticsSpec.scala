@@ -140,6 +140,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map("u1" -> 2L, "u2" -> 1L))
   }
 
+  test("rollingDistinct counts unique users over trailing days, observed ends only") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", ts("2025-08-20 10:00:00")),
+      ("u1", ts("2025-08-20 18:00:00")), // same (user, day): dedups
+      ("u2", ts("2025-08-21 09:00:00")),
+      ("u1", ts("2025-08-29 09:00:00"))) // outside 7d of the 20th/21st
+      .toDF("user_id", "ts")
+    val out = Habits.rollingDistinct(ev, "user_id", "ts", 7).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    // only observed event days report: 20th {u1}=1, 21st {u1,u2}=2,
+    // 29th {u1}=1 (the 21st is 8 days before the 29th — out of window)
+    assert(out == Map("2025-08-20" -> 1L, "2025-08-21" -> 2L,
+      "2025-08-29" -> 1L))
+  }
+
   test("funnel requires stages strictly in time order per user") {
     import spark.implicits._
     val ev = Seq(

@@ -608,6 +608,35 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got == (1L to 10L).map(_ -> 1L).toMap)
   }
 
+  // ── Incremental dedup ──────────────────────────────────────────────────
+
+  test("incremental minhash equals the full run filtered to batch-touching pairs") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank where tall green trees grow beside the quiet water"
+    val all = docs(
+      (1L, base), (2L, base + " today"),          // near-dups (existing)
+      (3L, "completely different words about spark query engines and " +
+        "distributed joins across many partitioned tables"),
+      (10L, base + " again"),                     // batch doc, dup of 1/2
+      (20L, "completely different words about spark query engines and " +
+        "distributed joins across many partitioned tables"))  // batch dup of 3
+    val batch = all.filter(col("doc_id") >= 10)
+    val existing = all.filter(col("doc_id") < 10)
+    val inc = Dedup.minhashDupPairsIncremental(batch, existing,
+        "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashDupPairs(all, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 >= 10 || p._2 >= 10).toSet
+    assert(inc == full && inc.nonEmpty)
+    // and never an existing × existing pair
+    assert(inc.forall { case (a, b) => a >= 10 || b >= 10 })
+  }
+
   // ── Curation (composed pipeline) ───────────────────────────────────────
 
   test("curate gates lang + quality, keeps cluster canonicals, labels splits") {
