@@ -201,13 +201,18 @@ object Habits {
   def rollingDistinct(events: DataFrame, userCol: String, tsCol: String,
       windowDays: Int): DataFrame = {
     require(windowDays > 0)
+    // The spine is DateType end to end: a date sequence steps CALENDAR
+    // days, so window-ends stay aligned with day buckets across DST
+    // transitions in any session timezone (a timestamp + INTERVAL
+    // spine adds fixed 24 h spans and drifts an hour off the buckets).
+    // `daily` feeds two branches (contrib + observed days) → persist,
+    // released by the caller's clearCache as elsewhere.
     val daily = events
-      .select(dayBucket(col(tsCol)).as("day"), col(userCol).as("_u"))
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("_u"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contrib = daily.withColumn("window_end",
-      explode(sequence(col("day"),
-        col("day") + expr(s"INTERVAL ${windowDays - 1} DAYS"),
-        expr("INTERVAL 1 DAY"))))
+      explode(sequence(col("day"), date_add(col("day"), windowDays - 1))))
     val days = daily.select(col("day").as("window_end")).distinct()
     contrib.join(days, "window_end")
       .groupBy(col("window_end"))

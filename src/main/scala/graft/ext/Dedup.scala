@@ -145,6 +145,23 @@ object Dedup {
         .as(Seq("band", "band_key")))
   }
 
+  /** Band keys straight from the wide `_h` signature agg columns —
+    * value-identical to [[bandKeys]]-over-the-array (md5 of the
+    * comma-joined slice) but skips building + re-slicing the signature
+    * array per band. The ONE banding derivation shared by the full and
+    * incremental pipelines, so they cannot silently diverge. */
+  private def bandedFromSets(sets: DataFrame, idCol: String, k: Int,
+      bands: Int): DataFrame = {
+    val r = k / bands
+    signatureWide(
+        sets.select(col(idCol), explode(col("ss")).as("shingle")), idCol, k)
+      .select(col(idCol), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws(",",
+            (b * r until (b + 1) * r).map(j => col(s"_h$j")): _*))): _*))
+        .as(Seq("band", "band_key")))
+  }
+
   /** Distinct candidate pairs (a < b) from shared LSH buckets. The
     * self-join shuffles on (band, band_key) — bucket-local cross
     * products only. */
@@ -184,22 +201,11 @@ object Dedup {
       n: Int = 3): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must divide evenly into bands=$bands")
-    val r = k / bands
     val sets = shingleSets(docs, idCol, textCol, n).persist(Spill)
-    val rows = sets.select(col(idCol), explode(col("ss")).as("shingle"))
-    // band keys straight from the wide _h agg columns — value-identical
-    // to bandKeys-over-the-array (concat_ws of the slice elements) but
-    // skips building + re-slicing the signature array per band; the
-    // banding self-join references its input twice, so persist the
+    // the banding self-join references its input twice, so persist the
     // (small, bands-rows-per-doc) band relation so the k-min-md5
     // aggregate — the pipeline's dominant cost — runs once
-    val banded = signatureWide(rows, idCol, k)
-      .select(col(idCol), posexplode(
-        array((0 until bands).map(b =>
-          md5(concat_ws(",",
-            (b * r until (b + 1) * r).map(j => col(s"_h$j")): _*))): _*))
-        .as(Seq("band", "band_key")))
-      .persist(Spill)
+    val banded = bandedFromSets(sets, idCol, k, bands).persist(Spill)
     val cand = candidatePairs(banded, idCol)
     jaccardFromSets(cand, sets.withColumnRenamed(idCol, "id"))
       .filter(round(col("jaccard"), 6) >= threshold)
@@ -227,25 +233,20 @@ object Dedup {
       k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must divide evenly into bands=$bands")
-    val r = k / bands
     // shingle each side ONCE; bands and the Jaccard verify both read
     // from these persisted relations
     val setsB = shingleSets(batch, idCol, textCol, n).persist(Spill)
     val setsE = shingleSets(existing, idCol, textCol, n).persist(Spill)
-    def banded(sets: DataFrame): DataFrame =
-      signatureWide(
-          sets.select(col(idCol), explode(col("ss")).as("shingle")), idCol, k)
-        .select(col(idCol), posexplode(
-          array((0 until bands).map(b =>
-            md5(concat_ws(",",
-              (b * r until (b + 1) * r).map(j => col(s"_h$j")): _*))): _*))
-          .as(Seq("band", "band_key")))
-    val bb = banded(setsB).persist(Spill)
-    val be = banded(setsE)
-    // batch × existing: either id order is possible — normalize
+    val bb = bandedFromSets(setsB, idCol, k, bands).persist(Spill)
+    val be = bandedFromSets(setsE, idCol, k, bands)
+    // batch × existing: either id order is possible — normalize; the
+    // self-pair guard makes an accidentally re-ingested id (violating
+    // the documented disjointness) yield nothing instead of a phantom
+    // (x, x) dup at jaccard 1.0
     val newOld = bb.as("a").join(be.as("b"),
         col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key"))
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
     val cand = newOld.union(candidatePairs(bb, idCol)).distinct()

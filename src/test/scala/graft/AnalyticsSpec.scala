@@ -149,7 +149,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
       ("u1", ts("2025-08-29 09:00:00"))) // outside 7d of the 20th/21st
       .toDF("user_id", "ts")
     val out = Habits.rollingDistinct(ev, "user_id", "ts", 7).collect()
-      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     // only observed event days report: 20th {u1}=1, 21st {u1,u2}=2,
     // 29th {u1}=1 (the 21st is 8 days before the 29th — out of window)
     assert(out == Map("2025-08-20" -> 1L, "2025-08-21" -> 2L,
