@@ -240,4 +240,58 @@ object PropertiesSpec extends Properties("graft") {
           val q = r.getDouble(0); q >= 0.0 && q <= 100.0
         }
     }
+
+  property("dupClusters == driver-side union-find on random edge lists") =
+    forAll(Gen.listOfN(12,
+        Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { edges =>
+      val s = spark
+      import s.implicits._
+      val nonLoop = edges.filter(e => e._1 != e._2)
+      nonLoop.isEmpty || {
+        val got = Dedup.dupClusters(nonLoop.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: classic union-find with min-id roots
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        def union(a: Long, b: Long): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        nonLoop.foreach { case (a, b) => union(a, b) }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        got == want
+      }
+    }
+
+  property("editDistancePairs == brute-force levenshtein over random words") =
+    forAll(Gen.listOfN(10,
+        Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+          .flatMap(w => Gen.choose(0, 3).map(k => w.take(2 + k))))) { words =>
+      val s = spark
+      import s.implicits._
+      val df = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("id", "name")
+        .withColumn("blk", lit("x"))
+      val got = graft.ext.Fuzzy.editDistancePairs(df, "id", "name",
+          Seq("blk"), maxDist = 1)
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (a, i) <- words.zipWithIndex; (b, j) <- words.zipWithIndex
+        if i < j && lev(a, b) <= 1
+      } yield (i.toLong, j.toLong, lev(a, b).toLong)).toSet
+      got == want
+    }
 }
