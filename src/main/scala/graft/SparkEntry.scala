@@ -640,6 +640,14 @@ object SparkEntry {
           Seq("event_id", "user_id", "event_type", "value"))
         .orderBy(col("col_name"))),
 
+    // Fixed-width value histogram per event_type: 20 buckets over
+    // [0, 500) — distribution profiling as one count aggregate.
+    "q_histogram" -> ((s, dir) =>
+      graft.ext.Profile.histogram(Tables.read(s, dir, "events"),
+          "value", lo = 0.0, hi = 500.0, buckets = 20,
+          groupCols = Seq("event_type"))
+        .orderBy(col("event_type"), col("bucket"))),
+
     // ── Extension scope: text analysis (SURVEY §7.5) ───────────────────
     "q_token_count" -> ((s, dir) =>
       Tables.read(s, dir, "documents")
@@ -1050,6 +1058,14 @@ object SparkEntry {
                 count(DISTINCT user_id)::BIGINT AS exact_n,
                 true AS approx_ok
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_histogram" ->
+      """SELECT event_type,
+                least(greatest(floor((value - 0.0) / 25.0), 0), 19)::BIGINT
+                  AS bucket,
+                count(*)::BIGINT AS n
+         FROM events WHERE value IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_rolling_distinct" ->
       """WITH daily AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id

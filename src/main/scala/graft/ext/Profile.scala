@@ -53,4 +53,24 @@ object Profile {
     }
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Fixed-width value histogram — distribution shape at a glance, the
+    * partner to [[profile]]'s min/max and the exact percentiles query.
+    * One hash-aggregate over the (optionally grouped) rows; bucket
+    * arithmetic is a pure expression, so this scales like any count
+    * aggregate. Values outside [lo, hi) clamp into the edge buckets
+    * (so the histogram always accounts for every non-null row); NULLs
+    * are dropped. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      buckets: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(buckets > 0, "need at least one bucket")
+    require(hi > lo, "hi must exceed lo")
+    val w = (hi - lo) / buckets
+    val bucket = least(greatest(
+        floor((col(valueCol) - lo) / w), lit(0)), lit(buckets - 1))
+      .cast("long").as("bucket")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ bucket: _*)
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -795,6 +795,19 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
 
   // ── Profile ────────────────────────────────────────────────────────────
 
+  test("histogram clamps out-of-range values into edge buckets, drops nulls") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
+        Some(99.9), Some(100.0), Some(250.0), None)
+      .toDF("v")
+    val got = graft.ext.Profile.histogram(df, "v", lo = 0.0, hi = 100.0,
+        buckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -5 clamps to bucket 0; 100 and 250 clamp to bucket 9; null dropped
+    assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 3L))
+  }
+
   test("profile computes per-column stats in long form from one scan") {
     val s = spark
     import s.implicits._
