@@ -640,6 +640,18 @@ object SparkEntry {
           Seq("event_id", "user_id", "event_type", "value"))
         .orderBy(col("col_name"))),
 
+    // Native Morton (Z-order) key over two scaled dimensions — the
+    // clustering key behind Layout.writeZOrdered; the oracle rebuilds
+    // the identical bit interleave arithmetically.
+    "q_zorder" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          graft.load.Layout.zValue(
+            col("value"), 0.0, 500.0,
+            pmod(col("event_id"), lit(256)).cast("double"), 0.0, 256.0,
+            bits = 8).as("z"))
+        .orderBy(col("event_id"))),
+
     // Fixed-width value histogram per event_type: 20 buckets over
     // [0, 500) — distribution profiling as one count aggregate.
     "q_histogram" -> ((s, dir) =>
@@ -1058,6 +1070,18 @@ object SparkEntry {
                 count(DISTINCT user_id)::BIGINT AS exact_n,
                 true AS approx_ok
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH s AS (SELECT event_id,
+             least(greatest(floor((value - 0.0) / 500.0 * 256), 0),
+               255)::BIGINT AS x,
+             (event_id % 256)::BIGINT AS y
+           FROM events)
+         SELECT event_id, ($terms)::BIGINT AS z FROM s ORDER BY event_id"""
+    },
 
     "q_histogram" ->
       """SELECT event_type,

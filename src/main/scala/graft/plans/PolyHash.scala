@@ -171,6 +171,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharEntropy(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZInterleave].getCanonicalName,
+        "graft_zorder"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_zorder takes exactly 2 arguments, got ${children.size}")
+        ZInterleave(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (children: Seq[Expression]) => {
