@@ -1076,8 +1076,9 @@ object SparkEntry {
         s"(((x >> $i) & 1) << ${2 * i})",
         s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"""WITH s AS (SELECT event_id,
-             least(greatest(floor((value - 0.0) / 500.0 * 256), 0),
-               255)::BIGINT AS x,
+             CASE WHEN value IS NULL THEN NULL
+                  ELSE least(greatest(floor((value - 0.0) / 500.0 * 256), 0),
+                    255)::BIGINT END AS x,
              (event_id % 256)::BIGINT AS y
            FROM events)
          SELECT event_id, ($terms)::BIGINT AS z FROM s ORDER BY event_id"""

@@ -22,12 +22,18 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Scale a numeric column into `[0, 2^bits)` given inclusive-range
-    * bounds; out-of-range values clamp to the edges. */
+    * bounds; out-of-range values clamp to the edges, NULL propagates
+    * (Spark's greatest/least SKIP nulls, so the clamp alone would
+    * silently turn NULL into 0 — the explicit gate keeps the
+    * null-in-null-out contract of the z expression). `bits` caps at 31
+    * so the scaled value always fits a signed Int (2^32-range values
+    * would overflow the cast under ANSI mode). */
   def scaled(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
     require(hi > lo, "hi must exceed lo")
-    require(bits > 0 && bits <= 32, "bits must be in [1, 32]")
-    least(greatest(floor((c - lo) / (hi - lo) * (1L << bits)), lit(0)),
-      lit((1L << bits) - 1)).cast("int")
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    when(c.isNotNull,
+      least(greatest(floor((c - lo) / (hi - lo) * (1L << bits)), lit(0)),
+        lit((1L << bits) - 1)).cast("int"))
   }
 
   /** 64-bit Morton key of two scaled dimensions (x → even bits,
@@ -43,6 +49,8 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, z: Column,
       numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    require(!df.columns.contains("_z"),
+      "input already has a '_z' column — rename it before writeZOrdered")
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

@@ -23,6 +23,15 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
       (ZInterleave.spread(2) | (ZInterleave.spread(3) << 1)))
   }
 
+  test("scaled propagates NULL instead of clamping it to 0") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(Some(5.0), None).toDF("v")
+      .select(Layout.scaled(col("v"), 0.0, 10.0, bits = 4).as("b"))
+      .collect()
+    assert(out(0).getInt(0) == 8 && out(1).isNullAt(0))
+  }
+
   test("graft_zorder expression equals the driver-side reference") {
     val s = spark
     import s.implicits._
@@ -50,15 +59,13 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
       grid.repartitionByRange(8, col("x")).sortWithinPartitions(col("x"))
         .write.mode("overwrite").parquet(xPath)
       def avgYRange(path: String): Double = {
-        val files = new java.io.File(path).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-        assert(files.length >= 4, s"expected several files at $path")
-        val ranges = files.map { f =>
-          val r = s.read.parquet(f.getAbsolutePath)
-            .agg(min(col("y")), max(col("y"))).head()
-          (r.getInt(1) - r.getInt(0)).toDouble / 63.0
-        }
+        // one scan: per-file min/max via input_file_name, not a job per file
+        val ranges = s.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col("y")).as("lo"), max(col("y")).as("hi"))
+          .collect()
+          .map(r => (r.getInt(2) - r.getInt(1)).toDouble / 63.0)
+        assert(ranges.length >= 4, s"expected several files at $path")
         ranges.sum / ranges.length
       }
       val zRange = avgYRange(zPath)
