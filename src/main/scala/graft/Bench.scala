@@ -44,10 +44,20 @@ object Bench {
         }
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole line comfortably inside a
+    // tail-capped log capture (full 1e-9 doubles pushed the 70+-query
+    // line past 2000 chars and it arrived truncated mid-JSON); 3
+    // decimals is far below run-to-run variance anyway.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // durable full copy beside the repo sources, immune to log capture
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -36,6 +36,18 @@ object Bloom {
       dimKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedKeys > 0, "expectedKeys must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    // The sketch stores longs; a non-integral key would cast to null,
+    // silently dropping fact rows the exact join would match. Fail fast
+    // instead of breaking the result-identical-to-unpruned-join contract.
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    Seq(fact.schema(factKey) -> factKey, dim.schema(dimKey) -> dimKey)
+      .foreach { case (f, n) =>
+        require(integral.contains(f.dataType),
+          s"bloomPrunedJoin requires an integral key column; '$n' is " +
+            s"${f.dataType.simpleString}")
+      }
     val bloom = dim.select(col(dimKey).cast("long").as(dimKey))
       .stat.bloomFilter(dimKey, expectedKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)

@@ -536,7 +536,13 @@ object Dedup {
     * alternating large-star/small-star variant (Kiveris et al.,
     * "Connected Components in MapReduce") drops that to
     * O(log diameter) if ever needed. Lineage is cut every round
-    * (`localCheckpoint`) so plans don't grow with iterations.
+    * (`localCheckpoint`) so plans don't grow with iterations, and each
+    * round's checkpointed blocks are explicitly unpersisted once the
+    * next round has materialized — RDD-checkpoint storage is outside
+    * `spark.catalog.clearCache`'s reach, so without this a
+    * high-iteration run would hold up to `maxIterations` copies of the
+    * label relation until the ContextCleaner happened to GC them. Only
+    * the RETURNED round's blocks stay live (the caller is reading them).
     *
     * Output: `(id, cluster_id)` for every node that appears in a pair
     * — singletons are their own implicit cluster and don't need rows.
@@ -555,6 +561,15 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(Spill)
+    // free a round's localCheckpoint blocks: the checkpointed RDD lives
+    // under the LogicalRDD leaf the checkpoint returned (catalog
+    // clearCache only covers Dataset-level cache entries, not these)
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
@@ -574,6 +589,10 @@ object Dedup {
         // the checkpoint above already materialized the round, so this
         // probe reads cached blocks, not a recompute
         converged = next.filter(col("_improved")).limit(1).isEmpty
+        // next is fully materialized in its own blocks — the previous
+        // round's copy is unreachable from here on; free it now instead
+        // of stacking maxIterations copies for the ContextCleaner
+        releaseCheckpoint(labels)
         labels = next.drop("_improved")
         round += 1
       }

@@ -45,9 +45,17 @@ object EventStore {
     * DURABLE (written beside the store, reading from the live files —
     * no overwrite-what-you-read, no lineage-truncating checkpoint)
     * before the old store is touched; a failure at any point leaves at
-    * least one complete copy on disk. Full rewrite here; at scale,
-    * scope it to recently-touched partitions the same way [[upsert]]
-    * scopes its rewrite. */
+    * least one complete copy on disk. Hadoop `FileSystem.rename` reports
+    * most failures by returning false rather than throwing, so each swap
+    * step is `require`d: a false from the first rename aborts with the
+    * live store untouched; a false from the second aborts with the
+    * complete compacted copy still at `_compacting` and the pre-swap
+    * store at `_precompact` (recover by renaming `_precompact` back —
+    * readers see a missing `path` only between the two renames, which is
+    * the unavoidable window of a swap on stores without atomic dir
+    * rename-over). Full rewrite here; at scale, scope it to
+    * recently-touched partitions the same way [[upsert]] scopes its
+    * rewrite. */
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -56,8 +64,11 @@ object EventStore {
     val old = new org.apache.hadoop.fs.Path(path + "_precompact")
     fs.delete(tmp, true); fs.delete(old, true) // stale leftovers
     write(read(spark, path), tmp.toString)
-    fs.rename(dst, old)
-    fs.rename(tmp, dst)
+    require(fs.rename(dst, old),
+      s"compact: failed to move live store $dst aside to $old; store left untouched")
+    require(fs.rename(tmp, dst),
+      s"compact: failed to move compacted copy $tmp into place at $dst; " +
+        s"pre-compaction store preserved at $old — rename it back to recover")
     fs.delete(old, true)
   }
 

@@ -75,6 +75,13 @@ object Merge {
   def upsertEventsEvolving(existing: DataFrame, batch: DataFrame,
       keys: Seq[String] = EventKeys,
       seqCol: Option[String] = None): DataFrame = {
+    // seqCol is deliberately excluded from null-filling below (a null
+    // sequence would scramble the within-batch ordering), so it MUST
+    // ride the batch — fail here with the contract, not later as an
+    // unresolved-column error inside upsertEvents's window ordering
+    seqCol.foreach(c => require(batch.columns.contains(c),
+      s"upsertEventsEvolving: sequence column '$c' must be present on " +
+        s"the batch (batch columns: ${batch.columns.mkString(", ")})"))
     val batchCols = batch.columns.toSeq.filterNot(seqCol.contains)
     val newCols = batchCols.filterNot(existing.columns.contains)
     // compare against the batch's FULL column set: if the sink happens to

@@ -36,7 +36,8 @@ object QueryMetrics {
       case q: QueryStageExec => p +: allNodes(q.plan)
       case _ => p +: p.children.flatMap(allNodes)
     }
-    val nodeMetrics = allNodes(qe.executedPlan).flatMap { p =>
+    val nodes = allNodes(qe.executedPlan)
+    val nodeMetrics = nodes.flatMap { p =>
       p.metrics.toSeq.map { case (key, m) =>
         (s"${p.nodeName}: ${m.name.getOrElse(key)}", m.value)
       }
@@ -46,10 +47,18 @@ object QueryMetrics {
     def sumWhere(pred: String => Boolean): Long =
       byName.collect { case (k, v) if pred(k.toLowerCase) => v }.sum
     Profile(
-      outputRows = byName.collect {
-        // the root node's row count: prefer the last projection/agg
-        case (k, v) if k.endsWith("number of output rows") => v
-      }.maxOption.getOrElse(0L),
+      // result cardinality = the TOPMOST node carrying a row-count
+      // metric (`nodes` is pre-order, root first). Cardinality-
+      // preserving tops without the metric (Project, Sort, WSCG
+      // wrappers) are skipped past to the first counted node below
+      // them — never the max across the tree, which is normally the
+      // scan's input row count, not the result size.
+      outputRows = nodes.iterator.flatMap { p =>
+        p.metrics.collectFirst {
+          case (k, m) if m.name.getOrElse(k) == "number of output rows" =>
+            m.value
+        }
+      }.nextOption().getOrElse(0L),
       shuffleBytesWritten = sumWhere(_.contains("shuffle bytes written")),
       spillBytes = sumWhere(_.contains("spill size")),
       perNode = byName)

@@ -608,6 +608,28 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got == (1L to 10L).map(_ -> 1L).toMap)
   }
 
+  test("dupClusters frees each round's checkpoint blocks as it iterates") {
+    val s = spark
+    import s.implicits._
+    val sc = s.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // long path forces many propagation rounds — without the per-round
+    // release this leaves one persisted label RDD PER ROUND behind
+    val pairs = (1L until 30L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs)
+    assert(out.count() == 30)
+    val leftover = sc.getPersistentRDDs.keySet -- before
+    // only the returned round (the caller is still reading it) may
+    // remain persisted, not the ladder of intermediate rounds
+    assert(leftover.size <= 2,
+      s"expected at most the final round's blocks, found ${leftover.size}")
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   // ── Incremental dedup ──────────────────────────────────────────────────
 
   test("incremental minhash equals the full run filtered to batch-touching pairs") {
@@ -736,6 +758,19 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     val dim = Seq((3L, "a")).toDF("d_key", "d_val")
     val out = graft.ext.Bloom.bloomPrunedJoin(fact, dim, "f_key", "d_key", 10L)
     assert(out.select("f_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("bloomPrunedJoin rejects non-integral keys instead of dropping rows") {
+    val s = spark
+    import s.implicits._
+    // a string key would cast("long") to null in the bloom probe and
+    // silently lose matching fact rows — the guard must fire up front
+    val fact = Seq((1L, "k3")).toDF("f_id", "f_key")
+    val dim = Seq(("k3", "a")).toDF("d_key", "d_val")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.Bloom.bloomPrunedJoin(fact, dim, "f_key", "d_key", 10L)
+    }
+    assert(ex.getMessage.contains("integral"))
   }
 
   // ── Heavy hitters ──────────────────────────────────────────────────────

@@ -110,6 +110,18 @@ class MergeSpec extends AnyFunSuite with SparkTestSession {
     assert(out2(("a@b.com", "workout")) == ((9.0, Some("old note"))))
   }
 
+  test("upsertEventsEvolving demands the sequence column on the batch") {
+    import spark.implicits._
+    val batch = Seq((ts("2025-08-20 17:00:00"), "a@b.com", "workout", 5.0))
+      .toDF("ts", "user_email", "habit", "value")
+    val ex = intercept[IllegalArgumentException] {
+      Merge.upsertEventsEvolving(existing, batch, seqCol = Some("seq"))
+    }
+    // the contract error, not a downstream unresolved-column analysis error
+    assert(ex.getMessage.contains("seq") &&
+      ex.getMessage.contains("batch"))
+  }
+
   test("newRawRows: within-batch + against-sink dedup on row_hash") {
     import spark.implicits._
     val sink = Seq(("h1", "p1")).toDF("row_hash", "payload")

@@ -84,6 +84,10 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       k.startsWith("HashAggregate") && k.contains("number of output rows") &&
         v >= 10
     }, s"expected aggregate output rows in ${p.perNode.keys}")
+    // outputRows is the RESULT cardinality (topmost counted node: the
+    // final aggregate's 10 groups), not the 1000-row scan the old
+    // max-across-the-tree read reported
+    assert(p.outputRows == 10, s"result cardinality, got ${p.outputRows}")
     // a narrow projection shuffles nothing
     val narrow = graft.plans.QueryMetrics.profile(
       (1 to 100).toDF("v").select(col("v") * 2))
