@@ -293,6 +293,83 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))),
 
+    // Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): per
+    // language, the 5 docs drawn with probability ∝ n_chars — the
+    // portable-md5 priority makes the draw engine-independent, so the
+    // oracle reproduces the exact sample.
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ext.Sampling.weightedTopK(Tables.read(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), Seq(col("lang")), k = 5)
+        .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
+    // CDC apply — MERGE with deletes: a deterministic change feed
+    // (seq-superseded stale updates, updates, deletes, inserts) applied
+    // to the events table as the keyed sink. The stale seq=1 update
+    // must lose to the seq=2 winner — the oracle's closed form assumes
+    // exactly that.
+    "q_cdc_apply" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      def feedCols(value: Column, op: String, seq: Long) = Seq(
+        col("user_id"), col("event_type"), value.as("value"),
+        lit(op).as("op"), lit(seq).as("seq"))
+      val stale = ev.filter(col("event_id") % 7 === 1)
+        .select(col("event_id") +: feedCols(lit(-1d), "U", 1L): _*)
+      val updates = ev.filter(col("event_id") % 7 === 1)
+        .select(col("event_id") +: feedCols(col("value") + 100d, "U", 2L): _*)
+      val deletes = ev.filter(col("event_id") % 7 === 2)
+        .select(col("event_id") +:
+          feedCols(lit(null).cast("double"), "D", 3L): _*)
+      val inserts = ev.filter(col("event_id") % 7 === 3)
+        .select((col("event_id") + 10000000L).as("event_id") +:
+          feedCols(col("value"), "I", 1L): _*)
+      val feed = stale.union(updates).union(deletes).union(inserts)
+      Merge.applyCdc(ev, feed, keys = Seq("event_id"), seqCol = "seq")
+        .orderBy(col("event_id"))
+    }),
+
+    // Sub-document dedup (CCNet/RefinedWeb line-dedup analog): segments
+    // = non-overlapping 8-word windows; any segment recurring corpus-
+    // wide is dropped and the survivors reassemble in document order.
+    "q_dedup_lines" -> ((s, dir) =>
+      Dedup.segmentDedup(Tables.read(s, dir, "documents"), "doc_id",
+          "text", n = 8, maxOccurrences = 2)
+        .select(col("id").as("doc_id"), col("kept_segments"),
+          col("dropped_segments"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
+    // Int8 embedding quantization: integer code stats are exact on any
+    // engine; the oracle additionally pins recon_ok = true (per-dim
+    // reconstruction error within scale/2).
+    "q_embed_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(
+        Tables.read(s, dir, "embeddings"), "embedding")
+      q.select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long"))
+          .as("q_sum"),
+        array_min(col("q")).cast("long").as("q_min"),
+        array_max(col("q")).cast("long").as("q_max"),
+        r6(col("scale")).as("scale_r"),
+        forall(zip_with(col("q"), col("embedding"), (qi, x) =>
+          abs(qi.cast("double") * col("scale") - x.cast("double")) <=
+            col("scale") / 2 + lit(1e-9)), b => b).as("recon_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // kNN over the int8 codes: ranking is pure integer arithmetic, so
+    // the cut is bit-exact across engines (no float rounding anywhere).
+    "q_knn_quantized" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnQuantizedInt8(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("qdot"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Decontamination: test-split docs whose winnowing fingerprint also
     // appears in the train split (composed from splitLabel + the native
     // MinKgramHash + a semi-join on fingerprint).
@@ -1148,6 +1225,98 @@ object SparkEntry {
          WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25
                                   ELSE 10 END
          GROUP BY 1 ORDER BY 1""",
+
+    // A-ES priority = ln((md5₆₀ + 1) / 2⁶⁰) / weight, reproduced with
+    // the same order of operations (hash → double → +1 → divide → ln)
+    "q_weighted_sample" ->
+      """WITH b AS (SELECT lang, doc_id, n_chars,
+                ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                      ::UBIGINT::DOUBLE + 1)
+                   / 1152921504606846976.0) / n_chars::DOUBLE AS pri
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT lang, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY pri DESC, doc_id)::BIGINT AS sample_rank
+              FROM b)
+         SELECT lang, sample_rank, doc_id, n_chars FROM r
+         WHERE sample_rank <= 5 ORDER BY lang, sample_rank""",
+
+    // closed form of the CDC feed: %7=2 keys deleted, %7=1 keys take
+    // the seq-2 update (the stale seq-1 change is superseded), %7=3
+    // keys re-inserted at event_id+10M
+    "q_cdc_apply" ->
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_id % 7 = 1 THEN value + 100
+                     ELSE value END AS value
+         FROM events WHERE event_id % 7 <> 2
+         UNION ALL
+         SELECT event_id + 10000000, user_id, event_type, value
+         FROM events WHERE event_id % 7 = 3
+         ORDER BY event_id""",
+
+    "q_dedup_lines" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         seg AS (SELECT doc_id, t.w AS pos,
+                array_to_string(l[t.w * 8 + 1 : t.w * 8 + 8], ' ') AS seg
+              FROM tok, unnest(generate_series(0, (len(l) - 1) // 8))
+                AS t(w)),
+         freq AS (SELECT seg, count(*) AS n_occ FROM seg GROUP BY seg),
+         keep AS (SELECT s.doc_id, s.pos, s.seg
+              FROM seg s JOIN freq f USING (seg) WHERE f.n_occ < 2),
+         agg AS (SELECT doc_id, count(*) AS kept_segments,
+                string_agg(seg, ' ' ORDER BY pos) AS clean_text
+              FROM keep GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS total FROM seg GROUP BY doc_id)
+         SELECT t.doc_id,
+                coalesce(a.kept_segments, 0)::BIGINT AS kept_segments,
+                (t.total - coalesce(a.kept_segments, 0))::BIGINT
+                  AS dropped_segments,
+                md5(coalesce(a.clean_text, '')) AS clean_md5
+         FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
+
+    "q_embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                  AS ma
+              FROM embeddings),
+         q AS (SELECT vec_id, ma,
+                CASE WHEN ma = 0
+                  THEN list_transform(embedding, x -> 0::BIGINT)
+                  ELSE list_transform(embedding,
+                    x -> floor(x::DOUBLE / ma * 127 + 0.5)::BIGINT)
+                END AS qq
+              FROM m)
+         SELECT vec_id, list_sum(qq)::BIGINT AS q_sum,
+                list_min(qq)::BIGINT AS q_min,
+                list_max(qq)::BIGINT AS q_max,
+                round(ma / 127, 6) AS scale_r, true AS recon_ok
+         FROM q ORDER BY vec_id""",
+
+    "q_knn_quantized" ->
+      """WITH m AS (SELECT vec_id,
+                list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                  AS ma, embedding
+              FROM embeddings),
+         qz AS (SELECT vec_id,
+                CASE WHEN ma = 0
+                  THEN list_transform(embedding, x -> 0::DOUBLE)
+                  ELSE list_transform(embedding,
+                    x -> floor(x::DOUBLE / ma * 127 + 0.5))
+                END AS qq
+              FROM m),
+         q AS (SELECT vec_id AS query_id, qq AS qv FROM qz
+              WHERE vec_id < 8),
+         c AS (SELECT vec_id AS nn_id, qq AS cv FROM qz),
+         s AS (SELECT query_id, nn_id,
+                list_dot_product(qv, cv)::BIGINT AS qdot
+              FROM q JOIN c ON query_id <> nn_id),
+         r AS (SELECT query_id, nn_id, qdot,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY qdot DESC, nn_id)::BIGINT AS rank
+              FROM s)
+         SELECT query_id, rank, nn_id, qdot FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q_contamination" ->
       """WITH fp AS (SELECT doc_id,

@@ -602,4 +602,72 @@ object Dedup {
         "component diameter exceeds the bound; raise maxIterations")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
+
+  // ── Repeated-segment removal (sub-document dedup) ──────────────────────
+
+  /** Remove SEGMENTS (consecutive `n`-word windows) that recur across
+    * the corpus — the sub-document dedup step of web-corpus pipelines
+    * (CCNet/RefinedWeb drop duplicated lines/paragraphs: boilerplate,
+    * navigation, license blocks that whole-document dedup never
+    * catches). Documents here carry no newlines, so the segmentation
+    * unit is the non-overlapping `n`-word window; with newline-delimited
+    * text, pass the lines relation to the same pipeline.
+    *
+    * Per doc: split into word windows `[0,n) [n,2n) …` (tail kept),
+    * count each distinct segment's occurrences corpus-wide, drop
+    * segments occurring `>= maxOccurrences` times, reassemble the
+    * survivors in document order.
+    *
+    * Scale notes (100 TB): the segment-frequency aggregate partially
+    * aggregates map-side (segment dup counts collapse per partition
+    * before the shuffle); the frequency join keys on the segment hash
+    * and the reassembly groups on the doc id — two bounded shuffles, no
+    * driver state, no blocklist collect (a corpus-wide hot-segment list
+    * can exceed driver memory at scale, so it stays distributed; AQE
+    * broadcasts the count side when it turns out small).
+    *
+    * Output: `(id, kept_segments, dropped_segments, clean_text)` — one
+    * row per input doc with a non-null id (clean_text is the empty
+    * string when everything was dropped).
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxOccurrences: Int = 2): DataFrame = {
+    require(n > 0, "segment width must be positive")
+    require(maxOccurrences > 1, "maxOccurrences must be > 1 " +
+      "(1 would drop every segment)")
+    val toks = split(col(textCol).cast("string"), " ", -1)
+    // window starts 0, n, 2n, …; slice() is 1-based and caps at the end
+    val segs = transform(
+      sequence(lit(0), floor((size(toks) - 1) / lit(n)).cast("int")),
+      w => array_join(slice(toks, w * n + 1, lit(n)), " "))
+    // feeds three branches (frequency agg, survivor join, per-doc
+    // totals) — persist under the operator caching contract above
+    val segRows = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode(segs).as(Seq("pos", "seg")))
+      .persist(Spill)
+    // corpus-wide occurrence count per segment — md5 keys the shuffle so
+    // skew from a giant hot segment stays bounded by the hash, and the
+    // wide segment string itself is not the shuffle key
+    val freq = segRows.groupBy(md5(col("seg")).as("_sh"))
+      .agg(count(lit(1)).as("_n_occ"))
+    segRows.join(freq, md5(col("seg")) === col("_sh"))
+      .filter(col("_n_occ") < maxOccurrences)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("kept_segments"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("seg")))), s => s("seg")), " ")
+          .as("clean_text"))
+      // docs whose every segment was dropped vanish from the join —
+      // restore them with an empty clean_text (right side of the
+      // per-doc segment count gives dropped_segments for everyone)
+      .join(segRows.groupBy(col("id"))
+        .agg(count(lit(1)).as("_total")), Seq("id"), "right")
+      .select(col("id"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        (col("_total") - coalesce(col("kept_segments"), lit(0L)))
+          .as("dropped_segments"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -45,6 +45,39 @@ object Sampling {
     df.filter(hashBucket(key, 100) < pct)
   }
 
+  /** Deterministic WEIGHTED top-k sample per group (Efraimidis–
+    * Spirakis A-ES): each row draws a reproducible uniform
+    * `u = (md5₆₀(key) + 1) / 2⁶⁰ ∈ (0, 1]` and ranks by `ln(u) / w` —
+    * the classic `u^(1/w)` priority in log space — so a row's selection
+    * probability is proportional to its weight, yet the draw depends
+    * only on the key (same sample on any engine, any partitioning, and
+    * re-running with a larger k grows the sample monotonically instead
+    * of reshuffling it).
+    *
+    * Rows with null, zero, or negative weight are excluded (they have
+    * no weighted-sampling interpretation).
+    *
+    * Scale notes: the priority is per-row expression work; the per-group
+    * cut is one ranking window partitioned by the group key — for
+    * heavily skewed groups route through `Skew.saltedTopK` with the same
+    * priority column.
+    *
+    * Output: input columns + `sample_rank` (1-based within group).
+    */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column,
+      groups: Seq[Column], k: Int): DataFrame = {
+    require(k > 0)
+    val u = (conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("double") + 1d) / 1152921504606846976d // 2^60
+    val priority = log(u) / weight.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups: _*).orderBy(priority.desc, key)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("sample_rank",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic STRATIFIED sample: a keep-percentage per stratum
     * value (`defaultPct` for unlisted strata) — up-/down-weighting
     * languages or sources in a training mix. Same contract as

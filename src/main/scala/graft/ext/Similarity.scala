@@ -97,10 +97,11 @@ object Similarity {
   /** Partition-local per-query top-k over a (query_id, nn_id, cos_sim)
     * relation: local sort (no shuffle) in window order, then a streaming
     * counter keeps the first `k` rows of each query per partition. */
-  private def localTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def localTopK(scored: DataFrame, k: Int,
+      scoreCol: String = "cos_sim"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(scored.schema)
     scored
-      .sortWithinPartitions(col("query_id"), col("cos_sim").desc,
+      .sortWithinPartitions(col("query_id"), col(scoreCol).desc,
         col("nn_id"))
       .mapPartitions { it =>
         var cur: Any = null
@@ -169,6 +170,69 @@ object Similarity {
       .filter(!isnan(col("cos_sim"))) // zero-norm guard, see knnBruteForce
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  // ── Int8 embedding quantization ─────────────────────────────────────
+
+  /** Per-vector symmetric int8 quantization: `q_d = ⌊x_d / max|x| · 127
+    * + 0.5⌋` (round-half-up, exact in [-127, 127] since |x_d| ≤ max|x|),
+    * plus the dequantization multiplier `scale = max|x| / 127`. The
+    * 4×-smaller representation that makes 100 TB of embeddings scan 4×
+    * faster and dot products integer-exact; reconstruction error is
+    * bounded by `scale / 2` per dimension.
+    *
+    * Everything is IEEE-deterministic from the float inputs (abs and
+    * max are exact on floats; the divide/multiply run in double), so
+    * any engine reproduces the identical integer codes — which is what
+    * the oracle checks. A zero vector quantizes to all-zero codes with
+    * scale 0.
+    *
+    * Scale notes: pure per-row expression work (codegen'd built-ins),
+    * no shuffle.
+    *
+    * Output: input columns + `q` (array<int> in [-127,127]) + `scale`.
+    */
+  def quantizeInt8(e: DataFrame, vecCol: String, qCol: String = "q",
+      scaleCol: String = "scale"): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    e.withColumn("_ma", maxAbs)
+      .withColumn(qCol,
+        when(col("_ma") === 0d || col("_ma").isNull,
+          transform(v, _ => lit(0)))
+          .otherwise(transform(v, x =>
+            floor(x.cast("double") / col("_ma") * 127d + 0.5d)
+              .cast("int"))))
+      .withColumn(scaleCol, coalesce(col("_ma"), lit(0d)) / 127d)
+      .drop("_ma")
+  }
+
+  /** Exact top-k under the QUANTIZED dot product: corpus and queries are
+    * int8-quantized ([[quantizeInt8]]) and candidates rank by the
+    * integer dot of the codes (descending, id tiebreak). With unit-ish
+    * input vectors the integer dot is a monotone proxy for cosine up to
+    * quantization error; its virtue here is that ranking is INTEGER
+    * ARITHMETIC — exactly reproducible on any engine, no float rounding
+    * anywhere (codes ≤ 127, so a dim-64 dot stays ≤ 2^20).
+    *
+    * Plan shape = [[knnBruteForce]]: broadcast query codes, map-side
+    * scoring, partition-local top-k, then the bounded ranking window.
+    */
+  def knnQuantizedInt8(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def codes(df: DataFrame, as: String, qAs: String) =
+      quantizeInt8(df.select(col(idCol), col(vecCol)), vecCol)
+        .select(col(idCol).as(as), col("q").as(qAs))
+    val c = codes(corpus, "nn_id", "cq")
+    val q = codes(queries, "query_id", "qq")
+    val dot = aggregate(zip_with(col("qq"), col("cq"),
+      (a, b) => a.cast("long") * b.cast("long")), lit(0L), _ + _)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), dot.as("qdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("nn_id"))
+    localTopK(scored, k, "qdot")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** ANN top-k: candidates restricted to the query's LSH bucket, then

@@ -96,6 +96,57 @@ object Merge {
     upsertEvents(widenedExisting, widenedBatch, keys, seqCol)
   }
 
+  /** Apply a CDC change feed (insert/update/delete) to a keyed sink —
+    * the MERGE-with-deletes generalization of [[upsertEvents]], the
+    * operation a replicated source table needs (Debezium-style feeds:
+    * each change row carries an op marker and a monotonically increasing
+    * sequence).
+    *
+    * Semantics: per key, the change with the highest `seqCol` wins
+    * (earlier changes to the same key are superseded within the batch);
+    * a winning 'D' removes the key from the sink (a no-op if absent), a
+    * winning 'I'/'U' replaces the full payload (an insert if absent).
+    * Keys untouched by the feed pass through unchanged.
+    *
+    * Scale notes: one window over the CHANGE FEED only (batch-sized,
+    * never the sink) to pick winners, then a single full-outer
+    * shuffle-join on the key — identical plan shape to [[upsertEvents]].
+    * With a date-partitioned sink, scope the rewrite to touched
+    * partitions exactly like `EventStore.upsert`.
+    *
+    * @param opCol  change-kind column on `changes`: 'I' | 'U' | 'D'
+    *               (any other marker fails the job via `raise_error`
+    *               rather than silently passing rows through)
+    */
+  def applyCdc(existing: DataFrame, changes: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String = "op"): DataFrame = {
+    require(changes.columns.contains(seqCol),
+      s"applyCdc: sequence column '$seqCol' must be present on the feed")
+    require(changes.columns.contains(opCol),
+      s"applyCdc: op column '$opCol' must be present on the feed")
+    val payload = existing.columns.filterNot(keys.contains).toSeq
+    require(payload.forall(changes.columns.contains),
+      "applyCdc: the feed must carry every sink payload column " +
+        s"(missing: ${payload.filterNot(changes.columns.contains).mkString(", ")})")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val winners = changes
+      .withColumn(opCol, upper(col(opCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select((keys.map(col) :+ col(opCol).as("_op")) ++
+        payload.map(c => col(c).as(s"_new_$c")): _*)
+      .withColumn("_op", when(col("_op").isin("I", "U", "D"), col("_op"))
+        .otherwise(raise_error(concat(lit("applyCdc: unknown op '"),
+          col("_op"), lit("' (expected I, U, or D)")))))
+    existing.join(winners, keys, "full_outer")
+      // deletes drop the key; a 'D' on an absent key joins nothing on
+      // the sink side and is filtered here too (delete-of-missing no-op)
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(keys.map(col) ++ payload.map(c =>
+        when(col("_op").isNotNull, col(s"_new_$c")).otherwise(col(c))
+          .as(c)): _*)
+  }
+
   /** Content-addressed append to the raw landing zone: `ON CONFLICT DO
     * NOTHING` on `row_hash` (`/root/reference/etl/etl_habits.py:27-30`,
     * `/root/reference/sql/001_schema.sql:7-11`) becomes within-batch

@@ -863,4 +863,131 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       got("tag").isNullAt(4) && got("tag").getString(6) == "x" &&
       got("tag").getString(7) == "y")
   }
+
+  // ── segmentDedup (sub-document repeated-segment removal) ─────────────
+
+  test("segmentDedup drops corpus-repeated segments, keeps doc order") {
+    val s = spark
+    import s.implicits._
+    // 2-word segments; "x x" appears in docs 1 and 2 → dropped from both
+    val d = Seq(
+      (1L, "a b x x c d"),
+      (2L, "x x e f"),
+      (3L, "g h"))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(d, "doc_id", "text", n = 2,
+        maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 1L, "a b c d"))) // middle segment removed
+    assert(got(2L) == ((1L, 1L, "e f")))
+    assert(got(3L) == ((1L, 0L, "g h")))
+  }
+
+  test("segmentDedup: fully-duplicated doc survives with empty text") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "x x"), (2L, "x x"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(d, "doc_id", "text", n = 2,
+        maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((0L, 1L, "")))
+    assert(got(2L) == ((0L, 1L, "")))
+    assert(got(3L) == ((1L, 0L, "a b")))
+  }
+
+  test("segmentDedup: short tail window is its own segment") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c"), (2L, "z")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(d, "doc_id", "text", n = 2,
+        maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // no repeats anywhere: everything survives, including the 1-word tail
+    assert(got == Map(1L -> "a b c", 2L -> "z"))
+  }
+
+  // ── int8 quantization ────────────────────────────────────────────────
+
+  test("quantizeInt8: codes, scale, zero-vector guard") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(d, "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](2), r.getDouble(3)))).toMap
+    // max|x| = 1 → q = round(x·127): 127, -63.5→-63 (round half UP), 32, 0
+    assert(got(1L)._1 == Seq(127, -63, 32, 0))
+    assert(math.abs(got(1L)._2 - 1.0 / 127) < 1e-12)
+    assert(got(2L)._1 == Seq(0, 0, 0, 0) && got(2L)._2 == 0.0)
+  }
+
+  test("quantizeInt8 reconstruction error within scale/2 per dimension") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 50L).map { i =>
+      (i, Array.tabulate(16)(j => math.sin(i * 17 + j * 3.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val bad = Similarity.quantizeInt8(d, "embedding")
+      .select(col("vec_id"),
+        forall(zip_with(col("q"), col("embedding"), (qi, x) =>
+          abs(qi.cast("double") * col("scale") - x.cast("double")) <=
+            col("scale") / 2 + lit(1e-9)), b => b).as("ok"))
+      .filter(!col("ok")).count()
+    assert(bad == 0)
+  }
+
+  test("knnQuantizedInt8 ranks by exact integer dot of the codes") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(1.0f, 0.1f)),   // near-parallel → top dot
+      (2L, Array(0.0f, 1.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f)))  // opposite
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnQuantizedInt8(d, d.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // codes: q0=(127,0), q1=(127,13), q2=(0,127), q3=(-127,0)
+    assert(got.toSeq == Seq((1L, 127L * 127), (2L, 0L), (3L, -127L * 127)))
+  }
+
+  // ── weighted sampling ────────────────────────────────────────────────
+
+  test("weightedTopK: k per group, deterministic, excludes w <= 0") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        if (i < 4) 0.0 else (i % 7 + 1).toDouble))
+      .toDF("id", "grp", "w")
+    def run() = graft.ext.Sampling.weightedTopK(d, col("id"), col("w"),
+        Seq(col("grp")), k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3)))
+    val a = run(); val b = run()
+    assert(a.toSet == b.toSet)                      // deterministic
+    assert(a.count(_._1 == "a") == 10 && a.count(_._1 == "b") == 10)
+    assert(a.forall(t => t._2 >= 4))                // zero weights excluded
+    assert(a.filter(_._1 == "a").map(_._3).sorted.toSeq == (1 to 10))
+  }
+
+  test("weightedTopK favors heavy rows in aggregate") {
+    val s = spark
+    import s.implicits._
+    // half the rows carry 20× the weight — they should dominate the
+    // sample on average (statistical, but md5 is fixed: deterministic)
+    val d = (0L until 1000L).map(i =>
+      (i, "g", if (i < 500) 20.0 else 1.0)).toDF("id", "grp", "w")
+    val kept = graft.ext.Sampling.weightedTopK(d, col("id"), col("w"),
+        Seq(col("grp")), k = 100)
+      .collect().map(_.getLong(0))
+    assert(kept.count(_ < 500) > 75) // expectation ≈ 95 of 100
+  }
 }

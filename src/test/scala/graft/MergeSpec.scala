@@ -146,4 +146,64 @@ class MergeSpec extends AnyFunSuite with SparkTestSession {
     // one INSERT, one now(): all rows of a batch share the same stamp
     assert(stamps.distinct.length == 1)
   }
+
+  // ── applyCdc (MERGE with deletes) ────────────────────────────────────
+
+  private def cdcSink = {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "value")
+  }
+
+  private def cdcFeed(rows: (Long, String, Double, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("k", "name", "value", "op", "seq")
+  }
+
+  private def applied(feed: DataFrame) =
+    Merge.applyCdc(cdcSink, feed, keys = Seq("k"), seqCol = "seq")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+
+  test("applyCdc: update replaces payload, delete removes, insert adds") {
+    val out = applied(cdcFeed(
+      (1L, "a2", 11.0, "U", 1L),
+      (2L, "b", 0.0, "D", 1L),
+      (9L, "z", 90.0, "I", 1L)))
+    assert(out == Map(1L -> (("a2", 11.0)), 3L -> (("c", 30.0)),
+      9L -> (("z", 90.0))))
+  }
+
+  test("applyCdc: highest seq wins within the feed; D then U resurrects") {
+    val out = applied(cdcFeed(
+      (1L, "stale", -1.0, "U", 1L),
+      (1L, "fresh", 99.0, "U", 5L),
+      (3L, "gone", 0.0, "D", 1L),
+      (3L, "back", 33.0, "U", 2L)))
+    assert(out(1L) == (("fresh", 99.0)))
+    assert(out(3L) == (("back", 33.0)))
+  }
+
+  test("applyCdc: delete of an absent key is a no-op; lowercase ops ok") {
+    val out = applied(cdcFeed((42L, "x", 0.0, "d", 1L)))
+    assert(out == Map(1L -> (("a", 10.0)), 2L -> (("b", 20.0)),
+      3L -> (("c", 30.0))))
+  }
+
+  test("applyCdc rejects unknown op markers at evaluation") {
+    val ex = intercept[Exception] {
+      applied(cdcFeed((1L, "a", 1.0, "X", 1L)))
+    }
+    assert(ex.getMessage.contains("unknown op") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unknown op")))
+  }
+
+  test("applyCdc demands every sink payload column on the feed") {
+    import spark.implicits._
+    val feed = Seq((1L, 1.0, "U", 1L)).toDF("k", "value", "op", "seq")
+    val ex = intercept[IllegalArgumentException] {
+      Merge.applyCdc(cdcSink, feed, keys = Seq("k"), seqCol = "seq")
+    }
+    assert(ex.getMessage.contains("name"))
+  }
 }
