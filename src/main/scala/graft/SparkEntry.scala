@@ -192,6 +192,19 @@ object SparkEntry {
         .orderBy(col("user_email"), col("habit"), col("ts"))
     }),
 
+    // DSv2 scan pushdown: the Report-Date equality prunes day-block
+    // partitions at planning time and the projection prunes the cells
+    // the reader materializes (SourcesSpec pins both plan properties;
+    // this row pins the pushed scan's RESULT against the closed form).
+    "q_dsv2_pushdown" -> ((s, dir) =>
+      s.read.format("graft.sources.FormResponseSource")
+        .option("users", 4).option("days", 9)
+        .option("startdate", "2024-01-01").load()
+        .filter(col("`Report Date`") === "1/5/2024")
+        .select(col("`Email Address`").as("user_email"),
+          col("Workout").as("workout"), col("Mood").as("mood"))
+        .orderBy(col("user_email"))),
+
     "q_json_extract" -> ((s, dir) =>
       Tables.eventsAsHabits(s, dir)
         .select(col("habit"),
@@ -1066,6 +1079,15 @@ object SparkEntry {
                 ((u + d) % 11)::DOUBLE, notes, 'sheets' FROM base
          WHERE (u + d) % 11 <> 10
          ORDER BY user_email, habit, ts""",
+
+    // raw cells of day index 4 (2024-01-05 → sheet text '1/5/2024')
+    "q_dsv2_pushdown" ->
+      """SELECT 'User' || u || '@Example.com' AS user_email,
+                CASE WHEN (u + 4) % 2 = 0 THEN 'Yes' ELSE 'no' END
+                  AS workout,
+                ((u + 4) % 11)::VARCHAR AS mood
+         FROM (SELECT unnest(generate_series(0, 3)) AS u)
+         ORDER BY user_email""",
 
     "q_scd2" ->
       """WITH daily AS (SELECT user_id AS user_email, event_type AS habit,

@@ -41,6 +41,36 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       .select(col("`Email Address`"), col("`Report Date`")).collect()
     assert(junk.nonEmpty)
   }
+
+  private def batchScan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+
+  test("pushed Report Date equality prunes day-block partitions") {
+    val base = read(3, 20)
+    val filtered = base.filter(col("`Report Date`") === "1/5/2024")
+    // pruning happens at planning: only day 4's block is ever scheduled
+    assert(batchScan(filtered).inputRDD.getNumPartitions == 1)
+    assert(filtered.count() == 3)
+    // the pushed filter is a correctness promise — result must equal a
+    // post-scan filter over the full table
+    val unpruned = base.collect()
+      .filter(_.getAs[String]("Report Date") == "1/5/2024")
+    assert(filtered.collect().map(_.toSeq).toSet ==
+      unpruned.map(_.toSeq).toSet)
+    // a date matching no block plans zero partitions, returns nothing
+    val none = base.filter(col("`Report Date`") === "7/4/1999")
+    assert(batchScan(none).inputRDD.getNumPartitions == 0)
+    assert(none.count() == 0)
+  }
+
+  test("column pruning reaches the source's read schema") {
+    val pr = read(2, 3).select(col("`Email Address`"), col("Mood"))
+    assert(batchScan(pr).scan.readSchema().fieldNames.toSeq ==
+      Seq("Email Address", "Mood"))
+    assert(pr.collect().length == 6)
+  }
   test("DigestSink: V2 commit combines every partition, order-independent") {
     import graft.sources.DigestSink
     val s = spark
