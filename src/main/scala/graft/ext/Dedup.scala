@@ -257,21 +257,27 @@ object Dedup {
 
   // ── Blocked n-gram Jaccard (exact, no hashing) ─────────────────────────
 
-  /** Exact n-gram Jaccard dedup with length blocking: each doc lands in
-    * buckets floor(len/w) and floor(len/w)+1, so any pair within `w`
-    * chars of each other shares a bucket (overlap ⇒ no missed pair with
-    * |len_a − len_b| < w); pairs farther apart are assumed non-dups.
+  /** Exact n-gram Jaccard dedup with length blocking: the build side of
+    * the self-join lands in buckets floor(len/w) and floor(len/w)+1,
+    * the probe side only in its own, so any pair within `w` chars of
+    * each other meets in EXACTLY ONE bucket (the meet-once banding of
+    * `Fuzzy.editDistancePairs`: a same-bucket pair meets in one
+    * orientation by id order, a cross-bucket pair meets with the probe
+    * on the higher bucket); pairs farther apart are assumed non-dups.
     *
-    * Computed as an inverted-index self-join on (block, shingle) —
-    * |A ∩ B| falls out of a hash equi-join + count, |A ∪ B| from the
+    * Computed as an inverted-index equi-join on (block, shingle) —
+    * |A ∩ B| falls out of the join + count, |A ∪ B| from the
     * precomputed set sizes — NOT per-pair array intersections, which
-    * would do O(|set|) work per blocked pair and die at scale. Pairs
-    * sharing zero shingles never materialize (their Jaccard is 0 <
-    * threshold by contract). At 100 TB (block, shingle) is the shuffle
-    * key; hot shingles bound the skew, so shingle width n sets the
-    * worst-case fan-in. Caching contract: the persisted inverted-index
-    * relation stays in the session cache after the caller's action —
-    * `clearCache()` between runs. */
+    * would do O(|set|) work per blocked pair and die at scale. Meeting
+    * once means a plain `count(*)` gives the intersection (the previous
+    * both-sides-exploded form needed a two-phase `count(DISTINCT)` to
+    * undo double counting — an Expand over the whole pair relation).
+    * Pairs sharing zero shingles never materialize (their Jaccard is
+    * 0 < threshold by contract). At 100 TB (block, shingle) is the
+    * shuffle key; hot shingles bound the skew, so shingle width n sets
+    * the worst-case fan-in. Caching contract: the persisted
+    * inverted-index relation stays in the session cache after the
+    * caller's action — `clearCache()` between runs. */
   def ngramDupPairs(docs: DataFrame, idCol: String, textCol: String,
       lenCol: String, threshold: Double = 0.5, blockWidth: Int = 50,
       n: Int = 3): DataFrame = {
@@ -280,22 +286,27 @@ object Dedup {
       .withColumnRenamed(idCol, "id")
       .join(docs.select(col(idCol).cast("long").as("id"),
         (col(lenCol) / blockWidth).cast("long").as("blk")), "id")
-      .select(col("id"), size(col("ss")).as("sz"), col("ss"),
-        explode(array(col("blk"), col("blk") + 1)).as("block"))
-      .select(col("id"), col("sz"), col("block"),
+      .select(col("id"), size(col("ss")).as("sz"), col("blk"),
         explode(col("ss")).as("shingle"))
       // referenced on both sides of the self-join below; persist so the
       // (lambda-interpreted, relatively costly) shingling runs once
       .persist(Spill)
-    rows.as("a").join(rows.as("b"),
-        col("a.block") === col("b.block") &&
-          col("a.shingle") === col("b.shingle") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      // a close pair shares both of its blocks → count DISTINCT shingles
-      .agg(countDistinct(col("a.shingle")).as("inter"),
-        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
-      .select(col("id_a"), col("id_b"),
+    val probe = rows.select(col("id").as("id_p"), col("sz").as("sz_p"),
+      col("blk").as("block"), col("shingle"))
+    val build = rows.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("blk").as("_b_orig"), col("shingle"))
+      .withColumn("block", explode(array(col("_b_orig"), col("_b_orig") + 1)))
+    val pFirst = col("id_p") < col("id_b")
+    probe.join(build, Seq("block", "shingle"))
+      .filter((col("_b_orig") === col("block") && pFirst) ||
+        col("_b_orig") < col("block"))
+      .groupBy(least(col("id_p"), col("id_b")).as("_ga"),
+        greatest(col("id_p"), col("id_b")).as("_gb"))
+      // every shared shingle of a pair meets exactly once → plain count
+      .agg(count(lit(1)).as("inter"),
+        first(when(pFirst, col("sz_p")).otherwise(col("sz_b"))).as("sz_a"),
+        first(when(pFirst, col("sz_b")).otherwise(col("sz_p"))).as("sz_b"))
+      .select(col("_ga").as("id_a"), col("_gb").as("id_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
           .as("jaccard"))
