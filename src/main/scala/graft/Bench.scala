@@ -13,6 +13,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb one-time SESSION costs before any timed work — noop-sink
+    // registration, parquet footer/schema reads, first-job scheduler
+    // spin-up — so they don't bill to whichever query happens to run
+    // first in map order (it showed up as a ~2-3 s outlier on an
+    // otherwise sub-second query, surviving even min-of-2 because both
+    // of that query's runs sat in the same cold session)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try Tables.read(spark, sfDir, t).limit(100)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     // two timed runs per query, report the min: run 1 pays one-time
     // codegen compilation + JIT warm-up, which showed up as ±3× swings
     // on untouched sub-second queries round over round; min-of-2 makes

@@ -372,6 +372,41 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Count-min frequency sketch: per-value estimates must sit inside
+    // the classic one-sided band [exact, exact + eps·N] — the
+    // frequency-sketch sibling of the q_approx_distinct/q_hll_rollup
+    // invariant rows.
+    "q_cms_freq" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      val n = ev.filter(col("event_type").isNotNull)
+        .agg(count(lit(1)).as("_n"))
+      graft.ext.Sketches.cmsFrequencies(ev, "event_type", eps = 0.001)
+        .join(broadcast(n))
+        .select(col("value").as("event_type"), col("exact_n"),
+          (col("est_n") >= col("exact_n") &&
+            col("est_n") <= col("exact_n") +
+              ceil(lit(0.001) * col("_n")).cast("long")).as("est_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // K-means centroid training (IVF index build): 4 Lloyd iterations,
+    // k = the ground-truth cluster count of the synthetic embeddings.
+    // Float means are summation-order-dependent, so there is no
+    // cell-exact SQL oracle (rows-only driver check); the SPEC pins
+    // determinism and blob recovery, and this query exercises the
+    // distributed path end-to-end at SF.
+    "q_kmeans" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val (_, assign) = Similarity.kmeansFit(emb, "vec_id", "embedding",
+        k = 10, iterations = 4)
+      assign.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cluster"), col("label")).count()
+        .groupBy(col("cluster"))
+        .agg(sum(col("count")).as("n_points"),
+          max(col("count")).as("n_majority"))
+        .orderBy(col("cluster"))
+    }),
+
     // kNN over the int8 codes: ranking is pure integer arithmetic, so
     // the cut is bit-exact across engines (no float rounding anywhere).
     "q_knn_quantized" -> ((s, dir) => {
@@ -1314,6 +1349,11 @@ object SparkEntry {
                 list_max(qq)::BIGINT AS q_max,
                 round(ma / 127, 6) AS scale_r, true AS recon_ok
          FROM q ORDER BY vec_id""",
+
+    "q_cms_freq" ->
+      """SELECT event_type, count(*)::BIGINT AS exact_n, true AS est_ok
+         FROM events WHERE event_type IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
 
     "q_knn_quantized" ->
       """WITH m AS (SELECT vec_id,

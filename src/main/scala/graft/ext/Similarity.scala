@@ -172,6 +172,61 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ── K-means centroid training (Lloyd's iterations) ──────────────────
+
+  /** Train `k` centroids with Lloyd's algorithm — the centroid-learning
+    * step that upgrades [[knnIvf]]'s deterministic seed cells to
+    * data-adaptive ones (IVF index build), and the workhorse of
+    * embedding-space clustering for corpus curation.
+    *
+    * Deterministic: seeds are the `k` smallest-id vectors (same rule as
+    * [[knnIvf]]), assignment ties break on centroid index. Each
+    * iteration is (1) a map-side argmin over a broadcast centroid
+    * literal — no shuffle, no join — and (2) one per-dimension average
+    * (`posexplode` → partial-aggregating groupBy on (cell, dim)). Only
+    * the k×dim centroid matrix ever reaches the driver, like any
+    * fixed-size sketch; the corpus never does. A cell that loses all
+    * members keeps its previous centroid.
+    *
+    * Returns (final centroids, assignment relation `(idCol, cluster)`).
+    * Float means depend on summation order, so assignments near a cell
+    * boundary are engine-specific — pin results with a spec/purity
+    * check, not a cell-exact oracle.
+    */
+  def kmeansFit(e: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): (Seq[Seq[Double]], DataFrame) = {
+    require(k > 0 && iterations >= 0)
+    val base = e.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Seq[Seq[Double]] =
+      base.orderBy(col(idCol)).limit(k).collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+    require(centroids.size == k,
+      s"kmeansFit: need at least $k vectors, found ${centroids.size}")
+
+    // argmin over squared L2 ⇔ argmax of (v·c − |c|²/2); the dot rides
+    // the codegen'd native expression, one term per centroid
+    def assignCol(cs: Seq[Seq[Double]]): Column =
+      array_min(array(cs.zipWithIndex.map { case (c, j) =>
+        val negHalfNorm = -c.map(x => x * x).sum / 2
+        struct((-(Dedup.dotNative(col("v"), typedLit(c)) + negHalfNorm))
+          .as("d"), lit(j).as("c"))
+      }: _*)).getField("c")
+
+    for (_ <- 0 until iterations) {
+      val means = base.select(assignCol(centroids).as("cell"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.indices.map(j => means.getOrElse(j, centroids(j)))
+    }
+    (centroids, base.select(col(idCol), assignCol(centroids).as("cluster")))
+  }
+
   // ── Int8 embedding quantization ─────────────────────────────────────
 
   /** Per-vector symmetric int8 quantization: `q_d = ⌊x_d / max|x| · 127

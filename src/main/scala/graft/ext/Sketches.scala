@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketching — the count-min complement to the HLL
+  * distinct-count rollup (`q_hll_rollup`): approximate per-value
+  * frequencies from one pass and O(1/eps · log(1/δ)) space, with the
+  * classic one-sided guarantee `exact ≤ estimate ≤ exact + eps·N`
+  * (overcount only, probability ≥ confidence).
+  *
+  * Scale notes (100 TB): `stat.countMinSketch` tree-aggregates
+  * partition-local sketches — the corpus never shuffles and only the
+  * fixed-size counter table reaches the driver; per-executor probes
+  * then read a broadcast of it. That is the right shape for "rough
+  * frequencies of a billion keys": the exact groupBy this module's
+  * verification side runs is itself the scale-limited path (its shuffle
+  * carries every distinct key).
+  */
+object Sketches {
+
+  /** Per-distinct-value exact count + sketch estimate for `valueCol`.
+    * The exact side exists to VERIFY the sketch (the oracle pins the
+    * guarantee); production reads would probe the broadcast sketch
+    * alone. Returns `(value, exact_n, est_n)`.
+    *
+    * @param eps        additive error bound as a fraction of total rows
+    * @param confidence probability the bound holds per query
+    * @param seed       hash-family seed — fixes the sketch bit-for-bit
+    */
+  def cmsFrequencies(df: DataFrame, valueCol: String, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    require(confidence > 0 && confidence < 1, "confidence must be in (0, 1)")
+    val sketch = df.stat.countMinSketch(valueCol, eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(sketch)
+    val estimate = udf((v: String) => bc.value.estimateCount(v))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("value"))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("est_n", estimate(col("value")))
+  }
+}

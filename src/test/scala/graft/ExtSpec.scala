@@ -959,6 +959,64 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq((1L, 127L * 127), (2L, 0L), (3L, -127L * 127)))
   }
 
+  // ── k-means training ─────────────────────────────────────────────────
+
+  private def blobs: org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    // 3 well-separated blobs with deterministic jitter
+    (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      val (cx, cy) = Seq((10f, 0f), (0f, 10f), (-10f, -10f))(c)
+      (i, Array(cx + (i % 7) * 0.1f, cy + (i % 5) * 0.1f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("kmeansFit recovers separated blobs with full purity") {
+    val (cents, assign) = Similarity.kmeansFit(blobs, "vec_id",
+      "embedding", k = 3, iterations = 4)
+    assert(cents.size == 3 && cents.forall(_.size == 2))
+    val byTruth = assign.collect()
+      .map(r => (r.getLong(0) % 3) -> r.getInt(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    // every ground-truth blob maps to exactly one learned cell, and the
+    // three cells are distinct
+    assert(byTruth.values.forall(_.size == 1))
+    assert(byTruth.values.flatten.toSet.size == 3)
+  }
+
+  test("kmeansFit is deterministic and keeps empty cells' centroids") {
+    val (c1, a1) = Similarity.kmeansFit(blobs, "vec_id", "embedding",
+      k = 3, iterations = 3)
+    val (c2, a2) = Similarity.kmeansFit(blobs, "vec_id", "embedding",
+      k = 3, iterations = 3)
+    assert(c1 == c2)
+    assert(a1.collect().map(_.toSeq).toSet == a2.collect().map(_.toSeq).toSet)
+    // k > distinct points: the surplus cell keeps its seed centroid
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((0L, Array(0f, 0f)), (1L, Array(0f, 0f)),
+      (2L, Array(5f, 5f))).toDF("vec_id", "embedding")
+    val (c3, _) = Similarity.kmeansFit(tiny, "vec_id", "embedding",
+      k = 3, iterations = 2)
+    assert(c3.size == 3) // no crash, no collapsed centroid list
+  }
+
+  // ── count-min sketch ─────────────────────────────────────────────────
+
+  test("cmsFrequencies: estimates bounded below by exact counts") {
+    val s = spark
+    import s.implicits._
+    val d = (0 until 1000).map(i => s"k${i % 7}").toDF("v")
+    val got = graft.ext.Sketches.cmsFrequencies(d, "v", eps = 0.01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 7)
+    got.foreach { case (_, exact, est) =>
+      assert(est >= exact)               // never undercounts
+      assert(est <= exact + 10)          // eps·N = 10 additive bound
+    }
+  }
+
   // ── weighted sampling ────────────────────────────────────────────────
 
   test("weightedTopK: k per group, deterministic, excludes w <= 0") {
