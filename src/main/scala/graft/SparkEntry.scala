@@ -372,6 +372,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Canonical text normalization before content addressing: the
+    // corpus is deterministically dirtied (case flips, punctuation,
+    // ragged whitespace — reproduced verbatim in the oracle) and the
+    // normalized form must hash identically on both engines.
+    "q_text_normalize" -> ((s, dir) => {
+      val noisy = concat(lit("  "),
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .otherwise(col("text")),
+        lit("!!  An,Example--End  "))
+      val norm = TextAnalysis.normalize(noisy)
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_md5"),
+          size(split(norm, " ")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Count-min frequency sketch: per-value estimates must sit inside
     // the classic one-sided band [exact, exact + eps·N] — the
     // frequency-sketch sibling of the q_approx_distinct/q_hll_rollup
@@ -1354,6 +1370,20 @@ object SparkEntry {
       """SELECT event_type, count(*)::BIGINT AS exact_n, true AS est_ok
          FROM events WHERE event_type IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+
+    "q_text_normalize" ->
+      """WITH noisy AS (SELECT doc_id,
+                '  ' || (CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                              ELSE text END) || '!!  An,Example--End  '
+                  AS t
+              FROM documents),
+         n AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(t),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              FROM noisy)
+         SELECT doc_id, md5(norm) AS norm_md5,
+                len(string_split(norm, ' '))::BIGINT AS n_tokens
+         FROM n ORDER BY doc_id""",
 
     "q_knn_quantized" ->
       """WITH m AS (SELECT vec_id,

@@ -38,6 +38,20 @@ object TextAnalysis {
   def shingleSet(text: Column, n: Int = 3): Column =
     array_distinct(wordShingles(text, n))
 
+  /** Canonical text normalization — the pass every corpus pipeline runs
+    * before hashing/dedup so that case, stray punctuation, and ragged
+    * whitespace don't defeat content addressing: lowercase, strip
+    * non-alphanumeric characters (keeping spaces), collapse whitespace
+    * runs, trim. Pure codegen'd expression work, no shuffle; apply
+    * BEFORE [[shingleSet]]/`Dedup.*` so near-dup detection sees
+    * canonical forms. (Unicode NFC/NFKC folding belongs here too when
+    * inputs are not already ASCII-ish — compose with a normalizer
+    * expression; the synthetic corpus is ASCII so this keeps to the
+    * portable-SQL subset the oracle can replay.) */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   // ── Language ID ────────────────────────────────────────────────────────
 
   /** Marker stopwords per language, checked in this fixed precedence

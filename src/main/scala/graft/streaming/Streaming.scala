@@ -178,6 +178,47 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC apply: each micro-batch of an insert/update/delete
+    * change feed merges into the parquet sink via `Merge.applyCdc` —
+    * the replication-consumer tick (a Debezium topic drained on a
+    * cron cadence). Within a batch the highest `seqCol` wins per key;
+    * ACROSS batches later ticks win by arrival, which is the
+    * at-least-once replay contract of any log consumer: replaying a
+    * batch whose effects are already applied is idempotent because
+    * applyCdc resolves per key against current sink state.
+    *
+    * The full-sink rewrite per tick is the bounded-testdata form; a
+    * date-partitioned sink scopes each tick's rewrite to touched
+    * partitions exactly like [[upsertStream]]'s store. */
+  def cdcStream(changes: DataFrame, sinkPath: String, checkpointDir: String,
+      keys: Seq[String], seqCol: String, opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val df = batch.toDF()
+          val sp = df.sparkSession
+          val p = new org.apache.hadoop.fs.Path(sinkPath)
+          val fs = p.getFileSystem(sp.sessionState.newHadoopConf())
+          val current =
+            if (fs.exists(p)) sp.read.parquet(sinkPath)
+            else sp.createDataFrame(
+              sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(
+                df.drop(seqCol, opCol).schema))
+          val merged = graft.load.Merge
+            .applyCdc(current, df, keys, seqCol, opCol)
+            // the rewrite reads the files it replaces — cut lineage
+            // before the overwrite, same guard as EventStore.upsert
+            .localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(sinkPath)
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run [[habitDailyStream]] over the driver's `events` parquet as a
     * bounded stream (Trigger.AvailableNow → memory sink, complete mode)
     * and return the final table — lets the batch oracle check the

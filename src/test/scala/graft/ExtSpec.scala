@@ -959,6 +959,17 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq((1L, 127L * 127), (2L, 0L), (3L, -127L * 127)))
   }
 
+  // ── text normalization ───────────────────────────────────────────────
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("  Hello,  WORLD!! 42 ", "a--b", "", "   ", "ok")
+      .toDF("t")
+      .select(TextAnalysis.normalize(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("hello world 42", "a b", "", "", "ok"))
+  }
+
   // ── k-means training ─────────────────────────────────────────────────
 
   private def blobs: org.apache.spark.sql.DataFrame = {

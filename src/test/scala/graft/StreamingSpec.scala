@@ -219,6 +219,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("cdcStream: change-feed ticks apply inserts, updates, deletes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_")
+    val sink = dir.resolve("table").toString
+    val cp = dir.resolve("cp").toString
+    try {
+      val mem = MemoryStream[(Long, String, Double, String, Long)]
+      def stream = mem.toDF().toDF("k", "name", "value", "op", "seq")
+      // tick 1: pure inserts bootstrap the sink
+      mem.addData((1L, "a", 10.0, "I", 1L), (2L, "b", 20.0, "I", 2L),
+        (3L, "c", 30.0, "I", 3L))
+      Streaming.cdcStream(stream, sink, cp, Seq("k"), "seq")
+        .awaitTermination()
+      // tick 2: update k2 (stale change superseded in-batch), delete k3,
+      // insert k4
+      mem.addData((2L, "stale", -1.0, "U", 4L), (2L, "b2", 22.0, "U", 5L),
+        (3L, "c", 0.0, "D", 6L), (4L, "d", 40.0, "I", 7L))
+      Streaming.cdcStream(stream, sink, cp, Seq("k"), "seq")
+        .awaitTermination()
+      val out = s.read.parquet(sink).collect()
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[String]("name"), r.getAs[Double]("value")))).toMap
+      assert(out == Map(1L -> (("a", 10.0)), 2L -> (("b2", 22.0)),
+        4L -> (("d", 40.0))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("dedupStream drops replayed keys within the watermark") {
     val s = spark
     import s.implicits._
