@@ -35,10 +35,13 @@ object SparkEntry {
     * set (used by the incremental variant). */
   private def minhashOracleSql(extraWhere: String): String = {
     val k = 16; val bands = 4; val r = k / bands
+    // one md5 per shingle + k affine permutations mod 2^31-1, mirroring
+    // Dedup.signatureWide exactly (h and the maps are integer-exact)
     val mins = (0 until k).map(j =>
-      s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+      s"min((h * ${2 * j + 1} + $j) % 2147483647)::BIGINT AS h$j")
+      .mkString(", ")
     val bandCases = (0 until bands).map { b =>
-      val slice = (b * r until (b + 1) * r).map(j => s"h$j")
+      val slice = (b * r until (b + 1) * r).map(j => s"h$j::VARCHAR")
         .mkString(" || ',' || ")
       s"WHEN $b THEN md5($slice)"
     }.mkString(" ")
@@ -47,7 +50,10 @@ object SparkEntry {
               THEN list_distinct([array_to_string(l[i:i+2], ' ')
                                   for i in generate_series(1, len(l) - 2)])
               ELSE [text] END AS ss FROM tok),
-       sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+       sh AS (SELECT doc_id,
+              ('0x' || substr(md5(unnest(ss)), 1, 15))::UBIGINT
+                % 2147483647 AS h
+            FROM shl),
        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        band AS (SELECT doc_id, b.b AS band,
               CASE b.b $bandCases END AS band_key

@@ -91,14 +91,26 @@ object Dedup {
     shingleSets(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("ss")).as("shingle"))
 
-  /** k salted-md5 min-aggs over exploded (id, shingle) rows, one wide
-    * `_h0.._h{k-1}` column per permutation — ONE hash-aggregate pass (no
-    * salt explosion). Shared by [[minhashSignature]] and
-    * [[minhashDupPairs]]. */
+  /** MinHash permutation modulus: 2^31 − 1 (Mersenne prime). */
+  val MinhashP = 2147483647L
+
+  /** k permutation min-aggs over exploded (id, shingle) rows, one wide
+    * `_h0.._h{k-1}` LONG column per permutation — ONE hash-aggregate
+    * pass. Each shingle is md5'd ONCE (the dominant per-row cost);
+    * permutation j is the affine map `(h·(2j+1) + j) mod (2^31−1)` over
+    * the shared 60-bit digest — the classic one-hash + k-universal-maps
+    * MinHash, 16× cheaper than salting md5 per permutation and equally
+    * engine-reproducible (`('0x'||substr(md5(s),1,15))::UBIGINT %
+    * 2147483647` in DuckDB, then the same affine arithmetic).
+    * Permutation quality only moves candidate RECALL; precision is
+    * immune — every emitted pair is verified against exact Jaccard.
+    * Shared by [[minhashSignature]] and [[minhashDupPairs]]. */
   private def signatureWide(rows: DataFrame, idCol: String,
       k: Int): DataFrame = {
+    val h = pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+      .cast("long"), lit(MinhashP))
     val mins = (0 until k).map(j =>
-      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"_h$j"))
+      min((h * (2 * j + 1) + j) % MinhashP).as(s"_h$j"))
     rows.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
@@ -122,9 +134,10 @@ object Dedup {
           size(array_union(col("ss_a"), col("ss_b"))).cast("double"))
           .as("jaccard"))
 
-  /** k-permutation MinHash signature as `sig: array<string>`. Each
-    * "permutation" is the lexicographic min of a salted md5 over the
-    * doc's shingle set — deterministic and engine-independent. */
+  /** k-permutation MinHash signature as `sig: array<long>`. Each
+    * "permutation" is the min of an affine map over the shingle's
+    * 60-bit md5 (see [[signatureWide]]) — deterministic and
+    * engine-independent. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, n: Int = 3): DataFrame =
     signatureFromRows(shingleRows(docs, idCol, textCol, n), idCol, k)
@@ -141,7 +154,8 @@ object Dedup {
     val r = k / bands
     sig.select(col(idCol), posexplode(
         array((0 until bands).map(b =>
-          md5(concat_ws(",", slice(col("sig"), b * r + 1, r)))): _*))
+          md5(concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
+            x => x.cast("string"))))): _*))
         .as(Seq("band", "band_key")))
   }
 
@@ -158,7 +172,8 @@ object Dedup {
       .select(col(idCol), posexplode(
         array((0 until bands).map(b =>
           md5(concat_ws(",",
-            (b * r until (b + 1) * r).map(j => col(s"_h$j")): _*))): _*))
+            (b * r until (b + 1) * r)
+              .map(j => col(s"_h$j").cast("string")): _*))): _*))
         .as(Seq("band", "band_key")))
   }
 
@@ -581,8 +596,13 @@ object Dedup {
           lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // seed with the FIRST propagation step for free: initial labels are
+    // identities, so round 1's neighbor-min is just min(dst) per src —
+    // one aggregate over sym, no join, and one fewer checkpoint+probe
+    // cycle through the driver loop
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_m"))
+      .select(col("id"), least(col("id"), col("_m")).as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var round = 0
