@@ -342,8 +342,10 @@ object SparkEntry {
       val deletes = ev.filter(col("event_id") % 7 === 2)
         .select(col("event_id") +:
           feedCols(lit(null).cast("double"), "D", 3L): _*)
+      // negative mirror ids: collision-proof against real event_ids at
+      // ANY scale factor (testdata ids are non-negative)
       val inserts = ev.filter(col("event_id") % 7 === 3)
-        .select((col("event_id") + 10000000L).as("event_id") +:
+        .select((-col("event_id") - 1L).as("event_id") +:
           feedCols(col("value"), "I", 1L): _*)
       val feed = stale.union(updates).union(deletes).union(inserts)
       Merge.applyCdc(ev, feed, keys = Seq("event_id"), seqCol = "seq")
@@ -1322,14 +1324,14 @@ object SparkEntry {
 
     // closed form of the CDC feed: %7=2 keys deleted, %7=1 keys take
     // the seq-2 update (the stale seq-1 change is superseded), %7=3
-    // keys re-inserted at event_id+10M
+    // keys re-inserted at the negative mirror id -(event_id)-1
     "q_cdc_apply" ->
       """SELECT event_id, user_id, event_type,
                 CASE WHEN event_id % 7 = 1 THEN value + 100
                      ELSE value END AS value
          FROM events WHERE event_id % 7 <> 2
          UNION ALL
-         SELECT event_id + 10000000, user_id, event_type, value
+         SELECT -event_id - 1, user_id, event_type, value
          FROM events WHERE event_id % 7 = 3
          ORDER BY event_id""",
 

@@ -676,13 +676,15 @@ object Dedup {
     val segRows = docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), posexplode(segs).as(Seq("pos", "seg")))
+      // hash once before the persist: the frequency aggregate AND the
+      // probe side of its join both key on it
+      .withColumn("_sh", md5(col("seg")))
       .persist(Spill)
     // corpus-wide occurrence count per segment — md5 keys the shuffle so
     // skew from a giant hot segment stays bounded by the hash, and the
     // wide segment string itself is not the shuffle key
-    val freq = segRows.groupBy(md5(col("seg")).as("_sh"))
-      .agg(count(lit(1)).as("_n_occ"))
-    segRows.join(freq, md5(col("seg")) === col("_sh"))
+    val freq = segRows.groupBy(col("_sh")).agg(count(lit(1)).as("_n_occ"))
+    segRows.join(freq, Seq("_sh"))
       .filter(col("_n_occ") < maxOccurrences)
       .groupBy(col("id"))
       .agg(

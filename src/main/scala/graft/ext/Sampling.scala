@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Top 60 bits of md5 of the string form of `key`, as a non-negative
+    * long — THE portable-hash idiom of this codebase (one definition;
+    * DuckDB replays it as `('0x' || substr(md5(k), 1, 15))::UBIGINT`). */
+  def md5Top60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Stable bucket in [0, buckets) from the string form of `key`. */
   def hashBucket(key: Column, buckets: Int = 100): Column = {
     require(buckets > 0)
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(buckets.toLong))
+    pmod(md5Top60(key), lit(buckets.toLong))
   }
 
   /** Split label from cumulative percentage cut points, e.g.
@@ -67,8 +72,7 @@ object Sampling {
   def weightedTopK(df: DataFrame, key: Column, weight: Column,
       groups: Seq[Column], k: Int): DataFrame = {
     require(k > 0)
-    val u = (conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("double") + 1d) / 1152921504606846976d // 2^60
+    val u = (md5Top60(key).cast("double") + 1d) / 1152921504606846976d // 2^60
     val priority = log(u) / weight.cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groups: _*).orderBy(priority.desc, key)

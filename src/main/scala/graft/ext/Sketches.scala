@@ -32,11 +32,17 @@ object Sketches {
       confidence: Double = 0.99, seed: Int = 42): DataFrame = {
     require(eps > 0 && eps < 1, "eps must be in (0, 1)")
     require(confidence > 0 && confidence < 1, "confidence must be in (0, 1)")
-    val sketch = df.stat.countMinSketch(valueCol, eps, confidence, seed)
+    // build the sketch over the STRING form so the string probe below
+    // hashes into the same counters for any input column type — a
+    // native-typed build (e.g. long) would hash differently than the
+    // string probe and silently void the one-sided guarantee
+    val strDf = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("value"))
+    val sketch = strDf.stat.countMinSketch("value", eps, confidence, seed)
     val bc = df.sparkSession.sparkContext.broadcast(sketch)
     val estimate = udf((v: String) => bc.value.estimateCount(v))
-    df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("string").as("value"))
+    strDf
+      .groupBy(col("value"))
       .agg(count(lit(1)).as("exact_n"))
       .withColumn("est_n", estimate(col("value")))
   }

@@ -103,10 +103,12 @@ object Merge {
     * sequence).
     *
     * Semantics: per key, the change with the highest `seqCol` wins
-    * (earlier changes to the same key are superseded within the batch);
-    * a winning 'D' removes the key from the sink (a no-op if absent), a
-    * winning 'I'/'U' replaces the full payload (an insert if absent).
-    * Keys untouched by the feed pass through unchanged.
+    * (earlier changes to the same key are superseded within the batch;
+    * seq ties resolve deterministically on op+payload order, so exact
+    * replayed duplicates are harmless); a winning 'D' removes the key
+    * from the sink (a no-op if absent), a winning 'I'/'U' replaces the
+    * full payload (an insert if absent). Keys untouched by the feed
+    * pass through unchanged.
     *
     * Scale notes: one window over the CHANGE FEED only (batch-sized,
     * never the sink) to pick winners, then a single full-outer
@@ -128,16 +130,25 @@ object Merge {
     require(payload.forall(changes.columns.contains),
       "applyCdc: the feed must carry every sink payload column " +
         s"(missing: ${payload.filterNot(changes.columns.contains).mkString(", ")})")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    // seq ties (a replayed batch unioned with its original, per-source
+    // sequences that restart) must not pick a shuffle-order-dependent
+    // winner: the op and payload columns extend the ordering so equal
+    // (seq, op, payload) duplicates are genuinely interchangeable and
+    // anything else resolves deterministically
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc +:
+        (opCol +: payload).map(c => col(c).desc_nulls_last): _*)
     val winners = changes
-      .withColumn(opCol, upper(col(opCol)))
+      // validate EVERY feed row, not just winners — a corrupt op marker
+      // superseded by a later seq would otherwise go unreported
+      .withColumn(opCol,
+        when(upper(col(opCol)).isin("I", "U", "D"), upper(col(opCol)))
+          .otherwise(raise_error(concat(lit("applyCdc: unknown op '"),
+            col(opCol), lit("' (expected I, U, or D)")))))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select((keys.map(col) :+ col(opCol).as("_op")) ++
         payload.map(c => col(c).as(s"_new_$c")): _*)
-      .withColumn("_op", when(col("_op").isin("I", "U", "D"), col("_op"))
-        .otherwise(raise_error(concat(lit("applyCdc: unknown op '"),
-          col("_op"), lit("' (expected I, U, or D)")))))
     existing.join(winners, keys, "full_outer")
       // deletes drop the key; a 'D' on an absent key joins nothing on
       // the sink side and is filtered here too (delete-of-missing no-op)

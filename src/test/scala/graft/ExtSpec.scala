@@ -1026,6 +1026,13 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       assert(est >= exact)               // never undercounts
       assert(est <= exact + 10)          // eps·N = 10 additive bound
     }
+    // non-string columns: the sketch must be built over the same string
+    // form the probe uses, or the guarantee silently breaks
+    val longs = (0 until 500).map(i => i % 5).toDF("v")
+    graft.ext.Sketches.cmsFrequencies(longs, "v", eps = 0.01)
+      .collect().foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(2) <= r.getLong(1) + 5)
+    }
   }
 
   // ── weighted sampling ────────────────────────────────────────────────

@@ -196,6 +196,24 @@ class MergeSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(ex.getMessage.contains("unknown op") ||
       Option(ex.getCause).exists(_.getMessage.contains("unknown op")))
+    // validation covers EVERY feed row, not just per-key winners — a
+    // corrupt marker superseded by a later seq must still surface
+    val ex2 = intercept[Exception] {
+      applied(cdcFeed((1L, "bad", 0.0, "X", 1L), (1L, "good", 2.0, "U", 2L)))
+    }
+    assert(ex2.getMessage.contains("unknown op") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("unknown op")))
+  }
+
+  test("applyCdc resolves seq ties deterministically") {
+    // same key, same seq, different payloads: op+payload ordering picks
+    // the winner — identical across runs and partitionings
+    val out1 = applied(cdcFeed((1L, "zzz", 1.0, "U", 9L),
+      (1L, "aaa", 2.0, "U", 9L)))
+    val out2 = applied(cdcFeed((1L, "aaa", 2.0, "U", 9L),
+      (1L, "zzz", 1.0, "U", 9L)))
+    assert(out1(1L) == out2(1L))
+    assert(out1(1L) == (("zzz", 1.0))) // desc on payload order
   }
 
   test("applyCdc demands every sink payload column on the feed") {
