@@ -120,10 +120,11 @@ object Similarity {
     * `nProbes` nearest cells, exact-rank within the probed candidates.
     *
     * Centroids are the first `nCentroids` corpus vectors by id —
-    * deterministic seeding (k-means refinement would improve cell
-    * balance but adds nothing to the plan shape; swap in trained
-    * centroids at will). Assignment ties break by centroid id on the
-    * 6-dp-rounded cosine so any engine reproduces the same cells.
+    * deterministic seeding, OR pass `trained` centroids from
+    * [[kmeansFit]] for data-adaptive cells (better balance → better
+    * recall per probe; same plan shape). Assignment ties break by
+    * centroid id on the 6-dp-rounded cosine so any engine reproduces
+    * the same cells.
     *
     * Plan shape at scale: corpus×centroids is a broadcast nested loop
     * over a tiny build side (centroid count), the probe join is an
@@ -131,12 +132,19 @@ object Similarity {
     * with data-adaptive cells. */
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16,
-      nProbes: Int = 4): DataFrame = {
+      nProbes: Int = 4, trained: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
     // "first nCentroids by id" literally — filter(id < n) would silently
     // yield zero centroids (and an empty result) for non-0-based ids
-    val cents = Dedup.withNorm(
-      corpus.orderBy(col(idCol)).limit(nCentroids), idCol, vecCol,
-      "cent_id", "ce")
+    val centSrc = trained match {
+      case Some(cs) =>
+        // withNorm casts to array<double> — hand the doubles over as-is
+        cs.zipWithIndex.map { case (c, j) => (j.toLong, c) }
+          .toDF(idCol, vecCol)
+      case None => corpus.orderBy(col(idCol)).limit(nCentroids)
+    }
+    val cents = Dedup.withNorm(centSrc, idCol, vecCol, "cent_id", "ce")
     def cosC = round(Dedup.dotNative(col("v"), col("ce")) /
       (col("v_nrm") * col("ce_nrm")), 6)
     val byCell = Window.partitionBy(col("id"))

@@ -219,6 +219,50 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming near-duplicate detection: each micro-batch of documents
+    * is checked against the accumulated corpus with
+    * `Dedup.minhashDupPairsIncremental` (batch×corpus + batch×batch —
+    * existing×existing never re-compared, so the per-tick cost tracks
+    * the TICK, not corpus history), then appended to the corpus store.
+    * Detected pairs append to `pairsPath` — the continuously-maintained
+    * duplicate ledger a curation pass reads.
+    *
+    * At scale the corpus store would be the maintained band-signature
+    * relation (the ingest-time state the incremental dedup is designed
+    * around) rather than raw text; raw text here keeps the bounded
+    * test observable end to end.
+    */
+  def dedupStreamIncremental(docs: DataFrame, corpusPath: String,
+      pairsPath: String, checkpointDir: String, idCol: String,
+      textCol: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val df = batch.toDF().localCheckpoint(true)
+          val sp = df.sparkSession
+          val p = new org.apache.hadoop.fs.Path(corpusPath)
+          val fs = p.getFileSystem(sp.sessionState.newHadoopConf())
+          if (fs.exists(p)) {
+            val corpus = sp.read.parquet(corpusPath)
+            graft.ext.Dedup
+              .minhashDupPairsIncremental(df, corpus, idCol, textCol,
+                threshold)
+              .write.mode("append").parquet(pairsPath)
+          } else {
+            // bootstrap tick: no prior corpus — only batch-internal dups
+            graft.ext.Dedup
+              .minhashDupPairs(df, idCol, textCol, threshold)
+              .write.mode("append").parquet(pairsPath)
+          }
+          df.write.mode("append").parquet(corpusPath)
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run [[habitDailyStream]] over the driver's `events` parquet as a
     * bounded stream (Trigger.AvailableNow → memory sink, complete mode)
     * and return the final table — lets the batch oracle check the

@@ -1013,6 +1013,21 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(c3.size == 3) // no crash, no collapsed centroid list
   }
 
+  test("knnIvf with kmeansFit centroids recovers blob-local neighbors") {
+    val d = blobs // 3 well-separated blobs, 90 vectors
+    val queries = d.filter(col("vec_id").isin(0L, 31L, 62L)) // one per blob
+    val exact = Similarity.knnBruteForce(d, queries, "vec_id",
+        "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (cents, _) = Similarity.kmeansFit(d, "vec_id", "embedding",
+      k = 3, iterations = 3)
+    val ivf = Similarity.knnIvf(d, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 3, nProbes = 1, trained = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // trained cells align with blobs → single-probe recall is total
+    assert(exact == ivf)
+  }
+
   // ── count-min sketch ─────────────────────────────────────────────────
 
   test("cmsFrequencies: estimates bounded below by exact counts") {

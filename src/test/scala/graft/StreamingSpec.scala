@@ -250,6 +250,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("dedupStreamIncremental: ticks find cross-tick near-dups only once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup_")
+    val corpus = dir.resolve("corpus").toString
+    val pairs = dir.resolve("pairs").toString
+    val cp = dir.resolve("cp").toString
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    try {
+      val mem = MemoryStream[(Long, String)]
+      def stream = mem.toDF().toDF("doc_id", "text")
+      // tick 1: two distinct docs — no pairs
+      mem.addData((1L, textA),
+        (2L, "completely different words in this one here today"))
+      Streaming.dedupStreamIncremental(stream, corpus, pairs, cp,
+        "doc_id", "text").awaitTermination()
+      // tick 2: a copy of doc 1 plus another distinct doc
+      mem.addData((3L, textA),
+        (4L, "nothing shared with any other document at all folks"))
+      Streaming.dedupStreamIncremental(stream, corpus, pairs, cp,
+        "doc_id", "text").awaitTermination()
+      val ledger = s.read.parquet(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ledger == Set((1L, 3L)))
+      assert(s.read.parquet(corpus).count() == 4)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("dedupStream drops replayed keys within the watermark") {
     val s = spark
     import s.implicits._
