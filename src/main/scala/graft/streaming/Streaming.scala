@@ -231,6 +231,14 @@ object Streaming {
     * relation (the ingest-time state the incremental dedup is designed
     * around) rather than raw text; raw text here keeps the bounded
     * test observable end to end.
+    *
+    * Replay safety: both sinks write OVERWRITE into a `batch=<id>`
+    * subdirectory — the standard idempotent-foreachBatch pattern. A
+    * tick that crashes mid-function replays under the same batchId and
+    * simply rewrites its own subdirectories, so neither the corpus nor
+    * the ledger ever double-counts (a plain append would duplicate
+    * whichever sink committed before the crash). Readers see the
+    * subdirs as a `batch` partition column.
     */
   def dedupStreamIncremental(docs: DataFrame, corpusPath: String,
       pairsPath: String, checkpointDir: String, idCol: String,
@@ -240,24 +248,32 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
+         batchId: Long) =>
           val df = batch.toDF().localCheckpoint(true)
           val sp = df.sparkSession
           val p = new org.apache.hadoop.fs.Path(corpusPath)
           val fs = p.getFileSystem(sp.sessionState.newHadoopConf())
-          if (fs.exists(p)) {
-            val corpus = sp.read.parquet(corpusPath)
-            graft.ext.Dedup
-              .minhashDupPairsIncremental(df, corpus, idCol, textCol,
+          // the corpus is every PRIOR tick's subdir; this tick's own
+          // replayed leftovers (crash after corpus write, before ledger
+          // write) must not count as "existing" or its docs would pair
+          // against themselves
+          val prior =
+            if (fs.exists(p))
+              fs.listStatus(p).map(_.getPath.getName)
+                .filter(d => d.startsWith("batch=") &&
+                  d != s"batch=$batchId")
+                .map(d => s"$corpusPath/$d")
+            else Array.empty[String]
+          val pairs =
+            if (prior.nonEmpty)
+              graft.ext.Dedup.minhashDupPairsIncremental(
+                df, sp.read.parquet(prior.toSeq: _*), idCol, textCol,
                 threshold)
-              .write.mode("append").parquet(pairsPath)
-          } else {
-            // bootstrap tick: no prior corpus — only batch-internal dups
-            graft.ext.Dedup
-              .minhashDupPairs(df, idCol, textCol, threshold)
-              .write.mode("append").parquet(pairsPath)
-          }
-          df.write.mode("append").parquet(corpusPath)
+            else
+              // bootstrap tick: no prior corpus — batch-internal dups
+              graft.ext.Dedup.minhashDupPairs(df, idCol, textCol, threshold)
+          pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+          df.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
           ()
       }
       .trigger(Trigger.AvailableNow())

@@ -145,4 +145,59 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"profile must read the table exactly once:\n$p")
   }
+
+  test("quantized knn: broadcast query codes + local top-k before window") {
+    val p = plan("q_knn_quantized")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query codes must broadcast (map-side scoring)")
+    assert(p.contains("MapPartitions"),
+      "partition-local top-k kernel must bound the ranking shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("segment dedup: partial-aggregating frequency count, no cartesian") {
+    val p = plan("q_dedup_lines")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"segment frequency must combine map-side before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cdc apply: winner window rides the feed, join is the only " +
+      "sink-wide exchange") {
+    val p = plan("q_cdc_apply")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"keyed full-outer merge expected:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("weighted sampling: one ranking window, group limit pushed") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must prune inside the window:\n$p")
+  }
+
+  test("dsv2 pushdown: pruned scan plans exactly one day block") {
+    val df = SparkEntry.queries("q_dsv2_pushdown")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    // descend through AQE wrappers AND materialized query stages (a
+    // stage's plan is not a `children` edge — same traversal as
+    // QueryMetrics)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val scans = nodes(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.inputRDD.getNumPartitions == 1,
+      "pushed Report-Date equality must prune to a single partition")
+    // 3 projected + Report Date (still referenced by the residual
+    // isnotnull filter) — Timestamp/Meditation/Notes are pruned
+    assert(scans.head.scan.readSchema().fieldNames.length == 4,
+      "column pruning must reach the reader")
+  }
 }
