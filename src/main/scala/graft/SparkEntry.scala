@@ -789,6 +789,24 @@ object SparkEntry {
           Seq("event_id", "user_id", "event_type", "value"))
         .orderBy(col("col_name"))),
 
+    // Single-pass approximate profile (no Expand — the wide-table
+    // path): exact-comparable stats plus an HLL-NDV 5%-band invariant
+    // (the exact profile supplies the band's reference inside the
+    // query, like q_approx_distinct).
+    "q_profile_approx" -> ((s, dir) => {
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      val ev = Tables.read(s, dir, "events")
+      val ap = graft.ext.Profile.profileApprox(ev, cols)
+      val ex = graft.ext.Profile.profile(ev, cols)
+        .select(col("col_name"), col("n_distinct"))
+      ap.join(ex, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          r6(col("min_num")).as("min_num"), r6(col("max_num")).as("max_num"),
+          (abs(col("approx_distinct") - col("n_distinct")).cast("double") <=
+            lit(0.05) * col("n_distinct").cast("double")).as("approx_ok"))
+        .orderBy(col("col_name"))
+    }),
+
     // Native Morton (Z-order) key over two scaled dimensions — the
     // clustering key behind Layout.writeZOrdered; the oracle rebuilds
     // the identical bit interleave arithmetically.
@@ -1655,6 +1673,33 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 450000
          GROUP BY 1 ORDER BY 1""",
+
+    "q_profile_approx" ->
+      """SELECT * FROM (
+           SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
+                  (count(*) - count(event_id))::BIGINT AS n_null,
+                  round(min(event_id)::DOUBLE, 6) AS min_num,
+                  round(max(event_id)::DOUBLE, 6) AS max_num,
+                  true AS approx_ok
+           FROM events
+           UNION ALL
+           SELECT 'event_type', count(*)::BIGINT,
+                  (count(*) - count(event_type))::BIGINT,
+                  NULL::DOUBLE, NULL::DOUBLE, true
+           FROM events
+           UNION ALL
+           SELECT 'user_id', count(*)::BIGINT,
+                  (count(*) - count(user_id))::BIGINT,
+                  round(min(user_id)::DOUBLE, 6),
+                  round(max(user_id)::DOUBLE, 6), true
+           FROM events
+           UNION ALL
+           SELECT 'value', count(*)::BIGINT,
+                  (count(*) - count(value))::BIGINT,
+                  round(min(value)::DOUBLE, 6),
+                  round(max(value)::DOUBLE, 6), true
+           FROM events
+         ) ORDER BY col_name""",
 
     "q_profile" ->
       """SELECT * FROM (

@@ -54,6 +54,40 @@ object Profile {
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** [[profile]] with `approx_count_distinct` in place of the exact
+    * NDVs — the quick-look variant for WIDE tables: no Expand, so the
+    * whole profile collapses to one partial-aggregating pass (row
+    * replication in the exact form is ×distinct-columns, which is the
+    * difference between one scan and k scans' worth of shuffle on a
+    * 100-column 100 TB drop). Estimates carry the HLL rsd guarantee;
+    * the oracle checks them as a 5%-band invariant against the exact
+    * counts rather than cell-exact equality. */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.01): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"_nd_$c"),
+        (if (numeric) min(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"_mnn_$c"),
+        (if (numeric) max(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"_mxn_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_nd_$c").as("approx_distinct"),
+        col(s"_mnn_$c").as("min_num"),
+        col(s"_mxn_$c").as("max_num"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   /** Fixed-width value histogram — distribution shape at a glance, the
     * partner to [[profile]]'s min/max and the exact percentiles query.
     * One hash-aggregate over the (optionally grouped) rows; bucket

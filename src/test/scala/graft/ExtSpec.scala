@@ -843,6 +843,24 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 3L))
   }
 
+  test("profileApprox: no Expand in the plan, stats line up with exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some(2.5), Some("x")), (2L, None, Some("y")),
+      (3L, Some(7.25), None), (4L, Some(2.5), Some("x")))
+      .toDF("id", "v", "tag")
+    val ap = graft.ext.Profile.profileApprox(df, Seq("id", "v", "tag"))
+    assert(!ap.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must stay a single partial-agg pass")
+    val got = ap.collect().map(r => r.getString(0) -> r).toMap
+    assert(got("id").getLong(1) == 4 && got("id").getLong(2) == 0 &&
+      got("id").getLong(3) == 4) // HLL exact at tiny cardinality
+    assert(got("v").getLong(2) == 1 && got("v").getDouble(4) == 2.5 &&
+      got("v").getDouble(5) == 7.25)
+    assert(got("tag").getLong(2) == 1 && got("tag").getLong(3) == 2)
+  }
+
   test("profile computes per-column stats in long form from one scan") {
     val s = spark
     import s.implicits._
