@@ -666,7 +666,11 @@ object Dedup {
     require(n > 0, "segment width must be positive")
     require(maxOccurrences > 1, "maxOccurrences must be > 1 " +
       "(1 would drop every segment)")
-    val toks = split(col(textCol).cast("string"), " ", -1)
+    // null text reads as empty: split(null) is null and posexplode of a
+    // null array emits NO rows, which would silently drop the doc from
+    // the output instead of honoring the one-row-per-doc contract
+    val toks = split(coalesce(col(textCol).cast("string"), lit("")),
+      " ", -1)
     // window starts 0, n, 2n, …; slice() is 1-based and caps at the end
     val segs = transform(
       sequence(lit(0), floor((size(toks) - 1) / lit(n)).cast("int")),

@@ -916,6 +916,18 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L) == ((1L, 0L, "a b")))
   }
 
+  test("segmentDedup: null-text doc keeps its output row") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, Some("a b")), (2L, None), (3L, Some("c d")))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(d, "doc_id", "text", n = 2,
+        maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // nobody vanishes
+    assert(got(2L) == "")
+  }
+
   test("segmentDedup: short tail window is its own segment") {
     val s = spark
     import s.implicits._
