@@ -178,6 +178,22 @@ object SparkEntry {
           "habit", Seq(col("value").desc, col("event_id")), k = 5, salts = 8)
         .orderBy(col("habit"), col("value").desc, col("event_id"))),
 
+    // Salted fact⋈dim join on a 5-value (maximally skewed) key: the
+    // small side replicates salts×, the hot key spreads over 8 reducer
+    // partitions, and the oracle proves result identity with the plain
+    // join (exactly the contract salting must keep).
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+        .select(col("habit"), col("value"))
+      val dim = ev.groupBy(col("habit"))
+        .agg(r6(avg(col("value"))).as("habit_avg"))
+      Skew.saltedJoin(ev, dim, "habit", salts = 8)
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"), r6(max(col("habit_avg"))).as("habit_avg"),
+          r6(sum(abs(col("value") - col("habit_avg")))).as("dev_abs"))
+        .orderBy(col("habit"))
+    }),
+
     "q_sessionize" -> ((s, dir) =>
       Habits.sessionize(Tables.eventsAsHabits(s, dir), "user_email", "ts", 30)
         .groupBy(col("user_email"))
@@ -533,6 +549,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Same as-of semantics through the native operator stack (custom
+    // LogicalPlan + Strategy + SparkPlan via SparkSessionExtensions):
+    // co-partitioned per-side shuffles + in-partition merge, no window.
+    "q_asof_native" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+      graft.ext.AsOf.asofJoinNative(clicks, purchases, "user_email", "ts",
+          Seq("pvalue"))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: clicks falling inside 2-hour windows opened by each
     // purchase, via the bucketized equi-join formulation.
     "q_range_join" -> ((s, dir) => {
@@ -768,6 +801,33 @@ object SparkEntry {
     // bloom of the qualifying orders' keys before the exact join — the
     // explicit form of runtime row-level filtering. False positives are
     // dropped by the join, so the oracle is the plain unpruned SQL.
+    // Bucketed-table co-located join: both sides written hash-bucketed
+    // on the join key (Bucketing.writeBucketed), so the fact⋈fact join
+    // plans with ZERO exchange into the join — the 100 TB answer to
+    // repeated large⋈large joins on a stable key. PlanSpec pins the
+    // no-shuffle contract; the oracle proves the layout changes nothing.
+    "q_bucket_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_buckets_")
+        .toString
+      val orders = Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      graft.load.Bucketing.writeBucketed(orders, "g_orders_b",
+        s"$tmp/orders", "o_orderkey", buckets = 8)
+      graft.load.Bucketing.writeBucketed(li, "g_lineitem_b",
+        s"$tmp/lineitem", "l_orderkey", buckets = 8)
+      s.table("g_lineitem_b")
+        .join(s.table("g_orders_b").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate"))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"), count(lit(1)).as("n"))
+        .select(ntz(col("o_orderdate")).as("o_orderdate"), col("revenue"),
+          col("n"))
+        .orderBy(col("o_orderdate"))
+    }),
+
     "q_bloom_join" -> ((s, dir) => {
       val hot = Tables.read(s, dir, "orders")
         .filter(col("o_totalprice") > 450000)
@@ -1063,6 +1123,18 @@ object SparkEntry {
     }),
 
     // ── Extension scope: streaming analog of the rollup (SURVEY §2.7) ──
+    // Stream-stream interval join (both sides watermarked, event time
+    // bounded in both directions so join state expires), replayed
+    // one-shot and oracled against the batch theta join.
+    "q_interval_join_stream" -> ((s, dir) =>
+      Streaming.intervalJoinAvailableNow(s, dir, "click", "purchase",
+          lower = "2 hours", upper = "0 seconds",
+          Streaming.nextQueryName("graft_ijs"))
+        .select(col("l_event_id"), col("r_event_id"),
+          ntz(col("l_ts")).as("l_ts"), col("l_user_email").as("user_email"),
+          ntz(col("r_ts")).as("r_ts"))
+        .orderBy(col("l_event_id"), col("r_event_id"))),
+
     "q_habit_daily_stream" -> ((s, dir) =>
       Streaming.habitDailyAvailableNow(s, dir, sumHabit = "purchase",
           Streaming.nextQueryName("graft_hds"))
@@ -1194,6 +1266,16 @@ object SparkEntry {
       """SELECT event_type AS habit, count(DISTINCT user_id)::BIGINT
                   AS n_distinct
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_salted_join" ->
+      """WITH ev AS (SELECT event_type AS habit, value FROM events),
+         dim AS (SELECT habit, round(avg(value), 6) AS habit_avg
+                 FROM ev GROUP BY 1)
+         SELECT e.habit, count(*)::BIGINT AS n,
+                round(max(d.habit_avg), 6) AS habit_avg,
+                round(sum(abs(e.value - d.habit_avg)), 6) AS dev_abs
+         FROM ev e JOIN dim d ON e.habit = d.habit
+         GROUP BY 1 ORDER BY 1""",
 
     "q_salted_topk" ->
       """SELECT habit, event_id, value FROM (
@@ -1551,6 +1633,18 @@ object SparkEntry {
            ON c.user_email = p.user_email AND c.ts >= p.ts
          ORDER BY c.event_id""",
 
+    "q_asof_native" ->
+      """WITH clicks AS (SELECT event_id, user_id AS user_email, ts
+              FROM events WHERE event_type = 'click'),
+         purch AS (SELECT user_id AS user_email, ts,
+                round(max(value), 6) AS pvalue
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, c.ts, c.user_email,
+                p.ts AS asof_ts, p.pvalue AS asof_pvalue
+         FROM clicks c ASOF LEFT JOIN purch p
+           ON c.user_email = p.user_email AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+
     "q_pivot_daily" ->
       """SELECT date_trunc('day', ts) AS day, user_id AS user_email,
                 round(sum(value) FILTER (WHERE event_type = 'click'), 6) AS click,
@@ -1673,6 +1767,24 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 450000
          GROUP BY 1 ORDER BY 1""",
+
+    "q_bucket_join" ->
+      """SELECT o_orderdate,
+                round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                count(*)::BIGINT AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_interval_join_stream" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+              p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase')
+         SELECT c.event_id AS l_event_id, p.event_id AS r_event_id,
+                c.ts AS l_ts, c.user_id AS user_email, p.ts AS r_ts
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts
+         ORDER BY 1, 2""",
 
     "q_profile_approx" ->
       """SELECT * FROM (

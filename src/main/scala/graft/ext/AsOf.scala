@@ -52,4 +52,15 @@ object AsOf {
       (tsCol +: rightCols).map(c => col(s"_asof.$c").as(s"asof_$c"))
     carried.select(out: _*)
   }
+
+  /** Native-operator form of [[asofJoin]] — identical contract and
+    * output schema, but planned as the custom Catalyst operator stack
+    * (`AsOfJoinNode` → `AsOfJoinStrategy` → `AsOfJoinExec`, injected via
+    * `graft.plans.GraftExtensions`). Each side shuffles once in its own
+    * schema and merges per partition with O(1) state, instead of pushing
+    * a null-padded union schema through a window carry-forward. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame =
+    org.apache.spark.sql.graft.AsOfJoinNative.asofJoin(
+      left, right, key, tsCol, rightCols)
 }

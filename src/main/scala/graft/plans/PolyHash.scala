@@ -187,5 +187,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot takes exactly 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
       }))
+    // whole-operator extension: plans AsOfJoinNode as the native
+    // co-partitioned merge (see org.apache.spark.sql.graft.AsOfJoinNative)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }

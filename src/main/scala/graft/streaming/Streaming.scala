@@ -336,4 +336,58 @@ object Streaming {
       java.nio.file.Files.deleteIfExists(staged)
     }
   }
+
+  /** One-shot (`AvailableNow`) replay of the stream-stream
+    * [[intervalJoinStream]] over the events table, for the oracle gate:
+    * pairs each `leftHabit` event with the same user's `rightHabit`
+    * events inside `[ts − lower, ts + upper]`. Inner-join rows emit as
+    * they match (no watermark wait), and the generous watermark only
+    * bounds STATE — batch-1 data is never late, so the replay equals
+    * the batch theta join row-for-row, which is exactly what the DuckDB
+    * oracle asserts. Staging/nanos handling mirrors
+    * [[habitDailyAvailableNow]]. */
+  def intervalJoinAvailableNow(spark: SparkSession, dir: String,
+      leftHabit: String, rightHabit: String, lower: String, upper: String,
+      queryName: String): DataFrame = {
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "intervalJoinAvailableNow requires spark.sql.session.timeZone=UTC")
+    val prevNanos =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_")
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        staged.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      def side(habit: String) = spark.readStream.schema(schema)
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumnRenamed("user_id", "user_email")
+        .filter(col("event_type") === habit)
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val joined = intervalJoinStream(side(leftHabit), side(rightHabit),
+        "user_email", "ts", lower, upper, watermark = "3650 days")
+      val q = joined.writeStream.format("memory").queryName(queryName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new RuntimeException(
+          s"stream $queryName did not terminate within 300s")
+      }
+      spark.table(queryName)
+    } finally {
+      prevNanos match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(staged)
+    }
+  }
 }

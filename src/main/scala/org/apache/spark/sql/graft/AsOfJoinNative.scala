@@ -1,0 +1,200 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Native as-of join: a whole-operator Catalyst extension — custom
+  * `LogicalPlan` node, planner `SparkStrategy`, and physical `SparkPlan` —
+  * registered through `SparkSessionExtensions`
+  * ([[graft.plans.GraftExtensions]]). Semantics match
+  * [[graft.ext.AsOf.asofJoin]] (and DuckDB's `ASOF LEFT JOIN`, the
+  * oracle): for each left row, the single right row with the greatest
+  * `right.ts <= left.ts` on the same key, or nulls when none exists.
+  *
+  * Why a physical operator at all, when the composed union+window form
+  * already does ONE shuffle: the composed form's window must buffer each
+  * key's full (left ∪ right) partition in the window frame and carries a
+  * null-padded union schema through the shuffle. This operator shuffles
+  * each side in its own (narrower) schema, sorts within partitions by
+  * (key, ts) — both sides co-partitioned by EnsureRequirements from the
+  * declared `ClusteredDistribution`s — then streams a per-partition merge
+  * holding O(1) state: the last right payload seen for the current key.
+  * No window buffer, no union schema, no candidate explosion; at 100 TB
+  * the cost is exactly two hash shuffles + two in-partition sorts, the
+  * same shape as a sort-merge join, and AQE still coalesces/re-plans the
+  * shuffles as usual.
+  *
+  * Right rows must be unique per (key, ts) — pre-aggregate duplicates —
+  * and null keys/timestamps never match (SQL comparison semantics). */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute,
+    rightPayload: Seq[Attribute],
+    asofAttrs: Seq[AttributeReference]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ asofAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(asofAttrs)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical as-of merge join. Children are hash-clustered on the key and
+  * sorted by (key, ts); each partition is a single forward merge of the
+  * two sorted streams (the right iterator never rewinds — each right row
+  * is examined once). */
+case class AsOfJoinExec(
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute,
+    rightPayload: Seq[Attribute],
+    asofAttrs: Seq[AttributeReference],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ asofAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(asofAttrs)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  // rows stream out in the left child's partitioning and (key, ts) order —
+  // declaring both lets downstream operators (e.g. another merge on the
+  // same key) reuse the shuffle and sort
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val (lKeyA, lTsA, rKeyA, rTsA) = (leftKey, leftTs, rightKey, rightTs)
+    val payloadA: Seq[Expression] = (rTsA +: rightPayload).map(identity)
+    val outExprs: Seq[Expression] = output.map(identity)
+    val asofA = asofAttrs
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // orderings/projections are code-generated per partition (cached
+      // per-executor by the codegen cache)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKeyA.dataType))
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsA.dataType))
+      val lKeyProj = UnsafeProjection.create(Seq[Expression](lKeyA), lOut)
+      val lTsProj = UnsafeProjection.create(Seq[Expression](lTsA), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq[Expression](rKeyA), rOut)
+      val rTsProj = UnsafeProjection.create(Seq[Expression](rTsA), rOut)
+      val payloadProj = UnsafeProjection.create(payloadA, rOut)
+      val resultProj = UnsafeProjection.create(outExprs, lOut ++ asofA)
+      val nullPayload = new GenericInternalRow(asofA.size)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // O(1) merge state: the latest right payload for the current key
+      var carry: UnsafeRow = null
+      var prevKey: UnsafeRow = null
+
+      lIter.map { l =>
+        val lk = lKeyProj(l).copy()
+        if (prevKey == null || keyOrd.compare(prevKey, lk) != 0) carry = null
+        prevKey = lk
+        var payload: InternalRow = nullPayload
+        if (!lk.isNullAt(0)) {
+          val ltsRow = lTsProj(l)
+          if (!ltsRow.isNullAt(0)) {
+            val lts = ltsRow.copy()
+            var scan = true
+            while (scan && rBuf.hasNext) {
+              val r = rBuf.head
+              val rk = rKeyProj(r)
+              if (rk.isNullAt(0)) rBuf.next() // null keys never match
+              else {
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0) rBuf.next() // right key already passed by the left
+                else if (c == 0 && {
+                  val rts = rTsProj(r)
+                  !rts.isNullAt(0) && tsOrd.compare(rts, lts) <= 0
+                }) {
+                  carry = payloadProj(r).copy() // newest matching row wins
+                  rBuf.next()
+                } else if (c == 0 && rTsProj(r).isNullAt(0)) {
+                  rBuf.next() // null ts never matches (sorts first; discard)
+                } else scan = false // right side is ahead of this left row
+              }
+            }
+            if (carry != null) payload = carry
+          }
+        }
+        numOutputRows += 1
+        resultProj(joined(l, payload))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` in
+  * [[graft.plans.GraftExtensions]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoinNode =>
+      AsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs,
+        j.rightPayload, j.asofAttrs, planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level builder for the native as-of join. Lives under
+  * `org.apache.spark.sql` to reach `Dataset.ofRows` (the standard pattern
+  * for Spark-native extension libraries); the graft-facing API is
+  * [[graft.ext.AsOf.asofJoinNative]]. */
+object AsOfJoinNative {
+
+  /** Same contract as [[graft.ext.AsOf.asofJoin]]: right payload columns
+    * come back as `asof_<name>` (plus `asof_<tsCol>`), null when no right
+    * row precedes the left row on its key. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val session = left.sparkSession.asInstanceOf[classic.SparkSession]
+    val lPlan = left.queryExecution.analyzed
+    // re-alias the right side to fresh exprIds so self-joins (both sides
+    // carved from the same table) bind unambiguously
+    val r0 = right.queryExecution.analyzed
+    val rPlan = Project(r0.output.map(a => Alias(a, a.name)()), r0)
+
+    def pick(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asofJoin: column '$n' not found on $side side " +
+          s"(have: ${out.map(_.name).mkString(", ")})"))
+
+    val lKey = pick(lPlan.output, key, "left")
+    val lTs = pick(lPlan.output, tsCol, "left")
+    val rKey = pick(rPlan.output, key, "right")
+    val rTs = pick(rPlan.output, tsCol, "right")
+    require(lKey.dataType == rKey.dataType,
+      s"asofJoin: key types differ (${lKey.dataType} vs ${rKey.dataType})")
+    require(lTs.dataType == rTs.dataType,
+      s"asofJoin: ts types differ (${lTs.dataType} vs ${rTs.dataType})")
+    val payload = rTs +: rightCols.map(pick(rPlan.output, _, "right"))
+    val asofAttrs = payload.map(a =>
+      AttributeReference("asof_" + a.name, a.dataType, nullable = true)())
+
+    classic.Dataset.ofRows(session, AsOfJoinNode(lPlan, rPlan, lKey, rKey,
+      lTs, rTs, payload.tail, asofAttrs))
+  }
+}

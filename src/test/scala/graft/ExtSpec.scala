@@ -490,6 +490,40 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       4L -> None))
   }
 
+  test("asofJoinNative matches the composed form row-for-row") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val clicks = Seq(
+      (1L, "u1", t("2024-01-01 10:00:00")),
+      (2L, "u1", t("2024-01-01 12:00:00")), // equal-ts boundary (<= wins)
+      (3L, "u1", t("2024-01-01 15:00:00")),
+      (4L, "u2", t("2024-01-01 12:00:00")), // no purchases -> nulls
+      (5L, "u3", t("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_email", "ts")
+    val purchases = Seq(
+      ("u1", t("2024-01-01 12:00:00"), 5.0),
+      ("u1", t("2024-01-01 14:00:00"), 9.0),
+      ("u3", t("2024-01-01 08:00:00"), 2.0),
+      ("u4", t("2024-01-01 08:00:00"), 7.0)) // key absent on the left
+      .toDF("user_email", "ts", "pvalue")
+    val native = graft.ext.AsOf.asofJoinNative(clicks, purchases,
+      "user_email", "ts", Seq("pvalue"))
+    val composed = graft.ext.AsOf.asofJoin(clicks, purchases,
+      "user_email", "ts", Seq("pvalue"))
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(native.schema.map(f => (f.name, f.dataType)) ==
+      composed.schema.map(f => (f.name, f.dataType)))
+    val k = native.columns.map(col)
+    assert(native.select(k: _*).collect().map(_.toSeq).toSet ==
+      composed.select(k: _*).collect().map(_.toSeq).toSet)
+    // downstream operations compose over the custom node's output
+    val agg = native.groupBy(col("user_email"))
+      .agg(count(col("asof_pvalue")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("u1" -> 2L, "u2" -> 0L, "u3" -> 1L))
+  }
+
   test("pointInInterval matches the theta-join semantics incl. bucket edges") {
     val s = spark
     import s.implicits._

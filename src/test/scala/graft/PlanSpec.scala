@@ -56,6 +56,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "ranking window must consume the pruned (mapPartitions) relation")
   }
 
+  test("native as-of join: custom exec node, two shuffles, no window") {
+    val p = plan("q_asof_native")
+    assert(p.contains("AsOfJoin"), // TreeNode.nodeName strips the Exec suffix
+      "the injected strategy must plan the custom operator")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must never degrade to a product join")
+    // each side shuffles once on the key in its OWN schema; the merge
+    // itself is shuffle-free (contrast: the composed form unions both
+    // sides into one null-padded schema and windows over it)
+    val body = p.substring(p.indexOf("AsOfJoin"))
+    assert(!body.contains("Window"),
+      "the native operator replaces the window carry-forward")
+  }
+
+  test("bucketed join: co-located scans, no shuffle into the join") {
+    val p = plan("q_bucket_join")
+    assert(p.contains("SortMergeJoin"))
+    assert(p.contains("SelectedBucketsCount"),
+      "both scans must read the bucketed layout")
+    // the only hash exchange is the post-join groupBy re-key; the join
+    // consumes the on-disk bucket co-location directly
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "bucket co-location must eliminate both join-side shuffles")
+  }
+
   test("embedding LSH dedup: equi-join on (band, bucket), no cartesian") {
     val p = plan("q_dedup_embedding_lsh")
     assert(!p.contains("CartesianProduct"),

@@ -136,6 +136,33 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  property("asofJoinNative == composed asofJoin on random inputs") =
+    forAll(
+      Gen.listOfN(8, for {
+        u <- Gen.oneOf("u1", "u2", "u3"); s <- Gen.choose(0, 50)
+      } yield (u, s)),
+      Gen.listOfN(6, for {
+        u <- Gen.oneOf("u1", "u2", "u4"); s <- Gen.choose(0, 50)
+      } yield (u, s))) { (ls, rsRaw) =>
+      val s = spark
+      import s.implicits._
+      def t(sec: Int) =
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d")
+      val rs = rsRaw.distinct
+      val left = ls.zipWithIndex
+        .map { case ((u, sec), i) => (i.toLong, u, t(sec)) }
+        .toDF("event_id", "user_email", "ts")
+      val right = rs.map { case (u, sec) => (u, t(sec), sec.toDouble) }
+        .toDF("user_email", "ts", "pvalue")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), Option(r.get(3)),
+          Option(r.get(4)))).toSet
+      rows(graft.ext.AsOf.asofJoinNative(left, right, "user_email", "ts",
+        Seq("pvalue"))) ==
+        rows(graft.ext.AsOf.asofJoin(left, right, "user_email", "ts",
+          Seq("pvalue")))
+    }
+
   property("pointInInterval == naive theta join, any bucket width") =
     forAll(
       Gen.listOfN(8, for {
