@@ -188,7 +188,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     // whole-operator extension: plans AsOfJoinNode as the native
-    // co-partitioned merge (see org.apache.spark.sql.graft.AsOfJoinNative)
+    // co-partitioned merge (see org.apache.spark.sql.graft.AsOfJoinNative),
+    // with left-side predicate pushdown restored by a custom rule
+    // (Catalyst's own pushdown stops at unknown nodes)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.PushFilterThroughAsOfJoin)
   }
 }

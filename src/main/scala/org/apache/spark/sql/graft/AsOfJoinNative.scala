@@ -3,9 +3,10 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -145,6 +146,29 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** Custom optimizer rule completing the extension ladder: Catalyst's
+  * own `PushDownPredicates` stops at unknown nodes, so without this a
+  * `Filter` above an as-of join would scan the full left side. Any
+  * deterministic conjunct referencing ONLY left-side columns pushes into
+  * the left child (safe because each output row is exactly one left row,
+  * and dropping left rows never changes another row's carried right
+  * payload — the merge state derives from the right side alone).
+  * Conjuncts touching `asof_*` columns stay above. Injected via
+  * `injectOptimizerRule`, so the pushed filter then keeps sinking all
+  * the way into the parquet scan (PlanSpec pins PushedFilters). */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]; injected via

@@ -71,6 +71,33 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "the native operator replaces the window carry-forward")
   }
 
+  test("native as-of join: left-column filter pushes through to the scan") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsAsHabits(spark, dir)
+    val clicks = ev.filter(col("habit") === "click")
+      .select(col("event_id"), col("user_email"), col("ts"))
+    val purchases = ev.filter(col("habit") === "purchase")
+      .groupBy(col("user_email"), col("ts"))
+      .agg(max(col("value")).as("pvalue"))
+    val filtered = graft.ext.AsOf.asofJoinNative(clicks, purchases,
+        "user_email", "ts", Seq("pvalue"))
+      .filter(col("event_id") < 100 && col("asof_pvalue").isNotNull)
+    val p = filtered.queryExecution.executedPlan.toString
+    // the custom optimizer rule splits the conjunction: the left-only
+    // predicate sinks into the click-side parquet scan, the asof_*
+    // predicate stays above the operator
+    assert(p.contains("LessThan(event_id,100)"),
+      "left-side conjunct must reach PushedFilters on the scan")
+    assert(p.contains("isnotnull(asof_pvalue"),
+      "asof-column conjunct must remain above the join")
+    // and the results agree with filtering the composed form
+    val composed = graft.ext.AsOf.asofJoin(clicks, purchases,
+        "user_email", "ts", Seq("pvalue"))
+      .filter(col("event_id") < 100 && col("asof_pvalue").isNotNull)
+    assert(filtered.collect().map(_.toSeq).toSet ==
+      composed.collect().map(_.toSeq).toSet)
+  }
+
   test("bucketed join: co-located scans, no shuffle into the join") {
     val p = plan("q_bucket_join")
     assert(p.contains("SortMergeJoin"))
