@@ -566,6 +566,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // The same operator pinned to its shuffle-merge physical form
+    // (broadcast = Some(false)) so the co-partitioned merge exec stays
+    // under the oracle gate even when stats would pick broadcast.
+    "q_asof_native_merge" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+      graft.ext.AsOf.asofJoinNative(clicks, purchases, "user_email", "ts",
+          Seq("pvalue"), broadcast = Some(false))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: clicks falling inside 2-hour windows opened by each
     // purchase, via the bucketized equi-join formulation.
     "q_range_join" -> ((s, dir) => {
@@ -1146,6 +1163,20 @@ object SparkEntry {
   /** One oracle for both the one-shot rollup and its incremental
     * state-merge equivalent — a single definition so a future fix can't
     * drift between the two gates. */
+  /** One oracle for the composed as-of join and both native physical
+    * forms — all three gates assert the same DuckDB ASOF LEFT JOIN. */
+  private val asofOracle =
+    """WITH clicks AS (SELECT event_id, user_id AS user_email, ts
+            FROM events WHERE event_type = 'click'),
+       purch AS (SELECT user_id AS user_email, ts,
+              round(max(value), 6) AS pvalue
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+       SELECT c.event_id, c.ts, c.user_email,
+              p.ts AS asof_ts, p.pvalue AS asof_pvalue
+       FROM clicks c ASOF LEFT JOIN purch p
+         ON c.user_email = p.user_email AND c.ts >= p.ts
+       ORDER BY c.event_id"""
+
   private val habitDailyOracle =
     """SELECT date_trunc('day', ts) AS day,
                 user_id AS user_email,
@@ -1621,29 +1652,11 @@ object SparkEntry {
               AND c.ts >= w.w_start AND c.ts < w.w_end
          ORDER BY c.event_id, w.w_start""",
 
-    "q_asof_join" ->
-      """WITH clicks AS (SELECT event_id, user_id AS user_email, ts
-              FROM events WHERE event_type = 'click'),
-         purch AS (SELECT user_id AS user_email, ts,
-                round(max(value), 6) AS pvalue
-              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-         SELECT c.event_id, c.ts, c.user_email,
-                p.ts AS asof_ts, p.pvalue AS asof_pvalue
-         FROM clicks c ASOF LEFT JOIN purch p
-           ON c.user_email = p.user_email AND c.ts >= p.ts
-         ORDER BY c.event_id""",
+    "q_asof_join" -> asofOracle,
 
-    "q_asof_native" ->
-      """WITH clicks AS (SELECT event_id, user_id AS user_email, ts
-              FROM events WHERE event_type = 'click'),
-         purch AS (SELECT user_id AS user_email, ts,
-                round(max(value), 6) AS pvalue
-              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-         SELECT c.event_id, c.ts, c.user_email,
-                p.ts AS asof_ts, p.pvalue AS asof_pvalue
-         FROM clicks c ASOF LEFT JOIN purch p
-           ON c.user_email = p.user_email AND c.ts >= p.ts
-         ORDER BY c.event_id""",
+    "q_asof_native" -> asofOracle,
+
+    "q_asof_native_merge" -> asofOracle,
 
     "q_pivot_daily" ->
       """SELECT date_trunc('day', ts) AS day, user_id AS user_email,

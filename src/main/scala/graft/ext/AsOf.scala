@@ -60,7 +60,8 @@ object AsOf {
     * schema and merges per partition with O(1) state, instead of pushing
     * a null-padded union schema through a window carry-forward. */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
-      tsCol: String, rightCols: Seq[String]): DataFrame =
+      tsCol: String, rightCols: Seq[String],
+      broadcast: Option[Boolean] = None): DataFrame =
     org.apache.spark.sql.graft.AsOfJoinNative.asofJoin(
-      left, right, key, tsCol, rightCols)
+      left, right, key, tsCol, rightCols, broadcast)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -39,7 +39,10 @@ case class AsOfJoinNode(
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
     rightPayload: Seq[Attribute],
-    asofAttrs: Seq[AttributeReference]) extends BinaryNode {
+    asofAttrs: Seq[AttributeReference],
+    // None = stats-based choice; Some(true/false) pins broadcast/merge
+    // (the operator-level analog of Spark's BROADCAST/MERGE join hints)
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ asofAttrs
   override def producedAttributes: AttributeSet = AttributeSet(asofAttrs)
@@ -148,6 +151,108 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast form of the as-of join, planned when the right side is
+  * under the session's `autoBroadcastJoinThreshold` — the analog of
+  * BroadcastHashJoin vs SortMergeJoin for this operator. The left
+  * (fact) side declares NO required distribution or ordering: at 100 TB
+  * it is neither shuffled nor sorted — each task binary-searches a
+  * broadcast per-key sorted timeline of the right side. Right side cost
+  * is one broadcast + an O(n log n) per-partition index build. */
+case class AsOfJoinBroadcastExec(
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute,
+    rightPayload: Seq[Attribute],
+    asofAttrs: Seq[AttributeReference],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ asofAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(asofAttrs)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // pass-through on the fact side: partitioning and ordering survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val (lKeyA, lTsA, rKeyA, rTsA) = (leftKey, leftTs, rightKey, rightTs)
+    val payloadA: Seq[Expression] = (rTsA +: rightPayload).map(identity)
+    val outExprs: Seq[Expression] = output.map(identity)
+    val asofA = asofAttrs
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitionsInternal { lIter =>
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsA.dataType))
+      val lKeyProj = UnsafeProjection.create(Seq[Expression](lKeyA), lOut)
+      val lTsProj = UnsafeProjection.create(Seq[Expression](lTsA), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq[Expression](rKeyA), rOut)
+      val rTsProj = UnsafeProjection.create(Seq[Expression](rTsA), rOut)
+      val payloadProj = UnsafeProjection.create(payloadA, rOut)
+      val resultProj = UnsafeProjection.create(outExprs, lOut ++ asofA)
+      // per-key timelines: (sorted ts rows, payloads in the same order)
+      val index = new java.util.HashMap[UnsafeRow,
+        (Array[UnsafeRow], Array[UnsafeRow])]()
+      locally {
+        val byKey = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
+        broadcastRows.value.foreach { r =>
+          val k = rKeyProj(r)
+          val ts = rTsProj(r)
+          if (!k.isNullAt(0) && !ts.isNullAt(0)) { // nulls never match
+            var buf = byKey.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]
+              byKey.put(k.copy(), buf)
+            }
+            buf += ((ts.copy(), payloadProj(r).copy()))
+          }
+        }
+        byKey.forEach { (k, buf) =>
+          val sorted = buf.sortWith((a, b) => tsOrd.compare(a._1, b._1) < 0)
+          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+      }
+      val nullPayload = new GenericInternalRow(asofA.size)
+      val joined = new JoinedRow
+
+      lIter.map { l =>
+        var payload: InternalRow = nullPayload
+        val lk = lKeyProj(l)
+        if (!lk.isNullAt(0)) {
+          val timeline = index.get(lk)
+          if (timeline != null) {
+            val lts = lTsProj(l)
+            if (!lts.isNullAt(0)) {
+              val (tss, payloads) = timeline
+              // greatest ts <= lts: binary search for the upper bound
+              var lo = 0
+              var hi = tss.length // exclusive
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (tsOrd.compare(tss(mid), lts) <= 0) lo = mid + 1 else hi = mid
+              }
+              if (lo > 0) payload = payloads(lo - 1)
+            }
+          }
+        }
+        numOutputRows += 1
+        resultProj(joined(l, payload))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinBroadcastExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Custom optimizer rule completing the extension ladder: Catalyst's
   * own `PushDownPredicates` stops at unknown nodes, so without this a
   * `Filter` above an as-of join would scan the full left side. Any
@@ -171,14 +276,27 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
   }
 }
 
-/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]; injected via
-  * `SparkSessionExtensions.injectPlannerStrategy` in
+/** Plans [[AsOfJoinNode]], choosing the physical form the way Spark
+  * chooses BroadcastHashJoin vs SortMergeJoin: a right side whose
+  * estimated size fits `autoBroadcastJoinThreshold` plans as
+  * [[AsOfJoinBroadcastExec]] (fact side untouched — no shuffle, no
+  * sort); otherwise the co-partitioned merge [[AsOfJoinExec]].
+  * Injected via `SparkSessionExtensions.injectPlannerStrategy` in
   * [[graft.plans.GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinNode =>
-      AsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs,
-        j.rightPayload, j.asofAttrs, planLater(j.left), planLater(j.right)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (j.broadcastHint.getOrElse(
+            threshold > 0 && j.right.stats.sizeInBytes <= threshold))
+          AsOfJoinBroadcastExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs,
+            j.rightPayload, j.asofAttrs, planLater(j.left), planLater(j.right))
+        else
+          AsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs,
+            j.rightPayload, j.asofAttrs, planLater(j.left), planLater(j.right))
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -191,9 +309,12 @@ object AsOfJoinNative {
 
   /** Same contract as [[graft.ext.AsOf.asofJoin]]: right payload columns
     * come back as `asof_<name>` (plus `asof_<tsCol>`), null when no right
-    * row precedes the left row on its key. */
+    * row precedes the left row on its key. `broadcast` None lets the
+    * strategy choose from right-side stats vs `autoBroadcastJoinThreshold`;
+    * Some pins the physical form. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      tsCol: String, rightCols: Seq[String]): DataFrame = {
+      tsCol: String, rightCols: Seq[String],
+      broadcast: Option[Boolean] = None): DataFrame = {
     val session = left.sparkSession.asInstanceOf[classic.SparkSession]
     val lPlan = left.queryExecution.analyzed
     // re-alias the right side to fresh exprIds so self-joins (both sides
@@ -219,6 +340,6 @@ object AsOfJoinNative {
       AttributeReference("asof_" + a.name, a.dataType, nullable = true)())
 
     classic.Dataset.ofRows(session, AsOfJoinNode(lPlan, rPlan, lKey, rKey,
-      lTs, rTs, payload.tail, asofAttrs))
+      lTs, rTs, payload.tail, asofAttrs, broadcast))
   }
 }

@@ -507,21 +507,30 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       ("u3", t("2024-01-01 08:00:00"), 2.0),
       ("u4", t("2024-01-01 08:00:00"), 7.0)) // key absent on the left
       .toDF("user_email", "ts", "pvalue")
-    val native = graft.ext.AsOf.asofJoinNative(clicks, purchases,
-      "user_email", "ts", Seq("pvalue"))
     val composed = graft.ext.AsOf.asofJoin(clicks, purchases,
       "user_email", "ts", Seq("pvalue"))
-    assert(native.columns.toSeq == composed.columns.toSeq)
-    assert(native.schema.map(f => (f.name, f.dataType)) ==
-      composed.schema.map(f => (f.name, f.dataType)))
-    val k = native.columns.map(col)
-    assert(native.select(k: _*).collect().map(_.toSeq).toSet ==
-      composed.select(k: _*).collect().map(_.toSeq).toSet)
-    // downstream operations compose over the custom node's output
-    val agg = native.groupBy(col("user_email"))
-      .agg(count(col("asof_pvalue")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(agg == Map("u1" -> 2L, "u2" -> 0L, "u3" -> 1L))
+    // both physical forms must agree with the composed reference
+    for (pin <- Seq(Some(false), Some(true))) {
+      val native = graft.ext.AsOf.asofJoinNative(clicks, purchases,
+        "user_email", "ts", Seq("pvalue"), broadcast = pin)
+      val planned = native.queryExecution.executedPlan.toString
+      if (pin.contains(true))
+        assert(planned.contains("AsOfJoinBroadcast"), planned)
+      else
+        assert(planned.contains("AsOfJoin") &&
+          !planned.contains("AsOfJoinBroadcast"), planned)
+      assert(native.columns.toSeq == composed.columns.toSeq)
+      assert(native.schema.map(f => (f.name, f.dataType)) ==
+        composed.schema.map(f => (f.name, f.dataType)))
+      val k = native.columns.map(col)
+      assert(native.select(k: _*).collect().map(_.toSeq).toSet ==
+        composed.select(k: _*).collect().map(_.toSeq).toSet)
+      // downstream operations compose over the custom node's output
+      val agg = native.groupBy(col("user_email"))
+        .agg(count(col("asof_pvalue")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(agg == Map("u1" -> 2L, "u2" -> 0L, "u3" -> 1L))
+    }
   }
 
   test("pointInInterval matches the theta-join semantics incl. bucket edges") {

@@ -56,19 +56,30 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "ranking window must consume the pruned (mapPartitions) relation")
   }
 
-  test("native as-of join: custom exec node, two shuffles, no window") {
-    val p = plan("q_asof_native")
-    assert(p.contains("AsOfJoin"), // TreeNode.nodeName strips the Exec suffix
-      "the injected strategy must plan the custom operator")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "as-of must never degrade to a product join")
-    // each side shuffles once on the key in its OWN schema; the merge
-    // itself is shuffle-free (contrast: the composed form unions both
-    // sides into one null-padded schema and windows over it)
-    val body = p.substring(p.indexOf("AsOfJoin"))
-    assert(!body.contains("Window"),
-      "the native operator replaces the window carry-forward")
+  test("native as-of join: custom exec node, no window, no product join") {
+    for (q <- Seq("q_asof_native", "q_asof_native_merge")) {
+      val p = plan(q)
+      assert(p.contains("AsOfJoin"), // TreeNode.nodeName strips the Exec suffix
+        s"$q: the injected strategy must plan the custom operator")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: as-of must never degrade to a product join")
+      // merge form: each side shuffles once in its OWN schema; broadcast
+      // form: the fact side is untouched. Neither windows (contrast: the
+      // composed form unions both sides into one null-padded schema and
+      // windows over it).
+      val body = p.substring(p.indexOf("AsOfJoin"))
+      assert(!body.contains("Window"),
+        s"$q: the native operator replaces the window carry-forward")
+    }
+    // at sf0.001 the aggregated purchase side is tiny: stats must pick
+    // the broadcast form (fact side unshuffled, unsorted), while the
+    // pinned merge form keeps the co-partitioned exec under the gate
+    assert(plan("q_asof_native").contains("AsOfJoinBroadcast"),
+      "stats-based choice must broadcast a small right side")
+    val merge = plan("q_asof_native_merge")
+    assert(merge.contains("AsOfJoin") && !merge.contains("AsOfJoinBroadcast"),
+      "broadcast=Some(false) must pin the co-partitioned merge")
   }
 
   test("native as-of join: left-column filter pushes through to the scan") {

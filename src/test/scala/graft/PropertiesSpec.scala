@@ -157,10 +157,13 @@ object PropertiesSpec extends Properties("graft") {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), Option(r.get(3)),
           Option(r.get(4)))).toSet
+      val ref = rows(graft.ext.AsOf.asofJoin(left, right, "user_email",
+        "ts", Seq("pvalue")))
+      // merge and broadcast physical forms both equal the composed form
       rows(graft.ext.AsOf.asofJoinNative(left, right, "user_email", "ts",
-        Seq("pvalue"))) ==
-        rows(graft.ext.AsOf.asofJoin(left, right, "user_email", "ts",
-          Seq("pvalue")))
+        Seq("pvalue"), broadcast = Some(false))) == ref &&
+      rows(graft.ext.AsOf.asofJoinNative(left, right, "user_email", "ts",
+        Seq("pvalue"), broadcast = Some(true))) == ref
     }
 
   property("pointInInterval == naive theta join, any bucket width") =
