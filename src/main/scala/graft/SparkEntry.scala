@@ -189,8 +189,10 @@ object SparkEntry {
         .agg(r6(avg(col("value"))).as("habit_avg"))
       Skew.saltedJoin(ev, dim, "habit", salts = 8)
         .groupBy(col("habit"))
+        // dev_abs at 2 dp: the per-habit sum grows with event count and
+        // summation order flips the 6th decimal at larger SFs
         .agg(count(lit(1)).as("n"), r6(max(col("habit_avg"))).as("habit_avg"),
-          r6(sum(abs(col("value") - col("habit_avg")))).as("dev_abs"))
+          round(sum(abs(col("value") - col("habit_avg"))), 2).as("dev_abs"))
         .orderBy(col("habit"))
     }),
 
@@ -814,18 +816,17 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("rank"))
     }),
 
-    // Bloom-pruned fact⋈dim: lineitem rows shed map-side through a
-    // bloom of the qualifying orders' keys before the exact join — the
-    // explicit form of runtime row-level filtering. False positives are
-    // dropped by the join, so the oracle is the plain unpruned SQL.
     // Bucketed-table co-located join: both sides written hash-bucketed
     // on the join key (Bucketing.writeBucketed), so the fact⋈fact join
     // plans with ZERO exchange into the join — the 100 TB answer to
     // repeated large⋈large joins on a stable key. PlanSpec pins the
     // no-shuffle contract; the oracle proves the layout changes nothing.
     "q_bucket_join" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_buckets_")
-        .toString
+      // deterministic per-sfDir location: repeated invocations (plan
+      // printing, verify, bench×2) overwrite in place instead of
+      // accumulating orphaned table copies under fresh temp dirs
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_buckets_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       val orders = Tables.read(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderdate"))
       val li = Tables.read(s, dir, "lineitem")
@@ -838,13 +839,22 @@ object SparkEntry {
         .join(s.table("g_orders_b").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderdate"))
-        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue"), count(lit(1)).as("n"))
-        .select(ntz(col("o_orderdate")).as("o_orderdate"), col("revenue"),
-          col("n"))
+        // exact integer arithmetic: prices/discounts are 2-dp so the
+        // product is an exact 4-dp value — summing it scaled to 1e-4
+        // units as LONG is order-independent, where a double sum lands
+        // on half-way round boundaries and flips per engine
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")).as("revenue_e4"),
+          count(lit(1)).as("n"))
+        .select(ntz(col("o_orderdate")).as("o_orderdate"),
+          col("revenue_e4"), col("n"))
         .orderBy(col("o_orderdate"))
     }),
 
+    // Bloom-pruned fact⋈dim: lineitem rows shed map-side through a
+    // bloom of the qualifying orders' keys before the exact join — the
+    // explicit form of runtime row-level filtering. False positives are
+    // dropped by the join, so the oracle is the plain unpruned SQL.
     "q_bloom_join" -> ((s, dir) => {
       val hot = Tables.read(s, dir, "orders")
         .filter(col("o_totalprice") > 450000)
@@ -1160,9 +1170,6 @@ object SparkEntry {
           r6(col("sum_meditation")).as("sum_meditation"))
         .orderBy(col("day"), col("user_email"), col("habit"))))
 
-  /** One oracle for both the one-shot rollup and its incremental
-    * state-merge equivalent — a single definition so a future fix can't
-    * drift between the two gates. */
   /** One oracle for the composed as-of join and both native physical
     * forms — all three gates assert the same DuckDB ASOF LEFT JOIN. */
   private val asofOracle =
@@ -1177,6 +1184,9 @@ object SparkEntry {
          ON c.user_email = p.user_email AND c.ts >= p.ts
        ORDER BY c.event_id"""
 
+  /** One oracle for both the one-shot rollup and its incremental
+    * state-merge equivalent — a single definition so a future fix can't
+    * drift between the two gates. */
   private val habitDailyOracle =
     """SELECT date_trunc('day', ts) AS day,
                 user_id AS user_email,
@@ -1304,7 +1314,7 @@ object SparkEntry {
                  FROM ev GROUP BY 1)
          SELECT e.habit, count(*)::BIGINT AS n,
                 round(max(d.habit_avg), 6) AS habit_avg,
-                round(sum(abs(e.value - d.habit_avg)), 6) AS dev_abs
+                round(sum(abs(e.value - d.habit_avg)), 2) AS dev_abs
          FROM ev e JOIN dim d ON e.habit = d.habit
          GROUP BY 1 ORDER BY 1""",
 
@@ -1783,7 +1793,8 @@ object SparkEntry {
 
     "q_bucket_join" ->
       """SELECT o_orderdate,
-                round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT))::BIGINT AS revenue_e4,
                 count(*)::BIGINT AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",

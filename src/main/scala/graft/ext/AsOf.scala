@@ -53,12 +53,19 @@ object AsOf {
     carried.select(out: _*)
   }
 
-  /** Native-operator form of [[asofJoin]] — identical contract and
-    * output schema, but planned as the custom Catalyst operator stack
-    * (`AsOfJoinNode` → `AsOfJoinStrategy` → `AsOfJoinExec`, injected via
+  /** Native-operator form of [[asofJoin]] — same output schema and the
+    * same result on non-null keys/timestamps, planned as the custom
+    * Catalyst operator stack (`AsOfJoinNode` → `AsOfJoinStrategy` →
+    * `AsOfJoinExec`/`AsOfJoinBroadcastExec`, injected via
     * `graft.plans.GraftExtensions`). Each side shuffles once in its own
-    * schema and merges per partition with O(1) state, instead of pushing
-    * a null-padded union schema through a window carry-forward. */
+    * schema and merges per partition with O(1) state (or broadcasts a
+    * small right side and leaves the fact side unshuffled), instead of
+    * pushing a null-padded union schema through a window carry-forward.
+    *
+    * One deliberate contract difference: NULL keys and NULL timestamps
+    * never match here (SQL comparison semantics, matching DuckDB's
+    * `ASOF JOIN` oracle), whereas the composed form's window groups
+    * null keys together and can carry a null-ts right row. */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, rightCols: Seq[String],
       broadcast: Option[Boolean] = None): DataFrame =

@@ -47,6 +47,12 @@ case class AsOfJoinNode(
   override def output: Seq[Attribute] = left.output ++ asofAttrs
   override def producedAttributes: AttributeSet = AttributeSet(asofAttrs)
 
+  // exactly one output row per left row — without this, the unknown-
+  // binary-node default (|left| × |right| size product) would stop any
+  // plan ABOVE the as-of from ever broadcasting its result
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    left.stats
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
@@ -110,14 +116,19 @@ case class AsOfJoinExec(
       var prevKey: UnsafeRow = null
 
       lIter.map { l =>
-        val lk = lKeyProj(l).copy()
-        if (prevKey == null || keyOrd.compare(prevKey, lk) != 0) carry = null
-        prevKey = lk
+        // compare before copying: the projection buffer is stable until
+        // the next lKeyProj call (next left row), so the copy is only
+        // paid on key CHANGE, not per row on the hot path
+        val lk = lKeyProj(l)
+        if (prevKey == null || keyOrd.compare(prevKey, lk) != 0) {
+          carry = null
+          prevKey = lk.copy()
+        }
         var payload: InternalRow = nullPayload
         if (!lk.isNullAt(0)) {
-          val ltsRow = lTsProj(l)
-          if (!ltsRow.isNullAt(0)) {
-            val lts = ltsRow.copy()
+          // lTsProj is never re-applied below, so its buffer stays valid
+          val lts = lTsProj(l)
+          if (!lts.isNullAt(0)) {
             var scan = true
             while (scan && rBuf.hasNext) {
               val r = rBuf.head
@@ -187,19 +198,20 @@ case class AsOfJoinBroadcastExec(
     val outExprs: Seq[Expression] = output.map(identity)
     val asofA = asofAttrs
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val planId = id // capture — the closure must not drag `this` along
 
     left.execute().mapPartitionsInternal { lIter =>
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsA.dataType))
       val lKeyProj = UnsafeProjection.create(Seq[Expression](lKeyA), lOut)
       val lTsProj = UnsafeProjection.create(Seq[Expression](lTsA), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq[Expression](rKeyA), rOut)
-      val rTsProj = UnsafeProjection.create(Seq[Expression](rTsA), rOut)
-      val payloadProj = UnsafeProjection.create(payloadA, rOut)
       val resultProj = UnsafeProjection.create(outExprs, lOut ++ asofA)
-      // per-key timelines: (sorted ts rows, payloads in the same order)
-      val index = new java.util.HashMap[UnsafeRow,
-        (Array[UnsafeRow], Array[UnsafeRow])]()
-      locally {
+      // built once per executor, not per task (see companion cache)
+      val index = AsOfJoinBroadcastExec.index(broadcastRows.id, planId, () => {
+        val rKeyProj = UnsafeProjection.create(Seq[Expression](rKeyA), rOut)
+        val rTsProj = UnsafeProjection.create(Seq[Expression](rTsA), rOut)
+        val payloadProj = UnsafeProjection.create(payloadA, rOut)
+        val built = new java.util.HashMap[UnsafeRow,
+          (Array[UnsafeRow], Array[UnsafeRow])]()
         val byKey = new java.util.HashMap[UnsafeRow,
           scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
         broadcastRows.value.foreach { r =>
@@ -216,9 +228,10 @@ case class AsOfJoinBroadcastExec(
         }
         byKey.forEach { (k, buf) =>
           val sorted = buf.sortWith((a, b) => tsOrd.compare(a._1, b._1) < 0)
-          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+          built.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
         }
-      }
+        built
+      })
       val nullPayload = new GenericInternalRow(asofA.size)
       val joined = new JoinedRow
 
@@ -251,6 +264,38 @@ case class AsOfJoinBroadcastExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinBroadcastExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinBroadcastExec {
+  private type Timeline = (Array[UnsafeRow], Array[UnsafeRow])
+  private type Index = java.util.HashMap[UnsafeRow, Timeline]
+  // per-executor memo of the built per-key index, keyed by
+  // (broadcast id, plan id): every task of a stage reuses ONE build
+  // instead of re-hashing and re-sorting the broadcast rows per task.
+  // Soft references let the JVM reclaim an index under memory pressure
+  // (it is then rebuilt), so long sessions don't accumulate dead indexes.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int), java.lang.ref.SoftReference[Index]]()
+
+  private def index(broadcastId: Long, planId: Int,
+      build: () => Index): Index = {
+    val key = (broadcastId, planId)
+    def cached: Index = {
+      val ref = cache.get(key)
+      if (ref != null) ref.get() else null
+    }
+    val hit = cached
+    if (hit != null) hit
+    else synchronized { // build at most once per executor
+      val again = cached
+      if (again != null) again
+      else {
+        val built = build()
+        cache.put(key, new java.lang.ref.SoftReference(built))
+        built
+      }
+    }
+  }
 }
 
 /** Custom optimizer rule completing the extension ladder: Catalyst's
@@ -322,10 +367,13 @@ object AsOfJoinNative {
     val r0 = right.queryExecution.analyzed
     val rPlan = Project(r0.output.map(a => Alias(a, a.name)()), r0)
 
+    // honor the session's case-sensitivity setting, like col() would
+    val resolver = session.sessionState.conf.resolver
     def pick(out: Seq[Attribute], n: String, side: String): Attribute =
-      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"asofJoin: column '$n' not found on $side side " +
-          s"(have: ${out.map(_.name).mkString(", ")})"))
+      out.find(a => resolver(a.name, n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"asofJoin: column '$n' not found on $side side " +
+            s"(have: ${out.map(_.name).mkString(", ")})"))
 
     val lKey = pick(lPlan.output, key, "left")
     val lTs = pick(lPlan.output, tsCol, "left")
