@@ -816,6 +816,26 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("rank"))
     }),
 
+    // Columnar-format breadth: the event store round-trips through ORC
+    // (Spark's other built-in columnar format) — types, timestamps, and
+    // aggregates must survive the format change bit-exact vs the oracle
+    // reading the original parquet.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.eventsAsHabits(s, dir)
+        .select(col("event_id"), col("ts"), col("user_email"),
+          col("habit"), col("value"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"),
+          max(col("ts")).as("last_ts"))
+        .select(col("habit"), col("n"), col("avg_value"),
+          ntz(col("last_ts")).as("last_ts"))
+        .orderBy(col("habit"))
+    }),
+
     // Bucketed-table co-located join: both sides written hash-bucketed
     // on the join key (Bucketing.writeBucketed), so the fact⋈fact join
     // plans with ZERO exchange into the join — the 100 TB answer to
@@ -1798,6 +1818,11 @@ object SparkEntry {
                 count(*)::BIGINT AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+
+    "q_orc_roundtrip" ->
+      """SELECT event_type AS habit, count(*)::BIGINT AS n,
+                round(avg(value), 6) AS avg_value, max(ts) AS last_ts
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_interval_join_stream" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
