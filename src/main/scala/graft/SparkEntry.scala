@@ -1170,6 +1170,19 @@ object SparkEntry {
     }),
 
     // ── Extension scope: streaming analog of the rollup (SURVEY §2.7) ──
+    // Streaming as-of enrichment: per-key right-side timeline state in
+    // flatMapGroupsWithState binds each click to the freshest prior
+    // purchase — the one as-of shape a stream-stream join can't express
+    // (unbounded lookback). The one-shot replay equals the batch as-of,
+    // so it shares the ASOF oracle with the three batch forms.
+    "q_asof_stream" -> ((s, dir) =>
+      Streaming.asofStreamAvailableNow(s, dir, "click", "purchase",
+          Streaming.nextQueryName("graft_aas"))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"),
+          r6(col("asof_pvalue")).as("asof_pvalue"))
+        .orderBy(col("event_id"))),
+
     // Stream-stream interval join (both sides watermarked, event time
     // bounded in both directions so join state expires), replayed
     // one-shot and oracled against the batch theta join.
@@ -1687,6 +1700,8 @@ object SparkEntry {
     "q_asof_native" -> asofOracle,
 
     "q_asof_native_merge" -> asofOracle,
+
+    "q_asof_stream" -> asofOracle,
 
     "q_pivot_daily" ->
       """SELECT date_trunc('day', ts) AS day, user_id AS user_email,

@@ -17,6 +17,26 @@ case class SessionState(lastMs: Long, sessionId: Long)
 case class SessionAssignment(user_email: String, ts: java.sql.Timestamp,
     session_id: Long)
 
+/** Input row for [[Streaming.asofStream]]: one event from either side,
+  * `isLeft = false` for the reference (right) stream. */
+case class AsOfStreamEvent(event_id: Long, user_email: Long,
+    tsMicros: Long, isLeft: Boolean, value: Double)
+
+/** Per-key state for [[Streaming.asofStream]]: the right-side timeline
+  * (ascending `ts`, unique per ts with max-value ties) capped at
+  * `maxState` entries — the newest always survives the cap, so lookback
+  * is unbounded for in-order left events and `maxState`-deep for late
+  * ones. */
+case class AsOfTimeline(ts: Array[Long], value: Array[Double])
+
+/** Output of [[Streaming.asofStream]]. Timestamps stay epoch-micro
+  * Longs inside the typed pipeline (java.sql.Timestamp's millis
+  * constructor would truncate microseconds); callers convert with
+  * `timestamp_micros`. */
+case class AsOfStreamOut(event_id: Long, tsMicros: Long,
+    user_email: Long, asofTsMicros: Option[Long],
+    asof_pvalue: Option[Double])
+
 /** Structured Streaming analog of the reference's incremental analytics:
   * the Timescale continuous aggregate + refresh policy
   * (`/root/reference/sql/001_schema.sql:31-46`) becomes a watermarked
@@ -112,6 +132,125 @@ object Streaming {
             out.iterator
           }
       }.toDF()
+  }
+
+  /** Streaming as-of enrichment: each left event binds to the latest
+    * right event at-or-before its timestamp on the same key — the
+    * streaming form of [[graft.ext.AsOf]] (enrich a click stream with
+    * the freshest prior dimension state). A stream-stream join can't
+    * express this (the lookback is unbounded in one direction), so it's
+    * `flatMapGroupsWithState`: per-key state is the right-side timeline,
+    * ascending and unique per ts (max value on ties, matching the
+    * pre-aggregated contract of the batch operator), capped at
+    * `maxState` entries with the NEWEST always surviving.
+    *
+    * Exactness: a batch is processed in event-time order, so a single
+    * `AvailableNow` replay equals the batch as-of join row-for-row
+    * (what the oracle gate asserts). Across micro-batches, in-order
+    * left events always bind exactly; a left event arriving LATER than
+    * a newer right event binds exactly while its true match is within
+    * the `maxState` retained entries — the documented trade of state
+    * size for late-data tolerance (state is O(keys × maxState),
+    * RocksDB-friendly, vs unbounded for a perfect late-binder). */
+  def asofStream(events: org.apache.spark.sql.Dataset[AsOfStreamEvent],
+      maxState: Int = 32): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxState > 0, "maxState must be positive")
+    events
+      .groupByKey(_.user_email)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AsOfStreamEvent],
+         state: GroupState[AsOfTimeline]) =>
+          var tl = state.getOption.getOrElse(
+            AsOfTimeline(Array.empty, Array.empty))
+          // event-time order; rights first at equal ts (<= semantics)
+          val batch = it.toArray.sortBy(e => (e.tsMicros, e.isLeft))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfStreamOut]
+          def upperBound(a: Array[Long], x: Long): Int = {
+            var lo = 0; var hi = a.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (a(mid) <= x) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+          batch.foreach { e =>
+            if (!e.isLeft) {
+              val i = upperBound(tl.ts, e.tsMicros)
+              if (i > 0 && tl.ts(i - 1) == e.tsMicros) {
+                // duplicate ts: max value wins (pre-aggregation contract)
+                if (e.value > tl.value(i - 1)) tl.value(i - 1) = e.value
+              } else {
+                var ts2 = tl.ts.patch(i, Array(e.tsMicros), 0)
+                var v2 = tl.value.patch(i, Array(e.value), 0)
+                if (ts2.length > maxState) { // cap: oldest entry goes
+                  ts2 = ts2.drop(1); v2 = v2.drop(1)
+                }
+                tl = AsOfTimeline(ts2, v2)
+              }
+            } else {
+              val i = upperBound(tl.ts, e.tsMicros) - 1
+              out += AsOfStreamOut(e.event_id, e.tsMicros, user,
+                if (i >= 0) Some(tl.ts(i)) else None,
+                if (i >= 0) Some(tl.value(i)) else None)
+            }
+          }
+          state.update(tl)
+          out.iterator
+      }.toDF()
+  }
+
+  /** One-shot (`AvailableNow`) replay of [[asofStream]] over the events
+    * table for the oracle gate — same staging as
+    * [[habitDailyAvailableNow]]; the single batch makes the replay
+    * exactly the batch as-of join, i.e. the shared ASOF oracle. */
+  def asofStreamAvailableNow(spark: SparkSession, dir: String,
+      leftHabit: String, rightHabit: String, queryName: String): DataFrame = {
+    val prevNanos =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_")
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        staged.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val sp = spark
+      import sp.implicits._
+      val typed = spark.readStream.schema(schema).parquet(staged.toString)
+        .filter(col("event_type").isin(leftHabit, rightHabit))
+        .select(col("event_id"), col("user_id").as("user_email"),
+          expr("ts div 1000").as("tsMicros"),
+          (col("event_type") === leftHabit).as("isLeft"), col("value"))
+        .as[AsOfStreamEvent]
+      val q = asofStream(typed).writeStream.format("memory")
+        .queryName(queryName).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new RuntimeException(
+          s"stream $queryName did not terminate within 300s")
+      }
+      spark.table(queryName)
+        .select(col("event_id"), timestamp_micros(col("tsMicros")).as("ts"),
+          col("user_email"),
+          timestamp_micros(col("asofTsMicros")).as("asof_ts"),
+          col("asof_pvalue"))
+    } finally {
+      prevNanos match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(staged)
+    }
   }
 
   /** Stream-stream interval join: pair each left event with the right

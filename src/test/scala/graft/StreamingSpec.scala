@@ -77,6 +77,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch == out)
   }
 
+  test("asofStream: timeline state carries across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.AsOfStreamEvent
+    def us(sec: Long) = sec * 1000000L // event-time micros
+    val mem = MemoryStream[AsOfStreamEvent]
+    val qn = Streaming.nextQueryName("spec_asof")
+    val q = Streaming.asofStream(mem.toDS(), maxState = 4)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      // batch 1: two purchases and one click for u1 (equal-ts boundary:
+      // the click at t=20 must see the purchase at t=20)
+      mem.addData(
+        AsOfStreamEvent(101L, 1L, us(10), isLeft = false, value = 5.0),
+        AsOfStreamEvent(102L, 1L, us(20), isLeft = false, value = 9.0),
+        AsOfStreamEvent(1L, 1L, us(20), isLeft = true, value = 0.0),
+        AsOfStreamEvent(2L, 2L, us(15), isLeft = true, value = 0.0))
+      q.processAllAvailable()
+      // batch 2: clicks only — must bind against batch-1 STATE
+      mem.addData(
+        AsOfStreamEvent(3L, 1L, us(30), isLeft = true, value = 0.0),
+        AsOfStreamEvent(4L, 1L, us(15), isLeft = true, value = 0.0), // late
+        AsOfStreamEvent(5L, 2L, us(99), isLeft = true, value = 0.0))
+      q.processAllAvailable()
+      val out = s.table(qn).collect()
+        .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+      assert(out == Map(
+        1L -> Some(9.0),  // equal ts: <= includes the t=20 purchase
+        2L -> None,       // other key, no purchases
+        3L -> Some(9.0),  // bound from carried state
+        4L -> Some(5.0),  // late click binds inside retained timeline
+        5L -> None))
+    } finally q.stop()
+  }
+
   test("update mode + RocksDB: late-in-watermark updates, too-late drops") {
     val s = spark
     import s.implicits._
