@@ -568,6 +568,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Multi-column-key native as-of — (user, day) scopes the lookback
+    // within a calendar day, the form the composed union+window as-of
+    // doesn't offer. Oracle: DuckDB ASOF with two equality conditions.
+    "q_asof_multi" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"),
+          date_trunc("day", col("ts")).as("day"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+        .withColumn("day", date_trunc("day", col("ts")))
+      graft.ext.AsOf.asofJoinNativeMulti(clicks, purchases,
+          Seq("user_email", "day"), "ts", Seq("pvalue"))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
     // The same operator pinned to its shuffle-merge physical form
     // (broadcast = Some(false)) so the co-partitioned merge exec stays
     // under the oracle gate even when stats would pick broadcast.
@@ -1702,6 +1721,21 @@ object SparkEntry {
     "q_asof_native_merge" -> asofOracle,
 
     "q_asof_stream" -> asofOracle,
+
+    "q_asof_multi" ->
+      """WITH clicks AS (SELECT event_id, user_id AS user_email,
+                date_trunc('day', ts) AS day, ts
+              FROM events WHERE event_type = 'click'),
+         purch AS (SELECT user_id AS user_email,
+                date_trunc('day', ts) AS day, ts,
+                round(max(value), 6) AS pvalue
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3)
+         SELECT c.event_id, c.ts, c.user_email,
+                p.ts AS asof_ts, p.pvalue AS asof_pvalue
+         FROM clicks c ASOF LEFT JOIN purch p
+           ON c.user_email = p.user_email AND c.day = p.day
+             AND c.ts >= p.ts
+         ORDER BY c.event_id""",
 
     "q_pivot_daily" ->
       """SELECT date_trunc('day', ts) AS day, user_id AS user_email,

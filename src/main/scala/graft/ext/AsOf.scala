@@ -71,4 +71,14 @@ object AsOf {
       broadcast: Option[Boolean] = None): DataFrame =
     org.apache.spark.sql.graft.AsOfJoinNative.asofJoin(
       left, right, key, tsCol, rightCols, broadcast)
+
+  /** Multi-column-key native as-of: rows match when every key column is
+    * equal and `right.ts <= left.ts` (e.g. (user, day) to scope the
+    * lookback within a day). Composed [[asofJoin]] has no multi-key
+    * form — this only exists natively. */
+  def asofJoinNativeMulti(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, rightCols: Seq[String],
+      broadcast: Option[Boolean] = None): DataFrame =
+    org.apache.spark.sql.graft.AsOfJoinNative.asofJoinMulti(
+      left, right, keys, tsCol, rightCols, broadcast)
 }

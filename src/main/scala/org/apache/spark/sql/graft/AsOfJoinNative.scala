@@ -32,11 +32,12 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * same shape as a sort-merge join, and AQE still coalesces/re-plans the
   * shuffles as usual.
   *
-  * Right rows must be unique per (key, ts) — pre-aggregate duplicates —
-  * and null keys/timestamps never match (SQL comparison semantics). */
+  * Right rows must be unique per (keys, ts) — pre-aggregate duplicates —
+  * and a null in ANY key component (or the timestamp) never matches
+  * (SQL equality semantics). Keys may be multi-column. */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     rightPayload: Seq[Attribute],
     asofAttrs: Seq[AttributeReference],
@@ -63,7 +64,7 @@ case class AsOfJoinNode(
   * two sorted streams (the right iterator never rewinds — each right row
   * is examined once). */
 case class AsOfJoinExec(
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     rightPayload: Seq[Attribute],
     asofAttrs: Seq[AttributeReference],
@@ -73,11 +74,11 @@ case class AsOfJoinExec(
   override def producedAttributes: AttributeSet = AttributeSet(asofAttrs)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
 
   // rows stream out in the left child's partitioning and (key, ts) order —
   // declaring both lets downstream operators (e.g. another merge on the
@@ -92,7 +93,7 @@ case class AsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
-    val (lKeyA, lTsA, rKeyA, rTsA) = (leftKey, leftTs, rightKey, rightTs)
+    val (lKeysA, lTsA, rKeysA, rTsA) = (leftKeys, leftTs, rightKeys, rightTs)
     val payloadA: Seq[Expression] = (rTsA +: rightPayload).map(identity)
     val outExprs: Seq[Expression] = output.map(identity)
     val asofA = asofAttrs
@@ -100,11 +101,12 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // orderings/projections are code-generated per partition (cached
       // per-executor by the codegen cache)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKeyA.dataType))
+      val keyOrd =
+        RowOrdering.createNaturalAscendingOrdering(lKeysA.map(_.dataType))
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsA.dataType))
-      val lKeyProj = UnsafeProjection.create(Seq[Expression](lKeyA), lOut)
+      val lKeyProj = UnsafeProjection.create(lKeysA.map(identity[Expression]), lOut)
       val lTsProj = UnsafeProjection.create(Seq[Expression](lTsA), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq[Expression](rKeyA), rOut)
+      val rKeyProj = UnsafeProjection.create(rKeysA.map(identity[Expression]), rOut)
       val rTsProj = UnsafeProjection.create(Seq[Expression](rTsA), rOut)
       val payloadProj = UnsafeProjection.create(payloadA, rOut)
       val resultProj = UnsafeProjection.create(outExprs, lOut ++ asofA)
@@ -125,7 +127,7 @@ case class AsOfJoinExec(
           prevKey = lk.copy()
         }
         var payload: InternalRow = nullPayload
-        if (!lk.isNullAt(0)) {
+        if (!lk.anyNull) {
           // lTsProj is never re-applied below, so its buffer stays valid
           val lts = lTsProj(l)
           if (!lts.isNullAt(0)) {
@@ -133,7 +135,7 @@ case class AsOfJoinExec(
             while (scan && rBuf.hasNext) {
               val r = rBuf.head
               val rk = rKeyProj(r)
-              if (rk.isNullAt(0)) rBuf.next() // null keys never match
+              if (rk.anyNull) rBuf.next() // null key components never match
               else {
                 val c = keyOrd.compare(rk, lk)
                 if (c < 0) rBuf.next() // right key already passed by the left
@@ -170,7 +172,7 @@ case class AsOfJoinExec(
   * broadcast per-key sorted timeline of the right side. Right side cost
   * is one broadcast + an O(n log n) per-partition index build. */
 case class AsOfJoinBroadcastExec(
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     rightPayload: Seq[Attribute],
     asofAttrs: Seq[AttributeReference],
@@ -193,7 +195,7 @@ case class AsOfJoinBroadcastExec(
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
-    val (lKeyA, lTsA, rKeyA, rTsA) = (leftKey, leftTs, rightKey, rightTs)
+    val (lKeysA, lTsA, rKeysA, rTsA) = (leftKeys, leftTs, rightKeys, rightTs)
     val payloadA: Seq[Expression] = (rTsA +: rightPayload).map(identity)
     val outExprs: Seq[Expression] = output.map(identity)
     val asofA = asofAttrs
@@ -202,12 +204,12 @@ case class AsOfJoinBroadcastExec(
 
     left.execute().mapPartitionsInternal { lIter =>
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsA.dataType))
-      val lKeyProj = UnsafeProjection.create(Seq[Expression](lKeyA), lOut)
+      val lKeyProj = UnsafeProjection.create(lKeysA.map(identity[Expression]), lOut)
       val lTsProj = UnsafeProjection.create(Seq[Expression](lTsA), lOut)
       val resultProj = UnsafeProjection.create(outExprs, lOut ++ asofA)
       // built once per executor, not per task (see companion cache)
       val index = AsOfJoinBroadcastExec.index(broadcastRows.id, planId, () => {
-        val rKeyProj = UnsafeProjection.create(Seq[Expression](rKeyA), rOut)
+        val rKeyProj = UnsafeProjection.create(rKeysA.map(identity[Expression]), rOut)
         val rTsProj = UnsafeProjection.create(Seq[Expression](rTsA), rOut)
         val payloadProj = UnsafeProjection.create(payloadA, rOut)
         val built = new java.util.HashMap[UnsafeRow,
@@ -217,7 +219,7 @@ case class AsOfJoinBroadcastExec(
         broadcastRows.value.foreach { r =>
           val k = rKeyProj(r)
           val ts = rTsProj(r)
-          if (!k.isNullAt(0) && !ts.isNullAt(0)) { // nulls never match
+          if (!k.anyNull && !ts.isNullAt(0)) { // nulls never match
             var buf = byKey.get(k)
             if (buf == null) {
               buf = new scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]
@@ -238,7 +240,7 @@ case class AsOfJoinBroadcastExec(
       lIter.map { l =>
         var payload: InternalRow = nullPayload
         val lk = lKeyProj(l)
-        if (!lk.isNullAt(0)) {
+        if (!lk.anyNull) {
           val timeline = index.get(lk)
           if (timeline != null) {
             val lts = lTsProj(l)
@@ -336,10 +338,10 @@ object AsOfJoinStrategy extends SparkStrategy {
       val exec =
         if (j.broadcastHint.getOrElse(
             threshold > 0 && j.right.stats.sizeInBytes <= threshold))
-          AsOfJoinBroadcastExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs,
+          AsOfJoinBroadcastExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs,
             j.rightPayload, j.asofAttrs, planLater(j.left), planLater(j.right))
         else
-          AsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs,
+          AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs,
             j.rightPayload, j.asofAttrs, planLater(j.left), planLater(j.right))
       exec :: Nil
     case _ => Nil
@@ -359,7 +361,15 @@ object AsOfJoinNative {
     * Some pins the physical form. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, rightCols: Seq[String],
+      broadcast: Option[Boolean] = None): DataFrame =
+    asofJoinMulti(left, right, Seq(key), tsCol, rightCols, broadcast)
+
+  /** Multi-column-key form: rows match when EVERY key column is equal
+    * (a null in any component never matches) and `right.ts <= left.ts`. */
+  def asofJoinMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, rightCols: Seq[String],
       broadcast: Option[Boolean] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoin: at least one key column required")
     val session = left.sparkSession.asInstanceOf[classic.SparkSession]
     val lPlan = left.queryExecution.analyzed
     // re-alias the right side to fresh exprIds so self-joins (both sides
@@ -375,19 +385,22 @@ object AsOfJoinNative {
           s"asofJoin: column '$n' not found on $side side " +
             s"(have: ${out.map(_.name).mkString(", ")})"))
 
-    val lKey = pick(lPlan.output, key, "left")
+    val lKeys = keys.map(pick(lPlan.output, _, "left"))
     val lTs = pick(lPlan.output, tsCol, "left")
-    val rKey = pick(rPlan.output, key, "right")
+    val rKeys = keys.map(pick(rPlan.output, _, "right"))
     val rTs = pick(rPlan.output, tsCol, "right")
-    require(lKey.dataType == rKey.dataType,
-      s"asofJoin: key types differ (${lKey.dataType} vs ${rKey.dataType})")
+    lKeys.zip(rKeys).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"asofJoin: key '${lk.name}' types differ " +
+          s"(${lk.dataType} vs ${rk.dataType})")
+    }
     require(lTs.dataType == rTs.dataType,
       s"asofJoin: ts types differ (${lTs.dataType} vs ${rTs.dataType})")
     val payload = rTs +: rightCols.map(pick(rPlan.output, _, "right"))
     val asofAttrs = payload.map(a =>
       AttributeReference("asof_" + a.name, a.dataType, nullable = true)())
 
-    classic.Dataset.ofRows(session, AsOfJoinNode(lPlan, rPlan, lKey, rKey,
+    classic.Dataset.ofRows(session, AsOfJoinNode(lPlan, rPlan, lKeys, rKeys,
       lTs, rTs, payload.tail, asofAttrs, broadcast))
   }
 }

@@ -533,6 +533,30 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("asofJoinNativeMulti scopes the lookback by every key column") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    def d(x: String) = java.sql.Timestamp.valueOf(x + " 00:00:00")
+    val clicks = Seq(
+      (1L, "u1", d("2024-01-01"), t("2024-01-01 12:00:00")), // same-day hit
+      (2L, "u1", d("2024-01-02"), t("2024-01-02 09:00:00")), // day scoped -> null
+      (3L, "u1", d("2024-01-02"), t("2024-01-02 16:00:00"))) // day-2 purchase
+      .toDF("event_id", "user_email", "day", "ts")
+    val purchases = Seq(
+      ("u1", d("2024-01-01"), t("2024-01-01 10:00:00"), 5.0),
+      ("u1", d("2024-01-02"), t("2024-01-02 15:00:00"), 9.0))
+      .toDF("user_email", "day", "ts", "pvalue")
+    for (pin <- Seq(Some(false), Some(true))) {
+      val out = graft.ext.AsOf.asofJoinNativeMulti(clicks, purchases,
+          Seq("user_email", "day"), "ts", Seq("pvalue"), broadcast = pin)
+        .orderBy(col("event_id")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(5)))
+      assert(out.toSeq == Seq(1L -> Some(5.0), 2L -> None, 3L -> Some(9.0)),
+        s"pin=$pin")
+    }
+  }
+
   test("pointInInterval matches the theta-join semantics incl. bucket edges") {
     val s = spark
     import s.implicits._

@@ -114,6 +114,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("asofStream equals the batch as-of join on seeded random splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.AsOfStreamEvent
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val users = Seq(1L, 2L, 3L)
+      // distinct timestamps; batches split in EVENT-TIME order — the
+      // operator's exactness contract is for in-order arrival (a right
+      // row arriving after a later left already emitted can't retract
+      // in append mode; the dedicated unit test covers late lefts)
+      val secs = rnd.shuffle((1 to 4000).toList).take(24).sorted
+      val events = secs.zipWithIndex.map { case (sec, i) =>
+        AsOfStreamEvent(i.toLong + 1L, users(rnd.nextInt(3)),
+          sec.toLong * 1000000L,
+          isLeft = rnd.nextBoolean(), value = rnd.nextInt(100).toDouble)
+      }
+      val mem = MemoryStream[AsOfStreamEvent]
+      val qn = Streaming.nextQueryName(s"spec_asofr$trial")
+      val q = Streaming.asofStream(mem.toDS(), maxState = 64)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = events.splitAt(12)
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        val got = s.table(qn).collect()
+          .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+        // batch reference over the SAME events through the composed op
+        val left = events.filter(_.isLeft)
+          .map(e => (e.event_id, e.user_email,
+            new java.sql.Timestamp(e.tsMicros / 1000L)))
+          .toDF("event_id", "user_email", "ts")
+        val right = events.filterNot(_.isLeft)
+          .groupBy(e => (e.user_email, e.tsMicros)).values
+          .map(g => (g.head.user_email,
+            new java.sql.Timestamp(g.head.tsMicros / 1000L),
+            g.map(_.value).max)).toSeq
+          .toDF("user_email", "ts", "pvalue")
+        val want = graft.ext.AsOf.asofJoin(left, right, "user_email", "ts",
+            Seq("pvalue")).collect()
+          .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+        assert(got == want, s"trial $trial")
+      } finally q.stop()
+    }
+  }
+
   test("update mode + RocksDB: late-in-watermark updates, too-late drops") {
     val s = spark
     import s.implicits._
