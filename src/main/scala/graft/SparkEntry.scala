@@ -840,7 +840,11 @@ object SparkEntry {
     // aggregates must survive the format change bit-exact vs the oracle
     // reading the original parquet.
     "q_orc_roundtrip" -> ((s, dir) => {
+      // per-process (pid) + per-sfDir path: stable within a process so
+      // repeated runs overwrite in place, yet two concurrent processes
+      // (e.g. Verify and Bench) can never clobber each other mid-query
       val path = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
+        s"${ProcessHandle.current().pid()}_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Tables.eventsAsHabits(s, dir)
         .select(col("event_id"), col("ts"), col("user_email"),
@@ -861,10 +865,12 @@ object SparkEntry {
     // repeated large⋈large joins on a stable key. PlanSpec pins the
     // no-shuffle contract; the oracle proves the layout changes nothing.
     "q_bucket_join" -> ((s, dir) => {
-      // deterministic per-sfDir location: repeated invocations (plan
+      // per-process + per-sfDir location: repeated invocations (plan
       // printing, verify, bench×2) overwrite in place instead of
-      // accumulating orphaned table copies under fresh temp dirs
+      // accumulating orphaned table copies, while concurrent processes
+      // stay isolated from each other
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_buckets_" +
+        s"${ProcessHandle.current().pid()}_" +
         java.lang.Integer.toHexString(dir.hashCode)
       val orders = Tables.read(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderdate"))

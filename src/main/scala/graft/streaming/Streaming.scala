@@ -202,12 +202,14 @@ object Streaming {
       }.toDF()
   }
 
-  /** One-shot (`AvailableNow`) replay of [[asofStream]] over the events
-    * table for the oracle gate — same staging as
-    * [[habitDailyAvailableNow]]; the single batch makes the replay
-    * exactly the batch as-of join, i.e. the shared ASOF oracle. */
-  def asofStreamAvailableNow(spark: SparkSession, dir: String,
-      leftHabit: String, rightHabit: String, queryName: String): DataFrame = {
+  /** Shared staging for the `AvailableNow` replays: the file stream
+    * source wants a DIRECTORY but the testdata table is a single
+    * parquet file, so symlink it into a temp dir (no data copy), pin
+    * the TIMESTAMP(NANOS) read flag for the run, hand `body` a FACTORY
+    * of raw schema'd streams (int64 nanos `ts`; stream-stream joins
+    * need one instance per side), and restore/clean up after. */
+  private def withStagedEvents[T](spark: SparkSession, dir: String)(
+      body: (() => DataFrame) => T): T = {
     val prevNanos =
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -220,27 +222,7 @@ object Streaming {
       java.nio.file.Files.createSymbolicLink(
         staged.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val sp = spark
-      import sp.implicits._
-      val typed = spark.readStream.schema(schema).parquet(staged.toString)
-        .filter(col("event_type").isin(leftHabit, rightHabit))
-        .select(col("event_id"), col("user_id").as("user_email"),
-          expr("ts div 1000").as("tsMicros"),
-          (col("event_type") === leftHabit).as("isLeft"), col("value"))
-        .as[AsOfStreamEvent]
-      val q = asofStream(typed).writeStream.format("memory")
-        .queryName(queryName).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000L)) {
-        q.stop()
-        throw new RuntimeException(
-          s"stream $queryName did not terminate within 300s")
-      }
-      spark.table(queryName)
-        .select(col("event_id"), timestamp_micros(col("tsMicros")).as("ts"),
-          col("user_email"),
-          timestamp_micros(col("asofTsMicros")).as("asof_ts"),
-          col("asof_pvalue"))
+      body(() => spark.readStream.schema(schema).parquet(staged.toString))
     } finally {
       prevNanos match {
         case Some(v) =>
@@ -252,6 +234,43 @@ object Streaming {
       java.nio.file.Files.deleteIfExists(staged)
     }
   }
+
+  /** AvailableNow terminates on its own; the bound is a guard so a hung
+    * stream fails ITS query loudly instead of wedging the whole Verify
+    * run or returning a silently partial table. */
+  private def awaitOneShot(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      queryName: String): Unit =
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new RuntimeException(
+        s"stream $queryName did not terminate within 300s")
+    }
+
+  /** One-shot (`AvailableNow`) replay of [[asofStream]] over the events
+    * table for the oracle gate; the single batch makes the replay
+    * exactly the batch as-of join, i.e. the shared ASOF oracle. */
+  def asofStreamAvailableNow(spark: SparkSession, dir: String,
+      leftHabit: String, rightHabit: String, queryName: String): DataFrame =
+    withStagedEvents(spark, dir) { mkStream =>
+      val sp = spark
+      import sp.implicits._
+      val typed = mkStream()
+        .filter(col("event_type").isin(leftHabit, rightHabit))
+        .select(col("event_id"), col("user_id").as("user_email"),
+          expr("ts div 1000").as("tsMicros"),
+          (col("event_type") === leftHabit).as("isLeft"), col("value"))
+        .as[AsOfStreamEvent]
+      val q = asofStream(typed).writeStream.format("memory")
+        .queryName(queryName).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOneShot(q, queryName)
+      spark.table(queryName)
+        .select(col("event_id"), timestamp_micros(col("tsMicros")).as("ts"),
+          col("user_email"),
+          timestamp_micros(col("asofTsMicros")).as("asof_ts"),
+          col("asof_pvalue"))
+    }
 
   /** Stream-stream interval join: pair each left event with the right
     * events of the same key whose timestamp falls in
@@ -433,46 +452,16 @@ object Streaming {
     require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
       "habitDailyAvailableNow requires spark.sql.session.timeZone=UTC " +
         "for window()/date_trunc day-bucket agreement")
-    val prevNanos =
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // The file stream source wants a DIRECTORY; the testdata table is a
-    // single file. Stage a symlink in a temp dir (no data copy).
-    val staged = java.nio.file.Files.createTempDirectory("graft_stream_")
-    try {
-      java.nio.file.Files.createSymbolicLink(
-        staged.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = spark.readStream.schema(schema)
-        .parquet(staged.toString)
+    withStagedEvents(spark, dir) { mkStream =>
+      val stream = mkStream()
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withColumnRenamed("user_id", "user_email")
         .withColumnRenamed("event_type", "habit")
       val q = habitDailyStream(stream, watermark = "60 days", sumHabit)
         .writeStream.format("memory").queryName(queryName)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      // AvailableNow terminates on its own; the bound is a guard so a
-      // hung stream fails THIS query loudly instead of wedging the whole
-      // Verify run or returning a silently partial table.
-      if (!q.awaitTermination(300000L)) {
-        q.stop()
-        throw new RuntimeException(
-          s"stream $queryName did not terminate within 300s")
-      }
+      awaitOneShot(q, queryName)
       spark.table(queryName)
-    } finally {
-      prevNanos match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None =>
-          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
-      java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
-      java.nio.file.Files.deleteIfExists(staged)
     }
   }
 
@@ -490,20 +479,8 @@ object Streaming {
       queryName: String): DataFrame = {
     require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
       "intervalJoinAvailableNow requires spark.sql.session.timeZone=UTC")
-    val prevNanos =
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val staged = java.nio.file.Files.createTempDirectory("graft_stream_")
-    try {
-      java.nio.file.Files.createSymbolicLink(
-        staged.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      def side(habit: String) = spark.readStream.schema(schema)
-        .parquet(staged.toString)
+    withStagedEvents(spark, dir) { mkStream =>
+      def side(habit: String) = mkStream()
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withColumnRenamed("user_id", "user_email")
         .filter(col("event_type") === habit)
@@ -512,21 +489,8 @@ object Streaming {
         "user_email", "ts", lower, upper, watermark = "3650 days")
       val q = joined.writeStream.format("memory").queryName(queryName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000L)) {
-        q.stop()
-        throw new RuntimeException(
-          s"stream $queryName did not terminate within 300s")
-      }
+      awaitOneShot(q, queryName)
       spark.table(queryName)
-    } finally {
-      prevNanos match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None =>
-          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
-      java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
-      java.nio.file.Files.deleteIfExists(staged)
     }
   }
 }

@@ -50,9 +50,16 @@ case class AsOfJoinNode(
 
   // exactly one output row per left row — without this, the unknown-
   // binary-node default (|left| × |right| size product) would stop any
-  // plan ABOVE the as-of from ever broadcasting its result
-  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
-    left.stats
+  // plan ABOVE the as-of from ever broadcasting its result. Size scales
+  // left's estimate by the widened row (left + asof payload columns),
+  // the way the size-only visitor handles projections.
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val ls = left.stats
+    val leftWidth =
+      math.max(1, left.output.map(_.dataType.defaultSize).sum)
+    val outWidth = leftWidth + asofAttrs.map(_.dataType.defaultSize).sum
+    ls.copy(sizeInBytes = ls.sizeInBytes * outWidth / leftWidth)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -278,24 +285,28 @@ object AsOfJoinBroadcastExec {
   // (it is then rebuilt), so long sessions don't accumulate dead indexes.
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (Long, Int), java.lang.ref.SoftReference[Index]]()
+  private val MaxEntries = 64
 
   private def index(broadcastId: Long, planId: Int,
       build: () => Index): Index = {
     val key = (broadcastId, planId)
-    def cached: Index = {
-      val ref = cache.get(key)
-      if (ref != null) ref.get() else null
-    }
-    val hit = cached
+    val hit = { val ref = cache.get(key); if (ref != null) ref.get() else null }
     if (hit != null) hit
-    else synchronized { // build at most once per executor
-      val again = cached
-      if (again != null) again
-      else {
-        val built = build()
-        cache.put(key, new java.lang.ref.SoftReference(built))
-        built
-      }
+    else {
+      // bound retention: each fresh plan gets a new key (bench loops,
+      // AQE re-plans), so without a cap dead indexes linger until the
+      // SoftReferences are squeezed out near heap exhaustion
+      if (cache.size() > MaxEntries) cache.clear()
+      // compute() locks only this key's bin — unrelated concurrent
+      // builds (different queries/stages) proceed in parallel, while
+      // same-key tasks still build at most once per executor
+      val ref = cache.compute(key, (_, existing) => {
+        val again = if (existing != null) existing.get() else null
+        if (again != null) existing
+        else new java.lang.ref.SoftReference(build())
+      })
+      val got = ref.get()
+      if (got != null) got else build() // reclaimed between compute and get
     }
   }
 }
