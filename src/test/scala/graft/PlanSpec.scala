@@ -57,7 +57,7 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("native as-of join: custom exec node, no window, no product join") {
-    for (q <- Seq("q_asof_native", "q_asof_native_merge")) {
+    for (q <- Seq("q_asof_native", "q_asof_native_merge", "q_asof_multi")) {
       val p = plan(q)
       assert(p.contains("AsOfJoin"), // TreeNode.nodeName strips the Exec suffix
         s"$q: the injected strategy must plan the custom operator")
