@@ -675,6 +675,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Schema-evolving upsert: the batch starts carrying a NEW column
+    // (the ALTER TABLE ADD COLUMN moment) — the sink widens, untouched
+    // rows read null for it, merged rows carry the batch's value.
+    "q_upsert_evolving" -> ((s, dir) => {
+      val existing = Tables.eventsAsHabits(s, dir)
+      val batch = existing.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+        .withColumn("channel", lit("reimport"))
+      Merge.upsertEventsEvolving(existing, batch)
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          col("habit"), col("value"), col("channel"))
+        .orderBy(col("event_id"))
+    }),
+
     // Golden end-to-end run of the signature transform chain (P1-P8 +
     // F2 date parsing, SURVEY §2.2-2.3) on an inline edge-case fixture:
     // serial dates (incl. fractional), month names, datetime, DST winter
@@ -1772,6 +1786,13 @@ object SparkEntry {
                 CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
                   AS value,
                 props
+         FROM events ORDER BY event_id""",
+
+    "q_upsert_evolving" ->
+      """SELECT event_id, ts, user_id AS user_email, event_type AS habit,
+                CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+                  AS value,
+                CASE WHEN event_id % 3 = 0 THEN 'reimport' END AS channel
          FROM events ORDER BY event_id""",
 
     "q_transform_wide" ->
