@@ -549,43 +549,58 @@ object Dedup {
     * graph, not per pair (pairs chain: a≈b, b≈c ⇒ {a,b,c} is one
     * cluster even when a,c were never compared).
     *
-    * Distributed connected components by iterative min-label
-    * propagation: every node starts labeled with its own id; each round
-    * every node takes the min of its label and its neighbors' labels;
-    * fixpoint = every node carries its component's min id, which
-    * becomes `cluster_id`. Each round is one join + one aggregate —
-    * fully distributed, shuffle-partitioned on node id; the driver only
-    * orchestrates the loop and checks convergence (a 1-row count per
-    * round, like any Pregel-style driver). Rounds needed = graph
-    * diameter, which for near-dup clusters is small (dup clusters are
-    * dense); `maxIterations` bounds hostile chains — the
-    * alternating large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce") drops that to
-    * O(log diameter) if ever needed. Lineage is cut every round
+    * Distributed connected components by ALTERNATING STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round rewires every node's strictly-larger
+    * neighbors onto its neighborhood minimum (large-star), then
+    * contracts every node's smaller neighbors onto its minimum parent
+    * (small-star). Both steps preserve connectivity and keep the edge
+    * relation oriented child > parent; the fixed point is ONE star per
+    * component, rooted at the component's minimum id, reached in
+    * O(log diameter) rounds. Plain min-label propagation needs rounds
+    * = diameter, which is unbounded at 100 TB — a single chained dup
+    * component (crawl-boilerplate chains do this) turns it into an
+    * unbounded sequence of full-relation shuffles; the star variant's
+    * round count only grows logarithmically with the worst chain.
+    * Each round is two aggregate+join passes over the edge relation,
+    * hash-partitioned on node id — no driver-side state. Convergence
+    * is an exact STRUCTURAL test, not a fixpoint-diff: the edge set is
+    * a star forest iff no child has two distinct parents and no parent
+    * is itself a child — two short-circuit probes (`limit(1).isEmpty`)
+    * against the round's already-checkpointed blocks.
+    *
+    * Ids keep their ORIGINAL type — the algorithm needs only an
+    * ordered min (`least`/`greatest`/`min`), which works for numeric
+    * and string keys alike (a lossy cast-to-long would silently drop
+    * string-keyed pairs). Lineage is cut every round
     * (`localCheckpoint`) so plans don't grow with iterations, and each
     * round's checkpointed blocks are explicitly unpersisted once the
     * next round has materialized — RDD-checkpoint storage is outside
     * `spark.catalog.clearCache`'s reach, so without this a
     * high-iteration run would hold up to `maxIterations` copies of the
-    * label relation until the ContextCleaner happened to GC them. Only
-    * the RETURNED round's blocks stay live (the caller is reading them).
+    * edge relation until the ContextCleaner happened to GC them. Only
+    * the RETURNED result's blocks stay live (the caller is reading them).
     *
     * Output: `(id, cluster_id)` for every node that appears in a pair
     * — singletons are their own implicit cluster and don't need rows.
     */
   def dupClusters(pairs: DataFrame, idACol: String = "id_a",
-      idBCol: String = "id_b", maxIterations: Int = 50): DataFrame = {
+      idBCol: String = "id_b", maxIterations: Int = 50): DataFrame =
+    dupClustersWithRounds(pairs, idACol, idBCol, maxIterations)._1
+
+  /** [[dupClusters]] plus the number of alternating-star rounds it took
+    * — exposed so the spec can pin the O(log diameter) bound on a
+    * deliberately long path graph. */
+  private[graft] def dupClustersWithRounds(pairs: DataFrame,
+      idACol: String, idBCol: String,
+      maxIterations: Int): (DataFrame, Int) = {
     require(maxIterations > 0)
-    // ids keep their ORIGINAL type — propagation only needs an ordered
-    // min, which works for numeric and string keys alike (a lossy
-    // cast-to-long here would silently drop string-keyed pairs)
-    val edges = pairs
-      .select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-    // both directions, so one join propagates labels along every edge
-    val sym = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // persist the caller's pair pipeline (often itself an expensive
+    // dedup DAG): it feeds both the initial edge set and the node
+    // relation, and must not be recomputed for each
+    val raw = pairs
+      .select(col(idACol).as("a"), col(idBCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .persist(Spill)
     // free a round's localCheckpoint blocks: the checkpointed RDD lives
     // under the LogicalRDD leaf the checkpoint returned (catalog
@@ -596,42 +611,88 @@ object Dedup {
           lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    // seed with the FIRST propagation step for free: initial labels are
-    // identities, so round 1's neighbor-min is just min(dst) per src —
-    // one aggregate over sym, no join, and one fewer checkpoint+probe
-    // cycle through the driver loop
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("_m"))
-      .select(col("id"), least(col("id"), col("_m")).as("lbl"))
-      .localCheckpoint(true)
-    var converged = false
-    var round = 0
     try {
+      // every node that appears in a pair gets an output row, including
+      // nodes only ever seen in self-pairs (which carry no edge)
+      val nodes = raw.select(col("a").as("id"))
+        .union(raw.select(col("b").as("id")))
+        .distinct()
+      var edges = raw
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      var round = 0
+      var converged = isStarForest(edges)
       while (!converged && round < maxIterations) {
-        // min neighbor label per node, NULL-free by construction
-        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-          .groupBy(sym("src").as("nid"))
-          .agg(min(col("lbl")).as("nbr_lbl"))
-        val next = labels.join(nbrMin, labels("id") === col("nid"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-            (col("nbr_lbl") < col("lbl")).as("_improved"))
-          .localCheckpoint(true) // cut lineage; also materializes the round
-        // the checkpoint above already materialized the round, so this
-        // probe reads cached blocks, not a recompute
-        converged = next.filter(col("_improved")).limit(1).isEmpty
+        val next = smallStar(largeStar(edges)).localCheckpoint(true)
         // next is fully materialized in its own blocks — the previous
         // round's copy is unreachable from here on; free it now instead
         // of stacking maxIterations copies for the ContextCleaner
-        releaseCheckpoint(labels)
-        labels = next.drop("_improved")
+        releaseCheckpoint(edges)
+        edges = next
         round += 1
+        converged = isStarForest(edges)
       }
-    } finally sym.unpersist()
-    require(converged,
-      s"dupClusters did not converge in $maxIterations rounds — " +
-        "component diameter exceeds the bound; raise maxIterations")
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+      require(converged,
+        s"dupClusters did not converge in $maxIterations rounds — " +
+          "raise maxIterations")
+      // at the fixed point every child has exactly one parent (min is
+      // defensive) and parents never appear as children, so a left join
+      // labels children with their root and roots/singletons with self
+      val asg = edges.groupBy(col("u").as("id"))
+        .agg(min(col("v")).as("cid"))
+      val out = nodes.join(asg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cid"), col("id")).as("cluster_id"))
+        .localCheckpoint(true)
+      releaseCheckpoint(edges)
+      (out, round)
+    } finally raw.unpersist()
+  }
+
+  /** Large-star step: for each node, attach all STRICTLY LARGER
+    * neighbors to the minimum of its closed neighborhood. Emitted edges
+    * satisfy child > parent by construction (m ≤ u < v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u").as("lu"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("lu"), least(col("lu"), col("mv")).as("m"))
+    sym.join(mins, col("u") === col("lu"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star step: contract each node's (all smaller, by the
+    * child > parent invariant) parents onto its minimum parent, keeping
+    * the node attached to that minimum as well. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u").as("su")).agg(min(col("v")).as("mv"))
+    e.join(mins, col("u") === col("su"))
+      .filter(col("v") =!= col("mv"))
+      .select(col("v").as("u"), col("mv").as("v"))
+      .union(mins.select(col("su").as("u"), col("mv").as("v")))
+      .distinct()
+  }
+
+  /** Exact convergence test: a child>parent-oriented edge set is a
+    * star forest iff (a) no child has two distinct parents and (b) no
+    * parent is itself a child. Since both star steps preserve
+    * connectivity, each star then spans a whole component and its root
+    * is the component minimum. Both probes short-circuit on the first
+    * violation and read the round's checkpointed blocks, not a
+    * recompute. */
+  private def isStarForest(e: DataFrame): Boolean = {
+    val noMultiParent = e.groupBy("u")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .limit(1).isEmpty
+    noMultiParent && e.select(col("v"))
+      .join(e.select(col("u").as("v")), Seq("v"), "left_semi")
+      .limit(1).isEmpty
   }
 
   // ── Repeated-segment removal (sub-document dedup) ──────────────────────

@@ -675,6 +675,25 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got == (1L to 10L).map(_ -> 1L).toMap)
   }
 
+  test("dupClusters converges in O(log diameter) rounds on a 1000-node path") {
+    val s = spark
+    import s.implicits._
+    // worst case for plain min-label propagation: a path graph needs
+    // rounds = diameter (999 here, far past maxIterations); alternating
+    // large-star/small-star must finish in O(log n) rounds
+    val pairs = (1L until 1000L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val (out, rounds) =
+      Dedup.dupClustersWithRounds(pairs, "id_a", "id_b", 50)
+    assert(rounds <= 20, s"expected O(log 1000) rounds, took $rounds")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 1000L).map(_ -> 1L).toMap)
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   test("dupClusters frees each round's checkpoint blocks as it iterates") {
     val s = spark
     import s.implicits._
