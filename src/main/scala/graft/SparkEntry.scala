@@ -431,15 +431,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // K-means centroid training (IVF index build): 4 Lloyd iterations,
-    // k = the ground-truth cluster count of the synthetic embeddings.
-    // Float means are summation-order-dependent, so there is no
-    // cell-exact SQL oracle (rows-only driver check); the SPEC pins
-    // determinism and blob recovery, and this query exercises the
-    // distributed path end-to-end at SF.
+    // K-means centroid training (IVF index build): 4 Lloyd iterations
+    // over INT8 CODES, k = the ground-truth cluster count of the
+    // synthetic embeddings. Every step is integer arithmetic or a
+    // correctly-rounded double op on integer inputs (floor-division
+    // centroid updates), so the assignments are engine-exact and the
+    // FULL algorithm — quantization, 4 unrolled Lloyd rounds, final
+    // assignment — has a cell-exact DuckDB oracle. The float-mean
+    // variant (Similarity.kmeansFit) stays spec-pinned (determinism +
+    // blob recovery) since its means are summation-order-dependent.
     "q_kmeans" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
-      val (_, assign) = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      val (_, assign) = Similarity.kmeansFitInt8(emb, "vec_id", "embedding",
         k = 10, iterations = 4)
       assign.join(emb.select(col("vec_id"), col("label")), "vec_id")
         .groupBy(col("cluster"), col("label")).count()
@@ -1630,6 +1633,102 @@ object SparkEntry {
               FROM s)
          SELECT query_id, rank, nn_id, qdot FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Full integer k-means replay: global-scale int8 quantization,
+    // seeds = 10 smallest vec_ids, FOUR unrolled Lloyd rounds
+    // (assign a_i → floor-div means m_i → coalesce-carry centroids
+    // c_i), final assignment a5, purity rollup. Every step is integer
+    // or correctly-rounded-double arithmetic, so the replay is
+    // cell-exact against kmeansFitInt8.
+    "q_kmeans" ->
+      """WITH g AS (SELECT max(list_max(list_transform(embedding,
+                x -> abs(x::DOUBLE)))) AS gma
+              FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (SELECT vec_id, label,
+                CASE WHEN gma = 0
+                  THEN list_transform(embedding, x -> 0::BIGINT)
+                  ELSE list_transform(embedding,
+                    x -> floor(x::DOUBLE / gma * 127 + 0.5)::BIGINT)
+                END AS v
+              FROM embeddings, g WHERE embedding IS NOT NULL),
+         pts AS (SELECT vec_id, u.dim AS dim, u.x AS x FROM (
+                SELECT vec_id, unnest(list_transform(v,
+                  (x, i) -> {'dim': i - 1, 'x': x})) AS u FROM q)),
+         seed AS (SELECT vec_id,
+                (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER
+                  AS cluster
+              FROM q ORDER BY vec_id LIMIT 10),
+         c0 AS (SELECT s.cluster, p.dim, p.x AS c
+              FROM seed s JOIN pts p ON p.vec_id = s.vec_id),
+         a1 AS (SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM (SELECT p.vec_id, c.cluster,
+                        sum((p.x - c.c) * (p.x - c.c)) AS d2
+                      FROM pts p JOIN c0 c ON p.dim = c.dim
+                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
+         m1 AS (SELECT a.cluster, p.dim,
+                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
+              FROM a1 a JOIN pts p ON a.vec_id = p.vec_id
+              GROUP BY a.cluster, p.dim),
+         c1 AS (SELECT c0.cluster, c0.dim, coalesce(m1.mm, c0.c) AS c
+              FROM c0 LEFT JOIN m1
+                ON m1.cluster = c0.cluster AND m1.dim = c0.dim),
+         a2 AS (SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM (SELECT p.vec_id, c.cluster,
+                        sum((p.x - c.c) * (p.x - c.c)) AS d2
+                      FROM pts p JOIN c1 c ON p.dim = c.dim
+                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
+         m2 AS (SELECT a.cluster, p.dim,
+                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
+              FROM a2 a JOIN pts p ON a.vec_id = p.vec_id
+              GROUP BY a.cluster, p.dim),
+         c2 AS (SELECT c1.cluster, c1.dim, coalesce(m2.mm, c1.c) AS c
+              FROM c1 LEFT JOIN m2
+                ON m2.cluster = c1.cluster AND m2.dim = c1.dim),
+         a3 AS (SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM (SELECT p.vec_id, c.cluster,
+                        sum((p.x - c.c) * (p.x - c.c)) AS d2
+                      FROM pts p JOIN c2 c ON p.dim = c.dim
+                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
+         m3 AS (SELECT a.cluster, p.dim,
+                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
+              FROM a3 a JOIN pts p ON a.vec_id = p.vec_id
+              GROUP BY a.cluster, p.dim),
+         c3 AS (SELECT c2.cluster, c2.dim, coalesce(m3.mm, c2.c) AS c
+              FROM c2 LEFT JOIN m3
+                ON m3.cluster = c2.cluster AND m3.dim = c2.dim),
+         a4 AS (SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM (SELECT p.vec_id, c.cluster,
+                        sum((p.x - c.c) * (p.x - c.c)) AS d2
+                      FROM pts p JOIN c3 c ON p.dim = c.dim
+                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
+         m4 AS (SELECT a.cluster, p.dim,
+                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
+              FROM a4 a JOIN pts p ON a.vec_id = p.vec_id
+              GROUP BY a.cluster, p.dim),
+         c4 AS (SELECT c3.cluster, c3.dim, coalesce(m4.mm, c3.c) AS c
+              FROM c3 LEFT JOIN m4
+                ON m4.cluster = c3.cluster AND m4.dim = c3.dim),
+         a5 AS (SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM (SELECT p.vec_id, c.cluster,
+                        sum((p.x - c.c) * (p.x - c.c)) AS d2
+                      FROM pts p JOIN c4 c ON p.dim = c.dim
+                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
+         cnt AS (SELECT a.cluster, q.label, count(*) AS n
+              FROM a5 a JOIN q ON a.vec_id = q.vec_id
+              GROUP BY a.cluster, q.label)
+         SELECT cluster, sum(n)::BIGINT AS n_points,
+                max(n)::BIGINT AS n_majority
+         FROM cnt GROUP BY cluster ORDER BY cluster""",
 
     "q_contamination" ->
       """WITH fp AS (SELECT doc_id,

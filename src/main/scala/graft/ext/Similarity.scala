@@ -235,6 +235,76 @@ object Similarity {
     (centroids, base.select(col(idCol), assignCol(centroids).as("cluster")))
   }
 
+  /** Lloyd's over INT8 CODES with floor-division centroid updates —
+    * every arithmetic step is exact integer math or a correctly-rounded
+    * IEEE double op on integer inputs, so any engine reproduces the
+    * identical assignments and centroids (unlike [[kmeansFit]], whose
+    * float means depend on summation order). This is the ORACLE-ABLE
+    * k-means: `q_d = ⌊x_d / gmax · 127 + 0.5⌋` with a single GLOBAL
+    * max-abs scale — uniform scaling preserves squared-L2 ordering up
+    * to rounding, so the clustering tracks the double-precision
+    * geometry (per-vector scales à la [[quantizeInt8]] would make
+    * inter-vector distances incomparable). Distances are integer
+    * squared-L2 over the codes; the centroid update is
+    * `floor(sum / count)` — sum and count are exact longs and the one
+    * double division is correctly rounded, so `floor` lands identically
+    * everywhere.
+    *
+    * Same plan shape as [[kmeansFit]]: map-side argmin over broadcast
+    * centroid literals (no shuffle), one partial-aggregating
+    * (cell, dim) rollup per iteration; only the k×dim centroid matrix
+    * (plus the one scale scalar) reaches the driver. Seeds are the `k`
+    * smallest-id code vectors; ties break on centroid index; a cell
+    * that loses all members keeps its previous centroid.
+    *
+    * Returns (final integer centroids, assignment `(idCol, cluster)`).
+    */
+  def kmeansFitInt8(e: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): (Seq[Seq[Long]], DataFrame) = {
+    require(k > 0 && iterations >= 0)
+    val src = e.select(col(idCol), col(vecCol).cast("array<double>").as("w"))
+      .filter(col("w").isNotNull)
+    val gmaRow = src
+      .agg(max(array_max(transform(col("w"), x => abs(x)))).as("g")).first()
+    val gma = if (gmaRow.isNullAt(0)) 0d else gmaRow.getDouble(0)
+    val base = src.select(col(idCol),
+      (if (gma == 0d) transform(col("w"), _ => lit(0L))
+       else transform(col("w"),
+         x => floor(x / lit(gma) * lit(127d) + lit(0.5d)).cast("long")))
+        .as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Seq[Seq[Long]] =
+      base.orderBy(col(idCol)).limit(k).collect()
+        .map(_.getSeq[Long](1).toSeq).toSeq
+    require(centroids.size == k,
+      s"kmeansFitInt8: need at least $k vectors, found ${centroids.size}")
+
+    // integer squared-L2 per centroid; argmin ties break on index via
+    // the (d2 · k + j) encoding — min picks the smallest distance and,
+    // on ties, the smallest centroid index. Codes are in [-127,127] so
+    // even a dim-4096 distance times k stays far inside a long.
+    def assignCol(cs: Seq[Seq[Long]]): Column =
+      (array_min(array(cs.zipWithIndex.map { case (c, j) =>
+        aggregate(zip_with(col("v"), typedLit(c),
+          (a, b) => (a - b) * (a - b)), lit(0L), _ + _) *
+          lit(k.toLong) + lit(j.toLong)
+      }: _*)) % k).cast("int")
+
+    for (_ <- 0 until iterations) {
+      val means = base.select(assignCol(centroids).as("cell"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(floor(sum(col("x")).cast("double") /
+          count(lit(1))).cast("long").as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      centroids = centroids.indices.map(j => means.getOrElse(j, centroids(j)))
+    }
+    (centroids, base.select(col(idCol), assignCol(centroids).as("cluster")))
+  }
+
   // ── Int8 embedding quantization ─────────────────────────────────────
 
   /** Per-vector symmetric int8 quantization: `q_d = ⌊x_d / max|x| · 127

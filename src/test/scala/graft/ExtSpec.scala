@@ -1112,6 +1112,23 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(byTruth.values.flatten.toSet.size == 3)
   }
 
+  test("kmeansFitInt8 recovers separated blobs and is engine-exact integer math") {
+    val (cents, assign) = Similarity.kmeansFitInt8(blobs, "vec_id",
+      "embedding", k = 3, iterations = 4)
+    assert(cents.size == 3 && cents.forall(_.size == 2))
+    // integer centroids: codes live in [-127, 127]
+    assert(cents.flatten.forall(c => c >= -127 && c <= 127))
+    val byTruth = assign.collect()
+      .map(r => (r.getLong(0) % 3) -> r.getInt(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byTruth.values.forall(_.size == 1))
+    assert(byTruth.values.flatten.toSet.size == 3)
+    // bit-for-bit repeatable (integer arithmetic end to end)
+    val (cents2, _) = Similarity.kmeansFitInt8(blobs, "vec_id",
+      "embedding", k = 3, iterations = 4)
+    assert(cents == cents2)
+  }
+
   test("kmeansFit is deterministic and keeps empty cells' centroids") {
     val (c1, a1) = Similarity.kmeansFit(blobs, "vec_id", "embedding",
       k = 3, iterations = 3)
