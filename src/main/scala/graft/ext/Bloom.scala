@@ -50,14 +50,27 @@ object Bloom {
       }
     val bloom = dim.select(col(dimKey).cast("long").as(dimKey))
       .stat.bloomFilter(dimKey, expectedKeys, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    // Scalar UDF, not codegen — acceptable here: it runs once per fact
-    // row as a standalone filter stage and replaces a full-width
-    // shuffle of the non-matching rows.
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val spark = fact.sparkSession
+    val keyAsLong = col(factKey).cast("long")
+    // Probe with Spark's own BloomFilterMightContain expression — the
+    // null-safe, codegen'd predicate InjectRuntimeFilter plans — so the
+    // filter stays inside whole-stage codegen instead of paying a boxed
+    // Long lambda per fact row. The serialized bitmap rides the plan as
+    // a binary literal, the same shape Spark's runtime filter takes
+    // after its build-side subquery evaluates. Sessions without
+    // graft.plans.GraftExtensions fall back to the UDF form (checked
+    // once, driver-side), mirroring Dedup.dotNative.
+    val mightContain =
+      if (spark.catalog.functionExists("graft_bloom_probe")) {
+        val os = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(os)
+        call_function("graft_bloom_probe", lit(os.toByteArray), keyAsLong)
+      } else {
+        val bc = spark.sparkContext.broadcast(bloom)
+        udf((k: Long) => bc.value.mightContainLong(k)).apply(keyAsLong)
+      }
     fact
-      .filter(col(factKey).isNotNull &&
-        mightContain(col(factKey).cast("long")))
+      .filter(col(factKey).isNotNull && mightContain)
       .join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -179,6 +179,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_zorder takes exactly 2 arguments, got ${children.size}")
         ZInterleave(children.head, children(1))
       }))
+    // Spark's own runtime-filter probe expression, exposed for manual
+    // bloom pruning (graft.ext.Bloom): null-safe, codegen'd — what
+    // InjectRuntimeFilter plans once its build subquery has evaluated —
+    // instead of a boxed-Long scalar UDF.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getCanonicalName, "graft_bloom_probe"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_bloom_probe takes (bloomBytes, longKey), got ${children.size}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),

@@ -174,15 +174,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"length-band blocking must keep the join equi-keyed:\n$p")
   }
 
-  test("bloom join: fact side is filtered BEFORE the join") {
+  test("bloom join: codegen'd probe filters the fact side BEFORE the join") {
     val p = plan("q_bloom_join")
     val joinIdx = p.indexOf("Join")
-    // the bloom probe renders as a scalar UDF inside a Filter on the
-    // fact branch, below the join in the tree (children print after
-    // parents)
-    val filterIdx = p.indexOf("UDF(knownnotnull(l_orderkey", joinIdx.max(0))
+    // the bloom probe is Spark's native BloomFilterMightContain inside
+    // a Filter on the fact branch, below the join in the tree (children
+    // print after parents)
+    val filterIdx = p.indexOf("might_contain", joinIdx.max(0))
     assert(joinIdx >= 0 && filterIdx > joinIdx,
       s"bloom pre-filter must sit under the join on the fact branch:\n$p")
+    // and it must be the codegen expression, not a boxed scalar UDF
+    assert(!p.contains("UDF(") && !p.contains("BatchEvalPython"),
+      s"bloom probe must not fall back to a scalar UDF:\n$p")
   }
 
   test("heavy hitters: candidate semi-join broadcasts, never shuffles tokens") {
