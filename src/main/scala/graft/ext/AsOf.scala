@@ -81,4 +81,40 @@ object AsOf {
       broadcast: Option[Boolean] = None): DataFrame =
     org.apache.spark.sql.graft.AsOfJoinNative.asofJoinMulti(
       left, right, keys, tsCol, rightCols, broadcast)
+
+  /** Skew-aware native as-of: result-identical to [[asofJoinNative]]
+    * (specs pin it), but hot keys never touch a shuffle. The merge form
+    * hash-clusters on the key, so at 100 TB a hot key (one user behind
+    * a bot, one instrument carrying half the ticks) funnels its entire
+    * fact timeline through a single task. Splitting by the declared hot
+    * keys routes each side to the physical form that cannot skew:
+    *
+    *  - HOT left rows stay exactly where they are — the broadcast exec
+    *    declares no required distribution, so the hot key's rows remain
+    *    spread across whatever partitions the scan produced (a stronger
+    *    guarantee than salting, which still shuffles `salts` ways) and
+    *    each task binary-searches the broadcast per-key timeline.
+    *  - COLD keys (including NULL keys, which must surface as unmatched
+    *    left rows) take the co-partitioned merge; with the hot keys
+    *    removed, its per-task load is balanced by construction.
+    *
+    * The trade: the hot keys' RIGHT timelines must fit in a broadcast —
+    * the natural shape when the right side is dimension updates (orders
+    * of magnitude fewer than fact rows). Hot keys are declared by the
+    * caller, mirroring Spark's own skew-hint precedent; pair with
+    * [[Skew]]-style frequency detection upstream when they're unknown. */
+  def asofJoinSkew(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightCols: Seq[String],
+      hotKeys: Seq[Any]): DataFrame = {
+    require(hotKeys.nonEmpty, "asofJoinSkew: declare at least one hot key")
+    val hot = hotKeys.map(lit)
+    val lHot = left.filter(col(key).isin(hot: _*))
+    val lCold = left.filter(!col(key).isin(hot: _*) || col(key).isNull)
+    val rHot = right.filter(col(key).isin(hot: _*))
+    val rCold = right.filter(!col(key).isin(hot: _*))
+    asofJoinNative(lHot, rHot, key, tsCol, rightCols,
+        broadcast = Some(true))
+      .unionByName(asofJoinNative(lCold, rCold, key, tsCol, rightCols,
+        broadcast = Some(false)))
+  }
 }

@@ -151,54 +151,83 @@ object Streaming {
     * a newer right event binds exactly while its true match is within
     * the `maxState` retained entries — the documented trade of state
     * size for late-data tolerance (state is O(keys × maxState),
-    * RocksDB-friendly, vs unbounded for a perfect late-binder). */
+    * RocksDB-friendly, vs unbounded for a perfect late-binder).
+    *
+    * The per-key cap bounds state per key, but key CARDINALITY still
+    * grows with every distinct key ever seen. For a long-lived stream,
+    * pass `idleRetentionMs`: keys idle longer than the horizon time out
+    * (processing-time) and their timeline is dropped — a later left
+    * event on a dropped key simply binds to nothing, the same outcome
+    * as a fresh key. The default `None` keeps `NoTimeout` for the
+    * one-shot `AvailableNow` replay path, where timeouts never fire
+    * and the oracle gate needs exact batch parity.
+    *
+    * Cost of arming the knob: with processing-time timeouts the engine
+    * schedules timeout-evaluation micro-batches even without new data
+    * (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+    * unconditionally true for `ProcessingTimeTimeout`) — one extra
+    * no-data batch per trigger interval. Under a real cadence trigger
+    * that is the expected bookkeeping of a long-lived stream; under the
+    * default run-ASAP trigger it busy-loops, so pair the knob with a
+    * `Trigger.ProcessingTime` cadence and poll sinks rather than
+    * `processAllAvailable()` (which never settles when batches keep
+    * scheduling). */
   def asofStream(events: org.apache.spark.sql.Dataset[AsOfStreamEvent],
-      maxState: Int = 32): DataFrame = {
+      maxState: Int = 32, idleRetentionMs: Option[Long] = None): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(maxState > 0, "maxState must be positive")
+    require(idleRetentionMs.forall(_ > 0), "idleRetentionMs must be positive")
     events
       .groupByKey(_.user_email)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+        if (idleRetentionMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[AsOfStreamEvent],
          state: GroupState[AsOfTimeline]) =>
-          var tl = state.getOption.getOrElse(
-            AsOfTimeline(Array.empty, Array.empty))
-          // event-time order; rights first at equal ts (<= semantics)
-          val batch = it.toArray.sortBy(e => (e.tsMicros, e.isLeft))
-          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfStreamOut]
-          def upperBound(a: Array[Long], x: Long): Int = {
-            var lo = 0; var hi = a.length
-            while (lo < hi) {
-              val mid = (lo + hi) >>> 1
-              if (a(mid) <= x) lo = mid + 1 else hi = mid
-            }
-            lo
-          }
-          batch.foreach { e =>
-            if (!e.isLeft) {
-              val i = upperBound(tl.ts, e.tsMicros)
-              if (i > 0 && tl.ts(i - 1) == e.tsMicros) {
-                // duplicate ts: max value wins (pre-aggregation contract)
-                if (e.value > tl.value(i - 1)) tl.value(i - 1) = e.value
-              } else {
-                var ts2 = tl.ts.patch(i, Array(e.tsMicros), 0)
-                var v2 = tl.value.patch(i, Array(e.value), 0)
-                if (ts2.length > maxState) { // cap: oldest entry goes
-                  ts2 = ts2.drop(1); v2 = v2.drop(1)
-                }
-                tl = AsOfTimeline(ts2, v2)
+          if (state.hasTimedOut) {
+            // idle beyond the retention horizon: release the timeline
+            state.remove()
+            Iterator.empty
+          } else {
+            var tl = state.getOption.getOrElse(
+              AsOfTimeline(Array.empty, Array.empty))
+            // event-time order; rights first at equal ts (<= semantics)
+            val batch = it.toArray.sortBy(e => (e.tsMicros, e.isLeft))
+            val out = scala.collection.mutable.ArrayBuffer.empty[AsOfStreamOut]
+            def upperBound(a: Array[Long], x: Long): Int = {
+              var lo = 0; var hi = a.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (a(mid) <= x) lo = mid + 1 else hi = mid
               }
-            } else {
-              val i = upperBound(tl.ts, e.tsMicros) - 1
-              out += AsOfStreamOut(e.event_id, e.tsMicros, user,
-                if (i >= 0) Some(tl.ts(i)) else None,
-                if (i >= 0) Some(tl.value(i)) else None)
+              lo
             }
+            batch.foreach { e =>
+              if (!e.isLeft) {
+                val i = upperBound(tl.ts, e.tsMicros)
+                if (i > 0 && tl.ts(i - 1) == e.tsMicros) {
+                  // duplicate ts: max value wins (pre-aggregation contract)
+                  if (e.value > tl.value(i - 1)) tl.value(i - 1) = e.value
+                } else {
+                  var ts2 = tl.ts.patch(i, Array(e.tsMicros), 0)
+                  var v2 = tl.value.patch(i, Array(e.value), 0)
+                  if (ts2.length > maxState) { // cap: oldest entry goes
+                    ts2 = ts2.drop(1); v2 = v2.drop(1)
+                  }
+                  tl = AsOfTimeline(ts2, v2)
+                }
+              } else {
+                val i = upperBound(tl.ts, e.tsMicros) - 1
+                out += AsOfStreamOut(e.event_id, e.tsMicros, user,
+                  if (i >= 0) Some(tl.ts(i)) else None,
+                  if (i >= 0) Some(tl.value(i)) else None)
+              }
+            }
+            state.update(tl)
+            idleRetentionMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(tl)
-          out.iterator
       }.toDF()
   }
 

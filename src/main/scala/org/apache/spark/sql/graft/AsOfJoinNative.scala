@@ -69,7 +69,19 @@ case class AsOfJoinNode(
 /** Physical as-of merge join. Children are hash-clustered on the key and
   * sorted by (key, ts); each partition is a single forward merge of the
   * two sorted streams (the right iterator never rewinds — each right row
-  * is examined once). */
+  * is examined once).
+  *
+  * Spill safety: all buffering lives in the CHILD sorts, which Spark
+  * plans as `SortExec` (UnsafeExternalSorter — spills to disk under
+  * memory pressure). The merge itself holds O(1) state — one copied key
+  * and one copied payload row — and never materializes a partition, so
+  * unlike SortMergeJoin's buffered-side match buffer there is no
+  * operator-side structure that CAN spill or overflow; a skewed key
+  * costs time in one task, not memory. The merge loop is interpreted-
+  * row (no whole-stage codegen), but every projection/ordering inside
+  * it is code-generated (`UnsafeProjection`/`RowOrdering`); the
+  * measured cost vs the composed window form is recorded in
+  * BASELINE.md's as-of head-to-head. */
 case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
@@ -295,8 +307,27 @@ object AsOfJoinBroadcastExec {
     else {
       // bound retention: each fresh plan gets a new key (bench loops,
       // AQE re-plans), so without a cap dead indexes linger until the
-      // SoftReferences are squeezed out near heap exhaustion
-      if (cache.size() > MaxEntries) cache.clear()
+      // SoftReferences are squeezed out near heap exhaustion. Evict
+      // surgically — first any entry whose SoftReference was already
+      // reclaimed, else one arbitrary OTHER entry — never the whole
+      // map: a blanket clear() would also drop indexes for stages
+      // still running, forcing their concurrent tasks to rebuild.
+      if (cache.size() > MaxEntries) {
+        val it = cache.entrySet().iterator()
+        var evicted = false
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.get() == null) { it.remove(); evicted = true }
+        }
+        if (!evicted) {
+          val ks = cache.keySet().iterator()
+          var done = false
+          while (!done && ks.hasNext) {
+            val k = ks.next()
+            if (k != key) { cache.remove(k); done = true }
+          }
+        }
+      }
       // compute() locks only this key's bin — unrelated concurrent
       // builds (different queries/stages) proceed in parallel, while
       // same-key tasks still build at most once per executor
@@ -383,10 +414,7 @@ object AsOfJoinNative {
     require(keys.nonEmpty, "asofJoin: at least one key column required")
     val session = left.sparkSession.asInstanceOf[classic.SparkSession]
     val lPlan = left.queryExecution.analyzed
-    // re-alias the right side to fresh exprIds so self-joins (both sides
-    // carved from the same table) bind unambiguously
     val r0 = right.queryExecution.analyzed
-    val rPlan = Project(r0.output.map(a => Alias(a, a.name)()), r0)
 
     // honor the session's case-sensitivity setting, like col() would
     val resolver = session.sessionState.conf.resolver
@@ -395,6 +423,17 @@ object AsOfJoinNative {
         throw new IllegalArgumentException(
           s"asofJoin: column '$n' not found on $side side " +
             s"(have: ${out.map(_.name).mkString(", ")})"))
+
+    // re-alias the right side to fresh exprIds so self-joins (both sides
+    // carved from the same table) bind unambiguously — and project it
+    // down to the REFERENCED columns only. Catalyst's ColumnPruning
+    // cannot see through the custom node, so anything kept here rides
+    // the shuffle (merge form) or the whole broadcast (IdentityBroadcast
+    // ships full rows); for a wide dimension table that would defeat
+    // the "each side shuffles in its own narrower schema" design.
+    val rNeeded = (keys :+ tsCol).map(pick(r0.output, _, "right")) ++
+      rightCols.map(pick(r0.output, _, "right"))
+    val rPlan = Project(rNeeded.distinct.map(a => Alias(a, a.name)()), r0)
 
     val lKeys = keys.map(pick(lPlan.output, _, "left"))
     val lTs = pick(lPlan.output, tsCol, "left")

@@ -114,6 +114,93 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("asofStream: maxState cap degradation boundary is exactly the " +
+      "retained-timeline edge") {
+    // The documented trade: a left event later than `maxState` newer
+    // right updates binds against the CAPPED timeline — its true match
+    // may have been evicted. This pins the boundary structurally: a
+    // left whose match was evicted misses, while a left binding inside
+    // the retained window stays exact.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.AsOfStreamEvent
+    def us(sec: Long) = sec * 1000000L
+    val mem = MemoryStream[AsOfStreamEvent]
+    val qn = Streaming.nextQueryName("spec_asofcap")
+    val q = Streaming.asofStream(mem.toDS(), maxState = 4)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      // batch 1: six right updates; cap 4 retains only {30,40,50,60}
+      mem.addData((1 to 6).map(i => AsOfStreamEvent(100L + i, 1L,
+        us(i * 10L), isLeft = false, value = i.toDouble)): _*)
+      q.processAllAvailable()
+      // batch 2: late lefts probing both sides of the eviction edge
+      mem.addData(
+        AsOfStreamEvent(1L, 1L, us(25), isLeft = true, value = 0.0), // true match t=20: EVICTED
+        AsOfStreamEvent(2L, 1L, us(35), isLeft = true, value = 0.0), // match t=30: retained
+        AsOfStreamEvent(3L, 1L, us(65), isLeft = true, value = 0.0)) // match t=60: retained
+      q.processAllAvailable()
+      val out = s.table(qn).collect()
+        .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+      assert(out == Map(
+        1L -> None,       // degraded: older than the capped timeline
+        2L -> Some(3.0),  // exact inside the retained window
+        3L -> Some(6.0))) // exact at the newest edge
+    } finally q.stop()
+  }
+
+  test("asofStream: idleRetentionMs expires idle keys — a later left " +
+      "binds like a fresh key") {
+    // The long-lived-stream knob: ProcessingTimeTimeout drops keys idle
+    // beyond the horizon so state doesn't grow with key cardinality
+    // forever. NOTE: arming processing-time timeouts makes the engine
+    // schedule extra no-data micro-batches to evaluate them
+    // (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    // unconditionally true for ProcessingTimeTimeout), so
+    // processAllAvailable() never settles here — poll the sink instead,
+    // which is also the honest way to observe a timeout that only
+    // fires in a between-data batch.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.AsOfStreamEvent
+    def us(sec: Long) = sec * 1000000L
+    val mem = MemoryStream[AsOfStreamEvent]
+    val qn = Streaming.nextQueryName("spec_asofttl")
+    val q = Streaming.asofStream(mem.toDS(), maxState = 4,
+        idleRetentionMs = Some(2000L))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    def outMap() = s.table(qn).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    def waitFor(n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (outMap().size < n) {
+        assert(System.nanoTime() < deadline,
+          s"timed out waiting for $n output rows, have: ${outMap()}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      mem.addData(
+        AsOfStreamEvent(101L, 1L, us(10), isLeft = false, value = 5.0),
+        AsOfStreamEvent(1L, 1L, us(20), isLeft = true, value = 0.0))
+      waitFor(1)
+      assert(outMap()(1L) == Some(5.0)) // timeline live within horizon
+      // idle past the horizon: the no-data batches fire the timeout and
+      // release the key's timeline
+      Thread.sleep(6000)
+      mem.addData(
+        AsOfStreamEvent(2L, 1L, us(30), isLeft = true, value = 0.0))
+      waitFor(2)
+      // dropped key == fresh key: the late left binds to nothing, the
+      // documented degradation (vs Some(5.0) under NoTimeout replay)
+      assert(outMap()(2L) == None)
+    } finally q.stop()
+  }
+
   test("asofStream equals the batch as-of join on seeded random splits") {
     val s = spark
     import s.implicits._
