@@ -39,11 +39,25 @@ object Sketches {
     val strDf = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("string").as("value"))
     val sketch = strDf.stat.countMinSketch("value", eps, confidence, seed)
-    val bc = df.sparkSession.sparkContext.broadcast(sketch)
-    val estimate = udf((v: String) => bc.value.estimateCount(v))
+    // Probe with the native graft_cms_estimate expression (the CMS
+    // analog of Spark's BloomFilterMightContain, which Spark doesn't
+    // ship for CMS): the serialized counter table rides the plan as a
+    // binary literal and the probe stays inside whole-stage codegen.
+    // Sessions without graft.plans.GraftExtensions fall back to the
+    // UDF form (checked once, driver-side), mirroring Bloom.
+    val spark = df.sparkSession
+    val estimate =
+      if (spark.catalog.functionExists("graft_cms_estimate")) {
+        val os = new java.io.ByteArrayOutputStream()
+        sketch.writeTo(os)
+        call_function("graft_cms_estimate", lit(os.toByteArray), col("value"))
+      } else {
+        val bc = spark.sparkContext.broadcast(sketch)
+        udf((v: String) => bc.value.estimateCount(v)).apply(col("value"))
+      }
     strDf
       .groupBy(col("value"))
       .agg(count(lit(1)).as("exact_n"))
-      .withColumn("est_n", estimate(col("value")))
+      .withColumn("est_n", estimate)
   }
 }

@@ -194,6 +194,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }))
+    // CMS probe: Spark has no estimateCount expression (unlike bloom's
+    // BloomFilterMightContain), so graft supplies one — see CmsEstimate
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getCanonicalName,
+        "graft_cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_cms_estimate takes (sketchBytes, value), got ${children.size}")
+        CmsEstimate(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
