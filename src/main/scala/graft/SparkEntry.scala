@@ -189,10 +189,14 @@ object SparkEntry {
         .agg(r6(avg(col("value"))).as("habit_avg"))
       Skew.saltedJoin(ev, dim, "habit", salts = 8)
         .groupBy(col("habit"))
-        // dev_abs at 2 dp: the per-habit sum grows with event count and
-        // summation order flips the 6th decimal at larger SFs
+        // per-row |value − avg| is the same IEEE double in both engines,
+        // so rounding EACH ROW to an e4-scaled long before summing makes
+        // the aggregate order-independent and engine-exact at any SF
+        // (the q_bucket_join revenue_e4 pattern) — unlike rounding a
+        // summation-order-dependent double sum after the fact
         .agg(count(lit(1)).as("n"), r6(max(col("habit_avg"))).as("habit_avg"),
-          round(sum(abs(col("value") - col("habit_avg"))), 2).as("dev_abs"))
+          sum(round(abs(col("value") - col("habit_avg")) * 10000)
+            .cast("long")).as("dev_abs_e4"))
         .orderBy(col("habit"))
     }),
 
@@ -571,6 +575,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Skew-aware split-union as-of: declared hot users take the
+    // broadcast path (their fact rows never shuffle), everyone else
+    // takes the co-partitioned merge, and the union is oracle-proven
+    // result-identical to the plain as-of — exactly the contract skew
+    // handling must keep (mirrors the q_salted_* identity proofs).
+    "q_asof_skew" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+      graft.ext.AsOf.asofJoinSkew(clicks, purchases, "user_email", "ts",
+          Seq("pvalue"), hotKeys = Seq(1L, 2L, 3L))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
     // Multi-column-key native as-of — (user, day) scopes the lookback
     // within a calendar day, the form the composed union+window as-of
     // doesn't offer. Oracle: DuckDB ASOF with two equality conditions.
@@ -876,6 +899,41 @@ object SparkEntry {
         .orderBy(col("habit"))
     }),
 
+    // Variant landing payload — the reference's jsonb events column
+    // (sql/001_schema.sql:10) in its 100 TB-native form. The payload is
+    // parsed ONCE into VariantType and written SHREDDED: Spark 4's
+    // parquet writer (writeShredding + inferShreddingSchema, both
+    // default-on) splits the inferred paths into typed subcolumns with
+    // an untyped spill for non-conforming rows, so later readers scan
+    // columnar typed values instead of re-parsing JSON text per row.
+    // The read side is the payoff: PushVariantIntoScan rewrites the
+    // requested `variant_get` paths into a struct read and the `$.k`
+    // predicate lands in the scan's PushedFilters — predicate pushdown
+    // INTO a semi-structured column (PlanSpec pins both properties).
+    "q_variant_shredded" -> ((s, dir) => {
+      // per-process + per-sfDir path, same rationale as q_orc_roundtrip
+      val path = s"${sys.props("java.io.tmpdir")}/graft_variant_" +
+        s"${ProcessHandle.current().pid()}_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.eventsAsHabits(s, dir)
+        .select(col("event_id"),
+          expr("parse_json(to_json(named_struct(" +
+            "'t', habit, 'v', value, " +
+            "'k', cast(get_json_object(props, '$.k') as long))))")
+            .as("payload"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(
+          expr("variant_get(payload, '$.t', 'string')").as("habit"),
+          expr("variant_get(payload, '$.v', 'double')").as("value"),
+          expr("variant_get(payload, '$.k', 'long')").as("k"))
+        .filter(col("k") >= 50)
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          r6(avg(col("value"))).as("avg_value"))
+        .orderBy(col("habit"))
+    }),
+
     // Bucketed-table co-located join: both sides written hash-bucketed
     // on the join key (Bucketing.writeBucketed), so the fact⋈fact join
     // plans with ZERO exchange into the join — the 100 TB answer to
@@ -1026,6 +1084,28 @@ object SparkEntry {
           size(split(col("chunk"), " ", -1)).cast("long").as("n_tokens"),
           md5(col("chunk")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Sequence packing — documents into fixed-token-budget training
+    // bins (the concat-and-chunk stage of a pretraining pipeline,
+    // document-intact next-fit by start offset). Shard-LOCAL windows:
+    // one shuffle on the shard key, per-shard prefix sums — never a
+    // global ordered window (which would funnel the corpus through one
+    // task at 100 TB). Deterministic, so the bin layout itself is
+    // under the oracle: per (shard, bin) document counts, token loads,
+    // and an id-chain digest must all match DuckDB's packing.
+    "q_pack_sequences" -> ((s, dir) => {
+      val toks = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      graft.ext.Packing.packSequences(toks, "doc_id", "n_tokens",
+          budget = 512L, shards = 8)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("bin"))
+    }),
 
     // Gopher-style repeated-n-gram quality signal: fraction of a doc's
     // word 3-grams that repeat an earlier shingle (typed kernel form,
@@ -1389,7 +1469,8 @@ object SparkEntry {
                  FROM ev GROUP BY 1)
          SELECT e.habit, count(*)::BIGINT AS n,
                 round(max(d.habit_avg), 6) AS habit_avg,
-                round(sum(abs(e.value - d.habit_avg)), 2) AS dev_abs
+                sum(CAST(round(abs(e.value - d.habit_avg) * 10000)
+                  AS BIGINT))::BIGINT AS dev_abs_e4
          FROM ev e JOIN dim d ON e.habit = d.habit
          GROUP BY 1 ORDER BY 1""",
 
@@ -1839,6 +1920,8 @@ object SparkEntry {
 
     "q_asof_native_merge" -> asofOracle,
 
+    "q_asof_skew" -> asofOracle,
+
     "q_asof_stream" -> asofOracle,
 
     "q_asof_multi" ->
@@ -1999,6 +2082,13 @@ object SparkEntry {
                 round(avg(value), 6) AS avg_value, max(ts) AS last_ts
          FROM events GROUP BY 1 ORDER BY 1""",
 
+    "q_variant_shredded" ->
+      """SELECT event_type AS habit, count(*)::BIGINT AS n,
+                sum((props ->> '$.k')::BIGINT)::BIGINT AS sum_k,
+                round(avg(value), 6) AS avg_value
+         FROM events WHERE (props ->> '$.k')::BIGINT >= 50
+         GROUP BY 1 ORDER BY 1""",
+
     "q_interval_join_stream" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'click'),
@@ -2130,6 +2220,21 @@ object SparkEntry {
                 len(string_split(chunk, ' '))::BIGINT AS n_tokens,
                 md5(chunk) AS chunk_md5
          FROM s ORDER BY doc_id, chunk_idx""",
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+         c AS (SELECT doc_id, shard, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t)
+         SELECT shard::BIGINT AS shard,
+                floor((cum - n_tokens) / 512.0)::BIGINT AS bin,
+                count(*)::BIGINT AS n_docs,
+                sum(n_tokens)::BIGINT AS bin_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l

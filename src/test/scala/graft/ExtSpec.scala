@@ -557,6 +557,37 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("asofJoinSkew is result-identical to plain native as-of on a " +
+      "deliberately skewed key") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // u0 carries 500 of ~605 left rows (the hot key); u1..u20 five each;
+    // one NULL-key left row must survive both paths as an unmatched row
+    val clicks = ((1 to 500).map(i => (i.toLong, "u0", ts(i))) ++
+      (for { u <- 1 to 20; j <- 1 to 5 }
+        yield ((1000 + u * 10 + j).toLong, s"u$u", ts(j * 7))) ++
+      Seq((9999L, null.asInstanceOf[String], ts(50))))
+      .toDF("event_id", "user_email", "ts")
+    val purchases =
+      (for { u <- 0 to 20; j <- 1 to 4 }
+        yield (s"u$u", ts(j * 11), (u * 10 + j).toDouble))
+      .toDF("user_email", "ts", "pvalue")
+    val skew = graft.ext.AsOf.asofJoinSkew(clicks, purchases,
+      "user_email", "ts", Seq("pvalue"), hotKeys = Seq("u0", "u7"))
+    val plain = graft.ext.AsOf.asofJoinNative(clicks, purchases,
+      "user_email", "ts", Seq("pvalue"))
+    assert(skew.columns.toSeq == plain.columns.toSeq)
+    val k = plain.columns.map(col)
+    assert(skew.select(k: _*).collect().map(_.toSeq).toSet ==
+      plain.select(k: _*).collect().map(_.toSeq).toSet)
+    // hot keys must plan as the broadcast exec, cold keys as the merge
+    val p = skew.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoinBroadcast"), p)
+    assert(p.replace("AsOfJoinBroadcast", "").contains("AsOfJoin"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("pointInInterval matches the theta-join semantics incl. bucket edges") {
     val s = spark
     import s.implicits._
@@ -1200,6 +1231,47 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(a.count(_._1 == "a") == 10 && a.count(_._1 == "b") == 10)
     assert(a.forall(t => t._2 >= 4))                // zero weights excluded
     assert(a.filter(_._1 == "a").map(_._3).sorted.toSeq == (1 to 10))
+  }
+
+  test("packSequences: document-intact next-fit invariants hold and the " +
+      "layout is partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    val budget = 100L
+    // token counts 1..60 with a few over-half-budget docs so bins both
+    // straddle (overflow) and underfill; ids deliberately non-dense
+    val docs = (0L until 300L).map(i => (i * 3 + 1, i % 60 + 1))
+      .toDF("doc_id", "n_tokens")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.Packing.packSequences(d, "doc_id", "n_tokens",
+        budget, shards = 4)
+    val packed = run(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc exactly once, in its id-mod shard
+    assert(packed.length == 300)
+    assert(packed.map(_._1).distinct.length == 300)
+    assert(packed.forall { case (id, _, shard, _) => shard == id % 4 })
+    // same layout from a different physical partitioning
+    val re = run(docs.repartition(13, col("n_tokens"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSet == packed.toSet)
+    val byBin = packed.groupBy(t => (t._3, t._4))
+    byBin.foreach { case ((shard, bin), ds) =>
+      val inOrder = ds.sortBy(_._1)
+      val total = ds.map(_._2).sum
+      // next-fit: the bin was open (strictly under budget) when its
+      // last doc arrived — equivalently, a straddling doc overflows its
+      // bin rather than splitting, so a bin never exceeds budget by
+      // more than its final document's tokens
+      assert(total - inOrder.last._2 < budget,
+        s"bin ($shard,$bin) kept absorbing past the boundary")
+    }
+    // bins are contiguous from 0 within every shard
+    packed.groupBy(_._3).foreach { case (shard, ds) =>
+      val bins = ds.map(_._4).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length.toLong),
+        s"shard $shard bins not contiguous: ${bins.mkString(",")}")
+    }
   }
 
   test("weightedTopK favors heavy rows in aggregate") {

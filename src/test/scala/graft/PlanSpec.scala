@@ -82,6 +82,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "broadcast=Some(false) must pin the co-partitioned merge")
   }
 
+  test("skew-aware as-of: hot keys broadcast, cold keys merge, no skewed " +
+      "shuffle") {
+    val p = plan("q_asof_skew")
+    // hot split: broadcast exec (fact rows unshuffled); cold split: the
+    // co-partitioned merge; glued by a union — never a product join
+    assert(p.contains("AsOfJoinBroadcast"),
+      "hot keys must take the broadcast (shuffle-free) form")
+    assert(p.replace("AsOfJoinBroadcast", "").contains("AsOfJoin"),
+      "cold keys must take the co-partitioned merge form")
+    assert(p.contains("Union"), "split-union shape expected")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "skew split must not degrade to a product join")
+  }
+
+  test("variant shredded: paths read as a struct, k-predicate pushed " +
+      "into the parquet scan") {
+    val p = plan("q_variant_shredded")
+    // PushVariantIntoScan must rewrite the three variant_get paths into
+    // a plain struct read over the shredded typed subcolumns...
+    assert(p.contains("ReadSchema: struct<payload:struct<"),
+      s"variant scan must be rewritten to a struct read:\n$p")
+    // ...and carry the $.k >= 50 predicate into the scan itself —
+    // pushdown INTO a semi-structured column, the shredding payoff
+    assert(p.contains("GreaterThanOrEqual(payload."),
+      s"the \\$$.k predicate must land in PushedFilters:\n$p")
+  }
+
   test("native as-of join: left-column filter pushes through to the scan") {
     import org.apache.spark.sql.functions._
     val ev = Tables.eventsAsHabits(spark, dir)
@@ -186,6 +214,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // and it must be the codegen expression, not a boxed scalar UDF
     assert(!p.contains("UDF(") && !p.contains("BatchEvalPython"),
       s"bloom probe must not fall back to a scalar UDF:\n$p")
+  }
+
+  test("cms freq: probe is the native codegen expression, not a UDF") {
+    val df = SparkEntry.queries("q_cms_freq")(spark, dir)
+    // the probe rides inside an aggregate's result expressions, which
+    // the plan STRING doesn't print — walk the analyzed tree instead
+    val probes = df.queryExecution.analyzed.collect {
+      case n if n.expressions.exists(
+        _.exists(_.isInstanceOf[graft.plans.CmsEstimate])) => n
+    }
+    assert(probes.nonEmpty,
+      "CMS probe must plan as the native graft_cms_estimate expression")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF(") && !p.contains("BatchEvalPython"),
+      s"CMS probe must not fall back to a scalar UDF:\n$p")
   }
 
   test("heavy hitters: candidate semi-join broadcasts, never shuffles tokens") {

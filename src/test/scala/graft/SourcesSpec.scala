@@ -25,6 +25,32 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(df.rdd.getNumPartitions == 4)
   }
 
+  test("variant payload writes SHREDDED parquet (typed subcolumns + " +
+      "untyped spill)") {
+    // q_variant_shredded's storage contract: Spark 4's default-on
+    // writeShredding + inferShreddingSchema must produce typed_value
+    // subcolumns next to the untyped binary spill. Pinned against the
+    // physical footer so a future default flip is caught here, not as
+    // a silent perf regression in the scan.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.hadoop.conf.Configuration
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shred_").toString
+    spark.range(50).selectExpr("id",
+        "parse_json(to_json(named_struct(" +
+          "'t', cast(id % 3 as string), 'k', id))) as payload")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val f = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val schema = ParquetFileReader.readFooter(new Configuration(),
+      new HPath(f.getAbsolutePath)).getFileMetaData.getSchema.toString
+    assert(schema.contains("typed_value"),
+      s"expected shredded typed_value subcolumns, got:\n$schema")
+    assert(schema.contains("metadata") && schema.contains("value"),
+      s"shredded group must keep the untyped variant spill:\n$schema")
+  }
+
   test("cells follow the documented closed-form math") {
     val r = read(3, 4).filter(col("`Report Date`") === "1/3/2024" &&
       col("`Email Address`") === "User2@Example.com").head()
