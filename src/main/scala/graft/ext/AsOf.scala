@@ -117,4 +117,43 @@ object AsOf {
       .unionByName(asofJoinNative(lCold, rCold, key, tsCol, rightCols,
         broadcast = Some(false)))
   }
+
+  /** [[asofJoinSkew]] with the hot keys DETECTED instead of declared —
+    * for when nobody knows which user is the bot. One aggregate over
+    * the left side finds keys whose row count exceeds `skewFactor`
+    * fair shares (total/shufflePartitions, the same relative-imbalance
+    * yardstick AQE's skew-join uses); the heaviest `maxHotKeys` of
+    * them split to the broadcast path, everything else merges. No hot
+    * keys detected → the plain native as-of, zero extra plan nodes.
+    *
+    * Scale notes: the detection aggregate partial-aggregates map-side,
+    * so the hot keys themselves cannot skew it (each partition emits
+    * one row per local key before the shuffle); only ≤ `maxHotKeys`
+    * key values ever reach the driver — bounded like any skew-hint
+    * list, never data-sized. The count pass is one extra scan of the
+    * left side — worth it exactly when a hot key would otherwise pin
+    * the whole join on one straggler task. */
+  def asofJoinSkewAuto(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightCols: Seq[String], skewFactor: Double = 4.0,
+      maxHotKeys: Int = 32): DataFrame = {
+    require(skewFactor > 0, "skewFactor must be positive")
+    require(maxHotKeys > 0, "maxHotKeys must be positive")
+    val counts = left.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totalRow = counts.agg(sum(col("_n"))).first()
+      val hot =
+        if (totalRow.isNullAt(0)) Seq.empty[Any]
+        else {
+          val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+          val thresh = skewFactor * totalRow.getLong(0).toDouble / parts
+          counts.filter(col("_n") > thresh)
+            .orderBy(col("_n").desc, col(key))
+            .limit(maxHotKeys).collect().map(_.get(0)).toSeq
+        }
+      if (hot.isEmpty) asofJoinNative(left, right, key, tsCol, rightCols)
+      else asofJoinSkew(left, right, key, tsCol, rightCols, hot)
+    } finally counts.unpersist()
+  }
 }

@@ -588,6 +588,65 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("Union"), p)
   }
 
+  test("asofJoinSkewAuto detects the hot key itself and stays " +
+      "result-identical; no-skew inputs plan the plain merge") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // u0 carries ~83% of left rows — far past 4× a fair share at 4
+    // shuffle partitions; u1..u20 are uniform background
+    val clicks = ((1 to 500).map(i => (i.toLong, "u0", ts(i))) ++
+      (for { u <- 1 to 20; j <- 1 to 5 }
+        yield ((1000 + u * 10 + j).toLong, s"u$u", ts(j * 7))))
+      .toDF("event_id", "user_email", "ts")
+    val purchases =
+      (for { u <- 0 to 20; j <- 1 to 4 }
+        yield (s"u$u", ts(j * 11), (u * 10 + j).toDouble))
+      .toDF("user_email", "ts", "pvalue")
+    // skewFactor calibrated to the 4-partition test session: 2 fair
+    // shares = 302 rows; u0's 500 clears it, the 5-row background can't
+    val auto = graft.ext.AsOf.asofJoinSkewAuto(clicks, purchases,
+      "user_email", "ts", Seq("pvalue"), skewFactor = 2.0)
+    val plain = graft.ext.AsOf.asofJoinNative(clicks, purchases,
+      "user_email", "ts", Seq("pvalue"))
+    val k = plain.columns.map(col)
+    assert(auto.select(k: _*).collect().map(_.toSeq).toSet ==
+      plain.select(k: _*).collect().map(_.toSeq).toSet)
+    val p = auto.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoinBroadcast") && p.contains("Union"),
+      s"the detected hot key must take the split-union broadcast path:\n$p")
+    // uniform keys: detection finds nothing, plan is the plain as-of
+    val uniform = (for { u <- 1 to 20; j <- 1 to 25 }
+      yield ((u * 100 + j).toLong, s"u$u", ts(j * 2)))
+      .toDF("event_id", "user_email", "ts")
+    val flat = graft.ext.AsOf.asofJoinSkewAuto(uniform, purchases,
+      "user_email", "ts", Seq("pvalue"), skewFactor = 2.0)
+    assert(!flat.queryExecution.executedPlan.toString.contains("Union"),
+      "no detected skew must collapse to the single plain as-of")
+  }
+
+  test("packSequences is append-stable: adding higher-id docs never " +
+      "repacks existing bins") {
+    val s = spark
+    import s.implicits._
+    // the property that makes deterministic next-fit INCREMENTAL: a
+    // later ingest batch (all ids larger) extends each shard's prefix,
+    // so prior documents' running sums — and therefore bins — cannot
+    // move. Re-packing a grown corpus is metadata-append, not rewrite.
+    def mk(n: Int) = (0L until n.toLong).map(i => (i, i % 37 + 1))
+      .toDF("doc_id", "n_tokens")
+    def layout(n: Int) = graft.ext.Packing
+      .packSequences(mk(n), "doc_id", "n_tokens", budget = 64L, shards = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val before = layout(200)
+    val after = layout(300)
+    assert(before.keySet.subsetOf(after.keySet))
+    before.foreach { case (id, bin) =>
+      assert(after(id) == bin, s"doc $id moved from $bin to ${after(id)}")
+    }
+  }
+
   test("pointInInterval matches the theta-join semantics incl. bucket edges") {
     val s = spark
     import s.implicits._
