@@ -368,8 +368,14 @@ object Similarity {
         .select(col(idCol).as(as), col("q").as(qAs))
     val c = codes(corpus, "nn_id", "cq")
     val q = codes(queries, "query_id", "qq")
-    val dot = aggregate(zip_with(col("qq"), col("cq"),
-      (a, b) => a.cast("long") * b.cast("long")), lit(0L), _ + _)
+    // the O(corpus × queries) scoring loop rides the native codegen'd
+    // dot, not an interpreted aggregate(zip_with(...)) lambda chain
+    // (the kmeansFitInt8 lesson — ~16× on the argmin there). Exactness
+    // survives the doubles: every partial sum of int8-code products is
+    // an integer far below 2^53, so each double add is exact and the
+    // final cast back to long reproduces the integer dot bit for bit.
+    val dot = Dedup.dotNative(col("qq").cast("array<double>"),
+      col("cq").cast("array<double>")).cast("long")
     val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), dot.as("qdot"))
     val w = Window.partitionBy(col("query_id"))
