@@ -416,7 +416,19 @@ object Dedup {
   /** Id + double vector + precomputed L2 norm. The norm is materialized
     * on the join INPUT (once per row, n rows) so the n² pair loop pays
     * one dot product per pair, not dot + two fresh norms — Catalyst
-    * can't hoist an aggregate out of a join condition for us. */
+    * can't hoist an aggregate out of a join condition for us.
+    *
+    * Zero-norm (and null) vectors are EXCLUDED here, at the shared
+    * entry of every expression-level cosine: their cosine is undefined,
+    * and under ANSI mode (Spark 4's default) the downstream
+    * `dot / (na * nb)` would not quietly produce the NaN the old
+    * `!isnan` guards assumed — `0.0 / 0.0` now RAISES
+    * `DIVIDE_BY_ZERO` and kills the job (a ScalaCheck seed caught
+    * exactly this). Filtering up front gives the same observable
+    * contract the guards always promised — zero-norm vectors pair with
+    * nothing — without the landmine. NaN-element vectors still flow
+    * through (NaN norm is non-zero, division yields NaN, the `!isnan`
+    * filters drop them). */
   def withNorm(embs: DataFrame, idCol: String, vecCol: String,
       idAlias: String, vecAlias: String): DataFrame =
     embs.select(col(idCol).as(idAlias),
@@ -424,6 +436,7 @@ object Dedup {
       // dotNative(v, v) sums x_i * x_i left to right — the identical
       // accumulation the HOF l2Norm performs, codegen'd
       .withColumn(s"${vecAlias}_nrm", sqrt(dotNative(col(vecAlias), col(vecAlias))))
+      .filter(col(s"${vecAlias}_nrm") > 0d)
 
   /** Bucketed embedding near-dup — the 100 TB path. Random-hyperplane
     * LSH over `bands` independent plane sets: each vector is hashed into
@@ -471,9 +484,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("cos_sim"))
-      // Spark compares NaN ABOVE all doubles, so a zero-norm vector's
-      // NaN cosine would pass a bare >= threshold — exclude it (same
-      // contract as the brute-force kernel's finite check)
+      // zero-norm vectors never reach this division (withNorm excludes
+      // them — under ANSI their 0/0 would RAISE, not NaN); the isnan
+      // guard remains for NaN-ELEMENT vectors, whose NaN cosine would
+      // otherwise pass a bare >= threshold (NaN sorts above all doubles)
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 

@@ -82,9 +82,9 @@ object Similarity {
       .select(col("query_id"), col("nn_id"),
         round(Dedup.dotNative(col("qv"), col("cv")) /
           (col("qv_nrm") * col("cv_nrm")), 4).as("cos_sim"))
-      // a zero-norm vector's NaN cosine would rank FIRST under Spark's
-      // NaN-is-largest sort — exclude it (same contract as the dedup
-      // verifiers' finite check)
+      // zero-norm vectors are excluded upstream in withNorm (ANSI 0/0
+      // raises); the isnan guard remains for NaN-element vectors, whose
+      // NaN cosine would rank FIRST under Spark's NaN-is-largest sort
       .filter(!isnan(col("cos_sim")))
     val pruned = localTopK(scored, k)
     val w = Window.partitionBy(col("query_id"))
@@ -339,13 +339,22 @@ object Similarity {
       scaleCol: String = "scale"): DataFrame = {
     val v = col(vecCol)
     val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
-    e.withColumn("_ma", maxAbs)
-      .withColumn(qCol,
+    // codes ride the native graft_quantize8 expression when the session
+    // registered GraftExtensions (one static call per row instead of ~5
+    // interpreted lambda evaluations per ELEMENT on a full-corpus scan
+    // pass); property-pinned equal to the HOF fallback chain in ExtSpec
+    val qExpr =
+      if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("graft_quantize8")))
+        call_function("graft_quantize8", v.cast("array<double>"))
+      else
         when(col("_ma") === 0d || col("_ma").isNull,
           transform(v, _ => lit(0)))
           .otherwise(transform(v, x =>
             floor(x.cast("double") / col("_ma") * 127d + 0.5d)
-              .cast("int"))))
+              .cast("int")))
+    e.withColumn("_ma", maxAbs)
+      .withColumn(qCol, qExpr)
       .withColumn(scaleCol, coalesce(col("_ma"), lit(0d)) / 127d)
       .drop("_ma")
   }

@@ -282,6 +282,36 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.getDouble(2) == 11.0)
   }
 
+  test("native graft_quantize8 equals the HOF quantize chain, incl. " +
+      "NULL elements, zero vectors, and empties") {
+    val s = spark
+    import s.implicits._
+    val cases: Seq[Option[Seq[Option[Double]]]] = Seq(
+      Some(Seq(Some(0.1), Some(-0.9), Some(0.45))),      // plain
+      Some(Seq(Some(3.0), Some(-3.0), Some(1.5))),        // symmetric max
+      Some(Seq(Some(0.0), Some(0.0))),                    // zero vector
+      Some(Seq(Some(0.3), None, Some(-0.3))),             // null element
+      Some(Seq(None, None)),                              // all-null
+      Some(Seq.empty[Option[Double]]),                    // empty
+      None,                                               // null array
+      Some(Seq(Some(1e-300), Some(-2e-300))),             // denormal-ish
+      Some(Seq(Some(127.0))), Some(Seq(Some(-0.0))))      // edges
+    val df = cases.toDF("v")
+    // force BOTH forms through quantizeInt8's own branches: native via
+    // the registered session, HOF by rebuilding the fallback chain here
+    val ma = array_max(transform(col("v"), x => abs(x)))
+    val hof = when(ma === 0d || ma.isNull, transform(col("v"), _ => lit(0)))
+      .otherwise(transform(col("v"),
+        x => floor(x / ma * 127d + 0.5d).cast("int")))
+    val out = graft.ext.Similarity.quantizeInt8(df, "v")
+      .withColumn("hof", hof).select(col("q"), col("hof")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Any](0) == r.getSeq[Any](1), r.toString)
+    }
+  }
+
   test("native graft_dot equals the higher-order-function dot, incl. NULLs") {
     val s = spark
     import s.implicits._
@@ -586,6 +616,33 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("AsOfJoinBroadcast"), p)
     assert(p.replace("AsOfJoinBroadcast", "").contains("AsOfJoin"), p)
     assert(p.contains("Union"), p)
+  }
+
+  test("zero-norm embeddings are excluded from cosine paths, not a " +
+      "DIVIDE_BY_ZERO crash (ANSI)") {
+    val s = spark
+    import s.implicits._
+    // regression: under ANSI (Spark 4 default) an unguarded 0/0 cosine
+    // RAISES instead of producing the NaN the old guards filtered; a
+    // ScalaCheck seed first surfaced this through embeddingDupPairsLsh
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val lsh = graft.ext.Dedup.embeddingDupPairsLsh(e, "vec_id", "embedding",
+      threshold = 0.5, nPlanes = 2, bands = 2, dim = 4).collect()
+    assert(lsh.forall(r => r.getLong(0) != 3L && r.getLong(1) != 3L),
+      "zero-norm vector must pair with nothing")
+    assert(lsh.exists(r => (r.getLong(0), r.getLong(1)) == (1L, 2L)),
+      "near-parallel pair must survive")
+    val knn = graft.ext.Similarity.knnBruteForce(e,
+      e.filter(col("vec_id") === 1L || col("vec_id") === 3L),
+      "vec_id", "embedding", k = 2).collect()
+    assert(knn.nonEmpty && knn.forall(r =>
+      r.getLong(1) != 3L && r.getLong(0) != 3L),
+      "zero-norm vector must be neither query result nor neighbor")
   }
 
   test("asofJoinSkewAuto detects the hot key itself and stays " +

@@ -219,7 +219,10 @@ object PropertiesSpec extends Properties("graft") {
       Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat / 5.0f)))) { vecsRaw =>
       val s = spark
       import s.implicits._
-      // drop zero vectors: both paths exclude NaN cosines by contract
+      // zero vectors are kept in the GENERATOR on purpose: they exercise
+      // the zero-norm exclusion (withNorm filter on the LSH side, finite
+      // check in the brute kernel — under ANSI an unguarded 0/0 cosine
+      // RAISES rather than NaN-ing; a seed caught exactly that)
       val vecs = vecsRaw.zipWithIndex
         .map { case (v, i) => (i.toLong, v) }
       val e = vecs.toDF("vec_id", "embedding")
