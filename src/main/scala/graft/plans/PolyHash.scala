@@ -213,6 +213,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot takes exactly 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quantize8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getCanonicalName,
+        "graft_quantize8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_quantize8 takes exactly 1 argument, got ${children.size}")
+        QuantizeInt8(children.head)
+      }))
     // whole-operator extension: plans AsOfJoinNode as the native
     // co-partitioned merge (see org.apache.spark.sql.graft.AsOfJoinNative),
     // with left-side predicate pushdown restored by a custom rule

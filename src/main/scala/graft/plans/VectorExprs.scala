@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the vector dot product — the
   * codegen'd form of `aggregate(zip_with(a, b, (x,y) => x*y), 0.0,
@@ -76,5 +77,87 @@ object DotProduct {
       i += 1
     }
     java.lang.Double.valueOf(s)
+  }
+}
+
+/** Native per-vector symmetric int8 quantization — the codegen'd form
+  * of `Similarity.quantizeInt8`'s expression chain
+  * (`array_max(transform(abs))` + `transform(floor(x/ma*127 + 0.5))`),
+  * which pays ~5 interpreted lambda evaluations PER ELEMENT on what is,
+  * at 100 TB, a full-corpus scan pass.
+  *
+  * Semantics contract (equal to the HOF chain, property-pinned in
+  * ExtSpec for finite inputs): `q_i = floor(x_i / max|x| · 127 + 0.5)`
+  * with left-to-right IEEE double evaluation; max|x| skips NULL
+  * elements (array_max semantics); a NULL element quantizes to NULL;
+  * an all-NULL, empty, or all-zero vector maps EVERY element
+  * (including NULLs) to 0 — exactly the HOF `when(ma === 0 or isnull,
+  * transform(_ => 0))` branch. NULL array → NULL.
+  */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_quantize8 requires ARRAY<DOUBLE>, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quantize8"
+
+  override def nullSafeEval(a: Any): Any =
+    QuantizeInt8.quantize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.QuantizeInt8.quantize($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeInt8 = copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  /** Shared by interpreted eval and codegen. Two passes: max|x| over
+    * non-null elements, then the code emit — null-free vectors take the
+    * primitive-array fast path (no boxing). */
+  def quantize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var ma = 0.0
+    var seen = false
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) hasNull = true
+      else {
+        val v = math.abs(a.getDouble(i))
+        if (!seen || v > ma) { ma = v; seen = true }
+      }
+      i += 1
+    }
+    if (!seen || ma == 0.0) {
+      // zero/empty/all-null scale: every slot (incl. nulls) becomes 0
+      UnsafeArrayData.fromPrimitiveArray(new Array[Int](n))
+    } else if (!hasNull) {
+      val out = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getDouble(i) / ma * 127.0 + 0.5).toInt
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) =
+          if (a.isNullAt(i)) null
+          else Integer.valueOf(
+            math.floor(a.getDouble(i) / ma * 127.0 + 0.5).toInt)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
   }
 }
