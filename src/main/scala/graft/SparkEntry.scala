@@ -1228,6 +1228,28 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n_tokens"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // The capstone composition: curated survivors (language gate →
+    // quality gate → cluster dedup → deterministic split) packed into
+    // fixed-token-budget training bins, split-scoped so no bin mixes
+    // train and val. This is the full corpus→training-shards pipeline
+    // in one lazy plan — gates shed rows before any shuffle, dedup
+    // touches survivors only, and packing adds exactly one shuffle on
+    // (split, shard) — with the bin layout itself under the oracle.
+    "q_pack_curated" -> ((s, dir) => {
+      val surv = graft.ext.Curation.curate(Tables.read(s, dir, "documents"),
+          "doc_id", "text", lang = "en", minQuality = 60.0)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("split"))
+      graft.ext.Packing.packSequences(surv, "doc_id", "n_tokens",
+          budget = 256L, shards = 4, extraKeys = Seq("split"))
+        .groupBy(col("split"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("split"), col("shard"), col("bin"))
+    }),
+
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingDupPairs(Tables.read(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4)
@@ -1354,6 +1376,81 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same parquet tables, table name =
     * file stem). Omitted keys get a weaker rows-only check. */
+  /** The deterministic hash split the curation pipeline applies
+    * (`Sampling.splitLabel` with train<90, val otherwise), in DuckDB
+    * form — shared by the q_curation and q_pack_curated oracles. */
+  private lazy val curationSplitSql: String =
+    """CASE WHEN ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::UBIGINT
+                       % 100 < 90 THEN 'train' ELSE 'val' END"""
+
+  /** Everything q_curation computes up to the dedup-cluster relation —
+    * language scores → best-lang gate → quality gate → simhash →
+    * pigeonhole candidate pairs → recursive connected components. The
+    * q_pack_curated oracle extends these CTEs with the packing window,
+    * so both oracles stay cell-identical to the ONE shared pipeline
+    * definition instead of drifting as two copies. */
+  private lazy val curationOraclePrefix: String = {
+    val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+    }
+    val scores = markers.map { case (l, arr) =>
+      s"len(list_filter(l, x -> list_contains($arr, x))) AS s_$l"
+    }.mkString(",\n                ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
+    s"""WITH RECURSIVE
+         t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         sc AS (SELECT doc_id, text, l, $scores FROM t),
+         bb AS (SELECT *, $best AS best FROM sc),
+         lng AS (SELECT doc_id, text, l, CASE $cases ELSE 'und' END AS lang
+              FROM bb),
+         q AS (SELECT doc_id, text, l, lang, len(l) AS n_tokens,
+                (length(text) - (len(l) - 1))::DOUBLE / len(l)::DOUBLE AS mtl,
+                length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                  / greatest(length(text), 1)::DOUBLE AS pr,
+                len(list_filter(l, x -> list_contains(${markers.head._2}, x)))::DOUBLE
+                  / greatest(len(l), 1)::DOUBLE AS sr
+              FROM lng),
+         kept AS (SELECT doc_id, text, l, n_tokens,
+                25.0 * least(n_tokens::DOUBLE / 50.0, 1.0)
+                  + 25.0 * least(mtl / 6.0, 1.0)
+                  + 25.0 * (1.0 - pr)
+                  + 25.0 * least(sr * 8.0, 1.0) AS quality
+              FROM q WHERE lang = 'en') ,
+         keptf AS (SELECT * FROM kept WHERE quality >= 60.0),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM keptf),
+         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+         h AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
+         bits AS (SELECT doc_id, p.p AS p,
+                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
+         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
+         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+                                         ELSE 0 END)::BIGINT AS simhash
+              FROM sv GROUP BY doc_id),
+         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
+                (simhash >> (c.c * 8)) & 255 AS ckey
+              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM chunked a JOIN chunked b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey
+                   AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 7),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_recent_events" ->
       """SELECT event_id, ts, user_id AS user_email, event_type AS habit, value
@@ -2431,74 +2528,33 @@ object SparkEntry {
                 (id = min(lbl)) AS is_canonical
          FROM reach GROUP BY id ORDER BY doc_id""",
 
-    "q_curation" -> {
-      val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
-        l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
-      }
-      val scores = markers.map { case (l, arr) =>
-        s"len(list_filter(l, x -> list_contains($arr, x))) AS s_$l"
-      }.mkString(",\n                ")
-      val langs = TextAnalysis.LangMarkers.map(_._1)
-      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      val cases = langs.map(l =>
-        s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
-      s"""WITH RECURSIVE
-         t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
-         sc AS (SELECT doc_id, text, l, $scores FROM t),
-         bb AS (SELECT *, $best AS best FROM sc),
-         lng AS (SELECT doc_id, text, l, CASE $cases ELSE 'und' END AS lang
-              FROM bb),
-         q AS (SELECT doc_id, text, l, lang, len(l) AS n_tokens,
-                (length(text) - (len(l) - 1))::DOUBLE / len(l)::DOUBLE AS mtl,
-                length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
-                  / greatest(length(text), 1)::DOUBLE AS pr,
-                len(list_filter(l, x -> list_contains(${markers.head._2}, x)))::DOUBLE
-                  / greatest(len(l), 1)::DOUBLE AS sr
-              FROM lng),
-         kept AS (SELECT doc_id, text, l, n_tokens,
-                25.0 * least(n_tokens::DOUBLE / 50.0, 1.0)
-                  + 25.0 * least(mtl / 6.0, 1.0)
-                  + 25.0 * (1.0 - pr)
-                  + 25.0 * least(sr * 8.0, 1.0) AS quality
-              FROM q WHERE lang = 'en') ,
-         keptf AS (SELECT * FROM kept WHERE quality >= 60.0),
-         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
-                THEN list_distinct([array_to_string(l[i:i+2], ' ')
-                                    for i in generate_series(1, len(l) - 2)])
-                ELSE [text] END AS ss FROM keptf),
-         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
-         h AS (SELECT doc_id,
-                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
-         bits AS (SELECT doc_id, p.p AS p,
-                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
-              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
-         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
-         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
-                                         ELSE 0 END)::BIGINT AS simhash
-              FROM sv GROUP BY doc_id),
-         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
-                (simhash >> (c.c * 8)) & 255 AS ckey
-              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
-         prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM chunked a JOIN chunked b
-                ON a.chunk = b.chunk AND a.ckey = b.ckey
-                   AND a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 7),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-                   UNION ALL SELECT id_b, id_a FROM prs),
-         reach(id, lbl) AS (
-             SELECT DISTINCT src, src FROM edges
-             UNION
-             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-         clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    "q_curation" ->
+      s"""$curationOraclePrefix
          SELECT k.doc_id, round(k.quality, 6) AS quality,
-                k.n_tokens::BIGINT AS n_tokens,
-                CASE WHEN ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::UBIGINT
-                       % 100 < 90 THEN 'train' ELSE 'val' END AS split
+                k.n_tokens::BIGINT AS n_tokens, $curationSplitSql AS split
          FROM keptf k LEFT JOIN clus c ON k.doc_id = c.id
          WHERE c.id IS NULL OR c.cluster_id = k.doc_id
-         ORDER BY k.doc_id"""
-    },
+         ORDER BY k.doc_id""",
+
+    "q_pack_curated" ->
+      s"""$curationOraclePrefix,
+         surv AS (SELECT k.doc_id, k.n_tokens::BIGINT AS n_tokens,
+                $curationSplitSql AS split
+              FROM keptf k LEFT JOIN clus c ON k.doc_id = c.id
+              WHERE c.id IS NULL OR c.cluster_id = k.doc_id),
+         sharded AS (SELECT doc_id, n_tokens, split,
+                doc_id % 4 AS shard FROM surv),
+         cm AS (SELECT doc_id, n_tokens, split, shard,
+                sum(n_tokens) OVER (PARTITION BY split, shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM sharded)
+         SELECT split, shard::BIGINT AS shard,
+                floor((cum - n_tokens) / 256.0)::BIGINT AS bin,
+                count(*)::BIGINT AS n_docs,
+                sum(n_tokens)::BIGINT AS bin_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM cm GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -30,21 +30,30 @@ import org.apache.spark.sql.functions._
   * single distributed pass. */
 object Packing {
 
-  /** Per-document bin assignment: `(idCol, tokenCol, shard, bin)`.
+  /** Per-document bin assignment: `(idCol, tokenCol, extraKeys…, shard,
+    * bin)`.
     *
-    * @param idCol    non-negative integral id — ordering AND sharding key
-    * @param tokenCol token count per document
-    * @param budget   tokens per training sequence (e.g. 2048)
-    * @param shards   parallel packing lanes; bins are scoped per shard */
+    * @param idCol     non-negative integral id — ordering AND sharding key
+    * @param tokenCol  token count per document
+    * @param budget    tokens per training sequence (e.g. 2048)
+    * @param shards    parallel packing lanes; bins are scoped per shard
+    * @param extraKeys additional packing scopes ABOVE the shard — e.g.
+    *                  `Seq("split")` packs train/val/test corpora
+    *                  independently so no bin ever mixes splits; each
+    *                  (extraKeys…, shard) lane packs and parallelizes
+    *                  on its own */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
-      budget: Long, shards: Int): DataFrame = {
+      budget: Long, shards: Int,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val w = Window
+      .partitionBy((extraKeys.map(col) :+ col("shard")): _*)
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(col(idCol), col(tokenCol),
-        pmod(col(idCol), lit(shards)).cast("long").as("shard"))
+      .select(col(idCol) +: col(tokenCol) +: extraKeys.map(col) :+
+        pmod(col(idCol), lit(shards)).cast("long").as("shard"): _*)
       .withColumn("_cum", sum(col(tokenCol)).over(w))
       // start-offset bin: exact while shard token totals stay below
       // 2^53 (double mantissa) — ~9e15 tokens PER SHARD, far above any
