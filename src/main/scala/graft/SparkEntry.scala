@@ -1139,6 +1139,16 @@ object SparkEntry {
         .select(col("term"), col("cnt"))
         .orderBy(col("term"))),
 
+    // BPE iteration-0 pair statistics: adjacent code-point pairs within
+    // whitespace words, counted corpus-wide — the distributed inner
+    // step of tokenizer training. The shuffle key space is alphabet^2
+    // (map-side partials collapse each partition to that bound), so the
+    // aggregate is sketch-sized at any corpus size. Top-30 by count
+    // with pair tiebreak keeps the cut total-order deterministic.
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.read(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("pair")).limit(30)),
+
     // Character-distribution Shannon entropy via the native codegen'd
     // graft_entropy expression — per-row, shuffle-free; the oracle
     // recomputes the same log2 formula from per-char counts.
@@ -2365,6 +2375,15 @@ object SparkEntry {
       """SELECT term, count(*)::BIGINT AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
          GROUP BY term HAVING count(*) >= 200 ORDER BY term""",
+
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents),
+         p AS (SELECT unnest([substr(w, i, 2)
+                  for i in generate_series(1, length(w) - 1)]) AS pair
+              FROM w)
+         SELECT pair, count(*)::BIGINT AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""",
 
     // LEFT JOIN back to documents so empty-text docs keep their 0.0 row
     // and NULL text stays NULL — matching CharEntropy's contract

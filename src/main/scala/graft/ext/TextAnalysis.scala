@@ -198,6 +198,42 @@ object TextAnalysis {
 
   def regexTokenCount(text: Column): Column = size(regexTokens(text))
 
+  /** Adjacent-symbol pair counts over whitespace-delimited words — the
+    * inner primitive of BPE tokenizer training (each BPE iteration
+    * counts pairs, merges the most frequent, repeats). Symbols here are
+    * Unicode CODE POINTS (the iteration-0 alphabet); pairs never cross
+    * a word boundary, the classic space-pre-tokenized formulation.
+    *
+    * Scale notes (100 TB): the pair emit is a partition-local typed
+    * kernel (narrow, like [[repetitionRatios]]'s shingler — per-row
+    * string CPU without per-character interpreted lambdas); the only
+    * shuffle is the pair-count hash aggregate, whose key space is the
+    * ALPHABET², not the corpus — map-side partials collapse each
+    * partition to at most \|alphabet\|² rows, so the shuffle is
+    * sketch-sized regardless of corpus size. A full BPE train loops
+    * this k times, applying the argmax merge between rounds; counts
+    * per iteration are what distribute, and this operator is that
+    * iteration. */
+  def bpePairCounts(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(textCol).cast("string")).as[String]
+      .flatMap { text =>
+        if (text == null) Iterator.empty
+        else text.split(" ", -1).iterator.flatMap { w =>
+          val cps = w.codePoints().toArray
+          (0 until cps.length - 1).iterator.map { i =>
+            val sb = new java.lang.StringBuilder()
+            sb.appendCodePoint(cps(i)).appendCodePoint(cps(i + 1))
+            sb.toString
+          }
+        }
+      }
+      .toDF("pair")
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+  }
+
   // ── Sequence chunking ──────────────────────────────────────────────────
 
   /** Split each document's token stream into consecutive fixed-size

@@ -1349,6 +1349,23 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(a.filter(_._1 == "a").map(_._3).sorted.toSeq == (1 to 10))
   }
 
+  test("bpePairCounts: adjacent code-point pairs within words, exact " +
+      "counts, no cross-word pairs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("abab ab", "ba b", null, "").toDF("text")
+    val out = graft.ext.TextAnalysis.bpePairCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "abab": ab, ba, ab; "ab": ab; "ba": ba; "b"/""/null: nothing —
+    // and no pair spans the space between words
+    assert(out == Map("ab" -> 3L, "ba" -> 2L))
+    // surrogate pairs pair as CODE POINTS, not UTF-16 units
+    val emoji = Seq("a😀b").toDF("text") // a😀b
+    val e = graft.ext.TextAnalysis.bpePairCounts(emoji, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e == Map("a😀" -> 1L, "😀b" -> 1L))
+  }
+
   test("packSequences: document-intact next-fit invariants hold and the " +
       "layout is partitioning-independent") {
     val s = spark
