@@ -242,6 +242,19 @@ object Streaming {
     val prevNanos =
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Scope the replay to few shuffle partitions: every stateful
+    // streaming operator maintains ONE state-store instance per shuffle
+    // partition per micro-batch (load/commit/snapshot bookkeeping even
+    // for empty partitions), and the stream-stream join keeps FOUR
+    // stores per partition. At 32 session partitions a replay-sized
+    // input pays 32-128 stores of pure overhead per batch; results are
+    // partition-count-independent (the oracle gate proves it — state
+    // keys hash the same rows to fewer partitions). A production
+    // deployment sizes partitions to its rate; this touches only the
+    // one-shot replay scope. The conf is read at query START, so
+    // restoring it after the replay cannot affect the running query.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -253,6 +266,7 @@ object Streaming {
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       body(() => spark.readStream.schema(schema).parquet(staged.toString))
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevNanos match {
         case Some(v) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
