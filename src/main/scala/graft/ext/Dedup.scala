@@ -410,6 +410,9 @@ object Dedup {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
+  /** Plain cosine composition. Caller must exclude zero-norm vectors
+    * first (as [[withNorm]] does): under ANSI mode (Spark 4 default)
+    * `0/0` raises `DIVIDE_BY_ZERO` rather than returning NaN. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 

@@ -97,6 +97,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "skew split must not degrade to a product join")
   }
 
+  test("sequence packing: prefix-sum window is shard-local, never a " +
+      "global ordered window") {
+    // the scale contract: an empty window partition spec would funnel
+    // the whole corpus through ONE task at 100 TB
+    val pack = plan("q_pack_sequences")
+    assert("windowspecdefinition\\([^)]*shard#".r.findFirstIn(pack).isDefined,
+      s"packing window must partition by shard:\n$pack")
+    val cur = plan("q_pack_curated")
+    assert("windowspecdefinition\\([^)]*shard#".r.findFirstIn(cur).isDefined,
+      s"split-scoped packing window must partition by (split, shard):\n$cur")
+  }
+
   test("variant shredded: paths read as a struct, k-predicate pushed " +
       "into the parquet scan") {
     val p = plan("q_variant_shredded")
