@@ -1107,6 +1107,36 @@ object SparkEntry {
         .orderBy(col("shard"), col("bin"))
     }),
 
+    // Boundary-free concat packing (GPT-style): the shard token stream
+    // cuts every `budget` tokens and documents may span bins — zero
+    // padding waste, exact `budget` tokens per non-tail bin. Oracle
+    // checks the per-bin composition (docs overlapping, token loads,
+    // split-doc accounting) cell-exact.
+    "q_pack_concat" -> ((s, dir) => {
+      val toks = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      graft.ext.Packing.packConcat(toks, "doc_id", "n_tokens",
+          budget = 512L, shards = 8)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_in_bin")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("bin"))
+    }),
+
+    // Sliding-window chunking: 32-token windows stepping 16, so
+    // consecutive chunks share 16 tokens of left context — the overlap
+    // form of q_chunk_tokens for long-document splitting.
+    "q_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.tokenChunksOverlap(Tables.read(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 32, step = 16)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(split(col("chunk"), " ", -1)).cast("long").as("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Gopher-style repeated-n-gram quality signal: fraction of a doc's
     // word 3-grams that repeat an earlier shingle (typed kernel form,
     // value-identical to the expression form per ExtSpec).
@@ -2342,6 +2372,38 @@ object SparkEntry {
                 sum(n_tokens)::BIGINT AS bin_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_pack_concat" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+         c AS (SELECT doc_id, shard, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                  AS e
+              FROM t WHERE n_tokens > 0),
+         spans AS (SELECT doc_id, shard, e - n_tokens AS s, e,
+                unnest(generate_series((e - n_tokens) // 512,
+                                       (e - 1) // 512)) AS bin
+              FROM c)
+         SELECT shard::BIGINT AS shard, bin::BIGINT AS bin,
+                count(*)::BIGINT AS n_docs,
+                sum(least(e, (bin + 1) * 512) -
+                    greatest(s, bin * 512))::BIGINT AS bin_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM spans GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         c AS (SELECT doc_id, l,
+                unnest(generate_series(0, (len(l) - 1) // 16)) AS i FROM t),
+         s AS (SELECT doc_id, i::BIGINT AS chunk_idx,
+                array_to_string(l[i * 16 + 1 : i * 16 + 32], ' ') AS chunk
+              FROM c)
+         SELECT doc_id, chunk_idx,
+                len(string_split(chunk, ' '))::BIGINT AS n_tokens,
+                md5(chunk) AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_idx""",
 
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l

@@ -63,4 +63,43 @@ object Packing {
           .cast("long"))
       .drop("_cum")
   }
+
+  /** Boundary-FREE packing — the GPT-style concat-and-chunk mode where
+    * the shard's token stream is cut every `budget` tokens and a
+    * document MAY span bins (vs [[packSequences]]' document-intact
+    * next-fit). Every bin is exactly `budget` tokens except each
+    * shard's tail, so there is zero padding waste; the cost is split
+    * documents (callers insert EOD separators downstream).
+    *
+    * Output: one row per (document, bin it overlaps) — `(idCol, shard,
+    * bin, tok_in_bin)`, where `tok_in_bin` is how many of the
+    * document's tokens land in that bin; a document occupying bins
+    * b0..b1 emits b1−b0+1 rows. Same determinism and scale contract as
+    * [[packSequences]]: shard-local prefix sums, one shuffle, layout
+    * independent of input partitioning, and the explode fan-out per
+    * document is `1 + tokens/budget` — bounded by the document's own
+    * length, never the corpus. */
+  def packConcat(docs: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(tokenCol),
+        pmod(col(idCol), lit(shards)).cast("long").as("shard"))
+      .filter(col(tokenCol) > 0)
+      .withColumn("_end", sum(col(tokenCol)).over(w))
+      .withColumn("_start", col("_end") - col(tokenCol))
+      // integral long division — exact at any offset, no double rounding
+      .withColumn("_bin0", expr(s"_start div ${budget}L"))
+      .withColumn("_binLast", expr(s"(_end - 1) div ${budget}L"))
+      .select(col(idCol), col("shard"),
+        explode(sequence(col("_bin0"), col("_binLast"))).as("bin"),
+        col("_start"), col("_end"))
+      .withColumn("tok_in_bin",
+        least(col("_end"), (col("bin") + 1) * budget) -
+          greatest(col("_start"), col("bin") * budget))
+      .select(col(idCol), col("shard"), col("bin"), col("tok_in_bin"))
+  }
 }

@@ -242,14 +242,32 @@ object TextAnalysis {
     * row per (doc, chunk_idx); per-row expression work only, no
     * shuffle, so it scales as a narrow map over the corpus. */
   def tokenChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, chunkSize: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, chunkSize: Int): org.apache.spark.sql.DataFrame =
+    tokenChunksOverlap(docs, idCol, textCol, chunkSize, step = chunkSize)
+
+  /** [[tokenChunks]] with a sliding step: windows of `chunkSize` tokens
+    * starting every `step` tokens, so consecutive chunks share
+    * `chunkSize − step` tokens of context — the overlap form used when
+    * long documents are split for a fixed context window but boundary
+    * tokens must not lose their left context (e.g. 512-token windows
+    * stepping 256). `step == chunkSize` degenerates to the disjoint
+    * chunker. Tail windows shorter than `chunkSize` are kept, matching
+    * the disjoint form's final-partial-chunk contract. Same scale shape:
+    * per-row expression work, no shuffle; output volume grows by
+    * `chunkSize / step`, the caller's explicit knob. */
+  def tokenChunksOverlap(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, chunkSize: Int,
+      step: Int): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
+    require(step > 0 && step <= chunkSize,
+      "step must be in [1, chunkSize]: a larger step would silently " +
+        "drop the tokens between consecutive windows")
     val t = tokens(col(textCol))
     docs.select(col(idCol), posexplode(
         transform(
-          sequence(lit(0), ((size(t) - 1) / lit(chunkSize)).cast("int")),
+          sequence(lit(0), ((size(t) - 1) / lit(step)).cast("int")),
           i => concat_ws(" ",
-            slice(t, i * chunkSize + lit(1), lit(chunkSize)))))
+            slice(t, i * step + lit(1), lit(chunkSize)))))
         .as(Seq("chunk_idx", "chunk")))
   }
 

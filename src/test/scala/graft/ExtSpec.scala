@@ -682,6 +682,61 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       "no detected skew must collapse to the single plain as-of")
   }
 
+  test("packConcat: zero waste — every non-tail bin holds exactly the " +
+      "budget; split docs account for every token") {
+    val s = spark
+    import s.implicits._
+    val budget = 100L
+    // include docs longer than the budget (must span 2+ bins) and a
+    // zero-token doc (occupies no bin at all)
+    val docs = ((0L until 60L).map(i => (i, i % 37 + 1)) ++
+      Seq((100L, 250L), (101L, 0L), (102L, 99L)))
+      .toDF("doc_id", "n_tokens")
+    val out = graft.ext.Packing.packConcat(docs, "doc_id", "n_tokens",
+        budget, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-doc token conservation: the split pieces sum to the doc
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val expect = docs.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+    assert(perDoc == expect, "every token lands in exactly one bin")
+    // the 250-token doc must span multiple bins
+    assert(out.count(_._1 == 100L) >= 3)
+    // zero-waste: within each shard every bin except the last holds
+    // exactly `budget` tokens
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val byBin = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum)
+      val last = byBin.keys.max
+      byBin.foreach { case (bin, tot) =>
+        if (bin != last) assert(tot == budget,
+          s"shard $shard bin $bin holds $tot != $budget")
+        else assert(tot <= budget)
+      }
+      assert(byBin.keys.toSeq.sorted == (0L to last))
+    }
+  }
+
+  test("tokenChunksOverlap: windows share step-offset context; " +
+      "step==size degenerates to the disjoint chunker") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val over = graft.ext.TextAnalysis
+      .tokenChunksOverlap(docs, "doc_id", "text", chunkSize = 4, step = 2)
+      .orderBy(col("chunk_idx")).collect().map(_.getString(2))
+    // starts 0,2,4,6,8: last window is the 2-token tail
+    assert(over.toSeq == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8",
+      "t7 t8 t9 t10", "t9 t10"))
+    val disjoint = graft.ext.TextAnalysis
+      .tokenChunks(docs, "doc_id", "text", 4)
+      .orderBy(col("chunk_idx")).collect().map(_.getString(2))
+    val viaStep = graft.ext.TextAnalysis
+      .tokenChunksOverlap(docs, "doc_id", "text", 4, step = 4)
+      .orderBy(col("chunk_idx")).collect().map(_.getString(2))
+    assert(disjoint.toSeq == viaStep.toSeq)
+  }
+
   test("packSequences is append-stable: adding higher-id docs never " +
       "repacks existing bins") {
     val s = spark
