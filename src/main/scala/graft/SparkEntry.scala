@@ -1126,6 +1126,15 @@ object SparkEntry {
         .orderBy(col("shard"), col("bin"))
     }),
 
+    // Corpus-statistics quality: mean unigram log2-probability per doc
+    // under the corpus's own distribution (the cheap CCNet-perplexity
+    // stand-in; very negative = rare-token-heavy).
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.read(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), r6(col("avg_logprob")).as("avg_logprob"))
+        .orderBy(col("doc_id"))),
+
     // Sliding-window chunking: 32-token windows stepping 16, so
     // consecutive chunks share 16 tokens of left context — the overlap
     // form of q_chunk_tokens for long-document splitting.
@@ -2392,6 +2401,16 @@ object SparkEntry {
                     greatest(s, bin * 512))::BIGINT AS bin_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM spans GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+         freq AS (SELECT token, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+         SELECT t.doc_id,
+                round(avg(log2(f.cnt / tot.n)), 6) AS avg_logprob
+         FROM tok t JOIN freq f USING (token), tot
+         GROUP BY 1 ORDER BY 1""",
 
     "q_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

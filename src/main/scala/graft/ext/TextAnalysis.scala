@@ -271,6 +271,35 @@ object TextAnalysis {
         .as(Seq("chunk_idx", "chunk")))
   }
 
+  /** Corpus-statistics quality score: each document's mean unigram
+    * log2-probability under the corpus's own empirical distribution —
+    * the cheap stand-in for CCNet-style LM-perplexity filtering
+    * (documents full of corpus-rare tokens score very negative; bland
+    * high-frequency text scores near the corpus ceiling). Pair with a
+    * threshold or quantile cut downstream.
+    *
+    * Scale notes (100 TB): one token-explode pass feeds BOTH the
+    * frequency table and the per-doc average; the frequency aggregate
+    * is vocabulary-sized with map-side partials (hot stopwords collapse
+    * per partition), the probability join is vocab⋈tokens (AQE
+    * broadcasts the vocab side when it fits), the corpus total rides a
+    * broadcast 1-row cross join, and the final per-doc average shuffles
+    * on the doc id. No driver-side state beyond the 1-row total. */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = tok.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("_cnt"))
+    val total = tok.agg(count(lit(1)).cast("double").as("_tot"))
+    tok
+      .join(freq, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(avg(log2(col("_cnt") / col("_tot"))).as("avg_logprob"))
+  }
+
   // ── Heavy hitters ──────────────────────────────────────────────────────
 
   /** EXACT heavy hitters (tokens with corpus count ≥ `minCount`) via a

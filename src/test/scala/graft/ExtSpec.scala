@@ -1404,6 +1404,24 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(a.filter(_._1 == "a").map(_._3).sorted.toSeq == (1 to 10))
   }
 
+  test("unigramLogProb: rare-token docs score below common-token docs; " +
+      "uniform corpus hits the exact closed form") {
+    val s = spark
+    import s.implicits._
+    // 8 "the"s + singletons: common-token doc must outscore rare-token
+    val docs = Seq(
+      (1L, "the the the the"),           // all common
+      (2L, "zq xv qj wk"),               // all singletons
+      (3L, "the the zz the"))            // mixed
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(3L) && out(3L) > out(2L))
+    // closed form: "the" appears 7 of 12 tokens; singletons 1 of 12
+    assert(math.abs(out(1L) - math.log(7.0 / 12) / math.log(2)) < 1e-9)
+    assert(math.abs(out(2L) - math.log(1.0 / 12) / math.log(2)) < 1e-9)
+  }
+
   test("bpePairCounts: adjacent code-point pairs within words, exact " +
       "counts, no cross-word pairs") {
     val s = spark
