@@ -71,7 +71,13 @@ object Bench {
     // git-TRACKED BENCH_FULL.json (pretty, one query per line, so
     // round-over-round regressions diff from git alone) and the
     // legacy untracked BENCH_LATEST.json single-line form.
-    val top = results.toSeq.sortBy(-_._2).take(40)
+    // FAILED queries (value -1) must never be cut from the captured
+    // line — a silent drop would read as a faster round; they ride
+    // first, ahead of the slowest-40 successes
+    val failed = results.toSeq.filter(_._2 < 0)
+    val top = failed ++
+      results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+        .take(40 - math.min(failed.size, 40))
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(top)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
     val fullLine =

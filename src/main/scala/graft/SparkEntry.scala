@@ -2415,7 +2415,8 @@ object SparkEntry {
     "q_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          c AS (SELECT doc_id, l,
-                unnest(generate_series(0, (len(l) - 1) // 16)) AS i FROM t),
+                unnest(generate_series(0,
+                  greatest(0, (len(l) - 32 + 16 - 1) // 16))) AS i FROM t),
          s AS (SELECT doc_id, i::BIGINT AS chunk_idx,
                 array_to_string(l[i * 16 + 1 : i * 16 + 32], ' ') AS chunk
               FROM c)

@@ -263,7 +263,11 @@ object Similarity {
       iterations: Int): (Seq[Seq[Long]], DataFrame) = {
     require(k > 0 && iterations >= 0)
     val src = e.select(col(idCol), col(vecCol).cast("array<double>").as("w"))
-      .filter(col("w").isNotNull)
+      // a null ELEMENT would null the dot -> null cell -> NPE in the
+      // means rollup; malformed vectors are excluded like zero-norm
+      // vectors are in Dedup.withNorm
+      .filter(col("w").isNotNull &&
+        !exists(col("w"), x => x.isNull))
     val gmaRow = src
       .agg(max(array_max(transform(col("w"), x => abs(x)))).as("g")).first()
     val gma = if (gmaRow.isNullAt(0)) 0d else gmaRow.getDouble(0)
@@ -344,8 +348,7 @@ object Similarity {
     // interpreted lambda evaluations per ELEMENT on a full-corpus scan
     // pass); property-pinned equal to the HOF fallback chain in ExtSpec
     val qExpr =
-      if (org.apache.spark.sql.SparkSession.getActiveSession
-          .exists(_.catalog.functionExists("graft_quantize8")))
+      if (e.sparkSession.catalog.functionExists("graft_quantize8"))
         call_function("graft_quantize8", v.cast("array<double>"))
       else
         when(col("_ma") === 0d || col("_ma").isNull,

@@ -251,10 +251,15 @@ object TextAnalysis {
     * long documents are split for a fixed context window but boundary
     * tokens must not lose their left context (e.g. 512-token windows
     * stepping 256). `step == chunkSize` degenerates to the disjoint
-    * chunker. Tail windows shorter than `chunkSize` are kept, matching
-    * the disjoint form's final-partial-chunk contract. Same scale shape:
-    * per-row expression work, no shuffle; output volume grows by
-    * `chunkSize / step`, the caller's explicit knob. */
+    * chunker. Every emitted window contributes at least one NEW token:
+    * the last start index is `ceil((n − chunkSize) / step)` (0 for
+    * short docs), so a would-be tail window that is a pure suffix of
+    * its predecessor — same tokens, strictly less context — is never
+    * emitted. The final window may still run short of `chunkSize` when
+    * the doc doesn't divide evenly (or is shorter than one window),
+    * matching the disjoint form's final-partial-chunk contract. Same
+    * scale shape: per-row expression work, no shuffle; output volume
+    * grows by `chunkSize / step`, the caller's explicit knob. */
   def tokenChunksOverlap(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, chunkSize: Int,
       step: Int): org.apache.spark.sql.DataFrame = {
@@ -263,9 +268,14 @@ object TextAnalysis {
       "step must be in [1, chunkSize]: a larger step would silently " +
         "drop the tokens between consecutive windows")
     val t = tokens(col(textCol))
+    // ceil((n - chunkSize) / step) via (n - chunkSize + step - 1) div
+    // step, clamped at 0; step == chunkSize reduces to (n-1) div step,
+    // the disjoint chunker's index bound exactly
+    val last = greatest(lit(0),
+      ((size(t) - lit(chunkSize) + lit(step) - 1) / lit(step)).cast("int"))
     docs.select(col(idCol), posexplode(
         transform(
-          sequence(lit(0), ((size(t) - 1) / lit(step)).cast("int")),
+          sequence(lit(0), last),
           i => concat_ws(" ",
             slice(t, i * step + lit(1), lit(chunkSize)))))
         .as(Seq("chunk_idx", "chunk")))
@@ -284,7 +294,14 @@ object TextAnalysis {
     * per partition), the probability join is vocab⋈tokens (AQE
     * broadcasts the vocab side when it fits), the corpus total rides a
     * broadcast 1-row cross join, and the final per-doc average shuffles
-    * on the doc id. No driver-side state beyond the 1-row total. */
+    * on the doc id. No driver-side state beyond the 1-row total.
+    *
+    * Caching contract: the exploded token relation persists LAZILY and
+    * stays in the session cache (three DAG branches share it; an eager
+    * materialize-and-release was measured to double end-to-end cost —
+    * see the Dedup caching-contract note). Long-lived sessions release
+    * it between corpora via `spark.catalog.clearCache()`, exactly as
+    * Verify/Bench do. */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val tok = docs.select(col(idCol),

@@ -127,15 +127,25 @@ object QuantizeInt8 {
     var ma = 0.0
     var seen = false
     var hasNull = false
+    var nonFinite = false
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) hasNull = true
       else {
         val v = math.abs(a.getDouble(i))
+        if (v != v || java.lang.Double.isInfinite(v)) nonFinite = true
         if (!seen || v > ma) { ma = v; seen = true }
       }
       i += 1
     }
+    // non-finite elements: the HOF chain raises here too (ANSI cast of
+    // the resulting NaN code to int) — fail loudly rather than silently
+    // emitting codes whose separate array_max-based scale column
+    // disagrees with them
+    if (nonFinite)
+      throw new IllegalArgumentException(
+        "graft_quantize8: non-finite element — quantization undefined " +
+          "(filter NaN/Infinity vectors upstream)")
     if (!seen || ma == 0.0) {
       // zero/empty/all-null scale: every slot (incl. nulls) becomes 0
       UnsafeArrayData.fromPrimitiveArray(new Array[Int](n))

@@ -725,9 +725,18 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     val over = graft.ext.TextAnalysis
       .tokenChunksOverlap(docs, "doc_id", "text", chunkSize = 4, step = 2)
       .orderBy(col("chunk_idx")).collect().map(_.getString(2))
-    // starts 0,2,4,6,8: last window is the 2-token tail
+    // starts 0,2,4,6 — the last window ends exactly at the doc; a
+    // start-8 window ("t9 t10") would be a pure suffix of start-6 with
+    // no new tokens and must NOT be emitted
     assert(over.toSeq == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8",
-      "t7 t8 t9 t10", "t9 t10"))
+      "t7 t8 t9 t10"))
+    // an uneven tail still emits (new token t11, short window)
+    val odd = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val oddOut = graft.ext.TextAnalysis
+      .tokenChunksOverlap(odd, "doc_id", "text", 4, 2)
+      .orderBy(col("chunk_idx")).collect().map(_.getString(2))
+    assert(oddOut.last == "t9 t10 t11")
     val disjoint = graft.ext.TextAnalysis
       .tokenChunks(docs, "doc_id", "text", 4)
       .orderBy(col("chunk_idx")).collect().map(_.getString(2))
