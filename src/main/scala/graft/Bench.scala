@@ -1,9 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average sampled from /proc/loadavg ("-1.0" when the
+   * file is unreadable, e.g. non-Linux dev boxes). Stored per run so a
+   * contaminated host window (round 5's 212.6s-vs-82.7s driver outlier)
+   * is attributable from the artifact alone, without a re-run.
+   */
+  private def loadAvg1m(): Double =
+    try {
+      val line = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      line.trim.split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val loadStart = loadAvg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parse up front: a non-numeric env value must fail fast here, not
+    // surface later as an invalid-JSON _cpus entry that silently breaks
+    // round-over-round diffs
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim.toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,9 +45,14 @@ object Bench {
     // two timed runs per query, report the min: run 1 pays one-time
     // codegen compilation + JIT warm-up, which showed up as ±3× swings
     // on untouched sub-second queries round over round; min-of-2 makes
-    // the per-query deltas signal instead of noise
+    // the per-query deltas signal instead of noise. BOTH raw times (and
+    // the 1-min loadavg sampled as each run finishes) are kept in
+    // BENCH_FULL.json: min-of-2 can't save a query whose both runs sit
+    // inside a host-contention window, but runs=[26.1, 26.8] at load 31
+    // vs runs=[2.3, 2.1] at load 8 tells the reader which happened.
+    case class QRes(best: Double, runs: Seq[Double], loads: Seq[Double])
     val results = SparkEntry.queries.map { case (name, fn) =>
-      def run(): Double = {
+      def run(): (Double, Double) = {
         val t0 = System.nanoTime()
         // noop sink forces FULL evaluation (projections, sorts, digests);
         // .count() would let Catalyst prune them and time a bare row-count
@@ -45,16 +67,17 @@ object Bench {
         // free any caches the operator left behind (outside the timed
         // window: the query's own work is fully paid above)
         spark.catalog.clearCache()
-        elapsed
+        (elapsed, loadAvg1m())
       }
-      val first = run()
-      val best =
-        if (first < 0) first
+      val (first, load1) = run()
+      val res =
+        if (first < 0) QRes(first, Seq(first), Seq(load1))
         else {
-          val second = run()
-          if (second < 0) first else math.min(first, second)
+          val (second, load2) = run()
+          val best = if (second < 0) first else math.min(first, second)
+          QRes(best, Seq(first, second), Seq(load1, load2))
         }
-      name -> best
+      name -> res
     }
     // Millisecond precision keeps entries compact (full 1e-9 doubles
     // pushed the 70+-query line past 2000 chars); 3 decimals is far
@@ -63,7 +86,8 @@ object Bench {
     def qsJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val best = results.map { case (k, r) => k -> r.best }
+    val total = best.values.filter(_ >= 0).sum
     // The 95+-query map no longer fits the round artifact's 2000-char
     // tail capture (~22 chars/entry), so the CAPTURED line carries only
     // the slowest 40 — the ones perf triage reads — and stays valid,
@@ -74,19 +98,31 @@ object Bench {
     // FAILED queries (value -1) must never be cut from the captured
     // line — a silent drop would read as a faster round; they ride
     // first, ahead of the slowest-40 successes
-    val failed = results.toSeq.filter(_._2 < 0)
+    val failed = best.toSeq.filter(_._2 < 0)
     val top = failed ++
-      results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+      best.toSeq.filter(_._2 >= 0).sortBy(-_._2)
         .take(40 - math.min(failed.size, 40))
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(top)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(best)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
       (fullLine + "\n").getBytes("UTF-8"))
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    // JVM uptime ≈ the sbt-side cost (compile, classloading) the bench
+    // main never sees; round 5's contaminated driver run showed as sbt
+    // wall 690s vs 221s for identical work — uptime makes that visible.
+    val jvmUp = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1e3
+    def arr(vs: Seq[Double]): String = vs.map(r3).mkString("[", ",", "]")
     val pretty = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"""  "$k": ${r3(v)}""" }
-      .mkString(s"""{\n  "_total_sec": ${r3(total)},\n  "_sf": "$sfDir",\n  "_cpus": $cpus,\n""", ",\n", "\n}\n")
+      .map { case (k, r) =>
+        s"""  "$k": {"sec": ${r3(r.best)}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}}"""
+      }
+      .mkString(
+        s"""{\n  "_total_sec": ${r3(total)},\n  "_sf": "$sfDir",\n  "_cpus": $cpus,\n""" +
+          s"""  "_bench_wall_sec": ${r3(wallSec)},\n  "_jvm_uptime_sec": ${r3(jvmUp)},\n""" +
+          s"""  "_load1m_start": ${r3(loadStart)},\n  "_load1m_end": ${r3(loadAvg1m())},\n""",
+        ",\n", "\n}\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       pretty.getBytes("UTF-8"))
     println(line)

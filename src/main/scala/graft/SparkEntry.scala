@@ -71,6 +71,42 @@ object SparkEntry {
        WHERE round(j, 6) >= 0.5$extraWhere ORDER BY id_a, id_b"""
   }
 
+  /** Unrolled DuckDB replay of [[graft.ext.Bpe.bpeTrain]]'s
+    * deterministic merge loop: per merge step k, a pair census over
+    * the current segmentation (`c`/`p`), the arg-max under the pinned
+    * (n DESC, lhs, rhs) total order (`b`), and the greedy literal
+    * replace in the double-space string encoding (`w`) — the exact
+    * same encoding the Spark side carries, so cell-exact parity. */
+  private def bpeTrainOracle(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS (SELECT w, count(*)::BIGINT AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY 1),
+         w0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'gs') AS seg,
+                cnt FROM words)""")
+    for (k <- 1 to m) {
+      sb.append(s""",
+         c$k AS (SELECT list_filter(string_split(seg, '  '), x -> x <> '') AS s,
+                cnt FROM w${k - 1}),
+         p$k AS (SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(cnt)::BIGINT AS n
+               FROM (SELECT s, cnt,
+                      unnest(generate_series(1, len(s) - 1)) AS i
+                     FROM c$k WHERE len(s) >= 2)
+               GROUP BY 1, 2),
+         b$k AS (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+         w$k AS (SELECT replace(seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                                ' ' || b.lhs || b.rhs || ' ') AS seg, cnt
+               FROM w${k - 1}, b$k b)""")
+    }
+    sb.append("\n         SELECT * FROM (")
+    sb.append((1 to m).map(k =>
+      s"SELECT ${k}::BIGINT AS step, lhs, rhs, lhs || rhs AS merged, n FROM b$k")
+      .mkString("\n         UNION ALL "))
+    sb.append(") ORDER BY step")
+    sb.toString
+  }
+
   /** 3-habit config used by the fixture-driven transform queries
     * (mirrors the reference unit-test config,
     * `/root/reference/tests/test_transform.py:3-13`). */
@@ -485,6 +521,21 @@ object SparkEntry {
         .select(col("doc_id"), col("fp"))
         .join(trainFps, "fp")
         .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT-substring decontamination — the stronger form of
+    // q_contamination's fingerprint overlap: test docs sharing a
+    // verbatim ≥31-char substring with any train doc, found via the
+    // stride-tiled k-gram anchor join + in-order extension verify.
+    "q_substring_contamination" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+      graft.ext.Curation.substringContamination(
+          d.filter(col("split") === "train"),
+          d.filter(col("split") === "test"),
+          "doc_id", "text", minLen = 31)
         .orderBy(col("doc_id"))
     }),
 
@@ -1121,6 +1172,11 @@ object SparkEntry {
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("tok_in_bin")).as("bin_tokens"),
+          // attention-mask metadata under the oracle: the bin's
+          // document-boundary offsets, checked via their sum and max
+          // (cell-exact across every (doc,bin) span in the group)
+          sum(col("start_in_bin")).as("sum_starts"),
+          max(col("start_in_bin")).as("max_start"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard"), col("bin"))
@@ -1187,6 +1243,17 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.read(s, dir, "documents"), "text")
         .orderBy(col("n").desc, col("pair")).limit(30)),
+
+    // Full BPE tokenizer training — the iterative merge loop over the
+    // pair census: 8 merges, each an arg-max under the pinned
+    // (count DESC, lhs, rhs) total order followed by a greedy
+    // left-to-right re-segmentation of the vocabulary-sized word
+    // table. The oracle replays the identical deterministic sequence
+    // as 8 unrolled argmax+replace CTE stages.
+    "q_bpe_train" -> ((s, dir) =>
+      graft.ext.Bpe.bpeTrain(Tables.read(s, dir, "documents"), "text",
+          numMerges = 8)
+        .orderBy(col("step"))),
 
     // Character-distribution Shannon entropy via the native codegen'd
     // graft_entropy expression — per-row, shuffle-free; the oracle
@@ -1975,6 +2042,31 @@ object SparkEntry {
          SELECT te.doc_id, te.fp FROM te JOIN tr ON te.fp = tr.fp
          ORDER BY te.doc_id""",
 
+    // The oracle takes the brute-force every-offset form the Spark
+    // side's tiled-anchor + extension design provably equals: a test
+    // position is contaminated iff its 31-char window appears verbatim
+    // in the train split.
+    "q_substring_contamination" ->
+      """WITH b AS (SELECT doc_id, text,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                  % 100 AS bucket
+              FROM documents),
+         tr AS (SELECT text FROM b WHERE bucket < 80),
+         tw AS (SELECT DISTINCT w FROM (
+                SELECT unnest([substr(text, i, 31)
+                    for i in generate_series(1, length(text) - 30)]) AS w
+                FROM tr WHERE length(text) >= 31)),
+         te AS (SELECT doc_id, text FROM b
+              WHERE bucket >= 90 AND length(text) >= 31),
+         tew AS (SELECT doc_id,
+                unnest([{'i': i, 'w': substr(text, i, 31)}
+                    for i in generate_series(1, length(text) - 30)]) AS x
+              FROM te)
+         SELECT doc_id, count(*)::BIGINT AS n_spans,
+                min(x.i)::BIGINT AS first_pos
+         FROM tew JOIN tw ON tew.x.w = tw.w
+         GROUP BY doc_id ORDER BY doc_id""",
+
     "q_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type,
                 date_trunc('day', ts)::DATE AS day
@@ -2374,7 +2466,7 @@ object SparkEntry {
          c AS (SELECT doc_id, shard, n_tokens,
                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-              FROM t)
+              FROM t WHERE n_tokens > 0)
          SELECT shard::BIGINT AS shard,
                 floor((cum - n_tokens) / 512.0)::BIGINT AS bin,
                 count(*)::BIGINT AS n_docs,
@@ -2399,6 +2491,8 @@ object SparkEntry {
                 count(*)::BIGINT AS n_docs,
                 sum(least(e, (bin + 1) * 512) -
                     greatest(s, bin * 512))::BIGINT AS bin_tokens,
+                sum(greatest(s, bin * 512) - bin * 512)::BIGINT AS sum_starts,
+                max(greatest(s, bin * 512) - bin * 512)::BIGINT AS max_start,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM spans GROUP BY 1, 2 ORDER BY 1, 2""",
 
@@ -2466,6 +2560,8 @@ object SparkEntry {
               FROM w)
          SELECT pair, count(*)::BIGINT AS n
          FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""",
+
+    "q_bpe_train" -> bpeTrainOracle(8),
 
     // LEFT JOIN back to documents so empty-text docs keep their 0.0 row
     // and NULL text stays NULL — matching CharEntropy's contract

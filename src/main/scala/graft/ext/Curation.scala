@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composed pre-training data pipeline
@@ -52,5 +52,123 @@ object Curation {
       .filter(col("_dup_id").isNull || col("_dup_cluster") === kept(idCol))
       .select(kept(idCol), col("quality"), col("n_tokens"),
         Sampling.splitLabel(kept(idCol), cuts, lastLabel).as("split"))
+  }
+
+  /** Longest common prefix length of two strings, as a pure column
+    * expression (codegen-friendly builtins only): zip the char arrays
+    * with null-safe equality — the shorter side pads with null, which
+    * `<=>` reads as a mismatch — and take the index of the first
+    * mismatch. Runs ONLY on verified candidate pairs (bounded), never
+    * corpus-wide. */
+  private def lcp(a: Column, b: Column): Column = {
+    val mismatch = array_position(
+      zip_with(split(a, ""), split(b, ""), (x, y) => !(x <=> y)), lit(true))
+    when(mismatch === 0, least(length(a), length(b)))
+      .otherwise(mismatch - 1).cast("long")
+  }
+
+  /** EXACT-substring decontamination — the stronger form of the
+    * fingerprint-overlap check (`q_contamination`): report every test
+    * document that shares a VERBATIM character substring of length ≥
+    * `minLen` with any training document, with the exact count of
+    * contaminated window positions. This is the check recent pipelines
+    * run before eval (find test answers leaked into training text),
+    * where n-gram/fingerprint overlap only approximates it.
+    *
+    * Output: `(idCol, n_spans, first_pos)` — one row per contaminated
+    * test doc; `n_spans` counts the 1-based positions `p` whose
+    * `minLen`-char window `test[p, p+minLen)` occurs verbatim anywhere
+    * in the training corpus, `first_pos` is the smallest such `p`.
+    * Clean docs emit no row.
+    *
+    * Scale design (100 TB): a suffix-array or full every-offset
+    * shingle index over the TRAIN side would carry one entry per
+    * corpus character. Instead the train side is TILED: k-grams only
+    * at stride-`s` offsets (k = ⌈(minLen+1)/2⌉, s = minLen−k+1 ≤ k),
+    * cutting train index size by ~s×, while the test side (the small
+    * side — eval sets, not corpora) shingles every offset. The
+    * pigeonhole guarantee is exact: any common substring of length ≥
+    * k+s−1 = minLen must contain a tile-ALIGNED train k-gram, so the
+    * hash equi-join on k-gram md5 finds an anchor for every true
+    * contamination. A k-gram match alone only proves k < minLen common
+    * chars, so each candidate anchor is then VERIFIED by in-order
+    * extension: re-join both texts by id (hash equi-joins), extend the
+    * anchor left/right via longest-common-prefix arithmetic, and keep
+    * it only when the maximal common span through the anchor reaches
+    * `minLen`. The span also yields, in closed form, EVERY contaminated
+    * window position it covers (`[spanStart, spanStart+L−minLen]`), so
+    * the result is exact — identical to the every-offset oracle — with
+    * no position-level search. No cartesian anywhere (PlanSpec-pinned);
+    * the explode fan-outs are bounded by text length (test windows) and
+    * span length (coverage); anchor skew from boilerplate k-grams is
+    * bounded by true hash-match incidence, the same contract as the
+    * banded dedup joins.
+    */
+  def substringContamination(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 3, "minLen must be at least 3")
+    val k = (minLen + 1) / 2
+    val s = minLen - k + 1
+    val trTexts = train
+      .select(col(idCol).as("__graft_tid"),
+        col(textCol).cast("string").as("__graft_ttext"))
+      .filter(col("__graft_ttext").isNotNull &&
+        length(col("__graft_ttext")) >= k)
+    val teTexts = test
+      .select(col(idCol), col(textCol).cast("string").as("__graft_text"))
+      // a test doc shorter than minLen cannot contain a minLen window
+      .filter(col("__graft_text").isNotNull &&
+        length(col("__graft_text")) >= minLen)
+    // train tile index: one md5 per ALIGNED k-gram (stride s); every
+    // occurrence is kept — two occurrences of the same k-gram extend
+    // differently, and dropping one could miss a contamination only
+    // reachable through its context
+    val tiles = trTexts
+      .select(col("__graft_tid"),
+        explode(sequence(lit(1), length(col("__graft_ttext")) - k + 1,
+          lit(s))).as("__graft_q"),
+        col("__graft_ttext"))
+      .select(col("__graft_tid"), col("__graft_q"),
+        md5(col("__graft_ttext").substr(col("__graft_q"), lit(k)))
+          .as("__graft_h"))
+    // test windows at EVERY offset (the guarantee needs unaligned finds)
+    val wins = teTexts
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col("__graft_text")) - k + 1))
+          .as("__graft_p"),
+        col("__graft_text"))
+      .select(col(idCol), col("__graft_p"),
+        md5(col("__graft_text").substr(col("__graft_p"), lit(k)))
+          .as("__graft_h"))
+    val te = col("__graft_text")
+    val tr = col("__graft_ttext")
+    val p = col("__graft_p")
+    val q = col("__graft_q")
+    val spans = wins
+      .join(tiles, "__graft_h")
+      .join(teTexts, idCol)
+      .join(trTexts, "__graft_tid")
+      // anchor check kills md5 collisions; extension arithmetic is on
+      // candidate rows only
+      .filter(te.substr(p, lit(k)) === tr.substr(q, lit(k)))
+      .withColumn("__graft_left",
+        lcp(reverse(te.substr(lit(1), p - 1)),
+          reverse(tr.substr(lit(1), q - 1))))
+      .withColumn("__graft_right",
+        lcp(te.substr(p + k, length(te)), tr.substr(q + k, length(tr))))
+      .withColumn("__graft_len",
+        col("__graft_left") + k + col("__graft_right"))
+      .filter(col("__graft_len") >= minLen)
+    spans
+      // closed-form coverage: every minLen-window inside the verified
+      // common span is itself common — enumerate its start positions
+      .select(col(idCol),
+        explode(sequence(p - col("__graft_left"),
+          p - col("__graft_left") + col("__graft_len") - minLen))
+          .as("__graft_pos"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        min(col("__graft_pos")).as("first_pos"))
   }
 }

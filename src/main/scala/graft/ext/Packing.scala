@@ -30,8 +30,25 @@ import org.apache.spark.sql.functions._
   * single distributed pass. */
 object Packing {
 
+  /** Output columns the packers add; a caller column with one of these
+    * names (directly or via `extraKeys`) would either collide with the
+    * generated column or silently change the grouping, so it is
+    * rejected up front. Internal scratch columns are `__graft_`-
+    * prefixed and never escape, so only the real outputs are reserved. */
+  private val Reserved = Set("shard", "bin", "tok_in_bin", "start_in_bin")
+
+  private def checkNames(idCol: String, tokenCol: String,
+      extraKeys: Seq[String]): Unit = {
+    val clash = (Seq(idCol, tokenCol) ++ extraKeys).filter(Reserved)
+    require(clash.isEmpty,
+      s"packing reserves output column names ${Reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
+  }
+
   /** Per-document bin assignment: `(idCol, tokenCol, extraKeys…, shard,
-    * bin)`.
+    * bin)`. NULL or non-positive token counts are dropped (a NULL-text
+    * document has no tokens to pack, and a NULL would otherwise ride
+    * through the prefix sum as a NULL bin).
     *
     * @param idCol     non-negative integral id — ordering AND sharding key
     * @param tokenCol  token count per document
@@ -47,6 +64,7 @@ object Packing {
       extraKeys: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
+    checkNames(idCol, tokenCol, extraKeys)
     val w = Window
       .partitionBy((extraKeys.map(col) :+ col("shard")): _*)
       .orderBy(col(idCol))
@@ -54,14 +72,15 @@ object Packing {
     docs
       .select(col(idCol) +: col(tokenCol) +: extraKeys.map(col) :+
         pmod(col(idCol), lit(shards)).cast("long").as("shard"): _*)
-      .withColumn("_cum", sum(col(tokenCol)).over(w))
+      .filter(col(tokenCol) > 0)
+      .withColumn("__graft_cum", sum(col(tokenCol)).over(w))
       // start-offset bin: exact while shard token totals stay below
       // 2^53 (double mantissa) — ~9e15 tokens PER SHARD, far above any
       // real shard; grow `shards` long before that bound binds
       .withColumn("bin",
-        floor((col("_cum") - col(tokenCol)) / lit(budget.toDouble))
+        floor((col("__graft_cum") - col(tokenCol)) / lit(budget.toDouble))
           .cast("long"))
-      .drop("_cum")
+      .drop("__graft_cum")
   }
 
   /** Boundary-FREE packing — the GPT-style concat-and-chunk mode where
@@ -72,9 +91,15 @@ object Packing {
     * documents (callers insert EOD separators downstream).
     *
     * Output: one row per (document, bin it overlaps) — `(idCol, shard,
-    * bin, tok_in_bin)`, where `tok_in_bin` is how many of the
-    * document's tokens land in that bin; a document occupying bins
-    * b0..b1 emits b1−b0+1 rows. Same determinism and scale contract as
+    * bin, tok_in_bin, start_in_bin)`, where `tok_in_bin` is how many of
+    * the document's tokens land in that bin and `start_in_bin` is the
+    * 0-based token offset WITHIN the bin where the document's span
+    * begins — the per-bin document-boundary offsets a trainer needs to
+    * build attention masks over the packed sequence (a document
+    * continuing from the previous bin starts at 0; the bin's first
+    * document also starts at 0; later documents start at their
+    * predecessor's end). A document occupying bins b0..b1 emits
+    * b1−b0+1 rows. Same determinism and scale contract as
     * [[packSequences]]: shard-local prefix sums, one shuffle, layout
     * independent of input partitioning, and the explode fan-out per
     * document is `1 + tokens/budget` — bounded by the document's own
@@ -83,23 +108,28 @@ object Packing {
       budget: Long, shards: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
+    checkNames(idCol, tokenCol, Nil)
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(idCol), col(tokenCol),
         pmod(col(idCol), lit(shards)).cast("long").as("shard"))
       .filter(col(tokenCol) > 0)
-      .withColumn("_end", sum(col(tokenCol)).over(w))
-      .withColumn("_start", col("_end") - col(tokenCol))
+      .withColumn("__graft_end", sum(col(tokenCol)).over(w))
+      .withColumn("__graft_start", col("__graft_end") - col(tokenCol))
       // integral long division — exact at any offset, no double rounding
-      .withColumn("_bin0", expr(s"_start div ${budget}L"))
-      .withColumn("_binLast", expr(s"(_end - 1) div ${budget}L"))
+      .withColumn("__graft_bin0", expr(s"__graft_start div ${budget}L"))
+      .withColumn("__graft_binLast", expr(s"(__graft_end - 1) div ${budget}L"))
       .select(col(idCol), col("shard"),
-        explode(sequence(col("_bin0"), col("_binLast"))).as("bin"),
-        col("_start"), col("_end"))
+        explode(sequence(col("__graft_bin0"), col("__graft_binLast"))).as("bin"),
+        col("__graft_start"), col("__graft_end"))
       .withColumn("tok_in_bin",
-        least(col("_end"), (col("bin") + 1) * budget) -
-          greatest(col("_start"), col("bin") * budget))
-      .select(col(idCol), col("shard"), col("bin"), col("tok_in_bin"))
+        least(col("__graft_end"), (col("bin") + 1) * budget) -
+          greatest(col("__graft_start"), col("bin") * budget))
+      .withColumn("start_in_bin",
+        greatest(col("__graft_start"), col("bin") * budget) -
+          col("bin") * budget)
+      .select(col(idCol), col("shard"), col("bin"), col("tok_in_bin"),
+        col("start_in_bin"))
   }
 }

@@ -350,12 +350,24 @@ object Similarity {
     val qExpr =
       if (e.sparkSession.catalog.functionExists("graft_quantize8"))
         call_function("graft_quantize8", v.cast("array<double>"))
-      else
-        when(col("_ma") === 0d || col("_ma").isNull,
-          transform(v, _ => lit(0)))
+      else {
+        // explicit non-finite guard so the fallback fails identically
+        // to the native expression regardless of ANSI mode (without it,
+        // a non-ANSI session would emit garbage codes where a
+        // GraftExtensions session throws)
+        val nonFinite = exists(v, x =>
+          x.cast("double").isNaN ||
+            abs(x.cast("double")) === lit(Double.PositiveInfinity))
+        when(nonFinite,
+          raise_error(lit("graft_quantize8: non-finite element — " +
+            "quantization undefined (filter NaN/Infinity vectors " +
+            "upstream)")).cast("array<int>"))
+          .when(col("_ma") === 0d || col("_ma").isNull,
+            transform(v, _ => lit(0)))
           .otherwise(transform(v, x =>
             floor(x.cast("double") / col("_ma") * 127d + 0.5d)
               .cast("int")))
+      }
     e.withColumn("_ma", maxAbs)
       .withColumn(qCol, qExpr)
       .withColumn(scaleCol, coalesce(col("_ma"), lit(0d)) / 127d)

@@ -296,17 +296,22 @@ object TextAnalysis {
     * broadcast 1-row cross join, and the final per-doc average shuffles
     * on the doc id. No driver-side state beyond the 1-row total.
     *
-    * Caching contract: the exploded token relation persists LAZILY and
-    * stays in the session cache (three DAG branches share it; an eager
-    * materialize-and-release was measured to double end-to-end cost —
-    * see the Dedup caching-contract note). Long-lived sessions release
-    * it between corpora via `spark.catalog.clearCache()`, exactly as
-    * Verify/Bench do. */
+    * Caching: the exploded token relation feeds three DAG branches, so
+    * it should be persisted ONCE (an eager materialize-and-release was
+    * measured to double end-to-end cost — see the Dedup caching-
+    * contract note). Lifecycle is API, not convention: build the
+    * relation with [[tokenRelation]], persist it, pass it here, and
+    * `unpersist()` it when done — no global `clearCache()` needed. The
+    * no-argument overload keeps the old behavior (persists internally,
+    * released by the session-level `clearCache()` Verify/Bench issue
+    * between corpora) for one-shot callers. */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    val tok = docs.select(col(idCol),
-        explode(tokens(col(textCol))).as("token"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      textCol: String,
+      tokenRel: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = tokenRel.getOrElse(
+      tokenRelation(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val freq = tok.groupBy(col("token"))
       .agg(count(lit(1)).cast("double").as("_cnt"))
     val total = tok.agg(count(lit(1)).cast("double").as("_tot"))
@@ -316,6 +321,16 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(avg(log2(col("_cnt") / col("_tot"))).as("avg_logprob"))
   }
+
+  /** The `(idCol, token)` exploded relation [[unigramLogProb]] scans
+    * three times — exposed so callers OWN its cache lifecycle:
+    * `val tok = tokenRelation(d, "id", "text").persist()`, run
+    * `unigramLogProb(d, "id", "text", Some(tok))` (and any other
+    * consumer), then `tok.unpersist()` — releasing exactly this
+    * relation, with no session-wide `clearCache()`. */
+  def tokenRelation(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
 
   // ── Heavy hitters ──────────────────────────────────────────────────────
 

@@ -1489,6 +1489,107 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("bpeTrain replays the closed-form merge sequence and stops when " +
+      "no pair remains") {
+    // corpus: "aaab" ×2, "ab" ×1 — hand-derived sequence:
+    //   step 1: (a,a) n=4  → aaab=[aa,a,b], ab=[a,b]
+    //   step 2: (a,b) n=3  → aaab=[aa,ab],  ab=[ab]
+    //   step 3: (aa,ab) n=2 → aaab=[aaab]
+    //   then no adjacent pair is left — early stop at 3 of 5 merges
+    val out = graft.ext.Bpe.bpeTrain(
+        docs((1L, "aaab aaab ab")), "text", numMerges = 5)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpeTrain ties break lexicographically and back-to-back " +
+      "occurrences all merge in one pass") {
+    // (a,b) and (c,d) tie at n=2; (a,b) must win the total order
+    val tie = graft.ext.Bpe.bpeTrain(
+        docs((1L, "ab cd"), (2L, "ab cd")), "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(tie.toSeq == Seq(("a", "b")))
+    // "ababab": greedy left-to-right merges ALL THREE (a,b) pairs in
+    // step 1 (the double-space encoding's non-overlap guarantee), so
+    // step 2 sees [ab,ab,ab] and merges (ab,ab) once at the left
+    val runs = graft.ext.Bpe.bpeTrain(
+        docs((1L, "ababab")), "text", numMerges = 2)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(runs.toSeq == Seq((1L, "ab", 3L), (2L, "abab", 2L)))
+  }
+
+  test("substringContamination finds exactly the covered window " +
+      "positions of a shared span") {
+    // minLen=9 → k=5, s=5. C (12 chars) shared verbatim; boundaries
+    // differ on both sides, so the maximal common span is exactly C:
+    // n_spans = 12-9+1 = 4 window starts, first at C's position in
+    // the TEST doc (1-based: after "mm", so 3)
+    val C = "ABCDEFGHIJKL"
+    val train = docs((10L, s"xx${C}yy"))
+    val test_ = docs((1L, s"mm${C}nn"), (2L, "totally unrelated text"))
+    val out = graft.ext.Curation.substringContamination(
+        train, test_, "doc_id", "text", minLen = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 4L, 3L)))
+  }
+
+  test("substringContamination rejects anchors whose extension stays " +
+      "below minLen") {
+    // "ABCDE" is a tile-ALIGNED train k-gram (offset 6 with k=s=5) and
+    // appears verbatim in the test doc — but its maximal common span is
+    // 5 < 9, so the extension verify must kill the candidate
+    val train = docs((10L, "12345ABCDExxxxx"))
+    val test_ = docs((1L, "qqABCDEzzzzzzzz"))
+    val out = graft.ext.Curation.substringContamination(
+        train, test_, "doc_id", "text", minLen = 9)
+    assert(out.count() == 0L)
+  }
+
+  test("substringContamination unions overlapping spans from different " +
+      "train docs without double counting") {
+    // two train docs each share a 10-char piece of the test doc's
+    // 15-char run; individually each yields positions {1..2} and
+    // {5..7}... hand-derive: test "ABCDEFGHIJKLMNO" (15 chars);
+    // train A carries ABCDEFGHIJ (cov windows 1..2), train B carries
+    // EFGHIJKLMNO (11 chars → windows at test pos 5..7). Union
+    // {1,2,5,6,7} → 5 spans, first_pos 1.
+    val train = docs((10L, s"xxABCDEFGHIJxx"), (11L, s"yyEFGHIJKLMNOyy"))
+    val test_ = docs((1L, "ABCDEFGHIJKLMNO"))
+    val out = graft.ext.Curation.substringContamination(
+        train, test_, "doc_id", "text", minLen = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 5L, 1L)))
+  }
+
+  test("unigramLogProb with a caller-owned token relation leaves no " +
+      "cache entry after unpersist") {
+    val s = spark
+    s.catalog.clearCache() // clean slate — other suites may have cached
+    val d = docs((1L, "a a b"), (2L, "b c"))
+    val tok = graft.ext.TextAnalysis.tokenRelation(d, "doc_id", "text")
+      .persist()
+    val owned = graft.ext.TextAnalysis
+      .unigramLogProb(d, "doc_id", "text", Some(tok))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    tok.unpersist(blocking = true)
+    // the whole release path is the one unpersist — nothing session-wide
+    assert(s.sharedState.cacheManager.isEmpty,
+      "caller-owned token relation must be the only cache entry")
+    // and the owned-lifecycle path computes the same distribution as
+    // the self-caching convenience form
+    val conv = graft.ext.TextAnalysis.unigramLogProb(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(owned.keySet == conv.keySet &&
+      owned.forall { case (k, v) => math.abs(v - conv(k)) < 1e-12 })
+    s.catalog.clearCache() // release the convenience form's persist
+  }
+
   test("weightedTopK favors heavy rows in aggregate") {
     val s = spark
     import s.implicits._

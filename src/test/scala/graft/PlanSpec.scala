@@ -207,6 +207,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"expected the two window passes to share one shuffle, saw $exchanges:\n$p")
   }
 
+  test("substring contamination: anchor + text joins are equi-joins, " +
+      "never a cartesian") {
+    val p = plan("q_substring_contamination")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"tiled k-gram anchoring must keep every join equi-keyed:\n$p")
+  }
+
   test("fuzzy dedup: blocked pairing is an equi-join, never a cartesian") {
     val p = plan("q_fuzzy_dedup")
     assert(!p.contains("CartesianProduct") &&

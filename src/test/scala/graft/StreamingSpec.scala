@@ -170,7 +170,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     val mem = MemoryStream[AsOfStreamEvent]
     val qn = Streaming.nextQueryName("spec_asofttl")
     val q = Streaming.asofStream(mem.toDS(), maxState = 4,
-        idleRetentionMs = Some(2000L))
+        idleRetentionMs = Some(500L))
       .writeStream.format("memory").queryName(qn)
       .outputMode("append").start()
     def outMap() = s.table(qn).collect()
@@ -190,8 +190,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       waitFor(1)
       assert(outMap()(1L) == Some(5.0)) // timeline live within horizon
       // idle past the horizon: the no-data batches fire the timeout and
-      // release the key's timeline
-      Thread.sleep(6000)
+      // release the key's timeline. Observe the expiry through the
+      // state-operator metrics (numRowsTotal drops to 0 when the key's
+      // state is removed) instead of a fixed sleep — on a loaded host
+      // the timeout batch can lag far past the nominal horizon, and a
+      // fixed sleep was the flake
+      val stateDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def stateRows(): Long = {
+        val p = q.lastProgress
+        if (p == null || p.stateOperators.isEmpty) -1L
+        else p.stateOperators.map(_.numRowsTotal).sum
+      }
+      while (stateRows() != 0L) {
+        assert(System.nanoTime() < stateDeadline,
+          s"timed out waiting for idle-retention expiry; state rows: ${stateRows()}")
+        Thread.sleep(200)
+      }
       mem.addData(
         AsOfStreamEvent(2L, 1L, us(30), isLeft = true, value = 0.0))
       waitFor(2)
