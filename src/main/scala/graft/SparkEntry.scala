@@ -107,6 +107,44 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.ext.Similarity]]'s farthest-point
+    * seeding ([[graft.ext.Similarity.farthestSeedVecs]]) over the int8
+    * code relation `q`/`pts`: seed 0 is the md5-rank minimum id; each
+    * stage `sn{j}` picks the not-yet-picked point with the largest
+    * min-distance to the picked set (ties by id) — integer-exact, so
+    * the sequence is identical to the Spark side's. Emits CTE text
+    * ending in `seed (vec_id, cluster)`, spliced into the q_kmeans
+    * oracle ahead of the unrolled Lloyd stages. */
+  private def kmeansSeedSql(k: Int): String = {
+    // every sp{j} is referenced three times downstream (the distance
+    // join, the NOT IN guard, and sp{j+1}'s union) — AS MATERIALIZED
+    // stops DuckDB's CTE inlining from expanding the chain
+    // exponentially (3^k scans of the parquet source without it)
+    val sb = new StringBuilder
+    sb.append(
+      """sp0 AS MATERIALIZED (SELECT vec_id, 0 AS cluster FROM (
+              SELECT vec_id FROM q
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1))""")
+    for (j <- 1 until k) {
+      sb.append(s""",
+         se$j AS MATERIALIZED (SELECT p.vec_id, b.vec_id AS sv,
+                sum((p.x - b.x) * (p.x - b.x)) AS dd
+              FROM pts p JOIN pts b ON p.dim = b.dim
+              JOIN sp${j - 1} s ON b.vec_id = s.vec_id
+              GROUP BY p.vec_id, b.vec_id),
+         sn$j AS MATERIALIZED (SELECT vec_id FROM (
+                SELECT vec_id, min(dd) AS md FROM se$j GROUP BY vec_id)
+              WHERE vec_id NOT IN (SELECT vec_id FROM sp${j - 1})
+              ORDER BY md DESC, vec_id LIMIT 1),
+         sp$j AS MATERIALIZED (SELECT vec_id, cluster FROM sp${j - 1}
+              UNION ALL SELECT vec_id, $j AS cluster FROM sn$j)""")
+    }
+    sb.append(s""",
+         seed AS MATERIALIZED (SELECT vec_id, cluster::INTEGER AS cluster
+              FROM sp${k - 1})""")
+    sb.toString
+  }
+
   /** 3-habit config used by the fixture-driven transform queries
     * (mirrors the reference unit-test config,
     * `/root/reference/tests/test_transform.py:3-13`). */
@@ -1935,7 +1973,7 @@ object SparkEntry {
     // or correctly-rounded-double arithmetic, so the replay is
     // cell-exact against kmeansFitInt8.
     "q_kmeans" ->
-      """WITH g AS (SELECT max(list_max(list_transform(embedding,
+      ("""WITH g AS (SELECT max(list_max(list_transform(embedding,
                 x -> abs(x::DOUBLE)))) AS gma
               FROM embeddings WHERE embedding IS NOT NULL),
          q AS (SELECT vec_id, label,
@@ -1945,13 +1983,10 @@ object SparkEntry {
                     x -> floor(x::DOUBLE / gma * 127 + 0.5)::BIGINT)
                 END AS v
               FROM embeddings, g WHERE embedding IS NOT NULL),
-         pts AS (SELECT vec_id, u.dim AS dim, u.x AS x FROM (
+         pts AS MATERIALIZED (SELECT vec_id, u.dim AS dim, u.x AS x FROM (
                 SELECT vec_id, unnest(list_transform(v,
                   (x, i) -> {'dim': i - 1, 'x': x})) AS u FROM q)),
-         seed AS (SELECT vec_id,
-                (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER
-                  AS cluster
-              FROM q ORDER BY vec_id LIMIT 10),
+         """ + kmeansSeedSql(10) + """,
          c0 AS (SELECT s.cluster, p.dim, p.x AS c
               FROM seed s JOIN pts p ON p.vec_id = s.vec_id),
          a1 AS (SELECT vec_id, cluster FROM (
@@ -2022,7 +2057,7 @@ object SparkEntry {
               GROUP BY a.cluster, q.label)
          SELECT cluster, sum(n)::BIGINT AS n_points,
                 max(n)::BIGINT AS n_majority
-         FROM cnt GROUP BY cluster ORDER BY cluster""",
+         FROM cnt GROUP BY cluster ORDER BY cluster"""),
 
     "q_contamination" ->
       """WITH fp AS (SELECT doc_id,

@@ -182,13 +182,58 @@ object Similarity {
 
   // ── K-means centroid training (Lloyd's iterations) ──────────────────
 
+  /** Deterministic SCATTERED seeding for the Lloyd's trainers —
+    * farthest-point (k-center) picks. The first seed is the md5-rank
+    * minimum over ids (a uniform, id-layout-independent draw); each
+    * further seed is the vector maximizing squared-L2 distance to its
+    * NEAREST already-picked seed, ties broken by id. A first-k-by-id
+    * rule seeds a single region of an id-sorted corpus (all low ids in
+    * one cluster); farthest-point provably hits every well-separated
+    * region within the first picks regardless of id layout.
+    *
+    * Scale: k−1 passes, each a map-side distance against the broadcast
+    * picked-seed literals feeding a 1-row TakeOrdered; only k×dim
+    * doubles ever reach the driver. Exactness: int8 codes are exact in
+    * doubles and each distance is a fixed per-row fold (native dot),
+    * so the argmax — and therefore the seed sequence — is
+    * engine-deterministic and oracle-replayable. */
+  private def farthestSeedVecs(base: DataFrame, idCol: String,
+      k: Int): Seq[Seq[Double]] = {
+    val proj = base.select(col(idCol).as("_sid"),
+      col("v").cast("array<double>").as("_sv"))
+    val first = proj
+      .orderBy(md5(col("_sid").cast("string")), col("_sid"))
+      .limit(1).collect()
+    if (first.isEmpty) return Nil
+    val ids = scala.collection.mutable.ArrayBuffer[Any](first(0).get(0))
+    val vecs = scala.collection.mutable.ArrayBuffer(
+      first(0).getSeq[Double](1).toSeq)
+    while (vecs.size < k) {
+      // d²(v, c) = |v|² − 2·v·c + |c|²; |v|² must stay (the argmax is
+      // over v, so it does NOT cancel as it does in the assign argmin)
+      val v2 = Dedup.dotNative(col("_sv"), col("_sv"))
+      val minD2 = vecs.map { c =>
+        val c2 = c.map(x => x * x).sum
+        v2 - Dedup.dotNative(col("_sv"), typedLit(c)) * lit(2d) + lit(c2)
+      }.reduce(least(_, _))
+      val next = proj.filter(!col("_sid").isin(ids.toSeq: _*))
+        .orderBy(minD2.desc, col("_sid")).limit(1).collect()
+      if (next.isEmpty) return vecs.toSeq // fewer than k distinct rows
+      ids += next(0).get(0)
+      vecs += next(0).getSeq[Double](1).toSeq
+    }
+    vecs.toSeq
+  }
+
   /** Train `k` centroids with Lloyd's algorithm — the centroid-learning
     * step that upgrades [[knnIvf]]'s deterministic seed cells to
     * data-adaptive ones (IVF index build), and the workhorse of
     * embedding-space clustering for corpus curation.
     *
-    * Deterministic: seeds are the `k` smallest-id vectors (same rule as
-    * [[knnIvf]]), assignment ties break on centroid index. Each
+    * Deterministic: seeds come from [[farthestSeedVecs]] (scattered
+    * farthest-point picks — id-layout independent, unlike the
+    * first-k-by-id rule [[knnIvf]]'s untrained path uses), assignment
+    * ties break on centroid index. Each
     * iteration is (1) a map-side argmin over a broadcast centroid
     * literal — no shuffle, no join — and (2) one per-dimension average
     * (`posexplode` → partial-aggregating groupBy on (cell, dim)). Only
@@ -207,9 +252,7 @@ object Similarity {
     val base = e.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Seq[Seq[Double]] =
-      base.orderBy(col(idCol)).limit(k).collect()
-        .map(_.getSeq[Double](1).toSeq).toSeq
+    var centroids: Seq[Seq[Double]] = farthestSeedVecs(base, idCol, k)
     require(centroids.size == k,
       s"kmeansFit: need at least $k vectors, found ${centroids.size}")
 
@@ -253,9 +296,11 @@ object Similarity {
     * Same plan shape as [[kmeansFit]]: map-side argmin over broadcast
     * centroid literals (no shuffle), one partial-aggregating
     * (cell, dim) rollup per iteration; only the k×dim centroid matrix
-    * (plus the one scale scalar) reaches the driver. Seeds are the `k`
-    * smallest-id code vectors; ties break on centroid index; a cell
-    * that loses all members keeps its previous centroid.
+    * (plus the one scale scalar) reaches the driver. Seeds are the
+    * scattered farthest-point picks over the CODES ([[farthestSeedVecs]]
+    * — integer-exact, so the seed sequence replays in any engine); ties
+    * break on centroid index; a cell that loses all members keeps its
+    * previous centroid.
     *
     * Returns (final integer centroids, assignment `(idCol, cluster)`).
     */
@@ -278,8 +323,7 @@ object Similarity {
         .as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[Seq[Long]] =
-      base.orderBy(col(idCol)).limit(k).collect()
-        .map(_.getSeq[Long](1).toSeq).toSeq
+      farthestSeedVecs(base, idCol, k).map(_.map(_.toLong))
     require(centroids.size == k,
       s"kmeansFitInt8: need at least $k vectors, found ${centroids.size}")
 

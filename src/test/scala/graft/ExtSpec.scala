@@ -1340,6 +1340,33 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(cents == cents2)
   }
 
+  test("farthest-point seeding recovers blobs on an id-SORTED corpus " +
+      "where first-k seeding would collapse to one region") {
+    // adversarial layout: ids 0-29 are blob 0, 30-59 blob 1, 60-89
+    // blob 2 — first-k-by-id seeding puts every seed in blob 0;
+    // farthest-point must hit all three regions by construction
+    val s = spark
+    import s.implicits._
+    val sorted = (0L until 90L).map { i =>
+      val c = (i / 30).toInt
+      val (cx, cy) = Seq((10f, 0f), (0f, 10f), (-10f, -10f))(c)
+      (i, Array(cx + (i % 7) * 0.1f, cy + (i % 5) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    for (assign <- Seq(
+        Similarity.kmeansFit(sorted, "vec_id", "embedding",
+          k = 3, iterations = 4)._2,
+        Similarity.kmeansFitInt8(sorted, "vec_id", "embedding",
+          k = 3, iterations = 4)._2)) {
+      val byTruth = assign.collect()
+        .map(r => (r.getLong(0) / 30) -> r.getInt(1)).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      assert(byTruth.values.forall(_.size == 1),
+        s"every ground-truth blob must map to one cell: $byTruth")
+      assert(byTruth.values.flatten.toSet.size == 3,
+        s"the three cells must be distinct: $byTruth")
+    }
+  }
+
   test("kmeansFit is deterministic and keeps empty cells' centroids") {
     val (c1, a1) = Similarity.kmeansFit(blobs, "vec_id", "embedding",
       k = 3, iterations = 3)

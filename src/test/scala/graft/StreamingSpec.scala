@@ -310,6 +310,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("RocksDB provider carries ~100k (day,user,habit) state rows — " +
+      "the 60-day × real-user matview state-scale pin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // 60 days × 420 users × 4 habits = 100,800 distinct aggregation
+      // keys, all inside the 60-day watermark horizon so every one is
+      // LIVE state after the batch — the cardinality the RocksDB
+      // provider exists for (HDFS-backed keeps it all on heap)
+      val habits = Seq("workout", "reading", "meditation_minutes", "water")
+      val base = ts("2024-01-01 10:00:00").getTime
+      val big = for {
+        d <- 0 until 60
+        u <- 0 until 420
+        h <- habits
+      } yield (new Timestamp(base + d * 86400000L), s"u$u@x", h, 1.0)
+      val mem = MemoryStream[(Timestamp, String, String, Double)]
+      val stream = mem.toDF().toDF("ts", "user_email", "habit", "value")
+      val qn = Streaming.nextQueryName("spec_scale")
+      val q = Streaming.habitDailyStream(stream, watermark = "60 days")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("update").start()
+      try {
+        mem.addData(big)
+        q.processAllAvailable()
+        val expected = 60L * 420L * 4L
+        assert(s.table(qn).count() == expected)
+        val op = q.lastProgress.stateOperators.head
+        assert(op.numRowsTotal == expected,
+          s"all $expected keys must be live state, saw ${op.numRowsTotal}")
+        // and the state really is in RocksDB (file-backed, bounded
+        // heap) — these custom metrics exist only under that provider
+        import scala.jdk.CollectionConverters._
+        assert(op.customMetrics.keySet().asScala
+            .exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb metrics, saw ${op.customMetrics.keySet()}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("built-in session_window agrees with the stateful sessionizer") {
     val s = spark
     import s.implicits._
