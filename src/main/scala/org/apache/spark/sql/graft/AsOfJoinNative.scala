@@ -79,9 +79,18 @@ case class AsOfJoinNode(
   * operator-side structure that CAN spill or overflow; a skewed key
   * costs time in one task, not memory. The merge loop is interpreted-
   * row (no whole-stage codegen), but every projection/ordering inside
-  * it is code-generated (`UnsafeProjection`/`RowOrdering`); the
-  * measured cost vs the composed window form is recorded in
-  * BASELINE.md's as-of head-to-head. */
+  * it is code-generated (`UnsafeProjection`/`RowOrdering`).
+  *
+  * CODEGEN DECISION (round 6, measured via `graft.AsOfBench` at 20 M
+  * facts × 400 k updates × 100 k keys — BASELINE.md "AsOfJoinExec
+  * codegen decision"): this interpreted loop beats the strongest fully
+  * WholeStageCodegen'd composition (merge-hinted SMJ with the ≤-range
+  * condition + max-by HashAggregate) by 1.8×, and the broadcast/auto
+  * forms beat it 3.2-3.5×, because the composed plan's cost is
+  * structural (pair fan-out + re-aggregation shuffle) rather than
+  * per-row dispatch. Produce-side `CodegenSupport` would fuse only the
+  * already-winning loop's iterator overhead and is recorded as not
+  * worth the fused two-child template's maintenance. */
 case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
