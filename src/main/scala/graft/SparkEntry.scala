@@ -107,6 +107,51 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.ext.Bpe.bpeEncode]] over a merge list
+    * trained in the same query: the [[bpeTrainOracle]] stage chain with
+    * the word column carried through (so the final generation is a
+    * word → segmentation map), then per-word token counts joined back
+    * to the exploded corpus. `AS MATERIALIZED` on each generation —
+    * every w$k is referenced twice (next census + next replace), and
+    * DuckDB's CTE inlining would expand the chain 2^m-fold without it. */
+  private def bpeEncodeOracle(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS (SELECT w, count(*)::BIGINT AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY 1),
+         w0 AS MATERIALIZED (SELECT w,
+                '  ' || regexp_replace(w, '(.)', '\1  ', 'gs') AS seg,
+                cnt FROM words)""")
+    for (k <- 1 to m) {
+      sb.append(s""",
+         c$k AS (SELECT list_filter(string_split(seg, '  '), x -> x <> '') AS s,
+                cnt FROM w${k - 1}),
+         p$k AS (SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(cnt)::BIGINT AS n
+               FROM (SELECT s, cnt,
+                      unnest(generate_series(1, len(s) - 1)) AS i
+                     FROM c$k WHERE len(s) >= 2)
+               GROUP BY 1, 2),
+         b$k AS (SELECT lhs, rhs FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+         w$k AS MATERIALIZED (SELECT w,
+                replace(seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') AS seg, cnt
+               FROM w${k - 1}, b$k b)""")
+    }
+    sb.append(s""",
+         tok AS (SELECT w,
+                len(list_filter(string_split(seg, '  '), x -> x <> ''))::BIGINT
+                  AS t
+               FROM w$m),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         SELECT doc_id, count(*)::BIGINT AS n_words,
+                sum(t)::BIGINT AS n_bpe_tokens
+         FROM dw JOIN tok USING (w) WHERE w <> ''
+         GROUP BY doc_id ORDER BY doc_id""")
+    sb.toString
+  }
+
   /** DuckDB replay of [[graft.ext.Similarity]]'s farthest-point
     * seeding ([[graft.ext.Similarity.farthestSeedVecs]]) over the int8
     * code relation `q`/`pts`: seed 0 is the md5-rank minimum id; each
@@ -418,6 +463,32 @@ object SparkEntry {
         .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
           col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("sample_rank"))),
+
+    // Token-budget data mixture: per-source budgets from a weight map,
+    // filled deterministically in md5-rank order — "3 parts src0, 1
+    // part src1/src2, half a part src3, 2000 tokens total" as a
+    // concrete, engine-independent document selection.
+    "q_mixture_budget" -> ((s, dir) =>
+      graft.ext.Curation.mixtureByTokens(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          "doc_id", "source", "n_tokens",
+          weights = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
+            "src3" -> 0.5),
+          totalTokens = 2000)
+        .select(col("source"), col("take_rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("take_rank"))),
+
+    // Deterministic sharded export order: shard = md5 bucket, position
+    // = md5-rank within shard — the global training-order shuffle as a
+    // pure function of doc ids, byte-identical on any engine.
+    "q_export_shards" -> ((s, dir) =>
+      graft.ext.Sampling.exportShards(Tables.read(s, dir, "documents"),
+          col("doc_id"), numShards = 8)
+        .select(col("shard"), col("shard_pos"), col("doc_id"))
+        .orderBy(col("shard"), col("shard_pos"))),
 
     // CDC apply — MERGE with deletes: a deterministic change feed
     // (seq-superseded stale updates, updates, deletes, inserts) applied
@@ -1292,6 +1363,17 @@ object SparkEntry {
       graft.ext.Bpe.bpeTrain(Tables.read(s, dir, "documents"), "text",
           numMerges = 8)
         .orderBy(col("step"))),
+
+    // Tokenizer APPLY: train 8 merges, then encode the corpus with
+    // them — per-document word and BPE-token counts. The merge chain
+    // runs once per distinct word (vocabulary-sized), then one hash
+    // join back to the exploded corpus.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      graft.ext.Bpe.bpeEncode(docs, "doc_id", "text",
+          graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+        .orderBy(col("doc_id"))
+    }),
 
     // Character-distribution Shannon entropy via the native codegen'd
     // graft_entropy expression — per-row, shuffle-free; the oracle
@@ -2597,6 +2679,41 @@ object SparkEntry {
          FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""",
 
     "q_bpe_train" -> bpeTrainOracle(8),
+
+    "q_bpe_encode" -> bpeEncodeOracle(8),
+
+    // Same hash → budget → ordered-prefix arithmetic as mixtureByTokens:
+    // budget floor(2000·w/5.5) per source, md5-rank order, keep while
+    // the cumulative count BEFORE the row is under budget.
+    "q_mixture_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+         r AS (SELECT doc_id, source, n_tokens,
+                row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                  ::BIGINT AS take_rank,
+                sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+                CASE source
+                  WHEN 'src0' THEN floor(2000 * 3.0 / 5.5)::BIGINT
+                  WHEN 'src3' THEN floor(2000 * 0.5 / 5.5)::BIGINT
+                  ELSE floor(2000 * 1.0 / 5.5)::BIGINT END AS budget
+              FROM d WHERE n_tokens > 0)
+         SELECT source, take_rank, doc_id, n_tokens, cum_tokens
+         FROM r WHERE cum_tokens - n_tokens < budget
+         ORDER BY source, take_rank""",
+
+    "q_export_shards" ->
+      """WITH b AS (SELECT doc_id,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM documents)
+         SELECT (h % 8)::BIGINT AS shard,
+                row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                  ::BIGINT AS shard_pos,
+                doc_id
+         FROM b ORDER BY shard, shard_pos""",
 
     // LEFT JOIN back to documents so empty-text docs keep their 0.0 row
     // and NULL text stays NULL — matching CharEntropy's contract

@@ -122,4 +122,88 @@ object Bpe {
         merges.toSeq.map { case (s, l, r, n) => Row(s, l, r, l + r, n) }, 1),
       schema)
   }
+
+  /** Above this many merges the per-word merge chain switches from a
+    * folded `replace` expression tree to a per-row Scala fold — a
+    * production merge list (32k-64k) as one nested expression would
+    * blow analysis/codegen limits, and the fold runs over the
+    * VOCABULARY-sized word table only, never the corpus. */
+  private val MaxExprMerges = 128
+
+  /** ENCODE with a trained merge list: applies `merges` (the output of
+    * [[bpeTrain]], or any (step, lhs, rhs) table) in step order to every
+    * document and returns per-document token statistics —
+    * `(idCol, n_words, n_bpe_tokens)`, one row per document with at
+    * least one word, ordered by nothing (caller sorts).
+    *
+    * Scale design (100 TB): the merge chain — the expensive sequential
+    * part — runs once per DISTINCT word (vocabulary-sized), not once
+    * per occurrence: corpus → distinct words → chain → per-word token
+    * count, then one hash join back to the exploded corpus and a
+    * map-side-combining sum per document. The merge list itself is
+    * driver-side by construction (its size IS the vocabulary knob,
+    * `numMerges` rows); ≤[[MaxExprMerges]] merges fold into a codegen'd
+    * `replace` expression tree, larger lists run as a broadcast per-row
+    * fold over the word table.
+    *
+    * Greedy left-to-right application per merge, in training order, on
+    * the same double-space encoding [[bpeTrain]] carries — so
+    * `bpeEncode(corpus, bpeTrain(corpus, m))` reproduces exactly the
+    * segmentation training ended with. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame =
+    bpeEncode(docs, idCol, textCol, merges, MaxExprMerges)
+
+  /** Test seam: `maxExprMerges` forces the branch choice so the spec can
+    * pin that the expression-fold and per-row-fold paths agree. */
+  private[graft] def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, maxExprMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // step order IS application order — BPE merges are not commutative
+    val chain: Array[(String, String)] = merges
+      .select(col("step"), col("lhs"), col("rhs"))
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+
+    val words = docs
+      .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val seg0 = concat(lit("  "), regexp_replace(col("w"), "(?s)(.)", "$1  "))
+    val segged =
+      if (chain.length <= maxExprMerges) {
+        val segN = chain.foldLeft(seg0) { case (c, (l, r)) =>
+          replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+        }
+        words.select(col("w"), segN.as("seg"))
+      } else {
+        val bc = spark.sparkContext.broadcast(chain)
+        import spark.implicits._
+        words.select(col("w"), seg0.as("seg")).as[(String, String)]
+          .mapPartitions { it =>
+            val ms = bc.value
+            it.map { case (w, s0) =>
+              var s = s0
+              var i = 0
+              while (i < ms.length) {
+                val (l, r) = ms(i)
+                s = s.replace(s" $l  $r ", s" $l$r ")
+                i += 1
+              }
+              (w, s)
+            }
+          }.toDF("w", "seg")
+      }
+    val wordTokens = segged.select(col("w"),
+      size(filter(split(col("seg"), "  ", -1), x => x =!= ""))
+        .cast("long").as("t"))
+
+    docs
+      .select(col(idCol),
+        explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .join(wordTokens, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_bpe_tokens"))
+  }
 }

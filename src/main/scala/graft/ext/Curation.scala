@@ -171,4 +171,60 @@ object Curation {
       .agg(count(lit(1)).as("n_spans"),
         min(col("__graft_pos")).as("first_pos"))
   }
+
+  /** TOKEN-BUDGET data mixture — turn "train on W₁ parts source A, W₂
+    * parts source B, … up to T tokens total" into a concrete document
+    * selection, deterministically. Each source gets the budget
+    * `floor(T · wₛ / Σw)`; within a source, documents are taken in the
+    * portable md5-rank order (same hash as [[Sampling.md5Top60]], ties
+    * by id) until the budget is met — the first document whose
+    * cumulative-BEFORE count is still under budget is taken, so every
+    * source with enough tokens meets (and minimally overshoots) its
+    * budget. Sources not in `weights` (or with non-positive weight)
+    * contribute nothing.
+    *
+    * Determinism contract (same as the Sampling family): the selection
+    * depends only on document ids — not partitioning, not engine — and
+    * RAISING a source's weight monotonically extends its prefix rather
+    * than reshuffling it, so mixture iterations between training runs
+    * reuse cached shards.
+    *
+    * Output: `(idCol, sourceCol, tokensCol, take_rank, cum_tokens)` —
+    * `take_rank` the 1-based position in the source's take order,
+    * `cum_tokens` the cumulative token count INCLUDING the row.
+    *
+    * Scale shape: one hash shuffle on `sourceCol` and a per-source
+    * ordered window for rank + running sum — the same per-group sort an
+    * export shard-writer needs anyway; no driver-side state beyond the
+    * weight map itself. A pathologically dominant source (one group ≫
+    * others) is the classic window skew — route ids through a salted
+    * two-level prefix-sum (the [[Packing]] shard trick) if one source
+    * alone exceeds an executor's sort budget. */
+  def mixtureByTokens(docs: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, weights: Map[String, Double],
+      totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    require(weights.values.exists(_ > 0), "at least one positive weight")
+    val wSum = weights.values.filter(_ > 0).sum
+    // per-source budget as a literal CASE — the weight map is config,
+    // not data (a mixture spec names each source explicitly)
+    val budget = weights.toSeq.filter(_._2 > 0).sortBy(_._1)
+      .foldLeft(lit(0L): Column) { case (acc, (src, w)) =>
+        when(col(sourceCol) === src,
+          lit(math.floor(totalTokens * w / wSum).toLong)).otherwise(acc)
+      }
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(Sampling.md5Top60(col(idCol)), col(idCol))
+    docs
+      .select(col(idCol), col(sourceCol),
+        col(tokensCol).cast("long").as(tokensCol))
+      .filter(col(tokensCol).isNotNull && col(tokensCol) > 0 &&
+        budget > 0)
+      .withColumn("take_rank", row_number().over(order).cast("long"))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(order))
+      // take while the budget is not yet met BEFORE this row — the
+      // crossing document is included
+      .filter(col("cum_tokens") - col(tokensCol) < budget)
+  }
 }

@@ -82,6 +82,31 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic SHARDED EXPORT ORDER — the global shuffle a training
+    * run consumes: every row gets a shard in `[0, numShards)` and a
+    * dense 1-based position within its shard, both pure functions of
+    * the key (md5 bucket for the shard, md5-rank with id tie-break for
+    * the position). Writing shard `i` sorted by `shard_pos` yields the
+    * same byte-identical training order on any engine, any
+    * partitioning, any run — reshuffling epochs is just re-keying with
+    * a different salt prefix on `key`.
+    *
+    * Scale shape: exactly the export writer's own cost and nothing
+    * more — one hash shuffle on the shard id and a per-shard sort for
+    * the dense rank. Shards are hash-balanced by construction (no skew
+    * beyond hash variance), so the per-shard sorts are uniform; at
+    * 100 TB pick `numShards` so a shard fits an executor's sort spill
+    * budget (shards ≈ files, thousands are normal).
+    *
+    * Output: input columns + `shard` (long) + `shard_pos` (long). */
+  def exportShards(df: DataFrame, key: Column, numShards: Int): DataFrame = {
+    require(numShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(md5Top60(key), key)
+    df.withColumn("shard", hashBucket(key, numShards))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic STRATIFIED sample: a keep-percentage per stratum
     * value (`defaultPct` for unlisted strata) — up-/down-weighting
     * languages or sources in a training mix. Same contract as

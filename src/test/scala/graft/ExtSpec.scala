@@ -1617,6 +1617,97 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     s.catalog.clearCache() // release the convenience form's persist
   }
 
+  test("bpeEncode replays trained merges on seen and unseen words, and " +
+      "the expression-fold and per-row-fold branches agree") {
+    // merges trained on "aaab aaab ab" (the bpeTrain spec's corpus):
+    //   (a,a), (a,b), (aa,ab). Encoding:
+    //   "aaab" → [aaab] 1 tok; "ab" → [ab] 1 tok;
+    //   unseen "aba" → (a,b) fires left-to-right → [ab,a] 2 toks;
+    //   unseen "ba" → no merge matches (order matters) → [b,a] 2 toks
+    val merges = graft.ext.Bpe.bpeTrain(
+      docs((1L, "aaab aaab ab")), "text", numMerges = 5)
+    val corpus = docs((1L, "aaab aaab ab"), (2L, "aba ba"))
+    def collectStats(maxExpr: Int) =
+      graft.ext.Bpe.bpeEncode(corpus, "doc_id", "text", merges, maxExpr)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expr = collectStats(128)  // 3 merges ≤ 128 → expression fold
+    assert(expr == Seq((1L, 3L, 3L), (2L, 2L, 4L)))
+    // force the broadcast per-row fold (the >MaxExprMerges path) and
+    // pin that both branches produce identical segmentations
+    assert(collectStats(0) == expr)
+  }
+
+  test("mixtureByTokens fills each source's budget in md5 order and " +
+      "ignores unweighted sources, zero-token and null docs") {
+    val s = spark
+    import s.implicits._
+    // 30 docs × 50 tokens per weighted source (1500 available each);
+    // src9 unweighted; one zero-token and one null-token doc
+    val rows = (for {
+      src <- Seq("src0", "src1", "src2", "src3", "src9")
+      i <- 0 until 30
+    } yield (s"$src-d$i", src, 50L)) ++
+      Seq(("z0", "src0", 0L))
+    val d = rows.toDF("doc_id", "source", "n_tokens")
+      .union(Seq(("z1", "src0")).toDF("doc_id", "source")
+        .withColumn("n_tokens", lit(null).cast("long")))
+    val out = graft.ext.Curation.mixtureByTokens(d, "doc_id", "source",
+        "n_tokens",
+        weights = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
+          "src3" -> 0.5),
+        totalTokens = 2000)
+      .collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(3), r.getLong(4)))
+    // budgets: floor(2000·w/5.5) → src0 1090, src1/2 363, src3 181;
+    // with 50-token docs the minimal covering prefixes are 22/8/8/4
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc == Map("src0" -> 22, "src1" -> 8, "src2" -> 8,
+      "src3" -> 4))
+    assert(!out.exists(t => t._2 == "z0" || t._2 == "z1"))
+    // cum_tokens is the inclusive running sum in take order
+    out.groupBy(_._1).foreach { case (_, ds) =>
+      assert(ds.sortBy(_._4).zipWithIndex.forall {
+        case ((_, _, _, cum), i) => cum == 50L * (i + 1) })
+    }
+    // raising the total budget extends each source's prefix, never
+    // reshuffles it (the shard-cache-reuse contract)
+    val bigger = graft.ext.Curation.mixtureByTokens(d, "doc_id", "source",
+        "n_tokens",
+        weights = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
+          "src3" -> 0.5),
+        totalTokens = 3000)
+      .collect().map(_.getString(0)).toSet
+    assert(out.map(_._2).toSet.subsetOf(bigger))
+  }
+
+  test("exportShards assigns md5 buckets with dense per-shard positions, " +
+      "independent of physical partitioning") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 500L).map(i => Tuple1(s"doc-$i")).toDF("doc_id")
+    val out = graft.ext.Sampling.exportShards(d, col("doc_id"),
+        numShards = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 500 && out.map(_._1).distinct.length == 500)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions are dense 1..n within every shard
+    out.groupBy(_._2).foreach { case (shard, ds) =>
+      assert(ds.map(_._3).sorted.toSeq == (1L to ds.length.toLong),
+        s"shard $shard positions not dense")
+    }
+    // the shard is the same md5 bucket hashBucket computes
+    val buckets = d.select(col("doc_id"),
+        graft.ext.Sampling.hashBucket(col("doc_id"), 8).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, shard, _) => buckets(id) == shard })
+    // byte-identical layout from a different physical partitioning
+    val re = graft.ext.Sampling.exportShards(
+        d.repartition(13, col("doc_id")), col("doc_id"), numShards = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet == out.toSet)
+  }
+
   test("weightedTopK favors heavy rows in aggregate") {
     val s = spark
     import s.implicits._
