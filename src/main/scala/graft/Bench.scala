@@ -51,7 +51,17 @@ object Bench {
     // inside a host-contention window, but runs=[26.1, 26.8] at load 31
     // vs runs=[2.3, 2.1] at load 8 tells the reader which happened.
     case class QRes(best: Double, runs: Seq[Double], loads: Seq[Double])
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
+    // Partial runs never touch the durable artifacts (guarded below) —
+    // a clobbered BENCH_FULL.json would diff as a mass regression.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries) { names =>
+      val missing = names.diff(SparkEntry.queries.keySet)
+      require(missing.isEmpty, s"SPARK_GRAFT_ONLY unknown: $missing")
+      SparkEntry.queries.view.filterKeys(names).toMap
+    }
+    val results = selected.map { case (name, fn) =>
       def run(): (Double, Double) = {
         val t0 = System.nanoTime()
         // noop sink forces FULL evaluation (projections, sorts, digests);
@@ -106,8 +116,9 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(top)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(best)},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
     val wallSec = (System.nanoTime() - wall0) / 1e9
     // JVM uptime ≈ the sbt-side cost (compile, classloading) the bench
     // main never sees; round 5's contaminated driver run showed as sbt
@@ -123,8 +134,9 @@ object Bench {
           s"""  "_bench_wall_sec": ${r3(wallSec)},\n  "_jvm_uptime_sec": ${r3(jvmUp)},\n""" +
           s"""  "_load1m_start": ${r3(loadStart)},\n  "_load1m_end": ${r3(loadAvg1m())},\n""",
         ",\n", "\n}\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      pretty.getBytes("UTF-8"))
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        pretty.getBytes("UTF-8"))
     println(line)
     spark.stop()
   }

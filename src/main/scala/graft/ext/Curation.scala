@@ -54,18 +54,25 @@ object Curation {
         Sampling.splitLabel(kept(idCol), cuts, lastLabel).as("split"))
   }
 
-  /** Longest common prefix length of two strings, as a pure column
-    * expression (codegen-friendly builtins only): zip the char arrays
-    * with null-safe equality — the shorter side pads with null, which
-    * `<=>` reads as a mismatch — and take the index of the first
-    * mismatch. Runs ONLY on verified candidate pairs (bounded), never
-    * corpus-wide. */
-  private def lcp(a: Column, b: Column): Column = {
-    val mismatch = array_position(
-      zip_with(split(a, ""), split(b, ""), (x, y) => !(x <=> y)), lit(true))
-    when(mismatch === 0, least(length(a), length(b)))
-      .otherwise(mismatch - 1).cast("long")
-  }
+  /** Longest common prefix length of two strings (in characters).
+    * Primary path is the native codegen'd [[graft.plans.StrLcp]] — one
+    * UTF-8 byte walk per row; sessions without `GraftExtensions` fall
+    * back to a pure-builtin form (zip the char arrays with null-safe
+    * equality — the shorter side pads with null, which `<=>` reads as a
+    * mismatch — and take the index of the first mismatch), same values,
+    * ~10× slower per candidate (three interpreted HOF passes + two char
+    * arrays). Runs ONLY on anchor candidate pairs (bounded), never
+    * corpus-wide; same dispatch contract as [[Dedup.dotNative]]. */
+  private def lcp(a: Column, b: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_lcp")))
+      call_function("graft_lcp", a, b)
+    else {
+      val mismatch = array_position(
+        zip_with(split(a, ""), split(b, ""), (x, y) => !(x <=> y)), lit(true))
+      when(mismatch === 0, least(length(a), length(b)))
+        .otherwise(mismatch - 1).cast("long")
+    }
 
   /** EXACT-substring decontamination — the stronger form of the
     * fingerprint-overlap check (`q_contamination`): report every test
@@ -89,7 +96,9 @@ object Curation {
     * side — eval sets, not corpora) shingles every offset. The
     * pigeonhole guarantee is exact: any common substring of length ≥
     * k+s−1 = minLen must contain a tile-ALIGNED train k-gram, so the
-    * hash equi-join on k-gram md5 finds an anchor for every true
+    * hash equi-join on the k-gram's xxhash64 (an 8-byte join key; any
+    * collision is killed by the explicit anchor-equality check, so the
+    * hash choice is pure plumbing) finds an anchor for every true
     * contamination. A k-gram match alone only proves k < minLen common
     * chars, so each candidate anchor is then VERIFIED by in-order
     * extension: re-join both texts by id (hash equi-joins), extend the
@@ -119,7 +128,7 @@ object Curation {
       // a test doc shorter than minLen cannot contain a minLen window
       .filter(col("__graft_text").isNotNull &&
         length(col("__graft_text")) >= minLen)
-    // train tile index: one md5 per ALIGNED k-gram (stride s); every
+    // train tile index: one xxhash64 per ALIGNED k-gram (stride s); every
     // occurrence is kept — two occurrences of the same k-gram extend
     // differently, and dropping one could miss a contamination only
     // reachable through its context
@@ -129,7 +138,7 @@ object Curation {
           lit(s))).as("__graft_q"),
         col("__graft_ttext"))
       .select(col("__graft_tid"), col("__graft_q"),
-        md5(col("__graft_ttext").substr(col("__graft_q"), lit(k)))
+        xxhash64(col("__graft_ttext").substr(col("__graft_q"), lit(k)))
           .as("__graft_h"))
     // test windows at EVERY offset (the guarantee needs unaligned finds)
     val wins = teTexts
@@ -138,7 +147,7 @@ object Curation {
           .as("__graft_p"),
         col("__graft_text"))
       .select(col(idCol), col("__graft_p"),
-        md5(col("__graft_text").substr(col("__graft_p"), lit(k)))
+        xxhash64(col("__graft_text").substr(col("__graft_p"), lit(k)))
           .as("__graft_h"))
     val te = col("__graft_text")
     val tr = col("__graft_ttext")
@@ -148,7 +157,7 @@ object Curation {
       .join(tiles, "__graft_h")
       .join(teTexts, idCol)
       .join(trTexts, "__graft_tid")
-      // anchor check kills md5 collisions; extension arithmetic is on
+      // anchor check kills hash collisions; extension arithmetic is on
       // candidate rows only
       .filter(te.substr(p, lit(k)) === tr.substr(q, lit(k)))
       .withColumn("__graft_left",

@@ -214,6 +214,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_lcp"),
+      new ExpressionInfo(classOf[StrLcp].getCanonicalName, "graft_lcp"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_lcp takes exactly 2 arguments, got ${children.size}")
+        StrLcp(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_quantize8"),
       new ExpressionInfo(classOf[QuantizeInt8].getCanonicalName,
         "graft_quantize8"),

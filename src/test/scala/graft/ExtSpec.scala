@@ -336,6 +336,41 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4).getDouble(1) == 0.0)
   }
 
+  test("native graft_lcp equals the HOF char-array LCP, incl. multi-byte " +
+      "divergence, empties, and NULLs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some("abcdef"), Some("abcxyz")),   // plain prefix 3
+      (Some("same"), Some("same")),       // identical
+      (Some("abc"), Some("abcdef")),      // one is a prefix
+      (Some(""), Some("abc")),            // empty side
+      (Some("αβγ"), Some("αβδ")),         // multi-byte, prefix 2
+      // α (CE B1) vs β (CE B2): first BYTE matches, code point doesn't —
+      // a partially matched multi-byte char must not count
+      (Some("αx"), Some("βx")),
+      (Some("a😀b"), Some("a😀c")),       // astral pair counts as ONE char
+      (None, Some("x")), (Some("x"), None)) // null contract
+      .toDF("a", "b")
+    // the fallback chain Curation.lcp uses on extension-less sessions
+    val mismatch = array_position(
+      zip_with(split(col("a"), ""), split(col("b"), ""),
+        (x, y) => !(x <=> y)), lit(true))
+    val hof = when(mismatch === 0, least(length(col("a")), length(col("b"))))
+      .otherwise(mismatch - 1).cast("long")
+    val out = df.select(
+        call_function("graft_lcp", col("a"), col("b")).as("nat"),
+        hof.as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+    assert(out.take(7).map(_.getLong(0)).toSeq ==
+      Seq(3L, 4L, 3L, 0L, 2L, 0L, 2L))
+    assert(out(7).isNullAt(0) && out(8).isNullAt(0))
+  }
+
   test("embeddingDupPairsLsh: bucketed path loses recall, never precision") {
     val s = spark
     import s.implicits._
