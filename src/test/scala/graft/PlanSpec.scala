@@ -215,6 +215,44 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"tiled k-gram anchoring must keep every join equi-keyed:\n$p")
   }
 
+  test("substring contamination: LCP verification runs the native " +
+      "codegen'd graft_lcp, not the interpreted HOF chain") {
+    val p = plan("q_substring_contamination")
+    assert(p.contains("graft_lcp"),
+      s"extension verify must use the native LCP expression:\n$p")
+    assert(!p.contains("zip_with"),
+      s"the HOF fallback must not appear when the extension is registered:\n$p")
+  }
+
+  test("mixture budget: one hash shuffle feeds both the rank and the " +
+      "running sum") {
+    val p = plan("q_mixture_budget")
+    // the per-source window (row_number + cumulative sum share one
+    // partition-order spec) is the ONLY hash exchange; the trailing
+    // range exchange is the query's own ORDER BY
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected the single per-source window shuffle, saw $exchanges:\n$p")
+  }
+
+  test("export shards: exactly the writer's own shuffle — one hash " +
+      "exchange on the shard id") {
+    val p = plan("q_export_shards")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected one shard-id shuffle for the dense rank, saw $exchanges:\n$p")
+  }
+
+  test("bpe encode: vocabulary chain joins back equi-keyed with " +
+      "map-side partial aggregation, never a cartesian") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"word-token join must stay equi-keyed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-document sums must split partial/final:\n$p")
+  }
+
   test("fuzzy dedup: blocked pairing is an equi-join, never a cartesian") {
     val p = plan("q_fuzzy_dedup")
     assert(!p.contains("CartesianProduct") &&
