@@ -547,6 +547,19 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // JL sign random projection 64 → 8 dims: the scale pre-step in
+    // front of LSH/k-means. The ±1 matrix regenerates from the md5
+    // parity formula on any engine; flattened (vec_id, dim, val) so the
+    // oracle compares every projected coordinate cell-exact at 6 dp.
+    "q_embed_project" -> ((s, dir) => {
+      Similarity.projectSign(Tables.read(s, dir, "embeddings"),
+          "embedding", inDims = 64, outDims = 8)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          r6(col("col")).as("val"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // Canonical text normalization before content addressing: the
     // corpus is deterministically dirtied (case flips, punctuation,
     // ragged whitespace — reproduced verbatim in the oracle) and the
@@ -1985,6 +1998,19 @@ object SparkEntry {
                   AS dropped_segments,
                 md5(coalesce(a.clean_text, '')) AS clean_md5
          FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
+
+    // the same ±1 matrix from the md5 parity formula; embedding[i+1]
+    // because DuckDB lists are 1-indexed while the sign index is 0-based
+    "q_embed_project" ->
+      """SELECT vec_id, j::BIGINT AS dim,
+                round(list_sum([embedding[i + 1]::DOUBLE *
+                    (CASE WHEN ('0x' || substr(md5(i::VARCHAR || ':' ||
+                        j::VARCHAR), 1, 15))::UBIGINT % 2 = 0
+                      THEN 1.0 ELSE -1.0 END)
+                    for i in generate_series(0, 63)]) / sqrt(8.0), 6)
+                  AS val
+         FROM embeddings, generate_series(0, 7) AS t(j)
+         ORDER BY vec_id, dim""",
 
     "q_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,

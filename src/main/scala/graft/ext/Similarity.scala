@@ -418,6 +418,41 @@ object Similarity {
       .drop("_ma")
   }
 
+  /** DETERMINISTIC sign random projection (Johnson–Lindenstrauss /
+    * Achlioptas ±1 form): reduce `inDims`-dim vectors to `outDims`
+    * dims, `proj[j] = Σᵢ v[i]·r(i,j) / √outDims` with `r(i,j) ∈ {±1}`
+    * derived from the codebase's portable md5 idiom (parity of
+    * [[Sampling.md5Top60]] of `"i:j"`), so any engine — and the DuckDB
+    * oracle — regenerates the identical matrix from the formula alone;
+    * no RNG state, no matrix to ship.
+    *
+    * This is the standard scale pre-step in front of LSH bucketing,
+    * k-means, or brute-force rescoring: at 100 TB the projection is
+    * pure per-row expression work — `outDims` native codegen'd dot
+    * products ([[Dedup.dotNative]]) against CONSTANT-folded literal
+    * sign rows, no shuffle, no broadcast variable (the matrix lives in
+    * the plan as `outDims` array literals — outDims×inDims ≤ a few
+    * thousand doubles for any sane reduction). JL guarantees pairwise
+    * distances survive to within ε at `outDims = O(log n / ε²)`.
+    *
+    * Output: input columns + `projCol` (array<double>, length
+    * `outDims`). Null vectors project to null; a vector of the wrong
+    * length makes the dot NULL (dotNative's length-mismatch contract)
+    * rather than a silently wrong value.
+    */
+  def projectSign(e: DataFrame, vecCol: String, inDims: Int, outDims: Int,
+      projCol: String = "proj"): DataFrame = {
+    require(inDims > 0 && outDims > 0, "dims must be positive")
+    val invSqrt = 1.0 / math.sqrt(outDims.toDouble)
+    val v = col(vecCol).cast("array<double>")
+    val rows: Seq[Column] = (0 until outDims).map { j =>
+      val signs: Seq[Double] =
+        (0 until inDims).map(i => ProjectSign.sign(i, j))
+      Dedup.dotNative(v, typedLit(signs)) * lit(invSqrt)
+    }
+    e.withColumn(projCol, array(rows: _*))
+  }
+
   /** Exact top-k under the QUANTIZED dot product: corpus and queries are
     * int8-quantized ([[quantizeInt8]]) and candidates rank by the
     * integer dot of the codes (descending, id tiebreak). With unit-ish
@@ -474,5 +509,23 @@ object Similarity {
       .filter(!isnan(col("cos_sim"))) // zero-norm guard, see knnBruteForce
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+}
+
+/** Driver-side regeneration of the [[Similarity.projectSign]] sign
+  * matrix — the exact Scala mirror of the portable md5 idiom
+  * ([[Sampling.md5Top60]] ≡ DuckDB
+  * `('0x' || substr(md5(k), 1, 15))::UBIGINT`): md5 of `"i:j"`, top 60
+  * bits, parity → ±1. The matrix is outDims×inDims evaluations at PLAN
+  * time (hundreds — negligible), never per row. */
+private[graft] object ProjectSign {
+  def sign(i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    // top 60 bits = first 15 hex chars; parity = lowest bit of hex
+    // char 14 = bit 4 (0x10) of byte 7 — but spelling the arithmetic
+    // out is easier to trust: parse the 15-char prefix like the SQL does
+    val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
   }
 }

@@ -371,6 +371,41 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out(7).isNullAt(0) && out(8).isNullAt(0))
   }
 
+  test("projectSign: closed-form sign projection, null and length " +
+      "contracts, partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1.0, 2.0, 3.0))),
+      (2L, Some(Seq(-0.5, 0.25, 4.0))),
+      (3L, None),                       // null vector → null projection
+      (4L, Some(Seq(1.0, 2.0))))        // wrong length → NULL dots
+      .toDF("vec_id", "v")
+    val out = graft.ext.Similarity.projectSign(df, "v", inDims = 3,
+        outDims = 2)
+      .orderBy(col("vec_id")).collect()
+    // closed form against the driver-side sign regeneration
+    def expect(v: Seq[Double], j: Int): Double =
+      v.indices.map(i => v(i) * graft.ext.ProjectSign.sign(i, j)).sum /
+        math.sqrt(2.0)
+    for ((row, v) <- Seq(out(0) -> Seq(1.0, 2.0, 3.0),
+        out(1) -> Seq(-0.5, 0.25, 4.0))) {
+      val p = row.getSeq[Double](2)
+      assert(p.length == 2)
+      for (j <- 0 until 2)
+        assert(math.abs(p(j) - expect(v, j)) < 1e-12, s"$row dim $j")
+    }
+    // sign() is genuinely mixed — a degenerate all-+1 matrix would make
+    // the projection a scaled sum, not a JL embedding
+    val signs = for (i <- 0 until 8; j <- 0 until 8)
+      yield graft.ext.ProjectSign.sign(i, j)
+    assert(signs.contains(1.0) && signs.contains(-1.0))
+    // null vector projects to an array of NULL dots (dotNative contract)
+    assert(out(2).getSeq[Any](2).forall(_ == null))
+    // wrong-length vector → NULL coordinates, never silent garbage
+    assert(out(3).getSeq[Any](2).forall(_ == null))
+  }
+
   test("embeddingDupPairsLsh: bucketed path loses recall, never precision") {
     val s = spark
     import s.implicits._
