@@ -154,27 +154,35 @@ object SparkEntry {
 
   /** DuckDB replay of [[graft.ext.Similarity]]'s farthest-point
     * seeding ([[graft.ext.Similarity.farthestSeedVecs]]) over the int8
-    * code relation `q`/`pts`: seed 0 is the md5-rank minimum id; each
-    * stage `sn{j}` picks the not-yet-picked point with the largest
-    * min-distance to the picked set (ties by id) — integer-exact, so
-    * the sequence is identical to the Spark side's. Emits CTE text
-    * ending in `seed (vec_id, cluster)`, spliced into the q_kmeans
-    * oracle ahead of the unrolled Lloyd stages. */
+    * code relation `q`/`pts`: the candidate pool is the
+    * [[graft.ext.Similarity.seedSampleSize]] md5-rank-smallest ids
+    * (the identical sample the Spark side collects in its ONE seeding
+    * job); seed 0 is the sample's md5-rank minimum; each stage `sn{j}`
+    * picks the not-yet-picked candidate with the largest min-distance
+    * to the picked set (ties by id) — integer-exact, so the sequence
+    * is identical to the Spark side's driver-local pass. Emits CTE
+    * text ending in `seed (vec_id, cluster)`, spliced into the
+    * q_kmeans oracle ahead of the unrolled Lloyd stages. */
   private def kmeansSeedSql(k: Int): String = {
     // every sp{j} is referenced three times downstream (the distance
     // join, the NOT IN guard, and sp{j+1}'s union) — AS MATERIALIZED
     // stops DuckDB's CTE inlining from expanding the chain
     // exponentially (3^k scans of the parquet source without it)
+    val m = graft.ext.Similarity.seedSampleSize(k)
     val sb = new StringBuilder
     sb.append(
-      """sp0 AS MATERIALIZED (SELECT vec_id, 0 AS cluster FROM (
-              SELECT vec_id FROM q
+      s"""cand AS MATERIALIZED (SELECT vec_id FROM q
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $m),
+         cpts AS MATERIALIZED (SELECT p.vec_id, p.dim, p.x
+              FROM pts p JOIN cand USING (vec_id)),
+         sp0 AS MATERIALIZED (SELECT vec_id, 0 AS cluster FROM (
+              SELECT vec_id FROM cand
               ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1))""")
     for (j <- 1 until k) {
       sb.append(s""",
          se$j AS MATERIALIZED (SELECT p.vec_id, b.vec_id AS sv,
                 sum((p.x - b.x) * (p.x - b.x)) AS dd
-              FROM pts p JOIN pts b ON p.dim = b.dim
+              FROM cpts p JOIN cpts b ON p.dim = b.dim
               JOIN sp${j - 1} s ON b.vec_id = s.vec_id
               GROUP BY p.vec_id, b.vec_id),
          sn$j AS MATERIALIZED (SELECT vec_id FROM (
@@ -2075,7 +2083,8 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // Full integer k-means replay: global-scale int8 quantization,
-    // seeds = 10 smallest vec_ids, FOUR unrolled Lloyd rounds
+    // seeds = farthest-point picks over the md5-rank top-M candidate
+    // sample (kmeansSeedSql), FOUR unrolled Lloyd rounds
     // (assign a_i → floor-div means m_i → coalesce-carry centroids
     // c_i), final assignment a5, purity rollup. Every step is integer
     // or correctly-rounded-double arithmetic, so the replay is

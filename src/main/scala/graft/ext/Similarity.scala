@@ -182,47 +182,85 @@ object Similarity {
 
   // ── K-means centroid training (Lloyd's iterations) ──────────────────
 
+  /** Candidate-sample size for [[farthestSeedVecs]]: large enough that
+    * every well-separated region of the corpus lands candidates in the
+    * md5-rank sample with overwhelming probability, small enough that
+    * the driver-local O(M·k·dim) farthest-point pass is negligible.
+    * Shared with the DuckDB oracle ([[graft.SparkEntry]]'s
+    * `kmeansSeedSql`) so both engines sample the identical id set. */
+  def seedSampleSize(k: Int): Int = math.max(1024, 16 * k)
+
   /** Deterministic SCATTERED seeding for the Lloyd's trainers —
-    * farthest-point (k-center) picks. The first seed is the md5-rank
-    * minimum over ids (a uniform, id-layout-independent draw); each
-    * further seed is the vector maximizing squared-L2 distance to its
-    * NEAREST already-picked seed, ties broken by id. A first-k-by-id
-    * rule seeds a single region of an id-sorted corpus (all low ids in
-    * one cluster); farthest-point provably hits every well-separated
-    * region within the first picks regardless of id layout.
+    * farthest-point (k-center) picks over a bounded candidate sample.
+    * ONE Spark job collects the [[seedSampleSize]] md5-rank-smallest
+    * rows (a uniform, id-layout-independent draw; TakeOrdered =
+    * partition-local top-M + driver merge, so only M×dim doubles move).
+    * Farthest-point then runs DRIVER-LOCALLY on the sample: seed 0 is
+    * the md5-rank minimum (the sample's first row); each further seed
+    * maximizes squared-L2 distance to its nearest already-picked seed,
+    * ties broken by id ascending. A first-k-by-id rule seeds a single
+    * region of an id-sorted corpus; farthest-point over a uniform
+    * sample hits every well-separated region regardless of id layout.
     *
-    * Scale: k−1 passes, each a map-side distance against the broadcast
-    * picked-seed literals feeding a 1-row TakeOrdered; only k×dim
-    * doubles ever reach the driver. Exactness: int8 codes are exact in
-    * doubles and each distance is a fixed per-row fold (native dot),
-    * so the argmax — and therefore the seed sequence — is
-    * engine-deterministic and oracle-replayable. */
+    * Round 6 shipped this as k−1 sequential driver-blocking full-corpus
+    * jobs (O(k²/2) distance work, k job barriers — 16.6 s in the
+    * driver's bench run and a 100 TB scale-killer); the sample form is
+    * one pass, total-work-bounded, and unchanged in RESULT whenever the
+    * corpus has ≤ M rows (every spec fixture and the sf0.01 gate).
+    *
+    * Exactness: distances are direct Σ(aᵢ−bᵢ)² folds in doubles — on
+    * int8 codes every term is an integer far below 2^53, so the argmax
+    * (and therefore the seed sequence) is engine-exact and the DuckDB
+    * oracle replays it from the same sample. The sample itself is
+    * re-sorted driver-side by (md5(id), id), so correctness does not
+    * lean on collect() preserving TakeOrdered's output order. */
   private def farthestSeedVecs(base: DataFrame, idCol: String,
       k: Int): Seq[Seq[Double]] = {
-    val proj = base.select(col(idCol).as("_sid"),
-      col("v").cast("array<double>").as("_sv"))
-    val first = proj
+    val m = seedSampleSize(k)
+    val sample = base.select(col(idCol).as("_sid"),
+        col("v").cast("array<double>").as("_sv"))
       .orderBy(md5(col("_sid").cast("string")), col("_sid"))
-      .limit(1).collect()
-    if (first.isEmpty) return Nil
-    val ids = scala.collection.mutable.ArrayBuffer[Any](first(0).get(0))
-    val vecs = scala.collection.mutable.ArrayBuffer(
-      first(0).getSeq[Double](1).toSeq)
-    while (vecs.size < k) {
-      // d²(v, c) = |v|² − 2·v·c + |c|²; |v|² must stay (the argmax is
-      // over v, so it does NOT cancel as it does in the assign argmin)
-      val v2 = Dedup.dotNative(col("_sv"), col("_sv"))
-      val minD2 = vecs.map { c =>
-        val c2 = c.map(x => x * x).sum
-        v2 - Dedup.dotNative(col("_sv"), typedLit(c)) * lit(2d) + lit(c2)
-      }.reduce(least(_, _))
-      val next = proj.filter(!col("_sid").isin(ids.toSeq: _*))
-        .orderBy(minD2.desc, col("_sid")).limit(1).collect()
-      if (next.isEmpty) return vecs.toSeq // fewer than k distinct rows
-      ids += next(0).get(0)
-      vecs += next(0).getSeq[Double](1).toSeq
+      .limit(m).collect()
+    if (sample.isEmpty) return Nil
+    def cmpIds(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val rows = sample.sortWith { (a, b) =>
+      val (ha, hb) = (md5Hex(a.get(0).toString), md5Hex(b.get(0).toString))
+      val c = ha.compareTo(hb)
+      if (c != 0) c < 0 else cmpIds(a.get(0), b.get(0)) < 0
     }
-    vecs.toSeq
+    val ids = rows.map(_.get(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val n = vecs.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[Int](0)
+    val isPicked = new Array[Boolean](n); isPicked(0) = true
+    val minD2 = Array.fill(n)(Double.PositiveInfinity)
+    while (picked.size < math.min(k, n)) {
+      val last = vecs(picked.last)
+      var i = 0
+      while (i < n) {
+        if (!isPicked(i)) {
+          val d = d2(vecs(i), last)
+          if (d < minD2(i)) minD2(i) = d
+        }
+        i += 1
+      }
+      var best = -1
+      i = 0
+      while (i < n) {
+        if (!isPicked(i) && (best < 0 || minD2(i) > minD2(best) ||
+            (minD2(i) == minD2(best) && cmpIds(ids(i), ids(best)) < 0)))
+          best = i
+        i += 1
+      }
+      picked += best; isPicked(best) = true
+    }
+    picked.map(vecs(_).toSeq).toSeq
   }
 
   /** Train `k` centroids with Lloyd's algorithm — the centroid-learning
