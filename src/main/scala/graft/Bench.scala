@@ -112,8 +112,12 @@ object Bench {
     val top = failed ++
       best.toSeq.filter(_._2 >= 0).sortBy(-_._2)
         .take(40 - math.min(failed.size, 40))
+    // the BENCH_FULL.json pointer is only honest on a full run —
+    // SPARK_GRAFT_ONLY subset runs deliberately leave the file stale
+    val fullPtr =
+      if (only.isEmpty) ""","queries_full":"BENCH_FULL.json"""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(top)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(top)}$fullPtr,"sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(best)},"sf":"$sfDir"}"""
     if (only.isEmpty)

@@ -76,14 +76,18 @@ object SparkEntry {
     * the current segmentation (`c`/`p`), the arg-max under the pinned
     * (n DESC, lhs, rhs) total order (`b`), and the greedy literal
     * replace in the double-space string encoding (`w`) — the exact
-    * same encoding the Spark side carries, so cell-exact parity. */
+    * same encoding the Spark side carries, so cell-exact parity.
+    * `AS MATERIALIZED` on each generation for the same reason as
+    * [[bpeEncodeOracle]]: every w$k feeds both the next census and the
+    * next replace, so CTE inlining would expand the chain 2^m-fold. */
   private def bpeTrainOracle(m: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH words AS (SELECT w, count(*)::BIGINT AS cnt
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            WHERE w <> '' GROUP BY 1),
-         w0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'gs') AS seg,
+         w0 AS MATERIALIZED (SELECT
+                '  ' || regexp_replace(w, '(.)', '\1  ', 'gs') AS seg,
                 cnt FROM words)""")
     for (k <- 1 to m) {
       sb.append(s""",
@@ -95,8 +99,9 @@ object SparkEntry {
                      FROM c$k WHERE len(s) >= 2)
                GROUP BY 1, 2),
          b$k AS (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
-         w$k AS (SELECT replace(seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
-                                ' ' || b.lhs || b.rhs || ' ') AS seg, cnt
+         w$k AS MATERIALIZED (SELECT
+                replace(seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') AS seg, cnt
                FROM w${k - 1}, b$k b)""")
     }
     sb.append("\n         SELECT * FROM (")

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver testdata tables (TESTDATA.md). */
 object Tables {
@@ -9,20 +10,37 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read the raw int64 nanos (legacy flag) and convert to a
-    * microsecond TimestampType. The driver data is µs-aligned, so the
-    * `div 1000` is lossless and matches DuckDB's ns->µs read exactly.
+  /** The driver has shipped `events.parquet` with two `ts` encodings so
+    * far — TIMESTAMP(NANOS) (which Spark surfaces as int64 under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and native timestamp[us]
+    * (isAdjustedToUTC=false ⇒ Spark reads TIMESTAMP_NTZ). Map whatever
+    * the file declares onto a session-TZ `TimestampType`; all entry
+    * points pin the session to UTC, so the NTZ→TZ cast is the identity
+    * on wall-clock values and matches DuckDB's naive-timestamp read of
+    * the same file exactly.
     */
+  def normalizeEventTs(df: DataFrame, column: String = "ts"): DataFrame =
+    df.schema(column).dataType match {
+      case LongType => // legacy nanos-as-int64: µs-aligned, div is lossless
+        df.withColumn(column, timestamp_micros(expr(s"$column div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(column, col(column).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.$column has unsupported type $other — extend " +
+          "Tables.normalizeEventTs for the new encoding")
+    }
+
+  /** `events.parquet` with `ts` normalized to TimestampType whatever the
+    * on-disk encoding (see [[normalizeEventTs]]). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // NB session-level side effect, intentionally NOT restored: the
     // returned DataFrame is lazy and the flag must still hold when it
-    // executes. Verify/Bench/test sessions also pin it at construction;
-    // ad-hoc sessions get it set here on first use (any later genuine
-    // TIMESTAMP(NANOS) read in the same session then surfaces as long).
+    // executes. Harmless when ts is a native timestamp; load-bearing
+    // when the file declares TIMESTAMP(NANOS), which Spark otherwise
+    // refuses to read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(read(spark, dir, "events"))
   }
 
   /** `events` adapted to the canonical habit_events column names

@@ -91,11 +91,14 @@ object Curation {
     * Scale design (100 TB): a suffix-array or full every-offset
     * shingle index over the TRAIN side would carry one entry per
     * corpus character. Instead the train side is TILED: k-grams only
-    * at stride-`s` offsets (k = ⌈(minLen+1)/2⌉, s = minLen−k+1 ≤ k),
-    * cutting train index size by ~s×, while the test side (the small
-    * side — eval sets, not corpora) shingles every offset. The
-    * pigeonhole guarantee is exact: any common substring of length ≥
-    * k+s−1 = minLen must contain a tile-ALIGNED train k-gram, so the
+    * at stride-`s` offsets (k = ⌈minLen/2⌉, s = minLen−k+1, i.e.
+    * s = k for odd minLen and s = k+1 for even), cutting train index
+    * size by ~s×, while the test side (the small side — eval sets, not
+    * corpora) shingles every offset. The pigeonhole guarantee is
+    * exact: a window of length k+s−1 = minLen spans s consecutive
+    * start offsets, and a stride-s tiling has exactly one aligned
+    * offset in any s consecutive — so any common substring of length ≥
+    * minLen must contain a tile-ALIGNED train k-gram, and the
     * hash equi-join on the k-gram's xxhash64 (an 8-byte join key; any
     * collision is killed by the explicit anchor-equality check, so the
     * hash choice is pure plumbing) finds an anchor for every true

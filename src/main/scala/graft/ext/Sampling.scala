@@ -101,6 +101,12 @@ object Sampling {
     * Output: input columns + `shard` (long) + `shard_pos` (long). */
   def exportShards(df: DataFrame, key: Column, numShards: Int): DataFrame = {
     require(numShards > 0)
+    // same contract as Packing.checkNames: the generated columns must
+    // not silently overwrite caller data
+    val clash = df.columns.filter(Set("shard", "shard_pos"))
+    require(clash.isEmpty,
+      "exportShards reserves output column names shard, shard_pos; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(md5Top60(key), key)
     df.withColumn("shard", hashBucket(key, numShards))

@@ -235,13 +235,33 @@ object Streaming {
     * source wants a DIRECTORY but the testdata table is a single
     * parquet file, so symlink it into a temp dir (no data copy), pin
     * the TIMESTAMP(NANOS) read flag for the run, hand `body` a FACTORY
-    * of raw schema'd streams (int64 nanos `ts`; stream-stream joins
-    * need one instance per side), and restore/clean up after. */
+    * of streams with `ts` already normalized to TimestampType
+    * (stream-stream joins need one instance per side), and
+    * restore/clean up after.
+    *
+    * The stream schema is derived from a one-off BATCH read of the same
+    * file, so the staging tracks whatever `ts` encoding the testdata
+    * currently uses (legacy int64-nanos vs native timestamp[us]) via
+    * the same [[graft.Tables.normalizeEventTs]] branch as the batch
+    * loaders — a hardcoded `ts: LongType` stream schema would silently
+    * reinterpret native-timestamp micros as nanos and shift every
+    * watermark/window by 1000×. A cheap min(ts) probe guards exactly
+    * that class of bug: any future encoding change that survives the
+    * schema branch but lands outside [2000, 2100) fails loudly here
+    * instead of corrupting results. */
   private def withStagedEvents[T](spark: SparkSession, dir: String)(
       body: (() => DataFrame) => T): T = {
     val prevNanos =
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.Tables.events(spark, dir)
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val minYear = batch.agg(min(year(col("ts")))).head().getInt(0)
+    require(minYear >= 2000 && minYear < 2100,
+      s"staged events sanity check failed: min(ts) year $minYear is " +
+        "outside [2000, 2100) — the testdata ts encoding likely changed; " +
+        "update Tables.normalizeEventTs")
     // Scope the replay to few shuffle partitions: every stateful
     // streaming operator maintains ONE state-store instance per shuffle
     // partition per micro-batch (load/commit/snapshot bookkeeping even
@@ -256,7 +276,7 @@ object Streaming {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_")
@@ -264,7 +284,8 @@ object Streaming {
       java.nio.file.Files.createSymbolicLink(
         staged.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      body(() => spark.readStream.schema(schema).parquet(staged.toString))
+      body(() => graft.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(staged.toString)))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevNanos match {
@@ -301,7 +322,7 @@ object Streaming {
       val typed = mkStream()
         .filter(col("event_type").isin(leftHabit, rightHabit))
         .select(col("event_id"), col("user_id").as("user_email"),
-          expr("ts div 1000").as("tsMicros"),
+          unix_micros(col("ts")).as("tsMicros"),
           (col("event_type") === leftHabit).as("isLeft"), col("value"))
         .as[AsOfStreamEvent]
       val q = asofStream(typed).writeStream.format("memory")
@@ -483,7 +504,8 @@ object Streaming {
   /** Run [[habitDailyStream]] over the driver's `events` parquet as a
     * bounded stream (Trigger.AvailableNow → memory sink, complete mode)
     * and return the final table — lets the batch oracle check the
-    * streaming path. The nanos→micros read mirrors `Tables.events`.
+    * streaming path. The `ts` read mirrors `Tables.events` (the staging
+    * factory normalizes whatever encoding the file declares).
     *
     * NB the streaming day bucket (`window(ts, '1 day')`) is epoch/UTC
     * aligned while the batch `date_trunc` is session-tz aligned — they
@@ -497,7 +519,6 @@ object Streaming {
         "for window()/date_trunc day-bucket agreement")
     withStagedEvents(spark, dir) { mkStream =>
       val stream = mkStream()
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withColumnRenamed("user_id", "user_email")
         .withColumnRenamed("event_type", "habit")
       val q = habitDailyStream(stream, watermark = "60 days", sumHabit)
@@ -515,7 +536,7 @@ object Streaming {
     * they match (no watermark wait), and the generous watermark only
     * bounds STATE — batch-1 data is never late, so the replay equals
     * the batch theta join row-for-row, which is exactly what the DuckDB
-    * oracle asserts. Staging/nanos handling mirrors
+    * oracle asserts. Staging/`ts` handling mirrors
     * [[habitDailyAvailableNow]]. */
   def intervalJoinAvailableNow(spark: SparkSession, dir: String,
       leftHabit: String, rightHabit: String, lower: String, upper: String,
@@ -524,7 +545,6 @@ object Streaming {
       "intervalJoinAvailableNow requires spark.sql.session.timeZone=UTC")
     withStagedEvents(spark, dir) { mkStream =>
       def side(habit: String) = mkStream()
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withColumnRenamed("user_id", "user_email")
         .filter(col("event_type") === habit)
         .select(col("event_id"), col("user_email"), col("ts"))
