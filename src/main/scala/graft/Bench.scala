@@ -13,6 +13,24 @@ object Bench {
       line.trim.split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
 
+  /** Cumulative GC time (ms) across all collectors — deltas around a
+    * timed run attribute in-JVM inflation (a query slow because the heap
+    * was thrashing, not because its plan regressed) that host load1m
+    * cannot see. Rounds 6-7 both showed 3-12× per-query swings on
+    * untouched code with load1m in range; gc_ms is the missing signal. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** Heap in use (MiB) right now — sampled after each run, the level the
+    * NEXT query starts from (persistent growth across queries reads as a
+    * leak/cache-accumulation signature in the artifact). */
+  private def heapUsedMb(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed >> 20
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     val loadStart = loadAvg1m()
@@ -50,7 +68,8 @@ object Bench {
     // BENCH_FULL.json: min-of-2 can't save a query whose both runs sit
     // inside a host-contention window, but runs=[26.1, 26.8] at load 31
     // vs runs=[2.3, 2.1] at load 8 tells the reader which happened.
-    case class QRes(best: Double, runs: Seq[Double], loads: Seq[Double])
+    case class QRes(best: Double, runs: Seq[Double], loads: Seq[Double],
+      gcMs: Seq[Long], heapMb: Seq[Long])
     // Iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
     // Partial runs never touch the durable artifacts (guarded below) —
     // a clobbered BENCH_FULL.json would diff as a mass regression.
@@ -62,7 +81,8 @@ object Bench {
       SparkEntry.queries.view.filterKeys(names).toMap
     }
     val results = selected.map { case (name, fn) =>
-      def run(): (Double, Double) = {
+      def run(): (Double, Double, Long, Long) = {
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         // noop sink forces FULL evaluation (projections, sorts, digests);
         // .count() would let Catalyst prune them and time a bare row-count
@@ -74,18 +94,20 @@ object Bench {
           }
         // a failed query reports -1, never a fast-looking elapsed time
         val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val gcDelta = gcMillis() - gc0
         // free any caches the operator left behind (outside the timed
         // window: the query's own work is fully paid above)
         spark.catalog.clearCache()
-        (elapsed, loadAvg1m())
+        (elapsed, loadAvg1m(), gcDelta, heapUsedMb())
       }
-      val (first, load1) = run()
+      val (first, load1, gc1, heap1) = run()
       val res =
-        if (first < 0) QRes(first, Seq(first), Seq(load1))
+        if (first < 0) QRes(first, Seq(first), Seq(load1), Seq(gc1), Seq(heap1))
         else {
-          val (second, load2) = run()
+          val (second, load2, gc2, heap2) = run()
           val best = if (second < 0) first else math.min(first, second)
-          QRes(best, Seq(first, second), Seq(load1, load2))
+          QRes(best, Seq(first, second), Seq(load1, load2), Seq(gc1, gc2),
+            Seq(heap1, heap2))
         }
       name -> res
     }
@@ -129,9 +151,10 @@ object Bench {
     // wall 690s vs 221s for identical work — uptime makes that visible.
     val jvmUp = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1e3
     def arr(vs: Seq[Double]): String = vs.map(r3).mkString("[", ",", "]")
+    def arrL(vs: Seq[Long]): String = vs.mkString("[", ",", "]")
     val pretty = results.toSeq.sortBy(_._1)
       .map { case (k, r) =>
-        s"""  "$k": {"sec": ${r3(r.best)}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}}"""
+        s"""  "$k": {"sec": ${r3(r.best)}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}, "gc_ms": ${arrL(r.gcMs)}, "heap_mb": ${arrL(r.heapMb)}}"""
       }
       .mkString(
         s"""{\n  "_total_sec": ${r3(total)},\n  "_sf": "$sfDir",\n  "_cpus": $cpus,\n""" +

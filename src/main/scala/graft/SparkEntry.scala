@@ -119,10 +119,14 @@ object SparkEntry {
     * to the exploded corpus. `AS MATERIALIZED` on each generation —
     * every w$k is referenced twice (next census + next replace), and
     * DuckDB's CTE inlining would expand the chain 2^m-fold without it. */
-  private def bpeEncodeOracle(m: Int): String = {
+  /** The word-carrying merge chain shared by [[bpeEncodeOracle]] and
+    * [[bpeEncodeIdsOracle]]: CTEs `words` + `w0..w$m` whose final
+    * generation is a word → segmentation map (and `b1..b$m`, the merge
+    * pairs). Returned as the interior of a WITH clause. */
+  private def bpeWordChainSql(m: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH words AS (SELECT w, count(*)::BIGINT AS cnt
+      """words AS (SELECT w, count(*)::BIGINT AS cnt
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            WHERE w <> '' GROUP BY 1),
          w0 AS MATERIALIZED (SELECT w,
@@ -143,7 +147,11 @@ object SparkEntry {
                         ' ' || b.lhs || b.rhs || ' ') AS seg, cnt
                FROM w${k - 1}, b$k b)""")
     }
-    sb.append(s""",
+    sb.toString
+  }
+
+  private def bpeEncodeOracle(m: Int): String =
+    s"""WITH ${bpeWordChainSql(m)},
          tok AS (SELECT w,
                 len(list_filter(string_split(seg, '  '), x -> x <> ''))::BIGINT
                   AS t
@@ -153,8 +161,49 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_words,
                 sum(t)::BIGINT AS n_bpe_tokens
          FROM dw JOIN tok USING (w) WHERE w <> ''
-         GROUP BY doc_id ORDER BY doc_id""")
-    sb.toString
+         GROUP BY doc_id ORDER BY doc_id"""
+
+  /** DuckDB replay of [[graft.ext.Bpe.bpeEncodeIds]]: the same trained
+    * chain, then the deterministic vocabulary (sorted corpus alphabet
+    * ids `0..B-1`, merge step `k` mints id `B+k-1`, first id wins on a
+    * string collision — `min(id)` after the union, since base ids are
+    * all below minted ids and earlier mints below later) and the
+    * per-word → per-document id-sequence assembly, compared as the
+    * space-joined string form. */
+  private def bpeEncodeIdsOracle(m: Int): String = {
+    val mergeUnion = (1 to m)
+      .map(k => s"SELECT $k AS step, lhs, rhs FROM b$k")
+      .mkString("\n               UNION ALL ")
+    s"""WITH ${bpeWordChainSql(m)},
+         syms AS (SELECT w, list_filter(string_split(seg, '  '), x -> x <> '')
+                  AS s FROM w$m),
+         alpha AS (SELECT DISTINCT unnest(string_split(w, '')) AS sym
+               FROM words),
+         base AS (SELECT sym,
+                (row_number() OVER (ORDER BY sym) - 1)::INT AS id FROM alpha),
+         minted AS (SELECT lhs || rhs AS sym,
+                ((SELECT count(*) FROM base) + step - 1)::INT AS id
+               FROM ($mergeUnion)),
+         vocab AS (SELECT sym, min(id)::INT AS id
+               FROM (SELECT sym, id FROM base
+                     UNION ALL SELECT sym, id FROM minted) GROUP BY 1),
+         wsym AS (SELECT w, pos, s[pos] AS sym
+               FROM (SELECT w, s, unnest(generate_series(1, len(s))) AS pos
+                     FROM syms)),
+         wids AS (SELECT w, list(v.id ORDER BY pos) AS ids
+               FROM wsym JOIN vocab v USING (sym) GROUP BY w),
+         dw AS (SELECT doc_id, pos, ws[pos] AS w
+               FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws))) AS pos
+                     FROM (SELECT doc_id,
+                            list_filter(string_split(text, ' '), x -> x <> '')
+                              AS ws
+                           FROM documents))),
+         fl AS (SELECT doc_id, flatten(list(ids ORDER BY pos)) AS tids
+               FROM dw JOIN wids USING (w) GROUP BY doc_id)
+         SELECT doc_id, array_to_string(tids, ' ') AS token_ids,
+                len(tids)::BIGINT AS n_tokens
+         FROM fl ORDER BY doc_id"""
   }
 
   /** DuckDB replay of [[graft.ext.Similarity]]'s farthest-point
@@ -1398,6 +1447,21 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
       graft.ext.Bpe.bpeEncode(docs, "doc_id", "text",
           graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer apply, ID form: per-document array<int> token-id
+    // sequences under the deterministic vocabulary (sorted corpus
+    // alphabet, then merge-order minted ids) — what a training
+    // pipeline actually feeds the model. Gate compares the
+    // space-joined string form of the arrays cell-exact.
+    "q_bpe_encode_ids" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text",
+          graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+        .select(col("doc_id"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2721,6 +2785,7 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracle(8),
 
     "q_bpe_encode" -> bpeEncodeOracle(8),
+    "q_bpe_encode_ids" -> bpeEncodeIdsOracle(8),
 
     // Same hash → budget → ordered-prefix arithmetic as mixtureByTokens:
     // budget floor(2000·w/5.5) per source, md5-rank order, keep while

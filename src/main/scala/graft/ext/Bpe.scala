@@ -158,42 +158,7 @@ object Bpe {
     * pin that the expression-fold and per-row-fold paths agree. */
   private[graft] def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: DataFrame, maxExprMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    // step order IS application order — BPE merges are not commutative
-    val chain: Array[(String, String)] = merges
-      .select(col("step"), col("lhs"), col("rhs"))
-      .orderBy(col("step")).collect()
-      .map(r => (r.getString(1), r.getString(2)))
-
-    val words = docs
-      .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
-      .filter(col("w") =!= "")
-      .distinct()
-    val seg0 = concat(lit("  "), regexp_replace(col("w"), "(?s)(.)", "$1  "))
-    val segged =
-      if (chain.length <= maxExprMerges) {
-        val segN = chain.foldLeft(seg0) { case (c, (l, r)) =>
-          replace(c, lit(s" $l  $r "), lit(s" $l$r "))
-        }
-        words.select(col("w"), segN.as("seg"))
-      } else {
-        val bc = spark.sparkContext.broadcast(chain)
-        import spark.implicits._
-        words.select(col("w"), seg0.as("seg")).as[(String, String)]
-          .mapPartitions { it =>
-            val ms = bc.value
-            it.map { case (w, s0) =>
-              var s = s0
-              var i = 0
-              while (i < ms.length) {
-                val (l, r) = ms(i)
-                s = s.replace(s" $l  $r ", s" $l$r ")
-                i += 1
-              }
-              (w, s)
-            }
-          }.toDF("w", "seg")
-      }
+    val segged = segmentWords(docs, textCol, collectChain(merges), maxExprMerges)
     val wordTokens = segged.select(col("w"),
       size(filter(split(col("seg"), "  ", -1), x => x =!= ""))
         .cast("long").as("t"))
@@ -205,5 +170,122 @@ object Bpe {
       .join(wordTokens, "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_bpe_tokens"))
+  }
+
+  /** step order IS application order — BPE merges are not commutative */
+  private def collectChain(merges: DataFrame): Array[(String, String)] =
+    merges
+      .select(col("step"), col("lhs"), col("rhs"))
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+
+  /** Final segmentation per distinct word of `docs` under the merge
+    * `chain`, in the double-space encoding: `(w, seg)`. The chain — the
+    * expensive sequential part — runs once per DISTINCT word. */
+  private def segmentWords(docs: DataFrame, textCol: String,
+      chain: Array[(String, String)], maxExprMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val seg0 = concat(lit("  "), regexp_replace(col("w"), "(?s)(.)", "$1  "))
+    if (chain.length <= maxExprMerges) {
+      val segN = chain.foldLeft(seg0) { case (c, (l, r)) =>
+        replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+      }
+      words.select(col("w"), segN.as("seg"))
+    } else {
+      val bc = spark.sparkContext.broadcast(chain)
+      import spark.implicits._
+      words.select(col("w"), seg0.as("seg")).as[(String, String)]
+        .mapPartitions { it =>
+          val ms = bc.value
+          it.map { case (w, s0) =>
+            var s = s0
+            var i = 0
+            while (i < ms.length) {
+              val (l, r) = ms(i)
+              s = s.replace(s" $l  $r ", s" $l$r ")
+              i += 1
+            }
+            (w, s)
+          }
+        }.toDF("w", "seg")
+    }
+  }
+
+  /** ENCODE to real token-ID sequences — what a training pipeline feeds
+    * the model: per document, the `array<int>` of vocabulary ids of its
+    * BPE symbols in reading order. Output `(idCol, token_ids, n_tokens)`,
+    * one row per document with at least one word.
+    *
+    * Vocabulary contract (deterministic, engine-independent): base
+    * symbols are the distinct single characters of the corpus's words in
+    * ascending (code-point) order, ids `0 .. B-1`; each merge step `k`
+    * mints symbol `lhs ∥ rhs` with id `B + k - 1` — merge-order ids,
+    * exactly the ids reference BPE implementations assign. If a minted
+    * string collides with an existing symbol (possible: two merge paths
+    * can fuse to the same string), the FIRST id wins, so the mapping is
+    * a function of (alphabet, merge list) alone.
+    *
+    * Scale design (100 TB): identical to [[bpeEncode]] — the merge chain
+    * and the id lookup run per DISTINCT word (vocabulary-sized), then
+    * one hash join back to the exploded corpus; per-document arrays are
+    * bounded by document length. The alphabet collect is
+    * alphabet-sized (≤ distinct characters — thousands even for CJK
+    * corpora), same driver-state class as the merge list itself. */
+  def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame =
+    bpeEncodeIds(docs, idCol, textCol, merges, MaxExprMerges)
+
+  /** Test seam: see [[bpeEncode]]'s. */
+  private[graft] def bpeEncodeIds(docs: DataFrame, idCol: String,
+      textCol: String, merges: DataFrame, maxExprMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val chain = collectChain(merges)
+    val segged = segmentWords(docs, textCol, chain, maxExprMerges)
+
+    // deterministic vocabulary: sorted corpus alphabet, then merge-order
+    // minted symbols; first id wins on a string collision
+    val alphabet: Array[String] = segged
+      .select(explode(split(col("w"), "")).as("sym"))
+      .filter(col("sym") =!= "").distinct()
+      .orderBy(col("sym")).collect().map(_.getString(0))
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    alphabet.foreach(s => vocab.getOrElseUpdate(s, vocab.size))
+    chain.foreach { case (l, r) =>
+      val minted = l + r
+      if (!vocab.contains(minted)) vocab.update(minted, vocab.size)
+      // collision: keep the earlier id; the minted id is simply unused
+    }
+    import spark.implicits._
+    val vocabDf = broadcast(
+      vocab.toSeq.toDF("__graft_sym", "__graft_symid"))
+
+    // per-word id sequence: symbols in order -> ids in order
+    val wordIds = segged
+      .select(col("w"),
+        posexplode(filter(split(col("seg"), "  ", -1), x => x =!= ""))
+          .as(Seq("__graft_spos", "__graft_sym")))
+      .join(vocabDf, "__graft_sym")
+      .groupBy(col("w"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__graft_spos"),
+          col("__graft_symid")))),
+        s => s.getField("__graft_symid")).as("__graft_wids"))
+
+    docs
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol).cast("string"), " ", -1),
+          x => x =!= "")).as(Seq("__graft_wpos", "w")))
+      .join(wordIds, "w")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__graft_wpos"),
+          col("__graft_wids")))),
+        s => s.getField("__graft_wids"))).as("token_ids"))
+      .select(col(idCol), col("token_ids"),
+        size(col("token_ids")).cast("long").as("n_tokens"))
   }
 }

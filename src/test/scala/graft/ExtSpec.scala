@@ -1708,6 +1708,27 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(collectStats(0) == expr)
   }
 
+  test("bpeEncodeIds emits merge-order token-id sequences on seen and " +
+      "unseen words, and both fold branches agree") {
+    // same trained merges as the bpeEncode spec: (a,a)→aa, (a,b)→ab,
+    // (aa,ab)→aaab. Vocabulary: alphabet a=0, b=1 (sorted), then
+    // minted aa=2, ab=3, aaab=4 (merge order).
+    val merges = graft.ext.Bpe.bpeTrain(
+      docs((1L, "aaab aaab ab")), "text", numMerges = 5)
+    val corpus = docs((1L, "aaab aaab ab"), (2L, "aba ba"))
+    def collectIds(maxExpr: Int) =
+      graft.ext.Bpe.bpeEncodeIds(corpus, "doc_id", "text", merges, maxExpr)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getLong(2)))
+        .toSeq
+    val expr = collectIds(128)
+    // doc1: aaab→[4], aaab→[4], ab→[3]; doc2 (unseen words):
+    // aba→[ab,a]=[3,0] (greedy left-to-right), ba→[b,a]=[1,0]
+    assert(expr == Seq((1L, List(4, 4, 3), 3L),
+      (2L, List(3, 0, 1, 0), 4L)))
+    assert(collectIds(0) == expr)
+  }
+
   test("mixtureByTokens fills each source's budget in md5 order and " +
       "ignores unweighted sources, zero-token and null docs") {
     val s = spark
