@@ -1625,17 +1625,45 @@ object SparkEntry {
           col("frame_len"), col("frame_md5"))
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    // Real image decode: each document's bytes packed into a VALID
+    // binary PPM (P6) via pure expressions, then parsed back by a real
+    // header scanner — width/height/maxval come from the HEADER BYTES,
+    // the mean/checksum from the pixel payload. The oracle recomputes
+    // the identical header+payload arithmetic from the source text, so
+    // a parser that misreads any field hash-mismatches.
     "q_media_features" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
-      Multimodal.decodeFeatures(
-          Multimodal.packDocuments(Tables.read(s, dir, "documents"),
-            "doc_id", "text").as[MediaRecord])
+      Multimodal.decodePpm(
+          Multimodal.packPpm(Tables.read(s, dir, "documents"),
+            "doc_id", "text", width = 16).as[MediaRecord])
         .toDF()
-        .select(col("media_id"), col("kind"),
-          col("n_bytes").cast("long").as("n_bytes"),
+        .select(col("media_id"),
           col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"), col("checksum"))
+          col("height").cast("long").as("height"),
+          col("maxval").cast("long").as("maxval"),
+          col("n_pixels"), r6(col("mean_px")).as("mean_px"),
+          col("checksum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Real audio decode: the same corpus packed as VALID 8-bit mono
+    // RIFF/WAVE PCM files (LE size fields built by expression), parsed
+    // back by a real chunk walker — channels/rate/bits come from the
+    // fmt CHUNK BYTES, sample stats from the data chunk.
+    "q_media_wav" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.decodeWav(
+          Multimodal.packWav(Tables.read(s, dir, "documents"),
+            "doc_id", "text", sampleRate = 8000).as[MediaRecord])
+        .toDF()
+        .select(col("media_id"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_samples"), r6(col("mean_amp")).as("mean_amp"),
+          col("checksum"))
         .orderBy(col("media_id"))
     }),
 
@@ -3114,15 +3142,38 @@ object SparkEntry {
                 md5(substr(text, st::INT, (en - st + 1)::INT)) AS frame_md5
          FROM s ORDER BY media_id, frame_idx""",
 
+    // the decode oracle recomputes the PPM builder+parser arithmetic
+    // from the source text (ASCII ⇒ code point = byte): 16-wide rows,
+    // height = len/48 full rows, payload = the first 48·h bytes
     "q_media_features" ->
-      """SELECT doc_id::BIGINT AS media_id, 'text/plain' AS kind,
-                length(text)::BIGINT AS n_bytes,
-                (16 + length(text) % 640)::BIGINT AS width,
-                (16 + length(text) % 480)::BIGINT AS height,
-                list_reduce(list_prepend(0::BIGINT,
-                    [ascii(x)::BIGINT for x in string_split(text, '')]),
+      """WITH d AS (SELECT doc_id, text, (length(text) // 48)::INT AS h
+               FROM documents WHERE length(text) >= 48),
+         px AS (SELECT doc_id, h,
+                [ascii(x)::BIGINT
+                 for x in string_split(substring(text, 1, 48 * h), '')] AS bs
+               FROM d)
+         SELECT doc_id::BIGINT AS media_id, 16::BIGINT AS width,
+                h::BIGINT AS height, 255::BIGINT AS maxval,
+                (16 * h)::BIGINT AS n_pixels,
+                round(list_sum(bs)::DOUBLE / (48 * h), 6) AS mean_px,
+                list_reduce(list_prepend(0::BIGINT, bs),
                   (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-         FROM documents ORDER BY media_id""",
+         FROM px ORDER BY media_id""",
+
+    // WAV decode oracle: 8-bit mono PCM, one sample per text byte
+    "q_media_wav" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+               FROM documents WHERE length(text) > 0),
+         bs AS (SELECT doc_id, n,
+                [ascii(x)::BIGINT for x in string_split(text, '')] AS b
+               FROM d)
+         SELECT doc_id::BIGINT AS media_id, 1::BIGINT AS channels,
+                8000::BIGINT AS sample_rate, 8::BIGINT AS bits_per_sample,
+                n::BIGINT AS n_samples,
+                round(list_sum(b)::DOUBLE / n, 6) AS mean_amp,
+                list_reduce(list_prepend(0::BIGINT, b),
+                  (a, c) -> (a * 31 + c) % 1000000007) AS checksum
+         FROM bs ORDER BY media_id""",
 
     "q_habit_daily_stream" -> habitDailyOracle)
 }

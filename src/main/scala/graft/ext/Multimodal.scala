@@ -1,27 +1,35 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media record: opaque binary payload + typed metadata. The payload
-  * is never interpreted by Spark itself — only by the (stubbed) decode
-  * step — so the column travels through shuffles/scans as plain bytes. */
+  * is never interpreted by Spark itself — only by the decode step — so
+  * the column travels through shuffles/scans as plain bytes. */
 case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
-/** Output of the decode/feature-extract stub. */
-case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-    width: Int, height: Int, checksum: Long)
+/** Decoded binary-PPM (P6) image features: header fields as parsed from
+  * the file bytes + payload statistics. */
+case class PpmFeatures(media_id: Long, width: Int, height: Int,
+    maxval: Int, n_pixels: Long, mean_px: Double, checksum: Long)
+
+/** Decoded RIFF/WAVE (PCM) audio features: fmt-chunk fields as parsed
+  * from the file bytes + data-chunk statistics. */
+case class WavFeatures(media_id: Long, channels: Int, sample_rate: Int,
+    bits_per_sample: Int, n_samples: Long, mean_amp: Double, checksum: Long)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * Extension scope (SURVEY.md §7.5). The container ships no image/audio
-  * codecs, so [[decodeFeatures]] is a clearly-marked DETERMINISTIC STUB:
-  * the Spark-side plumbing — schema, binary column handling, partition-
-  * local batched processing via `mapPartitions`, frame slicing — is real
-  * and tested; only the innermost "decode bytes with a codec" call is
-  * fake. Swap [[decodeStub]] for a real codec to productionize.
+  * Extension scope (SURVEY.md §7.5). The container ships no codec
+  * LIBRARIES, so the decoders target two public formats whose byte
+  * layout needs none: binary PPM (P6 — the netpbm image format:
+  * ASCII header, raw RGB payload) and RIFF/WAVE PCM (chunked header,
+  * raw sample payload). [[decodePpm]]/[[decodeWav]] are REAL parsers —
+  * magic check, whitespace/comment-tolerant header scan (PPM), chunk
+  * walk with word-alignment padding (WAV) — not stubs; swapping in
+  * JPEG/FLAC means replacing only the per-record parse function.
   *
   * Scale notes (100 TB): payloads stay columnar (Parquet binary),
   * metadata predicates push down without touching payload bytes, decode
@@ -38,27 +46,185 @@ object Multimodal {
       lit("text/plain").as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** STUB decode: a real implementation would hand `payload` to a codec
-    * (JPEG/PNG/FLAC/...) here. This deterministic fake derives "decoded"
-    * dimensions and a checksum from the bytes alone so tests are stable
-    * offline. The `mapPartitions` shape — batched, partition-local, no
-    * driver involvement — is exactly what a codec-backed version needs. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.payload.length
-    var acc = 0L
-    var i = 0
-    while (i < n) { // byte-wise rolling hash; replace with codec output
-      acc = (acc * 31 + (r.payload(i) & 0xff)) % 1000000007L
-      i += 1
-    }
-    MediaFeatures(r.media_id, r.kind, n, 16 + n % 640, 16 + n % 480, acc)
+  /** Pack each document's UTF-8 bytes into a VALID binary-PPM (P6)
+    * image: `width` px wide, as many full rows as the bytes fill
+    * (documents shorter than one row are dropped — a PPM needs ≥ 1 row),
+    * surplus bytes truncated. Pure expression work — header via
+    * `format_string`, payload via binary substr/concat; no UDF. */
+  def packPpm(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 16): DataFrame = {
+    require(width > 0, "width must be positive")
+    val bytes = encode(col(textCol).cast("string"), "UTF-8")
+    val h = (octet_length(bytes) / (3 * width)).cast("int")
+    docs
+      .withColumn("__graft_h", h)
+      .filter(col("__graft_h") >= 1)
+      .select(col(idCol).cast("long").as("media_id"),
+        lit("image/ppm").as("kind"),
+        concat(
+          encode(format_string(s"P6\n$width %d\n255\n", col("__graft_h")),
+            "UTF-8"),
+          bytes.substr(lit(1), col("__graft_h") * lit(3 * width)))
+          .as("payload"))
   }
 
-  /** Decode / feature-extract over the corpus: partition-local batches,
-    * codec boundary isolated in [[decodeStub]]. */
-  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** 4-byte little-endian encoding of a non-negative int column, as
+    * pure expressions: hex → zero-pad → unhex gives the big-endian
+    * bytes, byte-wise substring concat reverses them. */
+  private def le32(x: Column): Column = {
+    val be = unhex(lpad(hex(x.cast("long")), 8, "0"))
+    concat(substring(be, 4, 1), substring(be, 3, 1),
+      substring(be, 2, 1), substring(be, 1, 1))
+  }
+
+  /** Pack each document's UTF-8 bytes into a VALID RIFF/WAVE file:
+    * 8-bit mono PCM at `sampleRate`, one sample per byte. The fixed
+    * header parts are driver-side constant bytes; only the two size
+    * fields vary per row ([[le32]] expressions). Empty documents are
+    * dropped (a zero-sample WAV has an empty data chunk). */
+  def packWav(docs: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000): DataFrame = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    def leConst(v: Long, w: Int): Array[Byte] =
+      Array.tabulate(w)(i => ((v >> (8 * i)) & 0xff).toByte)
+    // "WAVE" + the complete fmt chunk (PCM=1, mono, 8-bit ⇒ byteRate =
+    // sampleRate, blockAlign = 1); everything here is row-independent
+    val waveFmt: Array[Byte] =
+      "WAVEfmt ".getBytes("US-ASCII") ++ leConst(16, 4) ++ leConst(1, 2) ++
+        leConst(1, 2) ++ leConst(sampleRate, 4) ++ leConst(sampleRate, 4) ++
+        leConst(1, 2) ++ leConst(8, 2)
+    val data = encode(col(textCol).cast("string"), "UTF-8")
+    val n = octet_length(data).cast("long")
+    docs
+      .filter(octet_length(data) > 0)
+      .select(col(idCol).cast("long").as("media_id"),
+        lit("audio/wav").as("kind"),
+        concat(lit("RIFF".getBytes("US-ASCII")), le32(n + 36),
+          lit(waveFmt), lit("data".getBytes("US-ASCII")), le32(n), data)
+          .as("payload"))
+  }
+
+  /** Real binary-PPM (P6) parse of one record: magic check, whitespace-
+    * and-`#`-comment-tolerant ASCII header scan for width/height/maxval,
+    * then payload statistics (mean over all RGB bytes + the rolling-31
+    * checksum) over exactly width×height×3 bytes. Malformed input fails
+    * loudly with the record id. */
+  private[graft] def parsePpm(r: MediaRecord): PpmFeatures = {
+    val b = r.payload
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media ${r.media_id}: $msg")
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') fail("not a P6 PPM")
+    var i = 2
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def skipWsAndComments(): Unit = {
+      var done = false
+      while (!done && i < b.length) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (isWs(b(i))) i += 1
+        else done = true
+      }
+    }
+    def readInt(what: String): Int = {
+      skipWsAndComments()
+      if (i >= b.length || b(i) < '0' || b(i) > '9') fail(s"bad $what")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt("width")
+    val h = readInt("height")
+    val maxval = readInt("maxval")
+    // exactly ONE whitespace byte separates the header from the payload
+    if (i >= b.length || !isWs(b(i))) fail("missing header terminator")
+    i += 1
+    val n = w.toLong * h * 3
+    if (b.length - i < n) fail(s"payload truncated: need $n bytes")
+    var sum = 0L
+    var acc = 0L
+    var j = i
+    val end = i + n.toInt
+    while (j < end) {
+      val u = b(j) & 0xff
+      sum += u
+      acc = (acc * 31 + u) % 1000000007L
+      j += 1
+    }
+    PpmFeatures(r.media_id, w, h, maxval, w.toLong * h,
+      sum.toDouble / n, acc)
+  }
+
+  /** Real RIFF/WAVE parse of one record: RIFF/WAVE magic, then the
+    * chunk walk (id + LE32 size, word-aligned — odd-sized chunks carry
+    * a pad byte) collecting the fmt fields and the data-chunk
+    * statistics. Only uncompressed 8-bit PCM payload stats are
+    * computed (one sample per byte); other bit depths parse their
+    * header but fail loudly at the stats step rather than mis-reading
+    * sample boundaries. */
+  private[graft] def parseWav(r: MediaRecord): WavFeatures = {
+    val b = r.payload
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media ${r.media_id}: $msg")
+    def ascii(off: Int, len: Int) = new String(b, off, len, "US-ASCII")
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def le32at(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    if (b.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+      fail("not a RIFF/WAVE file")
+    var channels = -1
+    var rate = -1
+    var bits = -1
+    var nSamples = -1L
+    var sum = 0L
+    var acc = 0L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = ascii(i, 4)
+      val size = le32at(i + 4)
+      val body = i + 8
+      if (body + size > b.length) fail(s"chunk $id overruns payload")
+      if (id == "fmt ") {
+        if (size < 16) fail("fmt chunk too short")
+        if (le16(body) != 1) fail("not uncompressed PCM")
+        channels = le16(body + 2)
+        rate = le32at(body + 4).toInt
+        bits = le16(body + 14)
+      } else if (id == "data") {
+        if (channels < 0) fail("data chunk before fmt")
+        if (bits != 8) fail(s"unsupported bit depth $bits")
+        nSamples = size / channels
+        var j = body
+        val end = body + size.toInt
+        while (j < end) {
+          val u = b(j) & 0xff
+          sum += u
+          acc = (acc * 31 + u) % 1000000007L
+          j += 1
+        }
+      }
+      i = body + size.toInt + (size.toInt & 1) // word alignment pad
+    }
+    if (channels < 0) fail("no fmt chunk")
+    if (nSamples < 0) fail("no data chunk")
+    WavFeatures(r.media_id, channels, rate, bits, nSamples,
+      if (nSamples == 0) 0d else sum.toDouble / (nSamples * channels), acc)
+  }
+
+  /** Decode / feature-extract PPM images over the corpus:
+    * partition-local batches, no shuffle, no driver involvement. */
+  def decodePpm(media: Dataset[MediaRecord]): Dataset[PpmFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(parsePpm))
+  }
+
+  /** Decode / feature-extract WAV audio over the corpus — same
+    * partition-local shape as [[decodePpm]]. */
+  def decodeWav(media: Dataset[MediaRecord]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(parseWav))
   }
 
   /** Frame-sample: split each payload into `n` contiguous byte-range

@@ -4,10 +4,11 @@ import graft.ext.{MediaRecord, Multimodal}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal binary-column plumbing (SURVEY §7.5): pack, decode stub,
-  * frame sampling, downsampling. The decode innards are a documented
-  * deterministic stub; what these tests pin is the Spark-side contract —
-  * schema, byte math, partition-local execution. */
+/** Multimodal binary-column plumbing (SURVEY §7.5): pack, real PPM/WAV
+  * decode, frame sampling, downsampling. The parser tests feed
+  * hand-built byte arrays (comments, extra chunks, padding) that the
+  * expression-built packers never produce, pinning that the decoders
+  * actually read the header bytes rather than replaying the builder. */
 class MultimodalSpec extends AnyFunSuite with SparkTestSession {
 
   private def media = {
@@ -24,16 +25,75 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "abcdefgh")
   }
 
-  test("decodeFeatures: stub dims and rolling-byte checksum") {
+  test("parsePpm reads dimensions from the header (with comments) and " +
+      "stats from exactly width*height*3 payload bytes") {
+    // hand-built P6: comment line + generous whitespace the packer
+    // never emits; 2x1 px = 6 payload bytes, then 2 TRAILING junk
+    // bytes the parser must ignore
+    val px = Array[Byte](10, 20, 30, 40, 50, 60)
+    val bytes = "P6\n# a comment\n 2\t1\n255\n".getBytes("US-ASCII") ++
+      px ++ Array[Byte](99, 99)
+    val f = Multimodal.parsePpm(MediaRecord(7L, "image/ppm", bytes))
+    assert(f.width == 2 && f.height == 1 && f.maxval == 255)
+    assert(f.n_pixels == 2L)
+    assert(math.abs(f.mean_px - 35.0) < 1e-12)
+    assert(f.checksum ==
+      px.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L))
+    // malformed inputs fail loudly, never return garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePpm(MediaRecord(8L, "x", "P5\n1 1\n255\n ".getBytes))
+    }
+    intercept[IllegalArgumentException] { // truncated payload
+      Multimodal.parsePpm(MediaRecord(9L, "x", "P6\n2 2\n255\n".getBytes ++
+        Array[Byte](1, 2, 3)))
+    }
+  }
+
+  test("parseWav walks RIFF chunks (unknown chunk + odd-size padding) " +
+      "and reads fmt fields from the bytes") {
+    def le(v: Long, w: Int): Array[Byte] =
+      Array.tabulate(w)(i => ((v >> (8 * i)) & 0xff).toByte)
+    val samples = Array[Byte](0, 50, 100, -56) // unsigned: 0,50,100,200
+    // an odd-sized LIST chunk (3 bytes + 1 pad) BEFORE fmt/data — a
+    // real-world layout the chunk walk must skip correctly
+    val list = "LIST".getBytes("US-ASCII") ++ le(3, 4) ++
+      Array[Byte](1, 2, 3, 0)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++ le(1, 2) ++
+      le(2, 2) ++ le(44100, 4) ++ le(88200, 4) ++ le(2, 2) ++ le(8, 2)
+    val data = "data".getBytes("US-ASCII") ++ le(4, 4) ++ samples
+    val body = "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
+    val bytes = "RIFF".getBytes("US-ASCII") ++ le(body.length.toLong, 4) ++
+      body
+    val f = Multimodal.parseWav(MediaRecord(3L, "audio/wav", bytes))
+    assert(f.channels == 2 && f.sample_rate == 44100 &&
+      f.bits_per_sample == 8)
+    assert(f.n_samples == 2L) // 4 bytes / 2 channels
+    assert(math.abs(f.mean_amp - 87.5) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav(MediaRecord(4L, "x", "RIFX1234WAVE".getBytes))
+    }
+  }
+
+  test("packPpm/decodePpm and packWav/decodeWav roundtrip through " +
+      "expression-built files") {
     val s = spark
     import s.implicits._
-    val f = Multimodal.decodeFeatures(media.as[MediaRecord])
-      .collect().map(x => x.media_id -> x).toMap
-    assert(f(1L).n_bytes == 8)
-    assert(f(1L).width == 16 + 8 % 640 && f(1L).height == 16 + 8 % 480)
-    val expected = "abcdefgh".getBytes("UTF-8")
-      .foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-    assert(f(1L).checksum == expected)
+    // 50 chars = one full 16-wide row (48 bytes) + 2 truncated
+    val docs = Seq((1L, "a" * 50), (2L, "xy")).toDF("doc_id", "text")
+    val ppm = Multimodal.decodePpm(
+      Multimodal.packPpm(docs, "doc_id", "text", width = 16)
+        .as[MediaRecord]).collect()
+    assert(ppm.length == 1) // doc 2 is shorter than one row -> dropped
+    assert(ppm(0).media_id == 1L && ppm(0).width == 16 &&
+      ppm(0).height == 1 && ppm(0).maxval == 255)
+    assert(math.abs(ppm(0).mean_px - 'a'.toInt) < 1e-12)
+    val wav = Multimodal.decodeWav(
+      Multimodal.packWav(docs, "doc_id", "text", sampleRate = 8000)
+        .as[MediaRecord]).collect().map(w => w.media_id -> w).toMap
+    assert(wav(1L).n_samples == 50L && wav(2L).n_samples == 2L)
+    assert(wav(2L).channels == 1 && wav(2L).sample_rate == 8000 &&
+      wav(2L).bits_per_sample == 8)
+    assert(math.abs(wav(2L).mean_amp - ('x'.toInt + 'y'.toInt) / 2.0) < 1e-12)
   }
 
   test("frames partition the payload exactly, in order") {
