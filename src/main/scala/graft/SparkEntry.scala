@@ -119,6 +119,55 @@ object SparkEntry {
     * to the exploded corpus. `AS MATERIALIZED` on each generation —
     * every w$k is referenced twice (next census + next replace), and
     * DuckDB's CTE inlining would expand the chain 2^m-fold without it. */
+  /** Shared by q_mixture_budget (plain window path) and
+    * q_mixture_salted (two-level prefix sum): the selection contract is
+    * identical, only the physical plan differs. */
+  private val mixtureOracle: String =
+    """WITH d AS (SELECT doc_id, source,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+         r AS (SELECT doc_id, source, n_tokens,
+                row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                  ::BIGINT AS take_rank,
+                sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+                CASE source
+                  WHEN 'src0' THEN floor(2000 * 3.0 / 5.5)::BIGINT
+                  WHEN 'src3' THEN floor(2000 * 0.5 / 5.5)::BIGINT
+                  ELSE floor(2000 * 1.0 / 5.5)::BIGINT END AS budget
+              FROM d WHERE n_tokens > 0)
+         SELECT source, take_rank, doc_id, n_tokens, cum_tokens
+         FROM r WHERE cum_tokens - n_tokens < budget
+         ORDER BY source, take_rank"""
+
+  /** Brute-force every-window decontamination replay, parameterized by
+    * the text expression so the raw and normalized gates share one
+    * oracle (the normalized form passes the DuckDB rendering of
+    * [[graft.ext.TextAnalysis.normalize]] — note DuckDB's
+    * `regexp_replace` needs the explicit `'g'` flag Spark implies). */
+  private def substringContaminationOracle(textExpr: String): String =
+    s"""WITH b AS (SELECT doc_id, $textExpr AS text,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                  % 100 AS bucket
+              FROM documents),
+         tr AS (SELECT text FROM b WHERE bucket < 80),
+         tw AS (SELECT DISTINCT w FROM (
+                SELECT unnest([substr(text, i, 31)
+                    for i in generate_series(1, length(text) - 30)]) AS w
+                FROM tr WHERE length(text) >= 31)),
+         te AS (SELECT doc_id, text FROM b
+              WHERE bucket >= 90 AND length(text) >= 31),
+         tew AS (SELECT doc_id,
+                unnest([{'i': i, 'w': substr(text, i, 31)}
+                    for i in generate_series(1, length(text) - 30)]) AS x
+              FROM te)
+         SELECT doc_id, count(*)::BIGINT AS n_spans,
+                min(x.i)::BIGINT AS first_pos
+         FROM tew JOIN tw ON tew.x.w = tw.w
+         GROUP BY doc_id ORDER BY doc_id"""
+
   /** The word-carrying merge chain shared by [[bpeEncodeOracle]] and
     * [[bpeEncodeIdsOracle]]: CTEs `words` + `w0..w$m` whose final
     * generation is a word → segmentation map (and `b1..b$m`, the merge
@@ -543,6 +592,24 @@ object SparkEntry {
           col("n_tokens"), col("cum_tokens"))
         .orderBy(col("source"), col("take_rank"))),
 
+    // Skew-safe mixture: the same selection computed through the salted
+    // two-level prefix sum (salt = high bits of the md5 rank key ⇒
+    // contiguous per-source ranges; bucket offsets lift local
+    // ranks/sums to global) — shares q_mixture_budget's oracle because
+    // the output contract is bit-identical to the plain path.
+    "q_mixture_salted" -> ((s, dir) =>
+      graft.ext.Curation.mixtureByTokens(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          "doc_id", "source", "n_tokens",
+          weights = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
+            "src3" -> 0.5),
+          totalTokens = 2000, saltBuckets = 8)
+        .select(col("source"), col("take_rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("take_rank"))),
+
     // Deterministic sharded export order: shard = md5 bucket, position
     // = md5-rank within shard — the global training-order shuffle as a
     // pure function of doc ids, byte-identical on any engine.
@@ -717,6 +784,21 @@ object SparkEntry {
         .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
           Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
       graft.ext.Curation.substringContamination(
+          d.filter(col("split") === "train"),
+          d.filter(col("split") === "test"),
+          "doc_id", "text", minLen = 31)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Normalized decontamination: the same verbatim-substring gate over
+    // canonical text (lowercase, punctuation stripped, whitespace
+    // collapsed) — case/spacing variants of a leaked span no longer
+    // slip through. Spans report in normalized coordinates.
+    "q_substring_contamination_norm" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+      graft.ext.Curation.substringContaminationNormalized(
           d.filter(col("split") === "train"),
           d.filter(col("split") === "test"),
           "doc_id", "text", minLen = 31)
@@ -2295,26 +2377,10 @@ object SparkEntry {
     // side's tiled-anchor + extension design provably equals: a test
     // position is contaminated iff its 31-char window appears verbatim
     // in the train split.
-    "q_substring_contamination" ->
-      """WITH b AS (SELECT doc_id, text,
-                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
-                  % 100 AS bucket
-              FROM documents),
-         tr AS (SELECT text FROM b WHERE bucket < 80),
-         tw AS (SELECT DISTINCT w FROM (
-                SELECT unnest([substr(text, i, 31)
-                    for i in generate_series(1, length(text) - 30)]) AS w
-                FROM tr WHERE length(text) >= 31)),
-         te AS (SELECT doc_id, text FROM b
-              WHERE bucket >= 90 AND length(text) >= 31),
-         tew AS (SELECT doc_id,
-                unnest([{'i': i, 'w': substr(text, i, 31)}
-                    for i in generate_series(1, length(text) - 30)]) AS x
-              FROM te)
-         SELECT doc_id, count(*)::BIGINT AS n_spans,
-                min(x.i)::BIGINT AS first_pos
-         FROM tew JOIN tw ON tew.x.w = tw.w
-         GROUP BY doc_id ORDER BY doc_id""",
+    "q_substring_contamination" -> substringContaminationOracle("text"),
+    "q_substring_contamination_norm" -> substringContaminationOracle(
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', " +
+        "'g'), ' +', ' ', 'g'))"),
 
     "q_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type,
@@ -2818,25 +2884,8 @@ object SparkEntry {
     // Same hash → budget → ordered-prefix arithmetic as mixtureByTokens:
     // budget floor(2000·w/5.5) per source, md5-rank order, keep while
     // the cumulative count BEFORE the row is under budget.
-    "q_mixture_budget" ->
-      """WITH d AS (SELECT doc_id, source,
-                len(string_split(text, ' '))::BIGINT AS n_tokens,
-                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
-              FROM documents
-              WHERE source IN ('src0', 'src1', 'src2', 'src3')),
-         r AS (SELECT doc_id, source, n_tokens,
-                row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
-                  ::BIGINT AS take_rank,
-                sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
-                CASE source
-                  WHEN 'src0' THEN floor(2000 * 3.0 / 5.5)::BIGINT
-                  WHEN 'src3' THEN floor(2000 * 0.5 / 5.5)::BIGINT
-                  ELSE floor(2000 * 1.0 / 5.5)::BIGINT END AS budget
-              FROM d WHERE n_tokens > 0)
-         SELECT source, take_rank, doc_id, n_tokens, cum_tokens
-         FROM r WHERE cum_tokens - n_tokens < budget
-         ORDER BY source, take_rank""",
+    "q_mixture_budget" -> mixtureOracle,
+    "q_mixture_salted" -> mixtureOracle,
 
     "q_export_shards" ->
       """WITH b AS (SELECT doc_id,

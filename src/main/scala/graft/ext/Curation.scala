@@ -184,6 +184,24 @@ object Curation {
         min(col("__graft_pos")).as("first_pos"))
   }
 
+  /** [[substringContamination]] over [[TextAnalysis.normalize]]d text:
+    * case, punctuation, and whitespace variants of a leaked span no
+    * longer evade the verbatim check ("The Answer Is  42!" vs "the
+    * answer is 42"). Both sides normalize BEFORE tiling/shingling, so
+    * the pigeonhole guarantee holds on the canonical forms; the
+    * reported `first_pos`/`n_spans` are positions in NORMALIZED
+    * coordinates (the canonical text is the artifact downstream
+    * redaction should operate on — map back with a per-doc offset
+    * index if raw offsets are needed). Same cost shape as the raw
+    * form: normalization is pure expression work ahead of the same
+    * joins. */
+  def substringContaminationNormalized(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame =
+    substringContamination(
+      train.withColumn(textCol, TextAnalysis.normalize(col(textCol))),
+      test.withColumn(textCol, TextAnalysis.normalize(col(textCol))),
+      idCol, textCol, minLen)
+
   /** TOKEN-BUDGET data mixture — turn "train on W₁ parts source A, W₂
     * parts source B, … up to T tokens total" into a concrete document
     * selection, deterministically. Each source gets the budget
@@ -209,14 +227,21 @@ object Curation {
     * ordered window for rank + running sum — the same per-group sort an
     * export shard-writer needs anyway; no driver-side state beyond the
     * weight map itself. A pathologically dominant source (one group ≫
-    * others) is the classic window skew — route ids through a salted
-    * two-level prefix-sum (the [[Packing]] shard trick) if one source
-    * alone exceeds an executor's sort budget. */
+    * others) is the classic window skew: `saltBuckets > 1` routes it
+    * through a salted two-level prefix sum — the salt is the HIGH BITS
+    * of the same md5 rank key, so each bucket is a contiguous range of
+    * the per-source take order, local window work runs on
+    * `saltBuckets` partitions per source in parallel, and bucket-level
+    * offsets (one tiny aggregate, broadcast back) lift local
+    * ranks/sums to exactly the global values — output is IDENTICAL to
+    * the plain path on any input. `saltBuckets = 1` (default) is the
+    * plain single-window path. */
   def mixtureByTokens(docs: DataFrame, idCol: String, sourceCol: String,
       tokensCol: String, weights: Map[String, Double],
-      totalTokens: Long): DataFrame = {
+      totalTokens: Long, saltBuckets: Int = 1): DataFrame = {
     require(totalTokens > 0, "totalTokens must be positive")
     require(weights.values.exists(_ > 0), "at least one positive weight")
+    require(saltBuckets > 0, "saltBuckets must be positive")
     val wSum = weights.values.filter(_ > 0).sum
     // per-source budget as a literal CASE — the weight map is config,
     // not data (a mixture spec names each source explicitly)
@@ -225,18 +250,60 @@ object Curation {
         when(col(sourceCol) === src,
           lit(math.floor(totalTokens * w / wSum).toLong)).otherwise(acc)
       }
-    val order = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol))
-      .orderBy(Sampling.md5Top60(col(idCol)), col(idCol))
-    docs
+    val base = docs
       .select(col(idCol), col(sourceCol),
         col(tokensCol).cast("long").as(tokensCol))
       .filter(col(tokensCol).isNotNull && col(tokensCol) > 0 &&
         budget > 0)
-      .withColumn("take_rank", row_number().over(order).cast("long"))
-      .withColumn("cum_tokens", sum(col(tokensCol)).over(order))
-      // take while the budget is not yet met BEFORE this row — the
-      // crossing document is included
-      .filter(col("cum_tokens") - col(tokensCol) < budget)
+    // take while the budget is not yet met BEFORE this row — the
+    // crossing document is included
+    def takeWhileUnderBudget(df: DataFrame): DataFrame =
+      df.filter(col("cum_tokens") - col(tokensCol) < budget)
+    if (saltBuckets == 1) {
+      val order = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(sourceCol))
+        .orderBy(Sampling.md5Top60(col(idCol)), col(idCol))
+      takeWhileUnderBudget(base
+        .withColumn("take_rank", row_number().over(order).cast("long"))
+        .withColumn("cum_tokens", sum(col(tokensCol)).over(order)))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      // ceil(2^60 / buckets) keeps floor(md5 / width) < buckets; the
+      // salt is monotone in the md5 rank key, so (salt, md5, id) is
+      // the same total order as (md5, id) — contiguity is what makes
+      // the two-level lift exact (uneven bucket sizes are fine)
+      val width = ((1L << 60) + saltBuckets - 1) / saltBuckets
+      val salted = base.withColumn("__graft_salt",
+        (Sampling.md5Top60(col(idCol)) / width).cast("long"))
+      val localW = Window
+        .partitionBy(col(sourceCol), col("__graft_salt"))
+        .orderBy(Sampling.md5Top60(col(idCol)), col(idCol))
+      val local = salted
+        .withColumn("__graft_lrank", row_number().over(localW).cast("long"))
+        .withColumn("__graft_lcum", sum(col(tokensCol)).over(localW))
+      // bucket totals: saltBuckets rows per source — broadcast-sized
+      // whatever the corpus; the prior-buckets window runs on that tiny
+      // relation, never the docs
+      val priorW = Window.partitionBy(col(sourceCol))
+        .orderBy(col("__graft_salt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = salted
+        .groupBy(col(sourceCol), col("__graft_salt"))
+        .agg(count(lit(1)).as("__graft_bn"),
+          sum(col(tokensCol)).as("__graft_btok"))
+        .select(col(sourceCol), col("__graft_salt"),
+          coalesce(sum(col("__graft_bn")).over(priorW), lit(0L))
+            .as("__graft_rankoff"),
+          coalesce(sum(col("__graft_btok")).over(priorW), lit(0L))
+            .as("__graft_tokoff"))
+      takeWhileUnderBudget(local
+        .join(broadcast(offsets), Seq(sourceCol, "__graft_salt"))
+        .withColumn("take_rank",
+          col("__graft_rankoff") + col("__graft_lrank"))
+        .withColumn("cum_tokens",
+          col("__graft_tokoff") + col("__graft_lcum")))
+        .select(col(idCol), col(sourceCol), col(tokensCol),
+          col("take_rank"), col("cum_tokens"))
+    }
   }
 }

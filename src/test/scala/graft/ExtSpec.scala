@@ -1664,6 +1664,52 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq == Seq((1L, 5L, 1L)))
   }
 
+  test("substringContaminationNormalized catches case/punctuation/" +
+      "whitespace variants the raw check misses, in normalized " +
+      "coordinates") {
+    // the leaked span differs only by case, a comma, and ragged
+    // whitespace — verbatim check finds nothing, normalized check must
+    val leak = "the answer to the question is forty two"
+    val train = docs((10L, s"prefix THE Answer,  to the QUESTION is FORTY-two suffix"))
+    val test_ = docs((1L, s"padpad $leak padpad"))
+    val raw = graft.ext.Curation.substringContamination(
+      train, test_, "doc_id", "text", minLen = 31)
+    assert(raw.count() == 0L)
+    val norm = graft.ext.Curation.substringContaminationNormalized(
+        train, test_, "doc_id", "text", minLen = 31)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // normalized test doc: "padpad the answer ... two padpad"; train:
+    // "prefix the answer ... two suffix" — both flank the 39-char leak
+    // with spaces, so the maximal common span is 41 chars starting at
+    // the space at 1-based pos 7: 41-31+1 = 11 window starts
+    assert(norm.toSeq == Seq((1L, 11L, 7L)))
+  }
+
+  test("mixtureByTokens salted two-level path is bit-identical to the " +
+      "plain window path on a dominant-source input") {
+    val s = spark
+    import s.implicits._
+    // 90%-web shape: src0 dominates 9:1; odd token sizes so cumulative
+    // sums differ bucket to bucket
+    val rows = (0 until 900).map(i => (s"w$i", "src0", (i % 13 + 1).toLong)) ++
+      (0 until 100).map(i => (s"b$i", "src1", (i % 7 + 1).toLong))
+    val d = rows.toDF("doc_id", "source", "n_tokens")
+    def run(buckets: Int) = graft.ext.Curation.mixtureByTokens(
+        d, "doc_id", "source", "n_tokens",
+        weights = Map("src0" -> 9.0, "src1" -> 1.0), totalTokens = 3000,
+        saltBuckets = buckets)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._2, t._4))
+    val plain = run(1)
+    assert(plain.nonEmpty && plain.exists(_._2 == "src0"))
+    assert(run(8).toSeq == plain.toSeq)
+    // buckets ≫ rows: degenerate salting (most buckets empty) must
+    // still lift exactly
+    assert(run(4096).toSeq == plain.toSeq)
+  }
+
   test("unigramLogProb with a caller-owned token relation leaves no " +
       "cache entry after unpersist") {
     val s = spark

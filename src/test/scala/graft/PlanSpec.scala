@@ -235,6 +235,24 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"expected the single per-source window shuffle, saw $exchanges:\n$p")
   }
 
+  test("mixture salted: local windows partition by (source, salt), " +
+      "offsets broadcast — no single-partition-per-source sort of the " +
+      "docs") {
+    val p = plan("q_mixture_salted")
+    // the doc-sized window must carry the salt in its partition key;
+    // the bucket-offset relation joins back as a broadcast (it is
+    // saltBuckets rows per source, never doc-sized)
+    assert(p.contains("__graft_salt"),
+      s"expected salt-partitioned local windows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the bucket-offset lift to broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
+    // and the plain path stays free of the salting machinery
+    assert(!plan("q_mixture_budget").contains("__graft_salt"),
+      "saltBuckets=1 must collapse to the plain single-window path")
+  }
+
   test("export shards: exactly the writer's own shuffle — one hash " +
       "exchange on the shard id") {
     val p = plan("q_export_shards")
