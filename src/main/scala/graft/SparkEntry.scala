@@ -168,15 +168,16 @@ object SparkEntry {
          FROM tew JOIN tw ON tew.x.w = tw.w
          GROUP BY doc_id ORDER BY doc_id"""
 
-  /** The word-carrying merge chain shared by [[bpeEncodeOracle]] and
-    * [[bpeEncodeIdsOracle]]: CTEs `words` + `w0..w$m` whose final
-    * generation is a word → segmentation map (and `b1..b$m`, the merge
-    * pairs). Returned as the interior of a WITH clause. */
-  private def bpeWordChainSql(m: Int): String = {
+  /** The word-carrying merge chain shared by [[bpeEncodeOracle]],
+    * [[bpeEncodeIdsOracle]] and the pipeline oracle: CTEs `words` +
+    * `w0..w$m` whose final generation is a word → segmentation map (and
+    * `b1..b$m`, the merge pairs). Returned as the interior of a WITH
+    * clause; `corpus` names the (doc_id, text) relation to train on. */
+  private def bpeWordChainSql(m: Int, corpus: String = "documents"): String = {
     val sb = new StringBuilder
     sb.append(
-      """words AS (SELECT w, count(*)::BIGINT AS cnt
-           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      raw"""words AS (SELECT w, count(*)::BIGINT AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $corpus)
            WHERE w <> '' GROUP BY 1),
          w0 AS MATERIALIZED (SELECT w,
                 '  ' || regexp_replace(w, '(.)', '\1  ', 'gs') AS seg,
@@ -1636,6 +1637,47 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n_tokens"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // THE composed pretraining pipeline, end to end as one query:
+    // curate (gates → dedup survivors → split) → token-budget mixture
+    // over the train split → BPE tokenizer trained ON the mixed corpus
+    // and applied to it → boundary-free packing into 512-token bins →
+    // deterministic export-shard order over the bins. Every stage is
+    // individually oracle-proven; this gates the COMPOSITION (stage
+    // interfaces, row multiplicity, ordering) cell-exact.
+    "q_pipeline_export" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val curated = graft.ext.Curation.curate(docs, "doc_id", "text",
+        lang = "en", minQuality = 60.0)
+      val withSrc = curated.filter(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val mixed = graft.ext.Curation.mixtureByTokens(withSrc, "doc_id",
+        "source", "n_tokens",
+        weights = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0,
+          "src3" -> 1.0),
+        totalTokens = 1500)
+      val corpus = mixed.select(col("doc_id"))
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      val enc = graft.ext.Bpe.bpeEncode(corpus, "doc_id", "text",
+        graft.ext.Bpe.bpeTrain(corpus, "text", numMerges = 8))
+      val packed = graft.ext.Packing.packConcat(
+        enc.select(col("doc_id"), col("n_bpe_tokens")),
+        "doc_id", "n_bpe_tokens", budget = 512L, shards = 4)
+      val bins = packed.groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_in_bin")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        // exportShards reserves "shard" — the packing shard renames
+        .withColumnRenamed("shard", "pack_shard")
+      graft.ext.Sampling.exportShards(bins,
+          concat_ws(":", col("pack_shard"), col("bin")), numShards = 4)
+        .select(col("shard"), col("shard_pos"), col("pack_shard"),
+          col("bin"), col("n_docs"), col("bin_tokens"),
+          col("first_doc"), col("last_doc"))
+        .orderBy(col("shard"), col("shard_pos"))
+    }),
+
     // The capstone composition: curated survivors (language gate →
     // quality gate → cluster dedup → deterministic split) packed into
     // fixed-token-budget training bins, split-scoped so no bin mixes
@@ -3066,6 +3108,68 @@ object SparkEntry {
          FROM keptf k LEFT JOIN clus c ON k.doc_id = c.id
          WHERE c.id IS NULL OR c.cluster_id = k.doc_id
          ORDER BY k.doc_id""",
+
+    // the composed pipeline: curation survivors (shared CTE prefix) →
+    // mixture (budgets: 1500 tokens, weights 2/1/1/1 over src0-3 ⇒
+    // 600/300/300/300) → BPE train+encode on the mixed corpus (shared
+    // word-chain CTEs pointed at it) → 512-token concat packing over 4
+    // pack shards → md5 export order over the bins
+    "q_pipeline_export" ->
+      s"""$curationOraclePrefix,
+         surv AS (SELECT k.doc_id, k.n_tokens::BIGINT AS n_tokens,
+                $curationSplitSql AS split
+              FROM keptf k LEFT JOIN clus c ON k.doc_id = c.id
+              WHERE c.id IS NULL OR c.cluster_id = k.doc_id),
+         trn AS (SELECT s.doc_id, s.n_tokens, d.source
+              FROM surv s JOIN documents d USING (doc_id)
+              WHERE s.split = 'train'
+                AND d.source IN ('src0', 'src1', 'src2', 'src3')),
+         mh AS (SELECT doc_id, source, n_tokens,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM trn WHERE n_tokens > 0),
+         mixr AS (SELECT doc_id, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                CASE source WHEN 'src0' THEN 600 ELSE 300 END AS budget
+              FROM mh),
+         corpus AS (SELECT d.doc_id, d.text
+              FROM documents d
+              JOIN (SELECT doc_id FROM mixr WHERE cum - n_tokens < budget) m
+                USING (doc_id)),
+         ${bpeWordChainSql(8, "corpus")},
+         tok AS (SELECT w,
+                len(list_filter(string_split(seg, '  '), x -> x <> ''))::BIGINT
+                  AS t
+               FROM w8),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM corpus),
+         enc AS (SELECT doc_id, sum(t)::BIGINT AS n_bpe
+               FROM dw JOIN tok USING (w) WHERE w <> '' GROUP BY doc_id),
+         pc AS (SELECT doc_id, doc_id % 4 AS pack_shard, n_bpe,
+                sum(n_bpe) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                  AS e
+              FROM enc WHERE n_bpe > 0),
+         spans AS (SELECT doc_id, pack_shard, e - n_bpe AS s, e,
+                unnest(generate_series((e - n_bpe) // 512,
+                                       (e - 1) // 512)) AS bin
+              FROM pc),
+         bins AS (SELECT pack_shard::BIGINT AS pack_shard,
+                bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+                sum(least(e, (bin + 1) * 512) -
+                    greatest(s, bin * 512))::BIGINT AS bin_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              FROM spans GROUP BY 1, 2),
+         keyed AS (SELECT *,
+                pack_shard::VARCHAR || ':' || bin::VARCHAR AS k,
+                ('0x' || substr(md5(pack_shard::VARCHAR || ':'
+                                    || bin::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM bins)
+         SELECT (h % 4)::BIGINT AS shard,
+                row_number() OVER (PARTITION BY h % 4 ORDER BY h, k)
+                  ::BIGINT AS shard_pos,
+                pack_shard, bin, n_docs, bin_tokens, first_doc, last_doc
+         FROM keyed ORDER BY shard, shard_pos""",
 
     "q_pack_curated" ->
       s"""$curationOraclePrefix,

@@ -253,6 +253,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "saltBuckets=1 must collapse to the plain single-window path")
   }
 
+  test("pipeline export: the composed stages never serialize the " +
+      "corpus to one partition and never go cartesian") {
+    val p = plan("q_pipeline_export")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"composition must stay equi-keyed:\n$p")
+    // every window/aggregate stage keys on (source | shard | bucket) —
+    // a SinglePartition exchange would mean some stage funnels the
+    // whole corpus through one task, the classic composition regression
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may serialize to a single partition:\n$p")
+  }
+
   test("export shards: exactly the writer's own shuffle — one hash " +
       "exchange on the shard id") {
     val p = plan("q_export_shards")
