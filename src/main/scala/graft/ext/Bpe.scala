@@ -130,6 +130,10 @@ object Bpe {
     * VOCABULARY-sized word table only, never the corpus. */
   private val MaxExprMerges = 128
 
+  /** Vocabulary-size threshold for [[bpeEncodeIds]]'s map-literal vs
+    * broadcast-join symbol→id lookup (see its scaladoc). */
+  private val MaxLiteralVocab = 65536
+
   /** ENCODE with a trained merge list: applies `merges` (the output of
     * [[bpeTrain]], or any (step, lhs, rhs) table) in step order to every
     * document and returns per-document token statistics —
@@ -234,14 +238,20 @@ object Bpe {
     * one hash join back to the exploded corpus; per-document arrays are
     * bounded by document length. The alphabet collect is
     * alphabet-sized (≤ distinct characters — thousands even for CJK
-    * corpora), same driver-state class as the merge list itself. */
-  def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
-      merges: DataFrame): DataFrame =
-    bpeEncodeIds(docs, idCol, textCol, merges, MaxExprMerges)
-
-  /** Test seam: see [[bpeEncode]]'s. */
-  private[graft] def bpeEncodeIds(docs: DataFrame, idCol: String,
-      textCol: String, merges: DataFrame, maxExprMerges: Int): DataFrame = {
+    * corpora), same driver-state class as the merge list itself.
+    *
+    * The two trailing parameters are branch seams with production
+    * defaults: `maxExprMerges` as in [[bpeEncode]];
+    * `maxLiteralVocab` — below it the symbol→id lookup is a single map
+    * LITERAL in the plan (zero extra shuffles; the map rides the task
+    * binary as one object, not inlined codegen constants), above it a
+    * broadcast equi-join (a plan literal is re-shipped with every
+    * stage referencing it, which stops being free somewhere past a
+    * production tokenizer's 32-64k entries). */
+  def bpeEncodeIds(docs: DataFrame, idCol: String,
+      textCol: String, merges: DataFrame,
+      maxExprMerges: Int = MaxExprMerges,
+      maxLiteralVocab: Int = MaxLiteralVocab): DataFrame = {
     val spark = docs.sparkSession
     val chain = collectChain(merges)
     val segged = segmentWords(docs, textCol, chain, maxExprMerges)
@@ -260,20 +270,31 @@ object Bpe {
       // collision: keep the earlier id; the minted id is simply unused
     }
     import spark.implicits._
-    val vocabDf = broadcast(
-      vocab.toSeq.toDF("__graft_sym", "__graft_symid"))
-
-    // per-word id sequence: symbols in order -> ids in order
-    val wordIds = segged
-      .select(col("w"),
-        posexplode(filter(split(col("seg"), "  ", -1), x => x =!= ""))
-          .as(Seq("__graft_spos", "__graft_sym")))
-      .join(vocabDf, "__graft_sym")
-      .groupBy(col("w"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("__graft_spos"),
-          col("__graft_symid")))),
-        s => s.getField("__graft_symid")).as("__graft_wids"))
+    val wordSyms = filter(split(col("seg"), "  ", -1), x => x =!= "")
+    // per-word id sequence: symbols in order -> ids in order. Every
+    // segmentation symbol is in the vocabulary by construction (base
+    // chars come from these words; merged symbols from the chain), so
+    // the map lookup is total.
+    val wordIds =
+      if (vocab.size <= maxLiteralVocab)
+        // pure expression — no shuffle, no join: the transform maps
+        // each symbol through the map literal in place
+        segged.select(col("w"),
+          transform(wordSyms, s => element_at(typedLit(vocab.toMap), s))
+            .as("__graft_wids"))
+      else {
+        val vocabDf = broadcast(
+          vocab.toSeq.toDF("__graft_sym", "__graft_symid"))
+        segged
+          .select(col("w"),
+            posexplode(wordSyms).as(Seq("__graft_spos", "__graft_sym")))
+          .join(vocabDf, "__graft_sym")
+          .groupBy(col("w"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("__graft_spos"),
+              col("__graft_symid")))),
+            s => s.getField("__graft_symid")).as("__graft_wids"))
+      }
 
     docs
       .select(col(idCol),

@@ -1762,8 +1762,9 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     val merges = graft.ext.Bpe.bpeTrain(
       docs((1L, "aaab aaab ab")), "text", numMerges = 5)
     val corpus = docs((1L, "aaab aaab ab"), (2L, "aba ba"))
-    def collectIds(maxExpr: Int) =
-      graft.ext.Bpe.bpeEncodeIds(corpus, "doc_id", "text", merges, maxExpr)
+    def collectIds(maxExpr: Int, maxLitVocab: Int = 65536) =
+      graft.ext.Bpe.bpeEncodeIds(corpus, "doc_id", "text", merges, maxExpr,
+          maxLitVocab)
         .orderBy(col("doc_id")).collect()
         .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getLong(2)))
         .toSeq
@@ -1773,6 +1774,9 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(expr == Seq((1L, List(4, 4, 3), 3L),
       (2L, List(3, 0, 1, 0), 4L)))
     assert(collectIds(0) == expr)
+    // force the broadcast-join vocab lookup (the >MaxLiteralVocab
+    // path) — identical ids from both lookup branches
+    assert(collectIds(128, 0) == expr)
   }
 
   test("mixtureByTokens fills each source's budget in md5 order and " +
