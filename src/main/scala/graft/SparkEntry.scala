@@ -791,6 +791,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Within-corpus repeated-substring detection (the training-set
+    // analog of decontamination): docs sharing a verbatim ≥31-char
+    // substring with a DIFFERENT doc of the same corpus — the same
+    // tiled-anchor machinery run self-vs-self with same-doc anchors
+    // excluded.
+    "q_substring_selfdup" -> ((s, dir) =>
+      graft.ext.Curation.selfSubstringRepeats(
+          Tables.read(s, dir, "documents"), "doc_id", "text", minLen = 31)
+        .orderBy(col("doc_id"))),
+
     // Normalized decontamination: the same verbatim-substring gate over
     // canonical text (lowercase, punctuation stripped, whitespace
     // collapsed) — case/spacing variants of a leaked span no longer
@@ -2420,6 +2430,19 @@ object SparkEntry {
     // position is contaminated iff its 31-char window appears verbatim
     // in the train split.
     "q_substring_contamination" -> substringContaminationOracle("text"),
+    // brute-force every-window self-repeat replay: a window counts
+    // when the same 31-char string occurs in a DIFFERENT document
+    "q_substring_selfdup" ->
+      """WITH w AS (SELECT doc_id,
+                unnest([{'i': i, 'w': substr(text, i, 31)}
+                    for i in generate_series(1, length(text) - 30)]) AS x
+              FROM documents WHERE length(text) >= 31),
+         ww AS (SELECT doc_id, x.i AS i, x.w AS w FROM w),
+         rep AS (SELECT DISTINCT a.doc_id, a.i
+              FROM ww a JOIN ww b ON a.w = b.w AND a.doc_id <> b.doc_id)
+         SELECT doc_id, count(*)::BIGINT AS n_spans,
+                min(i)::BIGINT AS first_pos
+         FROM rep GROUP BY doc_id ORDER BY doc_id""",
     "q_substring_contamination_norm" -> substringContaminationOracle(
       "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', " +
         "'g'), ' +', ' ', 'g'))"),

@@ -117,7 +117,15 @@ object Curation {
     * banded dedup joins.
     */
   def substringContamination(train: DataFrame, test: DataFrame,
-      idCol: String, textCol: String, minLen: Int): DataFrame = {
+      idCol: String, textCol: String, minLen: Int): DataFrame =
+    substringContamination(train, test, idCol, textCol, minLen,
+      excludeSelf = false)
+
+  /** `excludeSelf = true` drops same-document anchor pairs — the knob
+    * [[selfSubstringRepeats]] uses to run the corpus against itself. */
+  private def substringContamination(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, minLen: Int,
+      excludeSelf: Boolean): DataFrame = {
     require(minLen >= 3, "minLen must be at least 3")
     val k = (minLen + 1) / 2
     val s = minLen - k + 1
@@ -156,8 +164,10 @@ object Curation {
     val tr = col("__graft_ttext")
     val p = col("__graft_p")
     val q = col("__graft_q")
-    val spans = wins
-      .join(tiles, "__graft_h")
+    val anchored = wins.join(tiles, "__graft_h")
+    val spans = (if (excludeSelf)
+        anchored.filter(col("__graft_tid") =!= col(idCol))
+      else anchored)
       .join(teTexts, idCol)
       .join(trTexts, "__graft_tid")
       // anchor check kills hash collisions; extension arithmetic is on
@@ -183,6 +193,24 @@ object Curation {
       .agg(count(lit(1)).as("n_spans"),
         min(col("__graft_pos")).as("first_pos"))
   }
+
+  /** WITHIN-corpus repeated-substring detection — the training-set
+    * analog of decontamination (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): report every
+    * document containing a ≥ `minLen`-char substring that also occurs
+    * verbatim in a DIFFERENT document of the same corpus, with the
+    * count of repeated window positions. Exactly
+    * [[substringContamination]] with the corpus on both sides and
+    * same-document anchors excluded, so it inherits the stride-tiled
+    * index + extension-verify scale shape (the index stays one tile
+    * per s characters even though both sides are now corpus-sized —
+    * the test-side every-offset shingles are hashed window keys, not
+    * materialized text). A curation pass drops or trims the flagged
+    * passages before training. */
+  def selfSubstringRepeats(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame =
+    substringContamination(docs, docs, idCol, textCol, minLen,
+      excludeSelf = true)
 
   /** [[substringContamination]] over [[TextAnalysis.normalize]]d text:
     * case, punctuation, and whitespace variants of a leaked span no

@@ -1664,6 +1664,23 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq == Seq((1L, 5L, 1L)))
   }
 
+  test("selfSubstringRepeats flags cross-document repeats symmetrically " +
+      "and never same-document-only repetition") {
+    // A and B share a 12-char span; C repeats its own 12-char run
+    // twice INTERNALLY (no other doc has it) — C must not be flagged
+    val shared = "ABCDEFGHIJKL"
+    val d = docs(
+      (1L, s"xx${shared}yy"),
+      (2L, s"mm${shared}nn"),
+      (3L, "qqRRRRRRRRRRRRzzRRRRRRRRRRRRqq"))
+    val out = graft.ext.Curation.selfSubstringRepeats(
+        d, "doc_id", "text", minLen = 9)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // both directions flagged: span at pos 3, 12-9+1 = 4 windows each
+    assert(out.toSeq == Seq((1L, 4L, 3L), (2L, 4L, 3L)))
+  }
+
   test("substringContaminationNormalized catches case/punctuation/" +
       "whitespace variants the raw check misses, in normalized " +
       "coordinates") {

@@ -237,6 +237,30 @@ object PropertiesSpec extends Properties("graft") {
         lsh.forall { case (k, v) => brute(k) == v }
     }
 
+  property("salted mixtureByTokens == plain path on random corpora") =
+    forAll(for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("a", "b", "c")
+        tok <- Gen.choose(1, 40)
+      } yield (src, tok.toLong))
+      buckets <- Gen.oneOf(2, 3, 7, 64)
+      total <- Gen.choose(10L, 500L)
+    } yield (rows, buckets, total)) { case (rows, buckets, total) =>
+      val s = spark
+      import s.implicits._
+      val d = rows.zipWithIndex
+        .map { case ((src, tok), i) => (s"doc-$i", src, tok) }
+        .toDF("doc_id", "source", "n_tokens")
+      val weights = Map("a" -> 2.0, "b" -> 1.0)  // "c" unweighted
+      def run(sb: Int) = graft.ext.Curation.mixtureByTokens(
+          d, "doc_id", "source", "n_tokens", weights, total, sb)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(t => (t._2, t._4)).toSeq
+      run(buckets) == run(1)
+    }
+
   property("scd2 intervals chain per key and merge equal runs") =
     forAll(Gen.listOfN(10, Gen.option(Gen.choose(0, 2)))) { vals =>
       val s = spark
