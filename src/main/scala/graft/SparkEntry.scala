@@ -791,6 +791,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Redaction — the consuming half of decontamination: cut every
+    // flagged ≥31-char window out of the test docs (overlapping
+    // windows merged into islands, gaps spliced by pure expressions);
+    // unflagged docs pass through unchanged with n_removed = 0.
+    "q_redact_contamination" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+      val train = d.filter(col("split") === "train")
+      val test = d.filter(col("split") === "test")
+      graft.ext.Curation.redactWindows(test,
+          graft.ext.Curation.contaminationWindows(train, test,
+            "doc_id", "text", minLen = 31),
+          "doc_id", "text", minLen = 31)
+        .orderBy(col("doc_id"))
+    }),
+
     // Within-corpus repeated-substring detection (the training-set
     // analog of decontamination): docs sharing a verbatim ≥31-char
     // substring with a DIFFERENT doc of the same corpus — the same
@@ -2430,6 +2447,45 @@ object SparkEntry {
     // position is contaminated iff its 31-char window appears verbatim
     // in the train split.
     "q_substring_contamination" -> substringContaminationOracle("text"),
+    // brute-force redaction replay: covered = union of hit windows'
+    // [i, i+30] character positions; rebuild each test doc from its
+    // uncovered characters (char-level — the oracle may be naive)
+    "q_redact_contamination" ->
+      """WITH b AS (SELECT doc_id, text,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                  % 100 AS bucket
+              FROM documents),
+         tr AS (SELECT text FROM b WHERE bucket < 80),
+         tw AS (SELECT DISTINCT w FROM (
+                SELECT unnest([substr(text, i, 31)
+                    for i in generate_series(1, length(text) - 30)]) AS w
+                FROM tr WHERE length(text) >= 31)),
+         te AS (SELECT doc_id, text FROM b
+              WHERE bucket >= 90 AND length(text) >= 31),
+         tew AS (SELECT doc_id,
+                unnest([{'i': i, 'w': substr(text, i, 31)}
+                    for i in generate_series(1, length(text) - 30)]) AS x
+              FROM te),
+         hit AS (SELECT DISTINCT tew.doc_id, tew.x.i AS i
+              FROM tew JOIN tw ON tew.x.w = tw.w),
+         cov AS (SELECT DISTINCT doc_id,
+                unnest(generate_series(i, i + 30)) AS cp FROM hit),
+         teall AS (SELECT doc_id, text FROM b WHERE bucket >= 90),
+         chars AS (SELECT doc_id,
+                unnest([{'cp': i, 'ch': substr(text, i, 1)}
+                    for i in generate_series(1, length(text))]) AS x
+              FROM teall),
+         kept AS (SELECT c.doc_id, c.x.cp AS cp, c.x.ch AS ch
+              FROM chars c LEFT JOIN cov
+                ON cov.doc_id = c.doc_id AND cov.cp = c.x.cp
+              WHERE cov.cp IS NULL),
+         red AS (SELECT doc_id, string_agg(ch, '' ORDER BY cp) AS t
+              FROM kept GROUP BY 1)
+         SELECT teall.doc_id, coalesce(red.t, '') AS text_redacted,
+                (length(teall.text) - coalesce(length(red.t), 0))::BIGINT
+                  AS n_removed
+         FROM teall LEFT JOIN red USING (doc_id) ORDER BY doc_id""",
+
     // brute-force every-window self-repeat replay: a window counts
     // when the same 31-char string occurs in a DIFFERENT document
     "q_substring_selfdup" ->

@@ -123,7 +123,7 @@ object Curation {
 
   /** `excludeSelf = true` drops same-document anchor pairs — the knob
     * [[selfSubstringRepeats]] uses to run the corpus against itself. */
-  private def substringContamination(train: DataFrame, test: DataFrame,
+  private def contaminationWindows(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, minLen: Int,
       excludeSelf: Boolean): DataFrame = {
     require(minLen >= 3, "minLen must be at least 3")
@@ -187,12 +187,77 @@ object Curation {
       .select(col(idCol),
         explode(sequence(p - col("__graft_left"),
           p - col("__graft_left") + col("__graft_len") - minLen))
-          .as("__graft_pos"))
+          .as("pos"))
       .distinct()
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        min(col("__graft_pos")).as("first_pos"))
   }
+
+  /** Cut every flagged window out of the documents: merge the (possibly
+    * overlapping) `[pos, pos+minLen)` windows into disjoint islands per
+    * doc, then splice the surviving gaps back together. Returns ALL
+    * rows of `docs` — unflagged documents pass through unchanged with
+    * `n_removed = 0`.
+    *
+    * Scale shape: the island merge is a window over the WINDOWS
+    * relation (flagged-positions-sized, not corpus-sized); per doc the
+    * islands collapse to one array row (islands ≤ spans, bounded by
+    * text length / s), and the splice is pure expression work —
+    * `zip_with` over the gap boundaries, one `substr` per island gap,
+    * no UDF, no per-character explode. */
+  def redactWindows(docs: DataFrame, windows: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 1, "minLen must be positive")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMaxEnd = max(col("__graft_end")).over(
+      byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = windows
+      .select(col(idCol), col("pos"),
+        (col("pos") + minLen).as("__graft_end"))
+      // gaps-and-islands: a window starts a new island when it begins
+      // at-or-after everything seen so far ends
+      .withColumn("__graft_new",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("__graft_isl",
+        sum(col("__graft_new")).over(byPos))
+      .groupBy(col(idCol), col("__graft_isl"))
+      .agg(min(col("pos")).as("istart"),
+        max(col("__graft_end")).as("iend"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("istart"), col("iend"))))
+        .as("__graft_arr"))
+    val arr = coalesce(col("__graft_arr"),
+      expr("cast(array() as array<struct<istart:bigint,iend:bigint>>)"))
+    val gapStarts = concat(array(lit(1L)),
+      transform(arr, x => x.getField("iend")))
+    val gapEnds = concat(transform(arr, x => x.getField("istart")),
+      array(length(col(textCol)).cast("long") + 1))
+    docs
+      .join(islands, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(zip_with(gapStarts, gapEnds,
+          (s, e) => col(textCol).substr(s.cast("int"), (e - s).cast("int"))),
+          "").as("text_redacted"),
+        aggregate(arr, lit(0L),
+          (a, x) => a + x.getField("iend") - x.getField("istart"))
+          .as("n_removed"))
+  }
+
+  private def substringContamination(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, minLen: Int,
+      excludeSelf: Boolean): DataFrame =
+    contaminationWindows(train, test, idCol, textCol, minLen, excludeSelf)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), min(col("pos")).as("first_pos"))
+
+  /** One row per contaminated window position — `(idCol, pos)`, `pos`
+    * 1-based in the test doc: the pre-aggregation form of
+    * [[substringContamination]], the relation a redaction pass
+    * ([[redactWindows]]) consumes. */
+  def contaminationWindows(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame =
+    contaminationWindows(train, test, idCol, textCol, minLen,
+      excludeSelf = false)
 
   /** WITHIN-corpus repeated-substring detection — the training-set
     * analog of decontamination (Lee et al. 2022, "Deduplicating

@@ -1664,6 +1664,27 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq == Seq((1L, 5L, 1L)))
   }
 
+  test("redactWindows merges overlapping windows into islands and " +
+      "splices the gaps; unflagged docs pass through") {
+    val s = spark
+    import s.implicits._
+    val d = docs((1L, "0123456789"), (2L, "untouched"))
+    // minLen=3, windows at pos 2,3 (overlap -> island [2,6)) and 8
+    // (island [8,11)): covered chars 2-5 and 8-10, kept "0"+"56"
+    val wins = Seq((1L, 2L), (1L, 3L), (1L, 8L)).toDF("doc_id", "pos")
+    val out = graft.ext.Curation.redactWindows(d, wins, "doc_id", "text",
+        minLen = 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "056", 7L), (2L, "untouched", 0L)))
+    // full coverage leaves the empty string, not a null/crash
+    val all = Seq((2L, 1L), (2L, 4L), (2L, 7L)).toDF("doc_id", "pos")
+    val out2 = graft.ext.Curation.redactWindows(d, all, "doc_id", "text",
+        minLen = 3)
+      .filter(col("doc_id") === 2).head()
+    assert(out2.getString(1) == "" && out2.getLong(2) == 9L)
+  }
+
   test("selfSubstringRepeats flags cross-document repeats symmetrically " +
       "and never same-document-only repetition") {
     // A and B share a 12-char span; C repeats its own 12-char run
