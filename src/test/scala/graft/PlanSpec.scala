@@ -253,6 +253,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "saltBuckets=1 must collapse to the plain single-window path")
   }
 
+  test("self repeats and redaction: anchor and island stages stay " +
+      "equi-joined, never cartesian") {
+    Seq("q_substring_selfdup", "q_redact_contamination").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-keyed:\n$p")
+    }
+  }
+
   test("pipeline export: the composed stages never serialize the " +
       "corpus to one partition and never go cartesian") {
     val p = plan("q_pipeline_export")
