@@ -173,6 +173,20 @@ object Curation {
       // anchor check kills hash collisions; extension arithmetic is on
       // candidate rows only
       .filter(te.substr(p, lit(k)) === tr.substr(q, lit(k)))
+      // anchor MINIMALITY: a maximal common run holds one anchor per
+      // train tile (~runLen/s of them), every one extending to the
+      // SAME span. Keep only the run's first: if the s characters
+      // immediately before the anchor match on both sides, the run
+      // extends left through them, the s-shifted predecessor
+      // (q−s IS a tile: tiles sit at 1+js) is itself a matching
+      // hash-join candidate, and ITS extension emits the covering
+      // span — so this anchor is redundant. Interior anchors always
+      // have their preceding s chars inside the run, so exactly one
+      // anchor survives per run (the one a mismatch or text start
+      // precedes). Cuts LCP extensions from O(runLen/s) to 1 per run
+      // at the cost of one s-char substr comparison per candidate.
+      .filter(p - s < 1 || q - s < 1 ||
+        te.substr(p - s, lit(s)) =!= tr.substr(q - s, lit(s)))
       .withColumn("__graft_left",
         lcp(reverse(te.substr(lit(1), p - 1)),
           reverse(tr.substr(lit(1), q - 1))))
@@ -182,11 +196,18 @@ object Curation {
         col("__graft_left") + k + col("__graft_right"))
       .filter(col("__graft_len") >= minLen)
     spans
+      // dedup spans FIRST: the same test span verifies through every
+      // train doc that shares it — collapse to (start, len) before the
+      // coverage fan-out so the explode runs once per distinct span
+      .select(col(idCol),
+        (p - col("__graft_left")).as("__graft_sstart"),
+        col("__graft_len"))
+      .distinct()
       // closed-form coverage: every minLen-window inside the verified
       // common span is itself common — enumerate its start positions
       .select(col(idCol),
-        explode(sequence(p - col("__graft_left"),
-          p - col("__graft_left") + col("__graft_len") - minLen))
+        explode(sequence(col("__graft_sstart"),
+          col("__graft_sstart") + col("__graft_len") - minLen))
           .as("pos"))
       .distinct()
   }
