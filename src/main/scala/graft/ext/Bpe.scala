@@ -67,6 +67,14 @@ object Bpe {
         concat(lit("  "), regexp_replace(col("w"), "(?s)(.)", "$1  "))
           .as("seg"),
         col("cnt"))
+      // the word table is vocabulary-sized — orders of magnitude below
+      // the corpus — but inherits the corpus aggregate's partition
+      // count, so every one of the numMerges sequential iterations
+      // schedules a full-width stage over near-empty tasks. Size the
+      // loop's working set to the DATA (a few partitions absorb tens
+      // of millions of words), not the shuffle default: the iteration
+      // latency is scheduling-bound, and this is the knob
+      .coalesce(8)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
