@@ -121,9 +121,11 @@ object Curation {
     substringContamination(train, test, idCol, textCol, minLen,
       excludeSelf = false)
 
-  /** `excludeSelf = true` drops same-document anchor pairs — the knob
+  /** Core detection pass: disjoint islands `(idCol, ia, ib)` of
+    * contaminated window START positions per test doc (inclusive).
+    * `excludeSelf = true` drops same-document anchor pairs — the knob
     * [[selfSubstringRepeats]] uses to run the corpus against itself. */
-  private def contaminationWindows(train: DataFrame, test: DataFrame,
+  private def contaminationIslands(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, minLen: Int,
       excludeSelf: Boolean): DataFrame = {
     require(minLen >= 3, "minLen must be at least 3")
@@ -165,7 +167,7 @@ object Curation {
     val p = col("__graft_p")
     val q = col("__graft_q")
     val anchored = wins.join(tiles, "__graft_h")
-    val spans = (if (excludeSelf)
+    val spans0 = (if (excludeSelf)
         anchored.filter(col("__graft_tid") =!= col(idCol))
       else anchored)
       .join(teTexts, idCol)
@@ -187,29 +189,60 @@ object Curation {
       // at the cost of one s-char substr comparison per candidate.
       .filter(p - s < 1 || q - s < 1 ||
         te.substr(p - s, lit(s)) =!= tr.substr(q - s, lit(s)))
-      .withColumn("__graft_left",
-        lcp(reverse(te.substr(lit(1), p - 1)),
-          reverse(tr.substr(lit(1), q - 1))))
-      .withColumn("__graft_right",
-        lcp(te.substr(p + k, length(te)), tr.substr(q + k, length(tr))))
+    // extension: primary path is the native graft_extend kernel — one
+    // zero-copy walk left+right over both UTF-8 buffers per anchor
+    // (packed (left << 32) | right); the builtin fallback composes four
+    // substr copies (two reversed) + two lcp calls — same values, the
+    // measured hot stage at ~6× the cost
+    val extended =
+      if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("graft_extend")))
+        spans0
+          .withColumn("__graft_ext", call_function("graft_extend",
+            te, tr, p.cast("long"), q.cast("long"), lit(k.toLong)))
+          .withColumn("__graft_left", shiftright(col("__graft_ext"), 32))
+          .withColumn("__graft_right",
+            col("__graft_ext").bitwiseAND(lit(0xFFFFFFFFL)))
+      else
+        spans0
+          .withColumn("__graft_left",
+            lcp(reverse(te.substr(lit(1), p - 1)),
+              reverse(tr.substr(lit(1), q - 1))))
+          .withColumn("__graft_right",
+            lcp(te.substr(p + k, length(te)), tr.substr(q + k, length(tr))))
+    val spans = extended
       .withColumn("__graft_len",
         col("__graft_left") + k + col("__graft_right"))
       .filter(col("__graft_len") >= minLen)
-    spans
-      // dedup spans FIRST: the same test span verifies through every
-      // train doc that shares it — collapse to (start, len) before the
-      // coverage fan-out so the explode runs once per distinct span
+    // spans → disjoint ISLANDS of contaminated window positions,
+    // entirely at interval granularity: a verified span covers window
+    // starts [sstart, sstart + len − minLen]; dedup spans (the same
+    // test span verifies through every train doc sharing it), then
+    // gaps-and-islands merge. Everything downstream (position counts,
+    // redaction, the windows explode) derives from islands, so no
+    // stage ever materializes one row per POSITION on a heavily
+    // contaminated corpus until a consumer explicitly asks for them.
+    val sp = spans
       .select(col(idCol),
-        (p - col("__graft_left")).as("__graft_sstart"),
-        col("__graft_len"))
+        (p - col("__graft_left")).as("__graft_a"),
+        (p - col("__graft_left") + col("__graft_len") - minLen)
+          .as("__graft_b"))
       .distinct()
-      // closed-form coverage: every minLen-window inside the verified
-      // common span is itself common — enumerate its start positions
-      .select(col(idCol),
-        explode(sequence(col("__graft_sstart"),
-          col("__graft_sstart") + col("__graft_len") - minLen))
-          .as("pos"))
-      .distinct()
+    val byA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__graft_a"))
+    val prevMax = max(col("__graft_b")).over(byA.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    sp
+      // adjacent position ranges fuse too: a gap opens only when this
+      // span starts at least 2 past everything seen so far
+      .withColumn("__graft_new",
+        when(prevMax.isNull || col("__graft_a") > prevMax + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__graft_isl",
+        sum(col("__graft_new")).over(byA))
+      .groupBy(col(idCol), col("__graft_isl"))
+      .agg(min(col("__graft_a")).as("ia"), max(col("__graft_b")).as("ib"))
+      .select(col(idCol), col("ia"), col("ib"))
   }
 
   /** Cut every flagged window out of the documents: merge the (possibly
@@ -267,18 +300,23 @@ object Curation {
   private def substringContamination(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, minLen: Int,
       excludeSelf: Boolean): DataFrame =
-    contaminationWindows(train, test, idCol, textCol, minLen, excludeSelf)
+    // islands are disjoint, so counts/mins are pure interval arithmetic
+    contaminationIslands(train, test, idCol, textCol, minLen, excludeSelf)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"), min(col("pos")).as("first_pos"))
+      .agg(sum(col("ib") - col("ia") + 1).cast("long").as("n_spans"),
+        min(col("ia")).as("first_pos"))
 
   /** One row per contaminated window position — `(idCol, pos)`, `pos`
     * 1-based in the test doc: the pre-aggregation form of
     * [[substringContamination]], the relation a redaction pass
-    * ([[redactWindows]]) consumes. */
+    * ([[redactWindows]]) consumes. Derived from the disjoint islands,
+    * so the fan-out needs no dedup. */
   def contaminationWindows(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, minLen: Int): DataFrame =
-    contaminationWindows(train, test, idCol, textCol, minLen,
+    contaminationIslands(train, test, idCol, textCol, minLen,
       excludeSelf = false)
+      .select(col(idCol),
+        explode(sequence(col("ia"), col("ib"))).as("pos"))
 
   /** WITHIN-corpus repeated-substring detection — the training-set
     * analog of decontamination (Lee et al. 2022, "Deduplicating

@@ -222,6 +222,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         StrLcp(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_extend"),
+      new ExpressionInfo(classOf[StrExtend].getCanonicalName,
+        "graft_extend"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          s"graft_extend takes (a, b, p, q, k), got ${children.size}")
+        StrExtend(children(0), children(1), children(2), children(3),
+          children(4))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_quantize8"),
       new ExpressionInfo(classOf[QuantizeInt8].getCanonicalName,
         "graft_quantize8"),

@@ -371,6 +371,57 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out(7).isNullAt(0) && out(8).isNullAt(0))
   }
 
+  test("native graft_extend equals the substr/reverse/lcp composition, " +
+      "incl. multi-byte walks, edge anchors, and NULLs") {
+    val s = spark
+    import s.implicits._
+    // (a, b, p, q, k): anchors chosen so left/right walks hit text
+    // edges, multi-byte boundaries, and zero-extension cases
+    val df = Seq(
+      ("xxABCyy", "mmABCnn", 3L, 3L, 3L),   // left 0, right 0
+      ("ppABCqq", "zpABCqk", 3L, 3L, 3L),   // left 1 ("p"), right 1 ("q")
+      ("ABC", "ABC", 1L, 1L, 3L),           // whole-string anchor
+      ("αβγδε", "xβγδy", 2L, 2L, 2L),       // multi-byte both walks
+      ("a😀bC", "z😀bC", 2L, 2L, 1L),       // astral anchor, right 2
+      ("abcdef", "abcdef", 4L, 4L, 2L))     // identical: full extension
+      .toDF("a", "b", "p", "q", "k")
+    val te = col("a")
+    val tr = col("b")
+    val p = col("p")
+    val q = col("q")
+    val k = col("k")
+    val mismatchL = array_position(zip_with(
+      split(reverse(te.substr(lit(1), (p - 1).cast("int"))), ""),
+      split(reverse(tr.substr(lit(1), (q - 1).cast("int"))), ""),
+      (x, y) => !(x <=> y)), lit(true))
+    val refL = when(mismatchL === 0, least(p - 1, q - 1))
+      .otherwise(mismatchL - 1).cast("long")
+    val mismatchR = array_position(zip_with(
+      split(te.substr(p + k, length(te)), ""),
+      split(tr.substr(q + k, length(tr)), ""),
+      (x, y) => !(x <=> y)), lit(true))
+    val refR = when(mismatchR === 0,
+      least(length(te) - p - k + 1, length(tr) - q - k + 1))
+      .otherwise(mismatchR - 1).cast("long")
+    val out = df.select(
+        call_function("graft_extend", te, tr, p, q, k).as("ext"),
+        refL.as("l"), refR.as("r"))
+      .collect()
+    out.foreach { row =>
+      val left = row.getLong(0) >> 32
+      val right = row.getLong(0) & 0xFFFFFFFFL
+      assert(left == row.getLong(1) && right == row.getLong(2),
+        s"$row -> ($left, $right)")
+    }
+    // null contract: any null operand nulls the result
+    val nulls = Seq((Option.empty[String], Some("x")))
+      .toDF("a", "b")
+      .select(call_function("graft_extend", col("a"), col("b"),
+        lit(1L), lit(1L), lit(1L)))
+      .head()
+    assert(nulls.isNullAt(0))
+  }
+
   test("projectSign: closed-form sign projection, null and length " +
       "contracts, partitioning-independent") {
     val s = spark

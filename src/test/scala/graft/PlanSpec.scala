@@ -215,13 +215,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"tiled k-gram anchoring must keep every join equi-keyed:\n$p")
   }
 
-  test("substring contamination: LCP verification runs the native " +
-      "codegen'd graft_lcp, not the interpreted HOF chain") {
+  test("substring contamination: anchor verification runs the native " +
+      "codegen'd graft_extend walk, not the substr/reverse/HOF chain") {
     val p = plan("q_substring_contamination")
-    assert(p.contains("graft_lcp"),
-      s"extension verify must use the native LCP expression:\n$p")
-    assert(!p.contains("zip_with"),
-      s"the HOF fallback must not appear when the extension is registered:\n$p")
+    assert(p.contains("graft_extend"),
+      s"extension verify must use the native extend kernel:\n$p")
+    assert(!p.contains("zip_with") && !p.contains("reverse("),
+      s"the copy-heavy fallback must not appear when the extension is " +
+        s"registered:\n$p")
   }
 
   test("mixture budget: one hash shuffle feeds both the rank and the " +
