@@ -220,11 +220,14 @@ object SparkEntry {
     * all below minted ids and earlier mints below later) and the
     * per-word → per-document id-sequence assembly, compared as the
     * space-joined string form. */
-  private def bpeEncodeIdsOracle(m: Int): String = {
+  /** CTE interior `words..fl` where `fl` is (doc_id, tids: list<int>)
+    * — the full vocabulary + per-document id assembly, shared by
+    * [[bpeEncodeIdsOracle]] and the token-shard export oracle. */
+  private def bpeIdsChainSql(m: Int): String = {
     val mergeUnion = (1 to m)
       .map(k => s"SELECT $k AS step, lhs, rhs FROM b$k")
       .mkString("\n               UNION ALL ")
-    s"""WITH ${bpeWordChainSql(m)},
+    s"""${bpeWordChainSql(m)},
          syms AS (SELECT w, list_filter(string_split(seg, '  '), x -> x <> '')
                   AS s FROM w$m),
          alpha AS (SELECT DISTINCT unnest(string_split(w, '')) AS sym
@@ -250,11 +253,47 @@ object SparkEntry {
                               AS ws
                            FROM documents))),
          fl AS (SELECT doc_id, flatten(list(ids ORDER BY pos)) AS tids
-               FROM dw JOIN wids USING (w) GROUP BY doc_id)
+               FROM dw JOIN wids USING (w) GROUP BY doc_id)"""
+  }
+
+  private def bpeEncodeIdsOracle(m: Int): String =
+    s"""WITH ${bpeIdsChainSql(m)}
          SELECT doc_id, array_to_string(tids, ' ') AS token_ids,
                 len(tids)::BIGINT AS n_tokens
          FROM fl ORDER BY doc_id"""
-  }
+
+  /** Token-shard export replay: the id chain, then the concat-packing
+    * spans in closed form (the doc occupies a contiguous interval
+    * [s, e) of its shard stream, so each bin's piece of its id list is
+    * a pure slice — no window over positions), and the per-bin stream
+    * digest. */
+  private def exportTokenShardsOracle(m: Int): String =
+    s"""WITH ${bpeIdsChainSql(m)},
+         pk AS (SELECT doc_id, doc_id % 4 AS shard,
+                len(tids)::BIGINT AS n, tids FROM fl WHERE len(tids) > 0),
+         pc AS (SELECT doc_id, shard, n, tids,
+                sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                  AS e
+              FROM pk),
+         spans AS (SELECT doc_id, shard, tids, e - n AS s, e,
+                unnest(generate_series((e - n) // 512,
+                                       (e - 1) // 512)) AS bin
+              FROM pc),
+         sl AS (SELECT doc_id, shard, bin,
+                greatest(s, bin * 512) - bin * 512 AS start_in_bin,
+                least(e, (bin + 1) * 512) - greatest(s, bin * 512)
+                  AS tok_in_bin,
+                tids[(greatest(s, bin * 512) - s + 1)
+                     : (least(e, (bin + 1) * 512) - s)] AS piece
+              FROM spans)
+         SELECT shard::BIGINT AS shard, bin::BIGINT AS bin,
+                count(*)::BIGINT AS n_docs,
+                sum(tok_in_bin)::BIGINT AS bin_tokens,
+                md5(array_to_string(
+                  flatten(list(piece ORDER BY start_in_bin)), ' '))
+                  AS ids_md5
+         FROM sl GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** DuckDB replay of [[graft.ext.Similarity]]'s farthest-point
     * seeding ([[graft.ext.Similarity.farthestSeedVecs]]) over the int8
@@ -1558,6 +1597,31 @@ object SparkEntry {
       graft.ext.Bpe.bpeEncode(docs, "doc_id", "text",
           graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
         .orderBy(col("doc_id"))
+    }),
+
+    // THE exportable end product: real token-id streams cut into
+    // 512-token training bins — bpeEncodeIds supplies per-doc id
+    // arrays, packConcatWithOffsets says which contiguous piece of
+    // each array lands in which bin (closed-form doc_off slice
+    // offset), and the per-bin stream digests under the oracle.
+    "q_export_token_shards" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val ids = graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text",
+        graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+      graft.ext.Packing.packConcatWithOffsets(
+          ids.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = 512L, shards = 4)
+        .join(ids.select(col("doc_id"), col("token_ids")), "doc_id")
+        .withColumn("__piece", expr(
+          "slice(token_ids, cast(doc_off + 1 as int), cast(tok_in_bin as int))"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_in_bin")).as("bin_tokens"),
+          md5(array_join(flatten(transform(
+            array_sort(collect_list(struct(col("start_in_bin"),
+              col("__piece")))),
+            x => x.getField("__piece"))), " ")).as("ids_md5"))
+        .orderBy(col("shard"), col("bin"))
     }),
 
     // Tokenizer apply, ID form: per-document array<int> token-id
@@ -3001,6 +3065,7 @@ object SparkEntry {
 
     "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_bpe_encode_ids" -> bpeEncodeIdsOracle(8),
+    "q_export_token_shards" -> exportTokenShardsOracle(8),
 
     // Same hash → budget → ordered-prefix arithmetic as mixtureByTokens:
     // budget floor(2000·w/5.5) per source, md5-rank order, keep while

@@ -35,7 +35,8 @@ object Packing {
     * generated column or silently change the grouping, so it is
     * rejected up front. Internal scratch columns are `__graft_`-
     * prefixed and never escape, so only the real outputs are reserved. */
-  private val Reserved = Set("shard", "bin", "tok_in_bin", "start_in_bin")
+  private val Reserved =
+    Set("shard", "bin", "tok_in_bin", "start_in_bin", "doc_off")
 
   private def checkNames(idCol: String, tokenCol: String,
       extraKeys: Seq[String]): Unit = {
@@ -105,7 +106,18 @@ object Packing {
     * document is `1 + tokens/budget` — bounded by the document's own
     * length, never the corpus. */
   def packConcat(docs: DataFrame, idCol: String, tokenCol: String,
-      budget: Long, shards: Int): DataFrame = {
+      budget: Long, shards: Int): DataFrame =
+    packConcatWithOffsets(docs, idCol, tokenCol, budget, shards)
+      .drop("doc_off")
+
+  /** [[packConcat]] + `doc_off`: how many of the document's own tokens
+    * earlier bins already consumed — the slice offset a token-id
+    * exporter needs to cut each document's id array into its per-bin
+    * pieces. Closed form from the shard-stream interval (the document
+    * occupies contiguous positions, so the part before this bin is
+    * `max(start, bin·budget) − start`); no extra shuffle. */
+  def packConcatWithOffsets(docs: DataFrame, idCol: String,
+      tokenCol: String, budget: Long, shards: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
     checkNames(idCol, tokenCol, Nil)
@@ -129,7 +141,10 @@ object Packing {
       .withColumn("start_in_bin",
         greatest(col("__graft_start"), col("bin") * budget) -
           col("bin") * budget)
+      .withColumn("doc_off",
+        greatest(col("__graft_start"), col("bin") * budget) -
+          col("__graft_start"))
       .select(col(idCol), col("shard"), col("bin"), col("tok_in_bin"),
-        col("start_in_bin"))
+        col("start_in_bin"), col("doc_off"))
   }
 }

@@ -1715,6 +1715,25 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq == Seq((1L, 5L, 1L)))
   }
 
+  test("packConcatWithOffsets reports how many of a doc's tokens " +
+      "earlier bins consumed") {
+    val s = spark
+    import s.implicits._
+    // one shard, budget 5: stream = doc0 [0,3), doc1 [3,10) — doc1
+    // splits across bins 0/1 with 2 tokens consumed before bin 1
+    val d = Seq((0L, 3L), (1L, 7L)).toDF("doc_id", "n_tokens")
+    val out = graft.ext.Packing.packConcatWithOffsets(
+        d, "doc_id", "n_tokens", budget = 5L, shards = 1)
+      .orderBy(col("doc_id"), col("bin"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 3L, 0L, 0L),   // doc0 bin0: 3 toks at start 0, off 0
+      (1L, 0L, 2L, 3L, 0L),   // doc1 bin0: first 2 toks
+      (1L, 1L, 5L, 0L, 2L)))  // doc1 bin1: rest, 2 already consumed
+  }
+
   test("redactWindows merges overlapping windows into islands and " +
       "splices the gaps; unflagged docs pass through") {
     val s = spark
