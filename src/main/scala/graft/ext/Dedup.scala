@@ -64,24 +64,40 @@ object Dedup {
         // the doc simply never matches (documented operator contract).
         if (id == null) None
         else if (text == null) Some((id.longValue, Array.empty[String]))
-        else {
-          val toks = text.split(" ", -1)
-          val shingles: Array[String] =
-            if (toks.length >= n) {
-              val out = new Array[String](toks.length - n + 1)
-              var i = 0
-              while (i <= toks.length - n) {
-                val sb = new java.lang.StringBuilder(toks(i))
-                var j = 1
-                while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-                out(i) = sb.toString
-                i += 1
-              }
-              out.distinct
-            } else Array(text)
-          Some((id.longValue, shingles))
-        }
+        else Some((id.longValue, shinglesOf(text, n)))
       }.toDF(idCol, "ss")
+  }
+
+  /** Distinct word-n-gram shingles of one document — the single shared
+    * definition behind [[shingleSets]] and the per-row signature
+    * kernels, so every consumer hashes identical strings. */
+  private def shinglesOf(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length >= n) {
+      val out = new Array[String](toks.length - n + 1)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = sb.toString
+        i += 1
+      }
+      out.distinct
+    } else Array(text)
+  }
+
+  /** Driver/executor-side form of THE portable-hash idiom
+    * (`Sampling.md5Top60`): top 60 bits of md5, i.e. the first 15 hex
+    * digits — equals the first 8 digest bytes read big-endian, shifted
+    * right 4. */
+  private def md5Top60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** One row per (id, distinct word-n-gram shingle). The explode is the
@@ -352,6 +368,44 @@ object Dedup {
       .select(col(idCol), packed.as("simhash"))
   }
 
+  /** [[simhashSignatures]] without the shuffle: the identical shingle →
+    * md5-top-60 → bit-vote → pack function evaluated per ROW in one
+    * typed pass (a document's signature depends only on its own text,
+    * so the exploded-rows + 60-accumulator aggregate buys nothing but a
+    * corpus-wide shuffle). Bit-identical output — ExtSpec pins the two
+    * forms equal — and the form every dedup entry point uses; the
+    * aggregate form remains the SQL-replayable reference the oracle
+    * mirrors. Docs with a null/zero-shingle text are absent from the
+    * result, matching the aggregate form's explode-then-group shape. */
+  def simhashSignaturesLocal(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(java.lang.Long, String)]
+      .flatMap { case (id, text) =>
+        if (id == null || text == null) None
+        else {
+          val shingles = shinglesOf(text, n)
+          if (shingles.isEmpty) None
+          else {
+            val votes = new Array[Int](60)
+            shingles.foreach { s =>
+              val h = md5Top60Local(s)
+              var p = 0
+              while (p < 60) {
+                votes(p) += (((h >>> p) & 1L).toInt * 2 - 1); p += 1
+              }
+            }
+            var sig = 0L
+            var p = 0
+            while (p < 60) { if (votes(p) > 0) sig |= 1L << p; p += 1 }
+            Some((id.longValue, sig))
+          }
+        }
+      }.toDF(idCol, "simhash")
+  }
+
   /** Hamming distance between two SimHash values — pair filter for
     * near-dup candidates (e.g. ≤ 3 of 60 bits). */
   def hammingDistance(a: Column, b: Column): Column =
@@ -370,7 +424,7 @@ object Dedup {
       maxHamming: Int = 7, n: Int = 3): DataFrame = {
     val chunks = 8
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    val sig = simhashSignatures(docs, idCol, textCol, n).persist(Spill)
+    val sig = simhashSignaturesLocal(docs, idCol, textCol, n).persist(Spill)
     val chunked = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         expr(s"shiftright(simhash, ${c * 8}) & 255")): _*))

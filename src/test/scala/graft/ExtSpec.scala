@@ -207,6 +207,25 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(rows((1L, 2L)) - 10.0 / 12.0) < 1e-9)
   }
 
+  test("simhashSignaturesLocal is bit-identical to the aggregate form, " +
+      "incl. short/empty/null texts") {
+    val s = spark
+    import s.implicits._
+    val d = nearDupDocs.select(col("doc_id"), col("text"))
+      .union(Seq((7L, "ab"), (8L, "")).toDF("doc_id", "text"))
+      .union(Seq(Tuple1(9L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    def collectSigs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = collectSigs(Dedup.simhashSignatures(d, "doc_id", "text"))
+    val local = collectSigs(
+      Dedup.simhashSignaturesLocal(d, "doc_id", "text"))
+    assert(local == agg)
+    // the short doc (< n tokens -> [text] shingle) and the empty text
+    // must be present; the null text absent from both forms
+    assert(agg.contains(7L) && agg.contains(8L) && !agg.contains(9L))
+  }
+
   test("simhash of near-dups is close in Hamming distance, far docs far") {
     val sig = Dedup.simhashSignatures(nearDupDocs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
