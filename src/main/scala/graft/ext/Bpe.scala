@@ -80,6 +80,11 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     var step = 0
+    // previous generation, kept cached until the NEXT census has
+    // materialized its child — the census job itself then does the
+    // materialization work a per-iteration count() used to do, saving
+    // one full pass over the word table every merge step
+    var prev: DataFrame = null
     while (step < numMerges && !exhausted) {
       // adjacent symbol pairs weighted by word count: split the string
       // encoding back to symbols (double-space separator; the padding
@@ -99,6 +104,9 @@ object Bpe {
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
         .limit(1)
         .collect()
+      // the census just materialized `words` into its cache, so the
+      // generation that produced it is now droppable
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -106,17 +114,17 @@ object Bpe {
         merges += ((step.toLong, l, r, n))
         // fuse the pair everywhere it occurs; literal replace, greedy
         // left-to-right — see the encoding note above. Persist the new
-        // generation and release the old so per-iteration cost stays
+        // generation (lazily — the next census materializes it) and
+        // hold the parent one step so per-iteration cost stays
         // O(vocabulary), not O(vocabulary × step)
-        val prev = words
+        prev = words
         words = prev
           .select(replace(col("seg"), lit(s" $l  $r "), lit(s" ${l}${r} "))
             .as("seg"), col("cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        words.count() // materialize before dropping the parent
-        prev.unpersist(blocking = false)
       }
     }
+    if (prev != null) prev.unpersist(blocking = false)
     words.unpersist(blocking = false)
 
     val schema = StructType(Seq(
