@@ -261,6 +261,51 @@ object PropertiesSpec extends Properties("graft") {
       run(buckets) == run(1)
     }
 
+  property("redactWindows == per-character reference on random windows") =
+    forAll(for {
+      len <- Gen.choose(0, 40)
+      text <- Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString)
+      minLen <- Gen.choose(1, 6)
+      nw <- Gen.choose(0, 8)
+      wins <- Gen.listOfN(nw,
+        Gen.choose(1, math.max(1, len - minLen + 1)))
+    } yield (text, minLen, wins.distinct)) { case (text, minLen, wins) =>
+      val s = spark
+      import s.implicits._
+      val d = Seq((1L, text)).toDF("doc_id", "text")
+      val validWins = wins.filter(p => p + minLen - 1 <= text.length)
+      val wdf = validWins.map(p => (1L, p.toLong)).toDF("doc_id", "pos")
+      val out = graft.ext.Curation.redactWindows(d, wdf, "doc_id", "text",
+          minLen).head()
+      // reference: drop every char covered by any [p, p+minLen) window
+      val covered = validWins
+        .flatMap(p => p until p + minLen).toSet // 1-based char positions
+      val expected = text.zipWithIndex
+        .collect { case (c, i) if !covered(i + 1) => c }.mkString
+      out.getString(1) == expected &&
+        out.getLong(2) == (text.length - expected.length).toLong
+    }
+
+  property("bpeEncodeIds token counts equal bpeEncode's on random corpora") =
+    forAll(for {
+      nDocs <- Gen.choose(1, 6)
+      docsG <- Gen.listOfN(nDocs, Gen.listOfN(6,
+        Gen.listOfN(3, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+        .map(_.mkString(" ")))
+      m <- Gen.choose(1, 6)
+    } yield (docsG, m)) { case (texts, m) =>
+      val s = spark
+      import s.implicits._
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = graft.ext.Bpe.bpeTrain(d, "text", m)
+      val counts = graft.ext.Bpe.bpeEncode(d, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val ids = graft.ext.Bpe.bpeEncodeIds(d, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      ids == counts
+    }
+
   property("scd2 intervals chain per key and merge equal runs") =
     forAll(Gen.listOfN(10, Gen.option(Gen.choose(0, 2)))) { vals =>
       val s = spark
