@@ -145,23 +145,37 @@ object Curation {
     // occurrence is kept — two occurrences of the same k-gram extend
     // differently, and dropping one could miss a contamination only
     // reachable through its context
-    val tiles = trTexts
-      .select(col("__graft_tid"),
-        explode(sequence(lit(1), length(col("__graft_ttext")) - k + 1,
-          lit(s))).as("__graft_q"),
-        col("__graft_ttext"))
-      .select(col("__graft_tid"), col("__graft_q"),
-        xxhash64(col("__graft_ttext").substr(col("__graft_q"), lit(k)))
-          .as("__graft_h"))
+    // Index hashing, primary path: ONE rolling pass per text via the
+    // native graft_khashes (O(len), zero substring copies; element i
+    // hashes the window at char position i·stride + 1), vs the
+    // per-offset substr+xxhash fallback at O(len·k) plus len copies.
+    // The two paths hash with DIFFERENT functions — legal because both
+    // sides of the equi-join always use the same one and every
+    // candidate passes the exact anchor-equality check.
+    val nativeHashes = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("graft_khashes"))
+    def windowHashes(texts: DataFrame, textCol2: String, outId: String,
+        outPos: String, stride: Int): DataFrame =
+      if (nativeHashes)
+        texts
+          .select(col(outId),
+            posexplode(call_function("graft_khashes", col(textCol2),
+              lit(k), lit(stride))).as(Seq("__graft_i", "__graft_h")))
+          .select(col(outId),
+            (col("__graft_i") * stride + 1).as(outPos), col("__graft_h"))
+      else
+        texts
+          .select(col(outId),
+            explode(sequence(lit(1), length(col(textCol2)) - k + 1,
+              lit(stride))).as(outPos),
+            col(textCol2))
+          .select(col(outId), col(outPos),
+            xxhash64(col(textCol2).substr(col(outPos), lit(k)))
+              .as("__graft_h"))
+    val tiles = windowHashes(trTexts, "__graft_ttext", "__graft_tid",
+      "__graft_q", s)
     // test windows at EVERY offset (the guarantee needs unaligned finds)
-    val wins = teTexts
-      .select(col(idCol),
-        explode(sequence(lit(1), length(col("__graft_text")) - k + 1))
-          .as("__graft_p"),
-        col("__graft_text"))
-      .select(col(idCol), col("__graft_p"),
-        xxhash64(col("__graft_text").substr(col("__graft_p"), lit(k)))
-          .as("__graft_h"))
+    val wins = windowHashes(teTexts, "__graft_text", idCol, "__graft_p", 1)
     val te = col("__graft_text")
     val tr = col("__graft_ttext")
     val p = col("__graft_p")

@@ -129,6 +129,90 @@ object MinKgramHash {
   }
 }
 
+/** ALL k-gram window hashes of a string at stride offsets, in one
+  * rolling pass — the windows/tiles index builder of the substring
+  * decontamination family. Returns `array<long>`; element i is the
+  * hash of the window starting at 1-based char position `i·stride + 1`.
+  *
+  * vs per-offset `xxhash64(substr(...))`: that shape recomputes k
+  * chars per offset (O(len·k) plus len substring copies); this walks
+  * the code points once (O(len), zero copies). The hash itself is a
+  * DUAL independent 31-bit polynomial roll packed to 62 bits —
+  * per-window collision odds ~2⁻⁶² keep candidate noise nil even at
+  * 10¹⁴ windows, without 128-bit arithmetic, and any collision that
+  * does occur dies at the downstream anchor-equality check (the hash
+  * choice is pure plumbing, same contract as the xxhash64 form). */
+case class KgramHashes(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression {
+  require(k > 0, "window size must be positive")
+  require(stride > 0, "stride must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_khashes requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_khashes"
+
+  override def nullSafeEval(input: Any): Any =
+    KgramHashes.hashes(input.asInstanceOf[UTF8String].toString, k, stride)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.KgramHashes.hashes($c.toString(), $k, $stride);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KgramHashes = copy(child = newChild)
+}
+
+object KgramHashes {
+  private val M1 = 2147483647L // 2^31 − 1
+  private val M2 = 2147483629L
+  private val B1 = 31L
+  private val B2 = 131L
+
+  /** Shared by interpreted eval and codegen. All intermediates fit a
+    * signed 64-bit long: acc < M < 2³¹, acc·B + cp < 2³⁹, and the
+    * roll-out product cp·pow < 2⁵². */
+  def hashes(s: String, k: Int,
+      stride: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val out = new Array[Long]((n - k) / stride + 1)
+    var pow1 = 1L
+    var pow2 = 1L
+    var j = 1
+    while (j < k) { pow1 = pow1 * B1 % M1; pow2 = pow2 * B2 % M2; j += 1 }
+    var a1 = 0L
+    var a2 = 0L
+    var i = 0
+    while (i < k) {
+      a1 = (a1 * B1 + cps(i)) % M1
+      a2 = (a2 * B2 + cps(i)) % M2
+      i += 1
+    }
+    out(0) = (a1 << 31) | a2
+    var w = 1
+    var oi = 1
+    while (w <= n - k) {
+      val outCp = cps(w - 1).toLong
+      val inCp = cps(w + k - 1).toLong
+      a1 = ((a1 - outCp % M1 * pow1 % M1) % M1 + M1) % M1
+      a1 = (a1 * B1 + inCp) % M1
+      a2 = ((a2 - outCp % M2 * pow2 % M2) % M2 + M2) % M2
+      a2 = (a2 * B2 + inCp) % M2
+      if (w % stride == 0) { out(oi) = (a1 << 31) | a2; oi += 1 }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Session extension registering the engine's native functions.
   * Activate with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
@@ -220,6 +304,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_lcp takes exactly 2 arguments, got ${children.size}")
         StrLcp(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_khashes"),
+      new ExpressionInfo(classOf[KgramHashes].getCanonicalName,
+        "graft_khashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_khashes takes (text, k, stride), got ${children.size}")
+        def intLit(e: Expression, what: String): Int = e match {
+          case l if l.foldable => l.eval() match {
+            case i: Int => i
+            case l2: Long => l2.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_khashes $what must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"graft_khashes $what must be a literal")
+        }
+        KgramHashes(children.head, intLit(children(1), "window size"),
+          intLit(children(2), "stride"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_extend"),

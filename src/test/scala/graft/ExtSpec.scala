@@ -390,6 +390,37 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out(7).isNullAt(0) && out(8).isNullAt(0))
   }
 
+  test("native graft_khashes: one rolling pass equals per-window direct " +
+      "hashing, stride selects aligned offsets, short strings empty") {
+    val s = spark
+    import s.implicits._
+    def direct(t: String, k: Int): Seq[Long] = {
+      val M1 = 2147483647L; val M2 = 2147483629L
+      (0 to t.length - k).map { i =>
+        val w = t.substring(i, i + k)
+        val a1 = w.foldLeft(0L)((a, c) => (a * 31 + c) % M1)
+        val a2 = w.foldLeft(0L)((a, c) => (a * 131 + c) % M2)
+        (a1 << 31) | a2
+      }
+    }
+    val t = "abcabcababc"
+    val all = Seq(t).toDF("t")
+      .select(call_function("graft_khashes", col("t"), lit(4), lit(1)))
+      .head().getSeq[Long](0)
+    assert(all == direct(t, 4))
+    // stride 3 keeps offsets 0, 3, 6 (1-based positions 1, 4, 7)
+    val strided = Seq(t).toDF("t")
+      .select(call_function("graft_khashes", col("t"), lit(4), lit(3)))
+      .head().getSeq[Long](0)
+    assert(strided == Seq(0, 3, 6).map(direct(t, 4)))
+    // identical windows hash identically (positions 1 and 4: "abca")
+    assert(all(0) == all(3))
+    val short = Seq("ab").toDF("t")
+      .select(call_function("graft_khashes", col("t"), lit(4), lit(1)))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("native graft_extend equals the substr/reverse/lcp composition, " +
       "incl. multi-byte walks, edge anchors, and NULLs") {
     val s = spark
