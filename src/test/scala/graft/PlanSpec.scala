@@ -220,6 +220,9 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q_substring_contamination")
     assert(p.contains("graft_extend"),
       s"extension verify must use the native extend kernel:\n$p")
+    assert(p.contains("graft_khashes") && !p.contains("xxhash64"),
+      s"window index must be the one-pass rolling hash, not per-offset " +
+        s"substr+xxhash:\n$p")
     assert(!p.contains("zip_with") && !p.contains("reverse("),
       s"the copy-heavy fallback must not appear when the extension is " +
         s"registered:\n$p")
