@@ -1524,6 +1524,16 @@ object SparkEntry {
         .select(col("doc_id"), r6(col("avg_logprob")).as("avg_logprob"))
         .orderBy(col("doc_id"))),
 
+    // Bigram conditional log2-probability quality (one Markov order up
+    // from q_unigram_logprob): shuffled-word text scores very negative
+    // even when its unigrams are common. Docs with < 2 tokens have no
+    // bigrams and drop out.
+    "q_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.read(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), r6(col("avg_logprob")).as("avg_logprob"))
+        .orderBy(col("doc_id"))),
+
     // Sliding-window chunking: 32-token windows stepping 16, so
     // consecutive chunks share 16 tokens of left context — the overlap
     // form of q_chunk_tokens for long-document splitting.
@@ -3004,6 +3014,20 @@ object SparkEntry {
          SELECT t.doc_id,
                 round(avg(log2(f.cnt / tot.n)), 6) AS avg_logprob
          FROM tok t JOIN freq f USING (token), tot
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         i AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+              FROM t WHERE len(l) >= 2),
+         b AS (SELECT doc_id, l[i] AS prev, l[i + 1] AS cur FROM i),
+         bc AS (SELECT prev, cur, count(*)::DOUBLE AS bcnt
+              FROM b GROUP BY 1, 2),
+         pc AS (SELECT prev, sum(bcnt) AS pcnt FROM bc GROUP BY 1)
+         SELECT b.doc_id,
+                round(avg(log2(bc.bcnt / pc.pcnt)), 6) AS avg_logprob
+         FROM b JOIN bc USING (prev, cur) JOIN pc USING (prev)
          GROUP BY 1 ORDER BY 1""",
 
     "q_chunk_overlap" ->

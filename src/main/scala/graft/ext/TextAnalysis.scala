@@ -322,6 +322,46 @@ object TextAnalysis {
       .agg(avg(log2(col("_cnt") / col("_tot"))).as("avg_logprob"))
   }
 
+  /** Mean bigram conditional log2-probability per document under the
+    * corpus's OWN bigram distribution — one Markov order up from
+    * [[unigramLogProb]] and a step closer to the CCNet/KenLM
+    * perplexity filter: fluent text scores near 0, shuffled-word or
+    * rare-phrase text scores very negative even when its unigrams are
+    * common. `P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} ·)` — pure
+    * MLE, no smoothing needed because every SCORED bigram was observed
+    * in the corpus (it contributes to its own count), so the ratio is
+    * always in (0, 1]. Documents with fewer than 2 tokens have no
+    * bigrams and are absent from the output.
+    *
+    * Scale rationale: ONE narrow pass builds the (doc, prev, cur)
+    * adjacency relation (zip_with over two slices — no window function,
+    * no per-doc shuffle); the bigram frequency aggregate's key space is
+    * the distinct adjacent PAIRS (vocabulary²-bounded in theory,
+    * observed-pairs-bounded in practice, map-side partials collapse hot
+    * pairs); prefix counts derive from the bigram table itself
+    * (pairs-sized input — the corpus is never scanned a second time);
+    * AQE broadcasts both frequency sides when they fit. */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    val big = docs
+      .filter(size(t) >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = big.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast("double").as("_bcnt"))
+    val pc = bc.groupBy(col("prev")).agg(sum(col("_bcnt")).as("_pcnt"))
+    big
+      .join(bc, Seq("prev", "cur"))
+      .join(pc, Seq("prev"))
+      .groupBy(col(idCol))
+      .agg(avg(log2(col("_bcnt") / col("_pcnt"))).as("avg_logprob"))
+  }
+
   /** The `(idCol, token)` exploded relation [[unigramLogProb]] scans
     * three times — exposed so callers OWN its cache lifecycle:
     * `val tok = tokenRelation(d, "id", "text").persist()`, run

@@ -1629,6 +1629,32 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(out(2L) - math.log(1.0 / 12) / math.log(2)) < 1e-9)
   }
 
+  test("bigramLogProb: exact MLE closed form; fluent word order outscores " +
+      "shuffled; short docs drop out") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b) (b,a) (a,b)
+      (2L, "a b"),
+      (3L, "b c"),
+      (4L, "solo"),      // 1 token: no bigrams, absent from output
+      (5L, ""))          // "" splits to [""] — 1 token, absent
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // observed bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,b);
+    // doc3 = (b,c). counts: (a,b)=3, (b,a)=1, (b,c)=1; prefixes a·=3, b·=2
+    val lg = (x: Double) => math.log(x) / math.log(2)
+    val pAB = 3.0 / 3; val pBA = 1.0 / 2; val pBC = 1.0 / 2
+    assert(math.abs(out(1L) - (lg(pAB) + lg(pBA) + lg(pAB)) / 3) < 1e-9)
+    assert(math.abs(out(2L) - lg(pAB)) < 1e-9)
+    assert(math.abs(out(3L) - lg(pBC)) < 1e-9)
+    // doc2's "a b" rides the corpus-frequent bigram: it must outscore
+    // doc3's unique "b c"
+    assert(out(2L) > out(3L))
+  }
+
   test("bpePairCounts: adjacent code-point pairs within words, exact " +
       "counts, no cross-word pairs") {
     val s = spark
