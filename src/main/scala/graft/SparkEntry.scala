@@ -1398,6 +1398,26 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // Declarative data-quality expectation suite (the Deequ idea):
+    // completeness, key uniqueness, range, format, and domain checks
+    // over orders, ALL evaluated in one aggregate scan; each reports
+    // its measured fraction and pass flag. Two checks fail by design
+    // (o_orderstatus is 3-valued, not unique; prices exceed 100k) so
+    // the report proves failure surfacing, not just green paths.
+    "q_expectations" -> ((s, dir) => {
+      import graft.ext.Expectations._
+      check(Tables.read(s, dir, "orders"), Seq(
+        Complete("o_custkey"),
+        Unique("o_orderkey"),
+        Unique("o_orderstatus"),
+        InRange("o_totalprice", 0, 100000, minRatio = 0.9),
+        MatchesRegex("o_orderpriority", "^[1-5]-"),
+        InSet("o_orderstatus", Seq("F", "O"), minRatio = 0.6)))
+        .select(col("check"), col("col_name"),
+          r6(col("metric")).as("metric"), col("passed"))
+        .orderBy(col("check"), col("col_name"))
+    }),
+
     // Native Morton (Z-order) key over two scaled dimensions — the
     // clustering key behind Layout.writeZOrdered; the oracle rebuilds
     // the identical bit interleave arithmetically.
@@ -2906,6 +2926,44 @@ object SparkEntry {
                   NULL::VARCHAR, NULL::VARCHAR
            FROM events
          ) ORDER BY col_name""",
+
+    "q_expectations" ->
+      """WITH a AS (SELECT
+              count(*)::DOUBLE AS n,
+              count(o_custkey)::DOUBLE AS nn_cust,
+              count(DISTINCT o_orderkey)::DOUBLE AS nd_key,
+              count(o_orderkey)::DOUBLE AS nn_key,
+              count(DISTINCT o_orderstatus)::DOUBLE AS nd_st,
+              count(o_orderstatus)::DOUBLE AS nn_st,
+              count(CASE WHEN o_totalprice BETWEEN 0 AND 100000
+                    THEN 1 END)::DOUBLE AS nr_tp,
+              count(o_totalprice)::DOUBLE AS nn_tp,
+              count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 1 END)::DOUBLE AS nm_pr,
+              count(o_orderpriority)::DOUBLE AS nn_pr,
+              count(CASE WHEN o_orderstatus IN ('F', 'O')
+                    THEN 1 END)::DOUBLE AS ns_st
+            FROM orders)
+         SELECT * FROM (
+           SELECT 'complete' AS "check", 'o_custkey' AS col_name,
+                  round(nn_cust / n, 6) AS metric,
+                  nn_cust / n >= 1.0 AS passed FROM a
+           UNION ALL
+           SELECT 'unique', 'o_orderkey', round(nd_key / nn_key, 6),
+                  nd_key / nn_key >= 1.0 FROM a
+           UNION ALL
+           SELECT 'unique', 'o_orderstatus', round(nd_st / nn_st, 6),
+                  nd_st / nn_st >= 1.0 FROM a
+           UNION ALL
+           SELECT 'in_range', 'o_totalprice', round(nr_tp / nn_tp, 6),
+                  nr_tp / nn_tp >= 0.9 FROM a
+           UNION ALL
+           SELECT 'matches_regex', 'o_orderpriority',
+                  round(nm_pr / nn_pr, 6), nm_pr / nn_pr >= 1.0 FROM a
+           UNION ALL
+           SELECT 'in_set', 'o_orderstatus', round(ns_st / nn_st, 6),
+                  ns_st / nn_st >= 0.6 FROM a
+         ) ORDER BY "check", col_name""",
 
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, n_chars

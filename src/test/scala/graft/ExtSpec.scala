@@ -1655,6 +1655,44 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out(2L) > out(3L))
   }
 
+  test("Expectations: exact metrics for every check kind; empty input " +
+      "passes vacuously; duplicate suite keys rejected") {
+    import graft.ext.Expectations._
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a@x.com", 10.0),
+      (2L, "b@y.org", 50.0),
+      (2L, "not-an-email", 200.0),
+      (null, "c@z.net", null))
+      .toDF("id", "email", "v")
+    val out = check(df, Seq(
+      Complete("id"),                             // 3/4
+      Unique("id"),                               // 2 distinct / 3 non-null
+      InRange("v", 0, 100),                       // 2/3 in range
+      MatchesRegex("email", "^[a-z]+@[a-z.]+$"),  // 3/4 match
+      InSet("email", Seq("a@x.com", "b@y.org"), minRatio = 0.5)))  // 2/4
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(("complete", "id")) == (0.75, false))
+    assert(out(("unique", "id")) == (2.0 / 3, false))
+    assert(out(("in_range", "v")) == (2.0 / 3, false))
+    assert(out(("matches_regex", "email")) == (0.75, false))
+    assert(out(("in_set", "email")) == (0.5, true))
+    // empty table: every denominator is 0 -> vacuous pass at 1.0
+    // (and no ANSI DIVIDE_BY_ZERO)
+    val empty = check(df.filter(lit(false)), Seq(Complete("id"), Unique("id")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(empty("complete") == (1.0, true) && empty("unique") == (1.0, true))
+    // duplicate (kind, column) pairs would make the report ambiguous
+    val ex = intercept[IllegalArgumentException] {
+      check(df, Seq(InRange("v", 0, 10), InRange("v", 0, 20)))
+    }
+    assert(ex.getMessage.contains("in_range"))
+  }
+
   test("bpePairCounts: adjacent code-point pairs within words, exact " +
       "counts, no cross-word pairs") {
     val s = spark
