@@ -341,6 +341,61 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Full integer k-means replay as a CTE chain: global-scale int8
+    * quantization (`g`/`q`/`pts`), farthest-point seeds
+    * ([[kmeansSeedSql]]), `iterations` generated Lloyd rounds (assign
+    * a_i → floor-div means m_i → coalesce-carry centroids c_i), ending
+    * in the final assignment CTE `afin (vec_id, cluster)`. Every step
+    * is integer or correctly-rounded-double arithmetic, so the replay
+    * is cell-exact against `Similarity.kmeansFitInt8` — shared by the
+    * q_kmeans purity rollup and the q_dedup_semantic within-cell pair
+    * scan. `a_i`/`c_i` are MATERIALIZED: each is referenced twice
+    * downstream, so plain CTE inlining would re-expand the whole
+    * prefix 2^iterations times (the bpeTrainOracle lesson). */
+  private def kmeansAssignSql(k: Int, iterations: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH g AS (SELECT max(list_max(list_transform(embedding,
+                x -> abs(x::DOUBLE)))) AS gma
+              FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (SELECT vec_id, label,
+                CASE WHEN gma = 0
+                  THEN list_transform(embedding, x -> 0::BIGINT)
+                  ELSE list_transform(embedding,
+                    x -> floor(x::DOUBLE / gma * 127 + 0.5)::BIGINT)
+                END AS v
+              FROM embeddings, g WHERE embedding IS NOT NULL),
+         pts AS MATERIALIZED (SELECT vec_id, u.dim AS dim, u.x AS x FROM (
+                SELECT vec_id, unnest(list_transform(v,
+                  (x, i) -> {'dim': i - 1, 'x': x})) AS u FROM q)),
+         """ + kmeansSeedSql(k) + """,
+         c0 AS MATERIALIZED (SELECT s.cluster, p.dim, p.x AS c
+              FROM seed s JOIN pts p ON p.vec_id = s.vec_id)""")
+    def assign(name: String, cent: String): String = s""",
+         $name AS MATERIALIZED (SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM (SELECT p.vec_id, c.cluster,
+                        sum((p.x - c.c) * (p.x - c.c)) AS d2
+                      FROM pts p JOIN $cent c ON p.dim = c.dim
+                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1)"""
+    for (i <- 1 to iterations) {
+      sb.append(assign(s"a$i", s"c${i - 1}"))
+      sb.append(s""",
+         m$i AS (SELECT a.cluster, p.dim,
+                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
+              FROM a$i a JOIN pts p ON a.vec_id = p.vec_id
+              GROUP BY a.cluster, p.dim),
+         c$i AS MATERIALIZED (SELECT c${i - 1}.cluster, c${i - 1}.dim,
+                coalesce(m$i.mm, c${i - 1}.c) AS c
+              FROM c${i - 1} LEFT JOIN m$i
+                ON m$i.cluster = c${i - 1}.cluster
+                AND m$i.dim = c${i - 1}.dim)""")
+    }
+    sb.append(assign("afin", s"c$iterations"))
+    sb.toString
+  }
+
   /** 3-habit config used by the fixture-driven transform queries
     * (mirrors the reference unit-test config,
     * `/root/reference/tests/test_transform.py:3-13`). */
@@ -1833,6 +1888,15 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.4, nPlanes = 4, bands = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SemDeDup: semantic near-dup pairs via integer-exact k-means
+    // cells — pairs compared only within a cell (Σ|cell|² work, not
+    // n²). The cells replay cell-exact in the oracle, so the pair set
+    // is deterministic; cosines score the original float vectors.
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDupPairs(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iterations = 2, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ── Extension scope: similarity search (SURVEY §7.5) ───────────────
     "q_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
@@ -2424,95 +2488,14 @@ object SparkEntry {
          SELECT query_id, rank, nn_id, qdot FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
-    // Full integer k-means replay: global-scale int8 quantization,
-    // seeds = farthest-point picks over the md5-rank top-M candidate
-    // sample (kmeansSeedSql), FOUR unrolled Lloyd rounds
-    // (assign a_i → floor-div means m_i → coalesce-carry centroids
-    // c_i), final assignment a5, purity rollup. Every step is integer
-    // or correctly-rounded-double arithmetic, so the replay is
-    // cell-exact against kmeansFitInt8.
+    // Full integer k-means replay (kmeansAssignSql: quantization,
+    // farthest-point seeds, FOUR generated Lloyd rounds, final
+    // assignment afin) + the purity rollup. Cell-exact against
+    // kmeansFitInt8.
     "q_kmeans" ->
-      ("""WITH g AS (SELECT max(list_max(list_transform(embedding,
-                x -> abs(x::DOUBLE)))) AS gma
-              FROM embeddings WHERE embedding IS NOT NULL),
-         q AS (SELECT vec_id, label,
-                CASE WHEN gma = 0
-                  THEN list_transform(embedding, x -> 0::BIGINT)
-                  ELSE list_transform(embedding,
-                    x -> floor(x::DOUBLE / gma * 127 + 0.5)::BIGINT)
-                END AS v
-              FROM embeddings, g WHERE embedding IS NOT NULL),
-         pts AS MATERIALIZED (SELECT vec_id, u.dim AS dim, u.x AS x FROM (
-                SELECT vec_id, unnest(list_transform(v,
-                  (x, i) -> {'dim': i - 1, 'x': x})) AS u FROM q)),
-         """ + kmeansSeedSql(10) + """,
-         c0 AS (SELECT s.cluster, p.dim, p.x AS c
-              FROM seed s JOIN pts p ON p.vec_id = s.vec_id),
-         a1 AS (SELECT vec_id, cluster FROM (
-                SELECT vec_id, cluster, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-                FROM (SELECT p.vec_id, c.cluster,
-                        sum((p.x - c.c) * (p.x - c.c)) AS d2
-                      FROM pts p JOIN c0 c ON p.dim = c.dim
-                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
-         m1 AS (SELECT a.cluster, p.dim,
-                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
-              FROM a1 a JOIN pts p ON a.vec_id = p.vec_id
-              GROUP BY a.cluster, p.dim),
-         c1 AS (SELECT c0.cluster, c0.dim, coalesce(m1.mm, c0.c) AS c
-              FROM c0 LEFT JOIN m1
-                ON m1.cluster = c0.cluster AND m1.dim = c0.dim),
-         a2 AS (SELECT vec_id, cluster FROM (
-                SELECT vec_id, cluster, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-                FROM (SELECT p.vec_id, c.cluster,
-                        sum((p.x - c.c) * (p.x - c.c)) AS d2
-                      FROM pts p JOIN c1 c ON p.dim = c.dim
-                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
-         m2 AS (SELECT a.cluster, p.dim,
-                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
-              FROM a2 a JOIN pts p ON a.vec_id = p.vec_id
-              GROUP BY a.cluster, p.dim),
-         c2 AS (SELECT c1.cluster, c1.dim, coalesce(m2.mm, c1.c) AS c
-              FROM c1 LEFT JOIN m2
-                ON m2.cluster = c1.cluster AND m2.dim = c1.dim),
-         a3 AS (SELECT vec_id, cluster FROM (
-                SELECT vec_id, cluster, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-                FROM (SELECT p.vec_id, c.cluster,
-                        sum((p.x - c.c) * (p.x - c.c)) AS d2
-                      FROM pts p JOIN c2 c ON p.dim = c.dim
-                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
-         m3 AS (SELECT a.cluster, p.dim,
-                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
-              FROM a3 a JOIN pts p ON a.vec_id = p.vec_id
-              GROUP BY a.cluster, p.dim),
-         c3 AS (SELECT c2.cluster, c2.dim, coalesce(m3.mm, c2.c) AS c
-              FROM c2 LEFT JOIN m3
-                ON m3.cluster = c2.cluster AND m3.dim = c2.dim),
-         a4 AS (SELECT vec_id, cluster FROM (
-                SELECT vec_id, cluster, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-                FROM (SELECT p.vec_id, c.cluster,
-                        sum((p.x - c.c) * (p.x - c.c)) AS d2
-                      FROM pts p JOIN c3 c ON p.dim = c.dim
-                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
-         m4 AS (SELECT a.cluster, p.dim,
-                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
-              FROM a4 a JOIN pts p ON a.vec_id = p.vec_id
-              GROUP BY a.cluster, p.dim),
-         c4 AS (SELECT c3.cluster, c3.dim, coalesce(m4.mm, c3.c) AS c
-              FROM c3 LEFT JOIN m4
-                ON m4.cluster = c3.cluster AND m4.dim = c3.dim),
-         a5 AS (SELECT vec_id, cluster FROM (
-                SELECT vec_id, cluster, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-                FROM (SELECT p.vec_id, c.cluster,
-                        sum((p.x - c.c) * (p.x - c.c)) AS d2
-                      FROM pts p JOIN c4 c ON p.dim = c.dim
-                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1),
+      (kmeansAssignSql(10, 4) + """,
          cnt AS (SELECT a.cluster, q.label, count(*) AS n
-              FROM a5 a JOIN q ON a.vec_id = q.vec_id
+              FROM afin a JOIN q ON a.vec_id = q.vec_id
               GROUP BY a.cluster, q.label)
          SELECT cluster, sum(n)::BIGINT AS n_points,
                 max(n)::BIGINT AS n_majority
@@ -3448,6 +3431,24 @@ object SparkEntry {
                         JOIN emb y ON y.vec_id = id_b)
          SELECT id_a, id_b, cos_sim FROM sc
          WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
+
+    // SemDeDup: the shared integer k-means replay (afin = cell
+    // assignment) scoped down to within-cell pairs, cosine-verified on
+    // the original float vectors like q_dedup_embedding.
+    "q_dedup_semantic" ->
+      (kmeansAssignSql(8, 2) + """,
+         pr AS (SELECT la.vec_id AS id_a, lb.vec_id AS id_b
+              FROM afin la JOIN afin lb
+                ON la.cluster = lb.cluster AND la.vec_id < lb.vec_id),
+         sc AS (SELECT p.id_a, p.id_b,
+                round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                             eb.embedding::DOUBLE[]), 4)
+                  AS cos_sim
+              FROM pr p
+              JOIN embeddings ea ON ea.vec_id = p.id_a
+              JOIN embeddings eb ON eb.vec_id = p.id_b)
+         SELECT id_a, id_b, cos_sim FROM sc
+         WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""),
 
     "q_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

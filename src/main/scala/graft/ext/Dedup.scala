@@ -548,6 +548,49 @@ object Dedup {
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * pairs via k-means cells — cluster the embeddings, then compare
+    * pairs only WITHIN each cell, on the observation that semantic
+    * duplicates land in the same cluster. The corpus-scale alternative
+    * to [[embeddingDupPairs]]'s all-pairs n²: cost is Σ|cell|² ≈ n²/k,
+    * and k grows with the corpus (the paper uses k ≈ √n · const), so
+    * the per-cell work stays bounded. Recall differs from
+    * [[embeddingDupPairsLsh]]'s guarantee-by-construction: a pair
+    * split across a cell boundary is missed — the price the paper pays
+    * deliberately, because true semantic dups sit far inside cells.
+    *
+    * Clustering is [[Similarity.kmeansFitInt8]] — every step integer
+    * or correctly-rounded-double exact, so the CELLS (and therefore
+    * the exact pair set) replay in any engine; cosines are scored on
+    * the ORIGINAL float vectors at 4-dp rounding like every other
+    * cosine cut here. Zero-norm vectors cluster but pair with nothing
+    * ([[withNorm]] contract).
+    *
+    * Scale shape: one kmeans fit (map-side argmin over broadcast
+    * centroids + bounded per-iteration rollups), one equi-join of the
+    * normalized corpus with the assignment, then a cluster-keyed
+    * self-join — cell-local cross products only, never a corpus-wide
+    * cartesian; AQE splits a skewed (over-full) cell's join like any
+    * skewed equi-join. */
+  def semanticDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, threshold: Double): DataFrame = {
+    val (_, assign) =
+      Similarity.kmeansFitInt8(embs, idCol, vecCol, k, iterations)
+    val e = withNorm(embs, idCol, vecCol, "id", "v")
+      .join(assign.withColumnRenamed(idCol, "id"), "id")
+      .persist(Spill)
+    val a = e.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("v_nrm").as("na"))
+    val b = e.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("vb"), col("v_nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+  }
+
   /** Embedding near-dup pairs at `threshold` cosine (rounded to 4 dp so
     * the cut is reproducible across engines). Brute-force all-pairs with
     * norms precomputed per row — the exact small-corpus kernel; at

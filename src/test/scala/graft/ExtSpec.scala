@@ -1511,6 +1511,34 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(cents == cents2)
   }
 
+  test("semanticDupPairs: recovers every within-blob near-dup pair with " +
+      "brute-force-identical cosines; pair scan never leaves a cell") {
+    // blobs are angularly separated, so at a high threshold every true
+    // near-dup is within-blob — cells lose nothing vs brute force
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+    val sem = Dedup.semanticDupPairs(blobs, "vec_id", "embedding",
+        k = 3, iterations = 4, threshold = 0.99)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    val brute = Dedup.embeddingDupPairs(blobs, "vec_id", "embedding",
+        threshold = 0.99)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    assert(sem == brute,
+      s"within-blob pairs must match brute force (sem=${sem.size}, " +
+        s"brute=${brute.size})")
+    assert(sem.nonEmpty && sem.keys.forall { case (a, b) => a < b })
+    // at threshold -1 brute force pairs EVERYTHING (90·89/2); the
+    // semantic scan stays within cells (3 × 30·29/2) — the documented
+    // recall trade, and the proof no pair crossed a cell boundary
+    val semAll = Dedup.semanticDupPairs(blobs, "vec_id", "embedding",
+        k = 3, iterations = 4, threshold = -1.0)
+      .collect().map(key).toSet
+    assert(semAll.size == 3 * (30 * 29) / 2)
+    val bruteAll = Dedup.embeddingDupPairs(blobs, "vec_id", "embedding",
+        threshold = -1.0)
+      .collect().map(key).toSet
+    assert(semAll.subsetOf(bruteAll))
+  }
+
   test("farthest-point seeding recovers blobs on an id-SORTED corpus " +
       "where first-k seeding would collapse to one region") {
     // adversarial layout: ids 0-29 are blob 0, 30-59 blob 1, 60-89

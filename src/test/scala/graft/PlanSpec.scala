@@ -170,6 +170,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "bucketed relation must be persisted across the self-join")
   }
 
+  test("semantic dedup: within-cell pairs meet on a cluster equi-join, " +
+      "never a cartesian; cosine rides the native dot") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be the cluster-keyed equi-join:\n$p")
+    assert(p.contains("graft_dot"),
+      "cosine verification must use the native codegen'd dot product")
+  }
+
   test("salted top-k: local (key, salt) window prunes before the global one") {
     val p = plan("q_salted_topk")
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
