@@ -558,6 +558,32 @@ object SparkEntry {
           col("Workout").as("workout"), col("Mood").as("mood"))
         .orderBy(col("user_email"))),
 
+    // DSv2 COMPLETE aggregate pushdown: grouped by Report Date every
+    // group is exactly one day-block partition, so the source's
+    // per-block fold IS the final answer — no sheet row ever reaches
+    // Spark (the analog of a server-side summary endpoint).
+    "q_dsv2_agg_pushdown" -> ((s, dir) =>
+      s.read.format("graft.sources.FormResponseSource")
+        .option("users", 6).option("days", 11)
+        .option("startdate", "2024-02-20").load()
+        .groupBy(col("`Report Date`"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("`Email Address`")).as("first_email"),
+          max(col("Mood")).as("max_mood_text"))
+        .select(col("`Report Date`").as("report_date"), col("n_rows"),
+          col("first_email"), col("max_mood_text"))
+        .orderBy(col("report_date"))),
+
+    // DSv2 PARTIAL aggregate pushdown: ungrouped — each day block
+    // returns one partial row (its count / min / max) and Spark's
+    // final aggregate merges the 11 partials; rows never materialize.
+    "q_dsv2_agg_global" -> ((s, dir) =>
+      s.read.format("graft.sources.FormResponseSource")
+        .option("users", 6).option("days", 11)
+        .option("startdate", "2024-02-20").load()
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("`Report Date`")).as("last_date_text"))),
+
     "q_json_extract" -> ((s, dir) =>
       Tables.eventsAsHabits(s, dir)
         .select(col("habit"),
@@ -2193,6 +2219,37 @@ object SparkEntry {
                 ((u + 4) % 11)::VARCHAR AS mood
          FROM (SELECT unnest(generate_series(0, 3)) AS u)
          ORDER BY user_email""",
+
+    "q_dsv2_agg_pushdown" ->
+      """WITH d AS (SELECT unnest(generate_series(0, 10)) AS d),
+         u AS (SELECT unnest(generate_series(0, 5)) AS u),
+         cells AS (SELECT d.d,
+                month(DATE '2024-02-20' + d.d * INTERVAL 1 DAY)::VARCHAR
+                  || '/' ||
+                day(DATE '2024-02-20' + d.d * INTERVAL 1 DAY)::VARCHAR
+                  || '/' ||
+                year(DATE '2024-02-20' + d.d * INTERVAL 1 DAY)::VARCHAR
+                  AS report_date,
+                CASE WHEN (u.u + d.d) % 11 = 10 THEN 'n/a'
+                     ELSE ((u.u + d.d) % 11)::VARCHAR END AS mood,
+                'User' || u.u || '@Example.com' AS email
+              FROM d, u)
+         SELECT report_date, count(*)::BIGINT AS n_rows,
+                min(email) AS first_email, max(mood) AS max_mood_text
+         FROM cells GROUP BY report_date ORDER BY report_date""",
+
+    "q_dsv2_agg_global" ->
+      """WITH d AS (SELECT unnest(generate_series(0, 10)) AS d),
+         dates AS (SELECT
+                month(DATE '2024-02-20' + d * INTERVAL 1 DAY)::VARCHAR
+                  || '/' ||
+                day(DATE '2024-02-20' + d * INTERVAL 1 DAY)::VARCHAR
+                  || '/' ||
+                year(DATE '2024-02-20' + d * INTERVAL 1 DAY)::VARCHAR
+                  AS rd
+              FROM d)
+         SELECT (11 * 6)::BIGINT AS n_rows,
+                max(rd) AS last_date_text FROM dates""",
 
     "q_scd2" ->
       """WITH daily AS (SELECT user_id AS user_email, event_type AS habit,

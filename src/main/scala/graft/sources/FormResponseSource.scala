@@ -5,9 +5,11 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -76,6 +78,27 @@ object FormResponseSource {
     val date = java.time.LocalDate.parse(start).plusDays(d)
     s"${date.getMonthValue}/${date.getDayOfMonth}/${date.getYear}"
   }
+
+  /** One sheet cell as text — the single source of truth for row
+    * readers AND the pushed-aggregate reader (which folds over cells
+    * without ever materializing rows). */
+  def cell(column: String, u: Int, d: Int, dayDate: String): String =
+    column match {
+      case "Timestamp" => s"$dayDate 0:00:00" // form-submit ts
+      case "Report Date" => dayDate
+      case "Email Address" => s"User$u@Example.com"
+      case "Workout" => if (workoutYes(u, d)) "Yes" else "no"
+      case "Meditation (Number of Minutes)" => meditation(u, d).toString
+      case "Mood" => if (mood(u, d) == 10) "n/a" else mood(u, d).toString
+      case "Notes" => notes(d)
+    }
+
+  /** Aggregate functions this source evaluates at the scan
+    * ([[FormScanBuilder]]'s `SupportsPushDownAggregates`). */
+  sealed trait PushedAggFunc extends Serializable
+  case object CountStarFunc extends PushedAggFunc
+  final case class MinFunc(column: String) extends PushedAggFunc
+  final case class MaxFunc(column: String) extends PushedAggFunc
 }
 
 class FormResponseTable(users: Int, days: Int, start: String)
@@ -92,17 +115,63 @@ class FormResponseTable(users: Int, days: Int, start: String)
   * an optional pushed Report-Date equality and the pruned schema. */
 class FormScanBuilder(users: Int, days: Int, start: String)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import FormResponseSource.{CountStarFunc, MaxFunc, MinFunc, PushedAggFunc}
 
   private var pushedDate: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = FormResponseSource.Schema
+  private var pushedAgg: Option[(Seq[String], Seq[PushedAggFunc])] = None
 
   // attribute names needing quoting (the space) arrive backticked
   private def unquote(a: String): String =
     if (a.length >= 2 && a.startsWith("`") && a.endsWith("`"))
       a.substring(1, a.length - 1).replace("``", "`")
     else a
+
+  /** Translate the connector [[Aggregation]] into this source's terms:
+    * group-by columns must be top-level field references, functions
+    * must be COUNT(*) / MIN(col) / MAX(col). Returns None when any
+    * piece falls outside that (Spark then aggregates above a row
+    * scan as usual). */
+  private def translate(agg: Aggregation)
+      : Option[(Seq[String], Seq[PushedAggFunc])] = {
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val groups = agg.groupByExpressions.toSeq.map(ref)
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountStarFunc)
+      case m: Min => ref(m.column).map(MinFunc)
+      case m: Max => ref(m.column).map(MaxFunc)
+      case _: AggregateFunc => None
+    }
+    if (groups.forall(_.isDefined) && funcs.nonEmpty &&
+        funcs.forall(_.isDefined) &&
+        (groups.isEmpty || groups.flatten == Seq("Report Date")))
+      Some((groups.flatten, funcs.flatten))
+    else None
+  }
+
+  /** Complete (final-result) pushdown is only claimed when grouping by
+    * Report Date: a group is then exactly one day block — one input
+    * partition — so per-partition aggregation IS the final answer.
+    * Global (no-group) aggregates are still accepted by
+    * [[pushAggregation]] but as PARTIAL results (one partial row per
+    * day block) that Spark's final aggregate merges — count partials
+    * sum, min/max partials fold. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).exists { case (groups, _) => groups.nonEmpty }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(t) => pushedAgg = Some(t); true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Accept ONE Report-Date equality (the partition-pruning predicate);
@@ -125,26 +194,58 @@ class FormScanBuilder(users: Int, days: Int, start: String)
     required = requiredSchema
 
   override def build(): Scan =
-    new FormResponseScan(users, days, start, pushedDate, required)
+    new FormResponseScan(users, days, start, pushedDate, required, pushedAgg)
 }
 
 class FormResponseScan(users: Int, days: Int, start: String,
-    pushedDate: Option[String], required: StructType)
+    pushedDate: Option[String], required: StructType,
+    pushedAgg: Option[(Seq[String], Seq[FormResponseSource.PushedAggFunc])]
+      = None)
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+  import FormResponseSource.{CountStarFunc, MaxFunc, MinFunc}
+
+  // with a pushed aggregation the scan's rows ARE the (per-partition)
+  // aggregate results: group columns first, then one column per
+  // function — the layout Spark's V2 pushdown rule expects
+  override def readSchema(): StructType = pushedAgg match {
+    case Some((groups, funcs)) =>
+      StructType(
+        groups.map(StructField(_, StringType, nullable = true)) ++
+          funcs.zipWithIndex.map {
+            case (CountStarFunc, i) =>
+              StructField(s"count_star_$i", LongType, nullable = false)
+            case (MinFunc(c), i) =>
+              StructField(s"min_${c}_$i", StringType, nullable = true)
+            case (MaxFunc(c), i) =>
+              StructField(s"max_${c}_$i", StringType, nullable = true)
+          })
+    case None => required
+  }
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
+
+  private def liveDays: Seq[Int] =
     (0 until days)
       .filter(d => pushedDate.forall(_ ==
         FormResponseSource.dateStr(start, d)))
-      .map(d => FormDayPartition(d, users, start,
-        required.fieldNames.toSeq): InputPartition)
-      .toArray
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (pushedAgg match {
+      case Some((groups, funcs)) =>
+        liveDays.map(d =>
+          FormDayAggPartition(d, users, start, groups, funcs): InputPartition)
+      case None =>
+        liveDays.map(d => FormDayPartition(d, users, start,
+          required.fieldNames.toSeq): InputPartition)
+    }).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FormReaderFactory
   override def description(): String =
     s"FormResponseScan pushedDate=${pushedDate.getOrElse("none")} " +
-      s"columns=[${required.fieldNames.mkString(", ")}]"
+      s"columns=[${required.fieldNames.mkString(", ")}]" +
+      pushedAgg.map { case (g, f) =>
+        s" pushedAggregates=[${f.mkString(", ")}]" +
+          s" groupedBy=[${g.mkString(", ")}]"
+      }.getOrElse("")
 }
 
 /** One sheet "day block" — the unit of scan parallelism. `columns` is
@@ -152,9 +253,23 @@ class FormResponseScan(users: Int, days: Int, start: String,
 case class FormDayPartition(day: Int, users: Int, start: String,
     columns: Seq[String]) extends InputPartition
 
+/** A day block under a pushed aggregation: the reader folds the
+  * block's cells into ONE pre-aggregated row — grouped by Report Date
+  * that row is final (a group never spans day blocks); ungrouped it is
+  * the partial Spark's final aggregate merges. */
+case class FormDayAggPartition(day: Int, users: Int, start: String,
+    groups: Seq[String], funcs: Seq[FormResponseSource.PushedAggFunc])
+    extends InputPartition
+
 class FormReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[FormDayPartition]
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case part: FormDayPartition => rowReader(part)
+      case part: FormDayAggPartition => aggReader(part)
+    }
+
+  private def rowReader(part: FormDayPartition)
+      : PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var u = -1
       private val dayDate =
@@ -164,22 +279,41 @@ class FormReaderFactory extends PartitionReaderFactory {
 
       // only the pruned columns are computed and emitted — cell work
       // scales with the projection, not the sheet width
+      override def get(): InternalRow =
+        InternalRow.fromSeq(part.columns.map(c => UTF8String.fromString(
+          FormResponseSource.cell(c, u, part.day, dayDate))))
+
+      override def close(): Unit = ()
+    }
+
+  private def aggReader(part: FormDayAggPartition)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      import FormResponseSource.{CountStarFunc, MaxFunc, MinFunc}
+      private var emitted = false
+      private val dayDate =
+        FormResponseSource.dateStr(part.start, part.day)
+
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+
+      // the aggregate folds over closed-form cells — no row is ever
+      // materialized, the DSv2 analog of a server-side summary call
       override def get(): InternalRow = {
-        import FormResponseSource._
-        val d = part.day
-        val cells = part.columns.map {
-          case "Timestamp" => s"$dayDate 0:00:00" // form-submit ts
-          case "Report Date" => dayDate
-          case "Email Address" => s"User$u@Example.com"
-          case "Workout" => if (workoutYes(u, d)) "Yes" else "no"
-          case "Meditation (Number of Minutes)" => meditation(u, d).toString
-          case "Mood" => if (mood(u, d) == 10) "n/a" else mood(u, d).toString
-          case "Notes" => notes(d)
+        def colValues(c: String): Seq[String] =
+          (0 until part.users)
+            .map(u => FormResponseSource.cell(c, u, part.day, dayDate))
+        val groupCells = part.groups.map(g =>
+          UTF8String.fromString(
+            FormResponseSource.cell(g, 0, part.day, dayDate)))
+        val aggCells = part.funcs.map {
+          case CountStarFunc => java.lang.Long.valueOf(part.users.toLong)
+          case MinFunc(c) => UTF8String.fromString(colValues(c).min)
+          case MaxFunc(c) => UTF8String.fromString(colValues(c).max)
         }
-        InternalRow.fromSeq(cells.map(UTF8String.fromString))
+        InternalRow.fromSeq(groupCells ++ aggCells)
       }
 
       override def close(): Unit = ()
     }
-  }
 }

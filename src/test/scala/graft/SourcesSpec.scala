@@ -73,6 +73,11 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.head
 
+  private def preAdaptiveScan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+
   test("pushed Report Date equality prunes day-block partitions") {
     val base = read(3, 20)
     val filtered = base.filter(col("`Report Date`") === "1/5/2024")
@@ -97,6 +102,64 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       Seq("Email Address", "Mood"))
     assert(pr.collect().length == 6)
   }
+  test("grouped aggregate pushes down COMPLETE: scan emits one final " +
+      "row per day block and no aggregate exec remains") {
+    val agg = read(4, 6)
+      .groupBy(col("`Report Date`"))
+      .agg(count(lit(1)).as("n"), min(col("`Email Address`")).as("lo"),
+        max(col("Mood")).as("hi"))
+    val scan = batchScan(agg)
+    assert(scan.scan.description().contains("pushedAggregates"),
+      s"aggregation must reach the source: ${scan.scan.description()}")
+    // complete pushdown: the scan's schema IS the aggregated shape and
+    // Spark plans no HashAggregate above it
+    assert(scan.scan.readSchema().length == 4)
+    assert(!agg.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "complete pushdown must remove the aggregate exec")
+    val rows = agg.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    assert(rows.size == 6 && rows.values.forall(_._1 == 4L))
+    assert(rows.values.forall(_._2 == "User0@Example.com"))
+    // result parity with an unpushed aggregation over the raw rows
+    val raw = read(4, 6).collect()
+      .groupBy(_.getAs[String]("Report Date"))
+      .map { case (d, rs) => d -> (rs.length.toLong,
+        rs.map(_.getAs[String]("Email Address")).min,
+        rs.map(_.getAs[String]("Mood")).max) }
+    assert(rows == raw)
+  }
+
+  test("ungrouped aggregate pushes down PARTIAL: one partial row per " +
+      "day block, merged by Spark's final aggregate") {
+    val agg = read(4, 6)
+      .agg(count(lit(1)).as("n"), max(col("`Report Date`")).as("hi"))
+    // the final-merge exchange makes the executed plan adaptive, which
+    // hides the scan until execution — read the pre-adaptive plan (the
+    // pushdown happened earlier, in the optimizer)
+    val scan = preAdaptiveScan(agg)
+    assert(scan.scan.description().contains("pushedAggregates"))
+    // partial: 6 one-row partials flow into a final merge aggregate
+    assert(scan.inputRDD.getNumPartitions == 6)
+    assert(agg.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "ungrouped pushdown stays partial — the final merge must remain")
+    val row = agg.collect().head
+    assert(row.getLong(0) == 24L && row.getString(1) == "1/6/2024")
+  }
+
+  test("unsupported aggregate falls back to the row scan") {
+    // AVG is not translatable here: pushAggregation must refuse and the
+    // plan must aggregate above a plain row scan
+    val agg = read(4, 6)
+      .agg(avg(col("`Meditation (Number of Minutes)`").cast("double"))
+        .as("m"))
+    val scan = preAdaptiveScan(agg)
+    assert(!scan.scan.description().contains("pushedAggregates"))
+    val expected = read(4, 6).collect()
+      .map(_.getAs[String]("Meditation (Number of Minutes)").toDouble)
+    assert(math.abs(agg.collect().head.getDouble(0) -
+      expected.sum / expected.length) < 1e-9)
+  }
+
   test("DigestSink: V2 commit combines every partition, order-independent") {
     import graft.sources.DigestSink
     val s = spark
