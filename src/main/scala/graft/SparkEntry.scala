@@ -71,6 +71,26 @@ object SparkEntry {
        WHERE round(j, 6) >= 0.5$extraWhere ORDER BY id_a, id_b"""
   }
 
+  /** Exact length-blocked n-gram Jaccard pairs — shared by the
+    * q_dedup_ngram check and the q_dedup_recall evaluation (where this
+    * relation is the ground truth the LSH pipeline is scored against). */
+  private def ngramOracleSql: String =
+    """WITH tok AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS l
+              FROM documents),
+         shl AS (SELECT doc_id, n_chars, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         blk AS (SELECT doc_id, ss,
+                unnest([n_chars // 50, n_chars // 50 + 1]) AS block FROM shl),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.ss, b.ss))::DOUBLE
+                  / len(list_distinct(a.ss || b.ss))::DOUBLE AS j
+              FROM blk a JOIN blk b
+                ON a.block = b.block AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
+         WHERE round(j, 6) >= 0.5 ORDER BY id_a, id_b"""
+
   /** Unrolled DuckDB replay of [[graft.ext.Bpe.bpeTrain]]'s
     * deterministic merge loop: per merge step k, a pair census over
     * the current segmentation (`c`/`p`), the arg-max under the pinned
@@ -1625,6 +1645,37 @@ object SparkEntry {
         .select(col("doc_id"), r6(col("avg_logprob")).as("avg_logprob"))
         .orderBy(col("doc_id"))),
 
+    // BM25 retrieval ranking for a literal query (Okapi k1=1.2,
+    // b=0.75) — the search-side counterpart of the tf-idf profile.
+    // Scores round to 6 dp BEFORE the rank cut so the top-k set is
+    // engine-reproducible.
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.read(s, dir, "documents"), "doc_id",
+          "text", Seq("spark", "merge", "window"), topK = 25)
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // Dedup-pipeline evaluation: score the MinHash-LSH pipeline
+    // against the exact length-blocked n-gram Jaccard relation as
+    // ground truth — the recall/precision harness for tuning bands and
+    // thresholds before a 100 TB run.
+    "q_dedup_recall" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val truth = Dedup.ngramDupPairs(docs, "doc_id", "text", "n_chars",
+          threshold = 0.5, blockWidth = 50)
+        .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+      val found = Dedup.minhashDupPairs(docs, "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("f"))
+      truth.join(found, Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(col("t")).as("n_truth"), sum(col("f")).as("n_found"),
+          sum(col("t") * col("f")).as("n_hit"))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          r6(col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          r6(col("n_hit").cast("double") / col("n_found").cast("double"))
+            .as("precision"))
+    }),
+
     // Bigram conditional log2-probability quality (one Markov order up
     // from q_unigram_logprob): shuffled-word text scores very negative
     // even when its unigrams are common. Docs with < 2 tokens have no
@@ -3114,6 +3165,41 @@ object SparkEntry {
          FROM tok t JOIN freq f USING (token), tot
          GROUP BY 1 ORDER BY 1""",
 
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         stats AS (SELECT count(*)::DOUBLE AS n,
+                avg(len(l))::DOUBLE AS avgdl FROM t),
+         tok AS (SELECT doc_id, unnest(l) AS term FROM t),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, len(l)::DOUBLE AS dl FROM t),
+         sc AS (SELECT tf.doc_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                  AS raw
+              FROM tf JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id, stats s
+              GROUP BY 1)
+         SELECT doc_id, round(raw, 6) AS score FROM sc
+         ORDER BY score DESC, doc_id LIMIT 25""",
+
+    "q_dedup_recall" ->
+      (s"""WITH mh AS MATERIALIZED (${minhashOracleSql("")}),
+         ng AS MATERIALIZED ($ngramOracleSql),
+         j AS (SELECT
+                (ng.id_a IS NOT NULL)::BIGINT AS t,
+                (mh.id_a IS NOT NULL)::BIGINT AS f
+              FROM ng FULL OUTER JOIN mh
+                ON ng.id_a = mh.id_a AND ng.id_b = mh.id_b)
+         SELECT sum(t)::BIGINT AS n_truth, sum(f)::BIGINT AS n_found,
+                sum(t * f)::BIGINT AS n_hit,
+                round(sum(t * f)::DOUBLE / sum(t)::DOUBLE, 6) AS recall,
+                round(sum(t * f)::DOUBLE / sum(f)::DOUBLE, 6) AS precision
+         FROM j"""),
+
     "q_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
               FROM documents),
@@ -3261,22 +3347,7 @@ object SparkEntry {
     "q_dedup_incremental" ->
       minhashOracleSql(" AND (id_a % 10 = 0 OR id_b % 10 = 0)"),
 
-    "q_dedup_ngram" ->
-      """WITH tok AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS l
-              FROM documents),
-         shl AS (SELECT doc_id, n_chars, CASE WHEN len(l) >= 3
-                THEN list_distinct([array_to_string(l[i:i+2], ' ')
-                                    for i in generate_series(1, len(l) - 2)])
-                ELSE [text] END AS ss FROM tok),
-         blk AS (SELECT doc_id, ss,
-                unnest([n_chars // 50, n_chars // 50 + 1]) AS block FROM shl),
-         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                len(list_intersect(a.ss, b.ss))::DOUBLE
-                  / len(list_distinct(a.ss || b.ss))::DOUBLE AS j
-              FROM blk a JOIN blk b
-                ON a.block = b.block AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
-         WHERE round(j, 6) >= 0.5 ORDER BY id_a, id_b""",
+    "q_dedup_ngram" -> ngramOracleSql,
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),

@@ -372,6 +372,55 @@ object TextAnalysis {
       textCol: String): org.apache.spark.sql.DataFrame =
     docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
 
+  /** BM25 document ranking for a literal query-term set (Robertson et
+    * al.; the Okapi defaults k1 = 1.2, b = 0.75) — the retrieval-side
+    * counterpart of the tf-idf profile: `score(d, Q) = Σ_t idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))` with the standard
+    * smoothed `idf = ln(1 + (N − df + ½)/(df + ½))`. Scores are
+    * rounded to 6 dp BEFORE the rank cut, so the top-k set is
+    * engine-reproducible (ties break on id ascending).
+    *
+    * Scale rationale: the corpus is shed FIRST — the token explode
+    * keeps only query terms (an `isin` over a literal set, pushed into
+    * the narrow pass), so the tf aggregate's relation is
+    * matching-tokens-sized, not corpus-sized. df derives from the tf
+    * table (≤ |Q| rows, broadcast); doc lengths are a narrow
+    * projection joined only to MATCHING docs; N and avgdl ride a
+    * broadcast 1-row. The final rank is a top-k sort (Spark plans
+    * TakeOrderedAndProject), never a full global sort. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val lens = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("double").as("_dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(size(tokens(col(textCol)))).as("_avgdl"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val score = tf
+      .join(broadcast(df), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("_n") - col("_df") + 0.5) /
+            (col("_df") + 0.5)) *
+          (col("_tf") * (k1 + 1)) /
+          (col("_tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+          .as("_s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 6).as("score"))
+    score.orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
   // ── Heavy hitters ──────────────────────────────────────────────────────
 
   /** EXACT heavy hitters (tokens with corpus count ≥ `minCount`) via a

@@ -1657,6 +1657,36 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(out(2L) - math.log(1.0 / 12) / math.log(2)) < 1e-9)
   }
 
+  test("bm25: Okapi closed form with length normalization; rounded-score " +
+      "rank cut; non-matching docs absent") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "b b b c"),
+      (4L, "c c"))        // no query term: absent from the ranking
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bm25(corpus, "doc_id", "text",
+        Seq("a", "b"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // closed form: N=4, avgdl=(3+2+4+2)/4=2.75, df(a)=df(b)=2,
+    // idf=ln(1+(4-2+0.5)/2.5)=ln(2)
+    val idf = math.log(2.0)
+    def term(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.75))
+    val exp = Map(
+      1L -> (term(2, 3) + term(1, 3)),
+      2L -> term(1, 2),
+      3L -> term(3, 4))
+    for ((id, sc) <- out)
+      assert(math.abs(sc - exp(id)) < 5e-7, s"doc $id: $sc vs ${exp(id)}")
+    // ranking is by rounded score desc then id
+    val sorted = out.sortBy { case (id, sc) => (-sc, id) }
+    assert(out.toSeq == sorted.toSeq)
+  }
+
   test("bigramLogProb: exact MLE closed form; fluent word order outscores " +
       "shuffled; short docs drop out") {
     val s = spark
