@@ -1645,6 +1645,15 @@ object SparkEntry {
         .select(col("doc_id"), r6(col("avg_logprob")).as("avg_logprob"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style rule gate: per-document rule measures + flags + the
+    // conjunction, rule-per-column so rejections are attributable. The
+    // cheap narrow pre-filter ahead of the dedup stages.
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.read(s, dir, "documents"),
+          "doc_id", "text", minWords = 50, maxWords = 100000,
+          minStopHits = 2)
+        .orderBy(col("doc_id"))),
+
     // BM25 retrieval ranking for a literal query (Okapi k1=1.2,
     // b=0.75) — the search-side counterpart of the tf-idf profile.
     // Scores round to 6 dp BEFORE the rank cut so the top-k set is
@@ -3164,6 +3173,31 @@ object SparkEntry {
                 round(avg(log2(f.cnt / tot.n)), 6) AS avg_logprob
          FROM tok t JOIN freq f USING (token), tot
          GROUP BY 1 ORDER BY 1""",
+
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
+              FROM documents),
+         m AS (SELECT doc_id,
+                len(l)::BIGINT AS n_words,
+                (length(text) - (len(l) - 1))::DOUBLE / len(l)::DOUBLE
+                  AS mwl,
+                len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                  / greatest(len(l), 1)::DOUBLE AS ar,
+                len(list_intersect(list_distinct(l),
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it',
+                     'that', 'for']))::BIGINT AS sh
+              FROM t)
+         SELECT doc_id, n_words,
+                round(mwl, 6) AS mean_word_len,
+                round(ar, 6) AS alpha_word_ratio,
+                sh AS stop_hits,
+                n_words BETWEEN 50 AND 100000 AS ok_words,
+                mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
+                ar >= 0.8 AS ok_alpha,
+                sh >= 2 AS ok_stop,
+                (n_words BETWEEN 50 AND 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+                  AND ar >= 0.8 AND sh >= 2 AS pass
+         FROM m ORDER BY doc_id""",
 
     "q_bm25" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l

@@ -107,6 +107,47 @@ object TextAnalysis {
       lit(25.0) * (lit(1.0) - punctRatio(text)) +
       lit(25.0) * least(stopwordRatio(text) * lit(8.0), lit(1.0))
 
+  /** Gopher-style rule gate (Rae et al. 2021, the repetition/format
+    * filter table, adapted to the word-level signals a single-line
+    * corpus carries): each rule reports its measured value AND its
+    * flag, plus the conjunction `pass` — the cheap pre-filter a
+    * pretraining pipeline runs before the heavier dedup stages, kept
+    * rule-per-column so rejected documents are attributable. Rules:
+    * word count within [minWords, maxWords]; mean word length within
+    * [3, 10]; fraction of words containing an alphabetic character
+    * ≥ 0.8; at least `minStopHits` DISTINCT English stopword markers
+    * ([[LangMarkers]] head). Flags compare the UNROUNDED measures (the
+    * 6-dp rounding is display-only, mirrored by the oracle).
+    *
+    * Scale: pure per-row expressions — narrow, codegen'd, shuffle-free;
+    * run it first so later stages see only survivors. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val nw = nTokens(t)
+    val mwl = meanTokenLen(t)
+    val alphaRatio =
+      size(filter(tokens(t), w => w.rlike("[A-Za-z]"))).cast("double") /
+        greatest(nw, lit(1)).cast("double")
+    val stopHits = size(array_intersect(array_distinct(tokens(t)),
+      typedLit(LangMarkers.head._2)))
+    val okWords = nw >= minWords && nw <= maxWords
+    val okWordLen = mwl >= 3.0 && mwl <= 10.0
+    val okAlpha = alphaRatio >= 0.8
+    val okStop = stopHits >= minStopHits
+    docs.select(col(idCol),
+      nw.cast("long").as("n_words"),
+      round(mwl, 6).as("mean_word_len"),
+      round(alphaRatio, 6).as("alpha_word_ratio"),
+      stopHits.cast("long").as("stop_hits"),
+      okWords.as("ok_words"),
+      okWordLen.as("ok_word_len"),
+      okAlpha.as("ok_alpha"),
+      okStop.as("ok_stop"),
+      (okWords && okWordLen && okAlpha && okStop).as("pass"))
+  }
+
   /** Fraction of word n-gram shingles that are repeats of an earlier
     * shingle in the same document — the classic repeated-n-gram
     * quality signal for training corpora (high ratio = boilerplate /

@@ -1657,6 +1657,36 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(out(2L) - math.log(1.0 / 12) / math.log(2)) < 1e-9)
   }
 
+  test("gopherRules: each rule gates independently and pass is their " +
+      "conjunction") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      // 5 words, the+and distinct stopwords, all alpha, mwl=(21-4)/5=3.4
+      (1L, "the cat and the dogge"),
+      (2L, "the and " + Seq.fill(60)("xx").mkString(" ")),  // long enough
+      (3L, "9 9 9 9 the and"),                   // alpha ratio 2/6 < 0.8
+      (4L, "zz yy xx ww vv"))                    // no stopwords
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.gopherRules(corpus, "doc_id", "text",
+        minWords = 5, maxWords = 100, minStopHits = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: all rules green
+    assert(out(1L).getBoolean(9), "doc 1 must pass every rule")
+    assert(out(1L).getLong(1) == 5L)
+    assert(math.abs(out(1L).getDouble(2) - 3.4) < 1e-9)
+    assert(out(1L).getLong(4) == 2L)
+    // doc 2: word length rule fails (mwl = (8+120+61-61)/62 = 2.06…)
+    assert(!out(2L).getBoolean(6) && !out(2L).getBoolean(9))
+    assert(out(2L).getBoolean(5), "doc 2 word count is in range")
+    // doc 3: alpha ratio 2/6 fails that rule alone among the measures
+    assert(!out(3L).getBoolean(7) && !out(3L).getBoolean(9))
+    assert(out(3L).getLong(4) == 2L, "doc 3 still has both stopwords")
+    // doc 4: stopword rule fails
+    assert(!out(4L).getBoolean(8) && !out(4L).getBoolean(9))
+    assert(out(4L).getBoolean(7), "doc 4 is fully alphabetic")
+  }
+
   test("bm25: Okapi closed form with length normalization; rounded-score " +
       "rank cut; non-matching docs absent") {
     val s = spark
