@@ -604,6 +604,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           max(col("`Report Date`")).as("last_date_text"))),
 
+    // Storage-partitioned join: both sides are day-block scans of the
+    // same source reporting KeyGroupedPartitioning(Report Date), so
+    // the row⋈daily-rollup join plans with NO exchange on either side
+    // — the DSv2 co-location contract (the rollup side also rides the
+    // COMPLETE aggregate pushdown). SourcesSpec pins the plan shape;
+    // this row pins the result.
+    "q_dsv2_spj" -> ((s, dir) => {
+      def rows = s.read.format("graft.sources.FormResponseSource")
+        .option("users", 5).option("days", 8)
+        .option("startdate", "2024-03-01").load()
+      val daily = rows.groupBy(col("`Report Date`"))
+        .agg(count(lit(1)).as("n_day"),
+          max(col("Mood")).as("max_mood_text"))
+      rows.select(col("`Report Date`"), col("`Email Address`"))
+        .join(daily, "Report Date")
+        .select(col("`Report Date`").as("report_date"),
+          col("`Email Address`").as("user_email"),
+          col("n_day"), col("max_mood_text"))
+        .orderBy(col("report_date"), col("user_email"))
+    }),
+
     "q_json_extract" -> ((s, dir) =>
       Tables.eventsAsHabits(s, dir)
         .select(col("habit"),
@@ -2297,6 +2318,28 @@ object SparkEntry {
          SELECT report_date, count(*)::BIGINT AS n_rows,
                 min(email) AS first_email, max(mood) AS max_mood_text
          FROM cells GROUP BY report_date ORDER BY report_date""",
+
+    "q_dsv2_spj" ->
+      """WITH d AS (SELECT unnest(generate_series(0, 7)) AS d),
+         u AS (SELECT unnest(generate_series(0, 4)) AS u),
+         cells AS (SELECT d.d, u.u,
+                month(DATE '2024-03-01' + d.d * INTERVAL 1 DAY)::VARCHAR
+                  || '/' ||
+                day(DATE '2024-03-01' + d.d * INTERVAL 1 DAY)::VARCHAR
+                  || '/' ||
+                year(DATE '2024-03-01' + d.d * INTERVAL 1 DAY)::VARCHAR
+                  AS report_date,
+                CASE WHEN (u.u + d.d) % 11 = 10 THEN 'n/a'
+                     ELSE ((u.u + d.d) % 11)::VARCHAR END AS mood,
+                'User' || u.u || '@Example.com' AS email
+              FROM d, u),
+         daily AS (SELECT report_date, count(*)::BIGINT AS n_day,
+                max(mood) AS max_mood_text
+              FROM cells GROUP BY 1)
+         SELECT c.report_date, c.email AS user_email,
+                dy.n_day, dy.max_mood_text
+         FROM cells c JOIN daily dy USING (report_date)
+         ORDER BY c.report_date, user_email""",
 
     "q_dsv2_agg_global" ->
       """WITH d AS (SELECT unnest(generate_series(0, 10)) AS d),

@@ -5,9 +5,11 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -201,7 +203,7 @@ class FormResponseScan(users: Int, days: Int, start: String,
     pushedDate: Option[String], required: StructType,
     pushedAgg: Option[(Seq[String], Seq[FormResponseSource.PushedAggFunc])]
       = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportPartitioning {
   import FormResponseSource.{CountStarFunc, MaxFunc, MinFunc}
 
   // with a pushed aggregation the scan's rows ARE the (per-partition)
@@ -239,6 +241,24 @@ class FormResponseScan(users: Int, days: Int, start: String,
     }).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FormReaderFactory
+
+  /** Storage-partitioned-join reporting: the day blocks ARE an
+    * identity partitioning on Report Date, so when that column
+    * survives into the scan output Spark can plan joins and
+    * aggregations keyed on it with NO exchange on this side (each
+    * partition carries its key via [[HasPartitionKey]]; enable
+    * `spark.sql.sources.v2.bucketing.enabled`). Pruned-away key or an
+    * ungrouped pushed aggregate → Unknown, never a false promise. */
+  override def outputPartitioning(): Partitioning = {
+    val keyVisible = readSchema().fieldNames.contains("Report Date")
+    if (keyVisible)
+      new KeyGroupedPartitioning(
+        // Expressions.identity PARSES the name — the space needs the
+        // quoted-identifier form
+        Array(Expressions.identity("`Report Date`")), liveDays.size)
+    else new UnknownPartitioning(liveDays.size)
+  }
+
   override def description(): String =
     s"FormResponseScan pushedDate=${pushedDate.getOrElse("none")} " +
       s"columns=[${required.fieldNames.mkString(", ")}]" +
@@ -249,9 +269,14 @@ class FormResponseScan(users: Int, days: Int, start: String,
 }
 
 /** One sheet "day block" — the unit of scan parallelism. `columns` is
-  * the pruned projection the reader materializes. */
+  * the pruned projection the reader materializes. Carries its Report
+  * Date as the partition key for storage-partitioned joins. */
 case class FormDayPartition(day: Int, users: Int, start: String,
-    columns: Seq[String]) extends InputPartition
+    columns: Seq[String]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(FormResponseSource.dateStr(start, day))))
+}
 
 /** A day block under a pushed aggregation: the reader folds the
   * block's cells into ONE pre-aggregated row — grouped by Report Date
@@ -259,7 +284,11 @@ case class FormDayPartition(day: Int, users: Int, start: String,
   * the partial Spark's final aggregate merges. */
 case class FormDayAggPartition(day: Int, users: Int, start: String,
     groups: Seq[String], funcs: Seq[FormResponseSource.PushedAggFunc])
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(FormResponseSource.dateStr(start, day))))
+}
 
 class FormReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =

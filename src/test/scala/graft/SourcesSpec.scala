@@ -160,6 +160,23 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       expected.sum / expected.length) < 1e-9)
   }
 
+  test("storage-partitioned join: day-block key grouping joins the row " +
+      "scan to its daily rollup with NO exchange on either side") {
+    val rows = read(3, 5)
+    val daily = rows.groupBy(col("`Report Date`"))
+      .agg(count(lit(1)).as("n_day"))
+    val joined = rows.select(col("`Report Date`"), col("`Email Address`"))
+      .join(daily, "Report Date")
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"SPJ must plan the co-partitioned join shuffle-free:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    // result parity with the obvious closed form: every row joined to
+    // its day's user count
+    val out = joined.collect()
+    assert(out.length == 15 && out.forall(_.getAs[Long]("n_day") == 3L))
+  }
+
   test("DigestSink: V2 commit combines every partition, order-independent") {
     import graft.sources.DigestSink
     val s = spark

@@ -16,6 +16,9 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-partitioned joins over DSv2 scans that report a
+      // KeyGroupedPartitioning (FormResponseScan day blocks)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
