@@ -1666,6 +1666,27 @@ object SparkEntry {
         .select(col("doc_id"), r6(col("avg_logprob")).as("avg_logprob"))
         .orderBy(col("doc_id"))),
 
+    // Cohort retention matrix: users grouped by their first active
+    // week, distinct-user counts per (cohort, week offset) — the
+    // classic product-analytics rollup over the events stream. Two
+    // user-keyed aggregates; the (user, week) relation is deduped
+    // map-side before either shuffle.
+    "q_retention" -> ((s, dir) => {
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val cohorts = weeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(ntz(col("cohort_week")).as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Gopher-style rule gate: per-document rule measures + flags + the
     // conjunction, rule-per-column so rejections are attributable. The
     // cheap narrow pre-filter ahead of the dedup stages.
@@ -3216,6 +3237,17 @@ object SparkEntry {
                 round(avg(log2(f.cnt / tot.n)), 6) AS avg_logprob
          FROM tok t JOIN freq f USING (token), tot
          GROUP BY 1 ORDER BY 1""",
+
+    "q_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+              FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+         SELECT c.cohort_week,
+                (date_diff('day', c.cohort_week, w.week) // 7)::BIGINT
+                  AS week_offset,
+                count(*)::BIGINT AS n_users
+         FROM w JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l

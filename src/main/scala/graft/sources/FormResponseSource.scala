@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -118,13 +118,23 @@ class FormResponseTable(users: Int, days: Int, start: String)
 class FormScanBuilder(users: Int, days: Int, start: String)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   import FormResponseSource.{CountStarFunc, MaxFunc, MinFunc, PushedAggFunc}
 
   private var pushedDate: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = FormResponseSource.Schema
   private var pushedAgg: Option[(Seq[String], Seq[PushedAggFunc])] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT reaches the reader: each day block stops generating after
+    * `limit` cells-worth of rows (PARTIAL pushdown — Spark keeps the
+    * final global limit; a source with one surviving partition, e.g.
+    * under a pushed date, then materializes exactly `limit` rows). */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit); true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   // attribute names needing quoting (the space) arrive backticked
   private def unquote(a: String): String =
@@ -196,13 +206,15 @@ class FormScanBuilder(users: Int, days: Int, start: String)
     required = requiredSchema
 
   override def build(): Scan =
-    new FormResponseScan(users, days, start, pushedDate, required, pushedAgg)
+    new FormResponseScan(users, days, start, pushedDate, required,
+      pushedAgg, pushedLimit)
 }
 
 class FormResponseScan(users: Int, days: Int, start: String,
     pushedDate: Option[String], required: StructType,
     pushedAgg: Option[(Seq[String], Seq[FormResponseSource.PushedAggFunc])]
-      = None)
+      = None,
+    pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning {
   import FormResponseSource.{CountStarFunc, MaxFunc, MinFunc}
 
@@ -237,7 +249,7 @@ class FormResponseScan(users: Int, days: Int, start: String,
           FormDayAggPartition(d, users, start, groups, funcs): InputPartition)
       case None =>
         liveDays.map(d => FormDayPartition(d, users, start,
-          required.fieldNames.toSeq): InputPartition)
+          required.fieldNames.toSeq, pushedLimit): InputPartition)
     }).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FormReaderFactory
@@ -265,14 +277,16 @@ class FormResponseScan(users: Int, days: Int, start: String,
       pushedAgg.map { case (g, f) =>
         s" pushedAggregates=[${f.mkString(", ")}]" +
           s" groupedBy=[${g.mkString(", ")}]"
-      }.getOrElse("")
+      }.getOrElse("") +
+      pushedLimit.map(l => s" pushedLimit=$l").getOrElse("")
 }
 
 /** One sheet "day block" — the unit of scan parallelism. `columns` is
   * the pruned projection the reader materializes. Carries its Report
   * Date as the partition key for storage-partitioned joins. */
 case class FormDayPartition(day: Int, users: Int, start: String,
-    columns: Seq[String]) extends InputPartition with HasPartitionKey {
+    columns: Seq[String], limit: Option[Int] = None)
+    extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(FormResponseSource.dateStr(start, day))))
@@ -301,10 +315,11 @@ class FormReaderFactory extends PartitionReaderFactory {
       : PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var u = -1
+      private val cap = part.limit.fold(part.users)(_.min(part.users))
       private val dayDate =
         FormResponseSource.dateStr(part.start, part.day)
 
-      override def next(): Boolean = { u += 1; u < part.users }
+      override def next(): Boolean = { u += 1; u < cap }
 
       // only the pruned columns are computed and emitted — cell work
       // scales with the projection, not the sheet width

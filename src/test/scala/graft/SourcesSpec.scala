@@ -160,6 +160,21 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       expected.sum / expected.length) < 1e-9)
   }
 
+  test("LIMIT pushes to the reader: each day block stops early and the " +
+      "global limit still holds") {
+    val lim = read(5, 4).limit(3)
+    val scan = batchScan(lim)
+    assert(scan.scan.description().contains("pushedLimit=3"),
+      s"limit must reach the scan: ${scan.scan.description()}")
+    assert(lim.count() == 3)
+    // under a pushed date one partition survives, so the source
+    // materializes exactly `limit` rows — scan output == final output
+    val one = read(5, 4).filter(col("`Report Date`") === "1/2/2024").limit(2)
+    assert(batchScan(one).inputRDD.getNumPartitions == 1)
+    assert(one.collect().map(_.getAs[String]("Email Address")).toSeq ==
+      Seq("User0@Example.com", "User1@Example.com"))
+  }
+
   test("storage-partitioned join: day-block key grouping joins the row " +
       "scan to its daily rollup with NO exchange on either side") {
     val rows = read(3, 5)
