@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -215,7 +215,8 @@ class FormResponseScan(users: Int, days: Int, start: String,
     pushedAgg: Option[(Seq[String], Seq[FormResponseSource.PushedAggFunc])]
       = None,
     pushedLimit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
   import FormResponseSource.{CountStarFunc, MaxFunc, MinFunc}
 
   // with a pushed aggregation the scan's rows ARE the (per-partition)
@@ -237,10 +238,41 @@ class FormResponseScan(users: Int, days: Int, start: String,
   }
   override def toBatch: Batch = this
 
+  // runtime (DPP-style) pruning state: dates admitted by a runtime
+  // filter delivered just before execution, None = no runtime filter
+  @volatile private var runtimeDates: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("`Report Date`"))
+
+  /** Runtime filters arrive AFTER planning but before partition
+    * enumeration (dynamic partition pruning: e.g. the distinct build
+    * keys of a join). Only Report-Date In/EqualTo prune; anything else
+    * is ignored — runtime filtering is an optimization, Spark still
+    * applies the full predicate above the scan. */
+  override def filter(filters: Array[Filter]): Unit = {
+    val dates = filters.collect {
+      case org.apache.spark.sql.sources.In(attr, vs)
+          if stripQuotes(attr) == "Report Date" =>
+        vs.collect { case s: String => s }.toSet
+      case EqualTo(attr, v: String) if stripQuotes(attr) == "Report Date" =>
+        Set(v)
+    }
+    if (dates.nonEmpty)
+      runtimeDates = Some(dates.reduce(_ intersect _))
+  }
+
+  private def stripQuotes(a: String): String =
+    if (a.length >= 2 && a.startsWith("`") && a.endsWith("`"))
+      a.substring(1, a.length - 1).replace("``", "`")
+    else a
+
   private def liveDays: Seq[Int] =
     (0 until days)
       .filter(d => pushedDate.forall(_ ==
         FormResponseSource.dateStr(start, d)))
+      .filter(d => runtimeDates.forall(_.contains(
+        FormResponseSource.dateStr(start, d))))
 
   override def planInputPartitions(): Array[InputPartition] =
     (pushedAgg match {

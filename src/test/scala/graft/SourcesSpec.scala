@@ -175,6 +175,47 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       Seq("User0@Example.com", "User1@Example.com"))
   }
 
+  test("runtime filtering: join build keys prune day blocks at " +
+      "execution time (DSv2 dynamic partition pruning)") {
+    val s = spark
+    import s.implicits._
+    val rows = read(3, 10)
+    // the build side must be a real scan with a selective predicate —
+    // a LocalRelation constant-folds and the pruning rule skips it
+    val dimPath = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    Seq("1/2/2024", "1/4/2024", "nope").toDF("d")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+      .filter(col("d").isin("1/2/2024", "1/4/2024"))
+    val joined = rows.join(dim, col("`Report Date`") === col("d"))
+    // execute THIS DataFrame's queryExecution — the runtime filter's
+    // subquery result only exists on the executed plan we inspect
+    assert(joined.collect().length == 6, "2 matching days x 3 users")
+    // AQE wraps executed stages as leaves — unwrap recursively
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+      }.flatten
+    val scans = allScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    // runtime filter delivered the build-side keys: only the 2
+    // matching blocks survive inside the RDD (the RDD keeps its
+    // reported KeyGroupedPartitioning slot count, padding pruned
+    // groups empty — so count the actual InputPartitions, not slots)
+    val live = scans.head.inputRDD.partitions.map {
+      case p: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceRDDPartition => p.inputPartitions.size
+      case _ => 0
+    }.sum
+    assert(live == 2, s"expected 2 runtime-pruned day blocks, got $live")
+  }
+
   test("storage-partitioned join: day-block key grouping joins the row " +
       "scan to its daily rollup with NO exchange on either side") {
     val rows = read(3, 5)
