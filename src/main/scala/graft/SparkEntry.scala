@@ -1962,6 +1962,9 @@ object SparkEntry {
         totalTokens = 1500)
       val corpus = mixed.select(col("doc_id"))
         .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        // consumed by BOTH bpeTrain and bpeEncode — without a persist
+        // the whole curation+mixture prefix recomputes per consumer
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val enc = graft.ext.Bpe.bpeEncode(corpus, "doc_id", "text",
         graft.ext.Bpe.bpeTrain(corpus, "text", numMerges = 8))
       val packed = graft.ext.Packing.packConcat(
