@@ -666,6 +666,14 @@ object SparkEntry {
 
     // Exact interpolated percentiles — both engines implement the
     // classic linear-interpolation quantile, so values match bit-level.
+    // Winsorized robust moments: values clamped to the exact
+    // [p05, p95] band per event type, then mean/stddev over the
+    // clamped values — the outlier-resistant row of the profile.
+    "q_winsorized" -> ((s, dir) =>
+      graft.ext.Profile.winsorized(Tables.read(s, dir, "events"),
+          "value", Seq("event_type"), lo = 0.05, hi = 0.95)
+        .orderBy(col("event_type"))),
+
     "q_percentiles" -> ((s, dir) =>
       Tables.eventsAsHabits(s, dir)
         .groupBy(col("habit"))
@@ -2452,6 +2460,22 @@ object SparkEntry {
                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
                   AS rolling_avg
          FROM daily ORDER BY habit, day""",
+
+    "q_winsorized" ->
+      """WITH b AS (SELECT event_type,
+                quantile_cont(value, 0.05) AS plo,
+                quantile_cont(value, 0.95) AS phi
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+         w AS (SELECT e.event_type,
+                least(greatest(e.value, b.plo), b.phi) AS wv, b.plo, b.phi
+              FROM events e JOIN b USING (event_type)
+              WHERE e.value IS NOT NULL)
+         SELECT event_type, count(*)::BIGINT AS n,
+                round(min(plo), 6) AS lo_bound,
+                round(max(phi), 6) AS hi_bound,
+                round(avg(wv), 6) AS w_mean,
+                round(stddev_samp(wv), 6) AS w_stddev
+         FROM w GROUP BY 1 ORDER BY 1""",
 
     "q_percentiles" ->
       """SELECT event_type AS habit,

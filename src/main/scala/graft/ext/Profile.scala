@@ -88,6 +88,41 @@ object Profile {
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Winsorized (percentile-clamped) robust statistics per group — the
+    * outlier-resistant mean/stddev a data-quality report wants next to
+    * the raw moments: values below the `lo` percentile or above the
+    * `hi` percentile are CLAMPED to those bounds (not dropped, so
+    * counts are preserved), then the moments are taken over the
+    * clamped values. Exact interpolated percentiles (`percentile`),
+    * the engine-reproducible kind the percentile query already pins
+    * against DuckDB's quantile_cont.
+    *
+    * Scale: one percentile aggregate over the groups (exact
+    * percentiles sort within the aggregate buffer — swap in
+    * `approx_percentile` for a one-pass sketch when the group
+    * cardinality times values no longer fits), broadcast back onto the
+    * rows (group-cardinality relation), one moments aggregate. Two
+    * bounded shuffles, no window over the raw values. */
+  def winsorized(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val v = col(valueCol)
+    val bounds = df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $lo)").as("_plo"),
+        expr(s"percentile($valueCol, $hi)").as("_phi"))
+    val clamped = df.filter(v.isNotNull)
+      .join(broadcast(bounds), groupCols)
+      .withColumn("_w", least(greatest(v, col("_plo")), col("_phi")))
+    clamped.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        // the bounds are constant within a group — min is just a pick
+        round(min(col("_plo")).cast("double"), 6).as("lo_bound"),
+        round(max(col("_phi")).cast("double"), 6).as("hi_bound"),
+        round(avg(col("_w")), 6).as("w_mean"),
+        round(stddev_samp(col("_w")), 6).as("w_stddev"))
+  }
+
   /** Fixed-width value histogram — distribution shape at a glance, the
     * partner to [[profile]]'s min/max and the exact percentiles query.
     * One hash-aggregate over the (optionally grouped) rows; bucket

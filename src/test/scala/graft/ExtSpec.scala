@@ -1657,6 +1657,25 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(out(2L) - math.log(1.0 / 12) / math.log(2)) < 1e-9)
   }
 
+  test("winsorized: clamps to exact interpolated percentile bounds, " +
+      "preserves counts, drops nulls") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 10).map(i => ("g", Some(i.toDouble))) :+
+      (("g", None: Option[Double]))).toDF("grp", "v")
+    val r = graft.ext.Profile.winsorized(df, "v", Seq("grp"),
+      lo = 0.1, hi = 0.9).collect().head
+    // interpolated p10/p90 of 1..10 = 1.9 / 9.1; clamped mean = 5.5
+    assert(r.getAs[Long]("n") == 10L, "null row excluded, others kept")
+    assert(math.abs(r.getAs[Double]("lo_bound") - 1.9) < 1e-9)
+    assert(math.abs(r.getAs[Double]("hi_bound") - 9.1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("w_mean") - 5.5) < 1e-9)
+    val clamped = Seq(1.9, 2, 3, 4, 5, 6, 7, 8, 9, 9.1)
+    val m = clamped.sum / 10
+    val sd = math.sqrt(clamped.map(x => (x - m) * (x - m)).sum / 9)
+    assert(math.abs(r.getAs[Double]("w_stddev") - sd) < 1e-6)
+  }
+
   test("gopherRules: each rule gates independently and pass is their " +
       "conjunction") {
     val s = spark
