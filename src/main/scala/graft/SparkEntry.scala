@@ -326,38 +326,47 @@ object SparkEntry {
     * is identical to the Spark side's driver-local pass. Emits CTE
     * text ending in `seed (vec_id, cluster)`, spliced into the
     * q_kmeans oracle ahead of the unrolled Lloyd stages. */
-  private def kmeansSeedSql(k: Int): String = {
+  private def kmeansSeedSql(k: Int): String =
+    s"""cand AS MATERIALIZED (SELECT vec_id FROM q
+              ORDER BY md5(vec_id::VARCHAR), vec_id
+              LIMIT ${graft.ext.Similarity.seedSampleSize(k)}),
+         """ + seedChainSql(k, "pts", "")
+
+  /** The farthest-point stage chain itself, parameterized so the PQ
+    * oracle can emit one chain PER SUBSPACE (`pts` = that subspace's
+    * point relation, `sfx` appended to every CTE name) over the ONE
+    * shared `cand` sample — mirroring the Spark side, whose subspace
+    * seeders slice the same collected sample. Ends in
+    * `seed$sfx (vec_id, cluster)`. */
+  private def seedChainSql(k: Int, pts: String, sfx: String): String = {
     // every sp{j} is referenced three times downstream (the distance
     // join, the NOT IN guard, and sp{j+1}'s union) — AS MATERIALIZED
     // stops DuckDB's CTE inlining from expanding the chain
     // exponentially (3^k scans of the parquet source without it)
-    val m = graft.ext.Similarity.seedSampleSize(k)
     val sb = new StringBuilder
     sb.append(
-      s"""cand AS MATERIALIZED (SELECT vec_id FROM q
-              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $m),
-         cpts AS MATERIALIZED (SELECT p.vec_id, p.dim, p.x
-              FROM pts p JOIN cand USING (vec_id)),
-         sp0 AS MATERIALIZED (SELECT vec_id, 0 AS cluster FROM (
+      s"""cpts$sfx AS MATERIALIZED (SELECT p.vec_id, p.dim, p.x
+              FROM $pts p JOIN cand USING (vec_id)),
+         sp0$sfx AS MATERIALIZED (SELECT vec_id, 0 AS cluster FROM (
               SELECT vec_id FROM cand
               ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1))""")
     for (j <- 1 until k) {
       sb.append(s""",
-         se$j AS MATERIALIZED (SELECT p.vec_id, b.vec_id AS sv,
+         se$j$sfx AS MATERIALIZED (SELECT p.vec_id, b.vec_id AS sv,
                 sum((p.x - b.x) * (p.x - b.x)) AS dd
-              FROM cpts p JOIN cpts b ON p.dim = b.dim
-              JOIN sp${j - 1} s ON b.vec_id = s.vec_id
+              FROM cpts$sfx p JOIN cpts$sfx b ON p.dim = b.dim
+              JOIN sp${j - 1}$sfx s ON b.vec_id = s.vec_id
               GROUP BY p.vec_id, b.vec_id),
-         sn$j AS MATERIALIZED (SELECT vec_id FROM (
-                SELECT vec_id, min(dd) AS md FROM se$j GROUP BY vec_id)
-              WHERE vec_id NOT IN (SELECT vec_id FROM sp${j - 1})
+         sn$j$sfx AS MATERIALIZED (SELECT vec_id FROM (
+                SELECT vec_id, min(dd) AS md FROM se$j$sfx GROUP BY vec_id)
+              WHERE vec_id NOT IN (SELECT vec_id FROM sp${j - 1}$sfx)
               ORDER BY md DESC, vec_id LIMIT 1),
-         sp$j AS MATERIALIZED (SELECT vec_id, cluster FROM sp${j - 1}
-              UNION ALL SELECT vec_id, $j AS cluster FROM sn$j)""")
+         sp$j$sfx AS MATERIALIZED (SELECT vec_id, cluster FROM sp${j - 1}$sfx
+              UNION ALL SELECT vec_id, $j AS cluster FROM sn$j$sfx)""")
     }
     sb.append(s""",
-         seed AS MATERIALIZED (SELECT vec_id, cluster::INTEGER AS cluster
-              FROM sp${k - 1})""")
+         seed$sfx AS MATERIALIZED (SELECT vec_id, cluster::INTEGER AS cluster
+              FROM sp${k - 1}$sfx)""")
     sb.toString
   }
 
@@ -372,10 +381,11 @@ object SparkEntry {
     * scan. `a_i`/`c_i` are MATERIALIZED: each is referenced twice
     * downstream, so plain CTE inlining would re-expand the whole
     * prefix 2^iterations times (the bpeTrainOracle lesson). */
-  private def kmeansAssignSql(k: Int, iterations: Int): String = {
-    val sb = new StringBuilder
-    sb.append(
-      """WITH g AS (SELECT max(list_max(list_transform(embedding,
+  /** GLOBAL-scale int8 quantization of the embeddings table as CTEs
+    * `g`/`q` (codes as a list) /`pts` (exploded (vec_id, dim, x)) —
+    * the shared front of every integer-trainer replay. */
+  private val int8PtsSql: String =
+    """WITH g AS (SELECT max(list_max(list_transform(embedding,
                 x -> abs(x::DOUBLE)))) AS gma
               FROM embeddings WHERE embedding IS NOT NULL),
          q AS (SELECT vec_id, label,
@@ -388,31 +398,88 @@ object SparkEntry {
          pts AS MATERIALIZED (SELECT vec_id, u.dim AS dim, u.x AS x FROM (
                 SELECT vec_id, unnest(list_transform(v,
                   (x, i) -> {'dim': i - 1, 'x': x})) AS u FROM q)),
-         """ + kmeansSeedSql(k) + """,
-         c0 AS MATERIALIZED (SELECT s.cluster, p.dim, p.x AS c
-              FROM seed s JOIN pts p ON p.vec_id = s.vec_id)""")
+         """
+
+  private def kmeansAssignSql(k: Int, iterations: Int): String =
+    int8PtsSql + kmeansSeedSql(k) + "," +
+      lloydChainSql(iterations, "pts", "")
+
+  /** Full PQ replay ([[graft.ext.Similarity.pqTrainInt8]]): the shared
+    * int8 `pts` and ONE md5-rank `cand` sample, then PER SUBSPACE a
+    * dim-local point relation `pts_s{s}`, the farthest-point seed chain
+    * and the Lloyd rounds (suffix `_s{s}`), ending in assignment
+    * `afin_s{s}`. The tail assembles `codes (vec_id, sub, cluster)`,
+    * the final codebook `cb (sub, cluster, dim, c)` and the
+    * reconstruction `recon (vec_id, dim, c)` — integer-exact
+    * cell-for-cell against the Spark trainer, shared by the q_pq_encode
+    * and q_knn_pq oracles. */
+  private def pqChainSql(m: Int, kSub: Int, iterations: Int,
+      dsub: Int): String = {
+    val sb = new StringBuilder
+    sb.append(int8PtsSql)
+    sb.append(
+      s"""cand AS MATERIALIZED (SELECT vec_id FROM q
+              ORDER BY md5(vec_id::VARCHAR), vec_id
+              LIMIT ${graft.ext.Similarity.seedSampleSize(kSub)})""")
+    for (s <- 0 until m) {
+      sb.append(s""",
+         pts_s$s AS MATERIALIZED (SELECT vec_id, dim - ${s * dsub} AS dim, x
+              FROM pts WHERE dim >= ${s * dsub} AND dim < ${(s + 1) * dsub}),
+         """)
+      sb.append(seedChainSql(kSub, s"pts_s$s", s"_s$s"))
+      sb.append(",")
+      sb.append(lloydChainSql(iterations, s"pts_s$s", s"_s$s"))
+    }
+    val codesUnion = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub, cluster FROM afin_s$s")
+      .mkString("\n              UNION ALL ")
+    val cbUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub, cluster, dim, c FROM c${iterations}_s$s")
+      .mkString("\n              UNION ALL ")
+    sb.append(s""",
+         codes AS MATERIALIZED ($codesUnion),
+         cb AS MATERIALIZED ($cbUnion),
+         recon AS MATERIALIZED (SELECT co.vec_id,
+                co.sub * $dsub + cb.dim AS dim, cb.c
+              FROM codes co JOIN cb
+                ON cb.sub = co.sub AND cb.cluster = co.cluster)""")
+    sb.toString
+  }
+
+  /** The Lloyd rounds themselves (assign a_i → floor-div means m_i →
+    * coalesce-carry centroids c_i → `afin$sfx`), parameterized like
+    * [[seedChainSql]] so the PQ oracle replays one chain per subspace.
+    * Expects `seed$sfx` upstream. `a_i`/`c_i` are MATERIALIZED: each is
+    * referenced twice downstream, so plain CTE inlining would re-expand
+    * the whole prefix 2^iterations times (the bpeTrainOracle lesson). */
+  private def lloydChainSql(iterations: Int, pts: String,
+      sfx: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+         c0$sfx AS MATERIALIZED (SELECT s.cluster, p.dim, p.x AS c
+              FROM seed$sfx s JOIN $pts p ON p.vec_id = s.vec_id)""")
     def assign(name: String, cent: String): String = s""",
          $name AS MATERIALIZED (SELECT vec_id, cluster FROM (
                 SELECT vec_id, cluster, row_number() OVER (
                     PARTITION BY vec_id ORDER BY d2, cluster) AS rn
                 FROM (SELECT p.vec_id, c.cluster,
                         sum((p.x - c.c) * (p.x - c.c)) AS d2
-                      FROM pts p JOIN $cent c ON p.dim = c.dim
+                      FROM $pts p JOIN $cent c ON p.dim = c.dim
                       GROUP BY p.vec_id, c.cluster)) WHERE rn = 1)"""
     for (i <- 1 to iterations) {
-      sb.append(assign(s"a$i", s"c${i - 1}"))
+      sb.append(assign(s"a$i$sfx", s"c${i - 1}$sfx"))
       sb.append(s""",
-         m$i AS (SELECT a.cluster, p.dim,
+         m$i$sfx AS (SELECT a.cluster, p.dim,
                 floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
-              FROM a$i a JOIN pts p ON a.vec_id = p.vec_id
+              FROM a$i$sfx a JOIN $pts p ON a.vec_id = p.vec_id
               GROUP BY a.cluster, p.dim),
-         c$i AS MATERIALIZED (SELECT c${i - 1}.cluster, c${i - 1}.dim,
-                coalesce(m$i.mm, c${i - 1}.c) AS c
-              FROM c${i - 1} LEFT JOIN m$i
-                ON m$i.cluster = c${i - 1}.cluster
-                AND m$i.dim = c${i - 1}.dim)""")
+         c$i$sfx AS MATERIALIZED (SELECT c${i - 1}$sfx.cluster,
+                c${i - 1}$sfx.dim, coalesce(m$i$sfx.mm, c${i - 1}$sfx.c) AS c
+              FROM c${i - 1}$sfx LEFT JOIN m$i$sfx
+                ON m$i$sfx.cluster = c${i - 1}$sfx.cluster
+                AND m$i$sfx.dim = c${i - 1}$sfx.dim)""")
     }
-    sb.append(assign("afin", s"c$iterations"))
+    sb.append(assign(s"afin$sfx", s"c$iterations$sfx"))
     sb.toString
   }
 
@@ -921,6 +988,30 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("nn_id"), col("qdot"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Product quantization: 64-dim int8 vectors compress to 4 codebook
+    // cells (16 dims/subspace, 8 cells each) — codes, codebooks, and
+    // the per-vector reconstruction error are all integer-exact, so
+    // the oracle replays the full training chain cell-for-cell.
+    "q_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncodeInt8(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", m = 4, kSub = 8, iterations = 2)
+        .select(col("vec_id"), concat_ws(" ", col("code")).as("code"),
+          col("recon_err"))
+        .orderBy(col("vec_id"))),
+
+    // ADC search over the PQ index: rank by integer squared-L2 between
+    // the query's exact int8 codes and each corpus vector's codebook
+    // reconstruction — the memory-bound ANN scale path (corpus side
+    // carries 4 small ints per vector).
+    "q_knn_pq" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnPq(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, m = 4, kSub = 8, iterations = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("adist"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2708,6 +2799,37 @@ object SparkEntry {
          SELECT cluster, sum(n)::BIGINT AS n_points,
                 max(n)::BIGINT AS n_majority
          FROM cnt GROUP BY cluster ORDER BY cluster"""),
+
+    // Full PQ replay (pqChainSql: shared int8 pts + one cand sample,
+    // per-subspace seed/Lloyd chains, codes/cb/recon tail) + the
+    // per-vector code string and integer reconstruction error.
+    "q_pq_encode" ->
+      (pqChainSql(4, 8, 2, 16) + """,
+         cstr AS (SELECT vec_id,
+                array_to_string(list(cluster ORDER BY sub), ' ') AS code
+              FROM codes GROUP BY vec_id)
+         SELECT c.vec_id, c.code,
+                sum((p.x - r.c) * (p.x - r.c))::BIGINT AS recon_err
+         FROM cstr c
+         JOIN pts p ON p.vec_id = c.vec_id
+         JOIN recon r ON r.vec_id = c.vec_id AND r.dim = p.dim
+         GROUP BY c.vec_id, c.code ORDER BY c.vec_id"""),
+
+    // ADC ranks from the same replayed codebooks: exact query codes vs
+    // corpus reconstructions, integer squared-L2, ties by nn_id.
+    "q_knn_pq" ->
+      (pqChainSql(4, 8, 2, 16) + """,
+         qry AS (SELECT vec_id, dim, x FROM pts WHERE vec_id < 8),
+         d AS (SELECT qy.vec_id AS query_id, r.vec_id AS nn_id,
+                sum((qy.x - r.c) * (qy.x - r.c))::BIGINT AS adist
+              FROM qry qy JOIN recon r ON qy.dim = r.dim
+              WHERE qy.vec_id <> r.vec_id
+              GROUP BY 1, 2)
+         SELECT query_id, rank, nn_id, adist FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY adist, nn_id)::BIGINT
+                AS rank FROM d)
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
 
     "q_contamination" ->
       """WITH fp AS (SELECT doc_id,

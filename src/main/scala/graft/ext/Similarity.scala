@@ -216,12 +216,23 @@ object Similarity {
     * lean on collect() preserving TakeOrdered's output order. */
   private def farthestSeedVecs(base: DataFrame, idCol: String,
       k: Int): Seq[Seq[Double]] = {
-    val m = seedSampleSize(k)
+    val (ids, vecs) = md5RankSample(base, idCol, seedSampleSize(k))
+    if (vecs.isEmpty) return Nil
+    fpPickLocal(ids, vecs, k).map(vecs(_).toSeq)
+  }
+
+  /** The ONE seeding job: collect the `m` md5-rank-smallest `(id, v)`
+    * rows of `base` (TakeOrdered — partition-local top-m + driver
+    * merge), re-sorted driver-side by (md5(id), id) so correctness does
+    * not lean on collect() preserving output order. Shared between the
+    * whole-vector seeder and the per-subspace PQ seeders (which slice
+    * the SAME sample, so the oracle replays one `cand` CTE for all). */
+  private def md5RankSample(base: DataFrame, idCol: String,
+      m: Int): (Array[Any], Array[Array[Double]]) = {
     val sample = base.select(col(idCol).as("_sid"),
         col("v").cast("array<double>").as("_sv"))
       .orderBy(md5(col("_sid").cast("string")), col("_sid"))
       .limit(m).collect()
-    if (sample.isEmpty) return Nil
     def cmpIds(a: Any, b: Any): Int =
       a.asInstanceOf[Comparable[Any]].compareTo(b)
     val rows = sample.sortWith { (a, b) =>
@@ -229,8 +240,17 @@ object Similarity {
       val c = ha.compareTo(hb)
       if (c != 0) c < 0 else cmpIds(a.get(0), b.get(0)) < 0
     }
-    val ids = rows.map(_.get(0))
-    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    (rows.map(_.get(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Driver-local farthest-point (k-center) pass over an in-memory
+    * sample: index 0 is always picked first; each further pick
+    * maximizes min squared-L2 distance to the picked set, ties by id
+    * ascending. Returns picked INDICES in pick order. */
+  private def fpPickLocal(ids: Array[Any], vecs: Array[Array[Double]],
+      k: Int): Seq[Int] = {
+    def cmpIds(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
     val n = vecs.length
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0d; var i = 0
@@ -260,7 +280,7 @@ object Similarity {
       }
       picked += best; isPicked(best) = true
     }
-    picked.map(vecs(_).toSeq).toSeq
+    picked.toSeq
   }
 
   /** Train `k` centroids with Lloyd's algorithm — the centroid-learning
@@ -342,23 +362,33 @@ object Similarity {
     *
     * Returns (final integer centroids, assignment `(idCol, cluster)`).
     */
-  def kmeansFitInt8(e: DataFrame, idCol: String, vecCol: String, k: Int,
-      iterations: Int): (Seq[Seq[Long]], DataFrame) = {
-    require(k > 0 && iterations >= 0)
+  /** GLOBAL-scale int8 code relation `(idCol, v: array<long>)` — one
+    * max-abs scalar over the whole corpus, `q_d = ⌊x_d / gmax · 127 +
+    * 0.5⌋`. Uniform scaling preserves squared-L2 ordering up to
+    * rounding, which is what makes the integer trainers
+    * ([[kmeansFitInt8]], [[pqTrainInt8]]) track the double-precision
+    * geometry AND replay engine-exactly. Null vectors and vectors with
+    * null elements are excluded (like zero-norm vectors in
+    * `Dedup.withNorm`). NOT persisted — the caller owns lifecycle. */
+  private def int8CodeRel(e: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val src = e.select(col(idCol), col(vecCol).cast("array<double>").as("w"))
-      // a null ELEMENT would null the dot -> null cell -> NPE in the
-      // means rollup; malformed vectors are excluded like zero-norm
-      // vectors are in Dedup.withNorm
       .filter(col("w").isNotNull &&
         !exists(col("w"), x => x.isNull))
     val gmaRow = src
       .agg(max(array_max(transform(col("w"), x => abs(x)))).as("g")).first()
     val gma = if (gmaRow.isNullAt(0)) 0d else gmaRow.getDouble(0)
-    val base = src.select(col(idCol),
+    src.select(col(idCol),
       (if (gma == 0d) transform(col("w"), _ => lit(0L))
        else transform(col("w"),
          x => floor(x / lit(gma) * lit(127d) + lit(0.5d)).cast("long")))
         .as("v"))
+  }
+
+  def kmeansFitInt8(e: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): (Seq[Seq[Long]], DataFrame) = {
+    require(k > 0 && iterations >= 0)
+    val base = int8CodeRel(e, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[Seq[Long]] =
       farthestSeedVecs(base, idCol, k).map(_.map(_.toLong))
@@ -522,6 +552,159 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qdot").desc, col("nn_id"))
     localTopK(scored, k, "qdot")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ── Product quantization (PQ) ───────────────────────────────────────
+
+  /** Product-quantization codebooks + codes over GLOBAL-scale int8
+    * vectors — the memory-side ANN scale path: a `dim`-dim vector
+    * compresses to `m` small ints (one codebook cell per subspace), so
+    * 100 TB of float embeddings become ~m bytes/vector of codes plus a
+    * driver-sized codebook, and candidate scoring never touches the
+    * original vectors (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011).
+    *
+    * Every arithmetic step is integer or correctly-rounded-double math
+    * on integer inputs (the [[kmeansFitInt8]] discipline), so codebooks,
+    * codes, and ADC distances replay engine-exactly — this PQ is
+    * DuckDB-oracle-able, unlike float PQ whose cell boundaries drift
+    * with summation order. Per subspace `s` (dims `[s·dsub, (s+1)·dsub)`,
+    * `dsub = dim / m`): farthest-point seeds over the SHARED md5-rank
+    * sample (ONE seeding job for all subspaces — each slices the same
+    * collected rows), then `iterations` integer Lloyd rounds. All `m`
+    * subspaces train CONCURRENTLY: each round is one map-side argmin
+    * projection (no shuffle — centroids ride broadcast literals) and
+    * ONE (subspace, cell, dim) partial-aggregating rollup for every
+    * subspace together, so the per-round cost is a single corpus pass
+    * regardless of `m`. Only the m×k×dsub codebook reaches the driver.
+    *
+    * Ties break on centroid index. A cell that loses all members keeps
+    * its previous centroid.
+    *
+    * Returns (codebooks indexed [subspace][cell][localDim], code
+    * relation `(idCol, v: array<long> int8 codes, code: array<int>
+    * length m)`). */
+  def pqTrainInt8(e: DataFrame, idCol: String, vecCol: String,
+      m: Int, kSub: Int, iterations: Int): (Seq[Seq[Seq[Long]]], DataFrame) = {
+    require(m > 0 && kSub > 0 && iterations >= 0)
+    val base = int8CodeRel(e, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (sids, svecs) = md5RankSample(base, idCol, seedSampleSize(kSub))
+    require(svecs.nonEmpty, "pqTrainInt8: empty corpus")
+    val dim = svecs(0).length
+    require(dim % m == 0, s"pqTrainInt8: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+
+    // per-subspace farthest-point seeds over SLICES of the one sample
+    var books: IndexedSeq[IndexedSeq[Seq[Long]]] = (0 until m).map { s =>
+      val sub = svecs.map(v => java.util.Arrays.copyOfRange(v,
+        s * dsub, (s + 1) * dsub))
+      val picks = fpPickLocal(sids, sub, kSub)
+      require(picks.size == kSub,
+        s"pqTrainInt8: need at least $kSub vectors, found ${picks.size}")
+      picks.map(i => sub(i).toSeq.map(_.toLong)).toIndexedSeq
+    }
+
+    // argmin over integer squared-L2 via the |c|² − 2·v·c identity and
+    // the (d·k + j) tie-break encoding — see kmeansFitInt8's note on
+    // why every double op here is exact
+    def assignCol(s: Int, cs: Seq[Seq[Long]]): Column = {
+      val sub = slice(col("v"), s * dsub + 1, dsub).cast("array<double>")
+      pmod(array_min(array(cs.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => (x * x).toDouble).sum
+        (Dedup.dotNative(sub, typedLit(c.map(_.toDouble))) * lit(-2d) +
+          lit(c2)) * lit(kSub.toDouble) + lit(j.toDouble)
+      }: _*)).cast("long"), lit(kSub.toLong)).cast("int")
+    }
+    def cellsCol: Column =
+      array((0 until m).map(s => assignCol(s, books(s))): _*)
+
+    for (_ <- 0 until iterations) {
+      // ONE rollup for all m subspaces: explode the full vector, route
+      // each element to (its subspace's assigned cell, local dim)
+      val sub = floor(col("dim") / lit(dsub)).cast("int")
+      val means = base.select(cellsCol.as("cells"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(sub.as("sub"), pmod(col("dim"), lit(dsub)).as("ldim"),
+          element_at(col("cells"), sub + 1).as("cell"), col("x"))
+        .groupBy(col("sub"), col("cell"), col("ldim"))
+        .agg(floor(sum(col("x")).cast("double") /
+          count(lit(1))).cast("long").as("mn"))
+        .collect()
+      val bySub = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((s, cell), rows) =>
+          (s, cell) -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+        }
+      books = (0 until m).map(s => (0 until kSub).map(j =>
+        bySub.getOrElse((s, j), books(s)(j))))
+    }
+    (books, base.select(col(idCol), col("v"), cellsCol.as("code")))
+  }
+
+  /** ADC (asymmetric distance computation) top-k under a PQ index:
+    * candidates rank by the integer squared-L2 between the query's
+    * EXACT int8 codes and each corpus vector's codebook RECONSTRUCTION
+    * — the query side never quantizes to PQ cells, which is what makes
+    * the distance "asymmetric" and recall beat symmetric code-to-code
+    * scoring. Integer-exact end to end (codes and codebooks are
+    * integers; the Σ(q−r)² terms stay far below 2^53), so ranks and
+    * distances replay on any engine — the oracle recomputes them from
+    * the replayed codebooks.
+    *
+    * Plan shape at scale: the corpus side carries ONLY (id, m-byte
+    * code) — the reconstruction is an expression over broadcast
+    * codebook literals, the scoring join broadcasts the query codes,
+    * and a partition-local top-k bounds the ranking window's input, so
+    * the full-precision corpus is read exactly once (to encode) and
+    * never again. `queries` restricts by id (left-semi over the
+    * encoded relation), so query codes come from the same global
+    * scale. */
+  /** Codebook reconstruction of a PQ-coded vector: concat over
+    * subspaces of `codebook[sub][code[sub]]` — element_at on a
+    * broadcast nested-array literal, no join, stays in codegen. */
+  private def pqReconCol(books: Seq[Seq[Seq[Long]]], codeCol: Column): Column =
+    concat(books.indices.map { s =>
+      element_at(typedLit(books(s).map(_.map(_.toDouble).toSeq).toSeq),
+        element_at(codeCol, s + 1) + 1)
+    }: _*)
+
+  /** PQ-encode a corpus: `(idCol, code: array<int> length m, recon_err:
+    * bigint)` where `recon_err = Σ_d (v_d − recon_d)²` over the int8
+    * codes — the integer-exact per-vector quantization-quality measure
+    * (what you'd threshold to route hard vectors to a re-rank tier).
+    * Code assignment and error are engine-exact; see [[pqTrainInt8]]. */
+  def pqEncodeInt8(e: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, kSub: Int = 8, iterations: Int = 2): DataFrame = {
+    val (books, enc) = pqTrainInt8(e, idCol, vecCol, m, kSub, iterations)
+    val rv = pqReconCol(books, col("code"))
+    val vd = col("v").cast("array<double>")
+    enc.select(col(idCol), col("code"),
+      (Dedup.dotNative(vd, vd) - lit(2d) * Dedup.dotNative(vd, rv) +
+        Dedup.dotNative(rv, rv)).cast("long").as("recon_err"))
+  }
+
+  def knnPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, kSub: Int = 8,
+      iterations: Int = 2): DataFrame = {
+    val (books, enc) = pqTrainInt8(corpus, idCol, vecCol, m, kSub, iterations)
+    val c = enc.select(col(idCol).as("nn_id"), col("code"))
+      .withColumn("rv", pqReconCol(books, col("code")))
+    val q = enc.join(broadcast(queries.select(col(idCol))), Seq(idCol),
+        "left_semi")
+      .select(col(idCol).as("query_id"),
+        col("v").cast("array<double>").as("qv"))
+    // Σ(q−r)² = |q|² − 2·q·r + |r|²: three native codegen'd dots, every
+    // partial an exact integer in doubles
+    val dist = (Dedup.dotNative(col("qv"), col("qv")) -
+      lit(2d) * Dedup.dotNative(col("qv"), col("rv")) +
+      Dedup.dotNative(col("rv"), col("rv"))).cast("long")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), dist.as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    localTopK(scored.withColumn("_neg", -col("adist")), k, "_neg")
+      .drop("_neg")
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 

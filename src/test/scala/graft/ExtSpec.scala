@@ -1511,6 +1511,55 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(cents == cents2)
   }
 
+  test("pqTrainInt8: deterministic integer codebooks; codes index real cells") {
+    def run() = Similarity.pqTrainInt8(blobs, "vec_id", "embedding",
+      m = 2, kSub = 3, iterations = 3)
+    val (b1, e1) = run()
+    val (b2, e2) = run()
+    assert(b1 == b2, "codebooks must be bit-for-bit repeatable")
+    assert(b1.size == 2 && b1.forall(cb => cb.size == 3 &&
+      cb.forall(c => c.size == 1 && c.forall(x => x >= -127 && x <= 127))))
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "code").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c1 = codes(e1)
+    assert(c1.size == 90 &&
+      c1.values.forall(c => c.size == 2 && c.forall(x => x >= 0 && x < 3)))
+    assert(codes(e2) == c1)
+  }
+
+  test("pqEncodeInt8: recon_err equals the driver-recomputed Σ(v−book)²") {
+    val (books, enc) = Similarity.pqTrainInt8(blobs, "vec_id", "embedding",
+      m = 2, kSub = 3, iterations = 3)
+    // dim 2, m 2 ⇒ dsub 1: subspace s covers exactly dimension s
+    val expect = enc.select("vec_id", "v", "code").collect().map { r =>
+      val (v, code) = (r.getSeq[Long](1), r.getSeq[Int](2))
+      r.getLong(0) -> v.indices.map { d =>
+        val dd = v(d) - books(d)(code(d))(0); dd * dd
+      }.sum
+    }.toMap
+    val got = Similarity.pqEncodeInt8(blobs, "vec_id", "embedding",
+        m = 2, kSub = 3, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("knnPq: ADC top-1 stays within the query's blob and replays exactly") {
+    def run() = Similarity.knnPq(blobs, blobs.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3, m = 2, kSub = 3, iterations = 3)
+      .select("query_id", "nn_id", "adist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val out = run()
+    assert(out.map(_._1).distinct.length == 6 &&
+      out.count(_._4 == 1) == 6, "3 ranked rows per query")
+    // blobs are far apart vs int8 reconstruction error, so the nearest
+    // ADC neighbor of every query is a same-blob vector
+    out.filter(_._4 == 1).foreach { case (q, nn, _, _) =>
+      assert(q % 3 == nn % 3, s"top-1 of $q left its blob ($nn)")
+    }
+    assert(run().toSeq == out.toSeq, "ADC ranking must be engine-exact")
+  }
+
   test("semanticDupPairs: recovers every within-blob near-dup pair with " +
       "brute-force-identical cosines; pair scan never leaves a cell") {
     // blobs are angularly separated, so at a high threshold every true

@@ -378,6 +378,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pq knn: codebook recon is literal expression work over broadcast " +
+      "query codes; local top-k bounds the window") {
+    val p = plan("q_knn_pq")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query codes must broadcast (map-side ADC scoring)")
+    assert(p.contains("MapPartitions"),
+      "partition-local top-k kernel must bound the ranking shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("segment dedup: partial-aggregating frequency count, no cartesian") {
     val p = plan("q_dedup_lines")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
