@@ -414,17 +414,26 @@ object SparkEntry {
     * cell-for-cell against the Spark trainer, shared by the q_pq_encode
     * and q_knn_pq oracles. */
   private def pqChainSql(m: Int, kSub: Int, iterations: Int,
-      dsub: Int): String = {
-    val sb = new StringBuilder
-    sb.append(int8PtsSql)
-    sb.append(
+      dsub: Int): String =
+    int8PtsSql +
       s"""cand AS MATERIALIZED (SELECT vec_id FROM q
               ORDER BY md5(vec_id::VARCHAR), vec_id
-              LIMIT ${graft.ext.Similarity.seedSampleSize(kSub)})""")
+              LIMIT ${graft.ext.Similarity.seedSampleSize(kSub)})""" +
+      pqSubspacesSql(m, kSub, iterations, dsub, "pts")
+
+  /** The per-subspace PQ chains over point source `src` — `pts` for
+    * plain PQ, the coarse-residual relation for IVF+PQ — ending in
+    * `codes (vec_id, sub, cluster)`, the final codebook
+    * `cb (sub, cluster, dim, c)`, and the reconstruction
+    * `recon (vec_id, dim, c)` in `src`'s coordinate system. Expects the
+    * shared `cand` sample upstream. */
+  private def pqSubspacesSql(m: Int, kSub: Int, iterations: Int,
+      dsub: Int, src: String): String = {
+    val sb = new StringBuilder
     for (s <- 0 until m) {
       sb.append(s""",
          pts_s$s AS MATERIALIZED (SELECT vec_id, dim - ${s * dsub} AS dim, x
-              FROM pts WHERE dim >= ${s * dsub} AND dim < ${(s + 1) * dsub}),
+              FROM $src WHERE dim >= ${s * dsub} AND dim < ${(s + 1) * dsub}),
          """)
       sb.append(seedChainSql(kSub, s"pts_s$s", s"_s$s"))
       sb.append(",")
@@ -444,6 +453,33 @@ object SparkEntry {
               FROM codes co JOIN cb
                 ON cb.sub = co.sub AND cb.cluster = co.cluster)""")
     sb.toString
+  }
+
+  /** Full IVF+PQ replay ([[graft.ext.Similarity.knnIvfPq]]): coarse
+    * integer k-means over `pts` (suffix `_c`), the residual relation
+    * `res = pts − C[cell]`, then the per-subspace PQ chains over `res`.
+    * One `cand` sample serves both trainers — the Spark side samples by
+    * md5(id) on both relations, which is the same id set; the LIMIT
+    * must therefore agree, hence the `require`. */
+  private def ivfPqChainSql(nCells: Int, m: Int, kSub: Int,
+      iterations: Int, dsub: Int): String = {
+    require(graft.ext.Similarity.seedSampleSize(nCells) ==
+      graft.ext.Similarity.seedSampleSize(kSub),
+      "coarse and PQ samples must coincide for the shared cand CTE")
+    int8PtsSql +
+      s"""cand AS MATERIALIZED (SELECT vec_id FROM q
+              ORDER BY md5(vec_id::VARCHAR), vec_id
+              LIMIT ${graft.ext.Similarity.seedSampleSize(kSub)}),
+         """ +
+      seedChainSql(nCells, "pts", "_c") + "," +
+      lloydChainSql(iterations, "pts", "_c") + s""",
+         cells AS MATERIALIZED (SELECT vec_id, cluster AS cell
+              FROM afin_c),
+         res AS MATERIALIZED (SELECT p.vec_id, p.dim, p.x - cc.c AS x
+              FROM pts p JOIN cells a ON a.vec_id = p.vec_id
+              JOIN c${iterations}_c cc
+                ON cc.cluster = a.cell AND cc.dim = p.dim)""" +
+      pqSubspacesSql(m, kSub, iterations, dsub, "res")
   }
 
   /** The Lloyd rounds themselves (assign a_i → floor-div means m_i →
@@ -1010,6 +1046,20 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.knnPq(emb, emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 5, m = 4, kSub = 8, iterations = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("adist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF+PQ (IVFADC): coarse cells + PQ over residuals, queries probe
+    // only their 2 nearest cells — the inverted-list ANN layout whose
+    // scan cost is nProbes/nCells of the corpus. Fully integer-exact,
+    // so index build AND probe-limited search replay in the oracle.
+    "q_knn_ivfpq" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnIvfPq(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nCells = 8, nProbes = 2,
+          m = 4, kSub = 8, iterations = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("nn_id"), col("adist"))
         .orderBy(col("query_id"), col("rank"))
@@ -2824,6 +2874,36 @@ object SparkEntry {
                 sum((qy.x - r.c) * (qy.x - r.c))::BIGINT AS adist
               FROM qry qy JOIN recon r ON qy.dim = r.dim
               WHERE qy.vec_id <> r.vec_id
+              GROUP BY 1, 2)
+         SELECT query_id, rank, nn_id, adist FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY adist, nn_id)::BIGINT
+                AS rank FROM d)
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // IVF+PQ replay: coarse chain + residual PQ chains, then the
+    // probe-limited ADC — each query scores only docs whose coarse
+    // cell is among its 2 nearest (ties by cell), distances are the
+    // integer squared-L2 between the query's per-cell residual and the
+    // doc's residual reconstruction.
+    "q_knn_ivfpq" ->
+      (ivfPqChainSql(8, 4, 8, 2, 16) + """,
+         qd AS (SELECT p.vec_id, c.cluster AS cell,
+                sum((p.x - c.c) * (p.x - c.c)) AS cd2
+              FROM pts p JOIN c2_c c ON c.dim = p.dim
+              WHERE p.vec_id < 8 GROUP BY 1, 2),
+         probes AS (SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cd2, cell) AS rn FROM qd)
+              WHERE rn <= 2),
+         qres AS (SELECT p.vec_id, pr.cell, p.dim, p.x - cc.c AS x
+              FROM pts p JOIN probes pr ON pr.vec_id = p.vec_id
+              JOIN c2_c cc ON cc.cluster = pr.cell AND cc.dim = p.dim),
+         d AS (SELECT qr.vec_id AS query_id, ce.vec_id AS nn_id,
+                sum((qr.x - r.c) * (qr.x - r.c))::BIGINT AS adist
+              FROM qres qr JOIN cells ce ON ce.cell = qr.cell
+              JOIN recon r ON r.vec_id = ce.vec_id AND r.dim = qr.dim
+              WHERE ce.vec_id <> qr.vec_id
               GROUP BY 1, 2)
          SELECT query_id, rank, nn_id, adist FROM (
               SELECT *, row_number() OVER (

@@ -387,35 +387,45 @@ object Similarity {
 
   def kmeansFitInt8(e: DataFrame, idCol: String, vecCol: String, k: Int,
       iterations: Int): (Seq[Seq[Long]], DataFrame) = {
-    require(k > 0 && iterations >= 0)
     val base = int8CodeRel(e, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kmeansFitCodes(base, idCol, k, iterations)
+  }
+
+  // argmin over integer squared-L2 via the dot identity: for fixed v,
+  // argmin_j Σ(v−c_j)² = argmin_j (|c_j|² − 2·v·c_j), so the common
+  // |v|² term never needs evaluating and the per-centroid work is ONE
+  // native codegen'd dot (Dedup.dotNative) instead of an interpreted
+  // aggregate(zip_with(...)) lambda chain — the same swap that keeps
+  // the float kmeansFit fast, and a ~16× wall-clock difference here.
+  // Exactness survives the move to doubles: integer codes keep every
+  // dot/norm term an integer far below 2^53, so each double op is
+  // exact, not rounded. Ties break on centroid index via the
+  // (m_j · k + j) encoding (equal m_j ⇔ equal distance); m_j can be
+  // negative, so decode with pmod, which returns the j in m_j·k + j
+  // regardless of the quotient's sign.
+  private def int8ArgminCol(cs: Seq[Seq[Long]], vd: Column): Column = {
+    val k = cs.size
+    pmod(array_min(array(cs.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => (x * x).toDouble).sum
+      (Dedup.dotNative(vd, typedLit(c.map(_.toDouble))) * lit(-2d) +
+        lit(c2)) * lit(k.toDouble) + lit(j.toDouble)
+    }: _*)).cast("long"), lit(k.toLong)).cast("int")
+  }
+
+  /** [[kmeansFitInt8]]'s Lloyd loop over an ALREADY-INTEGER code
+    * relation `(idCol, v: array<long>)` — shared with [[knnIvfPq]],
+    * whose residual codes live in [-254, 254] and must NOT be
+    * re-scaled. `base` should be persisted by the caller. */
+  private def kmeansFitCodes(base: DataFrame, idCol: String, k: Int,
+      iterations: Int): (Seq[Seq[Long]], DataFrame) = {
+    require(k > 0 && iterations >= 0)
     var centroids: Seq[Seq[Long]] =
       farthestSeedVecs(base, idCol, k).map(_.map(_.toLong))
     require(centroids.size == k,
-      s"kmeansFitInt8: need at least $k vectors, found ${centroids.size}")
-
-    // argmin over integer squared-L2 via the dot identity: for fixed v,
-    // argmin_j Σ(v−c_j)² = argmin_j (|c_j|² − 2·v·c_j), so the common
-    // |v|² term never needs evaluating and the per-centroid work is ONE
-    // native codegen'd dot (Dedup.dotNative) instead of an interpreted
-    // aggregate(zip_with(...)) lambda chain — the same swap that keeps
-    // the float kmeansFit fast, and a ~16× wall-clock difference here.
-    // Exactness survives the move to doubles: codes are in [-127,127],
-    // so every dot/norm term is an integer far below 2^53 and each
-    // double op is exact, not rounded. Ties break on centroid index via
-    // the (m_j · k + j) encoding (equal m_j ⇔ equal distance); m_j can
-    // be negative, so decode with pmod, which returns the j in
-    // m_j·k + j regardless of the quotient's sign.
-    def assignCol(cs: Seq[Seq[Long]]): Column = {
-      val vd = col("v").cast("array<double>")
-      pmod(array_min(array(cs.zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(x => (x * x).toDouble).sum
-        (Dedup.dotNative(vd, typedLit(c.map(_.toDouble))) * lit(-2d) +
-          lit(c2)) * lit(k.toDouble) + lit(j.toDouble)
-      }: _*)).cast("long"), lit(k.toLong)).cast("int")
-    }
-
+      s"kmeansFitCodes: need at least $k vectors, found ${centroids.size}")
+    def assignCol(cs: Seq[Seq[Long]]): Column =
+      int8ArgminCol(cs, col("v").cast("array<double>"))
     for (_ <- 0 until iterations) {
       val means = base.select(assignCol(centroids).as("cell"),
           posexplode(col("v")).as(Seq("dim", "x")))
@@ -587,13 +597,23 @@ object Similarity {
     * length m)`). */
   def pqTrainInt8(e: DataFrame, idCol: String, vecCol: String,
       m: Int, kSub: Int, iterations: Int): (Seq[Seq[Seq[Long]]], DataFrame) = {
-    require(m > 0 && kSub > 0 && iterations >= 0)
     val base = int8CodeRel(e, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pqTrainCodes(base, idCol, m, kSub, iterations)
+  }
+
+  /** [[pqTrainInt8]]'s trainer over an ALREADY-INTEGER code relation
+    * `(idCol, v: array<long>, extra cols pass through)` — shared with
+    * [[knnIvfPq]], whose residual codes must not be re-scaled. `base`
+    * should be persisted by the caller. Appends `code` to `base`'s
+    * columns in the returned relation. */
+  private def pqTrainCodes(base: DataFrame, idCol: String, m: Int,
+      kSub: Int, iterations: Int): (Seq[Seq[Seq[Long]]], DataFrame) = {
+    require(m > 0 && kSub > 0 && iterations >= 0)
     val (sids, svecs) = md5RankSample(base, idCol, seedSampleSize(kSub))
-    require(svecs.nonEmpty, "pqTrainInt8: empty corpus")
+    require(svecs.nonEmpty, "pqTrainCodes: empty corpus")
     val dim = svecs(0).length
-    require(dim % m == 0, s"pqTrainInt8: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"pqTrainCodes: dim $dim not divisible by m=$m")
     val dsub = dim / m
 
     // per-subspace farthest-point seeds over SLICES of the one sample
@@ -602,21 +622,15 @@ object Similarity {
         s * dsub, (s + 1) * dsub))
       val picks = fpPickLocal(sids, sub, kSub)
       require(picks.size == kSub,
-        s"pqTrainInt8: need at least $kSub vectors, found ${picks.size}")
+        s"pqTrainCodes: need at least $kSub vectors, found ${picks.size}")
       picks.map(i => sub(i).toSeq.map(_.toLong)).toIndexedSeq
     }
 
-    // argmin over integer squared-L2 via the |c|² − 2·v·c identity and
-    // the (d·k + j) tie-break encoding — see kmeansFitInt8's note on
-    // why every double op here is exact
-    def assignCol(s: Int, cs: Seq[Seq[Long]]): Column = {
-      val sub = slice(col("v"), s * dsub + 1, dsub).cast("array<double>")
-      pmod(array_min(array(cs.zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(x => (x * x).toDouble).sum
-        (Dedup.dotNative(sub, typedLit(c.map(_.toDouble))) * lit(-2d) +
-          lit(c2)) * lit(kSub.toDouble) + lit(j.toDouble)
-      }: _*)).cast("long"), lit(kSub.toLong)).cast("int")
-    }
+    // per-subspace argmin over the sliced codes (int8ArgminCol's
+    // integer-exact |c|² − 2·v·c identity and index tie-break)
+    def assignCol(s: Int, cs: Seq[Seq[Long]]): Column =
+      int8ArgminCol(cs,
+        slice(col("v"), s * dsub + 1, dsub).cast("array<double>"))
     def cellsCol: Column =
       array((0 until m).map(s => assignCol(s, books(s))): _*)
 
@@ -639,7 +653,7 @@ object Similarity {
       books = (0 until m).map(s => (0 until kSub).map(j =>
         bySub.getOrElse((s, j), books(s)(j))))
     }
-    (books, base.select(col(idCol), col("v"), cellsCol.as("code")))
+    (books, base.withColumn("code", cellsCol))
   }
 
   /** ADC (asymmetric distance computation) top-k under a PQ index:
@@ -700,6 +714,78 @@ object Similarity {
       lit(2d) * Dedup.dotNative(col("qv"), col("rv")) +
       Dedup.dotNative(col("rv"), col("rv"))).cast("long")
     val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), dist.as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    localTopK(scored.withColumn("_neg", -col("adist")), k, "_neg")
+      .drop("_neg")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF+PQ — the full production ANN index layout (FAISS's IVFADC;
+    * Jégou et al. 2011 §IV): a coarse integer k-means partitions the
+    * corpus into `nCells` inverted lists, PQ codebooks train on the
+    * RESIDUALS `v − C[cell]` (residuals concentrate near 0, so the same
+    * codebook budget quantizes them much finer than raw vectors), and a
+    * query scores ONLY the `nProbes` cells nearest its own codes —
+    * corpus-scan cost drops by ~nCells/nProbes while the per-candidate
+    * cost stays the m-cell ADC lookup.
+    *
+    * Integer-exact end to end: coarse centroids, residuals (in
+    * [-254, 254]), PQ codebooks, probe choice (ties by cell index), and
+    * ADC distances are all integer or exactly-rounded-double math, so
+    * the oracle replays the whole index build + search cell-for-cell.
+    *
+    * Plan shape at scale: the corpus carries (id, cell, m-cell code) —
+    * the inverted-list layout; probing is an equi-join on the cell id
+    * against the broadcast (query, probed-cell, residual) relation, so
+    * unprobed cells are never scanned; partition-local top-k bounds the
+    * ranking window. The residual reconstruction is expression work
+    * over broadcast codebook literals, no join. */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 8, nProbes: Int = 2,
+      m: Int = 4, kSub: Int = 8, iterations: Int = 2): DataFrame = {
+    val base = int8CodeRel(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coarse, _) = kmeansFitCodes(base, idCol, nCells, iterations)
+    val centsL = typedLit(coarse.map(_.toSeq).toSeq)
+    val centsD = typedLit(coarse.map(_.map(_.toDouble).toSeq).toSeq)
+    // residual relation (id, cell, v=residual codes): cell assignment
+    // and subtraction are one projection over the persisted codes
+    val rbase = base
+      .withColumn("cell", int8ArgminCol(coarse,
+        col("v").cast("array<double>")))
+      .select(col(idCol), col("cell"),
+        zip_with(col("v"), element_at(centsL, col("cell") + 1),
+          (a, b) => a - b).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (books, enc) = pqTrainCodes(rbase, idCol, m, kSub, iterations)
+    val c = enc.select(col(idCol).as("nn_id"), col("cell"),
+      pqReconCol(books, col("code")).as("rv"))
+
+    // query side: exact codes → nProbes nearest coarse cells (integer
+    // d², ties by cell index) → one residual per probed cell
+    val q0 = base.join(broadcast(queries.select(col(idCol))), Seq(idCol),
+        "left_semi")
+      .select(col(idCol).as("query_id"),
+        col("v").cast("array<double>").as("qv"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2"), col("cell"))
+    val qc = q0.select(col("query_id"), col("qv"),
+        posexplode(centsD).as(Seq("cell", "cv")))
+      .withColumn("cd2", (Dedup.dotNative(col("qv"), col("qv")) -
+        lit(2d) * Dedup.dotNative(col("qv"), col("cv")) +
+        Dedup.dotNative(col("cv"), col("cv"))).cast("long"))
+      .withColumn("_p", row_number().over(pw))
+      .filter(col("_p") <= nProbes)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qres"))
+
+    val dist = (Dedup.dotNative(col("qres"), col("qres")) -
+      lit(2d) * Dedup.dotNative(col("qres"), col("rv")) +
+      Dedup.dotNative(col("rv"), col("rv"))).cast("long")
+    val scored = c.join(broadcast(qc), Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), dist.as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("nn_id"))

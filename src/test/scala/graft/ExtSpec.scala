@@ -1560,6 +1560,29 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(run().toSeq == out.toSeq, "ADC ranking must be engine-exact")
   }
 
+  test("knnIvfPq: probe-limited ADC keeps top-1 in-blob and replays exactly") {
+    def run(nProbes: Int) = Similarity.knnIvfPq(blobs,
+        blobs.filter(col("vec_id") < 6), "vec_id", "embedding",
+        k = 3, nCells = 3, nProbes = nProbes, m = 2, kSub = 3,
+        iterations = 3)
+      .select("query_id", "nn_id", "adist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val out = run(1)
+    assert(out.map(_._1).distinct.length == 6 && out.count(_._4 == 1) == 6)
+    // coarse cells on 3 separated blobs are the blobs themselves, so
+    // probing ONE cell still finds same-blob neighbors — and residual
+    // quantization keeps them nearest
+    out.filter(_._4 == 1).foreach { case (q, nn, _, _) =>
+      assert(q % 3 == nn % 3, s"top-1 of $q left its blob ($nn)")
+    }
+    assert(run(1).toSeq == out.toSeq, "index build + search must replay")
+    // probing every cell can only add candidates, never lose the top-1
+    val all = run(3).filter(_._4 == 1).map(t => t._1 -> t._2).toMap
+    out.filter(_._4 == 1).foreach { case (q, nn, _, _) =>
+      assert(all(q) == nn, "full probe must agree on the nearest cell's win")
+    }
+  }
+
   test("semanticDupPairs: recovers every within-blob near-dup pair with " +
       "brute-force-identical cosines; pair scan never leaves a cell") {
     // blobs are angularly separated, so at a high threshold every true

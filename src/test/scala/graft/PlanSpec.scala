@@ -388,6 +388,17 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ivfpq knn: probing is an equi-join on the cell id, no cartesian") {
+    val p = plan("q_knn_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe join must hash on the cell id against broadcast queries")
+    assert(p.contains("MapPartitions"),
+      "partition-local top-k kernel must bound the ranking shuffle")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "unprobed cells must never pair with a query")
+  }
+
   test("segment dedup: partial-aggregating frequency count, no cartesian") {
     val p = plan("q_dedup_lines")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
