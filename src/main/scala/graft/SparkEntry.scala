@@ -2,7 +2,7 @@ package graft
 
 import graft.analytics.Habits
 import graft.config.{EtlConfig, HabitSpec}
-import graft.ext.{Dedup, History, MediaRecord, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{Classify, Dedup, History, MediaRecord, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.functions.Aggregators
 import graft.load.Merge
 import graft.streaming.Streaming
@@ -2288,7 +2288,41 @@ object SparkEntry {
         .select(ntz(col("day")).as("day"), col("user_email"), col("habit"),
           col("count_done"), r6(col("avg_value")).as("avg_value"),
           r6(col("sum_meditation")).as("sum_meditation"))
-        .orderBy(col("day"), col("user_email"), col("habit"))))
+        .orderBy(col("day"), col("user_email"), col("habit"))),
+
+    // Arbitrary stateful processing (flatMapGroupsWithState): per-user
+    // (last ts, session counter) state sessionizes the stream; the
+    // one-shot replay equals the batch gaps-and-islands and shares its
+    // oracle. user_id rides as the typed string key and is cast back
+    // for oracle parity.
+    "q_sessionize_stream" -> ((s, dir) =>
+      Streaming.sessionizeAvailableNow(s, dir, gapMinutes = 30,
+          Streaming.nextQueryName("graft_ses"))
+        .groupBy(col("user_email").cast("long").as("user_email"))
+        .agg(max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_email"))),
+
+    // ── Extension scope: in-engine classifiers (ext.Classify) ─────────
+    // Multinomial NB language classifier trained on doc_id % 5 != 0 and
+    // scored on the held-out fifth; integer-quantized log-probs make
+    // the scores exact longs, so the oracle replays training AND every
+    // prediction bit for bit.
+    "q_nb_classifier" -> ((s, dir) =>
+      Classify.naiveBayes(Tables.read(s, dir, "documents"),
+          "doc_id", "text", "lang", holdMod = 5)
+        .orderBy(col("doc_id"))),
+
+    // Majority-vote kNN labeler over the int8-quantized exact dot:
+    // label propagation from the train split to the held-out vectors.
+    "q_knn_classify" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Classify.knnClassify(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"))
+    }))
 
   /** One oracle for the composed as-of join and both native physical
     * forms — all three gates assert the same DuckDB ASOF LEFT JOIN. */
@@ -2394,6 +2428,21 @@ object SparkEntry {
          clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)"""
   }
 
+  /** One oracle for batch sessionize and its streaming replay — both
+    * gates assert the same gaps-and-islands session counts. */
+  private val sessionizeOracle =
+    """WITH g AS (
+         SELECT user_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       )
+       SELECT user_id AS user_email, sum(new_s)::BIGINT AS n_sessions,
+              count(*) AS n_events
+       FROM g GROUP BY 1 ORDER BY 1"""
+
   def oracleSql: Map[String, String] = Map(
     "q_recent_events" ->
       """SELECT event_id, ts, user_id AS user_email, event_type AS habit, value
@@ -2427,18 +2476,11 @@ object SparkEntry {
            AND user_id = 7 AND event_type IN ('click', 'view')
          GROUP BY 1 ORDER BY 1""",
 
-    "q_sessionize" ->
-      """WITH g AS (
-           SELECT user_id,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                       THEN 1 ELSE 0 END AS new_s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-         )
-         SELECT user_id AS user_email, sum(new_s)::BIGINT AS n_sessions,
-                count(*) AS n_events
-         FROM g GROUP BY 1 ORDER BY 1""",
+    "q_sessionize" -> sessionizeOracle,
+
+    // the one-shot flatMapGroupsWithState replay equals the batch
+    // gaps-and-islands sessionization, so both gates share one oracle
+    "q_sessionize_stream" -> sessionizeOracle,
 
     // Mirrors FormResponseSource's closed-form cell math: January 2024 is
     // CST (UTC-6), so date-only noon-anchored rows land at 18:00Z; a mood
@@ -4021,5 +4063,83 @@ object SparkEntry {
                   (a, c) -> (a * 31 + c) % 1000000007) AS checksum
          FROM bs ORDER BY media_id""",
 
-    "q_habit_daily_stream" -> habitDailyOracle)
+    "q_habit_daily_stream" -> habitDailyOracle,
+
+    // Full NB replay: Laplace-smoothed per-(term, class) log-probs
+    // quantized to 1e-6-unit longs before the document sum, so scores
+    // are exact integers and the argmax (ties: class asc) is
+    // engine-independent.
+    "q_nb_classifier" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         tok AS (SELECT lang AS pred, unnest(string_split(text, ' ')) AS term
+              FROM train),
+         tf AS (SELECT pred, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         tot AS (SELECT pred, sum(c) AS t_tokens FROM tf GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v FROM tf),
+         pri AS (SELECT lang AS pred, count(*) AS d_c FROM train GROUP BY 1),
+         dt AS (SELECT count(*) AS d_tot FROM train),
+         cm AS (SELECT t.pred,
+                CAST(round(ln(1.0 / (t.t_tokens + v.v)) * 1e6) AS BIGINT)
+                  AS logp0_e6,
+                CAST(round(ln(p.d_c::DOUBLE / dt.d_tot) * 1e6) AS BIGINT)
+                  AS prior_e6
+              FROM tot t CROSS JOIN v JOIN pri p USING (pred) CROSS JOIN dt),
+         tm AS (SELECT f.term, f.pred,
+                CAST(round(ln((f.c + 1)::DOUBLE / (t.t_tokens + v.v)) * 1e6)
+                  AS BIGINT) AS logp_e6
+              FROM tf f JOIN tot t USING (pred) CROSS JOIN v),
+         tt AS (SELECT doc_id, lang, term, count(*) AS n
+              FROM (SELECT doc_id, lang,
+                      unnest(string_split(text, ' ')) AS term FROM test)
+              GROUP BY 1, 2, 3),
+         sc AS (SELECT tt.doc_id, tt.lang, cm.pred,
+                (sum(tt.n * coalesce(tm.logp_e6, cm.logp0_e6))
+                  + any_value(cm.prior_e6))::BIGINT AS score_e6
+              FROM tt CROSS JOIN cm
+              LEFT JOIN tm ON tm.term = tt.term AND tm.pred = cm.pred
+              GROUP BY 1, 2, 3),
+         fin AS (SELECT doc_id, lang, pred, score_e6,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score_e6 DESC, pred) AS rk
+              FROM sc)
+         SELECT doc_id, lang, pred, score_e6 FROM fin
+         WHERE rk = 1 ORDER BY doc_id""",
+
+    // kNN vote replay over the same quantize + integer-dot chain as
+    // q_knn_quantized, restricted to the train/test split; ties
+    // (votes desc, best dot desc, label asc) are exact integers.
+    "q_knn_classify" ->
+      """WITH m AS (SELECT vec_id, label,
+                list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                  AS ma, embedding
+              FROM embeddings),
+         qz AS (SELECT vec_id, label,
+                CASE WHEN ma = 0
+                  THEN list_transform(embedding, x -> 0::DOUBLE)
+                  ELSE list_transform(embedding,
+                    x -> floor(x::DOUBLE / ma * 127 + 0.5))
+                END AS qq
+              FROM m),
+         q AS (SELECT vec_id AS query_id, label, qq AS qv FROM qz
+              WHERE vec_id % 5 = 0),
+         c AS (SELECT vec_id AS nn_id, label AS nn_label, qq AS cv FROM qz
+              WHERE vec_id % 5 <> 0),
+         s AS (SELECT query_id, nn_id, nn_label,
+                list_dot_product(qv, cv)::BIGINT AS qdot
+              FROM q JOIN c ON query_id <> nn_id),
+         r AS (SELECT query_id, nn_id, nn_label, qdot,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY qdot DESC, nn_id) AS rank
+              FROM s),
+         v AS (SELECT query_id, nn_label AS pred, count(*)::BIGINT AS votes,
+                max(qdot) AS best_dot
+              FROM r WHERE rank <= 5 GROUP BY 1, 2),
+         p AS (SELECT query_id, pred, votes,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, best_dot DESC, pred) AS rk
+              FROM v)
+         SELECT p.query_id, q.label, p.pred, p.votes
+         FROM p JOIN q ON q.query_id = p.query_id
+         WHERE p.rk = 1 ORDER BY p.query_id""")
 }

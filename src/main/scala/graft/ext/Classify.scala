@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-engine classifiers for training-data curation: multinomial Naive
+  * Bayes over document tokens (the fastText-shaped "train a cheap
+  * classifier on labeled docs, score the corpus" step of an LLM data
+  * pipeline) and a majority-vote kNN labeler over embeddings (label
+  * propagation from a small labeled seed set to the unlabeled corpus).
+  *
+  * Extension scope beyond the reference (SURVEY.md §7.5; driver tables
+  * `documents` / `embeddings`).
+  *
+  * Both classifiers are ENGINE-EXACT, not approximately reproducible:
+  * every per-token/per-neighbor contribution is quantized to an integer
+  * (1e-6 log-prob units / int8 code dots) BEFORE the aggregation, so
+  * the score sums are order-insensitive long arithmetic and an external
+  * SQL oracle replays the trained model and every prediction bit for
+  * bit — the same discipline as [[Similarity.kmeansFitInt8]].
+  */
+object Classify {
+
+  /** Multinomial Naive Bayes with Laplace (+1) smoothing, trained and
+    * scored in one plan. Rows with `idCol % holdMod == 0` are the
+    * held-out test set; the rest train the model. Returns one row per
+    * test document: (idCol, labelCol, pred, score_e6) where `pred` is
+    * the argmax class and `score_e6` the winning log-posterior in
+    * 1e-6 units.
+    *
+    * Model: per class c, P(c) = docs_c / docs and P(t|c) =
+    * (count(t,c) + 1) / (tokens_c + |V|); score(d, c) = ln P(c) +
+    * Σ_t n_t(d) · ln P(t|c). Every ln is quantized to a long in 1e-6
+    * units per (term, class) — the sum over a document is then exact
+    * integer math, independent of partial-aggregation order, so the
+    * argmax (ties broken by class ascending) is deterministic across
+    * engines.
+    *
+    * Scale (100 TB corpus, C classes): the model build is one
+    * map-side-partial aggregate over train tokens shuffled on
+    * (class, term) — the tf shape of [[TextAnalysis.tfidfTopTerms]].
+    * Scoring fans each distinct (doc, term) out ×C (C is small — the
+    * model dimension, not data) and equi-joins the (term, class) model
+    * relation — vocabulary-sized, AQE-broadcast when small; the
+    * class-level relation (priors, unseen-term default, C rows) rides
+    * an explicit broadcast. No driver-side state: the model stays a
+    * relation end to end.
+    */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, holdMod: Int = 5): DataFrame = {
+    require(holdMod > 1, "holdMod must leave both a train and a test set")
+    val isTest = pmod(col(idCol), lit(holdMod)) === 0
+    val train = docs.filter(!isTest)
+    val test = docs.filter(isTest)
+
+    val tf = train
+      .select(col(labelCol).as("pred"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("pred"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val totals = tf.groupBy(col("pred")).agg(sum(col("c")).as("t_tokens"))
+    val vocab = tf.agg(countDistinct(col("term")).as("v"))
+    val priors = train.groupBy(col(labelCol).as("pred"))
+      .agg(count(lit(1)).as("d_c"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("d_tot"))))
+
+    // class-level model: C rows — prior and the unseen-term default
+    val classModel = totals.crossJoin(broadcast(vocab))
+      .join(priors, "pred")
+      .select(col("pred"),
+        round(log(lit(1d) / (col("t_tokens") + col("v"))) * 1e6)
+          .cast("long").as("logp0_e6"),
+        round(log(col("d_c").cast("double") / col("d_tot")) * 1e6)
+          .cast("long").as("prior_e6"))
+    // term-level model: |V| × C rows, quantized per (term, class)
+    val termModel = tf.crossJoin(broadcast(vocab))
+      .join(broadcast(totals), "pred")
+      .select(col("term"), col("pred"),
+        round(log((col("c") + lit(1)).cast("double") /
+          (col("t_tokens") + col("v"))) * 1e6).cast("long").as("logp_e6"))
+
+    val testTf = test
+      .select(col(idCol), col(labelCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col(labelCol), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val scored = testTf
+      .crossJoin(broadcast(classModel.select(col("pred"), col("logp0_e6"))))
+      .join(termModel, Seq("term", "pred"), "left")
+      .groupBy(col(idCol), col(labelCol), col("pred"))
+      .agg(sum(col("n") * coalesce(col("logp_e6"), col("logp0_e6")))
+        .as("tok_e6"))
+      .join(broadcast(classModel.select(col("pred"), col("prior_e6"))),
+        "pred")
+      .withColumn("score_e6", col("tok_e6") + col("prior_e6"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e6").desc, col("pred"))
+    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .select(col(idCol), col(labelCol), col("pred"), col("score_e6"))
+  }
+
+  /** Majority-vote kNN labeler: each `test` vector takes the most
+    * frequent label among its k nearest `train` vectors under the
+    * integer-exact int8-quantized dot ([[Similarity.knnQuantizedInt8]]).
+    * Ties break on (votes desc, best dot desc, label asc) — all exact
+    * integers, so predictions replay engine-exactly. Returns one row
+    * per test vector: (query_id, labelCol, pred, votes).
+    *
+    * Scale (100 TB): inherits the quantized-kNN shape — broadcast query
+    * codes, partition-local top-k cut before the ranking window; the
+    * vote is a (query, label) aggregate over q×k rows and the label
+    * lookup is an equi-join on the train id. For corpus-sized query
+    * sets swap the neighbor stage for [[Similarity.knnLsh]]/`knnIvf`
+    * behind the same vote — the contract only needs (query_id, nn_id,
+    * qdot).
+    */
+  def knnClassify(train: DataFrame, test: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = Similarity.knnQuantizedInt8(train, test, idCol, vecCol, k)
+    val votes = nn
+      .join(train.select(col(idCol).as("nn_id"), col(labelCol).as("pred")),
+        "nn_id")
+      .groupBy(col("query_id"), col("pred"))
+      .agg(count(lit(1)).as("votes"), max(col("qdot")).as("best_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_dot").desc, col("pred"))
+    votes.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .join(test.select(col(idCol).as("query_id"), col(labelCol)),
+        "query_id")
+      .select(col("query_id"), col(labelCol), col("pred"), col("votes"))
+  }
+}

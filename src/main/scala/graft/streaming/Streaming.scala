@@ -529,6 +529,28 @@ object Streaming {
     }
   }
 
+  /** One-shot (`AvailableNow`) replay of [[sessionizeStream]] over the
+    * events table for the oracle gate. A single batch delivers every
+    * user's events to one `flatMapGroupsWithState` call in event-time
+    * order, so the replay equals the batch gaps-and-islands
+    * sessionization ([[graft.analytics.Habits.sessionize]]) row for
+    * row — which is exactly what the shared DuckDB oracle asserts.
+    * `user_id` rides as a string key through the typed stream and is
+    * cast back to long by the caller for oracle parity. */
+  def sessionizeAvailableNow(spark: SparkSession, dir: String,
+      gapMinutes: Int, queryName: String): DataFrame =
+    withStagedEvents(spark, dir) { mkStream =>
+      import spark.implicits._
+      val stream = mkStream()
+        .select(col("user_id").cast("string").as("user_email"), col("ts"))
+        .as[SessionEvent]
+      val q = sessionizeStream(stream, gapMinutes)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitOneShot(q, queryName)
+      spark.table(queryName)
+    }
+
   /** One-shot (`AvailableNow`) replay of the stream-stream
     * [[intervalJoinStream]] over the events table, for the oracle gate:
     * pairs each `leftHabit` event with the same user's `rightHabit`
