@@ -444,4 +444,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(scans.head.scan.readSchema().fieldNames.length == 4,
       "column pruning must reach the reader")
   }
+
+  test("naive bayes: class fan-out broadcasts, model join is equi-keyed, " +
+      "no cartesian") {
+    val p = plan("q_nb_classifier")
+    // the ×C class expansion and the C-row prior join ride broadcasts;
+    // the (term, class) model join must be an equi-join — a
+    // CartesianProduct would mean the corpus crossed the vocabulary
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"class model must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "scoring must never cross corpus × vocabulary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "token counting must split partial/final (map-side combine)")
+  }
+
+  test("knn classify: inherits the broadcast-codes/local-top-k shape") {
+    val p = plan("q_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query codes must broadcast against the corpus scan")
+    assert(p.contains("MapPartitions"),
+      "partition-local top-k kernel must precede the ranking window")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
