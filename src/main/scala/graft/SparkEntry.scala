@@ -2322,6 +2322,43 @@ object SparkEntry {
           emb.filter(pmod(col("vec_id"), lit(5)) === 0),
           "vec_id", "embedding", "label", k = 5)
         .orderBy(col("query_id"))
+    }),
+
+    // ── Extension scope: versioned store with time travel ─────────────
+    // Lakehouse transaction log reduced to its core: create (v0) →
+    // keyed upsert via partition-scoped copy-on-write (v1) → blind
+    // append (v2), then TIME TRAVEL back through all three snapshots.
+    // The oracle recomputes each version's expected contents from the
+    // raw events; matching all three proves the manifest log isolates
+    // versions (v0 unchanged after two later commits) and the upsert
+    // rewrote merged days without losing carried files.
+    "q_time_travel" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val third = ev.filter(col("event_id") % 3 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vstore_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev.filter(col("event_id") % 3 =!= 0), store)
+        VersionedStore.upsert(s, store,
+          third.withColumn("value", col("value") * 2))
+        VersionedStore.append(s, store,
+          third.withColumn("ts", col("ts") + expr("INTERVAL 1000 DAYS"))
+            .withColumn("value", col("value") * 3))
+        (0 to 2).map { v =>
+          VersionedStore.snapshot(s, store, Some(v))
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col("user_email")).as("n_users"),
+              r6(sum(col("value"))).as("sum_value"),
+              r6(max(col("value"))).as("max_value"))
+            .withColumn("version", lit(v).cast("long"))
+            .select(col("version"), col("n_rows"), col("n_users"),
+              col("sum_value"), col("max_value"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("version"))
+          // materialize before the finally deletes the store files
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }))
 
   /** One oracle for the composed as-of join and both native physical
@@ -4141,5 +4178,33 @@ object SparkEntry {
               FROM v)
          SELECT p.query_id, q.label, p.pred, p.votes
          FROM p JOIN q ON q.query_id = p.query_id
-         WHERE p.rk = 1 ORDER BY p.query_id""")
+         WHERE p.rk = 1 ORDER BY p.query_id""",
+
+    // Replays the three store versions from the raw events: v0 = the
+    // non-thirds, v1 = v0 upserted with doubled thirds (the proven
+    // q_upsert_merge semantics), v2 = v1 plus the appended shifted
+    // triples. Matching all three proves snapshot isolation.
+    "q_time_travel" ->
+      """WITH v0 AS (SELECT user_id, value FROM events
+              WHERE event_id % 3 <> 0),
+         v1 AS (SELECT user_id,
+                CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+                  AS value
+              FROM events),
+         v2 AS (SELECT * FROM v1
+              UNION ALL
+              SELECT user_id, value * 3 AS value FROM events
+              WHERE event_id % 3 = 0)
+         SELECT 0::BIGINT AS version, count(*) AS n_rows,
+                count(DISTINCT user_id) AS n_users,
+                round(sum(value), 6) AS sum_value,
+                round(max(value), 6) AS max_value
+         FROM v0
+         UNION ALL
+         SELECT 1, count(*), count(DISTINCT user_id),
+                round(sum(value), 6), round(max(value), 6) FROM v1
+         UNION ALL
+         SELECT 2, count(*), count(DISTINCT user_id),
+                round(sum(value), 6), round(max(value), 6) FROM v2
+         ORDER BY version""")
 }

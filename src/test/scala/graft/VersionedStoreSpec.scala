@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.load.VersionedStore
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the VersionedStore commit/read contracts the q_time_travel
+  * oracle can't see from aggregates alone: partition-scoped rewrite
+  * (untouched files carried BY REFERENCE into the next manifest),
+  * optimistic-concurrency conflict on the manifest rename, snapshot
+  * isolation, and manifest-level day pruning. */
+class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(day: Int, h: Int = 9): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  private def events(rows: (Long, Timestamp, String, String, Double)*)
+      : DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("event_id", "ts", "user_email", "habit", "value")
+  }
+
+  private def withStore[T](body: String => T): T = {
+    val tmp = Files.createTempDirectory("graft_vspec_")
+    try body(tmp.toString + "/store")
+    finally FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  private def manifest(path: String, v: Int): Seq[String] = {
+    val f = new java.io.File(f"$path/_log/$v%010d.manifest")
+    scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toList
+  }
+
+  test("upsert rewrites only touched day partitions; untouched files " +
+      "carry by reference") {
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0),
+        (2L, ts(2), "a@x", "workout", 2.0),
+        (3L, ts(3), "b@x", "workout", 3.0)), store)
+      // batch touches only Jan 2
+      VersionedStore.upsert(spark, store,
+        events((2L, ts(2), "a@x", "workout", 20.0)))
+      val (m0, m1) = (manifest(store, 0).toSet, manifest(store, 1).toSet)
+      val carried = m0.intersect(m1)
+      assert(carried.forall(f => !f.contains("_vday=2024-01-02")))
+      assert(carried.exists(_.contains("_vday=2024-01-01")) &&
+        carried.exists(_.contains("_vday=2024-01-03")),
+        s"Jan 1/3 files must carry untouched:\nv0=$m0\nv1=$m1")
+      assert(m1.exists(f => f.contains("/c1/") &&
+        f.contains("_vday=2024-01-02")), "Jan 2 must be rewritten by c1")
+      val head = VersionedStore.snapshot(spark, store)
+        .select("event_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(head == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0))
+    }
+  }
+
+  test("time travel: v0 is unchanged after later commits; append adds") {
+    withStore { store =>
+      VersionedStore.create(events((1L, ts(1), "a@x", "workout", 1.0)), store)
+      VersionedStore.upsert(spark, store,
+        events((1L, ts(1), "a@x", "workout", 9.0)))
+      VersionedStore.append(spark, store,
+        events((2L, ts(5), "b@x", "workout", 5.0)))
+      assert(VersionedStore.versions(spark, store) == Seq(0, 1, 2))
+      def vals(v: Int) = VersionedStore.snapshot(spark, store, Some(v))
+        .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      assert(vals(0) == Seq(1.0))
+      assert(vals(1) == Seq(9.0))
+      assert(vals(2) == Seq(5.0, 9.0))
+    }
+  }
+
+  test("commit conflict: a second writer publishing the same version fails") {
+    withStore { store =>
+      VersionedStore.create(events((1L, ts(1), "a@x", "workout", 1.0)), store)
+      // two writers racing to publish the same version: the second
+      // create-if-absent must lose loudly, not overwrite
+      val published = manifest(store, 0)
+      val e = intercept[IllegalStateException] {
+        VersionedStore.writeManifest(spark, store, 0, Seq("other/file"))
+      }
+      assert(e.getMessage.contains("commit conflict"))
+      // the loser must not have corrupted the published log
+      assert(manifest(store, 0) == published)
+    }
+  }
+
+  test("torn manifest read fails loudly instead of yielding a partial list") {
+    withStore { store =>
+      VersionedStore.create(events((1L, ts(1), "a@x", "workout", 1.0)), store)
+      // a mid-write commit: manifest exists but lacks the end sentinel
+      val torn = new java.io.File(f"$store/_log/${1}%010d.manifest")
+      Files.writeString(torn.toPath, "data/c1/_vday=2024-01-01/part-0\n")
+      val e = intercept[IllegalArgumentException] {
+        VersionedStore.snapshot(spark, store, Some(1))
+      }
+      assert(e.getMessage.contains("torn manifest"))
+    }
+  }
+
+  test("manifest-level day pruning selects files before the scan") {
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0),
+        (2L, ts(2), "a@x", "workout", 2.0)), store)
+      val pruned = VersionedStore.snapshot(spark, store,
+        days = Some(Set("2024-01-02")))
+      assert(pruned.inputFiles.length == 1 &&
+        pruned.inputFiles(0).contains("_vday=2024-01-02"))
+      assert(pruned.select("event_id").collect().map(_.getLong(0)).toSeq
+        == Seq(2L))
+      // fully pruned day set keeps the schema, reads nothing
+      val none = VersionedStore.snapshot(spark, store,
+        days = Some(Set("2030-01-01")))
+      assert(none.count() == 0 &&
+        none.columns.toSeq == pruned.columns.toSeq)
+    }
+  }
+}
