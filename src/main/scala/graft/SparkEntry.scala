@@ -2359,6 +2359,43 @@ object SparkEntry {
           // materialize before the finally deletes the store files
           .localCheckpoint(true)
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Change data feed off the manifest diff: update / delete / insert
+    // commits each produce exactly their own ops (unchanged rows
+    // rewritten alongside real changes drop out), with old/new values
+    // summed in exact 1e-6-unit longs.
+    "q_version_diff" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vdiff_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev, store)
+        VersionedStore.upsert(s, store,
+          ev.filter(col("event_id") % 3 === 0)
+            .withColumn("value", col("value") * 2))
+        VersionedStore.delete(s, store, col("user_email") % 7 === 0)
+        VersionedStore.append(s, store,
+          ev.filter(col("event_id") % 3 === 0)
+            .withColumn("ts", col("ts") + expr("INTERVAL 1000 DAYS"))
+            .withColumn("value", col("value") * 3))
+        def sumE6(c: Column) =
+          sum(coalesce(round(c * 1e6).cast("long"), lit(0L)))
+        (1 to 3).map { v =>
+          VersionedStore.changes(s, store, v - 1, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sumE6(col("value_old")).as("sum_old_e6"),
+              sumE6(col("value_new")).as("sum_new_e6"),
+              max(col("op")).as("op_max"), min(col("op")).as("op_min"))
+            .withColumn("to_version", lit(v).cast("long"))
+            // op_min == op_max proves each commit produced ONE op kind
+            .select(col("to_version"), col("op_min"), col("op_max"),
+              col("n_rows"), col("sum_old_e6"), col("sum_new_e6"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("to_version"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }))
 
   /** One oracle for the composed as-of join and both native physical
@@ -4206,5 +4243,34 @@ object SparkEntry {
          UNION ALL
          SELECT 2, count(*), count(DISTINCT user_id),
                 round(sum(value), 6), round(max(value), 6) FROM v2
-         ORDER BY version""")
+         ORDER BY version""",
+
+    // Replays the three commits' expected change feeds from raw
+    // events. The update set excludes value = 0 rows (2v = v there, so
+    // the rewrite carries them unchanged and the feed must drop them).
+    "q_version_diff" ->
+      """WITH upd AS (SELECT value AS old_v, value * 2 AS new_v
+              FROM events WHERE event_id % 3 = 0 AND value <> 0),
+         del AS (SELECT CASE WHEN event_id % 3 = 0 THEN value * 2
+                        ELSE value END AS old_v
+              FROM events WHERE user_id % 7 = 0),
+         ins AS (SELECT value * 3 AS new_v FROM events
+              WHERE event_id % 3 = 0)
+         SELECT 1::BIGINT AS to_version, 'update' AS op_min,
+                'update' AS op_max, count(*) AS n_rows,
+                sum(CAST(round(old_v * 1e6) AS BIGINT))::BIGINT
+                  AS sum_old_e6,
+                sum(CAST(round(new_v * 1e6) AS BIGINT))::BIGINT
+                  AS sum_new_e6
+         FROM upd
+         UNION ALL
+         SELECT 2, 'delete', 'delete', count(*),
+                sum(CAST(round(old_v * 1e6) AS BIGINT))::BIGINT,
+                0::BIGINT
+         FROM del
+         UNION ALL
+         SELECT 3, 'insert', 'insert', count(*), 0::BIGINT,
+                sum(CAST(round(new_v * 1e6) AS BIGINT))::BIGINT
+         FROM ins
+         ORDER BY to_version""")
 }

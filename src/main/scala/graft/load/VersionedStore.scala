@@ -178,13 +178,127 @@ object VersionedStore {
     val existing =
       if (hit.isEmpty) batch.limit(0)
       else spark.read.parquet(hit.map(fl => s"$path/$fl"): _*)
+    // no checkpoint needed: the merge reads the head's files and writes
+    // NEW files under data/c<v> — published data files are immutable,
+    // so the plan never races its own rewrite
     val merged = Merge.upsertEvents(existing, batch, keys)
-      // materialize before the commit: the merge READS the head's files
-      // and a lazy plan would otherwise race its own rewrite
-      .localCheckpoint(true)
     writeManifest(spark, path, v,
       carried ++ writeData(merged, path, v, sortCols))
     v
+  }
+
+  /** Row-deletion commit, scoped copy-on-write like [[upsert]]: day
+    * partitions containing matching rows are rewritten without them;
+    * everything else carries by reference. A day whose every row
+    * matches simply drops out of the manifest (file-level delete — no
+    * rewrite at all for fully-deleted days). */
+  def delete(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts")): Int = {
+    val head = versions(spark, path).lastOption.getOrElse(
+      throw new IllegalStateException(s"VersionedStore: no log at $path"))
+    val v = head + 1
+    val live = readManifest(spark, path, head)
+    val touched = snapshot(spark, path, Some(head)).filter(predicate)
+      .select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (hit, carried) = live.partition(fl => touched.contains(dayOf(fl)))
+    val files =
+      if (hit.isEmpty) carried
+      else {
+        val remaining = spark.read.parquet(hit.map(fl => s"$path/$fl"): _*)
+          .filter(!predicate)
+        carried ++ writeData(remaining, path, v, sortCols)
+      }
+    writeManifest(spark, path, v, files)
+    v
+  }
+
+  /** Roll the head back to `v`'s contents by PUBLISHING A NEW VERSION
+    * carrying `v`'s manifest — history stays intact (the bad commits
+    * remain time-travelable), which is what distinguishes restore from
+    * ever rewriting the log. Metadata-only: no data file moves. */
+  def restore(spark: SparkSession, path: String, v: Int): Int = {
+    val vs = versions(spark, path)
+    require(vs.contains(v),
+      s"VersionedStore: cannot restore to unknown version $v")
+    val next = vs.last + 1
+    writeManifest(spark, path, next, readManifest(spark, path, v))
+    next
+  }
+
+  /** Change data feed between two published versions, computed from
+    * the MANIFEST DIFF first: a day whose file set is identical in
+    * both versions was carried by reference and provably holds
+    * identical rows, so only days whose files differ are scanned on
+    * either side — at 100 TB a single-day upsert's change feed reads
+    * one day, not the store. Within differing days, a keyed full-outer
+    * join classifies rows: `insert` (key only in `to`), `delete` (key
+    * only in `from`), `update` (key in both, any payload column
+    * differing under null-safe equality); unchanged rows that were
+    * merely rewritten alongside real changes drop out. Returns key
+    * columns + `op` + `<c>_old`/`<c>_new` for every payload column. */
+  def changes(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keys: Seq[String] = Merge.EventKeys): DataFrame = {
+    def byDay(v: Int): Map[String, Seq[String]] =
+      readManifest(spark, path, v).groupBy(dayOf).view.mapValues(_.sorted)
+        .toMap
+    val (mf, mt) = (byDay(fromV), byDay(toV))
+    val differing = (mf.keySet ++ mt.keySet)
+      .filter(d => mf.get(d) != mt.get(d))
+    def side(m: Map[String, Seq[String]]): DataFrame = {
+      val files = differing.toSeq.sorted.flatMap(m.getOrElse(_, Nil))
+      if (files.isEmpty)
+        // schema donor: any live file of either version
+        spark.read.parquet(
+          s"$path/${(mf.values.flatten ++ mt.values.flatten).head}")
+          .limit(0)
+      else spark.read.parquet(files.map(fl => s"$path/$fl"): _*)
+    }
+    // explicit presence markers — payload nullness cannot distinguish
+    // "row absent" from "row present with null payload"
+    val fRaw = side(mf).withColumn("_f", lit(true))
+    val tRaw = side(mt).withColumn("_t", lit(true))
+    val payload = fRaw.columns
+      .filterNot(c => keys.contains(c) || c == "_f").toSeq
+    val joined = fRaw.as("f").join(tRaw.as("t"), keys, "full_outer")
+    val changed = payload
+      .map(c => !(col(s"f.$c") <=> col(s"t.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col("f._f").isNotNull && col("t._t").isNull, "delete")
+      .when(col("f._f").isNull && col("t._t").isNotNull, "insert")
+      .when(changed, "update") // both present; unchanged rewrites drop
+    joined.withColumn("op", op).filter(col("op").isNotNull)
+      .select(keys.map(col) ++ Seq(col("op")) ++ payload.flatMap(c =>
+        Seq(col(s"f.$c").as(s"${c}_old"), col(s"t.$c").as(s"${c}_new"))): _*)
+  }
+
+  /** Drop history: delete every manifest except the newest `retain`,
+    * then delete data files no surviving manifest references. Driver
+    * metadata work O(total files); irreversible — vacuumed versions
+    * are no longer time-travelable. Run AFTER a retention window, the
+    * same contract as lakehouse VACUUM: any reader still scanning a
+    * dropped version's files races the delete. Returns the number of
+    * data files removed. */
+  def vacuum(spark: SparkSession, path: String, retain: Int): Int = {
+    require(retain >= 1, "vacuum must retain at least the head")
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    val (dropV, keepV) = vs.splitAt(math.max(0, vs.length - retain))
+    val live = keepV.flatMap(readManifest(spark, path, _)).toSet
+    val root = new Path(path).toUri.getPath
+    val it = f.listFiles(new Path(path, "data"), true)
+    var removed = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
+      if (st.getPath.getName.startsWith("part-") && !live.contains(rel)) {
+        f.delete(st.getPath, false)
+        removed += 1
+      }
+    }
+    dropV.foreach(v => f.delete(manifestPath(path, v), false))
+    removed
   }
 
   /** Snapshot read. `version = None` reads the head; `Some(v)` time

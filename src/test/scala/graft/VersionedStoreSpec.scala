@@ -106,6 +106,66 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("changes: manifest diff scans only differing days and classifies " +
+      "insert/update/delete; unchanged rewrites drop out") {
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0),
+        (2L, ts(2), "a@x", "workout", 2.0),
+        (3L, ts(3), "b@x", "workout", 3.0)), store)
+      // rewrite Jan 2 with one real update + one insert; Jan 1/3 carry
+      VersionedStore.upsert(spark, store, events(
+        (2L, ts(2), "a@x", "workout", 20.0),
+        (4L, ts(2, 12), "c@x", "workout", 4.0)))
+      val cdf = VersionedStore.changes(spark, store, 0, 1)
+      // only Jan 2 files are scanned on either side
+      assert(cdf.inputFiles.forall(_.contains("_vday=2024-01-02")))
+      val ops = cdf.select("op", "event_id_old", "event_id_new",
+          "value_old", "value_new").collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+        .toSet
+      assert(ops == Set(("update", Some(2L), Some(2L)),
+        ("insert", None, Some(4L))))
+      // delete commit: b@x vanishes; Jan 3 was its only day, so the
+      // day drops from the manifest file-level (no rewrite)
+      VersionedStore.delete(spark, store, col("user_email") === "b@x")
+      val del = VersionedStore.changes(spark, store, 1, 2).collect()
+      assert(del.length == 1 &&
+        del(0).getAs[String]("op") == "delete" &&
+        del(0).getAs[Long]("event_id_old") == 3L)
+      assert(manifest(store, 2).forall(f =>
+        !f.contains("_vday=2024-01-03") || f == "#end"))
+    }
+  }
+
+  test("restore publishes a new head with the old contents; history stays") {
+    withStore { store =>
+      VersionedStore.create(events((1L, ts(1), "a@x", "workout", 1.0)), store)
+      VersionedStore.upsert(spark, store,
+        events((1L, ts(1), "a@x", "workout", 9.0)))
+      val v = VersionedStore.restore(spark, store, 0)
+      assert(v == 2 && VersionedStore.versions(spark, store) == Seq(0, 1, 2))
+      assert(VersionedStore.snapshot(spark, store)
+        .select("value").head().getDouble(0) == 1.0)
+      // the bad commit stays time-travelable
+      assert(VersionedStore.snapshot(spark, store, Some(1))
+        .select("value").head().getDouble(0) == 9.0)
+    }
+  }
+
+  test("vacuum drops unreferenced files and old manifests only") {
+    withStore { store =>
+      VersionedStore.create(events((1L, ts(1), "a@x", "workout", 1.0)), store)
+      VersionedStore.upsert(spark, store,
+        events((1L, ts(1), "a@x", "workout", 9.0))) // rewrites Jan 1
+      val removed = VersionedStore.vacuum(spark, store, retain = 1)
+      assert(removed == 1, "v0's superseded Jan 1 file must be deleted")
+      assert(VersionedStore.versions(spark, store) == Seq(1))
+      assert(VersionedStore.snapshot(spark, store)
+        .select("value").head().getDouble(0) == 9.0)
+    }
+  }
+
   test("manifest-level day pruning selects files before the scan") {
     withStore { store =>
       VersionedStore.create(events(
