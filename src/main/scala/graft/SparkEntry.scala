@@ -2396,6 +2396,40 @@ object SparkEntry {
           .orderBy(col("to_version"))
           .localCheckpoint(true)
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Incremental matview maintenance off the change feed: the daily
+    // rollup is maintained by applying two commits' deltas (update,
+    // then delete) — BIT-EQUAL to recomputing from the head snapshot,
+    // which is exactly what the oracle does.
+    "q_matview_incremental" -> ((s, dir) => {
+      import graft.load.{IncrementalView, VersionedStore}
+      val ev = Tables.eventsAsHabits(s, dir)
+      val dims = Seq("day", "user_email", "habit")
+      def e6(c: Column) = round(c * 1e6).cast("long")
+      def withDay(df: DataFrame) =
+        df.withColumn("day", date_trunc("day", col("ts")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mview_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev, store)
+        VersionedStore.upsert(s, store,
+          ev.filter(col("event_id") % 3 === 0)
+            .withColumn("value", col("value") * 2))
+        VersionedStore.delete(s, store, col("user_email") % 7 === 0)
+        val mv0 = IncrementalView.fromSnapshot(
+          withDay(VersionedStore.snapshot(s, store, Some(0))),
+          dims, e6(col("value")))
+        val mv2 = (1 to 2).foldLeft(mv0) { (mv, v) =>
+          IncrementalView.applyDelta(mv,
+            withDay(VersionedStore.changes(s, store, v - 1, v)),
+            dims, e6(col("value_old")), e6(col("value_new")))
+        }
+        mv2.select(ntz(col("day")).as("day"), col("user_email"),
+            col("habit"), col("n"), col("sum_e6"))
+          .orderBy(col("day"), col("user_email"), col("habit"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }))
 
   /** One oracle for the composed as-of join and both native physical
@@ -4272,5 +4306,18 @@ object SparkEntry {
          SELECT 3, 'insert', 'insert', count(*), 0::BIGINT,
                 sum(CAST(round(new_v * 1e6) AS BIGINT))::BIGINT
          FROM ins
-         ORDER BY to_version""")
+         ORDER BY to_version""",
+
+    // The incremental path must equal RECOMPUTING the head state:
+    // thirds doubled by the upsert commit, user_id % 7 = 0 rows gone
+    // after the delete commit, per-row 1e-6 quantization before sums.
+    "q_matview_incremental" ->
+      """WITH st AS (SELECT date_trunc('day', ts) AS day,
+                user_id AS user_email, event_type AS habit,
+                CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+                  AS value
+              FROM events WHERE user_id % 7 <> 0)
+         SELECT day, user_email, habit, count(*) AS n,
+                sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS sum_e6
+         FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
 }

@@ -166,6 +166,25 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("incremental view: deltas create, mutate, and drop groups exactly") {
+    val s = spark
+    import s.implicits._
+    import graft.load.IncrementalView
+    val view = Seq(("g1", 2L, 300L), ("g2", 1L, 50L))
+      .toDF("grp", "n", "sum_e6")
+    val cdf = Seq(
+      ("g1", "update", Some(100L), Some(150L)), // mutate in place
+      ("g2", "delete", Some(50L), None),        // group drops at n=0
+      ("g3", "insert", None, Some(70L)),        // group created
+      ("g3", "insert", None, Some(30L)))
+      .toDF("grp", "op", "value_old_e6", "value_new_e6")
+    val out = IncrementalView.applyDelta(view, cdf, Seq("grp"),
+        col("value_old_e6"), col("value_new_e6"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map("g1" -> ((2L, 350L)), "g3" -> ((2L, 100L))))
+  }
+
   test("manifest-level day pruning selects files before the scan") {
     withStore { store =>
       VersionedStore.create(events(
