@@ -164,10 +164,18 @@ object VersionedStore {
     * copy-on-write: only the day partitions the batch intersects are
     * read, merged, and rewritten; all other live files carry into the
     * new manifest untouched. The day set collects to the driver —
-    * bounded by the batch's distinct days, not the store. */
+    * bounded by the batch's distinct days, not the store.
+    *
+    * `evolve = true` switches to [[Merge.upsertEventsEvolving]]: a
+    * batch carrying NEW columns widens the rewritten days (the ALTER
+    * TABLE ADD COLUMN moment); carried days keep their old file
+    * schema, and [[snapshot]]'s merged-schema read surfaces the new
+    * column as null there — per-commit schema evolution without ever
+    * rewriting untouched data. */
   def upsert(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String] = Merge.EventKeys,
-      sortCols: Seq[String] = Seq("user_email", "habit", "ts")): Int = {
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
+      evolve: Boolean = false): Int = {
     val head = versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"VersionedStore: no log at $path"))
     val v = head + 1
@@ -177,11 +185,14 @@ object VersionedStore {
     val (hit, carried) = live.partition(fl => touched.contains(dayOf(fl)))
     val existing =
       if (hit.isEmpty) batch.limit(0)
-      else spark.read.parquet(hit.map(fl => s"$path/$fl"): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(hit.map(fl => s"$path/$fl"): _*)
     // no checkpoint needed: the merge reads the head's files and writes
     // NEW files under data/c<v> — published data files are immutable,
     // so the plan never races its own rewrite
-    val merged = Merge.upsertEvents(existing, batch, keys)
+    val merged =
+      if (evolve) Merge.upsertEventsEvolving(existing, batch, keys)
+      else Merge.upsertEvents(existing, batch, keys)
     writeManifest(spark, path, v,
       carried ++ writeData(merged, path, v, sortCols))
     v
@@ -206,7 +217,8 @@ object VersionedStore {
     val files =
       if (hit.isEmpty) carried
       else {
-        val remaining = spark.read.parquet(hit.map(fl => s"$path/$fl"): _*)
+        val remaining = spark.read.option("mergeSchema", "true")
+          .parquet(hit.map(fl => s"$path/$fl"): _*)
           .filter(!predicate)
         carried ++ writeData(remaining, path, v, sortCols)
       }
@@ -253,24 +265,32 @@ object VersionedStore {
         spark.read.parquet(
           s"$path/${(mf.values.flatten ++ mt.values.flatten).head}")
           .limit(0)
-      else spark.read.parquet(files.map(fl => s"$path/$fl"): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files.map(fl => s"$path/$fl"): _*)
     }
     // explicit presence markers — payload nullness cannot distinguish
     // "row absent" from "row present with null payload"
     val fRaw = side(mf).withColumn("_f", lit(true))
     val tRaw = side(mt).withColumn("_t", lit(true))
-    val payload = fRaw.columns
-      .filterNot(c => keys.contains(c) || c == "_f").toSeq
+    // payload = UNION of both sides' columns: an `evolve` commit means
+    // one side may not have a column at all — it reads as null there,
+    // and populating it counts as a change
+    val payload = (fRaw.columns ++ tRaw.columns).distinct
+      .filterNot(c => keys.contains(c) || c == "_f" || c == "_t").toSeq
+    def sideCol(alias: String, have: Set[String], c: String) =
+      if (have(c)) col(s"$alias.$c") else lit(null)
+    val (fHave, tHave) = (fRaw.columns.toSet, tRaw.columns.toSet)
     val joined = fRaw.as("f").join(tRaw.as("t"), keys, "full_outer")
     val changed = payload
-      .map(c => !(col(s"f.$c") <=> col(s"t.$c")))
+      .map(c => !(sideCol("f", fHave, c) <=> sideCol("t", tHave, c)))
       .reduceOption(_ || _).getOrElse(lit(false))
     val op = when(col("f._f").isNotNull && col("t._t").isNull, "delete")
       .when(col("f._f").isNull && col("t._t").isNotNull, "insert")
       .when(changed, "update") // both present; unchanged rewrites drop
     joined.withColumn("op", op).filter(col("op").isNotNull)
-      .select(keys.map(col) ++ Seq(col("op")) ++ payload.flatMap(c =>
-        Seq(col(s"f.$c").as(s"${c}_old"), col(s"t.$c").as(s"${c}_new"))): _*)
+      .select(keys.map(col) ++ Seq(col("op")) ++ payload.flatMap(c => Seq(
+        sideCol("f", fHave, c).as(s"${c}_old"),
+        sideCol("t", tHave, c).as(s"${c}_new"))): _*)
   }
 
   /** Drop history: delete every manifest except the newest `retain`,
@@ -303,7 +323,14 @@ object VersionedStore {
 
   /** Snapshot read. `version = None` reads the head; `Some(v)` time
     * travels. `days` (as `yyyy-MM-dd` strings) prunes FILES from the
-    * manifest before the scan — metadata-level partition pruning. */
+    * manifest before the scan — metadata-level partition pruning.
+    *
+    * Reads merge schemas across files, so a column added by an
+    * `evolve` commit reads as null in days that predate it. This costs
+    * a footer read per file at planning; at serious file counts record
+    * the snapshot schema in the manifest instead and pass it to the
+    * reader (the Delta/Iceberg move — schema is log metadata, not
+    * something rediscovered from data files). */
   def snapshot(spark: SparkSession, path: String,
       version: Option[Int] = None,
       days: Option[Set[String]] = None): DataFrame = {
@@ -317,7 +344,9 @@ object VersionedStore {
     val files = all.filter(fl => days.forall(_.contains(dayOf(fl))))
     // fully pruned: keep the version's schema, read nothing
     if (files.isEmpty)
-      spark.read.parquet(s"$path/${all.head}").limit(0)
-    else spark.read.parquet(files.map(fl => s"$path/$fl"): _*)
+      spark.read.option("mergeSchema", "true")
+        .parquet(all.map(fl => s"$path/$fl"): _*).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.map(fl => s"$path/$fl"): _*)
   }
 }

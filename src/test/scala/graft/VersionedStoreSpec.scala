@@ -185,6 +185,30 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map("g1" -> ((2L, 350L)), "g3" -> ((2L, 100L))))
   }
 
+  test("schema evolution: an evolve commit widens rewritten days; " +
+      "carried days read null; the feed sees the new column") {
+    val s = spark
+    import s.implicits._
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0),
+        (2L, ts(2), "a@x", "workout", 2.0)), store)
+      val batch = events((2L, ts(2), "a@x", "workout", 20.0))
+        .withColumn("channel", lit("reimport"))
+      VersionedStore.upsert(spark, store, batch, evolve = true)
+      val head = VersionedStore.snapshot(spark, store)
+        .select("event_id", "channel").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      // Jan 1 carried with the old schema -> null; Jan 2 rewritten wide
+      assert(head == Map(1L -> None, 2L -> Some("reimport")))
+      val cdf = VersionedStore.changes(spark, store, 0, 1)
+      val row = cdf.collect()
+      assert(row.length == 1 && row(0).getAs[String]("op") == "update")
+      assert(Option(row(0).getAs[String]("channel_old")).isEmpty &&
+        row(0).getAs[String]("channel_new") == "reimport")
+    }
+  }
+
   test("manifest-level day pruning selects files before the scan") {
     withStore { store =>
       VersionedStore.create(events(
