@@ -2430,6 +2430,28 @@ object SparkEntry {
           .orderBy(col("day"), col("user_email"), col("habit"))
           .localCheckpoint(true)
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Exactly-once streaming ingest into the versioned store: the same
+    // replay runs TWICE with fresh checkpoints — without the committed
+    // batch-id dedup the second run would re-commit (n_versions = 2);
+    // the oracle asserts one version and the untouched event rows.
+    "q_store_ingest_stream" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vingest_")
+      try {
+        val store = tmp.toString + "/store"
+        for (cp <- Seq("cp1", "cp2"))
+          Streaming.versionedIngestAvailableNow(s, dir, store,
+            s"$tmp/$cp", Streaming.nextQueryName("graft_vin"))
+        VersionedStore.snapshot(s, store)
+          .select(col("event_id"), ntz(col("ts")).as("ts"),
+            col("user_email"), col("habit"), col("value"),
+            lit(VersionedStore.versions(s, store).length).cast("long")
+              .as("n_versions"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }))
 
   /** One oracle for the composed as-of join and both native physical
@@ -4319,5 +4341,12 @@ object SparkEntry {
               FROM events WHERE user_id % 7 <> 0)
          SELECT day, user_email, habit, count(*) AS n,
                 sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS sum_e6
-         FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+         FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // double replay must leave exactly one committed version and the
+    // events unchanged — the dedup skipped the second batch entirely
+    "q_store_ingest_stream" ->
+      """SELECT event_id, ts, user_id AS user_email,
+                event_type AS habit, value, 1::BIGINT AS n_versions
+         FROM events ORDER BY event_id""")
 }

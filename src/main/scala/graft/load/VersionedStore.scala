@@ -70,7 +70,7 @@ object VersionedStore {
 
   private val EndSentinel = "#end"
 
-  private def readManifest(spark: SparkSession, path: String,
+  private def readLines(spark: SparkSession, path: String,
       v: Int): Seq[String] = {
     val in = fs(spark, path).open(manifestPath(path, v))
     val lines =
@@ -83,6 +83,19 @@ object VersionedStore {
     lines.init
   }
 
+  private def readManifest(spark: SparkSession, path: String,
+      v: Int): Seq[String] =
+    readLines(spark, path, v).filterNot(_.startsWith("#"))
+
+  /** Commit metadata recorded with version `v` (`#k=v` manifest
+    * lines) — e.g. the streaming batch id used for exactly-once
+    * ingest dedup. */
+  def commitMeta(spark: SparkSession, path: String,
+      v: Int): Map[String, String] =
+    readLines(spark, path, v).filter(_.startsWith("#"))
+      .map(_.stripPrefix("#").split("=", 2))
+      .collect { case Array(k, value) => k -> value }.toMap
+
   /** Publish version `v` with exactly `files` live. Create-if-absent
     * is the commit point: a concurrent writer that already published
     * `v` makes this fail loudly — rebase and retry, never overwrite.
@@ -90,7 +103,9 @@ object VersionedStore {
     * directly — the interleaving is unreachable from the public API
     * without a second process.) */
   private[graft] def writeManifest(spark: SparkSession, path: String, v: Int,
-      files: Seq[String]): Unit = {
+      files: Seq[String], meta: Map[String, String] = Map.empty): Unit = {
+    require(files.forall(!_.startsWith("#")),
+      "VersionedStore: file paths must not start with '#'")
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val out =
@@ -102,8 +117,13 @@ object VersionedStore {
               s"$path — another writer won; rebase on the new head and " +
               "retry", e)
       }
+    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, value) =>
+      require(!k.contains("=") && !(k + value).contains("\n"),
+        s"VersionedStore: malformed commit meta $k")
+      s"#$k=$value"
+    }
     try out.write(
-      (files.sorted :+ EndSentinel).mkString("", "\n", "\n")
+      (files.sorted ++ metaLines :+ EndSentinel).mkString("", "\n", "\n")
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -139,11 +159,12 @@ object VersionedStore {
 
   /** Create the store at version 0 from `events`. */
   def create(events: DataFrame, path: String,
-      sortCols: Seq[String] = Seq("user_email", "habit", "ts")): Int = {
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
+      meta: Map[String, String] = Map.empty): Int = {
     val spark = events.sparkSession
     require(versions(spark, path).isEmpty,
       s"VersionedStore: $path already has a log — use append/upsert")
-    writeManifest(spark, path, 0, writeData(events, path, 0, sortCols))
+    writeManifest(spark, path, 0, writeData(events, path, 0, sortCols), meta)
     0
   }
 
@@ -151,12 +172,14 @@ object VersionedStore {
     * no existing file is read or rewritten (blind ingest — the cheap
     * path for known-new data such as a fresh day's events). */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-      sortCols: Seq[String] = Seq("user_email", "habit", "ts")): Int = {
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
+      meta: Map[String, String] = Map.empty): Int = {
     val head = versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"VersionedStore: no log at $path"))
     val v = head + 1
     writeManifest(spark, path, v,
-      readManifest(spark, path, head) ++ writeData(batch, path, v, sortCols))
+      readManifest(spark, path, head) ++ writeData(batch, path, v, sortCols),
+      meta)
     v
   }
 
@@ -175,7 +198,8 @@ object VersionedStore {
   def upsert(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String] = Merge.EventKeys,
       sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
-      evolve: Boolean = false): Int = {
+      evolve: Boolean = false,
+      meta: Map[String, String] = Map.empty): Int = {
     val head = versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"VersionedStore: no log at $path"))
     val v = head + 1
@@ -194,8 +218,20 @@ object VersionedStore {
       if (evolve) Merge.upsertEventsEvolving(existing, batch, keys)
       else Merge.upsertEvents(existing, batch, keys)
     writeManifest(spark, path, v,
-      carried ++ writeData(merged, path, v, sortCols))
+      carried ++ writeData(merged, path, v, sortCols), meta)
     v
+  }
+
+  /** Highest committed value of commit-meta key `key` across the log
+    * (as a long), or None. O(versions) driver metadata reads — the
+    * exactly-once ingest check ([[graft.streaming.Streaming]]'s
+    * `versionedIngest`), same role as Delta's per-app transaction
+    * version. */
+  def maxCommitted(spark: SparkSession, path: String,
+      key: String): Option[Long] = {
+    val ids = versions(spark, path)
+      .flatMap(v => commitMeta(spark, path, v).get(key)).map(_.toLong)
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** Row-deletion commit, scoped copy-on-write like [[upsert]]: day

@@ -529,6 +529,58 @@ object Streaming {
     }
   }
 
+  /** Exactly-once streaming ingest into a
+    * [[graft.load.VersionedStore]]: each micro-batch commits as ONE
+    * store version (create on an empty store, keyed upsert after)
+    * carrying its batch id as commit metadata. `foreachBatch` is
+    * at-least-once — a batch can replay after a crash, a checkpoint
+    * loss, or a sink retry — so the dedup is transactional, not
+    * positional: a batch whose id is ≤ the highest committed
+    * `streamBatch` id in the LOG is skipped entirely (Delta's
+    * per-application transaction-version idea). The commit itself is
+    * the store's atomic create-if-absent manifest publish, so "commit
+    * version + record batch id" is one atomic step — there is no
+    * window where data landed but the id didn't.
+    *
+    * The default `AvailableNow` trigger suits replay/backfill; pass a
+    * `Trigger.ProcessingTime` cadence for a long-lived ingest. */
+  def versionedIngest(events: DataFrame, storePath: String,
+      checkpointDir: String, queryName: String,
+      keys: Seq[String] = graft.load.Merge.EventKeys,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val s = df.sparkSession
+        import graft.load.VersionedStore
+        val done = VersionedStore.maxCommitted(s, storePath, "streamBatch")
+        if (done.forall(_ < id)) {
+          val meta = Map("streamBatch" -> id.toString)
+          if (VersionedStore.versions(s, storePath).isEmpty)
+            VersionedStore.create(df, storePath, meta = meta)
+          else VersionedStore.upsert(s, storePath, df, keys, meta = meta)
+        }
+        ()
+      }.start()
+
+  /** One-shot replay of [[versionedIngest]] over the events table —
+    * the oracle-gate entry runs it TWICE with fresh checkpoints (so
+    * the engine's own checkpoint replay protection is out of the way)
+    * and asserts the second run's batch 0 is deduplicated by the
+    * committed batch id, leaving one version and no double-merge. */
+  def versionedIngestAvailableNow(spark: SparkSession, dir: String,
+      storePath: String, checkpointDir: String, queryName: String): Unit =
+    withStagedEvents(spark, dir) { mkStream =>
+      val stream = mkStream()
+        .withColumnRenamed("user_id", "user_email")
+        .withColumnRenamed("event_type", "habit")
+      awaitOneShot(
+        versionedIngest(stream, storePath, checkpointDir, queryName),
+        queryName)
+    }
+
   /** One-shot (`AvailableNow`) replay of [[sessionizeStream]] over the
     * events table for the oracle gate. A single batch delivers every
     * user's events to one `flatMapGroupsWithState` call in event-time
