@@ -100,6 +100,113 @@ object Classify {
       .select(col(idCol), col(labelCol), col("pred"), col("score_e6"))
   }
 
+  /** Centering/scaling constants for [[logRegFeatures]]. Plain GD on
+    * raw length counts barely moves — the uninformative mean-token-
+    * length column dominates the gradient magnitude — so features are
+    * shifted to ≈0 mean and unit-ish range by FIXED constants (the
+    * rough shape of the `documents` table; power-of-two scales so the
+    * scaling itself is exact). Constants, not data-derived means: a
+    * computed mean would be an order-sensitive double sum and break
+    * engine-exact replay. */
+  case class LogRegFeatureSpec(tokCenter: Double = 56.0,
+      tokScale: Double = 32.0, charCenter: Double = 306.0,
+      charScale: Double = 128.0, ratioCenter: Double = 5.5)
+
+  /** Feature vector for the document probe trained by [[logRegFit]]:
+    * bias, centered token count, centered char count, centered mean
+    * token length. All derive from integers by one IEEE subtract +
+    * divide each, so any engine recomputing them from the same rows
+    * gets bit-identical doubles. */
+  private[graft] def logRegFeatures(docs: DataFrame, textCol: String,
+      charsCol: String, fs: LogRegFeatureSpec): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast("double")
+    val nCh = col(charsCol).cast("double")
+    docs.withColumn("__f1", (nTok - lit(fs.tokCenter)) / lit(fs.tokScale))
+      .withColumn("__f2", (nCh - lit(fs.charCenter)) / lit(fs.charScale))
+      .withColumn("__f3", nCh / nTok - lit(fs.ratioCenter))
+  }
+
+  /** Margin w·x under fixed left-to-right association — the association
+    * the SQL oracle's `w0 + w1*f1 + w2*f2 + w3*f3` also uses, so both
+    * engines round identically at every step. */
+  private def margin(w: Array[Double]): org.apache.spark.sql.Column =
+    lit(w(0)) + lit(w(1)) * col("__f1") + lit(w(2)) * col("__f2") +
+      lit(w(3)) * col("__f3")
+
+  /** Train a binary logistic probe over document-shape features with
+    * full-batch gradient descent, ENGINE-EXACTLY: each row's gradient
+    * contribution is quantized to a long in 2^-20 units BEFORE the sum,
+    * so the per-iteration gradient is order-insensitive integer math
+    * and an external SQL oracle unrolling the same `iters` CTE steps
+    * reproduces every weight bit for bit. The activation is the
+    * rational "fast sigmoid" σ̂(z) = 0.5 + z/(2·(1+|z|)) — same shape
+    * as the logistic without `exp`, whose libm rounding differs across
+    * engines and would break exact replay.
+    *
+    * This is the fastText/CCNet-style cheap quality-classifier step of
+    * an LLM data pipeline (label a seed set, fit a linear probe, score
+    * the corpus), expressed as the reference's analytics would be: the
+    * reference trains nothing, so the probe is extension scope
+    * (SURVEY.md §7.5).
+    *
+    * Scale (100 TB): each iteration is ONE map-side-partial global
+    * aggregate — four long sums — so `iters` passes over the corpus
+    * with O(d) driver state and no shuffle of data rows; the scored
+    * output is a per-row projection under broadcast-literal weights.
+    * Cache the feature projection when memory allows (the fit loop
+    * reuses it `iters` times); at corpus scale leave it unpersisted
+    * and pay the scans — the algorithm is pass-bounded either way.
+    */
+  def logRegFit(docs: DataFrame, textCol: String, charsCol: String,
+      labelExpr: org.apache.spark.sql.Column, iters: Int = 3,
+      lr: Double = 0.5,
+      fs: LogRegFeatureSpec = LogRegFeatureSpec()): Array[Double] = {
+    val feats = logRegFeatures(docs, textCol, charsCol, fs)
+      .withColumn("__y", when(labelExpr, lit(1.0)).otherwise(lit(0.0)))
+      .select(col("__y"), col("__f1"), col("__f2"), col("__f3"))
+      .persist()
+    try {
+      val n = feats.count().toDouble
+      require(n > 0, "logRegFit: empty training set")
+      val w = Array(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 1 to iters) {
+        val z = margin(w)
+        val s = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+        val err = s - col("__y")
+        def g(f: org.apache.spark.sql.Column) =
+          sum(round(err * f * lit(1048576.0)).cast("long"))
+        val r = feats.agg(g(lit(1.0)), g(col("__f1")), g(col("__f2")),
+          g(col("__f3"))).head()
+        for (j <- 0 to 3)
+          w(j) = w(j) - lr * ((r.getLong(j).toDouble / 1048576.0) / n)
+      }
+      w
+    } finally feats.unpersist()
+  }
+
+  /** Score `docs` under [[logRegFit]] weights: one row per document
+    * with the quantized margin (1e-6 units) and the sign prediction.
+    * Per-row projection only — no shuffle, no join. */
+  def logRegScore(docs: DataFrame, idCol: String, textCol: String,
+      charsCol: String, labelExpr: org.apache.spark.sql.Column,
+      w: Array[Double],
+      fs: LogRegFeatureSpec = LogRegFeatureSpec()): DataFrame =
+    logRegFeatures(docs, textCol, charsCol, fs)
+      .withColumn("margin_e6",
+        round(margin(w) * lit(1000000.0)).cast("long"))
+      .select(col(idCol),
+        when(labelExpr, lit(1)).otherwise(lit(0)).as("y"),
+        col("margin_e6"),
+        when(col("margin_e6") > 0, lit(1)).otherwise(lit(0)).as("pred"))
+
+  /** Fit + score in one call — the `queries()` entry point. */
+  def logRegQuality(docs: DataFrame, idCol: String, textCol: String,
+      charsCol: String, labelExpr: org.apache.spark.sql.Column,
+      iters: Int = 3, lr: Double = 0.5,
+      fs: LogRegFeatureSpec = LogRegFeatureSpec()): DataFrame =
+    logRegScore(docs, idCol, textCol, charsCol, labelExpr,
+      logRegFit(docs, textCol, charsCol, labelExpr, iters, lr, fs), fs)
+
   /** Majority-vote kNN labeler: each `test` vector takes the most
     * frequent label among its k nearest `train` vectors under the
     * integer-exact int8-quantized dot ([[Similarity.knnQuantizedInt8]]).

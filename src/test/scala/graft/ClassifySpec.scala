@@ -64,4 +64,68 @@ class ClassifySpec extends AnyFunSuite with SparkTestSession {
     assert(r.getLong(0) == 5L && r.getInt(1) == 1 && r.getInt(2) == 1)
     assert(r.getLong(3) == 2L) // two of the three neighbors carry label 1
   }
+
+  /** Tiny separable corpus for the linear probe: long docs (many
+    * tokens/chars) labeled 1 by `n_chars >= 306`. */
+  private def probeDocs(nLong: Int, nShort: Int) = {
+    val s = spark
+    import s.implicits._
+    val long = (0 until nLong).map { i =>
+      val t = Seq.fill(80 + i % 7)("abcdef").mkString(" ")
+      (i.toLong * 2, t, t.length.toLong)
+    }
+    val short = (0 until nShort).map { i =>
+      val t = Seq.fill(20 + i % 5)("abc").mkString(" ")
+      (i.toLong * 2 + 1, t, t.length.toLong)
+    }
+    (long ++ short).toDF("doc_id", "text", "n_chars")
+  }
+
+  test("logRegFit: weights match a driver-side scalar reference and " +
+      "are partitioning-invariant") {
+    val docs = probeDocs(12, 12)
+    val label = col("n_chars") >= 306
+    val w = Classify.logRegFit(docs, "text", "n_chars", label,
+      iters = 3, lr = 0.5)
+    val w7 = Classify.logRegFit(docs.repartition(7), "text", "n_chars",
+      label, iters = 3, lr = 0.5)
+    // exact long gradient sums ⇒ repartitioning cannot move a bit
+    assert(w.toSeq == w7.toSeq)
+
+    // scalar replay of the same quantized-GD recurrence
+    val rows = docs.select(col("n_chars"),
+      size(split(col("text"), " ")).cast("double").as("nt")).collect()
+      .map(r => (r.getLong(0).toDouble, r.getDouble(1)))
+    val feats = rows.map { case (ch, nt) =>
+      (if (ch >= 306) 1.0 else 0.0,
+        Array(1.0, (nt - 56.0) / 32.0, (ch - 306.0) / 128.0,
+          ch / nt - 5.5))
+    }
+    val ref = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val g = Array.fill(4)(0L)
+      feats.foreach { case (y, f) =>
+        val z = ref(0) * f(0) + ref(1) * f(1) + ref(2) * f(2) +
+          ref(3) * f(3)
+        val err = (0.5 + z / (2.0 * (1.0 + math.abs(z)))) - y
+        for (j <- 0 to 3)
+          g(j) += BigDecimal(err * f(j) * 1048576.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      for (j <- 0 to 3)
+        ref(j) = ref(j) - 0.5 * ((g(j).toDouble / 1048576.0) / feats.length)
+    }
+    assert(w.toSeq == ref.toSeq)
+  }
+
+  test("logRegQuality: the probe separates the separable label") {
+    val out = Classify.logRegQuality(probeDocs(12, 12), "doc_id", "text",
+      "n_chars", col("n_chars") >= 306, iters = 3, lr = 0.5).collect()
+    assert(out.length == 24)
+    assert(out.forall(r => r.getInt(3) == r.getInt(1))) // pred == y
+    // margins carry the ranking signal, not just the sign
+    val margins = out.map(r => (r.getInt(1), r.getLong(2)))
+    assert(margins.filter(_._1 == 1).map(_._2).min >
+      margins.filter(_._1 == 0).map(_._2).max)
+  }
 }
