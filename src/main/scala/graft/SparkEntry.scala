@@ -2418,6 +2418,38 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Zone-map FILE skipping over the versioned store: both commits
+    // range-cluster their files on the leading sort key and record
+    // per-file (min, max) sidecars, so the narrow key-range read
+    // plans — on the driver, from metadata alone — a strict subset
+    // of the live files. The require makes the bench honest: if the
+    // clustered layout ever stops pruning, the query fails rather
+    // than silently benching a full scan. Results stay exact (the
+    // real predicate still runs); the oracle is a plain filtered
+    // aggregate over the same rows.
+    "q_store_skipping" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_skip_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev.filter(col("event_id") % 2 === 0),
+          store, rangeParts = 8)
+        VersionedStore.append(s, store,
+          ev.filter(col("event_id") % 2 =!= 0), rangeParts = 8)
+        val sel = VersionedStore.snapshotWhere(s, store,
+          "user_email", 10L, 39L)
+        require(sel.inputFiles.length <
+          VersionedStore.snapshot(s, store).inputFiles.length,
+          "zone-map skipping planned a full scan — clustering broke")
+        sel.groupBy(col("user_email"))
+          .agg(count(lit(1)).as("n_events"),
+            r6(sum(col("value"))).as("sum_value"))
+          .orderBy(col("user_email"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Change data feed off the manifest diff: update / delete / insert
     // commits each produce exactly their own ops (unchanged rows
     // rewritten alongside real changes drop out), with old/new values
@@ -4365,6 +4397,15 @@ object SparkEntry {
     // Replays the three commits' expected change feeds from raw
     // events. The update set excludes value = 0 rows (2v = v there, so
     // the rewrite carries them unchanged and the feed must drop them).
+    // The store's two commits hold exactly the events rows; the
+    // zone-map prune is file-level only, so the filtered aggregate
+    // over the raw table replays the result.
+    "q_store_skipping" ->
+      """SELECT user_id AS user_email, count(*) AS n_events,
+              round(sum(value), 6) AS sum_value
+         FROM events WHERE user_id BETWEEN 10 AND 39
+         GROUP BY 1 ORDER BY 1""",
+
     "q_version_diff" ->
       """WITH upd AS (SELECT value AS old_v, value * 2 AS new_v
               FROM events WHERE event_id % 3 = 0 AND value <> 0),

@@ -130,14 +130,30 @@ object VersionedStore {
 
   /** Write a batch as commit `v`'s data files (day-partitioned, sorted
     * within day for row-group skipping) and return their store-relative
-    * paths. One shuffle on the day key. */
+    * paths. One shuffle on the day key.
+    *
+    * `rangeParts > 0` range-clusters on (day, leading sort col) into
+    * that many tasks instead of hashing on day alone: a day then splits
+    * into several files, each covering a contiguous range of the
+    * leading sort column — the layout that makes [[snapshotWhere]]'s
+    * zone-map skipping bite (at 100 TB a day is MANY files; without
+    * clustering every file spans the whole key domain and no file-level
+    * stat can exclude anything). After the write, one aggregation over
+    * the new files records per-file min/max of the leading sort column
+    * into the commit's `_log/<v>.stats` sidecar (production move: lift
+    * the same stats from the parquet footers the write already
+    * produced, zero re-read). */
   private def writeData(batch: DataFrame, path: String, v: Int,
-      sortCols: Seq[String]): Seq[String] = {
+      sortCols: Seq[String], rangeParts: Int = 0): Seq[String] = {
     val spark = batch.sparkSession
     val dir = s"$path/data/c$v"
-    batch.withColumn(DayDir, to_date(col("ts")))
-      .repartition(col(DayDir))
-      .sortWithinPartitions(sortCols.map(col): _*)
+    val dayed = batch.withColumn(DayDir, to_date(col("ts")))
+    val parted =
+      if (rangeParts > 0)
+        dayed.repartitionByRange(rangeParts, col(DayDir),
+          col(sortCols.head))
+      else dayed.repartition(col(DayDir))
+    parted.sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("errorifexists").partitionBy(DayDir).parquet(dir)
     val f = fs(spark, path)
     val root = new Path(path).toUri.getPath
@@ -148,7 +164,121 @@ object VersionedStore {
       if (st.getPath.getName.startsWith("part-"))
         out += st.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
     }
+    writeStats(spark, path, v, out.toSeq, sortCols.head)
     out.toSeq
+  }
+
+  // ── Zone-map sidecars: per-file min/max of the leading sort column ──
+
+  private def statsPath(path: String, v: Int) =
+    new Path(logDir(path), f"$v%010d.stats")
+
+  /** Stat values travel as strings with an explicit kind so pruning
+    * compares in the right domain: `long` for integral columns,
+    * `string` (lexical — valid because files are SORTED on the column)
+    * for strings. Other types get no sidecar and simply never prune —
+    * timestamps already ride the day-level manifest pruning. */
+  private def statKind(dt: org.apache.spark.sql.types.DataType)
+      : Option[String] = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => Some("long")
+    case org.apache.spark.sql.types.StringType => Some("string")
+    case _ => None
+  }
+
+  /** Record per-file (min, max) of `statCol` for commit `v`'s files.
+    * Written BEFORE the manifest publishes, so a crash leaves an
+    * unreferenced sidecar, never a version without one it needs —
+    * and a missing/torn sidecar only disables pruning ([[readStats]]
+    * returns None), it cannot affect correctness. */
+  private def writeStats(spark: SparkSession, path: String, v: Int,
+      relFiles: Seq[String], statCol: String): Unit = {
+    if (relFiles.isEmpty) return
+    val df = spark.read.parquet(relFiles.map(fl => s"$path/$fl"): _*)
+    val kind = df.schema.find(_.name == statCol).map(_.dataType)
+      .flatMap(statKind).getOrElse(return)
+    val root = new Path(path).toUri.getPath
+    val rows = df
+      .select(col("_metadata.file_path").as("__f"), col(statCol).as("__c"))
+      .groupBy(col("__f"))
+      .agg(min(col("__c")).cast("string").as("mn"),
+        max(col("__c")).cast("string").as("mx"))
+      .collect()
+    val lines = rows.toSeq.flatMap { r =>
+      val rel = new Path(r.getString(0)).toUri.getPath
+        .stripPrefix(root).stripPrefix("/")
+      val (mn, mx) = (r.getString(1), r.getString(2))
+      // all-null files or separator-carrying strings: skip the line —
+      // the file just never prunes
+      if (mn == null || mx == null ||
+        (rel + mn + mx).exists(c => c == '\t' || c == '\n')) None
+      else Some(s"$rel\t$mn\t$mx")
+    }
+    val out = fs(spark, path).create(statsPath(path, v), true)
+    try out.write(
+      (s"#col=$statCol" +: s"#kind=$kind" +: lines :+ EndSentinel)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Commit `v`'s sidecar, or None when absent/torn/other-column —
+    * every None path degrades to "don't prune". */
+  private def readStats(spark: SparkSession, path: String, v: Int,
+      column: String): Option[(String, Map[String, (String, String)])] = {
+    val f = fs(spark, path)
+    if (!f.exists(statsPath(path, v))) return None
+    val in = f.open(statsPath(path, v))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    if (!lines.lastOption.contains(EndSentinel)) return None
+    val body = lines.init
+    val hdr = body.takeWhile(_.startsWith("#"))
+      .map(_.stripPrefix("#").split("=", 2))
+      .collect { case Array(k, value) => k -> value }.toMap
+    if (!hdr.get("col").contains(column)) return None
+    val kind = hdr.getOrElse("kind", return None)
+    Some((kind, body.dropWhile(_.startsWith("#")).flatMap { l =>
+      l.split("\t", -1) match {
+        case Array(rel, mn, mx) => Some(rel -> (mn, mx))
+        case _ => None
+      }
+    }.toMap))
+  }
+
+  private val CommitRe = "data/c(\\d+)/".r
+
+  /** File-level zone-map prune of `files` against `[lo, hi]` on
+    * `column`: a file drops only when its recorded (min, max) range
+    * provably misses the bound; files without stats always survive.
+    * Returns the kept files. */
+  private[graft] def pruneByStats(spark: SparkSession, path: String,
+      files: Seq[String], column: String, lo: Any, hi: Any): Seq[String] = {
+    def asLong(a: Any): Long = a match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"snapshotWhere: long-stat column $column needs integral " +
+          s"bounds, got $other")
+    }
+    files.groupBy(fl => CommitRe.findFirstMatchIn(fl).map(_.group(1).toInt))
+      .toSeq.flatMap {
+        case (Some(c), fls) => readStats(spark, path, c, column) match {
+          case Some(("long", m)) =>
+            fls.filter(fl => m.get(fl).forall { case (mn, mx) =>
+              mx.toLong >= asLong(lo) && mn.toLong <= asLong(hi) })
+          case Some(("string", m)) =>
+            fls.filter(fl => m.get(fl).forall { case (mn, mx) =>
+              mx >= lo.toString && mn <= hi.toString })
+          case _ => fls
+        }
+        case (None, fls) => fls
+      }
   }
 
   private def dayOf(relFile: String): String = {
@@ -157,14 +287,16 @@ object VersionedStore {
     m.get.group(1)
   }
 
-  /** Create the store at version 0 from `events`. */
+  /** Create the store at version 0 from `events`. `rangeParts` opts in
+    * to range-clustered files (see [[writeData]]). */
   def create(events: DataFrame, path: String,
       sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty, rangeParts: Int = 0): Int = {
     val spark = events.sparkSession
     require(versions(spark, path).isEmpty,
       s"VersionedStore: $path already has a log — use append/upsert")
-    writeManifest(spark, path, 0, writeData(events, path, 0, sortCols), meta)
+    writeManifest(spark, path, 0,
+      writeData(events, path, 0, sortCols, rangeParts), meta)
     0
   }
 
@@ -173,12 +305,13 @@ object VersionedStore {
     * path for known-new data such as a fresh day's events). */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty, rangeParts: Int = 0): Int = {
     val head = versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"VersionedStore: no log at $path"))
     val v = head + 1
     writeManifest(spark, path, v,
-      readManifest(spark, path, head) ++ writeData(batch, path, v, sortCols),
+      readManifest(spark, path, head) ++
+        writeData(batch, path, v, sortCols, rangeParts),
       meta)
     v
   }
@@ -199,7 +332,7 @@ object VersionedStore {
       keys: Seq[String] = Merge.EventKeys,
       sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
       evolve: Boolean = false,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty, rangeParts: Int = 0): Int = {
     val head = versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"VersionedStore: no log at $path"))
     val v = head + 1
@@ -218,7 +351,7 @@ object VersionedStore {
       if (evolve) Merge.upsertEventsEvolving(existing, batch, keys)
       else Merge.upsertEvents(existing, batch, keys)
     writeManifest(spark, path, v,
-      carried ++ writeData(merged, path, v, sortCols), meta)
+      carried ++ writeData(merged, path, v, sortCols, rangeParts), meta)
     v
   }
 
@@ -384,5 +517,38 @@ object VersionedStore {
         .parquet(all.map(fl => s"$path/$fl"): _*).limit(0)
     else spark.read.option("mergeSchema", "true")
       .parquet(files.map(fl => s"$path/$fl"): _*)
+  }
+
+  /** Range read with zone-map FILE skipping: rows of the snapshot with
+    * `column` in `[lo, hi]` (inclusive), scanning only files whose
+    * recorded per-file (min, max) overlaps the bound — plus any file
+    * without stats. Exact: the surviving files still pass through the
+    * real predicate, so skipping can only remove provably-empty scans,
+    * never rows. Compose with `days` for time bounds (day pruning) ×
+    * key bounds (zone maps) — the two metadata prunes multiply.
+    *
+    * Scale (100 TB): with [[create]]/[[append]]`(rangeParts = R)` a
+    * day's R files partition the key domain, so a narrow key range
+    * opens O(days) files instead of O(days × R) — the scan-planning
+    * win is decided entirely on the driver from sidecar metadata,
+    * before Spark lists or opens anything. */
+  def snapshotWhere(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any, version: Option[Int] = None,
+      days: Option[Set[String]] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"VersionedStore: no log at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"VersionedStore: version $v not in log (have ${vs.mkString(",")})")
+    val all = readManifest(spark, path, v)
+    require(all.nonEmpty, s"VersionedStore: version $v has no data files")
+    val dayKept = all.filter(fl => days.forall(_.contains(dayOf(fl))))
+    val kept = pruneByStats(spark, path, dayKept, column, lo, hi)
+    val pred = col(column).between(lit(lo), lit(hi))
+    if (kept.isEmpty)
+      spark.read.option("mergeSchema", "true")
+        .parquet(all.map(fl => s"$path/$fl"): _*).limit(0).filter(pred)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(fl => s"$path/$fl"): _*).filter(pred)
   }
 }

@@ -227,4 +227,61 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
         none.columns.toSeq == pruned.columns.toSeq)
     }
   }
+
+  test("zone-map skipping: a key-range read opens only files whose " +
+      "stats overlap; results stay exact") {
+    withStore { store =>
+      val users = ('a' to 'h').map(c => s"$c@x")
+      def day(d: Int) = events(users.flatMap(u => Seq(
+        (u.hashCode.toLong * 10 + d, ts(d), u, "workout", 1.0),
+        (u.hashCode.toLong * 10 + d + 1, ts(d), u, "sleep", 7.0))): _*)
+      VersionedStore.create(day(1), store, rangeParts = 4)
+      VersionedStore.append(spark, store, day(2), rangeParts = 4)
+
+      val all = VersionedStore.snapshot(spark, store)
+      val one = VersionedStore.snapshotWhere(spark, store,
+        "user_email", "d@x", "d@x")
+      // range clustering puts one user in one file per day-commit
+      assert(all.inputFiles.length > 2)
+      assert(one.inputFiles.length < all.inputFiles.length)
+      val expect = all.filter(col("user_email") === "d@x")
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(one.select("event_id").collect().map(_.getLong(0)).sorted
+        .toSeq == expect && expect.size == 4)
+
+      // day pruning and zone maps compose multiplicatively
+      val dayOne = VersionedStore.snapshotWhere(spark, store,
+        "user_email", "d@x", "d@x", days = Some(Set("2024-01-01")))
+      assert(dayOne.inputFiles.length < one.inputFiles.length)
+      assert(dayOne.count() == 2)
+
+      // deleting one commit's sidecar degrades THAT commit to full
+      // scan — never wrong rows
+      assert(new java.io.File(f"$store/_log/${0}%010d.stats").delete())
+      val fallback = VersionedStore.snapshotWhere(spark, store,
+        "user_email", "d@x", "d@x")
+      assert(fallback.inputFiles.length > one.inputFiles.length)
+      assert(fallback.select("event_id").collect().map(_.getLong(0))
+        .sorted.toSeq == expect)
+    }
+  }
+
+  test("zone-map stats on integral keys compare numerically") {
+    withStore { store =>
+      val s = spark
+      import s.implicits._
+      val df = (1L to 12L).map(u => (u, ts(1), u, "h", 1.0))
+        .toDF("event_id", "ts", "user_id", "habit", "value")
+      VersionedStore.create(df, store,
+        sortCols = Seq("user_id", "ts"), rangeParts = 3)
+      val all = VersionedStore.snapshot(spark, store)
+      val out = VersionedStore.snapshotWhere(spark, store,
+        "user_id", 10, 11)
+      // lexical compare would order "2" > "10" and mis-prune
+      assert(out.select("user_id").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(10L, 11L))
+      assert(all.inputFiles.length >= 2 &&
+        out.inputFiles.length < all.inputFiles.length)
+    }
+  }
 }
