@@ -2450,6 +2450,51 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Distribution drift monitor: PSI between the click and purchase
+    // value distributions over exact histogram counts; per-bin
+    // contributions quantized to 1e-6 units replay engine-exactly
+    // (ln on identical doubles, same discipline as the NB oracle).
+    // The data-sized work is two count aggregates; the PSI arithmetic
+    // runs on 16 rows.
+    "q_drift_psi" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      graft.ext.Profile.psiDrift(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "value", lo = 0.0, hi = 512.0, buckets = 16)
+        .orderBy(col("bucket"))
+    }),
+
+    // OPTIMIZE: two range-clustered commits leave every day split
+    // across both, compact coalesces each day back to freshly
+    // clustered files in a new commit — row-preserving (the oracle is
+    // the plain aggregate over all events), file-count-reducing (the
+    // require), history intact.
+    "q_store_compact" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev.filter(col("event_id") % 2 === 0),
+          store, rangeParts = 8)
+        VersionedStore.append(s, store,
+          ev.filter(col("event_id") % 2 =!= 0), rangeParts = 8)
+        val before = VersionedStore.snapshot(s, store).inputFiles.length
+        VersionedStore.compact(s, store, maxFilesPerDay = 1,
+          rangeParts = 4)
+        val snap = VersionedStore.snapshot(s, store)
+        require(snap.inputFiles.length < before,
+          "compaction did not reduce the live file count")
+        snap.groupBy(col("habit"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_email")).as("n_users"),
+            r6(sum(col("value"))).as("sum_value"))
+          .orderBy(col("habit"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Change data feed off the manifest diff: update / delete / insert
     // commits each produce exactly their own ops (unchanged rows
     // rewritten alongside real changes drop out), with old/new values
@@ -4397,6 +4442,48 @@ object SparkEntry {
     // Replays the three commits' expected change feeds from raw
     // events. The update set excludes value = 0 rows (2v = v there, so
     // the rewrite carries them unchanged and the feed must drop them).
+    // PSI replay: exact clamped-bucket counts per side, Laplace
+    // shares, (p−q)·ln(p/q) quantized at 1e-6 — the identical IEEE
+    // expression chain over identical longs.
+    "q_drift_psi" ->
+      """WITH r AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
+              count(*) AS ref_n
+            FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            GROUP BY 1),
+         c AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
+              count(*) AS cur_n
+            FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1),
+         b AS (SELECT unnest(generate_series(0, 15)) AS bucket),
+         j AS (SELECT b.bucket,
+              coalesce(r.ref_n, 0)::BIGINT AS ref_n,
+              coalesce(c.cur_n, 0)::BIGINT AS cur_n
+            FROM b LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+         t AS (SELECT bucket, ref_n, cur_n,
+              CAST(sum(ref_n) OVER () AS BIGINT) AS rt,
+              CAST(sum(cur_n) OVER () AS BIGINT) AS ct FROM j)
+         SELECT bucket, ref_n, cur_n,
+              CAST(round(((CAST(ref_n + 1 AS DOUBLE)
+                    / CAST(rt + 16 AS DOUBLE))
+                  - (CAST(cur_n + 1 AS DOUBLE)
+                    / CAST(ct + 16 AS DOUBLE)))
+                * ln((CAST(ref_n + 1 AS DOUBLE)
+                    / CAST(rt + 16 AS DOUBLE))
+                  / (CAST(cur_n + 1 AS DOUBLE)
+                    / CAST(ct + 16 AS DOUBLE)))
+                * 1000000.0) AS BIGINT) AS psi_e6
+         FROM t ORDER BY bucket""",
+
+    // Compaction is row-preserving, so the post-OPTIMIZE snapshot
+    // aggregate replays as the plain aggregate over all events.
+    "q_store_compact" ->
+      """SELECT event_type AS habit, count(*) AS n_events,
+              count(DISTINCT user_id) AS n_users,
+              round(sum(value), 6) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
     // The store's two commits hold exactly the events rows; the
     // zone-map prune is file-level only, so the filtered aggregate
     // over the raw table replays the result.

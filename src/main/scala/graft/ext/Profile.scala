@@ -142,4 +142,49 @@ object Profile {
       .groupBy(groupCols.map(col) :+ bucket: _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Population Stability Index between a reference and a current
+    * distribution of `valueCol` — the drift monitor a continuously-
+    * ingesting training-data store runs between snapshots (PSI > 0.2
+    * is the classic "investigate" threshold). One [[histogram]] pass
+    * per side (the only data-sized work), then everything else is
+    * bucket-count arithmetic on `buckets` rows: Laplace-smoothed
+    * shares p, q per bin and per-bin contribution (p−q)·ln(p/q),
+    * quantized to 1e-6 units. Bin counts are exact longs, the shares
+    * derive from them by a fixed IEEE expression chain, and the 1e-6
+    * quantization absorbs sub-ULP `ln` variation across engines — the
+    * same replay discipline as the NB classifier's log-probs.
+    *
+    * Pick `lo`/`hi`/`buckets` so the bucket width (hi−lo)/buckets is
+    * exactly representable (e.g. powers of two) — the width is inlined
+    * into both engines' floor arithmetic.
+    *
+    * Scale (100 TB): two count aggregates with map-side partials;
+    * the join/window run on `buckets` rows. Monitoring N columns is N
+    * independent histogram pairs — no corpus-sized state anywhere. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val bins = ref.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+    val hr = histogram(ref, valueCol, lo, hi, buckets)
+      .withColumnRenamed("n", "ref_n")
+    val hc = histogram(cur, valueCol, lo, hi, buckets)
+      .withColumnRenamed("n", "cur_n")
+    val j = bins
+      .join(broadcast(hr), Seq("bucket"), "left")
+      .join(broadcast(hc), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val b = lit(buckets.toLong)
+    val p = (col("ref_n") + lit(1L)).cast("double") /
+      (sum(col("ref_n")).over(w) + b).cast("double")
+    val q = (col("cur_n") + lit(1L)).cast("double") /
+      (sum(col("cur_n")).over(w) + b).cast("double")
+    j.withColumn("psi_e6",
+        round(((p - q) * log(p / q)) * lit(1000000.0)).cast("long"))
+      .select(col("bucket"), col("ref_n"), col("cur_n"), col("psi_e6"))
+  }
 }

@@ -395,6 +395,45 @@ object VersionedStore {
     v
   }
 
+  /** OPTIMIZE: rewrite each day whose live file count exceeds
+    * `maxFilesPerDay` into freshly clustered files, publishing the
+    * result as a new commit; compliant days carry by reference. Row-
+    * preserving by construction — the new files hold exactly the rows
+    * of the files they replace — and history stays time-travelable
+    * (the old small files remain live in older versions until
+    * [[vacuum]]). The rewrite re-sorts on `sortCols` and re-records
+    * zone-map sidecars, so compaction REPAIRS clustering that
+    * accumulated appends have degraded — the lakehouse OPTIMIZE
+    * contract. A store already compliant publishes nothing and
+    * returns the current head.
+    *
+    * Scale (100 TB): the decision is driver-side metadata (file counts
+    * per day from the manifest); the rewrite reads and writes only the
+    * offending days. Streaming ingest writes a file per micro-batch —
+    * without periodic compaction a year of 15-minute batches is 35k
+    * files/day and snapshot planning drowns in footers; with it, reads
+    * cost O(days × rangeParts) files regardless of ingest cadence. */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerDay: Int = 1,
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
+      rangeParts: Int = 0,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(maxFilesPerDay >= 1, "compact: maxFilesPerDay must be >= 1")
+    val head = versions(spark, path).lastOption.getOrElse(
+      throw new IllegalStateException(s"VersionedStore: no log at $path"))
+    val live = readManifest(spark, path, head)
+    val oversized = live.groupBy(dayOf).filter(_._2.size > maxFilesPerDay)
+      .values.flatten.toSeq
+    if (oversized.isEmpty) return head
+    val v = head + 1
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(oversized.map(fl => s"$path/$fl"): _*)
+    val carried = live.filterNot(oversized.toSet)
+    writeManifest(spark, path, v,
+      carried ++ writeData(merged, path, v, sortCols, rangeParts), meta)
+    v
+  }
+
   /** Roll the head back to `v`'s contents by PUBLISHING A NEW VERSION
     * carrying `v`'s manifest — history stays intact (the bad commits
     * remain time-travelable), which is what distinguishes restore from

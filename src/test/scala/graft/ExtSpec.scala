@@ -1311,6 +1311,36 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 3L))
   }
 
+  test("psiDrift: identical sides give exactly zero PSI; disjoint sides " +
+      "flag; values match a scalar replay of the smoothed formula") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(1.0, 2.0, 3.0).toDF("v")
+    val cur = Seq(50.0).toDF("v")
+
+    val same = graft.ext.Profile.psiDrift(ref, ref, "v", 0.0, 64.0, 4)
+      .collect()
+    assert(same.length == 4 && same.forall(_.getLong(3) == 0L))
+
+    val got = graft.ext.Profile.psiDrift(ref, cur, "v", 0.0, 64.0, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got(0L)._1 == 3 && got(0L)._2 == 0)
+    assert(got(3L)._1 == 0 && got(3L)._2 == 1)
+    // scalar replay: Laplace shares over exact counts, 1e-6 quantize
+    def contrib(rn: Long, cn: Long): Long = {
+      val p = (rn + 1).toDouble / (3 + 4).toDouble
+      val q = (cn + 1).toDouble / (1 + 4).toDouble
+      BigDecimal(((p - q) * math.log(p / q)) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    assert(got(0L)._3 == contrib(3, 0) && got(3L)._3 == contrib(0, 1))
+    assert(got(1L)._3 == contrib(0, 0) && got(2L)._3 == contrib(0, 0))
+    // every drift direction contributes positively
+    assert(got.values.forall(_._3 > 0))
+  }
+
   test("profileApprox: no Expand in the plan, stats line up with exact") {
     val s = spark
     import s.implicits._

@@ -266,6 +266,46 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("compact coalesces oversized days into fresh clustered files, " +
+      "preserves rows and history, re-records zone maps") {
+    withStore { store =>
+      val users = ('a' to 'h').map(c => s"$c@x")
+      def batch(d: Int, off: Int) = events(users.map(u =>
+        (u.hashCode.toLong * 100 + d * 10 + off, ts(d), u, s"h$off", 1.0))
+        : _*)
+      VersionedStore.create(batch(1, 0), store, rangeParts = 4)
+      VersionedStore.append(spark, store, batch(1, 1), rangeParts = 4)
+      VersionedStore.append(spark, store, batch(2, 0)) // day 2: one file
+      val liveBefore = manifest(store, 2).init.filterNot(_.startsWith("#"))
+      val rowsBefore = VersionedStore.snapshot(spark, store)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+
+      val v = VersionedStore.compact(spark, store, maxFilesPerDay = 1,
+        rangeParts = 2)
+      assert(v == 3)
+      val liveAfter = manifest(store, 3).init.filterNot(_.startsWith("#"))
+      assert(liveAfter.size < liveBefore.size)
+      // day 2 was compliant — its file carries by reference
+      assert(liveAfter.filter(_.contains("_vday=2024-01-02")) ==
+        liveBefore.filter(_.contains("_vday=2024-01-02")))
+      // rows identical; history intact
+      assert(VersionedStore.snapshot(spark, store)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        == rowsBefore)
+      assert(VersionedStore.snapshot(spark, store, Some(1)).count()
+        == users.size * 2)
+      // fresh sidecars: the compacted layout still range-prunes
+      val one = VersionedStore.snapshotWhere(spark, store,
+        "user_email", "a@x", "a@x")
+      assert(one.inputFiles.length <
+        VersionedStore.snapshot(spark, store).inputFiles.length)
+      assert(one.count() == 3) // a@x: two day-1 habits + one day-2
+      // compliant store: compact is a metadata no-op returning head
+      assert(VersionedStore.compact(spark, store, maxFilesPerDay = 2,
+        rangeParts = 2) == 3)
+    }
+  }
+
   test("zone-map stats on integral keys compare numerically") {
     withStore { store =>
       val s = spark
