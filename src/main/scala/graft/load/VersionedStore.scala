@@ -138,11 +138,10 @@ object VersionedStore {
     * leading sort column — the layout that makes [[snapshotWhere]]'s
     * zone-map skipping bite (at 100 TB a day is MANY files; without
     * clustering every file spans the whole key domain and no file-level
-    * stat can exclude anything). After the write, one aggregation over
-    * the new files records per-file min/max of the leading sort column
-    * into the commit's `_log/<v>.stats` sidecar (production move: lift
-    * the same stats from the parquet footers the write already
-    * produced, zero re-read). */
+    * stat can exclude anything). After the write, per-file min/max of
+    * the leading sort column lands in the commit's `_log/<v>.stats`
+    * sidecar, lifted straight from the parquet footers the write just
+    * produced — metadata reads only, no second pass over data. */
   private def writeData(batch: DataFrame, path: String, v: Int,
       sortCols: Seq[String], rangeParts: Int = 0): Seq[String] = {
     val spark = batch.sparkSession
@@ -173,54 +172,115 @@ object VersionedStore {
   private def statsPath(path: String, v: Int) =
     new Path(logDir(path), f"$v%010d.stats")
 
-  /** Stat values travel as strings with an explicit kind so pruning
-    * compares in the right domain: `long` for integral columns,
-    * `string` (lexical — valid because files are SORTED on the column)
-    * for strings. Other types get no sidecar and simply never prune —
-    * timestamps already ride the day-level manifest pruning. */
-  private def statKind(dt: org.apache.spark.sql.types.DataType)
-      : Option[String] = dt match {
-    case org.apache.spark.sql.types.ByteType |
-         org.apache.spark.sql.types.ShortType |
-         org.apache.spark.sql.types.IntegerType |
-         org.apache.spark.sql.types.LongType => Some("long")
-    case org.apache.spark.sql.types.StringType => Some("string")
-    case _ => None
-  }
-
-  /** Record per-file (min, max) of `statCol` for commit `v`'s files.
-    * Written BEFORE the manifest publishes, so a crash leaves an
-    * unreferenced sidecar, never a version without one it needs —
-    * and a missing/torn sidecar only disables pruning ([[readStats]]
-    * returns None), it cannot affect correctness. */
+  /** Record per-file (min, max) of `statCol` for commit `v`'s files,
+    * lifted from the PARQUET FOOTERS the write just produced — no
+    * re-read of data pages, just O(files) driver-side footer opens
+    * (the Delta/Iceberg stats-collection move; parallelize the footer
+    * reads through the cluster if single-commit file counts ever make
+    * the driver loop matter). Written BEFORE the manifest publishes,
+    * so a crash leaves an unreferenced sidecar, never a version
+    * without one it needs — and a missing/torn sidecar only disables
+    * pruning ([[readStats]] returns None), it cannot affect
+    * correctness. Files whose footer lacks usable stats for the column
+    * (all-null, truncated binary stats, unexpected type) simply get no
+    * line and never prune. */
   private def writeStats(spark: SparkSession, path: String, v: Int,
       relFiles: Seq[String], statCol: String): Unit = {
     if (relFiles.isEmpty) return
-    val df = spark.read.parquet(relFiles.map(fl => s"$path/$fl"): _*)
-    val kind = df.schema.find(_.name == statCol).map(_.dataType)
-      .flatMap(statKind).getOrElse(return)
-    val root = new Path(path).toUri.getPath
-    val rows = df
-      .select(col("_metadata.file_path").as("__f"), col(statCol).as("__c"))
-      .groupBy(col("__f"))
-      .agg(min(col("__c")).cast("string").as("mn"),
-        max(col("__c")).cast("string").as("mx"))
-      .collect()
-    val lines = rows.toSeq.flatMap { r =>
-      val rel = new Path(r.getString(0)).toUri.getPath
-        .stripPrefix(root).stripPrefix("/")
-      val (mn, mx) = (r.getString(1), r.getString(2))
-      // all-null files or separator-carrying strings: skip the line —
-      // the file just never prunes
-      if (mn == null || mx == null ||
-        (rel + mn + mx).exists(c => c == '\t' || c == '\n')) None
-      else Some(s"$rel\t$mn\t$mx")
-    }
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    // one footer open per file, driver-side but pooled: 8-way I/O
+    // overlap keeps commit latency flat in the file count the way the
+    // lakehouse stats collectors do it
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perFile = Await.result(
+      Future.traverse(relFiles.sorted)(rel =>
+        Future(statLine(path, rel, statCol, conf))),
+      Duration.Inf).flatten
+    // every file of a commit shares one schema; tolerate drift anyway
+    // by keeping only the first-seen kind's lines
+    val kind = perFile.headOption.map(_._1).getOrElse(return)
+    val lines = perFile.collect { case (`kind`, l) => l }
     val out = fs(spark, path).create(statsPath(path, v), true)
     try out.write(
       (s"#col=$statCol" +: s"#kind=$kind" +: lines :+ EndSentinel)
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Footer-derived (kind, `file\tmin\tmax` line) for one data file,
+    * or None when the footer lacks usable stats for the column. */
+  private def statLine(path: String, rel: String, statCol: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[(String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    {
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(s"$path/$rel"), conf))
+      try {
+        val md = rd.getFooter.getFileMetaData.getSchema
+        val idx = md.getFields.asScala.indexWhere(_.getName == statCol)
+        val fileKind = if (idx < 0) None else {
+          val t = md.getFields.get(idx)
+          if (!t.isPrimitive) None
+          else (t.asPrimitiveType().getPrimitiveTypeName,
+              t.getLogicalTypeAnnotation) match {
+            // plain ints only — timestamp-annotated INT64 carries
+            // engine-dependent units; timestamps ride day pruning
+            case (PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32,
+                null | (_: LogicalTypeAnnotation.IntLogicalTypeAnnotation))
+              => Some("long")
+            case (PrimitiveTypeName.BINARY,
+                _: LogicalTypeAnnotation.StringLogicalTypeAnnotation)
+              => Some("string")
+            case _ => None
+          }
+        }
+        fileKind.flatMap { k =>
+          val stats = rd.getFooter.getBlocks.asScala.map(
+            _.getColumns.asScala
+              .find(_.getPath.toDotString == statCol)
+              .map(_.getStatistics).orNull)
+          if (stats.isEmpty || stats.exists(s =>
+            s == null || !s.hasNonNullValue)) None
+          else {
+            def enc(g: org.apache.parquet.column.statistics.Statistics[_],
+                mx: Boolean): String = g.genericGetMin match {
+              case _: java.lang.Long | _: java.lang.Integer =>
+                (if (mx) g.genericGetMax else g.genericGetMin).toString
+              case b: org.apache.parquet.io.api.Binary =>
+                (if (mx) g.genericGetMax.asInstanceOf[
+                    org.apache.parquet.io.api.Binary]
+                  else b).toStringUsingUTF8
+              case _ => null
+            }
+            val mns = stats.map(enc(_, mx = false))
+            val mxs = stats.map(enc(_, mx = true))
+            if (mns.contains(null) || mxs.contains(null)) None
+            else {
+              val (mn, mx) =
+                if (k == "long")
+                  (mns.map(_.toLong).min.toString,
+                    mxs.map(_.toLong).max.toString)
+                else (mns.min, mxs.max)
+              if ((rel + mn + mx).exists(c => c == '\t' || c == '\n'))
+                None
+              else Some((k, s"$rel\t$mn\t$mx"))
+            }
+          }
+        }
+      } finally rd.close()
+    }
   }
 
   /** Commit `v`'s sidecar, or None when absent/torn/other-column —
