@@ -2465,6 +2465,33 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Needle-in-haystack id lookup: commits enable parquet bloom
+    // filters on event_id, and snapshotPoint prunes — from footer
+    // metadata, on the driver, before any task is scheduled — every
+    // file whose blooms prove the id absent. Three commits × 30 days
+    // of files collapse to the one file that can hold the row.
+    "q_store_pointlookup" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_point_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev.filter(col("event_id") % 3 === 0),
+          store, bloomCols = Seq("event_id"))
+        for (m <- 1 to 2)
+          VersionedStore.append(s, store,
+            ev.filter(col("event_id") % 3 === m),
+            bloomCols = Seq("event_id"))
+        val hit = VersionedStore.snapshotPoint(s, store,
+          "event_id", 123L)
+        require(hit.inputFiles.length <= 2 && hit.inputFiles.nonEmpty,
+          s"bloom point skipping kept ${hit.inputFiles.length} files")
+        hit.select(col("event_id"), ntz(col("ts")).as("ts"),
+            col("user_email"), col("habit"), col("value"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // OPTIMIZE: two range-clustered commits leave every day split
     // across both, compact coalesces each day back to freshly
     // clustered files in a new commit — row-preserving (the oracle is
@@ -4475,6 +4502,13 @@ object SparkEntry {
                     / CAST(ct + 16 AS DOUBLE)))
                 * 1000000.0) AS BIGINT) AS psi_e6
          FROM t ORDER BY bucket""",
+
+    // The bloom prune is file-level and one-sided, so the point read
+    // returns exactly the raw table's matching row.
+    "q_store_pointlookup" ->
+      """SELECT event_id, ts, user_id AS user_email,
+              event_type AS habit, value
+         FROM events WHERE event_id = 123""",
 
     // Compaction is row-preserving, so the post-OPTIMIZE snapshot
     // aggregate replays as the plain aggregate over all events.

@@ -143,7 +143,8 @@ object VersionedStore {
     * sidecar, lifted straight from the parquet footers the write just
     * produced — metadata reads only, no second pass over data. */
   private def writeData(batch: DataFrame, path: String, v: Int,
-      sortCols: Seq[String], rangeParts: Int = 0): Seq[String] = {
+      sortCols: Seq[String], rangeParts: Int = 0,
+      bloomCols: Seq[String] = Nil): Seq[String] = {
     val spark = batch.sparkSession
     val dir = s"$path/data/c$v"
     val dayed = batch.withColumn(DayDir, to_date(col("ts")))
@@ -152,8 +153,13 @@ object VersionedStore {
         dayed.repartitionByRange(rangeParts, col(DayDir),
           col(sortCols.head))
       else dayed.repartition(col(DayDir))
-    parted.sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("errorifexists").partitionBy(DayDir).parquet(dir)
+    val writer = bloomCols.foldLeft(
+      parted.sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("errorifexists")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", "100000")
+    }
+    writer.partitionBy(DayDir).parquet(dir)
     val f = fs(spark, path)
     val root = new Path(path).toUri.getPath
     val it = f.listFiles(new Path(dir), true)
@@ -351,12 +357,13 @@ object VersionedStore {
     * to range-clustered files (see [[writeData]]). */
   def create(events: DataFrame, path: String,
       sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
-      meta: Map[String, String] = Map.empty, rangeParts: Int = 0): Int = {
+      meta: Map[String, String] = Map.empty, rangeParts: Int = 0,
+      bloomCols: Seq[String] = Nil): Int = {
     val spark = events.sparkSession
     require(versions(spark, path).isEmpty,
       s"VersionedStore: $path already has a log — use append/upsert")
     writeManifest(spark, path, 0,
-      writeData(events, path, 0, sortCols, rangeParts), meta)
+      writeData(events, path, 0, sortCols, rangeParts, bloomCols), meta)
     0
   }
 
@@ -365,13 +372,14 @@ object VersionedStore {
     * path for known-new data such as a fresh day's events). */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
-      meta: Map[String, String] = Map.empty, rangeParts: Int = 0): Int = {
+      meta: Map[String, String] = Map.empty, rangeParts: Int = 0,
+      bloomCols: Seq[String] = Nil): Int = {
     val head = versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"VersionedStore: no log at $path"))
     val v = head + 1
     writeManifest(spark, path, v,
       readManifest(spark, path, head) ++
-        writeData(batch, path, v, sortCols, rangeParts),
+        writeData(batch, path, v, sortCols, rangeParts, bloomCols),
       meta)
     v
   }
@@ -476,7 +484,7 @@ object VersionedStore {
   def compact(spark: SparkSession, path: String,
       maxFilesPerDay: Int = 1,
       sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
-      rangeParts: Int = 0,
+      rangeParts: Int = 0, bloomCols: Seq[String] = Nil,
       meta: Map[String, String] = Map.empty): Int = {
     require(maxFilesPerDay >= 1, "compact: maxFilesPerDay must be >= 1")
     val head = versions(spark, path).lastOption.getOrElse(
@@ -490,7 +498,8 @@ object VersionedStore {
       .parquet(oversized.map(fl => s"$path/$fl"): _*)
     val carried = live.filterNot(oversized.toSet)
     writeManifest(spark, path, v,
-      carried ++ writeData(merged, path, v, sortCols, rangeParts), meta)
+      carried ++ writeData(merged, path, v, sortCols, rangeParts,
+        bloomCols), meta)
     v
   }
 
@@ -616,6 +625,80 @@ object VersionedStore {
         .parquet(all.map(fl => s"$path/$fl"): _*).limit(0)
     else spark.read.option("mergeSchema", "true")
       .parquet(files.map(fl => s"$path/$fl"): _*)
+  }
+
+  /** Drop `files` whose parquet BLOOM FILTERS prove `value` absent
+    * from every row group of the file for `column`. Blooms ride the
+    * footers the write produced (`bloomCols` at commit time enables
+    * them), so this costs O(files) pooled metadata reads and no data
+    * pages. One-sided: "maybe present" (or no bloom, or column
+    * missing) keeps the file; only a definite miss prunes. */
+  private[graft] def pruneByBloom(spark: SparkSession, path: String,
+      files: Seq[String], column: String, value: Any): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val conf = spark.sessionState.newHadoopConf()
+    def definitelyAbsent(rel: String): Boolean = {
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(s"$path/$rel"), conf))
+      try rd.getFooter.getBlocks.asScala.forall { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column)
+          .exists { cm =>
+            val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cm)
+            bf != null && {
+              val h = (cm.getPrimitiveType.getPrimitiveTypeName, value)
+                match {
+                case (PrimitiveTypeName.INT64, l: Long) => Some(bf.hash(l))
+                case (PrimitiveTypeName.INT64, i: Int) =>
+                  Some(bf.hash(i.toLong))
+                case (PrimitiveTypeName.INT32, i: Int) => Some(bf.hash(i))
+                case (PrimitiveTypeName.BINARY, s: String) => Some(bf.hash(
+                  org.apache.parquet.io.api.Binary.fromString(s)))
+                case _ => None
+              }
+              h.exists(!bf.findHash(_))
+            }
+          }
+      } finally rd.close()
+    }
+    Await.result(
+      Future.traverse(files)(fl =>
+        Future(if (definitelyAbsent(fl)) None else Some(fl))),
+      Duration.Inf).flatten
+  }
+
+  /** Point-lookup read: rows of the snapshot with `column = value`,
+    * scanning only files that zone maps AND bloom filters cannot rule
+    * out. The needle-in-haystack path: an id lookup over a store whose
+    * commits enabled `bloomCols` on that id opens ~1 file instead of
+    * every file, and the decision is made on the driver from footer
+    * metadata before any task is scheduled — Spark's own row-group
+    * bloom filtering still applies inside whatever survives. */
+  def snapshotPoint(spark: SparkSession, path: String, column: String,
+      value: Any, version: Option[Int] = None,
+      days: Option[Set[String]] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"VersionedStore: no log at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"VersionedStore: version $v not in log (have ${vs.mkString(",")})")
+    val all = readManifest(spark, path, v)
+    require(all.nonEmpty, s"VersionedStore: version $v has no data files")
+    val dayKept = all.filter(fl => days.forall(_.contains(dayOf(fl))))
+    val kept = pruneByBloom(spark, path,
+      pruneByStats(spark, path, dayKept, column, value, value),
+      column, value)
+    val pred = col(column) === lit(value)
+    if (kept.isEmpty)
+      spark.read.option("mergeSchema", "true")
+        .parquet(all.map(fl => s"$path/$fl"): _*).limit(0).filter(pred)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(fl => s"$path/$fl"): _*).filter(pred)
   }
 
   /** Range read with zone-map FILE skipping: rows of the snapshot with

@@ -306,6 +306,44 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("bloom point skipping: an id lookup opens only files whose " +
+      "bloom may contain it; absent ids read nothing") {
+    withStore { store =>
+      def day(d: Int) = events((1 to 4).map(i =>
+        (d * 100L + i, ts(d), s"u$i@x", "workout", i.toDouble)): _*)
+      VersionedStore.create(day(1), store, bloomCols = Seq("event_id"))
+      VersionedStore.append(spark, store, day(2),
+        bloomCols = Seq("event_id"))
+      VersionedStore.append(spark, store, day(3),
+        bloomCols = Seq("event_id"))
+      val all = VersionedStore.snapshot(spark, store)
+      assert(all.inputFiles.length == 3)
+
+      val hit = VersionedStore.snapshotPoint(spark, store,
+        "event_id", 203L)
+      assert(hit.inputFiles.length == 1)
+      val r = hit.collect()
+      assert(r.length == 1 && r(0).getAs[Long]("event_id") == 203L &&
+        r(0).getAs[String]("user_email") == "u3@x")
+
+      // absent id: every bloom says no — nothing is scanned
+      val none = VersionedStore.snapshotPoint(spark, store,
+        "event_id", 999L)
+      assert(none.inputFiles.length == 0 && none.count() == 0)
+    }
+    // store written WITHOUT blooms: no pruning, same rows
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0),
+        (2L, ts(2), "a@x", "workout", 2.0)), store)
+      val hit = VersionedStore.snapshotPoint(spark, store,
+        "event_id", 2L)
+      assert(hit.inputFiles.length == 2)
+      assert(hit.collect().map(_.getAs[Long]("event_id")).toSeq ==
+        Seq(2L))
+    }
+  }
+
   test("zone-map stats on integral keys compare numerically") {
     withStore { store =>
       val s = spark
