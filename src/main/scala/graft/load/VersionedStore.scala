@@ -96,6 +96,64 @@ object VersionedStore {
       .map(_.stripPrefix("#").split("=", 2))
       .collect { case Array(k, value) => k -> value }.toMap
 
+  // ── Log-recorded snapshot schema ────────────────────────────────────
+  // Schema is log metadata, not something rediscovered from data files
+  // (the Delta/Iceberg move): each commit records the version's merged
+  // read schema under a reserved meta key, and every read plans with
+  // it directly — zero footer opens at planning, at any file count.
+  // Stores written before this key existed fall back to a mergeSchema
+  // footer pass, so old logs stay readable.
+
+  private val SchemaKey = "schema"
+
+  private def recordedSchema(spark: SparkSession, path: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    commitMeta(spark, path, v).get(SchemaKey).flatMap { j =>
+      try Some(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Exception => None }
+    }
+
+  /** Name-based widen: `prev`'s columns in order, then `written`'s new
+    * ones. The store never retypes a column, so first-type-wins is the
+    * whole conflict story. */
+  private def mergeSchemas(prev: org.apache.spark.sql.types.StructType,
+      written: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val have = prev.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      prev.fields ++ written.fields.filterNot(f => have(f.name)))
+  }
+
+  /** Caller meta + the version's recorded schema: the previous
+    * version's recorded schema (if any) widened by what this commit
+    * writes. */
+  private def schemaMeta(spark: SparkSession, path: String,
+      prevV: Option[Int],
+      written: org.apache.spark.sql.types.StructType,
+      meta: Map[String, String]): Map[String, String] = {
+    require(!meta.contains(SchemaKey),
+      s"VersionedStore: commit meta key '$SchemaKey' is reserved")
+    val s = prevV.flatMap(recordedSchema(spark, path, _))
+      .map(mergeSchemas(_, written)).getOrElse(written)
+    meta + (SchemaKey -> s.json)
+  }
+
+  /** Read `files` of version `v` under the log-recorded schema when
+    * present (missing columns in older files surface as null), else
+    * a mergeSchema footer pass. Empty `files` keeps the schema and
+    * reads nothing (`all` donates it on the fallback path). */
+  private def readFiles(spark: SparkSession, path: String, v: Int,
+      files: Seq[String], all: Seq[String]): DataFrame = {
+    val reader = recordedSchema(spark, path, v) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    if (files.isEmpty)
+      reader.parquet(all.map(fl => s"$path/$fl"): _*).limit(0)
+    else reader.parquet(files.map(fl => s"$path/$fl"): _*)
+  }
+
   /** Publish version `v` with exactly `files` live. Create-if-absent
     * is the commit point: a concurrent writer that already published
     * `v` makes this fail loudly — rebase and retry, never overwrite.
@@ -363,7 +421,8 @@ object VersionedStore {
     require(versions(spark, path).isEmpty,
       s"VersionedStore: $path already has a log — use append/upsert")
     writeManifest(spark, path, 0,
-      writeData(events, path, 0, sortCols, rangeParts, bloomCols), meta)
+      writeData(events, path, 0, sortCols, rangeParts, bloomCols),
+      schemaMeta(spark, path, None, events.schema, meta))
     0
   }
 
@@ -380,7 +439,7 @@ object VersionedStore {
     writeManifest(spark, path, v,
       readManifest(spark, path, head) ++
         writeData(batch, path, v, sortCols, rangeParts, bloomCols),
-      meta)
+      schemaMeta(spark, path, Some(head), batch.schema, meta))
     v
   }
 
@@ -410,8 +469,7 @@ object VersionedStore {
     val (hit, carried) = live.partition(fl => touched.contains(dayOf(fl)))
     val existing =
       if (hit.isEmpty) batch.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(fl => s"$path/$fl"): _*)
+      else readFiles(spark, path, head, hit, live)
     // no checkpoint needed: the merge reads the head's files and writes
     // NEW files under data/c<v> — published data files are immutable,
     // so the plan never races its own rewrite
@@ -419,7 +477,8 @@ object VersionedStore {
       if (evolve) Merge.upsertEventsEvolving(existing, batch, keys)
       else Merge.upsertEvents(existing, batch, keys)
     writeManifest(spark, path, v,
-      carried ++ writeData(merged, path, v, sortCols, rangeParts), meta)
+      carried ++ writeData(merged, path, v, sortCols, rangeParts),
+      schemaMeta(spark, path, Some(head), merged.schema, meta))
     v
   }
 
@@ -454,12 +513,14 @@ object VersionedStore {
     val files =
       if (hit.isEmpty) carried
       else {
-        val remaining = spark.read.option("mergeSchema", "true")
-          .parquet(hit.map(fl => s"$path/$fl"): _*)
+        val remaining = readFiles(spark, path, head, hit, live)
           .filter(!predicate)
         carried ++ writeData(remaining, path, v, sortCols)
       }
-    writeManifest(spark, path, v, files)
+    // deletes never change the schema: carry the head's record
+    writeManifest(spark, path, v, files,
+      recordedSchema(spark, path, head)
+        .map(sc => Map(SchemaKey -> sc.json)).getOrElse(Map.empty))
     v
   }
 
@@ -494,12 +555,12 @@ object VersionedStore {
       .values.flatten.toSeq
     if (oversized.isEmpty) return head
     val v = head + 1
-    val merged = spark.read.option("mergeSchema", "true")
-      .parquet(oversized.map(fl => s"$path/$fl"): _*)
+    val merged = readFiles(spark, path, head, oversized, live)
     val carried = live.filterNot(oversized.toSet)
     writeManifest(spark, path, v,
       carried ++ writeData(merged, path, v, sortCols, rangeParts,
-        bloomCols), meta)
+        bloomCols),
+      schemaMeta(spark, path, Some(head), merged.schema, meta))
     v
   }
 
@@ -512,7 +573,9 @@ object VersionedStore {
     require(vs.contains(v),
       s"VersionedStore: cannot restore to unknown version $v")
     val next = vs.last + 1
-    writeManifest(spark, path, next, readManifest(spark, path, v))
+    writeManifest(spark, path, next, readManifest(spark, path, v),
+      recordedSchema(spark, path, v)
+        .map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty))
     next
   }
 
@@ -535,20 +598,15 @@ object VersionedStore {
     val (mf, mt) = (byDay(fromV), byDay(toV))
     val differing = (mf.keySet ++ mt.keySet)
       .filter(d => mf.get(d) != mt.get(d))
-    def side(m: Map[String, Seq[String]]): DataFrame = {
+    def side(v: Int, m: Map[String, Seq[String]]): DataFrame = {
       val files = differing.toSeq.sorted.flatMap(m.getOrElse(_, Nil))
-      if (files.isEmpty)
-        // schema donor: any live file of either version
-        spark.read.parquet(
-          s"$path/${(mf.values.flatten ++ mt.values.flatten).head}")
-          .limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(files.map(fl => s"$path/$fl"): _*)
+      readFiles(spark, path, v, files,
+        (mf.values.flatten ++ mt.values.flatten).toSeq.take(1))
     }
     // explicit presence markers — payload nullness cannot distinguish
     // "row absent" from "row present with null payload"
-    val fRaw = side(mf).withColumn("_f", lit(true))
-    val tRaw = side(mt).withColumn("_t", lit(true))
+    val fRaw = side(fromV, mf).withColumn("_f", lit(true))
+    val tRaw = side(toV, mt).withColumn("_t", lit(true))
     // payload = UNION of both sides' columns: an `evolve` commit means
     // one side may not have a column at all — it reads as null there,
     // and populating it counts as a change
@@ -602,12 +660,10 @@ object VersionedStore {
     * travels. `days` (as `yyyy-MM-dd` strings) prunes FILES from the
     * manifest before the scan — metadata-level partition pruning.
     *
-    * Reads merge schemas across files, so a column added by an
-    * `evolve` commit reads as null in days that predate it. This costs
-    * a footer read per file at planning; at serious file counts record
-    * the snapshot schema in the manifest instead and pass it to the
-    * reader (the Delta/Iceberg move — schema is log metadata, not
-    * something rediscovered from data files). */
+    * Reads plan under the LOG-RECORDED schema (a column added by an
+    * `evolve` commit reads as null in days that predate it) — no
+    * footer is opened at planning time regardless of file count.
+    * Pre-schema-key logs fall back to a mergeSchema footer pass. */
   def snapshot(spark: SparkSession, path: String,
       version: Option[Int] = None,
       days: Option[Set[String]] = None): DataFrame = {
@@ -619,12 +675,7 @@ object VersionedStore {
     val all = readManifest(spark, path, v)
     require(all.nonEmpty, s"VersionedStore: version $v has no data files")
     val files = all.filter(fl => days.forall(_.contains(dayOf(fl))))
-    // fully pruned: keep the version's schema, read nothing
-    if (files.isEmpty)
-      spark.read.option("mergeSchema", "true")
-        .parquet(all.map(fl => s"$path/$fl"): _*).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(files.map(fl => s"$path/$fl"): _*)
+    readFiles(spark, path, v, files, all)
   }
 
   /** Drop `files` whose parquet BLOOM FILTERS prove `value` absent
@@ -693,12 +744,8 @@ object VersionedStore {
     val kept = pruneByBloom(spark, path,
       pruneByStats(spark, path, dayKept, column, value, value),
       column, value)
-    val pred = col(column) === lit(value)
-    if (kept.isEmpty)
-      spark.read.option("mergeSchema", "true")
-        .parquet(all.map(fl => s"$path/$fl"): _*).limit(0).filter(pred)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(fl => s"$path/$fl"): _*).filter(pred)
+    readFiles(spark, path, v, kept, all)
+      .filter(col(column) === lit(value))
   }
 
   /** Range read with zone-map FILE skipping: rows of the snapshot with
@@ -726,11 +773,7 @@ object VersionedStore {
     require(all.nonEmpty, s"VersionedStore: version $v has no data files")
     val dayKept = all.filter(fl => days.forall(_.contains(dayOf(fl))))
     val kept = pruneByStats(spark, path, dayKept, column, lo, hi)
-    val pred = col(column).between(lit(lo), lit(hi))
-    if (kept.isEmpty)
-      spark.read.option("mergeSchema", "true")
-        .parquet(all.map(fl => s"$path/$fl"): _*).limit(0).filter(pred)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(fl => s"$path/$fl"): _*).filter(pred)
+    readFiles(spark, path, v, kept, all)
+      .filter(col(column).between(lit(lo), lit(hi)))
   }
 }
