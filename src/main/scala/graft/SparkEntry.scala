@@ -1555,6 +1555,60 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // TPC-H Q3 shape: three filtered fact/dim scans meet on equi-joins,
+    // revenue per urgent order, distributed top-10. Every filter sits
+    // below its join; customer is NOT force-broadcast (it scales with
+    // SF — segment-filtered it still reaches 3e9 rows at 100 TB, so
+    // the shuffle-vs-broadcast call belongs to stats/AQE, not the
+    // query author).
+    "q_shipping_priority" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-03-15"))
+      val l = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-03-15"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"),
+          col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          ntz(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+    }),
+
+    // TPC-H Q5 shape: the six-table "local supplier" join — the
+    // customer and the supplier must share a nation, expressed as a
+    // second equality on the supplier join. The two fixed-size dims
+    // (nation 25, region 5) broadcast explicitly; the SF-scaled
+    // relations co-shuffle on their keys and Catalyst orders them.
+    "q_local_supplier_revenue" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val r = Tables.read(s, dir, "region")
+        .filter(col("r_name") === "ASIA")
+      Tables.read(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.read(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.read(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q_top_orders_per_segment" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val orders = Tables.read(s, dir, "orders")
@@ -3546,6 +3600,37 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1 ORDER BY 1""",
+
+    "q_shipping_priority" ->
+      """SELECT l_orderkey,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                AS revenue,
+              o_orderdate, o_orderpriority
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-03-15'
+           AND l_shipdate > TIMESTAMP '1996-03-15'
+         GROUP BY 1, 3, 4
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+
+    "q_local_supplier_revenue" ->
+      """SELECT n_name,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
 
     "q_top_orders_per_segment" ->
       """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (

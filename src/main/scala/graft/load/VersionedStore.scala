@@ -564,6 +564,22 @@ object VersionedStore {
     v
   }
 
+  /** The periodic maintenance job, one call: OPTIMIZE days that
+    * accumulated too many files, then VACUUM history beyond the
+    * retention window. Returns (head after compaction, files removed).
+    * Run it off the ingest path on whatever cadence the file-count ×
+    * retention SLAs demand — both halves are no-ops when the store is
+    * already compliant, so over-calling is safe (and cheap: the
+    * decision work is driver-side metadata). */
+  def maintain(spark: SparkSession, path: String,
+      maxFilesPerDay: Int = 4, retainVersions: Int = 7,
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
+      rangeParts: Int = 0, bloomCols: Seq[String] = Nil): (Int, Int) = {
+    val head = compact(spark, path, maxFilesPerDay, sortCols,
+      rangeParts, bloomCols)
+    (head, vacuum(spark, path, retainVersions))
+  }
+
   /** Roll the head back to `v`'s contents by PUBLISHING A NEW VERSION
     * carrying `v`'s manifest — history stays intact (the bad commits
     * remain time-travelable), which is what distinguishes restore from

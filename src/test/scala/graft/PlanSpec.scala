@@ -467,4 +467,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "partition-local top-k kernel must precede the ranking window")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("quality logreg: scoring is a per-row projection under literal " +
+      "weights — no join, window, or aggregate") {
+    // the fit loop runs driver-side before this plan materializes; the
+    // returned scoring plan must be scan → project (+ the final
+    // orderBy's one range exchange), nothing relational
+    val p = plan("q_quality_logreg")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("Window"), "scoring must not window")
+    assert(!p.contains("HashAggregate"), "scoring must not aggregate")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "only the orderBy range exchange may shuffle")
+  }
+
+  test("psi drift: histogram sides split partial/final, bin joins " +
+      "broadcast, no sort-merge or cartesian") {
+    val p = plan("q_drift_psi")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket-count joins must broadcast — they carry `buckets` rows")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "each histogram side must map-side combine (partial+final)")
+  }
 }

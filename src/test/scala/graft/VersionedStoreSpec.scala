@@ -344,6 +344,27 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("maintain = compact + vacuum in one call; compliant stores " +
+      "no-op both halves") {
+    withStore { store =>
+      def batch(off: Int) = events(('a' to 'd').map(u =>
+        (u.toLong * 10 + off, ts(1), s"$u@x", s"h$off", 1.0)): _*)
+      VersionedStore.create(batch(0), store)
+      VersionedStore.append(spark, store, batch(1))
+      VersionedStore.append(spark, store, batch(2))
+      // day 1 now has 3 files; history has 3 versions
+      val (head, removed) = VersionedStore.maintain(spark, store,
+        maxFilesPerDay = 1, retainVersions = 1)
+      assert(head == 3)
+      assert(removed == 3) // the three pre-compaction day files
+      assert(VersionedStore.versions(spark, store) == Seq(3))
+      assert(VersionedStore.snapshot(spark, store).count() == 12)
+      // already compliant: nothing published, nothing deleted
+      assert(VersionedStore.maintain(spark, store,
+        maxFilesPerDay = 1, retainVersions = 1) == (3, 0))
+    }
+  }
+
   test("zone-map stats on integral keys compare numerically") {
     withStore { store =>
       val s = spark
