@@ -2519,6 +2519,28 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Row-level write lineage from metadata alone: the commit id is
+    // parsed from the file path Spark tracks per row — no stored
+    // column, no join. Even event_ids landed in commit 0, odd in
+    // commit 1, so the oracle is the parity split of the raw table.
+    "q_store_lineage" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lin_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev.filter(col("event_id") % 2 === 0), store)
+        VersionedStore.append(s, store,
+          ev.filter(col("event_id") % 2 =!= 0))
+        VersionedStore.snapshotWithLineage(s, store)
+          .groupBy(col("_commit"))
+          .agg(count(lit(1)).as("n_rows"),
+            r6(sum(col("value"))).as("sum_value"))
+          .orderBy(col("_commit"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Needle-in-haystack id lookup: commits enable parquet bloom
     // filters on event_id, and snapshotPoint prunes — from footer
     // metadata, on the driver, before any task is scheduled — every
@@ -4587,6 +4609,12 @@ object SparkEntry {
                     / CAST(ct + 16 AS DOUBLE)))
                 * 1000000.0) AS BIGINT) AS psi_e6
          FROM t ORDER BY bucket""",
+
+    // Lineage replay: the parity split that built the two commits.
+    "q_store_lineage" ->
+      """SELECT CAST(event_id % 2 AS INT) AS _commit,
+              count(*) AS n_rows, round(sum(value), 6) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     // The bloom prune is file-level and one-sided, so the point read
     // returns exactly the raw table's matching row.

@@ -139,6 +139,31 @@ object VersionedStore {
     meta + (SchemaKey -> s.json)
   }
 
+  /** Schema ENFORCEMENT for non-evolving commits (the Delta write
+    * contract): a batch column the log knows must keep its exact type;
+    * a column the log does NOT know is rejected unless the caller
+    * opted into evolution — silent drift becomes a loud commit-time
+    * error instead of a corrupted snapshot. Absent batch columns are
+    * fine (the file just won't carry them; reads surface null).
+    * Pre-schema-key logs have nothing to enforce against. */
+  private def enforceSchema(spark: SparkSession, path: String,
+      prevV: Int, batch: org.apache.spark.sql.types.StructType,
+      evolve: Boolean): Unit =
+    recordedSchema(spark, path, prevV).foreach { rec =>
+      val known = rec.fields.map(f => f.name -> f.dataType).toMap
+      batch.fields.foreach { f =>
+        known.get(f.name) match {
+          case Some(dt) => require(dt == f.dataType,
+            s"VersionedStore: column ${f.name} is ${dt.simpleString} " +
+              s"in the log but the batch carries ${f.dataType.simpleString}" +
+              " — the store never retypes a column")
+          case None => require(evolve,
+            s"VersionedStore: batch carries unknown column ${f.name} — " +
+              "pass evolve = true to widen the schema deliberately")
+        }
+      }
+    }
+
   /** Read `files` of version `v` under the log-recorded schema when
     * present (missing columns in older files surface as null), else
     * a mergeSchema footer pass. Empty `files` keeps the schema and
@@ -435,6 +460,7 @@ object VersionedStore {
       bloomCols: Seq[String] = Nil): Int = {
     val head = versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"VersionedStore: no log at $path"))
+    enforceSchema(spark, path, head, batch.schema, evolve = false)
     val v = head + 1
     writeManifest(spark, path, v,
       readManifest(spark, path, head) ++
@@ -462,6 +488,7 @@ object VersionedStore {
       meta: Map[String, String] = Map.empty, rangeParts: Int = 0): Int = {
     val head = versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"VersionedStore: no log at $path"))
+    enforceSchema(spark, path, head, batch.schema, evolve)
     val v = head + 1
     val live = readManifest(spark, path, head)
     val touched = batch.select(to_date(col("ts")).cast("string").as("d"))
@@ -563,6 +590,21 @@ object VersionedStore {
       schemaMeta(spark, path, Some(head), merged.schema, meta))
     v
   }
+
+  /** Snapshot with row-level WRITE LINEAGE: each row carries the
+    * commit that wrote its current file as `_commit` — which ingest
+    * batch produced this row, the first question a data audit asks.
+    * Free metadata: the commit id is parsed from the file path Spark
+    * already tracks per row (`_metadata`), no stored column and no
+    * join. NB lineage is "who wrote the CURRENT file": an upsert or
+    * compaction that rewrites a day re-attributes its rows to the
+    * rewriting commit (time travel to an older version recovers the
+    * older attribution). */
+  def snapshotWithLineage(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame =
+    snapshot(spark, path, version).withColumn("_commit",
+      regexp_extract(col("_metadata.file_path"), "data/c(\\d+)/", 1)
+        .cast("int"))
 
   /** The periodic maintenance job, one call: OPTIMIZE days that
     * accumulated too many files, then VACUUM history beyond the

@@ -365,6 +365,52 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("schema enforcement: retyped or unknown batch columns fail the " +
+      "commit; evolve opts in deliberately") {
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0)), store)
+      val retyped = events((2L, ts(2), "a@x", "workout", 2.0))
+        .withColumn("value", col("value").cast("string"))
+      val e1 = intercept[IllegalArgumentException] {
+        VersionedStore.append(spark, store, retyped)
+      }
+      assert(e1.getMessage.contains("never retypes"))
+      val widened = events((3L, ts(3), "a@x", "workout", 3.0))
+        .withColumn("mood", lit(7L))
+      intercept[IllegalArgumentException] {
+        VersionedStore.append(spark, store, widened)
+      }
+      intercept[IllegalArgumentException] {
+        VersionedStore.upsert(spark, store, widened)
+      }
+      // nothing was published by the failed commits
+      assert(VersionedStore.versions(spark, store) == Seq(0))
+      VersionedStore.upsert(spark, store, widened, evolve = true)
+      val snap = VersionedStore.snapshot(spark, store)
+      assert(snap.columns.contains("mood") && snap.count() == 2)
+    }
+  }
+
+  test("snapshotWithLineage attributes each row to the commit that " +
+      "wrote its current file") {
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0),
+        (2L, ts(2), "a@x", "workout", 2.0)), store)
+      VersionedStore.append(spark, store, events(
+        (3L, ts(3), "b@x", "sleep", 7.0)))
+      def byCommit = VersionedStore.snapshotWithLineage(spark, store)
+        .groupBy("_commit").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byCommit == Map(0 -> 2L, 1 -> 1L))
+      // rewriting day 2 re-attributes its rows to the rewriting commit
+      VersionedStore.upsert(spark, store, events(
+        (2L, ts(2), "a@x", "workout", 20.0)))
+      assert(byCommit == Map(0 -> 1L, 1 -> 1L, 2 -> 1L))
+    }
+  }
+
   test("zone-map stats on integral keys compare numerically") {
     withStore { store =>
       val s = spark
