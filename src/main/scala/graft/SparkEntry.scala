@@ -687,6 +687,22 @@ object SparkEntry {
         .orderBy(col("habit"))
     }),
 
+    // Same sessionization through Spark's BUILT-IN session_window
+    // merge (dynamic-gap windows the aggregation engine coalesces)
+    // instead of the gaps-and-islands lag/sum — two implementations,
+    // one oracle. Boundary note: session_window opens a new session at
+    // gap ≥ 30 min where the window form uses > 30 min; the synthetic
+    // microsecond timestamps never land exactly on the boundary, and
+    // the shared oracle would catch it if they ever did.
+    "q_session_window" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(col("user_email"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_email"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .orderBy(col("user_email"))),
+
     "q_sessionize" -> ((s, dir) =>
       Habits.sessionize(Tables.eventsAsHabits(s, dir), "user_email", "ts", 30)
         .groupBy(col("user_email"))
@@ -2568,6 +2584,19 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Streaming arm of the drift monitor: the purchase stream replays
+    // in one AvailableNow batch against the click reference, the
+    // foreachBatch sink collects the per-bin PSI rows — identical to
+    // the batch q_drift_psi, and a second batch would double the row
+    // count and fail the gate loudly.
+    "q_drift_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_drift_")
+      try Streaming.driftAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_drift"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // OPTIMIZE: two range-clustered commits leave every day split
     // across both, compact coalesces each day back to freshly
     // clustered files in a new commit — row-preserving (the oracle is
@@ -2810,6 +2839,37 @@ object SparkEntry {
               count(*) AS n_events
        FROM g GROUP BY 1 ORDER BY 1"""
 
+  private val driftPsiOracle =
+    """WITH r AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
+              count(*) AS ref_n
+            FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            GROUP BY 1),
+         c AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
+              count(*) AS cur_n
+            FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1),
+         b AS (SELECT unnest(generate_series(0, 15)) AS bucket),
+         j AS (SELECT b.bucket,
+              coalesce(r.ref_n, 0)::BIGINT AS ref_n,
+              coalesce(c.cur_n, 0)::BIGINT AS cur_n
+            FROM b LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+         t AS (SELECT bucket, ref_n, cur_n,
+              CAST(sum(ref_n) OVER () AS BIGINT) AS rt,
+              CAST(sum(cur_n) OVER () AS BIGINT) AS ct FROM j)
+         SELECT bucket, ref_n, cur_n,
+              CAST(round(((CAST(ref_n + 1 AS DOUBLE)
+                    / CAST(rt + 16 AS DOUBLE))
+                  - (CAST(cur_n + 1 AS DOUBLE)
+                    / CAST(ct + 16 AS DOUBLE)))
+                * ln((CAST(ref_n + 1 AS DOUBLE)
+                    / CAST(rt + 16 AS DOUBLE))
+                  / (CAST(cur_n + 1 AS DOUBLE)
+                    / CAST(ct + 16 AS DOUBLE)))
+                * 1000000.0) AS BIGINT) AS psi_e6
+         FROM t ORDER BY bucket"""
+
   def oracleSql: Map[String, String] = Map(
     "q_recent_events" ->
       """SELECT event_id, ts, user_id AS user_email, event_type AS habit, value
@@ -2844,6 +2904,9 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
 
     "q_sessionize" -> sessionizeOracle,
+
+    // built-in session_window merge — third implementation, same oracle
+    "q_session_window" -> sessionizeOracle,
 
     // the one-shot flatMapGroupsWithState replay equals the batch
     // gaps-and-islands sessionization, so both gates share one oracle
@@ -4579,36 +4642,10 @@ object SparkEntry {
     // PSI replay: exact clamped-bucket counts per side, Laplace
     // shares, (p−q)·ln(p/q) quantized at 1e-6 — the identical IEEE
     // expression chain over identical longs.
-    "q_drift_psi" ->
-      """WITH r AS (SELECT CAST(least(greatest(
-                floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
-              count(*) AS ref_n
-            FROM events WHERE event_type = 'click' AND value IS NOT NULL
-            GROUP BY 1),
-         c AS (SELECT CAST(least(greatest(
-                floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
-              count(*) AS cur_n
-            FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-            GROUP BY 1),
-         b AS (SELECT unnest(generate_series(0, 15)) AS bucket),
-         j AS (SELECT b.bucket,
-              coalesce(r.ref_n, 0)::BIGINT AS ref_n,
-              coalesce(c.cur_n, 0)::BIGINT AS cur_n
-            FROM b LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
-         t AS (SELECT bucket, ref_n, cur_n,
-              CAST(sum(ref_n) OVER () AS BIGINT) AS rt,
-              CAST(sum(cur_n) OVER () AS BIGINT) AS ct FROM j)
-         SELECT bucket, ref_n, cur_n,
-              CAST(round(((CAST(ref_n + 1 AS DOUBLE)
-                    / CAST(rt + 16 AS DOUBLE))
-                  - (CAST(cur_n + 1 AS DOUBLE)
-                    / CAST(ct + 16 AS DOUBLE)))
-                * ln((CAST(ref_n + 1 AS DOUBLE)
-                    / CAST(rt + 16 AS DOUBLE))
-                  / (CAST(cur_n + 1 AS DOUBLE)
-                    / CAST(ct + 16 AS DOUBLE)))
-                * 1000000.0) AS BIGINT) AS psi_e6
-         FROM t ORDER BY bucket""",
+    "q_drift_psi" -> driftPsiOracle,
+
+    // one-batch streaming replay of the same monitor, same oracle
+    "q_drift_stream" -> driftPsiOracle,
 
     // Lineage replay: the parity split that built the two commits.
     "q_store_lineage" ->

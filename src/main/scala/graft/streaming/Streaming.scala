@@ -565,6 +565,53 @@ object Streaming {
         ()
       }.start()
 
+  /** Per-micro-batch drift monitor: every batch's value distribution
+    * is scored against a FIXED reference frame with
+    * [[graft.ext.Profile.psiDrift]] and the per-bin PSI rows land in
+    * an append-only parquet sink keyed by batch id — the monitoring
+    * feed a continuously-ingesting pipeline alarms on (PSI > 0.2 on
+    * any recent batch ⇒ investigate the source). The reference is
+    * re-histogrammed per tick here for oracle-exactness; a production
+    * deployment aggregates the reference histogram once and broadcasts
+    * the counts — the batch side's one aggregate is the only
+    * data-sized work either way. */
+  def driftStream(stream: DataFrame, ref: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int, sinkPath: String,
+      checkpointDir: String, queryName: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        graft.ext.Profile.psiDrift(ref, df, valueCol, lo, hi, buckets)
+          .withColumn("batch_id", lit(id))
+          .coalesce(1)
+          .write.mode("append").parquet(sinkPath)
+        ()
+      }.start()
+
+  /** One-shot gate replay of [[driftStream]]: the purchase-value
+    * stream arrives in ONE batch and scores against the click-value
+    * reference, so the sink holds exactly the batch
+    * [[graft.ext.Profile.psiDrift]] rows — the q_drift_psi oracle.
+    * (A second batch would double the row count and fail the gate
+    * loudly, pinning the single-batch assumption.) */
+  def driftAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame =
+    withStagedEvents(spark, dir) { mkStream =>
+      val ref = graft.Tables.read(spark, dir, "events")
+        .filter(col("event_type") === "click")
+      awaitOneShot(
+        driftStream(mkStream().filter(col("event_type") === "purchase"),
+          ref, "value", lo = 0.0, hi = 512.0, buckets = 16,
+          s"$workDir/sink", s"$workDir/cp", queryName),
+        queryName)
+      spark.read.parquet(s"$workDir/sink")
+        .select(col("bucket"), col("ref_n"), col("cur_n"), col("psi_e6"))
+        .orderBy(col("bucket"))
+    }
+
   /** One-shot replay of [[versionedIngest]] over the events table —
     * the oracle-gate entry runs it TWICE with fresh checkpoints (so
     * the engine's own checkpoint replay protection is out of the way)
