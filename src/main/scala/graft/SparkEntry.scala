@@ -2179,6 +2179,20 @@ object SparkEntry {
     // never compared. cluster_id = component min id; is_canonical marks
     // the survivor a curation pass would keep. Oracle = recursive
     // min-label closure over the identical simhash pair SQL.
+    // PageRank over the simhash near-dup graph — which copy of a
+    // duplicated passage is the hub. All-integer ranks (1e-12 units,
+    // per-edge `rank div deg`, long damping arithmetic) make every
+    // iteration order-insensitive and the 3-step unrolled oracle
+    // bit-exact. Each iteration is one edges⋈ranks equi-join plus a
+    // partial-aggregating sum — the Pregel superstep as relational
+    // algebra, rank state O(nodes).
+    "q_pagerank" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      graft.ext.Graph.pageRank(docs, "doc_id",
+          Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 7))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.simhashDupPairs(Tables.read(s, dir, "documents"),
         "doc_id", "text", maxHamming = 7)
@@ -2838,6 +2852,61 @@ object SparkEntry {
        SELECT user_id AS user_email, sum(new_s)::BIGINT AS n_sessions,
               count(*) AS n_events
        FROM g GROUP BY 1 ORDER BY 1"""
+
+  /** Unrolled replay of [[graft.ext.Graph.pageRank]] over the simhash
+    * edge relation: all-integer ranks (1e-12 units), per-edge
+    * contribution `rank // deg`, damping update in longs — `//` floors
+    * like Scala's `/` because every value is positive. */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""it$t AS (SELECT d.doc_id AS id,
+              (((1000000 - 850000) * (1000000000000 // n.n)) // 1000000
+                + (850000 * coalesce(s.s, 0)) // 1000000)::BIGINT AS rank
+            FROM documents d CROSS JOIN n LEFT JOIN (
+              SELECT e.dst AS id, sum(r.rank // g.deg)::BIGINT AS s
+              FROM edges e JOIN it${t - 1} r ON r.id = e.src
+              JOIN deg g ON g.src = e.src
+              GROUP BY 1) s ON s.id = d.doc_id)"""
+    }
+    s"""WITH $simhashEdgesCte,
+         n AS (SELECT count(*) AS n FROM documents),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         it0 AS (SELECT d.doc_id AS id,
+              (1000000000000 // n.n)::BIGINT AS rank
+            FROM documents d CROSS JOIN n),
+         ${steps.mkString(",\n         ")}
+         SELECT id AS doc_id, rank AS rank_e12 FROM it$iters
+         ORDER BY doc_id"""
+  }
+
+  /** Shared simhash near-dup EDGE relation (CTE chain through
+    * `edges`): used by the clusters oracle and the PageRank oracle. */
+  private val simhashEdgesCte =
+    """tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+         h AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
+         bits AS (SELECT doc_id, p.p AS p,
+                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
+         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
+         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+                                         ELSE 0 END)::BIGINT AS simhash
+              FROM sv GROUP BY doc_id),
+         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
+                (simhash >> (c.c * 8)) & 255 AS ckey
+              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM chunked a JOIN chunked b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey
+                   AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 7),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs)"""
 
   private val driftPsiOracle =
     """WITH r AS (SELECT CAST(least(greatest(
@@ -4244,33 +4313,12 @@ object SparkEntry {
          SELECT id_a, id_b, hamming FROM pairs
          WHERE hamming <= 7 ORDER BY id_a, id_b""",
 
+    // 3-iteration integer PageRank replay over the shared edge CTE
+    "q_pagerank" -> pageRankOracle(3),
+
     "q_dedup_clusters" ->
-      """WITH RECURSIVE
-         tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
-         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
-                THEN list_distinct([array_to_string(l[i:i+2], ' ')
-                                    for i in generate_series(1, len(l) - 2)])
-                ELSE [text] END AS ss FROM tok),
-         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
-         h AS (SELECT doc_id,
-                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
-         bits AS (SELECT doc_id, p.p AS p,
-                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
-              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
-         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
-         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
-                                         ELSE 0 END)::BIGINT AS simhash
-              FROM sv GROUP BY doc_id),
-         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
-                (simhash >> (c.c * 8)) & 255 AS ckey
-              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
-         prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM chunked a JOIN chunked b
-                ON a.chunk = b.chunk AND a.ckey = b.ckey
-                   AND a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 7),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-                   UNION ALL SELECT id_b, id_a FROM prs),
+      s"""WITH RECURSIVE
+         $simhashEdgesCte,
          reach(id, lbl) AS (
              SELECT DISTINCT src, src FROM edges
              UNION

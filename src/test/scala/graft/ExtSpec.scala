@@ -1341,6 +1341,34 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.forall(_._3 > 0))
   }
 
+  test("pageRank: hubs outrank leaves outrank isolates; ranks replay " +
+      "a scalar integer reference") {
+    val s = spark
+    import s.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = graft.ext.Graph.pageRank(nodes, "id", pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) > got(2L), "the hub must outrank its leaves")
+    assert(got(2L) == got(3L) && got(3L) == got(4L))
+    assert(got(4L) > got(5L), "leaves must outrank the isolate")
+
+    // scalar replay of the same integer recurrence
+    val edges = Seq(1L -> 2L, 2L -> 1L, 1L -> 3L, 3L -> 1L,
+      1L -> 4L, 4L -> 1L)
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val r0 = 1000000000000L / 5
+    val t = ((1000000L - 850000L) * r0) / 1000000L
+    var r = Map(1L -> r0, 2L -> r0, 3L -> r0, 4L -> r0, 5L -> r0)
+    for (_ <- 1 to 3) {
+      val sums = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = r.keys.map(v =>
+        v -> (t + (850000L * sums.getOrElse(v, 0L)) / 1000000L)).toMap
+    }
+    assert(got == r)
+  }
+
   test("profileApprox: no Expand in the plan, stats line up with exact") {
     val s = spark
     import s.implicits._
