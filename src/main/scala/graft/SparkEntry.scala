@@ -2359,6 +2359,21 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Real 2-D nearest-neighbor image downscale: every second pixel of
+    // every second row, re-encoded as a VALID P6 whose md5 the oracle
+    // reproduces by sampling the same source bytes and hashing the
+    // rebuilt small file — decode → transform → re-encode, gated on
+    // the exact output BYTES, not just stats.
+    "q_media_resize" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.ppmResize(
+          Multimodal.packPpm(Tables.read(s, dir, "documents"),
+            "doc_id", "text", width = 16).as[MediaRecord],
+          factor = 2)
+        .orderBy(col("media_id"))
+    }),
+
     // Real audio decode: the same corpus packed as VALID 8-bit mono
     // RIFF/WAVE PCM files (LE size fields built by expression), parsed
     // back by a real chunk walker — channels/rate/bits come from the
@@ -4558,6 +4573,28 @@ object SparkEntry {
          FROM px ORDER BY media_id""",
 
     // WAV decode oracle: 8-bit mono PCM, one sample per text byte
+    // Resize replay: sample the same source bytes the kernel keeps
+    // (every 2nd pixel of every 2nd row of the packed 16-wide image),
+    // rebuild the small P6 text, and hash it — md5 gates the exact
+    // output bytes.
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id, text,
+              (length(text) // 48)::INT AS h
+            FROM documents WHERE length(text) >= 48),
+         r AS (SELECT doc_id, text, (h // 2)::INT AS h2 FROM m
+               WHERE h // 2 >= 1),
+         px AS (SELECT doc_id, h2,
+              [substr(text,
+                 96 * (i // 24) + 6 * ((i % 24) // 3) + (i % 3) + 1, 1)
+               for i in generate_series(0, h2 * 24 - 1)] AS chars
+            FROM r)
+         SELECT doc_id AS media_id, 8 AS small_w, h2 AS small_h,
+              (h2 * 24)::BIGINT AS n_bytes_small,
+              list_sum([ord(c) for c in chars])::BIGINT AS sum_small,
+              md5('P6' || chr(10) || '8 ' || h2 || chr(10) || '255'
+                || chr(10) || array_to_string(chars, '')) AS small_md5
+         FROM px ORDER BY media_id""",
+
     "q_media_wav" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n
                FROM documents WHERE length(text) > 0),

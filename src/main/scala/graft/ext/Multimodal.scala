@@ -109,10 +109,14 @@ object Multimodal {
     * then payload statistics (mean over all RGB bytes + the rolling-31
     * checksum) over exactly width×height×3 bytes. Malformed input fails
     * loudly with the record id. */
-  private[graft] def parsePpm(r: MediaRecord): PpmFeatures = {
-    val b = r.payload
+  /** Header scan shared by [[parsePpm]] and [[ppmResize]]: P6 magic,
+    * whitespace-and-comment-tolerant width/height/maxval, then the
+    * single terminator byte. Returns (width, height, maxval,
+    * payloadOffset); malformed input fails loudly with the id. */
+  private def scanPpmHeader(mediaId: Long,
+      b: Array[Byte]): (Int, Int, Int, Int) = {
     def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"media ${r.media_id}: $msg")
+      throw new IllegalArgumentException(s"media $mediaId: $msg")
     if (b.length < 2 || b(0) != 'P' || b(1) != '6') fail("not a P6 PPM")
     var i = 2
     def isWs(c: Byte): Boolean =
@@ -140,8 +144,15 @@ object Multimodal {
     // exactly ONE whitespace byte separates the header from the payload
     if (i >= b.length || !isWs(b(i))) fail("missing header terminator")
     i += 1
+    if (b.length - i < w.toLong * h * 3)
+      fail(s"payload truncated: need ${w.toLong * h * 3} bytes")
+    (w, h, maxval, i)
+  }
+
+  private[graft] def parsePpm(r: MediaRecord): PpmFeatures = {
+    val b = r.payload
+    val (w, h, maxval, i) = scanPpmHeader(r.media_id, b)
     val n = w.toLong * h * 3
-    if (b.length - i < n) fail(s"payload truncated: need $n bytes")
     var sum = 0L
     var acc = 0L
     var j = i
@@ -286,5 +297,53 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("n_bytes"),
         octet_length(col("payload_small")).cast("long").as("n_bytes_small"),
         md5(col("payload_small")).as("small_md5"))
+  }
+
+  /** REAL 2-D image downscale: nearest-neighbor by integer `factor` —
+    * output pixel (x, y) is input pixel (x·f, y·f) — re-encoded as a
+    * VALID P6 (new dims in the header, same maxval), so the output of
+    * the resize step feeds anything that reads PPM, including
+    * [[decodePpm]] (decode → transform → re-encode, closed loop).
+    * Images smaller than one output pixel drop. Partition-local typed
+    * kernel like the decoders: no shuffle, payload bytes touched once.
+    * Emits small dims + exact byte sum + md5 of the re-encoded file
+    * (header included), so an oracle can rebuild the identical small
+    * file from source bytes and hash it. */
+  def ppmResize(media: Dataset[MediaRecord], factor: Int): DataFrame = {
+    require(factor >= 1, "resize factor must be >= 1")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val b = r.payload
+      val (w, h, maxval, off) = scanPpmHeader(r.media_id, b)
+      val (w2, h2) = (w / factor, h / factor)
+      if (w2 < 1 || h2 < 1) None
+      else {
+        val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
+        val out = new Array[Byte](header.length + w2 * h2 * 3)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var sum = 0L
+        var k = header.length
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            val src = off + 3 * (y * factor * w + x * factor)
+            var c = 0
+            while (c < 3) {
+              out(k) = b(src + c)
+              sum += b(src + c) & 0xff
+              k += 1; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(out).map(x => f"$x%02x").mkString
+        Some((r.media_id, w2, h2, (w2 * h2 * 3).toLong, sum, hex))
+      }
+    }).toDF("media_id", "small_w", "small_h", "n_bytes_small",
+      "sum_small", "small_md5")
   }
 }

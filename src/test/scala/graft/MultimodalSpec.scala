@@ -125,4 +125,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(out.getAs[Long]("n_bytes") == 8L)
     assert(out.getAs[Long]("n_bytes_small") == 4L) // a, c, e, g
   }
+
+  test("ppmResize keeps pixel (x*f, y*f), re-encodes a valid P6 the " +
+      "decoder accepts, drops sub-pixel images") {
+    val s = spark
+    import s.implicits._
+    // 4x4 image whose pixel (x, y) is RGB (10x+y, 100+x, 200+y):
+    // factor 2 keeps pixels (0,0), (2,0), (0,2), (2,2)
+    def px(x: Int, y: Int) =
+      Array((10 * x + y).toByte, (100 + x).toByte, (200 + y).toByte)
+    val payload = "P6\n4 4\n255\n".getBytes("US-ASCII") ++
+      (for (y <- 0 until 4; x <- 0 until 4) yield px(x, y))
+        .flatten.toArray
+    val tiny = "P6\n1 1\n255\nabc".getBytes("US-ASCII") // 1x1: drops at f=2
+    val in = Seq(MediaRecord(1L, "image/ppm", payload),
+      MediaRecord(2L, "image/ppm", tiny)).toDS()
+    val out = Multimodal.ppmResize(in, 2).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    assert(out(0).getInt(1) == 2 && out(0).getInt(2) == 2)
+
+    val expectBody = Seq(px(0, 0), px(2, 0), px(0, 2), px(2, 2)).flatten
+    assert(out(0).getLong(3) == 12L)
+    assert(out(0).getLong(4) == expectBody.map(_ & 0xff).sum.toLong)
+    val expectFile = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ expectBody
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(out(0).getString(5) ==
+      md.digest(expectFile).map(b => f"$b%02x").mkString)
+
+    // the re-encoded file parses: decode sees the new dimensions
+    val small = MediaRecord(1L, "image/ppm", expectFile)
+    val feats = Multimodal.decodePpm(Seq(small).toDS()).head()
+    assert(feats.width == 2 && feats.height == 2 && feats.n_pixels == 4L)
+  }
 }
