@@ -2374,6 +2374,21 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Real audio decimation: every 2nd sample of the 8-bit mono PCM
+    // stream, re-encoded as a VALID RIFF/WAVE at half the sample rate
+    // — the data-chunk md5 gates the exact kept bytes.
+    "q_media_decimate" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.wavDecimate(
+          Multimodal.packWav(Tables.read(s, dir, "documents"),
+            "doc_id", "text", sampleRate = 8000).as[MediaRecord],
+          factor = 2)
+        .select(col("media_id"), col("rate_small"),
+          col("n_samples_small"), col("sum_small"), col("data_md5"))
+        .orderBy(col("media_id"))
+    }),
+
     // Real audio decode: the same corpus packed as VALID 8-bit mono
     // RIFF/WAVE PCM files (LE size fields built by expression), parsed
     // back by a real chunk walker — channels/rate/bits come from the
@@ -4594,6 +4609,20 @@ object SparkEntry {
               md5('P6' || chr(10) || '8 ' || h2 || chr(10) || '255'
                 || chr(10) || array_to_string(chars, '')) AS small_md5
          FROM px ORDER BY media_id""",
+
+    // Decimation replay: every 2nd source byte, hashed as the data
+    // chunk; rate halves, sample count ceils.
+    "q_media_decimate" ->
+      """WITH m AS (SELECT doc_id, text, length(text)::INT AS n
+            FROM documents WHERE length(text) > 0),
+         d AS (SELECT doc_id, text, ((n + 1) // 2)::BIGINT AS n2 FROM m)
+         SELECT doc_id AS media_id, 4000 AS rate_small,
+              n2 AS n_samples_small,
+              list_sum([ord(substr(text, 2 * i + 1, 1))
+                for i in generate_series(0, n2 - 1)])::BIGINT AS sum_small,
+              md5(array_to_string([substr(text, 2 * i + 1, 1)
+                for i in generate_series(0, n2 - 1)], '')) AS data_md5
+         FROM d ORDER BY media_id""",
 
     "q_media_wav" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n

@@ -157,4 +157,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val feats = Multimodal.decodePpm(Seq(small).toDS()).head()
     assert(feats.width == 2 && feats.height == 2 && feats.n_pixels == 4L)
   }
+
+  test("wavDecimate halves the rate, keeps every factor-th sample, " +
+      "and re-encodes a file decodeWav accepts") {
+    val s = spark
+    import s.implicits._
+    val packed = Multimodal.packWav(
+      Seq((7L, "abcdefg")).toDF("doc_id", "text"),
+      "doc_id", "text", sampleRate = 8000)
+    val out = Multimodal.wavDecimate(packed.as[MediaRecord], 2).head()
+    assert(out.getAs[Int]("rate_small") == 4000)
+    assert(out.getAs[Long]("n_samples_small") == 4L) // a c e g
+    assert(out.getAs[Long]("sum_small") ==
+      "aceg".getBytes("US-ASCII").map(_ & 0xff).sum.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(out.getAs[String]("data_md5") ==
+      md.digest("aceg".getBytes("US-ASCII")).map(b => f"$b%02x").mkString)
+
+    // the rebuilt file is a valid WAV at the divided rate
+    val feats = Multimodal.decodeWav(Seq(MediaRecord(7L, "audio/wav",
+      out.getAs[Array[Byte]]("payload_small"))).toDS()).head()
+    assert(feats.sample_rate == 4000 && feats.n_samples == 4L &&
+      feats.bits_per_sample == 8)
+  }
 }
