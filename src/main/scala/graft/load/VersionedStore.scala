@@ -252,75 +252,66 @@ object VersionedStore {
       if (st.getPath.getName.startsWith("part-"))
         out += st.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
     }
-    writeStats(spark, path, v, out.toSeq, sortCols.head)
+    writeStats(spark, path, v, out.toSeq)
     out.toSeq
   }
 
-  // ── Zone-map sidecars: per-file min/max of the leading sort column ──
+  // ── Zone-map sidecars: per-file min/max of every eligible column ──
 
   private def statsPath(path: String, v: Int) =
     new Path(logDir(path), f"$v%010d.stats")
 
-  /** Record per-file (min, max) of `statCol` for commit `v`'s files,
-    * lifted from the PARQUET FOOTERS the write just produced — no
-    * re-read of data pages, just O(files) driver-side footer opens
-    * (the Delta/Iceberg stats-collection move; parallelize the footer
-    * reads through the cluster if single-commit file counts ever make
-    * the driver loop matter). Written BEFORE the manifest publishes,
-    * so a crash leaves an unreferenced sidecar, never a version
-    * without one it needs — and a missing/torn sidecar only disables
-    * pruning ([[readStats]] returns None), it cannot affect
-    * correctness. Files whose footer lacks usable stats for the column
-    * (all-null, truncated binary stats, unexpected type) simply get no
-    * line and never prune. */
+  /** Record per-file (min, max) of EVERY eligible column (integral or
+    * string, top-level primitive) for commit `v`'s files, lifted from
+    * the PARQUET FOOTERS the write just produced — no re-read of data
+    * pages, just O(files) driver-side footer opens on a small pool
+    * (the Delta/Iceberg stats-collection move: Delta records stats for
+    * the first 32 columns; the footer is already open, so extra
+    * columns cost only sidecar bytes here). Written BEFORE the
+    * manifest publishes, so a crash leaves an unreferenced sidecar,
+    * never a version without one it needs — and a missing/torn sidecar
+    * only disables pruning ([[readStats]] returns None), it cannot
+    * affect correctness. A (file, column) whose footer lacks usable
+    * stats (all-null, truncated binary stats, unexpected type) gets no
+    * line and never prunes.
+    *
+    * Sidecar v2 line: `file<TAB>col<TAB>kind<TAB>min<TAB>max` under a
+    * `#v=2` header; v1 sidecars (single `#col=`/`#kind=` headers,
+    * 3-field lines) written by earlier commits still read. */
   private def writeStats(spark: SparkSession, path: String, v: Int,
-      relFiles: Seq[String], statCol: String): Unit = {
+      relFiles: Seq[String]): Unit = {
     if (relFiles.isEmpty) return
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    // one footer open per file, driver-side but pooled: 8-way I/O
-    // overlap keeps commit latency flat in the file count the way the
-    // lakehouse stats collectors do it
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val perFile = Await.result(
+    val lines = Await.result(
       Future.traverse(relFiles.sorted)(rel =>
-        Future(statLine(path, rel, statCol, conf))),
+        Future(statLines(path, rel, conf))),
       Duration.Inf).flatten
-    // every file of a commit shares one schema; tolerate drift anyway
-    // by keeping only the first-seen kind's lines
-    val kind = perFile.headOption.map(_._1).getOrElse(return)
-    val lines = perFile.collect { case (`kind`, l) => l }
+    if (lines.isEmpty) return
     val out = fs(spark, path).create(statsPath(path, v), true)
-    try out.write(
-      (s"#col=$statCol" +: s"#kind=$kind" +: lines :+ EndSentinel)
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(("#v=2" +: lines :+ EndSentinel)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Footer-derived (kind, `file\tmin\tmax` line) for one data file,
-    * or None when the footer lacks usable stats for the column. */
-  private def statLine(path: String, rel: String, statCol: String,
-      conf: org.apache.hadoop.conf.Configuration)
-      : Option[(String, String)] = {
+  /** Footer-derived v2 stat lines for one data file: one line per
+    * eligible column with usable stats in every row group. */
+  private def statLines(path: String, rel: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import scala.jdk.CollectionConverters._
-    {
-      val rd = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(s"$path/$rel"), conf))
-      try {
-        val md = rd.getFooter.getFileMetaData.getSchema
-        val idx = md.getFields.asScala.indexWhere(_.getName == statCol)
-        val fileKind = if (idx < 0) None else {
-          val t = md.getFields.get(idx)
+    val rd = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(s"$path/$rel"), conf))
+    try {
+      val md = rd.getFooter.getFileMetaData.getSchema
+      val blocks = rd.getFooter.getBlocks.asScala
+      md.getFields.asScala.toSeq.flatMap { t =>
+        val kind =
           if (!t.isPrimitive) None
           else (t.asPrimitiveType().getPrimitiveTypeName,
               t.getLogicalTypeAnnotation) match {
@@ -334,9 +325,9 @@ object VersionedStore {
               => Some("string")
             case _ => None
           }
-        }
-        fileKind.flatMap { k =>
-          val stats = rd.getFooter.getBlocks.asScala.map(
+        kind.flatMap { k =>
+          val statCol = t.getName
+          val stats = blocks.map(
             _.getColumns.asScala
               .find(_.getPath.toDotString == statCol)
               .map(_.getStatistics).orNull)
@@ -362,18 +353,22 @@ object VersionedStore {
                   (mns.map(_.toLong).min.toString,
                     mxs.map(_.toLong).max.toString)
                 else (mns.min, mxs.max)
-              if ((rel + mn + mx).exists(c => c == '\t' || c == '\n'))
-                None
-              else Some((k, s"$rel\t$mn\t$mx"))
+              if ((rel + statCol + mn + mx).exists(c =>
+                c == '\t' || c == '\n')) None
+              else Some(s"$rel\t$statCol\t$k\t$mn\t$mx")
             }
           }
         }
-      } finally rd.close()
-    }
+      }
+    } finally rd.close()
   }
 
-  /** Commit `v`'s sidecar, or None when absent/torn/other-column —
-    * every None path degrades to "don't prune". */
+  /** Commit `v`'s sidecar entries for `column`, or None when the
+    * sidecar is absent/torn or records nothing for that column —
+    * every None path degrades to "don't prune". Reads both formats:
+    * v2 (`#v=2`, self-describing 5-field lines, any column) and the
+    * earlier v1 (single `#col=`/`#kind=` headers, 3-field lines, one
+    * column). */
   private def readStats(spark: SparkSession, path: String, v: Int,
       column: String): Option[(String, Map[String, (String, String)])] = {
     val f = fs(spark, path)
@@ -388,14 +383,28 @@ object VersionedStore {
     val hdr = body.takeWhile(_.startsWith("#"))
       .map(_.stripPrefix("#").split("=", 2))
       .collect { case Array(k, value) => k -> value }.toMap
-    if (!hdr.get("col").contains(column)) return None
-    val kind = hdr.getOrElse("kind", return None)
-    Some((kind, body.dropWhile(_.startsWith("#")).flatMap { l =>
-      l.split("\t", -1) match {
-        case Array(rel, mn, mx) => Some(rel -> (mn, mx))
-        case _ => None
+    val data = body.dropWhile(_.startsWith("#"))
+    if (hdr.get("v").contains("2")) {
+      val hits = data.flatMap { l =>
+        l.split("\t", -1) match {
+          case Array(rel, col0, kind, mn, mx) if col0 == column =>
+            Some((kind, rel -> (mn, mx)))
+          case _ => None
+        }
       }
-    }.toMap))
+      hits.headOption.map { case (kind, _) =>
+        (kind, hits.collect { case (`kind`, e) => e }.toMap)
+      }
+    } else {
+      if (!hdr.get("col").contains(column)) return None
+      val kind = hdr.getOrElse("kind", return None)
+      Some((kind, data.flatMap { l =>
+        l.split("\t", -1) match {
+          case Array(rel, mn, mx) => Some(rel -> (mn, mx))
+          case _ => None
+        }
+      }.toMap))
+    }
   }
 
   private val CommitRe = "data/c(\\d+)/".r

@@ -331,14 +331,15 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
         "event_id", 999L)
       assert(none.inputFiles.length == 0 && none.count() == 0)
     }
-    // store written WITHOUT blooms: no pruning, same rows
+    // store written WITHOUT blooms: the multi-column zone maps still
+    // prune (every eligible column gets footer stats), rows exact
     withStore { store =>
       VersionedStore.create(events(
         (1L, ts(1), "a@x", "workout", 1.0),
         (2L, ts(2), "a@x", "workout", 2.0)), store)
       val hit = VersionedStore.snapshotPoint(spark, store,
         "event_id", 2L)
-      assert(hit.inputFiles.length == 2)
+      assert(hit.inputFiles.length == 1)
       assert(hit.collect().map(_.getAs[Long]("event_id")).toSeq ==
         Seq(2L))
     }
@@ -408,6 +409,22 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
       VersionedStore.upsert(spark, store, events(
         (2L, ts(2), "a@x", "workout", 20.0)))
       assert(byCommit == Map(0 -> 1L, 1 -> 1L, 2 -> 1L))
+    }
+  }
+
+  test("multi-column zone maps: any recorded column with disjoint " +
+      "per-file ranges prunes, not just the clustering key") {
+    withStore { store =>
+      def batch(base: Long) = events((0 until 4).map(i =>
+        (base + i, ts(1), s"u$i@x", "workout", 1.0)): _*)
+      VersionedStore.create(batch(1L), store)
+      VersionedStore.append(spark, store, batch(101L))
+      // same day, two files; event_id is NOT the clustering key but
+      // its per-file ranges are disjoint — stats prune on it anyway
+      val hit = VersionedStore.snapshotWhere(spark, store,
+        "event_id", 101L, 104L)
+      assert(hit.inputFiles.length == 1)
+      assert(hit.count() == 4)
     }
   }
 
