@@ -2628,6 +2628,14 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Stream-static enrichment: events stream ⋈ broadcast customer dim
+    // → per-segment rollup; the one-shot replay equals the batch join,
+    // which is the oracle.
+    "q_stream_enrich" -> ((s, dir) =>
+      Streaming.enrichAvailableNow(s, dir,
+          Streaming.nextQueryName("graft_enrich"))
+        .orderBy(col("c_mktsegment"))),
+
     // Streaming arm of the drift monitor: the purchase stream replays
     // in one AvailableNow batch against the click reference, the
     // foreachBatch sink collects the per-bin PSI rows — identical to
@@ -4760,6 +4768,13 @@ object SparkEntry {
 
     // one-batch streaming replay of the same monitor, same oracle
     "q_drift_stream" -> driftPsiOracle,
+
+    // stream-static join replay: the plain batch join + rollup
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+              round(sum(value), 6) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
 
     // Lineage replay: the parity split that built the two commits.
     "q_store_lineage" ->

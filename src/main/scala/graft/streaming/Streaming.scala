@@ -529,6 +529,28 @@ object Streaming {
     }
   }
 
+  /** Stream-STATIC enrichment: the event stream joins a batch
+    * dimension (broadcast — the dimension is planned once and rides
+    * every micro-batch, the standard lookup-table shape; Spark re-reads
+    * the static side per batch, so slowly-changing dims pick up
+    * changes between ticks) and aggregates per segment. One-shot
+    * replay equals the batch join+aggregate, which is the oracle. */
+  def enrichAvailableNow(spark: SparkSession, dir: String,
+      queryName: String): DataFrame =
+    withStagedEvents(spark, dir) { mkStream =>
+      val dim = graft.Tables.read(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = mkStream()
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("sum_value"))
+      val q = enriched.writeStream.format("memory").queryName(queryName)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      awaitOneShot(q, queryName)
+      spark.table(queryName)
+    }
+
   /** Exactly-once streaming ingest into a
     * [[graft.load.VersionedStore]]: each micro-batch commits as ONE
     * store version (create on an empty store, keyed upsert after)
