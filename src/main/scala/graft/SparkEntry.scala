@@ -2579,6 +2579,30 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Metadata-only aggregates: COUNT(*) and min/max of an integral
+    // column answered by driver-side arithmetic over the sidecar row
+    // counts and zone maps — no scan, no task. The spec proves the
+    // no-scan claim by deleting the data files; here the oracle proves
+    // exactness against the raw table.
+    "q_store_meta_agg" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_meta_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev.filter(col("event_id") % 2 === 0), store)
+        VersionedStore.append(s, store,
+          ev.filter(col("event_id") % 2 =!= 0))
+        val n = VersionedStore.snapshotRowCount(s, store)
+        val (mn, mx) = VersionedStore.snapshotMinMaxLong(s, store,
+          "event_id").getOrElse(
+          throw new IllegalStateException("zone maps missing"))
+        val sp = s
+        import sp.implicits._
+        Seq((n, mn, mx)).toDF("n_rows", "min_id", "max_id")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Row-level write lineage from metadata alone: the commit id is
     // parsed from the file path Spark tracks per row — no stored
     // column, no join. Even event_ids landed in commit 0, odd in
@@ -4775,6 +4799,12 @@ object SparkEntry {
               round(sum(value), 6) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1 ORDER BY 1""",
+
+    // Metadata aggregates are exact, so the raw table replays them.
+    "q_store_meta_agg" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_id,
+              max(event_id) AS max_id
+         FROM events""",
 
     // Lineage replay: the parity split that built the two commits.
     "q_store_lineage" ->

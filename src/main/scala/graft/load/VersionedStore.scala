@@ -310,7 +310,13 @@ object VersionedStore {
     try {
       val md = rd.getFooter.getFileMetaData.getSchema
       val blocks = rd.getFooter.getBlocks.asScala
-      md.getFields.asScala.toSeq.flatMap { t =>
+      // the file's exact row count rides as the pseudo-column `#rows`
+      // (a real column can never be named that — `#` marks headers in
+      // the sidecar grammar, but lines split on TAB, so the value
+      // position is unambiguous); it powers metadata-only COUNT(*)
+      val rowCount = blocks.map(_.getRowCount).sum
+      Seq(s"$rel\t#rows\tlong\t$rowCount\t$rowCount") ++
+        md.getFields.asScala.toSeq.flatMap { t =>
         val kind =
           if (!t.isPrimitive) None
           else (t.asPrimitiveType().getPrimitiveTypeName,
@@ -614,6 +620,107 @@ object VersionedStore {
     snapshot(spark, path, version).withColumn("_commit",
       regexp_extract(col("_metadata.file_path"), "data/c(\\d+)/", 1)
         .cast("int"))
+
+  /** Exact COUNT(*) of a snapshot from LOG METADATA alone: per-file
+    * row counts were recorded in the stats sidecar at commit, so the
+    * answer is driver-side addition over the (day-pruned) manifest —
+    * no scan, no task, no data file opened. Files whose commit predates
+    * the sidecar row counts fall back to one counting scan over just
+    * those files. The `SELECT COUNT(*)` metadata shortcut every
+    * lakehouse ships. */
+  def snapshotRowCount(spark: SparkSession, path: String,
+      version: Option[Int] = None,
+      days: Option[Set[String]] = None): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"VersionedStore: no log at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"VersionedStore: version $v not in log (have ${vs.mkString(",")})")
+    val files = readManifest(spark, path, v)
+      .filter(fl => days.forall(_.contains(dayOf(fl))))
+    val byCommit = files.groupBy(fl =>
+      CommitRe.findFirstMatchIn(fl).map(_.group(1).toInt))
+    var total = 0L
+    val unrecorded = scala.collection.mutable.ArrayBuffer.empty[String]
+    byCommit.foreach {
+      case (Some(c), fls) =>
+        val m = readStats(spark, path, c, "#rows")
+          .map(_._2).getOrElse(Map.empty)
+        fls.foreach { fl =>
+          m.get(fl) match {
+            case Some((n, _)) => total += n.toLong
+            case None => unrecorded += fl
+          }
+        }
+      case (None, fls) => unrecorded ++= fls
+    }
+    if (unrecorded.nonEmpty)
+      total += spark.read.option("mergeSchema", "true")
+        .parquet(unrecorded.toSeq.map(fl => s"$path/$fl"): _*).count()
+    total
+  }
+
+  /** Exact (min, max) of an INTEGRAL column from log metadata alone —
+    * integral parquet stats are never truncated, so file-level min/max
+    * compose exactly (string stats may be truncated bounds and are NOT
+    * offered here). None when any live file lacks recorded stats for
+    * the column (all-null file, pre-stats commit) — the caller falls
+    * back to a scan rather than risking a wrong exact answer. */
+  def snapshotMinMaxLong(spark: SparkSession, path: String,
+      column: String, version: Option[Int] = None,
+      days: Option[Set[String]] = None): Option[(Long, Long)] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"VersionedStore: no log at $path")
+    val v = version.getOrElse(vs.last)
+    val files = readManifest(spark, path, v)
+      .filter(fl => days.forall(_.contains(dayOf(fl))))
+    val bounds = files.groupBy(fl =>
+      CommitRe.findFirstMatchIn(fl).map(_.group(1).toInt)).toSeq
+      .flatMap {
+        case (Some(c), fls) => readStats(spark, path, c, column) match {
+          case Some(("long", m)) => fls.map(m.get)
+          case _ => fls.map(_ => None)
+        }
+        case (None, fls) => fls.map(_ => None)
+      }
+    if (bounds.isEmpty || bounds.contains(None)) None
+    else {
+      val bs = bounds.flatten.map { case (mn, mx) => (mn.toLong, mx.toLong) }
+      Some((bs.map(_._1).min, bs.map(_._2).max))
+    }
+  }
+
+  /** Append under OPTIMISTIC-CONCURRENCY retry: on a commit conflict
+    * (another writer published the head first) re-read the new head
+    * and try again, up to `attempts` times — the loop every Delta
+    * writer runs. Safe for append specifically because a blind append
+    * is conflict-free by content: it touches no existing file, so
+    * rebasing is just re-reading the manifest. (Upserts would need
+    * real conflict detection — overlapping day rewrites — which is why
+    * there is no upsertWithRetry.) */
+  def appendWithRetry(spark: SparkSession, path: String,
+      batch: DataFrame, attempts: Int = 3,
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
+      meta: Map[String, String] = Map.empty, rangeParts: Int = 0,
+      bloomCols: Seq[String] = Nil): Int = {
+    require(attempts >= 1, "appendWithRetry: need at least one attempt")
+    var left = attempts
+    while (true) {
+      left -= 1
+      try return append(spark, path, batch, sortCols, meta, rangeParts,
+        bloomCols)
+      catch {
+        // loser can fail at either race point: the manifest publish
+        // (create-if-absent) or the data-dir write (errorifexists when
+        // the winner already claimed data/c<v>)
+        case e: IllegalStateException
+            if e.getMessage.contains("commit conflict") && left > 0 => ()
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("already exists") && left > 0 => ()
+      }
+    }
+    -1 // unreachable
+  }
 
   /** The periodic maintenance job, one call: OPTIMIZE days that
     * accumulated too many files, then VACUUM history beyond the

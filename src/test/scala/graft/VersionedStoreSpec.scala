@@ -428,6 +428,63 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("metadata aggregates answer without touching data files; " +
+      "missing stats fall back or decline") {
+    withStore { store =>
+      VersionedStore.create(events(
+        (5L, ts(1), "a@x", "workout", 1.0),
+        (9L, ts(1), "a@x", "sleep", 7.0)), store)
+      VersionedStore.append(spark, store, events(
+        (2L, ts(2), "b@x", "workout", 1.0)))
+      assert(VersionedStore.snapshotRowCount(spark, store) == 3L)
+      assert(VersionedStore.snapshotMinMaxLong(spark, store, "event_id")
+        == Some((2L, 9L)))
+      // day pruning composes
+      assert(VersionedStore.snapshotRowCount(spark, store,
+        days = Some(Set("2024-01-01"))) == 2L)
+
+      // the no-scan proof: destroy every data file — metadata answers
+      val dataDir = new java.io.File(s"$store/data")
+      org.apache.commons.io.FileUtils.listFiles(dataDir, null, true)
+        .forEach(f => assert(f.delete()))
+      assert(VersionedStore.snapshotRowCount(spark, store) == 3L)
+      assert(VersionedStore.snapshotMinMaxLong(spark, store, "event_id")
+        == Some((2L, 9L)))
+      // a non-integral column declines rather than risking truncation
+      assert(VersionedStore.snapshotMinMaxLong(spark, store,
+        "user_email").isEmpty)
+    }
+  }
+
+  test("appendWithRetry: loses to a mid-flight winner, then rebases " +
+      "once the winner publishes") {
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0)), store)
+      // a concurrent winner has claimed data/c1 but not yet published:
+      // the loser must keep targeting v1 (skipping ahead would lose
+      // the winner's update) and fail loudly when attempts run out
+      val claimed = new java.io.File(s"$store/data/c1")
+      assert(claimed.mkdirs())
+      java.nio.file.Files.writeString(
+        claimed.toPath.resolve("placeholder"), "winner in flight")
+      val batch = events((2L, ts(2), "a@x", "workout", 2.0))
+      intercept[Exception] {
+        VersionedStore.appendWithRetry(spark, store, batch, attempts = 2)
+      }
+      // the winner publishes v1 (metadata-only here); the retry now
+      // rebases onto the new head and lands v2
+      VersionedStore.writeManifest(spark, store, 1,
+        manifest(store, 0).init.filterNot(_.startsWith("#")))
+      val v = VersionedStore.appendWithRetry(spark, store, batch,
+        attempts = 3)
+      assert(v == 2)
+      assert(VersionedStore.snapshot(spark, store)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L))
+    }
+  }
+
   test("zone-map stats on integral keys compare numerically") {
     withStore { store =>
       val s = spark
