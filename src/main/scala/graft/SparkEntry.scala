@@ -947,6 +947,21 @@ object SparkEntry {
         .select(col("shard"), col("shard_pos"), col("doc_id"))
         .orderBy(col("shard"), col("shard_pos"))),
 
+    // Multi-epoch training order: shard MEMBERSHIP is epoch-stable
+    // (worker placement and caches survive), the within-shard order
+    // reshuffles per epoch via an epoch-salted hash — two epochs
+    // emitted side by side, both orders engine-exact.
+    "q_export_epochs" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      (0 to 1).map(e =>
+        graft.ext.Sampling.exportShardsEpoch(docs, col("doc_id"),
+            numShards = 8, epoch = e)
+          .select(lit(e).as("epoch"), col("shard"), col("shard_pos"),
+            col("doc_id")))
+        .reduce(_ unionByName _)
+        .orderBy(col("epoch"), col("shard"), col("shard_pos"))
+    }),
+
     // CDC apply — MERGE with deletes: a deterministic change feed
     // (seq-superseded stale updates, updates, deletes, inserts) applied
     // to the events table as the keyed sink. The stale seq=1 update
@@ -4262,6 +4277,24 @@ object SparkEntry {
                   ::BIGINT AS shard_pos,
                 doc_id
          FROM b ORDER BY shard, shard_pos""",
+
+    // epoch-salted order replay: same shard hash, per-epoch rank key
+    "q_export_epochs" ->
+      """WITH b AS (SELECT doc_id,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM documents),
+         e0 AS (SELECT 0 AS epoch, (h % 8)::BIGINT AS shard,
+                row_number() OVER (PARTITION BY h % 8 ORDER BY
+                  ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))
+                    ::UBIGINT, doc_id)::BIGINT AS shard_pos, doc_id
+              FROM b),
+         e1 AS (SELECT 1 AS epoch, (h % 8)::BIGINT AS shard,
+                row_number() OVER (PARTITION BY h % 8 ORDER BY
+                  ('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 15))
+                    ::UBIGINT, doc_id)::BIGINT AS shard_pos, doc_id
+              FROM b)
+         SELECT * FROM e0 UNION ALL SELECT * FROM e1
+         ORDER BY epoch, shard, shard_pos""",
 
     // LEFT JOIN back to documents so empty-text docs keep their 0.0 row
     // and NULL text stays NULL — matching CharEntropy's contract

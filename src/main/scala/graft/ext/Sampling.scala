@@ -113,6 +113,28 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** Per-EPOCH training order: shard membership stays a pure function
+    * of the key — epoch-stable, so shard-to-worker placement and any
+    * per-shard caches survive across epochs — while the WITHIN-shard
+    * order reshuffles per epoch through an epoch-salted md5 draw
+    * (multi-epoch training wants a different permutation each pass,
+    * reproducibly). Same single-shuffle cost as [[exportShards]];
+    * emitting k epochs is k independent rankings of the same shard
+    * partition. */
+  def exportShardsEpoch(df: DataFrame, key: Column, numShards: Int,
+      epoch: Int): DataFrame = {
+    require(numShards > 0 && epoch >= 0)
+    val clash = df.columns.filter(Set("shard", "shard_pos"))
+    require(clash.isEmpty,
+      "exportShardsEpoch reserves output column names shard, " +
+        s"shard_pos; rename input column(s) ${clash.mkString(", ")}")
+    val salted = concat(key.cast("string"), lit(s":$epoch"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(md5Top60(salted), key)
+    df.withColumn("shard", hashBucket(key, numShards))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic STRATIFIED sample: a keep-percentage per stratum
     * value (`defaultPct` for unlisted strata) — up-/down-weighting
     * languages or sources in a training mix. Same contract as

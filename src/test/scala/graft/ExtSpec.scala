@@ -1341,6 +1341,27 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.forall(_._3 > 0))
   }
 
+  test("exportShardsEpoch: membership is epoch-stable, the order " +
+      "reshuffles, positions stay dense") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    def run(e: Int) = graft.ext.Sampling.exportShardsEpoch(
+        docs, col("doc_id"), numShards = 4, epoch = e)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("shard_pos"))).toMap
+    val (e0, e1) = (run(0), run(1))
+    // same shard for every id across epochs
+    assert(e0.view.mapValues(_._1).toMap == e1.view.mapValues(_._1).toMap)
+    // at least one id moved position — the order genuinely reshuffled
+    assert(e0.exists { case (id, (_, p)) => e1(id)._2 != p })
+    // dense 1..n positions per shard in both epochs
+    for (m <- Seq(e0, e1); (_, g) <- m.values.groupBy(_._1))
+      assert(g.map(_._2).toSeq.sorted == (1L to g.size).toSeq)
+    // determinism: same epoch ⇒ same permutation
+    assert(run(1) == e1)
+  }
+
   test("pageRank: hubs outrank leaves outrank isolates; ranks replay " +
       "a scalar integer reference") {
     val s = spark
