@@ -690,6 +690,46 @@ object VersionedStore {
     }
   }
 
+  /** Commit-time CHECK constraints (the Delta constraint contract):
+    * evaluate a declarative [[graft.ext.Expectations]] suite over the
+    * batch in ONE aggregate scan and commit only if every check
+    * passes — a failing batch throws with the failing metrics and
+    * writes NOTHING (the store's quality gate sits at the write,
+    * where a violation is one batch to fix, not a corpus to repair).
+    * Applies to both the blind-append and keyed-upsert paths. */
+  def appendChecked(spark: SparkSession, path: String, batch: DataFrame,
+      suite: Seq[graft.ext.Expectations.Expectation],
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
+      meta: Map[String, String] = Map.empty, rangeParts: Int = 0,
+      bloomCols: Seq[String] = Nil): Int = {
+    enforceConstraints(batch, suite)
+    append(spark, path, batch, sortCols, meta, rangeParts, bloomCols)
+  }
+
+  /** [[upsert]] gated by the same commit-time constraint suite. */
+  def upsertChecked(spark: SparkSession, path: String, batch: DataFrame,
+      suite: Seq[graft.ext.Expectations.Expectation],
+      keys: Seq[String] = Merge.EventKeys,
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
+      evolve: Boolean = false,
+      meta: Map[String, String] = Map.empty, rangeParts: Int = 0): Int = {
+    enforceConstraints(batch, suite)
+    upsert(spark, path, batch, keys, sortCols, evolve, meta, rangeParts)
+  }
+
+  private def enforceConstraints(batch: DataFrame,
+      suite: Seq[graft.ext.Expectations.Expectation]): Unit = {
+    val failed = graft.ext.Expectations.check(batch, suite)
+      .filter(!col("passed"))
+      .select(col("check"), col("col_name"), col("metric")).collect()
+    if (failed.nonEmpty)
+      throw new IllegalArgumentException(
+        "VersionedStore: batch violates commit constraints — nothing " +
+          "written: " + failed.map(r =>
+          s"${r.getString(0)}(${r.getString(1)})=${r.getDouble(2)}")
+          .mkString(", "))
+  }
+
   /** Append under OPTIMISTIC-CONCURRENCY retry: on a commit conflict
     * (another writer published the head first) re-read the new head
     * and try again, up to `attempts` times — the loop every Delta

@@ -456,6 +456,33 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("commit constraints: a violating batch throws and writes " +
+      "nothing; a clean batch commits") {
+    import graft.ext.Expectations.{Complete, InRange}
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0)), store)
+      val suite = Seq(Complete("user_email"),
+        InRange("value", 0.0, 10.0))
+      val bad = events((2L, ts(2), "a@x", "workout", 99.0))
+      val e = intercept[IllegalArgumentException] {
+        VersionedStore.appendChecked(spark, store, bad, suite)
+      }
+      assert(e.getMessage.contains("in_range(value)"))
+      assert(VersionedStore.versions(spark, store) == Seq(0))
+      assert(VersionedStore.snapshot(spark, store).count() == 1)
+
+      val good = events((2L, ts(2), "a@x", "workout", 9.0))
+      assert(VersionedStore.appendChecked(spark, store, good, suite) == 1)
+      assert(VersionedStore.snapshot(spark, store).count() == 2)
+      // upsert path shares the gate
+      intercept[IllegalArgumentException] {
+        VersionedStore.upsertChecked(spark, store, bad, suite)
+      }
+      assert(VersionedStore.versions(spark, store) == Seq(0, 1))
+    }
+  }
+
   test("appendWithRetry: loses to a mid-flight winner, then rebases " +
       "once the winner publishes") {
     withStore { store =>
