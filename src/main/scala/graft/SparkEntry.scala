@@ -281,7 +281,10 @@ object SparkEntry {
     * longs under weights w(t−1), then weights w(t) by the identical
     * IEEE expression chain the Scala loop uses — exact longs between
     * iterations make the whole unroll engine-exact. */
-  private def logRegOracle(iters: Int): String = {
+  /** The CTE chain (through `w<iters>`) plus the margin expression —
+    * shared by the standalone probe oracle and the probe-gated export
+    * composition. */
+  private def logRegChainSql(iters: Int): (String, String) = {
     def gsum(f: String, alias: String) =
       s"sum(CAST(round(((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) * $f" +
         s" * 1048576.0) AS BIGINT)) AS $alias"
@@ -296,8 +299,8 @@ object SparkEntry {
                     s" / n.n) AS w$j").mkString(", ")}
               FROM w${t - 1} w CROSS JOIN g$t g CROSS JOIN n)"""
     }
-    val m = "w.w0 + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3"
-    s"""WITH f AS (SELECT doc_id,
+    val chain =
+      s"""f AS (SELECT doc_id,
               CASE WHEN n_chars >= 306 THEN 1.0 ELSE 0.0 END AS y,
               (CAST(len(string_split(text, ' ')) AS DOUBLE) - 56.0)
                 / 32.0 AS f1,
@@ -307,12 +310,35 @@ object SparkEntry {
             FROM documents),
          n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
          w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-         ${steps.mkString(",\n         ")}
+         ${steps.mkString(",\n         ")}"""
+    (chain, "w.w0 + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3")
+  }
+
+  private def logRegOracle(iters: Int): String = {
+    val (chain, m) = logRegChainSql(iters)
+    s"""WITH $chain
          SELECT f.doc_id, CAST(f.y AS INT) AS y,
                 CAST(round(($m) * 1000000.0) AS BIGINT) AS margin_e6,
                 CASE WHEN CAST(round(($m) * 1000000.0) AS BIGINT) > 0
                   THEN 1 ELSE 0 END AS pred
          FROM f CROSS JOIN w$iters w ORDER BY f.doc_id"""
+  }
+
+  /** Probe-gated export replay: the probe chain selects the positive
+    * margins, the export ranking shards the survivors. */
+  private def probeGatedExportOracle(iters: Int): String = {
+    val (chain, m) = logRegChainSql(iters)
+    s"""WITH $chain,
+         kept AS (SELECT f.doc_id FROM f CROSS JOIN w$iters w
+              WHERE CAST(round(($m) * 1000000.0) AS BIGINT) > 0),
+         b AS (SELECT doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+            FROM kept)
+         SELECT (h % 4)::BIGINT AS shard,
+              row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id)
+                ::BIGINT AS shard_pos,
+              doc_id
+         FROM b ORDER BY shard, shard_pos"""
   }
 
   private def bpeEncodeIdsOracle(m: Int): String =
@@ -2498,6 +2524,23 @@ object SparkEntry {
           "doc_id", "text", "n_chars", col("n_chars") >= 306,
           iters = 3, lr = 0.5)
         .orderBy(col("doc_id"))),
+
+    // The probe AS A PIPELINE STAGE: score the corpus, keep the
+    // positive margins, shard the survivors into training-export
+    // order — classifier-gated curation composed end to end, every
+    // piece individually oracle-proven and the composition replayed
+    // whole (probe CTE chain → filter → md5 shard ranking).
+    "q_probe_gated_export" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val kept = docs.join(
+        Classify.logRegQuality(docs, "doc_id", "text", "n_chars",
+            col("n_chars") >= 306, iters = 3, lr = 0.5)
+          .filter(col("pred") === 1).select("doc_id"),
+        "doc_id")
+      graft.ext.Sampling.exportShards(kept, col("doc_id"), numShards = 4)
+        .select(col("shard"), col("shard_pos"), col("doc_id"))
+        .orderBy(col("shard"), col("shard_pos"))
+    }),
 
     // Majority-vote kNN labeler over the int8-quantized exact dot:
     // label propagation from the train split to the held-out vectors.
@@ -4749,6 +4792,9 @@ object SparkEntry {
     // Full gradient-descent replay: 3 unrolled iterations of exact
     // long gradient sums → bit-identical weights → identical margins.
     "q_quality_logreg" -> logRegOracle(3),
+
+    // probe chain → positive-margin filter → shard ranking
+    "q_probe_gated_export" -> probeGatedExportOracle(3),
 
     // kNN vote replay over the same quantize + integer-dot chain as
     // q_knn_quantized, restricted to the train/test split; ties
