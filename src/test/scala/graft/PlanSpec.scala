@@ -490,4 +490,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       "each histogram side must map-side combine (partial+final)")
   }
+
+  test("probe-gated export: the survivor join is keyed, never a " +
+      "cartesian; one shard shuffle feeds the ranking") {
+    val p = plan("q_probe_gated_export")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "shard_pos must rank inside the shard")
+    // doc ⋈ survivors on doc_id: equi-join (broadcast or hash)
+    assert(p.contains("Join"), s"survivor filter must join back:\n$p")
+  }
+
+  test("multi-epoch export: each epoch ranks inside the SAME shard " +
+      "hash — no extra corpus shuffle per epoch") {
+    val p = plan("q_export_epochs")
+    assert(!p.contains("CartesianProduct"))
+    assert("Window".r.findAllIn(p).size >= 2,
+      "both epochs' rankings must appear")
+    // shard assignment hashes identically for both epochs, so the
+    // exchanges partition on the same expression
+    assert(p.contains("hashpartitioning"))
+  }
+
+  test("local supplier revenue: six-table chain is all equi-joins, " +
+      "fixed dims broadcast, no cartesian") {
+    val p = plan("q_local_supplier_revenue")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "nation/region must ride broadcasts")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "revenue aggregate must split partial/final")
+  }
 }
