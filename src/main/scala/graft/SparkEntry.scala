@@ -2151,6 +2151,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer round-trip: decode(encodeIds(text)) must reproduce the
+    // text's characters exactly (minus the word separators encode
+    // splits on) — the integrity gate a pipeline runs before training.
+    // The oracle is GROUND TRUTH, not a replay: it hashes
+    // replace(text, ' ', '') straight off the table, so any drift
+    // anywhere in train → vocab → encode → decode breaks the match.
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val merges = graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8)
+      val enc = graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text", merges)
+      val vocab = graft.ext.Bpe.bpeVocab(docs, "text", merges)
+      graft.ext.Bpe.bpeDecode(enc, "doc_id", "token_ids", vocab)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Character-distribution Shannon entropy via the native codegen'd
     // graft_entropy expression — per-row, shuffle-free; the oracle
     // recomputes the same log2 formula from per-char counts.
@@ -4303,6 +4320,13 @@ object SparkEntry {
 
     "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_bpe_encode_ids" -> bpeEncodeIdsOracle(8),
+
+    // Ground truth, not a replay: the round-trip's decoded characters
+    // must equal the raw text with the single-space separators removed.
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id, md5(replace(text, ' ', '')) AS text_md5
+         FROM documents WHERE replace(text, ' ', '') <> ''
+         ORDER BY doc_id""",
     "q_export_token_shards" -> exportTokenShardsOracle(8),
 
     // Same hash → budget → ordered-prefix arithmetic as mixtureByTokens:

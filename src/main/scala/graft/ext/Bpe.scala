@@ -271,20 +271,7 @@ object Bpe {
     val spark = docs.sparkSession
     val chain = collectChain(merges)
     val segged = segmentWords(docs, textCol, chain, maxExprMerges)
-
-    // deterministic vocabulary: sorted corpus alphabet, then merge-order
-    // minted symbols; first id wins on a string collision
-    val alphabet: Array[String] = segged
-      .select(explode(split(col("w"), "")).as("sym"))
-      .filter(col("sym") =!= "").distinct()
-      .orderBy(col("sym")).collect().map(_.getString(0))
-    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    alphabet.foreach(s => vocab.getOrElseUpdate(s, vocab.size))
-    chain.foreach { case (l, r) =>
-      val minted = l + r
-      if (!vocab.contains(minted)) vocab.update(minted, vocab.size)
-      // collision: keep the earlier id; the minted id is simply unused
-    }
+    val vocab = buildVocab(segged, chain)
     import spark.implicits._
     val wordSyms = filter(split(col("seg"), "  ", -1), x => x =!= "")
     // per-word id sequence: symbols in order -> ids in order. Every
@@ -324,5 +311,94 @@ object Bpe {
         s => s.getField("__graft_wids"))).as("token_ids"))
       .select(col(idCol), col("token_ids"),
         size(col("token_ids")).cast("long").as("n_tokens"))
+  }
+
+  /** The deterministic symbol→id mapping [[bpeEncodeIds]] documents:
+    * sorted corpus alphabet first (ids `0..B-1`), then merge-order
+    * minted symbols; on a string collision the FIRST id wins and the
+    * later mint is skipped (ids stay dense). Driver-side by design —
+    * its size IS the tokenizer vocabulary, the same state class as the
+    * merge list itself. */
+  private def buildVocab(segged: DataFrame,
+      chain: Array[(String, String)]): scala.collection.mutable.LinkedHashMap[String, Int] = {
+    val alphabet: Array[String] = segged
+      .select(explode(split(col("w"), "")).as("sym"))
+      .filter(col("sym") =!= "").distinct()
+      .orderBy(col("sym")).collect().map(_.getString(0))
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    alphabet.foreach(s => vocab.getOrElseUpdate(s, vocab.size))
+    chain.foreach { case (l, r) =>
+      val minted = l + r
+      if (!vocab.contains(minted)) vocab.update(minted, vocab.size)
+      // collision: keep the earlier id; the minted id is simply unused
+    }
+    vocab
+  }
+
+  /** The tokenizer's id table as a relation `(id, sym)` — the artifact
+    * a training pipeline persists next to the merge list so encode and
+    * decode agree across jobs. Same deterministic contract as
+    * [[bpeEncodeIds]] (which builds this mapping internally). */
+  def bpeVocab(docs: DataFrame, textCol: String, merges: DataFrame,
+      maxExprMerges: Int = MaxExprMerges): DataFrame = {
+    val spark = docs.sparkSession
+    val chain = collectChain(merges)
+    val vocab = buildVocab(segmentWords(docs, textCol, chain, maxExprMerges), chain)
+    import spark.implicits._
+    vocab.toSeq.map { case (s, i) => (i, s) }.toDF("id", "sym")
+  }
+
+  /** DECODE — token-id sequences back to text, the inverse of
+    * [[bpeEncodeIds]] and the integrity check every tokenizer pipeline
+    * runs before training: `decode(encode(x))` must reproduce `x`'s
+    * characters exactly. Because encode splits on single spaces and
+    * flattens across words, the inverse recovers the text MINUS its
+    * word separators (BPE symbols carry no boundary marker in this
+    * vocabulary), i.e. `decode(encode(x)) == x.replace(" ", "")` —
+    * which is precisely what the round-trip gate compares against.
+    *
+    * Output: `(idCol, text)`, one row per input row.
+    *
+    * Scale design (100 TB): the id→symbol table is the TOKENIZER, not
+    * the data — bounded by vocabulary size (32-64k for production BPE),
+    * so it collects to the driver like the merge list does. Below
+    * `maxLiteralVocab` the lookup is a map literal in a narrow per-row
+    * `transform` (zero shuffles, zero joins — decode is embarrassingly
+    * parallel); above it, a posexplode + broadcast equi-join +
+    * order-restoring re-assembly, one doc-keyed shuffle.
+    *
+    * Ids absent from `vocab` decode to the empty string rather than
+    * nulling the document — callers validating a foreign id stream
+    * should anti-join against [[bpeVocab]] first. */
+  def bpeDecode(encoded: DataFrame, idCol: String, idsCol: String,
+      vocab: DataFrame,
+      maxLiteralVocab: Int = MaxLiteralVocab): DataFrame = {
+    val spark = encoded.sparkSession
+    val entries: Array[(Int, String)] = vocab.select(col("id").cast("int"), col("sym"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    require(entries.map(_._1).distinct.length == entries.length,
+      "bpeDecode: vocab has duplicate ids")
+    if (entries.length <= maxLiteralVocab) {
+      val m = entries.toMap
+      encoded.withColumn("text",
+        array_join(
+          transform(col(idsCol), i => element_at(typedLit(m), i.cast("int"))),
+          "", ""))
+        .drop(idsCol)
+    } else {
+      import spark.implicits._
+      val vocabDf = broadcast(entries.toSeq.toDF("__graft_symid", "__graft_sym"))
+      val decoded = encoded
+        .select(col(idCol),
+          posexplode_outer(col(idsCol)).as(Seq("__graft_tpos", "__graft_symid")))
+        .join(vocabDf, Seq("__graft_symid"), "left")
+        .groupBy(col(idCol))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("__graft_tpos"),
+              coalesce(col("__graft_sym"), lit("")).as("__graft_sym")))),
+            s => s.getField("__graft_sym")), "").as("text"))
+      encoded.drop(idsCol).join(decoded, idCol)
+    }
   }
 }

@@ -2259,6 +2259,33 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(collectIds(128, 0) == expr)
   }
 
+  test("bpeDecode inverts bpeEncodeIds modulo word separators, both " +
+      "lookup branches agree, and unknown ids decode to empty") {
+    val merges = graft.ext.Bpe.bpeTrain(
+      docs((1L, "aaab aaab ab")), "text", numMerges = 5)
+    val corpus = docs((1L, "aaab aaab ab"), (2L, "aba ba"))
+    val enc = graft.ext.Bpe.bpeEncodeIds(corpus, "doc_id", "text", merges)
+    val vocab = graft.ext.Bpe.bpeVocab(corpus, "text", merges)
+    // vocabulary contract: alphabet a=0, b=1; minted aa=2, ab=3, aaab=4
+    assert(vocab.orderBy(col("id")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "a"), (1, "b"), (2, "aa"), (3, "ab"), (4, "aaab")))
+    def decode(maxLitVocab: Int) =
+      graft.ext.Bpe.bpeDecode(enc, "doc_id", "token_ids", vocab,
+          maxLitVocab)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getAs[String]("text"))).toSeq
+    val lit = decode(65536)
+    assert(lit == Seq((1L, "aaabaaabab"), (2L, "ababa")))
+    assert(decode(0) == lit) // broadcast-join branch, identical
+    // foreign ids (not in vocab) decode to "", never null the doc
+    val s = spark
+    import s.implicits._
+    val foreign = Seq((9L, Seq(4, 99, 3))).toDF("doc_id", "token_ids")
+    assert(graft.ext.Bpe.bpeDecode(foreign, "doc_id", "token_ids", vocab)
+      .collect().head.getAs[String]("text") == "aaabab")
+  }
+
   test("mixtureByTokens fills each source's budget in md5 order and " +
       "ignores unweighted sources, zero-token and null docs") {
     val s = spark

@@ -306,6 +306,28 @@ object PropertiesSpec extends Properties("graft") {
       ids == counts
     }
 
+  property("bpeDecode ∘ bpeEncodeIds == strip-spaces on random corpora") =
+    forAll(for {
+      nDocs <- Gen.choose(1, 5)
+      docsG <- Gen.listOfN(nDocs, Gen.listOfN(5,
+        Gen.listOfN(3, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+        .map(_.mkString(" ")))
+      m <- Gen.choose(1, 6)
+    } yield (docsG, m)) { case (texts, m) =>
+      val s = spark
+      import s.implicits._
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = graft.ext.Bpe.bpeTrain(d, "text", m)
+      val enc = graft.ext.Bpe.bpeEncodeIds(d, "doc_id", "text", merges)
+      val vocab = graft.ext.Bpe.bpeVocab(d, "text", merges)
+      val decoded = graft.ext.Bpe.bpeDecode(enc, "doc_id", "token_ids", vocab)
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        decoded(i.toLong) == t.replace(" ", "")
+      }
+    }
+
   property("scd2 intervals chain per key and merge equal runs") =
     forAll(Gen.listOfN(10, Gen.option(Gen.choose(0, 2)))) { vals =>
       val s = spark
