@@ -2849,6 +2849,61 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // JOIN-view incremental maintenance: a weighted fact⋈dim aggregate
+    // kept current from BOTH stores' change feeds via the two-sided
+    // delta rule ΔV = ΔA⋈B_new ∪ A_old⋈ΔB in signed long arithmetic —
+    // the fact side re-values a third of its rows while the dim side
+    // reweights some users and drops others, and the maintained view
+    // must be BIT-EQUAL to the oracle's recompute of the final join.
+    "q_matview_join" -> ((s, dir) => {
+      import graft.load.{IncrementalView, VersionedStore}
+      val ev = Tables.eventsAsHabits(s, dir)
+      def e6(c: Column) = round(c * 1e6).cast("long")
+      val contrib = e6(col("value") * col("weight"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mvjoin_")
+      try {
+        val (factPath, dimPath) = (tmp.toString + "/fact", tmp.toString + "/dim")
+        // fact v0 = all events; v1 re-values every third event
+        VersionedStore.create(ev, factPath)
+        VersionedStore.upsert(s, factPath,
+          ev.filter(col("event_id") % 3 === 0)
+            .withColumn("value", col("value") * 2))
+        // dim v0 = per-user weight; v1 reweights every 4th user,
+        // v2 deletes every 11th — exercising the A_old⋈ΔB leg with
+        // updates AND deletes
+        val dim0 = ev.select(col("user_email")).distinct()
+          .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+          .withColumn("weight", (col("user_email") % 5 + 1).cast("double"))
+        VersionedStore.create(dim0, dimPath, sortCols = Seq("user_email"))
+        VersionedStore.upsert(s, dimPath,
+          dim0.filter(col("user_email") % 4 === 0)
+            .withColumn("weight", col("weight") + 10),
+          keys = Seq("user_email"), sortCols = Seq("user_email"))
+        VersionedStore.delete(s, dimPath, col("user_email") % 11 === 0,
+          sortCols = Seq("user_email"))
+        val a0 = VersionedStore.snapshot(s, factPath, Some(0))
+          .select(col("user_email"), col("habit"), col("value"))
+        val b0 = VersionedStore.snapshot(s, dimPath, Some(0))
+          .select(col("user_email"), col("weight"))
+        val mv0 = IncrementalView.fromSnapshot(
+          a0.join(b0, "user_email"), Seq("habit"), contrib)
+        val zA = IncrementalView.zRelation(
+          VersionedStore.changes(s, factPath, 0, 1)
+            .select(col("user_email"), col("habit"), col("op"),
+              col("value_old"), col("value_new")))
+        val zB = IncrementalView.zRelation(
+          VersionedStore.changes(s, dimPath, 0, 2, keys = Seq("user_email"))
+            .select(col("user_email"), col("op"),
+              col("weight_old"), col("weight_new")))
+        val bNew = VersionedStore.snapshot(s, dimPath)
+          .select(col("user_email"), col("weight"))
+        IncrementalView.applyJoinDelta(mv0, zA, bNew, a0, zB,
+            Seq("user_email"), Seq("habit"), contrib)
+          .orderBy(col("habit"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Exactly-once streaming ingest into the versioned store: the same
     // replay runs TWICE with fresh checkpoints — without the committed
     // batch-id dedup the second run would re-commit (n_versions = 2);
@@ -4977,6 +5032,25 @@ object SparkEntry {
          SELECT day, user_email, habit, count(*) AS n,
                 sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS sum_e6
          FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // recompute of the FINAL fact⋈dim state — the incremental side must
+    // land bit-equal on the quantized sums
+    "q_matview_join" ->
+      """WITH a1 AS (SELECT user_id AS user_email, event_type AS habit,
+                CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+                  AS value
+              FROM events),
+         b2 AS (SELECT user_email,
+                CASE WHEN user_email % 4 = 0
+                  THEN CAST(user_email % 5 + 1 AS DOUBLE) + 10
+                  ELSE CAST(user_email % 5 + 1 AS DOUBLE) END AS weight
+              FROM (SELECT DISTINCT user_id AS user_email FROM events)
+              WHERE user_email % 11 <> 0)
+         SELECT habit, count(*)::BIGINT AS n,
+                sum(CAST(round(value * weight * 1e6) AS BIGINT))::BIGINT
+                  AS sum_e6
+         FROM a1 JOIN b2 USING (user_email)
+         GROUP BY habit ORDER BY habit""",
 
     // double replay must leave exactly one committed version and the
     // events unchanged — the dedup skipped the second batch entirely

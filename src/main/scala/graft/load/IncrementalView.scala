@@ -49,6 +49,13 @@ object IncrementalView {
     val delta = cdf.select(dims.map(col) :+ dn.as("_dn") :+ dv.as("_dv"): _*)
       .groupBy(dims.map(col): _*)
       .agg(sum(col("_dn")).as("_dn"), sum(col("_dv")).as("_dv"))
+    mergeDelta(view, delta, dims)
+  }
+
+  /** `(view ⊎ delta)` — the shared count/sum merge: full-outer on the
+    * dims, long addition, groups whose count reaches zero drop out. */
+  private def mergeDelta(view: DataFrame, delta: DataFrame,
+      dims: Seq[String]): DataFrame =
     view.as("v").join(delta.as("d"), dims, "full_outer")
       .select(dims.map(col) ++ Seq(
         (coalesce(col("v.n"), lit(0L)) + coalesce(col("d._dn"), lit(0L)))
@@ -56,5 +63,73 @@ object IncrementalView {
         (coalesce(col("v.sum_e6"), lit(0L)) +
           coalesce(col("d._dv"), lit(0L))).as("sum_e6")): _*)
       .filter(col("n") > 0)
+
+  /** A change feed as a SIGNED row relation (a z-relation): `insert`
+    * contributes the new image at +1, `delete` the old image at −1,
+    * `update` both. Payload columns are discovered as the
+    * `<c>_old`/`<c>_new` pairs of [[VersionedStore.changes]]' output
+    * and collapse to plain `<c>`; every other non-`op` column (the
+    * store keys) passes through; `_sign` carries the weight. Project
+    * the cdf to the columns the view needs BEFORE calling — what is
+    * dropped never joins. */
+  def zRelation(cdf: DataFrame): DataFrame = {
+    val payload = cdf.columns.filter(_.endsWith("_old")).map(_.dropRight(4))
+      .filter(c => cdf.columns.contains(c + "_new")).toSeq
+    val keys = cdf.columns.filterNot(c => c == "op" ||
+      payload.exists(p => c == s"${p}_old" || c == s"${p}_new")).toSeq
+    def side(keep: Column, suffix: String, sign: Long) =
+      cdf.filter(keep).select(keys.map(col) ++
+        payload.map(c => col(s"$c$suffix").as(c)) :+
+        lit(sign).as("_sign"): _*)
+    side(col("op") =!= "delete", "_new", 1L)
+      .unionByName(side(col("op") =!= "insert", "_old", -1L))
+  }
+
+  /** Incremental maintenance for an additive aggregate over an
+    * equi-JOIN — the view class [[applyDelta]] cannot reach:
+    * `V = Σ_{a⋈b} contrib(a, b)` grouped by `dims`, with BOTH sides
+    * allowed to change in the same maintenance step. The classical
+    * two-sided delta rule in z-relation form:
+    *
+    *   ΔV  =  ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+    *
+    * (exact in multiset semantics: `A_new⋈B_new − A_old⋈B_old`
+    * telescopes to those two terms), applied as signed long arithmetic
+    * — so the maintained view is BIT-EQUAL to recomputing the join
+    * aggregate from the new snapshots, which is exactly what the
+    * driver gate's oracle does.
+    *
+    * Inputs: `zA`/`zB` are the two change feeds through [[zRelation]]
+    * (pass an EMPTY feed for a side that did not change); `bNew` is
+    * the dim side AFTER its commit, `aOld` the fact side BEFORE its —
+    * both one [[VersionedStore.snapshot]] time-travel read. Project
+    * all four to `joinKeys` + the columns `dims`/`contribE6` read,
+    * with the two sides' non-key columns DISJOINT (checked).
+    *
+    * Scale (100 TB fact store, dimension-sized B): both delta joins
+    * are bounded by a CHANGE side — `ΔA ⋈ B_new` is commit × dim
+    * (AQE broadcasts whichever fits), `A_old ⋈ ΔB` scans the fact
+    * side once against a broadcast-small ΔB (a dim commit); the fact
+    * store is never joined against itself and the view is touched
+    * only through the dims-keyed merge. `contribE6` must quantize to
+    * a long per joined row BEFORE the sum — signed addition is then
+    * order-free, the exactness discipline of the whole view stack. */
+  def applyJoinDelta(view: DataFrame, zA: DataFrame, bNew: DataFrame,
+      aOld: DataFrame, zB: DataFrame, joinKeys: Seq[String],
+      dims: Seq[String], contribE6: Column): DataFrame = {
+    val aCols = (zA.columns.toSet - "_sign") -- joinKeys
+    val bCols = (zB.columns.toSet - "_sign") -- joinKeys
+    val overlap = aCols intersect bCols
+    require(overlap.isEmpty,
+      s"applyJoinDelta: project the sides to disjoint non-key columns; " +
+        s"both carry ${overlap.mkString(", ")}")
+    val dA = zA.join(bNew, joinKeys)
+    val dB = aOld.join(zB, joinKeys)
+    val delta = dA.unionByName(dB)
+      .select(dims.map(col) :+ col("_sign").as("_dn") :+
+        (contribE6 * col("_sign")).as("_dv"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("_dn")).as("_dn"), sum(col("_dv")).as("_dv"))
+    mergeDelta(view, delta, dims)
   }
 }

@@ -350,6 +350,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"candidates must broadcast into a semi-join:\n$p")
   }
 
+  test("join-view maintenance: delta joins are broadcast equi-joins, " +
+      "merge is dims-keyed, no cartesian") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.load.IncrementalView
+    val zA = IncrementalView.zRelation(Seq(
+      (1L, "x", "update", Some(2.0), Some(4.0)))
+      .toDF("k", "g", "op", "v_old", "v_new"))
+    val zB = IncrementalView.zRelation(Seq(
+      (2L, "update", Some(2.0), Some(3.0))).toDF("k", "op", "w_old", "w_new"))
+    val (b1, a0) = (Seq((2L, 3.0)).toDF("k", "w"),
+      Seq((1L, "x", 2.0)).toDF("k", "g", "v"))
+    val view = Seq(("x", 1L, 1L)).toDF("g", "n", "sum_e6")
+    val p = IncrementalView.applyJoinDelta(view, zA, b1, a0, zB,
+        Seq("k"), Seq("g"), round(col("v") * col("w") * 1e6).cast("long"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"delta rule must stay equi-join shaped:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"change-feed-sized sides must broadcast into both delta joins:\n$p")
+  }
+
   test("funnel: stage chain is equi-joins + aggregates, no windows, no cartesian") {
     val p = plan("q_funnel")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),

@@ -185,6 +185,78 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map("g1" -> ((2L, 350L)), "g3" -> ((2L, 100L))))
   }
 
+  test("zRelation signs change-feed rows: insert +new, delete -old, " +
+      "update both; keys pass through") {
+    val s = spark
+    import s.implicits._
+    import graft.load.IncrementalView
+    val cdf = Seq(
+      (1L, "insert", None, Some(10.0)),
+      (2L, "delete", Some(20.0), None),
+      (3L, "update", Some(30.0), Some(35.0)))
+      .toDF("k", "op", "v_old", "v_new")
+    val z = IncrementalView.zRelation(cdf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(z == Set((1L, 10.0, 1L), (2L, 20.0, -1L),
+      (3L, 35.0, 1L), (3L, 30.0, -1L)))
+  }
+
+  test("applyJoinDelta maintains a fact⋈dim aggregate through " +
+      "two-sided change feeds, bit-equal to recompute") {
+    val s = spark
+    import s.implicits._
+    import graft.load.IncrementalView
+    def e6(c: org.apache.spark.sql.Column) = round(c * 1e6).cast("long")
+    val contrib = e6(col("v") * col("w"))
+    // A0: facts over keys 1..3; B0: dims for keys 1..3
+    val a0 = Seq((1L, "x", 2.0), (1L, "y", 3.0), (2L, "x", 5.0),
+      (3L, "y", 7.0)).toDF("k", "g", "v")
+    val b0 = Seq((1L, 1.5), (2L, 2.0), (3L, 0.5)).toDF("k", "w")
+    // ΔA: re-value (1,x), delete (3,y), insert (2,y)
+    val cdfA = Seq(
+      (1L, "x", "update", Some(2.0), Some(4.0)),
+      (3L, "y", "delete", Some(7.0), None),
+      (2L, "y", "insert", None, Some(1.0)))
+      .toDF("k", "g", "op", "v_old", "v_new")
+    // ΔB: reweight key 2, delete key 1 (kills two old facts + the new
+    // one via A_old⋈ΔB and ΔA⋈B_new respectively)
+    val cdfB = Seq(
+      (2L, "update", Some(2.0), Some(3.0)),
+      (1L, "delete", Some(1.5), None))
+      .toDF("k", "op", "w_old", "w_new")
+    val a1 = Seq((1L, "x", 4.0), (1L, "y", 3.0), (2L, "x", 5.0),
+      (2L, "y", 1.0)).toDF("k", "g", "v")
+    val b1 = Seq((2L, 3.0), (3L, 0.5)).toDF("k", "w")
+    val mv0 = IncrementalView.fromSnapshot(a0.join(b0, "k"), Seq("g"), contrib)
+    val inc = IncrementalView.applyJoinDelta(mv0,
+        IncrementalView.zRelation(cdfA), b1, a0,
+        IncrementalView.zRelation(cdfB), Seq("k"), Seq("g"), contrib)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val full = IncrementalView.fromSnapshot(a1.join(b1, "k"), Seq("g"), contrib)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(inc == full)
+    // only (2,x)·3.0 = 15e6 and (2,y)·3.0 = 3e6 survive
+    assert(inc == Map("x" -> ((1L, 15000000L)), "y" -> ((1L, 3000000L))))
+  }
+
+  test("applyJoinDelta rejects overlapping non-key columns") {
+    val s = spark
+    import s.implicits._
+    import graft.load.IncrementalView
+    val z = IncrementalView.zRelation(
+      Seq((1L, "insert", None: Option[Double], Some(1.0)))
+        .toDF("k", "op", "v_old", "v_new"))
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalView.applyJoinDelta(
+        Seq(("g", 1L, 1L)).toDF("g", "n", "sum_e6"),
+        z, Seq((1L, 1.0)).toDF("k", "v"),
+        Seq((1L, 1.0)).toDF("k", "v"), z, Seq("k"), Seq("g"), lit(0L))
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
   test("schema evolution: an evolve commit widens rewritten days; " +
       "carried days read null; the feed sees the new column") {
     val s = spark
