@@ -2904,6 +2904,22 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Streaming JOIN-view maintenance: events stream into the fact
+    // store over THREE micro-batch commits (maxFilesPerTrigger=1 over
+    // a 3-file staging) and each commit's manifest-diff change feed
+    // advances the fact⋈dim view via applyJoinDelta — the head view
+    // generation must equal recomputing the weighted join aggregate
+    // over all events.
+    "q_matview_join_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jvs_")
+      try {
+        Streaming.joinViewAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_jview"))
+          .orderBy(col("habit"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Exactly-once streaming ingest into the versioned store: the same
     // replay runs TWICE with fresh checkpoints — without the committed
     // batch-id dedup the second run would re-commit (n_versions = 2);
@@ -5050,6 +5066,20 @@ object SparkEntry {
                 sum(CAST(round(value * weight * 1e6) AS BIGINT))::BIGINT
                   AS sum_e6
          FROM a1 JOIN b2 USING (user_email)
+         GROUP BY habit ORDER BY habit""",
+
+    // head view generation == recompute of the weighted fact⋈dim
+    // aggregate over ALL events, whatever the micro-batch slicing
+    "q_matview_join_stream" ->
+      """WITH b AS (SELECT user_email,
+                CAST(user_email % 5 + 1 AS DOUBLE) AS weight
+              FROM (SELECT DISTINCT user_id AS user_email FROM events))
+         SELECT habit, count(*)::BIGINT AS n,
+                sum(CAST(round(value * weight * 1e6) AS BIGINT))::BIGINT
+                  AS sum_e6
+         FROM (SELECT user_id AS user_email, event_type AS habit, value
+               FROM events) a
+         JOIN b USING (user_email)
          GROUP BY habit ORDER BY habit""",
 
     // double replay must leave exactly one committed version and the

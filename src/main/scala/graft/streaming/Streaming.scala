@@ -587,6 +587,118 @@ object Streaming {
         ()
       }.start()
 
+  /** Streaming JOIN-view maintenance — the lakehouse "continuous
+    * aggregate" closed over the store's own change feed: every
+    * micro-batch (1) commits to the fact store exactly-once (committed
+    * batch-id dedup, as [[versionedIngest]]), (2) derives that
+    * commit's change feed from the manifest diff, and (3) advances the
+    * maintained fact⋈dim view with
+    * [[graft.load.IncrementalView.applyJoinDelta]] — publishing each
+    * view generation under `viewDir/v<version>`, so the VIEW time-
+    * travels in lockstep with the store.
+    *
+    * Per-tick cost tracks the BATCH: one scoped store commit, one
+    * commit-sized change feed (the manifest diff only scans rewritten
+    * days), one commit×dim delta join, one dims-keyed merge of the
+    * (dims-cardinality-sized) view. The fact store is never rescanned.
+    *
+    * `factCols` are the fact-side columns `dims`/`contribE6` read
+    * (beyond `joinKeys`); `dim` is the static dimension relation —
+    * a changing dim side composes through the same `applyJoinDelta`
+    * zB leg from its own store's feed. */
+  def joinViewIngest(events: DataFrame, storePath: String, viewDir: String,
+      dim: DataFrame, joinKeys: Seq[String], factCols: Seq[String],
+      dims: Seq[String], contribE6: org.apache.spark.sql.Column,
+      checkpointDir: String, queryName: String,
+      keys: Seq[String] = graft.load.Merge.EventKeys,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val s = df.sparkSession
+        import graft.load.{IncrementalView, VersionedStore}
+        val done = VersionedStore.maxCommitted(s, storePath, "streamBatch")
+        if (done.forall(_ < id)) {
+          val meta = Map("streamBatch" -> id.toString)
+          val prev = VersionedStore.versions(s, storePath).lastOption
+          val v = prev match {
+            case None => VersionedStore.create(df, storePath, meta = meta)
+            case Some(_) =>
+              VersionedStore.upsert(s, storePath, df, keys, meta = meta)
+          }
+          // the commit's change feed as a signed z-relation; the first
+          // commit has no predecessor — every row is an insert
+          val zA = prev match {
+            case None => df
+              .select((joinKeys ++ factCols).map(col): _*)
+              .withColumn("_sign", lit(1L))
+            case Some(p) =>
+              val cdf = VersionedStore.changes(s, storePath, p, v, keys)
+              val plain = cdf.columns.toSet
+              // a factCol that is a store KEY rides the feed unsuffixed
+              // (keys cannot change under upsert); payload columns come
+              // as the _old/_new pair zRelation collapses
+              IncrementalView.zRelation(cdf.select(
+                joinKeys.map(col) ++ Seq(col("op")) ++
+                  factCols.flatMap(c =>
+                    if (plain(c)) Seq(col(c))
+                    else Seq(col(s"${c}_old"), col(s"${c}_new"))): _*))
+          }
+          val viewPrev = prev match {
+            case None => zA.limit(0).join(dim.limit(0), joinKeys)
+              .groupBy(dims.map(col): _*)
+              .agg(count(lit(1)).as("n"), sum(lit(0L)).as("sum_e6"))
+              .select(dims.map(col) :+ col("n") :+ col("sum_e6"): _*)
+            case Some(p) => s.read.parquet(s"$viewDir/v$p")
+          }
+          // static dim ⇒ the A_old⋈ΔB leg is empty by construction
+          IncrementalView.applyJoinDelta(viewPrev, zA, dim,
+              zA.limit(0).drop("_sign"),
+              dim.limit(0).withColumn("_sign", lit(1L)),
+              joinKeys, dims, contribE6)
+            .coalesce(1)
+            .write.mode("errorifexists").parquet(s"$viewDir/v$v")
+        }
+        ()
+      }.start()
+
+  /** One-shot gate replay of [[joinViewIngest]]: the events table is
+    * re-staged as THREE parquet files and streamed with
+    * `maxFilesPerTrigger = 1`, so the fact store really accretes over
+    * three commits and the view advances through three change feeds —
+    * the returned head view must equal recomputing the weighted
+    * fact⋈dim aggregate over ALL events, which is exactly what the
+    * DuckDB oracle does. */
+  def joinViewAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val ev = graft.Tables.eventsAsHabits(spark, dir)
+    val staging = s"$workDir/staged"
+    ev.repartition(3, col("event_id")).write.parquet(staging)
+    val dim = ev.select(col("user_email")).distinct()
+      .withColumn("weight", (col("user_email") % 5 + 1).cast("double"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream
+        .schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+      val storePath = s"$workDir/fact"
+      awaitOneShot(
+        joinViewIngest(stream, storePath, s"$workDir/view", dim,
+          joinKeys = Seq("user_email"), factCols = Seq("habit", "value"),
+          dims = Seq("habit"),
+          contribE6 = round(col("value") * col("weight") * 1e6).cast("long"),
+          checkpointDir = s"$workDir/cp", queryName = queryName),
+        queryName)
+      val head = graft.load.VersionedStore
+        .versions(spark, storePath).last
+      require(head >= 2, s"expected >= 3 commits, head version is $head")
+      spark.read.parquet(s"$workDir/view/v$head")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Per-micro-batch drift monitor: every batch's value distribution
     * is scored against a FIXED reference frame with
     * [[graft.ext.Profile.psiDrift]] and the per-bin PSI rows land in

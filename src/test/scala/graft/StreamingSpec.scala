@@ -455,6 +455,63 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("joinViewIngest: each commit's change feed advances the join " +
+      "view; updates re-weigh, dim-less facts drop, head == recompute") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_jvi_")
+    try {
+      val store = dir.resolve("fact").toString
+      val viewDir = dir.resolve("view").toString
+      val cp = dir.resolve("cp").toString
+      val dim = Seq((1L, 2.0), (2L, 0.5)).toDF("user_email", "weight")
+      val mem = MemoryStream[(Long, Timestamp, String, Double)]
+      def stream = mem.toDF().toDF("user_email", "ts", "habit", "value")
+      def tick(): Unit = Streaming.joinViewIngest(stream, store, viewDir,
+        dim, joinKeys = Seq("user_email"),
+        factCols = Seq("habit", "value"), dims = Seq("habit"),
+        contribE6 = round(col("value") * col("weight") * 1e6).cast("long"),
+        checkpointDir = cp, queryName = Streaming.nextQueryName("jvi"),
+        keys = Seq("user_email", "habit", "ts")).awaitTermination()
+      def view(v: Int) = s.read.parquet(s"$viewDir/v$v").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // tick 1 bootstraps the store AND the view
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "workout", 2.0),
+        (2L, ts("2024-01-01 11:00:00"), "workout", 4.0),
+        (1L, ts("2024-01-02 10:00:00"), "mood", 3.0))
+      tick()
+      // workout = 2·2 + 4·0.5 = 6; mood = 3·2 = 6
+      assert(view(0) == Map("workout" -> ((2L, 6000000L)),
+        "mood" -> ((1L, 6000000L))))
+      // tick 2: update one key, insert one, and one user with no dim
+      // row (must contribute nothing); day 2024-01-02 carries by
+      // reference, so its rows never reappear in the feed
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "workout", 10.0),
+        (2L, ts("2024-01-03 09:00:00"), "mood", 8.0),
+        (9L, ts("2024-01-03 10:00:00"), "mood", 1.0))
+      tick()
+      // workout = 10·2 + 4·0.5 = 22; mood = 3·2 + 8·0.5 = 10
+      val v1 = view(1)
+      assert(v1 == Map("workout" -> ((2L, 22000000L)),
+        "mood" -> ((2L, 10000000L))))
+      // head view == full recompute of the final store ⋈ dim
+      val full = graft.load.VersionedStore.snapshot(s, store)
+        .join(dim, "user_email")
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * col("weight") * 1e6).cast("long"))
+            .as("sum_e6"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(v1 == full)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("cdcStream: change-feed ticks apply inserts, updates, deletes") {
     val s = spark
     import s.implicits._
