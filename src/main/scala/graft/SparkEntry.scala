@@ -2639,6 +2639,42 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Z-ORDERED store layout (OPTIMIZE ZORDER BY): the commit clusters
+    // each day into Morton rectangles over (user_email, value) — per-day
+    // cluster splitting (clusterParts) instead of day-first ranges —
+    // and zone maps now record DOUBLE columns, so BOTH a user-range
+    // read and a value-range read plan strict file subsets from the
+    // log alone. Results stay exact (the predicate still runs); the
+    // oracle is the plain filtered aggregate pair.
+    "q_store_zorder" -> ((s, dir) => {
+      import graft.load.{Layout, VersionedStore}
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zstore_")
+      try {
+        val store = tmp.toString + "/store"
+        val z = Layout.zValue(col("user_email"), 0, 1500,
+          col("value"), 0, 600, bits = 12)
+        VersionedStore.create(ev, store, clusterParts = 8,
+          zorderBy = Some(z))
+        val nAll = VersionedStore.snapshot(s, store).inputFiles.length
+        val byUser = VersionedStore.snapshotWhere(s, store,
+          "user_email", 3L, 7L)
+        val byValue = VersionedStore.snapshotWhere(s, store,
+          "value", 200.0, 600.0)
+        require(byUser.inputFiles.length < nAll,
+          "z-order skipping planned a full scan on the user range")
+        require(byValue.inputFiles.length < nAll,
+          "double zone maps planned a full scan on the value range")
+        def agg1(name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_events"),
+            r6(sum(col("value"))).as("sum_value"))
+            .select(lit(name).as("sel"), col("n_events"), col("sum_value"))
+        agg1("user_range", byUser).unionByName(agg1("value_range", byValue))
+          .orderBy(col("sel"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Distribution drift monitor: PSI between the click and purchase
     // value distributions over exact histogram counts; per-bin
     // contributions quantized to 1e-6 units replay engine-exactly
@@ -5009,6 +5045,17 @@ object SparkEntry {
               round(sum(value), 6) AS sum_value
          FROM events WHERE user_id BETWEEN 10 AND 39
          GROUP BY 1 ORDER BY 1""",
+
+    // results are layout-independent; the requires inside the query
+    // prove the planning claim, the oracle proves exactness
+    "q_store_zorder" ->
+      """SELECT 'user_range' AS sel, count(*)::BIGINT AS n_events,
+              round(sum(value), 6) AS sum_value
+         FROM events WHERE user_id BETWEEN 3 AND 7
+         UNION ALL
+         SELECT 'value_range', count(*)::BIGINT, round(sum(value), 6)
+         FROM events WHERE value BETWEEN 200.0 AND 600.0
+         ORDER BY sel""",
 
     "q_version_diff" ->
       """WITH upd AS (SELECT value AS old_v, value * 2 AS new_v

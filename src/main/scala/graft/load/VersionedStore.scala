@@ -225,20 +225,39 @@ object VersionedStore {
     * the leading sort column lands in the commit's `_log/<v>.stats`
     * sidecar, lifted straight from the parquet footers the write just
     * produced — metadata reads only, no second pass over data. */
+  /** Physical layout of one commit's files. `rangeParts` range-
+    * partitions on (day, leading sort col) — contiguous DAY blocks, so
+    * interior days land in ONE file spanning the full cluster range
+    * (day-scan-friendly, weak zone maps). `clusterParts` instead
+    * range-partitions on the cluster key ALONE (the leading sort col,
+    * or `zorderBy`'s Morton key when given), so EVERY day splits into
+    * `clusterParts` cluster-range files and zone maps turn selective —
+    * at the price of days × clusterParts files per commit (size the
+    * knob to per-day volume; [[compact]] re-lays accreted days).
+    * `zorderBy` (see [[Layout.zValue]]) clusters each file into a
+    * (x, y) RECTANGLE, so the per-file min/max of BOTH dimension
+    * columns tighten and `snapshotWhere` prunes on either. */
   private def writeData(batch: DataFrame, path: String, v: Int,
       sortCols: Seq[String], rangeParts: Int = 0,
-      bloomCols: Seq[String] = Nil): Seq[String] = {
+      bloomCols: Seq[String] = Nil, clusterParts: Int = 0,
+      zorderBy: Option[org.apache.spark.sql.Column] = None): Seq[String] = {
     val spark = batch.sparkSession
     val dir = s"$path/data/c$v"
     val dayed = batch.withColumn(DayDir, to_date(col("ts")))
+    val clusterKey = zorderBy.getOrElse(col(sortCols.head))
     val parted =
-      if (rangeParts > 0)
+      if (clusterParts > 0)
+        dayed.repartitionByRange(clusterParts, clusterKey)
+      else if (rangeParts > 0)
         dayed.repartitionByRange(rangeParts, col(DayDir),
           col(sortCols.head))
       else dayed.repartition(col(DayDir))
+    val sorted = zorderBy match {
+      case Some(z) => parted.sortWithinPartitions(col(DayDir), z)
+      case None => parted.sortWithinPartitions(sortCols.map(col): _*)
+    }
     val writer = bloomCols.foldLeft(
-      parted.sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("errorifexists")) { (w, c) =>
+      sorted.write.mode("errorifexists")) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", "100000")
     }
@@ -329,6 +348,13 @@ object VersionedStore {
             case (PrimitiveTypeName.BINARY,
                 _: LogicalTypeAnnotation.StringLogicalTypeAnnotation)
               => Some("string")
+            // parquet double stats exclude NaN from min/max; that is
+            // still one-sided-safe for pruning: under Spark's ordering
+            // NaN exceeds every real, so a NaN row cannot satisfy a
+            // finite BETWEEN and losing it to a prune is impossible.
+            // A NaN min/max (all-NaN block) is dropped below via the
+            // enc null path, keeping the file unprunable.
+            case (PrimitiveTypeName.DOUBLE, null) => Some("double")
             case _ => None
           }
         kind.flatMap { k =>
@@ -344,6 +370,11 @@ object VersionedStore {
                 mx: Boolean): String = g.genericGetMin match {
               case _: java.lang.Long | _: java.lang.Integer =>
                 (if (mx) g.genericGetMax else g.genericGetMin).toString
+              case d: java.lang.Double =>
+                val v = if (mx)
+                  g.genericGetMax.asInstanceOf[java.lang.Double] else d
+                // Double.toString round-trips exactly through parseDouble
+                if (v.isNaN) null else v.toString
               case b: org.apache.parquet.io.api.Binary =>
                 (if (mx) g.genericGetMax.asInstanceOf[
                     org.apache.parquet.io.api.Binary]
@@ -358,6 +389,9 @@ object VersionedStore {
                 if (k == "long")
                   (mns.map(_.toLong).min.toString,
                     mxs.map(_.toLong).max.toString)
+                else if (k == "double")
+                  (mns.map(_.toDouble).min.toString,
+                    mxs.map(_.toDouble).max.toString)
                 else (mns.min, mxs.max)
               if ((rel + statCol + mn + mx).exists(c =>
                 c == '\t' || c == '\n')) None
@@ -436,6 +470,18 @@ object VersionedStore {
           case Some(("long", m)) =>
             fls.filter(fl => m.get(fl).forall { case (mn, mx) =>
               mx.toLong >= asLong(lo) && mn.toLong <= asLong(hi) })
+          case Some(("double", m)) =>
+            def asDouble(a: Any): Double = a match {
+              case d: Double => d
+              case f: Float => f.toDouble
+              case l: Long => l.toDouble
+              case i: Int => i.toDouble
+              case other => throw new IllegalArgumentException(
+                s"snapshotWhere: double-stat column $column needs " +
+                  s"numeric bounds, got $other")
+            }
+            fls.filter(fl => m.get(fl).forall { case (mn, mx) =>
+              mx.toDouble >= asDouble(lo) && mn.toDouble <= asDouble(hi) })
           case Some(("string", m)) =>
             fls.filter(fl => m.get(fl).forall { case (mn, mx) =>
               mx >= lo.toString && mn <= hi.toString })
@@ -456,12 +502,14 @@ object VersionedStore {
   def create(events: DataFrame, path: String,
       sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
       meta: Map[String, String] = Map.empty, rangeParts: Int = 0,
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil, clusterParts: Int = 0,
+      zorderBy: Option[org.apache.spark.sql.Column] = None): Int = {
     val spark = events.sparkSession
     require(versions(spark, path).isEmpty,
       s"VersionedStore: $path already has a log — use append/upsert")
     writeManifest(spark, path, 0,
-      writeData(events, path, 0, sortCols, rangeParts, bloomCols),
+      writeData(events, path, 0, sortCols, rangeParts, bloomCols,
+        clusterParts, zorderBy),
       schemaMeta(spark, path, None, events.schema, meta))
     0
   }
@@ -588,7 +636,8 @@ object VersionedStore {
       maxFilesPerDay: Int = 1,
       sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
       rangeParts: Int = 0, bloomCols: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty, clusterParts: Int = 0,
+      zorderBy: Option[org.apache.spark.sql.Column] = None): Int = {
     require(maxFilesPerDay >= 1, "compact: maxFilesPerDay must be >= 1")
     val head = versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"VersionedStore: no log at $path"))
@@ -601,7 +650,7 @@ object VersionedStore {
     val carried = live.filterNot(oversized.toSet)
     writeManifest(spark, path, v,
       carried ++ writeData(merged, path, v, sortCols, rangeParts,
-        bloomCols),
+        bloomCols, clusterParts, zorderBy),
       schemaMeta(spark, path, Some(head), merged.schema, meta))
     v
   }

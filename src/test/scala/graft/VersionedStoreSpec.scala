@@ -185,6 +185,55 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map("g1" -> ((2L, 350L)), "g3" -> ((2L, 100L))))
   }
 
+  test("z-ordered layout: per-day Morton rectangles prune files on " +
+      "BOTH dimensions; double zone maps carry the value column") {
+    val s = spark
+    import s.implicits._
+    // two days × an exact 8×8 (user, value) grid — quantile range
+    // boundaries land on quadrant edges, so the 4 clusterParts are the
+    // 4 (user≥4?, value≥4?) quadrants, 4 files per day
+    val rows = for {
+      d <- Seq(1, 2); u <- 0 until 8; v <- 0 until 8
+    } yield ((d * 1000 + u * 8 + v).toLong, ts(d), u.toLong, "h",
+      v.toDouble)
+    val df = rows.toDF("event_id", "ts", "user_email", "habit", "value")
+    withStore { store =>
+      val z = graft.load.Layout.zValue(col("user_email"), 0, 8,
+        col("value"), 0, 8, bits = 3)
+      VersionedStore.create(df, store, clusterParts = 4,
+        zorderBy = Some(z))
+      val nAll = VersionedStore.snapshot(spark, store).inputFiles.length
+      assert(nAll == 8, s"expected 2 days x 4 quadrant files, got $nAll")
+      val byUser = VersionedStore.snapshotWhere(spark, store,
+        "user_email", 0L, 3L)
+      val byValue = VersionedStore.snapshotWhere(spark, store,
+        "value", 5.0, 7.0)
+      // each selection lives in one half of the space: at most the two
+      // matching quadrants per day survive (+1 slack for a sampled
+      // boundary cell)
+      assert(byUser.inputFiles.length <= 5,
+        s"user half-space must prune to <=5/8 files, " +
+          s"kept ${byUser.inputFiles.length}")
+      assert(byValue.inputFiles.length <= 5,
+        s"value half-space must prune to <=5/8 files (double stats), " +
+          s"kept ${byValue.inputFiles.length}")
+      // exactness is untouched by layout
+      assert(byUser.count() == 64 && byValue.count() == 48)
+    }
+    // clusterParts WITHOUT a z key: per-day ranges on the leading sort
+    // column — the single-dimension form of the same layout
+    withStore { store =>
+      VersionedStore.create(df, store, clusterParts = 4)
+      val nAll = VersionedStore.snapshot(spark, store).inputFiles.length
+      assert(nAll == 8)
+      val sel = VersionedStore.snapshotWhere(spark, store,
+        "user_email", 0L, 1L)
+      assert(sel.inputFiles.length <= 3,
+        s"leading-column range must prune, kept ${sel.inputFiles.length}")
+      assert(sel.count() == 32)
+    }
+  }
+
   test("zRelation signs change-feed rows: insert +new, delete -old, " +
       "update both; keys pass through") {
     val s = spark
