@@ -675,7 +675,12 @@ object Streaming {
       workDir: String, queryName: String): DataFrame = {
     val ev = graft.Tables.eventsAsHabits(spark, dir)
     val staging = s"$workDir/staged"
-    ev.repartition(3, col("event_id")).write.parquet(staging)
+    // split the replay by TIME, not hash: each micro-batch is a
+    // contiguous day span (how ingest actually arrives), so every
+    // upsert rewrites only its own days and the change feed scans the
+    // commit's days, not the store — a hash split would make each tick
+    // touch ALL days and turn the replay into three full rewrites
+    ev.repartitionByRange(3, col("ts")).write.parquet(staging)
     val dim = ev.select(col("user_email")).distinct()
       .withColumn("weight", (col("user_email") % 5 + 1).cast("double"))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
