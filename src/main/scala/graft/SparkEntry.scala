@@ -2004,6 +2004,15 @@ object SparkEntry {
           "text", Seq("spark", "merge", "window"), topK = 25)
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // Exact phrase search: the positional-index conjunction as ONE
+    // doc-keyed aggregate — the corpus sheds to the phrase's own terms
+    // before the shuffle, and per-doc position-set intersection (term
+    // t_i at p+i for all i) counts every word-position occurrence.
+    "q_phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(Tables.read(s, dir, "documents"),
+          "doc_id", "text", Seq("merge", "sort"))
+        .orderBy(col("doc_id"))),
+
     // Dedup-pipeline evaluation: score the MinHash-LSH pipeline
     // against the exact length-blocked n-gram Jaccard relation as
     // ground truth — the recall/precision harness for tuning bands and
@@ -4339,6 +4348,21 @@ object SparkEntry {
               GROUP BY 1)
          SELECT doc_id, round(raw, 6) AS score FROM sc
          ORDER BY score DESC, doc_id LIMIT 25""",
+
+    // word-position occurrences (overlaps included) straight off the
+    // token arrays — no index in sight, so the conjunction's answer is
+    // gated against first principles
+    "q_phrase_search" ->
+      """WITH w AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents),
+         hits AS (SELECT doc_id FROM
+              (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws) - 1)) AS p
+               FROM w)
+              WHERE ws[p] = 'merge' AND ws[p + 1] = 'sort')
+         SELECT doc_id, count(*)::BIGINT AS n_hits
+         FROM hits GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_recall" ->
       (s"""WITH mh AS MATERIALIZED (${minhashOracleSql("")}),

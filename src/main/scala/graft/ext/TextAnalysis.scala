@@ -577,4 +577,52 @@ object TextAnalysis {
     * no substring materialization. Same values. */
   def minKgramFingerprintNative(text: Column, k: Int = 8): Column =
     call_function("graft_minkgram", text, lit(k))
+
+  /** Exact PHRASE search — the positional-index conjunction of classic
+    * IR, expressed as ONE aggregate instead of a k-way self-join: a
+    * phrase `t_0 … t_{k-1}` matches at word position p iff term `t_i`
+    * sits at `p + i` for every i, i.e. p lies in the intersection of
+    * the per-term position sets shifted by −i. Counts every
+    * word-position match (overlapping occurrences included — `"b b"`
+    * hits twice in `"b b b"`), which is what the word-array oracle
+    * counts too.
+    *
+    * Output: `(idCol, n_hits)` for documents with ≥ 1 match.
+    *
+    * Scale design (100 TB): the corpus sheds to the PHRASE'S OWN terms
+    * in the narrow tokenize pass — only matching tokens reach the one
+    * doc-keyed aggregate (map-side partials collapse per-doc position
+    * lists), and the intersection arithmetic runs per document on
+    * arrays bounded by that document's own term frequency. No join, no
+    * index materialization, no second corpus pass; k widens the
+    * per-row expression, never the shuffle. */
+  def phraseSearch(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      "phrase terms must be non-empty single tokens")
+    val terms = phrase.distinct
+    val toks = docs
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol).cast("string"), " ", -1),
+          x => x =!= "")).as(Seq("__graft_pos", "__graft_term")))
+      .filter(col("__graft_term").isin(terms: _*)) // query-term shed
+    // one conditional position-list per DISTINCT term
+    val agged = toks.groupBy(col(idCol))
+      .agg(
+        collect_list(when(col("__graft_term") === terms.head,
+          col("__graft_pos"))).as("__graft_p0"),
+        terms.tail.zipWithIndex.map { case (t, j) =>
+          collect_list(when(col("__graft_term") === t,
+            col("__graft_pos"))).as(s"__graft_p${j + 1}")
+        }: _*)
+    val termIdx = terms.zipWithIndex.toMap
+    val shifted = phrase.zipWithIndex.map { case (t, i) =>
+      transform(col(s"__graft_p${termIdx(t)}"), p => p - i)
+    }
+    val matches = shifted.reduce((a, b) => array_intersect(a, b))
+    agged
+      .select(col(idCol), size(matches).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
 }

@@ -1857,6 +1857,27 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L).getBoolean(7), "doc 4 is fully alphabetic")
   }
 
+  test("phraseSearch: position-set conjunction counts overlapping " +
+      "word-position matches; k=1/k=3 and repeated terms") {
+    val corpus = docs(
+      (1L, "a merge sort b merge sort agg"),  // 2× "merge sort"
+      (2L, "merge agg sort"),                 // terms present, no phrase
+      (3L, "b b b"),                          // overlap case for "b b"
+      (4L, "merge sort agg"),                 // the k=3 phrase once
+      (5L, ""))
+    def run(p: String*) =
+      graft.ext.TextAnalysis.phraseSearch(corpus, "doc_id", "text", p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run("merge", "sort") == Map(1L -> 2L, 4L -> 1L))
+    assert(run("merge", "sort", "agg") == Map(1L -> 1L, 4L -> 1L))
+    // repeated term: positions {0,1,2} ∩ shifted {-1,0,1} = {0,1}
+    assert(run("b", "b") == Map(3L -> 2L))
+    // single term degenerates to term frequency
+    assert(run("merge") == Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+    // absent term: no rows
+    assert(run("merge", "zzz").isEmpty)
+  }
+
   test("bm25: Okapi closed form with length normalization; rounded-score " +
       "rank cut; non-matching docs absent") {
     val s = spark
