@@ -2502,6 +2502,26 @@ object SparkEntry {
           ntz(col("r_ts")).as("r_ts"))
         .orderBy(col("l_event_id"), col("r_event_id"))),
 
+    // LEFT OUTER stream-stream interval join: null-padded results may
+    // only emit once the watermark proves no future match can arrive —
+    // the staged sentinel batches drive that progression so the replay
+    // equals the batch left interval join exactly (see
+    // Streaming.intervalJoinOuterAvailableNow).
+    "q_interval_join_outer_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ijo_")
+      try {
+        Streaming.intervalJoinOuterAvailableNow(s, dir, "click",
+            "purchase", lower = "2 hours", upper = "0 seconds",
+            tmp.toString, Streaming.nextQueryName("graft_ijo"))
+          .select(col("l_event_id"), col("r_event_id"),
+            ntz(col("l_ts")).as("l_ts"),
+            col("l_user_email").as("user_email"),
+            ntz(col("r_ts")).as("r_ts"))
+          .orderBy(col("l_event_id"), col("r_event_id"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     "q_habit_daily_stream" -> ((s, dir) =>
       Streaming.habitDailyAvailableNow(s, dir, sumHabit = "purchase",
           Streaming.nextQueryName("graft_hds"))
@@ -4083,6 +4103,19 @@ object SparkEntry {
          SELECT c.event_id AS l_event_id, p.event_id AS r_event_id,
                 c.ts AS l_ts, c.user_id AS user_email, p.ts AS r_ts
          FROM c JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts
+         ORDER BY 1, 2""",
+
+    // the BATCH left interval join — every unmatched click must have
+    // produced exactly one null-padded row through the watermark flush
+    "q_interval_join_outer_stream" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+              p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase')
+         SELECT c.event_id AS l_event_id, p.event_id AS r_event_id,
+                c.ts AS l_ts, c.user_id AS user_email, p.ts AS r_ts
+         FROM c LEFT JOIN p ON c.user_id = p.user_id
            AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts
          ORDER BY 1, 2""",
 

@@ -350,7 +350,7 @@ object Streaming {
     * `l_`/`r_` to keep the two sides' schemas disjoint. */
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, lowerBound: String, upperBound: String,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
     def prefixed(df: DataFrame, p: String): DataFrame =
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
     val l = prefixed(left, "l_").withWatermark(s"l_$tsCol", watermark)
@@ -358,7 +358,70 @@ object Streaming {
     l.join(r, expr(
       s"""l_$key = r_$key AND
          |r_$tsCol >= l_$tsCol - interval $lowerBound AND
-         |r_$tsCol <= l_$tsCol + interval $upperBound""".stripMargin))
+         |r_$tsCol <= l_$tsCol + interval $upperBound""".stripMargin),
+      joinType)
+  }
+
+  /** One-shot gate replay of the LEFT OUTER stream-stream interval
+    * join — the semantically hard half of stream joins: an unmatched
+    * left row may only emit its null-padded result once the join
+    * watermark proves no future right row can match it, i.e. the
+    * OUTPUT depends on watermark progression, not just the data. The
+    * replay stages three files read with `maxFilesPerTrigger = 1` in
+    * write (mod-time) order:
+    *
+    *   1. ALL real events (one batch — nothing is ever late), then
+    *   2. a far-future sentinel pair (one row per side, key −1): at
+    *      this batch's END both sides' watermarks jump past every real
+    *      `l_ts + upper`, then
+    *   3. a second sentinel pair, whose processing evicts the expired
+    *      left state and EMITS the null rows (no reliance on the
+    *      engine's trailing no-data micro-batch).
+    *
+    * The sentinels themselves sit above the final watermark, so their
+    * own state never expires and they cannot reach the output even
+    * before the defensive `l_event_id >= 0` filter. Result: exactly
+    * the BATCH left interval join of the real events — the oracle. */
+  def intervalJoinOuterAvailableNow(spark: SparkSession, dir: String,
+      leftHabit: String, rightHabit: String, lower: String, upper: String,
+      workDir: String, queryName: String,
+      watermark: String = "1 day"): DataFrame = {
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "intervalJoinOuterAvailableNow requires session timeZone=UTC")
+    val base = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+    val staging = s"$workDir/staged"
+    def sentinelDf(days: Int) = base.agg(max(col("ts")).as("m"))
+      .select(explode(array(
+        struct(lit(-1L - days).as("event_id"),
+          (col("m") + expr(s"INTERVAL $days DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit(leftHabit).as("event_type")),
+        struct(lit(-2L - days).as("event_id"),
+          (col("m") + expr(s"INTERVAL $days DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit(rightHabit).as("event_type"))))
+        .as("r"))
+      .select(col("r.*"))
+    // three sequential writes — mod-time order IS batch order
+    base.coalesce(1).write.mode("append").parquet(staging)
+    sentinelDf(400).coalesce(1).write.mode("append").parquet(staging)
+    sentinelDf(401).coalesce(1).write.mode("append").parquet(staging)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      def side(habit: String) = spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .filter(col("event_type") === habit)
+        .select(col("event_id"), col("user_id").as("user_email"),
+          col("ts"))
+      val joined = intervalJoinStream(side(leftHabit), side(rightHabit),
+        "user_email", "ts", lower, upper, watermark,
+        joinType = "leftOuter")
+      val q = joined.writeStream.format("memory").queryName(queryName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitOneShot(q, queryName)
+      spark.table(queryName).filter(col("l_event_id") >= 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Incremental ETL sink: each micro-batch upserts into the
