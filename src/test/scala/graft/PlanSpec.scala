@@ -373,6 +373,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"change-feed-sized sides must broadcast into both delta joins:\n$p")
   }
 
+  test("phrase search: one aggregate, no join, term shed before the shuffle") {
+    val p = plan("q_phrase_search")
+    assert(!p.contains("Join"),
+      s"phrase conjunction must not plan a self-join:\n$p")
+    assert("Exchange".r.findAllIn(p).count(_ => true) <= 2,
+      s"one doc-keyed aggregate (+ final sort) only:\n$p")
+    assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).nonEmpty)
+    // the isin() term shed must run in the narrow pre-shuffle stage
+    assert(p.contains("__graft_term"),
+      s"expected the shed filter on the exploded term column:\n$p")
+  }
+
   test("funnel: stage chain is equi-joins + aggregates, no windows, no cartesian") {
     val p = plan("q_funnel")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),

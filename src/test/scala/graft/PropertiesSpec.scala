@@ -445,6 +445,63 @@ object PropertiesSpec extends Properties("graft") {
     1 -> Gen.choose(0.0, 1.0).map(OpRestore),
     1 -> Gen.const(OpCompact))
 
+  property("applyJoinDelta == recompute under random two-sided deltas") =
+    forAll(for {
+      // A keyed by (k, g); B keyed by k; ops drawn independently
+      aRows <- Gen.mapOf(Gen.zip(
+        Gen.zip(Gen.choose(1L, 6L), Gen.oneOf("x", "y")),
+        Gen.choose(1, 9).map(_.toDouble)))
+      bRows <- Gen.mapOf(Gen.zip(Gen.choose(1L, 6L),
+        Gen.choose(1, 9).map(_.toDouble)))
+      aOps <- Gen.mapOf(Gen.zip(
+        Gen.zip(Gen.choose(1L, 6L), Gen.oneOf("x", "y")),
+        Gen.oneOf("ins", "del", "upd")))
+      bOps <- Gen.mapOf(Gen.zip(Gen.choose(1L, 6L),
+        Gen.oneOf("ins", "del", "upd")))
+    } yield (aRows, bRows, aOps, bOps)) {
+      case (aRows, bRows, aOps, bOps) =>
+        val s = spark
+        import s.implicits._
+        import graft.load.IncrementalView
+        // apply ops to the in-memory model, deriving the cdf rows
+        def step[K](rows: Map[K, Double], ops: Map[K, String], nv: Double)
+            : (Map[K, Double], Seq[(K, String, Option[Double], Option[Double])]) =
+          ops.foldLeft((rows, Seq.empty[(K, String, Option[Double], Option[Double])])) {
+            case ((m, cdf), (k, op)) => (op, m.get(k)) match {
+              case ("ins", None) =>
+                (m + (k -> nv), cdf :+ ((k, "insert", None, Some(nv))))
+              case ("del", Some(v)) =>
+                (m - k, cdf :+ ((k, "delete", Some(v), None)))
+              case ("upd", Some(v)) =>
+                (m + (k -> (v + 1)), cdf :+ ((k, "update", Some(v), Some(v + 1))))
+              case _ => (m, cdf) // no-op: ins on present, del/upd on absent
+            }
+          }
+        val (a1, cdfA) = step(aRows, aOps, 5.0)
+        val (b1, cdfB) = step(bRows, bOps, 3.0)
+        def aDf(m: Map[(Long, String), Double]) = m.toSeq
+          .map { case ((k, g), v) => (k, g, v) }.toDF("k", "g", "v")
+        def bDf(m: Map[Long, Double]) = m.toSeq.toDF("k", "w")
+        val contrib = round(col("v") * col("w") * 1e6).cast("long")
+        val mv0 = IncrementalView.fromSnapshot(
+          aDf(aRows).join(bDf(bRows), "k"), Seq("g"), contrib)
+        val zA = IncrementalView.zRelation(cdfA
+          .map { case ((k, g), op, o, n) => (k, g, op, o, n) }
+          .toDF("k", "g", "op", "v_old", "v_new"))
+        val zB = IncrementalView.zRelation(cdfB
+          .map { case (k, op, o, n) => (k, op, o, n) }
+          .toDF("k", "op", "w_old", "w_new"))
+        val inc = IncrementalView.applyJoinDelta(mv0, zA, bDf(b1),
+            aDf(aRows), zB, Seq("k"), Seq("g"), contrib)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+        val full = IncrementalView.fromSnapshot(
+            aDf(a1).join(bDf(b1), "k"), Seq("g"), contrib)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+        inc == full
+    }
+
   property("versioned store == in-memory model under random " +
       "append/upsert/delete/restore/compact sequences") =
     forAll(Gen.listOfN(5, storeOpGen)) { ops =>
