@@ -2914,6 +2914,36 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Declarative MERGE INTO over the versioned store — the full SQL
+    // clause set in one commit: delete matched zero-value rows, update
+    // matched rows only when the source value is larger, insert new
+    // rows gated by a source predicate. The oracle reconstructs the
+    // final state with the same CASE logic from the raw table.
+    "q_merge_into" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_merge_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev, store)
+        val upd = ev.filter(col("event_id") % 4 === 0)
+          .withColumn("value", col("value") * 3)
+        val ins = ev.filter(col("event_id") % 5 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("ts", col("ts") + expr("INTERVAL 2000 DAYS"))
+          .withColumn("value", col("value") + 1)
+        VersionedStore.mergeInto(s, store, upd.unionByName(ins),
+          matchedUpdate = expr("s.value > t.value"),
+          matchedDelete = expr("t.value = 0"),
+          notMatchedInsert = expr("s.value <= 400"))
+        VersionedStore.snapshot(s, store)
+          .select(col("event_id"), ntz(col("ts")).as("ts"),
+            col("user_email"), col("habit"), col("value"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // JOIN-view incremental maintenance: a weighted fact⋈dim aggregate
     // kept current from BOTH stores' change feeds via the two-sided
     // delta rule ΔV = ΔA⋈B_new ∪ A_old⋈ΔB in signed long arithmetic —
@@ -5152,6 +5182,25 @@ object SparkEntry {
          SELECT day, user_email, habit, count(*) AS n,
                 sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS sum_e6
          FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // the same clause logic as CASE arithmetic over the raw table:
+    // %4 rows delete at value=0 / triple otherwise; shifted %5 rows
+    // insert when value+1 <= 400; everything else unchanged
+    "q_merge_into" ->
+      """WITH base AS (SELECT event_id, ts, user_id AS user_email,
+                event_type AS habit, value FROM events),
+         kept AS (SELECT event_id, ts, user_email, habit,
+                CASE WHEN event_id % 4 = 0 THEN value * 3
+                     ELSE value END AS value
+              FROM base
+              WHERE NOT (event_id % 4 = 0 AND value = 0)),
+         ins AS (SELECT event_id + 10000000 AS event_id,
+                ts + INTERVAL 2000 DAY AS ts, user_email, habit,
+                value + 1 AS value
+              FROM base WHERE event_id % 5 = 0 AND value + 1 <= 400)
+         SELECT event_id, ts, user_email, habit, value
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         ORDER BY event_id""",
 
     // recompute of the FINAL fact⋈dim state — the incremental side must
     // land bit-equal on the quantized sums

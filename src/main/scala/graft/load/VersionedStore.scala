@@ -572,6 +572,71 @@ object VersionedStore {
     v
   }
 
+  /** Declarative MERGE INTO — the full SQL merge clause set over the
+    * store, generalizing [[upsert]] (which is the
+    * all-defaults instance) the way Delta's `MERGE` generalizes
+    * upsert:
+    *
+    *   WHEN MATCHED AND `matchedDelete`  THEN DELETE
+    *   WHEN MATCHED AND `matchedUpdate`  THEN UPDATE SET * (source wins)
+    *   WHEN MATCHED                      (else) keep the target row
+    *   WHEN NOT MATCHED AND `notMatchedInsert` THEN INSERT *
+    *
+    * Conditions are expressions over the aliased sides — `t` is the
+    * target (store) row, `s` the source (batch) row, e.g.
+    * `expr("s.value > t.value")`. Delete is tested before update, the
+    * SQL clause order. Source rows are deduplicated on `keys` first
+    * (last-writer-wins is the caller's concern; use a seq column
+    * upstream if arrival order matters).
+    *
+    * Same commit mechanics and scale shape as [[upsert]]: day-scoped
+    * copy-on-write — only day partitions the batch intersects are
+    * read, merged through ONE keyed full-outer join, and rewritten;
+    * everything else carries by reference. Target-only rows of
+    * untouched days are never read at all, so a MERGE's cost tracks
+    * the batch's day footprint, not the store. */
+  def mergeInto(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String] = Merge.EventKeys,
+      matchedUpdate: org.apache.spark.sql.Column = lit(true),
+      matchedDelete: org.apache.spark.sql.Column = lit(false),
+      notMatchedInsert: org.apache.spark.sql.Column = lit(true),
+      sortCols: Seq[String] = Seq("user_email", "habit", "ts"),
+      meta: Map[String, String] = Map.empty, rangeParts: Int = 0): Int = {
+    val head = versions(spark, path).lastOption.getOrElse(
+      throw new IllegalStateException(s"VersionedStore: no log at $path"))
+    enforceSchema(spark, path, head, batch.schema, evolve = false)
+    val v = head + 1
+    val live = readManifest(spark, path, head)
+    val touched = batch.select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (hit, carried) = live.partition(fl => touched.contains(dayOf(fl)))
+    val existing =
+      if (hit.isEmpty) batch.limit(0)
+      else readFiles(spark, path, head, hit, live)
+    val payload = existing.columns.filterNot(keys.contains).toSeq
+    val t = existing.withColumn("__graft_t", lit(true)).as("t")
+    val s = batch.dropDuplicates(keys)
+      .withColumn("__graft_s", lit(true)).as("s")
+    val joined = t.join(s, keys, "full_outer")
+    val matched = col("t.__graft_t").isNotNull && col("s.__graft_s").isNotNull
+    val sOnly = col("t.__graft_t").isNull
+    // clause order: DELETE, then UPDATE, then keep; inserts gated
+    val keep =
+      when(matched, !coalesce(matchedDelete, lit(false)))
+        .when(sOnly, coalesce(notMatchedInsert, lit(false)))
+        .otherwise(lit(true)) // target-only: always kept
+    val takeSource =
+      when(matched, coalesce(matchedUpdate, lit(false))).otherwise(sOnly)
+    val resolved = payload.map(c =>
+      when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c))
+    val merged = joined.filter(keep)
+      .select(keys.map(col) ++ resolved: _*)
+    writeManifest(spark, path, v,
+      carried ++ writeData(merged, path, v, sortCols, rangeParts),
+      schemaMeta(spark, path, Some(head), merged.schema, meta))
+    v
+  }
+
   /** Highest committed value of commit-meta key `key` across the log
     * (as a long), or None. O(versions) driver metadata reads — the
     * exactly-once ingest check ([[graft.streaming.Streaming]]'s

@@ -185,6 +185,43 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map("g1" -> ((2L, 350L)), "g3" -> ((2L, 100L))))
   }
 
+  test("mergeInto: clause-gated delete/update/insert in SQL clause " +
+      "order; untouched days carry by reference") {
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0),
+        (2L, ts(1), "b@x", "workout", 5.0),
+        (3L, ts(2), "c@x", "mood", 2.0),
+        (4L, ts(3), "d@x", "mood", 7.0)), store) // day 3 untouched
+      VersionedStore.mergeInto(spark, store, events(
+        (9L, ts(1), "a@x", "workout", 3.0),  // matched, 3>1  → UPDATE
+        (9L, ts(1), "b@x", "workout", -1.0), // matched, -1<0 → DELETE
+        (9L, ts(2), "c@x", "mood", 1.0),     // matched, 1<2  → keep target
+        (9L, ts(2), "e@x", "mood", 50.0),    // not matched   → INSERT
+        (9L, ts(2), "f@x", "mood", 99.0)),   // not matched, gated out
+        matchedUpdate = expr("s.value > t.value"),
+        matchedDelete = expr("s.value < 0"),
+        notMatchedInsert = expr("s.value <= 90"))
+      val out = VersionedStore.snapshot(spark, store).collect()
+        .map(r => r.getAs[String]("user_email") ->
+          ((r.getAs[Long]("event_id"), r.getAs[Double]("value")))).toMap
+      assert(out == Map(
+        "a@x" -> ((9L, 3.0)),  // source row wins wholesale on update
+        "c@x" -> ((3L, 2.0)),  // un-updated target survives
+        "d@x" -> ((4L, 7.0)),  // untouched day
+        "e@x" -> ((9L, 50.0))))
+      // day 3 was never read or rewritten
+      val (m0, m1) = (manifest(store, 0).toSet, manifest(store, 1).toSet)
+      assert(m0.intersect(m1).exists(_.contains("_vday=2024-01-03")))
+      // all-defaults mergeInto == upsert semantics
+      VersionedStore.mergeInto(spark, store, events(
+        (8L, ts(1), "a@x", "workout", 4.0)))
+      assert(VersionedStore.snapshot(spark, store)
+        .filter(col("user_email") === "a@x").head().getAs[Double]("value")
+        == 4.0)
+    }
+  }
+
   test("z-ordered layout: per-day Morton rectangles prune files on " +
       "BOTH dimensions; double zone maps carry the value column") {
     val s = spark
