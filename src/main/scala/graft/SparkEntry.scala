@@ -100,6 +100,42 @@ object SparkEntry {
     * `AS MATERIALIZED` on each generation for the same reason as
     * [[bpeEncodeOracle]]: every w$k feeds both the next census and the
     * next replace, so CTE inlining would expand the chain 2^m-fold. */
+  /** DuckDB replay of [[graft.ext.Multimodal.ppmAHash]] over the
+    * `packPpm(width = 16)` payload: the pixel bytes ARE the document's
+    * UTF-8 bytes (ASCII corpus ⇒ `ord`/`substr` address them 1:1), so
+    * the oracle recomputes the all-integer 8×8 average-hash grid —
+    * per-pixel gray `(r+g+b)//3`, per-cell `sum//npx`, grid mean
+    * `Σ//64`, bit = cell > mean — from first principles. Emits CTE
+    * `ah (doc_id, hi, lo)`: the two unsigned 32-bit halves, the form
+    * both engines can build without signed-shift overflow at bit 63. */
+  private val ahashChainSql: String =
+    """d AS (SELECT doc_id, text, (length(text) // 48)::BIGINT AS h
+          FROM documents WHERE length(text) // 48 >= 8),
+       cells AS (SELECT doc_id, text, h, ci.ci, cj.cj FROM d,
+          (SELECT unnest(generate_series(0, 7)) AS ci) ci,
+          (SELECT unnest(generate_series(0, 7)) AS cj) cj),
+       ys AS (SELECT doc_id, text, ci, cj,
+          unnest(generate_series(ci * h // 8, (ci + 1) * h // 8 - 1)) AS y
+          FROM cells),
+       xs AS (SELECT doc_id, ci, cj, text, y,
+          unnest([cj * 2, cj * 2 + 1]) AS x FROM ys),
+       px AS (SELECT doc_id, ci, cj,
+          (ord(substr(text, (48 * y + 3 * x + 1)::INT, 1)) +
+           ord(substr(text, (48 * y + 3 * x + 2)::INT, 1)) +
+           ord(substr(text, (48 * y + 3 * x + 3)::INT, 1))) // 3 AS g
+          FROM xs),
+       cavg AS (SELECT doc_id, ci, cj, (sum(g) // count(*))::BIGINT AS ca
+          FROM px GROUP BY 1, 2, 3),
+       gm AS (SELECT doc_id, (sum(ca) // 64)::BIGINT AS m
+          FROM cavg GROUP BY 1),
+       ah AS (SELECT c.doc_id,
+          sum(CASE WHEN ca > m AND 8 * ci + cj >= 32
+                THEN 1::BIGINT << (8 * ci + cj - 32) ELSE 0 END)::BIGINT
+            AS hi,
+          sum(CASE WHEN ca > m AND 8 * ci + cj < 32
+                THEN 1::BIGINT << (8 * ci + cj) ELSE 0 END)::BIGINT AS lo
+          FROM cavg c JOIN gm USING (doc_id) GROUP BY 1)"""
+
   private def bpeTrainOracle(m: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -2439,6 +2475,34 @@ object SparkEntry {
             "doc_id", "text", width = 16).as[MediaRecord],
           factor = 2)
         .orderBy(col("media_id"))
+    }),
+
+    // Perceptual image hash: all-integer 8×8 average-hash recomputed
+    // byte-for-byte by the oracle from the same payload (hex string —
+    // the unsigned 64-bit form both engines can build exactly).
+    "q_media_ahash" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.ppmAHash(
+          Multimodal.packPpm(Tables.read(s, dir, "documents"),
+            "doc_id", "text", width = 16).as[MediaRecord])
+        .select(col("media_id"),
+          format_string("%016x", col("ahash")).as("ahash_hex"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Image near-dup pairs: the aHash relation through the pigeonhole
+    // chunk join (Hamming ≤ 7 ⇒ some byte chunk agrees) — the same
+    // no-all-pairs machinery as SimHash, now over image fingerprints.
+    "q_media_ahash_pairs" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      graft.ext.Dedup.hammingDupPairs(
+          Multimodal.ppmAHash(
+            Multimodal.packPpm(Tables.read(s, dir, "documents"),
+              "doc_id", "text", width = 16).as[MediaRecord]),
+          "media_id", "ahash", maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Real audio decimation: every 2nd sample of the 8-bit mono PCM
@@ -4918,6 +4982,27 @@ object SparkEntry {
     // (every 2nd pixel of every 2nd row of the packed 16-wide image),
     // rebuild the small P6 text, and hash it — md5 gates the exact
     // output bytes.
+    "q_media_ahash" ->
+      s"""WITH $ahashChainSql
+         SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS ahash_hex
+         FROM ah ORDER BY 1""",
+
+    "q_media_ahash_pairs" ->
+      s"""WITH $ahashChainSql,
+         chunked AS (SELECT doc_id, hi, lo, c.c AS chunk,
+              CASE WHEN c.c < 4 THEN (lo >> (8 * c.c)) & 255
+                   ELSE (hi >> (8 * (c.c - 4))) & 255 END AS ckey
+            FROM ah, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              (bit_count(xor(a.hi::UBIGINT, b.hi::UBIGINT)) +
+               bit_count(xor(a.lo::UBIGINT, b.lo::UBIGINT)))::BIGINT
+                AS hamming
+            FROM chunked a JOIN chunked b
+              ON a.chunk = b.chunk AND a.ckey = b.ckey
+                 AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 7 ORDER BY 1, 2""",
+
     "q_media_resize" ->
       """WITH m AS (SELECT doc_id, text,
               (length(text) // 48)::INT AS h

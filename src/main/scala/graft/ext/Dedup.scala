@@ -438,6 +438,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup pairs at Hamming ≤ `maxHamming` over an arbitrary 64-bit
+    * hash relation — the [[simhashDupPairs]] pigeonhole generalized to
+    * any fingerprint column (SimHash, image aHash, any 64-bit LSH):
+    * split the hash into 8 byte chunks (any pair within Hamming ≤ 7
+    * agrees on ≥ 1 whole chunk), equi-join on (chunk, value), verify
+    * exact Hamming. Shuffle key is the chunk — bucket sizes are
+    * corpus/256 per position, never all-pairs. `maxHamming` must stay
+    * below 8 for the pigeonhole guarantee. */
+  def hammingDupPairs(sig: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    val chunks = 8
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < 8")
+    val chunked = sig.select(col(idCol), col(hashCol),
+      posexplode(array((0 until chunks).map(c =>
+        expr(s"shiftright($hashCol, ${c * 8}) & 255")): _*))
+        .as(Seq("chunk", "ckey")))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hammingDistance(col(s"a.$hashCol"), col(s"b.$hashCol"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ── Embedding-cosine near-dup ──────────────────────────────────────────
 
   /** Dot product of two equal-length double arrays via higher-order

@@ -361,6 +361,60 @@ object Multimodal {
       "sum_small", "small_md5")
   }
 
+  /** Perceptual average-hash (aHash) of a P6 image — the classic
+    * image-near-dup fingerprint: box-average the grayscale image onto
+    * an 8×8 grid, threshold each cell against the integer mean of the
+    * 64 cell averages (strict >), pack row-major into 64 bits. Near-
+    * identical images (re-encodes, minor noise) land within a few
+    * Hamming bits; pair them with [[Dedup.hammingDupPairs]].
+    *
+    * All-integer arithmetic — per-pixel gray `(r+g+b)/3`, per-cell
+    * `sum/npx`, grid mean `Σ/64`, every division a floor — so the hash
+    * is a pure function of the pixel bytes, engine-replayable (the
+    * oracle recomputes it from the same bytes in SQL). Images smaller
+    * than 8×8 are dropped. Partition-local typed kernel like
+    * [[ppmResize]]: narrow, zero shuffles, bytes touched once. */
+  def ppmAHash(media: Dataset[MediaRecord]): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val b = r.payload
+      val (w, h, _, off) = scanPpmHeader(r.media_id, b)
+      if (w < 8 || h < 8) None
+      else {
+        val ca = new Array[Long](64)
+        var ci = 0
+        while (ci < 8) {
+          val (y0, y1) = (ci * h / 8, (ci + 1) * h / 8)
+          var cj = 0
+          while (cj < 8) {
+            val (x0, x1) = (cj * w / 8, (cj + 1) * w / 8)
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = off + 3 * (y * w + x)
+                sum += ((b(p) & 0xff) + (b(p + 1) & 0xff) +
+                  (b(p + 2) & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            ca(ci * 8 + cj) = sum / ((y1 - y0).toLong * (x1 - x0))
+            cj += 1
+          }
+          ci += 1
+        }
+        val m = ca.sum / 64
+        var hash = 0L
+        var i = 0
+        while (i < 64) { if (ca(i) > m) hash |= (1L << i); i += 1 }
+        Some((r.media_id, hash))
+      }
+    }).toDF("media_id", "ahash")
+  }
+
   /** REAL audio decimation: keep every `factor`-th sample of an 8-bit
     * mono PCM stream and re-encode a VALID RIFF/WAVE whose fmt chunk
     * carries the divided sample rate — duration is preserved, the

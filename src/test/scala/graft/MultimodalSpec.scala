@@ -126,6 +126,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(out.getAs[Long]("n_bytes_small") == 4L) // a, c, e, g
   }
 
+  test("ppmAHash: half-dark/half-bright image sets exactly the bright " +
+      "quadrant bits; identical images pair at Hamming 0, inverse at 64") {
+    val s = spark
+    import s.implicits._
+    // 8×8 P6: left half black, right half white → 64 cells of 1 px;
+    // mean = (32·0 + 32·255)/64 = 127 → bit set iff x >= 4
+    def img(invert: Boolean): Array[Byte] = {
+      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate(8 * 8 * 3) { k =>
+        val bright = ((k / 3) % 8 >= 4) ^ invert
+        if (bright) 0xff.toByte else 0x00.toByte
+      }
+      header ++ px
+    }
+    val media = Seq(
+      MediaRecord(1L, "image/ppm", img(invert = false)),
+      MediaRecord(2L, "image/ppm", img(invert = false)),
+      MediaRecord(3L, "image/ppm", img(invert = true)),
+      MediaRecord(4L, "image/ppm", "P6\n4 4\n255\n".getBytes ++
+        Array.fill(48)(0x10.toByte))). // < 8×8 → dropped
+      toDS()
+    val hashes = Multimodal.ppmAHash(media)
+    val m = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per row the set bits are cj 4..7 → byte 0xF0 per row
+    val expected = java.lang.Long.parseUnsignedLong("f0f0f0f0f0f0f0f0", 16)
+    assert(m == Map(1L -> expected, 2L -> expected, 3L -> ~expected))
+    val pairs = graft.ext.Dedup.hammingDupPairs(hashes, "media_id", "ahash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only the identical pair survives (1,3)/(2,3) are Hamming 64
+    assert(pairs == Set((1L, 2L, 0L)))
+  }
+
   test("ppmResize keeps pixel (x*f, y*f), re-encodes a valid P6 the " +
       "decoder accepts, drops sub-pixel images") {
     val s = spark
