@@ -2978,6 +2978,33 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Store growth audit, metadata-only: per-version COUNT(*) and
+    // event_id min/max answered from sidecar row counts + zone maps
+    // across create → append → delete — no version is ever scanned,
+    // and the delete's day rewrites must keep the metadata exact.
+    "q_store_history" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hist_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev.filter(col("event_id") % 2 === 0), store)
+        VersionedStore.append(s, store,
+          ev.filter(col("event_id") % 2 =!= 0))
+        VersionedStore.delete(s, store, col("user_email") % 9 === 0)
+        val sp = s
+        import sp.implicits._
+        VersionedStore.versions(s, store).map { v =>
+          val n = VersionedStore.snapshotRowCount(s, store, Some(v))
+          val (mn, mx) = VersionedStore.snapshotMinMaxLong(s, store,
+            "event_id", version = Some(v)).getOrElse(
+            throw new IllegalStateException(s"zone maps missing at v$v"))
+          (v.toLong, n, mn, mx)
+        }.toDF("version", "n_rows", "min_id", "max_id")
+          .orderBy(col("version"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Declarative MERGE INTO over the versioned store — the full SQL
     // clause set in one commit: delete matched zero-value rows, update
     // matched rows only when the source value is larger, insert new
@@ -5267,6 +5294,20 @@ object SparkEntry {
          SELECT day, user_email, habit, count(*) AS n,
                 sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS sum_e6
          FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // per-version recompute from the raw table — the metadata-only
+    // answers must match scans that never happened
+    "q_store_history" ->
+      """SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows,
+              min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT 1::BIGINT, count(*)::BIGINT, min(event_id), max(event_id)
+         FROM events
+         UNION ALL
+         SELECT 2::BIGINT, count(*)::BIGINT, min(event_id), max(event_id)
+         FROM events WHERE user_id % 9 <> 0
+         ORDER BY version""",
 
     // the same clause logic as CASE arithmetic over the raw table:
     // %4 rows delete at value=0 / triple otherwise; shifted %5 rows
