@@ -502,6 +502,47 @@ object PropertiesSpec extends Properties("graft") {
         inc == full
     }
 
+  property("mergeInto == clause-by-clause in-memory model on random " +
+      "batches and conditions") =
+    forAll(for {
+      tgt <- Gen.nonEmptyMap(Gen.zip(Gen.choose(1L, 8L),
+        Gen.choose(0, 9).map(_.toDouble)))
+      src <- Gen.mapOf(Gen.zip(Gen.choose(1L, 12L),
+        Gen.choose(0, 9).map(_.toDouble)))
+      delThr <- Gen.choose(0, 9) // delete matched when s.value < delThr
+      updThr <- Gen.choose(0, 9) // update matched when s.value > t.value - updThr
+      insThr <- Gen.choose(0, 9) // insert unmatched when s.value <= insThr
+    } yield (tgt, src, delThr, updThr, insThr)) {
+      case (tgt, src, delThr, updThr, insThr) =>
+        val s = spark
+        import s.implicits._
+        import graft.load.VersionedStore
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mprop_")
+        try {
+          val store = tmp.toString + "/store"
+          def df(m: Map[Long, Double]) = m.toSeq.map { case (k, v) =>
+            (k, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"),
+              s"u$k", "h", v)
+          }.toDF("event_id", "ts", "user_email", "habit", "value")
+          VersionedStore.create(df(tgt), store)
+          VersionedStore.mergeInto(spark, store, df(src),
+            matchedUpdate = expr(s"s.value > t.value - $updThr"),
+            matchedDelete = expr(s"s.value < $delThr"),
+            notMatchedInsert = expr(s"s.value <= $insThr"))
+          val out = VersionedStore.snapshot(spark, store).collect()
+            .map(r => r.getAs[Long]("event_id") ->
+              r.getAs[Double]("value")).toMap
+          // reference model, SQL clause order: delete, update, keep
+          val expected = tgt.flatMap { case (k, tv) => src.get(k) match {
+            case Some(sv) if sv < delThr => None
+            case Some(sv) if sv > tv - updThr => Some(k -> sv)
+            case _ => Some(k -> tv)
+          }} ++ src.collect { case (k, sv)
+            if !tgt.contains(k) && sv <= insThr => k -> sv }
+          out == expected
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+
   property("versioned store == in-memory model under random " +
       "append/upsert/delete/restore/compact sequences") =
     forAll(Gen.listOfN(5, storeOpGen)) { ops =>

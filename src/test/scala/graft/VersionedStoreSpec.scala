@@ -269,6 +269,31 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
         s"leading-column range must prune, kept ${sel.inputFiles.length}")
       assert(sel.count() == 32)
     }
+    // OPTIMIZE ZORDER BY: an unclustered, append-accreted store (full-
+    // range day files — nothing prunes) re-laid by compact into
+    // quadrant files; rows preserved, pruning repaired
+    withStore { store =>
+      VersionedStore.create(df, store)
+      VersionedStore.append(spark, store,
+        df.filter(col("event_id") % 2 === 0)
+          .withColumn("event_id", col("event_id") + 5000))
+      val before = VersionedStore.snapshotWhere(spark, store,
+        "user_email", 0L, 3L)
+      assert(before.inputFiles.length ==
+        VersionedStore.snapshot(spark, store).inputFiles.length,
+        "unclustered day files must span the full key range (no prune)")
+      val z = graft.load.Layout.zValue(col("user_email"), 0, 8,
+        col("value"), 0, 8, bits = 3)
+      assert(VersionedStore.compact(spark, store, maxFilesPerDay = 1,
+        clusterParts = 4, zorderBy = Some(z)) == 2)
+      val after = VersionedStore.snapshotWhere(spark, store,
+        "user_email", 0L, 3L)
+      assert(after.inputFiles.length <
+        VersionedStore.snapshot(spark, store).inputFiles.length,
+        "compacted z-order layout must prune the user half-space")
+      assert(VersionedStore.snapshot(spark, store)
+        .groupBy().count().head().getLong(0) == 192L) // 128 + 64, intact
+    }
   }
 
   test("zRelation signs change-feed rows: insert +new, delete -old, " +
