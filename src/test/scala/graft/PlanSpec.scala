@@ -385,6 +385,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"expected the shed filter on the exploded term column:\n$p")
   }
 
+  test("hamming pairs: pigeonhole chunk equi-join, never a cartesian; " +
+      "aHash kernel is shuffle-free") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val sig = Seq((1L, 7L), (2L, 7L), (3L, -1L)).toDF("id", "h")
+    val p = graft.ext.Dedup.hammingDupPairs(sig, "id", "h")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay a chunk equi-join:\n$p")
+    val media = Seq(graft.ext.MediaRecord(1L, "image/ppm",
+      ("P6\n8 8\n255\n" + "x" * 192).getBytes("US-ASCII"))).toDS()
+    val hp = graft.ext.Multimodal.ppmAHash(media)
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Exchange"),
+      s"perceptual hash must be a narrow partition-local kernel:\n$hp")
+  }
+
   test("funnel: stage chain is equi-joins + aggregates, no windows, no cartesian") {
     val p = plan("q_funnel")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
