@@ -319,9 +319,13 @@ object Bpe {
     * later mint is skipped (ids stay dense). Driver-side by design —
     * its size IS the tokenizer vocabulary, the same state class as the
     * merge list itself. */
-  private def buildVocab(segged: DataFrame,
+  /** `words` needs only a raw-word column `w` — the alphabet comes from
+    * the words themselves, never from their segmentations, so callers
+    * that don't otherwise need the merge chain applied (e.g.
+    * [[bpeVocab]]) can pass the plain distinct-word relation. */
+  private def buildVocab(words: DataFrame,
       chain: Array[(String, String)]): scala.collection.mutable.LinkedHashMap[String, Int] = {
-    val alphabet: Array[String] = segged
+    val alphabet: Array[String] = words
       .select(explode(split(col("w"), "")).as("sym"))
       .filter(col("sym") =!= "").distinct()
       .orderBy(col("sym")).collect().map(_.getString(0))
@@ -339,11 +343,14 @@ object Bpe {
     * a training pipeline persists next to the merge list so encode and
     * decode agree across jobs. Same deterministic contract as
     * [[bpeEncodeIds]] (which builds this mapping internally). */
-  def bpeVocab(docs: DataFrame, textCol: String, merges: DataFrame,
-      maxExprMerges: Int = MaxExprMerges): DataFrame = {
+  def bpeVocab(docs: DataFrame, textCol: String,
+      merges: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val chain = collectChain(merges)
-    val vocab = buildVocab(segmentWords(docs, textCol, chain, maxExprMerges), chain)
+    // alphabet needs the raw words only — the merge chain never runs
+    val words = docs
+      .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val vocab = buildVocab(words, collectChain(merges))
     import spark.implicits._
     vocab.toSeq.map { case (s, i) => (i, s) }.toDF("id", "sym")
   }
