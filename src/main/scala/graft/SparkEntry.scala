@@ -2586,6 +2586,26 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // FULL OUTER stream-stream interval join — both sides' unmatched
+    // rows null-pad once their state provably cannot match, through
+    // the same sentinel-driven watermark progression.
+    "q_interval_join_full_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ijf_")
+      try {
+        Streaming.intervalJoinOuterAvailableNow(s, dir, "click",
+            "purchase", lower = "2 hours", upper = "0 seconds",
+            tmp.toString, Streaming.nextQueryName("graft_ijf"),
+            joinType = "fullOuter")
+          .select(col("l_event_id"), col("r_event_id"),
+            ntz(col("l_ts")).as("l_ts"),
+            coalesce(col("l_user_email"), col("r_user_email"))
+              .as("user_email"),
+            ntz(col("r_ts")).as("r_ts"))
+          .orderBy(col("l_event_id"), col("r_event_id"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     "q_habit_daily_stream" -> ((s, dir) =>
       Streaming.habitDailyAvailableNow(s, dir, sumHabit = "purchase",
           Streaming.nextQueryName("graft_hds"))
@@ -4237,6 +4257,20 @@ object SparkEntry {
          SELECT c.event_id AS l_event_id, p.event_id AS r_event_id,
                 c.ts AS l_ts, c.user_id AS user_email, p.ts AS r_ts
          FROM c LEFT JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts
+         ORDER BY 1, 2""",
+
+    // both directions at once — the BATCH full interval join
+    "q_interval_join_full_stream" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+              p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase')
+         SELECT c.event_id AS l_event_id, p.event_id AS r_event_id,
+                c.ts AS l_ts,
+                coalesce(c.user_id, p.user_id) AS user_email,
+                p.ts AS r_ts
+         FROM c FULL JOIN p ON c.user_id = p.user_id
            AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts
          ORDER BY 1, 2""",
 

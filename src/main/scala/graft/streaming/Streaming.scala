@@ -385,7 +385,8 @@ object Streaming {
   def intervalJoinOuterAvailableNow(spark: SparkSession, dir: String,
       leftHabit: String, rightHabit: String, lower: String, upper: String,
       workDir: String, queryName: String,
-      watermark: String = "1 day"): DataFrame = {
+      watermark: String = "1 day",
+      joinType: String = "leftOuter"): DataFrame = {
     require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
       "intervalJoinOuterAvailableNow requires session timeZone=UTC")
     val base = graft.Tables.events(spark, dir)
@@ -415,12 +416,15 @@ object Streaming {
         .select(col("event_id"), col("user_id").as("user_email"),
           col("ts"))
       val joined = intervalJoinStream(side(leftHabit), side(rightHabit),
-        "user_email", "ts", lower, upper, watermark,
-        joinType = "leftOuter")
+        "user_email", "ts", lower, upper, watermark, joinType)
       val q = joined.writeStream.format("memory").queryName(queryName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       awaitOneShot(q, queryName)
-      spark.table(queryName).filter(col("l_event_id") >= 0)
+      // full outer also emits right-side sentinel-free null rows —
+      // keep any row whose REAL id survives on either side
+      spark.table(queryName).filter(
+        coalesce(col("l_event_id"), lit(Long.MaxValue)) >= 0 &&
+          coalesce(col("r_event_id"), lit(Long.MaxValue)) >= 0)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
