@@ -502,6 +502,30 @@ object PropertiesSpec extends Properties("graft") {
         inc == full
     }
 
+  property("phraseSearch == naive word-position scan on random corpora") =
+    forAll(for {
+      nDocs <- Gen.choose(1, 6)
+      docsG <- Gen.listOfN(nDocs, Gen.listOfN(8,
+        Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+      k <- Gen.choose(1, 3)
+      phrase <- Gen.listOfN(k, Gen.oneOf("a", "b", "c"))
+    } yield (docsG, phrase)) { case (texts, phrase) =>
+      val s = spark
+      import s.implicits._
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ext.TextAnalysis
+        .phraseSearch(d, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        val hits = (0 to ws.length - phrase.length).count(p =>
+          phrase.indices.forall(j => ws(p + j) == phrase(j)))
+        if (hits > 0) Some(i.toLong -> hits.toLong) else None
+      }.toMap
+      out == expected
+    }
+
   property("mergeInto == clause-by-clause in-memory model on random " +
       "batches and conditions") =
     forAll(for {
