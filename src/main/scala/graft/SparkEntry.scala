@@ -388,10 +388,18 @@ object SparkEntry {
     * [s, e) of its shard stream, so each bin's piece of its id list is
     * a pure slice — no window over positions), and the per-bin stream
     * digest. */
-  private def exportTokenShardsOracle(m: Int): String =
+  private def exportTokenShardsOracle(m: Int, eod: Boolean = false): String = {
+    // the EOD id is the next free vocabulary id — vocab sizes agree
+    // across engines even under minted-string collisions (both count
+    // distinct SYMBOLS; only the unused ids differ)
+    val (nExpr, tidsExpr) =
+      if (eod) ("len(tids)::BIGINT + 1",
+        "tids || [(SELECT count(*) FROM vocab)::INT]")
+      else ("len(tids)::BIGINT", "tids")
     s"""WITH ${bpeIdsChainSql(m)},
          pk AS (SELECT doc_id, doc_id % 4 AS shard,
-                len(tids)::BIGINT AS n, tids FROM fl WHERE len(tids) > 0),
+                $nExpr AS n, $tidsExpr AS tids FROM fl
+              WHERE len(tids) > 0),
          pc AS (SELECT doc_id, shard, n, tids,
                 sum(n) OVER (PARTITION BY shard ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
@@ -415,6 +423,7 @@ object SparkEntry {
                   flatten(list(piece ORDER BY start_in_bin)), ' '))
                   AS ids_md5
          FROM sl GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 
   /** DuckDB replay of [[graft.ext.Similarity]]'s farthest-point
     * seeding ([[graft.ext.Similarity.farthestSeedVecs]]) over the int8
@@ -2165,6 +2174,37 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
       val ids = graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text",
         graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+      graft.ext.Packing.packConcatWithOffsets(
+          ids.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = 512L, shards = 4)
+        .join(ids.select(col("doc_id"), col("token_ids")), "doc_id")
+        .withColumn("__piece", expr(
+          "slice(token_ids, cast(doc_off + 1 as int), cast(tok_in_bin as int))"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_in_bin")).as("bin_tokens"),
+          md5(array_join(flatten(transform(
+            array_sort(collect_list(struct(col("start_in_bin"),
+              col("__piece")))),
+            x => x.getField("__piece"))), " ")).as("ids_md5"))
+        .orderBy(col("shard"), col("bin"))
+    }),
+
+    // Same export with an END-OF-DOCUMENT separator token appended to
+    // every document before packing — the form trainers actually
+    // consume (document boundaries must survive the concat-and-chunk
+    // cut so the model can reset attention). The EOD id is the next
+    // free vocabulary id; appending BEFORE packing means the spans,
+    // bin token counts, and stream digests all shift — the oracle
+    // re-derives them with the same +1 arithmetic.
+    "q_export_token_shards_eod" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val merges = graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8)
+      val eodId = graft.ext.Bpe.bpeVocab(docs, "text", merges).count()
+      val ids = graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text", merges)
+        .withColumn("token_ids",
+          concat(col("token_ids"), array(lit(eodId).cast("int"))))
+        .withColumn("n_tokens", col("n_tokens") + 1)
       graft.ext.Packing.packConcatWithOffsets(
           ids.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", budget = 512L, shards = 4)
@@ -4647,6 +4687,7 @@ object SparkEntry {
          FROM documents WHERE replace(text, ' ', '') <> ''
          ORDER BY doc_id""",
     "q_export_token_shards" -> exportTokenShardsOracle(8),
+    "q_export_token_shards_eod" -> exportTokenShardsOracle(8, eod = true),
 
     // Same hash → budget → ordered-prefix arithmetic as mixtureByTokens:
     // budget floor(2000·w/5.5) per source, md5-rank order, keep while
