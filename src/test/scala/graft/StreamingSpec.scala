@@ -507,6 +507,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
         .collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(v1 == full)
+      // exactly-once: a fresh-checkpoint replay re-delivers everything
+      // as batch 0, which the committed batch-id dedup must skip —
+      // no new store version, no new view generation
+      Streaming.joinViewIngest(stream, store, viewDir, dim,
+        joinKeys = Seq("user_email"), factCols = Seq("habit", "value"),
+        dims = Seq("habit"),
+        contribE6 = round(col("value") * col("weight") * 1e6).cast("long"),
+        checkpointDir = dir.resolve("cp2").toString,
+        queryName = Streaming.nextQueryName("jvi"),
+        keys = Seq("user_email", "habit", "ts")).awaitTermination()
+      assert(graft.load.VersionedStore.versions(s, store) == Seq(0, 1))
+      assert(!new java.io.File(s"$viewDir/v2").exists())
+      assert(view(1) == v1)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }

@@ -219,6 +219,15 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
       assert(VersionedStore.snapshot(spark, store)
         .filter(col("user_email") === "a@x").head().getAs[Double]("value")
         == 4.0)
+      // within-batch duplicate keys collapse to ONE source row before
+      // the clauses run — the full-outer join never fans out
+      VersionedStore.mergeInto(spark, store, events(
+        (11L, ts(2), "e@x", "mood", 60.0),
+        (12L, ts(2), "e@x", "mood", 70.0)))
+      val e = VersionedStore.snapshot(spark, store)
+        .filter(col("user_email") === "e@x").collect()
+      assert(e.length == 1 &&
+        Set(60.0, 70.0).contains(e.head.getAs[Double]("value")))
     }
   }
 
