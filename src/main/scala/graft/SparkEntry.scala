@@ -2221,6 +2221,31 @@ object SparkEntry {
         .orderBy(col("shard"), col("bin"))
     }),
 
+    // Per-bin POSITION-ID streams for packed attention: each packed
+    // piece contributes positions doc_off .. doc_off+tok_in_bin-1, so
+    // a document's positions restart at 0 at its own start and CONTINUE
+    // across a bin split (the doc_off closed form) — exactly the
+    // position_ids a trainer zips with the token stream. Same spans
+    // arithmetic as the token-shard export; the oracle replays it.
+    "q_pack_positions" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val ids = graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text",
+        graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+      graft.ext.Packing.packConcatWithOffsets(
+          ids.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = 512L, shards = 4)
+        .withColumn("__pos", expr(
+          "sequence(doc_off, doc_off + tok_in_bin - 1)"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_in_bin")).as("bin_tokens"),
+          md5(array_join(flatten(transform(
+            array_sort(collect_list(struct(col("start_in_bin"),
+              col("__pos")))),
+            x => x.getField("__pos"))), " ")).as("pos_md5"))
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // Tokenizer apply, ID form: per-document array<int> token-id
     // sequences under the deterministic vocabulary (sorted corpus
     // alphabet, then merge-order minted ids) — what a training
@@ -4688,6 +4713,39 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_export_token_shards" -> exportTokenShardsOracle(8),
     "q_export_token_shards_eod" -> exportTokenShardsOracle(8, eod = true),
+
+    // the packed position streams in the same closed-form spans algebra
+    "q_pack_positions" ->
+      s"""WITH ${bpeIdsChainSql(8)},
+         pk AS (SELECT doc_id, doc_id % 4 AS shard, len(tids)::BIGINT AS n
+              FROM fl WHERE len(tids) > 0),
+         pc AS (SELECT doc_id, shard, n,
+                sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                  AS e
+              FROM pk),
+         spans AS (SELECT doc_id, shard, e - n AS s, e,
+                unnest(generate_series((e - n) // 512,
+                                       (e - 1) // 512)) AS bin
+              FROM pc),
+         sl AS (SELECT doc_id, shard, bin,
+                greatest(s, bin * 512) - bin * 512 AS start_in_bin,
+                least(e, (bin + 1) * 512) - greatest(s, bin * 512)
+                  AS tok_in_bin,
+                greatest(s, bin * 512) - s AS doc_off
+              FROM spans),
+         ps AS (SELECT shard, bin, start_in_bin, tok_in_bin,
+                [p for p in generate_series(doc_off,
+                                            doc_off + tok_in_bin - 1)]
+                  AS pos
+              FROM sl)
+         SELECT shard::BIGINT AS shard, bin::BIGINT AS bin,
+                count(*)::BIGINT AS n_docs,
+                sum(tok_in_bin)::BIGINT AS bin_tokens,
+                md5(array_to_string(
+                  flatten(list(pos ORDER BY start_in_bin)), ' '))
+                  AS pos_md5
+         FROM ps GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Same hash → budget → ordered-prefix arithmetic as mixtureByTokens:
     // budget floor(2000·w/5.5) per source, md5-rank order, keep while
