@@ -526,6 +526,57 @@ object PropertiesSpec extends Properties("graft") {
       out == expected
     }
 
+  property("ppmAHash == naive integer grid recompute on random images") =
+    forAll(for {
+      w <- Gen.choose(8, 13)
+      h <- Gen.choose(8, 13)
+      bytes <- Gen.listOfN(3, Gen.choose(0, 255)) // rgb pattern seed
+    } yield (w, h, bytes)) { case (w, h, seed) =>
+      val s = spark
+      import s.implicits._
+      // deterministic pseudo-random pixels from the seed (no RNG here)
+      val px = Array.tabulate(w * h * 3)(k =>
+        ((seed(k % 3) * 31 + k * 17) % 256).toByte)
+      val payload = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+      val out = graft.ext.Multimodal.ppmAHash(
+        Seq(graft.ext.MediaRecord(1L, "image/ppm", payload)).toDS())
+        .head().getLong(1)
+      // naive reference
+      val off = payload.length - w * h * 3
+      val ca = for (ci <- 0 until 8; cj <- 0 until 8) yield {
+        val (y0, y1) = (ci * h / 8, (ci + 1) * h / 8)
+        val (x0, x1) = (cj * w / 8, (cj + 1) * w / 8)
+        val gs = for (y <- y0 until y1; x <- x0 until x1) yield {
+          val p = off + 3 * (y * w + x)
+          ((payload(p) & 0xff) + (payload(p + 1) & 0xff) +
+            (payload(p + 2) & 0xff)) / 3
+        }
+        gs.map(_.toLong).sum / gs.length
+      }
+      val m = ca.sum / 64
+      val expected = ca.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+        if (c > m) acc | (1L << i) else acc
+      }
+      out == expected
+    }
+
+  property("hammingDupPairs == brute force within the pigeonhole bound") =
+    forAll(Gen.listOfN(8, Gen.choose(Long.MinValue, Long.MaxValue))) {
+      hs =>
+        val s = spark
+        import s.implicits._
+        val sig = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+          .toDF("id", "h")
+        val out = graft.ext.Dedup.hammingDupPairs(sig, "id", "h", 7)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val expected = (for {
+          i <- hs.indices; j <- hs.indices if i < j
+          d = java.lang.Long.bitCount(hs(i) ^ hs(j)) if d <= 7
+        } yield (i.toLong, j.toLong, d.toLong)).toSet
+        out == expected
+    }
+
   property("mergeInto == clause-by-clause in-memory model on random " +
       "batches and conditions") =
     forAll(for {
