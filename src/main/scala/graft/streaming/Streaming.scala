@@ -695,14 +695,23 @@ object Streaming {
             case Some(_) =>
               VersionedStore.upsert(s, storePath, df, keys, meta = meta)
           }
-          // the commit's change feed as a signed z-relation; the first
-          // commit has no predecessor — every row is an insert
-          val zA = prev match {
-            case None => df
+          // advance from the newest view generation that actually
+          // EXISTS, not blindly from v−1: a crash between the manifest
+          // publish and the view write leaves a version without its
+          // view, and the delta rule telescopes across commits — the
+          // next tick heals the gap by diffing q → v in one step
+          val fs = new org.apache.hadoop.fs.Path(viewDir).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          val lastView = (v - 1 to 0 by -1).find(q =>
+            fs.exists(new org.apache.hadoop.fs.Path(s"$viewDir/v$q")))
+          // the advance's change feed as a signed z-relation; with no
+          // prior view generation, the whole snapshot is the insert set
+          val zA = lastView match {
+            case None => VersionedStore.snapshot(s, storePath, Some(v))
               .select((joinKeys ++ factCols).map(col): _*)
               .withColumn("_sign", lit(1L))
-            case Some(p) =>
-              val cdf = VersionedStore.changes(s, storePath, p, v, keys)
+            case Some(q) =>
+              val cdf = VersionedStore.changes(s, storePath, q, v, keys)
               val plain = cdf.columns.toSet
               // a factCol that is a store KEY rides the feed unsuffixed
               // (keys cannot change under upsert); payload columns come
@@ -713,12 +722,12 @@ object Streaming {
                     if (plain(c)) Seq(col(c))
                     else Seq(col(s"${c}_old"), col(s"${c}_new"))): _*))
           }
-          val viewPrev = prev match {
+          val viewPrev = lastView match {
             case None => zA.limit(0).join(dim.limit(0), joinKeys)
               .groupBy(dims.map(col): _*)
               .agg(count(lit(1)).as("n"), sum(lit(0L)).as("sum_e6"))
               .select(dims.map(col) :+ col("n") :+ col("sum_e6"): _*)
-            case Some(p) => s.read.parquet(s"$viewDir/v$p")
+            case Some(q) => s.read.parquet(s"$viewDir/v$q")
           }
           // static dim ⇒ the A_old⋈ΔB leg is empty by construction
           IncrementalView.applyJoinDelta(viewPrev, zA, dim,

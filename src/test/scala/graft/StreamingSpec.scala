@@ -520,6 +520,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(graft.load.VersionedStore.versions(s, store) == Seq(0, 1))
       assert(!new java.io.File(s"$viewDir/v2").exists())
       assert(view(1) == v1)
+      // gap healing: a crash between manifest publish and view write
+      // leaves a version without its view — the next tick must advance
+      // from the newest EXISTING generation (here v0), telescoping the
+      // feed across both commits instead of wedging on a missing read
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$viewDir/v1"))
+      mem.addData((2L, ts("2024-01-04 12:00:00"), "workout", 6.0))
+      tick()
+      // workout gains 6·0.5 = 3 over the healed v1 state: 22 + 3 = 25
+      assert(view(2) == Map("workout" -> ((3L, 25000000L)),
+        "mood" -> ((2L, 10000000L))))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
