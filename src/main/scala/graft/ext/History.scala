@@ -39,4 +39,35 @@ object History {
       .select(keys.map(col) ++
         Seq(col("valid_from"), col("valid_to"), col(valueCol)): _*)
   }
+
+  /** Point-in-time (temporal) dimension join — each fact row picks the
+    * dimension version VALID AT ITS OWN TIMESTAMP rather than the
+    * current one: key equality plus
+    * `valid_from <= ts < coalesce(valid_to, +inf)` against a [[scd2]]
+    * history (Flink's temporal table join / Delta's
+    * point-in-time-correct feature join). Because a key's intervals
+    * tile `[first valid_from, inf)` without overlap, every fact at or
+    * after its key's first change matches exactly ONE version — the
+    * join never duplicates facts. `joinType = "left_outer"` keeps
+    * facts older than their key's history (all dim columns null).
+    *
+    * Scale notes: plans as a hash equi-join on `keys` with the
+    * interval bounds as a residual filter — the history side is
+    * versions-sized (entities × changes), usually broadcastable; a
+    * fact never meets more rows than its key's version count, so the
+    * residual scan is bounded by history depth, not fact count. */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+      tsCol: String, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer", "left").contains(joinType),
+      s"temporalJoin supports inner/left_outer, got $joinType")
+    val f = facts.as("f")
+    val d = dim.as("d")
+    val cond = keys.map(k => col(s"f.$k") === col(s"d.$k"))
+      .reduce(_ && _) &&
+      col(s"f.$tsCol") >= col("d.valid_from") &&
+      (col("d.valid_to").isNull || col(s"f.$tsCol") < col("d.valid_to"))
+    f.join(d, cond, joinType)
+      .select(facts.columns.map(c => col(s"f.$c")).toSeq ++
+        dim.columns.filterNot(keys.contains).map(c => col(s"d.$c")): _*)
+  }
 }

@@ -497,6 +497,31 @@ object VersionedStore {
     m.get.group(1)
   }
 
+  /** Days a keyed merge must rewrite. With `ts` among the keys, a
+    * matching target row can only live on one of the batch's own days,
+    * so those alone are the rewrite set. Without `ts` (dimension-style
+    * keys, e.g. `user_email`), a match may live on ANY day — the
+    * batch's days widen by the days of target rows sharing a key,
+    * found with one column-pruned key-semi-join against the head
+    * snapshot (the scan reads only `keys` + `ts`; the distinct batch
+    * key set is small relative to the store and broadcasts under AQE,
+    * so this stays a metadata-cheap probe, not a store rewrite). */
+  private def touchedDays(spark: SparkSession, path: String, head: Int,
+      batch: DataFrame, keys: Seq[String]): Set[String] = {
+    val batchDays = batch
+      .select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (keys.contains("ts")) batchDays
+    else {
+      val matchDays = snapshot(spark, path, Some(head))
+        .select((keys :+ "ts").distinct.map(col): _*)
+        .join(batch.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(to_date(col("ts")).cast("string").as("d"))
+        .distinct().collect().map(_.getString(0)).toSet
+      batchDays ++ matchDays
+    }
+  }
+
   /** Create the store at version 0 from `events`. `rangeParts` opts in
     * to range-clustered files (see [[writeData]]). */
   def create(events: DataFrame, path: String,
@@ -533,10 +558,12 @@ object VersionedStore {
   }
 
   /** Keyed MERGE commit ([[Merge.upsertEvents]] semantics), scoped
-    * copy-on-write: only the day partitions the batch intersects are
-    * read, merged, and rewritten; all other live files carry into the
-    * new manifest untouched. The day set collects to the driver —
-    * bounded by the batch's distinct days, not the store.
+    * copy-on-write: only the day partitions a match can live in are
+    * read, merged, and rewritten ([[touchedDays]] — the batch's days
+    * when `keys` pin the day via `ts`, widened by key-matching target
+    * days otherwise); all other live files carry into the new manifest
+    * untouched. The day set collects to the driver — bounded by the
+    * batch's distinct days (plus its matches' days), not the store.
     *
     * `evolve = true` switches to [[Merge.upsertEventsEvolving]]: a
     * batch carrying NEW columns widens the rewritten days (the ALTER
@@ -554,8 +581,7 @@ object VersionedStore {
     enforceSchema(spark, path, head, batch.schema, evolve)
     val v = head + 1
     val live = readManifest(spark, path, head)
-    val touched = batch.select(to_date(col("ts")).cast("string").as("d"))
-      .distinct().collect().map(_.getString(0)).toSet
+    val touched = touchedDays(spark, path, head, batch, keys)
     val (hit, carried) = live.partition(fl => touched.contains(dayOf(fl)))
     val existing =
       if (hit.isEmpty) batch.limit(0)
@@ -590,11 +616,12 @@ object VersionedStore {
     * upstream if arrival order matters).
     *
     * Same commit mechanics and scale shape as [[upsert]]: day-scoped
-    * copy-on-write — only day partitions the batch intersects are
-    * read, merged through ONE keyed full-outer join, and rewritten;
-    * everything else carries by reference. Target-only rows of
-    * untouched days are never read at all, so a MERGE's cost tracks
-    * the batch's day footprint, not the store. */
+    * copy-on-write — only day partitions a match can live in
+    * ([[touchedDays]]) are read, merged through ONE keyed full-outer
+    * join, and rewritten; everything else carries by reference.
+    * Target-only rows of untouched days are never read at all, so a
+    * MERGE's cost tracks the batch's day-and-match footprint, not the
+    * store. */
   def mergeInto(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String] = Merge.EventKeys,
       matchedUpdate: org.apache.spark.sql.Column = lit(true),
@@ -607,8 +634,7 @@ object VersionedStore {
     enforceSchema(spark, path, head, batch.schema, evolve = false)
     val v = head + 1
     val live = readManifest(spark, path, head)
-    val touched = batch.select(to_date(col("ts")).cast("string").as("d"))
-      .distinct().collect().map(_.getString(0)).toSet
+    val touched = touchedDays(spark, path, head, batch, keys)
     val (hit, carried) = live.partition(fl => touched.contains(dayOf(fl)))
     val existing =
       if (hit.isEmpty) batch.limit(0)

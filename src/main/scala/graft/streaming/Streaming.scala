@@ -58,6 +58,27 @@ object Streaming {
   def nextQueryName(prefix: String): String =
     s"${prefix}_${streamSeq.incrementAndGet()}"
 
+  /** Stamp every not-yet-seen data file under `dir` with modification
+    * time `t`, returning the full seen set. The staged replays below
+    * feed `FileStreamSource` batches whose ORDER is the contract —
+    * but the source orders files by mtime, and on filesystems with
+    * coarse mtime granularity (1 s is common) back-to-back writes tie
+    * and the tie-break is arbitrary. Calling this after each staged
+    * write with strictly increasing `t` makes arrival order explicit
+    * instead of trusting write-time clocks. Hidden files (`_SUCCESS`,
+    * `.crc`) are excluded the way the source itself excludes them. */
+  private def stampStagedBatch(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, t: Long,
+      seen: Set[String]): Set[String] = {
+    val files = fs.listStatus(dir).toSeq.filter(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    files.filterNot(f => seen(f.getPath.getName))
+      .foreach(f => fs.setTimes(f.getPath, t, -1))
+    seen ++ files.map(_.getPath.getName)
+  }
+
   /** `habit_daily` over a STREAMING frame: tumbling 1-day window with the
     * reference's aggregate set. `endOffset` mirrors the continuous
     * aggregate's `start_offset => '60 days'`: late events inside the
@@ -403,10 +424,20 @@ object Streaming {
           lit(-1L).as("user_id"), lit(rightHabit).as("event_type"))))
         .as("r"))
       .select(col("r.*"))
-    // three sequential writes — mod-time order IS batch order
+    // three sequential writes; batch order is then stamped EXPLICITLY
+    // (strictly increasing mtimes) — write-time mtimes can tie under
+    // coarse filesystem granularity and would let a sentinel batch
+    // arrive before the data it must flush
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val sfs = stagingPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val t0 = System.currentTimeMillis()
     base.coalesce(1).write.mode("append").parquet(staging)
+    var seen = stampStagedBatch(sfs, stagingPath, t0, Set.empty)
     sentinelDf(400).coalesce(1).write.mode("append").parquet(staging)
+    seen = stampStagedBatch(sfs, stagingPath, t0 + 60000, seen)
     sentinelDf(401).coalesce(1).write.mode("append").parquet(staging)
+    stampStagedBatch(sfs, stagingPath, t0 + 120000, seen)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
@@ -696,14 +727,20 @@ object Streaming {
               VersionedStore.upsert(s, storePath, df, keys, meta = meta)
           }
           // advance from the newest view generation that actually
-          // EXISTS, not blindly from v−1: a crash between the manifest
-          // publish and the view write leaves a version without its
-          // view, and the delta rule telescopes across commits — the
-          // next tick heals the gap by diffing q → v in one step
+          // COMMITTED, not blindly from v−1: a crash between the
+          // manifest publish and the view write leaves a version
+          // without its view, and the delta rule telescopes across
+          // commits — the next tick heals the gap by diffing q → v in
+          // one step. Bare directory existence is NOT commitment: a
+          // job that died mid-write leaves v<q> created but partial,
+          // and resuming from it would read garbage forever — so a
+          // generation only counts once the writer's job-commit marker
+          // (_SUCCESS) landed
           val fs = new org.apache.hadoop.fs.Path(viewDir).getFileSystem(
             s.sparkContext.hadoopConfiguration)
           val lastView = (v - 1 to 0 by -1).find(q =>
-            fs.exists(new org.apache.hadoop.fs.Path(s"$viewDir/v$q")))
+            fs.exists(
+              new org.apache.hadoop.fs.Path(s"$viewDir/v$q/_SUCCESS")))
           // the advance's change feed as a signed z-relation; with no
           // prior view generation, the whole snapshot is the insert set
           val zA = lastView match {
@@ -757,6 +794,20 @@ object Streaming {
     // commit's days, not the store — a hash split would make each tick
     // touch ALL days and turn the replay into three full rewrites
     ev.repartitionByRange(3, col("ts")).write.parquet(staging)
+    // one write produced all three files, so their mtimes tie — stamp
+    // strictly increasing mtimes in part order (range partition index
+    // is ascending in ts) so replay arrival order is the ingest order
+    // by construction, not by tie-break luck
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val sfs = stagingPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val t0 = System.currentTimeMillis()
+    sfs.listStatus(stagingPath).toSeq.filter(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
+      sfs.setTimes(f.getPath, t0 + i * 60000L, -1)
+    }
     val dim = ev.select(col("user_email")).distinct()
       .withColumn("weight", (col("user_email") % 5 + 1).cast("double"))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")

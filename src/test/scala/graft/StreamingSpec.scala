@@ -419,6 +419,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Set((1L, 9.99)))
   }
 
+  test("outer interval replay stamps staged batches with strictly " +
+      "increasing mtimes — sentinels cannot arrive before the data") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssjo_")
+    try {
+      val work = dir.resolve("work").toString
+      val out = Streaming.intervalJoinOuterAvailableNow(s,
+        "/root/testdata/sf0.001", "click", "purchase",
+        "0 seconds", "2 hours", work,
+        Streaming.nextQueryName("spec_ssjo"))
+      // batch oracle: left interval join of the same events
+      val ev = graft.Tables.events(s, "/root/testdata/sf0.001")
+      def side(h: String) = ev.filter(col("event_type") === h)
+        .select(col("event_id"), col("user_id").as("user_email"),
+          col("ts"))
+      val l = side("click").as("l")
+      val r = side("purchase").as("r")
+      val batch = l.join(r,
+        col("l.user_email") === col("r.user_email") &&
+          col("r.ts") > col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr("INTERVAL 2 HOURS"),
+        "left_outer")
+      assert(out.count() == batch.count())
+      assert(out.filter(col("r_event_id").isNull).count() ==
+        batch.filter(col("r.event_id").isNull).count())
+      // the staged files must carry three distinct, strictly ordered
+      // mtimes (data, sentinel 1, sentinel 2) — the explicit-stamp
+      // contract that replaces write-time mtime luck
+      val staged = new java.io.File(s"$work/staged").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+      val mtimes = staged.map(_.lastModified()).sorted.toSeq
+      assert(mtimes.distinct.size == 3,
+        s"expected 3 distinct batch mtimes, got $mtimes")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("upsertStream: successive AvailableNow ticks converge the store") {
     val s = spark
     import s.implicits._
@@ -531,6 +570,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       // workout gains 6·0.5 = 3 over the healed v1 state: 22 + 3 = 25
       assert(view(2) == Map("workout" -> ((3L, 25000000L)),
         "mood" -> ((2L, 10000000L))))
+      // a generation that was CREATED but never COMMITTED (its write
+      // died before the _SUCCESS marker) must not be trusted as the
+      // resume point: strip v2 to a bare directory — the next tick has
+      // to skip it (and the fully-deleted v1) and heal from v0
+      org.apache.commons.io.FileUtils.cleanDirectory(
+        new java.io.File(s"$viewDir/v2"))
+      mem.addData((1L, ts("2024-01-05 09:00:00"), "mood", 2.0))
+      tick()
+      // telescoped v0 → v3 feed over the final store:
+      // workout = 10·2 + 4·0.5 + 6·0.5 = 25 (n=3)
+      // mood    = 3·2 + 8·0.5 + 2·2   = 14 (n=3; u9 has no dim row)
+      assert(view(3) == Map("workout" -> ((3L, 25000000L)),
+        "mood" -> ((3L, 14000000L))))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }

@@ -62,6 +62,45 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ts-less keys widen the rewrite to the days where matches LIVE: " +
+      "a cross-day match is merged, never duplicated") {
+    withStore { store =>
+      // dim-style store keyed on user_email only: each user's row can
+      // live on ANY day, so a batch row must find its match even when
+      // their ts days differ
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0),
+        (2L, ts(2), "b@x", "workout", 2.0)), store)
+      // batch updates a@x but carries a Jan-3 ts: the match lives on
+      // Jan 1, a day the batch itself never touches
+      VersionedStore.upsert(spark, store,
+        events((1L, ts(3), "a@x", "workout", 10.0)),
+        keys = Seq("user_email"))
+      val afterUpsert = VersionedStore.snapshot(spark, store)
+        .select("user_email", "value").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // one row per key — the Jan-1 original must NOT survive beside
+      // the Jan-3 update
+      assert(VersionedStore.snapshot(spark, store).count() == 2)
+      assert(afterUpsert == Map("a@x" -> 10.0, "b@x" -> 2.0))
+      // mergeInto through the same scoping: update b@x from a Jan-5
+      // batch row; its Jan-2 home day must be rewritten
+      VersionedStore.mergeInto(spark, store,
+        events((2L, ts(5), "b@x", "workout", 20.0)),
+        keys = Seq("user_email"))
+      val afterMerge = VersionedStore.snapshot(spark, store)
+        .select("user_email", "value").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(VersionedStore.snapshot(spark, store).count() == 2)
+      assert(afterMerge == Map("a@x" -> 10.0, "b@x" -> 20.0))
+      // untouched-day carry still holds: a keyed batch whose match is
+      // same-day must not rewrite other days' files
+      val (m1, m2) = (manifest(store, 1).toSet, manifest(store, 2).toSet)
+      assert(m1.intersect(m2).nonEmpty,
+        s"unrelated files must carry by reference:\nv1=$m1\nv2=$m2")
+    }
+  }
+
   test("time travel: v0 is unchanged after later commits; append adds") {
     withStore { store =>
       VersionedStore.create(events((1L, ts(1), "a@x", "workout", 1.0)), store)
