@@ -710,6 +710,33 @@ object SparkEntry {
         .orderBy(col("user_email"), col("habit"), col("valid_from"))
     }),
 
+    // Point-in-time temporal join: every raw event picks the SCD2
+    // dimension version valid AT ITS OWN TIMESTAMP (key equality +
+    // interval containment). A key's intervals tile [first, inf), so
+    // each event matches exactly one version — the aggregate proves
+    // both the routing and the no-duplication contract.
+    "q_temporal_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val daily = ev
+        .groupBy(col("user_email"), col("habit"),
+          Habits.dayBucket(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("day_total"))
+      val dim = History.scd2(daily, Seq("user_email", "habit"), "day",
+        "day_total")
+      History.temporalJoin(
+          ev.select(col("user_email"), col("habit"), col("ts"),
+            col("value")),
+          dim, Seq("user_email", "habit"), "ts")
+        .groupBy(col("user_email"), col("habit"), col("valid_from"))
+        .agg(count(lit(1)).as("n_events"),
+          r6(sum(col("value"))).as("sum_value"),
+          r6(max(col("day_total"))).as("day_total"))
+        .select(col("user_email"), col("habit"),
+          ntz(col("valid_from")).as("valid_from"), col("n_events"),
+          col("sum_value"), col("day_total"))
+        .orderBy(col("user_email"), col("habit"), col("valid_from"))
+    }),
+
     // Typed UDAF (Aggregator) under the oracle gate: per-habit geometric
     // mean of positive values via sum-of-logs partial aggregation.
     "q_geomean" -> ((s, dir) => {
@@ -1005,6 +1032,22 @@ object SparkEntry {
           weights = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
             "src3" -> 0.5),
           totalTokens = 2000, saltBuckets = 8)
+        .select(col("source"), col("take_rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("take_rank"))),
+
+    // Temperature-scaled mixture (T5/Gopher alpha sampling): weights
+    // derive from the corpus's OWN per-source token masses, w ∝ m^α
+    // quantized at 1e-6 of the largest source, then the standard
+    // deterministic budget fill — small sources up-weighted without
+    // hand-tuned ratios.
+    "q_mixture_temperature" -> ((s, dir) =>
+      graft.ext.Curation.mixtureByTemperature(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          "doc_id", "source", "n_tokens", alpha = 0.5,
+          totalTokens = 2000)
         .select(col("source"), col("take_rank"), col("doc_id"),
           col("n_tokens"), col("cum_tokens"))
         .orderBy(col("source"), col("take_rank"))),
@@ -1904,6 +1947,26 @@ object SparkEntry {
           groupCols = Seq("event_type"))
         .orderBy(col("event_type"), col("bucket"))),
 
+    // Mergeable-quantile rollup — the percentile analog of the HLL
+    // sketch rollup: per-(habit, day) fixed-bin histograms built in
+    // ONE raw pass merge to per-habit sketches by summing bin counts,
+    // and p50/p90/p99 come off the merged cumulative histogram —
+    // raw rows touched once, every count an exact integer, the whole
+    // estimate replayed across engines (rank threshold in ppm longs,
+    // estimate = upper edge of the crossing bucket).
+    "q_quantile_rollup" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+        .withColumn("day", Habits.dayBucket(col("ts")))
+      val daily = graft.ext.Profile.histogram(ev, "value",
+        lo = 0.0, hi = 640.0, buckets = 64,
+        groupCols = Seq("habit", "day"))
+      graft.ext.Profile.histogramQuantiles(daily, Seq("habit"),
+          qs = Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 640.0, buckets = 64)
+        .select(col("habit"), col("q_ppm"), col("bucket"),
+          col("n_total"), col("est"))
+        .orderBy(col("habit"), col("q_ppm"))
+    }),
+
     // ── Extension scope: text analysis (SURVEY §7.5) ───────────────────
     "q_token_count" -> ((s, dir) =>
       Tables.read(s, dir, "documents")
@@ -2785,6 +2848,38 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Durable rollback (Delta RESTORE): after an upsert and a delete
+    // mutate the store, RESTORE TO v0 publishes a new head whose
+    // file set is v0's — metadata-only, data files shared by
+    // reference, history intact. The head read must equal the
+    // original snapshot exactly, which is what the raw-table oracle
+    // proves (both mutations would change the aggregate if any of
+    // them leaked through).
+    "q_store_restore" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val ev = Tables.eventsAsHabits(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_restore_")
+      try {
+        val store = tmp.toString + "/store"
+        VersionedStore.create(ev, store)
+        VersionedStore.upsert(s, store,
+          ev.filter(col("event_id") % 3 === 0)
+            .withColumn("value", col("value") * 2))
+        VersionedStore.delete(s, store, col("event_id") % 5 === 0)
+        val rv = VersionedStore.restore(s, store, 0)
+        require(rv == 3, s"restore must publish a NEW head, got $rv")
+        require(VersionedStore.versions(s, store) == Seq(0, 1, 2, 3),
+          "restore must keep the rolled-back history time-travelable")
+        VersionedStore.snapshot(s, store) // head — v0 restored
+          .groupBy(col("habit"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_email")).as("n_users"),
+            r6(sum(col("value"))).as("sum_value"))
+          .orderBy(col("habit"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Zone-map FILE skipping over the versioned store: both commits
     // range-cluster their files on the leading sort key and record
     // per-file (min, max) sidecars, so the narrow key-range read
@@ -3566,6 +3661,37 @@ object SparkEntry {
                 day_total
          FROM f ORDER BY user_email, habit, valid_from""",
 
+    // Temporal-join replay: rebuild the same SCD2 history, then route
+    // every event to the version whose interval contains its ts.
+    "q_temporal_join" ->
+      """WITH daily AS (SELECT user_id AS user_email, event_type AS habit,
+                date_trunc('day', ts) AS day, round(sum(value), 6) AS day_total
+              FROM events GROUP BY 1, 2, 3),
+         c AS (SELECT user_email, habit, day, day_total,
+                CASE WHEN row_number() OVER w = 1 THEN 1
+                     WHEN lag(day_total) OVER w IS NOT DISTINCT FROM day_total
+                       THEN 0
+                     ELSE 1 END AS chg
+              FROM daily WINDOW w AS (PARTITION BY user_email, habit
+                                      ORDER BY day)),
+         f AS (SELECT user_email, habit, day AS valid_from, day_total
+              FROM c WHERE chg = 1),
+         scd AS (SELECT user_email, habit, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_email, habit
+                  ORDER BY valid_from) AS valid_to,
+                day_total
+              FROM f)
+         SELECT e.user_id AS user_email, e.event_type AS habit,
+                s.valid_from, count(*)::BIGINT AS n_events,
+                round(sum(e.value), 6) AS sum_value,
+                round(max(s.day_total), 6) AS day_total
+         FROM events e JOIN scd s
+           ON e.user_id = s.user_email AND e.event_type = s.habit
+          AND e.ts >= s.valid_from
+          AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
+
     "q_geomean" ->
       """SELECT event_type AS habit, round(exp(avg(ln(value))), 6) AS geo_mean,
                 count(*) AS n_pos
@@ -3675,6 +3801,32 @@ object SparkEntry {
                 count(*)::BIGINT AS n
          FROM events WHERE value IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Mergeable-quantile replay: the same daily bucket counts, the
+    // same sum-merge to per-habit, the same ppm rank threshold in
+    // pure BIGINT arithmetic, the same upper-edge estimate.
+    "q_quantile_rollup" ->
+      """WITH h AS (SELECT event_type AS habit, date_trunc('day', ts) AS day,
+                least(greatest(floor((value - 0.0) / 10.0), 0), 63)::BIGINT
+                  AS bucket,
+                count(*)::BIGINT AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         m AS (SELECT habit, bucket, sum(n)::BIGINT AS n
+              FROM h GROUP BY 1, 2),
+         c AS (SELECT habit, bucket, n,
+                sum(n) OVER (PARTITION BY habit ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                sum(n) OVER (PARTITION BY habit)::BIGINT AS total
+              FROM m),
+         q AS (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS q_ppm),
+         sel AS (SELECT c.habit, q.q_ppm, min(c.bucket)::BIGINT AS bucket,
+                max(c.total)::BIGINT AS n_total
+              FROM c CROSS JOIN q
+              WHERE c.cum * 1000000 >= q.q_ppm * c.total
+              GROUP BY 1, 2)
+         SELECT habit, q_ppm, bucket, n_total,
+                round(0.0 + 10.0 * (bucket + 1), 6) AS est
+         FROM sel ORDER BY habit, q_ppm""",
 
     "q_rolling_distinct" ->
       """WITH daily AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
@@ -4753,6 +4905,37 @@ object SparkEntry {
     "q_mixture_budget" -> mixtureOracle,
     "q_mixture_salted" -> mixtureOracle,
 
+    // Temperature replay: per-source token masses off the corpus, the
+    // relative-pow weights quantized to 1e-6 units (round to whole
+    // units of the largest source), then the standard budget fill.
+    // 2000 * w is exact (w <= 1e6 integral), the division replays the
+    // driver's own IEEE expression order.
+    "q_mixture_temperature" ->
+      """WITH mass AS (SELECT source,
+                sum(len(string_split(text, ' ')))::BIGINT AS m
+              FROM documents GROUP BY 1),
+         wts AS (SELECT source,
+                round(pow(m / (SELECT max(m) FROM mass)::DOUBLE, 0.5)
+                  * 1000000) AS w
+              FROM mass),
+         d AS (SELECT doc_id, source,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM documents),
+         r AS (SELECT d.doc_id, d.source, d.n_tokens,
+                row_number() OVER (PARTITION BY d.source
+                  ORDER BY h, d.doc_id)::BIGINT AS take_rank,
+                sum(d.n_tokens) OVER (PARTITION BY d.source
+                  ORDER BY h, d.doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+                floor(2000 * wts.w / (SELECT sum(w) FROM wts))::BIGINT
+                  AS budget
+              FROM d JOIN wts ON d.source = wts.source
+              WHERE d.n_tokens > 0)
+         SELECT source, take_rank, doc_id, n_tokens, cum_tokens
+         FROM r WHERE cum_tokens - n_tokens < budget
+         ORDER BY source, take_rank""",
+
     "q_export_shards" ->
       """WITH b AS (SELECT doc_id,
                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
@@ -5323,6 +5506,15 @@ object SparkEntry {
          SELECT 2, count(*), count(DISTINCT user_id),
                 round(sum(value), 6), round(max(value), 6) FROM v2
          ORDER BY version""",
+
+    // RESTORE TO v0 makes the head read the ORIGINAL snapshot — the
+    // raw table replays it directly; either surviving mutation
+    // (doubled values, deleted ids) would break the aggregate.
+    "q_store_restore" ->
+      """SELECT event_type AS habit, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                round(sum(value), 6) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     // Replays the three commits' expected change feeds from raw
     // events. The update set excludes value = 0 rows (2v = v there, so

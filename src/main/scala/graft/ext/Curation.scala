@@ -472,4 +472,42 @@ object Curation {
           col("take_rank"), col("cum_tokens"))
     }
   }
+
+  /** TEMPERATURE-scaled mixture (the T5/Gopher "alpha sampling" rule):
+    * instead of hand-written weights, each source's weight derives
+    * from its own token mass, wₛ ∝ mₛ^α — α = 1 reproduces natural
+    * proportions, α → 0 flattens toward uniform, intermediate values
+    * (0.3–0.7 in practice) up-weight small high-quality sources
+    * without drowning in the dominant web crawl. The rescaled weights
+    * feed [[mixtureByTokens]] unchanged, inheriting its determinism
+    * and prefix-monotonicity contract.
+    *
+    * Replay discipline: masses are exact longs (one sum aggregate);
+    * the only transcendental is `pow(mₛ/mMax, α)`, computed in
+    * RELATIVE form (max source = 1.0) and quantized to 1e-6 units —
+    * at that scale a last-ULP `pow` disagreement between engines is
+    * ~1e-10 of a unit, so the rounded long weights (and therefore
+    * every budget boundary) reproduce exactly.
+    *
+    * Scale: one map-side-partial tokens-sum per source; the collect is
+    * sources-sized (a mixture spec's cardinality — config scale, not
+    * data scale). */
+  def mixtureByTemperature(docs: DataFrame, idCol: String,
+      sourceCol: String, tokensCol: String, alpha: Double,
+      totalTokens: Long, saltBuckets: Int = 1): DataFrame = {
+    require(alpha >= 0, "alpha must be non-negative")
+    val masses = docs
+      .filter(col(tokensCol).isNotNull && col(tokensCol) > 0)
+      .groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol).cast("long")).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(masses.nonEmpty, "no source has positive token mass")
+    val mMax = masses.map(_._2).max.toDouble
+    val weights = masses.map { case (s, m) =>
+      s -> math.round(math.pow(m / mMax, alpha) * 1e6).toDouble
+    }.toMap
+    mixtureByTokens(docs, idCol, sourceCol, tokensCol, weights,
+      totalTokens, saltBuckets)
+  }
 }

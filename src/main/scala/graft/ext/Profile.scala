@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -141,6 +142,56 @@ object Profile {
     df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col) :+ bucket: _*)
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Mergeable-quantile rollup over [[histogram]] sketches — the
+    * percentile counterpart of the HLL sketch rollup (`q_hll_rollup`):
+    * fine-grain histograms (e.g. per day) built in ONE pass over raw
+    * rows merge to any coarser grouping by summing bin counts, and
+    * quantiles at the coarse level come off the merged cumulative
+    * histogram without a second pass over data. Rank error is bounded
+    * by the bin population, value error by the bin width — the
+    * fixed-domain stand-in for a KLL/t-digest, with the advantage that
+    * every count is an exact integer and the whole estimate replays
+    * across engines bit-for-bit.
+    *
+    * `hist` is [[histogram]] output at the FINE grain (its group
+    * columns must include `groupCols`); `qs` are quantiles in (0, 1],
+    * carried as exact ppm integers so the rank threshold
+    * `cum · 1e6 >= q_ppm · total` is pure long arithmetic. The
+    * estimate for q is the UPPER edge of the first bucket whose
+    * cumulative count reaches the rank — deterministic and
+    * conservative (never below the true quantile's bucket).
+    *
+    * Scale (100 TB): the raw-data pass already happened in
+    * [[histogram]]; everything here runs on `groups × buckets` rows —
+    * a merge aggregate, two windows over the same partitioning, one
+    * explode by |qs|. Weekly/monthly/global rollups reuse the SAME
+    * daily sketches: that is the point. */
+  def histogramQuantiles(hist: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double], lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+    require(buckets > 0 && hi > lo, "need buckets > 0 and hi > lo")
+    val w = (hi - lo) / buckets
+    val merged = hist
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+    val cumWin = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totWin = Window.partitionBy(groupCols.map(col): _*)
+    val qPpm = qs.map(q => math.round(q * 1e6)).sorted
+    merged
+      .withColumn("cum", sum(col("n")).over(cumWin))
+      .withColumn("total", sum(col("n")).over(totWin))
+      .withColumn("q_ppm", explode(array(qPpm.map(lit): _*)))
+      .filter(col("cum") * 1000000L >= col("q_ppm") * col("total"))
+      .groupBy((groupCols :+ "q_ppm").map(col): _*)
+      .agg(min(col("bucket")).as("bucket"),
+        max(col("total")).as("n_total"))
+      .withColumn("est",
+        round(lit(lo) + lit(w) * (col("bucket") + 1), 6))
   }
 
   /** Population Stability Index between a reference and a current

@@ -921,15 +921,24 @@ object VersionedStore {
   /** Roll the head back to `v`'s contents by PUBLISHING A NEW VERSION
     * carrying `v`'s manifest — history stays intact (the bad commits
     * remain time-travelable), which is what distinguishes restore from
-    * ever rewriting the log. Metadata-only: no data file moves. */
-  def restore(spark: SparkSession, path: String, v: Int): Int = {
+    * ever rewriting the log. Metadata-only: no data file moves, and
+    * every file's zone-map/row-count sidecar stays valid because stats
+    * key on the WRITING commit, which restore never changes. The
+    * restore itself is an auditable commit: its metadata records
+    * `restoredFrom` (plus any caller `meta`), so the log explains the
+    * rollback instead of silently forking. */
+  def restore(spark: SparkSession, path: String, v: Int,
+      meta: Map[String, String] = Map.empty): Int = {
     val vs = versions(spark, path)
     require(vs.contains(v),
       s"VersionedStore: cannot restore to unknown version $v")
+    require(!meta.contains(SchemaKey),
+      s"VersionedStore: commit meta key '$SchemaKey' is reserved")
     val next = vs.last + 1
     writeManifest(spark, path, next, readManifest(spark, path, v),
       recordedSchema(spark, path, v)
-        .map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty))
+        .map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty) ++
+        meta + ("restoredFrom" -> v.toString))
     next
   }
 

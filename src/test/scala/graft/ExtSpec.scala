@@ -575,6 +575,36 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       ("e2", "2024-01-05", None, Some(9.0))))
   }
 
+  test("temporalJoin: each fact picks the version valid at ITS ts; " +
+      "intervals tile so no fact duplicates; left keeps pre-history") {
+    val s = spark
+    import s.implicits._
+    val dim = graft.ext.History.scd2(changeStream(
+        ("e1", "2024-01-01", Some(1.0)),
+        ("e1", "2024-01-05", Some(2.0)),
+        ("e2", "2024-01-03", Some(9.0))),
+      Seq("k"), "ts", "v")
+    def t(d: String) = java.sql.Timestamp.valueOf(d)
+    val facts = Seq(
+      ("e1", t("2024-01-01 00:00:00"), 10L), // exactly valid_from -> v1
+      ("e1", t("2024-01-04 23:00:00"), 11L), // last instant of v1
+      ("e1", t("2024-01-05 00:00:00"), 12L), // boundary -> v2 (half-open)
+      ("e1", t("2024-02-01 00:00:00"), 13L), // open current interval
+      ("e2", t("2024-01-02 00:00:00"), 14L), // BEFORE e2's history
+      ("e3", t("2024-01-02 00:00:00"), 15L)  // key with no history
+    ).toDF("k", "ts", "fact_id")
+    val inner = graft.ext.History.temporalJoin(facts, dim, Seq("k"), "ts")
+      .collect().map(r => r.getAs[Long]("fact_id") -> r.getAs[Double]("v"))
+      .toMap
+    assert(inner == Map(10L -> 1.0, 11L -> 1.0, 12L -> 2.0, 13L -> 2.0))
+    val left = graft.ext.History.temporalJoin(facts, dim, Seq("k"), "ts",
+      joinType = "left_outer")
+    assert(left.count() == 6) // every fact exactly once — no duplication
+    val unmatched = left.filter(col("valid_from").isNull)
+      .collect().map(_.getAs[Long]("fact_id")).toSet
+    assert(unmatched == Set(14L, 15L))
+  }
+
   // ── Aggregators ────────────────────────────────────────────────────────
 
   test("GeoMean UDAF: multi-partition merge equals exp(mean(ln))") {
@@ -1309,6 +1339,40 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // -5 clamps to bucket 0; 100 and 250 clamp to bucket 9; null dropped
     assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 3L))
+  }
+
+  test("histogramQuantiles: merged daily sketches answer coarse quantiles " +
+      "closed-form; rollup equals a single-pass histogram's answer") {
+    val s = spark
+    import s.implicits._
+    // two "days" of the same group: 10 values 5..95 step 10 split
+    // across days — the merge must see all 10
+    val df = Seq(
+      ("g", "d1", 5.0), ("g", "d1", 15.0), ("g", "d1", 25.0),
+      ("g", "d1", 35.0), ("g", "d1", 45.0),
+      ("g", "d2", 55.0), ("g", "d2", 65.0), ("g", "d2", 75.0),
+      ("g", "d2", 85.0), ("g", "d2", 95.0)).toDF("grp", "day", "v")
+    val daily = graft.ext.Profile.histogram(df, "v", 0.0, 100.0, 10,
+      Seq("grp", "day"))
+    val got = graft.ext.Profile.histogramQuantiles(daily, Seq("grp"),
+        qs = Seq(0.5, 0.9, 1.0), lo = 0.0, hi = 100.0, buckets = 10)
+      .collect().map(r => r.getAs[Long]("q_ppm") ->
+        ((r.getAs[Long]("bucket"), r.getAs[Long]("n_total"),
+          r.getAs[Double]("est")))).toMap
+    // p50: cum reaches 5 at bucket 4 (values 5..45) -> est 50.0
+    // p90: cum reaches 9 at bucket 8 -> est 90.0; p100: bucket 9 -> 100.0
+    assert(got == Map(
+      500000L -> ((4L, 10L, 50.0)),
+      900000L -> ((8L, 10L, 90.0)),
+      1000000L -> ((9L, 10L, 100.0))))
+    // mergeability: rolling up per-day sketches == sketching in one pass
+    val onePass = graft.ext.Profile.histogramQuantiles(
+        graft.ext.Profile.histogram(df, "v", 0.0, 100.0, 10, Seq("grp")),
+        Seq("grp"), Seq(0.5, 0.9, 1.0), 0.0, 100.0, 10)
+      .collect().map(r => r.getAs[Long]("q_ppm") ->
+        ((r.getAs[Long]("bucket"), r.getAs[Long]("n_total"),
+          r.getAs[Double]("est")))).toMap
+    assert(onePass == got)
   }
 
   test("psiDrift: identical sides give exactly zero PSI; disjoint sides " +
@@ -2348,6 +2412,33 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
         totalTokens = 3000)
       .collect().map(_.getString(0)).toSet
     assert(out.map(_._2).toSet.subsetOf(bigger))
+  }
+
+  test("mixtureByTemperature: alpha=1 reproduces natural proportions, " +
+      "alpha=0 flattens to uniform — each equals its explicit-weight run") {
+    val s = spark
+    import s.implicits._
+    // src a: 10 docs × 10 tokens (mass 100); src b: 40 × 10 (mass 400)
+    val d = ((0 until 10).map(i => (s"a-d$i", "a", 10L)) ++
+      (0 until 40).map(i => (s"b-d$i", "b", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    def sel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSet
+    // alpha=1: w = round(m/mMax·1e6) → a 250000, b 1000000
+    assert(sel(graft.ext.Curation.mixtureByTemperature(d, "doc_id",
+        "source", "n_tokens", alpha = 1.0, totalTokens = 100)) ==
+      sel(graft.ext.Curation.mixtureByTokens(d, "doc_id", "source",
+        "n_tokens", Map("a" -> 250000.0, "b" -> 1000000.0), 100)))
+    // alpha=0: every source's weight is 1e6 → uniform budgets
+    val flat = graft.ext.Curation.mixtureByTemperature(d, "doc_id",
+      "source", "n_tokens", alpha = 0.0, totalTokens = 100)
+    assert(sel(flat) ==
+      sel(graft.ext.Curation.mixtureByTokens(d, "doc_id", "source",
+        "n_tokens", Map("a" -> 1000000.0, "b" -> 1000000.0), 100)))
+    // and uniform really means equal take: 50 tokens = 5 docs per source
+    val bySrc = flat.collect().map(r => r.getString(1))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 5, "b" -> 5))
   }
 
   test("exportShards assigns md5 buckets with dense per-shard positions, " +

@@ -117,6 +117,40 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("restore: a new head republishes the target version's files by " +
+      "reference; history and metadata reads stay intact") {
+    withStore { store =>
+      VersionedStore.create(events(
+        (1L, ts(1), "a@x", "workout", 1.0),
+        (2L, ts(2), "b@x", "workout", 2.0)), store)
+      VersionedStore.upsert(spark, store,
+        events((1L, ts(1), "a@x", "workout", 9.0)))
+      VersionedStore.delete(spark, store, col("event_id") === 2L)
+      val rv = VersionedStore.restore(spark, store, 0)
+      assert(rv == 3)
+      assert(VersionedStore.versions(spark, store) == Seq(0, 1, 2, 3))
+      // head reads exactly v0
+      def vals(v: Option[Int]) = VersionedStore.snapshot(spark, store, v)
+        .select("event_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(vals(None) == Map(1L -> 1.0, 2L -> 2.0))
+      // metadata-only: the restore manifest lists v0's files verbatim
+      // (meta lines differ — the restore carries its audit key)
+      def files(v: Int) = manifest(store, v).filterNot(_.startsWith("#"))
+      assert(files(3) == files(0))
+      // the rolled-back versions remain time-travelable
+      assert(vals(Some(1)) == Map(1L -> 9.0, 2L -> 2.0))
+      assert(vals(Some(2)) == Map(1L -> 9.0))
+      // commit audit trail
+      assert(VersionedStore.commitMeta(spark, store, 3)
+        .get("restoredFrom").contains("0"))
+      // unknown target rejected
+      intercept[IllegalArgumentException] {
+        VersionedStore.restore(spark, store, 7)
+      }
+    }
+  }
+
   test("commit conflict: a second writer publishing the same version fails") {
     withStore { store =>
       VersionedStore.create(events((1L, ts(1), "a@x", "workout", 1.0)), store)
