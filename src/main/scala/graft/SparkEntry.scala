@@ -136,6 +136,34 @@ object SparkEntry {
                 THEN 1::BIGINT << (8 * ci + cj) ELSE 0 END)::BIGINT AS lo
           FROM cavg c JOIN gm USING (doc_id) GROUP BY 1)"""
 
+  /** Audio-hash replay: the WAV data chunk IS the document's bytes, so
+    * the oracle recomputes [[graft.ext.Multimodal.wavAHash]]'s
+    * all-integer 64-segment grid — segment bounds `[s·n/64,
+    * (s+1)·n/64)`, per-segment `sum//count`, grid mean `Σ//64`, bit =
+    * segment > mean — straight off the text. Emits CTE `ah (doc_id,
+    * hi, lo)`, the same unsigned-halves shape as [[ahashChainSql]];
+    * `corpus` names the (doc_id, text) relation to hash. */
+  private def wavHashChainSql(corpus: String = "documents"): String =
+    s"""d AS (SELECT doc_id, text, length(text)::BIGINT AS n
+          FROM $corpus WHERE length(text) >= 64),
+       seg AS (SELECT doc_id, text, s.s AS seg,
+          (s.s * n) // 64 AS o0, ((s.s + 1) * n) // 64 AS o1
+          FROM d, (SELECT unnest(generate_series(0, 63)) AS s) s),
+       sm AS (SELECT doc_id, seg,
+          (list_sum([ord(substr(text, (o0 + i + 1)::INT, 1))::BIGINT
+             for i in generate_series(0, o1 - o0 - 1)])
+            // (o1 - o0))::BIGINT AS sa
+          FROM seg),
+       gm AS (SELECT doc_id, (sum(sa) // 64)::BIGINT AS m
+          FROM sm GROUP BY 1),
+       ah AS (SELECT c.doc_id,
+          sum(CASE WHEN sa > m AND seg >= 32
+                THEN 1::BIGINT << (seg - 32)::INT ELSE 0 END)::BIGINT
+            AS hi,
+          sum(CASE WHEN sa > m AND seg < 32
+                THEN 1::BIGINT << seg::INT ELSE 0 END)::BIGINT AS lo
+          FROM sm c JOIN gm USING (doc_id) GROUP BY 1)"""
+
   private def bpeTrainOracle(m: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -2629,6 +2657,41 @@ object SparkEntry {
           Multimodal.ppmAHash(
             Multimodal.packPpm(Tables.read(s, dir, "documents"),
               "doc_id", "text", width = 16).as[MediaRecord]),
+          "media_id", "ahash", maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Perceptual AUDIO hash: the image aHash's sibling over the 8-bit
+    // PCM stream — 64 equal-count segments, floor-mean thresholding,
+    // all-integer; the oracle rebuilds the same grid from the bytes.
+    "q_media_wavhash" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.wavAHash(
+          Multimodal.packWav(Tables.read(s, dir, "documents"),
+            "doc_id", "text", sampleRate = 8000).as[MediaRecord])
+        .select(col("media_id"),
+          format_string("%016x", col("ahash")).as("ahash_hex"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Audio near-dup pairs: the wav-hash relation through the same
+    // pigeonhole chunk join as SimHash/image pairs — no all-pairs.
+    // The corpus carries an exact re-encode of every 7th document
+    // under a shifted id, so identical payloads prove the Hamming-0
+    // path at every scale factor.
+    "q_media_wavhash_pairs" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val echoed = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+      graft.ext.Dedup.hammingDupPairs(
+          Multimodal.wavAHash(
+            Multimodal.packWav(echoed, "doc_id", "text",
+              sampleRate = 8000).as[MediaRecord]),
           "media_id", "ahash", maxHamming = 7)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -5363,6 +5426,36 @@ object SparkEntry {
               md5('P6' || chr(10) || '8 ' || h2 || chr(10) || '255'
                 || chr(10) || array_to_string(chars, '')) AS small_md5
          FROM px ORDER BY media_id""",
+
+    "q_media_wavhash" ->
+      s"""WITH ${wavHashChainSql()}
+         SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS ahash_hex
+         FROM ah ORDER BY 1""",
+
+    // The pair gate hashes the corpus PLUS an exact re-encode of every
+    // 7th document under a shifted id — identical payloads must land
+    // at Hamming 0 through the chunk join at every scale factor (the
+    // within-few-bits near-dup claim is spec-pinned on hand-built
+    // variants; natural near-dups add rows at larger SFs).
+    "q_media_wavhash_pairs" ->
+      s"""WITH echoed AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, text FROM documents
+              WHERE doc_id % 7 = 0),
+         ${wavHashChainSql("echoed")},
+         chunked AS (SELECT doc_id, hi, lo, c.c AS chunk,
+              CASE WHEN c.c < 4 THEN (lo >> (8 * c.c)) & 255
+                   ELSE (hi >> (8 * (c.c - 4))) & 255 END AS ckey
+            FROM ah, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              (bit_count(xor(a.hi::UBIGINT, b.hi::UBIGINT)) +
+               bit_count(xor(a.lo::UBIGINT, b.lo::UBIGINT)))::BIGINT
+                AS hamming
+            FROM chunked a JOIN chunked b
+              ON a.chunk = b.chunk AND a.ckey = b.ckey
+                 AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 7 ORDER BY 1, 2""",
 
     // Decimation replay: every 2nd source byte, hashed as the data
     // chunk; rate halves, sample count ceils.

@@ -415,6 +415,48 @@ object Multimodal {
     }).toDF("media_id", "ahash")
   }
 
+  /** Perceptual average-hash of an 8-bit mono PCM WAV — [[ppmAHash]]'s
+    * audio sibling: the sample stream splits into 64 equal-count
+    * segments (integer-boundary, `[s·n/64, (s+1)·n/64)`), each
+    * segment's floor-mean amplitude thresholds against the floor-mean
+    * of the 64 segment means (strict >), packed segment-major into 64
+    * bits. Level-preserving re-encodes and small tail edits land
+    * within a few Hamming bits — pair with [[Dedup.hammingDupPairs]],
+    * exactly like the image form. All-integer arithmetic, pure
+    * function of the data-chunk bytes, engine-replayable; streams
+    * shorter than 64 samples drop. Partition-local typed kernel:
+    * narrow, zero shuffles, sample bytes touched once. */
+  def wavAHash(media: Dataset[MediaRecord]): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val b = r.payload
+      val (channels, _, _, off, size) = scanWavChunks(r.media_id, b)
+      if (channels != 1)
+        throw new IllegalArgumentException(
+          s"media ${r.media_id}: aHash supports mono, got $channels")
+      if (size < 64) None
+      else {
+        val sm = new Array[Long](64)
+        var s = 0
+        while (s < 64) {
+          val o0 = (s.toLong * size / 64).toInt
+          val o1 = ((s + 1).toLong * size / 64).toInt
+          var sum = 0L
+          var i = o0
+          while (i < o1) { sum += b(off + i) & 0xff; i += 1 }
+          sm(s) = sum / (o1 - o0)
+          s += 1
+        }
+        val gm = sm.sum / 64
+        var hash = 0L
+        var i = 0
+        while (i < 64) { if (sm(i) > gm) hash |= (1L << i); i += 1 }
+        Some((r.media_id, hash))
+      }
+    }).toDF("media_id", "ahash")
+  }
+
   /** REAL audio decimation: keep every `factor`-th sample of an 8-bit
     * mono PCM stream and re-encode a VALID RIFF/WAVE whose fmt chunk
     * carries the divided sample rate — duration is preserved, the

@@ -158,6 +158,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((1L, 2L, 0L)))
   }
 
+  test("wavAHash: loud-half/quiet-half stream sets exactly the loud " +
+      "segment bits; identical streams pair at Hamming 0, inverse never") {
+    val s = spark
+    import s.implicits._
+    def le(v: Long, w: Int): Array[Byte] =
+      Array.tabulate(w)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def wav(samples: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le(samples.length + 36L, 4) ++
+        "WAVEfmt ".getBytes("US-ASCII") ++ le(16, 4) ++ le(1, 2) ++
+        le(1, 2) ++ le(8000, 4) ++ le(8000, 4) ++ le(1, 2) ++ le(8, 2) ++
+        "data".getBytes("US-ASCII") ++ le(samples.length.toLong, 4) ++
+        samples
+    // 128 samples: first half 200, second half 0 → segments 0..31 mean
+    // 200, 32..63 mean 0; grid mean = (32·200)/64 = 100 → bits 0..31
+    def sig(invert: Boolean): Array[Byte] = Array.tabulate(128) { i =>
+      val loud = (i < 64) ^ invert
+      if (loud) 200.toByte else 0.toByte
+    }
+    val media = Seq(
+      MediaRecord(1L, "audio/wav", wav(sig(invert = false))),
+      MediaRecord(2L, "audio/wav", wav(sig(invert = false))),
+      MediaRecord(3L, "audio/wav", wav(sig(invert = true))),
+      MediaRecord(4L, "audio/wav", wav(Array.fill(63)(9.toByte)))
+    ).toDS() // #4 < 64 samples → dropped
+    val hashes = Multimodal.wavAHash(media)
+    val m = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = java.lang.Long.parseUnsignedLong("00000000ffffffff", 16)
+    assert(m == Map(1L -> expected, 2L -> expected, 3L -> ~expected))
+    val pairs = graft.ext.Dedup.hammingDupPairs(hashes, "media_id", "ahash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L))) // inverse is Hamming 64 — never paired
+  }
+
   test("ppmResize keeps pixel (x*f, y*f), re-encodes a valid P6 the " +
       "decoder accepts, drops sub-pixel images") {
     val s = spark
