@@ -1064,6 +1064,17 @@ object SparkEntry {
           col("n_tokens"), col("cum_tokens"))
         .orderBy(col("source"), col("take_rank"))),
 
+    // DSIR importance resampling: candidates scored by the 1e-6-
+    // quantized target-vs-pool unigram log ratio, top-200 most
+    // target-like kept (src0 documents define the target LM).
+    "q_dsir_select" -> ((s, dir) =>
+      graft.ext.Curation.dsirSelect(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "text", col("source") === "src0", k = 200)
+        .select(col("doc_id"), col("n_tokens"), col("weight_e6"))
+        .orderBy(col("weight_e6").desc, col("doc_id"))),
+
     // Temperature-scaled mixture (T5/Gopher alpha sampling): weights
     // derive from the corpus's OWN per-source token masses, w ∝ m^α
     // quantized at 1e-6 of the largest source, then the standard
@@ -4967,6 +4978,36 @@ object SparkEntry {
     // the cumulative count BEFORE the row is under budget.
     "q_mixture_budget" -> mixtureOracle,
     "q_mixture_salted" -> mixtureOracle,
+
+    // DSIR replay: candidate-vocabulary Laplace LMs on both sides,
+    // each ln quantized to 1e-6-unit BIGINTs before the subtraction
+    // and the per-doc sum — the NB discipline, so the top-k cut is
+    // exact.
+    "q_dsir_select" ->
+      """WITH ct AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE source <> 'src0'),
+         sf AS (SELECT term, count(*)::BIGINT AS c_s FROM ct GROUP BY 1),
+         st AS (SELECT sum(c_s)::BIGINT AS n_s, count(*)::BIGINT AS v
+              FROM sf),
+         tt AS (SELECT term, count(*)::BIGINT AS c_t
+              FROM (SELECT unnest(string_split(text, ' ')) AS term
+                    FROM documents WHERE source = 'src0')
+              GROUP BY 1),
+         ttot AS (SELECT coalesce(sum(c_t), 0)::BIGINT AS n_t FROM tt),
+         r AS (SELECT sf.term,
+                CAST(round(ln((coalesce(tt.c_t, 0) + 1)::DOUBLE
+                    / (ttot.n_t + st.v)) * 1e6) AS BIGINT)
+              - CAST(round(ln((sf.c_s + 1)::DOUBLE
+                    / (st.n_s + st.v)) * 1e6) AS BIGINT) AS ratio_e6
+              FROM sf LEFT JOIN tt USING (term)
+              CROSS JOIN st CROSS JOIN ttot),
+         dtf AS (SELECT doc_id, term, count(*)::BIGINT AS n
+              FROM ct GROUP BY 1, 2),
+         w AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+                sum(n * ratio_e6)::BIGINT AS weight_e6
+              FROM dtf JOIN r USING (term) GROUP BY 1)
+         SELECT doc_id, n_tokens, weight_e6 FROM w
+         ORDER BY weight_e6 DESC, doc_id LIMIT 200""",
 
     // Temperature replay: per-source token masses off the corpus, the
     // relative-pow weights quantized to 1e-6 units (round to whole

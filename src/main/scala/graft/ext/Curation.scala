@@ -473,6 +473,60 @@ object Curation {
     }
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, Data Selection via
+    * Importance Resampling): score every CANDIDATE document by how
+    * much more likely its tokens are under the TARGET corpus's unigram
+    * LM than under the candidate pool's own LM —
+    * `w(d) = Σ_t n_t(d) · (ln p_tgt(t) − ln p_src(t))` — and keep the
+    * `k` most target-like. The cheap, principled "give me more data
+    * that looks like my high-quality set" primitive.
+    *
+    * Both LMs are Laplace (+1) smoothed over the candidate vocabulary
+    * (every scored term is a candidate term by construction; target
+    * terms outside it only contribute to the target total). Each
+    * side's per-term ln quantizes to 1e-6-unit longs BEFORE the
+    * subtraction and the per-doc sum — the NB replay discipline: doc
+    * scores are exact integers, independent of partial-aggregation
+    * order, and the (weight desc, id) top-k cut is engine-exact.
+    *
+    * Scale (100 TB): one candidate token explode feeds both the
+    * vocabulary counts (term-keyed, map-side partials absorb
+    * stopwords) and the per-doc tf (doc-keyed); the ratio relation is
+    * vocabulary-sized and AQE-broadcasts onto the tf; the final cut is
+    * a top-k (TakeOrderedAndProject), never a global sort. Target-side
+    * cost is one aggregate over the (small) target corpus. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val candTok = docs.filter(!isTarget).select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val srcTf = candTok.groupBy(col("term")).agg(count(lit(1)).as("c_s"))
+    val srcTot = srcTf.agg(sum(col("c_s")).as("n_s"),
+      count(lit(1)).as("v"))
+    val tgtTf = docs.filter(isTarget)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val tgtTot = tgtTf.agg(coalesce(sum(col("c_t")), lit(0L)).as("n_t"))
+    val ratios = srcTf
+      .join(tgtTf, Seq("term"), "left")
+      .crossJoin(broadcast(srcTot))
+      .crossJoin(broadcast(tgtTot))
+      .select(col("term"),
+        (round(log((coalesce(col("c_t"), lit(0L)) + lit(1)).cast("double") /
+          (col("n_t") + col("v"))) * 1e6).cast("long") -
+         round(log((col("c_s") + lit(1)).cast("double") /
+          (col("n_s") + col("v"))) * 1e6).cast("long")).as("ratio_e6"))
+    candTok
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .join(ratios, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("ratio_e6")).as("weight_e6"))
+      .orderBy(col("weight_e6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** TEMPERATURE-scaled mixture (the T5/Gopher "alpha sampling" rule):
     * instead of hand-written weights, each source's weight derives
     * from its own token mass, wₛ ∝ mₛ^α — α = 1 reproduces natural

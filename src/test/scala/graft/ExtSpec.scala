@@ -2414,6 +2414,32 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.map(_._2).toSet.subsetOf(bigger))
   }
 
+  test("dsirSelect ranks target-like candidates first; weights replay " +
+      "the quantized log-ratio formula; k cuts deterministically") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (100L, "tgt", "red red red"),
+      (1L, "cand", "red red"),
+      (2L, "cand", "blue blue"),
+      (3L, "cand", "red blue")).toDF("doc_id", "kind", "text")
+    val out = graft.ext.Curation.dsirSelect(docs, "doc_id", "text",
+        col("kind") === "tgt", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // candidate vocab {red, blue}: c_s(red)=3, c_s(blue)=3, n_s=6, v=2;
+    // target: c_t(red)=3, n_t=3 — replay the exact quantization
+    def q(x: Double) = math.round(math.log(x) * 1e6)
+    val red = q(4.0 / 5) - q(4.0 / 8)
+    val blue = q(1.0 / 5) - q(4.0 / 8)
+    assert(out == Map(1L -> 2 * red, 2L -> 2 * blue, 3L -> (red + blue)))
+    assert(red > 0 && blue < 0) // target-like up, target-absent down
+    // the k-cut keeps the most target-like prefix
+    val top2 = graft.ext.Curation.dsirSelect(docs, "doc_id", "text",
+        col("kind") === "tgt", k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(1L, 3L))
+  }
+
   test("mixtureByTemperature: alpha=1 reproduces natural proportions, " +
       "alpha=0 flattens to uniform — each equals its explicit-weight run") {
     val s = spark
