@@ -238,6 +238,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
         s"registered:\n$p")
   }
 
+  test("temporal join: keyed hash join with residual interval bounds — " +
+      "never a product join") {
+    val p = plan("q_temporal_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval containment must ride the key equi-join as a residual")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "the history side must join on the entity keys")
+  }
+
+  test("dsir: the selection cut is a distributed top-k and the ratio " +
+      "relation joins, not cross-products") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k-cut must plan top-k, never a global sort")
+    assert(!p.contains("CartesianProduct"),
+      "ratio relation must equi-join the per-doc tf")
+  }
+
+  test("quantile rollup: merge + windows run on sketch rows with " +
+      "map-side partial histograms") {
+    val p = plan("q_quantile_rollup")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "daily histogram must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"),
+      "the q_ppm explode is a literal array, never a join")
+  }
+
   test("mixture budget: one hash shuffle feeds both the rank and the " +
       "running sum") {
     val p = plan("q_mixture_budget")
