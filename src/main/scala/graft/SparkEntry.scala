@@ -2598,6 +2598,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN-pipeline evaluation: LSH and IVF top-5 scored against the
+    // exact brute-force top-5 as ground truth — per-query hit counts,
+    // the tuning harness for nPlanes/nProbes (the ANN analog of
+    // q_dedup_recall). Composes three proven, oracle-gated rankings.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val brute = Similarity.knnBruteForce(emb, queries, "vec_id",
+        "embedding", k = 5).select(col("query_id"), col("nn_id"))
+      def recall(approx: org.apache.spark.sql.DataFrame, name: String) =
+        brute.join(approx.withColumn("hit", lit(1L)),
+            Seq("query_id", "nn_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("method", lit(name))
+      recall(Similarity.knnLsh(emb, queries, "vec_id", "embedding",
+          k = 5, nPlanes = 4).select(col("query_id"), col("nn_id")), "lsh")
+        .unionByName(
+          recall(Similarity.knnIvf(emb, queries, "vec_id", "embedding",
+            k = 5).select(col("query_id"), col("nn_id")), "ivf"))
+        .select(col("method"), col("query_id"), col("n_true"),
+          col("n_hit"))
+        .orderBy(col("method"), col("query_id"))
+    }),
+
     // ── Extension scope: multimodal binary columns (SURVEY §7.5) ───────
     "q_media_frames" -> ((s, dir) =>
       Multimodal.framesWithBytes(
@@ -5395,6 +5421,78 @@ object SparkEntry {
                   ORDER BY cos_sim DESC, nn_id)::BIGINT AS rank FROM sc)
          SELECT query_id, bucket, rank, nn_id, cos_sim FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Recall replay: the three ranking chains are the PROVEN oracle
+    // texts of q_knn_bruteforce / q_knn_lsh / q_knn_ivf (renamed CTEs),
+    // joined on (query, neighbor) and counted.
+    "q_ann_recall" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+         b_s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                round(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+              FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 8),
+         b_r AS (SELECT query_id, nn_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, nn_id) AS rank FROM b_s),
+         brute AS (SELECT query_id, nn_id FROM b_r WHERE rank <= 5),
+         planes AS (SELECT j.j AS j,
+                [((('0x' || substr(md5(j.j || ',' || d), 1, 15))::UBIGINT
+                   % 2001)::BIGINT - 1000) / 1000.0
+                 for d in generate_series(0, 63)] AS pv
+              FROM (SELECT unnest(generate_series(0, 3)) AS j) j),
+         sig AS (SELECT e.vec_id,
+                sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                         THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT
+                  AS bucket
+              FROM emb e CROSS JOIN planes p GROUP BY e.vec_id),
+         l_sc AS (SELECT sq.vec_id AS query_id, sc.vec_id AS nn_id,
+                round(list_cosine_similarity(eq.v, ec.v), 4) AS cos_sim
+              FROM sig sq JOIN sig sc ON sq.bucket = sc.bucket
+                AND sq.vec_id <> sc.vec_id
+              JOIN emb eq ON eq.vec_id = sq.vec_id
+              JOIN emb ec ON ec.vec_id = sc.vec_id
+              WHERE sq.vec_id < 8),
+         l_r AS (SELECT query_id, nn_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, nn_id) AS rank FROM l_sc),
+         lsh AS (SELECT query_id, nn_id FROM l_r WHERE rank <= 5),
+         cents AS (SELECT vec_id AS cent_id, v AS ce FROM emb
+              WHERE vec_id < 16),
+         ca AS (SELECT e.vec_id AS id, c.cent_id,
+                round(list_cosine_similarity(e.v, c.ce), 6) AS cc
+              FROM emb e CROSS JOIN cents c),
+         cass AS (SELECT id, cent_id AS cell FROM (
+                SELECT id, cent_id, row_number() OVER (PARTITION BY id
+                  ORDER BY cc DESC, cent_id) AS r FROM ca) WHERE r = 1),
+         qass AS (SELECT id AS query_id, cent_id AS cell FROM (
+                SELECT id, cent_id, row_number() OVER (PARTITION BY id
+                  ORDER BY cc DESC, cent_id) AS r FROM ca WHERE id < 8)
+              WHERE r <= 4),
+         i_sc AS (SELECT q.query_id, n.id AS nn_id,
+                round(list_cosine_similarity(eq.v, en.v), 4) AS cos_sim
+              FROM qass q
+              JOIN cass n ON q.cell = n.cell AND q.query_id <> n.id
+              JOIN emb eq ON eq.vec_id = q.query_id
+              JOIN emb en ON en.vec_id = n.id),
+         i_r AS (SELECT query_id, nn_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, nn_id) AS rank FROM i_sc),
+         ivf AS (SELECT query_id, nn_id FROM i_r WHERE rank <= 5)
+         SELECT 'lsh' AS method, b.query_id, count(*)::BIGINT AS n_true,
+                sum(CASE WHEN l.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+                  ::BIGINT AS n_hit
+         FROM brute b LEFT JOIN lsh l
+           ON b.query_id = l.query_id AND b.nn_id = l.nn_id
+         GROUP BY 2
+         UNION ALL
+         SELECT 'ivf', b.query_id, count(*)::BIGINT,
+                sum(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+                  ::BIGINT
+         FROM brute b LEFT JOIN ivf i
+           ON b.query_id = i.query_id AND b.nn_id = i.nn_id
+         GROUP BY 2
+         ORDER BY method, query_id""",
 
     "q_media_frames" ->
       """WITH f AS (SELECT doc_id AS media_id, text, length(text) AS len,
