@@ -2598,6 +2598,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hybrid retrieval: BM25 keyword top-20 fused with embedding kNN
+    // top-20 (embeddings align 1:1 with documents) by reciprocal-rank
+    // fusion — 1e-6-quantized contributions, so the fused order is
+    // engine-exact. The modern search stack's first-stage shape.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val emb = Tables.read(s, dir, "embeddings")
+      val kwW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      // the rank window runs on the already-top-20 relation — 20 rows,
+      // not the corpus
+      val kw = TextAnalysis.bm25(docs, "doc_id", "text",
+          Seq("spark", "merge", "window"), topK = 20)
+        .withColumn("rank", row_number().over(kwW).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val vr = Similarity.knnBruteForce(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .select(col("nn_id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      Similarity.rrfFuse(Seq(kw, vr), "doc_id", topK = 10)
+        .select(col("doc_id"), col("rrf_e6"), col("n_lists"))
+        .orderBy(col("rrf_e6").desc, col("doc_id"))
+    }),
+
     // ANN-pipeline evaluation: LSH and IVF top-5 scored against the
     // exact brute-force top-5 as ground truth — per-query hit counts,
     // the tuning harness for nPlanes/nProbes (the ANN analog of
@@ -5421,6 +5445,52 @@ object SparkEntry {
                   ORDER BY cos_sim DESC, nn_id)::BIGINT AS rank FROM sc)
          SELECT query_id, bucket, rank, nn_id, cos_sim FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // RRF replay: the proven BM25 chain cut to a ranked top-20, the
+    // proven brute-force chain for query vector 0, then the quantized
+    // 1e6/(60+rank) fuse.
+    "q_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         stats AS (SELECT count(*)::DOUBLE AS n,
+                avg(len(l))::DOUBLE AS avgdl FROM t),
+         tok AS (SELECT doc_id, unnest(l) AS term FROM t),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, len(l)::DOUBLE AS dl FROM t),
+         sc AS (SELECT tf.doc_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                  AS raw
+              FROM tf JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id, stats s
+              GROUP BY 1),
+         kw AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY round(raw, 6) DESC, doc_id)::BIGINT AS rank
+              FROM (SELECT doc_id, raw FROM sc
+                    ORDER BY round(raw, 6) DESC, doc_id LIMIT 20)),
+         emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+         v_s AS (SELECT c.vec_id AS doc_id,
+                round(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+              FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id = 0),
+         vr AS (SELECT doc_id, rank FROM (
+                SELECT doc_id, row_number() OVER
+                  (ORDER BY cos_sim DESC, doc_id)::BIGINT AS rank
+                FROM v_s) WHERE rank <= 20),
+         contrib AS (SELECT doc_id,
+                round(1000000.0 / (60 + rank))::BIGINT AS c_e6 FROM kw
+              UNION ALL
+              SELECT doc_id, round(1000000.0 / (60 + rank))::BIGINT
+              FROM vr),
+         fused AS (SELECT doc_id, sum(c_e6)::BIGINT AS rrf_e6,
+                count(*)::BIGINT AS n_lists
+              FROM contrib GROUP BY 1)
+         SELECT doc_id, rrf_e6, n_lists FROM fused
+         ORDER BY rrf_e6 DESC, doc_id LIMIT 10""",
 
     // Recall replay: the three ranking chains are the PROVEN oracle
     // texts of q_knn_bruteforce / q_knn_lsh / q_knn_ivf (renamed CTEs),

@@ -817,6 +817,32 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * score-free way to merge heterogeneous rankings (BM25 keyword hits
+    * with embedding kNN, several ANN indexes, …): each list
+    * contributes `1 / (kRrf + rank)` per item, fused items sort by the
+    * summed contribution. Contributions quantize to 1e-6 units
+    * (`round(1e6 / (kRrf + rank))` — exact longs), so the fused order
+    * (ties by id ascending) replays across engines.
+    *
+    * Each ranking must carry `idCol` and a 1-based `rank` column and
+    * is already top-k-small, so everything here — the union, the
+    * fuse aggregate, the final cut — runs on k·lists rows regardless
+    * of corpus size; the heavy lifting stayed in the rankings. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    rankings
+      .map(_.select(col(idCol),
+        round(lit(1e6) / (lit(kRrf) + col("rank"))).cast("long")
+          .as("c_e6")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("c_e6")).as("rrf_e6"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_e6").desc, col(idCol))
+      .limit(topK)
+  }
 }
 
 /** Driver-side regeneration of the [[Similarity.projectSign]] sign

@@ -2414,6 +2414,25 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.map(_._2).toSet.subsetOf(bigger))
   }
 
+  test("rrfFuse sums quantized reciprocal ranks across lists; ties cut " +
+      "by id; topK keeps the fused prefix") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    def c(r: Long) = math.round(1e6 / (60 + r))
+    val out = graft.ext.Similarity.rrfFuse(Seq(a, b), "doc_id", topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (3L, c(3) + c(1), 2L), // in both lists — fused to the top
+      (1L, c(1), 1L),
+      (2L, c(2), 1L),        // ties 4 at rank-2 contribution...
+      (4L, c(2), 1L)))       // ...id ascending breaks it
+    val top3 = graft.ext.Similarity.rrfFuse(Seq(a, b), "doc_id", topK = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top3 == Seq(3L, 1L, 2L))
+  }
+
   test("dsirSelect ranks target-like candidates first; weights replay " +
       "the quantized log-ratio formula; k cuts deterministically") {
     val s = spark
