@@ -2472,6 +2472,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical-copy selection: the dedup story's last mile — cluster
+    // the near-dup graph, then keep each cluster's PageRank HUB (the
+    // most-linked copy, the one other copies derive from) instead of
+    // the arbitrary min-id. Ties break by id ascending. Composes two
+    // oracle-proven relations; only clustered (size >= 2) docs appear.
+    "q_canonical_select" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
+        maxHamming = 7)
+      val clusters = Dedup.dupClusters(pairs)
+      val ranks = graft.ext.Graph.pageRank(docs, "doc_id", pairs)
+      val byCluster = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      val pick = byCluster.orderBy(col("rank_e12").desc, col("id"))
+      clusters.join(ranks, clusters("id") === ranks("doc_id"))
+        .withColumn("rk", row_number().over(pick))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("id").as("canonical_id"),
+          col("rank_e12"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Capstone composition — the full curation pipeline (language gate
     // → quality gate → cluster-dedup survivors → deterministic split),
     // every stage individually oracle-proven; this query proves the
@@ -3555,7 +3578,10 @@ object SparkEntry {
     * edge relation: all-integer ranks (1e-12 units), per-edge
     * contribution `rank // deg`, damping update in longs — `//` floors
     * like Scala's `/` because every value is positive. */
-  private def pageRankOracle(iters: Int): String = {
+  /** The `n`/`deg`/`it0..itN` integer-PageRank CTE chain over the
+    * `edges` relation, shared by [[pageRankOracle]] and the canonical-
+    * selection oracle. */
+  private def pageRankChainSql(iters: Int): String = {
     val steps = (1 to iters).map { t =>
       s"""it$t AS (SELECT d.doc_id AS id,
               (((1000000 - 850000) * (1000000000000 // n.n)) // 1000000
@@ -3566,16 +3592,19 @@ object SparkEntry {
               JOIN deg g ON g.src = e.src
               GROUP BY 1) s ON s.id = d.doc_id)"""
     }
-    s"""WITH $simhashEdgesCte,
-         n AS (SELECT count(*) AS n FROM documents),
+    s"""n AS (SELECT count(*) AS n FROM documents),
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
          it0 AS (SELECT d.doc_id AS id,
               (1000000000000 // n.n)::BIGINT AS rank
             FROM documents d CROSS JOIN n),
-         ${steps.mkString(",\n         ")}
+         ${steps.mkString(",\n         ")}"""
+  }
+
+  private def pageRankOracle(iters: Int): String =
+    s"""WITH $simhashEdgesCte,
+         ${pageRankChainSql(iters)}
          SELECT id AS doc_id, rank AS rank_e12 FROM it$iters
          ORDER BY doc_id"""
-  }
 
   /** Shared simhash near-dup EDGE relation (CTE chain through
     * `edges`): used by the clusters oracle and the PageRank oracle. */
@@ -5243,6 +5272,27 @@ object SparkEntry {
          SELECT id AS doc_id, min(lbl)::BIGINT AS cluster_id,
                 (id = min(lbl)) AS is_canonical
          FROM reach GROUP BY id ORDER BY doc_id""",
+
+    // clusters (recursive min-label) ⋈ 3-iteration integer PageRank,
+    // hub picked per cluster by (rank desc, id)
+    "q_canonical_select" ->
+      s"""WITH RECURSIVE
+         $simhashEdgesCte,
+         reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, min(lbl)::BIGINT AS cluster_id
+              FROM reach GROUP BY id),
+         ${pageRankChainSql(3)},
+         pick AS (SELECT c.cluster_id, c.id, p.rank,
+                row_number() OVER (PARTITION BY c.cluster_id
+                  ORDER BY p.rank DESC, c.id) AS rk,
+                count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+              FROM clus c JOIN it3 p ON p.id = c.id)
+         SELECT cluster_id, id AS canonical_id, rank AS rank_e12,
+                n_members::BIGINT AS n_members
+         FROM pick WHERE rk = 1 ORDER BY cluster_id""",
 
     "q_curation" ->
       s"""$curationOraclePrefix
