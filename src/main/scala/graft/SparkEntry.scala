@@ -1831,6 +1831,30 @@ object SparkEntry {
         .orderBy(col("habit"))
     }),
 
+    // JSON-lines round-trip — the interchange format training corpora
+    // actually ship in. Timestamps ride as ISO-8601 strings (JSON has
+    // no timestamp type) and are re-parsed on read with an explicit
+    // schema-less scan + cast, so the aggregate must survive
+    // format → text → format unchanged vs the parquet-reading oracle.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl_" +
+        s"${ProcessHandle.current().pid()}_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.eventsAsHabits(s, dir)
+        .select(col("event_id"), col("ts").cast("string").as("ts"),
+          col("user_email"), col("habit"), col("value"))
+        .write.mode("overwrite").json(path)
+      s.read.json(path)
+        .select(col("event_id"), to_timestamp(col("ts")).as("ts"),
+          col("user_email"), col("habit"), col("value"))
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"),
+          max(col("ts")).as("last_ts"))
+        .select(col("habit"), col("n"), col("avg_value"),
+          ntz(col("last_ts")).as("last_ts"))
+        .orderBy(col("habit"))
+    }),
+
     // Variant landing payload — the reference's jsonb events column
     // (sql/001_schema.sql:10) in its 100 TB-native form. The payload is
     // parsed ONCE into VariantType and written SHREDDED: Spark 4's
@@ -4595,6 +4619,11 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
 
     "q_orc_roundtrip" ->
+      """SELECT event_type AS habit, count(*)::BIGINT AS n,
+                round(avg(value), 6) AS avg_value, max(ts) AS last_ts
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_jsonl_roundtrip" ->
       """SELECT event_type AS habit, count(*)::BIGINT AS n,
                 round(avg(value), 6) AS avg_value, max(ts) AS last_ts
          FROM events GROUP BY 1 ORDER BY 1""",
