@@ -3457,6 +3457,21 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // TWO-SIDED streaming JOIN-view maintenance: the dim itself
+    // changes mid-stream (batch 1 reweights every user%3==0 user)
+    // while facts accrete over three commits — each tick advances the
+    // view with BOTH stores' feeds (ΔA⋈B_new ∪ A_old⋈ΔB); the head
+    // view must equal the weighted join aggregate under the FINAL dim.
+    "q_matview_2sided_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jv2_")
+      try {
+        Streaming.joinViewTwoSidedAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_jview2"))
+          .orderBy(col("habit"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Exactly-once streaming ingest into the versioned store: the same
     // replay runs TWICE with fresh checkpoints — without the committed
     // batch-id dedup the second run would re-commit (n_versions = 2);
@@ -6058,6 +6073,22 @@ object SparkEntry {
     "q_matview_join_stream" ->
       """WITH b AS (SELECT user_email,
                 CAST(user_email % 5 + 1 AS DOUBLE) AS weight
+              FROM (SELECT DISTINCT user_id AS user_email FROM events))
+         SELECT habit, count(*)::BIGINT AS n,
+                sum(CAST(round(value * weight * 1e6) AS BIGINT))::BIGINT
+                  AS sum_e6
+         FROM (SELECT user_id AS user_email, event_type AS habit, value
+               FROM events) a
+         JOIN b USING (user_email)
+         GROUP BY habit ORDER BY habit""",
+
+    // head view == recompute under the FINAL dim (batch-1 reweight
+    // applied to user%3==0), whatever the micro-batch slicing
+    "q_matview_2sided_stream" ->
+      """WITH b AS (SELECT user_email,
+                CASE WHEN user_email % 3 = 0
+                     THEN CAST(user_email % 7 + 1 AS DOUBLE)
+                     ELSE CAST(user_email % 5 + 1 AS DOUBLE) END AS weight
               FROM (SELECT DISTINCT user_id AS user_email FROM events))
          SELECT habit, count(*)::BIGINT AS n,
                 sum(CAST(round(value * weight * 1e6) AS BIGINT))::BIGINT

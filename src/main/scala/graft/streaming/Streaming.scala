@@ -777,6 +777,121 @@ object Streaming {
         ()
       }.start()
 
+  /** TWO-SIDED streaming JOIN-view maintenance — [[joinViewIngest]]
+    * with a dimension that CHANGES: each micro-batch (1) commits the
+    * fact batch exactly-once, (2) commits this tick's dim changes (if
+    * any) to the dim's OWN [[graft.load.VersionedStore]], and (3)
+    * advances the view with BOTH manifest-diff feeds through the full
+    * two-sided delta rule `ΔV = ΔA⋈B_new ∪ A_old⋈ΔB`
+    * ([[graft.load.IncrementalView.applyJoinDelta]]). View generations
+    * publish under `viewDir/v<vF>_<vD>` — the RESUME COORDINATES are
+    * the pair, so a crash between any of the three steps heals on the
+    * next tick by telescoping both feeds from the newest COMMITTED
+    * generation (gated on its `_SUCCESS` marker, as the one-sided
+    * form).
+    *
+    * `dimForBatch` supplies the dim batch arriving with fact batch
+    * `id` (the "dim topic drained up to the fact watermark" shape);
+    * it MUST return the bootstrap dim for the first batch. Dim rows
+    * carry a `ts` (the store is day-laid-out) but merge on `dimKeys`
+    * — the ts-less-key day widening makes cross-day dim updates
+    * correct.
+    *
+    * Per-tick cost: one scoped commit per changed store, one
+    * commit-sized feed each, `ΔA⋈B_new` commit×dim, `A_old⋈ΔB` one
+    * fact-side scan against a broadcast-small dim delta (empty when
+    * the dim didn't change — the leg vanishes), one dims-keyed merge.
+    * The fact store is never rescanned for fact-only ticks. */
+  def joinViewIngestTwoSided(events: DataFrame, factStore: String,
+      dimStore: String, viewDir: String,
+      dimForBatch: Long => Option[DataFrame],
+      joinKeys: Seq[String], factCols: Seq[String], dimCols: Seq[String],
+      dims: Seq[String], contribE6: org.apache.spark.sql.Column,
+      checkpointDir: String, queryName: String,
+      keys: Seq[String] = graft.load.Merge.EventKeys,
+      dimKeys: Seq[String] = Seq("user_email"),
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val s = df.sparkSession
+        import graft.load.{IncrementalView, VersionedStore}
+        val done = VersionedStore.maxCommitted(s, factStore, "streamBatch")
+        if (done.forall(_ < id)) {
+          val meta = Map("streamBatch" -> id.toString)
+          val vF =
+            if (VersionedStore.versions(s, factStore).isEmpty)
+              VersionedStore.create(df, factStore, meta = meta)
+            else VersionedStore.upsert(s, factStore, df, keys, meta = meta)
+          val vD = dimForBatch(id) match {
+            case Some(dimBatch) =>
+              if (VersionedStore.versions(s, dimStore).isEmpty)
+                VersionedStore.create(dimBatch, dimStore, meta = meta,
+                  sortCols = dimKeys)
+              else VersionedStore.upsert(s, dimStore, dimBatch, dimKeys,
+                meta = meta, sortCols = dimKeys)
+            case None =>
+              val vs = VersionedStore.versions(s, dimStore)
+              require(vs.nonEmpty, "joinViewIngestTwoSided: dimForBatch " +
+                "must supply the bootstrap dim for the first batch")
+              vs.last
+          }
+          val fs = new org.apache.hadoop.fs.Path(viewDir).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          val gen = "v(\\d+)_(\\d+)".r
+          val viewPath = new org.apache.hadoop.fs.Path(viewDir)
+          val lastView =
+            if (!fs.exists(viewPath)) None
+            else fs.listStatus(viewPath).toSeq.filter(_.isDirectory)
+              .map(_.getPath.getName)
+              .collect { case gen(f, d) if fs.exists(
+                  new org.apache.hadoop.fs.Path(s"$viewDir/v${f}_$d/_SUCCESS"))
+                => (f.toInt, d.toInt) }
+              .sorted.lastOption
+          val factProj = (joinKeys ++ factCols).map(col)
+          val dimProj = (joinKeys ++ dimCols).map(col)
+          val bNew = VersionedStore.snapshot(s, dimStore, Some(vD))
+            .select(dimProj: _*)
+          def feedZ(store: String, from: Int, to: Int, ks: Seq[String],
+              cols: Seq[String]): DataFrame = {
+            val cdf = VersionedStore.changes(s, store, from, to, ks)
+            val plain = cdf.columns.toSet
+            IncrementalView.zRelation(cdf.select(
+              joinKeys.map(col) ++ Seq(col("op")) ++
+                cols.flatMap(c =>
+                  if (plain(c)) Seq(col(c))
+                  else Seq(col(s"${c}_old"), col(s"${c}_new"))): _*))
+          }
+          val (viewPrev, zA, zB, aOld) = lastView match {
+            case None =>
+              val empty = VersionedStore.snapshot(s, factStore, Some(vF))
+                .select(factProj: _*).limit(0)
+              (empty.join(bNew.limit(0), joinKeys)
+                  .groupBy(dims.map(col): _*)
+                  .agg(count(lit(1)).as("n"), sum(lit(0L)).as("sum_e6"))
+                  .select(dims.map(col) :+ col("n") :+ col("sum_e6"): _*),
+                VersionedStore.snapshot(s, factStore, Some(vF))
+                  .select(factProj: _*).withColumn("_sign", lit(1L)),
+                bNew.limit(0).withColumn("_sign", lit(1L)),
+                empty)
+            case Some((qF, qD)) =>
+              (s.read.parquet(s"$viewDir/v${qF}_$qD"),
+                feedZ(factStore, qF, vF, keys, factCols),
+                if (qD == vD) bNew.limit(0).withColumn("_sign", lit(1L))
+                else feedZ(dimStore, qD, vD, dimKeys, dimCols),
+                VersionedStore.snapshot(s, factStore, Some(qF))
+                  .select(factProj: _*))
+          }
+          IncrementalView.applyJoinDelta(viewPrev, zA, bNew, aOld, zB,
+              joinKeys, dims, contribE6)
+            .coalesce(1)
+            .write.mode("errorifexists").parquet(s"$viewDir/v${vF}_$vD")
+        }
+        ()
+      }.start()
+
   /** One-shot gate replay of [[joinViewIngest]]: the events table is
     * re-staged as THREE parquet files and streamed with
     * `maxFilesPerTrigger = 1`, so the fact store really accretes over
@@ -828,6 +943,67 @@ object Streaming {
         .versions(spark, storePath).last
       require(head >= 2, s"expected >= 3 commits, head version is $head")
       spark.read.parquet(s"$workDir/view/v$head")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** One-shot gate replay of [[joinViewIngestTwoSided]]: three staged
+    * fact batches while the DIM ITSELF CHANGES mid-stream — batch 0
+    * bootstraps the dim (weight = user % 5 + 1), batch 1 reweights
+    * every user % 3 == 0 to (user % 7 + 1), batch 2 brings no dim
+    * change (the ΔB leg must vanish). The returned head view must
+    * equal recomputing the weighted fact⋈dim aggregate over ALL
+    * events under the FINAL dim — exactly what the DuckDB oracle
+    * does. */
+  def joinViewTwoSidedAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val ev = graft.Tables.eventsAsHabits(spark, dir)
+    val staging = s"$workDir/staged"
+    ev.repartitionByRange(3, col("ts")).write.parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val sfs = stagingPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val t0 = System.currentTimeMillis()
+    sfs.listStatus(stagingPath).toSeq.filter(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
+      sfs.setTimes(f.getPath, t0 + i * 60000L, -1)
+    }
+    val dimTs = to_timestamp(lit("2024-01-01 00:00:00"))
+    val users = ev.select(col("user_email")).distinct()
+    val dim0 = users
+      .withColumn("ts", dimTs)
+      .withColumn("weight", (col("user_email") % 5 + 1).cast("double"))
+    val dim1 = users.filter(col("user_email") % 3 === 0)
+      .withColumn("ts", dimTs)
+      .withColumn("weight", (col("user_email") % 7 + 1).cast("double"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream
+        .schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+      val factStore = s"$workDir/fact"
+      val viewDir = s"$workDir/view"
+      awaitOneShot(
+        joinViewIngestTwoSided(stream, factStore, s"$workDir/dim",
+          viewDir,
+          dimForBatch = {
+            case 0L => Some(dim0)
+            case 1L => Some(dim1)
+            case _ => None
+          },
+          joinKeys = Seq("user_email"), factCols = Seq("habit", "value"),
+          dimCols = Seq("weight"), dims = Seq("habit"),
+          contribE6 = round(col("value") * col("weight") * 1e6).cast("long"),
+          checkpointDir = s"$workDir/cp", queryName = queryName,
+          dimKeys = Seq("user_email")),
+        queryName)
+      val headF = graft.load.VersionedStore.versions(spark, factStore).last
+      require(headF >= 2, s"expected >= 3 fact commits, head is $headF")
+      val headD = graft.load.VersionedStore
+        .versions(spark, s"$workDir/dim").last
+      spark.read.parquet(s"$viewDir/v${headF}_$headD")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 

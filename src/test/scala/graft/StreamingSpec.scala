@@ -588,6 +588,75 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("joinViewIngestTwoSided: dim changes advance the view through " +
+      "the zB leg; fact-only ticks skip it; head == closed form") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_jv2s_")
+    try {
+      val fact = dir.resolve("fact").toString
+      val dim = dir.resolve("dim").toString
+      val viewDir = dir.resolve("view").toString
+      val dimTs = ts("2024-01-01 00:00:00")
+      def dimDf(rows: (Long, Double)*) = rows.toSeq
+        .map { case (u, w) => (u, dimTs, w) }
+        .toDF("user_email", "ts", "weight")
+      val mem = MemoryStream[(Long, Timestamp, String, Double)]
+      def stream = mem.toDF().toDF("user_email", "ts", "habit", "value")
+      def tick(): Unit = Streaming.joinViewIngestTwoSided(stream, fact,
+        dim, viewDir,
+        dimForBatch = {
+          case 0L => Some(dimDf(1L -> 2.0, 2L -> 0.5))
+          case 1L => Some(dimDf(2L -> 2.0)) // reweight u2
+          case _ => None
+        },
+        joinKeys = Seq("user_email"), factCols = Seq("habit", "value"),
+        dimCols = Seq("weight"), dims = Seq("habit"),
+        contribE6 = round(col("value") * col("weight") * 1e6).cast("long"),
+        checkpointDir = dir.resolve("cp").toString,
+        queryName = Streaming.nextQueryName("jv2s"),
+        keys = Seq("user_email", "habit", "ts"),
+        dimKeys = Seq("user_email")).awaitTermination()
+      def view(g: String) = s.read.parquet(s"$viewDir/$g").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "workout", 2.0),
+        (2L, ts("2024-01-01 11:00:00"), "workout", 4.0),
+        (1L, ts("2024-01-02 10:00:00"), "mood", 3.0))
+      tick()
+      // workout = 2·2 + 4·0.5 = 6; mood = 3·2 = 6
+      assert(view("v0_0") == Map("workout" -> ((2L, 6000000L)),
+        "mood" -> ((1L, 6000000L))))
+      // tick 2: fact update + insert AND a dim reweight in one step
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "workout", 10.0),
+        (2L, ts("2024-01-03 09:00:00"), "mood", 8.0))
+      tick()
+      // final dim u1=2, u2=2: workout = 10·2 + 4·2 = 28; mood = 3·2 + 8·2 = 22
+      assert(view("v1_1") == Map("workout" -> ((2L, 28000000L)),
+        "mood" -> ((2L, 22000000L))))
+      // tick 3: fact-only (dim-less user contributes nothing; ΔB empty)
+      mem.addData((9L, ts("2024-01-04 10:00:00"), "mood", 1.0))
+      tick()
+      assert(view("v2_1") == Map("workout" -> ((2L, 28000000L)),
+        "mood" -> ((2L, 22000000L))))
+      // head view == full recompute of final fact ⋈ final dim
+      val full = graft.load.VersionedStore.snapshot(s, fact)
+        .join(graft.load.VersionedStore.snapshot(s, dim)
+          .select(col("user_email"), col("weight")), "user_email")
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * col("weight") * 1e6).cast("long"))
+            .as("sum_e6"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(view("v2_1") == full)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("cdcStream: change-feed ticks apply inserts, updates, deletes") {
     val s = spark
     import s.implicits._
