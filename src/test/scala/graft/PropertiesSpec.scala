@@ -8,7 +8,7 @@ import graft.functions.Dates
 import graft.load.Merge
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import org.scalacheck.Test.Parameters
 
 /** ScalaCheck properties (SURVEY §5 strategy item 2). Each property
@@ -691,5 +691,85 @@ object PropertiesSpec extends Properties("graft") {
         }
         ok
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+
+  property("temporalJoin: each fact with key history matches exactly " +
+    "once, none twice, on random SCD2 streams") =
+    forAll(
+      Gen.listOfN(12, for {
+        k <- Gen.oneOf("k1", "k2", "k3")
+        d <- Gen.choose(1, 28)
+        v <- Gen.choose(0, 3)
+      } yield (k, d, v.toDouble)),
+      Gen.listOfN(10, for {
+        k <- Gen.oneOf("k1", "k2", "k3", "k4")
+        d <- Gen.choose(1, 28)
+      } yield (k, d))) { (changesRaw, facts) =>
+      val s = spark
+      import s.implicits._
+      // one value per (key, day): scd2 orders by ts, so same-day
+      // duplicates would make the window nondeterministic
+      val changes = changesRaw.groupBy(t => (t._1, t._2))
+        .map(_._2.head).toSeq
+      changes.nonEmpty ==> {
+        def t(d: Int, h: Int) =
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+        val dim = graft.ext.History.scd2(
+          changes.map { case (k, d, v) => (k, t(d, 0), v) }
+            .toDF("k", "ts", "v"),
+          Seq("k"), "ts", "v")
+        val fdf = facts.zipWithIndex
+          .map { case ((k, d), i) => (i.toLong, k, t(d, 12)) }
+          .toDF("fid", "k", "ts")
+        val out = graft.ext.History.temporalJoin(fdf, dim, Seq("k"), "ts")
+          .collect().map(_.getAs[Long]("fid"))
+        // a fact (at noon) is covered iff its key changed on/before its day
+        val firstDay = changes.groupBy(_._1)
+          .map { case (k, cs) => k -> cs.map(_._2).min }
+        val expected = facts.zipWithIndex.collect {
+          case ((k, d), i) if firstDay.get(k).exists(_ <= d) => i.toLong
+        }
+        out.sorted.toSeq == expected.sorted
+      }
+    }
+
+  property("histogramQuantiles: per-day rollup == one-pass sketch on " +
+    "random values") =
+    forAll(Gen.listOfN(30, for {
+      day <- Gen.oneOf("d1", "d2", "d3")
+      v <- Gen.choose(-10.0, 110.0)
+    } yield (day, v))) { rows =>
+      val s = spark
+      import s.implicits._
+      val df = rows.map { case (d, v) => ("g", d, v) }
+        .toDF("grp", "day", "v")
+      val qs = Seq(0.25, 0.5, 0.75, 1.0)
+      def quant(groupCols: Seq[String]) =
+        graft.ext.Profile.histogramQuantiles(
+            graft.ext.Profile.histogram(df, "v", 0.0, 100.0, 10, groupCols),
+            Seq("grp"), qs, 0.0, 100.0, 10)
+          .collect().map(r => r.getAs[Long]("q_ppm") ->
+            ((r.getAs[Long]("bucket"), r.getAs[Long]("n_total"),
+              r.getAs[Double]("est")))).toMap
+      quant(Seq("grp", "day")) == quant(Seq("grp"))
+    }
+
+  property("rrfFuse is invariant to ranking-list order") =
+    forAll(
+      Gen.listOfN(8, Gen.choose(0L, 15L)).map(_.distinct),
+      Gen.listOfN(8, Gen.choose(0L, 15L)).map(_.distinct)) { (ia, ib) =>
+      (ia.nonEmpty && ib.nonEmpty) ==> {
+        val s = spark
+        import s.implicits._
+        def ranked(ids: Seq[Long]) = ids.zipWithIndex
+          .map { case (id, i) => (id, (i + 1).toLong) }
+          .toDF("doc_id", "rank")
+        val (a, b) = (ranked(ia), ranked(ib))
+        def fused(ls: Seq[org.apache.spark.sql.DataFrame]) =
+          graft.ext.Similarity.rrfFuse(ls, "doc_id", topK = 20)
+            .collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        fused(Seq(a, b)) == fused(Seq(b, a))
+      }
     }
 }
