@@ -196,6 +196,82 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared unigram-tokenizer vocabulary chain — the DuckDB replay of
+    * [[graft.ext.Unigram.unigramSeed]] at the gate's knobs
+    * (maxPieceLen 4, vocabSize 40, maxWordLen 16): distinct-word
+    * census, substring explode, (cnt DESC, piece) top-40 plus all
+    * single characters, integer-quantized log2 costs. Emits CTEs
+    * `uwf` (word, freq) and `ucosts` (piece, cnt, cost). */
+  private val unigramChainSql: String =
+    """uwf AS (SELECT w, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1),
+       usub AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+          SELECT substr(ws.w, i.i, L.L) AS piece, ws.freq
+          FROM (SELECT w, freq FROM uwf WHERE length(w) <= 16) ws,
+               (SELECT unnest(generate_series(1, 16)) AS i) i,
+               (SELECT unnest(generate_series(1, 4)) AS L) L
+          WHERE i.i + L.L - 1 <= length(ws.w)) GROUP BY 1),
+       urk AS (SELECT piece, cnt,
+              row_number() OVER (ORDER BY cnt DESC, piece) AS r FROM usub),
+       uvocab AS (SELECT piece, cnt FROM urk
+          WHERE r <= 40 OR length(piece) = 1),
+       utot AS (SELECT sum(cnt)::DOUBLE AS t FROM uvocab),
+       ucosts AS (SELECT piece, cnt,
+              round(1e6 * log2(t / cnt::DOUBLE))::BIGINT AS cost
+          FROM uvocab, utot)"""
+
+  /** DuckDB replay of [[graft.ext.Unigram.unigramEncode]]: the packed
+    * (cost·64 + pieces) Viterbi as an unrolled Bellman-Ford chain —
+    * `uedges` holds every in-vocabulary (start, end) span of every
+    * distinct word, `ud0..ud16` relax one more edge per generation
+    * (16 = the maxWordLen contract, so the chain covers every
+    * all-single-char path), and the final generation's `pos = len(w)`
+    * row is the word's minimum. `AS MATERIALIZED` per generation:
+    * each ud$k feeds both branches of the next union, and CTE
+    * inlining would expand the chain 2^16-fold (the bpeTrainOracle
+    * lesson). Over-long words take the unknown path: one piece at
+    * `round(1e6·log2(total))`. */
+  private def unigramEncodeOracle: String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(unigramChainSql)
+    sb.append(""",
+       udw AS (SELECT DISTINCT w FROM uwf),
+       uedges AS (SELECT d.w, (i.i - 1)::BIGINT AS src,
+              (i.i - 1 + L.L)::BIGINT AS dst, c.cost * 64 + 1 AS m
+          FROM udw d,
+               (SELECT unnest(generate_series(1, 16)) AS i) i,
+               (SELECT unnest(generate_series(1, 4)) AS L) L,
+               ucosts c
+          WHERE length(d.w) <= 16 AND i.i + L.L - 1 <= length(d.w)
+            AND substr(d.w, i.i, L.L) = c.piece),
+       ud0 AS (SELECT w, 0::BIGINT AS pos, 0::BIGINT AS m
+          FROM udw WHERE length(w) <= 16)""")
+    for (k <- 1 to 16)
+      sb.append(s""",
+       ud$k AS MATERIALIZED (SELECT w, pos, min(m)::BIGINT AS m FROM (
+          SELECT w, pos, m FROM ud${k - 1}
+          UNION ALL
+          SELECT e.w, e.dst, d.m + e.m FROM ud${k - 1} d
+            JOIN uedges e ON e.w = d.w AND e.src = d.pos) GROUP BY 1, 2)""")
+    sb.append(""",
+       uwall AS (
+          SELECT d.w, (d.m % 64) AS n_pieces, (d.m // 64) AS w_cost
+          FROM ud16 d WHERE d.pos = length(d.w)
+          UNION ALL
+          SELECT w, 1::BIGINT AS n_pieces,
+                 (SELECT round(1e6 * log2(t))::BIGINT FROM utot) AS w_cost
+          FROM udw WHERE length(w) > 16)
+       SELECT t.doc_id, sum(n_pieces)::BIGINT AS n_pieces,
+              sum(w_cost)::BIGINT AS total_cost
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) t
+       JOIN uwall ON t.w = uwall.w
+       WHERE t.w <> ''
+       GROUP BY 1 ORDER BY 1""")
+    sb.toString
+  }
+
   /** DuckDB replay of [[graft.ext.Bpe.bpeEncode]] over a merge list
     * trained in the same query: the [[bpeTrainOracle]] stage chain with
     * the word column carried through (so the final generation is a
@@ -1124,24 +1200,46 @@ object SparkEntry {
       val ev = Tables.read(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
-      def feedCols(value: Column, op: String, seq: Long) = Seq(
-        col("user_id"), col("event_type"), value.as("value"),
-        lit(op).as("op"), lit(seq).as("seq"))
-      val stale = ev.filter(col("event_id") % 7 === 1)
-        .select(col("event_id") +: feedCols(lit(-1d), "U", 1L): _*)
-      val updates = ev.filter(col("event_id") % 7 === 1)
-        .select(col("event_id") +: feedCols(col("value") + 100d, "U", 2L): _*)
-      val deletes = ev.filter(col("event_id") % 7 === 2)
-        .select(col("event_id") +:
-          feedCols(lit(null).cast("double"), "D", 3L): _*)
-      // negative mirror ids: collision-proof against real event_ids at
-      // ANY scale factor (testdata ids are non-negative)
-      val inserts = ev.filter(col("event_id") % 7 === 3)
-        .select((-col("event_id") - 1L).as("event_id") +:
-          feedCols(col("value"), "I", 1L): _*)
-      val feed = stale.union(updates).union(deletes).union(inserts)
-      Merge.applyCdc(ev, feed, keys = Seq("event_id"), seqCol = "seq")
+      Merge.applyCdc(ev, cdcFeed(ev), keys = Seq("event_id"),
+          seqCol = "seq")
         .orderBy(col("event_id"))
+    }),
+
+    // STREAMING CDC apply: the SAME change feed drained in three
+    // ascending-seq ticks through cdcStream's foreachBatch merge
+    // against a sink primed with the current table. Staged ascending
+    // arrival makes the stream's arrival-wins contract coincide with
+    // the batch path's highest-seq-wins, so the final sink state is
+    // the q_cdc_apply oracle row for row.
+    "q_cdc_stream" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcs_")
+      try
+        Streaming.cdcStreamAvailableNow(s, ev, cdcFeed(ev),
+            Seq(1L, 2L, 3L), tmp.toString,
+            Streaming.nextQueryName("graft_cdcs"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // STREAMING ingest dedup: the documents corpus arrives in two
+    // hash-split ticks; tick 0 bootstraps the corpus store, tick 1
+    // runs the incremental batch×corpus + batch-internal path, and the
+    // accumulated pair ledger must equal the batch minhash dedup over
+    // the whole corpus — the q_dedup_minhash oracle, proving the
+    // ingest-time dedup loses nothing vs the offline pass.
+    "q_dedup_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ddups_")
+      try
+        Streaming.dedupIncrementalAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_ddups"))
+          .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
     // Sub-document dedup (CCNet/RefinedWeb line-dedup analog): segments
@@ -2288,6 +2386,33 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
       graft.ext.Bpe.bpeEncode(docs, "doc_id", "text",
           graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM (SentencePiece-style) vocabulary — the OTHER subword
+    // family next to BPE: substring census over the distinct-word
+    // relation (bounded len×maxPieceLen fan-out per word), top-40
+    // pieces under the (cnt DESC, piece) total order plus every
+    // single character (the required-character rule), integer-
+    // quantized log2 costs. Top-V is a TakeOrderedAndProject — local
+    // per-partition heads merged on the driver, no global rank window.
+    "q_unigram_vocab" -> ((s, dir) =>
+      graft.ext.Unigram.unigramSeed(Tables.read(s, dir, "documents"),
+          "text")
+        .orderBy(col("piece"))),
+
+    // Tokenizer APPLY, unigram style: Viterbi minimum-cost
+    // segmentation of every DISTINCT word under the broadcast
+    // vocabulary (narrow mapPartitions DP — the corpus side never
+    // shuffles), then one AQE-broadcast join back to the exploded
+    // corpus for per-document piece counts and total quantized cost.
+    // The packed (cost·64 + pieces) metric makes both outputs unique
+    // under segmentation ties; the oracle replays the same search as
+    // an unrolled 16-step Bellman-Ford chain over the same metric.
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      graft.ext.Unigram.unigramEncode(docs, "doc_id", "text",
+          graft.ext.Unigram.unigramSeed(docs, "text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3494,6 +3619,41 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }))
 
+  /** The deterministic CDC change feed q_cdc_apply and q_cdc_stream
+    * share: seq-superseded stale updates, winning updates, deletes,
+    * and negative-mirror-id inserts (collision-proof against real
+    * event_ids at any scale factor — testdata ids are non-negative).
+    * The stale seq=1 update must lose to the seq=2 winner; the shared
+    * oracle's closed form assumes exactly that. */
+  private def cdcFeed(ev: DataFrame): DataFrame = {
+    def feedCols(value: Column, op: String, seq: Long) = Seq(
+      col("user_id"), col("event_type"), value.as("value"),
+      lit(op).as("op"), lit(seq).as("seq"))
+    val stale = ev.filter(col("event_id") % 7 === 1)
+      .select(col("event_id") +: feedCols(lit(-1d), "U", 1L): _*)
+    val updates = ev.filter(col("event_id") % 7 === 1)
+      .select(col("event_id") +: feedCols(col("value") + 100d, "U", 2L): _*)
+    val deletes = ev.filter(col("event_id") % 7 === 2)
+      .select(col("event_id") +:
+        feedCols(lit(null).cast("double"), "D", 3L): _*)
+    val inserts = ev.filter(col("event_id") % 7 === 3)
+      .select((-col("event_id") - 1L).as("event_id") +:
+        feedCols(col("value"), "I", 1L): _*)
+    stale.union(updates).union(deletes).union(inserts)
+  }
+
+  /** Closed form of [[cdcFeed]] applied to the events table — shared
+    * by the batch (q_cdc_apply) and streamed (q_cdc_stream) gates. */
+  private val cdcApplyOracle: String =
+    """SELECT event_id, user_id, event_type,
+              CASE WHEN event_id % 7 = 1 THEN value + 100
+                   ELSE value END AS value
+       FROM events WHERE event_id % 7 <> 2
+       UNION ALL
+       SELECT -event_id - 1, user_id, event_type, value
+       FROM events WHERE event_id % 7 = 3
+       ORDER BY event_id"""
+
   /** One oracle for the composed as-of join and both native physical
     * forms — all three gates assert the same DuckDB ASOF LEFT JOIN. */
   private val asofOracle =
@@ -4095,15 +4255,11 @@ object SparkEntry {
     // closed form of the CDC feed: %7=2 keys deleted, %7=1 keys take
     // the seq-2 update (the stale seq-1 change is superseded), %7=3
     // keys re-inserted at the negative mirror id -(event_id)-1
-    "q_cdc_apply" ->
-      """SELECT event_id, user_id, event_type,
-                CASE WHEN event_id % 7 = 1 THEN value + 100
-                     ELSE value END AS value
-         FROM events WHERE event_id % 7 <> 2
-         UNION ALL
-         SELECT -event_id - 1, user_id, event_type, value
-         FROM events WHERE event_id % 7 = 3
-         ORDER BY event_id""",
+    "q_cdc_apply" -> cdcApplyOracle,
+
+    // staged ascending-seq arrival makes the streamed apply land on
+    // the same final state — same oracle
+    "q_cdc_stream" -> cdcApplyOracle,
 
     "q_dedup_lines" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
@@ -5051,6 +5207,12 @@ object SparkEntry {
 
     "q_bpe_train" -> bpeTrainOracle(8),
 
+    "q_unigram_vocab" ->
+      s"""WITH $unigramChainSql
+         SELECT piece, cnt, cost FROM ucosts ORDER BY piece""",
+
+    "q_unigram_encode" -> unigramEncodeOracle,
+
     "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_bpe_encode_ids" -> bpeEncodeIdsOracle(8),
 
@@ -5241,6 +5403,10 @@ object SparkEntry {
          FROM fp ORDER BY doc_id""",
 
     "q_dedup_minhash" -> minhashOracleSql(""),
+
+    // the streaming ingest-dedup replay accumulates exactly the batch
+    // pair set — same oracle, no stream-specific SQL
+    "q_dedup_stream" -> minhashOracleSql(""),
 
     // identical minhash pipeline, restricted to pairs touching the
     // batch (doc_id % 10 = 0) — exactly the incremental contract

@@ -1119,4 +1119,84 @@ object Streaming {
       spark.table(queryName)
     }
   }
+
+  /** Stage `batches` as sequential parquet appends into one directory,
+    * each batch's files stamped with a strictly later mtime, so a
+    * `maxFilesPerTrigger = batch-file-count` replay processes them in
+    * list order — the generalized form of the per-wrapper staging the
+    * joinView replays do inline. Returns (staging dir, schema). */
+  private def stageBatches(spark: SparkSession, staging: String,
+      batches: Seq[DataFrame]): StructType = {
+    val p = new org.apache.hadoop.fs.Path(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = System.currentTimeMillis()
+    var seen = Set.empty[String]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode("append").parquet(staging)
+      seen = stampStagedBatch(fs, p, t0 + i * 60000L, seen)
+    }
+    spark.read.parquet(staging).schema
+  }
+
+  /** One-shot gate replay of [[dedupStreamIncremental]]: the documents
+    * corpus is staged as two files (hash-split on doc_id) and streamed
+    * one file per trigger, so tick 0 bootstraps the corpus store
+    * (batch-internal pairs) and tick 1 runs the true incremental path
+    * (batch×corpus + batch-internal). Every pair of the full corpus
+    * lands in exactly ONE tick's ledger append — within-tick pairs in
+    * their own tick, cross-tick pairs in the later doc's tick — so the
+    * accumulated ledger equals the batch
+    * [[graft.ext.Dedup.minhashDupPairs]] over the whole corpus: the
+    * shared q_dedup_minhash oracle, with no stream-specific oracle
+    * needed. */
+  def dedupIncrementalAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, threshold: Double = 0.5)
+      : DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(
+        dedupStreamIncremental(stream, s"$workDir/corpus",
+          s"$workDir/pairs", s"$workDir/cp", "doc_id", "text", threshold),
+        queryName)
+      spark.read.parquet(s"$workDir/pairs")
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** One-shot gate replay of [[cdcStream]]: the change feed is staged
+    * in ascending-`seqCol` batches (one file per tick), so the
+    * arrival-wins cross-tick contract COINCIDES with the global
+    * highest-seq-wins resolution the batch oracle computes — tick k's
+    * per-key winners carry seqs strictly above every earlier tick's.
+    * The sink is primed with the current table state, then the replay
+    * drains the feed; the final sink must equal
+    * [[graft.load.Merge.applyCdc]] of the whole feed at once — the
+    * shared q_cdc_apply oracle. */
+  def cdcStreamAvailableNow(spark: SparkSession, current: DataFrame,
+      feed: DataFrame, seqValues: Seq[Long], workDir: String,
+      queryName: String): DataFrame = {
+    val ticks = seqValues.map(s => feed.filter(col("seq") === s))
+    val schema = stageBatches(spark, s"$workDir/staged", ticks)
+    val sink = s"$workDir/sink"
+    current.write.parquet(sink)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(
+        cdcStream(stream, sink, s"$workDir/cp", Seq("event_id"), "seq"),
+        queryName)
+      spark.read.parquet(sink)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }

@@ -772,4 +772,38 @@ object PropertiesSpec extends Properties("graft") {
         fused(Seq(a, b)) == fused(Seq(b, a))
       }
     }
+
+  property("unigram Viterbi: path DP and packed DP agree, pieces " +
+    "rebuild the word, no cheaper two-split exists") =
+    forAll(
+      Gen.listOfN(6, Gen.listOfN(6, Gen.oneOf('a', 'b', 'c')).map(_.mkString)),
+      Gen.mapOf(for {
+        p <- Gen.listOfN(2, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+        c <- Gen.choose(1L, 9L)
+      } yield p -> c * 1000000L)) { (words, pairCosts) =>
+      // all single chars present (the required-character rule), random
+      // subset of 2-grams priced
+      val vocab = pairCosts ++ Map("a" -> 2000000L, "b" -> 3000000L,
+        "c" -> 4000000L)
+      words.forall { w =>
+        val packed = graft.ext.Unigram.viterbiPacked(w, vocab,
+          maxPieceLen = 2, maxWordLen = 16, unkCost = 99L)
+        graft.ext.Unigram.viterbiPath(w, vocab, maxPieceLen = 2) match {
+          case None => false // singles guarantee a path
+          case Some(path) =>
+            val rebuilt = path.mkString == w
+            val pathPacked = path.map(p => vocab(p) * 64L + 1L).sum
+            // exhaustive check over all 2^(n-1) segmentations
+            val best = (0 until (1 << (w.length - 1))).map { mask =>
+              val cuts = (0 until w.length - 1).filter(i => (mask & (1 << i)) != 0)
+              val bounds = (-1 +: cuts) :+ (w.length - 1)
+              val pieces = bounds.sliding(2).map { case Seq(i, j) =>
+                w.substring(i + 1, j + 1) }.toList
+              if (pieces.exists(p => !vocab.contains(p))) Long.MaxValue
+              else pieces.map(p => vocab(p) * 64L + 1L).sum
+            }.min
+            rebuilt && pathPacked == packed && packed == best
+        }
+      }
+    }
 }
