@@ -792,6 +792,21 @@ object SparkEntry {
           to_timestamp(lit("2024-01-25 00:00:00")))
         .select(ntz(col("day")).as("day"), r6(col("minutes")).as("minutes"))),
 
+    // HOPPING (sliding) time window — the overlapping form between the
+    // tumbling day rollup and session windows: 2-day windows advancing
+    // 1 day, so every event lands in exactly two windows. Same
+    // hash-agg + map-side-partial shape as the tumbling rollup; the
+    // window fan-out is the duration/slide ratio (2 here), a bounded
+    // narrow explode before the aggregate.
+    "q_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("sum_value"))
+        .select(ntz(col("w.start")).as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
     "q_completion_pct" -> ((s, dir) =>
       Habits.completionPct(Tables.eventsAsHabits(s, dir), lit(7L),
           Seq("click", "view"),
@@ -1336,6 +1351,16 @@ object SparkEntry {
           max(col("count")).as("n_majority"))
         .orderBy(col("cluster"))
     }),
+
+    // Greedy k-center (Gonzalez farthest-point) coreset selection on
+    // the exact int8 codes: 8 rounds, each one narrow min-distance
+    // update against the newest broadcast center + one TakeOrdered
+    // argmax — diversity-maximizing data selection with the covering-
+    // radius curve as output, engine-exact integer distances.
+    "q_kcenter" -> ((s, dir) =>
+      Similarity.kcenterSelect(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8)
+        .orderBy(col("round"))),
 
     // kNN over the int8 codes: ranking is pure integer arithmetic, so
     // the cut is bit-exact across engines (no float rounding anywhere).
@@ -3642,6 +3667,57 @@ object SparkEntry {
     stale.union(updates).union(deletes).union(inserts)
   }
 
+  /** DuckDB replay of [[graft.ext.Similarity.kcenterSelect]] at k
+    * rounds: the shared global-int8 quantization, then the greedy
+    * farthest-point traversal unrolled — kc$j is round j's argmax
+    * under the pinned (mind DESC, vec_id) order, kd$j folds the new
+    * center into every point's min distance. All-integer squared
+    * distances (‖a‖² + ‖b‖² − 2a·b on BIGINT codes), so the traversal
+    * replays engine-exactly. kd$j is MATERIALIZED: each generation
+    * feeds both the next argmax and the next fold. */
+  private def kcenterOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH km AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                AS ma
+            FROM embeddings),
+         kq AS (SELECT vec_id,
+              CASE WHEN ma = 0
+                THEN list_transform(embedding, x -> 0::BIGINT)
+                ELSE list_transform(embedding,
+                  x -> floor(x::DOUBLE / ma * 127 + 0.5)::BIGINT)
+              END AS qq
+            FROM km),
+         kb AS (SELECT vec_id, qq,
+              list_sum([x * x for x in qq])::BIGINT AS qnorm FROM kq),
+         kc1 AS (SELECT vec_id, qq, qnorm FROM kb ORDER BY vec_id LIMIT 1),
+         kd1 AS MATERIALIZED (SELECT b.vec_id, b.qq, b.qnorm,
+              (b.qnorm + c.qnorm - 2 * list_sum(
+                [b.qq[i] * c.qq[i]
+                 for i in generate_series(1, len(b.qq))])::BIGINT) AS mind
+            FROM kb b, kc1 c)""")
+    for (j <- 2 to k) {
+      sb.append(s""",
+         kc$j AS (SELECT vec_id, qq, qnorm, mind FROM kd${j - 1}
+              ORDER BY mind DESC, vec_id LIMIT 1)""")
+      if (j < k) sb.append(s""",
+         kd$j AS MATERIALIZED (SELECT b.vec_id, b.qq, b.qnorm,
+              least(b.mind, b.qnorm + c.qnorm - 2 * list_sum(
+                [b.qq[i] * c.qq[i]
+                 for i in generate_series(1, len(b.qq))])::BIGINT) AS mind
+            FROM kd${j - 1} b, kc$j c)""")
+    }
+    sb.append(
+      "\n         SELECT * FROM (SELECT 1::BIGINT AS round, vec_id, " +
+        "0::BIGINT AS radius FROM kc1")
+    sb.append((2 to k).map(j =>
+      s"\n         UNION ALL SELECT ${j}::BIGINT, vec_id, mind::BIGINT " +
+        s"FROM kc$j").mkString)
+    sb.append(") ORDER BY round")
+    sb.toString
+  }
+
   /** Closed form of [[cdcFeed]] applied to the events table — shared
     * by the batch (q_cdc_apply) and streamed (q_cdc_stream) gates. */
   private val cdcApplyOracle: String =
@@ -3887,6 +3963,15 @@ object SparkEntry {
            AND ts <  TIMESTAMP '2024-01-25 00:00:00'
            AND user_id = 7 AND event_type = 'purchase'
          GROUP BY 1 ORDER BY 1""",
+
+    // every event belongs to the windows starting at its own day and
+    // the day before (duration 2d, slide 1d, epoch-aligned starts)
+    "q_hopping_window" ->
+      """SELECT date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS win_start,
+                event_type, count(*)::BIGINT AS n,
+                round(sum(value), 6) AS sum_value
+         FROM events, (SELECT unnest([0, 1]) AS k) k
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_completion_pct" ->
       """SELECT event_type AS habit,
@@ -4369,6 +4454,8 @@ object SparkEntry {
          SELECT cluster, sum(n)::BIGINT AS n_points,
                 max(n)::BIGINT AS n_majority
          FROM cnt GROUP BY cluster ORDER BY cluster"""),
+
+    "q_kcenter" -> kcenterOracle(8),
 
     // Full PQ replay (pqChainSql: shared int8 pts + one cand sample,
     // per-subspace seed/Lloyd chains, codes/cb/recon tail) + the

@@ -843,6 +843,80 @@ object Similarity {
       .orderBy(col("rrf_e6").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Greedy k-center (Gonzalez farthest-point traversal) coreset
+    * selection: pick the lowest-id vector, then k−1 times the vector
+    * FARTHEST from every center chosen so far — the classic
+    * 2-approximation of the k-center cover and the standard
+    * diversity-maximizing data-selection pass (the geometric dual of
+    * SemDeDup's redundancy removal: keep the spread, not the dense
+    * middle). Emits the selection order with each round's covering
+    * radius — the radius sequence is the coreset quality curve
+    * (monotone non-increasing by construction).
+    *
+    * Scale design (100 TB): per round, ONE narrow pass updates each
+    * point's min-distance against the single newest center (a
+    * broadcast literal — the k-means centroid contract) and one
+    * `TakeOrderedAndProject` argmax returns ONE row to the driver; the
+    * corpus never shuffles and is persisted once across rounds. k
+    * rounds = k bounded scans — the selection state on the driver is
+    * the k-row output itself.
+    *
+    * Determinism: distances run on the GLOBAL [[quantizeInt8]] codes
+    * as exact integers (‖a‖² + ‖b‖² − 2a·b with every partial product
+    * far below 2^53, so the codegen'd double dot reproduces the
+    * integer bit for bit), and the argmax breaks ties by
+    * (distance DESC, id ASC) — the whole traversal replays
+    * engine-exactly in the unrolled SQL oracle.
+    *
+    * @return (round, idCol, radius): selection order, selected id, and
+    *         the point's min-distance to the prior centers at selection
+    *         time (0 for the seed) */
+  def kcenterSelect(e: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val Spill = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = quantizeInt8(e.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol), col("q").cast("array<double>").as("qd"))
+      .withColumn("qnorm", Dedup.dotNative(col("qd"), col("qd")).cast("long"))
+      .persist(Spill)
+
+    def distToCenter(center: Seq[Double], cnorm: Long): Column =
+      col("qnorm") + lit(cnorm) -
+        lit(2L) * Dedup.dotNative(col("qd"),
+          array(center.map(lit(_)): _*)).cast("long")
+    def vec(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Double](r.fieldIndex("qd"))
+    def cnorm(r: org.apache.spark.sql.Row): Long =
+      r.getLong(r.fieldIndex("qnorm"))
+
+    val first = base.orderBy(col(idCol)).limit(1).collect()(0)
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, first.getLong(first.fieldIndex(idCol)), 0L))
+    var cur = base.withColumn("mind", distToCenter(vec(first), cnorm(first)))
+      .persist(Spill)
+    var prev: DataFrame = null
+    var step = 2
+    while (step <= k) {
+      val best = cur.orderBy(col("mind").desc, col(idCol)).limit(1)
+        .collect()(0)
+      // the argmax materialized `cur`; its parent is droppable now
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      picks += ((step.toLong, best.getLong(best.fieldIndex(idCol)),
+        best.getLong(best.fieldIndex("mind"))))
+      prev = cur
+      cur = cur.withColumn("mind",
+          least(col("mind"), distToCenter(vec(best), cnorm(best))))
+        .persist(Spill)
+      step += 1
+    }
+    cur.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+    picks.toSeq.toDF("round", idCol, "radius")
+  }
 }
 
 /** Driver-side regeneration of the [[Similarity.projectSign]] sign

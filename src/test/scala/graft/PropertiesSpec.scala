@@ -806,4 +806,40 @@ object PropertiesSpec extends Properties("graft") {
         }
       }
     }
+
+  property("kcenterSelect == driver-side greedy farthest-point on " +
+    "random vectors") =
+    forAll(Gen.listOfN(10, Gen.listOfN(4, Gen.choose(-100, 100)))) { vecss =>
+      val s = spark
+      import s.implicits._
+      val rows = vecss.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toFloat / 10f)) }
+      val k = 5
+      val out = graft.ext.Similarity
+        .kcenterSelect(rows.toDF("vec_id", "embedding"), "vec_id",
+          "embedding", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toList
+      // driver replica: same quantization arithmetic, same greedy, same
+      // (dist DESC, id ASC) tie-break
+      def quant(v: Seq[Float]): Seq[Long] = {
+        val d = v.map(_.toDouble)
+        val ma = d.map(math.abs).max
+        if (ma == 0) d.map(_ => 0L)
+        else d.map(x => math.floor(x / ma * 127 + 0.5).toLong)
+      }
+      val q = rows.map { case (id, v) => id -> quant(v) }.toMap
+      def dist(a: Seq[Long], b: Seq[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      var centers = List(rows.map(_._1).min)
+      var expect = List((1L, centers.head, 0L))
+      for (r <- 2 to k) {
+        val (bid, bd) = rows.map(_._1)
+          .map(id => id -> centers.map(c => dist(q(id), q(c))).min)
+          .maxBy { case (id, dd) => (dd, -id) }
+        centers = centers :+ bid
+        expect = expect :+ ((r.toLong, bid, bd))
+      }
+      out == expect
+    }
 }
