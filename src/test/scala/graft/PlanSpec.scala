@@ -602,4 +602,47 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "revenue aggregate must split partial/final")
   }
+
+  test("unigram vocab: census splits partial/final, top-V is a " +
+      "TakeOrdered, total rides a 1-row broadcast") {
+    val p = plan("q_unigram_vocab")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "substring census must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V must be local heads + driver merge, not a global rank window")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the vocabulary total must broadcast as one row")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("unigram encode: DP kernel is partition-local, per-doc aggregate " +
+      "splits partial/final, no cartesian") {
+    val p = plan("q_unigram_encode")
+    assert(p.contains("MapPartitions"),
+      "the Viterbi DP must run as a narrow typed kernel")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-doc totals must map-side combine")
+    assert(!p.contains("CartesianProduct"),
+      "corpus must meet word results on an equi-join")
+  }
+
+  test("kcenter: the returned selection is driver-resident k rows — " +
+      "no corpus computation leaks into the output plan") {
+    // each round's work (narrow distance update + TakeOrdered argmax)
+    // executes eagerly inside the operator; the handed-back relation
+    // must be the k-row local table itself
+    val p = plan("q_kcenter")
+    assert(p.contains("LocalTableScan"), s"expected a local k-row scan:\n$p")
+    assert(!p.contains("parquet"), "output plan must not rescan the corpus")
+  }
+
+  test("hopping window: bounded fan-out then one partial/final " +
+      "aggregate, no cartesian") {
+    val p = plan("q_hopping_window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "window rollup must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the window explode is narrow — no join may appear")
+  }
 }
