@@ -1362,6 +1362,29 @@ object SparkEntry {
           "vec_id", "embedding", k = 8)
         .orderBy(col("round"))),
 
+    // Hard-negative mining: per query vector, the 5 most similar
+    // corpus vectors with a DIFFERENT label — the contrastive-training
+    // pair miner. Exact int8 dots in the q_knn_quantized shape, with
+    // the label-mismatch predicate inside the broadcast join so
+    // same-label pairs never materialize.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // HOPPING windows on the STREAMING path: the q_hopping_window
+    // rollup through a watermarked complete-mode replay — one event
+    // feeds two window states; must equal the batch form (shared
+    // oracle).
+    "q_hopping_stream" -> ((s, dir) =>
+      Streaming.hoppingAvailableNow(s, dir,
+          Streaming.nextQueryName("graft_hop"))
+        .select(ntz(col("win_start")).as("win_start"), col("event_type"),
+          col("n"), r6(col("sum_value")).as("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
     // kNN over the int8 codes: ranking is pure integer arithmetic, so
     // the cut is bit-exact across engines (no float rounding anywhere).
     "q_knn_quantized" -> ((s, dir) => {
@@ -3718,6 +3741,17 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared by the batch (q_hopping_window) and streaming
+    * (q_hopping_stream) hopping rollups: duration 2d / slide 1d puts
+    * every event in exactly the windows starting at its own day and
+    * the day before (epoch-aligned starts). */
+  private val hoppingOracle: String =
+    """SELECT date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS win_start,
+              event_type, count(*)::BIGINT AS n,
+              round(sum(value), 6) AS sum_value
+       FROM events, (SELECT unnest([0, 1]) AS k) k
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Closed form of [[cdcFeed]] applied to the events table — shared
     * by the batch (q_cdc_apply) and streamed (q_cdc_stream) gates. */
   private val cdcApplyOracle: String =
@@ -3966,12 +4000,11 @@ object SparkEntry {
 
     // every event belongs to the windows starting at its own day and
     // the day before (duration 2d, slide 1d, epoch-aligned starts)
-    "q_hopping_window" ->
-      """SELECT date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS win_start,
-                event_type, count(*)::BIGINT AS n,
-                round(sum(value), 6) AS sum_value
-         FROM events, (SELECT unnest([0, 1]) AS k) k
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_hopping_window" -> hoppingOracle,
+
+    // the watermarked streaming replay lands on the same final table —
+    // same oracle
+    "q_hopping_stream" -> hoppingOracle,
 
     "q_completion_pct" ->
       """SELECT event_type AS habit,
@@ -4416,6 +4449,34 @@ object SparkEntry {
          SELECT doc_id, md5(norm) AS norm_md5,
                 len(string_split(norm, ' '))::BIGINT AS n_tokens
          FROM n ORDER BY doc_id""",
+
+    // the q_knn_quantized chain with labels carried through and the
+    // mismatch predicate in the pair join
+    "q_hard_negatives" ->
+      """WITH m AS (SELECT vec_id, label,
+                list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                  AS ma, embedding
+              FROM embeddings),
+         qz AS (SELECT vec_id, label,
+                CASE WHEN ma = 0
+                  THEN list_transform(embedding, x -> 0::DOUBLE)
+                  ELSE list_transform(embedding,
+                    x -> floor(x::DOUBLE / ma * 127 + 0.5))
+                END AS qq
+              FROM m),
+         q AS (SELECT vec_id AS query_id, label AS qlabel, qq AS qv
+              FROM qz WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neg_id, label AS neg_label, qq AS cv
+              FROM qz),
+         s AS (SELECT query_id, neg_id, neg_label,
+                list_dot_product(qv, cv)::BIGINT AS qdot
+              FROM q JOIN c ON query_id <> neg_id AND qlabel <> neg_label),
+         r AS (SELECT query_id, neg_id, neg_label, qdot,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY qdot DESC, neg_id)::BIGINT AS rank
+              FROM s)
+         SELECT query_id, rank, neg_id, neg_label, qdot FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q_knn_quantized" ->
       """WITH m AS (SELECT vec_id,

@@ -844,6 +844,42 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Hard-negative mining for contrastive / triplet training: for each
+    * query vector, the top-k most SIMILAR corpus vectors carrying a
+    * DIFFERENT label — the negatives closest to the decision boundary,
+    * which are the pairs metric-learning losses actually learn from
+    * (the mining pass behind every "in-batch negatives aren't hard
+    * enough" pipeline). Rides the exact int8 scoring shape of
+    * [[knnQuantizedInt8]] — broadcast query codes, integer dots on the
+    * codegen'd native expression, partition-local top-k before the
+    * ranking window — with the label-mismatch predicate inside the
+    * broadcast join itself, so same-label pairs never materialize into
+    * the shuffle at all.
+    *
+    * @return (query_id, rank, neg_id, neg_label, qdot) */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    def codes(df: DataFrame, as: String, qAs: String, lAs: String) =
+      quantizeInt8(df.select(col(idCol), col(vecCol), col(labelCol)),
+          vecCol)
+        .select(col(idCol).as(as), col("q").as(qAs), col(labelCol).as(lAs))
+    val c = codes(corpus, "nn_id", "cq", "neg_label")
+    val q = codes(queries, "query_id", "qq", "query_label")
+    val dot = Dedup.dotNative(col("qq").cast("array<double>"),
+      col("cq").cast("array<double>")).cast("long")
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("nn_id") &&
+          col("query_label") =!= col("neg_label"))
+      .select(col("query_id"), col("nn_id"), col("neg_label"),
+        dot.as("qdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("nn_id"))
+    localTopK(scored, k, "qdot")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id").as("neg_id"), col("neg_label"), col("qdot"))
+  }
+
   /** Greedy k-center (Gonzalez farthest-point traversal) coreset
     * selection: pick the lowest-id vector, then k−1 times the vector
     * FARTHEST from every center chosen so far — the classic

@@ -97,6 +97,40 @@ object Streaming {
       .select(col("w.start").as("day"), col("user_email"), col("habit"),
         col("count_done"), col("avg_value"), col("sum_meditation"))
 
+  /** HOPPING (sliding) windows over a streaming frame — the
+    * overlapping-window form of [[habitDailyStream]]: 2-day windows
+    * advancing 1 day, so each event updates exactly two window states
+    * (the duration/slide ratio). The watermark bounds state identically
+    * to the tumbling form; the ratio multiplies per-event state
+    * touches and concurrently-open windows, not retained history. */
+  def hoppingStream(events: DataFrame, watermark: String = "60 days")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** One-shot replay of [[hoppingStream]] for the gate (complete-mode
+    * memory sink, same UTC/window-alignment contract as
+    * [[habitDailyAvailableNow]]) — must equal the batch
+    * q_hopping_window rollup row for row. */
+  def hoppingAvailableNow(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "hoppingAvailableNow requires spark.sql.session.timeZone=UTC " +
+        "for window()/date_trunc bucket agreement")
+    withStagedEvents(spark, dir) { mkStream =>
+      val q = hoppingStream(mkStream())
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      awaitOneShot(q, queryName)
+      spark.table(queryName)
+    }
+  }
+
   /** Streaming replay-dedup — the `habits_raw` PK / `ON CONFLICT DO
     * NOTHING` semantics (`/root/reference/etl/etl_habits.py:27-30`) with
     * state bounded by the watermark. */

@@ -636,6 +636,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("parquet"), "output plan must not rescan the corpus")
   }
 
+  test("hard negatives: query codes broadcast, label filter inside the " +
+      "join, local top-k precedes the ranking window") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query codes must broadcast against the corpus scan")
+    assert(p.contains("MapPartitions"),
+      "partition-local top-k kernel must precede the ranking window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("hopping window: bounded fan-out then one partial/final " +
       "aggregate, no cartesian") {
     val p = plan("q_hopping_window")
