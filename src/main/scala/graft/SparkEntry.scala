@@ -2464,6 +2464,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer EVAL — the selection metric both trainers share:
+    // corpus compression (total emitted units) for the BPE-8 and
+    // unigram-40 tokenizers trained on the same corpus. Each side is
+    // its proven encode pipeline collapsed to one partial-aggregated
+    // sum; fewer units at equal vocab budget = better compression.
+    "q_tokenizer_eval" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val bpe = graft.ext.Bpe.bpeEncode(docs, "doc_id", "text",
+          graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+        .agg(sum(col("n_bpe_tokens")).as("total_units"))
+        .select(lit("bpe8").as("tokenizer"), col("total_units"))
+      val uni = graft.ext.Unigram.unigramEncode(docs, "doc_id", "text",
+          graft.ext.Unigram.unigramSeed(docs, "text"))
+        .agg(sum(col("n_pieces")).as("total_units"))
+        .select(lit("unigram40").as("tokenizer"), col("total_units"))
+      bpe.unionByName(uni).orderBy(col("tokenizer"))
+    }),
+
     // THE exportable end product: real token-id streams cut into
     // 512-token training bins — bpeEncodeIds supplies per-doc id
     // arrays, packConcatWithOffsets says which contiguous piece of
@@ -3125,6 +3143,28 @@ object SparkEntry {
       Classify.logRegQuality(Tables.read(s, dir, "documents"),
           "doc_id", "text", "n_chars", col("n_chars") >= 306,
           iters = 3, lr = 0.5)
+        .orderBy(col("doc_id"))),
+
+    // Classifier reliability bins — the EVAL stage closing the probe
+    // loop: margins clamped into 8 equal-width bins over [-1e6, 1e6),
+    // per-bin volume, positives, and the exact-ppm positive rate.
+    // All-integer arithmetic on top of the proven logreg chain.
+    "q_calibration" -> ((s, dir) =>
+      Classify.calibration(
+          Classify.logRegQuality(Tables.read(s, dir, "documents"),
+            "doc_id", "text", "n_chars", col("n_chars") >= 306,
+            iters = 3, lr = 0.5),
+          "margin_e6", "y", lo = -1000000L, hi = 1000000L, buckets = 8)
+        .orderBy(col("bucket"))),
+
+    // Length-curriculum staging without a global sort: quantile
+    // thresholds from the bounded length census (integer-only
+    // cum·stages ≥ j·N test), assignment as a narrow expression over
+    // collected threshold literals — the scalable ntile replacement
+    // for short-to-long curriculum training.
+    "q_curriculum" -> ((s, dir) =>
+      graft.ext.Curation.curriculumByLength(
+          Tables.read(s, dir, "documents"), "doc_id", "text", stages = 4)
         .orderBy(col("doc_id"))),
 
     // The probe AS A PIPELINE STAGE: score the corpus, keep the
@@ -5361,6 +5401,18 @@ object SparkEntry {
 
     "q_unigram_encode" -> unigramEncodeOracle,
 
+    // both proven encode chains collapsed to corpus totals
+    "q_tokenizer_eval" ->
+      s"""WITH b AS (${bpeEncodeOracle(8)}),
+         u AS ($unigramEncodeOracle)
+         SELECT * FROM (
+           SELECT 'bpe8' AS tokenizer,
+                  sum(n_bpe_tokens)::BIGINT AS total_units FROM b
+           UNION ALL
+           SELECT 'unigram40' AS tokenizer,
+                  sum(n_pieces)::BIGINT AS total_units FROM u)
+         ORDER BY tokenizer""",
+
     "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_bpe_encode_ids" -> bpeEncodeIdsOracle(8),
 
@@ -6148,6 +6200,37 @@ object SparkEntry {
     // Full gradient-descent replay: 3 unrolled iterations of exact
     // long gradient sums → bit-identical weights → identical margins.
     "q_quality_logreg" -> logRegOracle(3),
+
+    // the logreg chain, then clamped equal-width margin bins with
+    // integer-ppm positive rates
+    "q_calibration" ->
+      s"""WITH scored AS (${logRegOracle(3)}),
+         cal AS (SELECT least(greatest(margin_e6, -1000000), 999999) AS mc,
+                y FROM scored)
+         SELECT ((mc + 1000000) * 8 // 2000000)::BIGINT AS bucket,
+                count(*)::BIGINT AS n,
+                sum(y)::BIGINT AS n_pos,
+                ((sum(y)::BIGINT * 1000000) // count(*))::BIGINT AS pos_ppm
+         FROM cal GROUP BY 1 ORDER BY 1""",
+
+    // census → integer quantile thresholds → threshold-count stage
+    "q_curriculum" ->
+      """WITH wl AS (SELECT doc_id,
+              len(list_filter(string_split(text, ' '), x -> x <> ''))
+                ::BIGINT AS n_tokens FROM documents),
+         cen AS (SELECT n_tokens, count(*)::BIGINT AS cnt FROM wl
+              GROUP BY 1),
+         cum AS (SELECT n_tokens,
+              sum(cnt) OVER (ORDER BY n_tokens ROWS UNBOUNDED PRECEDING)
+                ::BIGINT AS cum FROM cen),
+         tot AS (SELECT count(*)::BIGINT AS N FROM wl),
+         thr AS (SELECT j.j, min(n_tokens)::BIGINT AS t
+              FROM cum, tot, (SELECT unnest([1, 2, 3]) AS j) j
+              WHERE cum * 4 >= j.j * N GROUP BY 1),
+         st AS (SELECT w.doc_id, w.n_tokens, count(t.j)::BIGINT AS above
+              FROM wl w LEFT JOIN thr t ON w.n_tokens > t.t GROUP BY 1, 2)
+         SELECT doc_id, n_tokens, (1 + above)::BIGINT AS stage
+         FROM st ORDER BY doc_id""",
 
     // probe chain → positive-margin filter → shard ranking
     "q_probe_gated_export" -> probeGatedExportOracle(3),

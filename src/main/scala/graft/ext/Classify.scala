@@ -237,4 +237,44 @@ object Classify {
         "query_id")
       .select(col("query_id"), col(labelCol), col("pred"), col("votes"))
   }
+
+  /** Classifier reliability (calibration) bins — the EVAL stage that
+    * closes the train → score → evaluate loop: clamp each scored row's
+    * margin into one of `buckets` equal-width bins over [lo, hi) and
+    * report per-bin volume, positive count, and the empirical positive
+    * rate in exact ppm. A well-calibrated probe shows the rate rising
+    * monotonically with the margin bin; a probe that separates but
+    * mis-ranks shows up immediately. One narrow bucket projection +
+    * one map-side-partial aggregate over `buckets` groups — the
+    * [[graft.ext.Profile]] histogram discipline applied to classifier
+    * outputs.
+    *
+    * Determinism: rows clamp into [lo, hi−1] BEFORE the bucket
+    * division, so the index arithmetic never divides a negative
+    * number (Spark longs truncate toward zero, SQL `//` floors — the
+    * clamp keeps both on the same non-negative path); `pos_ppm` is
+    * integer `n_pos * 1e6 / n`.
+    *
+    * @param scored (marginCol, labelCol) relation, e.g.
+    *               [[logRegQuality]] output
+    * @return (bucket, n, n_pos, pos_ppm) */
+  def calibration(scored: DataFrame, marginCol: String, labelCol: String,
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    require(buckets >= 1 && hi > lo,
+      s"bad calibration knobs: lo=$lo hi=$hi buckets=$buckets")
+    val clamped = least(greatest(col(marginCol), lit(lo)), lit(hi - 1))
+    // both quotients are non-negative ints ≪ 2^53, so the double
+    // division is exact-input/correctly-rounded and floor() equals
+    // integer division on both engines
+    scored
+      .withColumn("bucket",
+        floor((clamped - lit(lo)) * lit(buckets.toLong) / lit(hi - lo))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+      .withColumn("pos_ppm",
+        floor(col("n_pos") * lit(1000000L) / col("n")).cast("long"))
+      .select(col("bucket"), col("n"), col("n_pos"), col("pos_ppm"))
+  }
 }

@@ -564,4 +564,57 @@ object Curation {
     mixtureByTokens(docs, idCol, sourceCol, tokensCol, weights,
       totalTokens, saltBuckets)
   }
+
+  /** Length-curriculum staging WITHOUT a global sort: each document
+    * gets a curriculum stage 1..`stages` from its token count's
+    * position in the corpus's exact length distribution — the
+    * short-to-long ordering curriculum-training pipelines feed the
+    * trainer, derived scalably. `ntile` over the corpus would funnel
+    * every row through one sorted partition; instead the quantile
+    * thresholds come from the value-keyed length CENSUS (distinct
+    * lengths — a bounded relation at any corpus size) and assignment
+    * is a narrow expression against the collected threshold literals
+    * (stages−1 values, the broadcast-centroid contract).
+    *
+    * Threshold j = smallest length whose cumulative census count
+    * reaches ⌈j·N/stages⌉ (tested as `cum·stages ≥ j·N` — pure integer
+    * arithmetic, no division anywhere); stage = 1 + |{j : n_tokens >
+    * t_j}|. Equal lengths always land in the same stage (ties collapse
+    * stages rather than splitting a value), so assignment is a pure
+    * function of the length — append-stable and engine-replayable.
+    *
+    * The one window runs over the census relation, not the corpus —
+    * the same bounded-merge discipline as `Profile.histogramQuantiles`.
+    *
+    * @return (idCol, n_tokens, stage) */
+  def curriculumByLength(docs: DataFrame, idCol: String, textCol: String,
+      stages: Int = 4): DataFrame = {
+    require(stages >= 1, "stages must be positive")
+    val withLen = docs.select(col(idCol),
+      size(filter(split(col(textCol).cast("string"), " ", -1),
+        w => w =!= "")).cast("long").as("n_tokens"))
+    val census = withLen.groupBy(col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = census.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = census.agg(sum(col("cnt")).as("N"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val js = (1 until stages).map(_.toLong).toDF("j")
+    // thresholds: stages−1 rows via an integer-only quantile test on
+    // the census; collected as literals so the corpus-side assignment
+    // is a pure narrow projection (zero assignment shuffle)
+    val ts =
+      if (stages == 1) Array.empty[Long]
+      else cum.crossJoin(broadcast(tot)).crossJoin(broadcast(js))
+        .filter(col("cum") * lit(stages.toLong) >= col("j") * col("N"))
+        .groupBy(col("j")).agg(min(col("n_tokens")).as("t"))
+        .orderBy(col("j")).collect().map(_.getLong(1))
+    val stage = ts.foldLeft(lit(1L)) { (acc, t) =>
+      acc + when(col("n_tokens") > lit(t), lit(1L)).otherwise(lit(0L)) }
+    withLen.withColumn("stage", stage)
+  }
 }

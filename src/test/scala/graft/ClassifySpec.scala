@@ -128,4 +128,29 @@ class ClassifySpec extends AnyFunSuite with SparkTestSession {
     assert(margins.filter(_._1 == 1).map(_._2).min >
       margins.filter(_._1 == 0).map(_._2).max)
   }
+
+  test("calibration: clamped bins, exact ppm rates, out-of-range rows " +
+      "land in the edge buckets") {
+    val s = spark
+    import s.implicits._
+    val scored = Seq(
+      // bucket 0 via clamping (below lo), bucket 0 in range
+      (-5000000L, 1), (-999999L, 0),
+      // bucket 3: [-250000, 0): two rows, one positive -> 500000 ppm
+      (-200000L, 1), (-1L, 0),
+      // bucket 4: [0, 250000): three rows, one positive -> 333333 ppm
+      (0L, 0), (100L, 1), (200000L, 0),
+      // bucket 7 via clamping (above hi-1)
+      (999999L, 1), (7000000L, 1))
+      .toDF("margin_e6", "y")
+    val out = Classify.calibration(scored, "margin_e6", "y",
+        lo = -1000000L, hi = 1000000L, buckets = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((2L, 1L, 500000L)))
+    assert(out(3L) == ((2L, 1L, 500000L)))
+    assert(out(4L) == ((3L, 1L, 333333L)))
+    assert(out(7L) == ((2L, 2L, 1000000L)))
+    assert(out.keySet == Set(0L, 3L, 4L, 7L))
+  }
 }

@@ -2525,4 +2525,33 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0))
     assert(kept.count(_ < 500) > 75) // expectation ≈ 95 of 100
   }
+
+  test("curriculumByLength: quantile thresholds split balanced lengths " +
+      "into stages; equal lengths collapse, never split") {
+    def mk(lens: Seq[Int]) = {
+      val s = spark
+      import s.implicits._
+      lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+    }
+    val out = graft.ext.Curation
+      .curriculumByLength(mk(Seq(1, 1, 2, 2, 3, 3, 4, 4)), "doc_id",
+        "text", stages = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // a single-length corpus collapses to stage 1 everywhere
+    val flat = graft.ext.Curation
+      .curriculumByLength(mk(Seq.fill(6)(5)), "doc_id", "text", stages = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(flat == Set(1L))
+    // skew: one dominant length owns every quantile threshold, so the
+    // mass stays in stage 1 and only strictly-longer docs jump — to
+    // the TOP stage, since they clear all three collapsed thresholds
+    val skew = graft.ext.Curation
+      .curriculumByLength(mk(Seq(9) ++ Seq.fill(7)(2) ++ Seq(1)), "doc_id",
+        "text", stages = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(skew(2L) == 1L && skew(1L) == 1L && skew(9L) == 4L)
+  }
 }
