@@ -2464,6 +2464,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Skip-gram co-occurrence pairs (word2vec training relation):
+    // ±2-token contexts, one narrow explode + one observed-pairs-
+    // bounded aggregate with map-side partials.
+    "q_skipgram" -> ((s, dir) =>
+      TextAnalysis.skipGramPairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", window = 2)
+        .orderBy(col("center"), col("context"))),
+
+    // Deterministic negative sampling over the skip-gram pairs: k=2
+    // frequency-proportional draws per pair via md5 inverse-CDF on the
+    // vocabulary mass table — every draw a pure function of (pair, j),
+    // replayable across engines and reruns.
+    "q_negative_samples" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val vocab = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      TextAnalysis.negativeSamples(
+          TextAnalysis.skipGramPairs(docs, "doc_id", "text", window = 2)
+            .select(col("center"), col("context")),
+          vocab, k = 2)
+        .orderBy(col("center"), col("context"), col("j"))
+    }),
+
     // Tokenizer EVAL — the selection metric both trainers share:
     // corpus compression (total emitted units) for the BPE-8 and
     // unigram-40 tokenizers trained on the same corpus. Each side is
@@ -5400,6 +5425,43 @@ object SparkEntry {
          SELECT piece, cnt, cost FROM ucosts ORDER BY piece""",
 
     "q_unigram_encode" -> unigramEncodeOracle,
+
+    "q_skipgram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         pr AS (SELECT l[i] AS center, l[i + d.d] AS context
+              FROM tok, unnest(generate_series(1, len(l))) AS t(i),
+                   (SELECT unnest([-2, -1, 1, 2]) AS d) d
+              WHERE len(l) >= 2 AND i + d.d >= 1 AND i + d.d <= len(l))
+         SELECT center, context, count(*)::BIGINT AS n
+         FROM pr GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // inverse-CDF draws at md5(center, context, j) mod total mass over
+    // the word-ordered cumulative vocabulary table
+    "q_negative_samples" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         pr AS (SELECT l[i] AS center, l[i + d.d] AS context
+              FROM tok, unnest(generate_series(1, len(l))) AS t(i),
+                   (SELECT unnest([-2, -1, 1, 2]) AS d) d
+              WHERE len(l) >= 2 AND i + d.d >= 1 AND i + d.d <= len(l)),
+         pairs AS (SELECT center, context FROM pr GROUP BY 1, 2),
+         voc AS (SELECT w AS word, count(*)::BIGINT AS m
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY 1),
+         cum AS (SELECT word, m,
+              sum(m) OVER (ORDER BY word ROWS UNBOUNDED PRECEDING)
+                ::BIGINT AS hi FROM voc),
+         cum2 AS (SELECT word, hi - m AS lo, hi FROM cum),
+         tot AS (SELECT max(hi)::BIGINT AS M FROM cum),
+         smp AS (SELECT center, context, j.j::BIGINT AS j,
+              (('0x' || substr(md5(center || ' ' || context || ' ' || j.j),
+                 1, 15))::UBIGINT % M)::BIGINT AS r
+              FROM pairs, (SELECT unnest([1, 2]) AS j) j, tot)
+         SELECT s.center, s.context, s.j, c.word AS neg
+         FROM smp s JOIN cum2 c ON s.r >= c.lo AND s.r < c.hi
+         ORDER BY 1, 2, 3""",
 
     // both proven encode chains collapsed to corpus totals
     "q_tokenizer_eval" ->

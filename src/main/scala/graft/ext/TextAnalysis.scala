@@ -625,4 +625,81 @@ object TextAnalysis {
       .select(col(idCol), size(matches).cast("long").as("n_hits"))
       .filter(col("n_hits") > 0)
   }
+
+  // ── Skip-gram training-pair generation (word2vec-style) ────────────────
+
+  /** (center, context) co-occurrence pairs within a ±`window` token
+    * span, aggregated to counts — the skip-gram relation word2vec /
+    * GloVe-style embedding training consumes (Mikolov et al. 2013).
+    * One narrow pass explodes each token's ≤ 2·window in-bounds
+    * neighbors (position-conditional struct + null filter, no join),
+    * then ONE hash aggregate whose key space is the observed ordered
+    * pair vocabulary (vocab²-bounded in theory, observed-pairs-bounded
+    * in practice — the [[bigramLogProb]] shuffle story at window ≥ 2).
+    * Map-side partials collapse hot pairs before the shuffle.
+    *
+    * @return (center, context, n) */
+  def skipGramPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, "window must be positive")
+    val t = tokens(col(textCol))
+    docs
+      .filter(size(t) >= 2)
+      .select(explode(flatten(transform(sequence(lit(1), size(t)), i =>
+        filter(
+          transform(sequence(lit(-window), lit(window)), d =>
+            when(d =!= 0 && (i + d) >= 1 && (i + d) <= size(t),
+              struct(element_at(t, i).as("center"),
+                element_at(t, (i + d).cast("int")).as("context")))),
+          x => x.isNotNull)))).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Deterministic frequency-proportional NEGATIVE samples for a
+    * skip-gram pair relation — the other half of the word2vec training
+    * batch: for each (center, context) pair, `k` words drawn from the
+    * corpus unigram distribution by inverse-CDF lookup at the md5-
+    * derived position `md5(center, context, j) mod total_mass`. The
+    * standard implementation draws with a mutable RNG; the md5 idiom
+    * (the repo's [[Sampling.md5Top60]] split/sampling discipline) makes
+    * every draw a pure function of (pair, j) — reproducible across
+    * engines, partitionings, and reruns, and replayable by the SQL
+    * oracle.
+    *
+    * Scale: the cumulative-mass table is VOCABULARY-sized (bounded —
+    * the broadcast-centroid contract) and broadcasts to an interval-
+    * containment join; samples are pairs × k rows. Masses are raw
+    * counts (α = 1) to stay integer-exact end to end; a 3/4-power α
+    * would quantize `round(cnt^α · 1e6)` the way
+    * [[graft.ext.Curation.mixtureByTemperature]] quantizes its weights.
+    *
+    * @param pairs (center, context, n) as from [[skipGramPairs]]
+    * @param vocab (word, cnt) unigram counts, e.g. from the corpus's
+    *              token census
+    * @return (center, context, j, neg) */
+  def negativeSamples(pairs: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("word"))
+    // vocabulary-sized window: hi = running mass, lo = hi − mass
+    val cum = vocab
+      .select(col("word"), col("cnt").cast("long").as("m"))
+      .withColumn("hi", sum(col("m")).over(w))
+      .withColumn("lo", col("hi") - col("m"))
+    val tot = cum.agg(max(col("hi")).as("M"))
+    pairs
+      .select(col("center"), col("context"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .crossJoin(broadcast(tot))
+      .withColumn("r",
+        pmod(Sampling.md5Top60(
+          concat_ws(" ", col("center"), col("context"), col("j"))),
+          col("M")))
+      .join(broadcast(cum), col("r") >= col("lo") && col("r") < col("hi"))
+      .select(col("center"), col("context"), col("j"),
+        col("word").as("neg"))
+  }
 }

@@ -2526,6 +2526,38 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.count(_ < 500) > 75) // expectation ≈ 95 of 100
   }
 
+  test("skipGramPairs: ±window in-bounds contexts, counted per ordered " +
+      "pair") {
+    val out = TextAnalysis.skipGramPairs(docs((1L, "a b c")), "doc_id",
+        "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // a: contexts b,c; b: a,c; c: a,b — each ordered pair once
+    assert(out == Map(("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "a") -> 1L, ("c", "b") -> 1L))
+    // window 1 drops the distance-2 pairs
+    val w1 = TextAnalysis.skipGramPairs(docs((1L, "a b c")), "doc_id",
+        "text", window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w1 == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")))
+  }
+
+  test("negativeSamples: k valid draws per pair, identical across runs, " +
+      "mass intervals cover every draw") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("center", "context")
+    val vocab = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("word", "cnt")
+    def run() = TextAnalysis.negativeSamples(pairs, vocab, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3))).sortBy(t => (t._1, t._2, t._3))
+    val a = run()
+    assert(a.length == 6) // 2 pairs × k=3, exactly one word per draw
+    assert(a.forall(t => Set("a", "b", "c")(t._4)))
+    assert(a.toSeq == run().toSeq) // md5 draws are a pure function
+  }
+
   test("curriculumByLength: quantile thresholds split balanced lengths " +
       "into stages; equal lengths collapse, never split") {
     def mk(lens: Seq[Int]) = {
