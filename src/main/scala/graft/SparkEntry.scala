@@ -1540,6 +1540,19 @@ object SparkEntry {
 
     // left-anti join (the newRawRows dedup shape) under the gate
     // directly: (user, day) pairs with click activity but no purchase.
+    // LEFT SEMI — the EXISTS dual of q_anti_join: suppliers with at
+    // least one 1996+ shipment. Semi stops at the first build-side
+    // match and never duplicates the probe row — the shape IN/EXISTS
+    // subqueries plan to.
+    "q_semi_join" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-03-15"))
+      Tables.read(s, dir, "supplier")
+        .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "q_anti_join" -> ((s, dir) => {
       val ev = Tables.eventsAsHabits(s, dir)
       val clicks = ev.filter(col("habit") === "click")
@@ -4771,6 +4784,13 @@ object SparkEntry {
          FROM events
          GROUP BY ROLLUP (date_trunc('day', ts), event_type)
          ORDER BY day NULLS FIRST, habit NULLS FIRST""",
+
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_suppkey = s.s_suppkey
+                         AND l.l_shipdate > TIMESTAMP '1996-03-15')
+         ORDER BY s_suppkey""",
 
     "q_anti_join" ->
       """SELECT user_id AS user_email, date_trunc('day', ts) AS day,

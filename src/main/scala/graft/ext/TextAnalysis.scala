@@ -631,28 +631,46 @@ object TextAnalysis {
   /** (center, context) co-occurrence pairs within a ±`window` token
     * span, aggregated to counts — the skip-gram relation word2vec /
     * GloVe-style embedding training consumes (Mikolov et al. 2013).
-    * One narrow pass explodes each token's ≤ 2·window in-bounds
-    * neighbors (position-conditional struct + null filter, no join),
-    * then ONE hash aggregate whose key space is the observed ordered
-    * pair vocabulary (vocab²-bounded in theory, observed-pairs-bounded
-    * in practice — the [[bigramLogProb]] shuffle story at window ≥ 2).
-    * Map-side partials collapse hot pairs before the shuffle.
+    * One narrow partition-local typed kernel emits each token's
+    * ≤ 2·window in-bounds neighbors (the shingler discipline — an
+    * equivalent nested transform/filter HOF chain pays the measured
+    * ~16× interpreter penalty on a corpus-sized scan), then ONE hash
+    * aggregate whose key space is the observed ordered pair vocabulary
+    * (vocab²-bounded in theory, observed-pairs-bounded in practice —
+    * the [[bigramLogProb]] shuffle story at window ≥ 2). Map-side
+    * partials collapse hot pairs before the shuffle.
     *
     * @return (center, context, n) */
   def skipGramPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, window: Int = 2): org.apache.spark.sql.DataFrame = {
     require(window >= 1, "window must be positive")
-    val t = tokens(col(textCol))
-    docs
-      .filter(size(t) >= 2)
-      .select(explode(flatten(transform(sequence(lit(1), size(t)), i =>
-        filter(
-          transform(sequence(lit(-window), lit(window)), d =>
-            when(d =!= 0 && (i + d) >= 1 && (i + d) <= size(t),
-              struct(element_at(t, i).as("center"),
-                element_at(t, (i + d).cast("int")).as("context")))),
-          x => x.isNotNull)))).as("p"))
-      .select(col("p.center").as("center"), col("p.context").as("context"))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(textCol).cast("string")).as[String]
+      .flatMap { text =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.split(" ", -1)
+          val n = toks.length
+          if (n < 2) Iterator.empty
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[
+              (String, String)](n * 2 * window)
+            var i = 0
+            while (i < n) {
+              var d = -window
+              while (d <= window) {
+                val j = i + d
+                if (d != 0 && j >= 0 && j < n) out += ((toks(i), toks(j)))
+                d += 1
+              }
+              i += 1
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("center", "context")
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n"))
   }
