@@ -2477,6 +2477,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // word2vec's discard rule, md5-deterministic: frequent-word
+    // occurrences thin at 1 − √(t/f), rare words always survive;
+    // per-doc kept-stream digest gates exact survivor text.
+    "q_subsample" -> ((s, dir) =>
+      TextAnalysis.subsampleFrequent(Tables.read(s, dir, "documents"),
+          "doc_id", "text", tE6 = 10000L)
+        .orderBy(col("doc_id"))),
+
     // Skip-gram co-occurrence pairs (word2vec training relation):
     // ±2-token contexts, one narrow explode + one observed-pairs-
     // bounded aggregate with map-side partials.
@@ -5445,6 +5453,34 @@ object SparkEntry {
          SELECT piece, cnt, cost FROM ucosts ORDER BY piece""",
 
     "q_unigram_encode" -> unigramEncodeOracle,
+
+    // raw-array 1-based positions, vocabulary keep-ppm thresholds
+    // (sqrt is correctly rounded on both engines), md5 draws, and the
+    // position-ordered survivor digest (coalesced to '' when a doc
+    // keeps nothing, matching Spark's empty array_join)
+    "q_subsample" ->
+      """WITH tok AS (SELECT doc_id, l[i] AS word, i::BIGINT AS pos
+              FROM (SELECT doc_id, string_split(text, ' ') AS l
+                    FROM documents),
+                   unnest(generate_series(1, len(l))) AS t(i)
+              WHERE l[i] <> ''),
+         freq AS (SELECT word, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT sum(cnt)::BIGINT AS N FROM freq),
+         keep AS (SELECT word,
+              least(1000000, round(1e6 *
+                sqrt(10000.0 * N / cnt / 1e6)))::BIGINT AS keep_ppm
+              FROM freq, tot),
+         dr AS (SELECT t.doc_id, t.pos, t.word,
+              (('0x' || substr(md5(t.doc_id || ' ' || t.pos || ' ' ||
+                 t.word), 1, 15))::UBIGINT % 1000000)::BIGINT
+                < k.keep_ppm AS kept
+              FROM tok t JOIN keep k USING (word))
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                md5(coalesce(
+                  string_agg(word, ' ' ORDER BY pos) FILTER (WHERE kept),
+                  '')) AS kept_md5
+         FROM dr GROUP BY 1 ORDER BY 1""",
 
     "q_skipgram" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l

@@ -675,6 +675,60 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Deterministic frequent-word SUBSAMPLING — word2vec's third data
+    * stage next to [[skipGramPairs]] and [[negativeSamples]]: drop
+    * each occurrence of word w with probability `1 − min(1, √(t/f_w))`
+    * (Mikolov et al. 2013's discard rule — stopword occurrences thin
+    * out, rare words always survive), with the draw replaced by the
+    * repo's md5 idiom so every keep/drop decision is a pure function
+    * of (doc, position, word) — reproducible across engines,
+    * partitionings, and reruns, and SQL-replayable.
+    *
+    * Exactness note: keep thresholds quantize `round(1e6·√…)` and the
+    * inner value is a fixed left-associated chain of IEEE ops —
+    * unlike pow/log, `sqrt` is CORRECTLY ROUNDED on every conforming
+    * platform, so the ppm thresholds are engine-exact, not
+    * merely-agreeing.
+    *
+    * One narrow posexplode, one vocabulary-sized frequency aggregate
+    * (map-side partials), one AQE-broadcast threshold join back, one
+    * per-doc aggregate. Positions index the RAW token array (1-based,
+    * empties filtered after), and the per-doc digest joins survivors
+    * in position order.
+    *
+    * @param tE6 the t threshold in 1e-6 units (10000 ⇒ t = 0.01)
+    * @return (idCol, n_tokens, n_kept, kept_md5) */
+  def subsampleFrequent(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, tE6: Long = 10000L)
+      : org.apache.spark.sql.DataFrame = {
+    require(tE6 >= 1, "tE6 must be positive")
+    val tok = docs
+      .select(col(idCol), posexplode(
+        split(col(textCol).cast("string"), " ", -1)).as(Seq("pos0", "word")))
+      .filter(col("word") =!= "")
+      .withColumn("pos", (col("pos0") + 1).cast("long"))
+    val freq = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("N"))
+    val keep = freq.crossJoin(broadcast(tot))
+      .withColumn("keep_ppm", least(lit(1000000L),
+        round(lit(1e6) *
+          sqrt(lit(tE6.toDouble) * col("N") / col("cnt") / lit(1e6)))
+          .cast("long")))
+      .select(col("word"), col("keep_ppm"))
+    tok.join(keep, "word")
+      .withColumn("k",
+        pmod(Sampling.md5Top60(
+          concat_ws(" ", col(idCol), col("pos"), col("word"))),
+          lit(1000000L)) < col("keep_ppm"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("k"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("k"), struct(col("pos"), col("word"))))),
+          x => x.getField("word")), " ")).as("kept_md5"))
+  }
+
   /** Deterministic frequency-proportional NEGATIVE samples for a
     * skip-gram pair relation — the other half of the word2vec training
     * batch: for each (center, context) pair, `k` words drawn from the

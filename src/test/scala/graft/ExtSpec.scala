@@ -2543,6 +2543,26 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(w1 == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")))
   }
 
+  test("subsampleFrequent: rare words always survive, dominant words " +
+      "thin, digest rebuilds the in-order survivor stream") {
+    // "a" dominates (90 of 100 tokens), "z" is rare (1) — t = 0.01
+    // gives a ~33% keep rate for "a" and guaranteed keep for "z"
+    val text1 = (Seq.fill(45)("a") :+ "z").mkString(" ")
+    val text2 = (Seq.fill(45)("a") ++ Seq.fill(9)("b")).mkString(" ")
+    val out = TextAnalysis.subsampleFrequent(
+        docs((1L, text1), (2L, text2)), "doc_id", "text", tE6 = 10000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 46L && out(2L)._1 == 54L)
+    // dominant word thins but the doc never keeps MORE than it had
+    assert(out(1L)._2 < 46L && out(1L)._2 >= 1L)
+    // identical across runs (pure md5 draws)
+    val again = TextAnalysis.subsampleFrequent(
+        docs((1L, text1), (2L, text2)), "doc_id", "text", tE6 = 10000L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again(1L) == out(1L)._3 && again(2L) == out(2L)._3)
+  }
+
   test("negativeSamples: k valid draws per pair, identical across runs, " +
       "mass intervals cover every draw") {
     val s = spark
