@@ -2477,6 +2477,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixture-weighted interleaving: the deterministic global training
+    // order via stride scheduling — ikey = rank/weight as exact
+    // integers, so src0 (weight 3) appears 3× as often as src3
+    // (weight 1) at any stream prefix. One source-keyed window; the
+    // key itself is narrow.
+    "q_interleave" -> ((s, dir) =>
+      graft.ext.Curation.interleaveBySource(
+          Tables.read(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 3L, "src1" -> 1L, "src2" -> 1L, "src3" -> 1L))
+        .orderBy(col("ikey"), col("source"), col("rank_in_source"))),
+
     // word2vec's discard rule, md5-deterministic: frequent-word
     // occurrences thin at 1 − √(t/f), rare words always survive;
     // per-doc kept-stream digest gates exact survivor text.
@@ -5453,6 +5464,20 @@ object SparkEntry {
          SELECT piece, cnt, cost FROM ucosts ORDER BY piece""",
 
     "q_unigram_encode" -> unigramEncodeOracle,
+
+    // stride scheduling: per-source md5 rank, ikey = rank·1e9 // w
+    "q_interleave" ->
+      """WITH d AS (SELECT doc_id, source,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+         r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                ::BIGINT AS rank_in_source FROM d)
+         SELECT doc_id, source, rank_in_source,
+                (rank_in_source * 1000000000 //
+                 CASE source WHEN 'src0' THEN 3 ELSE 1 END)::BIGINT AS ikey
+         FROM r ORDER BY ikey, source, rank_in_source""",
 
     // raw-array 1-based positions, vocabulary keep-ppm thresholds
     // (sqrt is correctly rounded on both engines), md5 draws, and the

@@ -565,6 +565,53 @@ object Curation {
       totalTokens, saltBuckets)
   }
 
+  /** Mixture-weighted source INTERLEAVING — the deterministic global
+    * training ORDER a multi-source corpus feeds the trainer in, the
+    * ordering counterpart of [[mixtureByTokens]]'s budgets: weighted
+    * fair queueing's virtual finish time `rank_in_source / weight`
+    * (stride scheduling) as an exact integer sort key, so a weight-3
+    * source contributes three documents for every weight-1 document at
+    * ANY prefix of the stream — no round-robin driver loop, no RNG.
+    *
+    * Shuffle story: one hash shuffle on the source key for the
+    * per-source md5 ranking window (per-key windows, the
+    * exportShardsEpoch shape); the interleave key is then a pure
+    * narrow expression. CONSUMING the order is a range-partitioned
+    * sort on `ikey` — the same cost as any total-order write (the
+    * z-order layout precedent); this operator only mints the key.
+    * Append behavior: a new document splices into its source's md5
+    * order, shifting later ABSOLUTE ranks by one — but the RELATIVE
+    * order of existing documents within a source never changes, and
+    * sources that did not ingest keep every key bit-identical.
+    *
+    * `ikey = rank·1e9 / weight` in exact integer arithmetic (floor
+    * division; identical in Spark long math and SQL `//` on the
+    * non-negative operands). The 1e9 stride bounds per-source ranks at
+    * ~9·10^9 before long overflow — raise to decimal128 if a single
+    * source ever exceeds that many documents.
+    *
+    * @param weights relative integer weights per source; sources
+    *                absent from the map are excluded
+    * @return (idCol, sourceCol, rank_in_source, ikey) */
+  def interleaveBySource(docs: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(Sampling.md5Top60(col(idCol)), col(idCol))
+    docs
+      .filter(col(sourceCol).isInCollection(weights.keySet))
+      .select(col(idCol), col(sourceCol))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("ikey",
+        floor(col("rank_in_source") * lit(1000000000L) /
+          coalesce(
+            org.apache.spark.sql.functions.element_at(
+              typedLit(weights), col(sourceCol)), lit(1L)))
+          .cast("long"))
+  }
+
   /** Length-curriculum staging WITHOUT a global sort: each document
     * gets a curriculum stage 1..`stages` from its token count's
     * position in the corpus's exact length distribution — the

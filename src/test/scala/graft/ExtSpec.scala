@@ -2543,6 +2543,39 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(w1 == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")))
   }
 
+  test("interleaveBySource: stride key delivers weight-proportional " +
+      "prefixes and append-stable ranks") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 40L).map(i => (i, if (i % 4 == 0) "heavy" else "lite"))
+      .toDF("doc_id", "source")
+    val out = graft.ext.Curation.interleaveBySource(d, "doc_id", "source",
+        Map("heavy" -> 3L, "lite" -> 1L))
+      .orderBy(col("ikey"), col("source"), col("rank_in_source"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // heavy has 10 docs at weight 3, lite 30 at weight 1: after any
+    // prefix where both are live, heavy:lite arrivals track 3:1 —
+    // check the first 8 slots hold heavy ranks 1..6 and lite ranks 1..2
+    val first8 = out.take(8)
+    assert(first8.count(_._1 == "heavy") == 6)
+    assert(first8.count(_._1 == "lite") == 2)
+    // ranks are dense per source and the key is rank-monotone
+    val heavyKeys = out.filter(_._1 == "heavy").map(_._3)
+    assert(heavyKeys.sorted.sameElements(heavyKeys))
+    // append stability: adding docs leaves existing (source, rank)
+    // pairs' relative order unchanged (ranks only extend)
+    val d2 = d.unionByName(Seq((100L, "lite")).toDF("doc_id", "source"))
+    val out2 = graft.ext.Curation.interleaveBySource(d2, "doc_id",
+        "source", Map("heavy" -> 3L, "lite" -> 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val out1 = graft.ext.Curation.interleaveBySource(d, "doc_id",
+        "source", Map("heavy" -> 3L, "lite" -> 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val heavyIds = (0L until 40L).filter(_ % 4 == 0)
+    assert(heavyIds.forall(id => out2(id) == out1(id)),
+      "an appended lite doc must not move any heavy key")
+  }
+
   test("subsampleFrequent: rare words always survive, dominant words " +
       "thin, digest rebuilds the in-order survivor stream") {
     // "a" dominates (90 of 100 tokens), "z" is rare (1) — t = 0.01
