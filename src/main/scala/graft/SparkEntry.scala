@@ -2462,6 +2462,20 @@ object SparkEntry {
           "text")
         .orderBy(col("piece"))),
 
+    // STREAMING vocabulary maintenance: per-tick word censuses in
+    // idempotent batch subdirs sum to the trainer's sufficient
+    // statistic; the vocabulary derived from the maintained state must
+    // equal the batch seed — shared oracle, corpus never rescanned.
+    "q_unigram_vocab_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_uvs_")
+      try
+        Streaming.unigramVocabAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_uvs"))
+          .orderBy(col("piece"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Tokenizer APPLY, unigram style: Viterbi minimum-cost
     // segmentation of every DISTINCT word under the broadcast
     // vocabulary (narrow mapPartitions DP — the corpus side never
@@ -5460,6 +5474,11 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracle(8),
 
     "q_unigram_vocab" ->
+      s"""WITH $unigramChainSql
+         SELECT piece, cnt, cost FROM ucosts ORDER BY piece""",
+
+    // the maintained-census vocabulary equals the batch seed
+    "q_unigram_vocab_stream" ->
       s"""WITH $unigramChainSql
          SELECT piece, cnt, cost FROM ucosts ORDER BY piece""",
 

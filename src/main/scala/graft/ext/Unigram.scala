@@ -55,11 +55,22 @@ object Unigram {
     *
     * @return (piece, cnt, cost) */
   def unigramSeed(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      vocabSize: Int = 40, maxWordLen: Int = 16): DataFrame =
+    unigramSeedFromWords(wordFreq(docs, textCol), maxPieceLen, vocabSize,
+      maxWordLen)
+
+  /** [[unigramSeed]] starting from an ALREADY-MAINTAINED distinct-word
+    * frequency relation `(w, freq)` — the ingest-time form: a stream
+    * that keeps per-batch word censuses (additive, idempotent under
+    * replay) can derive the current vocabulary at any moment without
+    * ever rescanning the corpus, because the census IS the tokenizer
+    * trainer's sufficient statistic. */
+  def unigramSeedFromWords(wordsIn: DataFrame, maxPieceLen: Int = 4,
       vocabSize: Int = 40, maxWordLen: Int = 16): DataFrame = {
     require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen && vocabSize >= 1,
       s"bad knobs: maxPieceLen=$maxPieceLen maxWordLen=$maxWordLen " +
         s"vocabSize=$vocabSize")
-    val words = wordFreq(docs, textCol)
+    val words = wordsIn
       .filter(length(col("w")) <= maxWordLen)
     // bounded narrow fan-out: word -> all (start, len) substrings
     val census = words

@@ -1206,6 +1206,61 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming tokenizer-vocabulary maintenance: each micro-batch of
+    * documents writes ITS OWN word census into a `batch=<id>` subdir
+    * (idempotent overwrite under replay — the
+    * [[dedupStreamIncremental]] discipline), so the subdirs sum to the
+    * corpus's exact distinct-word frequency relation at any moment —
+    * the unigram trainer's SUFFICIENT STATISTIC. Deriving the current
+    * vocabulary is then
+    * [[graft.ext.Unigram.unigramSeedFromWords]] over the summed state:
+    * per-tick cost tracks the tick, vocabulary derivation costs the
+    * census size, and the corpus is never rescanned. */
+  def vocabIngest(docs: DataFrame, statePath: String,
+      checkpointDir: String, textCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batch.toDF()
+            .select(explode(
+              split(col(textCol).cast("string"), " ", -1)).as("w"))
+            .filter(col("w") =!= "")
+            .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[vocabIngest]]: documents arrive in two
+    * hash-split ticks, and the vocabulary derived from the summed
+    * census state must equal the batch
+    * [[graft.ext.Unigram.unigramSeed]] — the shared q_unigram_vocab
+    * oracle. */
+  def unigramVocabAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(vocabIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "text"), queryName)
+      val words = spark.read.parquet(s"$workDir/state")
+        .groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+      graft.ext.Unigram.unigramSeedFromWords(words)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** One-shot gate replay of [[cdcStream]]: the change feed is staged
     * in ascending-`seqCol` batches (one file per tick), so the
     * arrival-wins cross-tick contract COINCIDES with the global

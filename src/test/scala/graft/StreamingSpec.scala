@@ -723,6 +723,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("vocabIngest: per-tick censuses sum to the corpus word table; " +
+      "a replayed tick rewrites, never double-counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_uvspec_")
+    val state = dir.resolve("state").toString
+    try {
+      val mem = MemoryStream[String]
+      def stream = mem.toDF().toDF("text")
+      mem.addData("a a b")
+      Streaming.vocabIngest(stream, state, dir.resolve("cp1").toString,
+        "text").awaitTermination()
+      mem.addData("b c")
+      Streaming.vocabIngest(stream, state, dir.resolve("cp1").toString,
+        "text").awaitTermination()
+      def freq() = s.read.parquet(state).groupBy(col("w"))
+        .agg(sum(col("freq")).as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(freq() == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+      // replaying the SAME tick (fresh source with identical data ⇒
+      // the same batch ids re-fire) must overwrite its own subdir, so
+      // the summed state still counts each occurrence once
+      val state2 = dir.resolve("state2").toString
+      val mem2 = MemoryStream[String]
+      def stream2 = mem2.toDF().toDF("text")
+      mem2.addData("a a b", "b c")
+      Streaming.vocabIngest(stream2, state2, dir.resolve("cp2").toString,
+        "text").awaitTermination()
+      val mem3 = MemoryStream[String]
+      def stream3 = mem3.toDF().toDF("text")
+      mem3.addData("a a b", "b c")
+      Streaming.vocabIngest(stream3, state2, dir.resolve("cp3").toString,
+        "text").awaitTermination()
+      val f2 = s.read.parquet(state2).groupBy(col("w"))
+        .agg(sum(col("freq")).as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(f2 == Map("a" -> 2L, "b" -> 2L, "c" -> 1L),
+        "same batch ids must overwrite, not append")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("dedupStream drops replayed keys within the watermark") {
     val s = spark
     import s.implicits._
