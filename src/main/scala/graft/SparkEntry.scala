@@ -2898,6 +2898,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // STREAMING ANN-index maintenance: tick 0 freezes the centroids,
+    // every tick appends its own cell assignments to the inverted
+    // lists; probing the accumulated index must equal the batch
+    // build-and-search — shared oracle. Per-tick cost tracks the tick;
+    // existing vectors are never re-assigned.
+    "q_knn_ivf_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfs_")
+      try
+        Streaming.knnIvfStreamAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_ivfs"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), col("cos_sim"))
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     "q_knn_lsh" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.knnLsh(emb, emb.filter(col("vec_id") < 8),
@@ -4085,6 +4102,33 @@ object SparkEntry {
                     / CAST(ct + 16 AS DOUBLE)))
                 * 1000000.0) AS BIGINT) AS psi_e6
          FROM t ORDER BY bucket"""
+
+  /** Shared by the batch (q_knn_ivf) build-and-search and the
+    * frozen-centroid incremental index gate (q_knn_ivf_stream). */
+  private val knnIvfOracle: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, v AS ce FROM emb WHERE vec_id < 16),
+         ca AS (SELECT e.vec_id AS id, c.cent_id,
+                round(list_cosine_similarity(e.v, c.ce), 6) AS cc
+              FROM emb e CROSS JOIN cents c),
+         cass AS (SELECT id, cent_id AS cell FROM (
+                SELECT id, cent_id, row_number() OVER (PARTITION BY id
+                  ORDER BY cc DESC, cent_id) AS r FROM ca) WHERE r = 1),
+         qass AS (SELECT id AS query_id, cent_id AS cell FROM (
+                SELECT id, cent_id, row_number() OVER (PARTITION BY id
+                  ORDER BY cc DESC, cent_id) AS r FROM ca WHERE id < 8)
+              WHERE r <= 4),
+         sc AS (SELECT q.query_id, n.id AS nn_id,
+                round(list_cosine_similarity(eq.v, en.v), 4) AS cos_sim
+              FROM qass q
+              JOIN cass n ON q.cell = n.cell AND q.query_id <> n.id
+              JOIN emb eq ON eq.vec_id = q.query_id
+              JOIN emb en ON en.vec_id = n.id),
+         r AS (SELECT query_id, nn_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, nn_id)::BIGINT AS rank FROM sc)
+         SELECT query_id, rank, nn_id, cos_sim FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] = Map(
     "q_recent_events" ->
@@ -6019,30 +6063,12 @@ object SparkEntry {
          SELECT query_id, rank, nn_id, cos_sim FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
-    "q_knn_ivf" ->
-      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cents AS (SELECT vec_id AS cent_id, v AS ce FROM emb WHERE vec_id < 16),
-         ca AS (SELECT e.vec_id AS id, c.cent_id,
-                round(list_cosine_similarity(e.v, c.ce), 6) AS cc
-              FROM emb e CROSS JOIN cents c),
-         cass AS (SELECT id, cent_id AS cell FROM (
-                SELECT id, cent_id, row_number() OVER (PARTITION BY id
-                  ORDER BY cc DESC, cent_id) AS r FROM ca) WHERE r = 1),
-         qass AS (SELECT id AS query_id, cent_id AS cell FROM (
-                SELECT id, cent_id, row_number() OVER (PARTITION BY id
-                  ORDER BY cc DESC, cent_id) AS r FROM ca WHERE id < 8)
-              WHERE r <= 4),
-         sc AS (SELECT q.query_id, n.id AS nn_id,
-                round(list_cosine_similarity(eq.v, en.v), 4) AS cos_sim
-              FROM qass q
-              JOIN cass n ON q.cell = n.cell AND q.query_id <> n.id
-              JOIN emb eq ON eq.vec_id = q.query_id
-              JOIN emb en ON en.vec_id = n.id),
-         r AS (SELECT query_id, nn_id, cos_sim,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY cos_sim DESC, nn_id)::BIGINT AS rank FROM sc)
-         SELECT query_id, rank, nn_id, cos_sim FROM r
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_knn_ivf" -> knnIvfOracle,
+
+    // frozen-centroid incremental index + probe equals the batch
+    // build-and-search — same oracle
+    "q_knn_ivf_stream" -> knnIvfOracle,
+
 
     "q_knn_lsh" ->
       """WITH planes AS (SELECT j.j AS j,

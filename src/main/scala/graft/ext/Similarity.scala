@@ -145,32 +145,60 @@ object Similarity {
       case None => corpus.orderBy(col(idCol)).limit(nCentroids)
     }
     val cents = Dedup.withNorm(centSrc, idCol, vecCol, "cent_id", "ce")
-    def cosC = round(Dedup.dotNative(col("v"), col("ce")) /
+    ivfSearch(ivfAssign(corpus, idCol, vecCol, cents), cents, queries,
+      idCol, vecCol, k, nProbes)
+  }
+
+  /** 6-dp-rounded centroid cosine — the shared assignment score of the
+    * IVF halves; the rounding + cent_id tie-break make cell choices
+    * engine-reproducible. */
+  private def centCos: Column =
+    round(Dedup.dotNative(col("v"), col("ce")) /
       (col("v_nrm") * col("ce_nrm")), 6)
+
+  /** Inverted-list ASSIGNMENT — the index-BUILD half of [[knnIvf]],
+    * exposed so the postings relation can be MAINTAINED (appended per
+    * ingest tick against frozen centroids) instead of rebuilt per
+    * query: each corpus vector meets the broadcast centroids once and
+    * lands in its single nearest cell.
+    *
+    * @param cents `Dedup.withNorm(centSrc, idCol, vecCol, "cent_id",
+    *              "ce")` — the broadcast-sized centroid relation
+    * @return (nn_id, cv, cv_nrm, cell) — the inverted-list layout */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
     val byCell = Window.partitionBy(col("id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-
-    val c = Dedup.withNorm(corpus, idCol, vecCol, "id", "v")
+    Dedup.withNorm(corpus, idCol, vecCol, "id", "v")
       .join(broadcast(cents))
       .select(col("id"), col("v"), col("v_nrm"), col("cent_id"),
-        cosC.as("cent_cos"))
+        centCos.as("cent_cos"))
       .withColumn("_r", row_number().over(byCell))
       .filter(col("_r") === 1) // corpus vector -> single nearest cell
       .select(col("id").as("nn_id"), col("v").as("cv"),
         col("v_nrm").as("cv_nrm"), col("cent_id").as("cell"))
+  }
 
+  /** Probe-side SEARCH over a prebuilt postings relation — the other
+    * half of [[knnIvf]]: queries probe their `nProbes` nearest cells,
+    * the probe join is an equi-join on the cell id, and unprobed cells
+    * are never scanned. */
+  def ivfSearch(postings: DataFrame, cents: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbes: Int): DataFrame = {
     val q = Dedup.withNorm(queries, idCol, vecCol, "id", "v")
       .join(broadcast(cents))
       .select(col("id"), col("v"), col("v_nrm"), col("cent_id"),
-        cosC.as("cent_cos"))
-      .withColumn("_r", row_number().over(byCell))
+        centCos.as("cent_cos"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("cent_cos").desc, col("cent_id"))))
       .filter(col("_r") <= nProbes) // query probes its nProbes cells
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("v_nrm").as("qv_nrm"), col("cent_id").as("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
-    c.join(broadcast(q), Seq("cell"))
+    postings.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         round(Dedup.dotNative(col("qv"), col("cv")) /

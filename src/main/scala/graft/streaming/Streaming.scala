@@ -1261,6 +1261,93 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming ANN-INDEX maintenance: tick 0 freezes the centroid set
+    * (the first `nCentroids` ids of the bootstrap batch — ordered
+    * arrival puts the corpus's lowest ids there, matching the batch
+    * [[graft.ext.Similarity.knnIvf]] default) and every tick assigns
+    * ITS OWN vectors to cells with
+    * [[graft.ext.Similarity.ivfAssign]], appending postings to an
+    * idempotent `batch=<id>` subdir. The inverted-list index GROWS
+    * with ingest — per-tick cost tracks the tick, existing vectors are
+    * never re-assigned, and probing reads the accumulated postings
+    * through [[graft.ext.Similarity.ivfSearch]]. A crashed tick
+    * replays into its own subdir (and the centroid bootstrap is
+    * content-deterministic), so the index never double-counts. */
+  def ivfIngest(embs: DataFrame, workPath: String, checkpointDir: String,
+      idCol: String, vecCol: String, nCentroids: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val df = batch.toDF().localCheckpoint(true)
+          val sp = df.sparkSession
+          val centPath = s"$workPath/centroids"
+          val p = new org.apache.hadoop.fs.Path(centPath)
+          val fs = p.getFileSystem(sp.sessionState.newHadoopConf())
+          if (!fs.exists(p)) {
+            require(batchId == 0L,
+              s"centroid bootstrap missing at batch $batchId — the " +
+                "index must be seeded by tick 0")
+            df.orderBy(col(idCol)).limit(nCentroids)
+              .select(col(idCol), col(vecCol))
+              .write.parquet(centPath)
+          }
+          val cents = graft.ext.Dedup.withNorm(
+            sp.read.parquet(centPath), idCol, vecCol, "cent_id", "ce")
+          graft.ext.Similarity.ivfAssign(df, idCol, vecCol, cents)
+            .write.mode("overwrite")
+            .parquet(s"$workPath/postings/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[ivfIngest]]: the embeddings table is
+    * staged as two RANGE-split files (ordered arrival — the bootstrap
+    * tick carries the lowest ids, so the frozen centroids equal the
+    * batch path's first-16-by-id default) and the accumulated index is
+    * probed with the same queries — the result must equal the batch
+    * [[graft.ext.Similarity.knnIvf]], which is exactly the shared
+    * q_knn_ivf oracle. */
+  def knnIvfStreamAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, k: Int = 5,
+      nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
+    val emb = graft.Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val staging = s"$workDir/staged"
+    emb.repartitionByRange(2, col("vec_id")).write.parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val sfs = stagingPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val t0 = System.currentTimeMillis()
+    sfs.listStatus(stagingPath).toSeq.filter(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
+      sfs.setTimes(f.getPath, t0 + i * 60000L, -1)
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      awaitOneShot(
+        ivfIngest(stream, s"$workDir/ivf", s"$workDir/cp", "vec_id",
+          "embedding", nCentroids),
+        queryName)
+      val cents = graft.ext.Dedup.withNorm(
+        spark.read.parquet(s"$workDir/ivf/centroids"), "vec_id",
+        "embedding", "cent_id", "ce")
+      graft.ext.Similarity.ivfSearch(
+        spark.read.parquet(s"$workDir/ivf/postings").drop("batch"),
+        cents, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k, nProbes)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** One-shot gate replay of [[cdcStream]]: the change feed is staged
     * in ascending-`seqCol` batches (one file per tick), so the
     * arrival-wins cross-tick contract COINCIDES with the global
