@@ -2334,6 +2334,21 @@ object SparkEntry {
           "text", Seq("spark", "merge", "window"), topK = 25)
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // STREAMING text-index maintenance: per-tick postings + lengths
+    // (the BM25 sufficient statistic) in idempotent subdirs; scoring
+    // the maintained index equals the ad-hoc corpus scan — shared
+    // oracle, corpus never rescanned at query time.
+    "q_bm25_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25s_")
+      try
+        Streaming.bm25StreamAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_bm25s"),
+            Seq("spark", "merge", "window"), topK = 25)
+          .orderBy(col("score").desc, col("doc_id"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Exact phrase search: the positional-index conjunction as ONE
     // doc-keyed aggregate — the corpus sheds to the phrase's own terms
     // before the shuffle, and per-doc position-set intersection (term
@@ -4130,6 +4145,29 @@ object SparkEntry {
          SELECT query_id, rank, nn_id, cos_sim FROM r
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Shared by the ad-hoc scan (q_bm25) and the maintained-index
+    * scorer gate (q_bm25_stream). */
+  private val bm25Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         stats AS (SELECT count(*)::DOUBLE AS n,
+                avg(len(l))::DOUBLE AS avgdl FROM t),
+         tok AS (SELECT doc_id, unnest(l) AS term FROM t),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, len(l)::DOUBLE AS dl FROM t),
+         sc AS (SELECT tf.doc_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                  AS raw
+              FROM tf JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id, stats s
+              GROUP BY 1)
+         SELECT doc_id, round(raw, 6) AS score FROM sc
+         ORDER BY score DESC, doc_id LIMIT 25"""
+
   def oracleSql: Map[String, String] = Map(
     "q_recent_events" ->
       """SELECT event_id, ts, user_id AS user_email, event_type AS habit, value
@@ -5396,26 +5434,10 @@ object SparkEntry {
                   AND ar >= 0.8 AND sh >= 2 AS pass
          FROM m ORDER BY doc_id""",
 
-    "q_bm25" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
-              FROM documents),
-         stats AS (SELECT count(*)::DOUBLE AS n,
-                avg(len(l))::DOUBLE AS avgdl FROM t),
-         tok AS (SELECT doc_id, unnest(l) AS term FROM t),
-         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
-              WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
-         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-         dl AS (SELECT doc_id, len(l)::DOUBLE AS dl FROM t),
-         sc AS (SELECT tf.doc_id,
-                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-                    * (tf.tf * 2.2)
-                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
-                  AS raw
-              FROM tf JOIN df USING (term)
-                   JOIN dl ON dl.doc_id = tf.doc_id, stats s
-              GROUP BY 1)
-         SELECT doc_id, round(raw, 6) AS score FROM sc
-         ORDER BY score DESC, doc_id LIMIT 25""",
+    "q_bm25" -> bm25Oracle,
+
+    // scoring the maintained index equals the ad-hoc corpus scan
+    "q_bm25_stream" -> bm25Oracle,
 
     // word-position occurrences (overlaps included) straight off the
     // token arrays — no index in sight, so the conjunction's answer is

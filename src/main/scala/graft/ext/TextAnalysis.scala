@@ -462,6 +462,59 @@ object TextAnalysis {
     score.orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
+  /** The BM25 SUFFICIENT STATISTIC as two maintainable relations: full
+    * postings `(id, term, tf)` and per-doc lengths `(id, _dl)`. Doc
+    * ids are disjoint across ingest batches, so per-batch indexes
+    * simply UNION into the corpus index — which is what lets a stream
+    * maintain it ([[graft.streaming.Streaming]]'s ingest gates). The
+    * ad-hoc [[bm25]] deliberately does NOT build this (it sheds the
+    * corpus to the query's own terms before any shuffle); the index
+    * pays the full (doc, term) aggregate ONCE to amortize over every
+    * future query. */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val lens = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("double").as("_dl"))
+    val postings = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    (postings, lens)
+  }
+
+  /** BM25 over a PREBUILT index — scoring reads the postings and
+    * length relations instead of the corpus, so a maintained index
+    * serves any query at matching-postings cost. Identical scoring
+    * arithmetic to [[bm25]] (gate-shared oracle). */
+  def bm25FromIndex(postings: org.apache.spark.sql.DataFrame,
+      lens: org.apache.spark.sql.DataFrame, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("_n"), avg(col("_dl")).as("_avgdl"))
+    val tf = postings
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col(idCol), col("term"), col("tf").cast("double").as("_tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val score = tf
+      .join(broadcast(df), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("_n") - col("_df") + 0.5) /
+            (col("_df") + 0.5)) *
+          (col("_tf") * (k1 + 1)) /
+          (col("_tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+          .as("_s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 6).as("score"))
+    score.orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
   // ── Heavy hitters ──────────────────────────────────────────────────────
 
   /** EXACT heavy hitters (tokens with corpus count ≥ `minCount`) via a

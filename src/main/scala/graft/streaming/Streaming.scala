@@ -1261,6 +1261,61 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming TEXT-INDEX maintenance: each micro-batch of documents
+    * writes its own BM25 sufficient statistic
+    * ([[graft.ext.TextAnalysis.invertedIndex]] — postings + doc
+    * lengths) into idempotent `batch=<id>` subdirs. Doc ids are
+    * disjoint across ticks, so the subdirs UNION into the corpus
+    * index; any query then scores against the maintained state at
+    * matching-postings cost ([[graft.ext.TextAnalysis.bm25FromIndex]])
+    * without ever rescanning the corpus. */
+  def bm25Ingest(docs: DataFrame, indexPath: String, checkpointDir: String,
+      idCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val df = batch.toDF().localCheckpoint(true)
+          val (postings, lens) =
+            graft.ext.TextAnalysis.invertedIndex(df, idCol, textCol)
+          postings.write.mode("overwrite")
+            .parquet(s"$indexPath/postings/batch=$batchId")
+          lens.write.mode("overwrite")
+            .parquet(s"$indexPath/lens/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[bm25Ingest]]: two hash-split ticks
+    * build the index, then the query scores against the maintained
+    * state — the result must equal the ad-hoc corpus-scan
+    * [[graft.ext.TextAnalysis.bm25]], the shared q_bm25 oracle. */
+  def bm25StreamAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, queryTerms: Seq[String],
+      topK: Int): DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(bm25Ingest(stream, s"$workDir/index",
+        s"$workDir/cp", "doc_id", "text"), queryName)
+      graft.ext.TextAnalysis.bm25FromIndex(
+        spark.read.parquet(s"$workDir/index/postings").drop("batch"),
+        spark.read.parquet(s"$workDir/index/lens").drop("batch"),
+        "doc_id", queryTerms, topK = topK)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Streaming ANN-INDEX maintenance: tick 0 freezes the centroid set
     * (the first `nCentroids` ids of the bootstrap batch — ordered
     * arrival puts the corpus's lowest ids there, matching the batch
