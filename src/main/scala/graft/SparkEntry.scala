@@ -750,6 +750,26 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Reference parity: analytics surface (SURVEY §2.5-2.6) ──────────
+    // Ingest-completeness audit: gaps in the event_id sequence per
+    // user (lost or unlanded rows in a replicated feed). One user-
+    // keyed shuffle; lag rides the same sort as any per-user window.
+    // Synthetic gaps: ids ≡ 4 (mod 9) are dropped first, so the audit
+    // has a non-empty closed-form answer at every scale factor.
+    "q_id_gaps" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+        .filter(col("event_id") % 9 =!= 4)
+        .select(col("user_id"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      ev.withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .filter(col("prev_id").isNotNull &&
+          col("event_id") - col("prev_id") > 1)
+        .select(col("user_id"), col("prev_id").as("gap_after"),
+          col("event_id").as("resume_at"),
+          (col("event_id") - col("prev_id") - 1).as("missing"))
+        .orderBy(col("user_id"), col("gap_after"))
+    }),
+
     "q_recent_events" -> ((s, dir) =>
       Habits.recentEvents(Tables.eventsAsHabits(s, dir), 50, Seq(col("event_id")))
         .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
@@ -4169,6 +4189,17 @@ object SparkEntry {
          ORDER BY score DESC, doc_id LIMIT 25"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_id_gaps" ->
+      """WITH e AS (SELECT user_id, event_id FROM events
+              WHERE event_id % 9 <> 4),
+         l AS (SELECT user_id, event_id,
+              lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+                AS prev_id FROM e)
+         SELECT user_id, prev_id AS gap_after, event_id AS resume_at,
+                (event_id - prev_id - 1)::BIGINT AS missing
+         FROM l WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+         ORDER BY user_id, gap_after""",
+
     "q_recent_events" ->
       """SELECT event_id, ts, user_id AS user_email, event_type AS habit, value
          FROM events ORDER BY ts DESC, event_id LIMIT 50""",
