@@ -1490,6 +1490,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING decontamination gate: each arriving train tick is
+    // checked against the static eval-set window index; the distinct
+    // ledger union equals the offline every-offset scan — shared
+    // oracle, reports available DURING ingest.
+    "q_contamination_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cont_")
+      try
+        Streaming.contaminationAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_cont"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Redaction — the consuming half of decontamination: cut every
     // flagged ≥31-char window out of the test docs (overlapping
     // windows merged into islands, gaps spliced by pure expressions);
@@ -4826,6 +4840,9 @@ object SparkEntry {
     // position is contaminated iff its 31-char window appears verbatim
     // in the train split.
     "q_substring_contamination" -> substringContaminationOracle("text"),
+
+    // the ingest-time ledger's distinct union equals the offline scan
+    "q_contamination_stream" -> substringContaminationOracle("text"),
     // brute-force redaction replay: covered = union of hit windows'
     // [i, i+30] character positions; rebuild each test doc from its
     // uncovered characters (char-level — the oracle may be naive)

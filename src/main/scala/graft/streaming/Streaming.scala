@@ -1261,6 +1261,82 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming DECONTAMINATION gate: every micro-batch of TRAIN
+    * documents is checked against the fixed evaluation set as it
+    * arrives — the tick's distinct ≥`minLen`-char windows equi-join
+    * the eval set's every-offset window index, and the matched
+    * (eval doc, position) pairs land in an idempotent `batch=<id>`
+    * ledger subdir. The DISTINCT union of the ledger equals the
+    * offline whole-corpus scan (a position matches iff ANY tick's
+    * train text contains its window), so contamination reports are
+    * available continuously during ingest instead of after a terminal
+    * pass. Per-tick cost is tick-windows × eval-index — the eval side
+    * is static and small by nature; a production deployment persists
+    * its window index once and anchor-tiles the train side exactly
+    * like the batch `Curation.substringContamination`. */
+  def contaminationIngest(train: DataFrame, test: DataFrame,
+      ledgerPath: String, checkpointDir: String, idCol: String,
+      textCol: String, minLen: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    def windows(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(1), length(c) - (minLen - 1)),
+        i => c.substr(i, lit(minLen)))
+    val testIdx = test
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol), posexplode(windows(col(textCol)))
+        .as(Seq("pos0", "w")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("i"), col("w"))
+    train.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val tw = batch.toDF()
+            .filter(length(col(textCol)) >= minLen)
+            .select(explode(windows(col(textCol))).as("w"))
+            .distinct()
+          testIdx.join(tw, "w")
+            .select(col(idCol), col("i"))
+            .write.mode("overwrite")
+            .parquet(s"$ledgerPath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One-shot gate replay of [[contaminationIngest]]: the train split
+    * arrives in two hash ticks against the static test split, and the
+    * aggregated distinct ledger must equal the offline every-offset
+    * contamination scan — the shared q_substring_contamination
+    * oracle. */
+  def contaminationAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, minLen: Int = 31): DataFrame = {
+    val d = graft.Tables.read(spark, dir, "documents")
+      .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+    val train = d.filter(col("split") === "train")
+      .select(col("doc_id"), col("text"))
+    val test = d.filter(col("split") === "test")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      train.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      train.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(contaminationIngest(stream, test, s"$workDir/ledger",
+        s"$workDir/cp", "doc_id", "text", minLen), queryName)
+      spark.read.parquet(s"$workDir/ledger")
+        .select(col("doc_id"), col("i")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), min(col("i")).as("first_pos"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Streaming TEXT-INDEX maintenance: each micro-batch of documents
     * writes its own BM25 sufficient statistic
     * ([[graft.ext.TextAnalysis.invertedIndex]] — postings + doc
