@@ -646,6 +646,40 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("skipgram: typed kernel emits pairs, aggregate splits " +
+      "partial/final, no join anywhere") {
+    val p = plan("q_skipgram")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "pair emission must be the typed kernel, not an HOF chain")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair counts must map-side combine")
+    assert(!p.contains("Join"))
+  }
+
+  test("negative samples: mass table and total ride broadcasts, " +
+      "no cartesian") {
+    val p = plan("q_negative_samples")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "interval containment must probe the broadcast cumulative table")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "nothing here may shuffle-join — both lookup sides broadcast")
+  }
+
+  test("subsample: one posexplode pass, threshold join equi-keyed, " +
+      "per-doc aggregate splits partial/final") {
+    val p = plan("q_subsample")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("interleave: one source-keyed ranking window, key mint is " +
+      "narrow — no join, no second exchange family") {
+    val p = plan("q_interleave")
+    assert(!p.contains("Join"), s"interleave must not join:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1)
+  }
+
   test("hopping window: bounded fan-out then one partial/final " +
       "aggregate, no cartesian") {
     val p = plan("q_hopping_window")
