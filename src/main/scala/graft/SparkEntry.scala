@@ -1490,6 +1490,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dead-letter quarantine at ingest: rows failing the expectation
+    // route to the quarantine ledger, passing rows to the curated
+    // sink — per-batch idempotent, closed-form oracle on the
+    // synthetic corruption.
+    "q_quarantine_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dlq_")
+      try
+        Streaming.quarantineAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_dlq"))
+          .orderBy(col("dest"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // STREAMING decontamination gate: each arriving train tick is
     // checked against the static eval-set window index; the distinct
     // ledger union equals the offline every-offset scan — shared
@@ -4843,6 +4857,18 @@ object SparkEntry {
 
     // the ingest-time ledger's distinct union equals the offline scan
     "q_contamination_stream" -> substringContaminationOracle("text"),
+
+    // untouched rows curate; corrupted (event_id % 11 = 3) rows —
+    // value rewritten to -(value+1), unambiguously negative — quarantine
+    "q_quarantine_stream" ->
+      """SELECT 'curated' AS dest, count(*)::BIGINT AS n_rows,
+                round(sum(value), 6) AS value_sum
+         FROM events WHERE event_id % 11 <> 3
+         UNION ALL
+         SELECT 'quarantine' AS dest, count(*)::BIGINT AS n_rows,
+                round(sum(-(value + 1)), 6) AS value_sum
+         FROM events WHERE event_id % 11 = 3
+         ORDER BY dest""",
     // brute-force redaction replay: covered = union of hit windows'
     // [i, i+30] character positions; rebuild each test doc from its
     // uncovered characters (char-level — the oracle may be naive)

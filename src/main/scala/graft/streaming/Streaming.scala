@@ -1261,6 +1261,69 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Row-granular data-quality QUARANTINE at ingest — the dead-letter-
+    * queue pattern: each tick splits on the expectation predicate,
+    * passing rows land in the curated sink and failing rows in the
+    * quarantine ledger (both as idempotent `batch=<id>` subdirs), so a
+    * malformed row never blocks its batch and never silently enters
+    * the curated corpus — it waits in the ledger with its batch id for
+    * repair/replay. The batch-REJECT alternative
+    * (`VersionedStore.appendChecked`) guards commit-level invariants;
+    * this guards row-level ones. */
+  def quarantineIngest(rows: DataFrame, sinkPath: String,
+      quarantinePath: String, checkpointDir: String,
+      predicate: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val df = batch.toDF().localCheckpoint(true)
+          df.filter(predicate)
+            .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+          df.filter(!predicate)
+            .write.mode("overwrite")
+            .parquet(s"$quarantinePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[quarantineIngest]]: the events feed with
+    * every `event_id % 11 = 3` row's value corrupted to `-(value+1)`
+    * (unambiguously negative even at value = 0) arrives in two hash
+    * ticks under the `value >= 0` expectation; the curated sink must
+    * hold exactly the untouched rows and the quarantine exactly the
+    * corrupted ones — the closed-form oracle. */
+  def quarantineAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val ev = graft.Tables.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        when(col("event_id") % 11 === 3, -(col("value") + 1))
+          .otherwise(col("value")).as("value"))
+    val halves = Seq(
+      ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+      ev.filter(abs(hash(col("event_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(quarantineIngest(stream, s"$workDir/curated",
+        s"$workDir/quarantine", s"$workDir/cp", col("value") >= 0),
+        queryName)
+      def side(path: String, name: String) =
+        spark.read.parquet(path)
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("value")), 6).as("value_sum"))
+          .select(lit(name).as("dest"), col("n_rows"), col("value_sum"))
+      side(s"$workDir/curated", "curated")
+        .unionByName(side(s"$workDir/quarantine", "quarantine"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Streaming DECONTAMINATION gate: every micro-batch of TRAIN
     * documents is checked against the fixed evaluation set as it
     * arrives — the tick's distinct ≥`minLen`-char windows equi-join
