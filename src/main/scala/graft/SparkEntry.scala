@@ -3840,6 +3840,27 @@ object SparkEntry {
     // replay runs TWICE with fresh checkpoints — without the committed
     // batch-id dedup the second run would re-commit (n_versions = 2);
     // the oracle asserts one version and the untouched event rows.
+    // Backfill → streaming handoff: half the history bulk-loads as one
+    // commit, the live half streams into the SAME store exactly-once;
+    // the snapshot must hold every event once across the seam, in
+    // exactly two commits.
+    "q_backfill_handoff" -> ((s, dir) => {
+      import graft.load.VersionedStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bfh_")
+      try {
+        val store = tmp.toString + "/store"
+        Streaming.backfillHandoffAvailableNow(s, dir, store, s"$tmp/cp",
+          Streaming.nextQueryName("graft_bfh"))
+        VersionedStore.snapshot(s, store)
+          .select(col("event_id"), ntz(col("ts")).as("ts"),
+            col("user_email"), col("habit"), col("value"),
+            lit(VersionedStore.versions(s, store).length).cast("long")
+              .as("n_versions"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     "q_store_ingest_stream" -> ((s, dir) => {
       import graft.load.VersionedStore
       val tmp = java.nio.file.Files.createTempDirectory("graft_vingest_")
@@ -6781,6 +6802,12 @@ object SparkEntry {
 
     // double replay must leave exactly one committed version and the
     // events unchanged — the dedup skipped the second batch entirely
+    // two commits: the backfill create + the one streamed upsert
+    "q_backfill_handoff" ->
+      """SELECT event_id, ts, user_id AS user_email,
+                event_type AS habit, value, 2::BIGINT AS n_versions
+         FROM events ORDER BY event_id""",
+
     "q_store_ingest_stream" ->
       """SELECT event_id, ts, user_id AS user_email,
                 event_type AS habit, value, 1::BIGINT AS n_versions

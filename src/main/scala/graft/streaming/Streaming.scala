@@ -719,6 +719,31 @@ object Streaming {
         ()
       }.start()
 
+  /** One-shot gate replay of the BACKFILL → STREAMING HANDOFF — the
+    * standard bootstrap pattern for a new pipeline: half the history
+    * loads as ONE batch commit (`VersionedStore.create` — the cheap
+    * bulk path, no per-row merge), then [[versionedIngest]] takes over
+    * for the live remainder with its exactly-once committed-batch-id
+    * contract against the SAME store. The final snapshot must hold
+    * every event exactly once across the seam — neither half dropped,
+    * duplicated, nor double-merged — in exactly two commits. */
+  def backfillHandoffAvailableNow(spark: SparkSession, dir: String,
+      storePath: String, checkpointDir: String, queryName: String): Unit =
+    withStagedEvents(spark, dir) { mkStream =>
+      def half(df: DataFrame, side: Int): DataFrame =
+        df.filter(abs(hash(col("event_id"))) % 2 === side)
+      val backfill = half(graft.Tables.events(spark, dir), 0)
+        .withColumnRenamed("user_id", "user_email")
+        .withColumnRenamed("event_type", "habit")
+      graft.load.VersionedStore.create(backfill, storePath)
+      val stream = half(mkStream(), 1)
+        .withColumnRenamed("user_id", "user_email")
+        .withColumnRenamed("event_type", "habit")
+      awaitOneShot(
+        versionedIngest(stream, storePath, checkpointDir, queryName),
+        queryName)
+    }
+
   /** Streaming JOIN-view maintenance — the lakehouse "continuous
     * aggregate" closed over the store's own change feed: every
     * micro-batch (1) commits to the fact store exactly-once (committed
