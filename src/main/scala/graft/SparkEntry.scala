@@ -2525,6 +2525,20 @@ object SparkEntry {
           "text")
         .orderBy(col("piece"))),
 
+    // The persistable unigram id table (the bpeVocab analog): dense
+    // ids under the (cost ASC, piece ASC) total order — cheapest
+    // pieces get the smallest ids, ties impossible since piece is
+    // unique. Window over the vocabulary-sized relation only.
+    "q_unigram_ids" -> ((s, dir) => {
+      val vocab = graft.ext.Unigram.unigramSeed(
+        Tables.read(s, dir, "documents"), "text")
+      vocab.withColumn("id",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cost"), col("piece"))) - 1).cast("long"))
+        .select(col("id"), col("piece"), col("cnt"), col("cost"))
+        .orderBy(col("id"))
+    }),
+
     // STREAMING vocabulary maintenance: per-tick word censuses in
     // idempotent batch subdirs sum to the trainer's sufficient
     // statistic; the vocabulary derived from the maintained state must
@@ -5642,6 +5656,13 @@ object SparkEntry {
     "q_unigram_vocab_stream" ->
       s"""WITH $unigramChainSql
          SELECT piece, cnt, cost FROM ucosts ORDER BY piece""",
+
+    "q_unigram_ids" ->
+      s"""WITH $unigramChainSql
+         SELECT (row_number() OVER (ORDER BY cost, piece) - 1)::BIGINT
+                  AS id,
+                piece, cnt, cost
+         FROM ucosts ORDER BY id""",
 
     "q_unigram_encode" -> unigramEncodeOracle,
 
