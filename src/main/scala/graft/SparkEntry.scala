@@ -3512,6 +3512,48 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Kolmogorov–Smirnov arm of the drift monitor: worst cumulative
+    // ECDF gap between the same two distributions, argmax'd on the
+    // cross-multiplied INTEGER numerator so bin choice and gap
+    // ordering replay engine-exactly; 256 fine bins keep the data
+    // work at two histogram passes.
+    "q_ks_drift" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      graft.ext.Profile.ksDrift(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "value", lo = 0.0, hi = 512.0, buckets = 256)
+    }),
+
+    // Dyadic EWMA smoothing of each user's purchase values: α = 1/2
+    // over a 16-row frame, carried as the exact integer numerator
+    // ewma_c16 (centi-units · 2^16) so the trend line is
+    // bit-reproducible — the per-key trend feature a monitoring or
+    // curriculum pipeline derives from raw event streams.
+    "q_ewma" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      graft.ext.Profile.dyadicEwma(
+          ev.filter(col("event_type") === "purchase"),
+          Seq("user_id"), Seq("ts", "event_id"), "value")
+        .select(col("user_id"), col("event_id"),
+          ntz(col("ts")).as("ts"), col("ewma_c16"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // k-anonymity / l-diversity release audit: QI = (event_type, day,
+    // value band), sensitive = user_id; per event_type, how many QI
+    // groups fall under k = 5 rows or l = 3 distinct users, and how
+    // many rows that exposes. One corpus aggregate + one domain-sized
+    // summary aggregate.
+    "q_kanon" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      graft.ext.Privacy.anonymityAudit(ev,
+          Seq(col("event_type"), to_date(col("ts")),
+            floor(col("value") / 32.0)),
+          col("user_id"), reportAs = "event_type", k = 5, l = 3)
+        .orderBy(col("event_type"))
+    }),
+
     // Metadata-only aggregates: COUNT(*) and min/max of an integral
     // column answered by driver-side arithmetic over the sidecar row
     // counts and zone maps — no scan, no task. The spec proves the
@@ -4169,6 +4211,67 @@ object SparkEntry {
               WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 7),
          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
                    UNION ALL SELECT id_b, id_a FROM prs)"""
+
+  private val ksDriftOracle =
+    """WITH r AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 2.0), 0), 255) AS BIGINT) AS bucket,
+              count(*) AS ref_n
+            FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            GROUP BY 1),
+         c AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 2.0), 0), 255) AS BIGINT) AS bucket,
+              count(*) AS cur_n
+            FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1),
+         b AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+         j AS (SELECT b.bucket,
+              coalesce(r.ref_n, 0)::BIGINT AS ref_n,
+              coalesce(c.cur_n, 0)::BIGINT AS cur_n
+            FROM b LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+         t AS (SELECT bucket,
+              CAST(sum(ref_n) OVER (ORDER BY bucket) AS BIGINT) AS ref_le,
+              CAST(sum(cur_n) OVER (ORDER BY bucket) AS BIGINT) AS cur_le,
+              CAST(sum(ref_n) OVER () AS BIGINT) AS ref_total,
+              CAST(sum(cur_n) OVER () AS BIGINT) AS cur_total FROM j),
+         g AS (SELECT bucket AS ks_bucket,
+              abs(ref_le * cur_total - cur_le * ref_total) AS ks_num,
+              ref_total, cur_total FROM t)
+         SELECT ks_bucket, ks_num, ref_total, cur_total,
+              CAST(round(ks_num::DOUBLE * 1000000.0
+                  / (ref_total * cur_total)::DOUBLE) AS BIGINT) AS ks_e6
+         FROM g ORDER BY ks_num DESC, ks_bucket LIMIT 1"""
+
+  private val ewmaOracle =
+    """WITH p AS (SELECT user_id, event_id, ts,
+              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_c
+            FROM events WHERE event_type = 'purchase'),
+         w AS (SELECT user_id, event_id, ts,
+              list(v_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+            FROM p)
+         SELECT user_id, event_id, ts,
+              list_sum([l[i] * (1::BIGINT << (16 - len(l) + i - 1))
+                  for i in generate_series(1, len(l))])::BIGINT AS ewma_c16
+         FROM w ORDER BY user_id, ts, event_id"""
+
+  private val kanonOracle =
+    """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS d,
+              CAST(floor(value / 32.0) AS BIGINT) AS vb,
+              count(*) AS n_rows,
+              count(DISTINCT user_id) AS n_sensitive
+            FROM events GROUP BY 1, 2, 3)
+         SELECT event_type,
+              count(*)::BIGINT AS n_groups,
+              min(n_rows)::BIGINT AS min_group,
+              count(*) FILTER (WHERE n_rows < 5)::BIGINT AS risky_k_groups,
+              coalesce(sum(n_rows) FILTER (WHERE n_rows < 5), 0)::BIGINT
+                AS risky_k_rows,
+              min(n_sensitive)::BIGINT AS min_l,
+              count(*) FILTER (WHERE n_sensitive < 3)::BIGINT
+                AS risky_l_groups,
+              coalesce(sum(n_rows) FILTER (WHERE n_sensitive < 3), 0)::BIGINT
+                AS risky_l_rows
+         FROM g GROUP BY 1 ORDER BY 1"""
 
   private val driftPsiOracle =
     """WITH r AS (SELECT CAST(least(greatest(
@@ -6642,6 +6745,9 @@ object SparkEntry {
     // shares, (p−q)·ln(p/q) quantized at 1e-6 — the identical IEEE
     // expression chain over identical longs.
     "q_drift_psi" -> driftPsiOracle,
+    "q_ks_drift" -> ksDriftOracle,
+    "q_ewma" -> ewmaOracle,
+    "q_kanon" -> kanonOracle,
 
     // one-batch streaming replay of the same monitor, same oracle
     "q_drift_stream" -> driftPsiOracle,

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy auditing over training-data tables — the release gate that
+  * runs AFTER PII masking ([[TextAnalysis.maskPii]]): masking removes
+  * literal identifiers; these audits measure whether the remaining
+  * quasi-identifier combinations still single people out.
+  *
+  * k-anonymity: every quasi-identifier (QI) group must contain at
+  * least k rows, else its members are re-identifiable by joining the
+  * QI columns against an external table. l-diversity strengthens it:
+  * a group whose rows all share one sensitive value leaks that value
+  * even when the group is large, so each group must also carry at
+  * least l distinct sensitive values.
+  *
+  * Scale design (100 TB): the audit is ONE hash-partitioned aggregate
+  * over the QI key (count + exact distinct-sensitive per group) and a
+  * second aggregate over the group relation, which is |QI domain|-
+  * sized, not corpus-sized. No windows, no joins, no driver state; a
+  * skewed QI group costs what any hot aggregation key costs and salts
+  * the same way (partial aggregation already absorbs most of it).
+  */
+object Privacy {
+
+  /** Per-group k-anonymity/l-diversity measurement: one row per QI
+    * group with its size and sensitive-value diversity. `qiCols` may
+    * be arbitrary expressions (bucketized value, truncated date) —
+    * generalization IS choosing coarser QI expressions.
+    *
+    * @return (qi..., n_rows, n_sensitive) */
+  def anonymityGroups(df: DataFrame, qiCols: Seq[Column],
+      sensitiveCol: Column): DataFrame =
+    df.groupBy(qiCols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(sensitiveCol).as("n_sensitive"))
+
+  /** Release-gate summary over [[anonymityGroups]]: per value of the
+    * first QI column, how many groups exist, how many violate
+    * k-anonymity (size < k) and l-diversity (distinct sensitive < l),
+    * how many ROWS sit in violating groups (the actual exposure), and
+    * the worst group size/diversity observed. A compliant release
+    * shows zero `risky_k_rows` and `risky_l_rows`.
+    *
+    * @param qiCols   quasi-identifier expressions; the FIRST one,
+    *                 aliased `reportAs`, keys the summary rows
+    * @return (reportAs, n_groups, min_group, risky_k_groups,
+    *         risky_k_rows, min_l, risky_l_groups, risky_l_rows) */
+  def anonymityAudit(df: DataFrame, qiCols: Seq[Column],
+      sensitiveCol: Column, reportAs: String, k: Int, l: Int)
+      : DataFrame = {
+    require(k >= 1 && l >= 1, s"need k >= 1 and l >= 1, got k=$k l=$l")
+    val groups = anonymityGroups(df,
+      qiCols.head.as(reportAs) +: qiCols.tail, sensitiveCol)
+    groups.groupBy(col(reportAs))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("n_rows")).as("min_group"),
+        count(when(col("n_rows") < k, 1)).as("risky_k_groups"),
+        coalesce(sum(when(col("n_rows") < k, col("n_rows"))), lit(0L))
+          .as("risky_k_rows"),
+        min(col("n_sensitive")).as("min_l"),
+        count(when(col("n_sensitive") < l, 1)).as("risky_l_groups"),
+        coalesce(sum(when(col("n_sensitive") < l, col("n_rows"))),
+          lit(0L)).as("risky_l_rows"))
+  }
+}

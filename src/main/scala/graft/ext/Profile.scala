@@ -238,4 +238,93 @@ object Profile {
         round(((p - q) * log(p / q)) * lit(1000000.0)).cast("long"))
       .select(col("bucket"), col("ref_n"), col("cur_n"), col("psi_e6"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic over the binned
+    * ECDFs — the distribution-shape companion of [[psiDrift]] (PSI
+    * reacts to mass shifts per bin; KS to the worst cumulative gap,
+    * catching location/scale drift that balanced bin deltas hide).
+    *
+    * Exactness: the statistic is computed on the cross-multiplied
+    * integer form `|ref_le·cur_total − cur_le·ref_total|` (no division
+    * until the final quantized report), so the argmax bin and the
+    * ordering of candidate gaps are pure long arithmetic — identical
+    * in any engine. `ks_e6` then divides two exact longs once and
+    * quantizes to 1e-6, the same replay discipline as the PSI rows.
+    *
+    * Binned, not per-distinct-value, by design: an exact KS over raw
+    * doubles needs a global sort + prefix sum over a corpus-sized
+    * distinct domain; over `buckets` bins the ECDF gap resolves to
+    * bin-width resolution (bounded error, monitoring-grade) while the
+    * data-sized work stays two [[histogram]] count passes with
+    * map-side partials, and everything after runs on `buckets` rows.
+    *
+    * @return one row: (ks_bucket, ks_num, ref_total, cur_total, ks_e6)
+    *         where ks_bucket is the smallest bin attaining the max gap */
+  def ksDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val bins = ref.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+    val hr = histogram(ref, valueCol, lo, hi, buckets)
+      .withColumnRenamed("n", "ref_n")
+    val hc = histogram(cur, valueCol, lo, hi, buckets)
+      .withColumnRenamed("n", "cur_n")
+    val j = bins
+      .join(broadcast(hr), Seq("bucket"), "left")
+      .join(broadcast(hc), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val cum = Window.partitionBy()
+      .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.select(col("bucket"),
+        sum(col("ref_n")).over(cum).as("ref_le"),
+        sum(col("cur_n")).over(cum).as("cur_le"),
+        sum(col("ref_n")).over(tot).as("ref_total"),
+        sum(col("cur_n")).over(tot).as("cur_total"))
+      .withColumn("ks_num",
+        abs(col("ref_le") * col("cur_total") -
+          col("cur_le") * col("ref_total")))
+      .orderBy(col("ks_num").desc, col("bucket")).limit(1)
+      .select(col("bucket").as("ks_bucket"), col("ks_num"),
+        col("ref_total"), col("cur_total"),
+        round(col("ks_num").cast("double") * lit(1000000.0) /
+            (col("ref_total") * col("cur_total")).cast("double"))
+          .cast("long").as("ks_e6"))
+  }
+
+  /** Dyadic EWMA — exponentially-weighted moving average with α = 1/2
+    * over the trailing `window` samples per key, carried as an exact
+    * integer so the smoothing replays bit-for-bit across engines.
+    *
+    * Values quantize to centi-units (`floor(v·100 + 0.5)` — exact on
+    * the same IEEE doubles in any engine), and the smoothed value is
+    * the pure-integer numerator
+    * `ewma_c16 = Σ_{j=0..len-1} v_c[j] · 2^(16−len+j)` (oldest-first
+    * frame of at most `window`=16 rows; the newest sample carries
+    * weight 2^15, each older sample half that). The true EWMA is
+    * `ewma_c16 / (100 · 2^16)` up to the truncated tail — floats never
+    * enter the recurrence, only the caller's final display division.
+    * Powers of two make every weight exactly representable, and the
+    * integer sum is order-independent, so there is no accumulated
+    * rounding drift to disagree about.
+    *
+    * Scale (100 TB): one shuffle by `keyCols`, a per-key sort, and a
+    * bounded 16-row frame — the canonical distributed window shape.
+    * No global order, no driver state; skewed keys cost what any
+    * per-key window costs and salt the same way. */
+  def dyadicEwma(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*).rowsBetween(-15, 0)
+    df.withColumn("v_c",
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long"))
+      .withColumn("l", collect_list(col("v_c")).over(w))
+      .withColumn("ewma_c16", expr(
+        """aggregate(transform(sequence(0, size(l) - 1),
+             i -> element_at(l, i + 1) * shiftleft(1L, 16 - size(l) + i)),
+           0L, (a, x) -> a + x)"""))
+      .drop("v_c", "l")
+  }
 }

@@ -1405,6 +1405,88 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.forall(_._3 > 0))
   }
 
+  test("ksDrift: identical sides give a zero statistic; a pure location " +
+      "shift yields the exact integer cumulative gap") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(1.0, 2.0, 17.0).toDF("v")
+
+    val same = graft.ext.Profile.ksDrift(ref, ref, "v", 0.0, 64.0, 4)
+      .collect()
+    assert(same.length == 1)
+    assert(same(0).getLong(same(0).fieldIndex("ks_num")) == 0L)
+    assert(same(0).getLong(same(0).fieldIndex("ks_bucket")) == 0L)
+
+    // ref mass: bucket0=2, bucket1=1; cur all in bucket 3 (shift)
+    val cur = Seq(50.0, 51.0).toDF("v")
+    val got = graft.ext.Profile.ksDrift(ref, cur, "v", 0.0, 64.0, 4)
+      .collect()(0)
+    // cumulative ref_le at bucket1..2 = 3, cur_le = 0:
+    // ks_num = |3*2 - 0*3| = 6 first attained at bucket 1
+    assert(got.getLong(got.fieldIndex("ks_num")) == 6L)
+    assert(got.getLong(got.fieldIndex("ks_bucket")) == 1L)
+    assert(got.getLong(got.fieldIndex("ref_total")) == 3L)
+    assert(got.getLong(got.fieldIndex("cur_total")) == 2L)
+    // gap = 6 / (3*2) = 1.0 -> 1e6
+    assert(got.getLong(got.fieldIndex("ks_e6")) == 1000000L)
+  }
+
+  test("dyadicEwma: full frame weights samples 2^15 .. 2^0 newest-first, " +
+      "partial frames truncate, keys never mix") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 0.5),
+      ("b", 1L, 3.0))
+      .toDF("k", "seq", "v")
+    val got = graft.ext.Profile.dyadicEwma(df, Seq("k"), Seq("seq"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getLong(r.fieldIndex("ewma_c16"))).toMap
+    // centi-units: 100, 200, 50 / 300
+    assert(got(("a", 1L)) == 100L * (1L << 15))
+    assert(got(("a", 2L)) == 100L * (1L << 14) + 200L * (1L << 15))
+    assert(got(("a", 3L)) ==
+      100L * (1L << 13) + 200L * (1L << 14) + 50L * (1L << 15))
+    assert(got(("b", 1L)) == 300L * (1L << 15))
+
+    // 17 samples: the oldest falls out of the 16-row frame
+    val long = (1 to 17).map(i => ("c", i.toLong, 1.0)).toDF("k", "seq", "v")
+    val last = graft.ext.Profile.dyadicEwma(long, Seq("k"), Seq("seq"), "v")
+      .filter(col("seq") === 17).collect()(0)
+    // sum of 100 * 2^j for j = 0..15
+    assert(last.getLong(last.fieldIndex("ewma_c16")) ==
+      100L * ((1L << 16) - 1))
+  }
+
+  test("anonymityAudit: counts risky groups and exposed rows per report " +
+      "key; compliant partitions report zero") {
+    val s = spark
+    import s.implicits._
+    // QI = (grp, band): grp x has a 1-row group (k-risky) and a group
+    // whose 3 rows share one user (l-risky); grp y is compliant at k=2,l=2
+    val df = Seq(
+      ("x", 1L, 10L), ("x", 1L, 11L),              // group (x,1): n=2, l=2
+      ("x", 2L, 12L),                              // group (x,2): n=1, l=1
+      ("x", 3L, 13L), ("x", 3L, 13L), ("x", 3L, 13L), // (x,3): n=3, l=1
+      ("y", 1L, 20L), ("y", 1L, 21L))              // (y,1): n=2, l=2
+      .toDF("grp", "band", "user")
+    val got = graft.ext.Privacy.anonymityAudit(df,
+        Seq(col("grp"), col("band")), col("user"),
+        reportAs = "grp", k = 2, l = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getLong(x.fieldIndex("n_groups")) == 3L)
+    assert(x.getLong(x.fieldIndex("min_group")) == 1L)
+    assert(x.getLong(x.fieldIndex("risky_k_groups")) == 1L)
+    assert(x.getLong(x.fieldIndex("risky_k_rows")) == 1L)
+    assert(x.getLong(x.fieldIndex("min_l")) == 1L)
+    assert(x.getLong(x.fieldIndex("risky_l_groups")) == 2L)
+    assert(x.getLong(x.fieldIndex("risky_l_rows")) == 4L)
+    val y = got("y")
+    assert(y.getLong(y.fieldIndex("risky_k_rows")) == 0L)
+    assert(y.getLong(y.fieldIndex("risky_l_rows")) == 0L)
+  }
+
   test("exportShardsEpoch: membership is epoch-stable, the order " +
       "reshuffles, positions stay dense") {
     val s = spark
