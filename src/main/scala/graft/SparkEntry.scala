@@ -1287,6 +1287,17 @@ object SparkEntry {
           col("dropped_segments"), md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))),
 
+    // Content-defined chunking dedup (rsync/LBFS boundary rule):
+    // chunk starts where the windowed md5 draw is 0 mod 32, so
+    // boundaries are functions of local content and an early edit
+    // shifts one chunk, not every block after it; per-source chunk
+    // dedup accounting (total/distinct/dup chunks, bytes a chunk
+    // store would save).
+    "q_dedup_chunks" -> ((s, dir) =>
+      Dedup.chunkDedupStats(Tables.read(s, dir, "documents"),
+          "source", "text", window = 8, mask = 32)
+        .orderBy(col("source"))),
+
     // Int8 embedding quantization: integer code stats are exact on any
     // engine; the oracle additionally pins recon_ok = true (per-dim
     // reconstruction error within scale/2).
@@ -4768,6 +4779,28 @@ object SparkEntry {
     // staged ascending-seq arrival makes the streamed apply land on
     // the same final state — same oracle
     "q_cdc_stream" -> cdcApplyOracle,
+
+    "q_dedup_chunks" ->
+      """WITH d AS (SELECT doc_id, source, text, length(text) AS n
+              FROM documents),
+         st AS (SELECT doc_id, source, text, n,
+              list_prepend(1, [i for i in generate_series(2, n - 7)
+                if ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT
+                  % 32 = 0]) AS starts
+            FROM d),
+         ch AS (SELECT source, unnest([substr(text, starts[j],
+                ((CASE WHEN j < len(starts) THEN starts[j + 1]
+                  ELSE n + 1 END) - starts[j])::INT)
+                for j in generate_series(1, len(starts))]) AS chunk
+            FROM st),
+         g AS (SELECT source, chunk, count(*) AS cnt,
+                min(length(chunk)) AS len
+            FROM ch GROUP BY 1, 2)
+         SELECT source, sum(cnt)::BIGINT AS n_chunks,
+              count(*)::BIGINT AS n_distinct,
+              (sum(cnt) - count(*))::BIGINT AS dup_chunks,
+              coalesce(sum((cnt - 1) * len), 0)::BIGINT AS dup_bytes
+         FROM g GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_lines" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l

@@ -908,4 +908,69 @@ object Dedup {
           .as("dropped_segments"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Content-defined chunking: split each document at positions where
+    * the hash of the `window`-char substring starting there draws 0
+    * mod `mask` — the rolling-hash boundary rule (rsync/LBFS/borg)
+    * that makes chunk boundaries a function of LOCAL CONTENT, so an
+    * insertion early in a document shifts only the chunk it lands in,
+    * not every fixed-width block after it. Expected chunk length ≈
+    * `mask` chars. The boundary draw is the portable md5 idiom
+    * ([[Sampling.md5Top60]]), so the split replays engine-exactly.
+    *
+    * Position 1 is always a chunk start; candidate boundaries run from
+    * 2 to len−window+1 (a window must fit), so documents shorter than
+    * window+1 chars stay whole. Returns the input columns plus one
+    * exploded `chunk` per row.
+    *
+    * Scale (100 TB): the candidate scan is a NARROW per-row expression
+    * chain (O(chars) hashes per document, no join, no shuffle) — the
+    * corpus-sized work rides the scan. Downstream dedup aggregates on
+    * the chunk, which is the whole point: shared chunks collapse
+    * map-side. */
+  def contentChunks(docs: DataFrame, textCol: String,
+      window: Int = 8, mask: Int = 32): DataFrame = {
+    require(window >= 1 && mask >= 1, s"bad knobs window=$window mask=$mask")
+    val n = length(col(textCol))
+    val cand = when(n >= window + 1,
+      sequence(lit(2), n - (window - 1))).otherwise(
+      array().cast("array<int>"))
+    val starts = concat(array(lit(1)),
+      filter(transform(cand, i =>
+          when(Sampling.md5Top60(col(textCol).substr(i, lit(window)))
+            % mask === 0, i)),
+        x => x.isNotNull))
+    docs.withColumn("_starts", starts)
+      .withColumn("chunk", explode(transform(
+        sequence(lit(0), size(col("_starts")) - 1), j => {
+          val s = get(col("_starts"), j)
+          val next = coalesce(get(col("_starts"), j + 1), n + 1)
+          col(textCol).substr(s, next - s)
+        })))
+      .drop("_starts")
+  }
+
+  /** Chunk-level dedup accounting over [[contentChunks]], per value of
+    * `groupCol`: total and distinct chunk counts and the bytes a
+    * chunk-store would save (every occurrence of a chunk beyond its
+    * first). Dedup scope is WITHIN each group, so the report is
+    * deterministic — no cross-group first-occurrence attribution.
+    *
+    * Scale: one hash aggregate keyed on (group, chunk) with map-side
+    * partials (hot chunks collapse before the shuffle), then a
+    * group-domain-sized summary. At petabyte scale key the first
+    * aggregate on `sha2(chunk, 256)` instead of the chunk text to cap
+    * shuffle row width — kept as raw text here so the oracle compare
+    * stays definitionally exact. */
+  def chunkDedupStats(docs: DataFrame, groupCol: String, textCol: String,
+      window: Int = 8, mask: Int = 32): DataFrame =
+    contentChunks(docs, textCol, window, mask)
+      .groupBy(col(groupCol), col("chunk"))
+      .agg(count(lit(1)).as("cnt"), min(length(col("chunk"))).as("len"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("cnt")) - count(lit(1))).as("dup_chunks"),
+        coalesce(sum((col("cnt") - 1) * col("len")), lit(0L))
+          .as("dup_bytes"))
 }

@@ -1405,6 +1405,33 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.forall(_._3 > 0))
   }
 
+  test("contentChunks: chunks reassemble to the text, boundaries replay " +
+      "the scalar md5 draw, short docs stay whole") {
+    val s = spark
+    import s.implicits._
+    def md5Top60(k: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val text = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the hills where nobody ever follows it again"
+    val expectStarts = 1 +: (2 to text.length - 7).filter(i =>
+      md5Top60(text.substring(i - 1, i - 1 + 8)) % 4 == 0)
+    val chunks = graft.ext.Dedup.contentChunks(
+        Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text"),
+        "text", window = 8, mask = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(v.head.fieldIndex("chunk"))).toSeq }
+    assert(chunks(1L).mkString == text)
+    assert(chunks(2L) == Seq("tiny")) // shorter than window+1: whole
+    assert(chunks(1L).length == expectStarts.length)
+    // chunk j starts exactly at the replayed boundary
+    val gotStarts = chunks(1L).scanLeft(1)((p, c) => p + c.length).init
+    assert(gotStarts == expectStarts)
+  }
+
   test("ksDrift: identical sides give a zero statistic; a pure location " +
       "shift yields the exact integer cumulative gap") {
     val s = spark
