@@ -272,6 +272,57 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.ext.WordPiece.wordPieceEncode]] under
+    * the [[unigramChainSql]] vocabulary: greedy longest-match-first as
+    * a 16-generation frontier chain — each live word holds exactly ONE
+    * (pos, n) frontier row, and a generation advances it by the
+    * longest in-vocabulary piece (`max(dst)` over the edges leaving
+    * `pos`). 16 generations cover the worst case (all single-char
+    * steps at maxWordLen 16). Over-long words take the whole-word
+    * unknown path. A word stuck at a position with no edge would drop
+    * from the chain — unreachable here because the vocabulary is
+    * seeded from the same corpus and keeps every single character of
+    * every in-contract word. */
+  private def wordPieceOracle: String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(unigramChainSql)
+    sb.append(""",
+       wpw AS (SELECT DISTINCT w FROM uwf),
+       wpe AS (SELECT d.w, (i.i - 1)::BIGINT AS src,
+              (i.i - 1 + L.L)::BIGINT AS dst
+          FROM wpw d,
+               (SELECT unnest(generate_series(1, 16)) AS i) i,
+               (SELECT unnest(generate_series(1, 4)) AS L) L,
+               ucosts c
+          WHERE length(d.w) <= 16 AND i.i + L.L - 1 <= length(d.w)
+            AND substr(d.w, i.i, L.L) = c.piece),
+       wp0 AS (SELECT w, 0::BIGINT AS pos, 0::BIGINT AS n
+          FROM wpw WHERE length(w) <= 16)""")
+    for (k <- 1 to 16)
+      sb.append(s""",
+       wp$k AS MATERIALIZED (
+          SELECT w, pos, n FROM wp${k - 1} WHERE pos >= length(w)
+          UNION ALL
+          SELECT e.w, max(e.dst) AS pos, d.n + 1 AS n
+          FROM wp${k - 1} d JOIN wpe e ON e.w = d.w AND e.src = d.pos
+          WHERE d.pos < length(d.w)
+          GROUP BY e.w, d.n)""")
+    sb.append(""",
+       wpall AS (
+          SELECT w, n AS n_pieces, 0::BIGINT AS n_unk FROM wp16
+          WHERE pos >= length(w)
+          UNION ALL
+          SELECT w, 1::BIGINT, 1::BIGINT FROM wpw WHERE length(w) > 16)
+       SELECT t.doc_id, sum(n_pieces)::BIGINT AS n_pieces,
+              sum(n_unk)::BIGINT AS n_unk
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) t
+       JOIN wpall ON t.w = wpall.w
+       WHERE t.w <> ''
+       GROUP BY 1 ORDER BY 1""")
+    sb.toString
+  }
+
   /** DuckDB replay of [[graft.ext.Bpe.bpeEncode]] over a merge list
     * trained in the same query: the [[bpeTrainOracle]] stage chain with
     * the word column carried through (so the final generation is a
@@ -2575,6 +2626,17 @@ object SparkEntry {
     "q_unigram_encode" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       graft.ext.Unigram.unigramEncode(docs, "doc_id", "text",
+          graft.ext.Unigram.unigramSeed(docs, "text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WordPiece greedy encode (BERT's longest-match-first runtime
+    // rule) under the SAME seeded vocabulary as the unigram gate —
+    // membership-only segmentation, one greedy pass per distinct
+    // word, per-doc piece + unknown-word counts.
+    "q_wordpiece" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      graft.ext.WordPiece.wordPieceEncode(docs, "doc_id", "text",
           graft.ext.Unigram.unigramSeed(docs, "text"))
         .orderBy(col("doc_id"))
     }),
@@ -5801,6 +5863,7 @@ object SparkEntry {
          FROM ucosts ORDER BY id""",
 
     "q_unigram_encode" -> unigramEncodeOracle,
+    "q_wordpiece" -> wordPieceOracle,
 
     // stride scheduling: per-source md5 rank, ikey = rank·1e9 // w
     "q_interleave" ->

@@ -274,3 +274,82 @@ object Unigram {
     }
   }
 }
+
+/** WordPiece-style greedy tokenizer — the third encode family next to
+  * BPE (merge replay) and Unigram (min-cost Viterbi): longest-match-
+  * first segmentation under a fixed vocabulary, BERT's runtime rule.
+  * Greedy needs only vocabulary MEMBERSHIP (no costs), always emits at
+  * least as many pieces as the Viterbi optimum over the same
+  * vocabulary, and is what a serving-side tokenizer actually runs, so
+  * the gate's greedy-vs-optimal piece counts double as a tokenizer-
+  * quality probe.
+  *
+  * Same shuffle contract as [[Unigram.unigramEncode]]: the vocabulary
+  * collects and broadcasts (vocabSize-bounded — the centroid
+  * contract), the greedy loop runs once per DISTINCT word
+  * (partition-local), and the corpus pays one explode plus an
+  * AQE-broadcast join against the word results.
+  */
+object WordPiece {
+
+  /** Greedy longest-match piece count for one word. Over-long words
+    * (> maxWordLen) and words hitting a position with NO in-vocabulary
+    * piece take the BERT unknown path: the WHOLE word becomes one
+    * unknown piece. With a vocabulary seeded from the same corpus
+    * ([[Unigram.unigramSeed]] keeps every single character), the
+    * stuck case is unreachable for in-contract words — it exists for
+    * encoding NEW text under a frozen vocabulary.
+    *
+    * @return (n_pieces, n_unk) — n_unk ∈ {0, 1} */
+  private[graft] def greedyPieces(w: String, vocab: Set[String],
+      maxPieceLen: Int, maxWordLen: Int): (Long, Long) = {
+    if (w.length > maxWordLen) return (1L, 1L)
+    var pos = 0
+    var n = 0L
+    while (pos < w.length) {
+      var len = math.min(maxPieceLen, w.length - pos)
+      while (len > 0 && !vocab.contains(w.substring(pos, pos + len)))
+        len -= 1
+      if (len == 0) return (1L, 1L)
+      n += 1L
+      pos += len
+    }
+    (n, 0L)
+  }
+
+  /** Encode the corpus greedily under `vocab` (piece, cnt, cost — the
+    * [[Unigram.unigramSeed]] shape; only `piece` is read): per
+    * document, total greedy piece count and how many words fell to the
+    * unknown path.
+    *
+    * @return (idCol, n_pieces, n_unk) */
+  def wordPieceEncode(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 16)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    val pieces = vocab.select(col("piece")).collect()
+      .map(_.getString(0)).toSet
+    val bv = spark.sparkContext.broadcast(pieces)
+    import spark.implicits._
+    val wordSeg = docs
+      .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val v = bv.value
+        it.map { w =>
+          val (n, unk) = greedyPieces(w, v, maxPieceLen, maxWordLen)
+          (w, n, unk)
+        }
+      }
+      .toDF("w", "n_pieces", "n_unk")
+    docs
+      .select(col(idCol),
+        explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .join(wordSeg, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk"))
+  }
+}

@@ -87,4 +87,34 @@ class UnigramSpec extends AnyFunSuite with SparkTestSession {
       .agg(sum(col("n_pieces"))).head().getLong(0)
     assert(emRows.values.map(_._1).sum == enc)
   }
+
+  test("WordPiece.greedyPieces: longest-match-first, unknown paths for " +
+      "over-long and unsegmentable words") {
+    import graft.ext.WordPiece.greedyPieces
+    val v = Set("ab", "cd", "abc", "a", "b", "c", "d")
+    assert(greedyPieces("abcd", v, 4, 16) == (2L, 0L))   // abc + d
+    assert(greedyPieces("abcd", v - "abc", 4, 16) == (2L, 0L)) // ab + cd
+    assert(greedyPieces("dcba", v, 4, 16) == (4L, 0L))   // singles
+    assert(greedyPieces("ax", v, 4, 16) == (1L, 1L))     // 'x' not in vocab
+    assert(greedyPieces("a" * 17, v, 4, 16) == (1L, 1L)) // over maxWordLen
+    // maxPieceLen caps the match even when a longer piece exists
+    assert(greedyPieces("abc", v, 2, 16) == (2L, 0L))    // ab + c
+  }
+
+  test("wordPieceEncode: corpus-seeded vocab yields zero unknowns and " +
+      "never beats the Viterbi optimum") {
+    val d = docs((1L, "abab abab cd"), (2L, "abab cd cd"),
+      (3L, "aVeryLongWordOver16Chars ab"))
+    val vocab = Unigram.unigramSeed(d, "text")
+    val greedy = graft.ext.WordPiece.wordPieceEncode(d, "doc_id", "text",
+        vocab).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val optimal = Unigram.unigramEncode(d, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // over-long word: the one unknown in the fixture
+    assert(greedy(3L)._2 == 1L)
+    assert(greedy(1L)._2 == 0L && greedy(2L)._2 == 0L)
+    for ((id, (n, _)) <- greedy) assert(n >= optimal(id),
+      s"doc $id: greedy $n < optimal ${optimal(id)}")
+  }
 }
