@@ -1444,6 +1444,15 @@ object SparkEntry {
           "vec_id", "embedding", k = 8)
         .orderBy(col("round"))),
 
+    // MMR diversified top-k: relevance-minus-redundancy greedy under
+    // exact int8 dots (λ = 1/2 keeps the score pure integer) — the
+    // RAG re-ranker / diverse-exemplar picker; per round one candidate
+    // scan against the newly-picked broadcast-literal vector.
+    "q_mmr" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 8)
+        .orderBy(col("round"))),
+
     // Hard-negative mining: per query vector, the 5 most similar
     // corpus vectors with a DIFFERENT label — the contrastive-training
     // pair miner. Exact int8 dots in the q_knn_quantized shape, with
@@ -4039,6 +4048,56 @@ object SparkEntry {
     * distances (‖a‖² + ‖b‖² − 2a·b on BIGINT codes), so the traversal
     * replays engine-exactly. kd$j is MATERIALIZED: each generation
     * feeds both the next argmax and the next fold. */
+  /** DuckDB replay of [[graft.ext.Similarity.mmrSelect]] at
+    * query = vec_id 0: the [[kcenterOracle]] unrolled-greedy shape
+    * with (rel − maxsim) argmax instead of farthest-point. */
+  private def mmrOracle(k: Int): String = {
+    def dot(a: String, b: String): String =
+      s"list_sum([$a.qq[i] * $b.qq[i] " +
+        s"for i in generate_series(1, len($a.qq))])::BIGINT"
+    val sb = new StringBuilder
+    sb.append(
+      """WITH mm AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                AS ma
+            FROM embeddings),
+         mq0 AS (SELECT vec_id,
+              CASE WHEN ma = 0
+                THEN list_transform(embedding, x -> 0::BIGINT)
+                ELSE list_transform(embedding,
+                  x -> floor(x::DOUBLE / ma * 127 + 0.5)::BIGINT)
+              END AS qq
+            FROM mm),
+         mqv AS (SELECT qq FROM mq0 WHERE vec_id = 0),
+         mc AS (SELECT b.vec_id, b.qq,
+              list_sum([b.qq[i] * q.qq[i]
+                for i in generate_series(1, len(b.qq))])::BIGINT AS rel
+            FROM mq0 b, mqv q WHERE b.vec_id <> 0),
+         ms1 AS (SELECT vec_id, qq, rel FROM mc
+            ORDER BY rel DESC, vec_id LIMIT 1),
+         md1 AS MATERIALIZED (SELECT c.vec_id, c.qq, c.rel,
+              """ + dot("c", "s") + """ AS maxsim
+            FROM mc c, ms1 s WHERE c.vec_id <> s.vec_id)""")
+    for (j <- 2 to k) {
+      sb.append(s""",
+         ms$j AS (SELECT vec_id, qq, rel, maxsim,
+              (rel - maxsim) AS score FROM md${j - 1}
+            ORDER BY (rel - maxsim) DESC, vec_id LIMIT 1)""")
+      if (j < k) sb.append(s""",
+         md$j AS MATERIALIZED (SELECT d.vec_id, d.qq, d.rel,
+              greatest(d.maxsim, ${dot("d", "s")}) AS maxsim
+            FROM md${j - 1} d, ms$j s WHERE d.vec_id <> s.vec_id)""")
+    }
+    sb.append(
+      "\n         SELECT * FROM (SELECT 1::BIGINT AS round, vec_id, " +
+        "rel, rel AS score FROM ms1")
+    sb.append((2 to k).map(j =>
+      s"\n         UNION ALL SELECT ${j}::BIGINT, vec_id, rel, score " +
+        s"FROM ms$j").mkString)
+    sb.append(") ORDER BY round")
+    sb.toString
+  }
+
   private def kcenterOracle(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -5002,6 +5061,7 @@ object SparkEntry {
          FROM cnt GROUP BY cluster ORDER BY cluster"""),
 
     "q_kcenter" -> kcenterOracle(8),
+    "q_mmr" -> mmrOracle(8),
 
     // Full PQ replay (pqChainSql: shared int8 pts + one cand sample,
     // per-subspace seed/Lloyd chains, codes/cb/recon tail) + the

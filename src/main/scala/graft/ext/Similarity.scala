@@ -981,6 +981,83 @@ object Similarity {
     base.unpersist(blocking = false)
     picks.toSeq.toDF("round", idCol, "radius")
   }
+
+  /** Maximal Marginal Relevance (MMR) selection — the diversified
+    * top-k: greedily pick the candidate maximizing
+    * `λ·sim(query, d) − (1−λ)·max_{s∈S} sim(d, s)` at λ = 1/2, i.e.
+    * the relevance-minus-redundancy argmax. The RAG re-ranker and the
+    * diverse-exemplar picker for data selection: pure top-k returns k
+    * near-copies of the best hit; MMR charges each candidate for its
+    * similarity to what is ALREADY selected.
+    *
+    * Same machinery and exactness discipline as [[kcenterSelect]]:
+    * int8-quantized vectors, INTEGER dot products (λ = 1/2 makes the
+    * score the pure-integer `rel − maxsim`), ties to the smaller id —
+    * every round's argmax replays engine-exactly, so the oracle is the
+    * same unrolled-CTE chain. Round 1 has no redundancy term
+    * (S = ∅): score = rel.
+    *
+    * Scale (100 TB): per round ONE scan of the candidate relation
+    * (update running maxsim against the newly-picked broadcast-literal
+    * vector + argmax); the driver holds k rows, never data. k rounds
+    * of k·dim literal arithmetic — the k-center cost model exactly.
+    *
+    * @return (round, idCol, rel, score) in pick order */
+  def mmrSelect(e: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val Spill = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = quantizeInt8(e.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol), col("q").cast("array<double>").as("qd"))
+    val qRows = base.filter(col(idCol) === queryId).collect()
+    require(qRows.length == 1, s"query id $queryId not found")
+    val qVec = qRows(0).getSeq[Double](qRows(0).fieldIndex("qd"))
+
+    def dotTo(v: Seq[Double]): Column =
+      Dedup.dotNative(col("qd"), array(v.map(lit(_)): _*)).cast("long")
+    def vec(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Double](r.fieldIndex("qd"))
+
+    var cur = base.filter(col(idCol) =!= queryId)
+      .withColumn("rel", dotTo(qVec))
+      .persist(Spill)
+    val first = cur.orderBy(col("rel").desc, col(idCol)).limit(1)
+      .collect()(0)
+    def idOf(r: org.apache.spark.sql.Row): Long =
+      r.getLong(r.fieldIndex(idCol))
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, idOf(first), first.getLong(first.fieldIndex("rel")),
+        first.getLong(first.fieldIndex("rel"))))
+    var prev: DataFrame = null
+    var prev2: DataFrame = null
+    cur = cur.filter(col(idCol) =!= idOf(first))
+      .withColumn("maxsim", dotTo(vec(first)))
+      .persist(Spill)
+    var step = 2
+    while (step <= k) {
+      val best = cur
+        .withColumn("score", col("rel") - col("maxsim"))
+        .orderBy(col("score").desc, col(idCol)).limit(1)
+        .collect()(0)
+      if (prev2 != null) { prev2.unpersist(blocking = false) }
+      prev2 = prev
+      picks += ((step.toLong, idOf(best),
+        best.getLong(best.fieldIndex("rel")),
+        best.getLong(best.fieldIndex("score"))))
+      prev = cur
+      cur = cur.filter(col(idCol) =!= idOf(best))
+        .withColumn("maxsim",
+          greatest(col("maxsim"), dotTo(vec(best))))
+        .persist(Spill)
+      step += 1
+    }
+    cur.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
+    if (prev2 != null) prev2.unpersist(blocking = false)
+    picks.toSeq.toDF("round", idCol, "rel", "score")
+  }
 }
 
 /** Driver-side regeneration of the [[Similarity.projectSign]] sign

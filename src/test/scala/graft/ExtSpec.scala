@@ -1405,6 +1405,29 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.forall(_._3 > 0))
   }
 
+  test("mmrSelect: diversified pick beats the near-duplicate of the " +
+      "first hit; integer scores replay scalar arithmetic") {
+    val s = spark
+    import s.implicits._
+    // quantized (127-scaled): q=(127,127), 1=(127,114), 2=(127,114)
+    // (near-dup of 1), 3=(102,127) (diverse)
+    val emb = Seq(
+      (0L, Seq(10f, 10f)), (1L, Seq(10f, 9f)),
+      (2L, Seq(10f, 9.001f)), (3L, Seq(8f, 10f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb, "vec_id", "embedding",
+        queryId = 0L, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // round 1: ids 1 and 2 tie at rel (127+114)*127 = 30607 -> id 1
+    assert(got(1L) == ((1L, 30607L, 30607L)))
+    // round 2: near-dup 2 scores 30607-29125 = 1482; diverse 3 scores
+    // 29083 - (102*127 + 127*114) = 1651 -> 3 wins despite lower rel
+    assert(got(2L) == ((3L, 29083L, 1651L)))
+    // round 3: 2 remains, maxsim still vs 1 (29125 > 27432)
+    assert(got(3L) == ((2L, 30607L, 1482L)))
+  }
+
   test("contentChunks: chunks reassemble to the text, boundaries replay " +
       "the scalar md5 draw, short docs stay whole") {
     val s = spark
