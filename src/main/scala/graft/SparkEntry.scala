@@ -3374,6 +3374,16 @@ object SparkEntry {
           "doc_id", "text", "lang", holdMod = 5)
         .orderBy(col("doc_id"))),
 
+    // χ² feature selection: which terms are informative about
+    // lang = 'en' — exact 2×2 document-frequency contingency per term,
+    // long-arithmetic determinant/denominator, one fixed double chain
+    // for the 1e-6-unit report. One term-keyed aggregate; the ranking
+    // runs on the vocabulary domain.
+    "q_chi2_terms" -> ((s, dir) =>
+      Classify.chiSquareTerms(Tables.read(s, dir, "documents"),
+          "doc_id", "text", "lang", posLabel = "en", topK = 20)
+        .orderBy(col("rank"))),
+
     // Linear quality probe (the fastText/CCNet "cheap classifier"
     // step): 3 full-batch gradient iterations with per-row gradient
     // contributions quantized to 2^-20-unit longs before the sum, so
@@ -6745,6 +6755,35 @@ object SparkEntry {
     // quantized to 1e-6-unit longs before the document sum, so scores
     // are exact integers and the argmax (ties: class asc) is
     // engine-independent.
+    "q_chi2_terms" ->
+      """WITH t AS (SELECT lang,
+              unnest(list_distinct(string_split(text, ' '))) AS term
+            FROM documents),
+         tt AS (SELECT term, count(*)::BIGINT AS df_all,
+              count(*) FILTER (WHERE lang = 'en')::BIGINT AS df_pos
+            FROM t WHERE term <> '' GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS n,
+              count(*) FILTER (WHERE lang = 'en')::BIGINT AS np
+            FROM documents),
+         s AS (SELECT term, df_pos, df_all, n.n,
+              df_pos AS a, (df_all - df_pos) AS b,
+              (np - df_pos) AS c,
+              (n.n - np - df_all + df_pos) AS d
+            FROM tt, n),
+         s2 AS (SELECT term, df_pos, df_all, n,
+              (a * d - b * c) * (a * d - b * c) AS sq,
+              (a + b) * (c + d) * (a + c) * (b + d) AS den
+            FROM s),
+         x AS (SELECT term, df_pos, df_all,
+              CASE WHEN den = 0 THEN 0::BIGINT
+                ELSE CAST(round(1e6 * n * sq / den::DOUBLE) AS BIGINT)
+              END AS chi2_e6
+            FROM s2)
+         SELECT row_number() OVER (ORDER BY chi2_e6 DESC, term)::BIGINT
+                AS rank,
+              term, df_pos, df_all, chi2_e6
+         FROM x ORDER BY chi2_e6 DESC, term LIMIT 20""",
+
     "q_nb_classifier" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
          test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),

@@ -277,4 +277,66 @@ object Classify {
         floor(col("n_pos") * lit(1000000L) / col("n")).cast("long"))
       .select(col("bucket"), col("n"), col("n_pos"), col("pos_ppm"))
   }
+
+  /** χ²-based term selection — which vocabulary terms are informative
+    * about a label: the feature-selection pass run before training a
+    * cheap classifier ([[naiveBayes]]/[[logRegFit]]), and the audit
+    * that explains what an existing one keys on. Per term, the 2×2
+    * document-frequency contingency vs `posLabel` and the classic
+    * `χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`, reported in 1e-6
+    * units.
+    *
+    * Exactness: a, b, c, d are exact longs; the squared determinant
+    * and the denominator stay in LONG arithmetic (≤ N⁴, exact), and
+    * the single double expression `1e6 · N · sq / den` promotes exact
+    * integers through one fixed multiply/divide chain — correctly
+    * rounded IEEE ops on identical inputs, so both engines produce the
+    * same bits. Terms whose contingency degenerates (a row or column
+    * of zeros) score 0 by convention instead of raising ANSI
+    * divide-by-zero.
+    *
+    * Scale (100 TB): one narrow distinct-terms explode, ONE
+    * (term)-keyed aggregate with map-side partials (label split via
+    * conditional counts — no join), a broadcast of the 1-row totals,
+    * then vocabulary-domain-sized arithmetic and top-k. The label
+    * relation never shuffles.
+    *
+    * @return (rank, term, df_pos, df_all, chi2_e6) top-K by
+    *         (chi2_e6 DESC, term) */
+  def chiSquareTerms(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, posLabel: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val terms = docs
+      .select(col(labelCol),
+        explode(array_distinct(split(col(textCol).cast("string"), " ", -1)))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_all"),
+        count(when(col(labelCol) === posLabel, 1)).as("df_pos"))
+    val totals = docs.agg(count(lit(1)).as("n"),
+      count(when(col(labelCol) === posLabel, 1)).as("np"))
+    val scored = terms.crossJoin(broadcast(totals))
+      .withColumn("a", col("df_pos"))
+      .withColumn("b", col("df_all") - col("df_pos"))
+      .withColumn("c", col("np") - col("df_pos"))
+      .withColumn("d",
+        col("n") - col("np") - col("df_all") + col("df_pos"))
+      .withColumn("diff", col("a") * col("d") - col("b") * col("c"))
+      .withColumn("sq", col("diff") * col("diff"))
+      .withColumn("den",
+        (col("a") + col("b")) * (col("c") + col("d")) *
+          (col("a") + col("c")) * (col("b") + col("d")))
+      .withColumn("chi2_e6",
+        when(col("den") === 0, lit(0L)).otherwise(
+          round(lit(1e6) * col("n") * col("sq") /
+            col("den").cast("double")).cast("long")))
+    // the ranking window runs on the vocabulary domain, not the corpus
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("chi2_e6").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("term"), col("df_pos"), col("df_all"),
+        col("chi2_e6"))
+  }
 }

@@ -153,4 +153,24 @@ class ClassifySpec extends AnyFunSuite with SparkTestSession {
     assert(out(7L) == ((2L, 2L, 1000000L)))
     assert(out.keySet == Set(0L, 3L, 4L, 7L))
   }
+
+  test("chiSquareTerms: perfect separator tops, degenerate contingency " +
+      "scores zero, values replay the scalar formula") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "x y", "en"), (2L, "x y", "en"),
+      (3L, "y z", "de"), (4L, "y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Classify.chiSquareTerms(df, "doc_id", "text", "lang",
+        posLabel = "en", topK = 10)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // x: a=2 b=0 c=0 d=2 -> chi2 = 4*16/16 = 4.0 -> 4e6, rank 1
+    assert(got("x") == ((1L, 2L, 2L, 4000000L)))
+    // z: a=0 b=1 c=2 d=1 -> chi2 = 4*4/12 -> round(1333333.33) 
+    assert(got("z") == ((2L, 0L, 1L, 1333333L)))
+    // y appears in EVERY doc: (c+d)=0 -> degenerate -> 0 by convention
+    assert(got("y") == ((3L, 2L, 4L, 0L)))
+  }
 }
