@@ -3732,6 +3732,20 @@ object SparkEntry {
     // foreachBatch sink collects the per-bin PSI rows — identical to
     // the batch q_drift_psi, and a second batch would double the row
     // count and fail the gate loudly.
+    // Streaming arm of the k-anonymity audit: two hash ticks each
+    // write their (QI, user) row-count census — the audit's ADDITIVE
+    // sufficient statistic (per-group distinct users is not additive;
+    // the census is) — and the derived release audit must equal the
+    // batch q_kanon (shared oracle).
+    "q_kanon_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kanon_")
+      try Streaming.kanonAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_kanon"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     "q_drift_stream" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_drift_")
       try Streaming.driftAvailableNow(s, dir, tmp.toString,
@@ -6943,6 +6957,7 @@ object SparkEntry {
     "q_ks_drift" -> ksDriftOracle,
     "q_ewma" -> ewmaOracle,
     "q_kanon" -> kanonOracle,
+    "q_kanon_stream" -> kanonOracle,
 
     // one-batch streaming replay of the same monitor, same oracle
     "q_drift_stream" -> driftPsiOracle,

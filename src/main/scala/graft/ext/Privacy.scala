@@ -51,8 +51,35 @@ object Privacy {
       sensitiveCol: Column, reportAs: String, k: Int, l: Int)
       : DataFrame = {
     require(k >= 1 && l >= 1, s"need k >= 1 and l >= 1, got k=$k l=$l")
-    val groups = anonymityGroups(df,
-      qiCols.head.as(reportAs) +: qiCols.tail, sensitiveCol)
+    summarize(anonymityGroups(df,
+      qiCols.head.as(reportAs) +: qiCols.tail, sensitiveCol),
+      reportAs, k, l)
+  }
+
+  /** [[anonymityAudit]] from an ALREADY-MAINTAINED (QI, sensitive, n)
+    * census — the ingest-time form: (QI, sensitive)-keyed row counts
+    * are ADDITIVE across micro-batches (unlike the per-group distinct,
+    * which is not), so a stream that appends per-batch censuses holds
+    * the audit's sufficient statistic and the current audit derives
+    * from census-sized state without rescanning the corpus. The same
+    * duplicate-tolerance makes the derivation idempotent under batch
+    * replay when each batch overwrites its own subdir.
+    *
+    * `census` columns: `qiCols` (first one pre-aliased or named
+    * `reportAs`), `sensitiveCol`, and `nCol` row counts. */
+  def anonymityAuditFromCensus(census: DataFrame, qiCols: Seq[Column],
+      sensitiveCol: Column, nCol: Column, reportAs: String,
+      k: Int, l: Int): DataFrame = {
+    require(k >= 1 && l >= 1, s"need k >= 1 and l >= 1, got k=$k l=$l")
+    val groups = census
+      .groupBy(qiCols.head.as(reportAs) +: qiCols.tail: _*)
+      .agg(sum(nCol).as("n_rows"),
+        count_distinct(sensitiveCol).as("n_sensitive"))
+    summarize(groups, reportAs, k, l)
+  }
+
+  private def summarize(groups: DataFrame, reportAs: String,
+      k: Int, l: Int): DataFrame =
     groups.groupBy(col(reportAs))
       .agg(
         count(lit(1)).as("n_groups"),
@@ -64,5 +91,4 @@ object Privacy {
         count(when(col("n_sensitive") < l, 1)).as("risky_l_groups"),
         coalesce(sum(when(col("n_sensitive") < l, col("n_rows"))),
           lit(0L)).as("risky_l_rows"))
-  }
 }

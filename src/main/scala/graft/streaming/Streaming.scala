@@ -1260,6 +1260,60 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** k-anonymity ledger maintained at INGEST: each tick writes its own
+    * (QI, user) row-count census to an idempotent `batch=<id>` subdir.
+    * The per-group distinct-user count is NOT additive across batches,
+    * but the (QI, user) census IS — it is the audit's sufficient
+    * statistic, so the current release audit derives from census-sized
+    * state at any moment ([[graft.ext.Privacy.anonymityAuditFromCensus]])
+    * without rescanning the corpus, the vocabulary-census pattern
+    * applied to the privacy gate. QI here = (event_type, day,
+    * value band) with user_id sensitive, mirroring the batch q_kanon. */
+  def kanonIngest(events: DataFrame, statePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batch.toDF()
+            .groupBy(col("event_type"), to_date(col("ts")).as("d"),
+              floor(col("value") / 32.0).as("vb"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[kanonIngest]]: events arrive in two
+    * hash-split ticks; the audit derived from the accumulated census
+    * must equal the batch [[graft.ext.Privacy.anonymityAudit]] — the
+    * shared q_kanon oracle. */
+  def kanonAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val ev = graft.Tables.read(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val halves = Seq(
+      ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+      ev.filter(abs(hash(col("event_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(kanonIngest(stream, s"$workDir/state",
+        s"$workDir/cp"), queryName)
+      graft.ext.Privacy.anonymityAuditFromCensus(
+        spark.read.parquet(s"$workDir/state"),
+        Seq(col("event_type"), col("d"), col("vb")), col("user_id"),
+        col("n"), reportAs = "event_type", k = 5, l = 3)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** One-shot gate replay of [[vocabIngest]]: documents arrive in two
     * hash-split ticks, and the vocabulary derived from the summed
     * census state must equal the batch

@@ -767,6 +767,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("kanonIngest: cross-tick distinct users resolve from the census " +
+      "(not additive per tick); replayed ticks never double-count") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_kaspec_")
+    val state = dir.resolve("state").toString
+    val t = Timestamp.valueOf("2024-03-01 10:00:00")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Double)]
+      def stream = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+      // user 1 spans both ticks inside ONE QI group — a per-tick
+      // distinct would count it twice; the census counts it once
+      mem.addData((t, 1L, "click", 1.0), (t, 2L, "click", 1.0))
+      Streaming.kanonIngest(stream, state, dir.resolve("cp1").toString)
+        .awaitTermination()
+      mem.addData((t, 1L, "click", 2.0))
+      Streaming.kanonIngest(stream, state, dir.resolve("cp1").toString)
+        .awaitTermination()
+      def audit() = graft.ext.Privacy.anonymityAuditFromCensus(
+          s.read.parquet(state),
+          Seq(col("event_type"), col("d"), col("vb")), col("user_id"),
+          col("n"), reportAs = "event_type", k = 3, l = 3)
+        .collect()
+      val a = audit()
+      assert(a.length == 1)
+      val r = a(0)
+      assert(r.getLong(r.fieldIndex("n_groups")) == 1L)
+      assert(r.getLong(r.fieldIndex("min_group")) == 3L)   // 3 rows
+      assert(r.getLong(r.fieldIndex("risky_k_groups")) == 0L)
+      assert(r.getLong(r.fieldIndex("min_l")) == 2L)       // users 1,2
+      assert(r.getLong(r.fieldIndex("risky_l_groups")) == 1L)
+      assert(r.getLong(r.fieldIndex("risky_l_rows")) == 3L)
+      // replay both ticks under fresh checkpoints (same batch ids):
+      // the batch=<id> overwrite keeps the census — and audit — fixed
+      val mem2 = MemoryStream[(Timestamp, Long, String, Double)]
+      def stream2 = mem2.toDF().toDF("ts", "user_id", "event_type", "value")
+      mem2.addData((t, 1L, "click", 1.0), (t, 2L, "click", 1.0))
+      Streaming.kanonIngest(stream2, state, dir.resolve("cp2").toString)
+        .awaitTermination()
+      val a2 = audit()(0)
+      assert(a2.getLong(a2.fieldIndex("min_group")) == 3L,
+        "replayed tick must overwrite its census subdir, not append")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("dedupStream drops replayed keys within the watermark") {
     val s = spark
     import s.implicits._
