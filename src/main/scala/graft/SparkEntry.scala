@@ -3374,6 +3374,28 @@ object SparkEntry {
           "doc_id", "text", "lang", holdMod = 5)
         .orderBy(col("doc_id"))),
 
+    // Consistent-hash ring sharding: stable export-shard assignment —
+    // growing 8 → 9 shards moves only keys whose ring successor is a
+    // NEW vnode (≈ 1/9 of docs), vs near-total reassignment under
+    // hash % shards. Pure per-row expression over the plan-time
+    // literal ring; per-shard counts + how many keys the growth moves.
+    "q_consistent_shard" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ext.Sampling.ringShard(col("doc_id"), 8, 4).as("shard"),
+          graft.ext.Sampling.ringShard(col("doc_id"), 9, 4).as("s9"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("s9") =!= col("shard"), 1)).as("n_moved"))
+        .orderBy(col("shard"))),
+
+    // Zipf rank–frequency fit: OLS slope/intercept of log2(freq) vs
+    // log2(rank) over the word census — the one-number corpus health
+    // monitor (natural text ≈ slope −1). Milli-unit quantization per
+    // point BEFORE the long-exact OLS sums.
+    "q_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.read(s, dir, "documents"), "text")),
+
     // χ² feature selection: which terms are informative about
     // lang = 'en' — exact 2×2 document-frequency contingency per term,
     // long-arithmetic determinant/denominator, one fixed double chain
@@ -6769,6 +6791,62 @@ object SparkEntry {
     // quantized to 1e-6-unit longs before the document sum, so scores
     // are exact integers and the argmax (ties: class asc) is
     // engine-independent.
+    "q_consistent_shard" ->
+      """WITH v8 AS (SELECT s.s, v.v,
+              ('0x' || substr(md5('shard:' || s.s::VARCHAR || ':'
+                || v.v::VARCHAR), 1, 15))::UBIGINT::BIGINT AS vh
+            FROM (SELECT unnest(generate_series(0, 7)) AS s) s,
+                 (SELECT unnest(generate_series(0, 3)) AS v) v),
+         v9 AS (SELECT s.s, v.v,
+              ('0x' || substr(md5('shard:' || s.s::VARCHAR || ':'
+                || v.v::VARCHAR), 1, 15))::UBIGINT::BIGINT AS vh
+            FROM (SELECT unnest(generate_series(0, 8)) AS s) s,
+                 (SELECT unnest(generate_series(0, 3)) AS v) v),
+         k AS (SELECT doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                ::UBIGINT::BIGINT AS h
+            FROM documents),
+         a8 AS (SELECT doc_id, s FROM (
+              SELECT k.doc_id, v.s, row_number() OVER (
+                  PARTITION BY k.doc_id
+                  ORDER BY ((v.vh - k.h + (1::BIGINT << 60))
+                    % (1::BIGINT << 60)), v.s) AS r
+              FROM k, v8 v) WHERE r = 1),
+         a9 AS (SELECT doc_id, s FROM (
+              SELECT k.doc_id, v.s, row_number() OVER (
+                  PARTITION BY k.doc_id
+                  ORDER BY ((v.vh - k.h + (1::BIGINT << 60))
+                    % (1::BIGINT << 60)), v.s) AS r
+              FROM k, v9 v) WHERE r = 1)
+         SELECT a8.s::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+              count(*) FILTER (WHERE a9.s <> a8.s)::BIGINT AS n_moved
+         FROM a8 JOIN a9 USING (doc_id) GROUP BY 1 ORDER BY 1""",
+
+    "q_zipf" ->
+      """WITH c AS (SELECT w, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY 1),
+         p AS (SELECT round(1e3 * log2(
+                (row_number() OVER (ORDER BY cnt DESC, w))::DOUBLE))
+                ::BIGINT AS x,
+              round(1e3 * log2(cnt::DOUBLE))::BIGINT AS y
+            FROM c),
+         sums AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+              sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+              sum(x * x)::BIGINT AS sxx FROM p),
+         d AS (SELECT n AS n_terms, (n * sxy - sx * sy) AS num_s,
+              (sy * sxx - sx * sxy) AS num_i,
+              (n * sxx - sx * sx) AS den FROM sums)
+         SELECT n_terms,
+              CASE WHEN den = 0 THEN 0::BIGINT
+                ELSE CAST(round(1e6 * num_s / den::DOUBLE) AS BIGINT)
+              END AS slope_e6,
+              CASE WHEN den = 0 THEN 0::BIGINT
+                ELSE CAST(round(1e3 * num_i / den::DOUBLE) AS BIGINT)
+              END AS intercept_e6
+         FROM d""",
+
     "q_chi2_terms" ->
       """WITH t AS (SELECT lang,
               unnest(list_distinct(string_split(text, ' '))) AS term

@@ -150,4 +150,41 @@ object Sampling {
     }
     df.filter(hashBucket(key, 100) < rate)
   }
+
+  /** Driver-side scalar mirror of [[md5Top60]] — for plan-time ring
+    * construction ([[ringShard]]); the same value the column
+    * expression (and its DuckDB rendering) computes for the key. */
+  private[graft] def md5Top60Local(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Consistent-hash ring shard assignment — the STABLE alternative to
+    * `hash(key) % shards` for export sharding: growing the fleet from
+    * S to S+1 shards moves only the keys whose ring successor becomes
+    * one of the NEW shard's vnodes (≈ 1/(S+1) of the corpus), where
+    * the modulo reassigns nearly everything. Each shard projects
+    * `vnodes` virtual points `md5("shard:<s>:<v>")` onto the 2^60
+    * ring; a key belongs to the clockwise-nearest vnode.
+    *
+    * Pure per-row expression over a plan-time literal ring (S·V
+    * structs) — no join, no shuffle, no broadcast table; the argmin is
+    * one `array_min` over lexicographic (distance, shard) structs, so
+    * ties (measure-zero but defined) break to the smaller shard id.
+    * The md5 idiom keeps assignment engine-replayable. */
+  def ringShard(key: Column, shards: Int, vnodes: Int): Column = {
+    require(shards >= 1 && vnodes >= 1,
+      s"bad ring: shards=$shards vnodes=$vnodes")
+    val ringSize = 1L << 60
+    val h = md5Top60(key)
+    val points = for (s <- 0 until shards; v <- 0 until vnodes)
+      yield (md5Top60Local(s"shard:$s:$v"), s.toLong)
+    val cands = points.map { case (vh, s) =>
+      struct(((lit(vh) - h + lit(ringSize)) % lit(ringSize)).as("d"),
+        lit(s).as("s"))
+    }
+    array_min(array(cands: _*)).getField("s")
+  }
 }

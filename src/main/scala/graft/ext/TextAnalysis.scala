@@ -827,4 +827,58 @@ object TextAnalysis {
       .select(col("center"), col("context"), col("j"),
         col("word").as("neg"))
   }
+
+  /** Zipf rank–frequency fit — the corpus health check: least-squares
+    * slope/intercept of log2(freq) against log2(rank) over the word
+    * census. Natural text sits near slope −1; a corpus whose slope
+    * collapses toward 0 (boilerplate flooding) or runs steep (template
+    * spam) drifted from natural language, so the slope is a one-number
+    * ingest monitor alongside PSI/KS.
+    *
+    * Exactness: each point quantizes to MILLI-units
+    * (`round(1e3·log2 ·)`) BEFORE any sum — log2 is not correctly
+    * rounded across engines, but sub-ULP disagreement cannot survive a
+    * 1e-3 grid — then every OLS sum (n, Σx, Σy, Σxy, Σxx) and both
+    * closed-form numerators/denominator stay in exact LONG arithmetic;
+    * the only doubles are the two final 1e-6-unit divisions (one fixed
+    * correctly-rounded chain each). Ranks tie-break (cnt DESC, word),
+    * so the point set is engine-identical.
+    *
+    * Scale (100 TB): one corpus-sized census aggregate; the ranking
+    * window and OLS run on the VOCABULARY domain. Milli-unit points
+    * bound |x|,|y| ≤ ~64e3, so Σxy stays exact long territory past
+    * 2^31 terms.
+    *
+    * @return one row (n_terms, slope_e6, intercept_e6) */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val census = docs
+      .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // vocabulary-domain window, not corpus-sized
+    val pts = census
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w"))).cast("long"))
+      .select(
+        round(lit(1e3) * log2(col("rank").cast("double")))
+          .cast("long").as("x"),
+        round(lit(1e3) * log2(col("cnt").cast("double")))
+          .cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num_s"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("num_i"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .select(col("n_terms"),
+        when(col("den") === 0, lit(0L)).otherwise(
+          round(lit(1e6) * col("num_s") / col("den").cast("double"))
+            .cast("long")).as("slope_e6"),
+        when(col("den") === 0, lit(0L)).otherwise(
+          round(lit(1e3) * col("num_i") / col("den").cast("double"))
+            .cast("long")).as("intercept_e6"))
+  }
 }

@@ -1405,6 +1405,52 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.forall(_._3 > 0))
   }
 
+  test("zipfFit: OLS on milli-quantized log-log points replays the " +
+      "scalar closed form") {
+    val got = graft.ext.TextAnalysis.zipfFit(
+      docs((1L, "a a a a b b c")), "text").collect()(0)
+    // census a:4 b:2 c:1 -> ranks 1,2,3
+    def q(v: Double): Long = BigDecimal(1e3 * math.log(v) / math.log(2.0))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val pts = Seq((q(1), q(4)), (q(2), q(2)), (q(3), q(1)))
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val den = n * sxx - sx * sx
+    def r(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(got.getLong(0) == 3L)
+    assert(got.getLong(1) == r(1e6 * (n * sxy - sx * sy) / den.toDouble))
+    assert(got.getLong(2) == r(1e3 * (sy * sxx - sx * sxy) / den.toDouble))
+    // the fixture is a textbook Zipf corpus: slope sits near -1
+    assert(got.getLong(1) < -800000L && got.getLong(1) > -1400000L)
+  }
+
+  test("ringShard: assignments replay the scalar ring; growing the " +
+      "fleet moves keys ONLY to the new shard") {
+    val s = spark
+    import s.implicits._
+    import graft.ext.Sampling
+    val keys = (1L to 200L).toDF("k")
+    val out = keys.select(col("k"),
+        Sampling.ringShard(col("k"), 8, 4).as("s8"),
+        Sampling.ringShard(col("k"), 9, 4).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, s8, s9) => s8 >= 0 && s8 < 8 && s9 < 9 })
+    // minimal-movement law: a changed assignment lands on shard 8
+    val moved = out.filter { case (_, s8, s9) => s8 != s9 }
+    assert(moved.nonEmpty && moved.forall(_._3 == 8L))
+    assert(moved.length < out.length / 4, "movement should be ~1/9")
+    // scalar replay of one assignment
+    val ring = for (sh <- 0 until 8; v <- 0 until 4)
+      yield (Sampling.md5Top60Local(s"shard:$sh:$v"), sh.toLong)
+    val h = Sampling.md5Top60Local("7")
+    val expect = ring.map { case (vh, sh) =>
+      (((vh - h) % (1L << 60) + (1L << 60)) % (1L << 60), sh) }.min._2
+    assert(out.find(_._1 == 7L).get._2 == expect)
+  }
+
   test("mmrSelect: diversified pick beats the near-duplicate of the " +
       "first hit; integer scores replay scalar arithmetic") {
     val s = spark
