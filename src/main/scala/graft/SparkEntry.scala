@@ -3754,6 +3754,29 @@ object SparkEntry {
     // foreachBatch sink collects the per-bin PSI rows — identical to
     // the batch q_drift_psi, and a second batch would double the row
     // count and fail the gate loudly.
+    // Streaming arm of the CMS frequency monitor: per-tick sketches
+    // are cell-wise ADDITIVE under one hash family, so the merged
+    // ingest state answers exactly like the single-pass batch sketch —
+    // same exact counts, same one-sided eps·N guarantee (shared
+    // oracle with q_cms_freq).
+    "q_cms_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cmss_")
+      try {
+        val ev = Tables.read(s, dir, "events")
+        val n = ev.filter(col("event_type").isNotNull)
+          .agg(count(lit(1)).as("_n"))
+        Streaming.cmsAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_cms"))
+          .join(broadcast(n))
+          .select(col("value").as("event_type"), col("exact_n"),
+            (col("est_n") >= col("exact_n") &&
+              col("est_n") <= col("exact_n") +
+                ceil(lit(0.001) * col("_n")).cast("long")).as("est_ok"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Streaming arm of the k-anonymity audit: two hash ticks each
     // write their (QI, user) row-count census — the audit's ADDITIVE
     // sufficient statistic (per-group distinct users is not additive;
@@ -5022,6 +5045,11 @@ object SparkEntry {
          FROM q ORDER BY vec_id""",
 
     "q_cms_freq" ->
+      """SELECT event_type, count(*)::BIGINT AS exact_n, true AS est_ok
+         FROM events WHERE event_type IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_cms_stream" ->
       """SELECT event_type, count(*)::BIGINT AS exact_n, true AS est_ok
          FROM events WHERE event_type IS NOT NULL
          GROUP BY 1 ORDER BY 1""",

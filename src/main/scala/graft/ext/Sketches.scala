@@ -39,12 +39,24 @@ object Sketches {
     val strDf = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("string").as("value"))
     val sketch = strDf.stat.countMinSketch("value", eps, confidence, seed)
-    // Probe with the native graft_cms_estimate expression (the CMS
-    // analog of Spark's BloomFilterMightContain, which Spark doesn't
-    // ship for CMS): the serialized counter table rides the plan as a
-    // binary literal and the probe stays inside whole-stage codegen.
-    // Sessions without graft.plans.GraftExtensions fall back to the
-    // UDF form (checked once, driver-side), mirroring Bloom.
+    cmsEstimates(df, valueCol, sketch)
+  }
+
+  /** Exact per-value counts of `valueCol` probed against an EXISTING
+    * sketch — the read side of [[cmsFrequencies]], split out so a
+    * sketch MAINTAINED elsewhere (e.g. summed per-micro-batch at
+    * ingest, `Streaming.cmsIngest`) verifies through the same path.
+    *
+    * Probes ride the native graft_cms_estimate expression (the CMS
+    * analog of Spark's BloomFilterMightContain, which Spark doesn't
+    * ship for CMS): the serialized counter table rides the plan as a
+    * binary literal and the probe stays inside whole-stage codegen.
+    * Sessions without graft.plans.GraftExtensions fall back to the
+    * UDF form (checked once, driver-side), mirroring Bloom. */
+  def cmsEstimates(df: DataFrame, valueCol: String,
+      sketch: org.apache.spark.util.sketch.CountMinSketch): DataFrame = {
+    val strDf = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("value"))
     val spark = df.sparkSession
     val estimate =
       if (spark.catalog.functionExists("graft_cms_estimate")) {

@@ -1260,6 +1260,79 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Count-min sketch maintained at INGEST: each tick sketches ITS
+    * rows and writes the serialized counter table to an idempotent
+    * `batch=<id>` subdir. CMS counter matrices under one hash family
+    * (same eps/confidence/seed) are ADDITIVE cell-by-cell, so the
+    * merged state equals the sketch a single batch pass would build —
+    * frequency estimates are available at any moment from
+    * sketch-sized state (KBs), and the corpus is never rescanned.
+    * The streaming counterpart of [[graft.ext.Sketches]]'s
+    * tree-aggregated batch build. */
+  def cmsIngest(rows: DataFrame, statePath: String,
+      checkpointDir: String, valueCol: String, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val s = batch.sparkSession
+          import s.implicits._
+          val sk = batch.toDF().filter(col(valueCol).isNotNull)
+            .select(col(valueCol).cast("string").as("value"))
+            .stat.countMinSketch("value", eps, confidence, seed)
+          val os = new java.io.ByteArrayOutputStream()
+          sk.writeTo(os)
+          Seq((batchId, os.toByteArray)).toDF("batch_id", "sketch")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the per-tick sketches accumulated by [[cmsIngest]] back
+    * into one CountMinSketch (cell-wise sum via `mergeInPlace` —
+    * exact, order-independent). Driver-side by design: state is
+    * sketch-count × KBs. */
+  def cmsMergedState(spark: SparkSession, statePath: String)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    val rows = spark.read.parquet(statePath)
+      .select(col("sketch")).collect()
+    require(rows.nonEmpty, s"no sketches under $statePath")
+    val sketches = rows.map { r =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+    }
+    sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+  }
+
+  /** One-shot gate replay of [[cmsIngest]]: events arrive in two hash
+    * ticks, the merged sketch must answer exactly like the single-pass
+    * batch sketch — the shared q_cms_freq oracle (exact counts + the
+    * one-sided eps·N guarantee). */
+  def cmsAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val ev = graft.Tables.read(spark, dir, "events")
+      .select(col("event_id"), col("event_type"))
+    val halves = Seq(
+      ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+      ev.filter(abs(hash(col("event_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(cmsIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "event_type"), queryName)
+      val merged = cmsMergedState(spark, s"$workDir/state")
+      graft.ext.Sketches.cmsEstimates(ev, "event_type", merged)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** k-anonymity ledger maintained at INGEST: each tick writes its own
     * (QI, user) row-count census to an idempotent `batch=<id>` subdir.
     * The per-group distinct-user count is NOT additive across batches,

@@ -767,6 +767,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("cmsIngest: merged per-tick sketches answer exactly like the " +
+      "one-pass batch sketch; replayed ticks never double-count") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmsspec_")
+    val state = dir.resolve("state").toString
+    try {
+      val mem = MemoryStream[String]
+      def stream = mem.toDF().toDF("v")
+      mem.addData("a", "a", "b")
+      Streaming.cmsIngest(stream, state, dir.resolve("cp1").toString, "v")
+        .awaitTermination()
+      mem.addData("a", "c")
+      Streaming.cmsIngest(stream, state, dir.resolve("cp1").toString, "v")
+        .awaitTermination()
+      val merged = Streaming.cmsMergedState(s, state)
+      val batchSketch = Seq("a", "a", "b", "a", "c").toDF("v")
+        .stat.countMinSketch("v", 0.001, 0.99, 42)
+      for (k <- Seq("a", "b", "c", "never-seen"))
+        assert(merged.estimateCount(k) == batchSketch.estimateCount(k),
+          s"key $k: merged != one-pass batch")
+      assert(merged.estimateCount("a") >= 3L)
+      // replaying tick 0 under a fresh checkpoint (same batch id) must
+      // overwrite its subdir — totals unchanged
+      val mem2 = MemoryStream[String]
+      def stream2 = mem2.toDF().toDF("v")
+      mem2.addData("a", "a", "b")
+      Streaming.cmsIngest(stream2, state, dir.resolve("cp2").toString, "v")
+        .awaitTermination()
+      val merged2 = Streaming.cmsMergedState(s, state)
+      assert(merged2.estimateCount("a") == batchSketch.estimateCount("a"),
+        "replayed tick must overwrite its sketch, not add a third")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("kanonIngest: cross-tick distinct users resolve from the census " +
       "(not additive per tick); replayed ticks never double-count") {
     val s = spark
