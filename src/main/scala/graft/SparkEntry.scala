@@ -3626,6 +3626,15 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Robust outlier census: median/MAD modified z-score per event
+    // type (z = 3.5) — the fences don't move when the outliers
+    // arrive, unlike mean/stddev. Exact interpolated quantiles
+    // replay bit-level across engines (the q_percentiles precedent).
+    "q_robust_outliers" -> ((s, dir) =>
+      graft.ext.Profile.robustOutliers(Tables.read(s, dir, "events"),
+          "value", Seq("event_type"), z = 3.5)
+        .orderBy(col("event_type"))),
+
     // Kolmogorov–Smirnov arm of the drift monitor: worst cumulative
     // ECDF gap between the same two distributions, argmax'd on the
     // cross-multiplied INTEGER numerator so bin choice and gap
@@ -7061,6 +7070,23 @@ object SparkEntry {
     // expression chain over identical longs.
     "q_drift_psi" -> driftPsiOracle,
     "q_ks_drift" -> ksDriftOracle,
+    "q_robust_outliers" ->
+      """WITH m AS (SELECT event_type,
+              quantile_cont(value, 0.5) AS med
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+         d AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+            FROM events e JOIN m USING (event_type)
+            WHERE e.value IS NOT NULL),
+         md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM d GROUP BY 1)
+         SELECT d.event_type, count(*)::BIGINT AS n,
+              round(min(d.med), 6) AS med,
+              round(min(md.mad), 6) AS mad,
+              count(*) FILTER (WHERE md.mad > 0
+                  AND d.adev * 0.6745 > 3.5 * md.mad)
+                ::BIGINT AS n_outliers
+         FROM d JOIN md USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
     "q_ewma" -> ewmaOracle,
     "q_kanon" -> kanonOracle,
     "q_kanon_stream" -> kanonOracle,

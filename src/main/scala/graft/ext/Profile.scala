@@ -294,6 +294,47 @@ object Profile {
           .cast("long").as("ks_e6"))
   }
 
+  /** Robust outlier census — median/MAD (modified z-score) instead of
+    * mean/stddev, so the fences themselves don't move when the
+    * outliers arrive (the breakdown point of the mean is one bad row;
+    * the median's is half the data). Per group: the exact interpolated
+    * median, the median absolute deviation, and how many rows sit
+    * outside `0.6745·|x − med| > z · mad` (Iglewicz–Hoban modified
+    * z-score; z = 3.5 is the classic "investigate" fence). A zero MAD
+    * (≥ half the group identical) flags NOTHING rather than everything
+    * — reported via `mad` so the caller sees the degenerate case.
+    *
+    * Exactness: both engines implement the classic linear-interpolated
+    * quantile bit-identically (the q_percentiles precedent); deviation
+    * and both fence sides are single correctly-rounded multiplies of
+    * identical doubles, so the comparison replays engine-exactly.
+    *
+    * Scale (100 TB): two grouped aggregates over the group key and one
+    * broadcast-friendly join of the group-domain medians back to the
+    * rows — the unavoidable two-pass shape of an exact MAD. For a
+    * sketch-grade single pass at petabyte scale, feed
+    * [[histogramQuantiles]] both times instead. */
+  def robustOutliers(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], z: Double = 3.5): DataFrame = {
+    val v = col(valueCol)
+    val g = groupCols.map(col)
+    val rows = df.filter(v.isNotNull)
+    val med = rows.groupBy(g: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = rows.join(broadcast(med), groupCols)
+      .withColumn("adev", abs(v - col("med")))
+    val mad = dev.groupBy(g: _*)
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        count(when(col("mad") > 0 &&
+            col("adev") * lit(0.6745) > lit(z) * col("mad"), 1))
+          .as("n_outliers"))
+  }
+
   /** Dyadic EWMA — exponentially-weighted moving average with α = 1/2
     * over the trailing `window` samples per key, carried as an exact
     * integer so the smoothing replays bit-for-bit across engines.

@@ -1405,6 +1405,25 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.forall(_._3 > 0))
   }
 
+  test("robustOutliers: median/MAD fences flag the planted spike and " +
+      "ignore it when computing the fences; zero MAD flags nothing") {
+    val s = spark
+    import s.implicits._
+    // group g: tight cluster around 10 plus one wild spike. The MEAN
+    // fence would be dragged by the spike; median/MAD is not.
+    val g = Seq(9.0, 10.0, 10.0, 10.0, 11.0, 1000.0).map(("g", _))
+    // group z: over half identical -> mad = 0 -> nothing flagged
+    val zz = Seq(5.0, 5.0, 5.0, 9.0).map(("z", _))
+    val got = graft.ext.Profile.robustOutliers(
+        (g ++ zz).toDF("k", "v"), "v", Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // med = 10, adevs = (1,0,0,0,1,990) -> mad = 0.5
+    assert(got("g") == ((6L, 10.0, 0.5, 1L)))
+    assert(got("z")._3 == 0.0 && got("z")._4 == 0L)
+  }
+
   test("zipfFit: OLS on milli-quantized log-log points replays the " +
       "scalar closed form") {
     val got = graft.ext.TextAnalysis.zipfFit(
