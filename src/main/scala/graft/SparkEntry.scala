@@ -1262,6 +1262,22 @@ object SparkEntry {
         .select(col("shard"), col("shard_pos"), col("doc_id"))
         .orderBy(col("shard"), col("shard_pos"))),
 
+    // Shard integrity manifest: per export shard, row count, byte
+    // total, and an ORDER-SENSITIVE content digest (md5 over per-doc
+    // md5s in shard_pos order) — what a consumer checks before
+    // training on a delivered shard, and what makes silent truncation
+    // or reorder detectable. One shard-keyed aggregate.
+    "q_export_manifest" -> ((s, dir) =>
+      graft.ext.Sampling.exportShards(Tables.read(s, dir, "documents"),
+          col("doc_id"), numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          md5(array_join(transform(array_sort(collect_list(
+              struct(col("shard_pos"), md5(col("text")).as("h")))),
+            x => x("h")), "")).as("digest"))
+        .orderBy(col("shard"))),
+
     // Multi-epoch training order: shard MEMBERSHIP is epoch-stable
     // (worker placement and caches survive), the within-shard order
     // reshuffles per epoch via an epoch-salted hash — two epochs
@@ -3763,6 +3779,34 @@ object SparkEntry {
     // foreachBatch sink collects the per-bin PSI rows — identical to
     // the batch q_drift_psi, and a second batch would double the row
     // count and fail the gate loudly.
+    // Streaming arm of the Zipf health monitor: the word census the
+    // vocabIngest ledger already maintains IS the fit's sufficient
+    // statistic — two ticks' censuses sum and the derived slope must
+    // equal the batch q_zipf (shared oracle). One maintained state,
+    // two consumers (tokenizer trainer + corpus-health monitor).
+    "q_zipf_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zipfs_")
+      try Streaming.zipfAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_zipf"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Streaming arm of the mergeable-quantile rollup: per-tick exact
+    // histograms are bin-additive, so quantiles off the summed ledger
+    // equal the batch q_quantile_rollup (shared oracle) — percentile
+    // monitoring at ingest with sketch-sized state.
+    "q_quantile_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qrs_")
+      try Streaming.quantileRollupAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_qroll"))
+        .select(col("habit"), col("q_ppm"), col("bucket"),
+          col("n_total"), col("est"))
+        .orderBy(col("habit"), col("q_ppm"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Streaming arm of the CMS frequency monitor: per-tick sketches
     // are cell-wise ADDITIVE under one hash family, so the merged
     // ingest state answers exactly like the single-pass batch sketch —
@@ -4422,6 +4466,59 @@ object SparkEntry {
          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
                    UNION ALL SELECT id_b, id_a FROM prs)"""
 
+  /** Shared by the batch fit (q_zipf) and the word-census ingest gate
+    * (q_zipf_stream): the census is the fit's sufficient statistic. */
+  private val zipfOracle =
+    """WITH c AS (SELECT w, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY 1),
+         p AS (SELECT round(1e3 * log2(
+                (row_number() OVER (ORDER BY cnt DESC, w))::DOUBLE))
+                ::BIGINT AS x,
+              round(1e3 * log2(cnt::DOUBLE))::BIGINT AS y
+            FROM c),
+         sums AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+              sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+              sum(x * x)::BIGINT AS sxx FROM p),
+         d AS (SELECT n AS n_terms, (n * sxy - sx * sy) AS num_s,
+              (sy * sxx - sx * sxy) AS num_i,
+              (n * sxx - sx * sx) AS den FROM sums)
+         SELECT n_terms,
+              CASE WHEN den = 0 THEN 0::BIGINT
+                ELSE CAST(round(1e6 * num_s / den::DOUBLE) AS BIGINT)
+              END AS slope_e6,
+              CASE WHEN den = 0 THEN 0::BIGINT
+                ELSE CAST(round(1e3 * num_i / den::DOUBLE) AS BIGINT)
+              END AS intercept_e6
+         FROM d"""
+
+  /** Shared by the batch rollup (q_quantile_rollup) and the
+    * histogram-ledger ingest gate (q_quantile_stream): bin counts are
+    * additive, so the summed per-tick sketches answer identically. */
+  private val quantileRollupOracle =
+    """WITH h AS (SELECT event_type AS habit, date_trunc('day', ts) AS day,
+                least(greatest(floor((value - 0.0) / 10.0), 0), 63)::BIGINT
+                  AS bucket,
+                count(*)::BIGINT AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         m AS (SELECT habit, bucket, sum(n)::BIGINT AS n
+              FROM h GROUP BY 1, 2),
+         c AS (SELECT habit, bucket, n,
+                sum(n) OVER (PARTITION BY habit ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                sum(n) OVER (PARTITION BY habit)::BIGINT AS total
+              FROM m),
+         q AS (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS q_ppm),
+         sel AS (SELECT c.habit, q.q_ppm, min(c.bucket)::BIGINT AS bucket,
+                max(c.total)::BIGINT AS n_total
+              FROM c CROSS JOIN q
+              WHERE c.cum * 1000000 >= q.q_ppm * c.total
+              GROUP BY 1, 2)
+         SELECT habit, q_ppm, bucket, n_total,
+                round(0.0 + 10.0 * (bucket + 1), 6) AS est
+         FROM sel ORDER BY habit, q_ppm"""
+
   private val ksDriftOracle =
     """WITH r AS (SELECT CAST(least(greatest(
                 floor((value - 0.0) / 2.0), 0), 255) AS BIGINT) AS bucket,
@@ -4875,28 +4972,8 @@ object SparkEntry {
     // Mergeable-quantile replay: the same daily bucket counts, the
     // same sum-merge to per-habit, the same ppm rank threshold in
     // pure BIGINT arithmetic, the same upper-edge estimate.
-    "q_quantile_rollup" ->
-      """WITH h AS (SELECT event_type AS habit, date_trunc('day', ts) AS day,
-                least(greatest(floor((value - 0.0) / 10.0), 0), 63)::BIGINT
-                  AS bucket,
-                count(*)::BIGINT AS n
-              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
-         m AS (SELECT habit, bucket, sum(n)::BIGINT AS n
-              FROM h GROUP BY 1, 2),
-         c AS (SELECT habit, bucket, n,
-                sum(n) OVER (PARTITION BY habit ORDER BY bucket
-                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
-                sum(n) OVER (PARTITION BY habit)::BIGINT AS total
-              FROM m),
-         q AS (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS q_ppm),
-         sel AS (SELECT c.habit, q.q_ppm, min(c.bucket)::BIGINT AS bucket,
-                max(c.total)::BIGINT AS n_total
-              FROM c CROSS JOIN q
-              WHERE c.cum * 1000000 >= q.q_ppm * c.total
-              GROUP BY 1, 2)
-         SELECT habit, q_ppm, bucket, n_total,
-                round(0.0 + 10.0 * (bucket + 1), 6) AS est
-         FROM sel ORDER BY habit, q_ppm""",
+    "q_quantile_rollup" -> quantileRollupOracle,
+    "q_quantile_stream" -> quantileRollupOracle,
 
     "q_rolling_distinct" ->
       """WITH daily AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
@@ -6221,6 +6298,20 @@ object SparkEntry {
                 doc_id
          FROM b ORDER BY shard, shard_pos""",
 
+    "q_export_manifest" ->
+      """WITH b AS (SELECT doc_id, text,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM documents),
+         r AS (SELECT (h % 8)::BIGINT AS shard,
+                row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                  AS shard_pos,
+                doc_id, text
+            FROM b)
+         SELECT shard, count(*)::BIGINT AS n_docs,
+              sum(length(text))::BIGINT AS total_chars,
+              md5(string_agg(md5(text), '' ORDER BY shard_pos)) AS digest
+         FROM r GROUP BY 1 ORDER BY 1""",
+
     // epoch-salted order replay: same shard hash, per-epoch rank key
     "q_export_epochs" ->
       """WITH b AS (SELECT doc_id,
@@ -6859,30 +6950,8 @@ object SparkEntry {
               count(*) FILTER (WHERE a9.s <> a8.s)::BIGINT AS n_moved
          FROM a8 JOIN a9 USING (doc_id) GROUP BY 1 ORDER BY 1""",
 
-    "q_zipf" ->
-      """WITH c AS (SELECT w, count(*)::BIGINT AS cnt
-            FROM (SELECT unnest(string_split(text, ' ')) AS w
-                  FROM documents)
-            WHERE w <> '' GROUP BY 1),
-         p AS (SELECT round(1e3 * log2(
-                (row_number() OVER (ORDER BY cnt DESC, w))::DOUBLE))
-                ::BIGINT AS x,
-              round(1e3 * log2(cnt::DOUBLE))::BIGINT AS y
-            FROM c),
-         sums AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-              sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
-              sum(x * x)::BIGINT AS sxx FROM p),
-         d AS (SELECT n AS n_terms, (n * sxy - sx * sy) AS num_s,
-              (sy * sxx - sx * sxy) AS num_i,
-              (n * sxx - sx * sx) AS den FROM sums)
-         SELECT n_terms,
-              CASE WHEN den = 0 THEN 0::BIGINT
-                ELSE CAST(round(1e6 * num_s / den::DOUBLE) AS BIGINT)
-              END AS slope_e6,
-              CASE WHEN den = 0 THEN 0::BIGINT
-                ELSE CAST(round(1e3 * num_i / den::DOUBLE) AS BIGINT)
-              END AS intercept_e6
-         FROM d""",
+    "q_zipf" -> zipfOracle,
+    "q_zipf_stream" -> zipfOracle,
 
     "q_chi2_terms" ->
       """WITH t AS (SELECT lang,

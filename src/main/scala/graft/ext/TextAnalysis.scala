@@ -851,11 +851,20 @@ object TextAnalysis {
     *
     * @return one row (n_terms, slope_e6, intercept_e6) */
   def zipfFit(docs: org.apache.spark.sql.DataFrame, textCol: String)
-      : org.apache.spark.sql.DataFrame = {
-    val census = docs
+      : org.apache.spark.sql.DataFrame =
+    zipfFitFromCensus(docs
       .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
       .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+
+  /** [[zipfFit]] from an ALREADY-MAINTAINED `(w, cnt)` word census —
+    * the ingest-time form: the per-batch word census a stream keeps
+    * ([[graft.streaming.Streaming.vocabIngest]]) is the fit's
+    * sufficient statistic, so the corpus-health slope is available
+    * continuously at census cost, the same state that already feeds
+    * the tokenizer trainer. */
+  def zipfFitFromCensus(census: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // vocabulary-domain window, not corpus-sized
     val pts = census
       .withColumn("rank", row_number().over(

@@ -1413,6 +1413,87 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** One-shot gate replay of the Zipf health monitor over
+    * [[vocabIngest]] state: two hash ticks maintain the word census,
+    * and the rank–frequency fit derived from the SUMMED census must
+    * equal the batch [[graft.ext.TextAnalysis.zipfFit]] — the shared
+    * q_zipf oracle. One maintained statistic (the census) now feeds
+    * both the tokenizer trainer and the corpus-health monitor. */
+  def zipfAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(vocabIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "text"), queryName)
+      val census = spark.read.parquet(s"$workDir/state")
+        .groupBy(col("w")).agg(sum(col("freq")).as("cnt"))
+      graft.ext.TextAnalysis.zipfFitFromCensus(census)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Histogram sketch maintained at INGEST: per tick, the exact
+    * fixed-domain bin counts ([[graft.ext.Profile.histogram]]) land in
+    * an idempotent `batch=<id>` subdir. Bin counts are ADDITIVE, so
+    * the summed state equals the one-pass batch histogram at any
+    * moment, and mergeable quantiles
+    * ([[graft.ext.Profile.histogramQuantiles]]) read off the merged
+    * sketch without rescanning the corpus — the percentile
+    * counterpart of [[cmsIngest]]. */
+  def histIngest(rows: DataFrame, statePath: String,
+      checkpointDir: String, valueCol: String, lo: Double, hi: Double,
+      buckets: Int, groupCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.ext.Profile.histogram(batch.toDF(), valueCol, lo, hi,
+              buckets, groupCols)
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[histIngest]] at the q_quantile_rollup
+    * grain (per-habit daily histograms → per-habit quantiles): two
+    * hash ticks maintain the sketch, the quantiles off the SUMMED bins
+    * must equal the batch rollup — the shared oracle. */
+  def quantileRollupAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val ev = graft.Tables.eventsAsHabits(spark, dir)
+      .withColumn("day", graft.analytics.Habits.dayBucket(col("ts")))
+      .select(col("event_id"), col("habit"), col("day"), col("value"))
+    val halves = Seq(
+      ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+      ev.filter(abs(hash(col("event_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(histIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "value", lo = 0.0, hi = 640.0, buckets = 64,
+        groupCols = Seq("habit", "day")), queryName)
+      val daily = spark.read.parquet(s"$workDir/state")
+        .groupBy(col("habit"), col("day"), col("bucket"))
+        .agg(sum(col("n")).as("n"))
+      graft.ext.Profile.histogramQuantiles(daily, Seq("habit"),
+        qs = Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 640.0, buckets = 64)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Row-granular data-quality QUARANTINE at ingest — the dead-letter-
     * queue pattern: each tick splits on the expectation predicate,
     * passing rows land in the curated sink and failing rows in the

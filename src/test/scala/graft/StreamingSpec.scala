@@ -767,6 +767,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("histIngest: summed per-tick bins equal the one-pass histogram; " +
+      "replayed ticks never double-count") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_histspec_")
+    val state = dir.resolve("state").toString
+    try {
+      val mem = MemoryStream[(String, Double)]
+      def stream = mem.toDF().toDF("g", "v")
+      mem.addData(("a", 5.0), ("a", 15.0))
+      Streaming.histIngest(stream, state, dir.resolve("cp1").toString,
+        "v", lo = 0.0, hi = 40.0, buckets = 4, groupCols = Seq("g"))
+        .awaitTermination()
+      mem.addData(("a", 5.0), ("b", 35.0))
+      Streaming.histIngest(stream, state, dir.resolve("cp1").toString,
+        "v", lo = 0.0, hi = 40.0, buckets = 4, groupCols = Seq("g"))
+        .awaitTermination()
+      def merged() = s.read.parquet(state)
+        .groupBy(col("g"), col("bucket")).agg(sum(col("n")).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val exp = graft.ext.Profile.histogram(
+          Seq(("a", 5.0), ("a", 15.0), ("a", 5.0), ("b", 35.0))
+            .toDF("g", "v"), "v", 0.0, 40.0, 4, Seq("g"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(merged() == exp)
+      // replay tick 0 under a fresh checkpoint: same batch id, same
+      // subdir, totals unchanged
+      val mem2 = MemoryStream[(String, Double)]
+      def stream2 = mem2.toDF().toDF("g", "v")
+      mem2.addData(("a", 5.0), ("a", 15.0))
+      Streaming.histIngest(stream2, state, dir.resolve("cp2").toString,
+        "v", lo = 0.0, hi = 40.0, buckets = 4, groupCols = Seq("g"))
+        .awaitTermination()
+      assert(merged() == exp, "replayed tick must overwrite, not append")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("cmsIngest: merged per-tick sketches answer exactly like the " +
       "one-pass batch sketch; replayed ticks never double-count") {
     val s = spark
