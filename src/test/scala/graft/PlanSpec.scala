@@ -689,4 +689,42 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "the window explode is narrow — no join may appear")
   }
+
+  test("dedup chunks: narrow boundary scan — no join anywhere, partial " +
+      "and final aggregates present") {
+    val p = plan("q_dedup_chunks")
+    assert(!p.contains("Join"), "chunking must stay join-free")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "chunk dedup needs map-side partial + final aggregate")
+  }
+
+  test("chi2 terms: label rides conditional counts (no label join); " +
+      "totals broadcast") {
+    val p = plan("q_chi2_terms")
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row totals must broadcast, never shuffle-join")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("consistent shard: ring assignment is a pure expression — " +
+      "no join in the plan") {
+    assert(!plan("q_consistent_shard").contains("Join"))
+  }
+
+  test("ewma: exactly one exchange (the per-key window shuffle)") {
+    val p = plan("q_ewma")
+    // one hashpartitioning exchange for the window; the final sort is
+    // range-partitioned output order, not a second data shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("wordpiece: distinct-word kernel then one broadcast join back " +
+      "to the exploded corpus") {
+    val p = plan("q_wordpiece")
+    assert(p.contains("MapPartitions"),
+      "greedy kernel must run as the typed distinct-word pass")
+    assert(!p.contains("SortMergeJoin"),
+      "word results join back via broadcast under AQE, not a shuffle join")
+  }
 }
