@@ -3807,6 +3807,20 @@ object SparkEntry {
       finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Streaming arm of the HLL distinct-count rollup: per-tick daily
+    // sketches union by register max (associative/commutative/
+    // idempotent), so weekly estimates off the accumulated ledger
+    // satisfy the same 5% envelope as the batch rollup (shared
+    // oracle).
+    "q_hll_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hlls_")
+      try Streaming.hllRollupAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_hll"))
+        .orderBy(col("week"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Streaming arm of the CMS frequency monitor: per-tick sketches
     // are cell-wise ADDITIVE under one hash family, so the merged
     // ingest state answers exactly like the single-pass batch sketch —
@@ -5004,6 +5018,12 @@ object SparkEntry {
          ) ORDER BY stage_idx""",
 
     "q_hll_rollup" ->
+      """SELECT date_trunc('week', date_trunc('day', ts)) AS week,
+                count(DISTINCT user_id)::BIGINT AS exact_users,
+                true AS approx_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_hll_stream" ->
       """SELECT date_trunc('week', date_trunc('day', ts)) AS week,
                 count(DISTINCT user_id)::BIGINT AS exact_users,
                 true AS approx_ok

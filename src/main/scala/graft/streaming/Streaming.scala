@@ -1333,6 +1333,65 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** HLL distinct-count sketches maintained at INGEST: per tick, one
+    * DataSketches HLL per day bucket lands in an idempotent
+    * `batch=<id>` subdir. HLL union is element-wise register max —
+    * associative, commutative, IDEMPOTENT — so any union tree over the
+    * per-tick sketches reaches the same register state as a one-pass
+    * build, and rollups to coarser grains (`hll_union_agg` per week)
+    * read off sketch-sized state without a corpus rescan. The
+    * distinct-count sibling of [[cmsIngest]] (frequencies) and
+    * [[histIngest]] (quantiles). */
+  def hllIngest(rows: DataFrame, statePath: String,
+      checkpointDir: String, keyCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batch.toDF()
+            .groupBy(date_trunc("DAY", col("ts")).as("day"))
+            .agg(hll_sketch_agg(col(keyCol)).as("sk"))
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[hllIngest]]: events arrive in two hash
+    * ticks; weekly estimates unioned from the accumulated daily
+    * sketches must satisfy the same 5% envelope as the batch rollup —
+    * the shared q_hll_rollup oracle. */
+  def hllRollupAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val halves = Seq(
+      ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+      ev.filter(abs(hash(col("event_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(hllIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "user_id"), queryName)
+      val weekly = spark.read.parquet(s"$workDir/state")
+        .groupBy(date_trunc("WEEK", col("day")).as("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev
+        .groupBy(date_trunc("WEEK", date_trunc("DAY", col("ts"))).as("week"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, "week")
+        .select(col("week").cast("timestamp_ntz").as("week"),
+          col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_ok"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** k-anonymity ledger maintained at INGEST: each tick writes its own
     * (QI, user) row-count census to an idempotent `batch=<id>` subdir.
     * The per-group distinct-user count is NOT additive across batches,

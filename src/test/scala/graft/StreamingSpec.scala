@@ -767,6 +767,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("hllIngest: unioned per-tick sketches estimate exactly like the " +
+      "one-pass sketch (register-max associativity); replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hllspec_")
+    val state = dir.resolve("state").toString
+    val t = Timestamp.valueOf("2024-03-04 10:00:00")
+    try {
+      val mem = MemoryStream[(Timestamp, Long)]
+      def stream = mem.toDF().toDF("ts", "user_id")
+      mem.addData((t, 1L), (t, 2L), (t, 1L))
+      Streaming.hllIngest(stream, state, dir.resolve("cp1").toString,
+        "user_id").awaitTermination()
+      mem.addData((t, 2L), (t, 3L))
+      Streaming.hllIngest(stream, state, dir.resolve("cp1").toString,
+        "user_id").awaitTermination()
+      def est(): Long = s.read.parquet(state)
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+        .collect()(0).getLong(0)
+      val onePass = Seq((t, 1L), (t, 2L), (t, 1L), (t, 2L), (t, 3L))
+        .toDF("ts", "user_id")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+        .collect()(0).getLong(0)
+      assert(est() == onePass, "union tree must reach the same registers")
+      // replaying tick 0 (fresh checkpoint, same batch id) changes
+      // nothing: subdir overwrite + union idempotence
+      val mem2 = MemoryStream[(Timestamp, Long)]
+      def stream2 = mem2.toDF().toDF("ts", "user_id")
+      mem2.addData((t, 1L), (t, 2L), (t, 1L))
+      Streaming.hllIngest(stream2, state, dir.resolve("cp2").toString,
+        "user_id").awaitTermination()
+      assert(est() == onePass)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("histIngest: summed per-tick bins equal the one-pass histogram; " +
       "replayed ticks never double-count") {
     val s = spark
