@@ -2725,7 +2725,11 @@ object SparkEntry {
           graft.ext.Unigram.unigramSeed(docs, "text"))
         .agg(sum(col("n_pieces")).as("total_units"))
         .select(lit("unigram40").as("tokenizer"), col("total_units"))
-      bpe.unionByName(uni).orderBy(col("tokenizer"))
+      val wp = graft.ext.WordPiece.wordPieceEncode(docs, "doc_id", "text",
+          graft.ext.Unigram.unigramSeed(docs, "text"))
+        .agg(sum(col("n_pieces")).as("total_units"))
+        .select(lit("wordpiece40").as("tokenizer"), col("total_units"))
+      bpe.unionByName(uni).unionByName(wp).orderBy(col("tokenizer"))
     }),
 
     // THE exportable end product: real token-id streams cut into
@@ -3807,6 +3811,40 @@ object SparkEntry {
       finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Late-arrival audit at ingest: rows older than the prior ticks'
+    // high-watermark minus the allowed lag are LEDGERED (not dropped)
+    // — the lateness profile that sizes a production watermark. Ticks
+    // split on the md5 key so the oracle replays tick membership.
+    "q_late_audit" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_late_")
+      try Streaming.lateAuditAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_late"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Ensemble dedup verdict: a pair is a duplicate when ≥ 2 of the 3
+    // independent text detectors (MinHash Jaccard, SimHash Hamming,
+    // blocked n-gram Jaccard) agree — the precision move production
+    // dedup makes, since each detector alone has its own false-positive
+    // geometry. Pure composition of three proven pair relations.
+    "q_dedup_ensemble" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val mh = Dedup.minhashDupPairs(d, "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val sh = Dedup.simhashDupPairs(d, "doc_id", "text", maxHamming = 7)
+        .select(col("id_a"), col("id_b"))
+      val ng = Dedup.ngramDupPairs(d, "doc_id", "text", "n_chars",
+          threshold = 0.5, blockWidth = 50)
+        .select(col("id_a"), col("id_b"))
+      mh.unionByName(sh).unionByName(ng)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("votes"))
+        .filter(col("votes") >= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Streaming arm of the HLL distinct-count rollup: per-tick daily
     // sketches union by register max (associative/commutative/
     // idempotent), so weekly estimates off the accumulated ledger
@@ -4479,6 +4517,47 @@ object SparkEntry {
               WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 7),
          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
                    UNION ALL SELECT id_b, id_a FROM prs)"""
+
+  /** Shared by q_dedup_simhash_pairs and the ensemble vote. */
+  private val simhashPairsOracle =
+    """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+         h AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
+         bits AS (SELECT doc_id, p.p AS p,
+                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
+         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
+         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+                                         ELSE 0 END)::BIGINT AS simhash
+              FROM sv GROUP BY doc_id),
+         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
+                (simhash >> (c.c * 8)) & 255 AS ckey
+              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT
+                  AS hamming
+              FROM chunked a JOIN chunked b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey
+                   AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 7 ORDER BY id_a, id_b"""
+
+  /** Majority vote over the three text detectors' pair relations —
+    * each a full proven oracle, nested as a subquery CTE. */
+  private def dedupEnsembleOracle: String =
+    s"""WITH emh AS (${minhashOracleSql("")}),
+         esh AS ($simhashPairsOracle),
+         eng AS ($ngramOracleSql)
+         SELECT id_a, id_b, count(*)::BIGINT AS votes
+         FROM (SELECT id_a, id_b FROM emh
+               UNION ALL SELECT id_a, id_b FROM esh
+               UNION ALL SELECT id_a, id_b FROM eng)
+         GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"""
 
   /** Shared by the batch fit (q_zipf) and the word-census ingest gate
     * (q_zipf_stream): the census is the fit's sufficient statistic. */
@@ -6187,13 +6266,17 @@ object SparkEntry {
     // both proven encode chains collapsed to corpus totals
     "q_tokenizer_eval" ->
       s"""WITH b AS (${bpeEncodeOracle(8)}),
-         u AS ($unigramEncodeOracle)
+         u AS ($unigramEncodeOracle),
+         wpt AS ($wordPieceOracle)
          SELECT * FROM (
            SELECT 'bpe8' AS tokenizer,
                   sum(n_bpe_tokens)::BIGINT AS total_units FROM b
            UNION ALL
            SELECT 'unigram40' AS tokenizer,
-                  sum(n_pieces)::BIGINT AS total_units FROM u)
+                  sum(n_pieces)::BIGINT AS total_units FROM u
+           UNION ALL
+           SELECT 'wordpiece40' AS tokenizer,
+                  sum(n_pieces)::BIGINT AS total_units FROM wpt)
          ORDER BY tokenizer""",
 
     "q_bpe_encode" -> bpeEncodeOracle(8),
@@ -6438,34 +6521,18 @@ object SparkEntry {
          WHERE levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY id_a, id_b""",
 
-    "q_dedup_simhash_pairs" ->
-      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
-         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
-                THEN list_distinct([array_to_string(l[i:i+2], ' ')
-                                    for i in generate_series(1, len(l) - 2)])
-                ELSE [text] END AS ss FROM tok),
-         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
-         h AS (SELECT doc_id,
-                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
-         bits AS (SELECT doc_id, p.p AS p,
-                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
-              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
-         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
-         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
-                                         ELSE 0 END)::BIGINT AS simhash
-              FROM sv GROUP BY doc_id),
-         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
-                (simhash >> (c.c * 8)) & 255 AS ckey
-              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
-         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT
-                  AS hamming
-              FROM chunked a JOIN chunked b
-                ON a.chunk = b.chunk AND a.ckey = b.ckey
-                   AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, hamming FROM pairs
-         WHERE hamming <= 7 ORDER BY id_a, id_b""",
-
+    "q_dedup_simhash_pairs" -> simhashPairsOracle,
+    "q_dedup_ensemble" -> dedupEnsembleOracle,
+    "q_late_audit" ->
+      """WITH b AS (SELECT event_type, ts,
+              ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::UBIGINT % 2
+                AS tick
+            FROM events),
+         m0 AS (SELECT max(ts) AS hw FROM b WHERE tick = 0)
+         SELECT event_type, count(*)::BIGINT AS n_late
+         FROM b, m0
+         WHERE tick = 1 AND ts < hw - INTERVAL 1 DAY
+         GROUP BY 1 ORDER BY 1""",
     // 3-iteration integer PageRank replay over the shared edge CTE
     "q_pagerank" -> pageRankOracle(3),
 

@@ -1333,6 +1333,82 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Late-arrival AUDIT at ingest — streaming observability for the
+    * silent failure mode: engines drop watermark-late rows without a
+    * trace, and a pipeline that never measures its lateness profile
+    * can't size its watermark delay. Each tick (a) records its max
+    * event time in a high-watermark ledger (`wm/batch=<id>`), and (b)
+    * copies rows older than (prior ticks' max − `allowedLag`) into a
+    * late ledger (`late/batch=<id>`) WITHOUT dropping them — an audit,
+    * not a gate; pair with [[quarantineIngest]] to act on it. Both
+    * ledgers are idempotent batch subdirs (replay-safe).
+    *
+    * Scale: the prior high-watermark read is ledger-sized (one tiny
+    * row per tick — compact periodically like any manifest), the split
+    * is a narrow filter; nothing corpus-sized accumulates. */
+  def lateAuditIngest(events: DataFrame, statePath: String,
+      checkpointDir: String, tsCol: String,
+      allowedLag: String = "1 day")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val s = batch.sparkSession
+          import s.implicits._
+          val df = batch.toDF().localCheckpoint(true)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(statePath + "/wm"),
+            s.sparkContext.hadoopConfiguration)
+          // the high-watermark stays a DataFrame value (never collected)
+          // so the audit is agnostic to TIMESTAMP vs TIMESTAMP_NTZ
+          val late =
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/wm")))
+              df.crossJoin(broadcast(
+                  s.read.parquet(s"$statePath/wm")
+                    .filter(col("batch_id") < batchId)
+                    .agg(max(col("max_ts")).as("__hw"))))
+                .filter(col("__hw").isNotNull &&
+                  col(tsCol) < col("__hw") - expr(s"INTERVAL $allowedLag"))
+                .drop("__hw")
+            else df.limit(0)
+          late.write.mode("overwrite")
+            .parquet(s"$statePath/late/batch=$batchId")
+          df.agg(max(col(tsCol)).as("max_ts"))
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$statePath/wm/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[lateAuditIngest]]: events arrive in two
+    * DETERMINISTIC md5-keyed ticks (the md5 split — not Spark's
+    * hash() — so the oracle can reproduce tick membership), and the
+    * late ledger must hold exactly tick 1's rows older than
+    * (tick 0's max ts − 1 day) — the closed-form oracle. */
+  def lateAuditAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val ev = graft.Tables.read(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val tick = graft.ext.Sampling.hashBucket(col("event_id"), 2)
+    val halves = Seq(ev.filter(tick === 0), ev.filter(tick === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(lateAuditIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "ts", allowedLag = "1 day"), queryName)
+      spark.read.parquet(s"$workDir/state/late")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_late"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** HLL distinct-count sketches maintained at INGEST: per tick, one
     * DataSketches HLL per day bucket lands in an idempotent
     * `batch=<id>` subdir. HLL union is element-wise register max —

@@ -767,6 +767,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("lateAuditIngest: rows older than the prior high-watermark minus " +
+      "the lag land in the late ledger; tick 0 ledgers nothing; replay " +
+      "overwrites") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_latespec_")
+    val state = dir.resolve("state").toString
+    try {
+      val mem = MemoryStream[(Timestamp, String)]
+      def stream = mem.toDF().toDF("ts", "k")
+      // tick 0: max ts = Mar 10. Nothing can be late yet.
+      mem.addData(
+        (ts("2024-03-01 00:00:00"), "a"), (ts("2024-03-10 00:00:00"), "b"))
+      Streaming.lateAuditIngest(stream, state,
+        dir.resolve("cp1").toString, "ts").awaitTermination()
+      // tick 1: Mar 8 (within 1-day lag of Mar 10: NOT late),
+      // Mar 5 (late), Mar 12 (ahead: not late)
+      mem.addData(
+        (ts("2024-03-09 12:00:00"), "ontime"),
+        (ts("2024-03-05 00:00:00"), "late"),
+        (ts("2024-03-12 00:00:00"), "ahead"))
+      Streaming.lateAuditIngest(stream, state,
+        dir.resolve("cp1").toString, "ts").awaitTermination()
+      def lateKeys() = s.read.parquet(s"$state/late")
+        .select(col("k")).collect().map(_.getString(0)).toSet
+      assert(lateKeys() == Set("late"))
+      // replay tick 0 (fresh checkpoint, same batch id): its empty
+      // late subdir overwrites itself; the ledger is unchanged
+      val mem2 = MemoryStream[(Timestamp, String)]
+      def stream2 = mem2.toDF().toDF("ts", "k")
+      mem2.addData(
+        (ts("2024-03-01 00:00:00"), "a"), (ts("2024-03-10 00:00:00"), "b"))
+      Streaming.lateAuditIngest(stream2, state,
+        dir.resolve("cp2").toString, "ts").awaitTermination()
+      assert(lateKeys() == Set("late"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("hllIngest: unioned per-tick sketches estimate exactly like the " +
       "one-pass sketch (register-max associativity); replay is a no-op") {
     val s = spark
