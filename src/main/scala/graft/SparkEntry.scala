@@ -3281,6 +3281,21 @@ object SparkEntry {
     // RIFF/WAVE PCM files (LE size fields built by expression), parsed
     // back by a real chunk walker — channels/rate/bits come from the
     // fmt CHUNK BYTES, sample stats from the data chunk.
+    // Single-bin integer DFT tone probe over REAL WAV sample bytes:
+    // 1e-4-quantized twiddles keep the correlation sums exact longs,
+    // so a genuine DSP feature (not header metadata) replays
+    // engine-exactly. Partition-local kernel, no shuffle.
+    "q_media_tone" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.wavTone(
+          Multimodal.packWav(Tables.read(s, dir, "documents"),
+            "doc_id", "text", sampleRate = 8000).as[MediaRecord],
+          cycles = 8)
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     "q_media_wav" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
@@ -6985,6 +7000,21 @@ object SparkEntry {
               md5(array_to_string([substr(text, 2 * i + 1, 1)
                 for i in generate_series(0, n2 - 1)], '')) AS data_md5
          FROM d ORDER BY media_id""",
+
+    "q_media_tone" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+               FROM documents WHERE length(text) > 0),
+         bs AS (SELECT doc_id, n,
+                [ascii(x)::BIGINT for x in string_split(text, '')] AS b
+               FROM d)
+         SELECT doc_id::BIGINT AS media_id, n::BIGINT AS n_samples,
+                list_sum([b[i] * round(1e4 * cos(
+                    2 * pi() * 8 * (i - 1) / n))::BIGINT
+                  for i in generate_series(1, n)])::BIGINT AS re_q4,
+                list_sum([b[i] * round(1e4 * sin(
+                    2 * pi() * 8 * (i - 1) / n))::BIGINT
+                  for i in generate_series(1, n)])::BIGINT AS im_q4
+         FROM bs ORDER BY media_id""",
 
     "q_media_wav" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n

@@ -18,6 +18,9 @@ case class PpmFeatures(media_id: Long, width: Int, height: Int,
 case class WavFeatures(media_id: Long, channels: Int, sample_rate: Int,
     bits_per_sample: Int, n_samples: Long, mean_amp: Double, checksum: Long)
 
+case class WavTone(media_id: Long, n_samples: Long, re_q4: Long,
+    im_q4: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
@@ -250,6 +253,50 @@ object Multimodal {
   def decodeWav(media: Dataset[MediaRecord]): Dataset[WavFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(parseWav))
+  }
+
+  /** Away-from-zero 1e-4 quantizer — the SQL `round(x)::BIGINT`
+    * contract on `1e4·x` (DuckDB rounds half AWAY from zero;
+    * `Math.round` rounds half toward +∞ and would disagree on
+    * negative twiddles). */
+  private def q4(x: Double): Long =
+    if (x >= 0) math.floor(x * 1e4 + 0.5).toLong
+    else -math.floor(-x * 1e4 + 0.5).toLong
+
+  /** Single-bin integer DFT over the decoded WAV payload — the tone
+    * probe (Goertzel's use case as the direct correlation form):
+    * `re = Σ x_i·round(1e4·cos(2π·cycles·i/N))` and the sine twin, an
+    * audio FEATURE computed from real sample bytes rather than header
+    * metadata. Twiddles quantize to 1e-4 integers BEFORE the sums, so
+    * the accumulators are exact longs and sub-ULP `cos`/`sin`
+    * disagreement between engines dies at the grid (the log2/ln
+    * discipline applied to trigonometry). |re| ≤ 255·1e4·N keeps the
+    * sum in long range past N = 3·10¹².
+    *
+    * Same scale shape as [[decodeWav]]: partition-local typed kernel,
+    * no shuffle, no driver involvement. */
+  def wavTone(media: Dataset[MediaRecord], cycles: Int = 8)
+      : Dataset[WavTone] = {
+    require(cycles >= 1, "cycles must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (channels, _, _, dataOff, dataSize) =
+        scanWavChunks(r.media_id, r.payload)
+      val n = dataSize / channels
+      val nD = n.toDouble
+      var re = 0L
+      var im = 0L
+      var i = 0
+      while (i < n) {
+        val u = (r.payload(dataOff + i) & 0xff).toLong
+        // mirror the oracle's chain: ((2·π)·cycles)·i / n
+        val ang = 2.0 * math.Pi * cycles.toDouble * i.toDouble / nD
+        re += u * q4(math.cos(ang))
+        im += u * q4(math.sin(ang))
+        i += 1
+      }
+      WavTone(r.media_id, n.toLong, re, im)
+    })
   }
 
   /** Frame-sample: split each payload into `n` contiguous byte-range

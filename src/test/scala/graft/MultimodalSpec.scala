@@ -245,4 +245,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(feats.sample_rate == 4000 && feats.n_samples == 4L &&
       feats.bits_per_sample == 8)
   }
+
+  test("wavTone: integer DFT replays a scalar loop; an exact-period " +
+      "signal correlates fully with the cosine leg") {
+    val s = spark
+    import s.implicits._
+    // n = 4 with cycles = 8: every angle is a multiple of 4pi, so the
+    // cosine twiddle is exactly 1e4 and the sine twiddle quantizes to 0
+    val rec = Multimodal.packWav(Seq((1L, "abcd"), (2L, "hello world"))
+        .toDF("doc_id", "text"), "doc_id", "text").as[MediaRecord]
+    val got = Multimodal.wavTone(rec, cycles = 8).collect()
+      .map(t => t.media_id -> t).toMap
+    assert(got(1L).n_samples == 4L)
+    assert(got(1L).re_q4 == (97L + 98 + 99 + 100) * 10000L)
+    assert(got(1L).im_q4 == 0L)
+    // scalar replay of the general case
+    val text = "hello world"
+    def q4(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e4 + 0.5).toLong
+      else -math.floor(-x * 1e4 + 0.5).toLong
+    val n = text.length
+    var re = 0L; var im = 0L
+    for (i <- 0 until n) {
+      val u = text.charAt(i).toLong
+      val ang = 2.0 * math.Pi * 8.0 * i.toDouble / n.toDouble
+      re += u * q4(math.cos(ang)); im += u * q4(math.sin(ang))
+    }
+    assert(got(2L).re_q4 == re && got(2L).im_q4 == im)
+  }
 }
