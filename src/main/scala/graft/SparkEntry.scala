@@ -3281,6 +3281,20 @@ object SparkEntry {
     // RIFF/WAVE PCM files (LE size fields built by expression), parsed
     // back by a real chunk walker — channels/rate/bits come from the
     // fmt CHUNK BYTES, sample stats from the data chunk.
+    // Sobel gradient energy over REAL PPM pixel bytes — the image-DSP
+    // sibling of the tone probe: integer |gx|+|gy| over r+g+b
+    // luminance, the flat-vs-noisy image signal a curation pipeline
+    // thresholds. Pure integer arithmetic, partition-local kernel.
+    "q_media_gradient" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.ppmGradient(
+          Multimodal.packPpm(Tables.read(s, dir, "documents"),
+            "doc_id", "text", width = 16).as[MediaRecord])
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // Single-bin integer DFT tone probe over REAL WAV sample bytes:
     // 1e-4-quantized twiddles keep the correlation sums exact longs,
     // so a genuine DSP feature (not header metadata) replays
@@ -4532,6 +4546,35 @@ object SparkEntry {
               WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 7),
          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
                    UNION ALL SELECT id_b, id_a FROM prs)"""
+
+  /** DuckDB replay of [[graft.ext.Multimodal.ppmGradient]]: interior
+    * cells enumerate as j with y = 1 + j/14, x = 1 + j%14 (16-wide
+    * images ⇒ 14 interior columns); all arithmetic is integer, so the
+    * replay is definitional. */
+  private def ppmGradientOracle: String = {
+    def l(dx: Int, dy: Int): String =
+      s"l[((1 + (j // 14)) + ($dy)) * 16 + ((1 + (j % 14)) + ($dx)) + 1]"
+    val gx = s"(${l(1, -1)} + 2 * ${l(1, 0)} + ${l(1, 1)}) - " +
+      s"(${l(-1, -1)} + 2 * ${l(-1, 0)} + ${l(-1, 1)})"
+    val gy = s"(${l(-1, 1)} + 2 * ${l(0, 1)} + ${l(1, 1)}) - " +
+      s"(${l(-1, -1)} + 2 * ${l(0, -1)} + ${l(1, -1)})"
+    s"""WITH d AS (SELECT doc_id, text, (length(text) // 48)::INT AS h
+               FROM documents WHERE length(text) >= 48),
+         px AS (SELECT doc_id, h,
+                [ascii(x)::BIGINT
+                 for x in string_split(substring(text, 1, 48 * h), '')] AS bs
+               FROM d),
+         lm AS (SELECT doc_id, h,
+                [bs[3 * i - 2] + bs[3 * i - 1] + bs[3 * i]
+                 for i in generate_series(1, 16 * h)] AS l
+               FROM px)
+         SELECT doc_id::BIGINT AS media_id, 16::BIGINT AS width,
+                h::BIGINT AS height,
+                coalesce(list_sum([abs($gx) + abs($gy)
+                  for j in generate_series(0, 14 * (h - 2) - 1)]), 0)
+                  ::BIGINT AS grad_energy
+         FROM lm ORDER BY media_id"""
+  }
 
   /** Shared by q_dedup_simhash_pairs and the ensemble vote. */
   private val simhashPairsOracle =
@@ -7000,6 +7043,8 @@ object SparkEntry {
               md5(array_to_string([substr(text, 2 * i + 1, 1)
                 for i in generate_series(0, n2 - 1)], '')) AS data_md5
          FROM d ORDER BY media_id""",
+
+    "q_media_gradient" -> ppmGradientOracle,
 
     "q_media_tone" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n

@@ -21,6 +21,9 @@ case class WavFeatures(media_id: Long, channels: Int, sample_rate: Int,
 case class WavTone(media_id: Long, n_samples: Long, re_q4: Long,
     im_q4: Long)
 
+case class PpmGradient(media_id: Long, width: Long, height: Long,
+    grad_energy: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
@@ -253,6 +256,46 @@ object Multimodal {
   def decodeWav(media: Dataset[MediaRecord]): Dataset[WavFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(parseWav))
+  }
+
+  /** Sobel gradient energy over REAL decoded PPM pixels — the image
+    * DSP feature next to [[wavTone]]'s audio one: per interior pixel,
+    * the 3×3 Sobel |gx| + |gy| over integer luminance (r + g + b,
+    * undivided), summed per image. Pure integer arithmetic end to
+    * end — nothing to quantize, nothing engine-dependent. The feature
+    * a curation pipeline thresholds to drop flat/synthetic images
+    * (near-zero energy) or noise (extreme energy).
+    *
+    * Same scale shape as [[decodePpm]]: partition-local typed kernel
+    * over the payload bytes, no shuffle. Images with fewer than 3 rows
+    * have no interior and score 0. */
+  def ppmGradient(media: Dataset[MediaRecord]): Dataset[PpmGradient] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val b = r.payload
+      val (w, h, _, off) = scanPpmHeader(r.media_id, b)
+      def lum(x: Int, y: Int): Long = {
+        val p = off + (y * w + x) * 3
+        ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)).toLong
+      }
+      var e = 0L
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val gx = (lum(x + 1, y - 1) + 2 * lum(x + 1, y) +
+            lum(x + 1, y + 1)) -
+            (lum(x - 1, y - 1) + 2 * lum(x - 1, y) + lum(x - 1, y + 1))
+          val gy = (lum(x - 1, y + 1) + 2 * lum(x, y + 1) +
+            lum(x + 1, y + 1)) -
+            (lum(x - 1, y - 1) + 2 * lum(x, y - 1) + lum(x + 1, y - 1))
+          e += math.abs(gx) + math.abs(gy)
+          x += 1
+        }
+        y += 1
+      }
+      PpmGradient(r.media_id, w.toLong, h.toLong, e)
+    })
   }
 
   /** Away-from-zero 1e-4 quantizer — the SQL `round(x)::BIGINT`

@@ -273,4 +273,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(got(2L).re_q4 == re && got(2L).im_q4 == im)
   }
+
+  test("ppmGradient: scalar Sobel replay on a known image; flat images " +
+      "score zero; short images have no interior") {
+    val s = spark
+    import s.implicits._
+    // 16-wide rows of 48 chars each; 3 rows of a CONSTANT byte -> all
+    // luminances equal -> every gx, gy = 0
+    val flat = "a" * 144
+    // 3 rows with the middle row brighter: vertical gradient
+    val ridge = ("a" * 48) + ("z" * 48) + ("a" * 48)
+    val rec = Multimodal.packPpm(
+        Seq((1L, flat), (2L, ridge), (3L, "b" * 96)).toDF("doc_id", "text"),
+        "doc_id", "text", width = 16).as[MediaRecord]
+    val got = Multimodal.ppmGradient(rec).collect()
+      .map(g => g.media_id -> g).toMap
+    assert(got(1L).grad_energy == 0L)
+    assert(got(3L).height == 2L && got(3L).grad_energy == 0L) // no interior
+    // scalar replay for the ridge
+    val lumA = 3L * 'a'; val lumZ = 3L * 'z'
+    // interior row y=1 (the z row); for every interior x the 3x3
+    // neighborhood is column-symmetric -> gx = 0; gy sums
+    // (a-row below) - (a-row above) = 0 too? No: gy uses corners a,
+    // below = a+2a+a... compute directly:
+    def lum(x: Int, y: Int): Long = if (y == 1) lumZ else lumA
+    var e = 0L
+    for (x <- 1 to 14) {
+      val gx = (lum(x+1,0) + 2*lum(x+1,1) + lum(x+1,2)) -
+        (lum(x-1,0) + 2*lum(x-1,1) + lum(x-1,2))
+      val gy = (lum(x-1,2) + 2*lum(x,2) + lum(x+1,2)) -
+        (lum(x-1,0) + 2*lum(x,0) + lum(x+1,0))
+      e += math.abs(gx) + math.abs(gy)
+    }
+    assert(got(2L).grad_energy == e)
+  }
 }
