@@ -1365,6 +1365,32 @@ object SparkEntry {
           "source", "text", window = 8, mask = 32)
         .orderBy(col("source"))),
 
+    // Chunk census maintained at ingest: per-tick (source, chunk)
+    // occurrence counts are additive, so the dedup accounting off the
+    // summed ledger equals the batch q_dedup_chunks (shared oracle) —
+    // the chunk-store index built as data arrives.
+    "q_chunk_store_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_chks_")
+      try Streaming.chunkStatsAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_chunks"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Incremental chunk dedup: the NEW batch's chunks probe the corpus
+    // chunk store (semi-join against the distinct-chunk index) —
+    // batch-proportional cost; how many chunks/bytes the store already
+    // holds is the dedup-savings estimate for the arriving drop.
+    "q_dedup_chunks_incremental" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.chunkIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // Int8 embedding quantization: integer code stats are exact on any
     // engine; the oracle additionally pins recon_ok = true (per-dim
     // reconstruction error within scale/2).
@@ -4576,6 +4602,35 @@ object SparkEntry {
          FROM lm ORDER BY media_id"""
   }
 
+  /** Content-defined chunk relation (doc_id, source, chunk) — shared
+    * by the batch stats, the ingest-ledger gate, and the incremental
+    * probe. */
+  private val chunkRelationCte =
+    """WITH d AS (SELECT doc_id, source, text, length(text) AS n
+              FROM documents),
+         st AS (SELECT doc_id, source, text, n,
+              list_prepend(1, [i for i in generate_series(2, n - 7)
+                if ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT
+                  % 32 = 0]) AS starts
+            FROM d),
+         ch AS (SELECT doc_id, source, unnest([substr(text, starts[j],
+                ((CASE WHEN j < len(starts) THEN starts[j + 1]
+                  ELSE n + 1 END) - starts[j])::INT)
+                for j in generate_series(1, len(starts))]) AS chunk
+            FROM st)"""
+
+  /** Shared by q_dedup_chunks and the chunk-census ingest gate. */
+  private def chunkStatsOracle: String =
+    s"""$chunkRelationCte,
+         g AS (SELECT source, chunk, count(*) AS cnt,
+                min(length(chunk)) AS len
+            FROM ch GROUP BY 1, 2)
+         SELECT source, sum(cnt)::BIGINT AS n_chunks,
+              count(*)::BIGINT AS n_distinct,
+              (sum(cnt) - count(*))::BIGINT AS dup_chunks,
+              coalesce(sum((cnt - 1) * len), 0)::BIGINT AS dup_bytes
+         FROM g GROUP BY 1 ORDER BY 1"""
+
   /** Shared by q_dedup_simhash_pairs and the ensemble vote. */
   private val simhashPairsOracle =
     """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
@@ -5213,27 +5268,23 @@ object SparkEntry {
     // the same final state — same oracle
     "q_cdc_stream" -> cdcApplyOracle,
 
-    "q_dedup_chunks" ->
-      """WITH d AS (SELECT doc_id, source, text, length(text) AS n
-              FROM documents),
-         st AS (SELECT doc_id, source, text, n,
-              list_prepend(1, [i for i in generate_series(2, n - 7)
-                if ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT
-                  % 32 = 0]) AS starts
-            FROM d),
-         ch AS (SELECT source, unnest([substr(text, starts[j],
-                ((CASE WHEN j < len(starts) THEN starts[j + 1]
-                  ELSE n + 1 END) - starts[j])::INT)
-                for j in generate_series(1, len(starts))]) AS chunk
-            FROM st),
-         g AS (SELECT source, chunk, count(*) AS cnt,
-                min(length(chunk)) AS len
-            FROM ch GROUP BY 1, 2)
-         SELECT source, sum(cnt)::BIGINT AS n_chunks,
-              count(*)::BIGINT AS n_distinct,
-              (sum(cnt) - count(*))::BIGINT AS dup_chunks,
-              coalesce(sum((cnt - 1) * len), 0)::BIGINT AS dup_bytes
-         FROM g GROUP BY 1 ORDER BY 1""",
+    "q_dedup_chunks" -> chunkStatsOracle,
+    "q_chunk_store_stream" -> chunkStatsOracle,
+
+    "q_dedup_chunks_incremental" ->
+      s"""$chunkRelationCte,
+         store AS (SELECT DISTINCT chunk FROM ch WHERE doc_id % 10 <> 0),
+         bat AS (SELECT source, chunk FROM ch WHERE doc_id % 10 = 0)
+         SELECT source,
+              count(*) FILTER (WHERE s.chunk IS NULL)::BIGINT
+                AS new_chunks,
+              count(*) FILTER (WHERE s.chunk IS NOT NULL)::BIGINT
+                AS known_chunks,
+              coalesce(sum(length(b.chunk))
+                FILTER (WHERE s.chunk IS NOT NULL), 0)::BIGINT
+                AS known_bytes
+         FROM bat b LEFT JOIN store s USING (chunk)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_lines" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l

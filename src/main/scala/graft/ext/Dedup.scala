@@ -964,13 +964,52 @@ object Dedup {
     * stays definitionally exact. */
   def chunkDedupStats(docs: DataFrame, groupCol: String, textCol: String,
       window: Int = 8, mask: Int = 32): DataFrame =
-    contentChunks(docs, textCol, window, mask)
+    chunkStatsFromCensus(
+      contentChunks(docs, textCol, window, mask)
+        .groupBy(col(groupCol), col("chunk"))
+        .agg(count(lit(1)).as("cnt"), min(length(col("chunk"))).as("len")),
+      groupCol)
+
+  /** [[chunkDedupStats]] from an ALREADY-MAINTAINED
+    * `(group, chunk, cnt, len)` census — the ingest-time form: chunk
+    * occurrence counts are ADDITIVE across micro-batches, so a stream
+    * that appends per-batch chunk censuses holds the dedup
+    * accounting's sufficient statistic (the chunk-store index itself)
+    * and the current stats derive without rescanning the corpus. */
+  def chunkStatsFromCensus(census: DataFrame, groupCol: String)
+      : DataFrame =
+    census
+      // re-aggregate: a maintained census holds one row per
+      // (group, chunk) PER BATCH
       .groupBy(col(groupCol), col("chunk"))
-      .agg(count(lit(1)).as("cnt"), min(length(col("chunk"))).as("len"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("len")).as("len"))
       .groupBy(col(groupCol))
       .agg(sum(col("cnt")).as("n_chunks"),
         count(lit(1)).as("n_distinct"),
         (sum(col("cnt")) - count(lit(1))).as("dup_chunks"),
         coalesce(sum((col("cnt") - 1) * col("len")), lit(0L))
           .as("dup_bytes"))
+
+  /** Incremental chunk-level dedup — the per-batch arm of
+    * [[chunkDedupStats]]: how many of the NEW batch's chunks (and
+    * bytes) already exist in the corpus chunk store. Cost is
+    * batch-chunks × (semi-join against the census), never
+    * corpus × corpus — the chunk-granular sibling of the incremental
+    * MinHash dedup.
+    *
+    * @return per group: (group, new_chunks, known_chunks, known_bytes) */
+  def chunkIncremental(batch: DataFrame, corpus: DataFrame,
+      groupCol: String, textCol: String,
+      window: Int = 8, mask: Int = 32): DataFrame = {
+    val store = contentChunks(corpus, textCol, window, mask)
+      .select(col("chunk")).distinct()
+    contentChunks(batch, textCol, window, mask)
+      .join(store.withColumn("__known", lit(1L)), Seq("chunk"), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(when(col("__known").isNull, 1)).as("new_chunks"),
+        count(when(col("__known").isNotNull, 1)).as("known_chunks"),
+        coalesce(sum(when(col("__known").isNotNull,
+          length(col("chunk")))), lit(0L)).as("known_bytes"))
+  }
 }

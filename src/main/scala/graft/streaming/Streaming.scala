@@ -1333,6 +1333,59 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Content-defined-chunk census maintained at INGEST — the chunk
+    * STORE index built as data arrives: each tick chunks ITS documents
+    * ([[graft.ext.Dedup.contentChunks]]) and writes the (group, chunk)
+    * occurrence census to an idempotent `batch=<id>` subdir. Chunk
+    * counts are ADDITIVE, so the summed ledger is the dedup
+    * accounting's sufficient statistic (and the membership index the
+    * incremental dedup probes) — stats and novelty checks never rescan
+    * the corpus. */
+  def chunkIngest(docs: DataFrame, statePath: String,
+      checkpointDir: String, groupCol: String, textCol: String,
+      window: Int = 8, mask: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.ext.Dedup.contentChunks(batch.toDF(), textCol,
+              window, mask)
+            .groupBy(col(groupCol), col("chunk"))
+            .agg(count(lit(1)).as("cnt"),
+              min(length(col("chunk"))).as("len"))
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[chunkIngest]]: documents arrive in two
+    * hash ticks; the dedup accounting derived from the summed chunk
+    * census must equal the batch
+    * [[graft.ext.Dedup.chunkDedupStats]] — the shared q_dedup_chunks
+    * oracle. */
+  def chunkStatsAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(chunkIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "source", "text"), queryName)
+      graft.ext.Dedup.chunkStatsFromCensus(
+        spark.read.parquet(s"$workDir/state"), "source")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Late-arrival AUDIT at ingest — streaming observability for the
     * silent failure mode: engines drop watermark-late rows without a
     * trace, and a pipeline that never measures its lateness profile

@@ -1520,6 +1520,32 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(gotStarts == expectStarts)
   }
 
+  test("chunkIncremental: an exact-duplicate batch doc is fully known; " +
+      "novel text is fully new") {
+    val s = spark
+    import s.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the hills"
+    val corpus = Seq((1L, "src", corpusText)).toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (2L, "src", corpusText),                  // exact dup: all known
+      (3L, "src", "zz qq ww ee rr tt yy uu"))   // novel: all new
+      .toDF("doc_id", "source", "text")
+    val got = graft.ext.Dedup.chunkIncremental(batch, corpus,
+        "source", "text", window = 8, mask = 4)
+      .collect()(0)
+    val known = got.getLong(got.fieldIndex("known_chunks"))
+    val fresh = got.getLong(got.fieldIndex("new_chunks"))
+    val kBytes = got.getLong(got.fieldIndex("known_bytes"))
+    // the duplicate contributes its whole chunking as known bytes
+    assert(kBytes == corpusText.length.toLong)
+    assert(known >= 1L && fresh >= 1L)
+    // totals: batch chunks = known + new
+    val batchChunks = graft.ext.Dedup.contentChunks(batch, "text",
+      window = 8, mask = 4).count()
+    assert(known + fresh == batchChunks)
+  }
+
   test("ksDrift: identical sides give a zero statistic; a pure location " +
       "shift yields the exact integer cumulative gap") {
     val s = spark
