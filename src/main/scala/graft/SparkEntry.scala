@@ -3701,6 +3701,23 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Rank-normalization window analytics: percent_rank (the ECDF
+    // position every percentile-feature pipeline starts from) and
+    // decile ntile per event type, tie-broken to a total order so
+    // both replay exactly. One window shuffle by type.
+    "q_percent_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.read(s, dir, "events")
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("purchase", "click"))
+        .select(col("event_type"), col("event_id"),
+          r6(percent_rank().over(w)).as("pr"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // Robust outlier census: median/MAD modified z-score per event
     // type (z = 3.5) — the fences don't move when the outliers
     // arrive, unlike mean/stddev. Exact interpolated quantiles
@@ -7352,6 +7369,14 @@ object SparkEntry {
     // expression chain over identical longs.
     "q_drift_psi" -> driftPsiOracle,
     "q_ks_drift" -> ksDriftOracle,
+    "q_percent_rank" ->
+      """SELECT event_type, event_id,
+              round(percent_rank() OVER w, 6) AS pr,
+              (ntile(10) OVER w)::BIGINT AS decile
+         FROM events
+         WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_type, event_id""",
     "q_robust_outliers" ->
       """WITH m AS (SELECT event_type,
               quantile_cont(value, 0.5) AS med
