@@ -3954,6 +3954,17 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Generalization ladder: COARSEN the value band (doubling width
+    // per rung) until no (type, day, band) group violates k = 5 —
+    // k-anonymization as a response, not just an audit. Driver loops
+    // over rungs (one 1-row aggregate each, the Lloyd's contract) and
+    // stops at the finest compliant resolution.
+    "q_kanon_ladder" -> ((s, dir) =>
+      graft.ext.Privacy.generalizationLadder(
+        Tables.read(s, dir, "events"),
+        Seq(col("event_type"), to_date(col("ts"))),
+        col("value"), widths = Seq(32L, 64L, 128L, 256L, 512L), k = 5)),
+
     // Streaming arm of the k-anonymity audit: two hash ticks each
     // write their (QI, user) row-count census — the audit's ADDITIVE
     // sufficient statistic (per-group distinct users is not additive;
@@ -4802,6 +4813,33 @@ object SparkEntry {
               coalesce(sum(n_rows) FILTER (WHERE n_sensitive < 3), 0)::BIGINT
                 AS risky_l_rows
          FROM g GROUP BY 1 ORDER BY 1"""
+
+  /** DuckDB replay of [[graft.ext.Privacy.generalizationLadder]]: one
+    * audit CTE per rung, pick the finest compliant width, else the
+    * coarsest rung's (non-compliant) audit. */
+  private def kanonLadderOracle(widths: Seq[Long]): String = {
+    val rungs = widths.map { w =>
+      s"""a$w AS (SELECT ${w}::BIGINT AS width,
+              count(*)::BIGINT AS n_groups,
+              min(n_rows)::BIGINT AS min_group,
+              count(*) FILTER (WHERE n_rows < 5)::BIGINT AS risky_k_groups,
+              coalesce(sum(n_rows) FILTER (WHERE n_rows < 5), 0)::BIGINT
+                AS risky_k_rows
+            FROM (SELECT count(*) AS n_rows FROM events
+                  GROUP BY event_type, CAST(ts AS DATE),
+                    floor(value / $w.0)))"""
+    }.mkString(",\n         ")
+    val unionAll = widths.map(w => s"SELECT * FROM a$w")
+      .mkString("\n           UNION ALL ")
+    s"""WITH $rungs,
+         allr AS ($unionAll),
+         pick AS (SELECT * FROM allr WHERE risky_k_rows = 0
+              ORDER BY width LIMIT 1)
+         SELECT * FROM pick
+         UNION ALL
+         SELECT * FROM a${widths.last}
+         WHERE NOT EXISTS (SELECT 1 FROM pick)"""
+  }
 
   private val driftPsiOracle =
     """WITH r AS (SELECT CAST(least(greatest(
@@ -7397,6 +7435,7 @@ object SparkEntry {
     "q_ewma" -> ewmaOracle,
     "q_kanon" -> kanonOracle,
     "q_kanon_stream" -> kanonOracle,
+    "q_kanon_ladder" -> kanonLadderOracle(Seq(32L, 64L, 128L, 256L, 512L)),
 
     // one-batch streaming replay of the same monitor, same oracle
     "q_drift_stream" -> driftPsiOracle,

@@ -78,6 +78,53 @@ object Privacy {
     summarize(groups, reportAs, k, l)
   }
 
+  /** Generalization ladder — the k-anonymization RESPONSE, not just
+    * the audit: coarsen the numeric quasi-identifier (doubling the
+    * band width per rung) until NO group violates k-anonymity, and
+    * report the first compliant rung with its audit. The classic
+    * trade: each doubling halves the QI's resolution (information
+    * loss) and monotonically merges groups (risk loss); the ladder
+    * finds the finest compliant resolution.
+    *
+    * The driver loops over rungs — each rung ONE aggregate job, the
+    * Lloyd's-iteration contract (job barriers, never data, on the
+    * driver); rungs are bounded by `widths.length`. If even the
+    * coarsest rung violates, it is returned with its nonzero
+    * `risky_k_rows` — the caller sees the failure, nothing silently
+    * passes.
+    *
+    * @return one row: (width, n_groups, min_group, risky_k_groups,
+    *         risky_k_rows) for the chosen rung */
+  def generalizationLadder(df: DataFrame, stableQi: Seq[Column],
+      valueCol: Column, widths: Seq[Long], k: Int): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0), "need positive widths")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def auditAt(w: Long): DataFrame =
+      anonymityGroups(df,
+          stableQi :+ floor(valueCol / w.toDouble).as("__band"),
+          lit(1))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("n_rows")).as("min_group"),
+          count(when(col("n_rows") < k, 1)).as("risky_k_groups"),
+          coalesce(sum(when(col("n_rows") < k, col("n_rows"))), lit(0L))
+            .as("risky_k_rows"))
+        .select(lit(w).as("width"), col("n_groups"), col("min_group"),
+          col("risky_k_groups"), col("risky_k_rows"))
+    val rungs = widths.iterator.map(auditAt)
+    // driver sees ONE 1-row audit per rung; data never leaves executors
+    val chosen = rungs
+      .map(_.collect()(0))
+      .find(r => r.getLong(r.fieldIndex("risky_k_rows")) == 0L)
+    chosen match {
+      case Some(r) =>
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toDF("width", "n_groups", "min_group",
+          "risky_k_groups", "risky_k_rows")
+      case None => auditAt(widths.last)
+    }
+  }
+
   private def summarize(groups: DataFrame, reportAs: String,
       k: Int, l: Int): DataFrame =
     groups.groupBy(col(reportAs))

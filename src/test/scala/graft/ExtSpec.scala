@@ -1599,6 +1599,31 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       100L * ((1L << 16) - 1))
   }
 
+  test("generalizationLadder: picks the finest compliant band width, " +
+      "surfaces the coarsest rung when nothing complies") {
+    val s = spark
+    import s.implicits._
+    // values 0..7, two per value under one stable QI: width 1 -> groups
+    // of 2 (k=3 risky); width 4 -> two groups of 8 (compliant)
+    val df = (0 until 8).flatMap(v => Seq(("g", v.toDouble),
+      ("g", v.toDouble))).toDF("grp", "v")
+    val got = graft.ext.Privacy.generalizationLadder(df,
+        Seq(col("grp")), col("v"), widths = Seq(1L, 4L), k = 3)
+      .collect()(0)
+    assert(got.getLong(got.fieldIndex("width")) == 4L)
+    assert(got.getLong(got.fieldIndex("n_groups")) == 2L)
+    assert(got.getLong(got.fieldIndex("min_group")) == 8L)
+    assert(got.getLong(got.fieldIndex("risky_k_rows")) == 0L)
+    // a lone row can never reach k = 3: the coarsest rung returns
+    // with its violation visible
+    val lone = Seq(("g", 1.0)).toDF("grp", "v")
+    val worst = graft.ext.Privacy.generalizationLadder(lone,
+        Seq(col("grp")), col("v"), widths = Seq(1L, 4L), k = 3)
+      .collect()(0)
+    assert(worst.getLong(worst.fieldIndex("width")) == 4L)
+    assert(worst.getLong(worst.fieldIndex("risky_k_rows")) == 1L)
+  }
+
   test("anonymityAudit: counts risky groups and exposed rows per report " +
       "key; compliant partitions report zero") {
     val s = spark
