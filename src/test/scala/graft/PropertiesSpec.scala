@@ -842,4 +842,52 @@ object PropertiesSpec extends Properties("graft") {
       }
       out == expect
     }
+
+  private val asciiTextGen: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  property("contentChunks: chunks always reassemble to the text, and " +
+      "every chunk except possibly the first starts at a boundary draw") =
+    forAll(Gen.listOfN(6, asciiTextGen)) { texts =>
+      val s = spark
+      import s.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.contentChunks(df.filter(length(col("text")) > 0),
+          "text", window = 5, mask = 4)
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, v) =>
+          k -> v.map(_.getString(v.head.fieldIndex("chunk"))).toSeq }
+      got.forall { case (id, chunks) =>
+        chunks.mkString == texts(id.toInt) && chunks.forall(_.nonEmpty)
+      }
+    }
+
+  property("ringShard: assignment in range; S -> S+1 growth only ever " +
+      "moves keys TO the new shard") =
+    forAll(Gen.listOfN(24, Gen.choose(Long.MinValue, Long.MaxValue))) { ks =>
+      val s = spark
+      import s.implicits._
+      val out = ks.distinct.toDF("k")
+        .select(graft.ext.Sampling.ringShard(col("k"), 5, 3).as("s5"),
+          graft.ext.Sampling.ringShard(col("k"), 6, 3).as("s6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      out.forall { case (s5, s6) =>
+        s5 >= 0 && s5 < 5 && s6 >= 0 && s6 < 6 &&
+          (s5 == s6 || s6 == 5)
+      }
+    }
+
+  property("WordPiece.greedyPieces: counts bounded by " +
+      "ceil(len/maxPieceLen) .. len when every substring is in vocab") =
+    forAll(Gen.listOfN(8, asciiTextGen.map(_.take(12)))) { words =>
+      words.filter(_.nonEmpty).forall { w =>
+        val vocab = (for {
+          i <- 0 until w.length; l <- 1 to math.min(4, w.length - i)
+        } yield w.substring(i, i + l)).toSet
+        val (n, unk) = graft.ext.WordPiece.greedyPieces(w, vocab, 4, 16)
+        unk == 0L && n >= (w.length + 3) / 4 && n <= w.length
+      }
+    }
 }
