@@ -1486,6 +1486,15 @@ object SparkEntry {
           "vec_id", "embedding", k = 8)
         .orderBy(col("round"))),
 
+    // Mutual kNN: the symmetric matching filter — (a, b) kept only
+    // when each is in the other's top-5 under exact int8 dots; hubs
+    // that are "near everyone" without reciprocity drop out. One
+    // self-join over the kNN relation.
+    "q_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnn(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // MMR diversified top-k: relevance-minus-redundancy greedy under
     // exact int8 dots (λ = 1/2 keeps the score pure integer) — the
     // RAG re-ranker / diverse-exemplar picker; per round one candidate
@@ -5485,6 +5494,30 @@ object SparkEntry {
 
     "q_kcenter" -> kcenterOracle(8),
     "q_mmr" -> mmrOracle(8),
+    "q_mutual_knn" ->
+      """WITH km AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                AS ma
+            FROM embeddings),
+         kq AS (SELECT vec_id,
+              CASE WHEN ma = 0
+                THEN list_transform(embedding, x -> 0::BIGINT)
+                ELSE list_transform(embedding,
+                  x -> floor(x::DOUBLE / ma * 127 + 0.5)::BIGINT)
+              END AS qq
+            FROM km),
+         sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+              list_sum([a.qq[i] * b.qq[i]
+                for i in generate_series(1, len(a.qq))])::BIGINT AS d
+            FROM kq a JOIN kq b ON a.vec_id <> b.vec_id),
+         r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                ORDER BY d DESC, nid)::BIGINT AS rank FROM sc),
+         topk AS (SELECT * FROM r WHERE rank <= 5)
+         SELECT ab.qid AS id_a, ab.nid AS id_b,
+              ab.rank AS rank_ab, ba.rank AS rank_ba
+         FROM topk ab JOIN topk ba
+           ON ab.qid = ba.nid AND ab.nid = ba.qid AND ab.qid < ab.nid
+         ORDER BY id_a, id_b""",
 
     // Full PQ replay (pqChainSql: shared int8 pts + one cand sample,
     // per-subspace seed/Lloyd chains, codes/cb/recon tail) + the

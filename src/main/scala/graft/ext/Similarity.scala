@@ -982,6 +982,34 @@ object Similarity {
     picks.toSeq.toDF("round", idCol, "radius")
   }
 
+  /** Mutual (reciprocal) kNN pairs — the symmetric matching criterion:
+    * keep (a, b) only when b is in a's top-k AND a is in b's top-k.
+    * One-directional kNN is asymmetric (a hub is "near" everyone;
+    * almost no one is near it back), so mutuality is the standard
+    * precision filter for matching/near-dup candidates built from an
+    * ANN relation. Rides [[knnQuantizedInt8]] with the corpus as its
+    * own query set (exact integer dots, engine-replayable ranks); at
+    * corpus scale substitute the IVF relation — the mutuality join is
+    * the same.
+    *
+    * Scale: the kNN relation is corpus × k rows; the mutuality check
+    * is ONE self-equi-join on the ordered pair key. No new corpus
+    * pass.
+    *
+    * @return (id_a, id_b, rank_ab, rank_ba) with id_a < id_b */
+  def mutualKnn(e: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    val nn = knnQuantizedInt8(e, e, idCol, vecCol, k)
+      .select(col("query_id"), col("nn_id"), col("rank"))
+    val ab = nn.filter(col("query_id") < col("nn_id"))
+      .select(col("query_id").as("id_a"), col("nn_id").as("id_b"),
+        col("rank").cast("long").as("rank_ab"))
+    val ba = nn.filter(col("query_id") > col("nn_id"))
+      .select(col("nn_id").as("id_a"), col("query_id").as("id_b"),
+        col("rank").cast("long").as("rank_ba"))
+    ab.join(ba, Seq("id_a", "id_b"))
+  }
+
   /** Maximal Marginal Relevance (MMR) selection — the diversified
     * top-k: greedily pick the candidate maximizing
     * `λ·sim(query, d) − (1−λ)·max_{s∈S} sim(d, s)` at λ = 1/2, i.e.

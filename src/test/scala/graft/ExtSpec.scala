@@ -1470,6 +1470,26 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out.find(_._1 == 7L).get._2 == expect)
   }
 
+  test("mutualKnn: only reciprocal top-k pairs survive; cross-cluster " +
+      "asymmetry drops out") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Seq(10f, 0f)), (2L, Seq(9.9f, 0.5f)),
+      (3L, Seq(0f, 10f)), (4L, Seq(0.5f, 9.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualKnn(emb, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(r.fieldIndex("rank_ab")),
+          r.getLong(r.fieldIndex("rank_ba")))).toMap
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(got.values.forall(_ == ((1L, 1L))))
+    // with k = 3 every pair is within each other's top-3 of 3: all 6
+    val all = Similarity.mutualKnn(emb, "vec_id", "embedding", k = 3)
+      .count()
+    assert(all == 6L)
+  }
+
   test("mmrSelect: diversified pick beats the near-duplicate of the " +
       "first hit; integer scores replay scalar arithmetic") {
     val s = spark
