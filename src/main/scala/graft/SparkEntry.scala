@@ -3926,6 +3926,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Streaming arm of the bloom-pruned join: per-tick dim blooms OR
+    // into exactly the one-pass bitmap, so the merged runtime filter
+    // prunes identically to the batch build (shared oracle — the
+    // exact join; blooms may only shed non-matches).
+    "q_bloom_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_blooms_")
+      try Streaming.bloomJoinAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_bloom"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Streaming arm of the HLL distinct-count rollup: per-tick daily
     // sketches union by register max (associative/commutative/
     // idempotent), so weekly estimates off the accumulated ledger
@@ -5946,6 +5963,13 @@ object SparkEntry {
 
     // plain unpruned join — proves the bloom pre-filter changes nothing
     "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 450000
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_bloom_stream" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

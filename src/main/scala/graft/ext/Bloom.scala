@@ -50,6 +50,18 @@ object Bloom {
       }
     val bloom = dim.select(col(dimKey).cast("long").as(dimKey))
       .stat.bloomFilter(dimKey, expectedKeys, fpp)
+    bloomPrunedJoinWith(fact, dim, factKey, dimKey, bloom)
+  }
+
+  /** [[bloomPrunedJoin]] against an EXISTING sketch — the read side
+    * split out so a bloom MAINTAINED elsewhere (per-micro-batch at
+    * ingest, `Streaming.bloomIngest` — bloom bitmaps under one sizing
+    * OR together exactly into the one-pass bitmap) prunes through the
+    * same code path. The caller owns key-type discipline (the builder
+    * above enforces integral keys). */
+  def bloomPrunedJoinWith(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val spark = fact.sparkSession
     val keyAsLong = col(factKey).cast("long")
     // Probe with Spark's own BloomFilterMightContain expression — the

@@ -1521,6 +1521,76 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Bloom filter maintained at INGEST: per tick, the arriving dim
+    * keys sketch into a bloom written to an idempotent `batch=<id>`
+    * subdir. Bitmaps under ONE sizing (bits, hash count) OR together
+    * into exactly the one-pass bitmap — set bits are a pure union of
+    * per-key bits — so the merged ledger prunes identically to a
+    * batch-built bloom, and a join-side runtime filter exists
+    * continuously as the dimension grows. */
+  def bloomIngest(rows: DataFrame, statePath: String,
+      checkpointDir: String, keyCol: String, expectedKeys: Long,
+      fpp: Double = 0.01)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val s = batch.sparkSession
+          import s.implicits._
+          val bf = batch.toDF()
+            .select(col(keyCol).cast("long").as(keyCol))
+            .stat.bloomFilter(keyCol, expectedKeys, fpp)
+          val os = new java.io.ByteArrayOutputStream()
+          bf.writeTo(os)
+          Seq((batchId, os.toByteArray)).toDF("batch_id", "bloom")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** OR-merge the per-tick blooms accumulated by [[bloomIngest]]. */
+  def bloomMergedState(spark: SparkSession, statePath: String)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val rows = spark.read.parquet(statePath)
+      .select(col("bloom")).collect()
+    require(rows.nonEmpty, s"no blooms under $statePath")
+    rows.map { r =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+    }.reduce { (a, b) => a.mergeInPlace(b); a }
+  }
+
+  /** One-shot gate replay of [[bloomIngest]]: the hot-orders dimension
+    * arrives in two hash ticks; the join pruned through the MERGED
+    * bloom must equal the batch [[graft.ext.Bloom.bloomPrunedJoin]] —
+    * the shared q_bloom_join oracle (which is the exact unpruned
+    * join: blooms may only shed non-matching rows). */
+  def bloomJoinAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val hot = graft.Tables.read(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000)
+    val halves = Seq(
+      hot.filter(abs(hash(col("o_orderkey"))) % 2 === 0),
+      hot.filter(abs(hash(col("o_orderkey"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(bloomIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "o_orderkey", expectedKeys = 20000L), queryName)
+      val merged = bloomMergedState(spark, s"$workDir/state")
+      graft.ext.Bloom.bloomPrunedJoinWith(
+        graft.Tables.read(spark, dir, "lineitem"), hot,
+        "l_orderkey", "o_orderkey", merged)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** k-anonymity ledger maintained at INGEST: each tick writes its own
     * (QI, user) row-count census to an idempotent `batch=<id>` subdir.
     * The per-group distinct-user count is NOT additive across batches,

@@ -808,6 +808,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("bloomIngest: OR-merged per-tick blooms probe exactly like the " +
+      "one-pass bloom; replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomspec_")
+    val state = dir.resolve("state").toString
+    try {
+      val mem = MemoryStream[Long]
+      def stream = mem.toDF().toDF("k")
+      mem.addData(1L, 2L, 3L)
+      Streaming.bloomIngest(stream, state, dir.resolve("cp1").toString,
+        "k", expectedKeys = 100L).awaitTermination()
+      mem.addData(4L, 5L)
+      Streaming.bloomIngest(stream, state, dir.resolve("cp1").toString,
+        "k", expectedKeys = 100L).awaitTermination()
+      val merged = Streaming.bloomMergedState(s, state)
+      val onePass = Seq(1L, 2L, 3L, 4L, 5L).toDF("k")
+        .stat.bloomFilter("k", 100L, 0.01)
+      for (k <- 0L to 50L)
+        assert(merged.mightContainLong(k) == onePass.mightContainLong(k),
+          s"key $k: merged bloom != one-pass bloom")
+      // replay tick 0: overwrite + OR idempotence keep the bitmap fixed
+      val mem2 = MemoryStream[Long]
+      def stream2 = mem2.toDF().toDF("k")
+      mem2.addData(1L, 2L, 3L)
+      Streaming.bloomIngest(stream2, state, dir.resolve("cp2").toString,
+        "k", expectedKeys = 100L).awaitTermination()
+      val merged2 = Streaming.bloomMergedState(s, state)
+      for (k <- 0L to 50L)
+        assert(merged2.mightContainLong(k) == onePass.mightContainLong(k))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("hllIngest: unioned per-tick sketches estimate exactly like the " +
       "one-pass sketch (register-max associativity); replay is a no-op") {
     val s = spark
