@@ -3736,6 +3736,33 @@ object SparkEntry {
           "value", Seq("event_type"), z = 3.5)
         .orderBy(col("event_type"))),
 
+    // The one-look corpus-health dashboard: every monitor's headline
+    // number as one (metric, value) row — KS drift, total PSI, robust
+    // outlier rows, Zipf slope. Pure composition of proven operators;
+    // the dashboard any ingest pipeline pins to its run report.
+    "q_corpus_health" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      val click = ev.filter(col("event_type") === "click")
+      val purchase = ev.filter(col("event_type") === "purchase")
+      val zipf = TextAnalysis.zipfFit(
+          Tables.read(s, dir, "documents"), "text")
+        .select(lit("zipf_slope_e6").as("metric"),
+          col("slope_e6").as("value"))
+      val ks = graft.ext.Profile.ksDrift(click, purchase,
+          "value", lo = 0.0, hi = 512.0, buckets = 256)
+        .select(lit("ks_e6").as("metric"), col("ks_e6").as("value"))
+      val psi = graft.ext.Profile.psiDrift(click, purchase,
+          "value", lo = 0.0, hi = 512.0, buckets = 16)
+        .agg(sum(col("psi_e6")).as("value"))
+        .select(lit("psi_total_e6").as("metric"), col("value"))
+      val outl = graft.ext.Profile.robustOutliers(ev, "value",
+          Seq("event_type"))
+        .agg(sum(col("n_outliers")).as("value"))
+        .select(lit("outlier_rows").as("metric"), col("value"))
+      ks.unionByName(outl).unionByName(psi).unionByName(zipf)
+        .orderBy(col("metric"))
+    }),
+
     // Kolmogorov–Smirnov arm of the drift monitor: worst cumulative
     // ECDF gap between the same two distributions, argmax'd on the
     // cross-multiplied INTEGER numerator so bin choice and gap
@@ -4778,6 +4805,43 @@ object SparkEntry {
          SELECT habit, q_ppm, bucket, n_total,
                 round(0.0 + 10.0 * (bucket + 1), 6) AS est
          FROM sel ORDER BY habit, q_ppm"""
+
+  /** Shared by q_robust_outliers and the corpus-health dashboard. */
+  private val robustOutliersOracle =
+    """WITH m AS (SELECT event_type,
+              quantile_cont(value, 0.5) AS med
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+         d AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+            FROM events e JOIN m USING (event_type)
+            WHERE e.value IS NOT NULL),
+         md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM d GROUP BY 1)
+         SELECT d.event_type, count(*)::BIGINT AS n,
+              round(min(d.med), 6) AS med,
+              round(min(md.mad), 6) AS mad,
+              count(*) FILTER (WHERE md.mad > 0
+                  AND d.adev * 0.6745 > 3.5 * md.mad)
+                ::BIGINT AS n_outliers
+         FROM d JOIN md USING (event_type)
+         GROUP BY 1 ORDER BY 1"""
+
+  /** The one-look corpus-health dashboard: each proven monitor's
+    * headline number as one (metric, value) row — pure composition of
+    * the shared oracle texts. */
+  private def corpusHealthOracle: String =
+    s"""WITH hz AS ($zipfOracle),
+         hk AS ($ksDriftOracle),
+         hp AS ($driftPsiOracle),
+         ho AS ($robustOutliersOracle)
+         SELECT * FROM (
+           SELECT 'ks_e6' AS metric, ks_e6 AS value FROM hk
+           UNION ALL
+           SELECT 'outlier_rows', sum(n_outliers)::BIGINT FROM ho
+           UNION ALL
+           SELECT 'psi_total_e6', sum(psi_e6)::BIGINT FROM hp
+           UNION ALL
+           SELECT 'zipf_slope_e6', slope_e6 FROM hz)
+         ORDER BY metric"""
 
   private val ksDriftOracle =
     """WITH r AS (SELECT CAST(least(greatest(
@@ -7472,23 +7536,8 @@ object SparkEntry {
          WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
          WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
          ORDER BY event_type, event_id""",
-    "q_robust_outliers" ->
-      """WITH m AS (SELECT event_type,
-              quantile_cont(value, 0.5) AS med
-            FROM events WHERE value IS NOT NULL GROUP BY 1),
-         d AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
-            FROM events e JOIN m USING (event_type)
-            WHERE e.value IS NOT NULL),
-         md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
-            FROM d GROUP BY 1)
-         SELECT d.event_type, count(*)::BIGINT AS n,
-              round(min(d.med), 6) AS med,
-              round(min(md.mad), 6) AS mad,
-              count(*) FILTER (WHERE md.mad > 0
-                  AND d.adev * 0.6745 > 3.5 * md.mad)
-                ::BIGINT AS n_outliers
-         FROM d JOIN md USING (event_type)
-         GROUP BY 1 ORDER BY 1""",
+    "q_robust_outliers" -> robustOutliersOracle,
+    "q_corpus_health" -> corpusHealthOracle,
     "q_ewma" -> ewmaOracle,
     "q_kanon" -> kanonOracle,
     "q_kanon_stream" -> kanonOracle,
