@@ -1489,9 +1489,13 @@ object SparkEntry {
     // Mutual kNN: the symmetric matching filter — (a, b) kept only
     // when each is in the other's top-5 under exact int8 dots; hubs
     // that are "near everyone" without reciprocity drop out. One
-    // self-join over the kNN relation.
+    // self-join over the kNN relation. The gate runs the even half of
+    // the corpus (the brute-force relation is O(n²) by design — the
+    // scale path swaps in the IVF kNN relation, same mutuality join).
     "q_mutual_knn" -> ((s, dir) =>
-      Similarity.mutualKnn(Tables.read(s, dir, "embeddings"),
+      Similarity.mutualKnn(
+          Tables.read(s, dir, "embeddings")
+            .filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", k = 5)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -5579,7 +5583,7 @@ object SparkEntry {
       """WITH km AS (SELECT vec_id, embedding,
               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
                 AS ma
-            FROM embeddings),
+            FROM embeddings WHERE vec_id % 2 = 0),
          kq AS (SELECT vec_id,
               CASE WHEN ma = 0
                 THEN list_transform(embedding, x -> 0::BIGINT)
