@@ -3740,6 +3740,23 @@ object SparkEntry {
           "value", Seq("event_type"), z = 3.5)
         .orderBy(col("event_type"))),
 
+    // Corpus n-gram diversity per source: distinct / total word
+    // 3-grams in ppm — the cheap compression-ratio proxy (template
+    // spam and boilerplate floods collapse it; natural text sits
+    // high). One shingle explode + one aggregate; the corpus-level
+    // companion of the per-doc repetition ratio.
+    "q_ngram_diversity" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh"))
+        .groupBy(col("source"))
+        .agg(count_distinct(col("sh")).as("distinct_ngrams"),
+          count(lit(1)).as("total_ngrams"))
+        .withColumn("diversity_ppm",
+          floor(col("distinct_ngrams") * lit(1000000L) /
+            col("total_ngrams")).cast("long"))
+        .orderBy(col("source"))),
+
     // The one-look corpus-health dashboard: every monitor's headline
     // number as one (metric, value) row — KS drift, total PSI, robust
     // outlier rows, Zipf slope. Pure composition of proven operators;
@@ -7542,6 +7559,19 @@ object SparkEntry {
          ORDER BY event_type, event_id""",
     "q_robust_outliers" -> robustOutliersOracle,
     "q_corpus_health" -> corpusHealthOracle,
+    "q_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS l
+              FROM documents),
+         sh AS (SELECT source, unnest(CASE WHEN len(l) >= 3
+                THEN [array_to_string(l[i:i+2], ' ')
+                      for i in generate_series(1, len(l) - 2)]
+                ELSE [array_to_string(l, ' ')] END) AS sh
+            FROM t)
+         SELECT source, count(DISTINCT sh)::BIGINT AS distinct_ngrams,
+              count(*)::BIGINT AS total_ngrams,
+              floor(count(DISTINCT sh) * 1000000 / count(*))::BIGINT
+                AS diversity_ppm
+         FROM sh GROUP BY 1 ORDER BY 1""",
     "q_ewma" -> ewmaOracle,
     "q_kanon" -> kanonOracle,
     "q_kanon_stream" -> kanonOracle,
