@@ -155,7 +155,16 @@ object Bench {
     def arrL(vs: Seq[Long]): String = vs.mkString("[", ",", "]")
     val pretty = results.toSeq.sortBy(_._1)
       .map { case (k, r) =>
-        s"""  "$k": {"sec": ${r3(r.best)}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}, "gc_ms": ${arrL(r.gcMs)}, "heap_mb": ${arrL(r.heapMb)}}"""
+        // cold_s = first run minus the reported best: the one-time cost
+        // min-of-2 deliberately hides (codegen/JIT, checkpoint-dir
+        // creation, state-store bootstrap). At real scale there is no
+        // warm second run, so a large cold_s is a first-touch
+        // regression to attribute, separable here from host drift
+        // (load1m) and heap churn (gc_ms) without spelunking `runs`.
+        val cold =
+          if (r.runs.size < 2 || r.best < 0) 0.0
+          else math.max(r.runs.head - r.best, 0.0)
+        s"""  "$k": {"sec": ${r3(r.best)}, "cold_s": ${r3(cold)}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}, "gc_ms": ${arrL(r.gcMs)}, "heap_mb": ${arrL(r.heapMb)}}"""
       }
       .mkString(
         s"""{\n  "_total_sec": ${r3(total)},\n  "_sf": "$sfDir",\n  "_cpus": $cpus,\n""" +

@@ -584,11 +584,12 @@ object Curation {
     * order of existing documents within a source never changes, and
     * sources that did not ingest keep every key bit-identical.
     *
-    * `ikey = rank·1e9 / weight` in exact integer arithmetic (floor
-    * division; identical in Spark long math and SQL `//` on the
-    * non-negative operands). The 1e9 stride bounds per-source ranks at
-    * ~9·10^9 before long overflow — raise to decimal128 if a single
-    * source ever exceeds that many documents.
+    * `ikey = rank·1e9 div weight` — Spark's `div` is INTEGRAL long
+    * division (`/` on longs is double division and floor(double) only
+    * matches SQL `//` below 2^53), so the key is exact up to the
+    * genuine long-overflow bound: per-source ranks of ~9·10^9 before
+    * `rank·1e9` wraps — raise to decimal128 if a single source ever
+    * exceeds that many documents.
     *
     * @param weights relative integer weights per source; sources
     *                absent from the map are excluded
@@ -604,12 +605,13 @@ object Curation {
       .filter(col(sourceCol).isInCollection(weights.keySet))
       .select(col(idCol), col(sourceCol))
       .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("__w",
+        coalesce(
+          org.apache.spark.sql.functions.element_at(
+            typedLit(weights), col(sourceCol)), lit(1L)))
       .withColumn("ikey",
-        floor(col("rank_in_source") * lit(1000000000L) /
-          coalesce(
-            org.apache.spark.sql.functions.element_at(
-              typedLit(weights), col(sourceCol)), lit(1L)))
-          .cast("long"))
+        expr("rank_in_source * 1000000000L div __w"))
+      .drop("__w")
   }
 
   /** Length-curriculum staging WITHOUT a global sort: each document

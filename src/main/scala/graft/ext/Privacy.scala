@@ -98,6 +98,11 @@ object Privacy {
   def generalizationLadder(df: DataFrame, stableQi: Seq[Column],
       valueCol: Column, widths: Seq[Long], k: Int): DataFrame = {
     require(widths.nonEmpty && widths.forall(_ > 0), "need positive widths")
+    // sort defensively: the ladder contract (and the shared oracle's
+    // min-width pick over compliant rungs) assumes ascending widths —
+    // walking fine→coarse makes the first compliant rung THE finest
+    // compliant one for any argument order
+    val rungWidths = widths.sorted
     val spark = df.sparkSession
     import spark.implicits._
     def auditAt(w: Long): DataFrame =
@@ -111,7 +116,7 @@ object Privacy {
             .as("risky_k_rows"))
         .select(lit(w).as("width"), col("n_groups"), col("min_group"),
           col("risky_k_groups"), col("risky_k_rows"))
-    val rungs = widths.iterator.map(auditAt)
+    val rungs = rungWidths.iterator.map(auditAt)
     // driver sees ONE 1-row audit per rung; data never leaves executors
     val chosen = rungs
       .map(_.collect()(0))
@@ -121,7 +126,7 @@ object Privacy {
         Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4))).toDF("width", "n_groups", "min_group",
           "risky_k_groups", "risky_k_rows")
-      case None => auditAt(widths.last)
+      case None => auditAt(rungWidths.last)
     }
   }
 

@@ -242,8 +242,9 @@ object Unigram {
     dp(0) = 0L
     var j = 1
     while (j <= n) {
-      // longest piece first: on an exact packed tie, the earliest
-      // (smallest i) predecessor wins and stays — the documented break
+      // longest piece first: the descending-length scan itself is the
+      // tie-break — the first setter of an exact packed cost has the
+      // smallest predecessor i, and strict `<` keeps it
       var len = math.min(maxPieceLen, j)
       while (len >= 1) {
         val i = j - len
@@ -251,9 +252,7 @@ object Unigram {
           vocab.get(w.substring(i, j)) match {
             case Some(c) =>
               val cand = dp(i) + c * 64L + 1L
-              if (cand < dp(j) || (cand == dp(j) && i < back(j))) {
-                dp(j) = cand; back(j) = i
-              }
+              if (cand < dp(j)) { dp(j) = cand; back(j) = i }
             case None =>
           }
         }

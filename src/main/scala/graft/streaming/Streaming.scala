@@ -1771,9 +1771,15 @@ object Streaming {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
           val df = batch.toDF().localCheckpoint(true)
-          df.filter(predicate)
+          // the split must be EXHAUSTIVE: a predicate evaluating to
+          // NULL (e.g. `value >= 0` on a null value) matches neither
+          // p nor !p, so null-verdict rows are pinned to the
+          // quarantine side — a row the expectation cannot vouch for
+          // waits in the ledger, never vanishes
+          val pass = coalesce(predicate, lit(false))
+          df.filter(pass)
             .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
-          df.filter(!predicate)
+          df.filter(!pass)
             .write.mode("overwrite")
             .parquet(s"$quarantinePath/batch=$batchId")
           ()
