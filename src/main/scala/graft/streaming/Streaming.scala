@@ -448,13 +448,17 @@ object Streaming {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"))
     val staging = s"$workDir/staged"
-    def sentinelDf(days: Int) = base.agg(max(col("ts")).as("m"))
+    // one max(ts) probe serves BOTH sentinel batches — deriving each
+    // sentinel frame from `base.agg(...)` would rescan the events
+    // table per batch for a value that cannot change between them
+    val maxTs = base.agg(max(col("ts")).as("m")).collect()(0).get(0)
+    def sentinelDf(days: Int) = spark.range(1)
       .select(explode(array(
         struct(lit(-1L - days).as("event_id"),
-          (col("m") + expr(s"INTERVAL $days DAYS")).as("ts"),
+          (lit(maxTs) + expr(s"INTERVAL $days DAYS")).as("ts"),
           lit(-1L).as("user_id"), lit(leftHabit).as("event_type")),
         struct(lit(-2L - days).as("event_id"),
-          (col("m") + expr(s"INTERVAL $days DAYS")).as("ts"),
+          (lit(maxTs) + expr(s"INTERVAL $days DAYS")).as("ts"),
           lit(-1L).as("user_id"), lit(rightHabit).as("event_type"))))
         .as("r"))
       .select(col("r.*"))
@@ -778,12 +782,16 @@ object Streaming {
         import graft.load.{IncrementalView, VersionedStore}
         val done = VersionedStore.maxCommitted(s, storePath, "streamBatch")
         if (done.forall(_ < id)) {
+          // pin the micro-batch once: the commit path reads it at least
+          // twice (touched-day probe + merge shuffle) and each read
+          // would otherwise re-run the source scan
+          val batch = df.toDF().localCheckpoint(true)
           val meta = Map("streamBatch" -> id.toString)
           val prev = VersionedStore.versions(s, storePath).lastOption
           val v = prev match {
-            case None => VersionedStore.create(df, storePath, meta = meta)
+            case None => VersionedStore.create(batch, storePath, meta = meta)
             case Some(_) =>
-              VersionedStore.upsert(s, storePath, df, keys, meta = meta)
+              VersionedStore.upsert(s, storePath, batch, keys, meta = meta)
           }
           // advance from the newest view generation that actually
           // COMMITTED, not blindly from v−1: a crash between the
@@ -982,8 +990,14 @@ object Streaming {
     }).sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
       sfs.setTimes(f.getPath, t0 + i * 60000L, -1)
     }
+    // materialize the dim ONCE: it is captured by every tick's closure
+    // and joined per advance — without the eager checkpoint each tick
+    // re-runs the full-events distinct scan behind it (3 ticks × a
+    // corpus scan for a users-sized relation). At scale the dim is a
+    // table, not a derived subquery; the checkpoint models that.
     val dim = ev.select(col("user_email")).distinct()
       .withColumn("weight", (col("user_email") % 5 + 1).cast("double"))
+      .localCheckpoint(true)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
@@ -1029,7 +1043,10 @@ object Streaming {
       sfs.setTimes(f.getPath, t0 + i * 60000L, -1)
     }
     val dimTs = to_timestamp(lit("2024-01-01 00:00:00"))
+    // materialized once for the same reason as the one-sided replay:
+    // both dim batches derive from this relation inside tick closures
     val users = ev.select(col("user_email")).distinct()
+      .localCheckpoint(true)
     val dim0 = users
       .withColumn("ts", dimTs)
       .withColumn("weight", (col("user_email") % 5 + 1).cast("double"))
