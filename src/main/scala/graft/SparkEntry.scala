@@ -6543,7 +6543,8 @@ object SparkEntry {
          FROM pr GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // inverse-CDF draws at md5(center, context, j) mod total mass over
-    // the word-ordered cumulative vocabulary table
+    // the cumulative vocabulary table ordered by the md5 rank key (the
+    // order whose high bits Spark salts its distributed prefix sum on)
     "q_negative_samples" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
               FROM documents),
@@ -6557,8 +6558,9 @@ object SparkEntry {
                     FROM documents)
               WHERE w <> '' GROUP BY 1),
          cum AS (SELECT word, m,
-              sum(m) OVER (ORDER BY word ROWS UNBOUNDED PRECEDING)
-                ::BIGINT AS hi FROM voc),
+              sum(m) OVER (ORDER BY
+                  ('0x' || substr(md5(word), 1, 15))::UBIGINT, word
+                ROWS UNBOUNDED PRECEDING)::BIGINT AS hi FROM voc),
          cum2 AS (SELECT word, hi - m AS lo, hi FROM cum),
          tot AS (SELECT max(hi)::BIGINT AS M FROM cum),
          smp AS (SELECT center, context, j.j::BIGINT AS j,

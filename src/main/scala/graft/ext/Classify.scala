@@ -299,7 +299,13 @@ object Classify {
     * (term)-keyed aggregate with map-side partials (label split via
     * conditional counts — no join), a broadcast of the 1-row totals,
     * then vocabulary-domain-sized arithmetic and top-k. The label
-    * relation never shuffles.
+    * relation never shuffles. The cut is a partial-per-partition
+    * top-k (TakeOrderedAndProject) — a 1e8-term vocabulary never
+    * sorts or funnels through one task — pinned eagerly (one job,
+    * topK rows) so the rank self-join below reads the winners once
+    * instead of re-running the census twice; ranks then come from a
+    * broadcast inequality self-join over those topK rows (topK² ≤ 400
+    * comparisons), not a window.
     *
     * @return (rank, term, df_pos, df_all, chi2_e6) top-K by
     *         (chi2_e6 DESC, term) */
@@ -331,11 +337,23 @@ object Classify {
         when(col("den") === 0, lit(0L)).otherwise(
           round(lit(1e6) * col("n") * col("sq") /
             col("den").cast("double")).cast("long")))
-    // the ranking window runs on the vocabulary domain, not the corpus
-    scored
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("chi2_e6").desc, col("term"))).cast("long"))
-      .filter(col("rank") <= topK)
+    // distributed top-k cut; eager pin so both join sides read the
+    // materialized topK rows (terms are unique post-groupBy, so
+    // "strictly better + 1" is exactly the dense 1..topK ranking)
+    val top = scored
+      .select(col("term"), col("df_pos"), col("df_all"), col("chi2_e6"))
+      .orderBy(col("chi2_e6").desc, col("term"))
+      .limit(topK)
+      .localCheckpoint(true)
+    top.as("a")
+      .join(broadcast(top.select(col("chi2_e6").as("__c2"),
+          col("term").as("__t2"))),
+        col("__c2") > col("a.chi2_e6") ||
+          (col("__c2") === col("a.chi2_e6") && col("__t2") < col("a.term")),
+        "left")
+      .groupBy(col("a.term").as("term"), col("a.df_pos").as("df_pos"),
+        col("a.df_all").as("df_all"), col("a.chi2_e6").as("chi2_e6"))
+      .agg((count(col("__t2")) + lit(1L)).as("rank"))
       .select(col("rank"), col("term"), col("df_pos"), col("df_all"),
         col("chi2_e6"))
   }

@@ -800,6 +800,17 @@ object TextAnalysis {
     * would quantize `round(cnt^α · 1e6)` the way
     * [[graft.ext.Curation.mixtureByTemperature]] quantizes its weights.
     *
+    * The running-mass prefix sum is DISTRIBUTED: the CDF domain is
+    * ordered by the md5 rank key of the word (any total order the
+    * oracle can mirror defines a valid inverse-CDF layout), whose high
+    * 4 bits are monotone in that order — so each of the 16 salt
+    * buckets is a contiguous CDF range, local running sums run on 16
+    * partitions in parallel, and bucket offsets (computed by a
+    * broadcast inequality self-join over the 16-row bucket relation,
+    * not a window) lift them to exact global values. A 1e8-term
+    * vocabulary never funnels through one task — the
+    * [[graft.ext.Curation.mixtureByTokens]] salted two-level pattern.
+    *
     * @param pairs (center, context, n) as from [[skipGramPairs]]
     * @param vocab (word, cnt) unigram counts, e.g. from the corpus's
     *              token census
@@ -808,13 +819,30 @@ object TextAnalysis {
       vocab: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be positive")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("word"))
-    // vocabulary-sized window: hi = running mass, lo = hi − mass
-    val cum = vocab
+    import org.apache.spark.sql.expressions.Window
+    // md5Top60 < 2^60, so the top 4 bits (shift 56) give 16 buckets;
+    // shiftright is exact integer math — no double-division flooring
+    val salted = vocab
       .select(col("word"), col("cnt").cast("long").as("m"))
-      .withColumn("hi", sum(col("m")).over(w))
+      .withColumn("__ord", Sampling.md5Top60(col("word")))
+      .withColumn("__salt", shiftright(col("__ord"), 56))
+    val localW = Window.partitionBy(col("__salt"))
+      .orderBy(col("__ord"), col("word"))
+    val buckets = salted.groupBy(col("__salt"))
+      .agg(sum(col("m")).as("__bm"))
+    val offsets = buckets.as("a")
+      .join(broadcast(buckets.select(col("__salt").as("__s2"),
+          col("__bm").as("__bm2"))),
+        col("__s2") < col("a.__salt"), "left")
+      .groupBy(col("a.__salt"))
+      .agg(coalesce(sum(col("__bm2")), lit(0L)).as("__off"))
+    val cum = salted.join(broadcast(offsets), Seq("__salt"))
+      .withColumn("hi", col("__off") + sum(col("m")).over(localW))
       .withColumn("lo", col("hi") - col("m"))
-    val tot = cum.agg(max(col("hi")).as("M"))
+      .select(col("word"), col("lo"), col("hi"))
+    // total mass from the 16-row bucket relation — max(hi) over cum
+    // would re-run the whole prefix-sum pipeline for one scalar
+    val tot = buckets.agg(sum(col("__bm")).as("M"))
     pairs
       .select(col("center"), col("context"),
         explode(sequence(lit(1L), lit(k.toLong))).as("j"))

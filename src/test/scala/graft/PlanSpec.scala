@@ -318,6 +318,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"no stage may serialize to a single partition:\n$p")
   }
 
+  test("negative samples: the vocabulary prefix sum is salted — " +
+      "every window partitions on the salt bucket") {
+    val p = plan("q_negative_samples")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("__salt")),
+      s"every window must partition on __salt:\n$p")
+    // the one remaining SinglePartition exchange is the scalar
+    // total-mass aggregate over the 16-row BUCKET relation — never
+    // the vocabulary; a second one would mean the prefix sum funneled
+    val sp = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(sp <= 1,
+      s"only the bucket-sized scalar agg may single-partition ($sp):\n$p")
+  }
+
+  test("chi2 terms: rank comes from the top-k cut + tiny self-join — " +
+      "no window, no single-partition exchange on the vocabulary") {
+    val p = plan("q_chi2_terms")
+    assert(!p.contains("Window"),
+      s"ranking must not run a window over the vocabulary:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may serialize to a single partition:\n$p")
+  }
+
   test("export shards: exactly the writer's own shuffle — one hash " +
       "exchange on the shard id") {
     val p = plan("q_export_shards")
