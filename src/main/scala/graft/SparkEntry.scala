@@ -2376,6 +2376,11 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy(col("doc_id"))),
 
+    "q_lang_id_ngram" -> ((s, dir) =>
+      TextAnalysis.langIdNgram(Tables.read(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "q_text_quality" -> ((s, dir) =>
       Tables.read(s, dir, "documents")
         .select(col("doc_id"),
@@ -6241,6 +6246,35 @@ object SparkEntry {
          b AS (SELECT *, $best AS best FROM s)
          SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
          FROM b ORDER BY doc_id"""
+    },
+
+    "q_lang_id_ngram" -> {
+      // The trigram profiles are trained once on the driver and shipped
+      // to BOTH engines as the same literal longs — no float surface.
+      val profVals = TextAnalysis.LangProfiles
+        .map { case (l, _, tg, lp) => s"('$l', '$tg', ${lp}::BIGINT)" }
+        .mkString(",\n                ")
+      val langVals = TextAnalysis.LangSeeds.map(_._1).zipWithIndex
+        .map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+      s"""WITH prof(lang, tg, lp) AS (VALUES $profVals),
+         langs(lang, prec) AS (VALUES $langVals),
+         t AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                '[^\\p{L} ]', ' ', 'g'), ' +', ' ', 'g')) AS n FROM documents),
+         g AS (SELECT doc_id, unnest([substr(n, i, 3)
+                for i in generate_series(1, length(n) - 2)]) AS tg
+               FROM t WHERE length(n) >= 3),
+         c AS (SELECT doc_id, tg, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+         sc AS (SELECT c.doc_id, l.lang, l.prec,
+                 sum(c.c * coalesce(p.lp, ${TextAnalysis.LangOovLp}::BIGINT)) AS score
+                FROM c CROSS JOIN langs l
+                LEFT JOIN prof p ON p.lang = l.lang AND p.tg = c.tg
+                GROUP BY 1, 2, 3),
+         b AS (SELECT doc_id, lang, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, prec ASC) AS rn
+               FROM sc)
+         SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_guess
+         FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id AND b.rn = 1
+         ORDER BY d.doc_id"""
     },
 
     "q_text_quality" ->

@@ -78,6 +78,136 @@ object TextAnalysis {
     }
   }
 
+  // ── Char-n-gram language ID (the CLD/textcat profile family) ──────────
+
+  /** Per-language seed corpora the trigram profiles train from — a few
+    * hand-written sentences each (authored here; no external data).
+    * Order is the tie-break precedence, matching [[LangMarkers]]. The
+    * marker heuristic above needs a stopword to FIRE; this family
+    * scores every character trigram, so marker-free text still
+    * classifies (the ExtSpec confusion matrix pins that advantage). */
+  val LangSeeds: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog while the old " +
+      "man walks down the long road to the market and buys some fresh " +
+      "bread for his family because they are waiting at home and the " +
+      "children want to hear another story about the sea before night " +
+      "falls over the quiet town and everything becomes calm and still " +
+      "yesterday morning we watched the rain from the kitchen window " +
+      "and talked about the things we would do together in the summer"),
+    "es" -> ("el zorro marrón salta sobre el perro perezoso mientras el " +
+      "viejo camina por el largo camino hacia el mercado y compra pan " +
+      "fresco para su familia porque están esperando en casa y los " +
+      "niños quieren escuchar otra historia sobre el mar antes de que " +
+      "caiga la noche sobre el pueblo tranquilo y todo quede en calma " +
+      "una señora miraba hacia la calle desde la ventana abierta cuando " +
+      "los vecinos hablaban del tiempo durante el desayuno aquella " +
+      "mañana fría y después todos salieron juntos a trabajar en el " +
+      "campo porque había mucho que hacer antes de la fiesta del pueblo"),
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund " +
+      "während der alte mann die lange straße zum markt entlang geht " +
+      "und frisches brot für seine familie kauft weil sie zu hause " +
+      "warten und die kinder noch eine geschichte über das meer hören " +
+      "wollen bevor die nacht über die stille stadt hereinbricht " +
+      "gestern haben wir zusammen im garten gearbeitet und abends " +
+      "saßen alle noch lange am großen tisch und sprachen über den tag"),
+    "fr" -> ("le renard brun saute par dessus le chien paresseux pendant " +
+      "que le vieil homme descend la longue route vers le marché et " +
+      "achète du pain frais pour sa famille parce que les enfants " +
+      "attendent à la maison et veulent entendre une autre histoire " +
+      "sur la mer avant que la nuit tombe sur la ville tranquille " +
+      "hier matin nous avons regardé la pluie depuis la fenêtre de la " +
+      "cuisine et parlé de ce que nous ferions ensemble pendant l été"),
+    "zh" -> ("敏捷的棕色狐狸跳过懒惰的狗 老人沿着长长的路走到市场 为家人买新鲜的" +
+      "面包 因为他们在家里等着 孩子们想再听一个关于大海的故事 夜晚降临之前 安静" +
+      "的小镇变得平静 我们明天一起去公园散步 天气很好 大家都很开心 " +
+      "昨天早上我们在厨房看外面下雨 说起夏天想一起做的事情 晚饭后大家坐在院子里" +
+      "聊天 直到月亮升起来才回屋休息"))
+
+  /** Micro-log2 cost for a trigram absent from a language's profile —
+    * strictly below any in-profile log-probability (profiles are ≤ a
+    * few hundred trigrams, so min lp ≈ −11e6 ≫ this). */
+  val LangOovLp: Long = -20000000L
+
+  /** Driver-side normalization twin of [[langNormalize]] (used only on
+    * the literal seeds at profile-build time). */
+  private def normalizeSeed(s: String): String =
+    s.toLowerCase.replaceAll("[^\\p{L} ]", " ").replaceAll(" +", " ").trim
+
+  /** Train one trigram profile: the top-`topN` trigrams by count (ties
+    * by trigram ascending) with micro-quantized (1e-6) log2 relative
+    * frequency. Quantized ONCE here on the driver — both engines
+    * consume the same literal longs, so the classifier has no
+    * cross-engine float surface at all (the `bigramLogProb` quantized
+    * log-prob discipline, applied at train time instead of query time). */
+  def trigramProfile(seed: String, topN: Int = 96): Seq[(String, Long)] = {
+    val n = normalizeSeed(seed)
+    val tgs = (0 to n.length - 3).map(i => n.substring(i, i + 3))
+    val total = tgs.size.toDouble
+    tgs.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (tg, c) => (-c, tg) }
+      .take(topN)
+      .map { case (tg, c) =>
+        tg -> math.round(math.log(c / total) / math.log(2.0) * 1e6) }
+  }
+
+  /** The literal profile relation: (lang, precedence, trigram, micro-lp).
+    * ≤ 5 × 96 rows — broadcast-sized by construction, like a centroid
+    * table; a production 100-language profile is still only ~10 k rows. */
+  lazy val LangProfiles: Seq[(String, Int, String, Long)] =
+    LangSeeds.zipWithIndex.flatMap { case ((lang, seed), prec) =>
+      trigramProfile(seed).map { case (tg, lp) => (lang, prec, tg, lp) } }
+
+  /** Lowercase, keep Unicode letters + spaces, collapse runs, trim —
+    * the language-agnostic twin of [[normalize]] (which is ASCII-only
+    * by design and would erase every non-Latin script). */
+  def langNormalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L} ]", " "), " +", " "))
+
+  /** Char-trigram profile language classifier (the CLD/textcat shape):
+    * every trigram of the normalized text scores
+    * `count × profile-lp` (absent trigram → [[LangOovLp]]), summed per
+    * language; argmax wins, precedence breaks exact ties, documents
+    * with no trigram (normalized length < 3) are "und".
+    *
+    * Scale shape: one narrow trigram explode, one (doc, trigram) count
+    * aggregate with map-side partials, a broadcast join against the
+    * literal profile (KBs), one (doc, lang) aggregate, and a
+    * doc-partitioned rank window (5 rows per doc). No corpus
+    * self-join, no global window; linear in corpus bytes at 100 TB. */
+  def langIdNgram(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = broadcast(
+      LangProfiles.map { case (l, _, tg, lp) => (l, tg, lp) }
+        .toDF("lang", "tg", "lp"))
+    val langs = broadcast(
+      LangSeeds.map(_._1).zipWithIndex.toDF("lang", "prec"))
+    val counts = docs
+      .select(col(idCol), langNormalize(col(textCol)).as("_t"))
+      .filter(length(col("_t")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), length(col("_t")) - 2),
+        i => col("_t").substr(i, lit(3)))).as("tg"))
+      .groupBy(col(idCol), col("tg"))
+      .agg(count(lit(1)).as("_c"))
+    val scored = counts
+      .crossJoin(langs)
+      .join(prof, Seq("lang", "tg"), "left")
+      .groupBy(col(idCol), col("lang"), col("prec"))
+      .agg(sum(col("_c") * coalesce(col("lp"), lit(LangOovLp))).as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("_score").desc, col("prec").asc)
+    val best = scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("lang"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lang"), lit("und")).as("lang_guess"))
+  }
+
   // ── Quality scoring ────────────────────────────────────────────────────
 
   def nTokens(text: Column): Column = size(tokens(text))

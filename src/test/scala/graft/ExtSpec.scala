@@ -41,6 +41,39 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und", 4L -> "en"))
   }
 
+  test("langIdNgram: held-out confusion matrix is diagonal and beats the " +
+      "marker heuristic on stopword-free text") {
+    // Held-out sentences — none appear in TextAnalysis.LangSeeds.
+    val held = Seq(
+      1L -> ("the weather this morning was cold but the birds kept " +
+        "singing in the garden", "en"),
+      2L -> ("la ventana grande del edificio estaba abierta durante toda " +
+        "aquella mañana fría", "es"),
+      3L -> ("gestern abend haben wir zusammen gekocht und danach lange " +
+        "am tisch gesessen", "de"),
+      4L -> ("chaque matin nous marchons ensemble jusqu au petit jardin " +
+        "derrière notre immeuble", "fr"),
+      5L -> ("昨天晚上我们一起做饭 然后在桌子旁坐了很久 聊了许多事情", "zh"))
+    val d = docs(held.map { case (id, (t, _)) => (id, t) }: _*)
+    val out = TextAnalysis.langIdNgram(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    held.foreach { case (id, (_, want)) => assert(out(id) == want,
+      s"doc $id: got ${out(id)}, want $want") }
+    // Stopword-free Spanish: no marker fires, so langId says "und";
+    // the trigram profile still classifies it — the upgrade's point.
+    val hard = docs((9L, "hablamos demasiado durante aquella tarde soleada"))
+    val marker = hard.select(TextAnalysis.langId(col("text")))
+      .collect().head.getString(0)
+    val ngram = TextAnalysis.langIdNgram(hard, "doc_id", "text")
+      .collect().head.getString(1)
+    assert(marker == "und")
+    assert(ngram == "es")
+    // No-trigram input stays "und" in the ngram family too.
+    val empty = TextAnalysis.langIdNgram(docs((7L, "!!")), "doc_id", "text")
+      .collect().head.getString(1)
+    assert(empty == "und")
+  }
+
   test("quality score is bounded and rewards clean stopword-bearing text") {
     val out = docs(
       (1L, "the quick brown fox jumps over the lazy dog it is a fine day " +
