@@ -2889,6 +2889,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BYTE-LEVEL tokenizer round-trip (the GPT-2 family): train on the
+    // fixed 256-byte alphabet, encode under the merge-list-pure id
+    // table (no corpus alphabet, no unknown path), decode back through
+    // unhex. Same ground-truth gate as q_bpe_roundtrip: any drift in
+    // byte train → byte vocab → byte encode → byte decode breaks the
+    // md5 match against the raw table.
+    "q_bpe_bytes_roundtrip" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val merges = graft.ext.Bpe.bpeTrainBytes(docs, "text", numMerges = 8)
+      val enc = graft.ext.Bpe.bpeEncodeIdsBytes(docs, "doc_id", "text", merges)
+      val vocab = graft.ext.Bpe.bpeVocabBytes(s, merges)
+      graft.ext.Bpe.bpeDecodeBytes(enc, "doc_id", "token_ids", vocab)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Character-distribution Shannon entropy via the native codegen'd
     // graft_entropy expression — per-row, shuffle-free; the oracle
     // recomputes the same log2 formula from per-char counts.
@@ -6627,6 +6644,14 @@ object SparkEntry {
     // Ground truth, not a replay: the round-trip's decoded characters
     // must equal the raw text with the single-space separators removed.
     "q_bpe_roundtrip" ->
+      """SELECT doc_id, md5(replace(text, ' ', '')) AS text_md5
+         FROM documents WHERE replace(text, ' ', '') <> ''
+         ORDER BY doc_id""",
+
+    // Ground truth again: the byte-level round-trip must land on the
+    // same characters — bytes are an encoding detail, not a semantics
+    // change.
+    "q_bpe_bytes_roundtrip" ->
       """SELECT doc_id, md5(replace(text, ' ', '')) AS text_md5
          FROM documents WHERE replace(text, ' ', '') <> ''
          ORDER BY doc_id""",

@@ -52,21 +52,51 @@ object Bpe {
     * @param numMerges merges to learn (the vocabulary-size knob) */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
-    val spark = docs.sparkSession
+    trainLoop(docs.sparkSession,
+      wordFreq(docs, textCol).select(charSeg0(col("w")).as("seg"), col("cnt")),
+      numMerges)
+  }
 
-    // corpus -> distinct-word frequency table (the ONLY corpus-sized
-    // pass), then each word to its initial per-character segmentation
-    // in the double-space string encoding
-    var words = docs
-      .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      // "(?s)(.)" matches one code point incl. newlines; "$1  " plants
-      // the trailing double separator after every symbol
-      .select(
-        concat(lit("  "), regexp_replace(col("w"), "(?s)(.)", "$1  "))
-          .as("seg"),
-        col("cnt"))
+  /** BYTE-LEVEL training (the GPT-2 family, Radford et al. 2019): words
+    * decompose into the bytes of their UTF-8 encoding instead of their
+    * characters, so the base alphabet is the FIXED 256-byte set — ids
+    * are stable across corpora and jobs, and encode has no unknown-word
+    * path (any string decomposes into bytes). Symbols are carried as
+    * uppercase hex pairs ("74" = 't'), merged symbols as concatenated
+    * pairs ("7468" = "th") — space-free, pure ASCII, so the exact
+    * double-space merge machinery (and its oracle replay) applies
+    * unchanged. Same merge schema and determinism contract as
+    * [[bpeTrain]]. */
+  def bpeTrainBytes(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    trainLoop(docs.sparkSession,
+      wordFreq(docs, textCol).select(byteSeg0(col("w")).as("seg"), col("cnt")),
+      numMerges)
+  }
+
+  /** Corpus → distinct-word frequency table — the ONLY corpus-sized pass
+    * either trainer runs. */
+  private def wordFreq(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
+    .filter(col("w") =!= "")
+    .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Initial per-CHARACTER segmentation in the double-space encoding.
+    * "(?s)(.)" matches one code point incl. newlines; "$1  " plants the
+    * trailing double separator after every symbol. */
+  private def charSeg0(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("  "), regexp_replace(w, "(?s)(.)", "$1  "))
+
+  /** Initial per-BYTE segmentation: `hex` emits the UTF-8 bytes as an
+    * even-length uppercase hex string; "(..)" cuts it back into 2-char
+    * byte symbols. */
+  private def byteSeg0(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("  "), regexp_replace(hex(w), "(..)", "$1  "))
+
+  /** The shared iterative merge loop over a pre-segmented word table. */
+  private def trainLoop(spark: org.apache.spark.sql.SparkSession,
+      words0: DataFrame, numMerges: Int): DataFrame = {
+    var words = words0
       // the word table is vocabulary-sized — orders of magnitude below
       // the corpus — but inherits the corpus aggregate's partition
       // count, so every one of the numMerges sequential iterations
@@ -203,13 +233,14 @@ object Bpe {
     * `chain`, in the double-space encoding: `(w, seg)`. The chain — the
     * expensive sequential part — runs once per DISTINCT word. */
   private def segmentWords(docs: DataFrame, textCol: String,
-      chain: Array[(String, String)], maxExprMerges: Int): DataFrame = {
+      chain: Array[(String, String)], maxExprMerges: Int,
+      seg0Of: org.apache.spark.sql.Column => org.apache.spark.sql.Column = charSeg0): DataFrame = {
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
       .filter(col("w") =!= "")
       .distinct()
-    val seg0 = concat(lit("  "), regexp_replace(col("w"), "(?s)(.)", "$1  "))
+    val seg0 = seg0Of(col("w"))
     if (chain.length <= maxExprMerges) {
       val segN = chain.foldLeft(seg0) { case (c, (l, r)) =>
         replace(c, lit(s" $l  $r "), lit(s" $l$r "))
@@ -268,10 +299,38 @@ object Bpe {
       textCol: String, merges: DataFrame,
       maxExprMerges: Int = MaxExprMerges,
       maxLiteralVocab: Int = MaxLiteralVocab): DataFrame = {
-    val spark = docs.sparkSession
     val chain = collectChain(merges)
     val segged = segmentWords(docs, textCol, chain, maxExprMerges)
-    val vocab = buildVocab(segged, chain)
+    assembleIds(docs, idCol, textCol, segged, buildVocab(segged, chain),
+      maxLiteralVocab)
+  }
+
+  /** BYTE-LEVEL encode to token-id sequences under the FIXED vocabulary:
+    * ids 0..255 are the byte values themselves (symbol = uppercase hex
+    * pair), merge step `k` mints id `256 + k − 1` (first id wins on a
+    * minted-string collision). No corpus alphabet collect — the id
+    * table is a pure function of the merge list, stable across corpora
+    * and jobs, and every word encodes (no unknown path: any string
+    * decomposes into bytes). Same output shape and scale design as
+    * [[bpeEncodeIds]]. */
+  def bpeEncodeIdsBytes(docs: DataFrame, idCol: String,
+      textCol: String, merges: DataFrame,
+      maxExprMerges: Int = MaxExprMerges,
+      maxLiteralVocab: Int = MaxLiteralVocab): DataFrame = {
+    val chain = collectChain(merges)
+    val segged = segmentWords(docs, textCol, chain, maxExprMerges, byteSeg0)
+    assembleIds(docs, idCol, textCol, segged, buildByteVocab(chain),
+      maxLiteralVocab)
+  }
+
+  /** Shared tail of the id encoders: per-word id sequences under
+    * `vocab`, then the order-restoring join back to the exploded
+    * corpus. */
+  private def assembleIds(docs: DataFrame, idCol: String, textCol: String,
+      segged: DataFrame,
+      vocab: scala.collection.mutable.LinkedHashMap[String, Int],
+      maxLiteralVocab: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val wordSyms = filter(split(col("seg"), "  ", -1), x => x =!= "")
     // per-word id sequence: symbols in order -> ids in order. Every
@@ -338,6 +397,41 @@ object Bpe {
     }
     vocab
   }
+
+  /** The byte-level id table: the fixed 256-byte base (id = byte value,
+    * symbol = uppercase hex pair) + merge-order minted symbols from 256
+    * up, first id winning on a collision. A pure function of the merge
+    * list — the property that makes byte-level vocabularies portable. */
+  private def buildByteVocab(
+      chain: Array[(String, String)]): scala.collection.mutable.LinkedHashMap[String, Int] = {
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    (0 until 256).foreach(b => vocab.update(f"$b%02X", b))
+    chain.foreach { case (l, r) =>
+      val minted = l + r
+      if (!vocab.contains(minted)) vocab.update(minted, vocab.size)
+    }
+    vocab
+  }
+
+  /** [[buildByteVocab]] as a relation `(id, sym)` — needs no corpus at
+    * all, unlike [[bpeVocab]]: the byte-level id table is the merge
+    * list's pure function. */
+  def bpeVocabBytes(spark: org.apache.spark.sql.SparkSession,
+      merges: DataFrame): DataFrame = {
+    import spark.implicits._
+    buildByteVocab(collectChain(merges))
+      .toSeq.map { case (s, i) => (i, s) }.toDF("id", "sym")
+  }
+
+  /** BYTE-LEVEL decode: ids → hex symbols via [[bpeDecode]]'s machinery,
+    * then one `unhex` + UTF-8 decode turns the byte stream back into
+    * characters. Same contract as [[bpeDecode]]:
+    * `decode(encode(x)) == x.replace(" ", "")`. */
+  def bpeDecodeBytes(encoded: DataFrame, idCol: String, idsCol: String,
+      vocab: DataFrame,
+      maxLiteralVocab: Int = MaxLiteralVocab): DataFrame =
+    bpeDecode(encoded, idCol, idsCol, vocab, maxLiteralVocab)
+      .withColumn("text", decode(unhex(col("text")), "UTF-8"))
 
   /** The tokenizer's id table as a relation `(id, sym)` — the artifact
     * a training pipeline persists next to the merge list so encode and

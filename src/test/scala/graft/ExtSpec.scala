@@ -2430,6 +2430,37 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(runs.toSeq == Seq((1L, "ab", 3L), (2L, "abab", 2L)))
   }
 
+  test("byte-level BPE: hex merge sequence mirrors char-level on ASCII, " +
+      "ids are fixed byte values, and unseen symbols still encode") {
+    // same corpus as the char-level spec: 'a'=61, 'b'=62 — the merge
+    // SEQUENCE is the char sequence in hex clothing
+    val merges = graft.ext.Bpe.bpeTrainBytes(
+        docs((1L, "aaab aaab ab")), "text", numMerges = 5)
+    val out = merges.orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "61", "61", "6161", 4L),
+      (2L, "61", "62", "6162", 3L),
+      (3L, "6161", "6162", "61616162", 2L)))
+    // fixed vocabulary: 256 byte ids, then merge-order mints from 256
+    val vocab = graft.ext.Bpe.bpeVocabBytes(spark, merges)
+    val ids = vocab.collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    assert(ids("61") == 0x61 && ids("00") == 0 && ids("FF") == 255)
+    assert(ids("6161") == 256 && ids("6162") == 257 && ids("61616162") == 258)
+    // a word whose bytes never appeared at train time still encodes —
+    // byte level has no unknown path (char-level bpeEncodeIds would
+    // assign corpus-relative ids here)
+    val enc = graft.ext.Bpe.bpeEncodeIdsBytes(
+      docs((7L, "zq ab")), "doc_id", "text", merges)
+    val row = enc.collect().head
+    assert(row.getSeq[Int](1) == Seq('z'.toInt, 'q'.toInt, 257))
+    // decode inverts to strip-spaces text
+    val dec = graft.ext.Bpe.bpeDecodeBytes(enc, "doc_id", "token_ids", vocab)
+      .select(col("text")).collect().head.getString(0)
+    assert(dec == "zqab")
+  }
+
   test("substringContamination finds exactly the covered window " +
       "positions of a shared span") {
     // minLen=9 → k=5, s=5. C (12 chars) shared verbatim; boundaries
