@@ -1024,4 +1024,306 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     q.awaitTermination()
     assert(s.table(qn).count() == rows.length.toLong)
   }
+
+  // ── chaos: ticks killed mid-write ────────────────────────────────────
+  // The clean-replay tests above prove idempotence of COMMITTED ticks;
+  // these prove the torn-write path: a tick killed mid-write leaves a
+  // `batch=<id>` subdir holding a plausible-but-wrong partial artifact
+  // and NO `_SUCCESS` marker. The checkpoint never committed that
+  // batch, so the restart re-delivers it, and every ledger's
+  // `mode("overwrite")` must truncate the debris — each case fails if
+  // the ledger unions with or skips past the torn dir instead.
+
+  /** Plant the crash debris: `bogus` rows as the torn partial write,
+    * `_SUCCESS` stripped. */
+  private def tearTick(state: String, batchId: Long,
+      bogus: org.apache.spark.sql.DataFrame): Unit = {
+    bogus.coalesce(1).write.mode("overwrite").parquet(s"$state/batch=$batchId")
+    val succ = new java.io.File(s"$state/batch=$batchId/_SUCCESS")
+    assert(!succ.exists() || succ.delete())
+  }
+
+  test("chaos: vocabIngest heals a torn batch=0 census on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaosvoc_")
+    val state = dir.resolve("state").toString
+    try {
+      tearTick(state, 0L, Seq(("zz", 99L)).toDF("w", "freq"))
+      val mem = MemoryStream[String]
+      def stream = mem.toDF().toDF("text")
+      mem.addData("a a b")
+      Streaming.vocabIngest(stream, state, dir.resolve("cp").toString,
+        "text").awaitTermination()
+      mem.addData("b c")
+      Streaming.vocabIngest(stream, state, dir.resolve("cp").toString,
+        "text").awaitTermination()
+      val freq = s.read.parquet(state).groupBy(col("w"))
+        .agg(sum(col("freq")).as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(freq == Map("a" -> 2L, "b" -> 2L, "c" -> 1L),
+        "torn tick-0 debris must be truncated by the replay overwrite")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("chaos: cmsIngest heals a torn batch=0 sketch on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaoscms_")
+    val state = dir.resolve("state").toString
+    try {
+      // a syntactically valid sketch of the WRONG rows — the worst torn
+      // artifact, indistinguishable from a real one by inspection
+      val wrong = Seq("zz", "zz", "zz").toDF("v")
+        .stat.countMinSketch("v", 0.001, 0.99, 42)
+      val os = new java.io.ByteArrayOutputStream()
+      wrong.writeTo(os)
+      tearTick(state, 0L, Seq((0L, os.toByteArray)).toDF("batch_id", "sketch"))
+      val mem = MemoryStream[String]
+      def stream = mem.toDF().toDF("v")
+      mem.addData("a", "a", "b")
+      Streaming.cmsIngest(stream, state, dir.resolve("cp").toString, "v")
+        .awaitTermination()
+      mem.addData("a", "c")
+      Streaming.cmsIngest(stream, state, dir.resolve("cp").toString, "v")
+        .awaitTermination()
+      val merged = Streaming.cmsMergedState(s, state)
+      val batchSketch = Seq("a", "a", "b", "a", "c").toDF("v")
+        .stat.countMinSketch("v", 0.001, 0.99, 42)
+      for (k <- Seq("a", "b", "c", "zz"))
+        assert(merged.estimateCount(k) == batchSketch.estimateCount(k),
+          s"key $k: healed state must equal the one-pass batch sketch")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("chaos: chunkIngest heals a torn batch=0 chunk census on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaoschk_")
+    val state = dir.resolve("state").toString
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "a completely different second document with its own words"
+    try {
+      tearTick(state, 0L,
+        Seq(("g1", "bogus-chunk", 99L, 11L)).toDF("src", "chunk", "cnt", "len"))
+      val mem = MemoryStream[(String, String)]
+      def stream = mem.toDF().toDF("src", "text")
+      mem.addData(("g1", tA))
+      Streaming.chunkIngest(stream, state, dir.resolve("cp").toString,
+        "src", "text").awaitTermination()
+      mem.addData(("g1", tB))
+      Streaming.chunkIngest(stream, state, dir.resolve("cp").toString,
+        "src", "text").awaitTermination()
+      val ledger = s.read.parquet(state)
+        .groupBy(col("src"), col("chunk")).agg(sum(col("cnt")).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.ext.Dedup.contentChunks(
+          Seq(("g1", tA), ("g1", tB)).toDF("src", "text"), "text", 8, 32)
+        .groupBy(col("src"), col("chunk")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(ledger == batch,
+        "healed chunk census must equal the batch one-pass census")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("chaos: lateAuditIngest heals a torn batch=0 high-watermark — a " +
+      "far-future torn value must not misclassify tick 1 as late") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaoslate_")
+    val state = dir.resolve("state").toString
+    try {
+      // torn watermark claims year 2199: if the replay unioned instead
+      // of overwrote, EVERY tick-1 row would read as late
+      tearTick(s"$state/wm", 0L,
+        Seq((ts("2199-01-01 00:00:00"), 0L)).toDF("max_ts", "batch_id"))
+      val mem = MemoryStream[(Timestamp, String)]
+      def stream = mem.toDF().toDF("ts", "k")
+      mem.addData((ts("2024-03-10 10:00:00"), "t0a"),
+        (ts("2024-03-10 12:00:00"), "t0b"))
+      Streaming.lateAuditIngest(stream, state, dir.resolve("cp").toString,
+        "ts", allowedLag = "1 day").awaitTermination()
+      mem.addData((ts("2024-03-08 09:00:00"), "t1-late"),
+        (ts("2024-03-10 11:00:00"), "t1-ok"))
+      Streaming.lateAuditIngest(stream, state, dir.resolve("cp").toString,
+        "ts", allowedLag = "1 day").awaitTermination()
+      val late = s.read.parquet(s"$state/late")
+        .select(col("k")).collect().map(_.getString(0)).toSet
+      assert(late == Set("t1-late"),
+        "healed watermark must classify exactly tick 1's genuinely late row")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("chaos: hllIngest heals a torn batch=0 daily sketch on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaoshll_")
+    val state = dir.resolve("state").toString
+    val day = ts("2024-03-10 00:00:00")
+    try {
+      // wrong-keys sketch under the right schema (day, sk)
+      tearTick(state, 0L,
+        Seq((day, 900L), (day, 901L), (day, 902L)).toDF("ts", "k")
+          .groupBy(date_trunc("DAY", col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("k")).as("sk")))
+      val mem = MemoryStream[(Timestamp, Long)]
+      def stream = mem.toDF().toDF("ts", "k")
+      mem.addData((ts("2024-03-10 10:00:00"), 1L), (ts("2024-03-10 11:00:00"), 2L))
+      Streaming.hllIngest(stream, state, dir.resolve("cp").toString, "k")
+        .awaitTermination()
+      mem.addData((ts("2024-03-10 12:00:00"), 2L), (ts("2024-03-10 13:00:00"), 3L))
+      Streaming.hllIngest(stream, state, dir.resolve("cp").toString, "k")
+        .awaitTermination()
+      val est = s.read.parquet(state)
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .collect().map(_.getLong(1))
+      assert(est.toSeq == Seq(3L),
+        "healed daily sketch must estimate the true 3 distinct keys, " +
+          "not union in the torn sketch's phantom keys")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("chaos: bloomIngest heals a torn batch=0 bloom on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaosblm_")
+    val state = dir.resolve("state").toString
+    try {
+      // a valid bloom over phantom keys, same sizing as the real ticks
+      val wrong = Seq(900L, 901L).toDF("k").stat.bloomFilter("k", 100L, 0.01)
+      val os = new java.io.ByteArrayOutputStream()
+      wrong.writeTo(os)
+      tearTick(state, 0L, Seq((0L, os.toByteArray)).toDF("batch_id", "bloom"))
+      val mem = MemoryStream[Long]
+      def stream = mem.toDF().toDF("k")
+      mem.addData(1L, 2L)
+      Streaming.bloomIngest(stream, state, dir.resolve("cp").toString,
+        "k", expectedKeys = 100L).awaitTermination()
+      mem.addData(3L)
+      Streaming.bloomIngest(stream, state, dir.resolve("cp").toString,
+        "k", expectedKeys = 100L).awaitTermination()
+      val merged = Streaming.bloomMergedState(s, state)
+      val batch = Seq(1L, 2L, 3L).toDF("k").stat.bloomFilter("k", 100L, 0.01)
+      for (k <- 0L to 950L)
+        assert(merged.mightContainLong(k) == batch.mightContainLong(k),
+          s"key $k: healed bitmap must equal the one-pass batch bloom")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("chaos: kanonIngest heals a torn batch=0 census on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaoska_")
+    val state = dir.resolve("state").toString
+    val t = ts("2024-03-01 10:00:00")
+    try {
+      tearTick(state, 0L,
+        Seq(("phantom", java.sql.Date.valueOf("2024-03-01"), 0L, 999L, 50L))
+          .toDF("event_type", "d", "vb", "user_id", "n"))
+      val mem = MemoryStream[(Timestamp, Long, String, Double)]
+      def stream = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+      mem.addData((t, 1L, "click", 1.0), (t, 2L, "click", 1.0))
+      Streaming.kanonIngest(stream, state, dir.resolve("cp").toString)
+        .awaitTermination()
+      mem.addData((t, 1L, "click", 2.0))
+      Streaming.kanonIngest(stream, state, dir.resolve("cp").toString)
+        .awaitTermination()
+      val census = s.read.parquet(state)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("n")).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(census == Map(("click", 1L) -> 2L, ("click", 2L) -> 1L),
+        "healed census must hold exactly the real rows — no phantom group")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("chaos: histIngest heals a torn batch=0 bin table on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaoshist_")
+    val state = dir.resolve("state").toString
+    try {
+      tearTick(state, 0L, Seq(("a", 3L, 77L)).toDF("g", "bucket", "n"))
+      val mem = MemoryStream[(String, Double)]
+      def stream = mem.toDF().toDF("g", "v")
+      mem.addData(("a", 5.0), ("a", 15.0))
+      Streaming.histIngest(stream, state, dir.resolve("cp").toString,
+        "v", lo = 0.0, hi = 40.0, buckets = 4, groupCols = Seq("g"))
+        .awaitTermination()
+      mem.addData(("a", 5.0), ("b", 35.0))
+      Streaming.histIngest(stream, state, dir.resolve("cp").toString,
+        "v", lo = 0.0, hi = 40.0, buckets = 4, groupCols = Seq("g"))
+        .awaitTermination()
+      val merged = s.read.parquet(state)
+        .groupBy(col("g"), col("bucket")).agg(sum(col("n")).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.ext.Profile.histogram(
+          Seq(("a", 5.0), ("a", 15.0), ("a", 5.0), ("b", 35.0))
+            .toDF("g", "v"), "v", 0.0, 40.0, 4, Seq("g"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(merged == batch,
+        "healed bins must equal the batch histogram — no phantom bucket")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("chaos: quarantineIngest heals torn batch=0 dirs in BOTH sinks " +
+      "on replay — rows end up exactly once on exactly the right side") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaosq_")
+    val curated = dir.resolve("curated").toString
+    val quarantine = dir.resolve("quarantine").toString
+    try {
+      // torn debris lands rows on the WRONG sides of the split
+      tearTick(curated, 0L, Seq((900L, -5.0)).toDF("id", "value"))
+      tearTick(quarantine, 0L, Seq((901L, 5.0)).toDF("id", "value"))
+      val mem = MemoryStream[(Long, Double)]
+      def stream = mem.toDF().toDF("id", "value")
+      mem.addData((1L, 1.0), (2L, -2.0))
+      Streaming.quarantineIngest(stream, curated, quarantine,
+        dir.resolve("cp").toString, col("value") >= 0).awaitTermination()
+      mem.addData((3L, 3.0))
+      Streaming.quarantineIngest(stream, curated, quarantine,
+        dir.resolve("cp").toString, col("value") >= 0).awaitTermination()
+      def ids(path: String) = s.read.parquet(path)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(ids(curated) == Set(1L, 3L),
+        "curated must hold exactly the passing rows")
+      assert(ids(quarantine) == Set(2L),
+        "quarantine must hold exactly the failing rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
