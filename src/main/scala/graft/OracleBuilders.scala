@@ -1,0 +1,1417 @@
+package graft
+
+import graft.ext.{Classify, Dedup, Graph, Multimodal, Privacy, Sampling, Similarity, TextAnalysis, Unigram, WordPiece}
+
+/** DuckDB oracle SQL builders shared by the [[SparkEntry.oracleSql]]
+  * family objects (Oracles1/2/3). Split from the monolithic registry
+  * for maintainability — no behavior change; every builder is the
+  * exact text previously inlined in SparkEntry. */
+private[graft] object OracleBuilders {
+
+  /** DuckDB oracle for the MinHash+LSH pipeline (k=16, bands=4,
+    * threshold 0.5 over documents); `extraWhere` narrows the final pair
+    * set (used by the incremental variant). */
+  def minhashOracleSql(extraWhere: String): String = {
+    val k = 16; val bands = 4; val r = k / bands
+    // one md5 per shingle + k affine permutations mod 2^31-1, mirroring
+    // Dedup.signatureWide exactly (h and the maps are integer-exact)
+    val mins = (0 until k).map(j =>
+      s"min((h * ${2 * j + 1} + $j) % 2147483647)::BIGINT AS h$j")
+      .mkString(", ")
+    val bandCases = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(j => s"h$j::VARCHAR")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN md5($slice)"
+    }.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+       shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+              THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                  for i in generate_series(1, len(l) - 2)])
+              ELSE [text] END AS ss FROM tok),
+       sh AS (SELECT doc_id,
+              ('0x' || substr(md5(unnest(ss)), 1, 15))::UBIGINT
+                % 2147483647 AS h
+            FROM shl),
+       sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       band AS (SELECT doc_id, b.b AS band,
+              CASE b.b $bandCases END AS band_key
+            FROM sig, (SELECT unnest(generate_series(0, ${bands - 1})) AS b) b),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id),
+       jac AS (SELECT id_a, id_b,
+              len(list_intersect(x.ss, y.ss))::DOUBLE
+                / len(list_distinct(x.ss || y.ss))::DOUBLE AS j
+            FROM cand JOIN shl x ON x.doc_id = id_a
+                      JOIN shl y ON y.doc_id = id_b)
+       SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac
+       WHERE round(j, 6) >= 0.5$extraWhere ORDER BY id_a, id_b"""
+  }
+
+  /** Exact length-blocked n-gram Jaccard pairs — shared by the
+    * q_dedup_ngram check and the q_dedup_recall evaluation (where this
+    * relation is the ground truth the LSH pipeline is scored against). */
+  def ngramOracleSql: String =
+    """WITH tok AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS l
+              FROM documents),
+         shl AS (SELECT doc_id, n_chars, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         blk AS (SELECT doc_id, ss,
+                unnest([n_chars // 50, n_chars // 50 + 1]) AS block FROM shl),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.ss, b.ss))::DOUBLE
+                  / len(list_distinct(a.ss || b.ss))::DOUBLE AS j
+              FROM blk a JOIN blk b
+                ON a.block = b.block AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
+         WHERE round(j, 6) >= 0.5 ORDER BY id_a, id_b"""
+
+  /** Unrolled DuckDB replay of [[graft.ext.Bpe.bpeTrain]]'s
+    * deterministic merge loop: per merge step k, a pair census over
+    * the current segmentation (`c`/`p`), the arg-max under the pinned
+    * (n DESC, lhs, rhs) total order (`b`), and the greedy literal
+    * replace in the double-space string encoding (`w`) — the exact
+    * same encoding the Spark side carries, so cell-exact parity.
+    * `AS MATERIALIZED` on each generation for the same reason as
+    * [[bpeEncodeOracle]]: every w$k feeds both the next census and the
+    * next replace, so CTE inlining would expand the chain 2^m-fold. */
+  /** DuckDB replay of [[graft.ext.Multimodal.ppmAHash]] over the
+    * `packPpm(width = 16)` payload: the pixel bytes ARE the document's
+    * UTF-8 bytes (ASCII corpus ⇒ `ord`/`substr` address them 1:1), so
+    * the oracle recomputes the all-integer 8×8 average-hash grid —
+    * per-pixel gray `(r+g+b)//3`, per-cell `sum//npx`, grid mean
+    * `Σ//64`, bit = cell > mean — from first principles. Emits CTE
+    * `ah (doc_id, hi, lo)`: the two unsigned 32-bit halves, the form
+    * both engines can build without signed-shift overflow at bit 63. */
+  val ahashChainSql: String =
+    """d AS (SELECT doc_id, text, (length(text) // 48)::BIGINT AS h
+          FROM documents WHERE length(text) // 48 >= 8),
+       cells AS (SELECT doc_id, text, h, ci.ci, cj.cj FROM d,
+          (SELECT unnest(generate_series(0, 7)) AS ci) ci,
+          (SELECT unnest(generate_series(0, 7)) AS cj) cj),
+       ys AS (SELECT doc_id, text, ci, cj,
+          unnest(generate_series(ci * h // 8, (ci + 1) * h // 8 - 1)) AS y
+          FROM cells),
+       xs AS (SELECT doc_id, ci, cj, text, y,
+          unnest([cj * 2, cj * 2 + 1]) AS x FROM ys),
+       px AS (SELECT doc_id, ci, cj,
+          (ord(substr(text, (48 * y + 3 * x + 1)::INT, 1)) +
+           ord(substr(text, (48 * y + 3 * x + 2)::INT, 1)) +
+           ord(substr(text, (48 * y + 3 * x + 3)::INT, 1))) // 3 AS g
+          FROM xs),
+       cavg AS (SELECT doc_id, ci, cj, (sum(g) // count(*))::BIGINT AS ca
+          FROM px GROUP BY 1, 2, 3),
+       gm AS (SELECT doc_id, (sum(ca) // 64)::BIGINT AS m
+          FROM cavg GROUP BY 1),
+       ah AS (SELECT c.doc_id,
+          sum(CASE WHEN ca > m AND 8 * ci + cj >= 32
+                THEN 1::BIGINT << (8 * ci + cj - 32) ELSE 0 END)::BIGINT
+            AS hi,
+          sum(CASE WHEN ca > m AND 8 * ci + cj < 32
+                THEN 1::BIGINT << (8 * ci + cj) ELSE 0 END)::BIGINT AS lo
+          FROM cavg c JOIN gm USING (doc_id) GROUP BY 1)"""
+
+  /** Audio-hash replay: the WAV data chunk IS the document's bytes, so
+    * the oracle recomputes [[graft.ext.Multimodal.wavAHash]]'s
+    * all-integer 64-segment grid — segment bounds `[s·n/64,
+    * (s+1)·n/64)`, per-segment `sum//count`, grid mean `Σ//64`, bit =
+    * segment > mean — straight off the text. Emits CTE `ah (doc_id,
+    * hi, lo)`, the same unsigned-halves shape as [[ahashChainSql]];
+    * `corpus` names the (doc_id, text) relation to hash. */
+  def wavHashChainSql(corpus: String = "documents"): String =
+    s"""d AS (SELECT doc_id, text, length(text)::BIGINT AS n
+          FROM $corpus WHERE length(text) >= 64),
+       seg AS (SELECT doc_id, text, s.s AS seg,
+          (s.s * n) // 64 AS o0, ((s.s + 1) * n) // 64 AS o1
+          FROM d, (SELECT unnest(generate_series(0, 63)) AS s) s),
+       sm AS (SELECT doc_id, seg,
+          (list_sum([ord(substr(text, (o0 + i + 1)::INT, 1))::BIGINT
+             for i in generate_series(0, o1 - o0 - 1)])
+            // (o1 - o0))::BIGINT AS sa
+          FROM seg),
+       gm AS (SELECT doc_id, (sum(sa) // 64)::BIGINT AS m
+          FROM sm GROUP BY 1),
+       ah AS (SELECT c.doc_id,
+          sum(CASE WHEN sa > m AND seg >= 32
+                THEN 1::BIGINT << (seg - 32)::INT ELSE 0 END)::BIGINT
+            AS hi,
+          sum(CASE WHEN sa > m AND seg < 32
+                THEN 1::BIGINT << seg::INT ELSE 0 END)::BIGINT AS lo
+          FROM sm c JOIN gm USING (doc_id) GROUP BY 1)"""
+
+  def bpeTrainOracle(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS (SELECT w, count(*)::BIGINT AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY 1),
+         w0 AS MATERIALIZED (SELECT
+                '  ' || regexp_replace(w, '(.)', '\1  ', 'gs') AS seg,
+                cnt FROM words)""")
+    for (k <- 1 to m) {
+      sb.append(s""",
+         c$k AS (SELECT list_filter(string_split(seg, '  '), x -> x <> '') AS s,
+                cnt FROM w${k - 1}),
+         p$k AS (SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(cnt)::BIGINT AS n
+               FROM (SELECT s, cnt,
+                      unnest(generate_series(1, len(s) - 1)) AS i
+                     FROM c$k WHERE len(s) >= 2)
+               GROUP BY 1, 2),
+         b$k AS (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+         w$k AS MATERIALIZED (SELECT
+                replace(seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') AS seg, cnt
+               FROM w${k - 1}, b$k b)""")
+    }
+    sb.append("\n         SELECT * FROM (")
+    sb.append((1 to m).map(k =>
+      s"SELECT ${k}::BIGINT AS step, lhs, rhs, lhs || rhs AS merged, n FROM b$k")
+      .mkString("\n         UNION ALL "))
+    sb.append(") ORDER BY step")
+    sb.toString
+  }
+
+  /** Shared unigram-tokenizer vocabulary chain — the DuckDB replay of
+    * [[graft.ext.Unigram.unigramSeed]] at the gate's knobs
+    * (maxPieceLen 4, vocabSize 40, maxWordLen 16): distinct-word
+    * census, substring explode, (cnt DESC, piece) top-40 plus all
+    * single characters, integer-quantized log2 costs. Emits CTEs
+    * `uwf` (word, freq) and `ucosts` (piece, cnt, cost). */
+  val unigramChainSql: String =
+    """uwf AS (SELECT w, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1),
+       usub AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+          SELECT substr(ws.w, i.i, L.L) AS piece, ws.freq
+          FROM (SELECT w, freq FROM uwf WHERE length(w) <= 16) ws,
+               (SELECT unnest(generate_series(1, 16)) AS i) i,
+               (SELECT unnest(generate_series(1, 4)) AS L) L
+          WHERE i.i + L.L - 1 <= length(ws.w)) GROUP BY 1),
+       urk AS (SELECT piece, cnt,
+              row_number() OVER (ORDER BY cnt DESC, piece) AS r FROM usub),
+       uvocab AS (SELECT piece, cnt FROM urk
+          WHERE r <= 40 OR length(piece) = 1),
+       utot AS (SELECT sum(cnt)::DOUBLE AS t FROM uvocab),
+       ucosts AS (SELECT piece, cnt,
+              round(1e6 * log2(t / cnt::DOUBLE))::BIGINT AS cost
+          FROM uvocab, utot)"""
+
+  /** DuckDB replay of [[graft.ext.Unigram.unigramEncode]]: the packed
+    * (cost·64 + pieces) Viterbi as an unrolled Bellman-Ford chain —
+    * `uedges` holds every in-vocabulary (start, end) span of every
+    * distinct word, `ud0..ud16` relax one more edge per generation
+    * (16 = the maxWordLen contract, so the chain covers every
+    * all-single-char path), and the final generation's `pos = len(w)`
+    * row is the word's minimum. `AS MATERIALIZED` per generation:
+    * each ud$k feeds both branches of the next union, and CTE
+    * inlining would expand the chain 2^16-fold (the bpeTrainOracle
+    * lesson). Over-long words take the unknown path: one piece at
+    * `round(1e6·log2(total))`. */
+  def unigramEncodeOracle: String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(unigramChainSql)
+    sb.append(""",
+       udw AS (SELECT DISTINCT w FROM uwf),
+       uedges AS (SELECT d.w, (i.i - 1)::BIGINT AS src,
+              (i.i - 1 + L.L)::BIGINT AS dst, c.cost * 64 + 1 AS m
+          FROM udw d,
+               (SELECT unnest(generate_series(1, 16)) AS i) i,
+               (SELECT unnest(generate_series(1, 4)) AS L) L,
+               ucosts c
+          WHERE length(d.w) <= 16 AND i.i + L.L - 1 <= length(d.w)
+            AND substr(d.w, i.i, L.L) = c.piece),
+       ud0 AS (SELECT w, 0::BIGINT AS pos, 0::BIGINT AS m
+          FROM udw WHERE length(w) <= 16)""")
+    for (k <- 1 to 16)
+      sb.append(s""",
+       ud$k AS MATERIALIZED (SELECT w, pos, min(m)::BIGINT AS m FROM (
+          SELECT w, pos, m FROM ud${k - 1}
+          UNION ALL
+          SELECT e.w, e.dst, d.m + e.m FROM ud${k - 1} d
+            JOIN uedges e ON e.w = d.w AND e.src = d.pos) GROUP BY 1, 2)""")
+    sb.append(""",
+       uwall AS (
+          SELECT d.w, (d.m % 64) AS n_pieces, (d.m // 64) AS w_cost
+          FROM ud16 d WHERE d.pos = length(d.w)
+          UNION ALL
+          SELECT w, 1::BIGINT AS n_pieces,
+                 (SELECT round(1e6 * log2(t))::BIGINT FROM utot) AS w_cost
+          FROM udw WHERE length(w) > 16)
+       SELECT t.doc_id, sum(n_pieces)::BIGINT AS n_pieces,
+              sum(w_cost)::BIGINT AS total_cost
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) t
+       JOIN uwall ON t.w = uwall.w
+       WHERE t.w <> ''
+       GROUP BY 1 ORDER BY 1""")
+    sb.toString
+  }
+
+  /** DuckDB replay of [[graft.ext.WordPiece.wordPieceEncode]] under
+    * the [[unigramChainSql]] vocabulary: greedy longest-match-first as
+    * a 16-generation frontier chain — each live word holds exactly ONE
+    * (pos, n) frontier row, and a generation advances it by the
+    * longest in-vocabulary piece (`max(dst)` over the edges leaving
+    * `pos`). 16 generations cover the worst case (all single-char
+    * steps at maxWordLen 16). Over-long words take the whole-word
+    * unknown path. A word stuck at a position with no edge would drop
+    * from the chain — unreachable here because the vocabulary is
+    * seeded from the same corpus and keeps every single character of
+    * every in-contract word. */
+  def wordPieceOracle: String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(unigramChainSql)
+    sb.append(""",
+       wpw AS (SELECT DISTINCT w FROM uwf),
+       wpe AS (SELECT d.w, (i.i - 1)::BIGINT AS src,
+              (i.i - 1 + L.L)::BIGINT AS dst
+          FROM wpw d,
+               (SELECT unnest(generate_series(1, 16)) AS i) i,
+               (SELECT unnest(generate_series(1, 4)) AS L) L,
+               ucosts c
+          WHERE length(d.w) <= 16 AND i.i + L.L - 1 <= length(d.w)
+            AND substr(d.w, i.i, L.L) = c.piece),
+       wp0 AS (SELECT w, 0::BIGINT AS pos, 0::BIGINT AS n
+          FROM wpw WHERE length(w) <= 16)""")
+    for (k <- 1 to 16)
+      sb.append(s""",
+       wp$k AS MATERIALIZED (
+          SELECT w, pos, n FROM wp${k - 1} WHERE pos >= length(w)
+          UNION ALL
+          SELECT e.w, max(e.dst) AS pos, d.n + 1 AS n
+          FROM wp${k - 1} d JOIN wpe e ON e.w = d.w AND e.src = d.pos
+          WHERE d.pos < length(d.w)
+          GROUP BY e.w, d.n)""")
+    sb.append(""",
+       wpall AS (
+          SELECT w, n AS n_pieces, 0::BIGINT AS n_unk FROM wp16
+          WHERE pos >= length(w)
+          UNION ALL
+          SELECT w, 1::BIGINT, 1::BIGINT FROM wpw WHERE length(w) > 16)
+       SELECT t.doc_id, sum(n_pieces)::BIGINT AS n_pieces,
+              sum(n_unk)::BIGINT AS n_unk
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) t
+       JOIN wpall ON t.w = wpall.w
+       WHERE t.w <> ''
+       GROUP BY 1 ORDER BY 1""")
+    sb.toString
+  }
+
+  /** DuckDB replay of [[graft.ext.Bpe.bpeEncode]] over a merge list
+    * trained in the same query: the [[bpeTrainOracle]] stage chain with
+    * the word column carried through (so the final generation is a
+    * word → segmentation map), then per-word token counts joined back
+    * to the exploded corpus. `AS MATERIALIZED` on each generation —
+    * every w$k is referenced twice (next census + next replace), and
+    * DuckDB's CTE inlining would expand the chain 2^m-fold without it. */
+  /** Shared by q_mixture_budget (plain window path) and
+    * q_mixture_salted (two-level prefix sum): the selection contract is
+    * identical, only the physical plan differs. */
+  val mixtureOracle: String =
+    """WITH d AS (SELECT doc_id, source,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+         r AS (SELECT doc_id, source, n_tokens,
+                row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                  ::BIGINT AS take_rank,
+                sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+                CASE source
+                  WHEN 'src0' THEN floor(2000 * 3.0 / 5.5)::BIGINT
+                  WHEN 'src3' THEN floor(2000 * 0.5 / 5.5)::BIGINT
+                  ELSE floor(2000 * 1.0 / 5.5)::BIGINT END AS budget
+              FROM d WHERE n_tokens > 0)
+         SELECT source, take_rank, doc_id, n_tokens, cum_tokens
+         FROM r WHERE cum_tokens - n_tokens < budget
+         ORDER BY source, take_rank"""
+
+  /** Brute-force every-window decontamination replay, parameterized by
+    * the text expression so the raw and normalized gates share one
+    * oracle (the normalized form passes the DuckDB rendering of
+    * [[graft.ext.TextAnalysis.normalize]] — note DuckDB's
+    * `regexp_replace` needs the explicit `'g'` flag Spark implies). */
+  def substringContaminationOracle(textExpr: String): String =
+    s"""WITH b AS (SELECT doc_id, $textExpr AS text,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                  % 100 AS bucket
+              FROM documents),
+         tr AS (SELECT text FROM b WHERE bucket < 80),
+         tw AS (SELECT DISTINCT w FROM (
+                SELECT unnest([substr(text, i, 31)
+                    for i in generate_series(1, length(text) - 30)]) AS w
+                FROM tr WHERE length(text) >= 31)),
+         te AS (SELECT doc_id, text FROM b
+              WHERE bucket >= 90 AND length(text) >= 31),
+         tew AS (SELECT doc_id,
+                unnest([{'i': i, 'w': substr(text, i, 31)}
+                    for i in generate_series(1, length(text) - 30)]) AS x
+              FROM te)
+         SELECT doc_id, count(*)::BIGINT AS n_spans,
+                min(x.i)::BIGINT AS first_pos
+         FROM tew JOIN tw ON tew.x.w = tw.w
+         GROUP BY doc_id ORDER BY doc_id"""
+
+  /** The word-carrying merge chain shared by [[bpeEncodeOracle]],
+    * [[bpeEncodeIdsOracle]] and the pipeline oracle: CTEs `words` +
+    * `w0..w$m` whose final generation is a word → segmentation map (and
+    * `b1..b$m`, the merge pairs). Returned as the interior of a WITH
+    * clause; `corpus` names the (doc_id, text) relation to train on. */
+  def bpeWordChainSql(m: Int, corpus: String = "documents"): String = {
+    val sb = new StringBuilder
+    sb.append(
+      raw"""words AS (SELECT w, count(*)::BIGINT AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $corpus)
+           WHERE w <> '' GROUP BY 1),
+         w0 AS MATERIALIZED (SELECT w,
+                '  ' || regexp_replace(w, '(.)', '\1  ', 'gs') AS seg,
+                cnt FROM words)""")
+    for (k <- 1 to m) {
+      sb.append(s""",
+         c$k AS (SELECT list_filter(string_split(seg, '  '), x -> x <> '') AS s,
+                cnt FROM w${k - 1}),
+         p$k AS (SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(cnt)::BIGINT AS n
+               FROM (SELECT s, cnt,
+                      unnest(generate_series(1, len(s) - 1)) AS i
+                     FROM c$k WHERE len(s) >= 2)
+               GROUP BY 1, 2),
+         b$k AS (SELECT lhs, rhs FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+         w$k AS MATERIALIZED (SELECT w,
+                replace(seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') AS seg, cnt
+               FROM w${k - 1}, b$k b)""")
+    }
+    sb.toString
+  }
+
+  def bpeEncodeOracle(m: Int): String =
+    s"""WITH ${bpeWordChainSql(m)},
+         tok AS (SELECT w,
+                len(list_filter(string_split(seg, '  '), x -> x <> ''))::BIGINT
+                  AS t
+               FROM w$m),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         SELECT doc_id, count(*)::BIGINT AS n_words,
+                sum(t)::BIGINT AS n_bpe_tokens
+         FROM dw JOIN tok USING (w) WHERE w <> ''
+         GROUP BY doc_id ORDER BY doc_id"""
+
+  /** DuckDB replay of [[graft.ext.Bpe.bpeEncodeIds]]: the same trained
+    * chain, then the deterministic vocabulary (sorted corpus alphabet
+    * ids `0..B-1`, merge step `k` mints id `B+k-1`, first id wins on a
+    * string collision — `min(id)` after the union, since base ids are
+    * all below minted ids and earlier mints below later) and the
+    * per-word → per-document id-sequence assembly, compared as the
+    * space-joined string form. */
+  /** CTE interior `words..fl` where `fl` is (doc_id, tids: list<int>)
+    * — the full vocabulary + per-document id assembly, shared by
+    * [[bpeEncodeIdsOracle]] and the token-shard export oracle. */
+  def bpeIdsChainSql(m: Int): String = {
+    val mergeUnion = (1 to m)
+      .map(k => s"SELECT $k AS step, lhs, rhs FROM b$k")
+      .mkString("\n               UNION ALL ")
+    s"""${bpeWordChainSql(m)},
+         syms AS (SELECT w, list_filter(string_split(seg, '  '), x -> x <> '')
+                  AS s FROM w$m),
+         alpha AS (SELECT DISTINCT unnest(string_split(w, '')) AS sym
+               FROM words),
+         base AS (SELECT sym,
+                (row_number() OVER (ORDER BY sym) - 1)::INT AS id FROM alpha),
+         minted AS (SELECT lhs || rhs AS sym,
+                ((SELECT count(*) FROM base) + step - 1)::INT AS id
+               FROM ($mergeUnion)),
+         vocab AS (SELECT sym, min(id)::INT AS id
+               FROM (SELECT sym, id FROM base
+                     UNION ALL SELECT sym, id FROM minted) GROUP BY 1),
+         wsym AS (SELECT w, pos, s[pos] AS sym
+               FROM (SELECT w, s, unnest(generate_series(1, len(s))) AS pos
+                     FROM syms)),
+         wids AS (SELECT w, list(v.id ORDER BY pos) AS ids
+               FROM wsym JOIN vocab v USING (sym) GROUP BY w),
+         dw AS (SELECT doc_id, pos, ws[pos] AS w
+               FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws))) AS pos
+                     FROM (SELECT doc_id,
+                            list_filter(string_split(text, ' '), x -> x <> '')
+                              AS ws
+                           FROM documents))),
+         fl AS (SELECT doc_id, flatten(list(ids ORDER BY pos)) AS tids
+               FROM dw JOIN wids USING (w) GROUP BY doc_id)"""
+  }
+
+  /** Unrolled-CTE replay of [[graft.ext.Classify.logRegFit]] +
+    * `logRegScore`: iteration t derives the four quantized gradient
+    * longs under weights w(t−1), then weights w(t) by the identical
+    * IEEE expression chain the Scala loop uses — exact longs between
+    * iterations make the whole unroll engine-exact. */
+  /** The CTE chain (through `w<iters>`) plus the margin expression —
+    * shared by the standalone probe oracle and the probe-gated export
+    * composition. */
+  def logRegChainSql(iters: Int): (String, String) = {
+    def gsum(f: String, alias: String) =
+      s"sum(CAST(round(((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) * $f" +
+        s" * 1048576.0) AS BIGINT)) AS $alias"
+    val steps = (1 to iters).map { t =>
+      s"""g$t AS (SELECT ${gsum("1.0", "g0")}, ${gsum("f1", "g1")},
+                ${gsum("f2", "g2")}, ${gsum("f3", "g3")}
+              FROM (SELECT f.y, f.f1, f.f2, f.f3,
+                      w.w0 + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3 AS z
+                    FROM f CROSS JOIN w${t - 1} w)),
+         w$t AS (SELECT ${(0 to 3).map(j =>
+                  s"w.w$j - 0.5 * ((CAST(g.g$j AS DOUBLE) / 1048576.0)" +
+                    s" / n.n) AS w$j").mkString(", ")}
+              FROM w${t - 1} w CROSS JOIN g$t g CROSS JOIN n)"""
+    }
+    val chain =
+      s"""f AS (SELECT doc_id,
+              CASE WHEN n_chars >= 306 THEN 1.0 ELSE 0.0 END AS y,
+              (CAST(len(string_split(text, ' ')) AS DOUBLE) - 56.0)
+                / 32.0 AS f1,
+              (CAST(n_chars AS DOUBLE) - 306.0) / 128.0 AS f2,
+              CAST(n_chars AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.5 AS f3
+            FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         ${steps.mkString(",\n         ")}"""
+    (chain, "w.w0 + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3")
+  }
+
+  def logRegOracle(iters: Int): String = {
+    val (chain, m) = logRegChainSql(iters)
+    s"""WITH $chain
+         SELECT f.doc_id, CAST(f.y AS INT) AS y,
+                CAST(round(($m) * 1000000.0) AS BIGINT) AS margin_e6,
+                CASE WHEN CAST(round(($m) * 1000000.0) AS BIGINT) > 0
+                  THEN 1 ELSE 0 END AS pred
+         FROM f CROSS JOIN w$iters w ORDER BY f.doc_id"""
+  }
+
+  /** Probe-gated export replay: the probe chain selects the positive
+    * margins, the export ranking shards the survivors. */
+  def probeGatedExportOracle(iters: Int): String = {
+    val (chain, m) = logRegChainSql(iters)
+    s"""WITH $chain,
+         kept AS (SELECT f.doc_id FROM f CROSS JOIN w$iters w
+              WHERE CAST(round(($m) * 1000000.0) AS BIGINT) > 0),
+         b AS (SELECT doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+            FROM kept)
+         SELECT (h % 4)::BIGINT AS shard,
+              row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id)
+                ::BIGINT AS shard_pos,
+              doc_id
+         FROM b ORDER BY shard, shard_pos"""
+  }
+
+  def bpeEncodeIdsOracle(m: Int): String =
+    s"""WITH ${bpeIdsChainSql(m)}
+         SELECT doc_id, array_to_string(tids, ' ') AS token_ids,
+                len(tids)::BIGINT AS n_tokens
+         FROM fl ORDER BY doc_id"""
+
+  /** Token-shard export replay: the id chain, then the concat-packing
+    * spans in closed form (the doc occupies a contiguous interval
+    * [s, e) of its shard stream, so each bin's piece of its id list is
+    * a pure slice — no window over positions), and the per-bin stream
+    * digest. */
+  def exportTokenShardsOracle(m: Int, eod: Boolean = false): String = {
+    // the EOD id is the next free vocabulary id — vocab sizes agree
+    // across engines even under minted-string collisions (both count
+    // distinct SYMBOLS; only the unused ids differ)
+    val (nExpr, tidsExpr) =
+      if (eod) ("len(tids)::BIGINT + 1",
+        "tids || [(SELECT count(*) FROM vocab)::INT]")
+      else ("len(tids)::BIGINT", "tids")
+    s"""WITH ${bpeIdsChainSql(m)},
+         pk AS (SELECT doc_id, doc_id % 4 AS shard,
+                $nExpr AS n, $tidsExpr AS tids FROM fl
+              WHERE len(tids) > 0),
+         pc AS (SELECT doc_id, shard, n, tids,
+                sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                  AS e
+              FROM pk),
+         spans AS (SELECT doc_id, shard, tids, e - n AS s, e,
+                unnest(generate_series((e - n) // 512,
+                                       (e - 1) // 512)) AS bin
+              FROM pc),
+         sl AS (SELECT doc_id, shard, bin,
+                greatest(s, bin * 512) - bin * 512 AS start_in_bin,
+                least(e, (bin + 1) * 512) - greatest(s, bin * 512)
+                  AS tok_in_bin,
+                tids[(greatest(s, bin * 512) - s + 1)
+                     : (least(e, (bin + 1) * 512) - s)] AS piece
+              FROM spans)
+         SELECT shard::BIGINT AS shard, bin::BIGINT AS bin,
+                count(*)::BIGINT AS n_docs,
+                sum(tok_in_bin)::BIGINT AS bin_tokens,
+                md5(array_to_string(
+                  flatten(list(piece ORDER BY start_in_bin)), ' '))
+                  AS ids_md5
+         FROM sl GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  /** DuckDB replay of [[graft.ext.Similarity]]'s farthest-point
+    * seeding ([[graft.ext.Similarity.farthestSeedVecs]]) over the int8
+    * code relation `q`/`pts`: the candidate pool is the
+    * [[graft.ext.Similarity.seedSampleSize]] md5-rank-smallest ids
+    * (the identical sample the Spark side collects in its ONE seeding
+    * job); seed 0 is the sample's md5-rank minimum; each stage `sn{j}`
+    * picks the not-yet-picked candidate with the largest min-distance
+    * to the picked set (ties by id) — integer-exact, so the sequence
+    * is identical to the Spark side's driver-local pass. Emits CTE
+    * text ending in `seed (vec_id, cluster)`, spliced into the
+    * q_kmeans oracle ahead of the unrolled Lloyd stages. */
+  def kmeansSeedSql(k: Int): String =
+    s"""cand AS MATERIALIZED (SELECT vec_id FROM q
+              ORDER BY md5(vec_id::VARCHAR), vec_id
+              LIMIT ${graft.ext.Similarity.seedSampleSize(k)}),
+         """ + seedChainSql(k, "pts", "")
+
+  /** The farthest-point stage chain itself, parameterized so the PQ
+    * oracle can emit one chain PER SUBSPACE (`pts` = that subspace's
+    * point relation, `sfx` appended to every CTE name) over the ONE
+    * shared `cand` sample — mirroring the Spark side, whose subspace
+    * seeders slice the same collected sample. Ends in
+    * `seed$sfx (vec_id, cluster)`. */
+  def seedChainSql(k: Int, pts: String, sfx: String): String = {
+    // every sp{j} is referenced three times downstream (the distance
+    // join, the NOT IN guard, and sp{j+1}'s union) — AS MATERIALIZED
+    // stops DuckDB's CTE inlining from expanding the chain
+    // exponentially (3^k scans of the parquet source without it)
+    val sb = new StringBuilder
+    sb.append(
+      s"""cpts$sfx AS MATERIALIZED (SELECT p.vec_id, p.dim, p.x
+              FROM $pts p JOIN cand USING (vec_id)),
+         sp0$sfx AS MATERIALIZED (SELECT vec_id, 0 AS cluster FROM (
+              SELECT vec_id FROM cand
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1))""")
+    for (j <- 1 until k) {
+      sb.append(s""",
+         se$j$sfx AS MATERIALIZED (SELECT p.vec_id, b.vec_id AS sv,
+                sum((p.x - b.x) * (p.x - b.x)) AS dd
+              FROM cpts$sfx p JOIN cpts$sfx b ON p.dim = b.dim
+              JOIN sp${j - 1}$sfx s ON b.vec_id = s.vec_id
+              GROUP BY p.vec_id, b.vec_id),
+         sn$j$sfx AS MATERIALIZED (SELECT vec_id FROM (
+                SELECT vec_id, min(dd) AS md FROM se$j$sfx GROUP BY vec_id)
+              WHERE vec_id NOT IN (SELECT vec_id FROM sp${j - 1}$sfx)
+              ORDER BY md DESC, vec_id LIMIT 1),
+         sp$j$sfx AS MATERIALIZED (SELECT vec_id, cluster FROM sp${j - 1}$sfx
+              UNION ALL SELECT vec_id, $j AS cluster FROM sn$j$sfx)""")
+    }
+    sb.append(s""",
+         seed$sfx AS MATERIALIZED (SELECT vec_id, cluster::INTEGER AS cluster
+              FROM sp${k - 1}$sfx)""")
+    sb.toString
+  }
+
+  /** Full integer k-means replay as a CTE chain: global-scale int8
+    * quantization (`g`/`q`/`pts`), farthest-point seeds
+    * ([[kmeansSeedSql]]), `iterations` generated Lloyd rounds (assign
+    * a_i → floor-div means m_i → coalesce-carry centroids c_i), ending
+    * in the final assignment CTE `afin (vec_id, cluster)`. Every step
+    * is integer or correctly-rounded-double arithmetic, so the replay
+    * is cell-exact against `Similarity.kmeansFitInt8` — shared by the
+    * q_kmeans purity rollup and the q_dedup_semantic within-cell pair
+    * scan. `a_i`/`c_i` are MATERIALIZED: each is referenced twice
+    * downstream, so plain CTE inlining would re-expand the whole
+    * prefix 2^iterations times (the bpeTrainOracle lesson). */
+  /** GLOBAL-scale int8 quantization of the embeddings table as CTEs
+    * `g`/`q` (codes as a list) /`pts` (exploded (vec_id, dim, x)) —
+    * the shared front of every integer-trainer replay. */
+  val int8PtsSql: String =
+    """WITH g AS (SELECT max(list_max(list_transform(embedding,
+                x -> abs(x::DOUBLE)))) AS gma
+              FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (SELECT vec_id, label,
+                CASE WHEN gma = 0
+                  THEN list_transform(embedding, x -> 0::BIGINT)
+                  ELSE list_transform(embedding,
+                    x -> floor(x::DOUBLE / gma * 127 + 0.5)::BIGINT)
+                END AS v
+              FROM embeddings, g WHERE embedding IS NOT NULL),
+         pts AS MATERIALIZED (SELECT vec_id, u.dim AS dim, u.x AS x FROM (
+                SELECT vec_id, unnest(list_transform(v,
+                  (x, i) -> {'dim': i - 1, 'x': x})) AS u FROM q)),
+         """
+
+  def kmeansAssignSql(k: Int, iterations: Int): String =
+    int8PtsSql + kmeansSeedSql(k) + "," +
+      lloydChainSql(iterations, "pts", "")
+
+  /** Full PQ replay ([[graft.ext.Similarity.pqTrainInt8]]): the shared
+    * int8 `pts` and ONE md5-rank `cand` sample, then PER SUBSPACE a
+    * dim-local point relation `pts_s{s}`, the farthest-point seed chain
+    * and the Lloyd rounds (suffix `_s{s}`), ending in assignment
+    * `afin_s{s}`. The tail assembles `codes (vec_id, sub, cluster)`,
+    * the final codebook `cb (sub, cluster, dim, c)` and the
+    * reconstruction `recon (vec_id, dim, c)` — integer-exact
+    * cell-for-cell against the Spark trainer, shared by the q_pq_encode
+    * and q_knn_pq oracles. */
+  def pqChainSql(m: Int, kSub: Int, iterations: Int,
+      dsub: Int): String =
+    int8PtsSql +
+      s"""cand AS MATERIALIZED (SELECT vec_id FROM q
+              ORDER BY md5(vec_id::VARCHAR), vec_id
+              LIMIT ${graft.ext.Similarity.seedSampleSize(kSub)})""" +
+      pqSubspacesSql(m, kSub, iterations, dsub, "pts")
+
+  /** The per-subspace PQ chains over point source `src` — `pts` for
+    * plain PQ, the coarse-residual relation for IVF+PQ — ending in
+    * `codes (vec_id, sub, cluster)`, the final codebook
+    * `cb (sub, cluster, dim, c)`, and the reconstruction
+    * `recon (vec_id, dim, c)` in `src`'s coordinate system. Expects the
+    * shared `cand` sample upstream. */
+  def pqSubspacesSql(m: Int, kSub: Int, iterations: Int,
+      dsub: Int, src: String): String = {
+    val sb = new StringBuilder
+    for (s <- 0 until m) {
+      sb.append(s""",
+         pts_s$s AS MATERIALIZED (SELECT vec_id, dim - ${s * dsub} AS dim, x
+              FROM $src WHERE dim >= ${s * dsub} AND dim < ${(s + 1) * dsub}),
+         """)
+      sb.append(seedChainSql(kSub, s"pts_s$s", s"_s$s"))
+      sb.append(",")
+      sb.append(lloydChainSql(iterations, s"pts_s$s", s"_s$s"))
+    }
+    val codesUnion = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub, cluster FROM afin_s$s")
+      .mkString("\n              UNION ALL ")
+    val cbUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub, cluster, dim, c FROM c${iterations}_s$s")
+      .mkString("\n              UNION ALL ")
+    sb.append(s""",
+         codes AS MATERIALIZED ($codesUnion),
+         cb AS MATERIALIZED ($cbUnion),
+         recon AS MATERIALIZED (SELECT co.vec_id,
+                co.sub * $dsub + cb.dim AS dim, cb.c
+              FROM codes co JOIN cb
+                ON cb.sub = co.sub AND cb.cluster = co.cluster)""")
+    sb.toString
+  }
+
+  /** Full IVF+PQ replay ([[graft.ext.Similarity.knnIvfPq]]): coarse
+    * integer k-means over `pts` (suffix `_c`), the residual relation
+    * `res = pts − C[cell]`, then the per-subspace PQ chains over `res`.
+    * One `cand` sample serves both trainers — the Spark side samples by
+    * md5(id) on both relations, which is the same id set; the LIMIT
+    * must therefore agree, hence the `require`. */
+  def ivfPqChainSql(nCells: Int, m: Int, kSub: Int,
+      iterations: Int, dsub: Int): String = {
+    require(graft.ext.Similarity.seedSampleSize(nCells) ==
+      graft.ext.Similarity.seedSampleSize(kSub),
+      "coarse and PQ samples must coincide for the shared cand CTE")
+    int8PtsSql +
+      s"""cand AS MATERIALIZED (SELECT vec_id FROM q
+              ORDER BY md5(vec_id::VARCHAR), vec_id
+              LIMIT ${graft.ext.Similarity.seedSampleSize(kSub)}),
+         """ +
+      seedChainSql(nCells, "pts", "_c") + "," +
+      lloydChainSql(iterations, "pts", "_c") + s""",
+         cells AS MATERIALIZED (SELECT vec_id, cluster AS cell
+              FROM afin_c),
+         res AS MATERIALIZED (SELECT p.vec_id, p.dim, p.x - cc.c AS x
+              FROM pts p JOIN cells a ON a.vec_id = p.vec_id
+              JOIN c${iterations}_c cc
+                ON cc.cluster = a.cell AND cc.dim = p.dim)""" +
+      pqSubspacesSql(m, kSub, iterations, dsub, "res")
+  }
+
+  /** The Lloyd rounds themselves (assign a_i → floor-div means m_i →
+    * coalesce-carry centroids c_i → `afin$sfx`), parameterized like
+    * [[seedChainSql]] so the PQ oracle replays one chain per subspace.
+    * Expects `seed$sfx` upstream. `a_i`/`c_i` are MATERIALIZED: each is
+    * referenced twice downstream, so plain CTE inlining would re-expand
+    * the whole prefix 2^iterations times (the bpeTrainOracle lesson). */
+  def lloydChainSql(iterations: Int, pts: String,
+      sfx: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+         c0$sfx AS MATERIALIZED (SELECT s.cluster, p.dim, p.x AS c
+              FROM seed$sfx s JOIN $pts p ON p.vec_id = s.vec_id)""")
+    def assign(name: String, cent: String): String = s""",
+         $name AS MATERIALIZED (SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM (SELECT p.vec_id, c.cluster,
+                        sum((p.x - c.c) * (p.x - c.c)) AS d2
+                      FROM $pts p JOIN $cent c ON p.dim = c.dim
+                      GROUP BY p.vec_id, c.cluster)) WHERE rn = 1)"""
+    for (i <- 1 to iterations) {
+      sb.append(assign(s"a$i$sfx", s"c${i - 1}$sfx"))
+      sb.append(s""",
+         m$i$sfx AS (SELECT a.cluster, p.dim,
+                floor(sum(p.x)::DOUBLE / count(*))::BIGINT AS mm
+              FROM a$i$sfx a JOIN $pts p ON a.vec_id = p.vec_id
+              GROUP BY a.cluster, p.dim),
+         c$i$sfx AS MATERIALIZED (SELECT c${i - 1}$sfx.cluster,
+                c${i - 1}$sfx.dim, coalesce(m$i$sfx.mm, c${i - 1}$sfx.c) AS c
+              FROM c${i - 1}$sfx LEFT JOIN m$i$sfx
+                ON m$i$sfx.cluster = c${i - 1}$sfx.cluster
+                AND m$i$sfx.dim = c${i - 1}$sfx.dim)""")
+    }
+    sb.append(assign(s"afin$sfx", s"c$iterations$sfx"))
+    sb.toString
+  }
+
+
+  def mmrOracle(k: Int): String = {
+    def dot(a: String, b: String): String =
+      s"list_sum([$a.qq[i] * $b.qq[i] " +
+        s"for i in generate_series(1, len($a.qq))])::BIGINT"
+    val sb = new StringBuilder
+    sb.append(
+      """WITH mm AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                AS ma
+            FROM embeddings),
+         mq0 AS (SELECT vec_id,
+              CASE WHEN ma = 0
+                THEN list_transform(embedding, x -> 0::BIGINT)
+                ELSE list_transform(embedding,
+                  x -> floor(x::DOUBLE / ma * 127 + 0.5)::BIGINT)
+              END AS qq
+            FROM mm),
+         mqv AS (SELECT qq FROM mq0 WHERE vec_id = 0),
+         mc AS (SELECT b.vec_id, b.qq,
+              list_sum([b.qq[i] * q.qq[i]
+                for i in generate_series(1, len(b.qq))])::BIGINT AS rel
+            FROM mq0 b, mqv q WHERE b.vec_id <> 0),
+         ms1 AS (SELECT vec_id, qq, rel FROM mc
+            ORDER BY rel DESC, vec_id LIMIT 1),
+         md1 AS MATERIALIZED (SELECT c.vec_id, c.qq, c.rel,
+              """ + dot("c", "s") + """ AS maxsim
+            FROM mc c, ms1 s WHERE c.vec_id <> s.vec_id)""")
+    for (j <- 2 to k) {
+      sb.append(s""",
+         ms$j AS (SELECT vec_id, qq, rel, maxsim,
+              (rel - maxsim) AS score FROM md${j - 1}
+            ORDER BY (rel - maxsim) DESC, vec_id LIMIT 1)""")
+      if (j < k) sb.append(s""",
+         md$j AS MATERIALIZED (SELECT d.vec_id, d.qq, d.rel,
+              greatest(d.maxsim, ${dot("d", "s")}) AS maxsim
+            FROM md${j - 1} d, ms$j s WHERE d.vec_id <> s.vec_id)""")
+    }
+    sb.append(
+      "\n         SELECT * FROM (SELECT 1::BIGINT AS round, vec_id, " +
+        "rel, rel AS score FROM ms1")
+    sb.append((2 to k).map(j =>
+      s"\n         UNION ALL SELECT ${j}::BIGINT, vec_id, rel, score " +
+        s"FROM ms$j").mkString)
+    sb.append(") ORDER BY round")
+    sb.toString
+  }
+
+  def kcenterOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH km AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                AS ma
+            FROM embeddings),
+         kq AS (SELECT vec_id,
+              CASE WHEN ma = 0
+                THEN list_transform(embedding, x -> 0::BIGINT)
+                ELSE list_transform(embedding,
+                  x -> floor(x::DOUBLE / ma * 127 + 0.5)::BIGINT)
+              END AS qq
+            FROM km),
+         kb AS (SELECT vec_id, qq,
+              list_sum([x * x for x in qq])::BIGINT AS qnorm FROM kq),
+         kc1 AS (SELECT vec_id, qq, qnorm FROM kb ORDER BY vec_id LIMIT 1),
+         kd1 AS MATERIALIZED (SELECT b.vec_id, b.qq, b.qnorm,
+              (b.qnorm + c.qnorm - 2 * list_sum(
+                [b.qq[i] * c.qq[i]
+                 for i in generate_series(1, len(b.qq))])::BIGINT) AS mind
+            FROM kb b, kc1 c)""")
+    for (j <- 2 to k) {
+      sb.append(s""",
+         kc$j AS (SELECT vec_id, qq, qnorm, mind FROM kd${j - 1}
+              ORDER BY mind DESC, vec_id LIMIT 1)""")
+      if (j < k) sb.append(s""",
+         kd$j AS MATERIALIZED (SELECT b.vec_id, b.qq, b.qnorm,
+              least(b.mind, b.qnorm + c.qnorm - 2 * list_sum(
+                [b.qq[i] * c.qq[i]
+                 for i in generate_series(1, len(b.qq))])::BIGINT) AS mind
+            FROM kd${j - 1} b, kc$j c)""")
+    }
+    sb.append(
+      "\n         SELECT * FROM (SELECT 1::BIGINT AS round, vec_id, " +
+        "0::BIGINT AS radius FROM kc1")
+    sb.append((2 to k).map(j =>
+      s"\n         UNION ALL SELECT ${j}::BIGINT, vec_id, mind::BIGINT " +
+        s"FROM kc$j").mkString)
+    sb.append(") ORDER BY round")
+    sb.toString
+  }
+
+  /** Shared by the batch (q_hopping_window) and streaming
+    * (q_hopping_stream) hopping rollups: duration 2d / slide 1d puts
+    * every event in exactly the windows starting at its own day and
+    * the day before (epoch-aligned starts). */
+  val hoppingOracle: String =
+    """SELECT date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS win_start,
+              event_type, count(*)::BIGINT AS n,
+              round(sum(value), 6) AS sum_value
+       FROM events, (SELECT unnest([0, 1]) AS k) k
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Closed form of [[cdcFeed]] applied to the events table — shared
+    * by the batch (q_cdc_apply) and streamed (q_cdc_stream) gates. */
+  val cdcApplyOracle: String =
+    """SELECT event_id, user_id, event_type,
+              CASE WHEN event_id % 7 = 1 THEN value + 100
+                   ELSE value END AS value
+       FROM events WHERE event_id % 7 <> 2
+       UNION ALL
+       SELECT -event_id - 1, user_id, event_type, value
+       FROM events WHERE event_id % 7 = 3
+       ORDER BY event_id"""
+
+  /** One oracle for the composed as-of join and both native physical
+    * forms — all three gates assert the same DuckDB ASOF LEFT JOIN. */
+  val asofOracle =
+    """WITH clicks AS (SELECT event_id, user_id AS user_email, ts
+            FROM events WHERE event_type = 'click'),
+       purch AS (SELECT user_id AS user_email, ts,
+              round(max(value), 6) AS pvalue
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+       SELECT c.event_id, c.ts, c.user_email,
+              p.ts AS asof_ts, p.pvalue AS asof_pvalue
+       FROM clicks c ASOF LEFT JOIN purch p
+         ON c.user_email = p.user_email AND c.ts >= p.ts
+       ORDER BY c.event_id"""
+
+  /** One oracle for both the one-shot rollup and its incremental
+    * state-merge equivalent — a single definition so a future fix can't
+    * drift between the two gates. */
+  val habitDailyOracle =
+    """SELECT date_trunc('day', ts) AS day,
+                user_id AS user_email,
+                event_type AS habit,
+                count(*) FILTER (WHERE value >= 1) AS count_done,
+                round(avg(value), 6) AS avg_value,
+                round(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
+                  AS sum_meditation
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** DuckDB-equivalent SQL per query (same parquet tables, table name =
+    * file stem). Omitted keys get a weaker rows-only check. */
+  /** The deterministic hash split the curation pipeline applies
+    * (`Sampling.splitLabel` with train<90, val otherwise), in DuckDB
+    * form — shared by the q_curation and q_pack_curated oracles. */
+  lazy val curationSplitSql: String =
+    """CASE WHEN ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::UBIGINT
+                       % 100 < 90 THEN 'train' ELSE 'val' END"""
+
+  /** Everything q_curation computes up to the dedup-cluster relation —
+    * language scores → best-lang gate → quality gate → simhash →
+    * pigeonhole candidate pairs → recursive connected components. The
+    * q_pack_curated oracle extends these CTEs with the packing window,
+    * so both oracles stay cell-identical to the ONE shared pipeline
+    * definition instead of drifting as two copies. */
+  lazy val curationOraclePrefix: String = {
+    val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+    }
+    val scores = markers.map { case (l, arr) =>
+      s"len(list_filter(l, x -> list_contains($arr, x))) AS s_$l"
+    }.mkString(",\n                ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
+    s"""WITH RECURSIVE
+         t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         sc AS (SELECT doc_id, text, l, $scores FROM t),
+         bb AS (SELECT *, $best AS best FROM sc),
+         lng AS (SELECT doc_id, text, l, CASE $cases ELSE 'und' END AS lang
+              FROM bb),
+         q AS (SELECT doc_id, text, l, lang, len(l) AS n_tokens,
+                (length(text) - (len(l) - 1))::DOUBLE / len(l)::DOUBLE AS mtl,
+                length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                  / greatest(length(text), 1)::DOUBLE AS pr,
+                len(list_filter(l, x -> list_contains(${markers.head._2}, x)))::DOUBLE
+                  / greatest(len(l), 1)::DOUBLE AS sr
+              FROM lng),
+         kept AS (SELECT doc_id, text, l, n_tokens,
+                25.0 * least(n_tokens::DOUBLE / 50.0, 1.0)
+                  + 25.0 * least(mtl / 6.0, 1.0)
+                  + 25.0 * (1.0 - pr)
+                  + 25.0 * least(sr * 8.0, 1.0) AS quality
+              FROM q WHERE lang = 'en') ,
+         keptf AS (SELECT * FROM kept WHERE quality >= 60.0),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM keptf),
+         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+         h AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
+         bits AS (SELECT doc_id, p.p AS p,
+                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
+         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
+         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+                                         ELSE 0 END)::BIGINT AS simhash
+              FROM sv GROUP BY doc_id),
+         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
+                (simhash >> (c.c * 8)) & 255 AS ckey
+              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM chunked a JOIN chunked b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey
+                   AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 7),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)"""
+  }
+
+  /** One oracle for batch sessionize and its streaming replay — both
+    * gates assert the same gaps-and-islands session counts. */
+  val sessionizeOracle =
+    """WITH g AS (
+         SELECT user_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       )
+       SELECT user_id AS user_email, sum(new_s)::BIGINT AS n_sessions,
+              count(*) AS n_events
+       FROM g GROUP BY 1 ORDER BY 1"""
+
+  /** Unrolled replay of [[graft.ext.Graph.pageRank]] over the simhash
+    * edge relation: all-integer ranks (1e-12 units), per-edge
+    * contribution `rank // deg`, damping update in longs — `//` floors
+    * like Scala's `/` because every value is positive. */
+  /** The `n`/`deg`/`it0..itN` integer-PageRank CTE chain over the
+    * `edges` relation, shared by [[pageRankOracle]] and the canonical-
+    * selection oracle. */
+  def pageRankChainSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""it$t AS (SELECT d.doc_id AS id,
+              (((1000000 - 850000) * (1000000000000 // n.n)) // 1000000
+                + (850000 * coalesce(s.s, 0)) // 1000000)::BIGINT AS rank
+            FROM documents d CROSS JOIN n LEFT JOIN (
+              SELECT e.dst AS id, sum(r.rank // g.deg)::BIGINT AS s
+              FROM edges e JOIN it${t - 1} r ON r.id = e.src
+              JOIN deg g ON g.src = e.src
+              GROUP BY 1) s ON s.id = d.doc_id)"""
+    }
+    s"""n AS (SELECT count(*) AS n FROM documents),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         it0 AS (SELECT d.doc_id AS id,
+              (1000000000000 // n.n)::BIGINT AS rank
+            FROM documents d CROSS JOIN n),
+         ${steps.mkString(",\n         ")}"""
+  }
+
+  def pageRankOracle(iters: Int): String =
+    s"""WITH $simhashEdgesCte,
+         ${pageRankChainSql(iters)}
+         SELECT id AS doc_id, rank AS rank_e12 FROM it$iters
+         ORDER BY doc_id"""
+
+  /** Shared simhash near-dup EDGE relation (CTE chain through
+    * `edges`): used by the clusters oracle and the PageRank oracle. */
+  val simhashEdgesCte =
+    """tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+         h AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
+         bits AS (SELECT doc_id, p.p AS p,
+                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
+         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
+         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+                                         ELSE 0 END)::BIGINT AS simhash
+              FROM sv GROUP BY doc_id),
+         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
+                (simhash >> (c.c * 8)) & 255 AS ckey
+              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM chunked a JOIN chunked b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey
+                   AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 7),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs)"""
+
+  /** DuckDB replay of [[graft.ext.Multimodal.ppmGradient]]: interior
+    * cells enumerate as j with y = 1 + j/14, x = 1 + j%14 (16-wide
+    * images ⇒ 14 interior columns); all arithmetic is integer, so the
+    * replay is definitional. */
+  def ppmGradientOracle: String = {
+    def l(dx: Int, dy: Int): String =
+      s"l[((1 + (j // 14)) + ($dy)) * 16 + ((1 + (j % 14)) + ($dx)) + 1]"
+    val gx = s"(${l(1, -1)} + 2 * ${l(1, 0)} + ${l(1, 1)}) - " +
+      s"(${l(-1, -1)} + 2 * ${l(-1, 0)} + ${l(-1, 1)})"
+    val gy = s"(${l(-1, 1)} + 2 * ${l(0, 1)} + ${l(1, 1)}) - " +
+      s"(${l(-1, -1)} + 2 * ${l(0, -1)} + ${l(1, -1)})"
+    s"""WITH d AS (SELECT doc_id, text, (length(text) // 48)::INT AS h
+               FROM documents WHERE length(text) >= 48),
+         px AS (SELECT doc_id, h,
+                [ascii(x)::BIGINT
+                 for x in string_split(substring(text, 1, 48 * h), '')] AS bs
+               FROM d),
+         lm AS (SELECT doc_id, h,
+                [bs[3 * i - 2] + bs[3 * i - 1] + bs[3 * i]
+                 for i in generate_series(1, 16 * h)] AS l
+               FROM px)
+         SELECT doc_id::BIGINT AS media_id, 16::BIGINT AS width,
+                h::BIGINT AS height,
+                coalesce(list_sum([abs($gx) + abs($gy)
+                  for j in generate_series(0, 14 * (h - 2) - 1)]), 0)
+                  ::BIGINT AS grad_energy
+         FROM lm ORDER BY media_id"""
+  }
+
+  /** Content-defined chunk relation (doc_id, source, chunk) — shared
+    * by the batch stats, the ingest-ledger gate, and the incremental
+    * probe. */
+  val chunkRelationCte =
+    """WITH d AS (SELECT doc_id, source, text, length(text) AS n
+              FROM documents),
+         st AS (SELECT doc_id, source, text, n,
+              list_prepend(1, [i for i in generate_series(2, n - 7)
+                if ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT
+                  % 32 = 0]) AS starts
+            FROM d),
+         ch AS (SELECT doc_id, source, unnest([substr(text, starts[j],
+                ((CASE WHEN j < len(starts) THEN starts[j + 1]
+                  ELSE n + 1 END) - starts[j])::INT)
+                for j in generate_series(1, len(starts))]) AS chunk
+            FROM st)"""
+
+  /** Shared by q_dedup_chunks and the chunk-census ingest gate. */
+  def chunkStatsOracle: String =
+    s"""$chunkRelationCte,
+         g AS (SELECT source, chunk, count(*) AS cnt,
+                min(length(chunk)) AS len
+            FROM ch GROUP BY 1, 2)
+         SELECT source, sum(cnt)::BIGINT AS n_chunks,
+              count(*)::BIGINT AS n_distinct,
+              (sum(cnt) - count(*))::BIGINT AS dup_chunks,
+              coalesce(sum((cnt - 1) * len), 0)::BIGINT AS dup_bytes
+         FROM g GROUP BY 1 ORDER BY 1"""
+
+  /** Shared by q_dedup_simhash_pairs and the ensemble vote. */
+  val simhashPairsOracle =
+    """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+         h AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
+         bits AS (SELECT doc_id, p.p AS p,
+                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS p) p),
+         sv AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
+         sig AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+                                         ELSE 0 END)::BIGINT AS simhash
+              FROM sv GROUP BY doc_id),
+         chunked AS (SELECT doc_id, simhash, c.c AS chunk,
+                (simhash >> (c.c * 8)) & 255 AS ckey
+              FROM sig, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT
+                  AS hamming
+              FROM chunked a JOIN chunked b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey
+                   AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 7 ORDER BY id_a, id_b"""
+
+  /** Majority vote over the three text detectors' pair relations —
+    * each a full proven oracle, nested as a subquery CTE. */
+  def dedupEnsembleOracle: String =
+    s"""WITH emh AS (${minhashOracleSql("")}),
+         esh AS ($simhashPairsOracle),
+         eng AS ($ngramOracleSql)
+         SELECT id_a, id_b, count(*)::BIGINT AS votes
+         FROM (SELECT id_a, id_b FROM emh
+               UNION ALL SELECT id_a, id_b FROM esh
+               UNION ALL SELECT id_a, id_b FROM eng)
+         GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"""
+
+  /** Shared by the batch fit (q_zipf) and the word-census ingest gate
+    * (q_zipf_stream): the census is the fit's sufficient statistic. */
+  val zipfOracle =
+    """WITH c AS (SELECT w, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY 1),
+         p AS (SELECT round(1e3 * log2(
+                (row_number() OVER (ORDER BY cnt DESC, w))::DOUBLE))
+                ::BIGINT AS x,
+              round(1e3 * log2(cnt::DOUBLE))::BIGINT AS y
+            FROM c),
+         sums AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+              sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+              sum(x * x)::BIGINT AS sxx FROM p),
+         d AS (SELECT n AS n_terms, (n * sxy - sx * sy) AS num_s,
+              (sy * sxx - sx * sxy) AS num_i,
+              (n * sxx - sx * sx) AS den FROM sums)
+         SELECT n_terms,
+              CASE WHEN den = 0 THEN 0::BIGINT
+                ELSE CAST(round(1e6 * num_s / den::DOUBLE) AS BIGINT)
+              END AS slope_e6,
+              CASE WHEN den = 0 THEN 0::BIGINT
+                ELSE CAST(round(1e3 * num_i / den::DOUBLE) AS BIGINT)
+              END AS intercept_e6
+         FROM d"""
+
+  /** Shared by the batch rollup (q_quantile_rollup) and the
+    * histogram-ledger ingest gate (q_quantile_stream): bin counts are
+    * additive, so the summed per-tick sketches answer identically. */
+  val quantileRollupOracle =
+    """WITH h AS (SELECT event_type AS habit, date_trunc('day', ts) AS day,
+                least(greatest(floor((value - 0.0) / 10.0), 0), 63)::BIGINT
+                  AS bucket,
+                count(*)::BIGINT AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         m AS (SELECT habit, bucket, sum(n)::BIGINT AS n
+              FROM h GROUP BY 1, 2),
+         c AS (SELECT habit, bucket, n,
+                sum(n) OVER (PARTITION BY habit ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                sum(n) OVER (PARTITION BY habit)::BIGINT AS total
+              FROM m),
+         q AS (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS q_ppm),
+         sel AS (SELECT c.habit, q.q_ppm, min(c.bucket)::BIGINT AS bucket,
+                max(c.total)::BIGINT AS n_total
+              FROM c CROSS JOIN q
+              WHERE c.cum * 1000000 >= q.q_ppm * c.total
+              GROUP BY 1, 2)
+         SELECT habit, q_ppm, bucket, n_total,
+                round(0.0 + 10.0 * (bucket + 1), 6) AS est
+         FROM sel ORDER BY habit, q_ppm"""
+
+  /** Shared by q_robust_outliers and the corpus-health dashboard. */
+  val robustOutliersOracle =
+    """WITH m AS (SELECT event_type,
+              quantile_cont(value, 0.5) AS med
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+         d AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+            FROM events e JOIN m USING (event_type)
+            WHERE e.value IS NOT NULL),
+         md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM d GROUP BY 1)
+         SELECT d.event_type, count(*)::BIGINT AS n,
+              round(min(d.med), 6) AS med,
+              round(min(md.mad), 6) AS mad,
+              count(*) FILTER (WHERE md.mad > 0
+                  AND d.adev * 0.6745 > 3.5 * md.mad)
+                ::BIGINT AS n_outliers
+         FROM d JOIN md USING (event_type)
+         GROUP BY 1 ORDER BY 1"""
+
+  /** The one-look corpus-health dashboard: each proven monitor's
+    * headline number as one (metric, value) row — pure composition of
+    * the shared oracle texts. */
+  def corpusHealthOracle: String =
+    s"""WITH hz AS ($zipfOracle),
+         hk AS ($ksDriftOracle),
+         hp AS ($driftPsiOracle),
+         ho AS ($robustOutliersOracle)
+         SELECT * FROM (
+           SELECT 'ks_e6' AS metric, ks_e6 AS value FROM hk
+           UNION ALL
+           SELECT 'outlier_rows', sum(n_outliers)::BIGINT FROM ho
+           UNION ALL
+           SELECT 'psi_total_e6', sum(psi_e6)::BIGINT FROM hp
+           UNION ALL
+           SELECT 'zipf_slope_e6', slope_e6 FROM hz)
+         ORDER BY metric"""
+
+  val ksDriftOracle =
+    """WITH r AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 2.0), 0), 255) AS BIGINT) AS bucket,
+              count(*) AS ref_n
+            FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            GROUP BY 1),
+         c AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 2.0), 0), 255) AS BIGINT) AS bucket,
+              count(*) AS cur_n
+            FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1),
+         b AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+         j AS (SELECT b.bucket,
+              coalesce(r.ref_n, 0)::BIGINT AS ref_n,
+              coalesce(c.cur_n, 0)::BIGINT AS cur_n
+            FROM b LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+         t AS (SELECT bucket,
+              CAST(sum(ref_n) OVER (ORDER BY bucket) AS BIGINT) AS ref_le,
+              CAST(sum(cur_n) OVER (ORDER BY bucket) AS BIGINT) AS cur_le,
+              CAST(sum(ref_n) OVER () AS BIGINT) AS ref_total,
+              CAST(sum(cur_n) OVER () AS BIGINT) AS cur_total FROM j),
+         g AS (SELECT bucket AS ks_bucket,
+              abs(ref_le * cur_total - cur_le * ref_total) AS ks_num,
+              ref_total, cur_total FROM t)
+         SELECT ks_bucket, ks_num, ref_total, cur_total,
+              CAST(round(ks_num::DOUBLE * 1000000.0
+                  / (ref_total * cur_total)::DOUBLE) AS BIGINT) AS ks_e6
+         FROM g ORDER BY ks_num DESC, ks_bucket LIMIT 1"""
+
+  val ewmaOracle =
+    """WITH p AS (SELECT user_id, event_id, ts,
+              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_c
+            FROM events WHERE event_type = 'purchase'),
+         w AS (SELECT user_id, event_id, ts,
+              list(v_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+            FROM p)
+         SELECT user_id, event_id, ts,
+              list_sum([l[i] * (1::BIGINT << (16 - len(l) + i - 1))
+                  for i in generate_series(1, len(l))])::BIGINT AS ewma_c16
+         FROM w ORDER BY user_id, ts, event_id"""
+
+  val kanonOracle =
+    """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS d,
+              CAST(floor(value / 32.0) AS BIGINT) AS vb,
+              count(*) AS n_rows,
+              count(DISTINCT user_id) AS n_sensitive
+            FROM events GROUP BY 1, 2, 3)
+         SELECT event_type,
+              count(*)::BIGINT AS n_groups,
+              min(n_rows)::BIGINT AS min_group,
+              count(*) FILTER (WHERE n_rows < 5)::BIGINT AS risky_k_groups,
+              coalesce(sum(n_rows) FILTER (WHERE n_rows < 5), 0)::BIGINT
+                AS risky_k_rows,
+              min(n_sensitive)::BIGINT AS min_l,
+              count(*) FILTER (WHERE n_sensitive < 3)::BIGINT
+                AS risky_l_groups,
+              coalesce(sum(n_rows) FILTER (WHERE n_sensitive < 3), 0)::BIGINT
+                AS risky_l_rows
+         FROM g GROUP BY 1 ORDER BY 1"""
+
+  /** DuckDB replay of [[graft.ext.Privacy.generalizationLadder]]: one
+    * audit CTE per rung, pick the finest compliant width, else the
+    * coarsest rung's (non-compliant) audit. */
+  def kanonLadderOracle(widths: Seq[Long]): String = {
+    val rungs = widths.map { w =>
+      s"""a$w AS (SELECT ${w}::BIGINT AS width,
+              count(*)::BIGINT AS n_groups,
+              min(n_rows)::BIGINT AS min_group,
+              count(*) FILTER (WHERE n_rows < 5)::BIGINT AS risky_k_groups,
+              coalesce(sum(n_rows) FILTER (WHERE n_rows < 5), 0)::BIGINT
+                AS risky_k_rows
+            FROM (SELECT count(*) AS n_rows FROM events
+                  GROUP BY event_type, CAST(ts AS DATE),
+                    floor(value / $w.0)))"""
+    }.mkString(",\n         ")
+    val unionAll = widths.map(w => s"SELECT * FROM a$w")
+      .mkString("\n           UNION ALL ")
+    s"""WITH $rungs,
+         allr AS ($unionAll),
+         pick AS (SELECT * FROM allr WHERE risky_k_rows = 0
+              ORDER BY width LIMIT 1)
+         SELECT * FROM pick
+         UNION ALL
+         SELECT * FROM a${widths.last}
+         WHERE NOT EXISTS (SELECT 1 FROM pick)"""
+  }
+
+  val driftPsiOracle =
+    """WITH r AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
+              count(*) AS ref_n
+            FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            GROUP BY 1),
+         c AS (SELECT CAST(least(greatest(
+                floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
+              count(*) AS cur_n
+            FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1),
+         b AS (SELECT unnest(generate_series(0, 15)) AS bucket),
+         j AS (SELECT b.bucket,
+              coalesce(r.ref_n, 0)::BIGINT AS ref_n,
+              coalesce(c.cur_n, 0)::BIGINT AS cur_n
+            FROM b LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+         t AS (SELECT bucket, ref_n, cur_n,
+              CAST(sum(ref_n) OVER () AS BIGINT) AS rt,
+              CAST(sum(cur_n) OVER () AS BIGINT) AS ct FROM j)
+         SELECT bucket, ref_n, cur_n,
+              CAST(round(((CAST(ref_n + 1 AS DOUBLE)
+                    / CAST(rt + 16 AS DOUBLE))
+                  - (CAST(cur_n + 1 AS DOUBLE)
+                    / CAST(ct + 16 AS DOUBLE)))
+                * ln((CAST(ref_n + 1 AS DOUBLE)
+                    / CAST(rt + 16 AS DOUBLE))
+                  / (CAST(cur_n + 1 AS DOUBLE)
+                    / CAST(ct + 16 AS DOUBLE)))
+                * 1000000.0) AS BIGINT) AS psi_e6
+         FROM t ORDER BY bucket"""
+
+  /** Shared by the batch (q_knn_ivf) build-and-search and the
+    * frozen-centroid incremental index gate (q_knn_ivf_stream). */
+  val knnIvfOracle: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, v AS ce FROM emb WHERE vec_id < 16),
+         ca AS (SELECT e.vec_id AS id, c.cent_id,
+                round(list_cosine_similarity(e.v, c.ce), 6) AS cc
+              FROM emb e CROSS JOIN cents c),
+         cass AS (SELECT id, cent_id AS cell FROM (
+                SELECT id, cent_id, row_number() OVER (PARTITION BY id
+                  ORDER BY cc DESC, cent_id) AS r FROM ca) WHERE r = 1),
+         qass AS (SELECT id AS query_id, cent_id AS cell FROM (
+                SELECT id, cent_id, row_number() OVER (PARTITION BY id
+                  ORDER BY cc DESC, cent_id) AS r FROM ca WHERE id < 8)
+              WHERE r <= 4),
+         sc AS (SELECT q.query_id, n.id AS nn_id,
+                round(list_cosine_similarity(eq.v, en.v), 4) AS cos_sim
+              FROM qass q
+              JOIN cass n ON q.cell = n.cell AND q.query_id <> n.id
+              JOIN emb eq ON eq.vec_id = q.query_id
+              JOIN emb en ON en.vec_id = n.id),
+         r AS (SELECT query_id, nn_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, nn_id)::BIGINT AS rank FROM sc)
+         SELECT query_id, rank, nn_id, cos_sim FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Shared by the ad-hoc scan (q_bm25) and the maintained-index
+    * scorer gate (q_bm25_stream). */
+  val bm25Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         stats AS (SELECT count(*)::DOUBLE AS n,
+                avg(len(l))::DOUBLE AS avgdl FROM t),
+         tok AS (SELECT doc_id, unnest(l) AS term FROM t),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, len(l)::DOUBLE AS dl FROM t),
+         sc AS (SELECT tf.doc_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                  AS raw
+              FROM tf JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id, stats s
+              GROUP BY 1)
+         SELECT doc_id, round(raw, 6) AS score FROM sc
+         ORDER BY score DESC, doc_id LIMIT 25"""
+
+}

@@ -1,0 +1,484 @@
+package graft
+
+import graft.analytics.Habits
+import graft.config.{EtlConfig, HabitSpec}
+import graft.ext.{Classify, Dedup, History, MediaRecord, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.functions.Aggregators
+import graft.load.Merge
+import graft.streaming.Streaming
+import graft.transform.HabitTransform
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryHelpers._
+
+/** Dedup family, similarity search, and multimodal binary columns (SURVEY §7.5) — one slice of [[SparkEntry.queries]], split from the monolithic
+  * registry for maintainability (no behavior change). Conventions for
+  * hash-stable compares are documented on [[SparkEntry]]. */
+private[graft] object QueriesDedupSimMm {
+  val map: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Extension scope: dedup family (SURVEY §7.5) ────────────────────
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDupPairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Incremental ingest dedup: only pairs touching the new batch
+    // (doc_id % 10 = 0) are found — existing × existing is never
+    // compared, the per-batch cost at scale.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.minhashDupPairsIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramDupPairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", "n_chars", threshold = 0.5, blockWidth = 50)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Typo-tolerant record linkage: Levenshtein ≤ 2 pairs over part
+    // names, blocked on brand + length band (no all-pairs compare);
+    // the oracle brute-forces the same predicate within brands.
+    "q_fuzzy_dedup" -> ((s, dir) =>
+      graft.ext.Fuzzy.editDistancePairs(Tables.read(s, dir, "part"),
+          "p_partkey", "p_name", Seq("p_brand"), maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashSignatures(Tables.read(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashDupPairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 7)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Pair→cluster resolution (iterative distributed min-label
+    // propagation): duplicate clusters are CONNECTED COMPONENTS of the
+    // pair graph — a≈b, b≈c chains into {a,b,c} even though (a,c) was
+    // never compared. cluster_id = component min id; is_canonical marks
+    // the survivor a curation pass would keep. Oracle = recursive
+    // min-label closure over the identical simhash pair SQL.
+    // PageRank over the simhash near-dup graph — which copy of a
+    // duplicated passage is the hub. All-integer ranks (1e-12 units,
+    // per-edge `rank div deg`, long damping arithmetic) make every
+    // iteration order-insensitive and the 3-step unrolled oracle
+    // bit-exact. Each iteration is one edges⋈ranks equi-join plus a
+    // partial-aggregating sum — the Pregel superstep as relational
+    // algebra, rank state O(nodes).
+    "q_pagerank" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      graft.ext.Graph.pageRank(docs, "doc_id",
+          Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 7))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.simhashDupPairs(Tables.read(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 7)
+      Dedup.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical-copy selection: the dedup story's last mile — cluster
+    // the near-dup graph, then keep each cluster's PageRank HUB (the
+    // most-linked copy, the one other copies derive from) instead of
+    // the arbitrary min-id. Ties break by id ascending. Composes two
+    // oracle-proven relations; only clustered (size >= 2) docs appear.
+    "q_canonical_select" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
+        maxHamming = 7)
+      val clusters = Dedup.dupClusters(pairs)
+      val ranks = graft.ext.Graph.pageRank(docs, "doc_id", pairs)
+      val byCluster = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      val pick = byCluster.orderBy(col("rank_e12").desc, col("id"))
+      clusters.join(ranks, clusters("id") === ranks("doc_id"))
+        .withColumn("rk", row_number().over(pick))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("id").as("canonical_id"),
+          col("rank_e12"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // Capstone composition — the full curation pipeline (language gate
+    // → quality gate → cluster-dedup survivors → deterministic split),
+    // every stage individually oracle-proven; this query proves the
+    // COMPOSITION end to end.
+    "q_curation" -> ((s, dir) =>
+      graft.ext.Curation.curate(Tables.read(s, dir, "documents"),
+          "doc_id", "text", lang = "en", minQuality = 60.0)
+        .select(col("doc_id"), r6(col("quality")).as("quality"),
+          col("n_tokens").cast("long").as("n_tokens"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // THE composed pretraining pipeline, end to end as one query:
+    // curate (gates → dedup survivors → split) → token-budget mixture
+    // over the train split → BPE tokenizer trained ON the mixed corpus
+    // and applied to it → boundary-free packing into 512-token bins →
+    // deterministic export-shard order over the bins. Every stage is
+    // individually oracle-proven; this gates the COMPOSITION (stage
+    // interfaces, row multiplicity, ordering) cell-exact.
+    "q_pipeline_export" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val curated = graft.ext.Curation.curate(docs, "doc_id", "text",
+        lang = "en", minQuality = 60.0)
+      val withSrc = curated.filter(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val mixed = graft.ext.Curation.mixtureByTokens(withSrc, "doc_id",
+        "source", "n_tokens",
+        weights = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0,
+          "src3" -> 1.0),
+        totalTokens = 1500)
+      val corpus = mixed.select(col("doc_id"))
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        // consumed by BOTH bpeTrain and bpeEncode — without a persist
+        // the whole curation+mixture prefix recomputes per consumer
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val enc = graft.ext.Bpe.bpeEncode(corpus, "doc_id", "text",
+        graft.ext.Bpe.bpeTrain(corpus, "text", numMerges = 8))
+      val packed = graft.ext.Packing.packConcat(
+        enc.select(col("doc_id"), col("n_bpe_tokens")),
+        "doc_id", "n_bpe_tokens", budget = 512L, shards = 4)
+      val bins = packed.groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_in_bin")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        // exportShards reserves "shard" — the packing shard renames
+        .withColumnRenamed("shard", "pack_shard")
+      graft.ext.Sampling.exportShards(bins,
+          concat_ws(":", col("pack_shard"), col("bin")), numShards = 4)
+        .select(col("shard"), col("shard_pos"), col("pack_shard"),
+          col("bin"), col("n_docs"), col("bin_tokens"),
+          col("first_doc"), col("last_doc"))
+        .orderBy(col("shard"), col("shard_pos"))
+    }),
+
+    // The capstone composition: curated survivors (language gate →
+    // quality gate → cluster dedup → deterministic split) packed into
+    // fixed-token-budget training bins, split-scoped so no bin mixes
+    // train and val. This is the full corpus→training-shards pipeline
+    // in one lazy plan — gates shed rows before any shuffle, dedup
+    // touches survivors only, and packing adds exactly one shuffle on
+    // (split, shard) — with the bin layout itself under the oracle.
+    "q_pack_curated" -> ((s, dir) => {
+      val surv = graft.ext.Curation.curate(Tables.read(s, dir, "documents"),
+          "doc_id", "text", lang = "en", minQuality = 60.0)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("split"))
+      graft.ext.Packing.packSequences(surv, "doc_id", "n_tokens",
+          budget = 256L, shards = 4, extraKeys = Seq("split"))
+        .groupBy(col("split"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("split"), col("shard"), col("bin"))
+    }),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // The bucketed (no-collect) scale path: same near-dup contract, but
+    // candidates restricted to pairs sharing an LSH bucket in any band.
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingDupPairsLsh(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, nPlanes = 4, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SemDeDup: semantic near-dup pairs via integer-exact k-means
+    // cells — pairs compared only within a cell (Σ|cell|² work, not
+    // n²). The cells replay cell-exact in the oracle, so the pair set
+    // is deterministic; cosines score the original float vectors.
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDupPairs(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iterations = 2, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ── Extension scope: similarity search (SURVEY §7.5) ───────────────
+    "q_knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnIvf(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // STREAMING ANN-index maintenance: tick 0 freezes the centroids,
+    // every tick appends its own cell assignments to the inverted
+    // lists; probing the accumulated index must equal the batch
+    // build-and-search — shared oracle. Per-tick cost tracks the tick;
+    // existing vectors are never re-assigned.
+    "q_knn_ivf_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfs_")
+      try
+        Streaming.knnIvfStreamAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_ivfs"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), col("cos_sim"))
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnLsh(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nPlanes = 4)
+        .select(col("query_id"), col("bucket"),
+          col("rank").cast("long").as("rank"), col("nn_id"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval: BM25 keyword top-20 fused with embedding kNN
+    // top-20 (embeddings align 1:1 with documents) by reciprocal-rank
+    // fusion — 1e-6-quantized contributions, so the fused order is
+    // engine-exact. The modern search stack's first-stage shape.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val emb = Tables.read(s, dir, "embeddings")
+      val kwW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      // the rank window runs on the already-top-20 relation — 20 rows,
+      // not the corpus
+      val kw = TextAnalysis.bm25(docs, "doc_id", "text",
+          Seq("spark", "merge", "window"), topK = 20)
+        .withColumn("rank", row_number().over(kwW).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val vr = Similarity.knnBruteForce(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .select(col("nn_id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      Similarity.rrfFuse(Seq(kw, vr), "doc_id", topK = 10)
+        .select(col("doc_id"), col("rrf_e6"), col("n_lists"))
+        .orderBy(col("rrf_e6").desc, col("doc_id"))
+    }),
+
+    // ANN-pipeline evaluation: LSH and IVF top-5 scored against the
+    // exact brute-force top-5 as ground truth — per-query hit counts,
+    // the tuning harness for nPlanes/nProbes (the ANN analog of
+    // q_dedup_recall). Composes three proven, oracle-gated rankings.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val brute = Similarity.knnBruteForce(emb, queries, "vec_id",
+        "embedding", k = 5).select(col("query_id"), col("nn_id"))
+      def recall(approx: org.apache.spark.sql.DataFrame, name: String) =
+        brute.join(approx.withColumn("hit", lit(1L)),
+            Seq("query_id", "nn_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("method", lit(name))
+      recall(Similarity.knnLsh(emb, queries, "vec_id", "embedding",
+          k = 5, nPlanes = 4).select(col("query_id"), col("nn_id")), "lsh")
+        .unionByName(
+          recall(Similarity.knnIvf(emb, queries, "vec_id", "embedding",
+            k = 5).select(col("query_id"), col("nn_id")), "ivf"))
+        .select(col("method"), col("query_id"), col("n_true"),
+          col("n_hit"))
+        .orderBy(col("method"), col("query_id"))
+    }),
+
+    // ── Extension scope: multimodal binary columns (SURVEY §7.5) ───────
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.framesWithBytes(
+          Multimodal.packDocuments(Tables.read(s, dir, "documents"),
+            "doc_id", "text"), n = 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_len"), col("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    // Real image decode: each document's bytes packed into a VALID
+    // binary PPM (P6) via pure expressions, then parsed back by a real
+    // header scanner — width/height/maxval come from the HEADER BYTES,
+    // the mean/checksum from the pixel payload. The oracle recomputes
+    // the identical header+payload arithmetic from the source text, so
+    // a parser that misreads any field hash-mismatches.
+    "q_media_features" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.decodePpm(
+          Multimodal.packPpm(Tables.read(s, dir, "documents"),
+            "doc_id", "text", width = 16).as[MediaRecord])
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("maxval").cast("long").as("maxval"),
+          col("n_pixels"), r6(col("mean_px")).as("mean_px"),
+          col("checksum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Real 2-D nearest-neighbor image downscale: every second pixel of
+    // every second row, re-encoded as a VALID P6 whose md5 the oracle
+    // reproduces by sampling the same source bytes and hashing the
+    // rebuilt small file — decode → transform → re-encode, gated on
+    // the exact output BYTES, not just stats.
+    "q_media_resize" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.ppmResize(
+          Multimodal.packPpm(Tables.read(s, dir, "documents"),
+            "doc_id", "text", width = 16).as[MediaRecord],
+          factor = 2)
+        .orderBy(col("media_id"))
+    }),
+
+    // Perceptual image hash: all-integer 8×8 average-hash recomputed
+    // byte-for-byte by the oracle from the same payload (hex string —
+    // the unsigned 64-bit form both engines can build exactly).
+    "q_media_ahash" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.ppmAHash(
+          Multimodal.packPpm(Tables.read(s, dir, "documents"),
+            "doc_id", "text", width = 16).as[MediaRecord])
+        .select(col("media_id"),
+          format_string("%016x", col("ahash")).as("ahash_hex"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Image near-dup pairs: the aHash relation through the pigeonhole
+    // chunk join (Hamming ≤ 7 ⇒ some byte chunk agrees) — the same
+    // no-all-pairs machinery as SimHash, now over image fingerprints.
+    "q_media_ahash_pairs" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      graft.ext.Dedup.hammingDupPairs(
+          Multimodal.ppmAHash(
+            Multimodal.packPpm(Tables.read(s, dir, "documents"),
+              "doc_id", "text", width = 16).as[MediaRecord]),
+          "media_id", "ahash", maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Perceptual AUDIO hash: the image aHash's sibling over the 8-bit
+    // PCM stream — 64 equal-count segments, floor-mean thresholding,
+    // all-integer; the oracle rebuilds the same grid from the bytes.
+    "q_media_wavhash" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.wavAHash(
+          Multimodal.packWav(Tables.read(s, dir, "documents"),
+            "doc_id", "text", sampleRate = 8000).as[MediaRecord])
+        .select(col("media_id"),
+          format_string("%016x", col("ahash")).as("ahash_hex"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Audio near-dup pairs: the wav-hash relation through the same
+    // pigeonhole chunk join as SimHash/image pairs — no all-pairs.
+    // The corpus carries an exact re-encode of every 7th document
+    // under a shifted id, so identical payloads prove the Hamming-0
+    // path at every scale factor.
+    "q_media_wavhash_pairs" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val echoed = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+      graft.ext.Dedup.hammingDupPairs(
+          Multimodal.wavAHash(
+            Multimodal.packWav(echoed, "doc_id", "text",
+              sampleRate = 8000).as[MediaRecord]),
+          "media_id", "ahash", maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Real audio decimation: every 2nd sample of the 8-bit mono PCM
+    // stream, re-encoded as a VALID RIFF/WAVE at half the sample rate
+    // — the data-chunk md5 gates the exact kept bytes.
+    "q_media_decimate" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.wavDecimate(
+          Multimodal.packWav(Tables.read(s, dir, "documents"),
+            "doc_id", "text", sampleRate = 8000).as[MediaRecord],
+          factor = 2)
+        .select(col("media_id"), col("rate_small"),
+          col("n_samples_small"), col("sum_small"), col("data_md5"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Real audio decode: the same corpus packed as VALID 8-bit mono
+    // RIFF/WAVE PCM files (LE size fields built by expression), parsed
+    // back by a real chunk walker — channels/rate/bits come from the
+    // fmt CHUNK BYTES, sample stats from the data chunk.
+    // Sobel gradient energy over REAL PPM pixel bytes — the image-DSP
+    // sibling of the tone probe: integer |gx|+|gy| over r+g+b
+    // luminance, the flat-vs-noisy image signal a curation pipeline
+    // thresholds. Pure integer arithmetic, partition-local kernel.
+    "q_media_gradient" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.ppmGradient(
+          Multimodal.packPpm(Tables.read(s, dir, "documents"),
+            "doc_id", "text", width = 16).as[MediaRecord])
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // Single-bin integer DFT tone probe over REAL WAV sample bytes:
+    // 1e-4-quantized twiddles keep the correlation sums exact longs,
+    // so a genuine DSP feature (not header metadata) replays
+    // engine-exactly. Partition-local kernel, no shuffle.
+    "q_media_tone" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.wavTone(
+          Multimodal.packWav(Tables.read(s, dir, "documents"),
+            "doc_id", "text", sampleRate = 8000).as[MediaRecord],
+          cycles = 8)
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    "q_media_wav" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Multimodal.decodeWav(
+          Multimodal.packWav(Tables.read(s, dir, "documents"),
+            "doc_id", "text", sampleRate = 8000).as[MediaRecord])
+        .toDF()
+        .select(col("media_id"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_samples"), r6(col("mean_amp")).as("mean_amp"),
+          col("checksum"))
+        .orderBy(col("media_id"))
+    }),
+
+  )
+}

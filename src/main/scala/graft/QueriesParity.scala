@@ -1,0 +1,1247 @@
+package graft
+
+import graft.analytics.Habits
+import graft.config.{EtlConfig, HabitSpec}
+import graft.ext.{Classify, Dedup, History, MediaRecord, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.functions.Aggregators
+import graft.load.Merge
+import graft.streaming.Streaming
+import graft.transform.HabitTransform
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryHelpers._
+
+/** Reference-parity queries: analytics surface + unpivot/merge/dedup (SURVEY §2.1-2.6) — one slice of [[SparkEntry.queries]], split from the monolithic
+  * registry for maintainability (no behavior change). Conventions for
+  * hash-stable compares are documented on [[SparkEntry]]. */
+private[graft] object QueriesParity {
+  val map: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Reference parity: analytics surface (SURVEY §2.5-2.6) ──────────
+    // Ingest-completeness audit: gaps in the event_id sequence per
+    // user (lost or unlanded rows in a replicated feed). One user-
+    // keyed shuffle; lag rides the same sort as any per-user window.
+    // Synthetic gaps: ids ≡ 4 (mod 9) are dropped first, so the audit
+    // has a non-empty closed-form answer at every scale factor.
+    "q_id_gaps" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+        .filter(col("event_id") % 9 =!= 4)
+        .select(col("user_id"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      ev.withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .filter(col("prev_id").isNotNull &&
+          col("event_id") - col("prev_id") > 1)
+        .select(col("user_id"), col("prev_id").as("gap_after"),
+          col("event_id").as("resume_at"),
+          (col("event_id") - col("prev_id") - 1).as("missing"))
+        .orderBy(col("user_id"), col("gap_after"))
+    }),
+
+    "q_recent_events" -> ((s, dir) =>
+      Habits.recentEvents(Tables.eventsAsHabits(s, dir), 50, Seq(col("event_id")))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          col("habit"), col("value"))),
+
+    "q_distinct_users" -> ((s, dir) =>
+      Habits.distinctValues(Tables.eventsAsHabits(s, dir), "user_email")),
+
+    "q_distinct_habits" -> ((s, dir) =>
+      Habits.distinctValues(Tables.eventsAsHabits(s, dir), "habit")),
+
+    "q_habit_daily" -> ((s, dir) =>
+      Habits.habitDaily(Tables.eventsAsHabits(s, dir), sumHabit = "purchase")
+        .select(ntz(col("day")).as("day"), col("user_email"), col("habit"),
+          col("count_done"), r6(col("avg_value")).as("avg_value"),
+          r6(col("sum_meditation")).as("sum_meditation"))
+        .orderBy(col("day"), col("user_email"), col("habit"))),
+
+    // Incremental matview refresh (batch form of the reference's
+    // continuous-aggregate policy): rollup state from 80% of events
+    // merged with the remaining 20%'s state must equal the one-shot
+    // rollup — which is exactly what the shared q_habit_daily oracle
+    // proves.
+    "q_habit_daily_incremental" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val stored = Habits.habitDailyState(
+        ev.filter(col("event_id") % 5 < 4), sumHabit = "purchase")
+      val increment = Habits.habitDailyState(
+        ev.filter(col("event_id") % 5 >= 4), sumHabit = "purchase")
+      Habits.finishDaily(Habits.mergeDailyState(stored, increment))
+        .select(ntz(col("day")).as("day"), col("user_email"), col("habit"),
+          col("count_done"), r6(col("avg_value")).as("avg_value"),
+          r6(col("sum_meditation")).as("sum_meditation"))
+        .orderBy(col("day"), col("user_email"), col("habit"))
+    }),
+
+    "q_value_by_day" -> ((s, dir) =>
+      Habits.valueByDay(Tables.eventsAsHabits(s, dir), lit(7L), "purchase",
+          to_timestamp(lit("2024-01-05 00:00:00")),
+          to_timestamp(lit("2024-01-25 00:00:00")))
+        .select(ntz(col("day")).as("day"), r6(col("minutes")).as("minutes"))),
+
+    // HOPPING (sliding) time window — the overlapping form between the
+    // tumbling day rollup and session windows: 2-day windows advancing
+    // 1 day, so every event lands in exactly two windows. Same
+    // hash-agg + map-side-partial shape as the tumbling rollup; the
+    // window fan-out is the duration/slide ratio (2 here), a bounded
+    // narrow explode before the aggregate.
+    "q_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("sum_value"))
+        .select(ntz(col("w.start")).as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    "q_completion_pct" -> ((s, dir) =>
+      Habits.completionPct(Tables.eventsAsHabits(s, dir), lit(7L),
+          Seq("click", "view"),
+          to_timestamp(lit("2024-01-01 00:00:00")),
+          to_timestamp(lit("2024-01-25 00:00:00")))
+        .select(col("habit"), r6(col("pct_done")).as("pct_done"))),
+
+    // SCD2 intervals over each (user, habit)'s daily-total change stream:
+    // consecutive equal totals merge, each surviving row carries its
+    // validity window (valid_to NULL while current).
+    "q_scd2" -> ((s, dir) => {
+      val daily = Tables.eventsAsHabits(s, dir)
+        .groupBy(col("user_email"), col("habit"),
+          Habits.dayBucket(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("day_total"))
+      History.scd2(daily, Seq("user_email", "habit"), "day", "day_total")
+        .select(col("user_email"), col("habit"),
+          ntz(col("valid_from")).as("valid_from"),
+          ntz(col("valid_to")).as("valid_to"), col("day_total"))
+        .orderBy(col("user_email"), col("habit"), col("valid_from"))
+    }),
+
+    // Point-in-time temporal join: every raw event picks the SCD2
+    // dimension version valid AT ITS OWN TIMESTAMP (key equality +
+    // interval containment). A key's intervals tile [first, inf), so
+    // each event matches exactly one version — the aggregate proves
+    // both the routing and the no-duplication contract.
+    "q_temporal_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val daily = ev
+        .groupBy(col("user_email"), col("habit"),
+          Habits.dayBucket(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("day_total"))
+      val dim = History.scd2(daily, Seq("user_email", "habit"), "day",
+        "day_total")
+      History.temporalJoin(
+          ev.select(col("user_email"), col("habit"), col("ts"),
+            col("value")),
+          dim, Seq("user_email", "habit"), "ts")
+        .groupBy(col("user_email"), col("habit"), col("valid_from"))
+        .agg(count(lit(1)).as("n_events"),
+          r6(sum(col("value"))).as("sum_value"),
+          r6(max(col("day_total"))).as("day_total"))
+        .select(col("user_email"), col("habit"),
+          ntz(col("valid_from")).as("valid_from"), col("n_events"),
+          col("sum_value"), col("day_total"))
+        .orderBy(col("user_email"), col("habit"), col("valid_from"))
+    }),
+
+    // Typed UDAF (Aggregator) under the oracle gate: per-habit geometric
+    // mean of positive values via sum-of-logs partial aggregation.
+    "q_geomean" -> ((s, dir) => {
+      val geoMean = udaf(Aggregators.GeoMean)
+      Tables.eventsAsHabits(s, dir)
+        .filter(col("value") > 0)
+        .groupBy(col("habit"))
+        .agg(r6(geoMean(col("value"))).as("geo_mean"),
+          count(lit(1)).as("n_pos"))
+        .orderBy(col("habit"))
+    }),
+
+    // Skew utilities under the gate: salting must be result-identical to
+    // the unsalted form — exactly what the oracle compare proves.
+    "q_salted_distinct" -> ((s, dir) =>
+      Skew.saltedCountDistinct(Tables.eventsAsHabits(s, dir),
+          "habit", "user_email", salts = 8)
+        .orderBy(col("habit"))),
+
+    "q_salted_topk" -> ((s, dir) =>
+      Skew.saltedTopK(
+          Tables.eventsAsHabits(s, dir)
+            .select(col("habit"), col("event_id"), col("value")),
+          "habit", Seq(col("value").desc, col("event_id")), k = 5, salts = 8)
+        .orderBy(col("habit"), col("value").desc, col("event_id"))),
+
+    // Salted fact⋈dim join on a 5-value (maximally skewed) key: the
+    // small side replicates salts×, the hot key spreads over 8 reducer
+    // partitions, and the oracle proves result identity with the plain
+    // join (exactly the contract salting must keep).
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+        .select(col("habit"), col("value"))
+      val dim = ev.groupBy(col("habit"))
+        .agg(r6(avg(col("value"))).as("habit_avg"))
+      Skew.saltedJoin(ev, dim, "habit", salts = 8)
+        .groupBy(col("habit"))
+        // per-row |value − avg| is the same IEEE double in both engines,
+        // so rounding EACH ROW to an e4-scaled long before summing makes
+        // the aggregate order-independent and engine-exact at any SF
+        // (the q_bucket_join revenue_e4 pattern) — unlike rounding a
+        // summation-order-dependent double sum after the fact
+        .agg(count(lit(1)).as("n"), r6(max(col("habit_avg"))).as("habit_avg"),
+          sum(round(abs(col("value") - col("habit_avg")) * 10000)
+            .cast("long")).as("dev_abs_e4"))
+        .orderBy(col("habit"))
+    }),
+
+    // Same sessionization through Spark's BUILT-IN session_window
+    // merge (dynamic-gap windows the aggregation engine coalesces)
+    // instead of the gaps-and-islands lag/sum — two implementations,
+    // one oracle. Boundary note: session_window opens a new session at
+    // gap ≥ 30 min where the window form uses > 30 min; the synthetic
+    // microsecond timestamps never land exactly on the boundary, and
+    // the shared oracle would catch it if they ever did.
+    "q_session_window" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(col("user_email"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_email"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .orderBy(col("user_email"))),
+
+    "q_sessionize" -> ((s, dir) =>
+      Habits.sessionize(Tables.eventsAsHabits(s, dir), "user_email", "ts", 30)
+        .groupBy(col("user_email"))
+        .agg(max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_email"))),
+
+    // The custom DataSource V2 table (graft.sources.FormResponseSource)
+    // through the full transform: proves the scan partitioning, schema
+    // inference, and InternalRow emission feed the engine end to end.
+    "q_dsv2_form_source" -> ((s, dir) => {
+      val wide = s.read.format("graft.sources.FormResponseSource")
+        .option("users", 4).option("days", 9)
+        .option("startdate", "2024-01-01").load()
+      HabitTransform.toEvents(wide, cfg3)
+        .select(ntz(col("ts")).as("ts"), col("user_email"), col("habit"),
+          col("value"), col("notes"), col("source"))
+        .orderBy(col("user_email"), col("habit"), col("ts"))
+    }),
+
+    // DSv2 scan pushdown: the Report-Date equality prunes day-block
+    // partitions at planning time and the projection prunes the cells
+    // the reader materializes (SourcesSpec pins both plan properties;
+    // this row pins the pushed scan's RESULT against the closed form).
+    "q_dsv2_pushdown" -> ((s, dir) =>
+      s.read.format("graft.sources.FormResponseSource")
+        .option("users", 4).option("days", 9)
+        .option("startdate", "2024-01-01").load()
+        .filter(col("`Report Date`") === "1/5/2024")
+        .select(col("`Email Address`").as("user_email"),
+          col("Workout").as("workout"), col("Mood").as("mood"))
+        .orderBy(col("user_email"))),
+
+    // DSv2 COMPLETE aggregate pushdown: grouped by Report Date every
+    // group is exactly one day-block partition, so the source's
+    // per-block fold IS the final answer — no sheet row ever reaches
+    // Spark (the analog of a server-side summary endpoint).
+    "q_dsv2_agg_pushdown" -> ((s, dir) =>
+      s.read.format("graft.sources.FormResponseSource")
+        .option("users", 6).option("days", 11)
+        .option("startdate", "2024-02-20").load()
+        .groupBy(col("`Report Date`"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("`Email Address`")).as("first_email"),
+          max(col("Mood")).as("max_mood_text"))
+        .select(col("`Report Date`").as("report_date"), col("n_rows"),
+          col("first_email"), col("max_mood_text"))
+        .orderBy(col("report_date"))),
+
+    // DSv2 PARTIAL aggregate pushdown: ungrouped — each day block
+    // returns one partial row (its count / min / max) and Spark's
+    // final aggregate merges the 11 partials; rows never materialize.
+    "q_dsv2_agg_global" -> ((s, dir) =>
+      s.read.format("graft.sources.FormResponseSource")
+        .option("users", 6).option("days", 11)
+        .option("startdate", "2024-02-20").load()
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("`Report Date`")).as("last_date_text"))),
+
+    // Storage-partitioned join: both sides are day-block scans of the
+    // same source reporting KeyGroupedPartitioning(Report Date), so
+    // the row⋈daily-rollup join plans with NO exchange on either side
+    // — the DSv2 co-location contract (the rollup side also rides the
+    // COMPLETE aggregate pushdown). SourcesSpec pins the plan shape;
+    // this row pins the result.
+    "q_dsv2_spj" -> ((s, dir) => {
+      def rows = s.read.format("graft.sources.FormResponseSource")
+        .option("users", 5).option("days", 8)
+        .option("startdate", "2024-03-01").load()
+      val daily = rows.groupBy(col("`Report Date`"))
+        .agg(count(lit(1)).as("n_day"),
+          max(col("Mood")).as("max_mood_text"))
+      rows.select(col("`Report Date`"), col("`Email Address`"))
+        .join(daily, "Report Date")
+        .select(col("`Report Date`").as("report_date"),
+          col("`Email Address`").as("user_email"),
+          col("n_day"), col("max_mood_text"))
+        .orderBy(col("report_date"), col("user_email"))
+    }),
+
+    "q_json_extract" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .select(col("habit"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          r6(avg(col("k"))).as("avg_k"))
+        .orderBy(col("habit"))),
+
+    // Spark 4 VARIANT path for semi-structured props: parse once into
+    // the binary variant encoding, extract with variant_get — same
+    // results as the string-path q_json_extract, so it shares the
+    // oracle's expected values.
+    "q_json_variant" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .select(col("habit"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("habit"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          r6(avg(col("k"))).as("avg_k"))
+        .orderBy(col("habit"))),
+
+    "q_json_roundtrip" -> ((s, dir) =>
+      Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_totalprice"))).as("js"))
+        .select(col("o_orderkey"),
+          from_json(col("js"), "o_orderkey BIGINT, o_totalprice DOUBLE",
+            Map.empty[String, String]).getField("o_totalprice")
+            .as("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_rolling_avg" -> ((s, dir) =>
+      Habits.rollingDailyAvg(Tables.eventsAsHabits(s, dir),
+          Seq("purchase", "click"), anchor = "2024-01-01", windowDays = 7)
+        .select(col("habit"), ntz(col("day")).as("day"),
+          r6(col("rolling_avg")).as("rolling_avg"))
+        .orderBy(col("habit"), col("day"))),
+
+    // Exact interpolated percentiles — both engines implement the
+    // classic linear-interpolation quantile, so values match bit-level.
+    // Winsorized robust moments: values clamped to the exact
+    // [p05, p95] band per event type, then mean/stddev over the
+    // clamped values — the outlier-resistant row of the profile.
+    "q_winsorized" -> ((s, dir) =>
+      graft.ext.Profile.winsorized(Tables.read(s, dir, "events"),
+          "value", Seq("event_type"), lo = 0.05, hi = 0.95)
+        .orderBy(col("event_type"))),
+
+    "q_percentiles" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(col("habit"))
+        .agg(
+          r6(expr("percentile(value, 0.5)")).as("p50"),
+          r6(expr("percentile(value, 0.9)")).as("p90"),
+          r6(expr("percentile(value, 0.99)")).as("p99"))
+        .orderBy(col("habit"))),
+
+    // Approximate quantiles: the oracle pins `approx_ok = true` — the
+    // sketch's p50 must land within 2% RELATIVE RANK of the exact
+    // distribution (checked against the exact interpolated quantiles at
+    // ±2 percentile points), the accuracy-invariant pattern shared with
+    // q_approx_distinct.
+    "q_approx_quantiles" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(col("habit"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 10000)").as("_ap50"),
+          expr("percentile(value, 0.48)").as("_lo"),
+          expr("percentile(value, 0.52)").as("_hi"),
+          count(lit(1)).as("n"))
+        .select(col("habit"), col("n"),
+          (col("_ap50") >= col("_lo") && col("_ap50") <= col("_hi"))
+            .as("approx_ok"))
+        .orderBy(col("habit"))),
+
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(col("habit"))
+        // rsd 0.01 (not the 0.05 default, a 1-sigma target that large
+        // cardinalities DO exceed) so the 5% oracle bound holds at any SF
+        .agg(count_distinct(col("user_email")).as("exact_n"),
+          approx_count_distinct(col("user_email"), 0.01).as("_approx"))
+        // the oracle pins `approx_ok = true`: HLL must land within 5%
+        .select(col("habit"), col("exact_n"),
+          (abs(col("_approx") - col("exact_n")).cast("double") /
+            col("exact_n").cast("double") <= 0.05).as("approx_ok"))
+        .orderBy(col("habit"))),
+
+    // Reproducible 80/10/10 dataset split by content-independent hash of
+    // the doc id — same assignment on any engine, any partitioning.
+    "q_sample_split" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))),
+
+    // Deterministic stratified sampling: per-language keep rates (the
+    // training-mix reweighting op), reproducible on any engine.
+    "q_stratified" -> ((s, dir) =>
+      graft.ext.Sampling.stratifiedSample(Tables.read(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          pcts = Map("en" -> 50, "es" -> 25), defaultPct = 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))),
+
+    // Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): per
+    // language, the 5 docs drawn with probability ∝ n_chars — the
+    // portable-md5 priority makes the draw engine-independent, so the
+    // oracle reproduces the exact sample.
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ext.Sampling.weightedTopK(Tables.read(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), Seq(col("lang")), k = 5)
+        .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
+    // Token-budget data mixture: per-source budgets from a weight map,
+    // filled deterministically in md5-rank order — "3 parts src0, 1
+    // part src1/src2, half a part src3, 2000 tokens total" as a
+    // concrete, engine-independent document selection.
+    "q_mixture_budget" -> ((s, dir) =>
+      graft.ext.Curation.mixtureByTokens(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          "doc_id", "source", "n_tokens",
+          weights = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
+            "src3" -> 0.5),
+          totalTokens = 2000)
+        .select(col("source"), col("take_rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("take_rank"))),
+
+    // Skew-safe mixture: the same selection computed through the salted
+    // two-level prefix sum (salt = high bits of the md5 rank key ⇒
+    // contiguous per-source ranges; bucket offsets lift local
+    // ranks/sums to global) — shares q_mixture_budget's oracle because
+    // the output contract is bit-identical to the plain path.
+    "q_mixture_salted" -> ((s, dir) =>
+      graft.ext.Curation.mixtureByTokens(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          "doc_id", "source", "n_tokens",
+          weights = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
+            "src3" -> 0.5),
+          totalTokens = 2000, saltBuckets = 8)
+        .select(col("source"), col("take_rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("take_rank"))),
+
+    // DSIR importance resampling: candidates scored by the 1e-6-
+    // quantized target-vs-pool unigram log ratio, top-200 most
+    // target-like kept (src0 documents define the target LM).
+    "q_dsir_select" -> ((s, dir) =>
+      graft.ext.Curation.dsirSelect(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "text", col("source") === "src0", k = 200)
+        .select(col("doc_id"), col("n_tokens"), col("weight_e6"))
+        .orderBy(col("weight_e6").desc, col("doc_id"))),
+
+    // Temperature-scaled mixture (T5/Gopher alpha sampling): weights
+    // derive from the corpus's OWN per-source token masses, w ∝ m^α
+    // quantized at 1e-6 of the largest source, then the standard
+    // deterministic budget fill — small sources up-weighted without
+    // hand-tuned ratios.
+    "q_mixture_temperature" -> ((s, dir) =>
+      graft.ext.Curation.mixtureByTemperature(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          "doc_id", "source", "n_tokens", alpha = 0.5,
+          totalTokens = 2000)
+        .select(col("source"), col("take_rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("take_rank"))),
+
+    // Deterministic sharded export order: shard = md5 bucket, position
+    // = md5-rank within shard — the global training-order shuffle as a
+    // pure function of doc ids, byte-identical on any engine.
+    "q_export_shards" -> ((s, dir) =>
+      graft.ext.Sampling.exportShards(Tables.read(s, dir, "documents"),
+          col("doc_id"), numShards = 8)
+        .select(col("shard"), col("shard_pos"), col("doc_id"))
+        .orderBy(col("shard"), col("shard_pos"))),
+
+    // Shard integrity manifest: per export shard, row count, byte
+    // total, and an ORDER-SENSITIVE content digest (md5 over per-doc
+    // md5s in shard_pos order) — what a consumer checks before
+    // training on a delivered shard, and what makes silent truncation
+    // or reorder detectable. One shard-keyed aggregate.
+    "q_export_manifest" -> ((s, dir) =>
+      graft.ext.Sampling.exportShards(Tables.read(s, dir, "documents"),
+          col("doc_id"), numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          md5(array_join(transform(array_sort(collect_list(
+              struct(col("shard_pos"), md5(col("text")).as("h")))),
+            x => x("h")), "")).as("digest"))
+        .orderBy(col("shard"))),
+
+    // Multi-epoch training order: shard MEMBERSHIP is epoch-stable
+    // (worker placement and caches survive), the within-shard order
+    // reshuffles per epoch via an epoch-salted hash — two epochs
+    // emitted side by side, both orders engine-exact.
+    "q_export_epochs" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      (0 to 1).map(e =>
+        graft.ext.Sampling.exportShardsEpoch(docs, col("doc_id"),
+            numShards = 8, epoch = e)
+          .select(lit(e).as("epoch"), col("shard"), col("shard_pos"),
+            col("doc_id")))
+        .reduce(_ unionByName _)
+        .orderBy(col("epoch"), col("shard"), col("shard_pos"))
+    }),
+
+    // CDC apply — MERGE with deletes: a deterministic change feed
+    // (seq-superseded stale updates, updates, deletes, inserts) applied
+    // to the events table as the keyed sink. The stale seq=1 update
+    // must lose to the seq=2 winner — the oracle's closed form assumes
+    // exactly that.
+    "q_cdc_apply" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      Merge.applyCdc(ev, cdcFeed(ev), keys = Seq("event_id"),
+          seqCol = "seq")
+        .orderBy(col("event_id"))
+    }),
+
+    // STREAMING CDC apply: the SAME change feed drained in three
+    // ascending-seq ticks through cdcStream's foreachBatch merge
+    // against a sink primed with the current table. Staged ascending
+    // arrival makes the stream's arrival-wins contract coincide with
+    // the batch path's highest-seq-wins, so the final sink state is
+    // the q_cdc_apply oracle row for row.
+    "q_cdc_stream" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcs_")
+      try
+        Streaming.cdcStreamAvailableNow(s, ev, cdcFeed(ev),
+            Seq(1L, 2L, 3L), tmp.toString,
+            Streaming.nextQueryName("graft_cdcs"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // STREAMING ingest dedup: the documents corpus arrives in two
+    // hash-split ticks; tick 0 bootstraps the corpus store, tick 1
+    // runs the incremental batch×corpus + batch-internal path, and the
+    // accumulated pair ledger must equal the batch minhash dedup over
+    // the whole corpus — the q_dedup_minhash oracle, proving the
+    // ingest-time dedup loses nothing vs the offline pass.
+    "q_dedup_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ddups_")
+      try
+        Streaming.dedupIncrementalAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_ddups"))
+          .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Sub-document dedup (CCNet/RefinedWeb line-dedup analog): segments
+    // = non-overlapping 8-word windows; any segment recurring corpus-
+    // wide is dropped and the survivors reassemble in document order.
+    "q_dedup_lines" -> ((s, dir) =>
+      Dedup.segmentDedup(Tables.read(s, dir, "documents"), "doc_id",
+          "text", n = 8, maxOccurrences = 2)
+        .select(col("id").as("doc_id"), col("kept_segments"),
+          col("dropped_segments"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
+    // Content-defined chunking dedup (rsync/LBFS boundary rule):
+    // chunk starts where the windowed md5 draw is 0 mod 32, so
+    // boundaries are functions of local content and an early edit
+    // shifts one chunk, not every block after it; per-source chunk
+    // dedup accounting (total/distinct/dup chunks, bytes a chunk
+    // store would save).
+    "q_dedup_chunks" -> ((s, dir) =>
+      Dedup.chunkDedupStats(Tables.read(s, dir, "documents"),
+          "source", "text", window = 8, mask = 32)
+        .orderBy(col("source"))),
+
+    // Chunk census maintained at ingest: per-tick (source, chunk)
+    // occurrence counts are additive, so the dedup accounting off the
+    // summed ledger equals the batch q_dedup_chunks (shared oracle) —
+    // the chunk-store index built as data arrives.
+    "q_chunk_store_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_chks_")
+      try Streaming.chunkStatsAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_chunks"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Incremental chunk dedup: the NEW batch's chunks probe the corpus
+    // chunk store (semi-join against the distinct-chunk index) —
+    // batch-proportional cost; how many chunks/bytes the store already
+    // holds is the dedup-savings estimate for the arriving drop.
+    "q_dedup_chunks_incremental" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.chunkIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    // Int8 embedding quantization: integer code stats are exact on any
+    // engine; the oracle additionally pins recon_ok = true (per-dim
+    // reconstruction error within scale/2).
+    "q_embed_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(
+        Tables.read(s, dir, "embeddings"), "embedding")
+      q.select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long"))
+          .as("q_sum"),
+        array_min(col("q")).cast("long").as("q_min"),
+        array_max(col("q")).cast("long").as("q_max"),
+        r6(col("scale")).as("scale_r"),
+        forall(zip_with(col("q"), col("embedding"), (qi, x) =>
+          abs(qi.cast("double") * col("scale") - x.cast("double")) <=
+            col("scale") / 2 + lit(1e-9)), b => b).as("recon_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // JL sign random projection 64 → 8 dims: the scale pre-step in
+    // front of LSH/k-means. The ±1 matrix regenerates from the md5
+    // parity formula on any engine; flattened (vec_id, dim, val) so the
+    // oracle compares every projected coordinate cell-exact at 6 dp.
+    "q_embed_project" -> ((s, dir) => {
+      Similarity.projectSign(Tables.read(s, dir, "embeddings"),
+          "embedding", inDims = 64, outDims = 8)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          r6(col("col")).as("val"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // Canonical text normalization before content addressing: the
+    // corpus is deterministically dirtied (case flips, punctuation,
+    // ragged whitespace — reproduced verbatim in the oracle) and the
+    // normalized form must hash identically on both engines.
+    "q_text_normalize" -> ((s, dir) => {
+      val noisy = concat(lit("  "),
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .otherwise(col("text")),
+        lit("!!  An,Example--End  "))
+      val norm = TextAnalysis.normalize(noisy)
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_md5"),
+          size(split(norm, " ")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Count-min frequency sketch: per-value estimates must sit inside
+    // the classic one-sided band [exact, exact + eps·N] — the
+    // frequency-sketch sibling of the q_approx_distinct/q_hll_rollup
+    // invariant rows.
+    "q_cms_freq" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      val n = ev.filter(col("event_type").isNotNull)
+        .agg(count(lit(1)).as("_n"))
+      graft.ext.Sketches.cmsFrequencies(ev, "event_type", eps = 0.001)
+        .join(broadcast(n))
+        .select(col("value").as("event_type"), col("exact_n"),
+          (col("est_n") >= col("exact_n") &&
+            col("est_n") <= col("exact_n") +
+              ceil(lit(0.001) * col("_n")).cast("long")).as("est_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // K-means centroid training (IVF index build): 4 Lloyd iterations
+    // over INT8 CODES, k = the ground-truth cluster count of the
+    // synthetic embeddings. Every step is integer arithmetic or a
+    // correctly-rounded double op on integer inputs (floor-division
+    // centroid updates), so the assignments are engine-exact and the
+    // FULL algorithm — quantization, 4 unrolled Lloyd rounds, final
+    // assignment — has a cell-exact DuckDB oracle. The float-mean
+    // variant (Similarity.kmeansFit) stays spec-pinned (determinism +
+    // blob recovery) since its means are summation-order-dependent.
+    "q_kmeans" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val (_, assign) = Similarity.kmeansFitInt8(emb, "vec_id", "embedding",
+        k = 10, iterations = 4)
+      assign.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cluster"), col("label")).count()
+        .groupBy(col("cluster"))
+        .agg(sum(col("count")).as("n_points"),
+          max(col("count")).as("n_majority"))
+        .orderBy(col("cluster"))
+    }),
+
+    // Greedy k-center (Gonzalez farthest-point) coreset selection on
+    // the exact int8 codes: 8 rounds, each one narrow min-distance
+    // update against the newest broadcast center + one TakeOrdered
+    // argmax — diversity-maximizing data selection with the covering-
+    // radius curve as output, engine-exact integer distances.
+    "q_kcenter" -> ((s, dir) =>
+      Similarity.kcenterSelect(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8)
+        .orderBy(col("round"))),
+
+    // Mutual kNN: the symmetric matching filter — (a, b) kept only
+    // when each is in the other's top-5 under exact int8 dots; hubs
+    // that are "near everyone" without reciprocity drop out. One
+    // self-join over the kNN relation. The gate runs the even half of
+    // the corpus (the brute-force relation is O(n²) by design — the
+    // scale path swaps in the IVF kNN relation, same mutuality join).
+    "q_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnn(
+          Tables.read(s, dir, "embeddings")
+            .filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MMR diversified top-k: relevance-minus-redundancy greedy under
+    // exact int8 dots (λ = 1/2 keeps the score pure integer) — the
+    // RAG re-ranker / diverse-exemplar picker; per round one candidate
+    // scan against the newly-picked broadcast-literal vector.
+    "q_mmr" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 8)
+        .orderBy(col("round"))),
+
+    // Hard-negative mining: per query vector, the 5 most similar
+    // corpus vectors with a DIFFERENT label — the contrastive-training
+    // pair miner. Exact int8 dots in the q_knn_quantized shape, with
+    // the label-mismatch predicate inside the broadcast join so
+    // same-label pairs never materialize.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // HOPPING windows on the STREAMING path: the q_hopping_window
+    // rollup through a watermarked complete-mode replay — one event
+    // feeds two window states; must equal the batch form (shared
+    // oracle).
+    "q_hopping_stream" -> ((s, dir) =>
+      Streaming.hoppingAvailableNow(s, dir,
+          Streaming.nextQueryName("graft_hop"))
+        .select(ntz(col("win_start")).as("win_start"), col("event_type"),
+          col("n"), r6(col("sum_value")).as("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // kNN over the int8 codes: ranking is pure integer arithmetic, so
+    // the cut is bit-exact across engines (no float rounding anywhere).
+    "q_knn_quantized" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnQuantizedInt8(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("qdot"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Product quantization: 64-dim int8 vectors compress to 4 codebook
+    // cells (16 dims/subspace, 8 cells each) — codes, codebooks, and
+    // the per-vector reconstruction error are all integer-exact, so
+    // the oracle replays the full training chain cell-for-cell.
+    "q_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncodeInt8(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", m = 4, kSub = 8, iterations = 2)
+        .select(col("vec_id"), concat_ws(" ", col("code")).as("code"),
+          col("recon_err"))
+        .orderBy(col("vec_id"))),
+
+    // ADC search over the PQ index: rank by integer squared-L2 between
+    // the query's exact int8 codes and each corpus vector's codebook
+    // reconstruction — the memory-bound ANN scale path (corpus side
+    // carries 4 small ints per vector).
+    "q_knn_pq" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnPq(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, m = 4, kSub = 8, iterations = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("adist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF+PQ (IVFADC): coarse cells + PQ over residuals, queries probe
+    // only their 2 nearest cells — the inverted-list ANN layout whose
+    // scan cost is nProbes/nCells of the corpus. Fully integer-exact,
+    // so index build AND probe-limited search replay in the oracle.
+    "q_knn_ivfpq" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnIvfPq(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nCells = 8, nProbes = 2,
+          m = 4, kSub = 8, iterations = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("adist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Decontamination: test-split docs whose winnowing fingerprint also
+    // appears in the train split (composed from splitLabel + the native
+    // MinKgramHash + a semi-join on fingerprint).
+    "q_contamination" -> ((s, dir) => {
+      // the fingerprint pass feeds both branches below — persist it
+      // (released by the harness clearCache, see Dedup's cache contract)
+      val d = Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+        .withColumn("fp",
+          TextAnalysis.minKgramFingerprintNative(col("text"), 8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val trainFps = d.filter(col("split") === "train")
+        .select(col("fp")).distinct()
+      d.filter(col("split") === "test")
+        .select(col("doc_id"), col("fp"))
+        .join(trainFps, "fp")
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT-substring decontamination — the stronger form of
+    // q_contamination's fingerprint overlap: test docs sharing a
+    // verbatim ≥31-char substring with any train doc, found via the
+    // stride-tiled k-gram anchor join + in-order extension verify.
+    "q_substring_contamination" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+      graft.ext.Curation.substringContamination(
+          d.filter(col("split") === "train"),
+          d.filter(col("split") === "test"),
+          "doc_id", "text", minLen = 31)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dead-letter quarantine at ingest: rows failing the expectation
+    // route to the quarantine ledger, passing rows to the curated
+    // sink — per-batch idempotent, closed-form oracle on the
+    // synthetic corruption.
+    "q_quarantine_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dlq_")
+      try
+        Streaming.quarantineAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_dlq"))
+          .orderBy(col("dest"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // STREAMING decontamination gate: each arriving train tick is
+    // checked against the static eval-set window index; the distinct
+    // ledger union equals the offline every-offset scan — shared
+    // oracle, reports available DURING ingest.
+    "q_contamination_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cont_")
+      try
+        Streaming.contaminationAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_cont"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Redaction — the consuming half of decontamination: cut every
+    // flagged ≥31-char window out of the test docs (overlapping
+    // windows merged into islands, gaps spliced by pure expressions);
+    // unflagged docs pass through unchanged with n_removed = 0.
+    "q_redact_contamination" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+      val train = d.filter(col("split") === "train")
+      val test = d.filter(col("split") === "test")
+      graft.ext.Curation.redactWindows(test,
+          graft.ext.Curation.contaminationWindows(train, test,
+            "doc_id", "text", minLen = 31),
+          "doc_id", "text", minLen = 31)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Within-corpus repeated-substring detection (the training-set
+    // analog of decontamination): docs sharing a verbatim ≥31-char
+    // substring with a DIFFERENT doc of the same corpus — the same
+    // tiled-anchor machinery run self-vs-self with same-doc anchors
+    // excluded.
+    "q_substring_selfdup" -> ((s, dir) =>
+      graft.ext.Curation.selfSubstringRepeats(
+          Tables.read(s, dir, "documents"), "doc_id", "text", minLen = 31)
+        .orderBy(col("doc_id"))),
+
+    // Normalized decontamination: the same verbatim-substring gate over
+    // canonical text (lowercase, punctuation stripped, whitespace
+    // collapsed) — case/spacing variants of a leaked span no longer
+    // slip through. Spans report in normalized coordinates.
+    "q_substring_contamination_norm" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+      graft.ext.Curation.substringContaminationNormalized(
+          d.filter(col("split") === "train"),
+          d.filter(col("split") === "test"),
+          "doc_id", "text", minLen = 31)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_streaks" -> ((s, dir) =>
+      Habits.streaks(Tables.eventsAsHabits(s, dir))
+        .orderBy(col("user_email"), col("habit"))),
+
+    "q_gap_fill" -> ((s, dir) =>
+      Habits.gapFillDaily(Tables.eventsAsHabits(s, dir), "purchase")
+        .select(col("user_email"), col("habit"),
+          ntz(col("day")).as("day"), col("day_total"), col("filled_total"))
+        .orderBy(col("user_email"), col("habit"), col("day"))),
+
+    "q_habit_cube" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .filter(col("habit").isin("click", "view"))
+        .cube(col("user_email"), col("habit"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total"))
+        .orderBy(col("user_email").asc_nulls_first,
+          col("habit").asc_nulls_first)),
+
+    "q_habit_rollup" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .rollup(ntz(Habits.dayBucket(col("ts"))).as("day"), col("habit"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total"))
+        .orderBy(col("day").asc_nulls_first, col("habit").asc_nulls_first)),
+
+    // left-anti join (the newRawRows dedup shape) under the gate
+    // directly: (user, day) pairs with click activity but no purchase.
+    // LEFT SEMI — the EXISTS dual of q_anti_join: suppliers with at
+    // least one 1996+ shipment. Semi stops at the first build-side
+    // match and never duplicates the probe row — the shape IN/EXISTS
+    // subqueries plan to.
+    "q_semi_join" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-03-15"))
+      Tables.read(s, dir, "supplier")
+        .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("user_email"), Habits.dayBucket(col("ts")).as("day"),
+          col("value"))
+      val purchaseDays = ev.filter(col("habit") === "purchase")
+        .select(col("user_email"), Habits.dayBucket(col("ts")).as("day"))
+        .distinct()
+      clicks.join(purchaseDays, Seq("user_email", "day"), "left_anti")
+        .groupBy(col("user_email"), ntz(col("day")).as("day"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("value")), 6).as("click_value"))
+        .orderBy(col("user_email"), col("day"))
+    }),
+
+    "q_set_ops" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      def users(h: String) =
+        ev.filter(col("habit") === h).select(col("user_email")).distinct()
+      val both = users("click").intersect(users("view"))
+        .select(lit("both").as("grp"), col("user_email"))
+      val clickOnly = users("click").except(users("view"))
+        .select(lit("click_only").as("grp"), col("user_email"))
+      both.union(clickOnly).orderBy(col("grp"), col("user_email"))
+    }),
+
+    // As-of join: each click paired with the user's most recent
+    // prior-or-equal purchase. Oracle is DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+      graft.ext.AsOf.asofJoin(clicks, purchases, "user_email", "ts",
+          Seq("pvalue"))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Same as-of semantics through the native operator stack (custom
+    // LogicalPlan + Strategy + SparkPlan via SparkSessionExtensions):
+    // co-partitioned per-side shuffles + in-partition merge, no window.
+    "q_asof_native" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+      graft.ext.AsOf.asofJoinNative(clicks, purchases, "user_email", "ts",
+          Seq("pvalue"))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Skew-aware split-union as-of: declared hot users take the
+    // broadcast path (their fact rows never shuffle), everyone else
+    // takes the co-partitioned merge, and the union is oracle-proven
+    // result-identical to the plain as-of — exactly the contract skew
+    // handling must keep (mirrors the q_salted_* identity proofs).
+    "q_asof_skew" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+      graft.ext.AsOf.asofJoinSkew(clicks, purchases, "user_email", "ts",
+          Seq("pvalue"), hotKeys = Seq(1L, 2L, 3L))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Multi-column-key native as-of — (user, day) scopes the lookback
+    // within a calendar day, the form the composed union+window as-of
+    // doesn't offer. Oracle: DuckDB ASOF with two equality conditions.
+    "q_asof_multi" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"),
+          date_trunc("day", col("ts")).as("day"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+        .withColumn("day", date_trunc("day", col("ts")))
+      graft.ext.AsOf.asofJoinNativeMulti(clicks, purchases,
+          Seq("user_email", "day"), "ts", Seq("pvalue"))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
+    // The same operator pinned to its shuffle-merge physical form
+    // (broadcast = Some(false)) so the co-partitioned merge exec stays
+    // under the oracle gate even when stats would pick broadcast.
+    "q_asof_native_merge" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val purchases = ev.filter(col("habit") === "purchase")
+        .groupBy(col("user_email"), col("ts"))
+        .agg(r6(max(col("value"))).as("pvalue"))
+      graft.ext.AsOf.asofJoinNative(clicks, purchases, "user_email", "ts",
+          Seq("pvalue"), broadcast = Some(false))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          ntz(col("asof_ts")).as("asof_ts"), col("asof_pvalue"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join: clicks falling inside 2-hour windows opened by each
+    // purchase, via the bucketized equi-join formulation.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.eventsAsHabits(s, dir)
+      val clicks = ev.filter(col("habit") === "click")
+        .select(col("event_id"), col("user_email"), col("ts"))
+      val windows = ev.filter(col("habit") === "purchase")
+        .select(col("user_email"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+        .distinct()
+      graft.ext.RangeJoin.pointInInterval(clicks, windows, "user_email",
+          "ts", "w_start", "w_end", bucketSeconds = 3600L)
+        .select(col("event_id"), col("user_email"), ntz(col("ts")).as("ts"),
+          ntz(col("w_start")).as("w_start"))
+        .orderBy(col("event_id"), col("w_start"))
+    }),
+
+    // pivot — the inverse of the signature unpivot: long events back to
+    // one wide row per (day, user) with a column per habit.
+    "q_pivot_daily" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .groupBy(ntz(Habits.dayBucket(col("ts"))).as("day"),
+          col("user_email"))
+        .pivot("habit", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(r6(sum(col("value"))))
+        .orderBy(col("day"), col("user_email"))),
+
+    // ── Reference parity: unpivot + merge + dedup (SURVEY §2.1-2.2) ────
+    "q_unpivot_orders" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      o.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_custkey"), col("o_totalprice")), "metric", "val")
+        .orderBy(col("o_orderkey"), col("metric"))
+    }),
+
+    // The partitioned store (EventStore) under the gate: write the
+    // events table day-partitioned, upsert a modified batch rewriting
+    // only touched days, read back. Same merge contract as
+    // q_upsert_merge, so it shares that oracle's expected output.
+    "q_upsert_partitioned" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_q")
+      try {
+        val path = tmp.resolve("events").toString
+        val existing = Tables.eventsAsHabits(s, dir)
+        graft.load.EventStore.write(existing, path)
+        val batch = existing.filter(col("event_id") % 3 === 0)
+          .withColumn("value", col("value") * 2)
+        graft.load.EventStore.upsert(s, path, batch,
+          keys = Seq("user_email", "habit", "ts"))
+        // materialize before the finally deletes the temp store —
+        // otherwise every verify/bench run leaks two copies of events
+        graft.load.EventStore.read(s, path)
+          .select(col("event_id"), ntz(col("ts")).as("ts"),
+            col("user_email"), col("habit"), col("value"), col("props"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    "q_upsert_merge" -> ((s, dir) => {
+      val existing = Tables.eventsAsHabits(s, dir)
+      val batch = existing.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+      Merge.upsertEvents(existing, batch)
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          col("habit"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Schema-evolving upsert: the batch starts carrying a NEW column
+    // (the ALTER TABLE ADD COLUMN moment) — the sink widens, untouched
+    // rows read null for it, merged rows carry the batch's value.
+    "q_upsert_evolving" -> ((s, dir) => {
+      val existing = Tables.eventsAsHabits(s, dir)
+      val batch = existing.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+        .withColumn("channel", lit("reimport"))
+      Merge.upsertEventsEvolving(existing, batch)
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_email"),
+          col("habit"), col("value"), col("channel"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Golden end-to-end run of the signature transform chain (P1-P8 +
+    // F2 date parsing, SURVEY §2.2-2.3) on an inline edge-case fixture:
+    // serial dates (incl. fractional), month names, datetime, DST winter
+    // vs summer, blank cells, junk numerics, truthy variants, dropped
+    // rows. The oracle is the hand-verified expected output.
+    "q_transform_wide" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val wide = Seq(
+        ("8/22/2025", "Alice@Example.com", "Yes", "25", "8", "felt great"),
+        ("45519", "bob@x.com", "no", "", "junk", ""),
+        ("2025-01-15", "Carol@Y.com", "TRUE", "10.5", "", null),
+        ("Aug 3, 2025", "dave@z.com", "on", "1e2", "7", "ok"),
+        ("2025-08-22 08:30:00", "eve@w.com", "0", "5", "6", null),
+        ("", "frank@x.com", "yes", "1", "1", null),
+        ("8/22/2025", "", "yes", "1", "1", null),
+        ("45519.25", "gina@x.com", "y", "3", "2", null))
+        .toDF("Report Date", "Email Address", "Workout",
+          "Meditation (Number of Minutes)", "Mood", "Notes")
+      HabitTransform.toEvents(wide, cfg3)
+        .select(ntz(col("ts")).as("ts"), col("user_email"), col("habit"),
+          col("value"), col("notes"), col("source"))
+        .orderBy(col("user_email"), col("habit"))
+    }),
+
+    // Same transform chain fed from a FILE-based wide CSV — the primary
+    // SURVEY §2.1 S1 mapping (a user's first act is reading an exported
+    // sheet): write the fixture to disk, spark.read.csv with header,
+    // transform. Empty CSV cells read back as NULL where the inline
+    // fixture had "" — the transform's blank/present gates treat both
+    // identically, so the oracle is the same expected table.
+    "q_transform_csv" -> ((s, dir) => {
+      val csv =
+        """Report Date,Email Address,Workout,Meditation (Number of Minutes),Mood,Notes
+          |8/22/2025,Alice@Example.com,Yes,25,8,felt great
+          |45519,bob@x.com,no,,junk,
+          |2025-01-15,Carol@Y.com,TRUE,10.5,,
+          |"Aug 3, 2025",dave@z.com,on,1e2,7,ok
+          |2025-08-22 08:30:00,eve@w.com,0,5,6,
+          |,frank@x.com,yes,1,1,
+          |8/22/2025,,yes,1,1,
+          |45519.25,gina@x.com,y,3,2,
+          |""".stripMargin
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_")
+      try {
+        java.nio.file.Files.writeString(tmp.resolve("habits.csv"), csv)
+        val wide = s.read.option("header", true).csv(tmp.toString)
+        // materialize before deleting the temp file under the scan
+        HabitTransform.toEvents(wide, cfg3)
+          .select(ntz(col("ts")).as("ts"), col("user_email"), col("habit"),
+            col("value"), col("notes"), col("source"))
+          .orderBy(col("user_email"), col("habit"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    "q_raw_dedup" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("row_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("row_hash"), col("n_copies"))
+        .orderBy(col("doc_id"))),
+
+    // Rolling 7-day distinct users per day ("7-day actives"): distinct
+    // can't ride a window frame, so (user, day) pairs explode to the 7
+    // window-ends they contribute to, then exact distinct per end.
+    "q_rolling_distinct" -> ((s, dir) =>
+      Habits.rollingDistinct(Tables.events(s, dir), "user_id", "ts", 7)
+        .select(ntz(col("window_end")).as("window_end"), col("n_users"))
+        .orderBy(col("window_end"))),
+
+    // Ordered conversion funnel over raw events: users reaching each
+    // stage strictly after completing the previous one.
+    "q_funnel" -> ((s, dir) =>
+      Habits.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    // Mergeable-sketch distinct rollup: per-day HLL sketches of user_id
+    // union into weekly estimates WITHOUT touching raw rows again — the
+    // 100 TB pattern for distinct-over-rollup. The estimate itself
+    // isn't cross-engine comparable, so the gate checks the exact
+    // weekly count plus a 5%-accuracy invariant (same pattern as
+    // q_approx_distinct / q_approx_quantiles).
+    "q_hll_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val weekly = daily
+        .groupBy(date_trunc("WEEK", col("day")).as("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev
+        .groupBy(date_trunc("WEEK", date_trunc("DAY", col("ts"))).as("week"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, "week")
+        .select(ntz(col("week")).as("week"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_ok"))
+        .orderBy(col("week"))
+    }),
+
+  )
+}
