@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe behind SCALING.md's measured section: the
+  * 100 TB claims elsewhere rest on plan-shape arguments (bucketed
+  * candidate generation, broadcast-sized state, partial aggregation);
+  * this main MEASURES them by timing the headline families on
+  * seed-deterministic corpora at two scales (tools/gen_scale_corpus.py
+  * writes sf0.1-shaped tables at 1× and 10×) and printing one JSON
+  * line of per-op seconds, output rows, and the 10×/1× growth ratio.
+  *
+  * Linear-ish growth (ratio ≈ 10, modulo fixed costs that amortize)
+  * validates the bucketed design; a super-linear ratio flags a
+  * candidate-generation blow-up that plan reading missed. Output-row
+  * counts are printed because some ops' WORK is intrinsically
+  * super-linear when the duplicate structure grows with the corpus
+  * (e.g. planted dup clusters generate pairs quadratically in cluster
+  * size) — the reader needs both numbers to attribute a ratio.
+  *
+  * Usage: `runMain graft.ScaleProbe <dir1x> <dir10x>`; each dir holds
+  * documents.parquet + embeddings.parquet.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val (dir1, dir10) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").trim.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs(d: String) = spark.read.parquet(s"$d/documents.parquet")
+    def embs(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
+
+    import graft.ext.{Curation, Dedup, Sampling, Similarity}
+    val ops: Seq[(String, String => DataFrame)] = Seq(
+      "dedup_minhash" -> (d =>
+        Dedup.minhashDupPairs(docs(d), "doc_id", "text", threshold = 0.5)),
+      "dedup_ngram" -> (d =>
+        Dedup.ngramDupPairs(docs(d), "doc_id", "text", "n_chars",
+          threshold = 0.5)),
+      "dedup_embedding_lsh_fixed4" -> (d =>
+        Dedup.embeddingDupPairsLsh(embs(d), "vec_id", "embedding",
+          threshold = 0.95)),
+      // the scaled geometry the operator's scaladoc prescribes:
+      // nPlanes = log2(corpus / bucket-target), re-sized per corpus
+      "dedup_embedding_lsh_scaled" -> { d =>
+        val e = embs(d)
+        Dedup.embeddingDupPairsLsh(e, "vec_id", "embedding",
+          threshold = 0.95, nPlanes = Dedup.lshPlanesFor(e.count()))
+      },
+      "knn_ivf" -> { d =>
+        val e = embs(d)
+        Similarity.knnIvf(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      },
+      "knn_pq" -> { d =>
+        val e = embs(d)
+        Similarity.knnPq(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, m = 4, kSub = 8, iterations = 2)
+      },
+      "substring_contamination" -> { d =>
+        val t = docs(d).withColumn("split",
+          Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+        Curation.substringContamination(
+          t.filter(col("split") === "train"),
+          t.filter(col("split") === "test"),
+          "doc_id", "text", minLen = 31)
+      },
+      // longer windows → sparser true matches: if contamination's
+      // growth is output-bound (not candidate-bound), this variant's
+      // time ratio should fall with its match count
+      "substring_contamination_len95" -> { d =>
+        val t = docs(d).withColumn("split",
+          Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+        Curation.substringContamination(
+          t.filter(col("split") === "train"),
+          t.filter(col("split") === "test"),
+          "doc_id", "text", minLen = 95)
+      },
+      "bpe_train" -> (d =>
+        graft.ext.Bpe.bpeTrain(docs(d), "text", numMerges = 8)))
+
+    // one untimed warm-up pass on the SMALL corpus absorbs session
+    // costs (codegen, JIT, parquet footers) so ratios compare steady
+    // states, mirroring Bench's min-of-2 discipline
+    ops.foreach { case (_, f) => f(dir1).write.format("noop")
+      .mode("overwrite").save() }
+
+    def timed(f: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val df = f
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val results = ops.map { case (name, f) =>
+      val (s1, n1) = timed(f(dir1))
+      val (s10, n10) = timed(f(dir10))
+      spark.catalog.clearCache()
+      (name, s1, n1, s10, n10)
+    }
+
+    val body = results.map { case (name, s1, n1, s10, n10) =>
+      val ratio = if (s1 > 0) s10 / s1 else -1.0
+      f""""$name":{"s_1x":$s1%.2f,"rows_1x":$n1,"s_10x":$s10%.2f,"rows_10x":$n10,"time_ratio":$ratio%.2f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_probe","ops":{$body}}""")
+    spark.stop()
+  }
+}

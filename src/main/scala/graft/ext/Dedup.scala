@@ -540,6 +540,17 @@ object Dedup {
     * candidate set. Caching contract: the persisted normalized-corpus
     * and bucket relations stay in the session cache after the caller's
     * action — `clearCache()` between runs. */
+  /** The nPlanes sizing rule the scaladoc above states, as code:
+    * `ceil(log2(corpus / targetBucket))`, floored at 1. The ScaleProbe
+    * measured why this matters: at a FIXED 4-plane geometry, growing
+    * the corpus 10× grew [[embeddingDupPairsLsh]]'s wall time 56×
+    * (bucket occupancy scales linearly, candidate pairs quadratically);
+    * re-sizing planes to the corpus restores near-linear growth at the
+    * documented recall trade (add bands to buy it back). */
+  def lshPlanesFor(corpusRows: Long, targetBucket: Int = 150): Int =
+    math.max(1, math.ceil(
+      math.log(corpusRows.toDouble / targetBucket) / math.log(2.0)).toInt)
+
   def embeddingDupPairsLsh(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 4, bands: Int = 4,
       dim: Int = Similarity.Dim): DataFrame = {

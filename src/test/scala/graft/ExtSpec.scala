@@ -2461,6 +2461,21 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(dec == "zqab")
   }
 
+  test("lshPlanesFor sizes planes to the corpus: log2(n/target), " +
+      "floored at one plane") {
+    import graft.ext.Dedup
+    assert(Dedup.lshPlanesFor(2000) == 4)    // ceil(log2(13.3))
+    assert(Dedup.lshPlanesFor(20000) == 8)   // ceil(log2(133.3))
+    assert(Dedup.lshPlanesFor(100) == 1)     // sub-target corpus floors
+    assert(Dedup.lshPlanesFor(1000000000L) == 23)
+    // bucket occupancy under the rule stays within 2× of target
+    for (n <- Seq(10000L, 1000000L, 100000000L)) {
+      val buckets = 1L << Dedup.lshPlanesFor(n)
+      assert(n.toDouble / buckets <= 300.0,
+        s"n=$n: expected occupancy ≤ 2×target, got ${n / buckets}")
+    }
+  }
+
   test("substringContamination finds exactly the covered window " +
       "positions of a shared span") {
     // minLen=9 → k=5, s=5. C (12 chars) shared verbatim; boundaries

@@ -46,6 +46,11 @@ pq.write_table(pa.table({
 }), f"{out}/documents.parquet")
 
 emb = rng.normal(size=(nvec, 64)).astype("float32")
+# plant ~1% near-duplicate vectors (tiny perturbations of earlier rows)
+# so the near-dup detectors have positives to find at every scale
+for i in range(0, nvec, 100):
+    j = int(rng.integers(0, nvec))
+    emb[j] = emb[i] + rng.normal(scale=0.01, size=64).astype("float32")
 pq.write_table(pa.table({
     "vec_id": pa.array(range(nvec), pa.int64()),
     "embedding": pa.array(list(emb), pa.list_(pa.float32())),
