@@ -582,6 +582,50 @@ private[graft] object Oracles2 {
          FROM b JOIN bc USING (prev, cur) JOIN pc USING (prev)
          GROUP BY 1 ORDER BY 1""",
 
+    // Stupid-backoff trigram LM: numerator tables pruned at count ≥ 2,
+    // denominators unpruned, α literals shipped full-precision to both
+    // engines, per-token scores micro-quantized BEFORE the doc sum so
+    // the aggregate is order-independent and engine-exact.
+    "q_lm_backoff" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         toks AS (SELECT unnest(l) AS w FROM t),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM toks WHERE w <> ''),
+         uni AS (SELECT w, count(*)::BIGINT AS c1 FROM toks
+              WHERE w <> '' GROUP BY 1),
+         bi AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+              FROM (SELECT doc_id, l,
+                      unnest(generate_series(1, len(l) - 1)) AS i
+                    FROM t WHERE len(l) >= 2)),
+         big AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
+         inst AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+              FROM (SELECT doc_id, l,
+                      unnest(generate_series(1, len(l) - 2)) AS i
+                    FROM t WHERE len(l) >= 3)),
+         tri AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM inst
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+         bigp AS (SELECT w1 AS w2, w2 AS w3, c2 AS c2p FROM big WHERE c2 >= 2),
+         sc AS (SELECT i.doc_id,
+                CASE WHEN tri.c3 IS NOT NULL
+                       THEN log2(tri.c3::DOUBLE / big.c2::DOUBLE)
+                     WHEN bigp.c2p IS NOT NULL
+                       THEN -1.3219280948873622
+                            + log2(bigp.c2p::DOUBLE / u2.c1::DOUBLE)
+                     ELSE -2.6438561897747244
+                          + log2(u3.c1::DOUBLE / nn.n) END AS lp
+              FROM inst i
+              LEFT JOIN tri ON tri.w1 = i.w1 AND tri.w2 = i.w2
+                           AND tri.w3 = i.w3
+              LEFT JOIN big ON big.w1 = i.w1 AND big.w2 = i.w2
+              LEFT JOIN bigp ON bigp.w2 = i.w2 AND bigp.w3 = i.w3
+              LEFT JOIN uni u2 ON u2.w = i.w2
+              LEFT JOIN uni u3 ON u3.w = i.w3
+              CROSS JOIN nn),
+         q AS (SELECT doc_id, floor(lp * 1e6 + 0.5)::BIGINT AS qlp FROM sc)
+         SELECT doc_id, count(*)::BIGINT AS n_scored,
+                round(sum(qlp)::DOUBLE / 1e6 / count(*)::DOUBLE, 6)
+                  AS avg_logprob
+         FROM q GROUP BY 1 ORDER BY 1""",
+
     "q_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          c AS (SELECT doc_id, l,

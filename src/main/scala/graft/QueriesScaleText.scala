@@ -558,6 +558,16 @@ private[graft] object QueriesScaleText {
         .select(col("doc_id"), r6(col("avg_logprob")).as("avg_logprob"))
         .orderBy(col("doc_id"))),
 
+    // Pruned trigram LM with STUPID BACKOFF (Brants et al. 2007) — the
+    // perplexity-style quality gate completing the unigram/bigram
+    // ladder: per-doc mean of micro-quantized log2 scores under the
+    // corpus's own pruned trigram/bigram/unigram statistics, backoff
+    // α = 0.4 per level.
+    "q_lm_backoff" -> ((s, dir) =>
+      TextAnalysis.stupidBackoffLogProb(Tables.read(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Sliding-window chunking: 32-token windows stepping 16, so
     // consecutive chunks share 16 tokens of left context — the overlap
     // form of q_chunk_tokens for long-document splitting.

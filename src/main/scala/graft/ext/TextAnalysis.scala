@@ -533,6 +533,101 @@ object TextAnalysis {
       .agg(avg(log2(col("_bcnt") / col("_pcnt"))).as("avg_logprob"))
   }
 
+  /** Pruned trigram language model with STUPID BACKOFF (Brants et al.
+    * 2007, "Large Language Models in Machine Translation") — the
+    * web-scale backoff scheme: score(w₃|w₁w₂) uses the trigram relative
+    * frequency when the (count-pruned) trigram table has it, else
+    * α·(bigram rel. freq.), else α²·(unigram rel. freq.), α = 0.4. The
+    * completion of the CCNet-style quality ladder that
+    * [[unigramLogProb]]/[[bigramLogProb]] start: a pruned higher-order
+    * model with graceful degradation instead of a hard zero.
+    *
+    * Self-scoring form: the model trains on the scored corpus itself
+    * (perplexity-under-corpus-statistics, the in-engine quality gate);
+    * at production scale the count tables train once on a reference
+    * corpus and persist — the scoring join below is unchanged.
+    *
+    * Replay exactness: per-token log2 scores are quantized to
+    * micro-units (floor(lp·1e6 + 0.5), a LONG) BEFORE the per-doc sum,
+    * so the aggregate is order-independent and bit-equal across
+    * engines; the only libm call per token is one log2 of a count
+    * rational, and the α constants ship as full-precision literals in
+    * BOTH engines (log2(0.4) is never re-derived at query time).
+    *
+    * Pruning: trigram/bigram numerator tables keep count ≥ `prune`
+    * entries (the KenLM-style size bound — backoff covers the tail);
+    * DENOMINATOR tables stay unpruned so every ratio is well-defined
+    * (a scored instance's prefix occurs at least in that instance).
+    *
+    * Scale shape (100 TB): count tables are n-gram-vocabulary-sized
+    * aggregates with map-side partials; scoring is the token-instance
+    * relation equi-joined against them on n-gram keys (hash joins, the
+    * standard distributed LM-scoring shape) and one (doc) aggregate.
+    * No windows, no broadcast of corpus-sized state, no driver state.
+    *
+    * Output: `(idCol, n_scored, avg_logprob)` for docs with ≥ 3
+    * tokens — positions 3..n score (interior tokens; the two
+    * boundary tokens have no trigram context by definition). */
+  def stupidBackoffLogProb(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, prune: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    // token-instance trigram relation (corpus-sized, the scan pass)
+    val inst = docs
+      .filter(size(t) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(3), size(t)),
+        i => struct(element_at(t, i - 2).as("w1"),
+          element_at(t, i - 1).as("w2"),
+          element_at(t, i).as("w3")))).as("g"))
+      .select(col(idCol), col("g.w1"), col("g.w2"), col("g.w3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count tables: unigrams/bigrams unpruned (denominators), pruned
+    // trigram/bigram numerators
+    val toks = docs.select(explode(t).as("w")).filter(col("w") =!= "")
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n = toks.count()
+    val big = docs.filter(size(t) >= 2)
+      .select(explode(transform(sequence(lit(2), size(t)),
+        i => struct(element_at(t, i - 1).as("w1"),
+          element_at(t, i).as("w2")))).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val tri = inst.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= prune)
+    val bigP = big.filter(col("c2") >= prune)
+      .select(col("w1").as("w2"), col("w2").as("w3"), col("c2").as("c2p"))
+    // full-precision α literals, shared textually with the oracle
+    val log2Alpha = -1.3219280948873622      // log2(0.4)
+    val log2Alpha2 = -2.6438561897747244     // 2·log2(0.4)
+    val scored = inst
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.select(col("w1"), col("w2"), col("c2")), Seq("w1", "w2"), "left")
+      .join(bigP, Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1_2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c1_3")), Seq("w3"), "left")
+      .select(col(idCol),
+        when(col("c3").isNotNull,
+          log2(col("c3").cast("double") / col("c2").cast("double")))
+          .when(col("c2p").isNotNull,
+            lit(log2Alpha) +
+              log2(col("c2p").cast("double") / col("c1_2").cast("double")))
+          .otherwise(lit(log2Alpha2) +
+            log2(col("c1_3").cast("double") / lit(n.toDouble)))
+          .as("lp"))
+      // micro-quantize BEFORE the sum: order-independent, engine-exact
+      .select(col(idCol),
+        floor(col("lp") * 1e6 + 0.5).cast("long").as("qlp"))
+    // caching contract: `inst` stays in the session cache after the
+    // caller's action (three consumers above) — clearCache() between
+    // runs, like bigramLogProb's bigram relation
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum(col("qlp")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6).as("avg_logprob"))
+  }
+
   /** The `(idCol, token)` exploded relation [[unigramLogProb]] scans
     * three times — exposed so callers OWN its cache lifecycle:
     * `val tok = tokenRelation(d, "id", "text").persist()`, run

@@ -2461,6 +2461,24 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(dec == "zqab")
   }
 
+  test("stupidBackoffLogProb walks the three backoff levels with " +
+      "hand-derived scores") {
+    // corpus: d1 = "a b c a b c", d2 = "a b x"
+    //   trigram counts: (a,b,c)=2 survives prune≥2; all others prune
+    //   bigrams: (a,b)=3, (b,c)=2 survive; (c,a)=1, (b,x)=1 prune
+    //   unigrams: a=3 b=3 c=2 x=1, N=9
+    // d1 instances: (a,b,c)→log2(2/3) [trigram], (b,c,a)→α²·(3/9)
+    //   [unigram: (c,a) pruned], (c,a,b)→α·(3/3) [bigram], (a,b,c)
+    // d2 instance: (a,b,x)→α²·(1/9) [unigram]
+    val out = TextAnalysis.stupidBackoffLogProb(
+        docs((1L, "a b c a b c"), (2L, "a b x")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // micro-quantized per-token longs: -584963·2, -4228819, -1321928
+    assert(out(1L) == ((4L, -1.680168)))
+    assert(out(2L) == ((1L, -5.813781)))
+  }
+
   test("lshPlanesFor sizes planes to the corpus: log2(n/target), " +
       "floored at one plane") {
     import graft.ext.Dedup
