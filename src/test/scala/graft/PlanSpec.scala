@@ -750,4 +750,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"),
       "word results join back via broadcast under AQE, not a shuffle join")
   }
+
+  test("lang id ngram: profile lookup is a broadcast join, rank window " +
+      "is doc-partitioned — no cartesian, no single-partition exchange") {
+    val p = plan("q_lang_id_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      "the KB-sized profile must broadcast, never shuffle the corpus side")
+    assert(!p.contains("CartesianProduct"),
+      "the 5-row language fan-out must ride a broadcast, not a cartesian")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"rank window must partition by doc:\n$p")
+  }
+
+  test("lm backoff: n-gram count joins stay equi-joins with partial " +
+      "aggregation — no cartesian, no single-partition exchange") {
+    val p = plan("q_lm_backoff")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "corpus total is a driver literal, not a scalar cross join")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-doc aggregate must stay hash-partitioned:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "count tables need map-side partial aggregation")
+  }
 }

@@ -328,6 +328,35 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  property("byte-level bpeDecodeBytes ∘ bpeEncodeIdsBytes == strip-spaces, " +
+      "and the vocabulary is train-corpus-independent") =
+    forAll(for {
+      nDocs <- Gen.choose(1, 5)
+      docsG <- Gen.listOfN(nDocs, Gen.listOfN(5,
+        Gen.listOfN(3, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+        .map(_.mkString(" ")))
+      // encode corpus can contain symbols the TRAIN corpus never saw —
+      // byte level must still round-trip (the no-unknown-path property)
+      extraG <- Gen.listOfN(4, Gen.oneOf('x', 'y', 'z')).map(_.mkString)
+      m <- Gen.choose(1, 6)
+    } yield (docsG, extraG, m)) { case (texts, extra, m) =>
+      val s = spark
+      import s.implicits._
+      val train = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val all = (texts :+ extra).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val merges = graft.ext.Bpe.bpeTrainBytes(train, "text", m)
+      val enc = graft.ext.Bpe.bpeEncodeIdsBytes(all, "doc_id", "text", merges)
+      val vocab = graft.ext.Bpe.bpeVocabBytes(s, merges)
+      val decoded = graft.ext.Bpe.bpeDecodeBytes(enc, "doc_id", "token_ids",
+          vocab)
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+      (texts :+ extra).zipWithIndex.forall { case (t, i) =>
+        decoded(i.toLong) == t.replace(" ", "")
+      }
+    }
+
   property("scd2 intervals chain per key and merge equal runs") =
     forAll(Gen.listOfN(10, Gen.option(Gen.choose(0, 2)))) { vals =>
       val s = spark
