@@ -864,7 +864,7 @@ private[graft] object OracleBuilders {
        FROM events, (SELECT unnest([0, 1]) AS k) k
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
-  /** Closed form of [[cdcFeed]] applied to the events table — shared
+  /** Closed form of [[QueryHelpers.cdcFeed]] applied to the events table — shared
     * by the batch (q_cdc_apply) and streamed (q_cdc_stream) gates. */
   val cdcApplyOracle: String =
     """SELECT event_id, user_id, event_type,
