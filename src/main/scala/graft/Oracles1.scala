@@ -681,6 +681,32 @@ private[graft] object Oracles1 {
     // in the train split.
     "q_substring_contamination" -> substringContaminationOracle("text"),
 
+    // the GPT-3 whole-gram rule: token 13-grams (whole text below 13
+    // tokens), distinct per doc on both sides, one equi-join
+    "q_decontam_13gram" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS l,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                  % 100 AS bucket
+              FROM documents),
+         -- the CASE must live INSIDE the unnest: an unnest in the
+         -- select list drops rows whose list is empty, which would
+         -- silently erase every short doc's whole-text fallback gram
+         trg AS (SELECT DISTINCT g FROM (
+                SELECT unnest(CASE WHEN len(l) >= 13
+                     THEN [array_to_string(l[i : i + 12], ' ')
+                          for i in generate_series(1, len(l) - 12)]
+                     ELSE [array_to_string(l, ' ')] END) AS g
+                FROM b WHERE bucket < 80)),
+         teg AS (SELECT DISTINCT doc_id,
+                unnest(CASE WHEN len(l) >= 13
+                  THEN [array_to_string(l[i : i + 12], ' ')
+                       for i in generate_series(1, len(l) - 12)]
+                  ELSE [array_to_string(l, ' ')] END) AS g
+              FROM b WHERE bucket >= 90)
+         SELECT doc_id, count(*)::BIGINT AS n_shared
+         FROM teg JOIN trg USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     // the ingest-time ledger's distinct union equals the offline scan
     "q_contamination_stream" -> substringContaminationOracle("text"),
 

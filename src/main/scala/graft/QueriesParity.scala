@@ -832,6 +832,21 @@ private[graft] object QueriesParity {
         .orderBy(col("doc_id"))
     }),
 
+    // GPT-3-style 13-token-gram decontamination (Brown et al. 2020,
+    // appendix C): a test doc is contaminated iff it shares any
+    // 13-gram with any train doc, whole-text gram below 13 tokens —
+    // the published whole-gram rule next to the char-span detector.
+    "q_decontam_13gram" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
+      graft.ext.Curation.ngramDecontamination(
+          d.filter(col("split") === "train"),
+          d.filter(col("split") === "test"),
+          "doc_id", "text", n = 13)
+        .orderBy(col("doc_id"))
+    }),
+
     // Dead-letter quarantine at ingest: rows failing the expectation
     // route to the quarantine ledger, passing rows to the curated
     // sink — per-batch idempotent, closed-form oracle on the

@@ -121,6 +121,41 @@ object Curation {
     substringContamination(train, test, idCol, textCol, minLen,
       excludeSelf = false)
 
+  /** GPT-3-style token-n-gram decontamination (Brown et al. 2020,
+    * appendix C — the published rule production pipelines quote): a
+    * test document is contaminated iff it shares at least one
+    * n-token-gram (n = 13 there) with any train document; documents
+    * shorter than n tokens contribute their whole text as the one
+    * gram (the `min(n, len)` treatment — [[TextAnalysis.shingleSet]]'s
+    * fallback is exactly that rule).
+    *
+    * The token-level complement of [[substringContamination]]: coarser
+    * (whole-gram granularity, no span extension) but one equi-join —
+    * no anchor walk, no position arithmetic — which is why the
+    * published filters run it at full corpus scale.
+    *
+    * Output: `(idCol, n_shared)` per contaminated TEST doc, n_shared =
+    * DISTINCT shared grams (both sides' shingle sets are per-doc
+    * distinct by construction).
+    *
+    * Scale shape (100 TB): the train gram set is one explode +
+    * distinct (shuffle keyed on the gram; at PB scale key it on
+    * sha2(gram) to cap shuffle width — the chunk-census precedent);
+    * the test side streams one explode into a hash equi-join. No
+    * cartesian, no windows, no driver state. */
+  def ngramDecontamination(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val trainGrams = train
+      .select(explode(TextAnalysis.shingleSet(col(textCol), n)).as("g"))
+      .distinct()
+    test
+      .select(col(idCol),
+        explode(TextAnalysis.shingleSet(col(textCol), n)).as("g"))
+      .join(trainGrams, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Core detection pass: disjoint islands `(idCol, ia, ib)` of
     * contaminated window START positions per test doc (inclusive).
     * `excludeSelf = true` drops same-document anchor pairs — the knob

@@ -2461,6 +2461,23 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(dec == "zqab")
   }
 
+  test("ngramDecontamination flags exactly the test docs sharing a " +
+      "13-gram, with the whole-text fallback below 13 tokens") {
+    import graft.ext.Curation
+    val block = (1 to 13).map(i => s"w$i").mkString(" ")  // 13 tokens
+    val train = docs(
+      (1L, s"$block tail words here"),
+      (2L, "s1 s2 s3 s4 s5"))                              // 5-token doc
+    val test = docs(
+      (10L, s"prefix $block suffix"),  // shares the 13-gram
+      (11L, "s1 s2 s3 s4 s5"),         // whole-text fallback match
+      (12L, "s1 s2 s3 s4 s6"),         // near-miss: no shared gram
+      (13L, "totally different words without any overlap at all ok"))
+    val out = Curation.ngramDecontamination(train, test, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L))
+  }
+
   test("stupidBackoffLogProb walks the three backoff levels with " +
       "hand-derived scores") {
     // corpus: d1 = "a b c a b c", d2 = "a b x"
