@@ -461,6 +461,24 @@ private[graft] object Oracles1 {
          FROM embeddings, generate_series(0, 7) AS t(j)
          ORDER BY vec_id, dim""",
 
+    // dimension-wise mean in micro-units: quantize before sum, one
+    // textually-mirrored floor(sum/n), md5 over dim-ordered components
+    "q_embed_pool" ->
+      """WITH e AS (SELECT vec_id // 4 AS group_id,
+                unnest([{'d': i, 'x': embedding[i]}
+                    for i in generate_series(1, len(embedding))]) AS z
+              FROM embeddings),
+         q AS (SELECT group_id, z.d AS d,
+                floor(z.x::DOUBLE * 1e6 + 0.5)::BIGINT AS qx FROM e),
+         s AS (SELECT group_id, d, sum(qx)::BIGINT AS sq,
+                count(*)::BIGINT AS n FROM q GROUP BY 1, 2),
+         p AS (SELECT group_id, n, d,
+                floor(sq::DOUBLE / n::DOUBLE)::BIGINT AS pooled FROM s)
+         SELECT group_id, n AS n_chunks,
+                md5(array_to_string(list(pooled::VARCHAR ORDER BY d), ' '))
+                  AS vec_md5
+         FROM p GROUP BY 1, 2 ORDER BY group_id""",
+
     "q_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
                 list_max(list_transform(embedding, x -> abs(x::DOUBLE)))

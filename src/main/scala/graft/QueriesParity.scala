@@ -607,6 +607,19 @@ private[graft] object QueriesParity {
         .orderBy(col("source"))
     }),
 
+    // Chunk -> document embedding mean pooling: 4-chunk pseudo-docs,
+    // dimension-wise mean in integer micro-units (quantize BEFORE the
+    // sum), gate = md5 of the pooled vector in dim order per group.
+    "q_embed_pool" -> ((s, dir) =>
+      Similarity.meanPoolQuantized(Tables.read(s, dir, "embeddings"),
+          expr("vec_id div 4"), "embedding")
+        .groupBy(col("group_id"), col("n_chunks"))
+        .agg(md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("dim"), col("pooled")))),
+            x => x.getField("pooled").cast("string"))).cast("binary"))
+          .as("vec_md5"))
+        .orderBy(col("group_id"))),
+
     // Int8 embedding quantization: integer code stats are exact on any
     // engine; the oracle additionally pins recon_ok = true (per-dim
     // reconstruction error within scale/2).

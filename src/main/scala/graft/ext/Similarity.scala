@@ -74,6 +74,37 @@ object Similarity {
     * is lossless). The window therefore shuffles O(partitions × q × k)
     * rows instead of the full n × q scored relation — the difference
     * between a bounded and a corpus-sized shuffle at 100 TB. */
+  /** Chunk → document embedding MEAN POOLING — how document vectors
+    * derive from passage/chunk vectors in real retrieval pipelines:
+    * dimension-wise mean over each group's chunk embeddings. Emitted
+    * in integer micro-units for engine-exact replay: components
+    * quantize at 1e-6 BEFORE the sum (order-independent longs), the
+    * mean is one textually-mirrored floor(sum/n) per dimension, and no
+    * float ever crosses an aggregation boundary. (L2-normalize
+    * downstream with [[withNorm]] when cosine geometry is needed —
+    * kept out of here so the pooled relation stays integer.)
+    *
+    * Output: one row per group — `(groupCol, n_chunks, dim, pooled)`
+    * exploded by dimension, ready for re-assembly or direct join into
+    * the int-quantized kNN stack ([[knnQuantizedInt8]] precedent).
+    *
+    * Scale shape (100 TB): one narrow dimension explode (rows ×
+    * dim — the transpose every distributed mean-pool pays), one
+    * (group, dim) aggregate with map-side partials, nothing else. No
+    * windows, no joins, no driver state. */
+  def meanPoolQuantized(embs: DataFrame, groupExpr: Column,
+      vecCol: String, groupAs: String = "group_id"): DataFrame =
+    embs
+      .select(groupExpr.as(groupAs), posexplode(col(vecCol))
+        .as(Seq("dim", "x")))
+      .select(col(groupAs), col("dim"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("qx"))
+      .groupBy(col(groupAs), col("dim"))
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n_chunks"))
+      .select(col(groupAs), col("n_chunks"), col("dim"),
+        floor(col("sq").cast("double") / col("n_chunks").cast("double"))
+          .cast("long").as("pooled"))
+
   def knnBruteForce(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = Dedup.withNorm(corpus, idCol, vecCol, "nn_id", "cv")

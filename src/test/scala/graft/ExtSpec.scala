@@ -2461,6 +2461,30 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(dec == "zqab")
   }
 
+  test("meanPoolQuantized pools dimension-wise in micro-units with " +
+      "floor(sum/n), including negative components") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, -0.5f)),
+      (1L, Seq(0.0f, 0.25f)),
+      (4L, Seq(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.meanPoolQuantized(
+        e, expr("vec_id div 4"), "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong) ->
+        (r.getLong(1), r.getLong(3)))
+      .toMap
+    // group 0: dims q = [1000000, 0] and [-500000, 250000]
+    //   dim0 mean = 500000; dim1 = floor(-250000/2) = -125000
+    assert(out((0L, 0)) == ((2L, 500000L)))
+    assert(out((0L, 1)) == ((2L, -125000L)))
+    // group 1: single chunk passes through
+    assert(out((1L, 0)) == ((1L, 2000000L)))
+    assert(out((1L, 1)) == ((1L, 2000000L)))
+  }
+
   test("ngramDecontamination flags exactly the test docs sharing a " +
       "13-gram, with the whole-text fallback below 13 tokens") {
     import graft.ext.Curation
