@@ -995,6 +995,81 @@ private[graft] object Oracles2 {
          SELECT doc_id, rank, term, tfidf FROM r
          WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""",
 
+    "q_mojibake" ->
+      """WITH d AS (SELECT doc_id,
+                CASE WHEN doc_id % 7 = 3 THEN text || ' caf' || chr(195)
+                       || chr(169) || ' ' || chr(226) || chr(128) || chr(153)
+                     WHEN doc_id % 13 = 5 THEN text || ' ' || chr(65533)
+                     ELSE text END AS text FROM documents),
+         m AS (SELECT doc_id, coalesce(text, '') AS t FROM d),
+         c AS (SELECT doc_id,
+                (length(t) - length(replace(t, chr(195), '')))::BIGINT
+                  AS latin1_marks,
+                ((length(t) - length(replace(t, chr(226) || chr(128), '')))
+                  / 2)::BIGINT AS punct_marks,
+                (length(t) - length(replace(t, chr(65533), '')))::BIGINT
+                  AS replacement_marks
+              FROM m)
+         SELECT doc_id, latin1_marks, punct_marks, replacement_marks,
+                (CASE WHEN latin1_marks + punct_marks + replacement_marks > 0
+                  THEN 1 ELSE 0 END)::BIGINT AS suspect
+         FROM c ORDER BY doc_id""",
+
+    "q_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id)::BIGINT AS source_rank
+              FROM documents)
+         SELECT doc_id, source, n_chars, source_rank FROM r
+         WHERE source_rank <= 10 ORDER BY source, source_rank""",
+
+    "q_blocklist" ->
+      """SELECT d.doc_id, count(*)::BIGINT AS n_hits,
+                min(p.phrase) AS first_phrase
+         FROM documents d
+         JOIN (VALUES ('vector'), ('merge batch'), ('slow scan'),
+               ('big query')) p(phrase)
+           ON instr(lower(d.text), p.phrase) > 0
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents
+              WHERE text IS NOT NULL),
+         cu AS (SELECT w, count(*) AS cw
+              FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+         n AS (SELECT sum(cw)::BIGINT AS n_tokens FROM cu),
+         cb AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS cww
+              FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+                      for i in generate_series(1, len(t)-1)]) AS s FROM t)
+              GROUP BY 1, 2),
+         b AS (SELECT sum(cww)::BIGINT AS n_bigrams FROM cb)
+         SELECT cb.w1, cb.w2, cb.cww AS pair_count,
+                round(ln((cb.cww::DOUBLE * n.n_tokens * n.n_tokens) /
+                  (b.n_bigrams::DOUBLE * c1.cw * c2.cw)), 6) AS pmi
+         FROM cb JOIN cu c1 ON cb.w1 = c1.w JOIN cu c2 ON cb.w2 = c2.w
+              CROSS JOIN n CROSS JOIN b
+         WHERE cb.cww >= 5
+         ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50""",
+
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem WHERE l_partkey < 200),
+         sized AS (SELECT b FROM items GROUP BY b HAVING count(*) <= 1024),
+         kept AS (SELECT items.* FROM items JOIN sized USING (b)),
+         n AS (SELECT count(DISTINCT b) AS n_baskets FROM kept),
+         supp AS (SELECT i, count(*) AS supp FROM kept GROUP BY 1),
+         ps AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS supp_ab
+              FROM kept x JOIN kept y ON x.b = y.b AND x.i < y.i
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT ps.item_a, ps.item_b, ps.supp_ab,
+                round(ps.supp_ab / sa.supp, 6) AS conf_ab,
+                round(ps.supp_ab / sb.supp, 6) AS conf_ba,
+                round((ps.supp_ab * n.n_baskets) / (sa.supp * sb.supp), 6)
+                  AS lift
+         FROM ps JOIN supp sa ON ps.item_a = sa.i
+              JOIN supp sb ON ps.item_b = sb.i CROSS JOIN n
+         ORDER BY ps.item_a, ps.item_b""",
+
     "q_fingerprint" ->
       """WITH fp AS (SELECT doc_id, text,
                 list_reduce(list_prepend(0::BIGINT,

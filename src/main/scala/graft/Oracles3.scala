@@ -21,6 +21,30 @@ private[graft] object Oracles3 {
 
     "q_dedup_ngram" -> ngramOracleSql,
 
+    "q_dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l
+              FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         r AS (SELECT doc_id, unnest(ss) AS shingle FROM shl),
+         rare AS (SELECT shingle FROM r GROUP BY 1 HAVING count(*) <= 40),
+         kept AS (SELECT r.doc_id, r.shingle FROM r JOIN rare USING (shingle)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+         i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM kept a JOIN kept b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b, i.inter,
+                round(i.inter::DOUBLE / sa.sz, 6) AS cont_a,
+                round(i.inter::DOUBLE / sb.sz, 6) AS cont_b
+         FROM i JOIN sz sa ON i.id_a = sa.doc_id
+              JOIN sz sb ON i.id_b = sb.doc_id
+         WHERE round(i.inter::DOUBLE / sa.sz, 6) >= 0.5
+            OR round(i.inter::DOUBLE / sb.sz, 6) >= 0.5
+         ORDER BY i.id_a, i.id_b""",
+
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
          shl AS (SELECT doc_id, CASE WHEN len(l) >= 3

@@ -42,6 +42,13 @@ private[graft] object QueriesDedupSimMm {
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Asymmetric containment over rare shingles — the quote/subset
+    // detector Jaccard misses; df-gated instead of length-blocked.
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(Tables.read(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = 40)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Typo-tolerant record linkage: Levenshtein ≤ 2 pairs over part
     // names, blocked on brand + length band (no all-pairs compare);
     // the oracle brute-forces the same predicate within brands.

@@ -2,7 +2,7 @@ package graft
 
 import graft.analytics.Habits
 import graft.config.{EtlConfig, HabitSpec}
-import graft.ext.{Classify, Dedup, History, MediaRecord, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{Assoc, Classify, Dedup, History, MediaRecord, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.functions.Aggregators
 import graft.load.Merge
 import graft.streaming.Streaming
@@ -921,6 +921,64 @@ private[graft] object QueriesScaleText {
         .select(col("doc_id"), col("rank").cast("long").as("rank"),
           col("term"), col("tfidf"))
         .orderBy(col("doc_id"), col("rank"))),
+
+    // Encoding-anomaly census over a deterministically mojibake-planted
+    // corpus (the synthetic docs are clean ASCII, so the gate plants
+    // its own corruption — the cdcFeed precedent): docs ≡3 (mod 7) get
+    // a Latin-1-mojibake suffix, docs ≡5 (mod 13) a U+FFFD. The first
+    // CASE branch wins overlaps on both engines.
+    "q_mojibake" -> ((s, dir) => {
+      val planted = Tables.read(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"),
+            lit(" caf\u00c3\u00a9 \u00e2\u0080\u0099")))
+        .when(col("doc_id") % 13 === 5,
+          concat(col("text"), lit(" \ufffd")))
+        .otherwise(col("text")))
+      TextAnalysis.mojibakeScan(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain quota: CommonCrawl-style cap of 10 docs per source,
+    // preferring longer docs (n_chars), ties by doc_id.
+    "q_source_cap" -> ((s, dir) =>
+      graft.ext.Curation.sourceCap(Tables.read(s, dir, "documents"),
+          "doc_id", "source", "n_chars", cap = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("source_rank"))
+        .orderBy(col("source"), col("source_rank"))),
+
+    // Safety blocklist: flag docs containing any banned phrase
+    // (case-insensitive literal substring), with hit count + first
+    // matching phrase as review evidence.
+    "q_blocklist" -> ((s, dir) =>
+      graft.ext.Curation.blocklistHits(Tables.read(s, dir, "documents"),
+          "doc_id", "text",
+          Seq("vector", "merge batch", "slow scan", "big query"))
+        .orderBy(col("doc_id"))),
+
+    // Collocation mining: top-50 adjacent-pair PMI over the document
+    // corpus. Top-k via orderBy+limit (TakeOrderedAndProject), not a
+    // global rank window; both engines cut on the same total order
+    // (rounded pmi DESC, then the pair), so the k-set is reproducible.
+    "q_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.read(s, dir, "documents"),
+          "doc_id", "text", minCount = 5)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)),
+
+    // Market-basket association rules over order → part baskets.
+    // l_partkey < 200 keeps the co-occurrence graph at a fixed absolute
+    // size across scale factors (sf0.001 has exactly 200 parts; larger
+    // sfs sample the same keyspace prefix), so oracle cost is bounded
+    // while the operator still sees every basket.
+    "q_assoc_rules" -> ((s, dir) =>
+      Assoc.pairRules(
+          Tables.read(s, dir, "lineitem").filter(col("l_partkey") < 200),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("item_a"), col("item_b"), col("supp_ab"),
+          col("conf_ab"), col("conf_ba"), col("lift"))
+        .orderBy(col("item_a"), col("item_b"))),
 
   )
 }

@@ -701,4 +701,55 @@ object Curation {
       acc + when(col("n_tokens") > lit(t), lit(1L)).otherwise(lit(0L)) }
     withLen.withColumn("stage", stage)
   }
+
+  /** Per-source document quota — the CommonCrawl-style per-domain cap:
+    * keep at most `cap` documents from each source, preferring high
+    * `rankCol` (ties broken by ascending id so the cut is total-order
+    * deterministic). A single over-represented domain (a crawler trap,
+    * a mirror farm) otherwise dominates the mixture no matter what the
+    * downstream sampler does.
+    *
+    * Scale (100 TB): one shuffle on the source key, then a
+    * partition-local rank window — the partition count is the domain
+    * count (always ≫ executor count for web data). A single pathological
+    * domain's partition is bounded by that domain's docs; for truly
+    * degenerate skew (one domain = half the corpus) pre-aggregate with
+    * the salted-topk pattern (`Skew.saltedTopK`) instead. */
+  def sourceCap(docs: DataFrame, idCol: String, sourceCol: String,
+      rankCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, "sourceCap: cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(rankCol).desc, col(idCol))
+    docs.withColumn("source_rank", row_number().over(w).cast("long"))
+      .filter(col("source_rank") <= cap)
+  }
+
+  /** Multi-phrase blocklist scan — the safety/compliance gate: flag
+    * every document containing at least one of the (config-sized)
+    * banned phrases as a literal case-insensitive substring. Emits one
+    * row per flagged doc with the hit count and the alphabetically
+    * first matching phrase (deterministic evidence for review queues).
+    *
+    * Scale (100 TB): the phrase list broadcasts (it is config-sized —
+    * hundreds to a few thousand entries) and the scan is a
+    * BroadcastNestedLoopJoin whose per-row cost is O(len·phrases) via
+    * codegen'd `instr` — embarrassingly parallel, no shuffle until the
+    * doc-keyed count. Past ~10⁴ phrases the named upgrade is a single
+    * Aho-Corasick pass as a custom expression; the relational contract
+    * here would not change. */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklistHits: empty phrase list")
+    require(phrases.forall(_.nonEmpty), "blocklistHits: blank phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = broadcast(phrases.toDF("phrase"))
+    docs.select(col(idCol), lower(col(textCol)).as("lt"))
+      .crossJoin(p)
+      .filter(instr(col("lt"), col("phrase")) > 0)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("phrase")).as("first_phrase"))
+  }
 }

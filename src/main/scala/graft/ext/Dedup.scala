@@ -288,6 +288,55 @@ object Dedup {
 
   // ── Blocked n-gram Jaccard (exact, no hashing) ─────────────────────────
 
+  /** Asymmetric n-gram CONTAINMENT (Broder's resemblance's sibling):
+    * `cont_a = |A∩B| / |A|` and `cont_b = |A∩B| / |B|` per pair — the
+    * quote/subset detector. Jaccard misses a short doc wholly embedded
+    * in a long one (the union dwarfs the intersection); containment of
+    * the short side hits 1.0 exactly there, which is why contamination
+    * and quote-mining pipelines run containment, not resemblance.
+    *
+    * Length blocking is INVALID for containment (the contained doc can
+    * be any fraction of the container's length), so the candidate bound
+    * comes from a document-frequency gate instead: shingles appearing
+    * in more than `maxShingleDf` docs are dropped BEFORE the join (the
+    * stopword-shingle drop every production dedup runs), and both the
+    * intersection and the normalizing set sizes are computed over
+    * RETAINED shingles — internally consistent and exactly mirrored by
+    * the oracle. Semantics: "containment over rare shingles".
+    *
+    * Scale (100 TB): the inverted-index self-join fans out at most
+    * `maxShingleDf²/2` pairs per shingle type — the df gate is the
+    * skew ceiling (ngramDupPairs gets its bound from blocking; this op
+    * buys generality with the df cap). One shuffle on shingle for the
+    * census + join, one on the pair key for the count, set sizes ride
+    * a doc-keyed partial agg. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Long = 40): DataFrame = {
+    require(threshold > 0.0, "zero-overlap pairs are never materialized")
+    require(maxShingleDf >= 2, "df gate below 2 drops every shared shingle")
+    val rows = shingleSets(docs, idCol, textCol, n)
+      .select(col(idCol).cast("long").as("id"), explode(col("ss")).as("shingle"))
+    val rare = rows.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("shingle"))
+    val kept = rows.join(rare, "shingle").persist(Spill)
+    val sz = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = kept.as("a")
+      .join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") / col("sz_a"), 6).as("cont_a"),
+        round(col("inter").cast("double") / col("sz_b"), 6).as("cont_b"))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+  }
+
   /** Exact n-gram Jaccard dedup with length blocking: the build side of
     * the self-join lands in buckets floor(len/w) and floor(len/w)+1,
     * the probe side only in its own, so any pair within `w` chars of

@@ -823,6 +823,86 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Encoding-anomaly census — the mojibake gate every web-crawl
+    * pipeline runs before tokenization. Counts per-document occurrences
+    * of the three highest-precision corruption signatures:
+    * `latin1_marks` (U+00C3, UTF-8 accented Latin read as Latin-1:
+    * "cafe" mis-decoded), `punct_marks` (U+00E2 U+0080, the
+    * smart-punctuation mojibake prefix), and
+    * `replacement_marks` (U+FFFD, a decoder already gave up). `suspect`
+    * is 1 when any marker fired. Null text scans as clean (0s), not
+    * null — the gate's job is to pass clean rows through.
+    *
+    * Counting is the replace-and-measure identity
+    * `(len(t) − len(replace(t, m, ''))) / len(m)` — pure codegen'd
+    * string ops, no regex engine (whose semantics differ across
+    * engines). Scale (100 TB): per-row narrow expressions, shuffle-free,
+    * embarrassingly parallel. */
+  def mojibakeScan(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(m: String) =
+      ((length(t) - length(replace(t, lit(m), lit("")))) / lit(m.length))
+        .cast("long")
+    docs.select(col(idCol),
+        cnt("\u00c3").as("latin1_marks"),
+        cnt("\u00e2\u0080").as("punct_marks"),
+        cnt("\ufffd").as("replacement_marks"))
+      .withColumn("suspect",
+        (col("latin1_marks") + col("punct_marks") +
+          col("replacement_marks") > 0).cast("long"))
+  }
+
+  /** Pointwise mutual information over ADJACENT token pairs — the
+    * classic collocation statistic (Church & Hanks 1990): which word
+    * pairs co-occur far more often than their unigram frequencies
+    * predict. In a curation pipeline high-PMI pairs surface templated
+    * boilerplate and domain phrases; low/negative PMI at high count
+    * flags tokenizer-hostile glue.
+    *
+    * Contract: unigram counts come from ALL tokens (single-token docs
+    * included), bigram counts from all adjacent pairs;
+    * `pmi = ln(c(w1,w2)·N² / (B·c(w1)·c(w2)))` with N total tokens and
+    * B total bigrams, rounded to 6 dp (counts are integers, so the
+    * quotient sits in the cross-engine-stable range — the q_tfidf
+    * precedent). Pairs below `minCount` are dropped BEFORE scoring but
+    * AFTER the B census, so rare-pair noise never reaches the log.
+    *
+    * Scale (100 TB): two narrow explodes and two partial-aggregating
+    * group-bys (hot pairs absorb map-side); the unigram join keys on
+    * the vocabulary, the two 1-row censuses broadcast back. No windows,
+    * no driver state — callers wanting top-k should
+    * `orderBy(...).limit(k)` (TakeOrderedAndProject), not rank the
+    * vocabulary² relation through a global window. */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "pmiCollocations: minCount must be >= 1")
+    val toks = docs.select(tokens(col(textCol)).as("t"))
+      .filter(col("t").isNotNull)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nTok = uni.agg(sum(col("cw")).as("n_tokens"))
+    val pairCounts = toks.filter(size(col("t")) >= 2)
+      // sequence(1, 0) is DESCENDING [1,0], not empty — the size filter
+      // above is load-bearing (the wordShingles precedent)
+      .select(explode(expr("transform(sequence(1, size(t)-1), " +
+        "i -> named_struct('w1', t[i-1], 'w2', t[i]))")).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cww"))
+    val nBig = pairCounts.agg(sum(col("cww")).as("n_bigrams"))
+    pairCounts
+      .filter(col("cww") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("cww").as("pair_count"),
+        round(log((col("cww").cast("double") * col("n_tokens") *
+            col("n_tokens")) /
+          (col("n_bigrams").cast("double") * col("cw1") * col("cw2"))), 6)
+          .as("pmi"))
+  }
+
   // ── Fingerprinting ─────────────────────────────────────────────────────
 
   val HashMod = 1000000007L

@@ -91,7 +91,7 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     val out = docs(
       (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct -> 4/7
       (2L, "all distinct words here now"),
-      (3L, "x y"))               // short -> whole-text shingle, ratio 0
+      (3L, "x \u00e2\u0080 y \ufffd \u00e2\u0080"), (4L, null))
       .select(col("doc_id"),
         TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -3044,5 +3044,125 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
         "text", stages = 4)
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(skew(2L) == 1L && skew(1L) == 1L && skew(9L) == 4L)
+  }
+
+  test("pmiCollocations: counts and ln formula match hand computation") {
+    val d = docs((1L, "a b a b"), (2L, "a c"), (3L, "z"))
+    // N=7 tokens (z counts), B=4 bigrams; c(a)=3 c(b)=2 c(c)=1
+    val out = TextAnalysis.pmiCollocations(d, "doc_id", "text", minCount = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3)))
+      .toMap
+    def pmi(cww: Long, c1: Long, c2: Long): Double =
+      BigDecimal(math.log(cww.toDouble * 7 * 7 / (4.0 * c1 * c2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set("a" -> "b", "b" -> "a", "a" -> "c"))
+    assert(out("a" -> "b") == ((2L, pmi(2, 3, 2))))
+    assert(out("b" -> "a") == ((1L, pmi(1, 2, 3))))
+    assert(out("a" -> "c") == ((1L, pmi(1, 3, 1))))
+    // minCount drops rare pairs but B stays the pre-filter census
+    val top = TextAnalysis.pmiCollocations(d, "doc_id", "text", minCount = 2)
+      .collect()
+    assert(top.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("a" -> "b"))
+    assert(top.head.getDouble(3) == pmi(2, 3, 2))
+  }
+
+  test("ngramContainment: asymmetric ratios + df gate") {
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e f g"), (3L, "x y"))
+    val out = Dedup.ngramContainment(d, "doc_id", "text", n = 3,
+        threshold = 0.5, maxShingleDf = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // d1 (3 shingles) wholly contained in d2 (5): cont_a 1.0, cont_b 0.6
+    assert(out == Map((1L, 2L) -> ((3L, 1.0d, 0.6d))))
+    // df gate: with d4 sharing "a b c", that shingle's df=3 > 2 drops it
+    val d4 = docs((1L, "a b c d e"), (2L, "a b c d e f g"),
+      (4L, "a b c z z z"))
+    val gated = Dedup.ngramContainment(d4, "doc_id", "text", n = 3,
+        threshold = 0.5, maxShingleDf = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // retained: d1 {bcd, cde} (sz 2), d2 {bcd, cde, def, efg} (sz 4)
+    assert(gated == Map((1L, 2L) -> ((2L, 1.0d, 0.5d))))
+  }
+
+  test("mojibakeScan counts markers; null text scans clean") {
+    val d = docs((1L, "clean text"), (2L, "caf\u00c3\u00a9 ok"),
+      (3L, "x \u00e2\u0080 y \ufffd \u00e2\u0080"), (4L, null))
+    val out = TextAnalysis.mojibakeScan(d, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((0L, 0L, 0L, 0L)))
+    assert(out(2L) == ((1L, 0L, 0L, 1L)))   // one A-tilde marker
+    assert(out(3L) == ((0L, 2L, 1L, 1L)))   // two punct prefixes + U+FFFD
+    assert(out(4L) == ((0L, 0L, 0L, 0L)))   // null -> clean, not null
+  }
+
+  test("sourceCap keeps top-cap per source by rank desc, id asc ties") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
+      (4L, "s2", 5L)).toDF("doc_id", "source", "n_chars")
+    val out = graft.ext.Curation
+      .sourceCap(d, "doc_id", "source", "n_chars", cap = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("blocklistHits: case-insensitive substring, count + first phrase") {
+    val d = docs((1L, "the quick Brown fox"), (2L, "clean text"),
+      (3L, "fox and merge batch here"), (4L, "brown fox merge batch"))
+    val out = graft.ext.Curation
+      .blocklistHits(d, "doc_id", "text", Seq("brown fox", "merge batch"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out == Map(1L -> ((1L, "brown fox")),
+      3L -> ((1L, "merge batch")), 4L -> ((2L, "brown fox"))))
+  }
+
+  // ── Assoc ──────────────────────────────────────────────────────────────
+
+  test("pairRules: support/confidence/lift match hand computation") {
+    val s = spark
+    import s.implicits._
+    val baskets = Seq(1L -> "A", 1L -> "B", 1L -> "C", 2L -> "A",
+      2L -> "B", 3L -> "A", 3L -> "C", 4L -> "B", 2L -> "A" /* dup row */)
+      .toDF("basket", "item")
+    val out = graft.ext.Assoc
+      .pairRules(baskets, "basket", "item", minSupport = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // N=4 baskets; supp A=3 B=3 C=2; pairs AB=2 AC=2 (BC=1 filtered)
+    assert(out.keySet == Set("A" -> "B", "A" -> "C"))
+    assert(out("A" -> "B") == ((2L, 0.666667d, 0.666667d, 0.888889d)))
+    assert(out("A" -> "C") == ((2L, 0.666667d, 1.0d, 1.333333d)))
+  }
+
+  test("pairRules: oversized baskets are dropped, shrinking N") {
+    val s = spark
+    import s.implicits._
+    val baskets = Seq(1L -> "A", 1L -> "B", 1L -> "C", 2L -> "A",
+      2L -> "B", 3L -> "A", 3L -> "C", 4L -> "B").toDF("basket", "item")
+    val out = graft.ext.Assoc
+      .pairRules(baskets, "basket", "item", minSupport = 1,
+        maxBasketItems = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5)))
+      .toMap
+    // basket 1 (3 items) dropped: N=3, supp A=2 B=2 C=1, AB=1 AC=1
+    assert(out.keySet == Set("A" -> "B", "A" -> "C"))
+    assert(out("A" -> "B") == ((1L, 0.75d)))   // 1*3/(2*2)
+    assert(out("A" -> "C") == ((1L, 1.5d)))    // 1*3/(2*1)
   }
 }
