@@ -1052,8 +1052,8 @@ private[graft] object Oracles2 {
          ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50""",
 
     "q_assoc_rules" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
-              FROM lineitem WHERE l_partkey < 200),
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 200 AS i
+              FROM lineitem),
          sized AS (SELECT b FROM items GROUP BY b HAVING count(*) <= 1024),
          kept AS (SELECT items.* FROM items JOIN sized USING (b)),
          n AS (SELECT count(DISTINCT b) AS n_baskets FROM kept),

@@ -21,6 +21,25 @@ private[graft] object Oracles3 {
 
     "q_dedup_ngram" -> ngramOracleSql,
 
+    "q_triangles" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 200 AS i
+              FROM lineitem),
+         e AS (SELECT x.i AS u, y.i AS v
+              FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT n, count(*)::BIGINT AS degree
+              FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1 JOIN e e2 ON e1.v = e2.u
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tn AS (SELECT n, count(*)::BIGINT AS n_triangles
+              FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY 1)
+         SELECT d.n AS node, d.degree,
+                coalesce(t.n_triangles, 0)::BIGINT AS n_triangles
+         FROM deg d LEFT JOIN tn t ON d.n = t.n ORDER BY d.n""",
+
     "q_dedup_containment" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l
               FROM documents),
@@ -257,6 +276,27 @@ private[graft] object Oracles3 {
               JOIN embeddings eb ON eb.vec_id = p.id_b)
          SELECT id_a, id_b, cos_sim FROM sc
          WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""),
+
+    "q_contamination_embed" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         nxt AS (SELECT vec_id - 1 AS join_id, v AS plant FROM e0),
+         q AS (SELECT e.vec_id AS query_id,
+                CASE WHEN e.vec_id % 74 = 0 AND n.plant IS NOT NULL
+                  THEN n.plant ELSE e.v END AS qv
+              FROM e0 e LEFT JOIN nxt n ON e.vec_id = n.join_id
+              WHERE e.vec_id % 37 = 0),
+         c AS (SELECT vec_id AS nn_id, v AS cv FROM e0
+              WHERE vec_id % 37 <> 0),
+         s AS (SELECT query_id, nn_id,
+                round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+              FROM q JOIN c ON query_id <> nn_id),
+         r AS (SELECT query_id, nn_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, nn_id)::BIGINT AS rank FROM s)
+         SELECT query_id, nn_id, cos_sim,
+                (CASE WHEN cos_sim >= 0.999 THEN 1 ELSE 0 END)::BIGINT
+                  AS contaminated
+         FROM r WHERE rank = 1 ORDER BY query_id""",
 
     "q_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -82,6 +82,27 @@ private[graft] object QueriesDedupSimMm {
     // bit-exact. Each iteration is one edges⋈ranks equi-join plus a
     // partial-aggregating sum — the Pregel superstep as relational
     // algebra, rank state O(nodes).
+    // Triangle census of the part-group co-order graph (l_partkey %
+    // 200 folds the part domain onto a fixed SF-invariant node set —
+    // see q_assoc_rules). Degree-ordered node-iterator; the oracle
+    // brute-forces the u<v<w 3-way join — same triangle set by
+    // construction, orientation is plan, not semantics. Edges need
+    // pair support ≥ 2 so the graph keeps non-trivial structure
+    // instead of saturating into a complete graph at large SF.
+    "q_triangles" -> ((s, dir) => {
+      val it = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey").as("b"),
+          (col("l_partkey") % 200).as("i"))
+        .distinct()
+      val pairs = it.as("x")
+        .join(it.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("id_a"), col("y.i").as("id_b"))
+        .agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+      graft.ext.Graph.triangleCounts(pairs, "id_a", "id_b")
+        .orderBy(col("node"))
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       graft.ext.Graph.pageRank(docs, "doc_id",
@@ -220,6 +241,28 @@ private[graft] object QueriesDedupSimMm {
         .orderBy(col("id_a"), col("id_b"))),
 
     // ── Extension scope: similarity search (SURVEY §7.5) ───────────────
+    // Embedding-space eval contamination: eval slice (vec_id ≡ 0 mod
+    // 37) vs the train rest, top-1 cosine, flag ≥ 0.999. The synthetic
+    // vectors have no natural near-dups, so the gate PLANTS them
+    // (the q_mojibake/cdcFeed precedent): every second eval vector is
+    // replaced by an exact copy of its successor train vector, whose
+    // cosine is exactly 1.0 on both engines.
+    "q_contamination_embed" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val train = emb.filter(col("vec_id") % 37 =!= 0)
+      val evalSet = emb.filter(col("vec_id") % 37 === 0)
+        .join(emb.select((col("vec_id") - 1).as("join_id"),
+          col("embedding").as("plant")),
+          col("vec_id") === col("join_id"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") % 74 === 0 && col("plant").isNotNull,
+            col("plant")).otherwise(col("embedding")).as("embedding"))
+      Similarity.knnBruteForce(train, evalSet, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("nn_id"), col("cos_sim"),
+          (col("cos_sim") >= 0.999).cast("long").as("contaminated"))
+        .orderBy(col("query_id"))
+    }),
+
     "q_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 8),

@@ -967,15 +967,16 @@ private[graft] object QueriesScaleText {
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(50)),
 
-    // Market-basket association rules over order → part baskets.
-    // l_partkey < 200 keeps the co-occurrence graph at a fixed absolute
-    // size across scale factors (sf0.001 has exactly 200 parts; larger
-    // sfs sample the same keyspace prefix), so oracle cost is bounded
-    // while the operator still sees every basket.
+    // Market-basket association rules over order → part-group baskets.
+    // l_partkey % 200 folds the part domain onto a fixed 200-key item
+    // space, so basket density (and the oracle's join cost) is
+    // SF-INVARIANT — a < 200 slice instead thins with SF and went
+    // 0-row at sf0.1.
     "q_assoc_rules" -> ((s, dir) =>
       Assoc.pairRules(
-          Tables.read(s, dir, "lineitem").filter(col("l_partkey") < 200),
-          "l_orderkey", "l_partkey", minSupport = 2)
+          Tables.read(s, dir, "lineitem")
+            .withColumn("part_grp", col("l_partkey") % 200),
+          "l_orderkey", "part_grp", minSupport = 2)
         .select(col("item_a"), col("item_b"), col("supp_ab"),
           col("conf_ab"), col("conf_ba"), col("lift"))
         .orderBy(col("item_a"), col("item_b"))),

@@ -68,4 +68,60 @@ object Graph {
         .localCheckpoint(true)
     } finally { edges.unpersist(); deg.unpersist() }
   }
+
+  /** Per-node triangle counts over an undirected pair relation — the
+    * clustering-structure census of the duplicate/co-occurrence graph
+    * (a dup cluster that is a clique is template spam; a hub with zero
+    * triangles is a crawler artifact linking unrelated docs).
+    *
+    * Node-iterator with DEGREE ORDERING (the standard distributed
+    * shape, cf. Suri & Vassilvitskii's MR triangle counting): each
+    * edge is oriented from the (degree, id)-smaller endpoint to the
+    * larger, wedges are generated only at each triangle's unique
+    * minimum node, and the closing edge is probed in orientation
+    * order — so every triangle materializes exactly once and wedge
+    * fan-out per node is bounded by its ORIENTED out-degree, which
+    * degree ordering caps near √m on any graph (a celebrity node of
+    * degree 10⁶ generates no wedges: all its edges point INTO it).
+    *
+    * Scale (100 TB): three equi-joins (degree attach, wedge, close)
+    * and two partial-aggregating counts; the wedge relation is the
+    * peak intermediate at Σ out-deg² — the quantity degree ordering
+    * minimizes. No driver state; emits every node with its degree and
+    * triangle count (0 for triangle-free nodes). */
+  def triangleCounts(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val deg = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("degree").as("dv")), "v")
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"),
+      when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+    val wedges = o.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+      .join(o.select(col("src"), col("dst").as("y"), col("ddst").as("dy")),
+        Seq("src"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tri = wedges
+      .join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
+    val tn = tri.select(col("a").as("n"))
+      .union(tri.select(col("b").as("n")))
+      .union(tri.select(col("c").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tn, Seq("n"), "left")
+      .select(col("n").as("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -3069,6 +3069,25 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(top.head.getDouble(3) == pmi(2, 3, 2))
   }
 
+  test("triangleCounts: exactly-once triangles, zero for acyclic nodes") {
+    val s = spark
+    import s.implicits._
+    def tc(edges: (Long, Long)*) = graft.ext.Graph
+      .triangleCounts(edges.toSeq.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // one triangle + a pendant edge (duplicate/reversed edges collapse)
+    val out = tc(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 2L -> 1L)
+    assert(out == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)),
+      3L -> ((3L, 1L)), 4L -> ((1L, 0L))))
+    // star: high-degree hub, no triangles
+    val star = tc(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)
+    assert(star.values.forall(_._2 == 0L) && star(0L)._1 == 4L)
+    // K4: 4 triangles, each node in 3
+    val k4 = tc(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(k4.values.forall(_ == ((3L, 3L))))
+  }
+
   test("ngramContainment: asymmetric ratios + df gate") {
     val d = docs((1L, "a b c d e"), (2L, "a b c d e f g"), (3L, "x y"))
     val out = Dedup.ngramContainment(d, "doc_id", "text", n = 3,
