@@ -773,4 +773,57 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "count tables need map-side partial aggregation")
   }
+
+  test("assoc rules: basket self-join and support joins are equi-joins; " +
+      "the 1-row basket census broadcasts") {
+    val p = plan("q_assoc_rules")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "n_baskets must ride a broadcast back onto the pair relation")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair/item supports need map-side partial aggregation")
+  }
+
+  test("pmi: no cartesian beyond the two 1-row census broadcasts, " +
+      "top-k is TakeOrdered — no rank window") {
+    val p = plan("q_pmi_collocations")
+    assert(!p.contains("CartesianProduct"))
+    // the 1-row N/B censuses legitimately reduce through a single
+    // partition; what must NOT single-partition is the scoring relation
+    assert(!p.contains("Window"),
+      s"top-k must be TakeOrdered, not a global rank window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan the distributed top-k")
+  }
+
+  test("containment: df gate and inverted-index joins stay equi-joins — " +
+      "no cartesian, no nested-loop") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("source cap: rank window partitions by source — no " +
+      "single-partition exchange") {
+    val p = plan("q_source_cap")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=cap must prune inside the window")
+  }
+
+  test("blocklist: phrase list rides a broadcast nested loop (the " +
+      "intended plan for a config-sized pattern scan)") {
+    val p = plan("q_blocklist")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("triangles: wedge and closing joins are shuffled equi-joins — " +
+      "no cartesian, no nested-loop, partial aggregation present") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
 }
