@@ -8,6 +8,19 @@ import graft.ext.{Classify, Dedup, Graph, Multimodal, Privacy, Sampling, Similar
   * exact text previously inlined in SparkEntry. */
 private[graft] object OracleBuilders {
 
+  /** Shared oracle for the batch blocklist scan and its
+    * maintained-at-ingest ledger twin (q_blocklist /
+    * q_blocklist_stream): ticks partition the corpus, so the merged
+    * ledger must equal this one-pass scan. */
+  val blocklistOracleSql: String =
+    """SELECT d.doc_id, count(*)::BIGINT AS n_hits,
+              min(p.phrase) AS first_phrase
+       FROM documents d
+       JOIN (VALUES ('vector'), ('merge batch'), ('slow scan'),
+             ('big query')) p(phrase)
+         ON instr(lower(d.text), p.phrase) > 0
+       GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB oracle for the MinHash+LSH pipeline (k=16, bands=4,
     * threshold 0.5 over documents); `extraWhere` narrows the final pair
     * set (used by the incremental variant). */

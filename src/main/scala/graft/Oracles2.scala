@@ -1023,14 +1023,10 @@ private[graft] object Oracles2 {
          SELECT doc_id, source, n_chars, source_rank FROM r
          WHERE source_rank <= 10 ORDER BY source, source_rank""",
 
-    "q_blocklist" ->
-      """SELECT d.doc_id, count(*)::BIGINT AS n_hits,
-                min(p.phrase) AS first_phrase
-         FROM documents d
-         JOIN (VALUES ('vector'), ('merge batch'), ('slow scan'),
-               ('big query')) p(phrase)
-           ON instr(lower(d.text), p.phrase) > 0
-         GROUP BY 1 ORDER BY 1""",
+    "q_blocklist" -> blocklistOracleSql,
+
+    // ledger twin: ticks partition docs, merged ledger == batch scan
+    "q_blocklist_stream" -> blocklistOracleSql,
 
     "q_pmi_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents

@@ -568,6 +568,21 @@ private[graft] object QueriesStreamStore {
     // statistic — two ticks' censuses sum and the derived slope must
     // equal the batch q_zipf (shared oracle). One maintained state,
     // two consumers (tokenizer trainer + corpus-health monitor).
+    // Streaming arm of the safety blocklist: each tick scans its own
+    // docs against the broadcast phrase list and appends flagged rows
+    // to the ledger; ticks partition the corpus, so the merged ledger
+    // equals the batch q_blocklist scan (shared oracle) — a review
+    // queue fed at ingest, corpus never rescanned.
+    "q_blocklist_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_blk_")
+      try Streaming.blocklistAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_blocklist"),
+          Seq("vector", "merge batch", "slow scan", "big query"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     "q_zipf_stream" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_zipfs_")
       try Streaming.zipfAvailableNow(s, dir, tmp.toString,

@@ -1662,6 +1662,59 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Blocklist-hit ledger maintained at INGEST: each tick scans ITS
+    * documents against the (config-sized, broadcast) phrase list
+    * ([[graft.ext.Curation.blocklistHits]]) and appends the flagged
+    * rows to an idempotent `batch=<id>` subdir. Hits are per-document
+    * facts and ticks partition the corpus, so the unioned ledger
+    * equals the one-pass batch scan at any moment — a safety review
+    * queue fed at ingest, with the corpus never rescanned. */
+  def blocklistIngest(docs: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      phrases: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.ext.Curation
+            .blocklistHits(batch.toDF(), idCol, textCol, phrases)
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[blocklistIngest]]: documents arrive in
+    * two hash-split ticks; the merged ledger must equal the batch
+    * [[graft.ext.Curation.blocklistHits]] — the shared q_blocklist
+    * oracle. (The doc-keyed merge is a formality: ticks partition
+    * docs, so sum/min act on single rows — but it makes the read path
+    * correct under any future doc-spanning tick scheme too.) */
+  def blocklistAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String,
+      phrases: Seq[String]): DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(blocklistIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "doc_id", "text", phrases), queryName)
+      spark.read.parquet(s"$workDir/state")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_hits")).as("n_hits"),
+          min(col("first_phrase")).as("first_phrase"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** One-shot gate replay of [[vocabIngest]]: documents arrive in two
     * hash-split ticks, and the vocabulary derived from the summed
     * census state must equal the batch

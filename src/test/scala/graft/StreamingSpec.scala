@@ -1069,6 +1069,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chaos: blocklistIngest heals a torn batch=0 hit ledger on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaosblk_")
+    val state = dir.resolve("state").toString
+    try {
+      // plausible-but-wrong debris: a flagged doc that was never dirty
+      tearTick(state, 0L,
+        Seq((999L, 5L, "bogus")).toDF("doc_id", "n_hits", "first_phrase"))
+      val mem = MemoryStream[(Long, String)]
+      def stream = mem.toDF().toDF("doc_id", "text")
+      mem.addData(1L -> "clean words", 2L -> "has a bad word inside")
+      Streaming.blocklistIngest(stream, state, dir.resolve("cp").toString,
+        "doc_id", "text", Seq("bad word", "worse")).awaitTermination()
+      mem.addData(3L -> "worse still, a bad word too")
+      Streaming.blocklistIngest(stream, state, dir.resolve("cp").toString,
+        "doc_id", "text", Seq("bad word", "worse")).awaitTermination()
+      val hits = s.read.parquet(state)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_hits")).as("n"), min(col("first_phrase")).as("p"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+      assert(hits == Map(2L -> ((1L, "bad word")),
+        3L -> ((2L, "bad word"))),
+        "torn tick-0 debris must be truncated by the replay overwrite")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("chaos: cmsIngest heals a torn batch=0 sketch on replay") {
     val s = spark
     import s.implicits._
