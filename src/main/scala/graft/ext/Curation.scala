@@ -731,17 +731,38 @@ object Curation {
     * row per flagged doc with the hit count and the alphabetically
     * first matching phrase (deterministic evidence for review queues).
     *
-    * Scale (100 TB): the phrase list broadcasts (it is config-sized —
-    * hundreds to a few thousand entries) and the scan is a
-    * BroadcastNestedLoopJoin whose per-row cost is O(len·phrases) via
-    * codegen'd `instr` — embarrassingly parallel, no shuffle until the
-    * doc-keyed count. Past ~10⁴ phrases the named upgrade is a single
-    * Aho-Corasick pass as a custom expression; the relational contract
-    * here would not change. */
+    * Scale (100 TB): with `graft.plans.GraftExtensions` registered the
+    * scan is ONE Aho–Corasick automaton pass per document
+    * (`graft_blocklist_count`/`_first`, codegen'd, shuffle-free —
+    * per-row cost independent of pattern count, which is what a
+    * 10⁴-entry production blocklist needs). Sessions without the
+    * extension fall back to the compositional BroadcastNestedLoopJoin
+    * over codegen'd `instr` (O(len·phrases) per row — fine for
+    * config-sized lists), selected once driver-side, mirroring
+    * `Bloom.bloomPrunedJoinWith`. Both forms are value-identical
+    * (spec-pinned) and share the q_blocklist oracle. */
   def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "blocklistHits: empty phrase list")
     require(phrases.forall(_.nonEmpty), "blocklistHits: blank phrase")
+    val spark = docs.sparkSession
+    if (spark.catalog.functionExists("graft_blocklist_count")) {
+      val lt = lower(col(textCol))
+      val args = phrases.map(lit)
+      docs.select(col(idCol),
+          call_function("graft_blocklist_count", lt +: args: _*)
+            .as("n_hits"),
+          call_function("graft_blocklist_first", lt +: args: _*)
+            .as("first_phrase"))
+        .filter(col("n_hits") > 0)
+    } else blocklistHitsJoin(docs, idCol, textCol, phrases)
+  }
+
+  /** The compositional (join) form of [[blocklistHits]] — the fallback
+    * without session extensions, and the value-identity witness the
+    * spec pins the automaton against. */
+  def blocklistHitsJoin(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val p = broadcast(phrases.toDF("phrase"))

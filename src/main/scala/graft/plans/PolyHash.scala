@@ -344,6 +344,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_quantize8 takes exactly 1 argument, got ${children.size}")
         QuantizeInt8(children.head)
       }))
+    // Aho–Corasick multi-pattern scan: one pass per document however
+    // long the blocklist (see MultiPhrase.scala)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_blocklist_count"),
+      new ExpressionInfo(classOf[MultiPhraseCount].getCanonicalName,
+        "graft_blocklist_count"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 2,
+          s"graft_blocklist_count takes (text, p1, ...), got ${children.size}")
+        MultiPhraseCount(children.head, MultiPhrase.literalPhrases(
+          "graft_blocklist_count", children.tail))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_blocklist_first"),
+      new ExpressionInfo(classOf[MultiPhraseFirst].getCanonicalName,
+        "graft_blocklist_first"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 2,
+          s"graft_blocklist_first takes (text, p1, ...), got ${children.size}")
+        MultiPhraseFirst(children.head, MultiPhrase.literalPhrases(
+          "graft_blocklist_first", children.tail))
+      }))
     // whole-operator extension: plans AsOfJoinNode as the native
     // co-partitioned merge (see org.apache.spark.sql.graft.AsOfJoinNative),
     // with left-side predicate pushdown restored by a custom rule

@@ -3147,6 +3147,26 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       3L -> ((1L, "merge batch")), 4L -> ((2L, "brown fox"))))
   }
 
+  test("blocklist automaton == join form on overlapping/suffix patterns") {
+    // adversarial pattern set: shared prefixes ("ab", "abc"), a pattern
+    // that is a suffix of another ("bc" in "abc" — fail-link territory),
+    // single chars, and an overlapping-occurrence text
+    val phrases = Seq("ab", "abc", "bc", "c", "xyz")
+    val d = docs((1L, "abcabc"), (2L, "zzz"), (3L, "bc bc bc"),
+      (4L, "aabbcc"), (5L, "xyzab"), (6L, null))
+    val native = graft.ext.Curation
+      .blocklistHits(d, "doc_id", "text", phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val joined = graft.ext.Curation
+      .blocklistHitsJoin(d, "doc_id", "text", phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(native == joined)
+    // sanity on content, not just parity: doc 1 hits ab, abc, bc, c
+    assert(native.contains((1L, 4L, "ab")))
+  }
+
   // ── Assoc ──────────────────────────────────────────────────────────────
 
   test("pairRules: support/confidence/lift match hand computation") {

@@ -812,11 +812,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "rank<=cap must prune inside the window")
   }
 
-  test("blocklist: phrase list rides a broadcast nested loop (the " +
-      "intended plan for a config-sized pattern scan)") {
+  test("blocklist: with extensions registered the scan is the one-pass " +
+      "Aho-Corasick expression — no join, no shuffle before the sort") {
     val p = plan("q_blocklist")
-    assert(p.contains("BroadcastNestedLoopJoin"))
-    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("graft_blocklist_count"),
+      s"native automaton expression must be in the plan:\n$p")
+    assert(!p.contains("Join"), s"native scan must be join-free:\n$p")
+    // (WholeStageCodegen spans only render in executed AQE plans; the
+    // expression's doGenCode participation is covered by the parity
+    // spec actually executing it)
   }
 
   test("triangles: wedge and closing joins are shuffled equi-joins — " +
