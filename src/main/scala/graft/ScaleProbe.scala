@@ -39,6 +39,18 @@ object ScaleProbe {
     def embs(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
 
     import graft.ext.{Curation, Dedup, Sampling, Similarity}
+    // 200 deterministic 2-word phrases drawn from the corpus's own
+    // bigrams (so hits actually occur); cached per dir, shared by both
+    // blocklist forms so the mint cost cancels in the comparison
+    val phraseCache = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def phrases200(d: String): Seq[String] =
+      phraseCache.getOrElseUpdate(d, {
+        docs(d).filter(size(split(col("text"), " ")) >= 2)
+          .select(explode(expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")).as("p"))
+          .distinct().orderBy(col("p")).limit(200)
+          .collect().map(_.getString(0)).toSeq
+      })
     val ops: Seq[(String, String => DataFrame)] = Seq(
       "dedup_minhash" -> (d =>
         Dedup.minhashDupPairs(docs(d), "doc_id", "text", threshold = 0.5)),
@@ -87,11 +99,22 @@ object ScaleProbe {
           "doc_id", "text", minLen = 95)
       },
       "bpe_train" -> (d =>
-        graft.ext.Bpe.bpeTrain(docs(d), "text", numMerges = 8)))
+        graft.ext.Bpe.bpeTrain(docs(d), "text", numMerges = 8)),
+      // the blocklist pattern-count claim: at 200 phrases the
+      // Aho-Corasick pass (one automaton walk per doc) vs the
+      // compositional BNLJ (200 instr probes per doc) — corpus growth
+      // is linear for both, the gap is the per-row constant
+      "blocklist_ac200" -> (d =>
+        Curation.blocklistHits(docs(d), "doc_id", "text", phrases200(d))),
+      "blocklist_join200" -> (d =>
+        Curation.blocklistHitsJoin(docs(d), "doc_id", "text",
+          phrases200(d))))
 
     // one untimed warm-up pass on the SMALL corpus absorbs session
     // costs (codegen, JIT, parquet footers) so ratios compare steady
-    // states, mirroring Bench's min-of-2 discipline
+    // states, mirroring Bench's min-of-2 discipline; the 10x phrase
+    // mint is pre-paid too so neither blocklist form times it
+    phrases200(dir10)
     ops.foreach { case (_, f) => f(dir1).write.format("noop")
       .mode("overwrite").save() }
 
