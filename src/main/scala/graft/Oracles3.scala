@@ -40,6 +40,34 @@ private[graft] object Oracles3 {
                 coalesce(t.n_triangles, 0)::BIGINT AS n_triangles
          FROM deg d LEFT JOIN tn t ON d.n = t.n ORDER BY d.n""",
 
+    "q_graph_health" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 200 AS i
+              FROM lineitem),
+         e AS (SELECT x.i AS u, y.i AS v
+              FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT n, count(*)::BIGINT AS degree
+              FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1 JOIN e e2 ON e1.v = e2.u
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tn AS (SELECT n, count(*)::BIGINT AS t
+              FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY 1),
+         base AS (SELECT d.n, d.degree, coalesce(t.t, 0)::BIGINT AS t
+              FROM deg d LEFT JOIN tn t ON d.n = t.n),
+         cc AS (SELECT n, degree, t, CASE WHEN degree >= 2
+                THEN (t * 2000000) // (degree * (degree - 1)) END AS cc_e6
+              FROM base)
+         SELECT count(*)::BIGINT AS n_nodes,
+                (sum(degree) // 2)::BIGINT AS n_edges,
+                (sum(t) // 3)::BIGINT AS n_triangles,
+                CASE WHEN count(cc_e6) > 0 THEN
+                  round(sum(cc_e6)::DOUBLE / (count(cc_e6) * 1000000.0), 6)
+                END AS avg_clustering
+         FROM cc""",
+
     "q_dedup_containment" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l
               FROM documents),

@@ -103,6 +103,33 @@ private[graft] object QueriesDedupSimMm {
         .orderBy(col("node"))
     }),
 
+    // Graph-health summary of the same co-order graph: node/edge/
+    // triangle censuses + average local clustering coefficient. Per-node
+    // cc quantizes to integer 1e-6 units BEFORE the sum (long div, the
+    // engine-exact discipline), so the only float op is one final
+    // division — deterministic on both engines.
+    "q_graph_health" -> ((s, dir) => {
+      val it = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey").as("b"),
+          (col("l_partkey") % 200).as("i"))
+        .distinct()
+      val pairs = it.as("x")
+        .join(it.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("id_a"), col("y.i").as("id_b"))
+        .agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+      graft.ext.Graph.triangleCounts(pairs, "id_a", "id_b")
+        .withColumn("cc_e6", expr("CASE WHEN degree >= 2 THEN " +
+          "(n_triangles * 2000000) div (degree * (degree - 1)) END"))
+        .agg(count(lit(1)).as("n_nodes"),
+          expr("sum(degree) div 2").as("n_edges"),
+          expr("sum(n_triangles) div 3").as("n_triangles"),
+          when(count(col("cc_e6")) > 0,
+            round(sum(col("cc_e6")).cast("double") /
+              (count(col("cc_e6")) * lit(1000000.0)), 6))
+            .as("avg_clustering"))
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       graft.ext.Graph.pageRank(docs, "doc_id",
