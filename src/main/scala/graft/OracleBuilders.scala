@@ -21,6 +21,52 @@ private[graft] object OracleBuilders {
          ON instr(lower(d.text), p.phrase) > 0
        GROUP BY 1 ORDER BY 1"""
 
+  /** Shared oracle for the batch PMI collocation scan and its
+    * maintained-at-ingest census-ledger twin (q_pmi_collocations /
+    * q_pmi_stream): both censuses are additive across doc-partitioned
+    * ticks, so PMI off the summed ledger equals this one-pass scan. */
+  val pmiOracleSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents
+            WHERE text IS NOT NULL),
+       cu AS (SELECT w, count(*) AS cw
+            FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+       n AS (SELECT sum(cw)::BIGINT AS n_tokens FROM cu),
+       cb AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS cww
+            FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+                    for i in generate_series(1, len(t)-1)]) AS s FROM t)
+            GROUP BY 1, 2),
+       b AS (SELECT sum(cww)::BIGINT AS n_bigrams FROM cb)
+       SELECT cb.w1, cb.w2, cb.cww AS pair_count,
+              round(ln((cb.cww::DOUBLE * n.n_tokens * n.n_tokens) /
+                (b.n_bigrams::DOUBLE * c1.cw * c2.cw)), 6) AS pmi
+       FROM cb JOIN cu c1 ON cb.w1 = c1.w JOIN cu c2 ON cb.w2 = c2.w
+            CROSS JOIN n CROSS JOIN b
+       WHERE cb.cww >= 5
+       ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50"""
+
+  /** Shared oracle for batch market-basket rules and the basket-census
+    * ledger twin (q_assoc_rules / q_assoc_stream): item/pair supports
+    * and the basket count are additive when ticks partition whole
+    * baskets, so rules off the summed ledger equal this scan. */
+  val assocOracleSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 200 AS i
+            FROM lineitem),
+       sized AS (SELECT b FROM items GROUP BY b HAVING count(*) <= 1024),
+       kept AS (SELECT items.* FROM items JOIN sized USING (b)),
+       n AS (SELECT count(DISTINCT b) AS n_baskets FROM kept),
+       supp AS (SELECT i, count(*) AS supp FROM kept GROUP BY 1),
+       ps AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS supp_ab
+            FROM kept x JOIN kept y ON x.b = y.b AND x.i < y.i
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+       SELECT ps.item_a, ps.item_b, ps.supp_ab,
+              round(ps.supp_ab / sa.supp, 6) AS conf_ab,
+              round(ps.supp_ab / sb.supp, 6) AS conf_ba,
+              round((ps.supp_ab * n.n_baskets) / (sa.supp * sb.supp), 6)
+                AS lift
+       FROM ps JOIN supp sa ON ps.item_a = sa.i
+            JOIN supp sb ON ps.item_b = sb.i CROSS JOIN n
+       ORDER BY ps.item_a, ps.item_b"""
+
   /** DuckDB oracle for the MinHash+LSH pipeline (k=16, bands=4,
     * threshold 0.5 over documents); `extraWhere` narrows the final pair
     * set (used by the incremental variant). */

@@ -568,6 +568,37 @@ private[graft] object QueriesStreamStore {
     // statistic — two ticks' censuses sum and the derived slope must
     // equal the batch q_zipf (shared oracle). One maintained state,
     // two consumers (tokenizer trainer + corpus-health monitor).
+    // Streaming arm of the collocation miner: per-tick unigram +
+    // adjacent-bigram censuses are additive across doc-partitioned
+    // ticks, so PMI off the summed ledger equals the batch
+    // q_pmi_collocations (shared oracle) — collocation drift watched
+    // at ingest from vocabulary-sized state.
+    "q_pmi_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pmis_")
+      try Streaming.pmiAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_pmi"), minCount = 5)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // Streaming arm of the market-basket miner: ticks hash-split ON
+    // THE BASKET KEY (the documented arrival contract — a basket split
+    // across ticks would under-count its own pairs), so item/pair
+    // supports and the basket count sum to the batch censuses and the
+    // derived rules equal q_assoc_rules (shared oracle).
+    "q_assoc_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ascs_")
+      try Streaming.assocAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_assoc"), minSupport = 2)
+        .select(col("item_a"), col("item_b"), col("supp_ab"),
+          col("conf_ab"), col("conf_ba"), col("lift"))
+        .orderBy(col("item_a"), col("item_b"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Streaming arm of the safety blocklist: each tick scans its own
     // docs against the broadcast phrase list and appends flagged rows
     // to the ledger; ticks partition the corpus, so the merged ledger

@@ -54,8 +54,22 @@ object Assoc {
         col("x.b") === col("y.b") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
       .agg(count(lit(1)).as("supp_ab"))
-      .filter(col("supp_ab") >= minSupport)
+    pairRulesFromCensus(supp, pairSupp, nBaskets, minSupport)
+  }
+
+  /** [[pairRules]] from pre-computed censuses — the consumer of the
+    * maintained-at-ingest basket ledger (`Streaming.assocIngest`):
+    * `supp(i, supp)`, `pairSupp(item_a, item_b, supp_ab)` and the
+    * basket count are all ADDITIVE across ticks PROVIDED ticks
+    * partition whole baskets (partition the stream on the basket key —
+    * a basket split across ticks would under-count its own pairs).
+    * Rules off the summed ledger then equal the batch scan (shared
+    * oracle). */
+  def pairRulesFromCensus(supp: DataFrame, pairSupp: DataFrame,
+      nBaskets: DataFrame, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "pairRulesFromCensus: minSupport must be >= 1")
     pairSupp
+      .filter(col("supp_ab") >= minSupport)
       .join(supp.select(col("i").as("item_a"), col("supp").as("supp_a")),
         "item_a")
       .join(supp.select(col("i").as("item_b"), col("supp").as("supp_b")),

@@ -876,12 +876,10 @@ object TextAnalysis {
     * vocabulary² relation through a global window. */
   def pmiCollocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
-    require(minCount >= 1, "pmiCollocations: minCount must be >= 1")
     val toks = docs.select(tokens(col(textCol)).as("t"))
       .filter(col("t").isNotNull)
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val nTok = uni.agg(sum(col("cw")).as("n_tokens"))
     val pairCounts = toks.filter(size(col("t")) >= 2)
       // sequence(1, 0) is DESCENDING [1,0], not empty — the size filter
       // above is load-bearing (the wordShingles precedent)
@@ -889,6 +887,20 @@ object TextAnalysis {
         "i -> named_struct('w1', t[i-1], 'w2', t[i]))")).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("cww"))
+    pmiFromCensus(uni, pairCounts, minCount)
+  }
+
+  /** [[pmiCollocations]] from pre-computed censuses — the consumer of
+    * the maintained-at-ingest collocation ledger
+    * (`Streaming.collocationIngest`): `uni(w, cw)` and
+    * `pairs(w1, w2, cww)` are both ADDITIVE across doc-partitioned
+    * ticks, so PMI off the summed ledger equals the batch scan (shared
+    * oracle). Totals derive from the censuses, not a corpus rescan. */
+  def pmiFromCensus(uni: org.apache.spark.sql.DataFrame,
+      pairCounts: org.apache.spark.sql.DataFrame,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "pmiFromCensus: minCount must be >= 1")
+    val nTok = uni.agg(sum(col("cw")).as("n_tokens"))
     val nBig = pairCounts.agg(sum(col("cww")).as("n_bigrams"))
     pairCounts
       .filter(col("cww") >= minCount)

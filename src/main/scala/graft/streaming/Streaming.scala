@@ -1715,6 +1715,145 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Collocation censuses maintained at INGEST: per tick, the
+    * doc-local unigram counts and adjacent-bigram counts land in
+    * idempotent `uni/batch=<id>` / `big/batch=<id>` subdirs. Both
+    * censuses are ADDITIVE across doc-partitioned ticks (a bigram
+    * never crosses a document boundary), so PMI derived from the
+    * summed ledger ([[graft.ext.TextAnalysis.pmiFromCensus]]) equals
+    * the batch scan at any moment — collocation monitoring at ingest
+    * with vocabulary-sized state, corpus never rescanned. Tokenization
+    * mirrors `TextAnalysis.tokens` exactly (same oracle). */
+  def collocationIngest(docs: DataFrame, statePath: String,
+      checkpointDir: String, textCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val toks = batch.toDF()
+            .select(split(col(textCol).cast("string"), " ").as("t"))
+            .filter(col("t").isNotNull)
+          toks.select(explode(col("t")).as("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+            .write.mode("overwrite").parquet(s"$statePath/uni/batch=$batchId")
+          toks.filter(size(col("t")) >= 2)
+            .select(explode(expr("transform(sequence(1, size(t)-1), " +
+              "i -> named_struct('w1', t[i-1], 'w2', t[i]))")).as("bg"))
+            .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+            .agg(count(lit(1)).as("freq"))
+            .write.mode("overwrite").parquet(s"$statePath/big/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[collocationIngest]]: documents arrive
+    * in two hash-split ticks; PMI off the summed censuses must equal
+    * the batch [[graft.ext.TextAnalysis.pmiCollocations]] — the shared
+    * q_pmi_collocations oracle. */
+  def pmiAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, minCount: Long): DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(collocationIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "text"), queryName)
+      val uni = spark.read.parquet(s"$workDir/state/uni")
+        .groupBy(col("w")).agg(sum(col("freq")).as("cw"))
+      val big = spark.read.parquet(s"$workDir/state/big")
+        .groupBy(col("w1"), col("w2")).agg(sum(col("freq")).as("cww"))
+      graft.ext.TextAnalysis.pmiFromCensus(uni, big, minCount)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Basket censuses maintained at INGEST: per tick, the distinct
+    * (basket, item) relation of THAT tick yields its item supports,
+    * pair supports, and basket count — all ADDITIVE **provided ticks
+    * partition whole baskets** (the stream must shard on the basket
+    * key; a basket split across ticks would under-count its own
+    * pairs — the same arrival contract the chunk ledger documents for
+    * groups). Rules derive from the summed ledger via
+    * [[graft.ext.Assoc.pairRulesFromCensus]] with no corpus rescan. */
+  def assocIngest(rows: DataFrame, statePath: String,
+      checkpointDir: String, basketCol: String, itemCol: String,
+      maxBasketItems: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val items = batch.toDF()
+            .select(col(basketCol).as("b"), col(itemCol).as("i"))
+            .filter(col("b").isNotNull && col("i").isNotNull)
+            .distinct()
+          val sized = items.groupBy(col("b"))
+            .agg(count(lit(1)).as("basket_sz"))
+            .filter(col("basket_sz") <= maxBasketItems)
+            .select(col("b"))
+          val kept = items.join(sized, "b").persist()
+          try {
+            kept.groupBy(col("i")).agg(count(lit(1)).as("supp"))
+              .write.mode("overwrite")
+              .parquet(s"$statePath/item/batch=$batchId")
+            kept.as("x")
+              .join(kept.as("y"),
+                col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+              .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+              .agg(count(lit(1)).as("supp_ab"))
+              .write.mode("overwrite")
+              .parquet(s"$statePath/pair/batch=$batchId")
+            kept.agg(countDistinct(col("b")).as("n"))
+              .write.mode("overwrite")
+              .parquet(s"$statePath/n/batch=$batchId")
+          } finally { kept.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[assocIngest]]: lineitem rows arrive in
+    * two ticks HASH-SPLIT ON THE BASKET KEY (the arrival contract);
+    * rules off the summed censuses must equal the batch
+    * [[graft.ext.Assoc.pairRules]] — the shared q_assoc_rules
+    * oracle. */
+  def assocAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String,
+      minSupport: Long): DataFrame = {
+    val rows = graft.Tables.read(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("b"),
+        (col("l_partkey") % 200).as("i"))
+    val halves = Seq(
+      rows.filter(abs(hash(col("b"))) % 2 === 0),
+      rows.filter(abs(hash(col("b"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(assocIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "b", "i"), queryName)
+      val supp = spark.read.parquet(s"$workDir/state/item")
+        .groupBy(col("i")).agg(sum(col("supp")).as("supp"))
+      val pairSupp = spark.read.parquet(s"$workDir/state/pair")
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(sum(col("supp_ab")).as("supp_ab"))
+      val n = spark.read.parquet(s"$workDir/state/n")
+        .agg(sum(col("n")).as("n_baskets"))
+      graft.ext.Assoc.pairRulesFromCensus(supp, pairSupp, n, minSupport)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** One-shot gate replay of [[vocabIngest]]: documents arrive in two
     * hash-split ticks, and the vocabulary derived from the summed
     * census state must equal the batch

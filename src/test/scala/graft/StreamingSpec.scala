@@ -1100,6 +1100,83 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chaos: collocationIngest heals torn batch=0 censuses on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaospmi_")
+    val state = dir.resolve("state").toString
+    try {
+      tearTick(s"$state/uni", 0L, Seq(("zz", 99L)).toDF("w", "freq"))
+      tearTick(s"$state/big", 0L,
+        Seq(("zz", "zz", 99L)).toDF("w1", "w2", "freq"))
+      val mem = MemoryStream[String]
+      def stream = mem.toDF().toDF("text")
+      mem.addData("a b a")
+      Streaming.collocationIngest(stream, state, dir.resolve("cp").toString,
+        "text").awaitTermination()
+      mem.addData("b a")
+      Streaming.collocationIngest(stream, state, dir.resolve("cp").toString,
+        "text").awaitTermination()
+      val uni = s.read.parquet(s"$state/uni").groupBy(col("w"))
+        .agg(sum(col("freq")).as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(uni == Map("a" -> 3L, "b" -> 2L),
+        "torn uni debris must be truncated by the replay overwrite")
+      val big = s.read.parquet(s"$state/big")
+        .groupBy(col("w1"), col("w2")).agg(sum(col("freq")).as("f"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // doc 1: (a,b),(b,a); doc 2: (b,a) — bigrams never cross docs
+      assert(big == Map(("a", "b") -> 1L, ("b", "a") -> 2L),
+        "torn big debris must be truncated by the replay overwrite")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("chaos: assocIngest heals torn batch=0 basket censuses on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaosasc_")
+    val state = dir.resolve("state").toString
+    try {
+      tearTick(s"$state/item", 0L, Seq(("ZZ", 99L)).toDF("i", "supp"))
+      tearTick(s"$state/pair", 0L,
+        Seq(("ZZ", "ZZ", 99L)).toDF("item_a", "item_b", "supp_ab"))
+      tearTick(s"$state/n", 0L, Seq(99L).toDF("n"))
+      val mem = MemoryStream[(Long, String)]
+      def stream = mem.toDF().toDF("b", "i")
+      // ticks carry WHOLE baskets (the documented arrival contract)
+      mem.addData(1L -> "A", 1L -> "B", 1L -> "C", 2L -> "A", 2L -> "B")
+      Streaming.assocIngest(stream, state, dir.resolve("cp").toString,
+        "b", "i").awaitTermination()
+      mem.addData(3L -> "A", 3L -> "C", 4L -> "B")
+      Streaming.assocIngest(stream, state, dir.resolve("cp").toString,
+        "b", "i").awaitTermination()
+      val supp = s.read.parquet(s"$state/item").groupBy(col("i"))
+        .agg(sum(col("supp")).as("supp"))
+      val pairSupp = s.read.parquet(s"$state/pair")
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(sum(col("supp_ab")).as("supp_ab"))
+      val n = s.read.parquet(s"$state/n").agg(sum(col("n")).as("n_baskets"))
+      val rules = graft.ext.Assoc
+        .pairRulesFromCensus(supp, pairSupp, n, minSupport = 2)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      // same fixture as the batch pairRules spec: AB=2 AC=2, N=4
+      assert(rules == Map(
+        ("A", "B") -> ((2L, 0.666667d, 0.666667d, 0.888889d)),
+        ("A", "C") -> ((2L, 0.666667d, 1.0d, 1.333333d))),
+        "torn basket-census debris must be truncated by the replay")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("chaos: cmsIngest heals a torn batch=0 sketch on replay") {
     val s = spark
     import s.implicits._
