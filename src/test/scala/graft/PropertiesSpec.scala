@@ -919,4 +919,101 @@ object PropertiesSpec extends Properties("graft") {
         unk == 0L && n >= (w.length + 3) / 4 && n <= w.length
       }
     }
+
+  property("Assoc.pairRules == brute-force census on random baskets") =
+    forAll(Gen.listOfN(30, for {
+      b <- Gen.choose(1L, 6L); i <- Gen.choose(1, 5)
+    } yield (b, s"i$i"))) { rows =>
+      val s = spark
+      import s.implicits._
+      val out = graft.ext.Assoc
+        .pairRules(rows.toDF("b", "i"), "b", "i", minSupport = 1)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // brute force: distinct items per basket, all unordered pairs
+      val baskets = rows.distinct.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted).toMap
+      val brute = baskets.values.toSeq
+        .flatMap(is => for (a <- is; c <- is if a < c) yield (a, c))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      out == brute
+    }
+
+  property("Graph.triangleCounts == brute-force enumeration on " +
+      "random graphs") =
+    forAll(Gen.listOfN(20, for {
+      a <- Gen.choose(0L, 8L); b <- Gen.choose(0L, 8L)
+    } yield (a, b))) { rawEdges =>
+      val s = spark
+      import s.implicits._
+      val out = graft.ext.Graph
+        .triangleCounts(rawEdges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val edges = rawEdges.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val eset = edges.toSet
+      val deg = nodes.map(n =>
+        n -> edges.count(e => e._1 == n || e._2 == n).toLong).toMap
+      val sorted = nodes.sorted
+      val tris = for {
+        ia <- sorted.indices; ib <- (ia + 1) until sorted.length
+        ic <- (ib + 1) until sorted.length
+        if eset((sorted(ia), sorted(ib))) &&
+          eset((sorted(ib), sorted(ic))) && eset((sorted(ia), sorted(ic)))
+      } yield (sorted(ia), sorted(ib), sorted(ic))
+      val tcount = nodes.map(n => n -> tris.count(t =>
+        t._1 == n || t._2 == n || t._3 == n).toLong).toMap
+      out == nodes.map(n => n -> ((deg(n), tcount(n)))).toMap
+    }
+
+  property("Dedup.ngramContainment == brute set arithmetic under the " +
+      "df gate") =
+    forAll(Gen.listOfN(6, Gen.listOfN(8,
+      Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))) { texts =>
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = Dedup.ngramContainment(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, threshold = 0.25, maxShingleDf = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      def shingles(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+        else Set(t)
+      }
+      val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+      val df = sets.values.flatten.groupBy(identity).view
+        .mapValues(_.size).toMap
+      val kept = sets.view.mapValues(_.filter(df(_) <= 4)).toMap
+      def r6d(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val brute = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        inter = (kept(a) & kept(b)).size.toLong if inter > 0
+        ca = r6d(inter.toDouble / kept(a).size)
+        cb = r6d(inter.toDouble / kept(b).size)
+        if ca >= 0.25 || cb >= 0.25
+      } yield (a, b) -> ((inter, ca, cb))).toMap
+      out == brute
+    }
+
+  property("AhoCorasick matches == String.contains census on random " +
+      "pattern sets") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c'))
+        .map(_.mkString).map(_.take(4))).map(_.distinct.take(6)),
+      Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)) { (pats, text) =>
+      pats.nonEmpty ==> {
+        val ac = new graft.plans.AhoCorasick(pats.toArray)
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        val expected = pats.filter(text.contains(_)).sorted
+        ac.count(u) == expected.size.toLong &&
+          Option(ac.first(u)).map(_.toString) == expected.headOption
+      }
+    }
 }
