@@ -128,6 +128,91 @@ private[graft] object OracleBuilders {
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
          WHERE round(j, 6) >= 0.5 ORDER BY id_a, id_b"""
 
+  /** DuckDB replay of [[graft.ext.Dedup.ppjoinDupPairs]] at threshold
+    * tn/td: the identical three lossless filters — rare-first prefix
+    * (`pos ≤ sz − ceil(tn·sz/td) + 1`, integer ceil as
+    * `(tn·sz+td−1)//td`), length (`tn·max ≤ td·min`), positional
+    * (`1 + min(szA−i, szB−j) ≥ (tn·(szA+szB)+tn+td−1)//(tn+td)`) —
+    * then the exact intersection count and the all-integer Jaccard
+    * test `td·inter ≥ tn·(szA+szB−inter)`. Every comparison is integer
+    * arithmetic, so the two engines agree cell-exactly. */
+  def ppjoinOracleSql(tn: Int, td: Int, where: String = ""): String =
+    s"""WITH raw AS (SELECT doc_id AS id,
+                unnest(string_split(text, ' ')) AS token
+              FROM documents$where),
+         tok AS (SELECT DISTINCT id, token FROM raw WHERE token <> ''),
+         sz AS (SELECT id, count(*)::BIGINT AS sz FROM tok GROUP BY 1),
+         dfc AS (SELECT token, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+         ord AS (SELECT t.id, t.token, s.sz, row_number() OVER
+                  (PARTITION BY t.id ORDER BY d.df, t.token) AS pos
+              FROM tok t JOIN dfc d USING (token) JOIN sz s USING (id)),
+         pfx AS (SELECT * FROM ord
+              WHERE pos <= sz - (($tn * sz + ${td - 1}) // $td) + 1),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.sz AS sz_a, b.sz AS sz_b
+              FROM pfx a JOIN pfx b ON a.token = b.token AND a.id < b.id
+              WHERE $tn * greatest(a.sz, b.sz) <= $td * least(a.sz, b.sz)
+                AND 1 + least(a.sz - a.pos, b.sz - b.pos)
+                      >= ($tn * (a.sz + b.sz) + ${tn + td - 1})
+                           // ${tn + td}),
+         ver AS (SELECT c.id_a, c.id_b, c.sz_a, c.sz_b,
+                count(*)::BIGINT AS inter
+              FROM cand c JOIN tok ta ON ta.id = c.id_a
+                   JOIN tok tb ON tb.id = c.id_b AND tb.token = ta.token
+              GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b, inter,
+                round(inter::DOUBLE / (sz_a + sz_b - inter)::DOUBLE, 6)
+                  AS jaccard
+         FROM ver WHERE $td * inter >= $tn * (sz_a + sz_b - inter)
+         ORDER BY id_a, id_b"""
+
+  /** DuckDB replay of [[graft.ext.Dedup.winnowFingerprints]]: k-gram
+    * md5-top-60 hashes, each position exploded into the ≤ w window
+    * starts covering it (clamped to the valid start range
+    * `[1, max(1, len−k−w+2)]`), per-window min hash with the
+    * rightmost-position tie-break (paper's robust winnowing), distinct
+    * (pos, hash) selections. Emits CTE `fp (id, pos, fp)`. */
+  def winnowFpChainSql(k: Int, w: Int): String =
+    s"""d AS (SELECT doc_id AS id, text, length(text)::BIGINT AS len
+          FROM documents WHERE text IS NOT NULL AND length(text) >= $k),
+       g AS (SELECT id, len, text,
+          unnest(generate_series(1, len - ${k - 1})) AS pos FROM d),
+       kh AS (SELECT id, len, pos,
+          (('0x' || substr(md5(substr(text, pos::INT, $k)), 1, 15))
+            ::UBIGINT)::BIGINT AS h FROM g),
+       wins AS (SELECT id, pos, h,
+          unnest(generate_series(greatest(1, pos - ${w - 1}),
+            least(pos, greatest(1, len - ${k + w - 2})))) AS s FROM kh),
+       wm AS (SELECT id, s, min(h) AS mh FROM wins GROUP BY 1, 2),
+       sel AS (SELECT w.id, w.s, max(w.pos) AS pos, wm.mh AS fp
+          FROM wins w JOIN wm ON wm.id = w.id AND wm.s = w.s
+            AND w.h = wm.mh
+          GROUP BY w.id, w.s, wm.mh),
+       fp AS (SELECT DISTINCT id, pos, fp FROM sel)"""
+
+  /** Per-doc winnowing fingerprint census over [[winnowFpChainSql]]. */
+  def winnowCensusOracleSql(k: Int, w: Int): String =
+    s"""WITH ${winnowFpChainSql(k, w)}
+         SELECT id AS doc_id, count(*)::BIGINT AS n_fp,
+                count(DISTINCT fp)::BIGINT AS n_distinct_fp,
+                sum(fp % 1000000007)::BIGINT AS fp_checksum
+         FROM fp GROUP BY 1 ORDER BY doc_id"""
+
+  /** Pairs sharing ≥ minShared rare (df ≤ maxDf) winnowing
+    * fingerprints — [[graft.ext.Dedup.winnowOverlapPairs]]'s df gate
+    * and inverted self-join replayed over [[winnowFpChainSql]]. */
+  def winnowOverlapOracleSql(k: Int, w: Int, minShared: Int,
+      maxDf: Int): String =
+    s"""WITH ${winnowFpChainSql(k, w)},
+         dfp AS (SELECT DISTINCT id, fp FROM fp),
+         rare AS (SELECT fp FROM dfp GROUP BY 1
+                  HAVING count(*) <= $maxDf),
+         kept AS (SELECT d.id, d.fp FROM dfp d JOIN rare USING (fp))
+         SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY 1, 2 HAVING count(*) >= $minShared
+         ORDER BY id_a, id_b"""
+
   /** Unrolled DuckDB replay of [[graft.ext.Bpe.bpeTrain]]'s
     * deterministic merge loop: per merge step k, a pair census over
     * the current segmentation (`c`/`p`), the arg-max under the pinned

@@ -21,6 +21,12 @@ private[graft] object Oracles3 {
 
     "q_dedup_ngram" -> ngramOracleSql,
 
+    "q_dedup_ppjoin" -> ppjoinOracleSql(9, 10, " WHERE doc_id % 5 = 0"),
+
+    "q_winnow_census" -> winnowCensusOracleSql(16, 16),
+
+    "q_winnow_overlap" -> winnowOverlapOracleSql(16, 16, 4, 20),
+
     "q_triangles" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 200 AS i
               FROM lineitem),

@@ -49,6 +49,40 @@ private[graft] object QueriesDedupSimMm {
           "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = 40)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // PPJoin: EXACT Jaccard ≥ 0.9 over distinct word sets via the
+    // three lossless prefix/length/positional filters — no length
+    // blocking, no hashing; all-integer threshold math, so the result
+    // equals brute force and the oracle replays it exactly. Gated on a
+    // deterministic fifth of the corpus (the q_mutual_knn precedent):
+    // this synthetic corpus's duplication is DENSE — the full table
+    // carries ~1M data-intrinsic qualifying pairs at sf0.1, which
+    // measures the data, not the operator.
+    "q_dedup_ppjoin" -> ((s, dir) =>
+      Dedup.ppjoinDupPairs(
+          Tables.read(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", tNum = 9, tDen = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Winnowing (MOSS) fingerprint census: per-doc count of selected
+    // (pos, hash) fingerprints, distinct hash count, and a mod-prime
+    // checksum — the compact replayable digest of the fingerprint set.
+    "q_winnow_census" -> ((s, dir) =>
+      Dedup.winnowFingerprintsLocal(Tables.read(s, dir, "documents"),
+          "doc_id", "text", k = 16, w = 16)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          sum(col("fp") % 1000000007L).as("fp_checksum"))
+        .orderBy(col("doc_id"))),
+
+    // Local-overlap pairs (plagiarism/quote detector): docs sharing ≥ 4
+    // rare winnowing fingerprints — catches shared SPANS ≥ 31 chars
+    // (w + k − 1) that whole-set MinHash resemblance dilutes away.
+    "q_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", k = 16, w = 16, minShared = 4, maxFpDf = 20)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Typo-tolerant record linkage: Levenshtein ≤ 2 pairs over part
     // names, blocked on brand + length band (no all-pairs compare);
     // the oracle brute-forces the same predicate within brands.

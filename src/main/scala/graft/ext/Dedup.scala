@@ -1072,4 +1072,231 @@ object Dedup {
         coalesce(sum(when(col("__known").isNotNull,
           length(col("chunk")))), lit(0L)).as("known_bytes"))
   }
+
+  // ── PPJoin: prefix-filtered set-similarity self-join ───────────────────
+
+  /** EXACT token-set Jaccard self-join via prefix filtering (PPJoin,
+    * Xiao/Wang/Lin/Yu, WWW 2008) — every pair with Jaccard ≥ tNum/tDen
+    * over distinct word sets, with NO length blocking and NO hashing
+    * approximation. The three published filters, in order:
+    *
+    *  1. PREFIX filter: order each doc's tokens globally by ascending
+    *     document frequency (rarest first, token string tie-break); a
+    *     pair at threshold t MUST share a token among each side's first
+    *     `sz − ceil(t·sz) + 1` tokens, so only those prefixes enter the
+    *     candidate self-join. Rare-first ordering is also the SKEW
+    *     bound: the join key is by construction each doc's rarest
+    *     tokens, so no stop-word key ever fans out.
+    *  2. LENGTH filter: |A| and |B| within factor t of each other
+    *     (`t·max ≤ min`), applied on the join.
+    *  3. POSITIONAL filter: a meeting at prefix positions (i, j) caps
+    *     the overlap at `1 + min(szA−i, szB−j)`, which must reach the
+    *     equivalent overlap threshold `α = ceil(t/(1+t)·(szA+szB))`.
+    *
+    * Survivors are verified with an exact intersection count (inverted
+    * index restricted to candidate pairs — per-pair O(|A|) shuffle rows,
+    * never per-pair array scans). The threshold is a RATIONAL tNum/tDen
+    * and every filter is integer arithmetic (`ceil(n/d)` as
+    * `(n+d−1) div d`, the Jaccard test as `tDen·inter ≥
+    * tNum·(szA+szB−inter)`) — zero float drift against the SQL oracle,
+    * and the result equals brute force exactly (ExtSpec property).
+    *
+    * vs [[ngramDupPairs]]: that op bounds candidates by a length BLOCK
+    * (pairs beyond `blockWidth` chars apart are assumed non-dups —
+    * a recall cutoff); PPJoin's filters are LOSSLESS, so this is the
+    * exact-answer path when the corpus's length spread makes blocking
+    * either unsound (wide dup pairs) or useless (uniform lengths).
+    *
+    * Scale (100 TB): one shuffle for the token census, a per-DOC window
+    * for prefix positions (partitioned by id — never a global window),
+    * the candidate equi-join on prefix tokens (df-ascending order keeps
+    * hot keys out of prefixes), and one (id, token) shuffle to verify.
+    * Driver state: none. */
+  def ppjoinDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tNum < tDen, "threshold must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .persist(Spill)
+    val sz = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfc, "token").join(sz, "id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("token"))))
+    val pfx = ordered
+      .filter(col("pos") <=
+        expr(s"sz - (($tNum * sz + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("id"), col("sz"), col("pos"), col("token"))
+    val a = pfx.select(col("id").as("id_a"), col("sz").as("sz_a"),
+      col("pos").as("pos_a"), col("token"))
+    val b = pfx.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("pos").as("pos_b"), col("token"))
+    val cand = a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(lit(tNum) * greatest(col("sz_a"), col("sz_b")) <=
+        lit(tDen) * least(col("sz_a"), col("sz_b")))
+      .filter(lit(1) + least(col("sz_a") - col("pos_a"),
+        col("sz_b") - col("pos_b")) >=
+        expr(s"($tNum * (sz_a + sz_b) + ${tNum + tDen - 1})" +
+          s" div ${tNum + tDen}"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    val ta = tok.select(col("id").as("id_a"), col("token"))
+    val tb = tok.select(col("id").as("id_b"), col("token"))
+    cand.join(ta, "id_a").join(tb, Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(lit(tDen) * col("inter") >=
+        lit(tNum) * (col("sz_a") + col("sz_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  // ── Winnowing (MOSS) fingerprints ──────────────────────────────────────
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every char k-gram, slide a
+    * window of `w` consecutive k-gram positions, and in each window
+    * select the MINIMUM hash (ties → the RIGHTMOST minimal position,
+    * the paper's robust-winnowing rule). The distinct selected
+    * (position, hash) pairs are the document's fingerprint set, with
+    * the guarantee the paper proves: any substring shared between two
+    * documents of length ≥ w + k − 1 chars contributes at least one
+    * IDENTICAL fingerprint hash to both — a LOCAL overlap detector
+    * (plagiarism / quote mining), where whole-set MinHash only sees
+    * global resemblance. Density: ~2/(w+1) of all k-grams survive.
+    *
+    * Documents shorter than w + k − 1 chars (fewer than w k-grams) are
+    * winnowed as a single window — the natural boundary convention, and
+    * the one the oracle replays. Docs under k chars emit nothing.
+    *
+    * Implementation: the window minimum is computed by exploding each
+    * k-gram position into the ≤ w window-starts that cover it and
+    * taking `min(struct(hash, −pos))` per (doc, start) — rightmost-min
+    * tie-break via the negated position, ONE hash aggregate, no
+    * sliding-window UDF and no per-doc sort. Shuffle volume is
+    * w × grams with partial aggregation map-side; the hash is the
+    * portable md5-top-60 idiom every detector here shares.
+    *
+    * @return (id, pos, fp) — 1-based k-gram position and 60-bit hash */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, "k-gram size and window must be positive")
+    val grams = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .filter(col("text").isNotNull && length(col("text")) >= k)
+      .select(col("id"), length(col("text")).as("len"),
+        explode(sequence(lit(1), length(col("text")) - k + 1)).as("pos"),
+        col("text"))
+      .select(col("id"), col("len"), col("pos"),
+        expr(s"cast(conv(substr(md5(substr(text, pos, $k)), 1, 15)," +
+          " 16, 10) as bigint)").as("h"))
+    // window starts s covering k-gram position pos: s ∈ [pos−w+1, pos],
+    // clamped to the valid start range [1, max(1, len−k+2−w)]. The
+    // clamp can never invert the bounds (pos ≤ len−k+1 = lastStart+w−1),
+    // so the sequence() is always ascending.
+    val nStarts = greatest(lit(1), col("len") - lit(k) + 2 - lit(w))
+    grams
+      .select(col("id"), col("pos"), col("h"),
+        explode(sequence(greatest(lit(1), col("pos") - w + 1),
+          least(col("pos"), nStarts))).as("s"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("m"))
+      .select(col("id"), (-col("m.np")).cast("long").as("pos"),
+        col("m.h").as("fp"))
+      .distinct()
+  }
+
+  /** [[winnowFingerprints]] without the shuffle: a document's
+    * fingerprint set depends only on its own text, so the selection
+    * runs per ROW in one typed pass — sliding-window minimum via a
+    * monotonic deque (amortized O(1) per k-gram) instead of the
+    * exploded w× window-starts aggregate. Pop-while `back.h ≥ new.h`
+    * keeps exactly the RIGHTMOST minimal position at the front, i.e.
+    * the paper's robust-winnowing tie-break. Value-identical to the
+    * aggregate form (ExtSpec pins them equal); the aggregate form
+    * remains the SQL-replayable reference the oracle mirrors. This is
+    * the hot path every fingerprint query uses: zero shuffle before
+    * the census aggregate, w× less data in flight. */
+  def winnowFingerprintsLocal(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, "k-gram size and window must be positive")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(java.lang.Long, String)]
+      .flatMap { case (id, text) =>
+        if (id == null || text == null || text.length < k) Iterator.empty
+        else {
+          val nGrams = text.length - k + 1
+          val hs = new Array[Long](nGrams)
+          var p = 0
+          while (p < nGrams) {
+            hs(p) = md5Top60Local(text.substring(p, p + k)); p += 1
+          }
+          val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+          if (nGrams <= w) {
+            // single window over all grams: rightmost min
+            var best = 0
+            var i = 1
+            while (i < nGrams) { if (hs(i) <= hs(best)) best = i; i += 1 }
+            out += (((best + 1).toLong, hs(best)))
+          } else {
+            // monotonic deque of gram indices, h strictly increasing
+            val dq = new java.util.ArrayDeque[Int]()
+            var i = 0
+            while (i < nGrams) {
+              while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+              dq.addLast(i)
+              if (dq.peekFirst <= i - w) dq.pollFirst()
+              // window [i-w+1, i] complete once i >= w-1
+              if (i >= w - 1) {
+                val sel = dq.peekFirst
+                out += (((sel + 1).toLong, hs(sel)))
+              }
+              i += 1
+            }
+          }
+          out.iterator.map { case (pos, h) => (id.longValue, pos, h) }
+        }
+      }.toDF("id", "pos", "fp")
+  }
+
+  /** Cross-document LOCAL overlap via shared winnowing fingerprints:
+    * pairs of documents sharing ≥ `minShared` distinct fingerprint
+    * hashes, with a document-frequency gate dropping hashes present in
+    * more than `maxFpDf` docs before the self-join (the same boilerplate
+    * guard as [[ngramContainment]]'s shingle-df gate — a fingerprint in
+    * half the corpus is template text, not plagiarism, and it's also
+    * the join's fan-out ceiling). By the winnowing guarantee, a shared
+    * span of `minShared` disjoint (w+k−1)-char windows cannot be missed.
+    *
+    * Scale (100 TB): fingerprint census (one shuffle), df gate, then an
+    * inverted-index equi-join whose per-key fan-out the df cap bounds —
+    * never all-pairs. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8, minShared: Long = 3,
+      maxFpDf: Long = 40): DataFrame = {
+    require(maxFpDf >= 2, "df gate below 2 drops every shared fingerprint")
+    val fps = winnowFingerprintsLocal(docs, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct().persist(Spill)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

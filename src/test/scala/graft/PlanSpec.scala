@@ -564,6 +564,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "token counting must split partial/final (map-side combine)")
   }
 
+  test("ppjoin: prefix-token equi-join, per-doc window, no product join") {
+    val p = plan("q_dedup_ppjoin")
+    // the candidate join and the verification join are both equi-joins;
+    // a product join would mean the prefix filter degenerated
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ppjoin must never plan a product join:\n$p")
+    // prefix positions come from a window PARTITIONED BY doc id — a
+    // single-partition exchange would mean a global ordering snuck in
+    assert(!p.contains("Exchange SinglePartition"),
+      "ppjoin must not funnel through one partition")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "census/verify aggregates must split partial/final")
+  }
+
+  test("winnow overlap: df-gated inverted self-join, no product join") {
+    val p = plan("q_winnow_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint self-join must stay an equi-join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      "winnowing is per-doc local + hash aggregates — no global funnel")
+    assert(!p.contains("Window"),
+      "the window-min is a groupBy over exploded starts, not a Window op")
+  }
+
   test("knn classify: inherits the broadcast-codes/local-top-k shape") {
     val p = plan("q_knn_classify")
     assert(p.contains("BroadcastNestedLoopJoin"),

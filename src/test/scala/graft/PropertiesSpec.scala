@@ -237,6 +237,83 @@ object PropertiesSpec extends Properties("graft") {
         lsh.forall { case (k, v) => brute(k) == v }
     }
 
+  property("ppjoinDupPairs == brute-force Jaccard over word sets") =
+    forAll(for {
+      n <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(n,
+        Gen.listOf(Gen.oneOf("alpha", "bravo", "carol", "delta", "echo",
+          "fox", "golf", "hotel")).map(_.mkString(" ")))
+      tn <- Gen.oneOf(1, 2, 7)
+      td <- Gen.oneOf(2, 3, 10)
+    } yield (docs, math.min(tn, td - 1).max(1), td)) {
+      case (docs, tn, td) =>
+        val s = spark
+        import s.implicits._
+        val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = Dedup.ppjoinDupPairs(d, "doc_id", "text", tn, td)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val sets = docs.zipWithIndex.map { case (t, i) =>
+          i.toLong -> t.split(" ").filter(_.nonEmpty).toSet
+        }
+        val brute = (for {
+          (a, sa) <- sets; (b, sb) <- sets
+          if a < b && sa.nonEmpty && sb.nonEmpty
+          inter = (sa & sb).size
+          if inter >= 1 && td * inter >= tn * (sa.size + sb.size - inter)
+        } yield (a, b) -> inter.toLong).toMap
+        got == brute
+    }
+
+  // the executor-side md5-top-60 idiom, replicated for the reference
+  private def md5Top60Ref(str: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  property("winnowFingerprints == reference winnowing, any k/w") =
+    forAll(for {
+      k <- Gen.choose(2, 4)
+      w <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(6,
+        Gen.choose(0, 30).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    } yield (k, w, docs)) { case (k, w, docs) =>
+      val s = spark
+      import s.implicits._
+      val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.winnowFingerprints(d, "doc_id", "text", k, w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the deque hot path must match the aggregate reference form
+      val gotLocal = Dedup.winnowFingerprintsLocal(d, "doc_id", "text", k, w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = docs.zipWithIndex.flatMap { case (t, i) =>
+        val nGrams = t.length - k + 1
+        if (nGrams < 1) Seq.empty
+        else {
+          val hs = (1 to nGrams)
+            .map(p => p -> md5Top60Ref(t.substring(p - 1, p - 1 + k)))
+          val nStarts = math.max(1, nGrams - w + 1)
+          (1 to nStarts).map { st =>
+            val win = hs.slice(st - 1, math.min(st - 1 + w, nGrams))
+            val mh = win.map(_._2).min
+            // robust winnowing: rightmost minimal position wins
+            val pos = win.filter(_._2 == mh).map(_._1).max
+            (i.toLong, pos.toLong, mh)
+          }.distinct
+        }
+      }.toSet
+      got == expect && gotLocal == expect
+    }
+
   property("salted mixtureByTokens == plain path on random corpora") =
     forAll(for {
       n <- Gen.choose(5, 60)
