@@ -25,6 +25,10 @@ private[graft] object Oracles3 {
 
     "q_winnow_census" -> winnowCensusOracleSql(16, 16),
 
+    // the streaming ledger accumulates exactly the per-doc census —
+    // same oracle, no stream-specific SQL
+    "q_winnow_stream" -> winnowCensusOracleSql(16, 16),
+
     "q_winnow_overlap" -> winnowOverlapOracleSql(16, 16, 4, 20),
 
     "q_triangles" ->

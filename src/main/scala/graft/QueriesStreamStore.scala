@@ -614,6 +614,20 @@ private[graft] object QueriesStreamStore {
       finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Streaming arm of the winnowing fingerprint census: each tick
+    // fingerprints its own docs (deque kernel) and appends the per-doc
+    // census; ticks partition the corpus, so the merged ledger equals
+    // the batch q_winnow_census (shared oracle) — the local-overlap
+    // detector's sufficient statistic maintained at ingest.
+    "q_winnow_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_winn_")
+      try Streaming.winnowAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_winnow"), 16, 16)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     "q_zipf_stream" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_zipfs_")
       try Streaming.zipfAvailableNow(s, dir, tmp.toString,

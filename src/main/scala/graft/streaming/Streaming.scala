@@ -1715,6 +1715,65 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Winnowing-fingerprint census maintained at INGEST: each tick
+    * fingerprints ITS documents with the monotonic-deque kernel
+    * ([[graft.ext.Dedup.winnowFingerprintsLocal]]) and writes the
+    * per-doc census — fingerprint count, distinct-hash count, mod-prime
+    * checksum — to an idempotent `batch=<id>` subdir. A document's
+    * fingerprints depend only on its own text and ticks partition the
+    * corpus, so the unioned ledger equals the batch census at any
+    * moment: the local-overlap detector's sufficient statistic
+    * maintained at ingest, corpus never rescanned. */
+  def winnowIngest(docs: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      k: Int, w: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.ext.Dedup
+            .winnowFingerprintsLocal(batch.toDF(), idCol, textCol, k, w)
+            .groupBy(col("id").as("doc_id"))
+            .agg(count(lit(1)).as("n_fp"),
+              countDistinct(col("fp")).as("n_distinct_fp"),
+              sum(col("fp") % 1000000007L).as("fp_checksum"))
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[winnowIngest]]: documents arrive in two
+    * hash-split ticks; the merged ledger must equal the batch
+    * q_winnow_census — the shared oracle. (The doc-keyed sum-merge is
+    * a formality: ticks partition docs, so each doc_id holds a single
+    * ledger row — but it keeps the read path correct under any future
+    * doc-spanning tick scheme.) */
+  def winnowAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, k: Int, w: Int): DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(winnowIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "doc_id", "text", k, w), queryName)
+      spark.read.parquet(s"$workDir/state")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_fp")).as("n_fp"),
+          sum(col("n_distinct_fp")).as("n_distinct_fp"),
+          sum(col("fp_checksum")).as("fp_checksum"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Collocation censuses maintained at INGEST: per tick, the
     * doc-local unigram counts and adjacent-bigram counts land in
     * idempotent `uni/batch=<id>` / `big/batch=<id>` subdirs. Both

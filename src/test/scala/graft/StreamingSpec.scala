@@ -1100,6 +1100,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chaos: winnowIngest heals a torn batch=0 census on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaoswin_")
+    val state = dir.resolve("state").toString
+    try {
+      // plausible-but-wrong debris: a census row for a doc never seen
+      tearTick(state, 0L, Seq((999L, 7L, 7L, 123L))
+        .toDF("doc_id", "n_fp", "n_distinct_fp", "fp_checksum"))
+      val mem = MemoryStream[(Long, String)]
+      def stream = mem.toDF().toDF("doc_id", "text")
+      mem.addData(1L -> "abcdefghij", 2L -> "abcdefghijklmno")
+      Streaming.winnowIngest(stream, state, dir.resolve("cp").toString,
+        "doc_id", "text", 4, 3).awaitTermination()
+      mem.addData(3L -> "zyxwvutsrq")
+      Streaming.winnowIngest(stream, state, dir.resolve("cp").toString,
+        "doc_id", "text", 4, 3).awaitTermination()
+      val got = s.read.parquet(state)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_fp")).as("n_fp"),
+          sum(col("n_distinct_fp")).as("nd"),
+          sum(col("fp_checksum")).as("ck"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // the merged ledger must equal the one-pass batch census
+      val batch = graft.ext.Dedup.winnowFingerprintsLocal(
+          Seq(1L -> "abcdefghij", 2L -> "abcdefghijklmno",
+            3L -> "zyxwvutsrq").toDF("doc_id", "text"),
+          "doc_id", "text", 4, 3)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_fp"),
+          countDistinct(col("fp")).as("nd"),
+          sum(col("fp") % 1000000007L).as("ck"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(!got.contains(999L),
+        "torn tick-0 debris must be truncated by the replay overwrite")
+      assert(got == batch,
+        "merged ledger must equal the one-pass batch census")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("chaos: collocationIngest heals torn batch=0 censuses on replay") {
     val s = spark
     import s.implicits._
