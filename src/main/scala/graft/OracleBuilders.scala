@@ -198,6 +198,19 @@ private[graft] object OracleBuilders {
                 sum(fp % 1000000007)::BIGINT AS fp_checksum
          FROM fp GROUP BY 1 ORDER BY doc_id"""
 
+  /** DuckDB replay of [[graft.ext.Agreement.annotatorLabels]] at
+    * 3 annotators / 10 categories: annotator a flips the label to
+    * `(label + a) % 10` when its md5-top-60 per-(item, annotator)
+    * bucket falls below a — a·10% deterministic noise. Emits CTE
+    * `pan (id, annotator, lab)`. */
+  val annotatorPanelCte: String =
+    """pan AS (SELECT vec_id AS id, a.a AS annotator,
+          CASE WHEN ('0x' || substr(md5(vec_id::VARCHAR || ':'
+                  || a.a::VARCHAR), 1, 15))::UBIGINT % 10 < a.a
+               THEN (label::BIGINT + a.a) % 10
+               ELSE label::BIGINT END AS lab
+       FROM embeddings, (SELECT unnest(generate_series(1, 3)) AS a) a)"""
+
   /** Pairs sharing ≥ minShared rare (df ≤ maxDf) winnowing
     * fingerprints — [[graft.ext.Dedup.winnowOverlapPairs]]'s df gate
     * and inverted self-join replayed over [[winnowFpChainSql]]. */

@@ -29,6 +29,42 @@ private[graft] object Oracles3 {
     // same oracle, no stream-specific SQL
     "q_winnow_stream" -> winnowCensusOracleSql(16, 16),
 
+    // deterministic 3-annotator panel (a·10% md5 noise), majority vote
+    // with smallest-label tie break, confusion census vs truth
+    "q_label_vote" ->
+      s"""WITH $annotatorPanelCte,
+         cell AS (SELECT id, lab, count(*) AS n FROM pan GROUP BY 1, 2),
+         vote AS (SELECT id, lab AS voted, n = 3 AS unanimous
+              FROM (SELECT id, lab, n, row_number() OVER
+                      (PARTITION BY id ORDER BY n DESC, lab) AS rk
+                    FROM cell)
+              WHERE rk = 1)
+         SELECT t.label::BIGINT AS true_label, v.voted,
+                count(*)::BIGINT AS n_items,
+                (count(*) FILTER (WHERE v.unanimous))::BIGINT
+                  AS n_unanimous
+         FROM vote v JOIN embeddings t ON t.vec_id = v.id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Fleiss' kappa over the same panel: integer sufficient statistics
+    // (S2, C), one exact ppm-quantized floor division
+    "q_fleiss_kappa" ->
+      s"""WITH $annotatorPanelCte,
+         cell AS (SELECT id, lab, count(*) AS n FROM pan GROUP BY 1, 2),
+         si AS (SELECT count(DISTINCT id)::BIGINT AS n_items,
+                sum(n * n)::BIGINT AS s2 FROM cell),
+         sc AS (SELECT sum(c * c)::BIGINT AS c_sq FROM
+                (SELECT lab, sum(n)::BIGINT AS c FROM cell GROUP BY 1)),
+         t AS (SELECT n_items, s2, c_sq,
+                1000000 * ((3 * n_items) * (s2 - 3 * n_items)
+                  - 2 * c_sq) AS num6,
+                2 * ((3 * n_items) * (3 * n_items) - c_sq) AS den
+              FROM si, sc)
+         SELECT n_items, 3::BIGINT AS n_raters, s2, c_sq,
+                ((num6 - ((num6 % den + den) % den)) // den)::BIGINT
+                  AS kappa_ppm
+         FROM t""",
+
     "q_winnow_overlap" -> winnowOverlapOracleSql(16, 16, 4, 20),
 
     "q_triangles" ->

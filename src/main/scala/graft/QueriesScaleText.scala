@@ -981,5 +981,32 @@ private[graft] object QueriesScaleText {
           col("conf_ab"), col("conf_ba"), col("lift"))
         .orderBy(col("item_a"), col("item_b"))),
 
+    // Label hygiene: a deterministic 3-annotator panel (a·10% md5-drawn
+    // noise each) collapsed by majority vote with a smallest-label tie
+    // break; the confusion census vs truth is the panel's quality
+    // report. Per-item facts → narrow explode + two hash aggregates.
+    "q_label_vote" -> ((s, dir) => {
+      val e = Tables.read(s, dir, "embeddings")
+      val panel = graft.ext.Agreement
+        .annotatorLabels(e, "vec_id", "label", nAnnotators = 3, nCats = 10)
+      graft.ext.Agreement.majorityVote(panel, nRaters = 3)
+        .join(e.select(col("vec_id").cast("long").as("id"),
+          col("label").cast("long").as("true_label")), "id")
+        .groupBy(col("true_label"), col("voted"))
+        .agg(count(lit(1)).as("n_items"),
+          count(when(col("unanimous"), 1)).as("n_unanimous"))
+        .orderBy(col("true_label"), col("voted"))
+    }),
+
+    // Fleiss' kappa over the same panel — the batch-level agreement
+    // gate, one exact integer ratio (ppm-quantized floor division
+    // mirrored in the oracle).
+    "q_fleiss_kappa" -> ((s, dir) =>
+      graft.ext.Agreement.fleissKappa(
+        graft.ext.Agreement.annotatorLabels(
+          Tables.read(s, dir, "embeddings"),
+          "vec_id", "label", nAnnotators = 3, nCats = 10),
+        nRaters = 3)),
+
   )
 }

@@ -108,7 +108,26 @@ object ScaleProbe {
         Curation.blocklistHits(docs(d), "doc_id", "text", phrases200(d))),
       "blocklist_join200" -> (d =>
         Curation.blocklistHitsJoin(docs(d), "doc_id", "text",
-          phrases200(d))))
+          phrases200(d))),
+      // PPJoin's claim: candidates bound by rare-prefix fan-out, never
+      // all-pairs — but on a corpus whose duplication density grows
+      // with size, TRUE pairs grow quadratically in cluster size, so
+      // read the time ratio against the rows ratio
+      "dedup_ppjoin" -> (d =>
+        Dedup.ppjoinDupPairs(docs(d), "doc_id", "text",
+          tNum = 9, tDen = 10)),
+      // winnowing is embarrassingly per-doc (deque kernel, no shuffle
+      // before the census aggregate): time should track corpus size
+      "winnow_census" -> (d =>
+        Dedup.winnowFingerprintsLocal(docs(d), "doc_id", "text", 16, 16)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_fp"))),
+      // the overlap detector's df gate is the fan-out ceiling: pairs
+      // may grow with planted duplication, candidates may not exceed
+      // df²/2 per fingerprint
+      "winnow_overlap" -> (d =>
+        Dedup.winnowOverlapPairs(docs(d), "doc_id", "text", 16, 16,
+          minShared = 4, maxFpDf = 20)))
 
     // one untimed warm-up pass on the SMALL corpus absorbs session
     // costs (codegen, JIT, parquet footers) so ratios compare steady

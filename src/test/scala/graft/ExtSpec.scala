@@ -3204,4 +3204,45 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out("A" -> "B") == ((1L, 0.75d)))   // 1*3/(2*2)
     assert(out("A" -> "C") == ((1L, 1.5d)))    // 1*3/(2*1)
   }
+
+  // ── Agreement (majority vote + Fleiss' kappa) ──────────────────────────
+
+  private def panel(rows: (Long, Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("id", "lab")
+  }
+
+  test("majorityVote: plurality wins, exact ties break to smallest label") {
+    val votes = graft.ext.Agreement.majorityVote(
+        panel(1L -> 5L, 1L -> 5L, 1L -> 2L,   // plurality 5
+          2L -> 2L, 2L -> 1L, 2L -> 0L,       // 3-way tie → 0
+          3L -> 7L, 3L -> 7L, 3L -> 7L),      // unanimous
+        nRaters = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(votes == Map(
+      1L -> ((5L, 2L, false)),
+      2L -> ((0L, 1L, false)),
+      3L -> ((7L, 3L, true))))
+  }
+
+  test("fleissKappa: textbook hand computations incl. negative floor") {
+    def kappa(rows: (Long, Long)*): (Long, Long, Long) = {
+      val r = graft.ext.Agreement.fleissKappa(panel(rows: _*), nRaters = 2)
+        .collect().head
+      (r.getLong(2), r.getLong(3), r.getLong(4))  // (s2, c_sq, kappa_ppm)
+    }
+    // 3 items, 2 raters: (a,a) (a,b) (b,b) — P̄=2/3, P̄e=1/2, κ=1/3
+    assert(kappa(1L -> 0L, 1L -> 0L, 2L -> 0L, 2L -> 1L,
+      3L -> 1L, 3L -> 1L) == ((10L, 18L, 333333L)))
+    // (a,a) (a,b) (b,c): κ = −1/11 = −0.0909… — floor MUST give
+    // −90910, not the toward-zero −90909 (the pmod construction)
+    assert(kappa(1L -> 0L, 1L -> 0L, 2L -> 0L, 2L -> 1L,
+      3L -> 1L, 3L -> 2L) == ((8L, 14L, -90910L)))
+    // perfect disagreement: (a,b) (b,a) — κ = −1
+    assert(kappa(1L -> 0L, 1L -> 1L, 2L -> 1L, 2L -> 0L)
+      == ((4L, 8L, -1000000L)))
+  }
 }
