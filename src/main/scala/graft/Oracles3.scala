@@ -29,6 +29,40 @@ private[graft] object Oracles3 {
     // same oracle, no stream-specific SQL
     "q_winnow_stream" -> winnowCensusOracleSql(16, 16),
 
+    // group-atomic split: near-dup clusters (recursive min-label over
+    // the simhash graph) supply the hash key; singletons use their own
+    // id; n_moved counts row-level labels the group key overrode
+    "q_group_split" ->
+      s"""WITH RECURSIVE
+         $simhashEdgesCte,
+         reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, min(lbl)::BIGINT AS cluster_id
+              FROM reach GROUP BY id),
+         keyed AS (SELECT d.doc_id, d.n_chars,
+                coalesce(c.cluster_id, d.doc_id) AS gk
+              FROM documents d LEFT JOIN clus c ON c.id = d.doc_id),
+         lab AS (SELECT n_chars, gk,
+                CASE WHEN ('0x' || substr(md5(gk::VARCHAR), 1, 15))
+                       ::UBIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5(gk::VARCHAR), 1, 15))
+                       ::UBIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                       ::UBIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                       ::UBIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS row_split
+              FROM keyed)
+         SELECT split, count(*)::BIGINT AS n_docs,
+                count(DISTINCT gk)::BIGINT AS n_groups,
+                sum(n_chars)::BIGINT AS sum_chars,
+                (count(*) FILTER (WHERE split <> row_split))::BIGINT
+                  AS n_moved
+         FROM lab GROUP BY 1 ORDER BY 1""",
+
     // deterministic 3-annotator panel (a·10% md5 noise), majority vote
     // with smallest-label tie break, confusion census vs truth
     "q_label_vote" ->

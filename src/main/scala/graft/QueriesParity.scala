@@ -386,6 +386,32 @@ private[graft] object QueriesParity {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))),
 
+    // Leakage-safe GROUP-ATOMIC split: the split label is drawn from
+    // the near-dup CLUSTER representative (singletons: own id), so a
+    // duplicate can never straddle train/test — the standard guard the
+    // row-hash split (q_sample_split) lacks. n_moved counts docs whose
+    // naive row-level label differs, i.e. the leaks prevented.
+    "q_group_split" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val clus = graft.ext.Dedup.dupClusters(
+          graft.ext.Dedup.simhashDupPairs(docs, "doc_id", "text",
+            maxHamming = 7))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val cuts = Seq("train" -> 80, "val" -> 90)
+      docs.join(clus, Seq("doc_id"), "left")
+        .withColumn("gk", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          graft.ext.Sampling.splitLabel(col("gk"), cuts, "test"))
+        .withColumn("row_split",
+          graft.ext.Sampling.splitLabel(col("doc_id"), cuts, "test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("gk")).as("n_groups"),
+          sum(col("n_chars")).as("sum_chars"),
+          count(when(col("split") =!= col("row_split"), 1)).as("n_moved"))
+        .orderBy(col("split"))
+    }),
+
     // Deterministic stratified sampling: per-language keep rates (the
     // training-mix reweighting op), reproducible on any engine.
     "q_stratified" -> ((s, dir) =>
