@@ -215,7 +215,7 @@ private[graft] object OracleBuilders {
     * fingerprints — [[graft.ext.Dedup.winnowOverlapPairs]]'s df gate
     * and inverted self-join replayed over [[winnowFpChainSql]]. */
   def winnowOverlapOracleSql(k: Int, w: Int, minShared: Int,
-      maxDf: Int): String =
+      maxDf: Int, pairCond: String = ""): String =
     s"""WITH ${winnowFpChainSql(k, w)},
          dfp AS (SELECT DISTINCT id, fp FROM fp),
          rare AS (SELECT fp FROM dfp GROUP BY 1
@@ -223,7 +223,7 @@ private[graft] object OracleBuilders {
          kept AS (SELECT d.id, d.fp FROM dfp d JOIN rare USING (fp))
          SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
          FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
-         GROUP BY 1, 2 HAVING count(*) >= $minShared
+         GROUP BY 1, 2 HAVING count(*) >= $minShared$pairCond
          ORDER BY id_a, id_b"""
 
   /** Unrolled DuckDB replay of [[graft.ext.Bpe.bpeTrain]]'s

@@ -101,6 +101,11 @@ private[graft] object Oracles3 {
 
     "q_winnow_overlap" -> winnowOverlapOracleSql(16, 16, 4, 20),
 
+    // identical winnowing pipeline, restricted to pairs touching the
+    // batch (doc_id % 10 = 0) — exactly the incremental contract
+    "q_winnow_incremental" -> winnowOverlapOracleSql(16, 16, 4, 20,
+      " AND (id_a % 10 = 0 OR id_b % 10 = 0)"),
+
     "q_triangles" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 200 AS i
               FROM lineitem),

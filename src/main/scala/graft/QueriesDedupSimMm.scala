@@ -83,6 +83,18 @@ private[graft] object QueriesDedupSimMm {
           "doc_id", "text", k = 16, w = 16, minShared = 4, maxFpDf = 20)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental ingest arm: only overlap pairs touching the new
+    // batch (doc_id % 10 = 0) are found — existing × existing is never
+    // compared, the per-batch cost at scale.
+    "q_winnow_incremental" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.winnowOverlapIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", k = 16, w = 16, minShared = 4, maxFpDf = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Typo-tolerant record linkage: Levenshtein ≤ 2 pairs over part
     // names, blocked on brand + length band (no all-pairs compare);
     // the oracle brute-forces the same predicate within brands.

@@ -110,12 +110,17 @@ object ScaleProbe {
         Curation.blocklistHitsJoin(docs(d), "doc_id", "text",
           phrases200(d))),
       // PPJoin's claim: candidates bound by rare-prefix fan-out, never
-      // all-pairs — but on a corpus whose duplication density grows
-      // with size, TRUE pairs grow quadratically in cluster size, so
-      // read the time ratio against the rows ratio
-      "dedup_ppjoin" -> (d =>
-        Dedup.ppjoinDupPairs(docs(d), "doc_id", "text",
-          tNum = 9, tDen = 10)),
+      // all-pairs. CAVEAT measured here on purpose: the probe corpus
+      // is word-salad over a 30-WORD vocabulary, so "rarest token of
+      // each doc" still lands in thousands of prefixes — the filter's
+      // candidate bound assumes a natural long-tail vocabulary. The
+      // probe therefore runs the gated query's deterministic fifth
+      // (full-corpus 10× on this degenerate vocabulary fans out
+      // ~vocab·(N·pfx/vocab)² candidate rows — the data's shape, not
+      // the operator's); the time ratio still reads candidate growth.
+      "dedup_ppjoin_fifth" -> (d =>
+        Dedup.ppjoinDupPairs(docs(d).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", tNum = 9, tDen = 10)),
       // winnowing is embarrassingly per-doc (deque kernel, no shuffle
       // before the census aggregate): time should track corpus size
       "winnow_census" -> (d =>
@@ -129,12 +134,17 @@ object ScaleProbe {
         Dedup.winnowOverlapPairs(docs(d), "doc_id", "text", 16, 16,
           minShared = 4, maxFpDf = 20)))
 
+    // iteration aid: SPARK_GRAFT_ONLY=op_a,op_b probes just those ops
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(ops)(names => ops.filter(o => names(o._1)))
+
     // one untimed warm-up pass on the SMALL corpus absorbs session
     // costs (codegen, JIT, parquet footers) so ratios compare steady
     // states, mirroring Bench's min-of-2 discipline; the 10x phrase
     // mint is pre-paid too so neither blocklist form times it
-    phrases200(dir10)
-    ops.foreach { case (_, f) => f(dir1).write.format("noop")
+    if (selected.exists(_._1.startsWith("blocklist"))) phrases200(dir10)
+    selected.foreach { case (_, f) => f(dir1).write.format("noop")
       .mode("overwrite").save() }
 
     def timed(f: => DataFrame): (Double, Long) = {
@@ -144,7 +154,7 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    val results = ops.map { case (name, f) =>
+    val results = selected.map { case (name, f) =>
       val (s1, n1) = timed(f(dir1))
       val (s10, n10) = timed(f(dir10))
       spark.catalog.clearCache()

@@ -1299,4 +1299,48 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Incremental arm of [[winnowOverlapPairs]]: only pairs TOUCHING the
+    * new batch are found — batch × corpus and batch × batch, never
+    * corpus × corpus (the per-ingest cost at scale, the winnowing
+    * sibling of [[minhashDupPairsIncremental]] / [[chunkIncremental]]).
+    * The df gate is computed over batch ∪ corpus, so accepted pairs
+    * carry exactly the full-corpus semantics: the result equals
+    * [[winnowOverlapPairs]] over the union, restricted to pairs with a
+    * batch member. Probe-side fan-out is batch-fingerprints × the
+    * df-capped posting lists — independent of corpus².
+    *
+    * At scale the corpus side is the maintained (id, fp) ledger — the
+    * overlap detector's sufficient statistic — not a rescan; this
+    * entry point accepts the raw corpus table for gate parity and
+    * fingerprints it once. */
+  def winnowOverlapIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 8,
+      minShared: Long = 3, maxFpDf: Long = 40): DataFrame = {
+    require(maxFpDf >= 2, "df gate below 2 drops every shared fingerprint")
+    val bf = winnowFingerprintsLocal(batch, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    val cf = winnowFingerprintsLocal(corpus, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    val all = bf.withColumn("is_batch", lit(true))
+      .unionByName(cf.withColumn("is_batch", lit(false)))
+      .persist(Spill)
+    val rare = all.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDf)
+      .select(col("fp"))
+    val keptB = bf.join(rare, "fp")
+    val keptAll = all.join(rare, "fp")
+    // probe = batch fps only. A batch×batch pair would meet in both
+    // orientations — the id order on the batch build side dedups it;
+    // a batch×corpus pair meets exactly once (corpus never probes).
+    keptB.as("a")
+      .join(keptAll.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") =!= col("b.id") &&
+          (!col("b.is_batch") || col("a.id") < col("b.id")))
+      .groupBy(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

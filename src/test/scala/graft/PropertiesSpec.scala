@@ -314,6 +314,33 @@ object PropertiesSpec extends Properties("graft") {
       got == expect && gotLocal == expect
     }
 
+  property("winnowOverlapIncremental == full overlap restricted to batch") =
+    forAll(for {
+      nb <- Gen.choose(1, 4)
+      nc <- Gen.choose(1, 6)
+      mk = Gen.choose(5, 25).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString))
+      bat <- Gen.listOfN(nb, mk)
+      cor <- Gen.listOfN(nc, mk)
+      minSh <- Gen.choose(1, 3)
+    } yield (bat, cor, minSh)) { case (bat, cor, minSh) =>
+      val s = spark
+      import s.implicits._
+      // binary alphabet at k=3 forces heavy fingerprint collisions
+      val bd = bat.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val cd = cor.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val inc = pairs(Dedup.winnowOverlapIncremental(bd, cd,
+        "doc_id", "text", k = 3, w = 3, minShared = minSh, maxFpDf = 10))
+      val full = pairs(Dedup.winnowOverlapPairs(bd.unionByName(cd),
+        "doc_id", "text", k = 3, w = 3, minShared = minSh, maxFpDf = 10))
+        .filter { case ((a, b), _) => a < 100L || b < 100L }
+      inc == full
+    }
+
   property("salted mixtureByTokens == plain path on random corpora") =
     forAll(for {
       n <- Gen.choose(5, 60)
