@@ -29,6 +29,45 @@ private[graft] object Oracles3 {
     // same oracle, no stream-specific SQL
     "q_winnow_stream" -> winnowCensusOracleSql(16, 16),
 
+    // per-label dispersion from milli-quantized integer sufficient
+    // statistics; disp = (n·S2 − Σ S1²) // n² (non-negative by
+    // Cauchy–Schwarz, so truncation == floor)
+    "q_label_centroids" ->
+      """WITH e AS (SELECT label::BIGINT AS label,
+                unnest([{'d': i, 'x': embedding[i]}
+                    for i in generate_series(1, len(embedding))]) AS z
+              FROM embeddings),
+         q AS (SELECT label, z.d AS d,
+                floor(z.x::DOUBLE * 1000 + 0.5)::BIGINT AS xq FROM e),
+         dims AS (SELECT label, d, sum(xq)::BIGINT AS s1,
+                sum(xq * xq)::BIGINT AS sq FROM q GROUP BY 1, 2),
+         np AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n
+              FROM embeddings GROUP BY 1),
+         agg AS (SELECT label, sum(sq)::BIGINT AS s2,
+                sum(s1 * s1)::BIGINT AS s1_norm2 FROM dims GROUP BY 1)
+         SELECT a.label, np.n, a.s2, a.s1_norm2,
+                ((np.n * a.s2 - a.s1_norm2) // (np.n * np.n))::BIGINT
+                  AS disp
+         FROM agg a JOIN np USING (label) ORDER BY label""",
+
+    // pairwise inter-centroid squared distance over truncated integer
+    // means (Spark div ≡ DuckDB //, both toward zero)
+    "q_centroid_dist" ->
+      """WITH e AS (SELECT label::BIGINT AS label,
+                unnest([{'d': i, 'x': embedding[i]}
+                    for i in generate_series(1, len(embedding))]) AS z
+              FROM embeddings),
+         q AS (SELECT label, z.d AS d,
+                floor(z.x::DOUBLE * 1000 + 0.5)::BIGINT AS xq FROM e),
+         cent AS (SELECT label, d,
+                (sum(xq)::BIGINT // count(*)::BIGINT) AS mu
+              FROM q GROUP BY 1, 2)
+         SELECT a.label AS label_a, b.label AS label_b,
+                sum((a.mu - b.mu) * (a.mu - b.mu))::BIGINT AS dist2
+         FROM cent a JOIN cent b
+           ON a.d = b.d AND a.label < b.label
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // group-atomic split: near-dup clusters (recursive min-label over
     // the simhash graph) supply the hash key; singletons use their own
     // id; n_moved counts row-level labels the group key overrode

@@ -83,6 +83,21 @@ private[graft] object QueriesDedupSimMm {
           "doc_id", "text", k = 16, w = 16, minShared = 4, maxFpDf = 20)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Class-separability census: per-label E||x−mu||^2 from mergeable
+    // integer sufficient statistics (milli-quantized component sums) —
+    // the embedding-space drift alarm next to the label-hygiene gates.
+    "q_label_centroids" -> ((s, dir) =>
+      graft.ext.Similarity.labelCentroidCensus(
+          Tables.read(s, dir, "embeddings"), "embedding", "label")
+        .orderBy(col("label"))),
+
+    // Class-confusability matrix: pairwise inter-centroid squared
+    // distances over truncated integer means (45 rows at 10 labels).
+    "q_centroid_dist" -> ((s, dir) =>
+      graft.ext.Similarity.labelCentroidDistances(
+          Tables.read(s, dir, "embeddings"), "embedding", "label")
+        .orderBy(col("label_a"), col("label_b"))),
+
     // Incremental ingest arm: only overlap pairs touching the new
     // batch (doc_id % 10 = 0) are found — existing × existing is never
     // compared, the per-batch cost at scale.

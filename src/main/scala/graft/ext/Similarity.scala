@@ -1117,6 +1117,74 @@ object Similarity {
     if (prev2 != null) prev2.unpersist(blocking = false)
     picks.toSeq.toDF("round", idCol, "rel", "score")
   }
+
+  // ── Per-label centroid / dispersion census ──────────────────────────────
+
+  /** Class-separability report over milli-quantized embeddings: per
+    * label, the integer component sums `S1_j = Σ x_j` and squared-norm
+    * sum `S2 = Σ‖x‖²` are the MERGEABLE sufficient statistics (the
+    * ingest-ledger shape — both are vector-additive), and the report
+    * derives from them in pure integer arithmetic:
+    *
+    *   disp = (n·S2 − Σ_j S1_j²) div n²   — E‖x − μ‖² cleared of the
+    *                                        rational mean, milli²-units
+    *
+    * Quantization is `floor(x·10³ + 0.5)` — float→double is exact and
+    * floor is IEEE-deterministic, so both engines produce the same
+    * longs; milli (not micro) so `Σ_j S1_j²` stays far under 2⁶³ at any
+    * plausible class size (S1_j ≤ n·max|x|·10³). A rising `disp` for a
+    * label is the embedding-space drift alarm; a falling inter-centroid
+    * distance ([[labelCentroidDistances]]) is the separability alarm.
+    *
+    * Scale notes: one narrow dim-explode (dim × rows, the only
+    * expansion) into a (label, dim) partial-agg census, then a
+    * label-sized reduction — no joins, no windows, state is
+    * labels × dims longs. */
+  def labelCentroidCensus(embs: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dims = embs
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x").cast("double") * 1000d + 0.5d).cast("long").as("xq"))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("xq")).as("s1"),
+        sum(col("xq") * col("xq")).as("sq"))
+    val nPer = embs
+      .groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    dims.groupBy(col("label"))
+      .agg(sum(col("sq")).as("s2"),
+        sum(col("s1") * col("s1")).as("s1_norm2"))
+      .join(nPer, "label")
+      .select(col("label"), col("n"), col("s2"), col("s1_norm2"),
+        expr("(n * s2 - s1_norm2) div (n * n)").as("disp"))
+  }
+
+  /** Pairwise inter-centroid squared distances over the same
+    * milli-quantized census: centroids are the truncated integer means
+    * `μ_j = S1_j div n` (Spark `div` ≡ DuckDB `//`, both toward zero),
+    * distances `Σ_j (μ_aj − μ_bj)²` in milli²-units — the
+    * class-confusability matrix, labels·(labels−1)/2 rows. The
+    * (label, dim) census is the only shuffle; the pair join is over
+    * the labels×dims relation (config-sized). */
+  def labelCentroidDistances(embs: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cent = embs
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x").cast("double") * 1000d + 0.5d).cast("long").as("xq"))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("xq")).as("s1"), count(lit(1)).as("n"))
+      .select(col("label"), col("d"), expr("s1 div n").as("mu"))
+    cent.as("a")
+      .join(cent.as("b"),
+        col("a.d") === col("b.d") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum((col("a.mu") - col("b.mu")) * (col("a.mu") - col("b.mu")))
+        .as("dist2"))
+  }
 }
 
 /** Driver-side regeneration of the [[Similarity.projectSign]] sign
