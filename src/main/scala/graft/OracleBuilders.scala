@@ -198,6 +198,65 @@ private[graft] object OracleBuilders {
                 sum(fp % 1000000007)::BIGINT AS fp_checksum
          FROM fp GROUP BY 1 ORDER BY doc_id"""
 
+  /** DuckDB replay of [[graft.ext.Similarity.topComponentPower]]: the
+    * milli-quantized scatter matrix `M = n·Σxxᵀ − S1S1ᵀ` as a
+    * (dj, dk, m) relation, then `iters` UNROLLED power-iteration
+    * generations — each a 64-row matvec (`w$i`), the integer rescale
+    * denominator (`n$i = max|w| // 1024 + 1`), and the truncated
+    * division (`v$i`) — the kcenter/MMR unrolled-greedy discipline
+    * applied to linear algebra. Emits CTEs through `v$iters`/`n$iters`.
+    * `w$i` is MATERIALIZED: it feeds both the denominator and the
+    * division. */
+  def powerIterationChainSql(iters: Int): String = {
+    val base = """e AS (SELECT vec_id AS vid,
+          unnest([{'d': i - 1, 'x': embedding[i]}
+              for i in generate_series(1, len(embedding))]) AS z
+        FROM embeddings),
+       q AS (SELECT vid, z.d AS d,
+          floor(z.x::DOUBLE * 1000 + 0.5)::BIGINT AS xq FROM e),
+       nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+       ps1 AS (SELECT d, sum(xq)::BIGINT AS s1 FROM q GROUP BY 1),
+       ps2 AS (SELECT a.d AS dj, b.d AS dk, sum(a.xq * b.xq)::BIGINT AS s
+          FROM q a JOIN q b USING (vid) GROUP BY 1, 2),
+       cov AS (SELECT ps2.dj, ps2.dk,
+            (nn.n * ps2.s - sa.s1 * sb.s1)::BIGINT AS m
+          FROM ps2 CROSS JOIN nn
+               JOIN ps1 sa ON sa.d = ps2.dj
+               JOIN ps1 sb ON sb.d = ps2.dk),
+       v0 AS (SELECT d, CASE WHEN d = 0 THEN 1024::BIGINT
+                             ELSE 0::BIGINT END AS v
+          FROM (SELECT DISTINCT d FROM q))"""
+    val its = (1 to iters).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT cov.dj AS d,
+            sum(cov.m * v${i - 1}.v)::BIGINT AS w
+          FROM cov JOIN v${i - 1} ON v${i - 1}.d = cov.dk GROUP BY 1),
+       n$i AS (SELECT (max(abs(w)) // 1024 + 1)::BIGINT AS dn FROM w$i),
+       v$i AS (SELECT d, (w // dn)::BIGINT AS v FROM w$i, n$i)"""
+    }.mkString(",\n       ")
+    s"$base,\n       $its"
+  }
+
+  /** Final top-PC relation over [[powerIterationChainSql]]. */
+  def topPcOracleSql(iters: Int): String =
+    s"""WITH ${powerIterationChainSql(iters)}
+       SELECT v.d, v.v, n$iters.dn AS growth
+       FROM v$iters v, n$iters ORDER BY v.d"""
+
+  /** Per-label truncated mean projection onto the iterated direction —
+    * [[graft.ext.Similarity.pcProjectionByLabel]]'s replay. */
+  def pcProjectionOracleSql(iters: Int): String =
+    s"""WITH ${powerIterationChainSql(iters)},
+       lab AS (SELECT vec_id AS vid, label::BIGINT AS label
+            FROM embeddings),
+       proj AS (SELECT l.label, sum(q.xq * v.v)::BIGINT AS ps
+            FROM q JOIN v$iters v ON v.d = q.d
+                 JOIN lab l ON l.vid = q.vid
+            GROUP BY 1),
+       np AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n
+            FROM embeddings GROUP BY 1)
+       SELECT p.label, np.n, (p.ps // np.n)::BIGINT AS mean_proj
+       FROM proj p JOIN np USING (label) ORDER BY p.label"""
+
   /** DuckDB replay of [[graft.ext.Agreement.annotatorLabels]] at
     * 3 annotators / 10 categories: annotator a flips the label to
     * `(label + a) % 10` when its md5-top-60 per-(item, annotator)

@@ -29,6 +29,12 @@ private[graft] object Oracles3 {
     // same oracle, no stream-specific SQL
     "q_winnow_stream" -> winnowCensusOracleSql(16, 16),
 
+    // 8 unrolled integer power-iteration generations over the
+    // milli-quantized scatter matrix
+    "q_embed_top_pc" -> topPcOracleSql(8),
+
+    "q_pc_project_label" -> pcProjectionOracleSql(8),
+
     // per-label dispersion from milli-quantized integer sufficient
     // statistics; disp = (n·S2 − Σ S1²) // n² (non-negative by
     // Cauchy–Schwarz, so truncation == floor)

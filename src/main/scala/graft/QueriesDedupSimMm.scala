@@ -83,6 +83,23 @@ private[graft] object QueriesDedupSimMm {
           "doc_id", "text", k = 16, w = 16, minShared = 4, maxFpDf = 20)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Top principal component by 8-round integer power iteration —
+    // the whitening/drift direction, engine-exact by construction
+    // (milli-quantized scatter, truncating rescale each round).
+    "q_embed_top_pc" -> ((s, dir) =>
+      graft.ext.Similarity.topComponentPower(
+          Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+          iterations = 8)
+        .orderBy(col("d"))),
+
+    // Per-label mean projection onto that direction: class drift along
+    // the dominant embedding axis, truncated-integer means.
+    "q_pc_project_label" -> ((s, dir) =>
+      graft.ext.Similarity.pcProjectionByLabel(
+          Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", iterations = 8)
+        .orderBy(col("label"))),
+
     // Class-separability census: per-label E||x−mu||^2 from mergeable
     // integer sufficient statistics (milli-quantized component sums) —
     // the embedding-space drift alarm next to the label-hygiene gates.

@@ -1161,6 +1161,101 @@ object Similarity {
         expr("(n * s2 - s1_norm2) div (n * n)").as("disp"))
   }
 
+  /** Top principal component by FIXED-ITERATION integer power method —
+    * the embedding-whitening / dominant-drift-direction primitive,
+    * engine-exactly replayable because every step is long arithmetic:
+    *
+    *  1. milli-quantize components (`floor(x·10³ + 0.5)` — IEEE-exact)
+    *  2. scaled centered scatter `M_jk = n·Σ xq_j xq_k − S1_j·S1_k`
+    *     (the covariance numerator ×n² — same eigenvectors, no
+    *     rationals)
+    *  3. power iteration from `v₀ = 1024·e₀` with an integer rescale
+    *     each round: `denom = max|w| div 1024 + 1`, `v ← w div denom`
+    *     (truncating division — Spark `div` ≡ DuckDB `//` ≡ Scala `/`)
+    *     keeps `max|v| < 1024`, bounding every product far under 2⁶³.
+    *
+    * A fixed iterate of a deterministic recurrence needs no
+    * convergence test: ANY iteration count is a well-defined value
+    * both engines reproduce bit-exactly (the kcenter/MMR unrolled-
+    * greedy discipline applied to linear algebra). The last `denom` is
+    * the growth factor — the power method's eigenvalue proxy.
+    *
+    * Scale notes: the (dj, dk) scatter census is ONE self-join +
+    * partial-agg shuffle into dim² groups (the only corpus-sized
+    * work); the dim²-entry matrix and the iteration itself are
+    * config-sized driver math (the kmeansFitCodes precedent). Exact
+    * longs hold while n²·max|xq|² < 2⁶³ — ~6·10⁵ rows at |x| ≤ 5;
+    * beyond that, shard the scatter sums (they are vector-additive
+    * sufficient statistics) and divide before the iteration.
+    *
+    * @return one row per dimension: (d, v, growth) */
+  def topComponentPower(embs: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 8): DataFrame = {
+    require(iterations >= 1)
+    val sp = embs.sparkSession
+    import sp.implicits._
+    val dims = embs.select(col(idCol).as("vid"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("vid"), col("d"),
+        floor(col("x").cast("double") * 1000d + 0.5d).cast("long").as("xq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = embs.count()
+    val s1 = dims.groupBy(col("d")).agg(sum(col("xq")).as("s1"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s2 = dims.as("a").join(dims.as("b"), "vid")
+      .groupBy(col("a.d").as("dj"), col("b.d").as("dk"))
+      .agg(sum(col("a.xq") * col("b.xq")).as("s"))
+      .collect()    // dim² rows — config-sized, the documented collect
+    dims.unpersist(blocking = false)
+    val dim = s1.size
+    val m = Array.ofDim[Long](dim, dim)
+    s2.foreach { r =>
+      m(r.getInt(0))(r.getInt(1)) =
+        n * r.getLong(2) - s1(r.getInt(0)) * s1(r.getInt(1))
+    }
+    var v = Array.tabulate(dim)(d => if (d == 0) 1024L else 0L)
+    var growth = 1L
+    var it = 0
+    while (it < iterations) {
+      val w = Array.tabulate(dim) { j =>
+        var acc = 0L
+        var k = 0
+        while (k < dim) { acc += m(j)(k) * v(k); k += 1 }
+        acc
+      }
+      growth = w.map(math.abs).max / 1024L + 1L
+      v = w.map(_ / growth)
+      it += 1
+    }
+    val g = growth
+    v.zipWithIndex.map { case (value, d) => (d, value, g) }
+      .toSeq.toDF("d", "v", "growth")
+  }
+
+  /** Per-label mean projection onto [[topComponentPower]]'s direction —
+    * drift along the dominant axis, per class, in integer milli·v
+    * units: `proj_i = Σ_d xq_id·v_d`, reported as the truncated mean
+    * `Σ proj div n` per label. One broadcast of the 64-long direction,
+    * one narrow pass, one label-sized aggregate. */
+  def pcProjectionByLabel(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, iterations: Int = 8): DataFrame = {
+    val dir = topComponentPower(embs, idCol, vecCol, iterations)
+      .select(col("d"), col("v"))
+    val nPer = embs
+      .groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    embs.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x").cast("double") * 1000d + 0.5d).cast("long").as("xq"))
+      .join(broadcast(dir), "d")
+      .groupBy(col("label"))
+      .agg(sum(col("xq") * col("v")).as("proj_sum"))
+      .join(nPer, "label")
+      .select(col("label"), col("n"),
+        expr("proj_sum div n").as("mean_proj"))
+  }
+
   /** Pairwise inter-centroid squared distances over the same
     * milli-quantized census: centroids are the truncated integer means
     * `μ_j = S1_j div n` (Spark `div` ≡ DuckDB `//`, both toward zero),

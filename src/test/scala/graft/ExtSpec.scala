@@ -3205,6 +3205,24 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out("A" -> "C") == ((1L, 1.5d)))    // 1*3/(2*1)
   }
 
+  test("topComponentPower recovers a planted dominant axis") {
+    val s = spark
+    import s.implicits._
+    // spread along u = (0.6, 0.8, 0, 0); tiny orthogonal jitter on dim 2
+    val rows = (0 until 40).map { i =>
+      val a = (i - 20).toFloat * 0.02f
+      val eps = ((i % 5) - 2).toFloat * 0.003f
+      (i.toLong, Seq(0.6f * a, 0.8f * a, eps, 0.0f))
+    }
+    val v = Similarity.topComponentPower(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", iterations = 8)
+      .orderBy(col("d")).collect().map(_.getLong(1).toDouble)
+    val u = Array(0.6, 0.8, 0.0, 0.0)
+    val cos = math.abs(v.zip(u).map { case (a, b) => a * b }.sum) /
+      (math.sqrt(v.map(x => x * x).sum) * 1.0)
+    assert(cos > 0.99, s"direction ${v.toSeq} not aligned with planted axis")
+  }
+
   // ── Agreement (majority vote + Fleiss' kappa) ──────────────────────────
 
   private def panel(rows: (Long, Long)*): DataFrame = {
