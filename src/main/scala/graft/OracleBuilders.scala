@@ -136,7 +136,8 @@ private[graft] object OracleBuilders {
     * then the exact intersection count and the all-integer Jaccard
     * test `td·inter ≥ tn·(szA+szB−inter)`. Every comparison is integer
     * arithmetic, so the two engines agree cell-exactly. */
-  def ppjoinOracleSql(tn: Int, td: Int, where: String = ""): String =
+  def ppjoinOracleSql(tn: Int, td: Int, where: String = "",
+      pairCond: String = ""): String =
     s"""WITH raw AS (SELECT doc_id AS id,
                 unnest(string_split(text, ' ')) AS token
               FROM documents$where),
@@ -163,7 +164,7 @@ private[graft] object OracleBuilders {
          SELECT id_a, id_b, inter,
                 round(inter::DOUBLE / (sz_a + sz_b - inter)::DOUBLE, 6)
                   AS jaccard
-         FROM ver WHERE $td * inter >= $tn * (sz_a + sz_b - inter)
+         FROM ver WHERE $td * inter >= $tn * (sz_a + sz_b - inter)$pairCond
          ORDER BY id_a, id_b"""
 
   /** DuckDB replay of [[graft.ext.Dedup.winnowFingerprints]]: k-gram

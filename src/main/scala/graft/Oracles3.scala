@@ -23,6 +23,12 @@ private[graft] object Oracles3 {
 
     "q_dedup_ppjoin" -> ppjoinOracleSql(9, 10, " WHERE doc_id % 5 = 0"),
 
+    // identical PPJoin pipeline, restricted to pairs touching the
+    // batch (doc_id % 10 = 0) — exactly the incremental contract
+    "q_ppjoin_incremental" -> ppjoinOracleSql(9, 10,
+      " WHERE doc_id % 5 = 0",
+      " AND (id_a % 10 = 0 OR id_b % 10 = 0)"),
+
     "q_winnow_census" -> winnowCensusOracleSql(16, 16),
 
     // the streaming ledger accumulates exactly the per-doc census —

@@ -63,6 +63,19 @@ private[graft] object QueriesDedupSimMm {
           "doc_id", "text", tNum = 9, tDen = 10)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental PPJoin: the %5 gate corpus splits into batch
+    // (doc_id % 10 = 0) and existing; only batch-touching pairs are
+    // found, with full-union df/prefix semantics.
+    "q_ppjoin_incremental" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+      Dedup.ppjoinDupPairsIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", tNum = 9, tDen = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Winnowing (MOSS) fingerprint census: per-doc count of selected
     // (pos, hash) fingerprints, distinct hash count, and a mod-prime
     // checksum — the compact replayable digest of the fingerprint set.

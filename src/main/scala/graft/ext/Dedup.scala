@@ -1158,6 +1158,76 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Incremental arm of [[ppjoinDupPairs]]: only pairs TOUCHING the
+    * new batch — batch × corpus and batch × batch, never corpus ×
+    * corpus (the per-ingest cost, the PPJoin sibling of
+    * [[minhashDupPairsIncremental]]). Document-frequency ordering,
+    * prefixes, and every filter are computed over batch ∪ corpus, so
+    * accepted pairs carry exactly the full-corpus semantics: the
+    * result equals [[ppjoinDupPairs]] over the union restricted to
+    * batch-touching pairs (PropertiesSpec pins it). The prefix-share
+    * theorem is orientation-free (both filters are symmetric), so
+    * probing batch prefixes against all prefixes is complete.
+    * Caller contract: batch and corpus id spaces are disjoint. */
+  def ppjoinDupPairsIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tNum < tDen, "threshold must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    def toks(df: DataFrame, isBatch: Boolean) =
+      df.select(col(idCol).cast("long").as("id"),
+          explode(split(col(textCol), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .distinct()
+        .withColumn("is_batch", lit(isBatch))
+    val tok = toks(batch, isBatch = true)
+      .unionByName(toks(corpus, isBatch = false))
+      .persist(Spill)
+    val sz = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val pfx = tok.join(dfc, "token").join(sz, "id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("token"))))
+      .filter(col("pos") <=
+        expr(s"sz - (($tNum * sz + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("id"), col("sz"), col("pos"), col("token"),
+        col("is_batch"))
+    val a = pfx.filter(col("is_batch"))
+      .select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("pos").as("pos_a"), col("token"))
+    val b = pfx.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("pos").as("pos_b"), col("token"), col("is_batch").as("bb"))
+    // batch×batch pairs would meet in both orientations — id order on
+    // the batch build side dedups; batch×corpus meets exactly once
+    val cand = a.join(b, Seq("token"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (!col("bb") || col("id_a") < col("id_b")))
+      .filter(lit(tNum) * greatest(col("sz_a"), col("sz_b")) <=
+        lit(tDen) * least(col("sz_a"), col("sz_b")))
+      .filter(lit(1) + least(col("sz_a") - col("pos_a"),
+        col("sz_b") - col("pos_b")) >=
+        expr(s"($tNum * (sz_a + sz_b) + ${tNum + tDen - 1})" +
+          s" div ${tNum + tDen}"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("id_a") < col("id_b"), col("sz_a"))
+          .otherwise(col("sz_b")).as("sz_a"),
+        when(col("id_a") < col("id_b"), col("sz_b"))
+          .otherwise(col("sz_a")).as("sz_b"))
+      .distinct()
+    val ta = tok.select(col("id").as("id_a"), col("token"))
+    val tb = tok.select(col("id").as("id_b"), col("token"))
+    cand.join(ta, "id_a").join(tb, Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(lit(tDen) * col("inter") >=
+        lit(tNum) * (col("sz_a") + col("sz_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   // ── Winnowing (MOSS) fingerprints ──────────────────────────────────────
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,

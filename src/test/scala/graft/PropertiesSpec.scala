@@ -314,6 +314,34 @@ object PropertiesSpec extends Properties("graft") {
       got == expect && gotLocal == expect
     }
 
+  property("ppjoinDupPairsIncremental == full PPJoin restricted to batch") =
+    forAll(for {
+      nb <- Gen.choose(1, 4)
+      nc <- Gen.choose(1, 8)
+      mk = Gen.listOf(Gen.oneOf("alpha", "bravo", "carol", "delta",
+        "echo", "fox")).map(_.mkString(" "))
+      bat <- Gen.listOfN(nb, mk)
+      cor <- Gen.listOfN(nc, mk)
+      tn <- Gen.oneOf(1, 2)
+      td <- Gen.oneOf(2, 3)
+    } yield (bat, cor, math.min(tn, td - 1), td)) {
+      case (bat, cor, tn, td) =>
+        val s = spark
+        import s.implicits._
+        val bd = bat.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val cd = cor.zipWithIndex.map { case (t, i) => (100L + i, t) }
+          .toDF("doc_id", "text")
+        def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val inc = pairs(Dedup.ppjoinDupPairsIncremental(bd, cd,
+          "doc_id", "text", tn, td))
+        val full = pairs(Dedup.ppjoinDupPairs(bd.unionByName(cd),
+          "doc_id", "text", tn, td))
+          .filter { case ((a, b), _) => a < 100L || b < 100L }
+        inc == full
+    }
+
   property("winnowOverlapIncremental == full overlap restricted to batch") =
     forAll(for {
       nb <- Gen.choose(1, 4)
