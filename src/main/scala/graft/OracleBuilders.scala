@@ -271,6 +271,27 @@ private[graft] object OracleBuilders {
                ELSE label::BIGINT END AS lab
        FROM embeddings, (SELECT unnest(generate_series(1, 3)) AS a) a)"""
 
+  /** Fleiss' kappa over [[annotatorPanelCte]]: integer sufficient
+    * statistics (S2, C) and one exact ppm-quantized FLOOR division
+    * (the `((num % den + den) % den)` construction — κ can be
+    * negative). Shared by the batch gate and the cell-ledger stream. */
+  def fleissKappaOracleSql: String =
+    s"""WITH $annotatorPanelCte,
+         cell AS (SELECT id, lab, count(*) AS n FROM pan GROUP BY 1, 2),
+         si AS (SELECT count(DISTINCT id)::BIGINT AS n_items,
+                sum(n * n)::BIGINT AS s2 FROM cell),
+         sc AS (SELECT sum(c * c)::BIGINT AS c_sq FROM
+                (SELECT lab, sum(n)::BIGINT AS c FROM cell GROUP BY 1)),
+         t AS (SELECT n_items, s2, c_sq,
+                1000000 * ((3 * n_items) * (s2 - 3 * n_items)
+                  - 2 * c_sq) AS num6,
+                2 * ((3 * n_items) * (3 * n_items) - c_sq) AS den
+              FROM si, sc)
+         SELECT n_items, 3::BIGINT AS n_raters, s2, c_sq,
+                ((num6 - ((num6 % den + den) % den)) // den)::BIGINT
+                  AS kappa_ppm
+         FROM t"""
+
   /** Pairs sharing ≥ minShared rare (df ≤ maxDf) winnowing
     * fingerprints — [[graft.ext.Dedup.winnowOverlapPairs]]'s df gate
     * and inverted self-join replayed over [[winnowFpChainSql]]. */

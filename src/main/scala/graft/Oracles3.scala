@@ -131,24 +131,13 @@ private[graft] object Oracles3 {
          FROM vote v JOIN embeddings t ON t.vec_id = v.id
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // the streaming cell ledger accumulates exactly the panel census —
+    // same oracle as the batch kappa, no stream-specific SQL
+    "q_kappa_stream" -> fleissKappaOracleSql,
+
     // Fleiss' kappa over the same panel: integer sufficient statistics
     // (S2, C), one exact ppm-quantized floor division
-    "q_fleiss_kappa" ->
-      s"""WITH $annotatorPanelCte,
-         cell AS (SELECT id, lab, count(*) AS n FROM pan GROUP BY 1, 2),
-         si AS (SELECT count(DISTINCT id)::BIGINT AS n_items,
-                sum(n * n)::BIGINT AS s2 FROM cell),
-         sc AS (SELECT sum(c * c)::BIGINT AS c_sq FROM
-                (SELECT lab, sum(n)::BIGINT AS c FROM cell GROUP BY 1)),
-         t AS (SELECT n_items, s2, c_sq,
-                1000000 * ((3 * n_items) * (s2 - 3 * n_items)
-                  - 2 * c_sq) AS num6,
-                2 * ((3 * n_items) * (3 * n_items) - c_sq) AS den
-              FROM si, sc)
-         SELECT n_items, 3::BIGINT AS n_raters, s2, c_sq,
-                ((num6 - ((num6 % den + den) % den)) // den)::BIGINT
-                  AS kappa_ppm
-         FROM t""",
+    "q_fleiss_kappa" -> fleissKappaOracleSql,
 
     "q_winnow_overlap" -> winnowOverlapOracleSql(16, 16, 4, 20),
 

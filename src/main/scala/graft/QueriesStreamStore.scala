@@ -614,6 +614,18 @@ private[graft] object QueriesStreamStore {
       finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Streaming arm of the label-agreement gate: each tick writes its
+    // items' vote-cell census (the panel's sufficient statistic, item-
+    // additive); kappa off the merged ledger equals the batch
+    // q_fleiss_kappa (shared oracle) — label hygiene at ingest.
+    "q_kappa_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kap_")
+      try Streaming.kappaAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_kappa"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Streaming arm of the winnowing fingerprint census: each tick
     // fingerprints its own docs (deque kernel) and appends the per-doc
     // census; ticks partition the corpus, so the merged ledger equals

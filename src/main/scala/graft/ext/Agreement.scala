@@ -86,10 +86,21 @@ object Agreement {
     * C is category-additive) — the ingest-ledger pattern.
     *
     * @return one row: (n_items, n_raters, s2, c_sq, kappa_ppm) */
-  def fleissKappa(ratings: DataFrame, nRaters: Int): DataFrame = {
-    val cell = ratings
+  def fleissKappa(ratings: DataFrame, nRaters: Int): DataFrame =
+    fleissKappaFromCells(
+      ratings.groupBy(col("id"), col("lab")).agg(count(lit(1)).as("n")),
+      nRaters)
+
+  /** [[fleissKappa]] from a maintained (id, lab, n) vote-cell census —
+    * the ledger read path: cells are the panel's SUFFICIENT STATISTIC
+    * and item-additive across ingest ticks (each item's ratings derive
+    * from its own row, so ticks partition items), so kappa off the
+    * unioned ledger equals the batch computation at any moment. The
+    * re-aggregation is the usual formality for doc-spanning schemes. */
+  def fleissKappaFromCells(cells: DataFrame, nRaters: Int): DataFrame = {
+    val cell = cells
       .groupBy(col("id"), col("lab"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n"))
     val perItem = cell.agg(
       count_distinct(col("id")).as("n_items"),
       sum(col("n") * col("n")).as("s2"))

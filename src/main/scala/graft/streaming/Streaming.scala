@@ -1774,6 +1774,59 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Vote-cell census maintained at INGEST — label hygiene's ledger:
+    * each tick runs the deterministic annotator panel over ITS labeled
+    * rows ([[graft.ext.Agreement.annotatorLabels]]) and writes the
+    * (id, lab, n) cell census to an idempotent `batch=<id>` subdir.
+    * An item's ratings derive from its own row and ticks partition
+    * items, so the unioned ledger is the panel's sufficient statistic
+    * at any moment: Fleiss' kappa (and any vote report) derives from
+    * census-sized state without rescanning the corpus
+    * ([[graft.ext.Agreement.fleissKappaFromCells]]). */
+  def kappaIngest(items: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String, labelCol: String,
+      nAnnotators: Int, nCats: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.ext.Agreement
+            .annotatorLabels(batch.toDF(), idCol, labelCol,
+              nAnnotators, nCats)
+            .groupBy(col("id"), col("lab"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[kappaIngest]]: labeled vectors arrive in
+    * two hash-split ticks; kappa off the accumulated cell ledger must
+    * equal the batch [[graft.ext.Agreement.fleissKappa]] — the shared
+    * q_fleiss_kappa oracle. */
+  def kappaAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val items = graft.Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val halves = Seq(
+      items.filter(abs(hash(col("vec_id"))) % 2 === 0),
+      items.filter(abs(hash(col("vec_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(kappaIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "vec_id", "label", 3, 10), queryName)
+      graft.ext.Agreement.fleissKappaFromCells(
+        spark.read.parquet(s"$workDir/state"), nRaters = 3)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Collocation censuses maintained at INGEST: per tick, the
     * doc-local unigram counts and adjacent-bigram counts land in
     * idempotent `uni/batch=<id>` / `big/batch=<id>` subdirs. Both

@@ -1147,6 +1147,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chaos: kappaIngest heals a torn batch=0 cell census on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaoskap_")
+    val state = dir.resolve("state").toString
+    try {
+      // plausible-but-wrong debris: votes for an item never rated
+      tearTick(state, 0L, Seq((999L, 4L, 3L)).toDF("id", "lab", "n"))
+      val mem = MemoryStream[(Long, Int)]
+      def stream = mem.toDF().toDF("vec_id", "label")
+      mem.addData(1L -> 2, 2L -> 7)
+      Streaming.kappaIngest(stream, state, dir.resolve("cp").toString,
+        "vec_id", "label", 3, 10).awaitTermination()
+      mem.addData(3L -> 2, 4L -> 5)
+      Streaming.kappaIngest(stream, state, dir.resolve("cp").toString,
+        "vec_id", "label", 3, 10).awaitTermination()
+      val ledger = graft.ext.Agreement.fleissKappaFromCells(
+          s.read.parquet(state), nRaters = 3)
+        .collect().head
+      val batch = graft.ext.Agreement.fleissKappa(
+          graft.ext.Agreement.annotatorLabels(
+            Seq(1L -> 2, 2L -> 7, 3L -> 2, 4L -> 5)
+              .toDF("vec_id", "label"), "vec_id", "label", 3, 10),
+          nRaters = 3)
+        .collect().head
+      assert(ledger.getLong(0) == 4L,
+        "torn tick-0 debris (item 999) must be truncated by the replay")
+      assert(ledger.toSeq == batch.toSeq,
+        "kappa off the merged ledger must equal the batch computation")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("chaos: collocationIngest heals torn batch=0 censuses on replay") {
     val s = spark
     import s.implicits._
