@@ -63,6 +63,14 @@ private[graft] object QueriesDedupSimMm {
           "doc_id", "text", tNum = 9, tDen = 10)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Per-doc shingle novelty: fraction of a doc's distinct 3-gram
+    // shingles seen nowhere else — the template detector's per-doc
+    // view, ppm-quantized for the exact oracle compare.
+    "q_novelty" -> ((s, dir) =>
+      Dedup.noveltyCensus(Tables.read(s, dir, "documents"),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))),
+
     // Incremental PPJoin: the %5 gate corpus splits into batch
     // (doc_id % 10 = 0) and existing; only batch-touching pairs are
     // found, with full-union df/prefix semantics.

@@ -1073,6 +1073,29 @@ object Dedup {
           length(col("chunk")))), lit(0L)).as("known_bytes"))
   }
 
+  /** Per-document shingle NOVELTY census — the template/boilerplate
+    * detector's per-doc view: of a doc's distinct word-n-gram
+    * shingles, how many appear in NO other document. `novelty_ppm`
+    * near 10⁶ is fresh text; near 0 is recycled template. The dual of
+    * the corpus-level diversity/Zipf monitors: same census, attributed
+    * per document so curation can gate on it.
+    *
+    * Scale (100 TB): one shingle census shuffle + one doc-keyed
+    * aggregate — the exact same plan family as [[ngramDupPairs]]'s
+    * build side, no joins beyond the df lookup. */
+  def noveltyCensus(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val rows = shingleRows(docs, idCol, textCol, n)
+      .select(col(idCol).cast("long").as("doc_id"), col("shingle"))
+    val dfc = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    rows.join(dfc, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("(n_unique * 1000000) div n_shingles").as("novelty_ppm"))
+  }
+
   // ── PPJoin: prefix-filtered set-similarity self-join ───────────────────
 
   /** EXACT token-set Jaccard self-join via prefix filtering (PPJoin,
