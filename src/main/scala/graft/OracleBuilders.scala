@@ -1652,4 +1652,46 @@ private[graft] object OracleBuilders {
          SELECT doc_id, round(raw, 6) AS score FROM sc
          ORDER BY score DESC, doc_id LIMIT 25"""
 
+  /** One BM25 scoring generation (Okapi k1=1.2, b=0.75) over the shared
+    * `tok`/`dl`/`stats` CTEs, parameterized by the term predicate —
+    * emitted twice by [[bm25Rm3Oracle]] (seed pass, expanded pass). */
+  private def bm25ScoreCte(suffix: String, termPred: String): String =
+    s"""tf$suffix AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok WHERE $termPred GROUP BY 1, 2),
+       df$suffix AS (SELECT term, count(*)::DOUBLE AS df
+            FROM tf$suffix GROUP BY 1),
+       sc$suffix AS (SELECT tf$suffix.doc_id,
+            sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * (tf$suffix.tf * 2.2)
+                / (tf$suffix.tf
+                   + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+          FROM tf$suffix JOIN df$suffix d USING (term)
+               JOIN dl ON dl.doc_id = tf$suffix.doc_id, stats s
+          GROUP BY 1)"""
+
+  /** DuckDB replay of [[graft.ext.TextAnalysis.bm25Rm3]]: seed BM25
+    * pass → 5 feedback docs (round-then-rank, id tie-break) → 5
+    * most-frequent non-seed terms (count DESC, term ASC) → expanded
+    * BM25 pass. */
+  val bm25Rm3Oracle: String = {
+    val seeds = "('spark', 'merge', 'window')"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         stats AS (SELECT count(*)::DOUBLE AS n,
+                avg(len(l))::DOUBLE AS avgdl FROM t),
+         tok AS (SELECT doc_id, unnest(l) AS term FROM t),
+         dl AS (SELECT doc_id, len(l)::DOUBLE AS dl FROM t),
+         ${bm25ScoreCte("1", s"term IN $seeds")},
+         fb AS (SELECT doc_id FROM
+                (SELECT doc_id, round(raw, 6) AS score FROM sc1)
+              ORDER BY score DESC, doc_id LIMIT 5),
+         exp AS (SELECT term FROM tok JOIN fb USING (doc_id)
+              WHERE term NOT IN $seeds AND term <> ''
+              GROUP BY term ORDER BY count(*) DESC, term LIMIT 5),
+         ${bm25ScoreCte("2",
+      s"term IN $seeds OR term IN (SELECT term FROM exp)")}
+         SELECT doc_id, round(raw, 6) AS score FROM sc2
+         ORDER BY score DESC, doc_id LIMIT 25"""
+  }
+
 }

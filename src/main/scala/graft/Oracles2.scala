@@ -536,6 +536,8 @@ private[graft] object Oracles2 {
 
     "q_bm25" -> bm25Oracle,
 
+    "q_bm25_rm3" -> bm25Rm3Oracle,
+
     // scoring the maintained index equals the ad-hoc corpus scan
     "q_bm25_stream" -> bm25Oracle,
 

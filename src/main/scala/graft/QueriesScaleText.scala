@@ -502,6 +502,16 @@ private[graft] object QueriesScaleText {
           "text", Seq("spark", "merge", "window"), topK = 25)
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // RM3 pseudo-relevance feedback: 5 feedback docs from the seed
+    // BM25 pass, 5 most-frequent non-seed terms mined from them
+    // (count DESC, term ASC — reproducible), re-ranked with the
+    // expanded query. Two corpus-shedding passes, no corpus shuffle.
+    "q_bm25_rm3" -> ((s, dir) =>
+      TextAnalysis.bm25Rm3(Tables.read(s, dir, "documents"), "doc_id",
+          "text", Seq("spark", "merge", "window"),
+          fbDocs = 5, fbTerms = 5, topK = 25)
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // STREAMING text-index maintenance: per-tick postings + lengths
     // (the BM25 sufficient statistic) in idempotent subdirs; scoring
     // the maintained index equals the ad-hoc corpus scan — shared

@@ -687,6 +687,35 @@ object TextAnalysis {
     score.orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
+  /** RM3-style pseudo-relevance feedback on top of [[bm25]]: retrieve
+    * `fbDocs` feedback documents with the seed query, mine the
+    * `fbTerms` most frequent NON-SEED terms from them (count DESC,
+    * term ASC — a total order, so the expansion set is
+    * engine-reproducible), and re-run BM25 with the expanded term set.
+    * This is the classical two-pass query-expansion shape
+    * (Lavrenko/Croft relevance models, simplified to unweighted
+    * expansion — the interpolation weight λ is deliberately dropped so
+    * every intermediate stays integer/6dp-deterministic).
+    *
+    * The feedback ids and expansion terms are (fbDocs + fbTerms)-sized
+    * driver pulls — config-sized collects by the house rule. Both BM25
+    * passes shed the corpus to matching tokens before any shuffle. */
+  def bm25Rm3(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], fbDocs: Int = 5,
+      fbTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0)
+    val fbIds = bm25(docs, idCol, textCol, queryTerms, k1, b, fbDocs)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    val expansion = docs.filter(col(idCol).isin(fbIds: _*))
+      .select(explode(tokens(col(textCol))).as("term"))
+      .filter(!col("term").isin(queryTerms: _*) && col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    bm25(docs, idCol, textCol, queryTerms ++ expansion, k1, b, topK)
+  }
+
   /** The BM25 SUFFICIENT STATISTIC as two maintainable relations: full
     * postings `(id, term, tf)` and per-doc lengths `(id, _dl)`. Doc
     * ids are disjoint across ingest batches, so per-batch indexes
