@@ -165,6 +165,23 @@ private[graft] object Oracles3 {
     "q_winnow_incremental" -> winnowOverlapOracleSql(16, 16, 4, 20,
       " AND (id_a % 10 = 0 OR id_b % 10 = 0)"),
 
+    // the same df-gated join, positions kept: per-pair matched-extent
+    // bounds on both sides (end = last matched pos + k − 1)
+    "q_winnow_spans" ->
+      s"""WITH ${winnowFpChainSql(16, 16)},
+         dfp AS (SELECT DISTINCT id, fp FROM fp),
+         rare AS (SELECT fp FROM dfp GROUP BY 1 HAVING count(*) <= 20),
+         kept AS (SELECT f.id, f.pos, f.fp FROM fp f JOIN rare USING (fp))
+         SELECT a.id AS id_a, b.id AS id_b,
+                count(DISTINCT a.fp)::BIGINT AS shared,
+                min(a.pos)::BIGINT AS a_start,
+                (max(a.pos) + 15)::BIGINT AS a_end,
+                min(b.pos)::BIGINT AS b_start,
+                (max(b.pos) + 15)::BIGINT AS b_end
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 4
+         ORDER BY id_a, id_b""",
+
     "q_triangles" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 200 AS i
               FROM lineitem),

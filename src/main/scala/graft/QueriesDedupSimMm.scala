@@ -136,6 +136,14 @@ private[graft] object QueriesDedupSimMm {
           Tables.read(s, dir, "embeddings"), "embedding", "label")
         .orderBy(col("label_a"), col("label_b"))),
 
+    // Span reconstruction for the overlap survivors: matched-position
+    // extents on both sides (MOSS's "where" report) — same pairs and
+    // gate as q_winnow_overlap, positions kept as join payload.
+    "q_winnow_spans" -> ((s, dir) =>
+      Dedup.winnowOverlapSpans(Tables.read(s, dir, "documents"),
+          "doc_id", "text", k = 16, w = 16, minShared = 4, maxFpDf = 20)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Incremental ingest arm: only overlap pairs touching the new
     // batch (doc_id % 10 = 0) are found — existing × existing is never
     // compared, the per-batch cost at scale.

@@ -1393,6 +1393,43 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Span reconstruction for [[winnowOverlapPairs]] survivors — the
+    * "WHERE does the overlap live" report MOSS renders: for each
+    * qualifying pair, the extent of matched k-gram positions on both
+    * sides (`*_start` = first matched position, `*_end` = last matched
+    * position + k − 1, i.e. 1-based inclusive char bounds). Shared
+    * count is DISTINCT hashes, matching [[winnowOverlapPairs]] exactly
+    * (same pairs, same gate) — this op just refuses to throw the
+    * positions away. A fingerprint hash repeated within a document
+    * contributes all its positions to the extent, which is the honest
+    * reading (the span covers every place the match occurs).
+    *
+    * Scale: identical plan family to the pair detector (df-gated
+    * inverted self-join); positions ride the join as payload. */
+  def winnowOverlapSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8, minShared: Long = 3,
+      maxFpDf: Long = 40): DataFrame = {
+    require(maxFpDf >= 2, "df gate below 2 drops every shared fingerprint")
+    val fps = winnowFingerprintsLocal(docs, idCol, textCol, k, w)
+      .persist(Spill)
+    val rare = fps.select(col("id"), col("fp")).distinct()
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(countDistinct(col("a.fp")).as("shared"),
+        min(col("a.pos")).as("a_start"),
+        (max(col("a.pos")) + (k - 1)).as("a_end"),
+        min(col("b.pos")).as("b_start"),
+        (max(col("b.pos")) + (k - 1)).as("b_end"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Incremental arm of [[winnowOverlapPairs]]: only pairs TOUCHING the
     * new batch are found — batch × corpus and batch × batch, never
     * corpus × corpus (the per-ingest cost at scale, the winnowing
