@@ -1265,6 +1265,42 @@ private[graft] object OracleBuilders {
          SELECT id AS doc_id, rank AS rank_e12 FROM it$iters
          ORDER BY doc_id"""
 
+  /** [[simhashEdgesCte]] with every CTE name suffixed and an optional
+    * doc filter — lets one query carry TWO edge/cluster generations
+    * (e.g. corpus-without-batch vs full corpus for the split-stability
+    * diagnostic). Emits the chain through `edges$sfx`. */
+  def simhashEdgesCteNamed(sfx: String, where: String = ""): String =
+    s"""tok$sfx AS (SELECT doc_id, text, string_split(text, ' ') AS l
+              FROM documents$where),
+         shl$sfx AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok$sfx),
+         sh$sfx AS (SELECT doc_id, unnest(ss) AS s FROM shl$sfx),
+         h$sfx AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h
+              FROM sh$sfx),
+         bits$sfx AS (SELECT doc_id, p.p AS p,
+                CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h$sfx, (SELECT unnest(generate_series(0, 59)) AS p) p),
+         sv$sfx AS (SELECT doc_id, p, sum(v) AS sv FROM bits$sfx
+              GROUP BY doc_id, p),
+         sig$sfx AS (SELECT doc_id,
+                sum(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+                         ELSE 0 END)::BIGINT AS simhash
+              FROM sv$sfx GROUP BY doc_id),
+         chunked$sfx AS (SELECT doc_id, simhash, c.c AS chunk,
+                (simhash >> (c.c * 8)) & 255 AS ckey
+              FROM sig$sfx, (SELECT unnest(generate_series(0, 7)) AS c) c),
+         prs$sfx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM chunked$sfx a JOIN chunked$sfx b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey
+                   AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash::UBIGINT,
+                b.simhash::UBIGINT)) <= 7),
+         edges$sfx AS (SELECT id_a AS src, id_b AS dst FROM prs$sfx
+                   UNION ALL SELECT id_b, id_a FROM prs$sfx)"""
+
   /** Shared simhash near-dup EDGE relation (CTE chain through
     * `edges`): used by the clusters oracle and the PageRank oracle. */
   val simhashEdgesCte =

@@ -99,6 +99,45 @@ private[graft] object Oracles3 {
            ON a.d = b.d AND a.label < b.label
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // split-stability diagnostic: group-split labels of EXISTING docs
+    // before vs after the batch (doc_id % 10 = 0) joins the corpus —
+    // two suffixed cluster generations in one recursive query
+    "q_split_stability" -> {
+      def splitCase(col: String) =
+        s"""CASE WHEN ('0x' || substr(md5($col::VARCHAR), 1, 15))
+               ::UBIGINT % 100 < 80 THEN 'train'
+             WHEN ('0x' || substr(md5($col::VARCHAR), 1, 15))
+               ::UBIGINT % 100 < 90 THEN 'val'
+             ELSE 'test' END"""
+      s"""WITH RECURSIVE
+         ${simhashEdgesCteNamed("o", " WHERE doc_id % 10 <> 0")},
+         reacho(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edgeso
+             UNION
+             SELECT e.dst, r.lbl FROM reacho r
+                  JOIN edgeso e ON e.src = r.id),
+         cluso AS (SELECT id, min(lbl)::BIGINT AS cluster_id
+              FROM reacho GROUP BY id),
+         ${simhashEdgesCteNamed("n")},
+         reachn(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edgesn
+             UNION
+             SELECT e.dst, r.lbl FROM reachn r
+                  JOIN edgesn e ON e.src = r.id),
+         clusn AS (SELECT id, min(lbl)::BIGINT AS cluster_id
+              FROM reachn GROUP BY id),
+         ko AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS gk
+              FROM documents d LEFT JOIN cluso c ON c.id = d.doc_id
+              WHERE d.doc_id % 10 <> 0),
+         kn AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS gk
+              FROM documents d LEFT JOIN clusn c ON c.id = d.doc_id),
+         lo AS (SELECT doc_id, ${splitCase("gk")} AS split_old FROM ko),
+         lbn AS (SELECT doc_id, ${splitCase("gk")} AS split_new FROM kn)
+         SELECT lo.split_old, lbn.split_new, count(*)::BIGINT AS n_docs
+         FROM lo JOIN lbn USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
     // group-atomic split: near-dup clusters (recursive min-label over
     // the simhash graph) supply the hash key; singletons use their own
     // id; n_moved counts row-level labels the group key overrode

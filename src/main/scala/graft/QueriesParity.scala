@@ -412,6 +412,38 @@ private[graft] object QueriesParity {
         .orderBy(col("split"))
     }),
 
+    // Split-STABILITY diagnostic: when the batch (doc_id % 10 = 0)
+    // joins the corpus, new near-dup edges can re-root existing
+    // clusters and flip existing docs' group-split labels — the
+    // (old, new) label matrix quantifies exactly that churn, the
+    // hazard a group-atomic split must monitor at ingest.
+    "q_split_stability" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val cuts = Seq("train" -> 80, "val" -> 90)
+      def gkeys(d: DataFrame) = {
+        val clus = graft.ext.Dedup.dupClusters(
+            graft.ext.Dedup.simhashDupPairs(d, "doc_id", "text",
+              maxHamming = 7))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        d.select(col("doc_id")).join(clus, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("gk"))
+      }
+      val oldL = gkeys(existing)
+        .select(col("doc_id"),
+          graft.ext.Sampling.splitLabel(col("gk"), cuts, "test")
+            .as("split_old"))
+      val newL = gkeys(docs)
+        .select(col("doc_id"),
+          graft.ext.Sampling.splitLabel(col("gk"), cuts, "test")
+            .as("split_new"))
+      oldL.join(newL, "doc_id")
+        .groupBy(col("split_old"), col("split_new"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split_old"), col("split_new"))
+    }),
+
     // Deterministic stratified sampling: per-language keep rates (the
     // training-mix reweighting op), reproducible on any engine.
     "q_stratified" -> ((s, dir) =>
