@@ -99,6 +99,57 @@ private[graft] object Oracles3 {
            ON a.d = b.d AND a.label < b.label
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // deterministic word dropout: 0-based position draw mirrored
+    // ((i - 1) — DuckDB lists are 1-based), all-dropped docs md5("")
+    "q_aug_dropout" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+         a AS (SELECT doc_id, unnest([{'p': i - 1, 'w': l[i]}
+                  for i in generate_series(1, len(l))]) AS z FROM t),
+         k AS (SELECT doc_id, z.p AS pos, z.w AS token,
+                ('0x' || substr(md5(doc_id::VARCHAR || ':'
+                    || z.p::VARCHAR), 1, 15))::UBIGINT % 100 >= 15
+                  AS keep
+              FROM a)
+         SELECT doc_id, count(*)::BIGINT AS n_orig,
+                (count(*) FILTER (WHERE keep))::BIGINT AS n_kept,
+                md5(coalesce(string_agg(token, ' ' ORDER BY pos)
+                  FILTER (WHERE keep), '')) AS aug_md5
+         FROM k GROUP BY 1 ORDER BY doc_id""",
+
+    // near-dup pairs labeled by the rounded quality score; rounded
+    // ties dropped (no deterministic winner)
+    "q_preference_pairs" ->
+      s"""WITH $simhashEdgesCte,
+         tq AS (SELECT doc_id, text,
+                len(string_split(text, ' ')) AS n_tokens,
+                length(text) AS n,
+                len(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','and','of','to','in',
+                    'is','it','that','for'], x))) AS n_stop
+              FROM documents),
+         mq AS (SELECT doc_id, n_tokens,
+                (n - (n_tokens - 1))::DOUBLE / n_tokens::DOUBLE AS mtl,
+                length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                  / greatest(n, 1)::DOUBLE AS pr,
+                n_stop::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS sr
+              FROM tq),
+         qual AS (SELECT doc_id,
+                round(25.0 * least(n_tokens::DOUBLE / 50.0, 1.0)
+                      + 25.0 * least(mtl / 6.0, 1.0)
+                      + 25.0 * (1.0 - pr)
+                      + 25.0 * least(sr * 8.0, 1.0), 6) AS q
+              FROM mq)
+         SELECT CASE WHEN qa.q > qb.q THEN p.id_a ELSE p.id_b END
+                  AS chosen_id,
+                CASE WHEN qa.q > qb.q THEN p.id_b ELSE p.id_a END
+                  AS rejected_id,
+                round(abs(qa.q - qb.q), 6) AS margin
+         FROM prs p JOIN qual qa ON qa.doc_id = p.id_a
+              JOIN qual qb ON qb.doc_id = p.id_b
+         WHERE qa.q <> qb.q
+         ORDER BY chosen_id, rejected_id""",
+
     // split-stability diagnostic: group-split labels of EXISTING docs
     // before vs after the batch (doc_id % 10 = 0) joins the corpus —
     // two suffixed cluster generations in one recursive query

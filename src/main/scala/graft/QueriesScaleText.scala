@@ -991,6 +991,24 @@ private[graft] object QueriesScaleText {
           col("conf_ab"), col("conf_ba"), col("lift"))
         .orderBy(col("item_a"), col("item_b"))),
 
+    // Deterministic word-dropout augmentation: token (d, p) drops iff
+    // md5bucket("d:p") < 15 — the augmented corpus is a pure function
+    // of the data, reproducible on any engine/partitioning. Gated on
+    // the augmented text's md5.
+    "q_aug_dropout" -> ((s, dir) =>
+      graft.ext.Curation.wordDropout(Tables.read(s, dir, "documents"),
+          "doc_id", "text", dropPct = 15)
+        .orderBy(col("doc_id"))),
+
+    // Preference pairs minted from the corpus's own duplication: near-
+    // dup pairs labeled chosen/rejected by the deterministic quality
+    // score (rounded ties dropped) — DPO/reward-model data from dedup
+    // byproducts.
+    "q_preference_pairs" -> ((s, dir) =>
+      graft.ext.Curation.preferencePairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 7)
+        .orderBy(col("chosen_id"), col("rejected_id"))),
+
     // Label hygiene: a deterministic 3-annotator panel (a·10% md5-drawn
     // noise each) collapsed by majority vote with a smallest-label tie
     // break; the confusion census vs truth is the panel's quality

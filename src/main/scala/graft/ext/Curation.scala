@@ -773,4 +773,65 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"),
         min(col("phrase")).as("first_phrase"))
   }
+
+  // ── Data augmentation ───────────────────────────────────────────────────
+
+  /** Deterministic word-dropout augmentation census (the EDA-family
+    * "random deletion", with the randomness replaced by the repo's
+    * md5Top60 discipline): token at 0-based position p of document d
+    * is dropped iff `md5bucket("d:p") < dropPct` — a pure function of
+    * (doc, position), so the augmented corpus is identical on any
+    * engine, any partitioning, and any re-run (the property synthetic
+    * training data MUST have, or shuffles change the dataset). Reports
+    * the augmented text's md5 rather than the text (byte-exact gate,
+    * small output). All-dropped documents report md5("").
+    *
+    * Scale: one narrow posexplode + one doc-keyed aggregate — no
+    * joins, no windows. */
+  def wordDropout(docs: DataFrame, idCol: String, textCol: String,
+      dropPct: Int = 15): DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .withColumn("keep",
+        Sampling.hashBucket(
+          concat(col("id"), lit(":"), col("pos")), 100) >= dropPct)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_orig"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        md5(array_join(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("token"))))).getField("token"),
+          " ")).as("aug_md5"))
+  }
+
+  /** Preference-pair construction for reward-model / DPO-style data:
+    * near-duplicate document pairs (SimHash Hamming ≤ maxHamming —
+    * same content, different renditions) labeled by the deterministic
+    * [[TextAnalysis.qualityScore]]: the higher-quality copy is
+    * `chosen`, the lower `rejected`, `margin` the rounded score gap.
+    * Rounded-score ties are DROPPED (no deterministic winner — and a
+    * zero-margin pair teaches nothing). This is the standard trick for
+    * minting preference data from a corpus's own duplication
+    * structure: the pair is near-identical in content, so the score
+    * gap isolates form quality.
+    *
+    * Scale: the pair relation is the pigeonhole-bounded SimHash join;
+    * quality is a narrow per-row expression joined twice by id. */
+  def preferencePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    val q = docs.select(col(idCol).cast("long").as("id"),
+      round(TextAnalysis.qualityScore(col(textCol)), 6).as("q"))
+    Dedup.simhashDupPairs(docs, idCol, textCol, maxHamming)
+      .join(q.select(col("id").as("id_a"), col("q").as("q_a")), "id_a")
+      .join(q.select(col("id").as("id_b"), col("q").as("q_b")), "id_b")
+      .filter(col("q_a") =!= col("q_b"))
+      .select(
+        when(col("q_a") > col("q_b"), col("id_a")).otherwise(col("id_b"))
+          .as("chosen_id"),
+        when(col("q_a") > col("q_b"), col("id_b")).otherwise(col("id_a"))
+          .as("rejected_id"),
+        round(abs(col("q_a") - col("q_b")), 6).as("margin"))
+  }
 }
