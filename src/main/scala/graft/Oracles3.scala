@@ -117,6 +117,29 @@ private[graft] object Oracles3 {
                   FILTER (WHERE keep), '')) AS aug_md5
          FROM k GROUP BY 1 ORDER BY doc_id""",
 
+    // adjacent-pair swap: disjoint pairs, pos xor 1 remap, draws keyed
+    // by (doc, pair index)
+    "q_aug_swap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+                len(string_split(text, ' ')) - 1 AS max_pos
+              FROM documents),
+         a AS (SELECT doc_id, max_pos, unnest([{'p': i - 1, 'w': l[i]}
+                  for i in generate_series(1, len(l))]) AS z FROM t),
+         k AS (SELECT doc_id, z.p AS pos, z.w AS token,
+                ('0x' || substr(md5(doc_id::VARCHAR || ':s:'
+                    || (z.p // 2)::VARCHAR), 1, 15))::UBIGINT % 100 < 30
+                  AND (z.p // 2) * 2 + 1 <= max_pos AS swapped
+              FROM a),
+         r AS (SELECT doc_id, token, swapped,
+                CASE WHEN swapped THEN xor(pos::BIGINT, 1)
+                     ELSE pos::BIGINT END AS new_pos
+              FROM k)
+         SELECT doc_id,
+                (count(*) FILTER (WHERE swapped))::BIGINT
+                  AS n_swapped_tokens,
+                md5(string_agg(token, ' ' ORDER BY new_pos)) AS aug_md5
+         FROM r GROUP BY 1 ORDER BY doc_id""",
+
     // near-dup pairs labeled by the rounded quality score; rounded
     // ties dropped (no deterministic winner)
     "q_preference_pairs" ->

@@ -1000,6 +1000,13 @@ private[graft] object QueriesScaleText {
           "doc_id", "text", dropPct = 15)
         .orderBy(col("doc_id"))),
 
+    // Deterministic adjacent-word swap over disjoint pairs — the
+    // second EDA augmentation arm, same reproducibility contract.
+    "q_aug_swap" -> ((s, dir) =>
+      graft.ext.Curation.wordSwap(Tables.read(s, dir, "documents"),
+          "doc_id", "text", swapPct = 30)
+        .orderBy(col("doc_id"))),
+
     // Preference pairs minted from the corpus's own duplication: near-
     // dup pairs labeled chosen/rejected by the deterministic quality
     // score (rounded ties dropped) — DPO/reward-model data from dedup

@@ -806,6 +806,35 @@ object Curation {
           " ")).as("aug_md5"))
   }
 
+  /** Deterministic adjacent-word swap augmentation (EDA's "random
+    * swap", restricted to DISJOINT adjacent pairs so draws can never
+    * conflict): tokens (2i, 2i+1) swap iff `md5bucket("d:s:i") <
+    * swapPct` and the pair is complete. The position remap is
+    * `pos xor 1` within a swapped pair — a permutation, so the
+    * reassembled text is well-defined and identical on any engine.
+    * Same census shape as [[wordDropout]]. */
+  def wordSwap(docs: DataFrame, idCol: String, textCol: String,
+      swapPct: Int = 30): DataFrame = {
+    require(swapPct >= 0 && swapPct <= 100)
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+    val nTok = docs.select(col(idCol).cast("long").as("id"),
+      (size(split(col(textCol), " ")) - 1).as("max_pos"))
+    base.join(nTok, "id")
+      .withColumn("pair", expr("pos div 2"))
+      .withColumn("swapped",
+        Sampling.hashBucket(
+          concat(col("id"), lit(":s:"), col("pair")), 100) < swapPct &&
+          col("pair") * 2 + 1 <= col("max_pos"))
+      .withColumn("new_pos",
+        when(col("swapped"), expr("pos ^ 1")).otherwise(col("pos")))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(when(col("swapped"), 1)).as("n_swapped_tokens"),
+        md5(array_join(
+          array_sort(collect_list(struct(col("new_pos"), col("token"))))
+            .getField("token"), " ")).as("aug_md5"))
+  }
+
   /** Preference-pair construction for reward-model / DPO-style data:
     * near-duplicate document pairs (SimHash Hamming ≤ maxHamming —
     * same content, different renditions) labeled by the deterministic
