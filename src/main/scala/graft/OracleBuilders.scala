@@ -243,6 +243,41 @@ private[graft] object OracleBuilders {
        SELECT v.d, v.v, n$iters.dn AS growth
        FROM v$iters v, n$iters ORDER BY v.d"""
 
+  /** DuckDB replay of [[graft.ext.Similarity.secondComponentPower]]:
+    * the [[powerIterationChainSql]] chain supplies v₁, then `iters`
+    * DEFLATED generations — matvec (`sw$i`), rescale to 2²⁰
+    * (`sd1x$i`/`sw1x$i`), integer orthogonal-complement projection
+    * `(v₁·v₁)·w − (w·v₁)·v₁` (`swv$i`/`sw2x$i`), rescale to 2¹⁰
+    * (`sd2x$i`/`u$i`). */
+  def secondPcOracleSql(iters: Int): String = {
+    val gens = (1 to iters).map { i =>
+      s"""sw$i AS MATERIALIZED (SELECT cov.dj AS d,
+            sum(cov.m * u${i - 1}.v)::BIGINT AS w
+          FROM cov JOIN u${i - 1} ON u${i - 1}.d = cov.dk GROUP BY 1),
+       sd1x$i AS (SELECT (max(abs(w)) // 1048576 + 1)::BIGINT AS dn
+          FROM sw$i),
+       sw1x$i AS MATERIALIZED (SELECT d, (w // dn)::BIGINT AS w
+          FROM sw$i, sd1x$i),
+       swv$i AS (SELECT sum(a.w * b.v)::BIGINT AS wv
+          FROM sw1x$i a JOIN v$iters b USING (d)),
+       sw2x$i AS MATERIALIZED (SELECT a.d,
+            (vvx.vv * a.w - s.wv * b.v)::BIGINT AS w
+          FROM sw1x$i a JOIN v$iters b USING (d), vvx, swv$i s),
+       sd2x$i AS (SELECT (max(abs(w)) // 1024 + 1)::BIGINT AS dn
+          FROM sw2x$i),
+       u$i AS (SELECT d, (w // dn)::BIGINT AS v FROM sw2x$i, sd2x$i)"""
+    }.mkString(",\n       ")
+    s"""WITH ${powerIterationChainSql(iters)},
+       vvx AS (SELECT sum(v * v)::BIGINT AS vv FROM v$iters),
+       u0 AS (SELECT d, CASE WHEN d = 1 THEN 1024::BIGINT
+                             ELSE 0::BIGINT END AS v
+            FROM (SELECT DISTINCT d FROM q)),
+       $gens,
+       dv AS (SELECT sum(a.v * b.v)::BIGINT AS dot_v1
+            FROM u$iters a JOIN v$iters b USING (d))
+       SELECT u.d, u.v, dv.dot_v1 FROM u$iters u, dv ORDER BY u.d"""
+  }
+
   /** Per-label truncated mean projection onto the iterated direction —
     * [[graft.ext.Similarity.pcProjectionByLabel]]'s replay. */
   def pcProjectionOracleSql(iters: Int): String =

@@ -60,6 +60,10 @@ private[graft] object Oracles3 {
 
     "q_pc_project_label" -> pcProjectionOracleSql(8),
 
+    // deflated second-component chain: v1's generations plus 8 more
+    // with the integer orthogonal-complement projection
+    "q_embed_pc2" -> secondPcOracleSql(8),
+
     // per-label dispersion from milli-quantized integer sufficient
     // statistics; disp = (n·S2 − Σ S1²) // n² (non-negative by
     // Cauchy–Schwarz, so truncation == floor)

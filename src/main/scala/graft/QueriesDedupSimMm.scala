@@ -113,6 +113,15 @@ private[graft] object QueriesDedupSimMm {
           iterations = 8)
         .orderBy(col("d"))),
 
+    // Second principal component via deflated integer power iteration
+    // — the whitening axis PAIR; dot_v1 reports the residual alignment
+    // (≈ 0) a consumer checks before trusting the axes.
+    "q_embed_pc2" -> ((s, dir) =>
+      graft.ext.Similarity.secondComponentPower(
+          Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+          iterations = 8)
+        .orderBy(col("d"))),
+
     // Per-label mean projection onto that direction: class drift along
     // the dominant embedding axis, truncated-integer means.
     "q_pc_project_label" -> ((s, dir) =>

@@ -1194,6 +1194,23 @@ object Similarity {
     require(iterations >= 1)
     val sp = embs.sparkSession
     import sp.implicits._
+    val m = scatterMatrix(embs, idCol, vecCol)
+    val (v, growth) = powerLoop(m, 0, iterations)
+    v.zipWithIndex.map { case (value, d) => (d, value, growth) }
+      .toSeq.toDF("d", "v", "growth")
+  }
+
+  /** The milli-quantized scaled scatter matrix `M = n·Σxxᵀ − S1S1ᵀ` as
+    * dim² driver-side longs (config-sized collect — the kmeansFitCodes
+    * precedent), with the matvec-exactness guard: every power-method
+    * product must stay under 2⁶³, i.e. `dim·max|M|·1024 < 2⁶³`.
+    * Worst-case that binds around n ≈ 2·10⁴ rows at |x| ≤ 0.6, though
+    * real (near-diagonal) spectra leave orders more headroom — the
+    * require turns a silent Scala wrap into a loud failure naming the
+    * fix (shard the vector-additive scatter sums, or divide M by a
+    * power of two before iterating; both stay deterministic). */
+  private def scatterMatrix(embs: DataFrame, idCol: String,
+      vecCol: String): Array[Array[Long]] = {
     val dims = embs.select(col(idCol).as("vid"),
         posexplode(col(vecCol)).as(Seq("d", "x")))
       .select(col("vid"), col("d"),
@@ -1213,7 +1230,20 @@ object Similarity {
       m(r.getInt(0))(r.getInt(1)) =
         n * r.getLong(2) - s1(r.getInt(0)) * s1(r.getInt(1))
     }
-    var v = Array.tabulate(dim)(d => if (d == 0) 1024L else 0L)
+    val maxM = m.flatten.map(math.abs).max max 1L
+    require(maxM <= Long.MaxValue / (dim.toLong * 1024L),
+      s"scatter entries up to $maxM would overflow the integer matvec —" +
+        " shard the scatter sums or pre-divide M by a power of two")
+    m
+  }
+
+  /** Fixed-iteration integer power loop over a driver-side matrix:
+    * truncating rescale `denom = max|w| div 1024 + 1` each round keeps
+    * `max|v| < 1024`. Returns (vector, last denom = growth proxy). */
+  private def powerLoop(m: Array[Array[Long]], start: Int,
+      iterations: Int): (Array[Long], Long) = {
+    val dim = m.length
+    var v = Array.tabulate(dim)(d => if (d == start) 1024L else 0L)
     var growth = 1L
     var it = 0
     while (it < iterations) {
@@ -1227,9 +1257,57 @@ object Similarity {
       v = w.map(_ / growth)
       it += 1
     }
-    val g = growth
-    v.zipWithIndex.map { case (value, d) => (d, value, g) }
-      .toSeq.toDF("d", "v", "growth")
+    (v, growth)
+  }
+
+  /** SECOND principal component by deflated integer power iteration:
+    * run [[topComponentPower]]'s loop for v₁, then iterate from
+    * `u₀ = 1024·e₁` with the v₁-component projected out each round —
+    * in scaled integer arithmetic, `w′ = (v₁·v₁)·w − (w·v₁)·v₁` (the
+    * orthogonal-complement projection cleared of its rational), with
+    * TWO truncating rescales per round (to 2²⁰ before the projection
+    * so its products stay ≤ ~10¹⁴, then to 2¹⁰) — every step one of
+    * the long operations both engines reproduce bit-exactly. The
+    * `dot_v1` report column is the residual v₂·v₁ alignment (≈ 0) —
+    * the self-check a whitening consumer reads before trusting the
+    * axis pair.
+    *
+    * @return one row per dimension: (d, v, dot_v1) */
+  def secondComponentPower(embs: DataFrame, idCol: String,
+      vecCol: String, iterations: Int = 8): DataFrame = {
+    require(iterations >= 1)
+    val sp = embs.sparkSession
+    import sp.implicits._
+    val m = scatterMatrix(embs, idCol, vecCol)
+    val dim = m.length
+    val (v1, _) = powerLoop(m, 0, iterations)
+    var vv = 0L
+    v1.foreach(x => vv += x * x)
+    var u = Array.tabulate(dim)(d => if (d == 1) 1024L else 0L)
+    var it = 0
+    while (it < iterations) {
+      val w = Array.tabulate(dim) { j =>
+        var acc = 0L
+        var k = 0
+        while (k < dim) { acc += m(j)(k) * u(k); k += 1 }
+        acc
+      }
+      val d1 = w.map(math.abs).max / 1048576L + 1L
+      val w1 = w.map(_ / d1)
+      var wv = 0L
+      var k = 0
+      while (k < dim) { wv += w1(k) * v1(k); k += 1 }
+      val w2 = Array.tabulate(dim)(j => vv * w1(j) - wv * v1(j))
+      val d2 = w2.map(math.abs).max / 1024L + 1L
+      u = w2.map(_ / d2)
+      it += 1
+    }
+    var dot = 0L
+    var k = 0
+    while (k < dim) { dot += u(k) * v1(k); k += 1 }
+    val dotF = dot
+    u.zipWithIndex.map { case (value, d) => (d, value, dotF) }
+      .toSeq.toDF("d", "v", "dot_v1")
   }
 
   /** Per-label mean projection onto [[topComponentPower]]'s direction —

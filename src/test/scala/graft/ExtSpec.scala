@@ -3223,6 +3223,23 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(cos > 0.99, s"direction ${v.toSeq} not aligned with planted axis")
   }
 
+  test("secondComponentPower recovers the planted second axis") {
+    val s = spark
+    import s.implicits._
+    // dominant spread on u1 = (0.6, 0.8, 0, 0), second on u2 = e2
+    val rows = (0 until 40).map { i =>
+      val a = (i - 20).toFloat * 0.02f           // big along u1
+      val b = ((i * 7) % 11 - 5).toFloat * 0.004f // smaller along e2
+      (i.toLong, Seq(0.6f * a, 0.8f * a, b, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val v2 = Similarity.secondComponentPower(df, "vec_id", "embedding",
+        iterations = 8)
+      .orderBy(col("d")).collect().map(_.getLong(1).toDouble)
+    val cos = math.abs(v2(2)) / math.sqrt(v2.map(x => x * x).sum)
+    assert(cos > 0.99, s"second axis ${v2.toSeq} not aligned with e2")
+  }
+
   // ── Agreement (majority vote + Fleiss' kappa) ──────────────────────────
 
   private def panel(rows: (Long, Long)*): DataFrame = {
