@@ -64,6 +64,10 @@ private[graft] object Oracles3 {
     // with the integer orthogonal-complement projection
     "q_embed_pc2" -> secondPcOracleSql(8),
 
+    // the scatter ledger sums to exactly the batch statistics —
+    // same oracle as the batch top-PC, no stream-specific SQL
+    "q_top_pc_stream" -> topPcOracleSql(8),
+
     // per-label dispersion from milli-quantized integer sufficient
     // statistics; disp = (n·S2 − Σ S1²) // n² (non-negative by
     // Cauchy–Schwarz, so truncation == floor)

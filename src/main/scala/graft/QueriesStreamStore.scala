@@ -614,6 +614,20 @@ private[graft] object QueriesStreamStore {
       finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // Streaming arm of the whitening direction: each tick writes its
+    // vectors' integer scatter censuses (n, S1, sum xx^T — all vector-
+    // additive); the top-PC off the summed ledger equals the batch
+    // q_embed_top_pc (shared oracle) — dim^2-sized state, corpus never
+    // rescanned.
+    "q_top_pc_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scat_")
+      try Streaming.scatterAvailableNow(s, dir, tmp.toString,
+          Streaming.nextQueryName("graft_scatter"), 8)
+        .orderBy(col("d"))
+        .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Streaming arm of the label-agreement gate: each tick writes its
     // items' vote-cell census (the panel's sufficient statistic, item-
     // additive); kappa off the merged ledger equals the batch

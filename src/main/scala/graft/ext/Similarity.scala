@@ -1209,12 +1209,33 @@ object Similarity {
     * require turns a silent Scala wrap into a loud failure naming the
     * fix (shard the vector-additive scatter sums, or divide M by a
     * power of two before iterating; both stay deterministic). */
-  private def scatterMatrix(embs: DataFrame, idCol: String,
-      vecCol: String): Array[Array[Long]] = {
-    val dims = embs.select(col(idCol).as("vid"),
+  /** The milli-quantized (vid, d, xq) relation every scatter consumer
+    * shares — batch matrix assembly and the per-tick ingest ledger
+    * hash IDENTICAL longs, which is what lets them share an oracle. */
+  private[graft] def quantizedDims(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    embs.select(col(idCol).as("vid"),
         posexplode(col(vecCol)).as(Seq("d", "x")))
       .select(col("vid"), col("d"),
         floor(col("x").cast("double") * 1000d + 0.5d).cast("long").as("xq"))
+
+  /** Assemble `M = n·Σxxᵀ − S1S1ᵀ` from the integer sufficient
+    * statistics, with the matvec-exactness guard. */
+  private[graft] def assembleScatter(n: Long, s1: Map[Int, Long],
+      s2: Seq[(Int, Int, Long)]): Array[Array[Long]] = {
+    val dim = s1.size
+    val m = Array.ofDim[Long](dim, dim)
+    s2.foreach { case (j, k, s) => m(j)(k) = n * s - s1(j) * s1(k) }
+    val maxM = m.flatten.map(math.abs).max max 1L
+    require(maxM <= Long.MaxValue / (dim.toLong * 1024L),
+      s"scatter entries up to $maxM would overflow the integer matvec —" +
+        " shard the scatter sums or pre-divide M by a power of two")
+    m
+  }
+
+  private def scatterMatrix(embs: DataFrame, idCol: String,
+      vecCol: String): Array[Array[Long]] = {
+    val dims = quantizedDims(embs, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = embs.count()
     val s1 = dims.groupBy(col("d")).agg(sum(col("xq")).as("s1"))
@@ -1223,18 +1244,31 @@ object Similarity {
       .groupBy(col("a.d").as("dj"), col("b.d").as("dk"))
       .agg(sum(col("a.xq") * col("b.xq")).as("s"))
       .collect()    // dim² rows — config-sized, the documented collect
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
     dims.unpersist(blocking = false)
-    val dim = s1.size
-    val m = Array.ofDim[Long](dim, dim)
-    s2.foreach { r =>
-      m(r.getInt(0))(r.getInt(1)) =
-        n * r.getLong(2) - s1(r.getInt(0)) * s1(r.getInt(1))
-    }
-    val maxM = m.flatten.map(math.abs).max max 1L
-    require(maxM <= Long.MaxValue / (dim.toLong * 1024L),
-      s"scatter entries up to $maxM would overflow the integer matvec —" +
-        " shard the scatter sums or pre-divide M by a power of two")
-    m
+    assembleScatter(n, s1, s2)
+  }
+
+  /** [[topComponentPower]] from MAINTAINED scatter ledgers — the read
+    * path of [[graft.streaming.Streaming.scatterIngest]]: n, S1, and
+    * Σxxᵀ are all vector-additive, so summing the per-tick censuses
+    * reproduces the batch matrix exactly and the iteration (driver
+    * math) is identical — the whitening direction derives from
+    * dim²-sized state at any moment, corpus never rescanned. */
+  def topComponentFromLedger(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, iterations: Int = 8): DataFrame = {
+    import spark.implicits._
+    val n = spark.read.parquet(s"$statePath/n")
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val s1 = spark.read.parquet(s"$statePath/s1")
+      .groupBy(col("d")).agg(sum(col("s1")).as("s1"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s2 = spark.read.parquet(s"$statePath/s2")
+      .groupBy(col("dj"), col("dk")).agg(sum(col("s")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val (v, growth) = powerLoop(assembleScatter(n, s1, s2), 0, iterations)
+    v.zipWithIndex.map { case (value, d) => (d, value, growth) }
+      .toSeq.toDF("d", "v", "growth")
   }
 
   /** Fixed-iteration integer power loop over a driver-side matrix:

@@ -1774,6 +1774,70 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Scatter-matrix sufficient statistics maintained at INGEST — the
+    * whitening/top-PC ledger: each tick writes ITS vectors' integer
+    * censuses (n, per-dim S1, per-dim-pair Σxxᵀ over the shared
+    * milli-quantization) to idempotent `batch=<id>` subdirs under
+    * `n/`, `s1/`, `s2/`. A vector's cross-products live wholly in its
+    * own row, so every census is VECTOR-ADDITIVE across ticks and the
+    * summed ledger equals the batch scatter exactly — the dominant
+    * embedding direction derives from dim²-sized state at any moment
+    * ([[graft.ext.Similarity.topComponentFromLedger]]), corpus never
+    * rescanned. */
+  def scatterIngest(vecs: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String, vecCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val sp = batch.sparkSession
+          import sp.implicits._
+          val dims = graft.ext.Similarity
+            .quantizedDims(batch.toDF(), idCol, vecCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          dims.groupBy(col("d")).agg(sum(col("xq")).as("s1"))
+            .write.mode("overwrite")
+            .parquet(s"$statePath/s1/batch=$batchId")
+          dims.as("a").join(dims.as("b"), "vid")
+            .groupBy(col("a.d").as("dj"), col("b.d").as("dk"))
+            .agg(sum(col("a.xq") * col("b.xq")).as("s"))
+            .write.mode("overwrite")
+            .parquet(s"$statePath/s2/batch=$batchId")
+          Seq(batch.count()).toDF("n")
+            .write.mode("overwrite")
+            .parquet(s"$statePath/n/batch=$batchId")
+          dims.unpersist(blocking = false)
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One-shot gate replay of [[scatterIngest]]: vectors arrive in two
+    * hash-split ticks; the top-PC derived from the summed ledger must
+    * equal the batch [[graft.ext.Similarity.topComponentPower]] — the
+    * shared q_embed_top_pc oracle. */
+  def scatterAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, iterations: Int): DataFrame = {
+    val vecs = graft.Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val halves = Seq(
+      vecs.filter(abs(hash(col("vec_id"))) % 2 === 0),
+      vecs.filter(abs(hash(col("vec_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(scatterIngest(stream, s"$workDir/state",
+        s"$workDir/cp", "vec_id", "embedding"), queryName)
+      graft.ext.Similarity.topComponentFromLedger(spark,
+        s"$workDir/state", iterations)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Vote-cell census maintained at INGEST — label hygiene's ledger:
     * each tick runs the deterministic annotator panel over ITS labeled
     * rows ([[graft.ext.Agreement.annotatorLabels]]) and writes the

@@ -1147,6 +1147,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chaos: scatterIngest heals torn batch=0 censuses on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaossc_")
+    val state = dir.resolve("state").toString
+    try {
+      // plausible-but-wrong debris in all three ledgers
+      tearTick(s"$state/s1", 0L, Seq((0, 999L)).toDF("d", "s1"))
+      tearTick(s"$state/s2", 0L, Seq((0, 0, 999L)).toDF("dj", "dk", "s"))
+      tearTick(s"$state/n", 0L, Seq(99L).toDF("n"))
+      val mem = MemoryStream[(Long, Seq[Float])]
+      def stream = mem.toDF().toDF("vec_id", "embedding")
+      mem.addData(1L -> Seq(0.5f, -0.2f), 2L -> Seq(-0.1f, 0.4f))
+      Streaming.scatterIngest(stream, state, dir.resolve("cp").toString,
+        "vec_id", "embedding").awaitTermination()
+      mem.addData(3L -> Seq(0.3f, 0.3f))
+      Streaming.scatterIngest(stream, state, dir.resolve("cp").toString,
+        "vec_id", "embedding").awaitTermination()
+      val ledger = graft.ext.Similarity
+        .topComponentFromLedger(s, state, iterations = 4)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val batch = graft.ext.Similarity.topComponentPower(
+          Seq(1L -> Seq(0.5f, -0.2f), 2L -> Seq(-0.1f, 0.4f),
+            3L -> Seq(0.3f, 0.3f)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", iterations = 4)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(ledger == batch,
+        "top-PC off the healed ledger must equal the batch computation")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("chaos: kappaIngest heals a torn batch=0 cell census on replay") {
     val s = spark
     import s.implicits._
