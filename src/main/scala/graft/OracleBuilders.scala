@@ -249,7 +249,7 @@ private[graft] object OracleBuilders {
     * (`sd1x$i`/`sw1x$i`), integer orthogonal-complement projection
     * `(v₁·v₁)·w − (w·v₁)·v₁` (`swv$i`/`sw2x$i`), rescale to 2¹⁰
     * (`sd2x$i`/`u$i`). */
-  def secondPcOracleSql(iters: Int): String = {
+  def secondPcChainSql(iters: Int): String = {
     val gens = (1 to iters).map { i =>
       s"""sw$i AS MATERIALIZED (SELECT cov.dj AS d,
             sum(cov.m * u${i - 1}.v)::BIGINT AS w
@@ -267,16 +267,39 @@ private[graft] object OracleBuilders {
           FROM sw2x$i),
        u$i AS (SELECT d, (w // dn)::BIGINT AS v FROM sw2x$i, sd2x$i)"""
     }.mkString(",\n       ")
-    s"""WITH ${powerIterationChainSql(iters)},
+    s"""${powerIterationChainSql(iters)},
        vvx AS (SELECT sum(v * v)::BIGINT AS vv FROM v$iters),
        u0 AS (SELECT d, CASE WHEN d = 1 THEN 1024::BIGINT
                              ELSE 0::BIGINT END AS v
             FROM (SELECT DISTINCT d FROM q)),
-       $gens,
+       $gens"""
+  }
+
+  def secondPcOracleSql(iters: Int): String =
+    s"""WITH ${secondPcChainSql(iters)},
        dv AS (SELECT sum(a.v * b.v)::BIGINT AS dot_v1
             FROM u$iters a JOIN v$iters b USING (d))
        SELECT u.d, u.v, dv.dot_v1 FROM u$iters u, dv ORDER BY u.d"""
-  }
+
+  /** Per-label truncated mean projection onto BOTH iterated axes —
+    * [[graft.ext.Similarity.whitenProjectionByLabel]]'s replay over
+    * [[secondPcChainSql]] (which carries v$iters = v₁ and
+    * u$iters = v₂). */
+  def whitenProjectionOracleSql(iters: Int): String =
+    s"""WITH ${secondPcChainSql(iters)},
+       lab AS (SELECT vec_id AS vid, label::BIGINT AS label
+            FROM embeddings),
+       pr AS (SELECT l.label, sum(q.xq * a.v)::BIGINT AS p1,
+              sum(q.xq * b.v)::BIGINT AS p2
+            FROM q JOIN v$iters a ON a.d = q.d
+                 JOIN u$iters b ON b.d = q.d
+                 JOIN lab l ON l.vid = q.vid
+            GROUP BY 1),
+       np AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n
+            FROM embeddings GROUP BY 1)
+       SELECT p.label, np.n, (p.p1 // np.n)::BIGINT AS mean_p1,
+              (p.p2 // np.n)::BIGINT AS mean_p2
+       FROM pr p JOIN np USING (label) ORDER BY p.label"""
 
   /** Per-label truncated mean projection onto the iterated direction —
     * [[graft.ext.Similarity.pcProjectionByLabel]]'s replay. */

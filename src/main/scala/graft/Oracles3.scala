@@ -68,6 +68,8 @@ private[graft] object Oracles3 {
     // same oracle as the batch top-PC, no stream-specific SQL
     "q_top_pc_stream" -> topPcOracleSql(8),
 
+    "q_whiten_project" -> whitenProjectionOracleSql(8),
+
     // per-label dispersion from milli-quantized integer sufficient
     // statistics; disp = (n·S2 − Σ S1²) // n² (non-negative by
     // Cauchy–Schwarz, so truncation == floor)

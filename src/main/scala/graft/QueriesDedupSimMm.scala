@@ -130,6 +130,15 @@ private[graft] object QueriesDedupSimMm {
           "label", iterations = 8)
         .orderBy(col("label"))),
 
+    // 2-D class-drift map: per-label truncated-integer mean projection
+    // onto BOTH whitening axes — where each class sits in the (v1, v2)
+    // plane.
+    "q_whiten_project" -> ((s, dir) =>
+      graft.ext.Similarity.whitenProjectionByLabel(
+          Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", iterations = 8)
+        .orderBy(col("label"))),
+
     // Class-separability census: per-label E||x−mu||^2 from mergeable
     // integer sufficient statistics (milli-quantized component sums) —
     // the embedding-space drift alarm next to the label-hygiene gates.

@@ -1368,6 +1368,36 @@ object Similarity {
         expr("proj_sum div n").as("mean_proj"))
   }
 
+  /** Per-label mean projection onto the whitening axis PAIR
+    * ([[topComponentPower]] v₁ × [[secondComponentPower]] v₂) — the
+    * 2-D class-drift map, truncated-integer means on both axes. One
+    * broadcast of the two 64-long directions, one narrow pass, one
+    * label-sized aggregate. */
+  def whitenProjectionByLabel(embs: DataFrame, idCol: String,
+      vecCol: String, labelCol: String,
+      iterations: Int = 8): DataFrame = {
+    val d1 = topComponentPower(embs, idCol, vecCol, iterations)
+      .select(col("d"), col("v").as("v1"))
+    val d2 = secondComponentPower(embs, idCol, vecCol, iterations)
+      .select(col("d"), col("v").as("v2"))
+    val dirs = d1.join(d2, "d")
+    val nPer = embs
+      .groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    embs.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x").cast("double") * 1000d + 0.5d).cast("long").as("xq"))
+      .join(broadcast(dirs), "d")
+      .groupBy(col("label"))
+      .agg(sum(col("xq") * col("v1")).as("p1"),
+        sum(col("xq") * col("v2")).as("p2"))
+      .join(nPer, "label")
+      .select(col("label"), col("n"),
+        expr("p1 div n").as("mean_p1"),
+        expr("p2 div n").as("mean_p2"))
+  }
+
   /** Pairwise inter-centroid squared distances over the same
     * milli-quantized census: centroids are the truncated integer means
     * `μ_j = S1_j div n` (Spark `div` ≡ DuckDB `//`, both toward zero),
