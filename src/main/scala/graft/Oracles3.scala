@@ -42,6 +42,26 @@ private[graft] object Oracles3 {
                   // count(*))::BIGINT AS novelty_ppm
          FROM j GROUP BY 1 ORDER BY doc_id""",
 
+    // identical novelty pipeline (df over the full union), restricted
+    // to the batch's docs — exactly the incremental contract
+    "q_novelty_incremental" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l
+              FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS shingle FROM shl),
+         dfc AS (SELECT shingle, count(*)::BIGINT AS df FROM sh
+              GROUP BY 1),
+         j AS (SELECT doc_id, df FROM sh JOIN dfc USING (shingle)
+              WHERE doc_id % 10 = 0)
+         SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                (count(*) FILTER (WHERE df = 1))::BIGINT AS n_unique,
+                ((count(*) FILTER (WHERE df = 1)) * 1000000
+                  // count(*))::BIGINT AS novelty_ppm
+         FROM j GROUP BY 1 ORDER BY doc_id""",
+
     // identical PPJoin pipeline, restricted to pairs touching the
     // batch (doc_id % 10 = 0) — exactly the incremental contract
     "q_ppjoin_incremental" -> ppjoinOracleSql(9, 10,

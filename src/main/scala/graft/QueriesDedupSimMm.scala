@@ -71,6 +71,17 @@ private[graft] object QueriesDedupSimMm {
           "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))),
 
+    // Incremental novelty: the batch's docs scored against the union
+    // census — the at-ingest freshness gate, batch-sized cost.
+    "q_novelty_incremental" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.noveltyIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental PPJoin: the %5 gate corpus splits into batch
     // (doc_id % 10 = 0) and existing; only batch-touching pairs are
     // found, with full-union df/prefix semantics.

@@ -1096,6 +1096,29 @@ object Dedup {
         expr("(n_unique * 1000000) div n_shingles").as("novelty_ppm"))
   }
 
+  /** Incremental arm of [[noveltyCensus]]: novelty of the NEW batch's
+    * documents against batch ∪ corpus — equals the full census
+    * restricted to batch docs (df is computed over the union), at
+    * batch-sized aggregate cost. At scale the union df census is the
+    * maintained shingle ledger (the vocabIngest pattern — distinct
+    * shingles per doc are doc-additive), so only the batch is ever
+    * shingled at ingest time. */
+  def noveltyIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val bRows = shingleRows(batch, idCol, textCol, n)
+      .select(col(idCol).cast("long").as("doc_id"), col("shingle"))
+    val cRows = shingleRows(corpus, idCol, textCol, n)
+      .select(col(idCol).cast("long").as("doc_id"), col("shingle"))
+    val dfc = bRows.unionByName(cRows)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    bRows.join(dfc, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("(n_unique * 1000000) div n_shingles").as("novelty_ppm"))
+  }
+
   // ── PPJoin: prefix-filtered set-similarity self-join ───────────────────
 
   /** EXACT token-set Jaccard self-join via prefix filtering (PPJoin,
