@@ -314,6 +314,79 @@ object PropertiesSpec extends Properties("graft") {
       got == expect && gotLocal == expect
     }
 
+  property("wordDropout at 0% is the identity; reference drop at any pct") =
+    forAll(for {
+      docs <- Gen.listOfN(5,
+        Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+      pct <- Gen.choose(0, 100)
+    } yield (docs, pct)) { case (docs, pct) =>
+      val s = spark
+      import s.implicits._
+      val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def run(p: Int) = graft.ext.Curation.wordDropout(d, "doc_id", "text", p)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3)))).toMap
+      def md5Hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val id0 = run(0)
+      val identityOk = docs.zipWithIndex.forall { case (t, i) =>
+        id0(i.toLong) == ((t.split(" ", -1).length.toLong,
+          t.split(" ", -1).length.toLong, md5Hex(t)))
+      }
+      // reference drop: same md5-bucket rule replayed in plain Scala
+      def bucket(key: String): Long = {
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+        var v = 0L
+        var k = 0
+        while (k < 8) { v = (v << 8) | (dg(k) & 0xffL); k += 1 }
+        (v >>> 4) % 100L
+      }
+      val got = run(pct)
+      val refOk = docs.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ", -1)
+        val kept = toks.zipWithIndex
+          .filter { case (_, p) => bucket(s"$i:$p") >= pct }.map(_._1)
+        got(i.toLong) == ((toks.length.toLong, kept.length.toLong,
+          md5Hex(kept.mkString(" "))))
+      }
+      identityOk && refOk
+    }
+
+  property("noveltyCensus == brute-force shingle-df reference") =
+    forAll(Gen.listOfN(6,
+      Gen.listOf(Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))) {
+      docs =>
+        val s = spark
+        import s.implicits._
+        val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = graft.ext.Dedup.noveltyCensus(d, "doc_id", "text", n = 3)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getLong(3)))).toMap
+        def shingles(t: String): Array[String] = {
+          val toks = t.split(" ", -1)
+          if (toks.length >= 3)
+            (0 to toks.length - 3).map(i =>
+              toks.slice(i, i + 3).mkString(" ")).toArray.distinct
+          else Array(t)
+        }
+        val all = docs.zipWithIndex.flatMap { case (t, i) =>
+          shingles(t).map(sh => (i.toLong, sh))
+        }
+        val df = all.groupBy(_._2).map { case (sh, xs) => sh -> xs.size }
+        val expect = docs.zipWithIndex.map { case (t, i) =>
+          val ss = shingles(t)
+          val uniq = ss.count(sh => df(sh) == 1)
+          i.toLong -> ((ss.length.toLong, uniq.toLong,
+            uniq.toLong * 1000000L / ss.length))
+        }.toMap
+        got == expect
+    }
+
   property("ppjoinDupPairsIncremental == full PPJoin restricted to batch") =
     forAll(for {
       nb <- Gen.choose(1, 4)
