@@ -42,6 +42,32 @@ private[graft] object Oracles3 {
                   // count(*))::BIGINT AS novelty_ppm
          FROM j GROUP BY 1 ORDER BY doc_id""",
 
+    // per-source rollup of the same novelty chain: truncated mean of
+    // the per-doc ppm plus exact shingle totals
+    "q_novelty_by_source" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l
+              FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS shingle FROM shl),
+         dfc AS (SELECT shingle, count(*)::BIGINT AS df FROM sh
+              GROUP BY 1),
+         j AS (SELECT doc_id, df FROM sh JOIN dfc USING (shingle)),
+         per AS (SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                (count(*) FILTER (WHERE df = 1))::BIGINT AS n_unique,
+                ((count(*) FILTER (WHERE df = 1)) * 1000000
+                  // count(*))::BIGINT AS novelty_ppm
+              FROM j GROUP BY 1)
+         SELECT d.source, count(*)::BIGINT AS n_docs,
+                sum(p.n_shingles)::BIGINT AS n_shingles,
+                sum(p.n_unique)::BIGINT AS n_unique,
+                (sum(p.novelty_ppm)::BIGINT // count(*))::BIGINT
+                  AS mean_novelty_ppm
+         FROM per p JOIN documents d USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+
     // identical novelty pipeline (df over the full union), restricted
     // to the batch's docs — exactly the incremental contract
     "q_novelty_incremental" ->

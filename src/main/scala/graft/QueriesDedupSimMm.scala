@@ -71,6 +71,21 @@ private[graft] object QueriesDedupSimMm {
           "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))),
 
+    // Per-source novelty rollup: which SOURCES are template farms —
+    // truncated-integer mean of the per-doc ppm plus the n_unique /
+    // n_shingles totals (the exact corpus-level ratio).
+    "q_novelty_by_source" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.noveltyCensus(docs, "doc_id", "text", n = 3)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_shingles")).as("n_shingles"),
+          sum(col("n_unique")).as("n_unique"),
+          expr("sum(novelty_ppm) div count(1)").as("mean_novelty_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // Incremental novelty: the batch's docs scored against the union
     // census — the at-ingest freshness gate, batch-sized cost.
     "q_novelty_incremental" -> ((s, dir) => {
