@@ -355,6 +355,66 @@ object PropertiesSpec extends Properties("graft") {
       identityOk && refOk
     }
 
+  property("winnowOverlapSpans pairs+shared == winnowOverlapPairs") =
+    forAll(for {
+      docs <- Gen.listOfN(6,
+        Gen.choose(5, 25).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString)))
+      minSh <- Gen.choose(1, 3)
+    } yield (docs, minSh)) { case (docs, minSh) =>
+      val s = spark
+      import s.implicits._
+      val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val spans = Dedup.winnowOverlapSpans(d, "doc_id", "text",
+          k = 3, w = 3, minShared = minSh, maxFpDf = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val pairs = Dedup.winnowOverlapPairs(d, "doc_id", "text",
+          k = 3, w = 3, minShared = minSh, maxFpDf = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      spans == pairs
+    }
+
+  property("wordSwap == plain-Scala disjoint-pair reference") =
+    forAll(for {
+      docs <- Gen.listOfN(5,
+        Gen.listOf(Gen.oneOf("p", "qq", "rrr")).map(_.mkString(" ")))
+      pct <- Gen.choose(0, 100)
+    } yield (docs, pct)) { case (docs, pct) =>
+      val s = spark
+      import s.implicits._
+      val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.Curation.wordSwap(d, "doc_id", "text", pct)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      def bucket(key: String): Long = {
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+        var v = 0L
+        var k = 0
+        while (k < 8) { v = (v << 8) | (dg(k) & 0xffL); k += 1 }
+        (v >>> 4) % 100L
+      }
+      def md5Hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      docs.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ", -1)
+        val out = toks.clone()
+        var sw = 0L
+        var p = 0
+        while (p + 1 < toks.length) {
+          if (bucket(s"$i:s:${p / 2}") < pct) {
+            out(p) = toks(p + 1); out(p + 1) = toks(p); sw += 2
+          }
+          p += 2
+        }
+        got(i.toLong) == ((sw, md5Hex(out.mkString(" "))))
+      }
+    }
+
   property("noveltyCensus == brute-force shingle-df reference") =
     forAll(Gen.listOfN(6,
       Gen.listOf(Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))) {
