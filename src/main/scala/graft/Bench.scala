@@ -106,9 +106,21 @@ object Bench {
         if (first < 0) QRes(first, Seq(first), Seq(load1), Seq(gc1), Seq(heap1))
         else {
           val (second, load2, gc2, heap2) = run()
-          val best = if (second < 0) first else math.min(first, second)
-          QRes(best, Seq(first, second), Seq(load1, load2), Seq(gc1, gc2),
-            Seq(heap1, heap2))
+          // a >2× spread between the two runs means min-of-2 is still
+          // reporting noise (round 10's q_lm_backoff ran 6.9 vs 32.1 s)
+          // — one tie-breaking third run pins which end was real; its
+          // raw time rides BENCH_FULL like the others
+          if (second >= 0 &&
+              math.max(first, second) > 2 * math.min(first, second)) {
+            val (third, load3, gc3, heap3) = run()
+            val best = (Seq(first, second, third).filter(_ >= 0)).min
+            QRes(best, Seq(first, second, third), Seq(load1, load2, load3),
+              Seq(gc1, gc2, gc3), Seq(heap1, heap2, heap3))
+          } else {
+            val best = if (second < 0) first else math.min(first, second)
+            QRes(best, Seq(first, second), Seq(load1, load2), Seq(gc1, gc2),
+              Seq(heap1, heap2))
+          }
         }
       name -> res
     }
@@ -164,7 +176,13 @@ object Bench {
         val cold =
           if (r.runs.size < 2 || r.best < 0) 0.0
           else math.max(r.runs.head - r.best, 0.0)
-        s"""  "$k": {"sec": ${r3(r.best)}, "cold_s": ${r3(cold)}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}, "gc_ms": ${arrL(r.gcMs)}, "heap_mb": ${arrL(r.heapMb)}}"""
+        // spread = worst/best across the runs: >2 marks an entry whose
+        // reported min is volatile (such queries also earned a third
+        // run above), so round-over-round diffs can discount it
+        val ok = r.runs.filter(_ >= 0)
+        val spread =
+          if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min
+        s"""  "$k": {"sec": ${r3(r.best)}, "cold_s": ${r3(cold)}, "spread": ${r3(spread)}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}, "gc_ms": ${arrL(r.gcMs)}, "heap_mb": ${arrL(r.heapMb)}}"""
       }
       .mkString(
         s"""{\n  "_total_sec": ${r3(total)},\n  "_sf": "$sfDir",\n  "_cpus": $cpus,\n""" +

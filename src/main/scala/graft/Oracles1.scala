@@ -60,6 +60,27 @@ private[graft] object Oracles1 {
            AND user_id = 7 AND event_type IN ('click', 'view')
          GROUP BY 1 ORDER BY 1""",
 
+    // the SQL-view surface: same panel math over the raw relation and
+    // the daily rollup, joined on the day bucket
+    "q_sql_dashboard" ->
+      """WITH ts_panel AS (
+           SELECT date_trunc('day', ts) AS day, round(sum(value), 6) AS minutes
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+             AND user_id = 7 AND event_type = 'purchase'
+           GROUP BY 1),
+         agg_panel AS (
+           SELECT date_trunc('day', ts) AS day,
+                  count(*) FILTER (WHERE value >= 1) AS count_done,
+                  round(avg(value), 6) AS avg_value
+           FROM events
+           WHERE user_id = 7 AND event_type = 'purchase'
+           GROUP BY 1)
+         SELECT t.day, t.minutes, a.count_done, a.avg_value
+         FROM ts_panel t JOIN agg_panel a ON t.day = a.day
+         ORDER BY t.day""",
+
     "q_sessionize" -> sessionizeOracle,
 
     // built-in session_window merge — third implementation, same oracle

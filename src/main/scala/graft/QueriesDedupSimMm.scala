@@ -304,8 +304,13 @@ private[graft] object QueriesDedupSimMm {
     // oracle-proven relations; only clustered (size >= 2) docs appear.
     "q_canonical_select" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
+      // the SimHash pair DAG is the expensive part and feeds BOTH
+      // consumers (clustering + ranking, which also scans it twice for
+      // its bidirectional edge union) — pin it once; round 10 measured
+      // the unpinned form at 3.2× its prior cost from per-consumer
+      // rematerialization
       val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
-        maxHamming = 7)
+        maxHamming = 7).localCheckpoint(true)
       val clusters = Dedup.dupClusters(pairs)
       val ranks = graft.ext.Graph.pageRank(docs, "doc_id", pairs)
       val byCluster = org.apache.spark.sql.expressions.Window

@@ -101,6 +101,35 @@ private[graft] object QueriesParity {
           to_timestamp(lit("2024-01-25 00:00:00")))
         .select(col("habit"), r6(col("pct_done")).as("pct_done"))),
 
+    // The BI consumption model end-to-end: the dashboard relations
+    // registered as named temp views, then ONE `spark.sql` text read —
+    // a Grafana-shaped panel joining the raw event view (the README's
+    // time-series panel) with the continuous-aggregate view
+    // (/root/reference/README.md:122-125 + sql/001_schema.sql:31-40).
+    // Plans through the same Catalyst pipeline as the DataFrame forms.
+    "q_sql_dashboard" -> ((s, dir) => {
+      Habits.registerDashboardViews(Tables.eventsAsHabits(s, dir),
+        sumHabit = "purchase")
+      s.sql(
+        """WITH ts_panel AS (
+             SELECT date_trunc('DAY', ts) AS day,
+                    round(sum(value), 6) AS minutes
+             FROM habit_events
+             WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+               AND user_email = 7 AND habit = 'purchase'
+             GROUP BY 1),
+           agg_panel AS (
+             SELECT day, count_done, round(avg_value, 6) AS avg_value
+             FROM habit_daily
+             WHERE user_email = 7 AND habit = 'purchase')
+           SELECT t.day, t.minutes, a.count_done, a.avg_value
+           FROM ts_panel t JOIN agg_panel a ON t.day = a.day
+           ORDER BY t.day""")
+        .select(ntz(col("day")).as("day"), col("minutes"),
+          col("count_done"), col("avg_value"))
+    }),
+
     // SCD2 intervals over each (user, habit)'s daily-total change stream:
     // consecutive equal totals merge, each surviving row carries its
     // validity window (valid_to NULL while current).

@@ -792,8 +792,12 @@ private[graft] object QueriesScaleText {
     // offset), and the per-bin stream digests under the oracle.
     "q_export_token_shards" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
+      // consumed by BOTH the packing pass and the token_ids join back —
+      // unpinned, the whole train→segment→encode chain replays per
+      // consumer (the q_pipeline_export pattern)
       val ids = graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text",
-        graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+          graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ext.Packing.packConcatWithOffsets(
           ids.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", budget = 512L, shards = 4)
@@ -820,11 +824,16 @@ private[graft] object QueriesScaleText {
     "q_export_token_shards_eod" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       val merges = graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8)
-      val eodId = graft.ext.Bpe.bpeVocab(docs, "text", merges).count()
+      // next-free-id via the one-pass char census (bpeVocabSize), not a
+      // full bpeVocab().count() distinct-word pass; and `ids` is pinned
+      // because packing + the token_ids join consume it twice — round
+      // 10 measured the unpinned triple-replay at 2× the non-EOD export
+      val eodId = graft.ext.Bpe.bpeVocabSize(docs, "text", merges)
       val ids = graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text", merges)
         .withColumn("token_ids",
           concat(col("token_ids"), array(lit(eodId).cast("int"))))
         .withColumn("n_tokens", col("n_tokens") + 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ext.Packing.packConcatWithOffsets(
           ids.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", budget = 512L, shards = 4)

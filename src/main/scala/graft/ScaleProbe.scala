@@ -134,10 +134,16 @@ object ScaleProbe {
         Dedup.winnowOverlapPairs(docs(d), "doc_id", "text", 16, 16,
           minShared = 4, maxFpDf = 20)))
 
-    // iteration aid: SPARK_GRAFT_ONLY=op_a,op_b probes just those ops
+    // iteration aid: SPARK_GRAFT_ONLY=op_a,op_b probes just those ops.
+    // Unknown names fail fast (Bench's rule): a typo must not select
+    // zero ops and report an empty probe as a clean run
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only.fold(ops)(names => ops.filter(o => names(o._1)))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(ops) { names =>
+      val missing = names.diff(ops.map(_._1).toSet)
+      require(missing.isEmpty, s"SPARK_GRAFT_ONLY unknown: $missing")
+      ops.filter(o => names(o._1))
+    }
 
     // one untimed warm-up pass on the SMALL corpus absorbs session
     // costs (codegen, JIT, parquet footers) so ratios compare steady

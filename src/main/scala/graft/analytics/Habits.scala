@@ -108,6 +108,20 @@ object Habits {
   def distinctValues(events: DataFrame, column: String): DataFrame =
     events.select(col(column)).distinct().orderBy(col(column))
 
+  /** The SQL consumption surface a BI tool (the reference's Grafana,
+    * `/root/reference/README.md:112-143`) actually needs: the raw
+    * event relation and the daily continuous aggregate as NAMED temp
+    * views, so every panel above is writable as plain `spark.sql`
+    * text. Views are lazy logical plans — registering costs nothing;
+    * each `spark.sql` read plans through the same Catalyst pipeline
+    * (pushdown, pruning, partial aggs) as the DataFrame forms, so the
+    * two surfaces stay performance-equivalent by construction. */
+  def registerDashboardViews(events: DataFrame,
+      sumHabit: String = "meditation_minutes"): Unit = {
+    events.createOrReplaceTempView("habit_events")
+    habitDaily(events, sumHabit).createOrReplaceTempView("habit_daily")
+  }
+
   /** Verification query `ORDER BY ts DESC LIMIT n`
     * (`/root/reference/README.md:98`). Spark plans TakeOrderedAndProject —
     * a true distributed top-k, no global sort. `tiebreak` makes the cut

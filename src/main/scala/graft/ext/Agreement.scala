@@ -116,8 +116,16 @@ object Agreement {
       .withColumn("den", (n - 1) * (nn * nn - col("c_sq")))
       // exact FLOOR division (κ can be negative; long `div` truncates
       // toward zero, so subtract the non-negative pmod remainder first
-      // — the oracle mirrors with ((num % den + den) % den))
+      // — the oracle mirrors with ((num % den + den) % den)). den = 0
+      // ⇔ every rater put every item in ONE category (P̄e = 1, κ
+      // undefined): fail LOUDLY instead of Spark's silent NULL `div` —
+      // the DuckDB oracle's `// 0` raises too, so both engines agree
+      // on the degenerate panel
       .select(col("n_items"), n.as("n_raters"), col("s2"), col("c_sq"),
-        expr("(num6 - pmod(num6, den)) div den").as("kappa_ppm"))
+        when(col("den") === 0,
+          raise_error(lit("fleissKappa: kappa undefined — all ratings " +
+            "in a single category (expected agreement is 1)")).cast("long"))
+          .otherwise(expr("(num6 - pmod(num6, den)) div den"))
+          .as("kappa_ppm"))
   }
 }

@@ -388,6 +388,14 @@ object Bpe {
       .select(explode(split(col("w"), "")).as("sym"))
       .filter(col("sym") =!= "").distinct()
       .orderBy(col("sym")).collect().map(_.getString(0))
+    vocabOf(alphabet, chain)
+  }
+
+  /** Alphabet + chain → id table; the collision rule (first id wins,
+    * ids stay dense) lives here so every vocab-size/id derivation
+    * shares it. */
+  private def vocabOf(alphabet: Array[String],
+      chain: Array[(String, String)]): scala.collection.mutable.LinkedHashMap[String, Int] = {
     val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     alphabet.foreach(s => vocab.getOrElseUpdate(s, vocab.size))
     chain.foreach { case (l, r) =>
@@ -396,6 +404,24 @@ object Bpe {
       // collision: keep the earlier id; the minted id is simply unused
     }
     vocab
+  }
+
+  /** Vocabulary SIZE alone — the "next free id" a pipeline minting
+    * special tokens (EOD, PAD) needs — without [[bpeVocab]]'s
+    * distinct-word shuffle: the alphabet is the distinct non-space
+    * characters of the text (identical to the distinct characters of
+    * its words, since words are the text split on single spaces), so
+    * one explode feeding a partially-aggregating distinct — each task
+    * reduces its slice to ≤ alphabet-size partials before any shuffle —
+    * replaces the corpus→distinct-words→chars chain. Same collision
+    * rule as [[bpeVocab]], so the size matches it exactly. */
+  def bpeVocabSize(docs: DataFrame, textCol: String,
+      merges: DataFrame): Int = {
+    val alphabet: Array[String] = docs
+      .select(explode(split(col(textCol).cast("string"), "")).as("sym"))
+      .filter(col("sym") =!= "" && col("sym") =!= " ")
+      .distinct().collect().map(_.getString(0))
+    vocabOf(alphabet, collectChain(merges)).size
   }
 
   /** The byte-level id table: the fixed 256-byte base (id = byte value,

@@ -1214,7 +1214,12 @@ object Dedup {
     * batch-touching pairs (PropertiesSpec pins it). The prefix-share
     * theorem is orientation-free (both filters are symmetric), so
     * probing batch prefixes against all prefixes is complete.
-    * Caller contract: batch and corpus id spaces are disjoint. */
+    * Caller contract: batch and corpus id spaces are DISJOINT — a
+    * colliding id silently merges two documents' token sets (the
+    * self-pair guard only suppresses (x, x) pairs, not the cross-doc
+    * pairs the merged id then mints). [[assertDisjointIds]] is the
+    * cheap debug/ingest-path check; a production ingest job enforces
+    * this structurally (monotone batch id ranges). */
   def ppjoinDupPairsIncremental(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       tNum: Int = 7, tDen: Int = 10): DataFrame = {
@@ -1466,7 +1471,12 @@ object Dedup {
     * At scale the corpus side is the maintained (id, fp) ledger — the
     * overlap detector's sufficient statistic — not a rescan; this
     * entry point accepts the raw corpus table for gate parity and
-    * fingerprints it once. */
+    * fingerprints it once.
+    *
+    * Caller contract: batch and corpus id spaces are DISJOINT (as for
+    * [[ppjoinDupPairsIncremental]] — a colliding id merges two
+    * documents' fingerprint sets into phantom pairs);
+    * [[assertDisjointIds]] is the debug-path check. */
   def winnowOverlapIncremental(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, k: Int = 8, w: Int = 8,
       minShared: Long = 3, maxFpDf: Long = 40): DataFrame = {
@@ -1495,5 +1505,21 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+  }
+
+  /** Loud check of the incremental ops' shared caller contract: batch
+    * and corpus id spaces must be DISJOINT (a colliding id silently
+    * merges two documents). One semi-join + limit-1 action — a
+    * debug/ingest-path assertion, not hot-path work; production
+    * ingest should enforce the contract structurally (monotone batch
+    * id ranges) and skip the pass. */
+  def assertDisjointIds(batch: DataFrame, corpus: DataFrame,
+      idCol: String): Unit = {
+    val collided = batch.select(col(idCol))
+      .join(corpus.select(col(idCol)), Seq(idCol), "left_semi")
+      .limit(1).collect()
+    require(collided.isEmpty,
+      s"incremental dedup: batch and corpus share id " +
+        s"'${collided.head.get(0)}' — id spaces must be disjoint")
   }
 }

@@ -705,8 +705,11 @@ object TextAnalysis {
       fbTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 10): org.apache.spark.sql.DataFrame = {
     require(fbDocs >= 1 && fbTerms >= 0)
+    // collect the raw id values (no .getLong — the id column's type is
+    // the caller's, int/long/string all valid) and probe with isin on
+    // the untyped values, matching the sibling ops' id handling
     val fbIds = bm25(docs, idCol, textCol, queryTerms, k1, b, fbDocs)
-      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
     val expansion = docs.filter(col(idCol).isin(fbIds: _*))
       .select(explode(tokens(col(textCol))).as("term"))
       .filter(!col("term").isin(queryTerms: _*) && col("term") =!= "")

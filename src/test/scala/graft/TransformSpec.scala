@@ -127,4 +127,56 @@ class TransformSpec extends AnyFunSuite with SparkTestSession {
     assert(df1.collect()(0).getString(0) == df2.collect()(0).getString(0))
     assert(df1.collect()(0).getString(0).matches("[0-9a-f]{64}"))
   }
+
+  test("fromYaml on the reference's own habits.yml reproduces the " +
+      "checked-in default config") {
+    val ref = java.nio.file.Paths.get("/root/reference/etl/config/habits.yml")
+    assume(java.nio.file.Files.isReadable(ref), "reference yml not present")
+    val parsed = EtlConfig.loadYaml(ref)
+    assert(parsed.timezone == EtlConfig.default.timezone)
+    assert(parsed.dateColumn == EtlConfig.default.dateColumn)
+    assert(parsed.emailColumn == EtlConfig.default.emailColumn)
+    assert(parsed.habits == EtlConfig.defaultHabits) // order included
+    assert(parsed.notesColumns == Seq("Notes"))
+  }
+
+  test("fromYaml: invert flag, defaults, comments, and missing " +
+      "date_column") {
+    val parsed = EtlConfig.fromYaml(
+      """# minimal config
+        |date_column: "When"   # trailing comment
+        |habits:
+        |  "Skipped (# not a comment)": { id: "skip", type: "bool", invert: true }
+        |""".stripMargin)
+    assert(parsed.timezone == "America/Chicago") // reference default
+    assert(parsed.emailColumn == "Email Address")
+    assert(parsed.notesColumns.isEmpty) // runtime default, not ["Notes"]
+    assert(parsed.habits ==
+      Seq("Skipped (# not a comment)" -> HabitSpec("skip", "bool", invert = true)))
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml("timezone: \"UTC\"\nhabits:\n")
+    }
+  }
+
+  test("fromYaml transform parity: parsed config and checked-in config " +
+      "emit identical events") {
+    val ref = java.nio.file.Paths.get("/root/reference/etl/config/habits.yml")
+    assume(java.nio.file.Files.isReadable(ref), "reference yml not present")
+    // the parsed file has the same habits/date/email mapping, so the
+    // whole unpivot pipeline must agree row for row; notesColumns also
+    // matches (the shipped file carries ["Notes"]). The wide frame
+    // needs every default header — the reduced `cols` set lacks 5
+    val parsed = EtlConfig.loadYaml(ref)
+    val allCols = Seq("Report Date", "Email Address", "Notes") ++
+      EtlConfig.defaultHabits.map(_._1)
+    val schema = StructType(
+      allCols.map(StructField(_, StringType, nullable = true)))
+    val row = Row(Seq("08/20/2025", "Test@Example.com", "did intervals",
+      "7.5", "8", "8", "25", "Yes", "2", "no", "9"): _*)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row)), schema)
+    val a = HabitTransform.toEvents(df, parsed).collect()
+    val b = HabitTransform.toEvents(df, EtlConfig.default).collect()
+    assert(a.toSeq == b.toSeq && a.length == 8)
+  }
 }
