@@ -164,6 +164,21 @@ object VersionedStore {
       }
     }
 
+  /** Version `v`'s relation when its manifest lists NO live files — a
+    * LEGAL state, not corruption: a `delete`/`mergeInto` that removes
+    * every row publishes an empty version, and SQL semantics say the
+    * table reads as zero rows afterwards. Plans as the empty relation
+    * under the log-recorded schema; pre-schema-key logs have no schema
+    * to plan with, so they keep the loud error. */
+  private def emptySnapshot(spark: SparkSession, path: String,
+      v: Int): DataFrame = {
+    val s = recordedSchema(spark, path, v).getOrElse(throw
+      new IllegalArgumentException(s"VersionedStore: version $v has no " +
+        "data files and no recorded schema (pre-schema-key log)"))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+  }
+
   /** Read `files` of version `v` under the log-recorded schema when
     * present (missing columns in older files surface as null), else
     * a mergeSchema footer pass. Empty `files` keeps the schema and
@@ -174,7 +189,8 @@ object VersionedStore {
       case Some(s) => spark.read.schema(s)
       case None => spark.read.option("mergeSchema", "true")
     }
-    if (files.isEmpty)
+    if (files.isEmpty && all.isEmpty) emptySnapshot(spark, path, v)
+    else if (files.isEmpty)
       reader.parquet(all.map(fl => s"$path/$fl"): _*).limit(0)
     else reader.parquet(files.map(fl => s"$path/$fl"): _*)
   }
@@ -1036,7 +1052,7 @@ object VersionedStore {
     require(vs.contains(v),
       s"VersionedStore: version $v not in log (have ${vs.mkString(",")})")
     val all = readManifest(spark, path, v)
-    require(all.nonEmpty, s"VersionedStore: version $v has no data files")
+    if (all.isEmpty) return emptySnapshot(spark, path, v)
     val files = all.filter(fl => days.forall(_.contains(dayOf(fl))))
     readFiles(spark, path, v, files, all)
   }
@@ -1102,7 +1118,8 @@ object VersionedStore {
     require(vs.contains(v),
       s"VersionedStore: version $v not in log (have ${vs.mkString(",")})")
     val all = readManifest(spark, path, v)
-    require(all.nonEmpty, s"VersionedStore: version $v has no data files")
+    if (all.isEmpty)
+      return emptySnapshot(spark, path, v).filter(col(column) === lit(value))
     val dayKept = all.filter(fl => days.forall(_.contains(dayOf(fl))))
     val kept = pruneByBloom(spark, path,
       pruneByStats(spark, path, dayKept, column, value, value),
@@ -1133,7 +1150,9 @@ object VersionedStore {
     require(vs.contains(v),
       s"VersionedStore: version $v not in log (have ${vs.mkString(",")})")
     val all = readManifest(spark, path, v)
-    require(all.nonEmpty, s"VersionedStore: version $v has no data files")
+    if (all.isEmpty)
+      return emptySnapshot(spark, path, v)
+        .filter(col(column).between(lit(lo), lit(hi)))
     val dayKept = all.filter(fl => days.forall(_.contains(dayOf(fl))))
     val kept = pruneByStats(spark, path, dayKept, column, lo, hi)
     readFiles(spark, path, v, kept, all)

@@ -3280,4 +3280,17 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(kappa(1L -> 0L, 1L -> 1L, 2L -> 1L, 2L -> 0L)
       == ((4L, 8L, -1000000L)))
   }
+
+  test("fleissKappa raises on the degenerate panel (every rating in " +
+      "one category, expected agreement 1)") {
+    // 3 items × 2 raters, all label 0: den = (n−1)((Nn)² − C) = 0 and
+    // κ is undefined — the guard must raise loudly (ADVICE r10), never
+    // emit a silent NULL; DuckDB's `// 0` raises on the same panel
+    val ex = intercept[Exception] {
+      graft.ext.Agreement.fleissKappa(
+        panel(1L -> 0L, 1L -> 0L, 2L -> 0L, 2L -> 0L, 3L -> 0L, 3L -> 0L),
+        nRaters = 2).collect()
+    }
+    assert(ex.getMessage.contains("kappa undefined"))
+  }
 }

@@ -502,6 +502,21 @@ object PropertiesSpec extends Properties("graft") {
       inc == full
     }
 
+  property("assertDisjointIds: loud on collision, silent on disjoint") =
+    forAll(Gen.choose(0L, 50L), Gen.choose(1, 5)) { (base, n) =>
+      val s = spark
+      import s.implicits._
+      val batch = (base until base + n).toDF("doc_id")
+      val corpusDisjoint = (base + 100 until base + 100 + n).toDF("doc_id")
+      val corpusColliding = corpusDisjoint
+        .unionByName(Seq(base + n - 1).toDF("doc_id"))
+      Dedup.assertDisjointIds(batch, corpusDisjoint, "doc_id") // no throw
+      val ex = try {
+        Dedup.assertDisjointIds(batch, corpusColliding, "doc_id"); None
+      } catch { case e: IllegalArgumentException => Some(e) }
+      ex.exists(_.getMessage.contains("disjoint"))
+    }
+
   property("salted mixtureByTokens == plain path on random corpora") =
     forAll(for {
       n <- Gen.choose(5, 60)

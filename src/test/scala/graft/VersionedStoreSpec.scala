@@ -777,6 +777,37 @@ class VersionedStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("empty versions are legal: delete-all / merge-delete-all read " +
+      "as zero rows under the recorded schema, and the store recovers") {
+    withStore { store =>
+      val df = events((1L, ts(1), "a@x", "h", 1.0), (2L, ts(2), "a@x", "h", 2.0))
+      VersionedStore.create(df, store)
+      // deleting EVERY row publishes an empty version — SQL semantics
+      // say the table now reads as zero rows, not as corruption
+      // (ScalaCheck found this via a mergeInto whose delete clause
+      // matched the whole store)
+      val v1 = VersionedStore.delete(spark, store, col("value") >= 0)
+      val empty = VersionedStore.snapshot(spark, store, Some(v1))
+      assert(empty.count() == 0)
+      assert(empty.schema.fieldNames.toSeq ==
+        Seq("event_id", "ts", "user_email", "habit", "value"))
+      assert(VersionedStore.snapshotRowCount(spark, store, Some(v1)) == 0L)
+      assert(VersionedStore.snapshotWhere(spark, store, "event_id",
+        0L, 99L, Some(v1)).count() == 0)
+      // mergeInto with a delete-everything clause on a re-created store
+      VersionedStore.append(spark, store, df)
+      val v3 = VersionedStore.mergeInto(spark, store, df,
+        matchedDelete = lit(true), notMatchedInsert = lit(false))
+      assert(VersionedStore.snapshot(spark, store, Some(v3)).count() == 0)
+      // the store recovers: a later commit on the empty head works and
+      // time travel still reads every prior state
+      VersionedStore.append(spark, store,
+        events((9L, ts(3), "b@x", "h", 3.0)))
+      assert(VersionedStore.snapshot(spark, store).count() == 1)
+      assert(VersionedStore.snapshot(spark, store, Some(0)).count() == 2)
+    }
+  }
+
   test("zone-map stats on integral keys compare numerically") {
     withStore { store =>
       val s = spark
