@@ -627,6 +627,25 @@ private[graft] object OracleBuilders {
          FROM r WHERE cum_tokens - n_tokens < budget
          ORDER BY source, take_rank"""
 
+  /** Balanced-shard replay: magnitude band = length(bin(n)) (integer
+    * bit-length, engine-identical), round-robin within band in
+    * DESCENDING token order (ties by md5-top-60, then id). Shared by
+    * the plain and salted (two-level rank) forms — the selection
+    * contract is identical. */
+  val packBalancedOracle: String =
+    """WITH d AS (SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM documents),
+         b AS (SELECT doc_id, n_tokens,
+                length(bin(n_tokens))::BIGINT AS band, h
+              FROM d WHERE n_tokens > 0)
+         SELECT doc_id, n_tokens, band,
+                ((row_number() OVER (PARTITION BY band
+                    ORDER BY n_tokens DESC, h, doc_id)
+                  - 1) % 4)::BIGINT AS shard
+         FROM b ORDER BY doc_id"""
+
   /** Brute-force every-window decontamination replay, parameterized by
     * the text expression so the raw and normalized gates share one
     * oracle (the normalized form passes the DuckDB rendering of

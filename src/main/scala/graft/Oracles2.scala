@@ -860,6 +860,9 @@ private[graft] object Oracles2 {
     "q_mixture_budget" -> mixtureOracle,
     "q_mixture_salted" -> mixtureOracle,
 
+    "q_pack_balanced" -> packBalancedOracle,
+    "q_pack_balanced_salted" -> packBalancedOracle,
+
     // DSIR replay: candidate-vocabulary Laplace LMs on both sides,
     // each ln quantized to 1e-6-unit BIGINTs before the subtraction
     // and the per-doc sum — the NB discipline, so the top-k cut is

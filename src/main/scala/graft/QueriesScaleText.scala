@@ -850,6 +850,27 @@ private[graft] object QueriesScaleText {
         .orderBy(col("shard"), col("bin"))
     }),
 
+    // Balanced sharding by TOKEN count (the LPT/makespan complement of
+    // id-mod sharding): magnitude bands (length(bin(n)) — integer ops,
+    // engine-identical) round-robined across shards in md5-rank order;
+    // shard token totals stay within ~2× the largest document of each
+    // other regardless of the length distribution. The salted twin runs
+    // the identical selection through the two-level rank (window-skew
+    // escape) and shares this oracle — output is bit-identical.
+    "q_pack_balanced" -> ((s, dir) =>
+      graft.ext.Packing.packBalanced(
+          Tables.read(s, dir, "documents").select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", shards = 4)
+        .orderBy(col("doc_id"))),
+
+    "q_pack_balanced_salted" -> ((s, dir) =>
+      graft.ext.Packing.packBalanced(
+          Tables.read(s, dir, "documents").select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", shards = 4, saltBuckets = 8)
+        .orderBy(col("doc_id"))),
+
     // Per-bin POSITION-ID streams for packed attention: each packed
     // piece contributes positions doc_off .. doc_off+tok_in_bin-1, so
     // a document's positions restart at 0 at its own start and CONTINUE

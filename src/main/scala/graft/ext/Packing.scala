@@ -147,4 +147,86 @@ object Packing {
       .select(col(idCol), col("shard"), col("bin"), col("tok_in_bin"),
         col("start_in_bin"), col("doc_off"))
   }
+
+  /** BALANCED shard assignment by token count — the load-balancing
+    * complement of the id-mod sharding above: `id mod shards` balances
+    * document COUNTS, but a skewed length distribution then hands some
+    * lanes far more TOKENS than others, and the slowest lane paces the
+    * whole training epoch (the classic LPT/makespan problem).
+    *
+    * Engine-reproducible form (an exact SQL oracle must replay it, so
+    * no greedy bin-picking driver loop): documents are banded by token
+    * MAGNITUDE — `band = length(bin(tokens))`, i.e. ⌊log₂ tokens⌋+1,
+    * pure integer/string ops identical in Spark and DuckDB — and
+    * round-robined across shards within their band in DESCENDING size
+    * order (ties by the portable md5 rank, then id). Sorted-desc
+    * round-robin telescopes: within a band, any two shards' token
+    * totals differ by at most that band's LARGEST document, so summing
+    * the geometric band maxima bounds total imbalance by a few times
+    * the single largest document — independent of corpus size, the
+    * practical LPT guarantee, with none of LPT's sequential greedy
+    * state.
+    *
+    * Output: `(idCol, tokenCol, band, shard)`, one row per document
+    * with positive tokens.
+    *
+    * Scale (100 TB): one hash shuffle. Bands are few (~log of the max
+    * length) and corpus-sized, so the per-band rank is the window-skew
+    * hazard; `saltBuckets > 1` routes it through the two-level rank
+    * (the [[Curation.mixtureByTokens]] escape). The salt here must be
+    * monotone along the (tokens DESC, …) rank order for bucket ranges
+    * to stay contiguous, so it is cut from the TOKEN VALUE — the
+    * band's value range [2^(band−1), 2^band) splits into saltBuckets
+    * equal sub-ranges, largest-first; local ranks run per (band, salt)
+    * in parallel and band×bucket COUNT offsets (broadcast-sized) lift
+    * them to exactly the global rank. Output is bit-identical to the
+    * plain path on any input (uneven sub-ranges only change
+    * parallelism). */
+  def packBalanced(docs: DataFrame, idCol: String, tokenCol: String,
+      shards: Int, saltBuckets: Int = 1): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    require(!Seq(idCol, tokenCol).exists(Set("band", "shard")),
+      "packBalanced reserves output columns band, shard")
+    val base = docs
+      .select(col(idCol), col(tokenCol).cast("long").as(tokenCol))
+      .filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
+      .withColumn("band", length(bin(col(tokenCol))).cast("long"))
+    val rankOrder = Seq(col(tokenCol).desc,
+      Sampling.md5Top60(col(idCol)).asc, col(idCol).asc)
+    val ranked =
+      if (saltBuckets == 1) {
+        val w = Window.partitionBy(col("band")).orderBy(rankOrder: _*)
+        base.withColumn("__graft_rank", row_number().over(w).cast("long"))
+      } else {
+        // sub-range salt, monotone with tokens DESC inside the band:
+        // band b holds values [2^(b-1), 2^b); salt 0 = top sub-range.
+        // Integer-exact; shiftleft stays in range for any real corpus
+        // (band < 63 ⇔ tokens < 2^62)
+        val salted = base.withColumn("__graft_salt",
+          least(lit(saltBuckets - 1L), expr(
+            s"(((shiftleft(1L, band) - 1) - ${tokenCol}) * $saltBuckets)" +
+              s" div shiftleft(1L, band - 1)")))
+        val localW = Window.partitionBy(col("band"), col("__graft_salt"))
+          .orderBy(rankOrder: _*)
+        val priorW = Window.partitionBy(col("band"))
+          .orderBy(col("__graft_salt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = salted
+          .groupBy(col("band"), col("__graft_salt"))
+          .agg(count(lit(1)).as("__graft_bn"))
+          .select(col("band"), col("__graft_salt"),
+            coalesce(sum(col("__graft_bn")).over(priorW), lit(0L))
+              .as("__graft_rankoff"))
+        salted
+          .withColumn("__graft_lrank",
+            row_number().over(localW).cast("long"))
+          .join(broadcast(offsets), Seq("band", "__graft_salt"))
+          .withColumn("__graft_rank",
+            col("__graft_rankoff") + col("__graft_lrank"))
+      }
+    ranked
+      .withColumn("shard", pmod(col("__graft_rank") - 1, lit(shards.toLong)))
+      .select(col(idCol), col(tokenCol), col("band"), col("shard"))
+  }
 }

@@ -541,6 +541,34 @@ object PropertiesSpec extends Properties("graft") {
       run(buckets) == run(1)
     }
 
+  property("packBalanced: salted == plain, and shard token totals stay " +
+      "within one band-max per band") =
+    forAll(for {
+      n <- Gen.choose(4, 80)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 5000L))
+      shards <- Gen.oneOf(2, 3, 4)
+      buckets <- Gen.oneOf(2, 7, 64)
+    } yield (toks, shards, buckets)) { case (toks, shards, buckets) =>
+      val s = spark
+      import s.implicits._
+      val d = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tokens")
+      def run(sb: Int) = graft.ext.Packing.packBalanced(
+          d, "doc_id", "n_tokens", shards, sb)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val plain = run(1)
+      // the telescoping bound: sorted-desc round-robin within a band
+      // keeps any two shards' token totals within one band-max document
+      val bandOk = plain.groupBy(_._3).forall { case (_, rows) =>
+        val byShard = (0 until shards).map(sh =>
+          rows.filter(_._4 == sh.toLong).map(_._2).sum)
+        byShard.max - byShard.min <= rows.map(_._2).max
+      }
+      run(buckets) == plain && bandOk
+    }
+
   property("redactWindows == per-character reference on random windows") =
     forAll(for {
       len <- Gen.choose(0, 40)
