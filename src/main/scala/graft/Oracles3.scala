@@ -474,6 +474,55 @@ private[graft] object Oracles3 {
                 (id = min(lbl)) AS is_canonical
          FROM reach GROUP BY id ORDER BY doc_id""",
 
+    // clusters → per-cluster size → integer ppm down-weights; the
+    // LEFT JOIN gives singletons weight 1e6
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE
+         $simhashEdgesCte,
+         reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, min(lbl)::BIGINT AS cluster_id
+              FROM reach GROUP BY id),
+         sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+              FROM clus GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+                coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+                (1000000 // coalesce(s.cluster_size, 1))::BIGINT
+                  AS weight_ppm
+         FROM documents d
+           LEFT JOIN clus c ON d.doc_id = c.id
+           LEFT JOIN sz s ON c.cluster_id = s.cluster_id
+         ORDER BY d.doc_id""",
+
+    // clusters → md5-rank row_number per cluster, keep rank <= 2;
+    // singletons (no cluster row) always survive at rank 1
+    "q_cluster_cap" ->
+      s"""WITH RECURSIVE
+         $simhashEdgesCte,
+         reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, min(lbl)::BIGINT AS cluster_id
+              FROM reach GROUP BY id),
+         rk AS (SELECT id, cluster_id,
+                row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY ('0x' || substr(md5(id::VARCHAR), 1, 15))::UBIGINT,
+                    id)::BIGINT AS keep_rank
+              FROM clus)
+         SELECT d.doc_id,
+                coalesce(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+                coalesce(r.keep_rank, 1)::BIGINT AS keep_rank
+         FROM documents d
+           LEFT JOIN clus c ON d.doc_id = c.id
+           LEFT JOIN (SELECT id, keep_rank FROM rk WHERE keep_rank <= 2) r
+             ON d.doc_id = r.id
+         WHERE c.id IS NULL OR r.id IS NOT NULL
+         ORDER BY d.doc_id""",
+
     // clusters (recursive min-label) ⋈ 3-iteration integer PageRank,
     // hub picked per cluster by (rank desc, id)
     "q_canonical_select" ->

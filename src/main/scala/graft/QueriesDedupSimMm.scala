@@ -297,6 +297,47 @@ private[graft] object QueriesDedupSimMm {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate-aware sampling weights: every member of an n-doc
+    // near-dup cluster trains at weight 1/n (ppm-quantized integer
+    // div), singletons at 1 — the down-weight-instead-of-drop policy.
+    // Composes the proven cluster relation; one cluster_id-keyed
+    // aggregate + join on top.
+    "q_dedup_weights" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val w = Dedup.dupWeights(Dedup.dupClusters(
+        Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 7)))
+      docs.select(col("doc_id"))
+        .join(w.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          coalesce(col("weight_ppm"), lit(1000000L)).as("weight_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cluster-capped keep: at most 2 members per near-dup cluster, in
+    // md5-rank order (deterministic pseudo-random pick — variant
+    // diversity, not always the min id); singletons always survive.
+    // The middle ground between keep-everything and keep-one.
+    "q_cluster_cap" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      // dupClusters localCheckpoints its output, so the two consumers
+      // below (membership + capped keep) share one materialization
+      val clusters = Dedup.dupClusters(Dedup.simhashDupPairs(docs,
+        "doc_id", "text", maxHamming = 7))
+      val kept = Dedup.capDupClusters(clusters, cap = 2)
+        .select(col("id").as("doc_id"), col("keep_rank"))
+      docs.select(col("doc_id"))
+        .join(clusters.select(col("id").as("doc_id"),
+          col("cluster_id")), Seq("doc_id"), "left")
+        .join(kept, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("keep_rank").isNotNull)
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("keep_rank"), lit(1L)).as("keep_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Canonical-copy selection: the dedup story's last mile — cluster
     // the near-dup graph, then keep each cluster's PageRank HUB (the
     // most-linked copy, the one other copies derive from) instead of

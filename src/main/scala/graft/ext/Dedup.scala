@@ -851,6 +851,49 @@ object Dedup {
     } finally raw.unpersist()
   }
 
+  /** Duplicate-aware SAMPLING WEIGHTS over a [[dupClusters]] relation —
+    * the down-weight-instead-of-drop policy several pretraining
+    * pipelines prefer to hard dedup: each member of an n-document
+    * near-dup cluster trains with weight 1/n, so the cluster as a
+    * whole contributes one document's worth of gradient signal while
+    * keeping every variant available to the sampler. Exact integer
+    * quantization (`weight_ppm = 10⁶ div n`) keeps the oracle replay
+    * bit-identical. Only clustered docs appear (the clusters relation's
+    * domain); callers give singletons weight 10⁶ via a left join.
+    *
+    * Scale: one count aggregate + one equi-join, both keyed on
+    * `cluster_id` — a single logical shuffle key, partial aggs absorb
+    * the skewed giant-cluster case. */
+  def dupWeights(clusters: DataFrame): DataFrame = {
+    val sz = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sz, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+  }
+
+  /** Cluster-CAPPED keep over a [[dupClusters]] relation — the middle
+    * ground between keep-everything and keep-one canonical: retain at
+    * most `cap` members per near-dup cluster, chosen in the portable
+    * md5-rank order (a deterministic pseudo-random pick, not always
+    * the min id — variant diversity matters when duplicates differ in
+    * formatting noise). Output: the kept `(id, cluster_id, keep_rank)`
+    * rows, `keep_rank` 1-based within the cluster.
+    *
+    * Scale: one window partitioned on `cluster_id` — partitions are
+    * cluster-sized, and a pathological giant cluster only pays rank
+    * work up to its own size (row_number is streaming within the
+    * partition sort, no buffering beyond the sort spill). */
+  def capDupClusters(clusters: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be at least 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(Sampling.md5Top60(col("id")), col("id"))
+    clusters
+      .withColumn("keep_rank", row_number().over(w).cast("long"))
+      .filter(col("keep_rank") <= cap)
+  }
+
   /** Large-star step: for each node, attach all STRICTLY LARGER
     * neighbors to the minimum of its closed neighborhood. Emitted edges
     * satisfy child > parent by construction (m ≤ u < v). */
