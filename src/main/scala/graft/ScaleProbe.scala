@@ -127,6 +127,14 @@ object ScaleProbe {
         Dedup.winnowFingerprintsLocal(docs(d), "doc_id", "text", 16, 16)
           .groupBy(col("id"))
           .agg(count(lit(1)).as("n_fp"))),
+      // balanced sharding is one band-partitioned rank window over the
+      // doc-count relation — time should track corpus size; the salted
+      // form adds only the broadcast-sized offset lift
+      "pack_balanced_salted" -> (d =>
+        graft.ext.Packing.packBalanced(
+          docs(d).select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", shards = 8, saltBuckets = 16)),
       // the overlap detector's df gate is the fan-out ceiling: pairs
       // may grow with planted duplication, candidates may not exceed
       // df²/2 per fingerprint

@@ -600,6 +600,34 @@ object Dedup {
     math.max(1, math.ceil(
       math.log(corpusRows.toDouble / targetBucket) / math.log(2.0)).toInt)
 
+  /** MinHash-LSH BAND PLAN for a target Jaccard threshold: among the
+    * divisors `b` of `k` (bands must tile the signature), pick the
+    * (bands, rowsPerBand) whose S-curve inflection `(1/b)^(1/r)` —
+    * the similarity at which a pair's candidate probability
+    * `1 − (1 − s^r)^b` crosses ~50% — sits closest to `threshold`
+    * (ties to the larger band count: more bands = recall-leaning,
+    * the safer dedup default). The standard MMDS ch.3 sizing rule as
+    * a checked function instead of folklore; [[minhashDupPairs]]'s
+    * `(k = 16, bands = 4)` default is the b = 4 plan (inflection
+    * ≈ 0.71, precision-leaning for threshold 0.5) — callers chasing
+    * recall at a lower threshold should re-plan with this.
+    *
+    * Driver-side arithmetic over the divisors of `k` — config math,
+    * no data touched. */
+  def lshBandPlanFor(k: Int, threshold: Double): (Int, Int) = {
+    require(k >= 1, "k must be positive")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    val plans = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    // minBy with the (distance, -bands) tuple: exact tie → more bands
+    val best = plans.minBy { case (b, _, s) =>
+      (math.abs(s - threshold), -b)
+    }
+    (best._1, best._2)
+  }
+
   def embeddingDupPairsLsh(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 4, bands: Int = 4,
       dim: Int = Similarity.Dim): DataFrame = {

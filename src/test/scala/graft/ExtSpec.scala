@@ -3281,6 +3281,18 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       == ((4L, 8L, -1000000L)))
   }
 
+  test("lshBandPlanFor: MMDS S-curve sizing on hand-computed cases") {
+    import graft.ext.Dedup.lshBandPlanFor
+    // k=16: inflections b=2→0.917, b=4→0.707, b=8→0.354, b=16→0.0625
+    assert(lshBandPlanFor(16, 0.5) == ((8, 2)))   // |0.354-0.5| wins
+    assert(lshBandPlanFor(16, 0.7) == ((4, 4)))   // 0.707 nearly exact
+    assert(lshBandPlanFor(16, 0.9) == ((2, 8)))   // 0.917 closest
+    assert(lshBandPlanFor(12, 0.9) == ((2, 6)))   // 0.891 beats 1.0 (b=1)
+    assert(lshBandPlanFor(16, 0.05) == ((16, 1))) // near-any-overlap
+    intercept[IllegalArgumentException](lshBandPlanFor(0, 0.5))
+    intercept[IllegalArgumentException](lshBandPlanFor(16, 1.0))
+  }
+
   test("fleissKappa raises on the degenerate panel (every rating in " +
       "one category, expected agreement 1)") {
     // 3 items × 2 raters, all label 0: den = (n−1)((Nn)² − C) = 0 and

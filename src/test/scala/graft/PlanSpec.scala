@@ -186,6 +186,23 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "both the local and the global rank filters must push group limits")
   }
 
+  test("balanced packing (salted): local rank partitions on " +
+      "(band, salt), offsets broadcast — no band-global doc window") {
+    val p = plan("q_pack_balanced_salted")
+    // the doc-sized rank window must carry the token-range salt in its
+    // partition key; the count-offset lift joins back as a broadcast
+    // (bands x buckets rows, never doc-sized)
+    assert(p.contains("__graft_salt"),
+      s"expected salt-partitioned local rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the count-offset lift to broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
+    // and the plain path stays free of the salting machinery
+    assert(!plan("q_pack_balanced").contains("__graft_salt"),
+      "plain path must not pay the two-level lift")
+  }
+
   test("QueryMetrics: shuffle bytes and row counts are observable") {
     val s = spark
     import s.implicits._
