@@ -19,6 +19,21 @@ private[graft] object Oracles3 {
     "q_dedup_incremental" ->
       minhashOracleSql(" AND (id_a % 10 = 0 OR id_b % 10 = 0)"),
 
+    // incremental label maintenance must equal the FULL-corpus CC:
+    // recursive min-label over the complete MinHash pair set (the
+    // nested WITH is the shared minhash replay)
+    "q_cluster_incremental" ->
+      s"""WITH RECURSIVE
+         p AS (${minhashOracleSql("")}),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, min(lbl)::BIGINT AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+
     "q_dedup_ngram" -> ngramOracleSql,
 
     "q_dedup_ppjoin" -> ppjoinOracleSql(9, 10, " WHERE doc_id % 5 = 0"),

@@ -297,6 +297,24 @@ private[graft] object QueriesDedupSimMm {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental cluster maintenance: labels from the 90% corpus fold
+    // with the batch-touching MinHash pairs of the 10% batch — CC over
+    // star edges + new pairs, never the historical pair set. The
+    // oracle is the FULL-corpus CC (recursive min-label over all
+    // MinHash pairs), so the gate proves incremental == batch exactly.
+    "q_cluster_incremental" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val labels = Dedup.dupClusters(
+        Dedup.minhashDupPairs(corpus, "doc_id", "text", threshold = 0.5))
+      val newPairs = Dedup.minhashDupPairsIncremental(batch, corpus,
+        "doc_id", "text", threshold = 0.5)
+      Dedup.dupClustersIncremental(labels, newPairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Duplicate-aware sampling weights: every member of an n-doc
     // near-dup cluster trains at weight 1/n (ppm-quantized integer
     // div), singletons at 1 — the down-weight-instead-of-drop policy.

@@ -879,6 +879,31 @@ object Dedup {
     } finally raw.unpersist()
   }
 
+  /** Incremental arm of [[dupClusters]]: fold a NEW batch's duplicate
+    * pairs into the maintained `(id, cluster_id)` LABEL relation
+    * without replaying historical pairs. Star edges `(id →
+    * cluster_id)` carry exactly the old components' connectivity, so
+    * CC over `starEdges(labels) ∪ newPairs` equals CC over the full
+    * pair history — and the label relation is NODE-sized while
+    * `newPairs` is batch-sized, so per-ingest cost is independent of
+    * how many historical pairs produced those labels (the at-ingest
+    * cluster ledger a 100 TB dedup pipeline maintains). Min-id
+    * canonicality is preserved because each `cluster_id` is itself its
+    * component's min id, and the alternating-star relabel takes mins.
+    *
+    * Caller contract: `newPairs` covers every pair TOUCHING the batch
+    * (e.g. [[minhashDupPairsIncremental]]'s output — its result is
+    * exactly the union corpus's pairs restricted to batch-touching
+    * ones, which is the complement of what `labels` already encodes),
+    * and batch/corpus id spaces are disjoint
+    * ([[assertDisjointIds]]). */
+  def dupClustersIncremental(labels: DataFrame, newPairs: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame =
+    dupClusters(
+      labels.select(col("id").as(idACol), col("cluster_id").as(idBCol))
+        .unionByName(newPairs.select(col(idACol), col(idBCol))),
+      idACol, idBCol)
+
   /** Duplicate-aware SAMPLING WEIGHTS over a [[dupClusters]] relation —
     * the down-weight-instead-of-drop policy several pretraining
     * pipelines prefer to hard dedup: each member of an n-document

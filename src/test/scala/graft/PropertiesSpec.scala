@@ -502,6 +502,35 @@ object PropertiesSpec extends Properties("graft") {
       inc == full
     }
 
+  property("dupClustersIncremental == full CC on random edge sets") =
+    forAll(for {
+      nc <- Gen.choose(1, 12)
+      nb <- Gen.choose(1, 6)
+      ne <- Gen.choose(0, 25)
+      edges <- Gen.listOfN(ne, for {
+        a <- Gen.choose(0L, (nc + nb - 1).toLong)
+        b <- Gen.choose(0L, (nc + nb - 1).toLong)
+      } yield (a, b))
+    } yield (nc.toLong, edges.filter(e => e._1 != e._2))) {
+      case (nc, edges0) =>
+        val s = spark
+        import s.implicits._
+        // ids >= nc are the "batch"; remap them past 100 for disjointness
+        def remap(x: Long) = if (x >= nc) 100L + x else x
+        val edges = edges0.map { case (a, b) => (remap(a), remap(b)) }
+        val corpusPairs = edges.filter(e => e._1 < nc && e._2 < nc)
+        val touching = edges.filter(e => e._1 >= 100L || e._2 >= 100L)
+        def df(ps: Seq[(Long, Long)]) =
+          (ps :+ ((-1L, -1L))).toDF("id_a", "id_b") // sentinel keeps schema
+            .filter(col("id_a") >= 0)
+        def labelMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val labels = Dedup.dupClusters(df(corpusPairs))
+        val inc = labelMap(Dedup.dupClustersIncremental(labels, df(touching)))
+        val full = labelMap(Dedup.dupClusters(df(edges)))
+        inc == full
+    }
+
   property("assertDisjointIds: loud on collision, silent on disjoint") =
     forAll(Gen.choose(0L, 50L), Gen.choose(1, 5)) { (base, n) =>
       val s = spark
