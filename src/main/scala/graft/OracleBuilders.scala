@@ -108,6 +108,23 @@ private[graft] object OracleBuilders {
        WHERE round(j, 6) >= 0.5$extraWhere ORDER BY id_a, id_b"""
   }
 
+  /** Full-corpus connected components over the complete MinHash pair
+    * set (recursive min-label; the nested WITH is the shared minhash
+    * replay) — the oracle both the incremental label fold
+    * (q_cluster_incremental) and the streaming ledger
+    * (q_cluster_stream) must land on exactly. */
+  lazy val minhashCcOracle: String =
+    s"""WITH RECURSIVE
+       p AS (${minhashOracleSql("")}),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                 UNION ALL SELECT id_b, id_a FROM p),
+       reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+       SELECT id AS doc_id, min(lbl)::BIGINT AS cluster_id
+       FROM reach GROUP BY id ORDER BY doc_id"""
+
   /** Exact length-blocked n-gram Jaccard pairs — shared by the
     * q_dedup_ngram check and the q_dedup_recall evaluation (where this
     * relation is the ground truth the LSH pipeline is scored against). */

@@ -22,17 +22,11 @@ private[graft] object Oracles3 {
     // incremental label maintenance must equal the FULL-corpus CC:
     // recursive min-label over the complete MinHash pair set (the
     // nested WITH is the shared minhash replay)
-    "q_cluster_incremental" ->
-      s"""WITH RECURSIVE
-         p AS (${minhashOracleSql("")}),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM p
-                   UNION ALL SELECT id_b, id_a FROM p),
-         reach(id, lbl) AS (
-             SELECT DISTINCT src, src FROM edges
-             UNION
-             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-         SELECT id AS doc_id, min(lbl)::BIGINT AS cluster_id
-         FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_cluster_incremental" -> minhashCcOracle,
+
+    // the streaming cluster-label ledger lands on the same final
+    // relation (tick split differs, the fixed point cannot)
+    "q_cluster_stream" -> minhashCcOracle,
 
     "q_dedup_ngram" -> ngramOracleSql,
 

@@ -647,6 +647,22 @@ private[graft] object QueriesParity {
       finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // STREAMING cluster-label ledger: the corpus arrives in two ticks;
+    // tick 0 bootstraps labels from its own pairs, tick 1 folds the
+    // batch-touching incremental pairs into the node-sized label
+    // relation (star-edge CC algebra) — and the final snapshot must
+    // equal the offline full-corpus CC, the shared full-CC oracle.
+    "q_cluster_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cls_")
+      try
+        Streaming.clusterIncrementalAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_clusters"))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Sub-document dedup (CCNet/RefinedWeb line-dedup analog): segments
     // = non-overlapping 8-word windows; any segment recurring corpus-
     // wide is dropped and the survivors reassemble in document order.

@@ -1248,6 +1248,102 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming CLUSTER-LABEL ledger: each micro-batch of documents
+    * pairs against the accumulated corpus
+    * ([[graft.ext.Dedup.minhashDupPairsIncremental]] — batch×corpus +
+    * batch×batch, history never re-compared) and the `(id,
+    * cluster_id)` label relation re-folds through
+    * [[graft.ext.Dedup.dupClustersIncremental]] — per-tick cost is the
+    * tick's pairs plus the NODE-sized label relation, never the
+    * historical pair set. The ledger after the final tick equals the
+    * offline CC over the whole corpus's pairs (the star-edge algebra
+    * q_cluster_incremental gates and the ScalaCheck property pins), so
+    * the streaming gate shares the full-CC oracle.
+    *
+    * Replay safety: corpus ticks are idempotent `batch=<id>` overwrite
+    * subdirs (the [[dedupStreamIncremental]] discipline); the label
+    * relation is a SNAPSHOT per tick under `labels/batch=<id>`, and a
+    * tick folds from the latest snapshot STRICTLY OLDER than itself —
+    * a replayed tick re-reads the same prior state and rewrites its own
+    * snapshot, converging byte-identically. */
+  def clusterLedgerIngest(docs: DataFrame, workPath: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val df = batch.toDF().localCheckpoint(true)
+          val sp = df.sparkSession
+          val corpusPath = s"$workPath/corpus"
+          val labelsPath = s"$workPath/labels"
+          val cp = new org.apache.hadoop.fs.Path(corpusPath)
+          val fs = cp.getFileSystem(sp.sessionState.newHadoopConf())
+          val prior =
+            if (fs.exists(cp))
+              fs.listStatus(cp).map(_.getPath.getName)
+                .filter(d => d.startsWith("batch=") &&
+                  d != s"batch=$batchId")
+                .map(d => s"$corpusPath/$d")
+            else Array.empty[String]
+          val labels =
+            if (prior.isEmpty)
+              graft.ext.Dedup.dupClusters(graft.ext.Dedup
+                .minhashDupPairs(df, idCol, textCol, threshold))
+            else {
+              val lp = new org.apache.hadoop.fs.Path(labelsPath)
+              val priorSnap = fs.listStatus(lp).map(_.getPath.getName)
+                .filter(_.startsWith("batch="))
+                .map(_.stripPrefix("batch=").toLong).filter(_ < batchId)
+              require(priorSnap.nonEmpty,
+                s"cluster ledger: corpus ticks exist but no label " +
+                  s"snapshot precedes batch $batchId")
+              val pairs = graft.ext.Dedup.minhashDupPairsIncremental(
+                df, sp.read.parquet(prior.toSeq: _*), idCol, textCol,
+                threshold)
+              graft.ext.Dedup.dupClustersIncremental(
+                sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
+                pairs)
+            }
+          labels.write.mode("overwrite")
+            .parquet(s"$labelsPath/batch=$batchId")
+          df.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Drive [[clusterLedgerIngest]] over the driver's documents as a
+    * two-tick bounded stream and return the FINAL label snapshot —
+    * the batch full-CC oracle checks it. */
+  def clusterIncrementalAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(
+        clusterLedgerIngest(stream, workDir, s"$workDir/cp",
+          "doc_id", "text", threshold),
+        queryName)
+      val lp = s"$workDir/labels"
+      val last = new java.io.File(lp).list()
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .max
+      spark.read.parquet(s"$lp/batch=$last")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Streaming tokenizer-vocabulary maintenance: each micro-batch of
     * documents writes ITS OWN word census into a `batch=<id>` subdir
     * (idempotent overwrite under replay — the
