@@ -1100,6 +1100,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chaos: clusterLedgerIngest heals torn batch=0 corpus AND label " +
+      "snapshots on replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaoscls_")
+    val work = dir.resolve("state").toString
+    try {
+      // plausible-but-wrong debris in BOTH stateful dirs: a phantom
+      // corpus doc and a phantom label that never existed
+      tearTick(s"$work/corpus", 0L,
+        Seq((999L, "phantom text")).toDF("doc_id", "text"))
+      tearTick(s"$work/labels", 0L,
+        Seq((999L, 999L)).toDF("id", "cluster_id"))
+      val dup = "alpha beta gamma delta epsilon zeta"
+      val mem = MemoryStream[(Long, String)]
+      def stream = mem.toDF().toDF("doc_id", "text")
+      mem.addData(1L -> dup, 2L -> dup, 4L -> "unrelated solitary words")
+      Streaming.clusterLedgerIngest(stream, work,
+        dir.resolve("cp").toString, "doc_id", "text").awaitTermination()
+      mem.addData(3L -> dup)
+      Streaming.clusterLedgerIngest(stream, work,
+        dir.resolve("cp").toString, "doc_id", "text").awaitTermination()
+      val last = new java.io.File(s"$work/labels").list()
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .max
+      val labels = s.read.parquet(s"$work/labels/batch=$last")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the phantom 999 must be gone; the three dups cluster to min id
+      // 1; the pairless doc 4 stays out of the label domain
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+        s"torn debris must be truncated by the replay overwrite: $labels")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("chaos: winnowIngest heals a torn batch=0 census on replay") {
     val s = spark
     import s.implicits._
