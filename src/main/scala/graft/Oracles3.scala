@@ -506,6 +506,42 @@ private[graft] object Oracles3 {
            LEFT JOIN sz s ON c.cluster_id = s.cluster_id
          ORDER BY d.doc_id""",
 
+    // the composed weighted-balance pipeline: cluster sizes → ppm
+    // down-weights → effective tokens → band round-robin → per-shard
+    // censuses
+    "q_pipeline_balanced" ->
+      s"""WITH RECURSIVE
+         $simhashEdgesCte,
+         reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, min(lbl)::BIGINT AS cluster_id
+              FROM reach GROUP BY id),
+         csz AS (SELECT cluster_id, count(*)::BIGINT AS n
+              FROM clus GROUP BY 1),
+         wts AS (SELECT c.id, (1000000 // s.n)::BIGINT AS wppm
+              FROM clus c JOIN csz s USING (cluster_id)),
+         dtk AS (SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+         eff AS (SELECT d.doc_id,
+                ((d.n_tokens * coalesce(w.wppm, 1000000)) // 1000000)
+                  ::BIGINT AS eff_tokens
+              FROM dtk d LEFT JOIN wts w ON d.doc_id = w.id),
+         bnd AS (SELECT doc_id, eff_tokens,
+                length(bin(eff_tokens))::BIGINT AS band,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS hh
+              FROM eff WHERE eff_tokens > 0),
+         rr AS (SELECT doc_id, eff_tokens,
+                ((row_number() OVER (PARTITION BY band
+                    ORDER BY eff_tokens DESC, hh, doc_id) - 1) % 4)
+                  ::BIGINT AS shard
+              FROM bnd)
+         SELECT shard, count(*)::BIGINT AS n_docs,
+                sum(eff_tokens)::BIGINT AS shard_tokens
+         FROM rr GROUP BY 1 ORDER BY 1""",
+
     // clusters → md5-rank row_number per cluster, keep rank <= 2;
     // singletons (no cluster row) always survive at rank 1
     "q_cluster_cap" ->

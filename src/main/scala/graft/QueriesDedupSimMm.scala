@@ -333,6 +333,34 @@ private[graft] object QueriesDedupSimMm {
         .orderBy(col("doc_id"))
     }),
 
+    // Composition capstone for the round-11 operators: dedup-DISCOUNTED
+    // token counts (each doc's tokens scaled by its 1/cluster-size
+    // weight, integer ppm math) feed the size-BALANCED sharder — the
+    // "shard the effective training tokens evenly" pipeline. Per-shard
+    // doc and token censuses gate the composition cell-exact; every
+    // stage is individually oracle-proven (q_dedup_weights,
+    // q_pack_balanced).
+    "q_pipeline_balanced" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val w = Dedup.dupWeights(Dedup.dupClusters(
+        Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 7)))
+      val eff = docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        .join(w.select(col("id").as("doc_id"), col("weight_ppm")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("(n_tokens * coalesce(weight_ppm, 1000000)) div 1000000")
+            .as("eff_tokens"))
+        .filter(col("eff_tokens") > 0)
+      graft.ext.Packing.packBalanced(eff, "doc_id", "eff_tokens",
+          shards = 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("eff_tokens")).as("shard_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     // Cluster-capped keep: at most 2 members per near-dup cluster, in
     // md5-rank order (deterministic pseudo-random pick — variant
     // diversity, not always the min id); singletons always survive.
