@@ -1058,6 +1058,39 @@ private[graft] object Oracles2 {
                 ELSE poly_fp END AS kgram_min_fp
          FROM fp ORDER BY doc_id""",
 
+    // the SQL-function surface: entropy + both fingerprints in one
+    // pass (the q_char_entropy and q_fingerprint replays joined)
+    "q_sql_functions" ->
+      """WITH ch AS (SELECT doc_id,
+                unnest([text[i] for i in generate_series(1, length(text))])
+                  AS c
+              FROM documents),
+         cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k
+              FROM ch GROUP BY 1, 2),
+         e AS (SELECT doc_id,
+                round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 6)
+                  AS char_entropy
+              FROM cnt GROUP BY doc_id),
+         fp AS (SELECT doc_id, text,
+                list_reduce(list_prepend(0::BIGINT,
+                    [ascii(x)::BIGINT for x in string_split(text, '')]),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp
+              FROM documents)
+         SELECT d.doc_id,
+                CASE WHEN d.text IS NULL THEN NULL
+                     ELSE coalesce(e.char_entropy, 0.0) END AS char_entropy,
+                f.poly_fp,
+                CASE WHEN length(f.text) >= 8 THEN
+                  list_min([list_reduce(list_prepend(0::BIGINT,
+                      [ascii(x)::BIGINT for x in string_split(substr(f.text, i, 8), '')]),
+                    (a, b) -> (a * 31 + b) % 1000000007)
+                    for i in generate_series(1, length(f.text) - 7)])
+                ELSE f.poly_fp END AS kgram_min_fp
+         FROM documents d
+           LEFT JOIN e ON d.doc_id = e.doc_id
+           JOIN fp f ON d.doc_id = f.doc_id
+         ORDER BY d.doc_id""",
+
     "q_dedup_minhash" -> minhashOracleSql(""),
   )
 }

@@ -398,6 +398,24 @@ private[graft] object QueriesScaleText {
             .as("kgram_min_fp"))
         .orderBy(col("doc_id"))),
 
+    // The SQL-FUNCTION surface end to end: the engine's injected native
+    // expressions (GraftExtensions → FunctionRegistry) called from
+    // plain `spark.sql` TEXT over a temp view — what a SQL-only user
+    // of the library writes. Same expressions the DataFrame gates
+    // already prove; this gate proves the registry resolution,
+    // argument binding (incl. the literal k), and codegen under the
+    // SQL parser path.
+    "q_sql_functions" -> ((s, dir) => {
+      Tables.read(s, dir, "documents")
+        .createOrReplaceTempView("documents_sqlfn")
+      s.sql(
+        """SELECT doc_id,
+             round(graft_entropy(text), 6) AS char_entropy,
+             graft_polyhash(text) AS poly_fp,
+             graft_minkgram(text, 8) AS kgram_min_fp
+           FROM documents_sqlfn ORDER BY doc_id""")
+    }),
+
     // Sequence packing: each doc split into consecutive 32-token
     // training chunks; chunk md5 proves byte-identical chunking.
     "q_chunk_tokens" -> ((s, dir) =>
