@@ -865,6 +865,14 @@ private[graft] object Oracles1 {
          GROUP BY ROLLUP (date_trunc('day', ts), event_type)
          ORDER BY day NULLS FIRST, habit NULLS FIRST""",
 
+    "q_grouping_sets" ->
+      """SELECT user_id AS user_email, event_type AS habit,
+                GROUPING(user_id, event_type)::BIGINT AS gid,
+                count(*) AS n_events, round(sum(value), 2) AS total
+         FROM events WHERE event_type IN ('click', 'view')
+         GROUP BY GROUPING SETS ((user_id), (event_type), ())
+         ORDER BY gid, user_email NULLS FIRST, habit NULLS FIRST""",
+
     "q_semi_join" ->
       """SELECT s_suppkey, s_name FROM supplier s
          WHERE EXISTS (SELECT 1 FROM lineitem l

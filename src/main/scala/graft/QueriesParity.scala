@@ -1059,6 +1059,25 @@ private[graft] object QueriesParity {
           round(sum(col("value")), 2).as("total"))
         .orderBy(col("day").asc_nulls_first, col("habit").asc_nulls_first)),
 
+    // Explicit GROUPING SETS — the granularity mix neither CUBE nor
+    // ROLLUP expresses: per-user totals, per-habit totals, and the
+    // grand total, with grouping_id() disambiguating an aggregated
+    // NULL from a data NULL (bit order = column order, user MSB).
+    // Same single expand+hash-agg plan family as the cube.
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.eventsAsHabits(s, dir)
+        .filter(col("habit").isin("click", "view"))
+        .groupingSets(
+          Seq(Seq(col("user_email")), Seq(col("habit")), Seq.empty),
+          col("user_email"), col("habit"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total"))
+        .select(col("user_email"), col("habit"), col("gid"),
+          col("n_events"), col("total"))
+        .orderBy(col("gid"), col("user_email").asc_nulls_first,
+          col("habit").asc_nulls_first)),
+
     // left-anti join (the newRawRows dedup shape) under the gate
     // directly: (user, day) pairs with click activity but no purchase.
     // LEFT SEMI — the EXISTS dual of q_anti_join: suppliers with at
