@@ -734,6 +734,46 @@ private[graft] object OracleBuilders {
          FROM dw JOIN tok USING (w) WHERE w <> ''
          GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Tokenizer FERTILITY by language — tokens-per-word (ppm integer
+    * ratio) per marker-ID'd language: the standard multilingual
+    * tokenizer-bias report (a language whose fertility is 2× pays 2×
+    * the sequence length for the same text). Composes the lang-marker
+    * CTEs with the shared BPE word chain; CTE names prefixed `l*` to
+    * dodge the chain's `b$k` generations. */
+  def tokenizerFertilityOracle(m: Int): String = {
+    val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      l -> ms.map(mk => s"'$mk'").mkString("[", ", ", "]")
+    }
+    val scores = markers.map { case (l, arr) =>
+      s"len(list_filter(l, x -> list_contains($arr, x))) AS s_$l"
+    }.mkString(",\n                ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
+    s"""WITH ${bpeWordChainSql(m)},
+         ftok AS (SELECT w,
+                len(list_filter(string_split(seg, '  '), x -> x <> ''))::BIGINT
+                  AS t
+               FROM w$m),
+         fdw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+         fenc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+                sum(t)::BIGINT AS n_bpe_tokens
+               FROM fdw JOIN ftok USING (w) WHERE w <> '' GROUP BY doc_id),
+         lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         ls AS (SELECT doc_id, $scores FROM lt),
+         lb AS (SELECT *, $best AS best FROM ls),
+         lng AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang FROM lb)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_words)::BIGINT AS n_words,
+                sum(n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+                ((1000000 * sum(n_bpe_tokens)) // sum(n_words))::BIGINT
+                  AS fertility_ppm
+         FROM lng JOIN fenc USING (doc_id)
+         GROUP BY lang ORDER BY lang"""
+  }
+
   /** DuckDB replay of [[graft.ext.Bpe.bpeEncodeIds]]: the same trained
     * chain, then the deterministic vocabulary (sorted corpus alphabet
     * ids `0..B-1`, merge step `k` mints id `B+k-1`, first id wins on a

@@ -364,6 +364,8 @@ private[graft] object Oracles2 {
       """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, n_chars
          FROM documents ORDER BY doc_id""",
 
+    "q_tokenizer_fertility" -> tokenizerFertilityOracle(8),
+
     "q_lang_id" -> {
       val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
         l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")

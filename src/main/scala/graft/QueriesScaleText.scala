@@ -365,6 +365,27 @@ private[graft] object QueriesScaleText {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy(col("doc_id"))),
 
+    // Tokenizer FERTILITY by language — tokens-per-word per marker-ID'd
+    // language, the standard multilingual tokenizer-bias report (2×
+    // fertility = 2× sequence length for the same text). Composes two
+    // oracle-proven relations (lang ID + BPE encode) into one ppm
+    // integer ratio per language; the encode chain is persisted-free
+    // here because each relation is consumed once.
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val enc = graft.ext.Bpe.bpeEncode(docs, "doc_id", "text",
+        graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
+      docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+        .join(enc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          expr("(1000000 * sum(n_bpe_tokens)) div sum(n_words)")
+            .as("fertility_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     "q_lang_id_ngram" -> ((s, dir) =>
       TextAnalysis.langIdNgram(Tables.read(s, dir, "documents"),
           "doc_id", "text")
