@@ -506,6 +506,25 @@ private[graft] object Oracles3 {
            LEFT JOIN sz s ON c.cluster_id = s.cluster_id
          ORDER BY d.doc_id""",
 
+    // cluster-size histogram over the same recursive CC, singletons
+    // via the left join, 5+ folded into the tail bucket
+    "q_dup_profile" ->
+      s"""WITH RECURSIVE
+         $simhashEdgesCte,
+         reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, min(lbl)::BIGINT AS cluster_id
+              FROM reach GROUP BY id),
+         mem AS (SELECT d.doc_id,
+                coalesce(c.cluster_id, d.doc_id) AS cid
+              FROM documents d LEFT JOIN clus c ON d.doc_id = c.id),
+         szs AS (SELECT cid, count(*)::BIGINT AS sz FROM mem GROUP BY 1)
+         SELECT least(sz, 5)::BIGINT AS size_bucket,
+                count(*)::BIGINT AS n_clusters, sum(sz)::BIGINT AS n_docs
+         FROM szs GROUP BY 1 ORDER BY 1""",
+
     // the composed weighted-balance pipeline: cluster sizes → ppm
     // down-weights → effective tokens → band round-robin → per-shard
     // censuses

@@ -333,6 +333,26 @@ private[graft] object QueriesDedupSimMm {
         .orderBy(col("doc_id"))
     }),
 
+    // The duplication PROFILE — the dedup report a curation team reads:
+    // how many clusters (and how much of the corpus) sit at each
+    // duplication level, singletons included via the left join,
+    // 5+ folded into one tail bucket. Two cluster-keyed aggregates on
+    // top of the proven cluster relation.
+    "q_dup_profile" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val clusters = Dedup.dupClusters(Dedup.simhashDupPairs(docs,
+        "doc_id", "text", maxHamming = 7))
+      docs.select(col("doc_id"))
+        .join(clusters.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+        .select(least(col("sz"), lit(5L)).as("size_bucket"), col("sz"))
+        .groupBy(col("size_bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+        .orderBy(col("size_bucket"))
+    }),
+
     // Composition capstone for the round-11 operators: dedup-DISCOUNTED
     // token counts (each doc's tokens scaled by its 1/cluster-size
     // weight, integer ppm math) feed the size-BALANCED sharder — the
