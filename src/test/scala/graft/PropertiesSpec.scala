@@ -531,6 +531,50 @@ object PropertiesSpec extends Properties("graft") {
         inc == full
     }
 
+  property("dupWeights and capDupClusters algebra on random pair sets") =
+    forAll(for {
+      n <- Gen.choose(2, 14)
+      ne <- Gen.choose(1, 20)
+      edges <- Gen.listOfN(ne, for {
+        a <- Gen.choose(0L, (n - 1).toLong)
+        b <- Gen.choose(0L, (n - 1).toLong)
+      } yield (a, b))
+      cap <- Gen.choose(1, 3)
+    } yield (edges.filter(e => e._1 != e._2), cap)) {
+      case (edges, cap) =>
+        (edges.nonEmpty: Boolean) ==> {
+          val s = spark
+          import s.implicits._
+          val clusters = Dedup.dupClusters(edges.toDF("id_a", "id_b"))
+          val members = clusters.collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+          val bySize = members.groupBy(_._2).view.mapValues(_.size).toMap
+          val w = Dedup.dupWeights(clusters).collect()
+            .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster_id"),
+              r.getAs[Long]("cluster_size"), r.getAs[Long]("weight_ppm")))
+          // every member carries its component's true size and the exact
+          // integer down-weight
+          val weightsOk = w.length == members.length && w.forall {
+            case (_, cid, sz, ppm) =>
+              bySize(cid).toLong == sz && ppm == 1000000L / sz
+          }
+          val kept = Dedup.capDupClusters(clusters, cap).collect()
+            .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster_id"),
+              r.getAs[Long]("keep_rank")))
+          // per cluster: exactly min(cap, size) survivors, dense ranks
+          // from 1, all genuine members
+          val capOk = kept.groupBy(_._2).forall { case (cid, rows) =>
+            rows.length == math.min(cap, bySize(cid)) &&
+              rows.map(_._3).sorted.toSeq ==
+                (1L to rows.length.toLong) &&
+              rows.forall(r => members.contains((r._1, cid)))
+          }
+          // cap >= 1 means every cluster keeps at least one survivor
+          weightsOk && capOk && kept.map(_._2).distinct.toSet ==
+            bySize.keySet
+        }
+    }
+
   property("assertDisjointIds: loud on collision, silent on disjoint") =
     forAll(Gen.choose(0L, 50L), Gen.choose(1, 5)) { (base, n) =>
       val s = spark
