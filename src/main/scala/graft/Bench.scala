@@ -81,26 +81,29 @@ object Bench {
       require(missing.isEmpty, s"SPARK_GRAFT_ONLY unknown: $missing")
       SparkEntry.queries.view.filterKeys(names).toMap
     }
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Long, Long) = {
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      // noop sink forces FULL evaluation (projections, sorts, digests);
+      // .count() would let Catalyst prune them and time a bare row-count
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // a failed query reports -1, never a fast-looking elapsed time
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val gcDelta = gcMillis() - gc0
+      // free any caches the operator left behind (outside the timed
+      // window: the query's own work is fully paid above)
+      spark.catalog.clearCache()
+      (elapsed, loadAvg1m(), gcDelta, heapUsedMb())
+    }
     val results = selected.map { case (name, fn) =>
-      def run(): (Double, Double, Long, Long) = {
-        val gc0 = gcMillis()
-        val t0 = System.nanoTime()
-        // noop sink forces FULL evaluation (projections, sorts, digests);
-        // .count() would let Catalyst prune them and time a bare row-count
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        // a failed query reports -1, never a fast-looking elapsed time
-        val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        val gcDelta = gcMillis() - gc0
-        // free any caches the operator left behind (outside the timed
-        // window: the query's own work is fully paid above)
-        spark.catalog.clearCache()
-        (elapsed, loadAvg1m(), gcDelta, heapUsedMb())
-      }
+      def run(): (Double, Double, Long, Long) = timeOnce(name, fn)
       val (first, load1, gc1, heap1) = run()
       val res =
         if (first < 0) QRes(first, Seq(first), Seq(load1), Seq(gc1), Seq(heap1))
@@ -124,6 +127,30 @@ object Bench {
         }
       name -> res
     }
+    // quiesce gate: rounds 10-11 both started at load1m > 6 and every
+    // non-deterministic round-over-round drift traced to those loaded
+    // windows. Threshold 4.0 (documented in BASELINE.md): above it the
+    // artifact is STAMPED not-quiesced, and the heaviest queries get one
+    // extra timed run at end-of-bench — by then the start-window spike
+    // has usually passed, so min-of-N reports the quiet number instead
+    // of handing the next round a phantom regression to attribute.
+    val quiesceThreshold = 4.0
+    val quiesceOk = loadStart >= 0 && loadStart < quiesceThreshold
+    val results2 =
+      if (quiesceOk || only.nonEmpty) results
+      else {
+        val heavy = results.toSeq.filter(_._2.best >= 0)
+          .sortBy(-_._2.best).take(10).map(_._1).toSet
+        results.map { case (name, r) =>
+          if (!heavy(name)) name -> r
+          else {
+            val (t, l, g, h) = timeOnce(name, selected(name))
+            val best = if (t >= 0) math.min(r.best, t) else r.best
+            name -> QRes(best, r.runs :+ t, r.loads :+ l,
+              r.gcMs :+ g, r.heapMb :+ h)
+          }
+        }
+      }
     // Millisecond precision keeps entries compact (full 1e-9 doubles
     // pushed the 70+-query line past 2000 chars); 3 decimals is far
     // below run-to-run variance anyway.
@@ -131,7 +158,7 @@ object Bench {
     def qsJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
-    val best = results.map { case (k, r) => k -> r.best }
+    val best = results2.map { case (k, r) => k -> r.best }
     val total = best.values.filter(_ >= 0).sum
     // The 95+-query map no longer fits the round artifact's 2000-char
     // tail capture (~22 chars/entry), so the CAPTURED line carries only
@@ -165,7 +192,7 @@ object Bench {
     val jvmUp = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1e3
     def arr(vs: Seq[Double]): String = vs.map(r3).mkString("[", ",", "]")
     def arrL(vs: Seq[Long]): String = vs.mkString("[", ",", "]")
-    val pretty = results.toSeq.sortBy(_._1)
+    val pretty = results2.toSeq.sortBy(_._1)
       .map { case (k, r) =>
         // cold_s = first run minus the reported best: the one-time cost
         // min-of-2 deliberately hides (codegen/JIT, checkpoint-dir
@@ -187,7 +214,8 @@ object Bench {
       .mkString(
         s"""{\n  "_total_sec": ${r3(total)},\n  "_sf": "$sfDir",\n  "_cpus": $cpus,\n""" +
           s"""  "_bench_wall_sec": ${r3(wallSec)},\n  "_jvm_uptime_sec": ${r3(jvmUp)},\n""" +
-          s"""  "_load1m_start": ${r3(loadStart)},\n  "_load1m_end": ${r3(loadAvg1m())},\n""",
+          s"""  "_load1m_start": ${r3(loadStart)},\n  "_load1m_end": ${r3(loadAvg1m())},\n""" +
+          s"""  "_quiesce_ok": $quiesceOk,\n  "_quiesce_threshold": ${r3(quiesceThreshold)},\n""",
         ",\n", "\n}\n")
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

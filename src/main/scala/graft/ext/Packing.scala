@@ -201,12 +201,17 @@ object Packing {
       } else {
         // sub-range salt, monotone with tokens DESC inside the band:
         // band b holds values [2^(b-1), 2^b); salt 0 = top sub-range.
-        // Integer-exact; shiftleft stays in range for any real corpus
-        // (band < 63 ⇔ tokens < 2^62)
+        // Integer-exact; shiftleft stays in range only while band < 63
+        // (⇔ tokens < 2^62) — beyond that the shift wraps silently, so
+        // fail loudly per the matvec-overflow-guard discipline
         val salted = base.withColumn("__graft_salt",
-          least(lit(saltBuckets - 1L), expr(
-            s"(((shiftleft(1L, band) - 1) - ${tokenCol}) * $saltBuckets)" +
-              s" div shiftleft(1L, band - 1)")))
+          when(col("band") >= 63,
+            raise_error(lit("packBalanced: token count >= 2^62 — the " +
+              "sub-range salt's shiftleft(1L, band) would overflow"))
+              .cast("long"))
+            .otherwise(least(lit(saltBuckets - 1L), expr(
+              s"(((shiftleft(1L, band) - 1) - ${tokenCol}) * $saltBuckets)" +
+                s" div shiftleft(1L, band - 1)"))))
         val localW = Window.partitionBy(col("band"), col("__graft_salt"))
           .orderBy(rankOrder: _*)
         val priorW = Window.partitionBy(col("band"))

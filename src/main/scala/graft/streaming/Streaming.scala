@@ -1337,7 +1337,12 @@ object Streaming {
           "doc_id", "text", threshold),
         queryName)
       val lp = s"$workDir/labels"
-      val last = new java.io.File(lp).list()
+      // locate the final snapshot through the Hadoop FS API (the same
+      // handle clusterLedgerIngest writes through) — java.io.File
+      // returns null on a non-local workDir
+      val lpPath = new org.apache.hadoop.fs.Path(lp)
+      val fs = lpPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val last = fs.listStatus(lpPath).map(_.getPath.getName)
         .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
         .max
       spark.read.parquet(s"$lp/batch=$last")
