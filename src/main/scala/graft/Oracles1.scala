@@ -81,6 +81,47 @@ private[graft] object Oracles1 {
          FROM ts_panel t JOIN agg_panel a ON t.day = a.day
          ORDER BY t.day""",
 
+    // all four dashboard read shapes, tall-unioned — mirrors the Spark
+    // SQL text panel for panel
+    "q_sql_dashboard_full" ->
+      """WITH ts_panel AS (
+           SELECT date_trunc('day', ts) AS day, round(sum(value), 6) AS minutes
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+             AND user_id = 7 AND event_type = 'purchase'
+           GROUP BY 1),
+         agg_panel AS (
+           SELECT date_trunc('day', ts) AS day,
+                  count(*) FILTER (WHERE value >= 1) AS count_done,
+                  round(avg(value), 6) AS avg_value
+           FROM events
+           WHERE user_id = 7 AND event_type = 'purchase'
+           GROUP BY 1),
+         recent AS (
+           SELECT ts, user_id, event_type, value, event_id
+           FROM events ORDER BY ts DESC, event_id LIMIT 50)
+         SELECT 'ts' AS panel, strftime(day, '%Y-%m-%d') AS k1,
+                CAST(NULL AS VARCHAR) AS k2, minutes AS v1,
+                CAST(NULL AS DOUBLE) AS v2
+         FROM ts_panel
+         UNION ALL
+         SELECT 'agg', strftime(day, '%Y-%m-%d'), NULL,
+                avg_value, count_done::DOUBLE
+         FROM agg_panel
+         UNION ALL
+         SELECT 'var_user', user_id::VARCHAR, NULL, NULL, NULL
+         FROM (SELECT DISTINCT user_id FROM events)
+         UNION ALL
+         SELECT 'var_habit', event_type, NULL, NULL, NULL
+         FROM (SELECT DISTINCT event_type FROM events)
+         UNION ALL
+         SELECT 'recent', strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+                user_id::VARCHAR || ':' || event_type,
+                value, event_id::DOUBLE
+         FROM recent
+         ORDER BY panel, k1, k2, v2""",
+
     "q_sessionize" -> sessionizeOracle,
 
     // built-in session_window merge — third implementation, same oracle

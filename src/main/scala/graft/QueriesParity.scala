@@ -130,6 +130,58 @@ private[graft] object QueriesParity {
           col("count_done"), col("avg_value"))
     }),
 
+    // The COMPLETE Grafana read surface as one SQL text: all four
+    // README read shapes — the time-series panel (README.md:122-125),
+    // the continuous-aggregate panel (sql/001_schema.sql:31-40), the
+    // two dashboard-variable DISTINCTs (README.md:118-119), and the
+    // recent-events verification read (README.md:98) — unioned into a
+    // tall (panel, k1, k2, v1, v2) relation so one oracle hash gates
+    // the whole dashboard. Timestamps travel as explicit
+    // microsecond-formatted strings (cast-to-string formats differ
+    // across engines). The variable DISTINCTs and the top-k are each
+    // one shuffle; the LIMIT plans TakeOrderedAndProject, never a
+    // global sort.
+    "q_sql_dashboard_full" -> ((s, dir) => {
+      Habits.registerDashboardViews(Tables.eventsAsHabits(s, dir),
+        sumHabit = "purchase")
+      s.sql(
+        """WITH ts_panel AS (
+             SELECT date_trunc('DAY', ts) AS day,
+                    round(sum(value), 6) AS minutes
+             FROM habit_events
+             WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+               AND user_email = 7 AND habit = 'purchase'
+             GROUP BY 1),
+           agg_panel AS (
+             SELECT day, count_done, round(avg_value, 6) AS avg_value
+             FROM habit_daily
+             WHERE user_email = 7 AND habit = 'purchase'),
+           recent AS (
+             SELECT ts, user_email, habit, value, event_id
+             FROM habit_events ORDER BY ts DESC, event_id LIMIT 50)
+           SELECT 'ts' AS panel, date_format(day, 'yyyy-MM-dd') AS k1,
+                  CAST(NULL AS STRING) AS k2, minutes AS v1,
+                  CAST(NULL AS DOUBLE) AS v2
+           FROM ts_panel
+           UNION ALL
+           SELECT 'agg', date_format(day, 'yyyy-MM-dd'), NULL,
+                  avg_value, CAST(count_done AS DOUBLE)
+           FROM agg_panel
+           UNION ALL
+           SELECT 'var_user', CAST(user_email AS STRING), NULL, NULL, NULL
+           FROM (SELECT DISTINCT user_email FROM habit_events)
+           UNION ALL
+           SELECT 'var_habit', habit, NULL, NULL, NULL
+           FROM (SELECT DISTINCT habit FROM habit_events)
+           UNION ALL
+           SELECT 'recent', date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'),
+                  concat(CAST(user_email AS STRING), ':', habit),
+                  value, CAST(event_id AS DOUBLE)
+           FROM recent
+           ORDER BY panel, k1, k2, v2""")
+    }),
+
     // SCD2 intervals over each (user, habit)'s daily-total change stream:
     // consecutive equal totals merge, each surviving row carries its
     // validity window (valid_to NULL while current).

@@ -916,6 +916,23 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       "no detected skew must collapse to the single plain as-of")
   }
 
+  test("packBalanced salted path fails loudly on a token count whose " +
+      "magnitude band would overflow the shiftleft salt arithmetic") {
+    val s = spark
+    import s.implicits._
+    // band 63 ⇔ tokens ≥ 2^62: the sub-range salt's shiftleft(1L, band)
+    // wraps there, so the guard must raise instead of mis-salting
+    val d = Seq((1L, (1L << 62) + 5L), (2L, 100L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      graft.ext.Packing.packBalanced(d, "doc_id", "n_tokens",
+        shards = 2, saltBuckets = 4).collect()
+    }
+    assert(e.getMessage.contains("packBalanced"), e.getMessage)
+    // the plain (unsalted) path has no shiftleft and stays well-defined
+    assert(graft.ext.Packing.packBalanced(d, "doc_id", "n_tokens",
+      shards = 2).count() == 2L)
+  }
+
   test("packConcat: zero waste — every non-tail bin holds exactly the " +
       "budget; split docs account for every token") {
     val s = spark
