@@ -536,6 +536,109 @@ private[graft] object Oracles2 {
                   AND ar >= 0.8 AND sh >= 2 AS pass
          FROM m ORDER BY doc_id""",
 
+    // the repetition family mirrors gopherRepetition definitionally:
+    // dup counts/char mass from per-(doc, segment) GROUP BY counts
+    // (= the engine's sorted-adjacency fold), top-gram mass as
+    // max(count*len) among the doc's top-count grams
+    "q_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l,
+                greatest(length(text), 1)::BIGINT AS nc FROM documents),
+         lines AS (SELECT doc_id,
+                unnest([array_to_string(l[i*8+1 : i*8+8], ' ')
+                        for i in generate_series(0, (len(l)-1)//8)]) AS seg
+              FROM t),
+         lc AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS ln
+              FROM lines GROUP BY 1, 2),
+         lstat AS (SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                sum(c - 1)::BIGINT AS dl, sum((c - 1) * ln)::BIGINT AS dlc
+              FROM lc GROUP BY 1),
+         paras AS (SELECT doc_id,
+                unnest([array_to_string(l[i*32+1 : i*32+32], ' ')
+                        for i in generate_series(0, (len(l)-1)//32)]) AS seg
+              FROM t),
+         pc AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS ln
+              FROM paras GROUP BY 1, 2),
+         pstat AS (SELECT doc_id, sum(c)::BIGINT AS n_paras,
+                sum(c - 1)::BIGINT AS dp, sum((c - 1) * ln)::BIGINT AS dpc
+              FROM pc GROUP BY 1),
+         g2 AS (SELECT doc_id, unnest([array_to_string(l[i : i+1], ' ')
+                        for i in generate_series(1, len(l) - 1)]) AS g
+              FROM t),
+         g2c AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln
+              FROM g2 GROUP BY 1, 2),
+         g2m AS (SELECT doc_id, max(c) AS mc FROM g2c GROUP BY 1),
+         g2t AS (SELECT c.doc_id, max(c.c * c.ln)::BIGINT AS mass
+              FROM g2c c JOIN g2m m ON c.doc_id = m.doc_id AND c.c = m.mc
+              GROUP BY 1),
+         g3 AS (SELECT doc_id, unnest([array_to_string(l[i : i+2], ' ')
+                        for i in generate_series(1, len(l) - 2)]) AS g
+              FROM t),
+         g3c AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln
+              FROM g3 GROUP BY 1, 2),
+         g3m AS (SELECT doc_id, max(c) AS mc FROM g3c GROUP BY 1),
+         g3t AS (SELECT c.doc_id, max(c.c * c.ln)::BIGINT AS mass
+              FROM g3c c JOIN g3m m ON c.doc_id = m.doc_id AND c.c = m.mc
+              GROUP BY 1),
+         g4 AS (SELECT doc_id, unnest([array_to_string(l[i : i+3], ' ')
+                        for i in generate_series(1, len(l) - 3)]) AS g
+              FROM t),
+         g4c AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln
+              FROM g4 GROUP BY 1, 2),
+         g4m AS (SELECT doc_id, max(c) AS mc FROM g4c GROUP BY 1),
+         g4t AS (SELECT c.doc_id, max(c.c * c.ln)::BIGINT AS mass
+              FROM g4c c JOIN g4m m ON c.doc_id = m.doc_id AND c.c = m.mc
+              GROUP BY 1),
+         fmt AS (SELECT doc_id,
+                len(l)::BIGINT AS n_words,
+                (length(text) - (len(l) - 1))::DOUBLE / len(l)::DOUBLE
+                  AS mwl,
+                len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                  / greatest(len(l), 1)::DOUBLE AS ar,
+                len(list_intersect(list_distinct(l),
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it',
+                     'that', 'for']))::BIGINT AS sh
+              FROM t),
+         ppm AS (SELECT t.doc_id, ls.n_lines, ps.n_paras,
+                1000000 * ls.dl // ls.n_lines AS dup_line_ppm,
+                1000000 * ls.dlc // t.nc AS dup_line_char_ppm,
+                1000000 * ps.dp // ps.n_paras AS dup_para_ppm,
+                1000000 * ps.dpc // t.nc AS dup_para_char_ppm,
+                1000000 * coalesce(g2t.mass, 0) // t.nc AS top2_char_ppm,
+                1000000 * coalesce(g3t.mass, 0) // t.nc AS top3_char_ppm,
+                1000000 * coalesce(g4t.mass, 0) // t.nc AS top4_char_ppm,
+                (f.n_words BETWEEN 50 AND 100000)
+                  AND (f.mwl >= 3.0 AND f.mwl <= 10.0)
+                  AND f.ar >= 0.8 AND f.sh >= 2 AS pass_format
+              FROM t
+              JOIN lstat ls ON t.doc_id = ls.doc_id
+              JOIN pstat ps ON t.doc_id = ps.doc_id
+              JOIN fmt f ON t.doc_id = f.doc_id
+              LEFT JOIN g2t ON t.doc_id = g2t.doc_id
+              LEFT JOIN g3t ON t.doc_id = g3t.doc_id
+              LEFT JOIN g4t ON t.doc_id = g4t.doc_id)
+         SELECT doc_id, n_lines, n_paras,
+                dup_line_ppm, dup_line_char_ppm,
+                dup_para_ppm, dup_para_char_ppm,
+                top2_char_ppm, top3_char_ppm, top4_char_ppm,
+                dup_line_ppm <= 300000 AS ok_dup_line,
+                dup_line_char_ppm <= 200000 AS ok_dup_line_char,
+                dup_para_ppm <= 300000 AS ok_dup_para,
+                dup_para_char_ppm <= 200000 AS ok_dup_para_char,
+                top2_char_ppm <= 200000 AS ok_top2,
+                top3_char_ppm <= 180000 AS ok_top3,
+                top4_char_ppm <= 160000 AS ok_top4,
+                (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+                  AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
+                  AND top2_char_ppm <= 200000 AND top3_char_ppm <= 180000
+                  AND top4_char_ppm <= 160000) AS pass_repetition,
+                pass_format,
+                pass_format AND (dup_line_ppm <= 300000
+                  AND dup_line_char_ppm <= 200000
+                  AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
+                  AND top2_char_ppm <= 200000 AND top3_char_ppm <= 180000
+                  AND top4_char_ppm <= 160000) AS pass
+         FROM ppm ORDER BY doc_id""",
+
     "q_bm25" -> bm25Oracle,
 
     "q_bm25_rm3" -> bm25Rm3Oracle,

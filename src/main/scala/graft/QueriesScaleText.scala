@@ -532,6 +532,23 @@ private[graft] object QueriesScaleText {
           minStopHits = 2)
         .orderBy(col("doc_id"))),
 
+    // The COMPLETE Gopher gate: the published repetition-rule family
+    // (dup line/paragraph count+char fractions over fixed word
+    // segments, top-2/3/4-gram char mass, Rae et al. 2021 App. A1.1
+    // thresholds) joined with the format-rule gate above into one
+    // attributable pass column — rule-per-column, ppm-exact. Both
+    // sides are pure per-row expression chains; the join keys the
+    // corpus once on doc_id.
+    "q_gopher_repetition" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+        .join(TextAnalysis.gopherRules(docs, "doc_id", "text",
+            minWords = 50, maxWords = 100000, minStopHits = 2)
+          .select(col("doc_id"), col("pass").as("pass_format")), "doc_id")
+        .withColumn("pass", col("pass_format") && col("pass_repetition"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 retrieval ranking for a literal query (Okapi k1=1.2,
     // b=0.75) — the search-side counterpart of the tf-idf profile.
     // Scores round to 6 dp BEFORE the rank cut so the top-k set is

@@ -325,6 +325,124 @@ object TextAnalysis {
       }.toDF(idCol, "rep_ratio")
   }
 
+  /** The published Gopher REPETITION rule family (Rae et al. 2021,
+    * Appendix A1.1) — the signals [[gopherRules]] deliberately left
+    * out: duplicate-line fraction, duplicate-paragraph fraction, their
+    * character-mass variants, and the top-2/3/4-gram character-mass
+    * fractions, each against the paper's published threshold. This
+    * corpus is single-line (no '\n'), so "line" and "paragraph" are the
+    * [[Dedup.segmentDedup]] convention: fixed `lineWords`- /
+    * `paraWords`-word windows at offsets 0, w, 2w, … re-joined with a
+    * space (the natural segment unit for a whitespace corpus; a real
+    * web corpus splits on '\n' / '\n\n' instead — only the
+    * segmentation column changes).
+    *
+    * Definitions (ppm-quantized integer math so the oracle replays
+    * exactly):
+    *  - `dup_line_ppm`   = 10⁶·(n_lines − n_distinct_lines) div n_lines
+    *    (every occurrence beyond a value's first is a duplicate);
+    *  - `dup_line_char_ppm` = 10⁶·Σ_values (cnt−1)·len(value) div
+    *    max(doc_chars, 1) — the character mass of those beyond-first
+    *    occurrences;
+    *  - `topN_char_ppm` = 10⁶·max{cnt·len(g) : g has the doc's maximal
+    *    sliding-N-gram count} div max(doc_chars, 1) — the tie rule
+    *    (max mass among top-count grams) keeps the value well-defined
+    *    without an ordering convention. Docs under N words have no
+    *    N-gram and score 0.
+    * Thresholds (flag = measure ≤ bound, matching the paper's removal
+    * bounds): lines 0.30 / 0.20 (count/char), paragraphs 0.30 / 0.20,
+    * top-2/3/4-gram char 0.20 / 0.18 / 0.16.
+    *
+    * Scale (100 TB): pure per-row expression chain — zero shuffles,
+    * zero joins; the duplicate walk is one `array_sort` +
+    * adjacent-equality pass (O(k log k) per doc, never the O(k²)
+    * value-by-value recount), and the top-gram walk is a single
+    * sorted-run fold. Runs in the same scan as [[gopherRules]]. */
+  def gopherRepetition(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lineWords: Int = 8, paraWords: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    val toks = split(t, " ", -1)
+    val nChars = greatest(length(t), lit(1)).cast("long")
+    // fixed word windows at offsets 0, w, 2w, … (segmentDedup's shape);
+    // split("") = [""] so the sequence upper bound is always >= 0
+    def segsOf(w: Int): Column = transform(
+      sequence(lit(0), floor((size(toks) - 1) / lit(w)).cast("int")),
+      i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+    // duplicate count + duplicate char mass via one sort + one
+    // adjacent-equality pass: in a sorted array every element equal to
+    // its predecessor is an occurrence beyond its value's first
+    def dupCols(segs: Column): (Column, Column, Column) = {
+      val sorted = array_sort(segs)
+      val k = size(sorted)
+      def adjSum(f: (Column, Column) => Column): Column =
+        aggregate(
+          when(k > 1, zip_with(slice(sorted, lit(1), k - 1),
+            slice(sorted, lit(2), k - 1), f))
+            .otherwise(array().cast("array<long>")),
+          lit(0L), (acc, x) => acc + x)
+      (k.cast("long"),
+        adjSum((a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
+        adjSum((a, b) => when(a === b, length(b).cast("long"))
+          .otherwise(lit(0L))))
+    }
+    // top sliding-n-gram char mass: sort the grams, fold over runs
+    // carrying (prev, run count, best count, best mass); a run that
+    // passes the best count resets the mass, a tie takes the max mass
+    def topMass(n: Int): Column = {
+      val grams = when(size(toks) >= n,
+        array_sort(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+      aggregate(grams,
+        struct(lit("").as("prev"), lit(0L).as("cnt"),
+          lit(0L).as("bc"), lit(0L).as("bm")),
+        (st, g) => {
+          val cnt = when(g === st("prev"), st("cnt") + 1L).otherwise(lit(1L))
+          val mass = cnt * length(g).cast("long")
+          struct(g.as("prev"), cnt.as("cnt"),
+            greatest(st("bc"), cnt).as("bc"),
+            when(cnt > st("bc"), mass)
+              .when(cnt === st("bc"), greatest(st("bm"), mass))
+              .otherwise(st("bm")).as("bm"))
+        },
+        st => st("bm"))
+    }
+    val (nLines, dupLines, dupLineChars) = dupCols(segsOf(lineWords))
+    val (nParas, dupParas, dupParaChars) = dupCols(segsOf(paraWords))
+    val out = docs.select(col(idCol),
+      nLines.as("n_lines"), dupLines.as("_dl"), dupLineChars.as("_dlc"),
+      nParas.as("n_paras"), dupParas.as("_dp"), dupParaChars.as("_dpc"),
+      topMass(2).as("_t2"), topMass(3).as("_t3"), topMass(4).as("_t4"),
+      nChars.as("_nc"))
+    val withPpm = out.select(col(idCol), col("n_lines"), col("n_paras"),
+      expr("1000000 * _dl div n_lines").as("dup_line_ppm"),
+      expr("1000000 * _dlc div _nc").as("dup_line_char_ppm"),
+      expr("1000000 * _dp div n_paras").as("dup_para_ppm"),
+      expr("1000000 * _dpc div _nc").as("dup_para_char_ppm"),
+      expr("1000000 * _t2 div _nc").as("top2_char_ppm"),
+      expr("1000000 * _t3 div _nc").as("top3_char_ppm"),
+      expr("1000000 * _t4 div _nc").as("top4_char_ppm"))
+    withPpm.select(col(idCol), col("n_lines"), col("n_paras"),
+      col("dup_line_ppm"), col("dup_line_char_ppm"),
+      col("dup_para_ppm"), col("dup_para_char_ppm"),
+      col("top2_char_ppm"), col("top3_char_ppm"), col("top4_char_ppm"),
+      (col("dup_line_ppm") <= 300000).as("ok_dup_line"),
+      (col("dup_line_char_ppm") <= 200000).as("ok_dup_line_char"),
+      (col("dup_para_ppm") <= 300000).as("ok_dup_para"),
+      (col("dup_para_char_ppm") <= 200000).as("ok_dup_para_char"),
+      (col("top2_char_ppm") <= 200000).as("ok_top2"),
+      (col("top3_char_ppm") <= 180000).as("ok_top3"),
+      (col("top4_char_ppm") <= 160000).as("ok_top4"),
+      (col("dup_line_ppm") <= 300000 &&
+        col("dup_line_char_ppm") <= 200000 &&
+        col("dup_para_ppm") <= 300000 &&
+        col("dup_para_char_ppm") <= 200000 &&
+        col("top2_char_ppm") <= 200000 &&
+        col("top3_char_ppm") <= 180000 &&
+        col("top4_char_ppm") <= 160000).as("pass_repetition"))
+  }
+
   // ── PII scanning / redaction ───────────────────────────────────────────
 
   /** ASCII-only regexes shared verbatim with the oracle (Java regex and

@@ -916,6 +916,59 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       "no detected skew must collapse to the single plain as-of")
   }
 
+  test("gopherRepetition pins each published rule independently: dup " +
+      "lines, dup chars, dup paragraphs, top-gram mass, tie rule, and " +
+      "the degenerate short doc") {
+    val s = spark
+    import s.implicits._
+    val line8 = "aa ab ac ad ae af ag ah"            // one 8-word segment
+    val half32 = (0 until 32).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      // doc 0: the same 8-word line twice -> 2 lines, 1 duplicate
+      (0L, s"$line8 $line8"),
+      // doc 1: 64 words = two identical 32-word paragraphs
+      (1L, s"$half32 $half32"),
+      // doc 2: degenerate repetition for the top-2-gram rule
+      (2L, "x y x y x y"),
+      // doc 3: two top-count 2-grams with different lengths — the tie
+      // rule takes the larger mass
+      (3L, "aaa b aaa b cc d cc d"),
+      // doc 4: shorter than any 2-gram
+      (4L, "hello")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis
+      .gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def ppm(num: Long, den: Long): Long = 1000000L * num / den
+    // doc 0: n_lines 2, 1 dup line of 23 chars, 47 total chars
+    assert(out(0L).getAs[Long]("n_lines") == 2L)
+    assert(out(0L).getAs[Long]("dup_line_ppm") == ppm(1, 2))
+    assert(out(0L).getAs[Long]("dup_line_char_ppm") ==
+      ppm(line8.length.toLong, (2 * line8.length + 1).toLong))
+    assert(!out(0L).getAs[Boolean]("ok_dup_line"))
+    // doc 1: 8 lines = 4 values twice (the halves repeat at line
+    // granularity too), and 2 identical 32-word paragraphs
+    assert(out(1L).getAs[Long]("dup_line_ppm") == ppm(4, 8))
+    assert(out(1L).getAs[Long]("n_paras") == 2L)
+    assert(out(1L).getAs[Long]("dup_para_ppm") == ppm(1, 2))
+    assert(out(1L).getAs[Long]("dup_para_char_ppm") ==
+      ppm(half32.length.toLong, (2 * half32.length + 1).toLong))
+    assert(!out(1L).getAs[Boolean]("ok_dup_para"))
+    // doc 2: "x y" occurs 3x (len 3) in 11 chars
+    assert(out(2L).getAs[Long]("top2_char_ppm") == ppm(9, 11))
+    assert(!out(2L).getAs[Boolean]("ok_top2"))
+    // doc 3: "aaa b" and "cc d" both occur twice; mass = max(10, 8)
+    assert(out(3L).getAs[Long]("top4_char_ppm") ==
+      ppm(1 * "aaa b aaa b".length.toLong,
+        "aaa b aaa b cc d cc d".length.toLong))
+    assert(out(3L).getAs[Long]("top2_char_ppm") ==
+      ppm(2 * 5, "aaa b aaa b cc d cc d".length.toLong))
+    // doc 4: one line, no grams, everything passes
+    assert(out(4L).getAs[Long]("n_lines") == 1L)
+    assert(out(4L).getAs[Long]("top2_char_ppm") == 0L)
+    assert(out(4L).getAs[Boolean]("pass_repetition"))
+  }
+
   test("packBalanced salted path fails loudly on a token count whose " +
       "magnitude band would overflow the shiftleft salt arithmetic") {
     val s = spark
