@@ -14,6 +14,10 @@ private[graft] object Oracles3 {
     // pair set — same oracle, no stream-specific SQL
     "q_dedup_stream" -> minhashOracleSql(""),
 
+    // the band-ledger probe path accumulates the same pair set (stored
+    // bands ARE the re-derived bands) — shares the full-corpus oracle
+    "q_dedup_band_ledger" -> minhashOracleSql(""),
+
     // identical minhash pipeline, restricted to pairs touching the
     // batch (doc_id % 10 = 0) — exactly the incremental contract
     "q_dedup_incremental" ->

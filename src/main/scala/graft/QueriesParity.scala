@@ -699,6 +699,23 @@ private[graft] object QueriesParity {
       finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // STREAMING band-LEDGER dedup: like q_dedup_stream, but tick 1
+    // probes tick 0's STORED (id, band, band_key) relation instead of
+    // re-shingling the stored corpus — the signature-table scale
+    // contract as a gated path. Accumulated pairs must still equal the
+    // offline full-corpus dedup (the q_dedup_minhash oracle), proving
+    // the ledger probe loses nothing vs the re-shingle path.
+    "q_dedup_band_ledger" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bledg_")
+      try
+        Streaming.bandLedgerAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_bledger"))
+          .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // STREAMING cluster-label ledger: the corpus arrives in two ticks;
     // tick 0 bootstraps labels from its own pairs, tick 1 folds the
     // batch-touching incremental pairs into the node-sized label

@@ -60,7 +60,38 @@ object ScaleProbe {
         Dedup.dupClusters(Dedup.minhashDupPairs(
           docs(d).filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", threshold = 0.5)))
+    // the STORED band ledger over the corpus side (doc_id >= 500),
+    // written to parquet once per dir so the probe arm times a READ of
+    // maintained state + the batch-sized probe — never the ledger build
+    val bandLedgerCache = scala.collection.mutable.Map.empty[String, String]
+    def bandLedger(d: String): String =
+      bandLedgerCache.getOrElseUpdate(d, {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_bands_").toString
+        Dedup.minhashBandRelation(
+            docs(d).filter(col("doc_id") >= 500), "doc_id", "text")
+          .write.mode("overwrite").parquet(out)
+        out
+      })
     val ops: Seq[(String, String => DataFrame)] = Seq(
+      // the signature-ledger scale claim, measured directly: a FIXED
+      // 500-doc batch (same ids at both scales) dedups against a
+      // corpus that grows 10× underneath it. The ledger-probe arm
+      // should stay FLAT (per-tick cost tracks the batch: batch
+      // hashing + a band-key join against stored state + a
+      // candidate-semi-joined verify); the re-shingle arm pays the
+      // corpus k-min hash pass every call and should grow ~linearly.
+      "band_ledger_fixed_batch" -> (d =>
+        Dedup.minhashDupPairsFromLedger(
+          docs(d).filter(col("doc_id") < 500),
+          spark.read.parquet(bandLedger(d)),
+          docs(d).filter(col("doc_id") >= 500),
+          "doc_id", "text", threshold = 0.5)),
+      "dedup_reshingle_fixed_batch" -> (d =>
+        Dedup.minhashDupPairsIncremental(
+          docs(d).filter(col("doc_id") < 500),
+          docs(d).filter(col("doc_id") >= 500),
+          "doc_id", "text", threshold = 0.5)),
       "dedup_minhash" -> (d =>
         Dedup.minhashDupPairs(docs(d), "doc_id", "text", threshold = 0.5)),
       "dedup_ngram" -> (d =>
@@ -182,6 +213,8 @@ object ScaleProbe {
     if (selected.exists(_._1.startsWith("blocklist"))) phrases200(dir10)
     if (selected.exists(_._1 == "cluster_incremental"))
       { labels90(dir1).count(); labels90(dir10).count(); () }
+    if (selected.exists(_._1 == "band_ledger_fixed_batch"))
+      { bandLedger(dir1); bandLedger(dir10); () }
     selected.foreach { case (_, f) => f(dir1).write.format("noop")
       .mode("overwrite").save() }
 

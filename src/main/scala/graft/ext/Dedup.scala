@@ -253,11 +253,16 @@ object Dedup {
     * `minhashDupPairs(batch ∪ existing, …)` filtered to pairs with at
     * least one batch id. At 100 TB the existing side's band relation is
     * computed once and STORED (a signature table maintained by the
-    * ingest job); each batch then pays O(batch) hashing plus a
-    * batch-sized (broadcastable) join against it — per-batch cost
-    * independent of corpus size. Ids must be disjoint across the two
-    * inputs. Caching contract as [[minhashDupPairs]]: lazy persists,
-    * caller releases via `clearCache`.
+    * ingest job) — that form is [[minhashBandRelation]] (the stored
+    * relation) + [[minhashDupPairsFromLedger]] (the probe), which
+    * [[graft.streaming.Streaming.clusterLedgerIngest]] maintains; each
+    * batch then pays O(batch) hashing plus a batch-sized
+    * (broadcastable) join against it — per-batch cost independent of
+    * corpus size. This convenience form re-derives the existing side's
+    * bands from text (both sides ad hoc — right when no ledger is
+    * maintained). Ids must be disjoint across the two inputs. Caching
+    * contract as [[minhashDupPairs]]: lazy persists, caller releases
+    * via `clearCache`.
     */
   def minhashDupPairsIncremental(batch: DataFrame, existing: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
@@ -283,6 +288,70 @@ object Dedup {
     val cand = newOld.union(candidatePairs(bb, idCol)).distinct()
     jaccardFromSets(cand,
         setsB.unionByName(setsE).withColumnRenamed(idCol, "id"))
+      .filter(round(col("jaccard"), 6) >= threshold)
+  }
+
+  /** The (id, band, band_key) LSH band relation for `docs` — exactly
+    * what [[minhashDupPairs]] derives internally, exposed so an ingest
+    * job can STORE it per tick: this is the "signature table maintained
+    * by the ingest job" the [[minhashDupPairsIncremental]] contract
+    * describes, and the per-tick product
+    * [[graft.streaming.Streaming.clusterLedgerIngest]] now maintains.
+    * One shingle pass + one k-min hash aggregate per call — batch-sized
+    * when called on a batch; never call it on accumulated history
+    * (read the stored relation instead: that is the point). */
+  def minhashBandRelation(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands")
+    bandedFromSets(shingleSets(docs, idCol, textCol, n), idCol, k, bands)
+  }
+
+  /** Ledger-probing incremental MinHash dedup — the stored-signature
+    * form of [[minhashDupPairsIncremental]]: near-dup pairs touching
+    * `batch`, with the existing side's band relation read from
+    * `ledger` (a maintained [[minhashBandRelation]] store) instead of
+    * re-shingled from text. Per-tick hashing cost is O(batch) — the
+    * corpus is NEVER re-shingled: candidate generation is the batch's
+    * band keys joined against the stored keys, and the exact-Jaccard
+    * verify re-reads only the corpus docs that appear in some
+    * candidate pair (a semi-join BEFORE shingling, so the text scan
+    * materializes candidate-sized work; at cluster scale the
+    * broadcastable candidate-id side becomes a runtime scan filter).
+    *
+    * Result contract: identical to `minhashDupPairsIncremental(batch,
+    * corpus, …)` with the same (k, bands, n) — the ledger IS that
+    * call's `bandedFromSets(existing)` relation, stored — so both
+    * share the one batch-union oracle. `ledger` must cover exactly the
+    * docs in `corpus` (ids disjoint from the batch); pass prior-tick
+    * subdirs of the ingest job's band store. Caching contract as
+    * [[minhashDupPairs]]: lazy persists, caller releases via
+    * `clearCache`. */
+  def minhashDupPairsFromLedger(batch: DataFrame, ledger: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands")
+    val setsB = shingleSets(batch, idCol, textCol, n).persist(Spill)
+    val bb = bandedFromSets(setsB, idCol, k, bands).persist(Spill)
+    val le = ledger.select(col(idCol), col("band"), col("band_key"))
+    val newOld = bb.as("a").join(le.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+    // candidate pairs feed the verify's BOTH set joins and the
+    // touched-id semi-join — persist (candidate-sized, tiny)
+    val cand = newOld.union(candidatePairs(bb, idCol)).distinct()
+      .persist(Spill)
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val setsTouched = shingleSets(
+      corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, n)
+    jaccardFromSets(cand,
+        setsB.unionByName(setsTouched).withColumnRenamed(idCol, "id"))
       .filter(round(col("jaccard"), 6) >= threshold)
   }
 

@@ -632,6 +632,10 @@ object Streaming {
               graft.ext.Dedup.minhashDupPairs(df, idCol, textCol, threshold)
           pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
           df.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          // release the pair-finder's persisted shingle/band relations
+          // (its documented contract: the caller clears) — without this
+          // a long-running stream accumulates one persisted set per tick
+          sp.catalog.clearCache()
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1248,24 +1252,118 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming SIGNATURE/BAND-LEDGER dedup — [[dedupStreamIncremental]]
+    * with its documented scale contract made real: each tick stores its
+    * own [[graft.ext.Dedup.minhashBandRelation]] under
+    * `workPath/bands/batch=<id>` (the at-ingest sufficient statistic)
+    * and finds its duplicate pairs by PROBING the prior ticks' stored
+    * bands ([[graft.ext.Dedup.minhashDupPairsFromLedger]]) — history is
+    * never re-shingled, and the exact-Jaccard verify re-reads only
+    * candidate-matched corpus docs. Per-tick hashing cost is O(tick),
+    * independent of how much corpus the ledger has accumulated
+    * (ScaleProbe `band_ledger` measures it flat as stored history grows
+    * 1× → 10×). Pairs land under `workPath/pairs/batch=<id>`; replay
+    * safety is the same idempotent `batch=<id>` overwrite discipline,
+    * and each tick ends with `clearCache`. */
+  def bandLedgerIngest(docs: DataFrame, workPath: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val df = batch.toDF().localCheckpoint(true)
+          val sp = df.sparkSession
+          val corpusPath = s"$workPath/corpus"
+          val bandsPath = s"$workPath/bands"
+          val fs = new org.apache.hadoop.fs.Path(workPath)
+            .getFileSystem(sp.sessionState.newHadoopConf())
+          def priorDirs(root: String): Array[String] = {
+            val p = new org.apache.hadoop.fs.Path(root)
+            if (fs.exists(p))
+              fs.listStatus(p).map(_.getPath.getName)
+                .filter(d => d.startsWith("batch=") &&
+                  d != s"batch=$batchId")
+                .map(d => s"$root/$d")
+            else Array.empty[String]
+          }
+          val prior = priorDirs(corpusPath)
+          val priorBands = priorDirs(bandsPath)
+          val pairs =
+            if (prior.nonEmpty) {
+              require(priorBands.length == prior.length,
+                s"band ledger: ${prior.length} corpus tick(s) but " +
+                  s"${priorBands.length} band tick(s)")
+              graft.ext.Dedup.minhashDupPairsFromLedger(
+                df, sp.read.parquet(priorBands.toSeq: _*),
+                sp.read.parquet(prior.toSeq: _*), idCol, textCol,
+                threshold)
+            } else
+              graft.ext.Dedup.minhashDupPairs(df, idCol, textCol, threshold)
+          pairs.write.mode("overwrite")
+            .parquet(s"$workPath/pairs/batch=$batchId")
+          graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          df.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          sp.catalog.clearCache()
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Drive [[bandLedgerIngest]] over the driver's documents as a
+    * two-tick bounded stream and return the accumulated pair ledger —
+    * tick pairs union to exactly the offline full-corpus minhash dedup,
+    * so the gate shares the q_dedup_minhash oracle. */
+  def bandLedgerAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, threshold: Double = 0.5)
+      : DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(
+        bandLedgerIngest(stream, workDir, s"$workDir/cp",
+          "doc_id", "text", threshold),
+        queryName)
+      spark.read.parquet(s"$workDir/pairs")
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Streaming CLUSTER-LABEL ledger: each micro-batch of documents
-    * pairs against the accumulated corpus
-    * ([[graft.ext.Dedup.minhashDupPairsIncremental]] — batch×corpus +
-    * batch×batch, history never re-compared) and the `(id,
-    * cluster_id)` label relation re-folds through
-    * [[graft.ext.Dedup.dupClustersIncremental]] — per-tick cost is the
-    * tick's pairs plus the NODE-sized label relation, never the
-    * historical pair set. The ledger after the final tick equals the
-    * offline CC over the whole corpus's pairs (the star-edge algebra
-    * q_cluster_incremental gates and the ScalaCheck property pins), so
-    * the streaming gate shares the full-CC oracle.
+    * pairs against the accumulated corpus through the maintained
+    * SIGNATURE/BAND ledger ([[graft.ext.Dedup.minhashBandRelation]]
+    * stored per tick under `bands/batch=<id>`,
+    * [[graft.ext.Dedup.minhashDupPairsFromLedger]] probing it — the
+    * corpus is never re-shingled; the verify re-reads candidate-matched
+    * docs only) and the `(id, cluster_id)` label relation re-folds
+    * through [[graft.ext.Dedup.dupClustersIncremental]] — per-tick cost
+    * is the tick's own hashing + pairs plus the NODE-sized label
+    * relation, never the historical pair set or the historical text.
+    * The ledger after the final tick equals the offline CC over the
+    * whole corpus's pairs (the star-edge algebra q_cluster_incremental
+    * gates and the ScalaCheck property pins), so the streaming gate
+    * shares the full-CC oracle.
     *
-    * Replay safety: corpus ticks are idempotent `batch=<id>` overwrite
-    * subdirs (the [[dedupStreamIncremental]] discipline); the label
-    * relation is a SNAPSHOT per tick under `labels/batch=<id>`, and a
-    * tick folds from the latest snapshot STRICTLY OLDER than itself —
-    * a replayed tick re-reads the same prior state and rewrites its own
-    * snapshot, converging byte-identically. */
+    * Replay safety: corpus and band ticks are idempotent `batch=<id>`
+    * overwrite subdirs (the [[dedupStreamIncremental]] discipline); the
+    * label relation is a SNAPSHOT per tick under `labels/batch=<id>`,
+    * and a tick folds from the latest snapshot STRICTLY OLDER than
+    * itself — a replayed tick re-reads the same prior state and
+    * rewrites its own snapshot, converging byte-identically. Each tick
+    * ends with `clearCache` so the pair-finder's persisted
+    * shingle/band relations don't accumulate across a long-running
+    * stream. */
   def clusterLedgerIngest(docs: DataFrame, workPath: String,
       checkpointDir: String, idCol: String, textCol: String,
       threshold: Double = 0.5)
@@ -1279,15 +1377,20 @@ object Streaming {
           val sp = df.sparkSession
           val corpusPath = s"$workPath/corpus"
           val labelsPath = s"$workPath/labels"
+          val bandsPath = s"$workPath/bands"
           val cp = new org.apache.hadoop.fs.Path(corpusPath)
           val fs = cp.getFileSystem(sp.sessionState.newHadoopConf())
-          val prior =
-            if (fs.exists(cp))
-              fs.listStatus(cp).map(_.getPath.getName)
+          def priorDirs(root: String): Array[String] = {
+            val p = new org.apache.hadoop.fs.Path(root)
+            if (fs.exists(p))
+              fs.listStatus(p).map(_.getPath.getName)
                 .filter(d => d.startsWith("batch=") &&
                   d != s"batch=$batchId")
-                .map(d => s"$corpusPath/$d")
+                .map(d => s"$root/$d")
             else Array.empty[String]
+          }
+          val prior = priorDirs(corpusPath)
+          val priorBands = priorDirs(bandsPath)
           val labels =
             if (prior.isEmpty)
               graft.ext.Dedup.dupClusters(graft.ext.Dedup
@@ -1300,8 +1403,13 @@ object Streaming {
               require(priorSnap.nonEmpty,
                 s"cluster ledger: corpus ticks exist but no label " +
                   s"snapshot precedes batch $batchId")
-              val pairs = graft.ext.Dedup.minhashDupPairsIncremental(
-                df, sp.read.parquet(prior.toSeq: _*), idCol, textCol,
+              require(priorBands.length == prior.length,
+                s"cluster ledger: ${prior.length} corpus tick(s) but " +
+                  s"${priorBands.length} band tick(s) — the signature " +
+                  "ledger is out of step with the corpus store")
+              val pairs = graft.ext.Dedup.minhashDupPairsFromLedger(
+                df, sp.read.parquet(priorBands.toSeq: _*),
+                sp.read.parquet(prior.toSeq: _*), idCol, textCol,
                 threshold)
               graft.ext.Dedup.dupClustersIncremental(
                 sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
@@ -1309,7 +1417,15 @@ object Streaming {
             }
           labels.write.mode("overwrite")
             .parquet(s"$labelsPath/batch=$batchId")
+          // the tick's own band relation JOINS the ledger — the
+          // at-ingest sufficient statistic later ticks probe
+          graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
           df.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          // release this tick's persisted shingle/band relations (the
+          // pair-finders' documented caching contract: the CALLER
+          // clears) — a long-running stream must not accumulate them
+          sp.catalog.clearCache()
           ()
       }
       .trigger(Trigger.AvailableNow())
