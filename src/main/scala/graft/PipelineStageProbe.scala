@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-level timing for the composed export pipeline
+  * (q_pipeline_export) — the attribution tool behind BASELINE.md's
+  * stage table: each measurement evaluates a cumulative PREFIX of the
+  * composition to a noop sink with the session cache cleared in
+  * between, so stage cost = prefix(i) − prefix(i−1) and a drift in the
+  * total is attributable to one stage instead of re-arguing the whole
+  * plan. Usage: `runMain graft.PipelineStageProbe [sfDir]`.
+  */
+object PipelineStageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs = Tables.read(spark, sfDir, "documents")
+    def curated = graft.ext.Curation.curate(docs, "doc_id", "text",
+      lang = "en", minQuality = 60.0)
+    def mixed = {
+      val withSrc = curated.filter(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.ext.Curation.mixtureByTokens(withSrc, "doc_id", "source",
+        "n_tokens",
+        weights = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0,
+          "src3" -> 1.0),
+        totalTokens = 1500)
+    }
+    def corpus = mixed.select(col("doc_id"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def enc = {
+      val c = corpus
+      graft.ext.Bpe.bpeEncode(c, "doc_id", "text",
+        graft.ext.Bpe.bpeTrain(c, "text", numMerges = 8))
+    }
+    def packed = graft.ext.Packing.packConcat(
+      enc.select(col("doc_id"), col("n_bpe_tokens")),
+      "doc_id", "n_bpe_tokens", budget = 512L, shards = 4)
+    def full = {
+      val bins = packed.groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_in_bin")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .withColumnRenamed("shard", "pack_shard")
+      graft.ext.Sampling.exportShards(bins,
+          concat_ws(":", col("pack_shard"), col("bin")), numShards = 4)
+        .select(col("shard"), col("shard_pos"), col("pack_shard"),
+          col("bin"), col("n_docs"), col("bin_tokens"),
+          col("first_doc"), col("last_doc"))
+        .orderBy(col("shard"), col("shard_pos"))
+    }
+    val prefixes: Seq[(String, () => DataFrame)] = Seq(
+      "curate" -> (() => curated),
+      "mixture" -> (() => mixed),
+      "corpus_join" -> (() => corpus),
+      "bpe_train_encode" -> (() => enc),
+      "pack" -> (() => packed),
+      "bins_export" -> (() => full))
+    // one untimed full pass absorbs session costs (codegen, footers)
+    full.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    val times = prefixes.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> sec
+    }
+    val body = times.map { case (n, s) => f""""$n":$s%.2f""" }.mkString(",")
+    val deltas = times.zip(("start", 0.0) +: times.init)
+      .map { case ((n, s), (_, p)) => (n, math.max(s - p, 0.0)) }
+    val dbody = deltas.map { case (n, s) => f""""$n":$s%.2f""" }.mkString(",")
+    println(s"""{"metric":"pipeline_stages","sf":"$sfDir","cumulative":{$body},"stage_delta":{$dbody}}""")
+    spark.stop()
+  }
+}
