@@ -771,6 +771,31 @@ object Streaming {
     * (beyond `joinKeys`); `dim` is the static dimension relation —
     * a changing dim side composes through the same `applyJoinDelta`
     * zB leg from its own store's feed. */
+  /** Per-tick telemetry for the foreachBatch maintenance streams: wall
+    * time of the tick body and the scheduler GAP since the previous
+    * tick finished. A tick crossing `SlowTickMs` logs one structured
+    * stderr line — the attribution a tail-latency outlier needs (is
+    * the stall inside a tick's commit work, or between ticks in the
+    * streaming scheduler/file-source?) without touching steady-state
+    * cost. BENCH_FULL's per-run `spread` flags WHICH query has a tail;
+    * this names WHERE in the tick cycle it sat. */
+  private val lastTickEnd =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val SlowTickMs = 10000L
+  private[graft] def timedTick[T](queryName: String, batchId: Long)(
+      body: => T): T = {
+    val start = System.nanoTime()
+    val gapMs = Option(lastTickEnd.get(queryName))
+      .map(e => (start - e.longValue) / 1000000L)
+    val out = body
+    val wallMs = (System.nanoTime() - start) / 1000000L
+    lastTickEnd.put(queryName, java.lang.Long.valueOf(System.nanoTime()))
+    if (wallMs >= SlowTickMs || gapMs.exists(_ >= SlowTickMs))
+      System.err.println(s"[graft-stream] SLOW TICK query=$queryName " +
+        s"batch=$batchId wall_ms=$wallMs gap_ms=${gapMs.getOrElse(-1L)}")
+    out
+  }
+
   def joinViewIngest(events: DataFrame, storePath: String, viewDir: String,
       dim: DataFrame, joinKeys: Seq[String], factCols: Seq[String],
       dims: Seq[String], contribE6: org.apache.spark.sql.Column,
@@ -781,7 +806,7 @@ object Streaming {
     events.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, id: Long) =>
+      .foreachBatch { (df: DataFrame, id: Long) => timedTick(queryName, id) {
         val s = df.sparkSession
         import graft.load.{IncrementalView, VersionedStore}
         val done = VersionedStore.maxCommitted(s, storePath, "streamBatch")
@@ -846,7 +871,7 @@ object Streaming {
             .write.mode("errorifexists").parquet(s"$viewDir/v$v")
         }
         ()
-      }.start()
+      } }.start()
 
   /** TWO-SIDED streaming JOIN-view maintenance — [[joinViewIngest]]
     * with a dimension that CHANGES: each micro-batch (1) commits the
@@ -886,7 +911,7 @@ object Streaming {
     events.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, id: Long) =>
+      .foreachBatch { (df: DataFrame, id: Long) => timedTick(queryName, id) {
         val s = df.sparkSession
         import graft.load.{IncrementalView, VersionedStore}
         val done = VersionedStore.maxCommitted(s, factStore, "streamBatch")
@@ -961,7 +986,7 @@ object Streaming {
             .write.mode("errorifexists").parquet(s"$viewDir/v${vF}_$vD")
         }
         ()
-      }.start()
+      } }.start()
 
   /** One-shot gate replay of [[joinViewIngest]]: the events table is
     * re-staged as THREE parquet files and streamed with
