@@ -8,6 +8,66 @@ import graft.OracleBuilders._
   * map is keyed by query name; family grouping lives in the Queries*
   * objects). No behavior change. */
 private[graft] object Oracles3 {
+  /** The composed batch pipeline's oracle SQL — shared verbatim by
+    * q_pipeline_export and the ledger-driven q_pipeline_incremental
+    * (their Spark sides share the Curation.mixPackExport tail). */
+  private lazy val pipelineExportOracle: String =
+      s"""$curationOraclePrefix,
+         surv AS (SELECT k.doc_id, k.n_tokens::BIGINT AS n_tokens,
+                $curationSplitSql AS split
+              FROM keptf k LEFT JOIN clus c ON k.doc_id = c.id
+              WHERE c.id IS NULL OR c.cluster_id = k.doc_id),
+         trn AS (SELECT s.doc_id, s.n_tokens, d.source
+              FROM surv s JOIN documents d USING (doc_id)
+              WHERE s.split = 'train'
+                AND d.source IN ('src0', 'src1', 'src2', 'src3')),
+         mh AS (SELECT doc_id, source, n_tokens,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM trn WHERE n_tokens > 0),
+         mixr AS (SELECT doc_id, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                CASE source WHEN 'src0' THEN 600 ELSE 300 END AS budget
+              FROM mh),
+         corpus AS (SELECT d.doc_id, d.text
+              FROM documents d
+              JOIN (SELECT doc_id FROM mixr WHERE cum - n_tokens < budget) m
+                USING (doc_id)),
+         ${bpeWordChainSql(8, "corpus")},
+         tok AS (SELECT w,
+                len(list_filter(string_split(seg, '  '), x -> x <> ''))::BIGINT
+                  AS t
+               FROM w8),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM corpus),
+         enc AS (SELECT doc_id, sum(t)::BIGINT AS n_bpe
+               FROM dw JOIN tok USING (w) WHERE w <> '' GROUP BY doc_id),
+         pc AS (SELECT doc_id, doc_id % 4 AS pack_shard, n_bpe,
+                sum(n_bpe) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                  AS e
+              FROM enc WHERE n_bpe > 0),
+         spans AS (SELECT doc_id, pack_shard, e - n_bpe AS s, e,
+                unnest(generate_series((e - n_bpe) // 512,
+                                       (e - 1) // 512)) AS bin
+              FROM pc),
+         bins AS (SELECT pack_shard::BIGINT AS pack_shard,
+                bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+                sum(least(e, (bin + 1) * 512) -
+                    greatest(s, bin * 512))::BIGINT AS bin_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              FROM spans GROUP BY 1, 2),
+         keyed AS (SELECT *,
+                pack_shard::VARCHAR || ':' || bin::VARCHAR AS k,
+                ('0x' || substr(md5(pack_shard::VARCHAR || ':'
+                                    || bin::VARCHAR), 1, 15))::UBIGINT AS h
+              FROM bins)
+         SELECT (h % 4)::BIGINT AS shard,
+                row_number() OVER (PARTITION BY h % 4 ORDER BY h, k)
+                  ::BIGINT AS shard_pos,
+                pack_shard, bin, n_docs, bin_tokens, first_doc, last_doc
+         FROM keyed ORDER BY shard, shard_pos"""
+
   val map: Map[String, String] = Map(
 
     // the streaming ingest-dedup replay accumulates exactly the batch
@@ -625,62 +685,12 @@ private[graft] object Oracles3 {
     // 600/300/300/300) → BPE train+encode on the mixed corpus (shared
     // word-chain CTEs pointed at it) → 512-token concat packing over 4
     // pack shards → md5 export order over the bins
-    "q_pipeline_export" ->
-      s"""$curationOraclePrefix,
-         surv AS (SELECT k.doc_id, k.n_tokens::BIGINT AS n_tokens,
-                $curationSplitSql AS split
-              FROM keptf k LEFT JOIN clus c ON k.doc_id = c.id
-              WHERE c.id IS NULL OR c.cluster_id = k.doc_id),
-         trn AS (SELECT s.doc_id, s.n_tokens, d.source
-              FROM surv s JOIN documents d USING (doc_id)
-              WHERE s.split = 'train'
-                AND d.source IN ('src0', 'src1', 'src2', 'src3')),
-         mh AS (SELECT doc_id, source, n_tokens,
-                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS h
-              FROM trn WHERE n_tokens > 0),
-         mixr AS (SELECT doc_id, n_tokens,
-                sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
-                CASE source WHEN 'src0' THEN 600 ELSE 300 END AS budget
-              FROM mh),
-         corpus AS (SELECT d.doc_id, d.text
-              FROM documents d
-              JOIN (SELECT doc_id FROM mixr WHERE cum - n_tokens < budget) m
-                USING (doc_id)),
-         ${bpeWordChainSql(8, "corpus")},
-         tok AS (SELECT w,
-                len(list_filter(string_split(seg, '  '), x -> x <> ''))::BIGINT
-                  AS t
-               FROM w8),
-         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-               FROM corpus),
-         enc AS (SELECT doc_id, sum(t)::BIGINT AS n_bpe
-               FROM dw JOIN tok USING (w) WHERE w <> '' GROUP BY doc_id),
-         pc AS (SELECT doc_id, doc_id % 4 AS pack_shard, n_bpe,
-                sum(n_bpe) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-                  AS e
-              FROM enc WHERE n_bpe > 0),
-         spans AS (SELECT doc_id, pack_shard, e - n_bpe AS s, e,
-                unnest(generate_series((e - n_bpe) // 512,
-                                       (e - 1) // 512)) AS bin
-              FROM pc),
-         bins AS (SELECT pack_shard::BIGINT AS pack_shard,
-                bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
-                sum(least(e, (bin + 1) * 512) -
-                    greatest(s, bin * 512))::BIGINT AS bin_tokens,
-                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-              FROM spans GROUP BY 1, 2),
-         keyed AS (SELECT *,
-                pack_shard::VARCHAR || ':' || bin::VARCHAR AS k,
-                ('0x' || substr(md5(pack_shard::VARCHAR || ':'
-                                    || bin::VARCHAR), 1, 15))::UBIGINT AS h
-              FROM bins)
-         SELECT (h % 4)::BIGINT AS shard,
-                row_number() OVER (PARTITION BY h % 4 ORDER BY h, k)
-                  ::BIGINT AS shard_pos,
-                pack_shard, bin, n_docs, bin_tokens, first_doc, last_doc
-         FROM keyed ORDER BY shard, shard_pos""",
+    "q_pipeline_export" -> pipelineExportOracle,
+
+    // the ledger-driven incremental composition must produce the SAME
+    // final export as the batch pipeline — shared oracle by design
+    // (the Spark sides also share the mixPackExport tail)
+    "q_pipeline_incremental" -> pipelineExportOracle,
 
     "q_pack_curated" ->
       s"""$curationOraclePrefix,

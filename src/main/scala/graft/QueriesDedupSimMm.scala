@@ -457,34 +457,36 @@ private[graft] object QueriesDedupSimMm {
       val withSrc = curated.filter(col("split") === "train")
         .select(col("doc_id"), col("n_tokens"))
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      val mixed = graft.ext.Curation.mixtureByTokens(withSrc, "doc_id",
-        "source", "n_tokens",
-        weights = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0,
-          "src3" -> 1.0),
-        totalTokens = 1500)
-      val corpus = mixed.select(col("doc_id"))
-        .join(docs.select(col("doc_id"), col("text")), "doc_id")
-        // consumed by BOTH bpeTrain and bpeEncode — without a persist
-        // the whole curation+mixture prefix recomputes per consumer
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val enc = graft.ext.Bpe.bpeEncode(corpus, "doc_id", "text",
-        graft.ext.Bpe.bpeTrain(corpus, "text", numMerges = 8))
-      val packed = graft.ext.Packing.packConcat(
-        enc.select(col("doc_id"), col("n_bpe_tokens")),
-        "doc_id", "n_bpe_tokens", budget = 512L, shards = 4)
-      val bins = packed.groupBy(col("shard"), col("bin"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("tok_in_bin")).as("bin_tokens"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
-        // exportShards reserves "shard" — the packing shard renames
-        .withColumnRenamed("shard", "pack_shard")
-      graft.ext.Sampling.exportShards(bins,
-          concat_ws(":", col("pack_shard"), col("bin")), numShards = 4)
-        .select(col("shard"), col("shard_pos"), col("pack_shard"),
-          col("bin"), col("n_docs"), col("bin_tokens"),
-          col("first_doc"), col("last_doc"))
-        .orderBy(col("shard"), col("shard_pos"))
+      // the factored tail (mixture → BPE train+encode on the mixed
+      // corpus → 512-token concat packing → md5 export order) — the
+      // SAME code the ledger-driven q_pipeline_incremental runs, so
+      // the two compositions share this oracle by construction
+      graft.ext.Curation.mixPackExport(withSrc,
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    }),
+
+    // The INCREMENTAL capstone: the same corpus→training-shards
+    // pipeline, but driven per tick from MAINTAINED LEDGERS instead of
+    // a batch pass — documents stream in two micro-batches; each tick
+    // (1) gates its own rows (language + quality, evaluated exactly
+    // once, at ingest), (2) appends the gated rows and their SimHash
+    // signatures to idempotent batch=<id> stores (the signature IS the
+    // dedup verify statistic — history is never re-shingled OR re-read),
+    // (3) finds batch-touching near-dup pairs by probing the stored
+    // signature ledger and folds them into the node-sized cluster-label
+    // snapshot. The head then runs the identical mixture→BPE→pack→
+    // export tail over the accumulated state. Gated cell-exact against
+    // the batch q_pipeline_export composition (SHARED oracle): the
+    // at-ingest statistics provably compose into the same final
+    // training-data product, which is the whole point of maintaining
+    // them.
+    "q_pipeline_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pinc_")
+      try {
+        Streaming.pipelineIncrementalAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_pinc"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
     // The capstone composition: curated survivors (language gate →

@@ -54,6 +54,56 @@ object Curation {
         Sampling.splitLabel(kept(idCol), cuts, lastLabel).as("split"))
   }
 
+  /** The mixture→tokenize→pack→export TAIL of the composed pretraining
+    * pipeline, factored so the batch composition (`q_pipeline_export`)
+    * and the ledger-driven incremental composition
+    * (`q_pipeline_incremental`) run the IDENTICAL plan over whichever
+    * survivor relation fed them — the two gates share one oracle
+    * because they share this code.
+    *
+    * `withSrc` is the curated train-split survivor relation
+    * `(idCol, n_tokens, source)`; `texts` supplies `(idCol, textCol)`
+    * for the selected docs (only mixture-selected ids are ever read).
+    * Stages: token-budget mixture by source → BPE tokenizer trained ON
+    * the mixed corpus and applied to it → boundary-free concat packing
+    * into `budget`-token bins over `packShards` shards → deterministic
+    * md5 export order over the bins. The joined corpus feeds BOTH
+    * bpeTrain and bpeEncode — persisted here so the whole upstream
+    * prefix runs once per consumer set, released by the caller's
+    * clearCache (the pair-finder caching contract). */
+  def mixPackExport(withSrc: DataFrame, texts: DataFrame,
+      idCol: String, textCol: String,
+      weights: Map[String, Double] = Map("src0" -> 2.0, "src1" -> 1.0,
+        "src2" -> 1.0, "src3" -> 1.0),
+      totalTokens: Long = 1500L, numMerges: Int = 8,
+      budget: Long = 512L, packShards: Int = 4, exportShards: Int = 4)
+      : DataFrame = {
+    val mixed = mixtureByTokens(withSrc, idCol, "source", "n_tokens",
+      weights, totalTokens)
+    val corpus = mixed.select(col(idCol))
+      .join(texts.select(col(idCol), col(textCol)), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val enc = Bpe.bpeEncode(corpus, idCol, textCol,
+      Bpe.bpeTrain(corpus, textCol, numMerges))
+    val packed = Packing.packConcat(
+      enc.select(col(idCol), col("n_bpe_tokens")),
+      idCol, "n_bpe_tokens", budget = budget, shards = packShards)
+    val bins = packed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_bin")).as("bin_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+      // exportShards reserves "shard" — the packing shard renames
+      .withColumnRenamed("shard", "pack_shard")
+    Sampling.exportShards(bins,
+        concat_ws(":", col("pack_shard"), col("bin")),
+        numShards = exportShards)
+      .select(col("shard"), col("shard_pos"), col("pack_shard"),
+        col("bin"), col("n_docs"), col("bin_tokens"),
+        col("first_doc"), col("last_doc"))
+      .orderBy(col("shard"), col("shard_pos"))
+  }
+
   /** Longest common prefix length of two strings (in characters).
     * Primary path is the native codegen'd [[graft.plans.StrLcp]] — one
     * UTF-8 byte walk per row; sessions without `GraftExtensions` fall

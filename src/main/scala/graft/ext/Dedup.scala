@@ -556,6 +556,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SIGNATURE-LEDGER arm of [[simhashDupPairs]]: find every near-dup
+    * pair TOUCHING `batch` (batch-internal ∪ batch×ledger) by probing a
+    * STORED `(id, simhash)` relation — the corpus text is never re-read
+    * at all, because unlike MinHash the SimHash signature is by itself
+    * the verify statistic (exact Hamming needs only the two 60-bit
+    * values). Per-tick cost is the batch's own shingling plus a chunk
+    * equi-join against ledger-resident 16-byte rows: the at-ingest
+    * sufficient statistic an accreting 100 TB dedup pipeline maintains
+    * (the SimHash twin of [[minhashDupPairsFromLedger]], one column
+    * instead of k-min signatures + bands).
+    *
+    * `ledgerSig` rows are prior ticks' [[simhashSignaturesLocal]]
+    * output; batch/ledger id spaces must be disjoint
+    * ([[assertDisjointIds]] on the signature relations). Output shape
+    * and semantics match [[simhashDupPairs]] over the union corpus,
+    * restricted to batch-touching pairs — exactly the
+    * [[dupClustersIncremental]] caller contract. */
+  def simhashDupPairsFromLedger(batch: DataFrame, ledgerSig: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 7, n: Int = 3)
+      : DataFrame = {
+    val chunks = 8
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val sig = simhashSignaturesLocal(batch, idCol, textCol, n)
+      .persist(Spill)
+    assertDisjointIds(sig, ledgerSig, idCol)
+    def chunked(s: DataFrame) = s.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        expr(s"shiftright(simhash, ${c * 8}) & 255")): _*))
+        .as(Seq("chunk", "ckey")))
+    val cb = chunked(sig)
+    // batch-internal pairs: the plain pigeonhole over the batch side
+    val internal = cb.as("a").join(cb.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+    // cross pairs: batch chunks probe the stored ledger chunks; ids are
+    // disjoint so least/greatest restores the canonical orientation
+    val cross = cb.as("a").join(chunked(ledgerSig).as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey"))
+      .select(
+        least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+    internal.unionByName(cross)
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup pairs at Hamming ≤ `maxHamming` over an arbitrary 64-bit
     * hash relation — the [[simhashDupPairs]] pigeonhole generalized to
     * any fingerprint column (SimHash, image aHash, any 64-bit LSH):

@@ -1490,6 +1490,157 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming CURATION-PIPELINE ledger: the at-ingest state that makes
+    * the composed pretraining pipeline (gates → dedup → mixture →
+    * tokenize → pack → export) incremental. Each micro-batch of
+    * documents
+    *
+    *   1. GATES its own rows once (language id + quality score — pure
+    *      per-row expressions, evaluated at ingest and never again) and
+    *      appends the survivors `(id, text, source, quality, n_tokens)`
+    *      under `gated/batch=<id>`;
+    *   2. stores their [[graft.ext.Dedup.simhashSignaturesLocal]]
+    *      relation under `sigs/batch=<id>` — for SimHash the 60-bit
+    *      signature is BY ITSELF the verify statistic (exact Hamming
+    *      needs no text), so unlike the MinHash band ledger the stored
+    *      corpus text is never re-read, not even for candidates;
+    *   3. finds batch-touching near-dup pairs by probing the stored
+    *      signature ledger
+    *      ([[graft.ext.Dedup.simhashDupPairsFromLedger]]) and folds
+    *      them into the node-sized cluster-label snapshot
+    *      ([[graft.ext.Dedup.dupClustersIncremental]]) under
+    *      `labels/batch=<id>`.
+    *
+    * Per-tick cost: the tick's own shingling + a chunk equi-join
+    * against 16-byte ledger rows + the label fold — independent of
+    * accumulated corpus size. Replay safety is the house idempotent
+    * `batch=<id>` overwrite discipline (gated/sigs are per-tick
+    * products; labels snapshot folds from the latest snapshot STRICTLY
+    * older than the tick, so a replayed tick converges byte-identically
+    * — the [[clusterLedgerIngest]] contract). Each tick ends with
+    * `clearCache` (the pair-finder caching contract).
+    *
+    * The gate parameters mirror [[graft.ext.Curation.curate]]'s
+    * defaults used by `q_pipeline_export`, and the head reader
+    * ([[pipelineIncrementalAvailableNow]]) finishes with the identical
+    * [[graft.ext.Curation.mixPackExport]] tail — so the final export
+    * shares the batch composition's oracle cell-exactly. */
+  def pipelineLedgerIngest(docs: DataFrame, workPath: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      lang: String = "en", minQuality: Double = 60.0,
+      maxHamming: Int = 7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          import graft.ext.{Dedup, TextAnalysis}
+          val sp = batch.sparkSession
+          // gate once, at ingest — the exact Curation.curate stage-1/2
+          // expressions, so survivors match the batch pipeline's `kept`
+          val gated = batch.toDF()
+            .select(col(idCol), col(textCol), col("source"),
+              TextAnalysis.qualityScore(col(textCol)).as("quality"),
+              TextAnalysis.nTokens(col(textCol)).as("n_tokens"))
+            .filter(TextAnalysis.langId(col(textCol)) === lang &&
+              col("quality") >= minQuality)
+            .localCheckpoint(true)
+          val gatedPath = s"$workPath/gated"
+          val sigsPath = s"$workPath/sigs"
+          val labelsPath = s"$workPath/labels"
+          val fs = new org.apache.hadoop.fs.Path(workPath)
+            .getFileSystem(sp.sessionState.newHadoopConf())
+          def priorDirs(root: String): Array[String] = {
+            val p = new org.apache.hadoop.fs.Path(root)
+            if (fs.exists(p))
+              fs.listStatus(p).map(_.getPath.getName)
+                .filter(d => d.startsWith("batch=") &&
+                  d != s"batch=$batchId")
+                .map(d => s"$root/$d")
+            else Array.empty[String]
+          }
+          val priorSigs = priorDirs(sigsPath)
+          val labels =
+            if (priorSigs.isEmpty)
+              Dedup.dupClusters(
+                Dedup.simhashDupPairs(gated, idCol, textCol, maxHamming))
+            else {
+              val lp = new org.apache.hadoop.fs.Path(labelsPath)
+              val priorSnap = fs.listStatus(lp).map(_.getPath.getName)
+                .filter(_.startsWith("batch="))
+                .map(_.stripPrefix("batch=").toLong).filter(_ < batchId)
+              require(priorSnap.nonEmpty,
+                s"pipeline ledger: signature ticks exist but no label " +
+                  s"snapshot precedes batch $batchId")
+              val pairs = Dedup.simhashDupPairsFromLedger(gated,
+                sp.read.parquet(priorSigs.toSeq: _*), idCol, textCol,
+                maxHamming)
+              Dedup.dupClustersIncremental(
+                sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
+                pairs)
+            }
+          labels.write.mode("overwrite")
+            .parquet(s"$labelsPath/batch=$batchId")
+          Dedup.simhashSignaturesLocal(gated, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$sigsPath/batch=$batchId")
+          gated.write.mode("overwrite")
+            .parquet(s"$gatedPath/batch=$batchId")
+          sp.catalog.clearCache()
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Drive [[pipelineLedgerIngest]] over the driver's documents as a
+    * two-tick bounded stream, then run the
+    * [[graft.ext.Curation.mixPackExport]] tail at the HEAD over the
+    * accumulated state: survivors = gated rows minus non-canonical
+    * cluster members (latest label snapshot), split-labeled exactly as
+    * [[graft.ext.Curation.curate]], train slice joined to its stored
+    * source/text. Returns the final export-shard relation — equal to
+    * the batch `q_pipeline_export` composition, whose oracle it
+    * shares. */
+  def pipelineIncrementalAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String): DataFrame = {
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val halves = Seq(
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
+      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
+    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(
+        pipelineLedgerIngest(stream, workDir, s"$workDir/cp",
+          "doc_id", "text"),
+        queryName)
+      val lp = new org.apache.hadoop.fs.Path(s"$workDir/labels")
+      val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+      val last = fs.listStatus(lp).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .max
+      val gated = spark.read.parquet(s"$workDir/gated/batch=*")
+      val labels = spark.read.parquet(s"$workDir/labels/batch=$last")
+        .toDF("_dup_id", "_dup_cluster")
+      // survivors: docs in no duplicate pair + cluster canonicals —
+      // the Curation.curate stage-3/4 semantics over ledger state
+      val surv = gated
+        .join(labels, gated("doc_id") === col("_dup_id"), "left")
+        .filter(col("_dup_id").isNull || col("_dup_cluster") === col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("source"),
+          graft.ext.Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 90), "val").as("split"))
+      val withSrc = surv.filter(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens"), col("source"))
+      graft.ext.Curation.mixPackExport(withSrc,
+        gated.select(col("doc_id"), col("text")), "doc_id", "text")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Streaming tokenizer-vocabulary maintenance: each micro-batch of
     * documents writes ITS OWN word census into a `batch=<id>` subdir
     * (idempotent overwrite under replay — the

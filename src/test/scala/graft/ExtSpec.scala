@@ -289,6 +289,36 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.contains((1L, 2L))) // the engineered near-dup is caught
   }
 
+  test("simhashDupPairsFromLedger equals the full pigeonhole's " +
+      "batch-touching pairs, probing signatures only") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val all = docs(
+      (1L, base + " tail one"),
+      (2L, base + " tail two"),
+      (3L, "something else entirely unrelated to the rest of them"),
+      (4L, base.split(" ").reverse.mkString(" ")),
+      (5L, base + " tail three"),
+      (6L, "another unrelated short document over here"))
+    val corpus = all.filter(col("doc_id") <= 3)
+    val batch = all.filter(col("doc_id") > 3)
+    val ledger = Dedup.simhashSignaturesLocal(corpus, "doc_id", "text")
+    val got = Dedup.simhashDupPairsFromLedger(batch, ledger,
+        "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = Set(4L, 5L, 6L)
+    val want = Dedup.simhashDupPairs(all, "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(got == want)
+    assert(want.exists { case (a, b) => batchIds(a) ^ batchIds(b) },
+      "the fixture must exercise a CROSS batch×ledger pair")
+    // disjoint id spaces are a hard contract, not a comment
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDupPairsFromLedger(corpus, ledger, "doc_id", "text")
+        .collect()
+    }
+  }
+
   test("hammingDistance column matches bitCount of xor") {
     val s = spark
     import s.implicits._

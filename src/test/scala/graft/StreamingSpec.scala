@@ -1589,4 +1589,72 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
+
+  test("chaos: pipelineLedgerIngest heals torn batch=0 gated/sigs/labels " +
+      "on replay; gate runs at ingest; labels fold to min id") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaospl_")
+    val work = dir.resolve("state").toString
+    try {
+      // plausible-but-wrong debris in all THREE stateful dirs
+      tearTick(s"$work/gated", 0L,
+        Seq((999L, "phantom text", "src0", 99.0, 2L))
+          .toDF("doc_id", "text", "source", "quality", "n_tokens"))
+      tearTick(s"$work/sigs", 0L,
+        Seq((999L, 12345L)).toDF("doc_id", "simhash"))
+      tearTick(s"$work/labels", 0L,
+        Seq((999L, 999L)).toDF("id", "cluster_id"))
+      val dup = "the quick brown fox jumps over the lazy dog and then " +
+        "the fox rests in the shade of an old tree"
+      val solo = "the other document stands alone and speaks of wholly " +
+        "other things in the quiet of the archive"
+      val mem = MemoryStream[(Long, String, String)]
+      def stream = mem.toDF().toDF("doc_id", "text", "source")
+      mem.addData((1L, dup, "src0"), (2L, dup, "src1"),
+        (4L, solo, "src0"),
+        (7L, "nicht englisch der und das der und das", "src2"))
+      Streaming.pipelineLedgerIngest(stream, work,
+          dir.resolve("cp").toString, "doc_id", "text", minQuality = 0.0)
+        .awaitTermination()
+      mem.addData((3L, dup, "src2"))
+      Streaming.pipelineLedgerIngest(stream, work,
+          dir.resolve("cp").toString, "doc_id", "text", minQuality = 0.0)
+        .awaitTermination()
+      val last = new java.io.File(s"$work/labels").list()
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .max
+      val labels = s.read.parquet(s"$work/labels/batch=$last")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+        s"phantom gone, dups fold to min id, pairless stays out: $labels")
+      val gatedIds = s.read.parquet(s"$work/gated/batch=*")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(gatedIds == Set(1L, 2L, 3L, 4L),
+        s"the language gate must drop doc 7 AT INGEST and the replay " +
+          s"overwrite must truncate phantom 999: $gatedIds")
+      val sigIds = s.read.parquet(s"$work/sigs/batch=*")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(sigIds == gatedIds,
+        "the signature ledger must cover exactly the gated survivors")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("pipelineIncrementalAvailableNow: the ledger-driven composition " +
+      "equals the batch q_pipeline_export, cell for cell") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_pipeline_export")(s, dir)
+      .collect().toSeq
+    s.catalog.clearCache()
+    val inc = SparkEntry.queries("q_pipeline_incremental")(s, dir)
+      .collect().toSeq
+    assert(inc.nonEmpty, "the composed export must produce bins")
+    assert(inc == batch,
+      "at-ingest gates + signature ledger + label fold must compose " +
+        "into the identical final training-data export")
+  }
 }
