@@ -98,8 +98,14 @@ object Bench {
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val gcDelta = gcMillis() - gc0
       // free any caches the operator left behind (outside the timed
-      // window: the query's own work is fully paid above)
+      // window: the query's own work is fully paid above); the RDD
+      // sweep also frees eager-localCheckpoint pins (graph ops, DAG
+      // pins inside operators), which live in the block manager but
+      // NOT in the catalog cache — without it a 288-query session
+      // accumulates every query's checkpoint blocks
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (elapsed, loadAvg1m(), gcDelta, heapUsedMb())
     }
     val results = selected.map { case (name, fn) =>

@@ -73,6 +73,20 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(out)
         out
       })
+    // the STORED simhash signature ledger over the corpus side — for
+    // SimHash the 60-bit signature alone is the verify statistic, so
+    // the probe arm's whole corpus-side footprint is a 16-byte-per-doc
+    // parquet read (no text, not even for candidates)
+    val sigLedgerCache = scala.collection.mutable.Map.empty[String, String]
+    def sigLedger(d: String): String =
+      sigLedgerCache.getOrElseUpdate(d, {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_sigs_").toString
+        Dedup.simhashSignaturesLocal(
+            docs(d).filter(col("doc_id") >= 500), "doc_id", "text")
+          .write.mode("overwrite").parquet(out)
+        out
+      })
     val ops: Seq[(String, String => DataFrame)] = Seq(
       // the signature-ledger scale claim, measured directly: a FIXED
       // 500-doc batch (same ids at both scales) dedups against a
@@ -92,6 +106,20 @@ object ScaleProbe {
           docs(d).filter(col("doc_id") < 500),
           docs(d).filter(col("doc_id") >= 500),
           "doc_id", "text", threshold = 0.5)),
+      // the pipeline ledger's SimHash twin: stored 16-byte signatures
+      // probed by a fixed batch (flat arm) vs re-signaturing the whole
+      // corpus side per call (growing arm) — same output pairs
+      "sig_ledger_fixed_batch" -> (d =>
+        Dedup.simhashDupPairsFromLedger(
+          docs(d).filter(col("doc_id") < 500),
+          spark.read.parquet(sigLedger(d)),
+          "doc_id", "text")),
+      "simhash_reshingle_fixed_batch" -> (d =>
+        Dedup.simhashDupPairsFromLedger(
+          docs(d).filter(col("doc_id") < 500),
+          Dedup.simhashSignaturesLocal(
+            docs(d).filter(col("doc_id") >= 500), "doc_id", "text"),
+          "doc_id", "text")),
       "dedup_minhash" -> (d =>
         Dedup.minhashDupPairs(docs(d), "doc_id", "text", threshold = 0.5)),
       "dedup_ngram" -> (d =>

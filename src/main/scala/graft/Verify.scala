@@ -31,8 +31,12 @@ object Verify {
       }
       // operators that persist() (dedup family) release their big
       // intermediates themselves but keep an output-sized result cache;
-      // drop it so 48 back-to-back queries don't accumulate blocks
+      // drop it so back-to-back queries don't accumulate blocks — and
+      // sweep persistent RDDs too, which catches eager-localCheckpoint
+      // pins the catalog cache does not track
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

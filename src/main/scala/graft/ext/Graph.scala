@@ -99,7 +99,9 @@ object Graph {
     * (round 10 measured the identical lineage at 4 s bare vs 35 s
     * under one extra aggregate). Eager `localCheckpoint` materializes
     * each exactly once — edge-/node-sized block-manager state, the
-    * same fault-tolerance trade [[pageRank]] already makes. */
+    * same fault-tolerance trade [[pageRank]] already makes. Repeated
+    * library callers release the pinned blocks after consuming the
+    * result via [[releaseCheckpoints]]. */
   def triangleCounts(pairs: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val e = pairs
@@ -138,4 +140,20 @@ object Graph {
       .select(col("n").as("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Cleanup hook for the eager-checkpoint trade [[triangleCounts]] and
+    * [[pageRank]] make: once a caller has fully consumed a result, this
+    * frees every localCheckpoint block in its lineage (the pinned
+    * LogicalRDD leaves — `catalog.clearCache` does not cover them, so a
+    * long-lived library caller invoking graph ops in a loop would
+    * otherwise accumulate edge-sized block-manager state per call). The
+    * relation is unusable afterwards — its lineage was truncated at the
+    * checkpoint. The Verify/Bench mains achieve the same between
+    * queries by sweeping `sparkContext.getPersistentRDDs`. */
+  def releaseCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
