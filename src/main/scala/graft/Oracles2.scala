@@ -536,6 +536,49 @@ private[graft] object Oracles2 {
                   AND ar >= 0.8 AND sh >= 2 AS pass
          FROM m ORDER BY doc_id""",
 
+    // C4 rules over the same rendered page: identical word plants,
+    // 6-word line slices, and the md5 terminal-period coin; the rules
+    // themselves are the published line-retention / min-sentences /
+    // lorem-ipsum / curly-brace predicates
+    "q_c4_rules" ->
+      """WITH w0 AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS bw
+              FROM documents),
+         w1 AS (SELECT doc_id, CASE WHEN doc_id % 89 = 0
+                  THEN list_concat(['{'], bw) ELSE bw END AS bw FROM w0),
+         w2 AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0
+                  THEN list_concat(['lorem', 'ipsum'], bw)
+                  ELSE bw END AS wl FROM w1),
+         st AS (SELECT doc_id, wl,
+                greatest((len(wl) + 5) // 6, 1)::BIGINT AS n_lines
+              FROM w2),
+         ln AS (SELECT doc_id, n_lines,
+                [struct_pack(
+                   len := len(wl[(i-1)*6+1 : i*6])::BIGINT,
+                   kept := (('0x' || substr(md5(doc_id::VARCHAR || ':'
+                              || i::VARCHAR), 1, 15))::UBIGINT % 4 <> 0)
+                           AND len(wl[(i-1)*6+1 : i*6]) >= 5,
+                   txt := array_to_string(wl[(i-1)*6+1 : i*6], ' ') ||
+                          CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR
+                                 || ':' || i::VARCHAR), 1, 15))::UBIGINT
+                                 % 4 <> 0
+                               THEN '.' ELSE '' END)
+                 for i in generate_series(1, n_lines)] AS lines
+              FROM st),
+         pg AS (SELECT doc_id, n_lines, lines,
+                array_to_string([l.txt for l in lines], chr(10)) AS page
+              FROM ln)
+         SELECT doc_id, n_lines,
+                len([l for l in lines if l.kept])::BIGINT AS n_sentences,
+                coalesce(list_sum([l.len for l in lines if l.kept]), 0)
+                  ::BIGINT AS retained_words,
+                contains(page, 'lorem ipsum') AS has_lorem,
+                contains(page, '{') AS has_brace,
+                (len([l for l in lines if l.kept]) >= 3
+                 AND NOT contains(page, 'lorem ipsum')
+                 AND NOT contains(page, '{')) AS pass
+         FROM pg ORDER BY doc_id""",
+
     // the repetition family mirrors gopherRepetition definitionally:
     // dup counts/char mass from per-(doc, segment) GROUP BY counts
     // (= the engine's sorted-adjacency fold), top-gram mass as

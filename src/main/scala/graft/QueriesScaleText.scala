@@ -549,6 +549,17 @@ private[graft] object QueriesScaleText {
         .orderBy(col("doc_id"))
     }),
 
+    // The published C4 cleaning rules (Raffel et al. 2020 §2.2) over a
+    // deterministically RENDERED page (the corpus is single-line
+    // no-punctuation prose, so terminal-punct/sentence/boilerplate
+    // rules would be vacuous raw — the q_mojibake planting precedent):
+    // 6-word lines, md5-coin terminal periods, planted "lorem ipsum"
+    // (doc_id % 97) and "{" (doc_id % 89). Rule-per-column + pass.
+    "q_c4_rules" -> ((s, dir) =>
+      TextAnalysis.c4Rules(Tables.read(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // BM25 retrieval ranking for a literal query (Okapi k1=1.2,
     // b=0.75) — the search-side counterpart of the tf-idf profile.
     // Scores round to 6 dp BEFORE the rank cut so the top-k set is

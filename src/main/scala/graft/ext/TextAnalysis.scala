@@ -443,6 +443,74 @@ object TextAnalysis {
         col("top4_char_ppm") <= 160000).as("pass_repetition"))
   }
 
+  /** The published C4 CLEANING rule family (Raffel et al. 2020 §2.2):
+    * retain only lines ending in a terminal punctuation mark AND
+    * containing ≥ `minLineWords` words; discard any page with fewer
+    * than `minSentences` retained lines, any page containing the
+    * boilerplate marker "lorem ipsum", and any page containing a curly
+    * brace (code). Rule-per-column so rejected pages are attributable,
+    * `pass` is the conjunction.
+    *
+    * This corpus is single-line prose with NO punctuation, so every
+    * rule would be vacuous on the raw text; the gate therefore RENDERS
+    * a deterministic page first (the q_mojibake planting precedent —
+    * both engines replay the rendering exactly): words re-wrap at
+    * `wordsPerLine` per line; line `i` of doc `d` ends in '.' iff
+    * md5Top60("d:i") % 4 ≠ 0 (≈ 75% of lines, so the terminal-punct
+    * rule has both outcomes at every SF); docs with id % 97 = 0 carry a
+    * planted "lorem ipsum" and id % 89 = 0 a planted "{" — PREPENDED so
+    * the plant always lands inside line 1 (appending could straddle a
+    * line boundary and dodge the page scan). The rules then run on the
+    * rendered page exactly as published.
+    *
+    * Scale (100 TB): pure per-row expression chain — zero shuffles,
+    * zero joins; runs in the same scan as [[gopherRules]] /
+    * [[gopherRepetition]]. */
+  def c4Rules(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, wordsPerLine: Int = 6, minLineWords: Int = 5,
+      minSentences: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(wordsPerLine > 0 && minLineWords > 0 && minSentences > 0)
+    val base = filter(
+      split(coalesce(col(textCol).cast("string"), lit("")), " ", -1),
+      w => w =!= "")
+    val withBrace = when(col(idCol) % 89 === 0,
+      concat(array(lit("{")), base)).otherwise(base)
+    val words = when(col(idCol) % 97 === 0,
+      concat(array(lit("lorem"), lit("ipsum")), withBrace))
+      .otherwise(withBrace)
+    val staged = docs.select(col(idCol), words.as("_w"))
+      .withColumn("_nl", greatest(
+        expr(s"(size(_w) + ${wordsPerLine - 1}) div $wordsPerLine")
+          .cast("long"), lit(1L)))
+      // one struct per rendered line: word count, retained?, rendered
+      // text (terminal '.' decided by the md5 coin on "id:lineIdx")
+      .withColumn("_lines", transform(sequence(lit(1L), col("_nl")), i => {
+        val lw = slice(col("_w"),
+          ((i - lit(1L)) * wordsPerLine + lit(1L)).cast("int"),
+          lit(wordsPerLine))
+        val terminal =
+          Sampling.md5Top60(concat_ws(":", col(idCol), i)) % 4 =!= 0
+        struct(
+          size(lw).cast("long").as("len"),
+          (terminal && size(lw) >= minLineWords).as("kept"),
+          concat(array_join(lw, " "),
+            when(terminal, lit(".")).otherwise(lit(""))).as("txt"))
+      }))
+      .withColumn("_page",
+        array_join(transform(col("_lines"), l => l("txt")), "\n"))
+    staged.select(col(idCol),
+      col("_nl").as("n_lines"),
+      size(filter(col("_lines"), l => l("kept"))).cast("long")
+        .as("n_sentences"),
+      aggregate(filter(col("_lines"), l => l("kept")), lit(0L),
+        (acc, l) => acc + l("len")).as("retained_words"),
+      col("_page").contains("lorem ipsum").as("has_lorem"),
+      col("_page").contains("{").as("has_brace"))
+      .withColumn("pass",
+        col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
   // ── PII scanning / redaction ───────────────────────────────────────────
 
   /** ASCII-only regexes shared verbatim with the oracle (Java regex and

@@ -289,6 +289,32 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.contains((1L, 2L))) // the engineered near-dup is caught
   }
 
+  test("c4Rules: line retention follows the md5 coin + 5-word rule; " +
+      "plants and the min-sentence gate fail the right pages") {
+    import graft.ext.Sampling
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")   // 10 full lines
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")  // 2 lines
+    val out = TextAnalysis.c4Rules(docs(
+        (1L, long), (2L, short), (89L, long), (97L, long)),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    def coinKept(id: Long, lines: Long): Long =
+      (1L to lines).count(i => Sampling.md5Top60Local(s"$id:$i") % 4 != 0)
+    // doc 1: 10 six-word lines — kept = exactly the terminal-coin ones
+    val k1 = coinKept(1L, 10)
+    assert(out(1L) == ((10L, k1, 6 * k1, false, false, k1 >= 3)))
+    // doc 2: 2 lines can never reach 3 sentences
+    assert(!out(2L)._6 && out(2L)._1 == 2L)
+    // doc 89: prepended "{" -> 61 words, 11 lines, page scan trips
+    assert(out(89L)._1 == 11L && out(89L)._5 && !out(89L)._4 &&
+      !out(89L)._6)
+    // doc 97: prepended "lorem ipsum" -> 62 words, 11 lines
+    assert(out(97L)._1 == 11L && out(97L)._4 && !out(97L)._5 &&
+      !out(97L)._6)
+  }
+
   test("simhashDupPairsFromLedger equals the full pigeonhole's " +
       "batch-touching pairs, probing signatures only") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
