@@ -552,8 +552,13 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: hamming is a function of the
+      // pair, so filter-then-distinct equals distinct-then-filter, and
+      // the distinct exchange now carries only true near-dups instead
+      // of every chunk-collision candidate (the dominant row count as
+      // bucket occupancy grows with the corpus)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SIGNATURE-LEDGER arm of [[simhashDupPairs]]: find every near-dup
@@ -601,8 +606,12 @@ object Dedup {
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
         hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
     internal.unionByName(cross)
-      .distinct()
+      // verify before the dedup shuffle — the [[simhashDupPairs]] plan
+      // note; candidates here grow with LEDGER bucket occupancy, so
+      // shedding them pre-exchange is what keeps the per-tick probe
+      // cheap as stored history accumulates
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Near-dup pairs at Hamming ≤ `maxHamming` over an arbitrary 64-bit
@@ -627,8 +636,9 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         hammingDistance(col(s"a.$hashCol"), col(s"b.$hashCol"))
           .cast("long").as("hamming"))
-      .distinct()
+      // verify before the dedup shuffle (see [[simhashDupPairs]])
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ── Embedding-cosine near-dup ──────────────────────────────────────────
