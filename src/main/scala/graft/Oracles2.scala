@@ -8,6 +8,50 @@ import graft.OracleBuilders._
   * map is keyed by query name; family grouping lives in the Queries*
   * objects). No behavior change. */
 private[graft] object Oracles2 {
+  /** Shared stupid-backoff LM replay: the CTE chain producing per-doc
+    * `(doc_id, n_scored, avg_logprob)` — used verbatim by q_lm_backoff
+    * and wrapped by q_ccnet_buckets (CCNet tertile bucketing). */
+  private val lmBackoffCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         toks AS (SELECT unnest(l) AS w FROM t),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM toks WHERE w <> ''),
+         uni AS (SELECT w, count(*)::BIGINT AS c1 FROM toks
+              WHERE w <> '' GROUP BY 1),
+         bi AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+              FROM (SELECT doc_id, l,
+                      unnest(generate_series(1, len(l) - 1)) AS i
+                    FROM t WHERE len(l) >= 2)),
+         big AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
+         inst AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+              FROM (SELECT doc_id, l,
+                      unnest(generate_series(1, len(l) - 2)) AS i
+                    FROM t WHERE len(l) >= 3)),
+         tri AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM inst
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+         bigp AS (SELECT w1 AS w2, w2 AS w3, c2 AS c2p FROM big WHERE c2 >= 2),
+         sc AS (SELECT i.doc_id,
+                CASE WHEN tri.c3 IS NOT NULL
+                       THEN log2(tri.c3::DOUBLE / big.c2::DOUBLE)
+                     WHEN bigp.c2p IS NOT NULL
+                       THEN -1.3219280948873622
+                            + log2(bigp.c2p::DOUBLE / u2.c1::DOUBLE)
+                     ELSE -2.6438561897747244
+                          + log2(u3.c1::DOUBLE / nn.n) END AS lp
+              FROM inst i
+              LEFT JOIN tri ON tri.w1 = i.w1 AND tri.w2 = i.w2
+                           AND tri.w3 = i.w3
+              LEFT JOIN big ON big.w1 = i.w1 AND big.w2 = i.w2
+              LEFT JOIN bigp ON bigp.w2 = i.w2 AND bigp.w3 = i.w3
+              LEFT JOIN uni u2 ON u2.w = i.w2
+              LEFT JOIN uni u3 ON u3.w = i.w3
+              CROSS JOIN nn),
+         q AS (SELECT doc_id, floor(lp * 1e6 + 0.5)::BIGINT AS qlp FROM sc)"""
+  private val lmBackoffSelect: String =
+    """SELECT doc_id, count(*)::BIGINT AS n_scored,
+                round(sum(qlp)::DOUBLE / 1e6 / count(*)::DOUBLE, 6)
+                  AS avg_logprob
+         FROM q GROUP BY 1"""
+
   val map: Map[String, String] = Map(
     "q_asof_native" -> asofOracle,
 
@@ -737,44 +781,25 @@ private[graft] object Oracles2 {
     // engines, per-token scores micro-quantized BEFORE the doc sum so
     // the aggregate is order-independent and engine-exact.
     "q_lm_backoff" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         toks AS (SELECT unnest(l) AS w FROM t),
-         nn AS (SELECT count(*)::DOUBLE AS n FROM toks WHERE w <> ''),
-         uni AS (SELECT w, count(*)::BIGINT AS c1 FROM toks
-              WHERE w <> '' GROUP BY 1),
-         bi AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
-              FROM (SELECT doc_id, l,
-                      unnest(generate_series(1, len(l) - 1)) AS i
-                    FROM t WHERE len(l) >= 2)),
-         big AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
-         inst AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
-              FROM (SELECT doc_id, l,
-                      unnest(generate_series(1, len(l) - 2)) AS i
-                    FROM t WHERE len(l) >= 3)),
-         tri AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM inst
-              GROUP BY 1, 2, 3 HAVING count(*) >= 2),
-         bigp AS (SELECT w1 AS w2, w2 AS w3, c2 AS c2p FROM big WHERE c2 >= 2),
-         sc AS (SELECT i.doc_id,
-                CASE WHEN tri.c3 IS NOT NULL
-                       THEN log2(tri.c3::DOUBLE / big.c2::DOUBLE)
-                     WHEN bigp.c2p IS NOT NULL
-                       THEN -1.3219280948873622
-                            + log2(bigp.c2p::DOUBLE / u2.c1::DOUBLE)
-                     ELSE -2.6438561897747244
-                          + log2(u3.c1::DOUBLE / nn.n) END AS lp
-              FROM inst i
-              LEFT JOIN tri ON tri.w1 = i.w1 AND tri.w2 = i.w2
-                           AND tri.w3 = i.w3
-              LEFT JOIN big ON big.w1 = i.w1 AND big.w2 = i.w2
-              LEFT JOIN bigp ON bigp.w2 = i.w2 AND bigp.w3 = i.w3
-              LEFT JOIN uni u2 ON u2.w = i.w2
-              LEFT JOIN uni u3 ON u3.w = i.w3
-              CROSS JOIN nn),
-         q AS (SELECT doc_id, floor(lp * 1e6 + 0.5)::BIGINT AS qlp FROM sc)
-         SELECT doc_id, count(*)::BIGINT AS n_scored,
-                round(sum(qlp)::DOUBLE / 1e6 / count(*)::DOUBLE, 6)
-                  AS avg_logprob
-         FROM q GROUP BY 1 ORDER BY 1""",
+      s"""WITH $lmBackoffCtes
+         $lmBackoffSelect
+         ORDER BY 1""",
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-source
+    // tertiles of the SAME stupid-backoff doc score — head = the
+    // lowest-perplexity (highest avg_logprob) third; ntile over the
+    // engine-exact rounded score with doc_id tiebreak, so the bucket
+    // assignment replays deterministically
+    "q_ccnet_buckets" ->
+      s"""WITH $lmBackoffCtes,
+         lm AS ($lmBackoffSelect)
+         SELECT l.doc_id, d.source, l.n_scored, l.avg_logprob,
+                CASE ntile(3) OVER (PARTITION BY d.source
+                       ORDER BY l.avg_logprob DESC, l.doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+         FROM lm l JOIN documents d USING (doc_id)
+         ORDER BY l.doc_id""",
 
     "q_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

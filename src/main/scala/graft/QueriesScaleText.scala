@@ -645,6 +645,30 @@ private[graft] object QueriesScaleText {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-source
+    // TERTILES of the stupid-backoff doc score — "head" is the
+    // lowest-perplexity third, the slice CCNet keeps preferentially.
+    // ntile runs over the engine-exact rounded score with a doc_id
+    // tiebreak, so the bucket boundary replays deterministically. The
+    // per-source rank window is the mixtureByTokens shape — its salted
+    // two-level escape applies verbatim if one source dominates; at
+    // production scale CCNet instead freezes the two cutoff scores from
+    // a sample and buckets by broadcast threshold compare (no window).
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val lm = TextAnalysis.stupidBackoffLogProb(docs, "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("avg_logprob").desc, col("doc_id"))
+      lm.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("_t", ntile(3).over(w))
+        .select(col("doc_id"), col("source"), col("n_scored"),
+          col("avg_logprob"),
+          when(col("_t") === 1, "head").when(col("_t") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sliding-window chunking: 32-token windows stepping 16, so
     // consecutive chunks share 16 tokens of left context — the overlap
     // form of q_chunk_tokens for long-document splitting.
