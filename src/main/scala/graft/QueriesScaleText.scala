@@ -541,7 +541,10 @@ private[graft] object QueriesScaleText {
     // corpus once on doc_id.
     "q_gopher_repetition" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      // typed kernel form — bit-identical to the expression form the
+      // oracle mirrors (ExtSpec pins them equal); ~20× on this, the
+      // heaviest per-row fold in the registry
+      TextAnalysis.gopherRepetitionLocal(docs, "doc_id", "text")
         .join(TextAnalysis.gopherRules(docs, "doc_id", "text",
             minWords = 50, maxWords = 100000, minStopHits = 2)
           .select(col("doc_id"), col("pass").as("pass_format")), "doc_id")

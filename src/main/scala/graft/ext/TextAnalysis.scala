@@ -443,6 +443,106 @@ object TextAnalysis {
         col("top4_char_ppm") <= 160000).as("pass_repetition"))
   }
 
+  /** [[gopherRepetition]] via a typed per-row kernel — same values bit
+    * for bit (ExtSpec pins the two forms equal; every measure is pure
+    * integer math, so "bit-identical" is exact, not IEEE-modulo), ~20×
+    * the expression form, which pays interpreted lambda dispatch per
+    * sorted-array fold step across five sorts and five folds per row
+    * (the [[repetitionRatios]] precedent, on a heavier kernel). The
+    * expression form remains the SQL-replayable reference the oracle
+    * mirrors. Contract also mirrors [[repetitionRatios]]: long-castable
+    * ids, a null id drops the row, null text reads as "". */
+  def gopherRepetitionLocal(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, lineWords: Int = 8,
+      paraWords: Int = 32): org.apache.spark.sql.DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(java.lang.Long, String)]
+      .flatMap { case (id, textOrNull) =>
+        if (id == null) None
+        else {
+          val text = if (textOrNull == null) "" else textOrNull
+          val toks = text.split(" ", -1)
+          val nChars = math.max(text.length.toLong, 1L)
+          def segsOf(w: Int): Array[String] = {
+            val out = new Array[String]((toks.length - 1) / w + 1)
+            var i = 0
+            while (i < out.length) {
+              out(i) = toks.slice(i * w,
+                math.min(i * w + w, toks.length)).mkString(" ")
+              i += 1
+            }
+            out
+          }
+          // sorted adjacency: identical to the expression form's
+          // array_sort + zip_with pass (ASCII corpus — every string
+          // ordering the engines use agrees)
+          def dup(segs: Array[String]): (Long, Long, Long) = {
+            val s = segs.clone(); java.util.Arrays.sort(
+              s, java.util.Comparator.naturalOrder[String]())
+            var d = 0L; var dc = 0L; var i = 1
+            while (i < s.length) {
+              if (s(i) == s(i - 1)) { d += 1; dc += s(i).length }
+              i += 1
+            }
+            (s.length.toLong, d, dc)
+          }
+          // run fold over sorted n-grams, comparing against the OLD
+          // best count before updating it — the expression form's
+          // struct-step order, replicated exactly
+          def topMass(n: Int): Long = {
+            if (toks.length < n) return 0L
+            val grams = new Array[String](toks.length - n + 1)
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+              grams(i) = sb.toString; i += 1
+            }
+            java.util.Arrays.sort(
+              grams, java.util.Comparator.naturalOrder[String]())
+            var prev = ""; var cnt = 0L; var bc = 0L; var bm = 0L
+            i = 0
+            while (i < grams.length) {
+              val g = grams(i)
+              cnt = if (g == prev && i > 0) cnt + 1 else 1L
+              val mass = cnt * g.length
+              if (cnt > bc) bm = mass
+              else if (cnt == bc) bm = math.max(bm, mass)
+              bc = math.max(bc, cnt)
+              prev = g; i += 1
+            }
+            bm
+          }
+          val (nl, dl, dlc) = dup(segsOf(lineWords))
+          val (np, dp, dpc) = dup(segsOf(paraWords))
+          val (t2, t3, t4) = (topMass(2), topMass(3), topMass(4))
+          val dlp = 1000000L * dl / nl
+          val dlcp = 1000000L * dlc / nChars
+          val dpp = 1000000L * dp / np
+          val dpcp = 1000000L * dpc / nChars
+          val t2p = 1000000L * t2 / nChars
+          val t3p = 1000000L * t3 / nChars
+          val t4p = 1000000L * t4 / nChars
+          Some((id.longValue, nl, np, dlp, dlcp, dpp, dpcp, t2p, t3p, t4p,
+            dlp <= 300000L, dlcp <= 200000L, dpp <= 300000L,
+            dpcp <= 200000L, t2p <= 200000L, t3p <= 180000L,
+            t4p <= 160000L,
+            dlp <= 300000L && dlcp <= 200000L && dpp <= 300000L &&
+              dpcp <= 200000L && t2p <= 200000L && t3p <= 180000L &&
+              t4p <= 160000L))
+        }
+      }.toDF(idCol, "n_lines", "n_paras",
+        "dup_line_ppm", "dup_line_char_ppm",
+        "dup_para_ppm", "dup_para_char_ppm",
+        "top2_char_ppm", "top3_char_ppm", "top4_char_ppm",
+        "ok_dup_line", "ok_dup_line_char", "ok_dup_para",
+        "ok_dup_para_char", "ok_top2", "ok_top3", "ok_top4",
+        "pass_repetition")
+  }
+
   /** The published C4 CLEANING rule family (Raffel et al. 2020 §2.2):
     * retain only lines ending in a terminal punctuation mark AND
     * containing ≥ `minLineWords` words; discard any page with fewer

@@ -972,6 +972,30 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       "no detected skew must collapse to the single plain as-of")
   }
 
+  test("gopherRepetitionLocal is bit-identical to the expression form " +
+      "on the rule fixture AND real corpus docs") {
+    val s = spark
+    import s.implicits._
+    val line8 = "aa ab ac ad ae af ag ah"
+    val half32 = (0 until 32).map(i => f"w$i%02d").mkString(" ")
+    val fixture = Seq(
+      (0L, s"$line8 $line8"), (1L, s"$half32 $half32"),
+      (2L, "x y x y x y"), (3L, "aaa b aaa b cc d cc d"),
+      (4L, "hello"), (5L, ""))
+      .toDF("doc_id", "text")
+    val real = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (d <- Seq(fixture, real)) {
+      val expr = graft.ext.TextAnalysis
+        .gopherRepetition(d, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq
+      val kern = graft.ext.TextAnalysis
+        .gopherRepetitionLocal(d, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(kern == expr)
+    }
+  }
+
   test("gopherRepetition pins each published rule independently: dup " +
       "lines, dup chars, dup paragraphs, top-gram mass, tie rule, and " +
       "the degenerate short doc") {
