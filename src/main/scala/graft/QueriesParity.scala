@@ -1087,6 +1087,22 @@ private[graft] object QueriesParity {
           Tables.read(s, dir, "documents"), "doc_id", "text", minLen = 31)
         .orderBy(col("doc_id"))),
 
+    // The PRODUCT step of within-corpus substring dedup (Lee et al.
+    // 2022 remove the duplicated spans, not the documents): excise
+    // every ≥31-char cross-document repeated span and emit the
+    // deduplicated text — redactWindows composed over the selfdup
+    // window relation, both individually oracle-proven; drop-all
+    // semantics (every occurrence flags), documented on
+    // selfRepeatWindows.
+    "q_dedup_span_removal" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      graft.ext.Curation.redactWindows(d,
+          graft.ext.Curation.selfRepeatWindows(d, "doc_id", "text",
+            minLen = 31),
+          "doc_id", "text", minLen = 31)
+        .orderBy(col("doc_id"))
+    }),
+
     // Normalized decontamination: the same verbatim-substring gate over
     // canonical text (lowercase, punctuation stripped, whitespace
     // collapsed) — case/spacing variants of a leaked span no longer

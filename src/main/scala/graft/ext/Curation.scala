@@ -435,6 +435,20 @@ object Curation {
     substringContamination(docs, docs, idCol, textCol, minLen,
       excludeSelf = true)
 
+  /** One row per repeated window position — `(idCol, pos)`, the
+    * [[contaminationWindows]] form of [[selfSubstringRepeats]]: the
+    * relation a WITHIN-corpus span-removal pass ([[redactWindows]])
+    * consumes. Drop-all semantics: every occurrence of a cross-document
+    * repeated span flags (the conservative removal variant; the
+    * keep-one-canonical variant is an id-ordered anchor restriction on
+    * the same machinery). */
+  def selfRepeatWindows(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame =
+    contaminationIslands(docs, docs, idCol, textCol, minLen,
+      excludeSelf = true)
+      .select(col(idCol),
+        explode(sequence(col("ia"), col("ib"))).as("pos"))
+
   /** [[substringContamination]] over [[TextAnalysis.normalize]]d text:
     * case, punctuation, and whitespace variants of a leaked span no
     * longer evade the verbatim check ("The Answer Is  42!" vs "the
