@@ -49,6 +49,9 @@ object Bench {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // any streaming query's slow micro-batch logs its per-phase
+    // durations — tail outliers attributable from the round artifact
+    graft.streaming.Streaming.registerSlowBatchListener(spark)
     // absorb one-time SESSION costs before any timed work — noop-sink
     // registration, parquet footer/schema reads, first-job scheduler
     // spin-up — so they don't bill to whichever query happens to run

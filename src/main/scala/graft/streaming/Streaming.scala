@@ -782,6 +782,40 @@ object Streaming {
   private val lastTickEnd =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val SlowTickMs = 10000L
+
+  /** Session-wide slow-batch telemetry: one listener covers EVERY
+    * streaming query (the ~30 foreachBatch maintenance streams included)
+    * without per-site wiring — any micro-batch whose triggerExecution
+    * crosses [[SlowTickMs]] logs one structured stderr line with
+    * Spark's own per-phase duration breakdown (getBatch/addBatch/
+    * commitOffsets/…), which names WHERE inside the engine's batch
+    * cycle a tail outlier sat. Complements [[timedTick]] (which also
+    * sees the BETWEEN-tick scheduler gap). Registered by the Bench and
+    * Verify mains — the surfaces whose artifacts a tail outlier needs
+    * to be attributable from. */
+  final class SlowBatchListener(thresholdMs: Long = SlowTickMs)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val trig = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)
+      if (trig >= thresholdMs)
+        System.err.println(s"[graft-stream] SLOW BATCH query=${p.name} " +
+          s"batch=${p.batchId} trigger_ms=$trig durations=${p.durationMs}")
+    }
+  }
+
+  /** Idempotent registration of [[SlowBatchListener]] on a session. */
+  private val listenerRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession,
+        java.lang.Boolean]())
+  def registerSlowBatchListener(spark: SparkSession): Unit =
+    if (listenerRegistered.add(spark))
+      spark.streams.addListener(new SlowBatchListener())
   private[graft] def timedTick[T](queryName: String, batchId: Long)(
       body: => T): T = {
     val start = System.nanoTime()
