@@ -866,6 +866,23 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // spec actually executing it)
   }
 
+  test("c4 rules: pure per-row gate — no join, no aggregate, the only " +
+      "exchange is the final presentation sort") {
+    val p = plan("q_c4_rules")
+    assert(!p.contains("Join"), "a per-row rule gate must not join")
+    assert(!p.contains("HashAggregate"))
+    assert("Exchange".r.findAllIn(p).size == 1 &&
+      p.contains("rangepartitioning"),
+      "one range exchange (the ORDER BY) and nothing else")
+  }
+
+  test("span removal: the composed tiled-anchor + excision plan keeps " +
+      "the contamination family's no-cartesian contract") {
+    val p = plan("q_dedup_span_removal")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("triangles: wedge and closing joins are shuffled equi-joins — " +
       "no cartesian, no nested-loop, partial aggregation present") {
     val p = plan("q_triangles")
