@@ -559,8 +559,10 @@ private[graft] object QueriesScaleText {
     // 6-word lines, md5-coin terminal periods, planted "lorem ipsum"
     // (doc_id % 97) and "{" (doc_id % 89). Rule-per-column + pass.
     "q_c4_rules" -> ((s, dir) =>
-      TextAnalysis.c4Rules(Tables.read(s, dir, "documents"),
-          "doc_id", "text")
+      TextAnalysis.c4Rules(
+          TextAnalysis.c4SyntheticPage(Tables.read(s, dir, "documents"),
+            "doc_id", "text"),
+          "doc_id", "page")
         .orderBy(col("doc_id"))),
 
     // BM25 retrieval ranking for a literal query (Okapi k1=1.2,

@@ -243,6 +243,8 @@ object ScaleProbe {
       { labels90(dir1).count(); labels90(dir10).count(); () }
     if (selected.exists(_._1 == "band_ledger_fixed_batch"))
       { bandLedger(dir1); bandLedger(dir10); () }
+    if (selected.exists(_._1 == "sig_ledger_fixed_batch"))
+      { sigLedger(dir1); sigLedger(dir10); () }
     selected.foreach { case (_, f) => f(dir1).write.format("noop")
       .mode("overwrite").save() }
 

@@ -411,9 +411,9 @@ object Curation {
     * ([[redactWindows]]) consumes. Derived from the disjoint islands,
     * so the fan-out needs no dedup. */
   def contaminationWindows(train: DataFrame, test: DataFrame,
-      idCol: String, textCol: String, minLen: Int): DataFrame =
-    contaminationIslands(train, test, idCol, textCol, minLen,
-      excludeSelf = false)
+      idCol: String, textCol: String, minLen: Int,
+      excludeSelf: Boolean = false): DataFrame =
+    contaminationIslands(train, test, idCol, textCol, minLen, excludeSelf)
       .select(col(idCol),
         explode(sequence(col("ia"), col("ib"))).as("pos"))
 
@@ -444,10 +444,8 @@ object Curation {
     * the same machinery). */
   def selfRepeatWindows(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int): DataFrame =
-    contaminationIslands(docs, docs, idCol, textCol, minLen,
+    contaminationWindows(docs, docs, idCol, textCol, minLen,
       excludeSelf = true)
-      .select(col(idCol),
-        explode(sequence(col("ia"), col("ib"))).as("pos"))
 
   /** [[substringContamination]] over [[TextAnalysis.normalize]]d text:
     * case, punctuation, and whitespace variants of a leaked span no

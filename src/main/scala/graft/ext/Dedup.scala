@@ -580,11 +580,22 @@ object Dedup {
     * [[dupClustersIncremental]] caller contract. */
   def simhashDupPairsFromLedger(batch: DataFrame, ledgerSig: DataFrame,
       idCol: String, textCol: String, maxHamming: Int = 7, n: Int = 3)
+      : DataFrame =
+    simhashDupPairsFromSigLedger(
+      simhashSignaturesLocal(batch, idCol, textCol, n).persist(Spill),
+      ledgerSig, idCol, maxHamming)
+
+  /** [[simhashDupPairsFromLedger]] when the batch's OWN signature
+    * relation is already at hand (an ingest tick computes and stores it
+    * anyway — recomputing would double the tick's dominant shingling
+    * cost): both sides are pure `(id, simhash)` relations, no text is
+    * touched at all. */
+  def simhashDupPairsFromSigLedger(batchSig: DataFrame,
+      ledgerSig: DataFrame, idCol: String, maxHamming: Int = 7)
       : DataFrame = {
     val chunks = 8
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    val sig = simhashSignaturesLocal(batch, idCol, textCol, n)
-      .persist(Spill)
+    val sig = batchSig
     assertDisjointIds(sig, ledgerSig, idCol)
     def chunked(s: DataFrame) = s.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(c =>

@@ -464,7 +464,12 @@ object TextAnalysis {
         else {
           val text = if (textOrNull == null) "" else textOrNull
           val toks = text.split(" ", -1)
-          val nChars = math.max(text.length.toLong, 1L)
+          // code POINTS, not UTF-16 units — Spark's length() and
+          // DuckDB's length() both count code points, and the ppm
+          // denominators must agree on astral-plane text too
+          def cp(x: String): Long =
+            x.codePointCount(0, x.length).toLong
+          val nChars = math.max(cp(text), 1L)
           def segsOf(w: Int): Array[String] = {
             val out = new Array[String]((toks.length - 1) / w + 1)
             var i = 0
@@ -483,7 +488,7 @@ object TextAnalysis {
               s, java.util.Comparator.naturalOrder[String]())
             var d = 0L; var dc = 0L; var i = 1
             while (i < s.length) {
-              if (s(i) == s(i - 1)) { d += 1; dc += s(i).length }
+              if (s(i) == s(i - 1)) { d += 1; dc += cp(s(i)) }
               i += 1
             }
             (s.length.toLong, d, dc)
@@ -508,7 +513,7 @@ object TextAnalysis {
             while (i < grams.length) {
               val g = grams(i)
               cnt = if (g == prev && i > 0) cnt + 1 else 1L
-              val mass = cnt * g.length
+              val mass = cnt * cp(g)
               if (cnt > bc) bm = mass
               else if (cnt == bc) bm = math.max(bm, mass)
               bc = math.max(bc, cnt)
@@ -543,33 +548,23 @@ object TextAnalysis {
         "pass_repetition")
   }
 
-  /** The published C4 CLEANING rule family (Raffel et al. 2020 §2.2):
-    * retain only lines ending in a terminal punctuation mark AND
-    * containing ≥ `minLineWords` words; discard any page with fewer
-    * than `minSentences` retained lines, any page containing the
-    * boilerplate marker "lorem ipsum", and any page containing a curly
-    * brace (code). Rule-per-column so rejected pages are attributable,
-    * `pass` is the conjunction.
-    *
-    * This corpus is single-line prose with NO punctuation, so every
-    * rule would be vacuous on the raw text; the gate therefore RENDERS
-    * a deterministic page first (the q_mojibake planting precedent —
-    * both engines replay the rendering exactly): words re-wrap at
-    * `wordsPerLine` per line; line `i` of doc `d` ends in '.' iff
-    * md5Top60("d:i") % 4 ≠ 0 (≈ 75% of lines, so the terminal-punct
-    * rule has both outcomes at every SF); docs with id % 97 = 0 carry a
-    * planted "lorem ipsum" and id % 89 = 0 a planted "{" — PREPENDED so
-    * the plant always lands inside line 1 (appending could straddle a
-    * line boundary and dodge the page scan). The rules then run on the
-    * rendered page exactly as published.
-    *
-    * Scale (100 TB): pure per-row expression chain — zero shuffles,
-    * zero joins; runs in the same scan as [[gopherRules]] /
-    * [[gopherRepetition]]. */
-  def c4Rules(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, wordsPerLine: Int = 6, minLineWords: Int = 5,
-      minSentences: Int = 3): org.apache.spark.sql.DataFrame = {
-    require(wordsPerLine > 0 && minLineWords > 0 && minSentences > 0)
+  /** Deterministic SYNTHETIC page rendering for the C4 gate — query-
+    * fixture logic, deliberately SEPARATE from the rule operator: this
+    * corpus is single-line prose with no punctuation, so every
+    * published C4 rule would be vacuous on the raw text. The rendering
+    * (the q_mojibake planting precedent — both engines replay it
+    * exactly): words re-wrap at `wordsPerLine` per line; line `i` of
+    * doc `d` ends in '.' iff md5Top60("d:i") % 4 ≠ 0 (≈ 75% of lines,
+    * so the terminal-punct rule has both outcomes at every SF); docs
+    * with id % 97 = 0 carry a planted "lorem ipsum" and id % 89 = 0 a
+    * planted "{" — PREPENDED so the plant always lands inside line 1
+    * (appending could straddle a line boundary and dodge the page
+    * scan). Output: `(idCol, page)` — newline-joined lines, the shape
+    * [[c4Rules]] consumes. */
+  def c4SyntheticPage(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, wordsPerLine: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    require(wordsPerLine > 0)
     val base = filter(
       split(coalesce(col(textCol).cast("string"), lit("")), " ", -1),
       w => w =!= "")
@@ -578,34 +573,55 @@ object TextAnalysis {
     val words = when(col(idCol) % 97 === 0,
       concat(array(lit("lorem"), lit("ipsum")), withBrace))
       .otherwise(withBrace)
-    val staged = docs.select(col(idCol), words.as("_w"))
+    docs.select(col(idCol), words.as("_w"))
       .withColumn("_nl", greatest(
         expr(s"(size(_w) + ${wordsPerLine - 1}) div $wordsPerLine")
           .cast("long"), lit(1L)))
-      // one struct per rendered line: word count, retained?, rendered
-      // text (terminal '.' decided by the md5 coin on "id:lineIdx")
-      .withColumn("_lines", transform(sequence(lit(1L), col("_nl")), i => {
-        val lw = slice(col("_w"),
-          ((i - lit(1L)) * wordsPerLine + lit(1L)).cast("int"),
-          lit(wordsPerLine))
-        val terminal =
-          Sampling.md5Top60(concat_ws(":", col(idCol), i)) % 4 =!= 0
-        struct(
-          size(lw).cast("long").as("len"),
-          (terminal && size(lw) >= minLineWords).as("kept"),
+      .select(col(idCol),
+        array_join(transform(sequence(lit(1L), col("_nl")), i => {
+          val lw = slice(col("_w"),
+            ((i - lit(1L)) * wordsPerLine + lit(1L)).cast("int"),
+            lit(wordsPerLine))
+          val terminal =
+            Sampling.md5Top60(concat_ws(":", col(idCol), i)) % 4 =!= 0
           concat(array_join(lw, " "),
-            when(terminal, lit(".")).otherwise(lit(""))).as("txt"))
-      }))
-      .withColumn("_page",
-        array_join(transform(col("_lines"), l => l("txt")), "\n"))
-    staged.select(col(idCol),
-      col("_nl").as("n_lines"),
-      size(filter(col("_lines"), l => l("kept"))).cast("long")
-        .as("n_sentences"),
-      aggregate(filter(col("_lines"), l => l("kept")), lit(0L),
-        (acc, l) => acc + l("len")).as("retained_words"),
-      col("_page").contains("lorem ipsum").as("has_lorem"),
-      col("_page").contains("{").as("has_brace"))
+            when(terminal, lit(".")).otherwise(lit("")))
+        }), "\n").as("page"))
+  }
+
+  /** The published C4 CLEANING rule family (Raffel et al. 2020 §2.2)
+    * over an ALREADY-RENDERED multi-line page column — real web pages,
+    * or [[c4SyntheticPage]] for this corpus's gate: retain only lines
+    * ending in a terminal punctuation mark (. ! ? ") AND containing ≥
+    * `minLineWords` whitespace-separated words; discard any page with
+    * fewer than `minSentences` retained lines, any page containing the
+    * boilerplate marker "lorem ipsum", and any page containing a curly
+    * brace (code). Rule-per-column so rejected pages are attributable,
+    * `pass` is the conjunction.
+    *
+    * Scale (100 TB): pure per-row expression chain — zero shuffles,
+    * zero joins; runs in the same scan as [[gopherRules]] /
+    * [[gopherRepetition]]. */
+  def c4Rules(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      pageCol: String, minLineWords: Int = 5, minSentences: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(minLineWords > 0 && minSentences > 0)
+    val page = coalesce(col(pageCol).cast("string"), lit(""))
+    val lineStats = transform(split(page, "\n", -1), l => {
+      val nW = size(filter(split(l, " ", -1), w => w =!= ""))
+      val terminal = substring(l, -1, 1).isin(".", "!", "?", "\"")
+      struct(nW.cast("long").as("len"),
+        (terminal && nW >= minLineWords).as("kept"))
+    })
+    docs.select(col(idCol), page.as("_pg"), lineStats.as("_ls"))
+      .select(col(idCol),
+        size(col("_ls")).cast("long").as("n_lines"),
+        size(filter(col("_ls"), l => l("kept"))).cast("long")
+          .as("n_sentences"),
+        aggregate(filter(col("_ls"), l => l("kept")), lit(0L),
+          (acc, l) => acc + l("len")).as("retained_words"),
+        col("_pg").contains("lorem ipsum").as("has_lorem"),
+        col("_pg").contains("{").as("has_brace"))
       .withColumn("pass",
         col("n_sentences") >= minSentences &&
           !col("has_lorem") && !col("has_brace"))

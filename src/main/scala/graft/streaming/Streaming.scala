@@ -802,11 +802,22 @@ object Streaming {
       val p = e.progress
       val trig = Option(p.durationMs.get("triggerExecution"))
         .map(_.longValue).getOrElse(0L)
-      if (trig >= thresholdMs)
-        System.err.println(s"[graft-stream] SLOW BATCH query=${p.name} " +
+      if (trig >= thresholdMs) {
+        // unnamed streams attribute by query id — never "null"
+        val who = Option(p.name).getOrElse(p.id.toString)
+        System.err.println(s"[graft-stream] SLOW BATCH query=$who " +
           s"batch=${p.batchId} trigger_ms=$trig durations=${p.durationMs}")
+      }
     }
   }
+
+  /** Apply `.queryName` only when the caller supplied one — a named
+    * stream attributes by name in [[SlowBatchListener]] lines; an
+    * unnamed one falls back to the query id. */
+  private def named[T](ws: org.apache.spark.sql.streaming.DataStreamWriter[T],
+      queryName: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    if (queryName.nonEmpty) ws.queryName(queryName) else ws
 
   /** Idempotent registration of [[SlowBatchListener]] on a session. */
   private val listenerRegistered =
@@ -1326,9 +1337,9 @@ object Streaming {
     * and each tick ends with `clearCache`. */
   def bandLedgerIngest(docs: DataFrame, workPath: String,
       checkpointDir: String, idCol: String, textCol: String,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5, queryName: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    named(docs.writeStream, queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1392,7 +1403,7 @@ object Streaming {
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
       awaitOneShot(
         bandLedgerIngest(stream, workDir, s"$workDir/cp",
-          "doc_id", "text", threshold),
+          "doc_id", "text", threshold, queryName),
         queryName)
       spark.read.parquet(s"$workDir/pairs")
         .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -1425,9 +1436,9 @@ object Streaming {
     * stream. */
   def clusterLedgerIngest(docs: DataFrame, workPath: String,
       checkpointDir: String, idCol: String, textCol: String,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5, queryName: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    named(docs.writeStream, queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1509,7 +1520,7 @@ object Streaming {
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
       awaitOneShot(
         clusterLedgerIngest(stream, workDir, s"$workDir/cp",
-          "doc_id", "text", threshold),
+          "doc_id", "text", threshold, queryName),
         queryName)
       val lp = s"$workDir/labels"
       // locate the final snapshot through the Hadoop FS API (the same
@@ -1562,9 +1573,9 @@ object Streaming {
   def pipelineLedgerIngest(docs: DataFrame, workPath: String,
       checkpointDir: String, idCol: String, textCol: String,
       lang: String = "en", minQuality: Double = 60.0,
-      maxHamming: Int = 7)
+      maxHamming: Int = 7, queryName: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    named(docs.writeStream, queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1595,10 +1606,15 @@ object Streaming {
             else Array.empty[String]
           }
           val priorSigs = priorDirs(sigsPath)
+          // the tick's dominant cost, paid exactly once: the signature
+          // relation both JOINS the ledger (written below) and drives
+          // this tick's pair probe
+          val sig = Dedup.simhashSignaturesLocal(gated, idCol, textCol)
+            .localCheckpoint(true)
           val labels =
             if (priorSigs.isEmpty)
               Dedup.dupClusters(
-                Dedup.simhashDupPairs(gated, idCol, textCol, maxHamming))
+                Dedup.hammingDupPairs(sig, idCol, "simhash", maxHamming))
             else {
               val lp = new org.apache.hadoop.fs.Path(labelsPath)
               val priorSnap = fs.listStatus(lp).map(_.getPath.getName)
@@ -1607,17 +1623,15 @@ object Streaming {
               require(priorSnap.nonEmpty,
                 s"pipeline ledger: signature ticks exist but no label " +
                   s"snapshot precedes batch $batchId")
-              val pairs = Dedup.simhashDupPairsFromLedger(gated,
-                sp.read.parquet(priorSigs.toSeq: _*), idCol, textCol,
-                maxHamming)
+              val pairs = Dedup.simhashDupPairsFromSigLedger(sig,
+                sp.read.parquet(priorSigs.toSeq: _*), idCol, maxHamming)
               Dedup.dupClustersIncremental(
                 sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
                 pairs)
             }
           labels.write.mode("overwrite")
             .parquet(s"$labelsPath/batch=$batchId")
-          Dedup.simhashSignaturesLocal(gated, idCol, textCol)
-            .write.mode("overwrite").parquet(s"$sigsPath/batch=$batchId")
+          sig.write.mode("overwrite").parquet(s"$sigsPath/batch=$batchId")
           gated.write.mode("overwrite")
             .parquet(s"$gatedPath/batch=$batchId")
           sp.catalog.clearCache()
@@ -1650,7 +1664,7 @@ object Streaming {
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
       awaitOneShot(
         pipelineLedgerIngest(stream, workDir, s"$workDir/cp",
-          "doc_id", "text"),
+          "doc_id", "text", queryName = queryName),
         queryName)
       val lp = new org.apache.hadoop.fs.Path(s"$workDir/labels")
       val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())

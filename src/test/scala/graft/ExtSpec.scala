@@ -289,14 +289,40 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.contains((1L, 2L))) // the engineered near-dup is caught
   }
 
-  test("c4Rules: line retention follows the md5 coin + 5-word rule; " +
-      "plants and the min-sentence gate fail the right pages") {
+  test("c4Rules applies the published rules to a REAL multi-line page") {
+    val s = spark
+    import s.implicits._
+    val page = Seq(
+      "This is a proper sentence with enough words here.",  // kept (9w)
+      "too short.",                                         // terminal, <5w
+      "this line has five words but no terminal punctuation at the end",
+      "Another proper sentence sits right here!",           // kept (6w)
+      "And a third full sentence closes the page?")         // kept (8w)
+      .mkString("\n")
+    val out = TextAnalysis.c4Rules(
+        Seq((1L, page), (2L, "lorem ipsum " + page),
+          (3L, page + "\nvar x = { y: 1 };"))
+          .toDF("doc_id", "page"),
+        "doc_id", "page")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((5L, 3L, 9L + 6L + 8L, false, false, true)))
+    assert(out(2L)._4 && !out(2L)._6, "lorem ipsum drops the page")
+    assert(out(3L)._5 && !out(3L)._6, "a curly brace drops the page")
+  }
+
+  test("c4Rules over c4SyntheticPage: line retention follows the md5 " +
+      "coin + 5-word rule; plants and the min-sentence gate fail the " +
+      "right pages") {
     import graft.ext.Sampling
     val long = (1 to 60).map(i => s"w$i").mkString(" ")   // 10 full lines
     val short = (1 to 12).map(i => s"w$i").mkString(" ")  // 2 lines
-    val out = TextAnalysis.c4Rules(docs(
-        (1L, long), (2L, short), (89L, long), (97L, long)),
-        "doc_id", "text")
+    val out = TextAnalysis.c4Rules(
+        TextAnalysis.c4SyntheticPage(docs(
+          (1L, long), (2L, short), (89L, long), (97L, long)),
+          "doc_id", "text"),
+        "doc_id", "page")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3),
           r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
@@ -981,7 +1007,10 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     val fixture = Seq(
       (0L, s"$line8 $line8"), (1L, s"$half32 $half32"),
       (2L, "x y x y x y"), (3L, "aaa b aaa b cc d cc d"),
-      (4L, "hello"), (5L, ""))
+      (4L, "hello"), (5L, ""),
+      // astral-plane text: the ppm denominators must count code
+      // POINTS (Spark/DuckDB length()), not UTF-16 units
+      (6L, "😀a b 😀a b 😀a b"))
       .toDF("doc_id", "text")
     val real = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
