@@ -1103,6 +1103,19 @@ private[graft] object QueriesParity {
         .orderBy(col("doc_id"))
     }),
 
+    // KEEP-ONE-CANONICAL span removal (the Lee et al. 2022 product
+    // semantics): a span is excised only where the same 31-char window
+    // occurs in a strictly smaller doc id — each duplicated passage
+    // survives exactly once, in its smallest-id document.
+    "q_dedup_span_keepfirst" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      graft.ext.Curation.redactWindows(d,
+          graft.ext.Curation.selfRepeatWindows(d, "doc_id", "text",
+            minLen = 31, keepFirst = true),
+          "doc_id", "text", minLen = 31)
+        .orderBy(col("doc_id"))
+    }),
+
     // Normalized decontamination: the same verbatim-substring gate over
     // canonical text (lowercase, punctuation stripped, whitespace
     // collapsed) — case/spacing variants of a leaked span no longer

@@ -212,7 +212,7 @@ object Curation {
     * [[selfSubstringRepeats]] uses to run the corpus against itself. */
   private def contaminationIslands(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, minLen: Int,
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean, idOrdered: Boolean = false): DataFrame = {
     require(minLen >= 3, "minLen must be at least 3")
     val k = (minLen + 1) / 2
     val s = minLen - k + 1
@@ -266,7 +266,14 @@ object Curation {
     val p = col("__graft_p")
     val q = col("__graft_q")
     val anchored = wins.join(tiles, "__graft_h")
-    val spans0 = (if (excludeSelf)
+    // idOrdered restricts the train side to STRICTLY SMALLER doc ids —
+    // "occurs in an earlier document" — which is the keep-one-canonical
+    // dedup form (and subsumes excludeSelf); exactness is untouched
+    // because the restriction is per train-doc and the pigeonhole +
+    // extension argument is per (train doc, test doc) pair
+    val spans0 = (if (idOrdered)
+        anchored.filter(col("__graft_tid") < col(idCol))
+      else if (excludeSelf)
         anchored.filter(col("__graft_tid") =!= col(idCol))
       else anchored)
       .join(teTexts, idCol)
@@ -412,8 +419,10 @@ object Curation {
     * so the fan-out needs no dedup. */
   def contaminationWindows(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, minLen: Int,
-      excludeSelf: Boolean = false): DataFrame =
-    contaminationIslands(train, test, idCol, textCol, minLen, excludeSelf)
+      excludeSelf: Boolean = false, idOrdered: Boolean = false)
+      : DataFrame =
+    contaminationIslands(train, test, idCol, textCol, minLen, excludeSelf,
+        idOrdered)
       .select(col(idCol),
         explode(sequence(col("ia"), col("ib"))).as("pos"))
 
@@ -438,14 +447,20 @@ object Curation {
   /** One row per repeated window position — `(idCol, pos)`, the
     * [[contaminationWindows]] form of [[selfSubstringRepeats]]: the
     * relation a WITHIN-corpus span-removal pass ([[redactWindows]])
-    * consumes. Drop-all semantics: every occurrence of a cross-document
-    * repeated span flags (the conservative removal variant; the
-    * keep-one-canonical variant is an id-ordered anchor restriction on
-    * the same machinery). */
+    * consumes. Two published removal semantics:
+    *
+    *  - `keepFirst = false` (drop-all): EVERY occurrence of a
+    *    cross-document repeated span flags — the conservative form;
+    *  - `keepFirst = true` (keep-one-canonical, the Lee et al. 2022
+    *    product semantics): a position flags only when the same window
+    *    occurs in a STRICTLY SMALLER doc id, so each duplicated
+    *    passage survives exactly once, in its smallest-id document —
+    *    an id-ordered anchor restriction on the same machinery. */
   def selfRepeatWindows(docs: DataFrame, idCol: String,
-      textCol: String, minLen: Int): DataFrame =
+      textCol: String, minLen: Int, keepFirst: Boolean = false)
+      : DataFrame =
     contaminationWindows(docs, docs, idCol, textCol, minLen,
-      excludeSelf = true)
+      excludeSelf = true, idOrdered = keepFirst)
 
   /** [[substringContamination]] over [[TextAnalysis.normalize]]d text:
     * case, punctuation, and whitespace variants of a leaked span no
