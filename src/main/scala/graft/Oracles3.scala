@@ -796,6 +796,32 @@ private[graft] object Oracles3 {
          SELECT query_id, rank, nn_id, cos_sim FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
+    // Matryoshka replay: the same deterministic top-5 twice (full dim,
+    // leading-32 slice), overlap counted per query
+    "q_ann_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS nn_id, embedding::DOUBLE[] AS cv
+              FROM embeddings),
+         rf AS (SELECT query_id, nn_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                           nn_id) AS rank
+              FROM q JOIN c ON query_id <> nn_id),
+         rh AS (SELECT query_id, nn_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY round(list_cosine_similarity(
+                    qv[1:32], cv[1:32]), 4) DESC, nn_id) AS rank
+              FROM q JOIN c ON query_id <> nn_id),
+         fk AS (SELECT query_id, nn_id FROM rf WHERE rank <= 5),
+         hk AS (SELECT query_id, nn_id, 1 AS hit FROM rh WHERE rank <= 5)
+         SELECT f.query_id, count(*)::BIGINT AS k,
+                coalesce(sum(h.hit), 0)::BIGINT AS n_overlap,
+                (1000000 * coalesce(sum(h.hit), 0) // count(*))::BIGINT
+                  AS recall_ppm
+         FROM fk f LEFT JOIN hk h USING (query_id, nn_id)
+         GROUP BY 1 ORDER BY 1""",
+
     "q_knn_ivf" -> knnIvfOracle,
 
     // frozen-centroid incremental index + probe equals the batch

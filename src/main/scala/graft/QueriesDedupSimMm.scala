@@ -564,6 +564,32 @@ private[graft] object QueriesDedupSimMm {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Matryoshka truncation eval (Kusupati et al. 2022): how much of
+    // the full-dimension top-5 survives when the index stores only the
+    // leading 32 of 64 dims — the storage/recall knob an embedding
+    // store tunes. Per query: overlap count + recall ppm between the
+    // full-dim and truncated-dim brute-force top-5 sets (both
+    // rank-deterministic: rounded cosine, id tiebreak).
+    "q_ann_matryoshka" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      def trunc(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+      val full = Similarity.knnBruteForce(emb, q,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nn_id"))
+      val half = Similarity.knnBruteForce(trunc(emb), trunc(q),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nn_id"), lit(1L).as("hit"))
+      full.join(half, Seq("query_id", "nn_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+        .select(col("query_id"), col("k"), col("n_overlap"),
+          expr("1000000 * n_overlap div k").as("recall_ppm"))
+        .orderBy(col("query_id"))
+    }),
+
     "q_knn_ivf" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.knnIvf(emb, emb.filter(col("vec_id") < 8),
