@@ -1650,13 +1650,13 @@ object Streaming {
     * the batch `q_pipeline_export` composition, whose oracle it
     * shares. */
   def pipelineIncrementalAvailableNow(spark: SparkSession, dir: String,
-      workDir: String, queryName: String): DataFrame = {
+      workDir: String, queryName: String, ticks: Int = 2): DataFrame = {
+    require(ticks >= 2, "an incremental gate needs at least two ticks")
     val docs = graft.Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
-    val halves = Seq(
-      docs.filter(abs(hash(col("doc_id"))) % 2 === 0),
-      docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
-    val schema = stageBatches(spark, s"$workDir/staged", halves)
+    val parts = (0 until ticks).map(i =>
+      docs.filter(abs(hash(col("doc_id"))) % ticks === i))
+    val schema = stageBatches(spark, s"$workDir/staged", parts)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {

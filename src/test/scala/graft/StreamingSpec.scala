@@ -1644,7 +1644,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("pipelineIncrementalAvailableNow: the ledger-driven composition " +
-      "equals the batch q_pipeline_export, cell for cell") {
+      "equals the batch q_pipeline_export, cell for cell — at TWO and " +
+      "THREE ticks (the 3-tick run folds a folded label snapshot)") {
     val s = spark
     val dir = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("q_pipeline_export")(s, dir)
@@ -1656,5 +1657,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(inc == batch,
       "at-ingest gates + signature ledger + label fold must compose " +
         "into the identical final training-data export")
+    s.catalog.clearCache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pinc3_")
+    try {
+      val inc3 = Streaming.pipelineIncrementalAvailableNow(s, dir,
+          tmp.toString, Streaming.nextQueryName("graft_pinc3"),
+          ticks = 3)
+        .collect().toSeq
+      assert(inc3 == batch,
+        "a second-generation label fold (tick 3 folds tick 2's folded " +
+          "snapshot) must still equal the batch composition")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 }
