@@ -8,6 +8,36 @@ import graft.OracleBuilders._
   * map is keyed by query name; family grouping lives in the Queries*
   * objects). No behavior change. */
 private[graft] object Oracles1 {
+  /** Char-excision span-removal replay, shared by the drop-all and
+    * keep-first gates: `repJoin` is the window-pair predicate deciding
+    * which occurrences flag ("<>" = every occurrence, "<" on the train
+    * side = only copies with a smaller-id original). */
+  private def spanRemovalOracle(repJoin: String): String =
+    s"""WITH w AS (SELECT doc_id,
+                unnest([{'i': i, 'w': substr(text, i, 31)}
+                    for i in generate_series(1, length(text) - 30)]) AS x
+              FROM documents WHERE length(text) >= 31),
+         ww AS (SELECT doc_id, x.i AS i, x.w AS w FROM w),
+         rep AS (SELECT DISTINCT a.doc_id, a.i
+              FROM ww a JOIN ww b ON a.w = b.w AND $repJoin),
+         cov AS (SELECT DISTINCT doc_id,
+                unnest(generate_series(i, i + 30)) AS cp FROM rep),
+         chars AS (SELECT doc_id,
+                unnest([{'cp': i, 'ch': substr(text, i, 1)}
+                    for i in generate_series(1, length(text))]) AS x
+              FROM documents),
+         kept AS (SELECT c.doc_id, c.x.cp AS cp, c.x.ch AS ch
+              FROM chars c LEFT JOIN cov
+                ON cov.doc_id = c.doc_id AND cov.cp = c.x.cp
+              WHERE cov.cp IS NULL),
+         red AS (SELECT doc_id, string_agg(ch, '' ORDER BY cp) AS t
+              FROM kept GROUP BY 1)
+         SELECT d.doc_id, coalesce(red.t, '') AS text_redacted,
+                (length(d.text) - coalesce(length(red.t), 0))::BIGINT
+                  AS n_removed
+         FROM documents d LEFT JOIN red USING (doc_id)
+         ORDER BY doc_id"""
+
   val map: Map[String, String] = Map(
     "q_id_gaps" ->
       """WITH e AS (SELECT user_id, event_id FROM events
@@ -844,60 +874,12 @@ private[graft] object Oracles1 {
     // drives the same char-excision replay as q_redact_contamination —
     // covered = union of repeated windows' [i, i+30] positions,
     // rebuild each doc from its uncovered characters
-    "q_dedup_span_removal" ->
-      """WITH w AS (SELECT doc_id,
-                unnest([{'i': i, 'w': substr(text, i, 31)}
-                    for i in generate_series(1, length(text) - 30)]) AS x
-              FROM documents WHERE length(text) >= 31),
-         ww AS (SELECT doc_id, x.i AS i, x.w AS w FROM w),
-         rep AS (SELECT DISTINCT a.doc_id, a.i
-              FROM ww a JOIN ww b ON a.w = b.w AND a.doc_id <> b.doc_id),
-         cov AS (SELECT DISTINCT doc_id,
-                unnest(generate_series(i, i + 30)) AS cp FROM rep),
-         chars AS (SELECT doc_id,
-                unnest([{'cp': i, 'ch': substr(text, i, 1)}
-                    for i in generate_series(1, length(text))]) AS x
-              FROM documents),
-         kept AS (SELECT c.doc_id, c.x.cp AS cp, c.x.ch AS ch
-              FROM chars c LEFT JOIN cov
-                ON cov.doc_id = c.doc_id AND cov.cp = c.x.cp
-              WHERE cov.cp IS NULL),
-         red AS (SELECT doc_id, string_agg(ch, '' ORDER BY cp) AS t
-              FROM kept GROUP BY 1)
-         SELECT d.doc_id, coalesce(red.t, '') AS text_redacted,
-                (length(d.text) - coalesce(length(red.t), 0))::BIGINT
-                  AS n_removed
-         FROM documents d LEFT JOIN red USING (doc_id)
-         ORDER BY doc_id""",
+    "q_dedup_span_removal" -> spanRemovalOracle("a.doc_id <> b.doc_id"),
 
     // keep-first variant: a window is covered only when the same
     // 31-char string occurs in a STRICTLY SMALLER doc id — the
     // smallest-id copy of each duplicated passage survives intact
-    "q_dedup_span_keepfirst" ->
-      """WITH w AS (SELECT doc_id,
-                unnest([{'i': i, 'w': substr(text, i, 31)}
-                    for i in generate_series(1, length(text) - 30)]) AS x
-              FROM documents WHERE length(text) >= 31),
-         ww AS (SELECT doc_id, x.i AS i, x.w AS w FROM w),
-         rep AS (SELECT DISTINCT a.doc_id, a.i
-              FROM ww a JOIN ww b ON a.w = b.w AND b.doc_id < a.doc_id),
-         cov AS (SELECT DISTINCT doc_id,
-                unnest(generate_series(i, i + 30)) AS cp FROM rep),
-         chars AS (SELECT doc_id,
-                unnest([{'cp': i, 'ch': substr(text, i, 1)}
-                    for i in generate_series(1, length(text))]) AS x
-              FROM documents),
-         kept AS (SELECT c.doc_id, c.x.cp AS cp, c.x.ch AS ch
-              FROM chars c LEFT JOIN cov
-                ON cov.doc_id = c.doc_id AND cov.cp = c.x.cp
-              WHERE cov.cp IS NULL),
-         red AS (SELECT doc_id, string_agg(ch, '' ORDER BY cp) AS t
-              FROM kept GROUP BY 1)
-         SELECT d.doc_id, coalesce(red.t, '') AS text_redacted,
-                (length(d.text) - coalesce(length(red.t), 0))::BIGINT
-                  AS n_removed
-         FROM documents d LEFT JOIN red USING (doc_id)
-         ORDER BY doc_id""",
+    "q_dedup_span_keepfirst" -> spanRemovalOracle("b.doc_id < a.doc_id"),
 
     // brute-force every-window self-repeat replay: a window counts
     // when the same 31-char string occurs in a DIFFERENT document

@@ -580,10 +580,12 @@ private[graft] object Oracles2 {
                   AND ar >= 0.8 AND sh >= 2 AS pass
          FROM m ORDER BY doc_id""",
 
-    // C4 rules over the same rendered page: identical word plants,
-    // 6-word line slices, and the md5 terminal-period coin; the rules
-    // themselves are the published line-retention / min-sentences /
-    // lorem-ipsum / curly-brace predicates
+    // C4 rules: the render CTEs (word plants, 6-word slices, md5
+    // terminal-period coin) build the PAGE only; the rule columns then
+    // PARSE the rendered lines exactly as the engine's generic
+    // c4Rules does (last-char terminal test, nonempty-token recount) —
+    // so the two sides agree definitionally on ANY input, not just on
+    // tokens that never end in punctuation
     "q_c4_rules" ->
       """WITH w0 AS (SELECT doc_id,
                 list_filter(string_split(text, ' '), x -> x <> '') AS bw
@@ -594,25 +596,26 @@ private[graft] object Oracles2 {
                   THEN list_concat(['lorem', 'ipsum'], bw)
                   ELSE bw END AS wl FROM w1),
          st AS (SELECT doc_id, wl,
-                greatest((len(wl) + 5) // 6, 1)::BIGINT AS n_lines
+                greatest((len(wl) + 5) // 6, 1)::BIGINT AS nl
               FROM w2),
-         ln AS (SELECT doc_id, n_lines,
-                [struct_pack(
-                   len := len(wl[(i-1)*6+1 : i*6])::BIGINT,
-                   kept := (('0x' || substr(md5(doc_id::VARCHAR || ':'
-                              || i::VARCHAR), 1, 15))::UBIGINT % 4 <> 0)
-                           AND len(wl[(i-1)*6+1 : i*6]) >= 5,
-                   txt := array_to_string(wl[(i-1)*6+1 : i*6], ' ') ||
-                          CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR
-                                 || ':' || i::VARCHAR), 1, 15))::UBIGINT
-                                 % 4 <> 0
-                               THEN '.' ELSE '' END)
-                 for i in generate_series(1, n_lines)] AS lines
+         rend AS (SELECT doc_id,
+                array_to_string([array_to_string(wl[(i-1)*6+1 : i*6], ' ')
+                     || CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR
+                            || ':' || i::VARCHAR), 1, 15))::UBIGINT
+                            % 4 <> 0
+                          THEN '.' ELSE '' END
+                   for i in generate_series(1, nl)], chr(10)) AS page
               FROM st),
-         pg AS (SELECT doc_id, n_lines, lines,
-                array_to_string([l.txt for l in lines], chr(10)) AS page
-              FROM ln)
-         SELECT doc_id, n_lines,
+         ln AS (SELECT doc_id, page,
+                [struct_pack(
+                   len := len(list_filter(string_split(t, ' '),
+                              x -> x <> ''))::BIGINT,
+                   kept := right(t, 1) IN ('.', '!', '?', '"')
+                           AND len(list_filter(string_split(t, ' '),
+                                   x -> x <> '')) >= 5)
+                 for t in string_split(page, chr(10))] AS lines
+              FROM rend)
+         SELECT doc_id, len(lines)::BIGINT AS n_lines,
                 len([l for l in lines if l.kept])::BIGINT AS n_sentences,
                 coalesce(list_sum([l.len for l in lines if l.kept]), 0)
                   ::BIGINT AS retained_words,
@@ -621,7 +624,7 @@ private[graft] object Oracles2 {
                 (len([l for l in lines if l.kept]) >= 3
                  AND NOT contains(page, 'lorem ipsum')
                  AND NOT contains(page, '{')) AS pass
-         FROM pg ORDER BY doc_id""",
+         FROM ln ORDER BY doc_id""",
 
     // the repetition family mirrors gopherRepetition definitionally:
     // dup counts/char mass from per-(doc, segment) GROUP BY counts

@@ -1654,8 +1654,11 @@ object Streaming {
     require(ticks >= 2, "an incremental gate needs at least two ticks")
     val docs = graft.Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
+    // pmod, not abs(hash) % n: abs(Int.MinValue) is Int.MinValue, and
+    // MinValue % n is negative for odd n — a doc hashing there would
+    // land in NO tick and silently break the incremental==batch gate
     val parts = (0 until ticks).map(i =>
-      docs.filter(abs(hash(col("doc_id"))) % ticks === i))
+      docs.filter(pmod(hash(col("doc_id")), lit(ticks)) === i))
     val schema = stageBatches(spark, s"$workDir/staged", parts)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
