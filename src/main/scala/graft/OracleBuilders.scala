@@ -1290,7 +1290,12 @@ private[graft] object OracleBuilders {
     * q_pack_curated oracle extends these CTEs with the packing window,
     * so both oracles stay cell-identical to the ONE shared pipeline
     * definition instead of drifting as two copies. */
-  lazy val curationOraclePrefix: String = {
+  /** The curation GATE CTE chain alone (t…keptf: language id +
+    * quality score over every document) — shared by
+    * [[curationOraclePrefix]] and the funnel oracle, which runs the
+    * dedup chain on a DIFFERENT survivor set. Ends mid-WITH (trailing
+    * comma); callers prepend `WITH RECURSIVE`. */
+  lazy val curationGateCtes: String = {
     val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
       l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
     }
@@ -1301,8 +1306,7 @@ private[graft] object OracleBuilders {
     val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     val cases = langs.map(l =>
       s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
-    s"""WITH RECURSIVE
-         t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+    s"""         t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
          sc AS (SELECT doc_id, text, l, $scores FROM t),
          bb AS (SELECT *, $best AS best FROM sc),
          lng AS (SELECT doc_id, text, l, CASE $cases ELSE 'und' END AS lang
@@ -1320,11 +1324,18 @@ private[graft] object OracleBuilders {
                   + 25.0 * (1.0 - pr)
                   + 25.0 * least(sr * 8.0, 1.0) AS quality
               FROM q WHERE lang = 'en') ,
-         keptf AS (SELECT * FROM kept WHERE quality >= 60.0),
-         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+         keptf AS (SELECT * FROM kept WHERE quality >= 60.0),"""
+  }
+
+  /** The simhash-signature → pigeonhole-pair → recursive-CC CTE chain
+    * over `src` (must expose doc_id, text, l) — the dedup tail of
+    * [[curationOraclePrefix]], parameterized so the funnel oracle can
+    * run it on the all-gates survivor set. Ends at `clus`. */
+  def simhashCcChainSql(src: String): String =
+    s"""         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
                 THEN list_distinct([array_to_string(l[i:i+2], ' ')
                                     for i in generate_series(1, len(l) - 2)])
-                ELSE [text] END AS ss FROM keptf),
+                ELSE [text] END AS ss FROM $src),
          sh AS (SELECT doc_id, unnest(ss) AS s FROM shl),
          h AS (SELECT doc_id,
                 ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h FROM sh),
@@ -1350,7 +1361,12 @@ private[graft] object OracleBuilders {
              UNION
              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
          clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)"""
-  }
+
+  lazy val curationOraclePrefix: String =
+    s"""WITH RECURSIVE
+$curationGateCtes
+${simhashCcChainSql("keptf")}"""
+
 
   /** One oracle for batch sessionize and its streaming replay — both
     * gates assert the same gaps-and-islands session counts. */

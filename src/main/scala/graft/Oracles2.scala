@@ -52,6 +52,171 @@ private[graft] object Oracles2 {
                   AS avg_logprob
          FROM q GROUP BY 1"""
 
+  /** Rule-family oracle bodies, hoisted so the funnel oracle can embed
+    * them as subqueries (DuckDB scopes a nested WITH to its
+    * parentheses). */
+  private val c4RulesOracle: String =
+    """WITH w0 AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS bw
+              FROM documents),
+         w1 AS (SELECT doc_id, CASE WHEN doc_id % 89 = 0
+                  THEN list_concat(['{'], bw) ELSE bw END AS bw FROM w0),
+         w2 AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0
+                  THEN list_concat(['lorem', 'ipsum'], bw)
+                  ELSE bw END AS wl FROM w1),
+         st AS (SELECT doc_id, wl,
+                greatest((len(wl) + 5) // 6, 1)::BIGINT AS nl
+              FROM w2),
+         rend AS (SELECT doc_id,
+                array_to_string([array_to_string(wl[(i-1)*6+1 : i*6], ' ')
+                     || CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR
+                            || ':' || i::VARCHAR), 1, 15))::UBIGINT
+                            % 4 <> 0
+                          THEN '.' ELSE '' END
+                   for i in generate_series(1, nl)], chr(10)) AS page
+              FROM st),
+         ln AS (SELECT doc_id, page,
+                [struct_pack(
+                   len := len(list_filter(string_split(t, ' '),
+                              x -> x <> ''))::BIGINT,
+                   kept := right(t, 1) IN ('.', '!', '?', '"')
+                           AND len(list_filter(string_split(t, ' '),
+                                   x -> x <> '')) >= 5)
+                 for t in string_split(page, chr(10))] AS lines
+              FROM rend)
+         SELECT doc_id, len(lines)::BIGINT AS n_lines,
+                len([l for l in lines if l.kept])::BIGINT AS n_sentences,
+                coalesce(list_sum([l.len for l in lines if l.kept]), 0)
+                  ::BIGINT AS retained_words,
+                contains(page, 'lorem ipsum') AS has_lorem,
+                contains(page, '{') AS has_brace,
+                (len([l for l in lines if l.kept]) >= 3
+                 AND NOT contains(page, 'lorem ipsum')
+                 AND NOT contains(page, '{')) AS pass
+         FROM ln ORDER BY doc_id"""
+  private val gopherRulesOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
+              FROM documents),
+         m AS (SELECT doc_id,
+                len(l)::BIGINT AS n_words,
+                (length(text) - (len(l) - 1))::DOUBLE / len(l)::DOUBLE
+                  AS mwl,
+                len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                  / greatest(len(l), 1)::DOUBLE AS ar,
+                len(list_intersect(list_distinct(l),
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it',
+                     'that', 'for']))::BIGINT AS sh
+              FROM t)
+         SELECT doc_id, n_words,
+                round(mwl, 6) AS mean_word_len,
+                round(ar, 6) AS alpha_word_ratio,
+                sh AS stop_hits,
+                n_words BETWEEN 50 AND 100000 AS ok_words,
+                mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
+                ar >= 0.8 AS ok_alpha,
+                sh >= 2 AS ok_stop,
+                (n_words BETWEEN 50 AND 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+                  AND ar >= 0.8 AND sh >= 2 AS pass
+         FROM m ORDER BY doc_id"""
+  private val gopherRepetitionOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l,
+                greatest(length(text), 1)::BIGINT AS nc FROM documents),
+         lines AS (SELECT doc_id,
+                unnest([array_to_string(l[i*8+1 : i*8+8], ' ')
+                        for i in generate_series(0, (len(l)-1)//8)]) AS seg
+              FROM t),
+         lc AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS ln
+              FROM lines GROUP BY 1, 2),
+         lstat AS (SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                sum(c - 1)::BIGINT AS dl, sum((c - 1) * ln)::BIGINT AS dlc
+              FROM lc GROUP BY 1),
+         paras AS (SELECT doc_id,
+                unnest([array_to_string(l[i*32+1 : i*32+32], ' ')
+                        for i in generate_series(0, (len(l)-1)//32)]) AS seg
+              FROM t),
+         pc AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS ln
+              FROM paras GROUP BY 1, 2),
+         pstat AS (SELECT doc_id, sum(c)::BIGINT AS n_paras,
+                sum(c - 1)::BIGINT AS dp, sum((c - 1) * ln)::BIGINT AS dpc
+              FROM pc GROUP BY 1),
+         g2 AS (SELECT doc_id, unnest([array_to_string(l[i : i+1], ' ')
+                        for i in generate_series(1, len(l) - 1)]) AS g
+              FROM t),
+         g2c AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln
+              FROM g2 GROUP BY 1, 2),
+         g2m AS (SELECT doc_id, max(c) AS mc FROM g2c GROUP BY 1),
+         g2t AS (SELECT c.doc_id, max(c.c * c.ln)::BIGINT AS mass
+              FROM g2c c JOIN g2m m ON c.doc_id = m.doc_id AND c.c = m.mc
+              GROUP BY 1),
+         g3 AS (SELECT doc_id, unnest([array_to_string(l[i : i+2], ' ')
+                        for i in generate_series(1, len(l) - 2)]) AS g
+              FROM t),
+         g3c AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln
+              FROM g3 GROUP BY 1, 2),
+         g3m AS (SELECT doc_id, max(c) AS mc FROM g3c GROUP BY 1),
+         g3t AS (SELECT c.doc_id, max(c.c * c.ln)::BIGINT AS mass
+              FROM g3c c JOIN g3m m ON c.doc_id = m.doc_id AND c.c = m.mc
+              GROUP BY 1),
+         g4 AS (SELECT doc_id, unnest([array_to_string(l[i : i+3], ' ')
+                        for i in generate_series(1, len(l) - 3)]) AS g
+              FROM t),
+         g4c AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln
+              FROM g4 GROUP BY 1, 2),
+         g4m AS (SELECT doc_id, max(c) AS mc FROM g4c GROUP BY 1),
+         g4t AS (SELECT c.doc_id, max(c.c * c.ln)::BIGINT AS mass
+              FROM g4c c JOIN g4m m ON c.doc_id = m.doc_id AND c.c = m.mc
+              GROUP BY 1),
+         fmt AS (SELECT doc_id,
+                len(l)::BIGINT AS n_words,
+                (length(text) - (len(l) - 1))::DOUBLE / len(l)::DOUBLE
+                  AS mwl,
+                len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                  / greatest(len(l), 1)::DOUBLE AS ar,
+                len(list_intersect(list_distinct(l),
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it',
+                     'that', 'for']))::BIGINT AS sh
+              FROM t),
+         ppm AS (SELECT t.doc_id, ls.n_lines, ps.n_paras,
+                1000000 * ls.dl // ls.n_lines AS dup_line_ppm,
+                1000000 * ls.dlc // t.nc AS dup_line_char_ppm,
+                1000000 * ps.dp // ps.n_paras AS dup_para_ppm,
+                1000000 * ps.dpc // t.nc AS dup_para_char_ppm,
+                1000000 * coalesce(g2t.mass, 0) // t.nc AS top2_char_ppm,
+                1000000 * coalesce(g3t.mass, 0) // t.nc AS top3_char_ppm,
+                1000000 * coalesce(g4t.mass, 0) // t.nc AS top4_char_ppm,
+                (f.n_words BETWEEN 50 AND 100000)
+                  AND (f.mwl >= 3.0 AND f.mwl <= 10.0)
+                  AND f.ar >= 0.8 AND f.sh >= 2 AS pass_format
+              FROM t
+              JOIN lstat ls ON t.doc_id = ls.doc_id
+              JOIN pstat ps ON t.doc_id = ps.doc_id
+              JOIN fmt f ON t.doc_id = f.doc_id
+              LEFT JOIN g2t ON t.doc_id = g2t.doc_id
+              LEFT JOIN g3t ON t.doc_id = g3t.doc_id
+              LEFT JOIN g4t ON t.doc_id = g4t.doc_id)
+         SELECT doc_id, n_lines, n_paras,
+                dup_line_ppm, dup_line_char_ppm,
+                dup_para_ppm, dup_para_char_ppm,
+                top2_char_ppm, top3_char_ppm, top4_char_ppm,
+                dup_line_ppm <= 300000 AS ok_dup_line,
+                dup_line_char_ppm <= 200000 AS ok_dup_line_char,
+                dup_para_ppm <= 300000 AS ok_dup_para,
+                dup_para_char_ppm <= 200000 AS ok_dup_para_char,
+                top2_char_ppm <= 200000 AS ok_top2,
+                top3_char_ppm <= 180000 AS ok_top3,
+                top4_char_ppm <= 160000 AS ok_top4,
+                (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+                  AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
+                  AND top2_char_ppm <= 200000 AND top3_char_ppm <= 180000
+                  AND top4_char_ppm <= 160000) AS pass_repetition,
+                pass_format,
+                pass_format AND (dup_line_ppm <= 300000
+                  AND dup_line_char_ppm <= 200000
+                  AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
+                  AND top2_char_ppm <= 200000 AND top3_char_ppm <= 180000
+                  AND top4_char_ppm <= 160000) AS pass
+         FROM ppm ORDER BY doc_id"""
+
   val map: Map[String, String] = Map(
     "q_asof_native" -> asofOracle,
 
@@ -555,30 +720,7 @@ private[graft] object Oracles2 {
          FROM w JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "q_gopher_rules" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
-              FROM documents),
-         m AS (SELECT doc_id,
-                len(l)::BIGINT AS n_words,
-                (length(text) - (len(l) - 1))::DOUBLE / len(l)::DOUBLE
-                  AS mwl,
-                len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
-                  / greatest(len(l), 1)::DOUBLE AS ar,
-                len(list_intersect(list_distinct(l),
-                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it',
-                     'that', 'for']))::BIGINT AS sh
-              FROM t)
-         SELECT doc_id, n_words,
-                round(mwl, 6) AS mean_word_len,
-                round(ar, 6) AS alpha_word_ratio,
-                sh AS stop_hits,
-                n_words BETWEEN 50 AND 100000 AS ok_words,
-                mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
-                ar >= 0.8 AS ok_alpha,
-                sh >= 2 AS ok_stop,
-                (n_words BETWEEN 50 AND 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
-                  AND ar >= 0.8 AND sh >= 2 AS pass
-         FROM m ORDER BY doc_id""",
+    "q_gopher_rules" -> gopherRulesOracle,
 
     // C4 rules: the render CTEs (word plants, 6-word slices, md5
     // terminal-period coin) build the PAGE only; the rule columns then
@@ -586,148 +728,51 @@ private[graft] object Oracles2 {
     // c4Rules does (last-char terminal test, nonempty-token recount) —
     // so the two sides agree definitionally on ANY input, not just on
     // tokens that never end in punctuation
-    "q_c4_rules" ->
-      """WITH w0 AS (SELECT doc_id,
-                list_filter(string_split(text, ' '), x -> x <> '') AS bw
+    "q_c4_rules" -> c4RulesOracle,
+
+    // funnel: each stage's predicate is the corresponding family
+    // oracle embedded as a subquery (nested WITH scopes to its
+    // parentheses); the language+quality gate and the survivor dedup
+    // reuse the shared curation CTE builders verbatim
+    "q_filter_funnel" ->
+      s"""WITH RECURSIVE
+         $curationGateCtes
+         gfp AS (SELECT doc_id, pass FROM ($gopherRulesOracle)),
+         grp AS (SELECT doc_id, pass_repetition
+              FROM ($gopherRepetitionOracle)),
+         c4p AS (SELECT doc_id, pass AS pass_c4 FROM ($c4RulesOracle)),
+         toks AS (SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
               FROM documents),
-         w1 AS (SELECT doc_id, CASE WHEN doc_id % 89 = 0
-                  THEN list_concat(['{'], bw) ELSE bw END AS bw FROM w0),
-         w2 AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0
-                  THEN list_concat(['lorem', 'ipsum'], bw)
-                  ELSE bw END AS wl FROM w1),
-         st AS (SELECT doc_id, wl,
-                greatest((len(wl) + 5) // 6, 1)::BIGINT AS nl
-              FROM w2),
-         rend AS (SELECT doc_id,
-                array_to_string([array_to_string(wl[(i-1)*6+1 : i*6], ' ')
-                     || CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR
-                            || ':' || i::VARCHAR), 1, 15))::UBIGINT
-                            % 4 <> 0
-                          THEN '.' ELSE '' END
-                   for i in generate_series(1, nl)], chr(10)) AS page
-              FROM st),
-         ln AS (SELECT doc_id, page,
-                [struct_pack(
-                   len := len(list_filter(string_split(t, ' '),
-                              x -> x <> ''))::BIGINT,
-                   kept := right(t, 1) IN ('.', '!', '?', '"')
-                           AND len(list_filter(string_split(t, ' '),
-                                   x -> x <> '')) >= 5)
-                 for t in string_split(page, chr(10))] AS lines
-              FROM rend)
-         SELECT doc_id, len(lines)::BIGINT AS n_lines,
-                len([l for l in lines if l.kept])::BIGINT AS n_sentences,
-                coalesce(list_sum([l.len for l in lines if l.kept]), 0)
-                  ::BIGINT AS retained_words,
-                contains(page, 'lorem ipsum') AS has_lorem,
-                contains(page, '{') AS has_brace,
-                (len([l for l in lines if l.kept]) >= 3
-                 AND NOT contains(page, 'lorem ipsum')
-                 AND NOT contains(page, '{')) AS pass
-         FROM ln ORDER BY doc_id""",
+         s2 AS (SELECT doc_id FROM gfp WHERE pass),
+         s3 AS (SELECT s2.doc_id FROM s2 JOIN grp USING (doc_id)
+              WHERE grp.pass_repetition),
+         s4 AS (SELECT s3.doc_id FROM s3 JOIN c4p USING (doc_id)
+              WHERE c4p.pass_c4),
+         s5 AS (SELECT s4.doc_id FROM s4 JOIN keptf USING (doc_id)),
+         s5t AS (SELECT k.doc_id, k.text, k.l
+              FROM keptf k JOIN s5 USING (doc_id)),
+         ${simhashCcChainSql("s5t")},
+         s6 AS (SELECT s5.doc_id FROM s5 LEFT JOIN clus
+                ON s5.doc_id = clus.id
+              WHERE clus.id IS NULL OR clus.cluster_id = s5.doc_id),
+         stg AS (
+           SELECT '1_all' AS stage, doc_id FROM documents
+           UNION ALL SELECT '2_gopher_format', doc_id FROM s2
+           UNION ALL SELECT '3_gopher_repetition', doc_id FROM s3
+           UNION ALL SELECT '4_c4', doc_id FROM s4
+           UNION ALL SELECT '5_lang_quality', doc_id FROM s5
+           UNION ALL SELECT '6_dedup_canonical', doc_id FROM s6)
+         SELECT stg.stage, count(*)::BIGINT AS n_docs,
+                sum(tk.n_tokens)::BIGINT AS n_tokens
+         FROM stg JOIN toks tk USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
 
     // the repetition family mirrors gopherRepetition definitionally:
     // dup counts/char mass from per-(doc, segment) GROUP BY counts
     // (= the engine's sorted-adjacency fold), top-gram mass as
     // max(count*len) among the doc's top-count grams
-    "q_gopher_repetition" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l,
-                greatest(length(text), 1)::BIGINT AS nc FROM documents),
-         lines AS (SELECT doc_id,
-                unnest([array_to_string(l[i*8+1 : i*8+8], ' ')
-                        for i in generate_series(0, (len(l)-1)//8)]) AS seg
-              FROM t),
-         lc AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS ln
-              FROM lines GROUP BY 1, 2),
-         lstat AS (SELECT doc_id, sum(c)::BIGINT AS n_lines,
-                sum(c - 1)::BIGINT AS dl, sum((c - 1) * ln)::BIGINT AS dlc
-              FROM lc GROUP BY 1),
-         paras AS (SELECT doc_id,
-                unnest([array_to_string(l[i*32+1 : i*32+32], ' ')
-                        for i in generate_series(0, (len(l)-1)//32)]) AS seg
-              FROM t),
-         pc AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS ln
-              FROM paras GROUP BY 1, 2),
-         pstat AS (SELECT doc_id, sum(c)::BIGINT AS n_paras,
-                sum(c - 1)::BIGINT AS dp, sum((c - 1) * ln)::BIGINT AS dpc
-              FROM pc GROUP BY 1),
-         g2 AS (SELECT doc_id, unnest([array_to_string(l[i : i+1], ' ')
-                        for i in generate_series(1, len(l) - 1)]) AS g
-              FROM t),
-         g2c AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln
-              FROM g2 GROUP BY 1, 2),
-         g2m AS (SELECT doc_id, max(c) AS mc FROM g2c GROUP BY 1),
-         g2t AS (SELECT c.doc_id, max(c.c * c.ln)::BIGINT AS mass
-              FROM g2c c JOIN g2m m ON c.doc_id = m.doc_id AND c.c = m.mc
-              GROUP BY 1),
-         g3 AS (SELECT doc_id, unnest([array_to_string(l[i : i+2], ' ')
-                        for i in generate_series(1, len(l) - 2)]) AS g
-              FROM t),
-         g3c AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln
-              FROM g3 GROUP BY 1, 2),
-         g3m AS (SELECT doc_id, max(c) AS mc FROM g3c GROUP BY 1),
-         g3t AS (SELECT c.doc_id, max(c.c * c.ln)::BIGINT AS mass
-              FROM g3c c JOIN g3m m ON c.doc_id = m.doc_id AND c.c = m.mc
-              GROUP BY 1),
-         g4 AS (SELECT doc_id, unnest([array_to_string(l[i : i+3], ' ')
-                        for i in generate_series(1, len(l) - 3)]) AS g
-              FROM t),
-         g4c AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln
-              FROM g4 GROUP BY 1, 2),
-         g4m AS (SELECT doc_id, max(c) AS mc FROM g4c GROUP BY 1),
-         g4t AS (SELECT c.doc_id, max(c.c * c.ln)::BIGINT AS mass
-              FROM g4c c JOIN g4m m ON c.doc_id = m.doc_id AND c.c = m.mc
-              GROUP BY 1),
-         fmt AS (SELECT doc_id,
-                len(l)::BIGINT AS n_words,
-                (length(text) - (len(l) - 1))::DOUBLE / len(l)::DOUBLE
-                  AS mwl,
-                len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
-                  / greatest(len(l), 1)::DOUBLE AS ar,
-                len(list_intersect(list_distinct(l),
-                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it',
-                     'that', 'for']))::BIGINT AS sh
-              FROM t),
-         ppm AS (SELECT t.doc_id, ls.n_lines, ps.n_paras,
-                1000000 * ls.dl // ls.n_lines AS dup_line_ppm,
-                1000000 * ls.dlc // t.nc AS dup_line_char_ppm,
-                1000000 * ps.dp // ps.n_paras AS dup_para_ppm,
-                1000000 * ps.dpc // t.nc AS dup_para_char_ppm,
-                1000000 * coalesce(g2t.mass, 0) // t.nc AS top2_char_ppm,
-                1000000 * coalesce(g3t.mass, 0) // t.nc AS top3_char_ppm,
-                1000000 * coalesce(g4t.mass, 0) // t.nc AS top4_char_ppm,
-                (f.n_words BETWEEN 50 AND 100000)
-                  AND (f.mwl >= 3.0 AND f.mwl <= 10.0)
-                  AND f.ar >= 0.8 AND f.sh >= 2 AS pass_format
-              FROM t
-              JOIN lstat ls ON t.doc_id = ls.doc_id
-              JOIN pstat ps ON t.doc_id = ps.doc_id
-              JOIN fmt f ON t.doc_id = f.doc_id
-              LEFT JOIN g2t ON t.doc_id = g2t.doc_id
-              LEFT JOIN g3t ON t.doc_id = g3t.doc_id
-              LEFT JOIN g4t ON t.doc_id = g4t.doc_id)
-         SELECT doc_id, n_lines, n_paras,
-                dup_line_ppm, dup_line_char_ppm,
-                dup_para_ppm, dup_para_char_ppm,
-                top2_char_ppm, top3_char_ppm, top4_char_ppm,
-                dup_line_ppm <= 300000 AS ok_dup_line,
-                dup_line_char_ppm <= 200000 AS ok_dup_line_char,
-                dup_para_ppm <= 300000 AS ok_dup_para,
-                dup_para_char_ppm <= 200000 AS ok_dup_para_char,
-                top2_char_ppm <= 200000 AS ok_top2,
-                top3_char_ppm <= 180000 AS ok_top3,
-                top4_char_ppm <= 160000 AS ok_top4,
-                (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
-                  AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
-                  AND top2_char_ppm <= 200000 AND top3_char_ppm <= 180000
-                  AND top4_char_ppm <= 160000) AS pass_repetition,
-                pass_format,
-                pass_format AND (dup_line_ppm <= 300000
-                  AND dup_line_char_ppm <= 200000
-                  AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
-                  AND top2_char_ppm <= 200000 AND top3_char_ppm <= 180000
-                  AND top4_char_ppm <= 160000) AS pass
-         FROM ppm ORDER BY doc_id""",
+    "q_gopher_repetition" -> gopherRepetitionOracle,
 
     "q_bm25" -> bm25Oracle,
 
