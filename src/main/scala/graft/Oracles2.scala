@@ -733,7 +733,11 @@ private[graft] object Oracles2 {
     // funnel: each stage's predicate is the corresponding family
     // oracle embedded as a subquery (nested WITH scopes to its
     // parentheses); the language+quality gate and the survivor dedup
-    // reuse the shared curation CTE builders verbatim
+    // reuse the shared curation CTE builders verbatim. NB under WITH
+    // RECURSIVE all outer CTEs are mutually visible regardless of
+    // definition order, so an outer CTE must not share a name with one
+    // inside an embedded subquery (an outer `st` captured the c4
+    // oracle's inner `st` — hence the stage union is named `stg`)
     "q_filter_funnel" ->
       s"""WITH RECURSIVE
          $curationGateCtes
