@@ -731,17 +731,16 @@ private[graft] object Oracles2 {
     "q_c4_rules" -> c4RulesOracle,
 
     // funnel: each stage's predicate is the corresponding family
-    // oracle embedded as a subquery (nested WITH scopes to its
-    // parentheses); the language+quality gate and the survivor dedup
-    // reuse the shared curation CTE builders verbatim. NB under WITH
-    // RECURSIVE all outer CTEs are mutually visible regardless of
-    // definition order, so an outer CTE must not share a name with one
-    // inside an embedded subquery (an outer `st` captured the c4
-    // oracle's inner `st` — hence the stage union is named `stg`)
+    // oracle embedded as a subquery. Scoping discipline: the OUTER WITH
+    // is non-recursive, where a nested subquery's own WITH shadows
+    // cleanly; the recursive CC machinery (whose WITH RECURSIVE makes
+    // every sibling CTE mutually visible regardless of definition
+    // order, so a name shared with an embedded subquery's inner CTE
+    // gets CAPTURED — observed: an outer `st` captured the c4 oracle's
+    // inner `st`) is confined to its own inner subquery containing no
+    // embedded oracles, only the curation builders' names
     "q_filter_funnel" ->
-      s"""WITH RECURSIVE
-         $curationGateCtes
-         gfp AS (SELECT doc_id, pass FROM ($gopherRulesOracle)),
+      s"""WITH gfp AS (SELECT doc_id, pass FROM ($gopherRulesOracle)),
          grp AS (SELECT doc_id, pass_repetition
               FROM ($gopherRepetitionOracle)),
          c4p AS (SELECT doc_id, pass AS pass_c4 FROM ($c4RulesOracle)),
@@ -753,20 +752,24 @@ private[graft] object Oracles2 {
               WHERE grp.pass_repetition),
          s4 AS (SELECT s3.doc_id FROM s3 JOIN c4p USING (doc_id)
               WHERE c4p.pass_c4),
-         s5 AS (SELECT s4.doc_id FROM s4 JOIN keptf USING (doc_id)),
-         s5t AS (SELECT k.doc_id, k.text, k.l
-              FROM keptf k JOIN s5 USING (doc_id)),
-         ${simhashCcChainSql("s5t")},
-         s6 AS (SELECT s5.doc_id FROM s5 LEFT JOIN clus
-                ON s5.doc_id = clus.id
-              WHERE clus.id IS NULL OR clus.cluster_id = s5.doc_id),
+         s56 AS (SELECT * FROM (
+           WITH RECURSIVE
+           $curationGateCtes
+           s5 AS (SELECT s4.doc_id FROM s4 JOIN keptf USING (doc_id)),
+           s5t AS (SELECT k.doc_id, k.text, k.l
+                FROM keptf k JOIN s5 USING (doc_id)),
+           ${simhashCcChainSql("s5t")},
+           s6 AS (SELECT s5.doc_id FROM s5 LEFT JOIN clus
+                  ON s5.doc_id = clus.id
+                WHERE clus.id IS NULL OR clus.cluster_id = s5.doc_id)
+           SELECT '5_lang_quality' AS stage, doc_id FROM s5
+           UNION ALL SELECT '6_dedup_canonical', doc_id FROM s6)),
          stg AS (
            SELECT '1_all' AS stage, doc_id FROM documents
            UNION ALL SELECT '2_gopher_format', doc_id FROM s2
            UNION ALL SELECT '3_gopher_repetition', doc_id FROM s3
            UNION ALL SELECT '4_c4', doc_id FROM s4
-           UNION ALL SELECT '5_lang_quality', doc_id FROM s5
-           UNION ALL SELECT '6_dedup_canonical', doc_id FROM s6)
+           UNION ALL SELECT stage, doc_id FROM s56)
          SELECT stg.stage, count(*)::BIGINT AS n_docs,
                 sum(tk.n_tokens)::BIGINT AS n_tokens
          FROM stg JOIN toks tk USING (doc_id)

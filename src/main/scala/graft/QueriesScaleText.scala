@@ -578,44 +578,43 @@ private[graft] object QueriesScaleText {
     // engines (inner aggregate), keeping the gate total.
     "q_filter_funnel" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
-        TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
-      val gf = TextAnalysis.gopherRules(docs, "doc_id", "text")
-        .select(col("doc_id"), col("pass").as("p_gf"))
+      // the per-row gates (Gopher format, language+quality) stack as
+      // COLUMNS on one documents scan; only the repetition kernel and
+      // the rendered-page C4 gate are separate relations to join. The
+      // persisted flag frame carries no text — the dedup stage joins
+      // text back for its survivor set only.
       val gr = TextAnalysis.gopherRepetitionLocal(docs, "doc_id", "text")
         .select(col("doc_id"), col("pass_repetition").as("p_gr"))
       val c4 = TextAnalysis.c4Rules(
           TextAnalysis.c4SyntheticPage(docs, "doc_id", "text"),
           "doc_id", "page")
         .select(col("doc_id"), col("pass").as("p_c4"))
-      val lq = docs.select(col("doc_id"),
-        (TextAnalysis.langId(col("text")) === "en" &&
-          TextAnalysis.qualityScore(col("text")) >= 60.0).as("p_lq"))
-      val flags = docs.select(col("doc_id"), col("text"))
-        .join(gf, "doc_id").join(gr, "doc_id")
-        .join(c4, "doc_id").join(lq, "doc_id")
+      val flags = docs.select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.gopherPass(col("text")).as("p_gf"),
+          (TextAnalysis.langId(col("text")) === "en" &&
+            TextAnalysis.qualityScore(col("text")) >= 60.0).as("p_lq"))
+        .join(gr, "doc_id").join(c4, "doc_id")
         .withColumn("p3", col("p_gf") && col("p_gr"))
         .withColumn("p4", col("p3") && col("p_c4"))
         .withColumn("p5", col("p4") && col("p_lq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val s5 = flags.filter(col("p5"))
-      val clusters = Dedup.dupClusters(Dedup.simhashDupPairs(
-          s5.select(col("doc_id"), col("text")), "doc_id", "text"))
-        .toDF("_dup_id", "_dup_cluster")
-      val s6 = s5.join(clusters, s5("doc_id") === col("_dup_id"), "left")
-        .filter(col("_dup_id").isNull ||
-          col("_dup_cluster") === col("doc_id"))
+      val s6 = Dedup.keepCanonical(s5, "doc_id",
+        Dedup.dupClusters(Dedup.simhashDupPairs(
+          s5.select(col("doc_id"))
+            .join(docs.select(col("doc_id"), col("text")), "doc_id"),
+          "doc_id", "text")))
       val stages = Seq(
-        "1_all" -> docs.select(col("doc_id")),
-        "2_gopher_format" -> flags.filter(col("p_gf")).select(col("doc_id")),
-        "3_gopher_repetition" -> flags.filter(col("p3")).select(col("doc_id")),
-        "4_c4" -> flags.filter(col("p4")).select(col("doc_id")),
-        "5_lang_quality" -> s5.select(col("doc_id")),
-        "6_dedup_canonical" -> s6.select(col("doc_id")))
+        "1_all" -> flags,
+        "2_gopher_format" -> flags.filter(col("p_gf")),
+        "3_gopher_repetition" -> flags.filter(col("p3")),
+        "4_c4" -> flags.filter(col("p4")),
+        "5_lang_quality" -> s5,
+        "6_dedup_canonical" -> s6)
       stages.map { case (n, df) =>
-          df.select(lit(n).as("stage"), col("doc_id")) }
+          df.select(lit(n).as("stage"), col("n_tokens")) }
         .reduce(_ unionByName _)
-        .join(toks, "doc_id")
         .groupBy(col("stage"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"))

@@ -43,15 +43,12 @@ object Curation {
       .filter(TextAnalysis.langId(col(textCol)) === lang &&
         col("quality") >= minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val clusters =
-      Dedup.dupClusters(Dedup.simhashDupPairs(kept, idCol, textCol, maxHamming))
-        // avoid capture by the caller's possible "id"/"cluster_id" names
-        .toDF("_dup_id", "_dup_cluster")
-    kept.join(clusters, kept(idCol) === col("_dup_id"), "left")
-      // survivors: docs in no duplicate pair (null cluster) + canonicals
-      .filter(col("_dup_id").isNull || col("_dup_cluster") === kept(idCol))
-      .select(kept(idCol), col("quality"), col("n_tokens"),
-        Sampling.splitLabel(kept(idCol), cuts, lastLabel).as("split"))
+    // survivors: docs in no duplicate pair + cluster canonicals
+    Dedup.keepCanonical(kept, idCol,
+        Dedup.dupClusters(
+          Dedup.simhashDupPairs(kept, idCol, textCol, maxHamming)))
+      .select(col(idCol), col("quality"), col("n_tokens"),
+        Sampling.splitLabel(col(idCol), cuts, lastLabel).as("split"))
   }
 
   /** The mixture→tokenize→pack→export TAIL of the composed pretraining

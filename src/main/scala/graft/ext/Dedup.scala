@@ -1018,6 +1018,20 @@ object Dedup {
     } finally raw.unpersist()
   }
 
+  /** Canonical-survivor filter over a [[dupClusters]] label relation:
+    * keep `df`'s rows that are in no duplicate pair (absent from the
+    * labels) plus each cluster's min-id canonical. The one idiom every
+    * curation consumer shares (batch curate, the streaming pipeline
+    * ledger head, the filter funnel) — the labels' column names are
+    * rebound internally so caller columns can't capture. */
+  def keepCanonical(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val c = clusters.toDF("_dup_id", "_dup_cluster")
+    df.join(c, df(idCol) === col("_dup_id"), "left")
+      .filter(col("_dup_id").isNull || col("_dup_cluster") === df(idCol))
+      .drop("_dup_id", "_dup_cluster")
+  }
+
   /** Incremental arm of [[dupClusters]]: fold a NEW batch's duplicate
     * pairs into the maintained `(id, cluster_id)` LABEL relation
     * without replaying historical pairs. Star edges `(id →

@@ -251,17 +251,36 @@ object TextAnalysis {
     *
     * Scale: pure per-row expressions — narrow, codegen'd, shuffle-free;
     * run it first so later stages see only survivors. */
-  def gopherRules(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, minWords: Int = 50, maxWords: Int = 100000,
-      minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
-    val t = col(textCol)
+  /** The [[gopherRules]] conjunction as a bare COLUMN over a text
+    * column — for callers that stack the gate into an existing per-row
+    * select (the funnel) instead of materializing the rule-per-column
+    * report. Spec-pinned equal to `gopherRules(...)("pass")`. */
+  def gopherPass(t: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): Column = {
+    val (nw, mwl, alphaRatio, stopHits) = gopherMeasures(t)
+    nw >= minWords && nw <= maxWords &&
+      mwl >= 3.0 && mwl <= 10.0 &&
+      alphaRatio >= 0.8 && stopHits >= minStopHits
+  }
+
+  /** The four format-rule measures, shared by [[gopherRules]] and
+    * [[gopherPass]] so the two forms cannot drift. */
+  private def gopherMeasures(t: Column)
+      : (Column, Column, Column, Column) = {
     val nw = nTokens(t)
-    val mwl = meanTokenLen(t)
     val alphaRatio =
       size(filter(tokens(t), w => w.rlike("[A-Za-z]"))).cast("double") /
         greatest(nw, lit(1)).cast("double")
     val stopHits = size(array_intersect(array_distinct(tokens(t)),
       typedLit(LangMarkers.head._2)))
+    (nw, meanTokenLen(t), alphaRatio, stopHits)
+  }
+
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val (nw, mwl, alphaRatio, stopHits) = gopherMeasures(t)
     val okWords = nw >= minWords && nw <= maxWords
     val okWordLen = mwl >= 3.0 && mwl <= 10.0
     val okAlpha = alphaRatio >= 0.8

@@ -1675,13 +1675,10 @@ object Streaming {
         .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
         .max
       val gated = spark.read.parquet(s"$workDir/gated/batch=*")
-      val labels = spark.read.parquet(s"$workDir/labels/batch=$last")
-        .toDF("_dup_id", "_dup_cluster")
       // survivors: docs in no duplicate pair + cluster canonicals —
       // the Curation.curate stage-3/4 semantics over ledger state
-      val surv = gated
-        .join(labels, gated("doc_id") === col("_dup_id"), "left")
-        .filter(col("_dup_id").isNull || col("_dup_cluster") === col("doc_id"))
+      val surv = graft.ext.Dedup.keepCanonical(gated, "doc_id",
+          spark.read.parquet(s"$workDir/labels/batch=$last"))
         .select(col("doc_id"), col("n_tokens"), col("source"),
           graft.ext.Sampling.splitLabel(col("doc_id"),
             Seq("train" -> 90), "val").as("split"))

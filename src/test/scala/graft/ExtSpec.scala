@@ -998,6 +998,22 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       "no detected skew must collapse to the single plain as-of")
   }
 
+  test("gopherPass column equals gopherRules' pass on mixed fixtures") {
+    val long = ((1 to 60).map(i => s"word$i") ++ Seq("the", "a", "and"))
+      .mkString(" ")
+    val d = docs((1L, long), (2L, "too short"), (3L, ""),
+      (4L, (1 to 60).map(_ => "!!!").mkString(" ")))
+    val fromRules = TextAnalysis.gopherRules(d, "doc_id", "text")
+      .select(col("doc_id"), col("pass"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val fromCol = d.select(col("doc_id"),
+        TextAnalysis.gopherPass(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(fromCol == fromRules)
+    assert(fromRules.values.toSet == Set(true, false),
+      "the fixture must exercise both outcomes")
+  }
+
   test("gopherRepetitionLocal is bit-identical to the expression form " +
       "on the rule fixture AND real corpus docs") {
     val s = spark
