@@ -1538,7 +1538,21 @@ ${simhashCcChainSql("keptf")}"""
               coalesce(sum((cnt - 1) * len), 0)::BIGINT AS dup_bytes
          FROM g GROUP BY 1 ORDER BY 1"""
 
-  /** Shared by q_dedup_simhash_pairs and the ensemble vote. */
+  /** Shared by q_dedup_simhash_pairs, the ensemble vote, and (at
+    * maxHamming = 3) the non-default-geometry gate q_dedup_simhash_geo.
+    * The oracle's candidate join stays the 8×8 chunk pigeonhole at any
+    * `maxHamming` ≤ 7 — the pigeonhole is EXACT (every pair within
+    * Hamming < 8 collides on some byte chunk), so filtering the
+    * verified Hamming to the query's threshold reproduces the pair set
+    * of every admissible engine geometry (4×16, 6×10, …): the geometry
+    * is plan, not semantics. */
+  def simhashPairsOracleAt(maxHamming: Int): String = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      "the oracle's 8-chunk pigeonhole admits maxHamming < 8")
+    simhashPairsOracle.replace("WHERE hamming <= 7",
+      s"WHERE hamming <= $maxHamming")
+  }
+
   val simhashPairsOracle =
     """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
          shl AS (SELECT doc_id, CASE WHEN len(l) >= 3

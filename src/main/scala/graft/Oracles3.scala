@@ -522,6 +522,10 @@ private[graft] object Oracles3 {
          ORDER BY id_a, id_b""",
 
     "q_dedup_simhash_pairs" -> simhashPairsOracle,
+    // non-default fingerprint geometry: the pair set at Hamming <= 3 is
+    // geometry-invariant, so the oracle is the shared simhash pair SQL
+    // with the tighter verify threshold
+    "q_dedup_simhash_geo" -> simhashPairsOracleAt(3),
     "q_dedup_ensemble" -> dedupEnsembleOracle,
     "q_late_audit" ->
       """WITH b AS (SELECT event_type, ts,

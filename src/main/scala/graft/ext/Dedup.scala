@@ -529,24 +529,71 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Fingerprint-table GEOMETRY of the chunk pair-finders — the knob
+    * Manku, Jain & Das Sarma (WWW 2007, "Detecting Near-Duplicates for
+    * Web Crawling") tune when scaling SimHash dedup: split the
+    * signature into `chunks` keys of `chunkBits` bits each. The
+    * pigeonhole guarantee is exact for any geometry with
+    * `maxHamming < chunks` (at most `maxHamming` chunks can contain a
+    * differing bit, so some chunk agrees on every true near-dup pair),
+    * and the candidate volume is what the geometry trades: per chunk
+    * position the expected bucket occupancy is corpus/2^chunkBits, so
+    * batch×ledger chunk-collision candidates scale as
+    * `chunks² · |batch|·|ledger| / 2^chunkBits` — FEWER, WIDER chunks
+    * (4×16 instead of 8×8) cut candidates by the extra key width
+    * (2^8 ×) at the price of a lower admissible `maxHamming` (< 4
+    * instead of < 8). That is the published mitigation for the one
+    * honest asymptotic caveat on the signature ledger: at fixed batch
+    * size the candidate count still grows LINEARLY with stored
+    * history, and the geometry sets the constant (measured in
+    * SCALING.md's fixed-batch probe, candidates column).
+    *
+    * Constraints: `chunkBits` ≤ 32 and `chunks·chunkBits` ≤ 64 (the
+    * top shift must stay inside the long), `chunks·chunkBits` ≥
+    * `sigBits` so every signature bit lands in some chunk (not needed
+    * for recall — the pigeonhole holds regardless — but an uncovered
+    * bit is thrown-away signal and inflates candidates for free). */
+  private def requireGeometry(maxHamming: Int, chunks: Int,
+      chunkBits: Int, sigBits: Int): Unit = {
+    require(chunks >= 1 && chunkBits >= 1 && chunkBits <= 32,
+      s"chunk geometry needs 1<=chunkBits<=32, got ${chunks}x$chunkBits")
+    require(chunks * chunkBits <= 64,
+      s"chunk geometry ${chunks}x$chunkBits exceeds the 64-bit signature")
+    require(chunks * chunkBits >= sigBits,
+      s"chunk geometry ${chunks}x$chunkBits does not cover the " +
+        s"$sigBits-bit signature")
+    require(maxHamming < chunks,
+      s"pigeonhole needs maxHamming < chunks ($maxHamming !< $chunks)")
+  }
+
+  /** Signature → one row per (chunk index, chunk key) under the given
+    * geometry — the join key relation of every chunk pair-finder. */
+  private[graft] def sigChunks(sig: DataFrame, idCol: String,
+      sigCol: String, chunks: Int, chunkBits: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
+    sig.select(col(idCol), col(sigCol),
+      posexplode(array((0 until chunks).map(c =>
+        expr(s"shiftright($sigCol, ${c * chunkBits}) & $mask")): _*))
+        .as(Seq("chunk", "ckey")))
+  }
+
   /** SimHash near-dup pairs at `maxHamming` via the pigeonhole chunk
-    * join: split the 60-bit signature into 8 byte chunks — any pair
-    * within Hamming ≤ 7 must agree on at least one whole chunk — then
+    * join: split the 60-bit signature into `chunks` keys of `chunkBits`
+    * bits ([[requireGeometry]] — default 8×8-bit) — any pair within
+    * Hamming < chunks must agree on at least one whole chunk — then
     * equi-join on (chunk index, chunk value) and verify exact Hamming.
     * No all-pairs scan: the shuffle key is the chunk, bucket sizes are
-    * corpus/256 per position. `maxHamming` must stay < chunks for the
-    * pigeonhole guarantee. Caching contract: the persisted signature
-    * relation stays in the session cache after the caller's action —
-    * `clearCache()` between runs. */
+    * corpus/2^chunkBits per position. The PAIR SET is geometry-
+    * invariant (the pigeonhole is exact), so the q_dedup_simhash_pairs
+    * oracle gates every admissible geometry. Caching contract: the
+    * persisted signature relation stays in the session cache after the
+    * caller's action — `clearCache()` between runs. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7, n: Int = 3): DataFrame = {
-    val chunks = 8
-    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+      maxHamming: Int = 7, n: Int = 3, chunks: Int = 8,
+      chunkBits: Int = 8): DataFrame = {
+    requireGeometry(maxHamming, chunks, chunkBits, sigBits = 60)
     val sig = simhashSignaturesLocal(docs, idCol, textCol, n).persist(Spill)
-    val chunked = sig.select(col(idCol), col("simhash"),
-      posexplode(array((0 until chunks).map(c =>
-        expr(s"shiftright(simhash, ${c * 8}) & 255")): _*))
-        .as(Seq("chunk", "ckey")))
+    val chunked = sigChunks(sig, idCol, "simhash", chunks, chunkBits)
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -579,11 +626,11 @@ object Dedup {
     * restricted to batch-touching pairs — exactly the
     * [[dupClustersIncremental]] caller contract. */
   def simhashDupPairsFromLedger(batch: DataFrame, ledgerSig: DataFrame,
-      idCol: String, textCol: String, maxHamming: Int = 7, n: Int = 3)
-      : DataFrame =
+      idCol: String, textCol: String, maxHamming: Int = 7, n: Int = 3,
+      chunks: Int = 8, chunkBits: Int = 8): DataFrame =
     simhashDupPairsFromSigLedger(
       simhashSignaturesLocal(batch, idCol, textCol, n).persist(Spill),
-      ledgerSig, idCol, maxHamming)
+      ledgerSig, idCol, maxHamming, chunks, chunkBits)
 
   /** [[simhashDupPairsFromLedger]] when the batch's OWN signature
     * relation is already at hand (an ingest tick computes and stores it
@@ -591,32 +638,10 @@ object Dedup {
     * cost): both sides are pure `(id, simhash)` relations, no text is
     * touched at all. */
   def simhashDupPairsFromSigLedger(batchSig: DataFrame,
-      ledgerSig: DataFrame, idCol: String, maxHamming: Int = 7)
-      : DataFrame = {
-    val chunks = 8
-    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    val sig = batchSig
-    assertDisjointIds(sig, ledgerSig, idCol)
-    def chunked(s: DataFrame) = s.select(col(idCol), col("simhash"),
-      posexplode(array((0 until chunks).map(c =>
-        expr(s"shiftright(simhash, ${c * 8}) & 255")): _*))
-        .as(Seq("chunk", "ckey")))
-    val cb = chunked(sig)
-    // batch-internal pairs: the plain pigeonhole over the batch side
-    val internal = cb.as("a").join(cb.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
-    // cross pairs: batch chunks probe the stored ledger chunks; ids are
-    // disjoint so least/greatest restores the canonical orientation
-    val cross = cb.as("a").join(chunked(ledgerSig).as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey"))
-      .select(
-        least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
-        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
-        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
-    internal.unionByName(cross)
+      ledgerSig: DataFrame, idCol: String, maxHamming: Int = 7,
+      chunks: Int = 8, chunkBits: Int = 8): DataFrame = {
+    requireGeometry(maxHamming, chunks, chunkBits, sigBits = 60)
+    simhashLedgerScored(batchSig, ledgerSig, idCol, chunks, chunkBits)
       // verify before the dedup shuffle — the [[simhashDupPairs]] plan
       // note; candidates here grow with LEDGER bucket occupancy, so
       // shedding them pre-exchange is what keeps the per-tick probe
@@ -625,22 +650,74 @@ object Dedup {
       .distinct()
   }
 
+  /** The PRE-VERIFY candidate relation behind
+    * [[simhashDupPairsFromSigLedger]]: every chunk-collision row
+    * (batch-internal ∪ batch×ledger) with its exact Hamming, before the
+    * `maxHamming` filter and the pair-dedup exchange — one row PER
+    * COLLIDING CHUNK, so its cardinality is exactly the work the probe
+    * join shuffles. Factored out so the scale probe can COUNT
+    * candidates under a given geometry instead of inferring them from
+    * wall time. */
+  private def simhashLedgerScored(batchSig: DataFrame,
+      ledgerSig: DataFrame, idCol: String, chunks: Int,
+      chunkBits: Int): DataFrame = {
+    val sig = batchSig
+    assertDisjointIds(sig, ledgerSig, idCol)
+    val cb = sigChunks(sig, idCol, "simhash", chunks, chunkBits)
+    // batch-internal pairs: the plain pigeonhole over the batch side
+    val internal = cb.as("a").join(cb.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+    // cross pairs: batch chunks probe the stored ledger chunks; ids are
+    // disjoint so least/greatest restores the canonical orientation
+    val cross = cb.as("a").join(
+        sigChunks(ledgerSig, idCol, "simhash", chunks, chunkBits).as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey"))
+      .select(
+        least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+    internal.unionByName(cross)
+  }
+
+  /** Candidate-vs-pair census of one signature-ledger probe under a
+    * given geometry — the growth guard the fixed-batch scale probe
+    * records: `candidates` is the pre-verify chunk-collision row count
+    * (the shuffled work), `pairs` the verified near-dup pair count
+    * (the useful output). A corpus whose bucket occupancy degrades —
+    * boilerplate-heavy signatures piling into few chunk keys — shows
+    * up as a rising candidates:pairs ratio in the SCALING.md artifact
+    * instead of as a silent slowdown. */
+  def simhashLedgerCandidateStats(batchSig: DataFrame,
+      ledgerSig: DataFrame, idCol: String, maxHamming: Int = 7,
+      chunks: Int = 8, chunkBits: Int = 8): (Long, Long) = {
+    requireGeometry(maxHamming, chunks, chunkBits, sigBits = 60)
+    val scored = simhashLedgerScored(batchSig, ledgerSig, idCol,
+      chunks, chunkBits).persist(Spill)
+    try {
+      val candidates = scored.count()
+      val pairs =
+        scored.filter(col("hamming") <= maxHamming).distinct().count()
+      (candidates, pairs)
+    } finally { scored.unpersist(); () }
+  }
+
   /** Near-dup pairs at Hamming ≤ `maxHamming` over an arbitrary 64-bit
     * hash relation — the [[simhashDupPairs]] pigeonhole generalized to
     * any fingerprint column (SimHash, image aHash, any 64-bit LSH):
-    * split the hash into 8 byte chunks (any pair within Hamming ≤ 7
+    * split the hash into `chunks` keys of `chunkBits` bits (default
+    * 8×8; [[requireGeometry]] — any pair within Hamming < chunks
     * agrees on ≥ 1 whole chunk), equi-join on (chunk, value), verify
     * exact Hamming. Shuffle key is the chunk — bucket sizes are
-    * corpus/256 per position, never all-pairs. `maxHamming` must stay
-    * below 8 for the pigeonhole guarantee. */
+    * corpus/2^chunkBits per position, never all-pairs. `maxHamming`
+    * must stay below `chunks` for the pigeonhole guarantee. */
   def hammingDupPairs(sig: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int = 7): DataFrame = {
-    val chunks = 8
-    require(maxHamming < chunks, "pigeonhole needs maxHamming < 8")
-    val chunked = sig.select(col(idCol), col(hashCol),
-      posexplode(array((0 until chunks).map(c =>
-        expr(s"shiftright($hashCol, ${c * 8}) & 255")): _*))
-        .as(Seq("chunk", "ckey")))
+      maxHamming: Int = 7, chunks: Int = 8, chunkBits: Int = 8)
+      : DataFrame = {
+    requireGeometry(maxHamming, chunks, chunkBits, sigBits = 64)
+    val chunked = sigChunks(sig, idCol, hashCol, chunks, chunkBits)
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
