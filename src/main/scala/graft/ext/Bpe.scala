@@ -81,6 +81,40 @@ object Bpe {
     .filter(col("w") =!= "")
     .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
+  /** PER-DOCUMENT word census `(idCol, w, cnt)` — the ledger-resident
+    * form of the trainer's sufficient statistic: additive across ingest
+    * ticks (each tick writes its own docs' rows exactly once) AND
+    * restrictable to any document subset by a semi-join on the id, so a
+    * MIXTURE-SCOPED training census derives from stored state without
+    * re-reading or re-splitting any text. Summing `cnt` by `w` over any
+    * id set reproduces [[wordFreq]] of that set's corpus exactly. */
+  def docWordCensus(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = docs
+    .select(col(idCol),
+      explode(split(col(textCol).cast("string"), " ", -1)).as("w"))
+    .filter(col("w") =!= "")
+    .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** [[bpeTrain]] fed from a pre-aggregated word census instead of
+    * corpus text — the incremental pipeline's refresh path (the
+    * [[Unigram.unigramSeedFromWords]] precedent): the census IS the
+    * trainer's whole input, because [[wordFreq]] is the only
+    * corpus-sized pass [[bpeTrain]] runs. Rows may repeat a word
+    * (per-tick or per-doc census slices); they are summed here, so
+    * `bpeTrainFromWords(docWordCensus(corpus))` is value-identical to
+    * `bpeTrain(corpus)` (ExtSpec-pinned), and a refresh training over
+    * maintained ledger state costs census-sized work, never a corpus
+    * re-read. */
+  def bpeTrainFromWords(words: DataFrame, wordCol: String,
+      cntCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    trainLoop(words.sparkSession,
+      words.groupBy(col(wordCol))
+        .agg(sum(col(cntCol).cast("long")).as("cnt"))
+        .select(charSeg0(col(wordCol)).as("seg"), col("cnt")),
+      numMerges)
+  }
+
   /** Initial per-CHARACTER segmentation in the double-space encoding.
     * "(?s)(.)" matches one code point incl. newlines; "$1  " plants the
     * trailing double separator after every symbol. */

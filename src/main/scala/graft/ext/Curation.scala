@@ -67,21 +67,38 @@ object Curation {
     * md5 export order over the bins. The joined corpus feeds BOTH
     * bpeTrain and bpeEncode — persisted here so the whole upstream
     * prefix runs once per consumer set, released by the caller's
-    * clearCache (the pair-finder caching contract). */
+    * clearCache (the pair-finder caching contract).
+    *
+    * `docWords`, when supplied, is a maintained PER-DOC word census
+    * `(idCol, w, cnt)` covering at least the survivor docs (the
+    * pipeline ledger's `words/batch=*` state,
+    * [[Bpe.docWordCensus]] shape): the tokenizer is then trained via
+    * [[Bpe.bpeTrainFromWords]] over the census semi-joined to the
+    * mixture's ids — value-identical to training on the mixed text
+    * (the census sums to exactly the mixed corpus's word frequencies),
+    * but the refresh's TRAIN step reads census-sized ledger state
+    * instead of re-splitting stored text. The encode stage still reads
+    * the selected texts (it must — per-doc token sequences are its
+    * output), which is the irreducible text touch of a refresh. */
   def mixPackExport(withSrc: DataFrame, texts: DataFrame,
       idCol: String, textCol: String,
       weights: Map[String, Double] = Map("src0" -> 2.0, "src1" -> 1.0,
         "src2" -> 1.0, "src3" -> 1.0),
       totalTokens: Long = 1500L, numMerges: Int = 8,
-      budget: Long = 512L, packShards: Int = 4, exportShards: Int = 4)
-      : DataFrame = {
+      budget: Long = 512L, packShards: Int = 4, exportShards: Int = 4,
+      docWords: Option[DataFrame] = None): DataFrame = {
     val mixed = mixtureByTokens(withSrc, idCol, "source", "n_tokens",
       weights, totalTokens)
     val corpus = mixed.select(col(idCol))
       .join(texts.select(col(idCol), col(textCol)), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val enc = Bpe.bpeEncode(corpus, idCol, textCol,
-      Bpe.bpeTrain(corpus, textCol, numMerges))
+    val merges = docWords match {
+      case Some(dw) => Bpe.bpeTrainFromWords(
+        dw.join(mixed.select(col(idCol)), Seq(idCol), "left_semi"),
+        "w", "cnt", numMerges)
+      case None => Bpe.bpeTrain(corpus, textCol, numMerges)
+    }
+    val enc = Bpe.bpeEncode(corpus, idCol, textCol, merges)
     val packed = Packing.packConcat(
       enc.select(col(idCol), col("n_bpe_tokens")),
       idCol, "n_bpe_tokens", budget = budget, shards = packShards)
