@@ -217,6 +217,46 @@ private[graft] object Oracles2 {
                   AND top4_char_ppm <= 160000) AS pass
          FROM ppm ORDER BY doc_id"""
 
+  /** Shared by q_filter_funnel and q_filter_funnel_stream: the
+    * streaming gate must reproduce the batch attrition report
+    * cell-exactly from maintained ledger state, so both compare to the
+    * one first-principles composition. */
+  private def filterFunnelOracle: String =
+    s"""WITH gfp AS (SELECT doc_id, pass FROM ($gopherRulesOracle)),
+         grp AS (SELECT doc_id, pass_repetition
+              FROM ($gopherRepetitionOracle)),
+         c4p AS (SELECT doc_id, pass AS pass_c4 FROM ($c4RulesOracle)),
+         toks AS (SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+         s2 AS (SELECT doc_id FROM gfp WHERE pass),
+         s3 AS (SELECT s2.doc_id FROM s2 JOIN grp USING (doc_id)
+              WHERE grp.pass_repetition),
+         s4 AS (SELECT s3.doc_id FROM s3 JOIN c4p USING (doc_id)
+              WHERE c4p.pass_c4),
+         s56 AS (SELECT * FROM (
+           WITH RECURSIVE
+           $curationGateCtes
+           s5 AS (SELECT s4.doc_id FROM s4 JOIN keptf USING (doc_id)),
+           s5t AS (SELECT k.doc_id, k.text, k.l
+                FROM keptf k JOIN s5 USING (doc_id)),
+           ${simhashCcChainSql("s5t")},
+           s6 AS (SELECT s5.doc_id FROM s5 LEFT JOIN clus
+                  ON s5.doc_id = clus.id
+                WHERE clus.id IS NULL OR clus.cluster_id = s5.doc_id)
+           SELECT '5_lang_quality' AS stage, doc_id FROM s5
+           UNION ALL SELECT '6_dedup_canonical', doc_id FROM s6)),
+         stg AS (
+           SELECT '1_all' AS stage, doc_id FROM documents
+           UNION ALL SELECT '2_gopher_format', doc_id FROM s2
+           UNION ALL SELECT '3_gopher_repetition', doc_id FROM s3
+           UNION ALL SELECT '4_c4', doc_id FROM s4
+           UNION ALL SELECT stage, doc_id FROM s56)
+         SELECT stg.stage, count(*)::BIGINT AS n_docs,
+                sum(tk.n_tokens)::BIGINT AS n_tokens
+         FROM stg JOIN toks tk USING (doc_id)
+         GROUP BY 1 ORDER BY 1"""
+
   val map: Map[String, String] = Map(
     "q_asof_native" -> asofOracle,
 
@@ -739,41 +779,11 @@ private[graft] object Oracles2 {
     // gets CAPTURED — observed: an outer `st` captured the c4 oracle's
     // inner `st`) is confined to its own inner subquery containing no
     // embedded oracles, only the curation builders' names
-    "q_filter_funnel" ->
-      s"""WITH gfp AS (SELECT doc_id, pass FROM ($gopherRulesOracle)),
-         grp AS (SELECT doc_id, pass_repetition
-              FROM ($gopherRepetitionOracle)),
-         c4p AS (SELECT doc_id, pass AS pass_c4 FROM ($c4RulesOracle)),
-         toks AS (SELECT doc_id,
-                len(string_split(text, ' '))::BIGINT AS n_tokens
-              FROM documents),
-         s2 AS (SELECT doc_id FROM gfp WHERE pass),
-         s3 AS (SELECT s2.doc_id FROM s2 JOIN grp USING (doc_id)
-              WHERE grp.pass_repetition),
-         s4 AS (SELECT s3.doc_id FROM s3 JOIN c4p USING (doc_id)
-              WHERE c4p.pass_c4),
-         s56 AS (SELECT * FROM (
-           WITH RECURSIVE
-           $curationGateCtes
-           s5 AS (SELECT s4.doc_id FROM s4 JOIN keptf USING (doc_id)),
-           s5t AS (SELECT k.doc_id, k.text, k.l
-                FROM keptf k JOIN s5 USING (doc_id)),
-           ${simhashCcChainSql("s5t")},
-           s6 AS (SELECT s5.doc_id FROM s5 LEFT JOIN clus
-                  ON s5.doc_id = clus.id
-                WHERE clus.id IS NULL OR clus.cluster_id = s5.doc_id)
-           SELECT '5_lang_quality' AS stage, doc_id FROM s5
-           UNION ALL SELECT '6_dedup_canonical', doc_id FROM s6)),
-         stg AS (
-           SELECT '1_all' AS stage, doc_id FROM documents
-           UNION ALL SELECT '2_gopher_format', doc_id FROM s2
-           UNION ALL SELECT '3_gopher_repetition', doc_id FROM s3
-           UNION ALL SELECT '4_c4', doc_id FROM s4
-           UNION ALL SELECT stage, doc_id FROM s56)
-         SELECT stg.stage, count(*)::BIGINT AS n_docs,
-                sum(tk.n_tokens)::BIGINT AS n_tokens
-         FROM stg JOIN toks tk USING (doc_id)
-         GROUP BY 1 ORDER BY 1""",
+    "q_filter_funnel" -> filterFunnelOracle,
+    // the streaming funnel sums maintained per-tick stage censuses and
+    // applies the canonical-survivor rule over ledger state — same
+    // report as the one-shot batch funnel, so the oracle is shared
+    "q_filter_funnel_stream" -> filterFunnelOracle,
 
     // the repetition family mirrors gopherRepetition definitionally:
     // dup counts/char mass from per-(doc, segment) GROUP BY counts

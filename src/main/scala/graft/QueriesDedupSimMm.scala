@@ -220,6 +220,21 @@ private[graft] object QueriesDedupSimMm {
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // NON-DEFAULT fingerprint geometry (the Manku et al. 2007 knob,
+    // Dedup.requireGeometry): the same pair semantics at Hamming <= 3
+    // through 4 chunks x 16 bits — 2^16 buckets per chunk position,
+    // ~2^8x fewer chunk-collision candidates than the default 8x8 on a
+    // uniform corpus, admissible because the pigeonhole only needs
+    // maxHamming < chunks. Shares the parameterized simhash oracle:
+    // the pair SET is geometry-invariant, only the candidate volume
+    // (measured in SCALING.md's probe) moves.
+    "q_dedup_simhash_geo" -> ((s, dir) =>
+      Dedup.simhashDupPairs(Tables.read(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3, chunks = 4, chunkBits = 16)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Pair→cluster resolution (iterative distributed min-label
     // propagation): duplicate clusters are CONNECTED COMPONENTS of the
     // pair graph — a≈b, b≈c chains into {a,b,c} even though (a,c) was
@@ -240,7 +255,13 @@ private[graft] object QueriesDedupSimMm {
     // construction, orientation is plan, not semantics. Edges need
     // pair support ≥ 2 so the graph keeps non-trivial structure
     // instead of saturating into a complete graph at large SF.
-    "q_triangles" -> ((s, dir) => {
+    // Pinned.scoped: triangleCounts eagerly checkpoints its edge/
+    // degree/orientation relations — the scope releases those
+    // intermediates once the node-sized result has materialized, so a
+    // library caller holds ONE releasable handle instead of three
+    // hidden pins (the harness sweep covered this; loops outside it
+    // did not).
+    "q_triangles" -> ((s, dir) => graft.ext.Pinned.scoped(s) {
       val it = Tables.read(s, dir, "lineitem")
         .select(col("l_orderkey").as("b"),
           (col("l_partkey") % 200).as("i"))
@@ -259,7 +280,7 @@ private[graft] object QueriesDedupSimMm {
     // cc quantizes to integer 1e-6 units BEFORE the sum (long div, the
     // engine-exact discipline), so the only float op is one final
     // division — deterministic on both engines.
-    "q_graph_health" -> ((s, dir) => {
+    "q_graph_health" -> ((s, dir) => graft.ext.Pinned.scoped(s) {
       val it = Tables.read(s, dir, "lineitem")
         .select(col("l_orderkey").as("b"),
           (col("l_partkey") % 200).as("i"))
@@ -281,7 +302,7 @@ private[graft] object QueriesDedupSimMm {
             .as("avg_clustering"))
     }),
 
-    "q_pagerank" -> ((s, dir) => {
+    "q_pagerank" -> ((s, dir) => graft.ext.Pinned.scoped(s) {
       val docs = Tables.read(s, dir, "documents")
       graft.ext.Graph.pageRank(docs, "doc_id",
           Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 7))
@@ -409,7 +430,7 @@ private[graft] object QueriesDedupSimMm {
     // most-linked copy, the one other copies derive from) instead of
     // the arbitrary min-id. Ties break by id ascending. Composes two
     // oracle-proven relations; only clustered (size >= 2) docs appear.
-    "q_canonical_select" -> ((s, dir) => {
+    "q_canonical_select" -> ((s, dir) => graft.ext.Pinned.scoped(s) {
       val docs = Tables.read(s, dir, "documents")
       // the SimHash pair DAG is the expensive part and feeds BOTH
       // consumers (clustering + ranking, which also scans it twice for
@@ -420,6 +441,9 @@ private[graft] object QueriesDedupSimMm {
         maxHamming = 7).localCheckpoint(true)
       val clusters = Dedup.dupClusters(pairs)
       val ranks = graft.ext.Graph.pageRank(docs, "doc_id", pairs)
+      // (the registration wraps this in Pinned.scoped — the pairs pin
+      // and pageRank's result pin are both released once the
+      // cluster-sized pick below materializes)
       val byCluster = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster_id"))
       val pick = byCluster.orderBy(col("rank_e12").desc, col("id"))

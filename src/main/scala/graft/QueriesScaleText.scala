@@ -576,7 +576,11 @@ private[graft] object QueriesScaleText {
     // survivor set only (the curate discipline: pairs among rejected
     // docs are wasted work). Empty stages drop from the report on both
     // engines (inner aggregate), keeping the gate total.
-    "q_filter_funnel" -> ((s, dir) => {
+    // Pinned.scoped: the persisted flag frame (and the dedup stage's
+    // cached signature relation) release once the 6-row report has
+    // materialized — one handle out, nothing left for the harness
+    // sweep to find.
+    "q_filter_funnel" -> ((s, dir) => graft.ext.Pinned.scoped(s) {
       val docs = Tables.read(s, dir, "documents")
       // the per-row gates (Gopher format, language+quality) stack as
       // COLUMNS on one documents scan; only the repetition kernel and
@@ -619,6 +623,22 @@ private[graft] object QueriesScaleText {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"))
         .orderBy(col("stage"))
+    }),
+
+    // STREAMING filter funnel: the same attrition report derived from
+    // state MAINTAINED at ingest — per-tick additive stage censuses
+    // (gates are pure per-row, so tick counts sum to the batch report)
+    // plus the signature/label ledger over all-gates survivors for the
+    // dedup stage. The run report a production ingest publishes
+    // continuously; shares q_filter_funnel's oracle cell-exactly.
+    "q_filter_funnel_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_funnels_")
+      try
+        Streaming.funnelStreamAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_funnels"))
+          .orderBy(col("stage"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
     // BM25 retrieval ranking for a literal query (Okapi k1=1.2,

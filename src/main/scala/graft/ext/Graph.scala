@@ -150,10 +150,5 @@ object Graph {
     * relation is unusable afterwards — its lineage was truncated at the
     * checkpoint. The Verify/Bench mains achieve the same between
     * queries by sweeping `sparkContext.getPersistentRDDs`. */
-  def releaseCheckpoints(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  def releaseCheckpoints(df: DataFrame): Unit = Pinned.release(df)
 }

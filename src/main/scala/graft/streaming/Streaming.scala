@@ -572,6 +572,10 @@ object Streaming {
             // before the overwrite, same guard as EventStore.upsert
             .localCheckpoint(true)
           merged.write.mode("overwrite").parquet(sinkPath)
+          // release the tick's pin — clearCache does not cover
+          // checkpoint blocks, and a long-running stream must not
+          // accumulate one batch-sized pin per commit
+          graft.ext.Pinned.release(merged)
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -636,6 +640,9 @@ object Streaming {
           // (its documented contract: the caller clears) — without this
           // a long-running stream accumulates one persisted set per tick
           sp.catalog.clearCache()
+          // ...and the batch pin itself: clearCache does not cover
+          // checkpoint blocks
+          graft.ext.Pinned.release(df)
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -819,14 +826,44 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[T] =
     if (queryName.nonEmpty) ws.queryName(queryName) else ws
 
-  /** Idempotent registration of [[SlowBatchListener]] on a session. */
+  /** Idempotent registration of [[SlowBatchListener]] on a session.
+    * The idempotence set holds its sessions WEAKLY: a strong set would
+    * root every SparkSession ever registered for the life of the
+    * process (many short-lived test sessions → unbounded retention); a
+    * WeakHashMap-backed set lets a stopped, otherwise-unreferenced
+    * session be collected, at which point its entry evaporates.
+    * Synchronized because WeakHashMap is not thread-safe and streams
+    * can register from query-start paths concurrently. */
   private val listenerRegistered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession,
-        java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   def registerSlowBatchListener(spark: SparkSession): Unit =
     if (listenerRegistered.add(spark))
       spark.streams.addListener(new SlowBatchListener())
+  /** Per-query tick STAGE timings recorded by instrumented ingest
+    * ticks (cluster/pipeline ledgers): one entry per tick, stage name →
+    * wall ms. The attribution registry behind the stage tables in
+    * BASELINE.md — a probe main reads it after a run instead of
+    * parsing stderr; the stderr line is still printed so a driver
+    * artifact carries the numbers too. Bounded: entries accumulate per
+    * PROCESS run (Verify/Bench lifetimes), keyed by the one-shot query
+    * name. */
+  private[graft] val tickStages =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[(String, Long)])]]()
+  private[graft] def recordTickStages(queryName: String, batchId: Long,
+      stages: Seq[(String, Long)]): Unit =
+    if (queryName.nonEmpty) {
+      tickStages
+        .computeIfAbsent(queryName,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue())
+        .add((batchId, stages))
+      System.err.println(s"[graft-stream] TICK STAGES query=$queryName " +
+        s"batch=$batchId " +
+        stages.map { case (n, ms) => s"$n=${ms}ms" }.mkString(" "))
+      ()
+    }
   private[graft] def timedTick[T](queryName: String, batchId: Long)(
       body: => T): T = {
     val start = System.nanoTime()
@@ -914,6 +951,7 @@ object Streaming {
               joinKeys, dims, contribE6)
             .coalesce(1)
             .write.mode("errorifexists").parquet(s"$viewDir/v$v")
+          graft.ext.Pinned.release(batch)
         }
         ()
       } }.start()
@@ -1090,7 +1128,12 @@ object Streaming {
         .versions(spark, storePath).last
       require(head >= 2, s"expected >= 3 commits, head version is $head")
       spark.read.parquet(s"$workDir/view/v$head")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // the dim pin fed the tick closures only — the returned view
+      // reads parquet, so the blocks are dead once the stream drained
+      graft.ext.Pinned.release(dim)
+    }
   }
 
   /** One-shot gate replay of [[joinViewIngestTwoSided]]: three staged
@@ -1154,7 +1197,11 @@ object Streaming {
       val headD = graft.load.VersionedStore
         .versions(spark, s"$workDir/dim").last
       spark.read.parquet(s"$viewDir/v${headF}_$headD")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // dim0/dim1 derive from this pin inside tick closures only
+      graft.ext.Pinned.release(users)
+    }
   }
 
   /** Per-micro-batch drift monitor: every batch's value distribution
@@ -1378,6 +1425,7 @@ object Streaming {
             .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
           df.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
           sp.catalog.clearCache()
+          graft.ext.Pinned.release(df)
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1442,7 +1490,12 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         batchId: Long) =>
+         batchId: Long) => timedTick(queryName, batchId) {
+          def ms[T](body: => T): (T, Long) = {
+            val t0 = System.nanoTime()
+            val out = body
+            (out, (System.nanoTime() - t0) / 1000000L)
+          }
           val df = batch.toDF().localCheckpoint(true)
           val sp = df.sparkSession
           val corpusPath = s"$workPath/corpus"
@@ -1461,42 +1514,68 @@ object Streaming {
           }
           val prior = priorDirs(corpusPath)
           val priorBands = priorDirs(bandsPath)
-          val labels =
-            if (prior.isEmpty)
-              graft.ext.Dedup.dupClusters(graft.ext.Dedup
-                .minhashDupPairs(df, idCol, textCol, threshold))
+          // stage-attributed tick (the BASELINE.md q_cluster_stream
+          // table): probe = pair-finding against the stored ledger,
+          // materialized here so the CC fold reads blocks instead of
+          // replaying the probe per iteration; fold = incremental CC +
+          // label snapshot write; bands/corpus = the at-ingest state
+          // later ticks probe (work the pre-ledger r11 tick did not do)
+          val (pairsOpt, probeMs) = ms {
+            if (prior.isEmpty) None
             else {
-              val lp = new org.apache.hadoop.fs.Path(labelsPath)
-              val priorSnap = fs.listStatus(lp).map(_.getPath.getName)
-                .filter(_.startsWith("batch="))
-                .map(_.stripPrefix("batch=").toLong).filter(_ < batchId)
-              require(priorSnap.nonEmpty,
-                s"cluster ledger: corpus ticks exist but no label " +
-                  s"snapshot precedes batch $batchId")
               require(priorBands.length == prior.length,
                 s"cluster ledger: ${prior.length} corpus tick(s) but " +
                   s"${priorBands.length} band tick(s) — the signature " +
                   "ledger is out of step with the corpus store")
-              val pairs = graft.ext.Dedup.minhashDupPairsFromLedger(
+              Some(graft.ext.Dedup.minhashDupPairsFromLedger(
                 df, sp.read.parquet(priorBands.toSeq: _*),
                 sp.read.parquet(prior.toSeq: _*), idCol, textCol,
-                threshold)
-              graft.ext.Dedup.dupClustersIncremental(
-                sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
-                pairs)
+                threshold).localCheckpoint(true))
             }
-          labels.write.mode("overwrite")
-            .parquet(s"$labelsPath/batch=$batchId")
+          }
+          val (_, foldMs) = ms {
+            val labels = pairsOpt match {
+              case None =>
+                graft.ext.Dedup.dupClusters(graft.ext.Dedup
+                  .minhashDupPairs(df, idCol, textCol, threshold))
+              case Some(pairs) =>
+                val lp = new org.apache.hadoop.fs.Path(labelsPath)
+                val priorSnap = fs.listStatus(lp).map(_.getPath.getName)
+                  .filter(_.startsWith("batch="))
+                  .map(_.stripPrefix("batch=").toLong).filter(_ < batchId)
+                require(priorSnap.nonEmpty,
+                  s"cluster ledger: corpus ticks exist but no label " +
+                    s"snapshot precedes batch $batchId")
+                graft.ext.Dedup.dupClustersIncremental(
+                  sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
+                  pairs)
+            }
+            labels.write.mode("overwrite")
+              .parquet(s"$labelsPath/batch=$batchId")
+          }
           // the tick's own band relation JOINS the ledger — the
           // at-ingest sufficient statistic later ticks probe
-          graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
-            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
-          df.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          val (_, bandMs) = ms {
+            graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
+              .write.mode("overwrite")
+              .parquet(s"$bandsPath/batch=$batchId")
+          }
+          val (_, corpusMs) = ms {
+            df.write.mode("overwrite")
+              .parquet(s"$corpusPath/batch=$batchId")
+          }
           // release this tick's persisted shingle/band relations (the
           // pair-finders' documented caching contract: the CALLER
           // clears) — a long-running stream must not accumulate them
           sp.catalog.clearCache()
+          // ...and the batch + pair pins (checkpoint blocks are outside
+          // the relation cache)
+          pairsOpt.foreach(graft.ext.Pinned.release)
+          graft.ext.Pinned.release(df)
+          recordTickStages(queryName, batchId, Seq("probe" -> probeMs,
+            "fold" -> foldMs, "bands" -> bandMs, "corpus" -> corpusMs))
           ()
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1554,7 +1633,14 @@ object Streaming {
     *      ([[graft.ext.Dedup.simhashDupPairsFromLedger]]) and folds
     *      them into the node-sized cluster-label snapshot
     *      ([[graft.ext.Dedup.dupClustersIncremental]]) under
-    *      `labels/batch=<id>`.
+    *      `labels/batch=<id>`;
+    *   4. writes its per-doc word census
+    *      ([[graft.ext.Bpe.docWordCensus]]) under `words/batch=<id>` —
+    *      the tokenizer trainer's sufficient statistic, additive
+    *      across ticks and semi-joinable to any survivor subset, so
+    *      the refresh's BPE train step is census-sized
+    *      ([[graft.ext.Bpe.bpeTrainFromWords]]) instead of
+    *      re-splitting stored text.
     *
     * Per-tick cost: the tick's own shingling + a chunk equi-join
     * against 16-byte ledger rows + the label fold — independent of
@@ -1579,18 +1665,23 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         batchId: Long) =>
+         batchId: Long) => timedTick(queryName, batchId) {
+          def ms[T](body: => T): (T, Long) = {
+            val t0 = System.nanoTime()
+            val out = body
+            (out, (System.nanoTime() - t0) / 1000000L)
+          }
           import graft.ext.{Dedup, TextAnalysis}
           val sp = batch.sparkSession
           // gate once, at ingest — the exact Curation.curate stage-1/2
           // expressions, so survivors match the batch pipeline's `kept`
-          val gated = batch.toDF()
+          val (gated, gateMs) = ms { batch.toDF()
             .select(col(idCol), col(textCol), col("source"),
               TextAnalysis.qualityScore(col(textCol)).as("quality"),
               TextAnalysis.nTokens(col(textCol)).as("n_tokens"))
             .filter(TextAnalysis.langId(col(textCol)) === lang &&
               col("quality") >= minQuality)
-            .localCheckpoint(true)
+            .localCheckpoint(true) }
           val gatedPath = s"$workPath/gated"
           val sigsPath = s"$workPath/sigs"
           val labelsPath = s"$workPath/labels"
@@ -1609,8 +1700,9 @@ object Streaming {
           // the tick's dominant cost, paid exactly once: the signature
           // relation both JOINS the ledger (written below) and drives
           // this tick's pair probe
-          val sig = Dedup.simhashSignaturesLocal(gated, idCol, textCol)
-            .localCheckpoint(true)
+          val (sig, sigMs) = ms {
+            Dedup.simhashSignaturesLocal(gated, idCol, textCol)
+              .localCheckpoint(true) }
           val labels =
             if (priorSigs.isEmpty)
               Dedup.dupClusters(
@@ -1629,13 +1721,33 @@ object Streaming {
                 sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
                 pairs)
             }
-          labels.write.mode("overwrite")
-            .parquet(s"$labelsPath/batch=$batchId")
-          sig.write.mode("overwrite").parquet(s"$sigsPath/batch=$batchId")
-          gated.write.mode("overwrite")
-            .parquet(s"$gatedPath/batch=$batchId")
+          val (_, foldMs) = ms {
+            labels.write.mode("overwrite")
+              .parquet(s"$labelsPath/batch=$batchId") }
+          val (_, stateMs) = ms {
+            sig.write.mode("overwrite")
+              .parquet(s"$sigsPath/batch=$batchId")
+            gated.write.mode("overwrite")
+              .parquet(s"$gatedPath/batch=$batchId")
+            // the tokenizer trainer's sufficient statistic, paid at
+            // ingest: per-doc word census rows are additive across
+            // ticks and semi-joinable to any survivor subset, so a
+            // refresh's BPE train step reads THIS state
+            // (mixture-scoped, summed) instead of re-splitting text
+            graft.ext.Bpe.docWordCensus(gated, idCol, textCol)
+              .write.mode("overwrite")
+              .parquet(s"$workPath/words/batch=$batchId") }
           sp.catalog.clearCache()
+          // the tick's two checkpoint pins are dead once their parquet
+          // snapshots landed — clearCache does not release checkpoint
+          // blocks, so free them explicitly or a long-running ingest
+          // accumulates two batch-sized pins per tick
+          graft.ext.Pinned.release(gated)
+          graft.ext.Pinned.release(sig)
+          recordTickStages(queryName, batchId, Seq("gate" -> gateMs,
+            "sig" -> sigMs, "fold" -> foldMs, "state" -> stateMs))
           ()
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1685,7 +1797,191 @@ object Streaming {
       val withSrc = surv.filter(col("split") === "train")
         .select(col("doc_id"), col("n_tokens"), col("source"))
       graft.ext.Curation.mixPackExport(withSrc,
-        gated.select(col("doc_id"), col("text")), "doc_id", "text")
+        gated.select(col("doc_id"), col("text")), "doc_id", "text",
+        // train the tokenizer from the maintained word-census ledger
+        // (mixture-scoped inside mixPackExport) — the refresh's train
+        // step is census-sized; only the encode stage reads text
+        docWords = Some(spark.read.parquet(s"$workDir/words/batch=*")))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Streaming FILTER-FUNNEL ledger: the attrition report a production
+    * curation pipeline PUBLISHES CONTINUOUSLY (documents and tokens
+    * surviving each successive published gate — the one-shot batch
+    * report is `q_filter_funnel`), maintained from per-tick state so
+    * the dashboard never rescans the corpus. Each micro-batch
+    *
+    *   1. evaluates the per-row gates on ITS docs once — Gopher format,
+    *      the Gopher repetition kernel, the rendered-page C4 gate,
+    *      language id + quality score: the EXACT batch-funnel stage
+    *      expressions, stacked as columns on one pass;
+    *   2. writes the tick's ADDITIVE stage census `(stage, n_docs,
+    *      n_tokens)` for the five per-row stages under
+    *      `census/batch=<id>` — counts are non-negative and per-doc
+    *      disjoint across ticks, so the subdirs SUM to the batch
+    *      report's rows (a stage empty in every tick stays absent,
+    *      matching the batch inner aggregate);
+    *   3. stores the all-gates survivors `(id, n_tokens)` under
+    *      `surv/batch=<id>` and their SimHash signatures under
+    *      `sigs/batch=<id>`;
+    *   4. probes the signature ledger for batch-touching near-dup
+    *      pairs ([[graft.ext.Dedup.simhashDupPairsFromSigLedger]]) and
+    *      folds them into the node-sized label snapshot
+    *      ([[graft.ext.Dedup.dupClustersIncremental]]) under
+    *      `labels/batch=<id>`.
+    *
+    * The head report is then: stages 1-5 = summed censuses; stage 6 =
+    * the canonical-survivor rule over (survivor union, latest labels)
+    * — identical to the batch funnel, whose oracle the gate shares.
+    * Per-tick cost tracks the tick (gates + shingling + a 16-byte
+    * ledger probe + the label fold); the head costs census- and
+    * id-relation-sized reads, never text. Replay safety is the house
+    * idempotent `batch=<id>` overwrite discipline; labels fold from
+    * the latest snapshot STRICTLY older than the tick (the
+    * [[clusterLedgerIngest]] contract), so a replayed tick converges
+    * byte-identically. */
+  def funnelLedgerIngest(docs: DataFrame, workPath: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      lang: String = "en", minQuality: Double = 60.0,
+      maxHamming: Int = 7, queryName: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    named(docs.writeStream, queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) => timedTick(queryName, batchId) {
+          import graft.ext.{Dedup, TextAnalysis}
+          val sp = batch.sparkSession
+          val d = batch.toDF()
+          val gr = TextAnalysis.gopherRepetitionLocal(d, idCol, textCol)
+            .select(col(idCol), col("pass_repetition").as("p_gr"))
+          val c4 = TextAnalysis.c4Rules(
+              TextAnalysis.c4SyntheticPage(d, idCol, textCol),
+              idCol, "page")
+            .select(col(idCol), col("pass").as("p_c4"))
+          // one pass, gates stacked as columns — the batch funnel's
+          // flag frame, per tick; pinned because census, survivors and
+          // signatures all read it
+          val flags = d.select(col(idCol), col(textCol),
+              TextAnalysis.nTokens(col(textCol)).cast("long")
+                .as("n_tokens"),
+              TextAnalysis.gopherPass(col(textCol)).as("p_gf"),
+              (TextAnalysis.langId(col(textCol)) === lang &&
+                TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+                .as("p_lq"))
+            .join(gr, Seq(idCol)).join(c4, Seq(idCol))
+            .withColumn("p3", col("p_gf") && col("p_gr"))
+            .withColumn("p4", col("p3") && col("p_c4"))
+            .withColumn("p5", col("p4") && col("p_lq"))
+            .localCheckpoint(true)
+          val stages = Seq(
+            "1_all" -> lit(true), "2_gopher_format" -> col("p_gf"),
+            "3_gopher_repetition" -> col("p3"), "4_c4" -> col("p4"),
+            "5_lang_quality" -> col("p5"))
+          stages.map { case (n, p) =>
+              flags.filter(p)
+                .select(lit(n).as("stage"), col("n_tokens")) }
+            .reduce(_ unionByName _)
+            .groupBy(col("stage"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).as("n_tokens"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$workPath/census/batch=$batchId")
+          val surv = flags.filter(col("p5"))
+          val sig = Dedup.simhashSignaturesLocal(surv, idCol, textCol)
+            .localCheckpoint(true)
+          val sigsPath = s"$workPath/sigs"
+          val labelsPath = s"$workPath/labels"
+          val fs = new org.apache.hadoop.fs.Path(workPath)
+            .getFileSystem(sp.sessionState.newHadoopConf())
+          def priorDirs(root: String): Array[String] = {
+            val p = new org.apache.hadoop.fs.Path(root)
+            if (fs.exists(p))
+              fs.listStatus(p).map(_.getPath.getName)
+                .filter(x => x.startsWith("batch=") &&
+                  x != s"batch=$batchId")
+                .map(x => s"$root/$x")
+            else Array.empty[String]
+          }
+          val priorSigs = priorDirs(sigsPath)
+          val labels =
+            if (priorSigs.isEmpty)
+              Dedup.dupClusters(
+                Dedup.hammingDupPairs(sig, idCol, "simhash", maxHamming))
+            else {
+              val lp = new org.apache.hadoop.fs.Path(labelsPath)
+              val priorSnap = fs.listStatus(lp).map(_.getPath.getName)
+                .filter(_.startsWith("batch="))
+                .map(_.stripPrefix("batch=").toLong).filter(_ < batchId)
+              require(priorSnap.nonEmpty,
+                s"funnel ledger: signature ticks exist but no label " +
+                  s"snapshot precedes batch $batchId")
+              Dedup.dupClustersIncremental(
+                sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
+                Dedup.simhashDupPairsFromSigLedger(sig,
+                  sp.read.parquet(priorSigs.toSeq: _*), idCol,
+                  maxHamming))
+            }
+          labels.write.mode("overwrite")
+            .parquet(s"$labelsPath/batch=$batchId")
+          sig.write.mode("overwrite").parquet(s"$sigsPath/batch=$batchId")
+          surv.select(col(idCol), col("n_tokens"))
+            .write.mode("overwrite")
+            .parquet(s"$workPath/surv/batch=$batchId")
+          sp.catalog.clearCache()
+          graft.ext.Pinned.release(flags)
+          graft.ext.Pinned.release(sig)
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Drive [[funnelLedgerIngest]] over the driver's documents as a
+    * bounded multi-tick stream, then derive the funnel report from the
+    * MAINTAINED state: stages 1-5 by summing the per-tick censuses,
+    * stage 6 by the canonical-survivor rule over the survivor union and
+    * the latest label snapshot. Equal to the one-shot `q_filter_funnel`
+    * report, whose oracle the gate shares. */
+  def funnelStreamAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, ticks: Int = 2): DataFrame = {
+    require(ticks >= 2, "a funnel ledger gate needs at least two ticks")
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    // pmod tick routing — the abs(hash) % MinValue trap (see
+    // pipelineIncrementalAvailableNow)
+    val parts = (0 until ticks).map(i =>
+      docs.filter(pmod(hash(col("doc_id")), lit(ticks)) === i))
+    val schema = stageBatches(spark, s"$workDir/staged", parts)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(
+        funnelLedgerIngest(stream, workDir, s"$workDir/cp",
+          "doc_id", "text", queryName = queryName),
+        queryName)
+      val c15 = spark.read.parquet(s"$workDir/census")
+        .groupBy(col("stage"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+      val lp = new org.apache.hadoop.fs.Path(s"$workDir/labels")
+      val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+      val last = fs.listStatus(lp).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .max
+      val surv = spark.read.parquet(s"$workDir/surv/batch=*")
+      val s6 = graft.ext.Dedup.keepCanonical(surv, "doc_id",
+          spark.read.parquet(s"$workDir/labels/batch=$last"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit("6_dedup_canonical").as("stage"),
+          col("n_docs"), col("n_tokens"))
+        // the batch report's inner aggregate drops empty stages; the
+        // global aggregate here always emits — filter restores parity
+        .filter(col("n_docs") > 0)
+      c15.unionByName(s6)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -1890,6 +2186,7 @@ object Streaming {
             .withColumn("batch_id", lit(batchId))
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$statePath/wm/batch=$batchId")
+          graft.ext.Pinned.release(df)
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2608,6 +2905,7 @@ object Streaming {
           df.filter(!pass)
             .write.mode("overwrite")
             .parquet(s"$quarantinePath/batch=$batchId")
+          graft.ext.Pinned.release(df)
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2746,6 +3044,7 @@ object Streaming {
             .parquet(s"$indexPath/postings/batch=$batchId")
           lens.write.mode("overwrite")
             .parquet(s"$indexPath/lens/batch=$batchId")
+          graft.ext.Pinned.release(df)
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2816,6 +3115,7 @@ object Streaming {
           graft.ext.Similarity.ivfAssign(df, idCol, vecCol, cents)
             .write.mode("overwrite")
             .parquet(s"$workPath/postings/batch=$batchId")
+          graft.ext.Pinned.release(df)
           ()
       }
       .trigger(Trigger.AvailableNow())

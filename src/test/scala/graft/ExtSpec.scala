@@ -371,6 +371,99 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("fingerprint geometry: every admissible (chunks x bits) yields " +
+      "the SAME pair set — the pigeonhole is exact, geometry is plan") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, base + " tail one"),
+      (2L, base + " tail two"),
+      (3L, "something else entirely unrelated to the rest of them"),
+      (4L, base.split(" ").reverse.mkString(" ")),
+      (5L, base + " tail three"))
+    def pairsAt(chunks: Int, bits: Int) =
+      Dedup.simhashDupPairs(d, "doc_id", "text", maxHamming = 3,
+          chunks = chunks, chunkBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p88 = pairsAt(8, 8)
+    assert(p88 == pairsAt(4, 16))
+    assert(p88 == pairsAt(6, 10))
+    // brute-force witness at the same threshold
+    val sig = Dedup.simhashSignatures(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+    } yield (a, b)).toSet
+    assert(p88 == brute)
+    assert(brute.nonEmpty, "fixture must produce at least one h<=3 pair")
+    // inadmissible geometries fail loudly, naming the violated bound
+    intercept[IllegalArgumentException] { // pigeonhole: maxHamming < chunks
+      Dedup.simhashDupPairs(d, "doc_id", "text", maxHamming = 4,
+        chunks = 4, chunkBits = 16) }
+    intercept[IllegalArgumentException] { // 4x8 = 32 bits do not cover 60
+      Dedup.simhashDupPairs(d, "doc_id", "text", maxHamming = 3,
+        chunks = 4, chunkBits = 8) }
+    intercept[IllegalArgumentException] { // 8x16 = 128 bits exceed the long
+      Dedup.simhashDupPairs(d, "doc_id", "text", maxHamming = 3,
+        chunks = 8, chunkBits = 16) }
+  }
+
+  test("simhashLedgerCandidateStats: pairs match the gate under every " +
+      "geometry; wider chunk keys strictly shed candidates") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val all = docs(
+      (1L, base + " tail one"),
+      (2L, base + " tail two"),
+      (3L, "something else entirely unrelated to the rest of them"),
+      (4L, base.split(" ").reverse.mkString(" ")),
+      (5L, base + " tail three"),
+      (6L, "another unrelated short document over here"))
+    val ledger = Dedup.simhashSignaturesLocal(
+      all.filter(col("doc_id") <= 3), "doc_id", "text")
+    val batchSig = Dedup.simhashSignaturesLocal(
+      all.filter(col("doc_id") > 3), "doc_id", "text")
+    val (c88, p88) = Dedup.simhashLedgerCandidateStats(
+      batchSig, ledger, "doc_id", maxHamming = 3)
+    val (c416, p416) = Dedup.simhashLedgerCandidateStats(
+      batchSig, ledger, "doc_id", maxHamming = 3,
+      chunks = 4, chunkBits = 16)
+    assert(p88 == p416, "the verified pair count is geometry-invariant")
+    val gate = Dedup.simhashDupPairsFromSigLedger(
+      batchSig, ledger, "doc_id", maxHamming = 3).count()
+    assert(p88 == gate, "stats must count exactly the gate's pairs")
+    assert(c88 >= p88 && c416 >= p416,
+      "candidates are a superset of verified pairs")
+    // a 16-bit chunk agreement implies BOTH its byte sub-chunks agree,
+    // so the wide geometry's candidate rows are dominated 2:1
+    assert(c416 <= c88, s"4x16 must shed candidates vs 8x8 ($c416 !<= $c88)")
+    assert(p88 > 0, "fixture must produce at least one verified pair")
+  }
+
+  test("Pinned.scoped releases every intermediate pin the body created " +
+      "— persist and eager checkpoint alike — leaving one handle") {
+    val s = spark
+    import s.implicits._
+    val sc = s.sparkContext
+    s.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val before = sc.getPersistentRDDs.keySet
+    val out = graft.ext.Pinned.scoped(s) {
+      val base = Seq(1L, 2L, 3L, 4L).toDF("v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mid = base.filter(col("v") > 1).localCheckpoint(true)
+      mid.join(base.select(col("v")), Seq("v"))
+        .agg(sum(col("v")).as("s"))
+    }
+    // values survive the release of their inputs (out is self-contained)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    val leftover = sc.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1,
+      s"scoped must free the body's pins, found ${leftover.size}")
+    graft.ext.Pinned.release(out)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "releasing the returned handle frees the last block")
+  }
+
   test("hammingDistance column matches bitCount of xor") {
     val s = spark
     import s.implicits._
@@ -2606,6 +2699,32 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       (1L, "a", "a", "aa", 4L),
       (2L, "a", "b", "ab", 3L),
       (3L, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpeTrainFromWords(docWordCensus(corpus)) == bpeTrain(corpus) — " +
+      "the ledger census is the trainer's whole input") {
+    // a corpus where counts matter (ties would reorder merges if the
+    // census miscounted), split across docs so per-doc census rows
+    // repeat words and the trainer's re-aggregation is exercised
+    val d = docs((1L, "aaab aaab ab"), (2L, "aaab ab ab cd"),
+      (3L, "cd cd cd"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("step")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val fromText = rows(graft.ext.Bpe.bpeTrain(d, "text", numMerges = 5))
+    val census = graft.ext.Bpe.docWordCensus(d, "doc_id", "text")
+    val fromCensus = rows(graft.ext.Bpe.bpeTrainFromWords(
+      census, "w", "cnt", numMerges = 5))
+    assert(fromText == fromCensus)
+    // the census restricts by semi-join: training on docs {1,3} only
+    val s = spark
+    import s.implicits._
+    val sub = census.join(Seq(1L, 3L).toDF("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(rows(graft.ext.Bpe.bpeTrainFromWords(sub, "w", "cnt", 5)) ==
+      rows(graft.ext.Bpe.bpeTrain(
+        d.filter(col("doc_id") =!= 2L), "text", 5)))
   }
 
   test("bpeTrain ties break lexicographically and back-to-back " +

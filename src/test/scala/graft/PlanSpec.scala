@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan contracts: the physical-plan properties the engine's scale
@@ -885,9 +886,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
 
   test("triangles: wedge and closing joins are shuffled equi-joins — " +
       "no cartesian, no nested-loop, partial aggregation present") {
-    val p = plan("q_triangles")
+    // q_triangles now runs inside Pinned.scoped (its registration plan
+    // is the materialized result's ExistingRDD scan), so the shape pin
+    // inspects the OPERATOR's plan over the same co-order pair graph
+    val it = Tables.read(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("b"), (col("l_partkey") % 200).as("i"))
+      .distinct()
+    val pairs = it.as("x")
+      .join(it.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("id_a"), col("y.i").as("id_b"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+    val p = graft.ext.Graph.triangleCounts(pairs, "id_a", "id_b")
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert("HashAggregate".r.findAllIn(p).size >= 2)
+    // ...and the scoped registration leaves exactly ONE pinned handle
+    // behind: the result's own checkpoint, releasable by the caller
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val before = sc.getPersistentRDDs.keySet
+    val out = SparkEntry.queries("q_triangles")(spark, dir)
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.size <= 1,
+      s"scoped q_triangles must pin only its result, found ${after.size}")
+    graft.ext.Pinned.release(out)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "releasing the returned handle must free the last pin")
   }
 }

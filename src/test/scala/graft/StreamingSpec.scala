@@ -1643,6 +1643,101 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chaos: funnelLedgerIngest heals torn batch=0 state on replay — " +
+      "summed censuses and ledger state equal a clean run's, phantom-free") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaosfn_")
+    val torn = dir.resolve("torn").toString
+    val clean = dir.resolve("clean").toString
+    try {
+      // plausible-but-wrong debris in all FOUR stateful dirs
+      tearTick(s"$torn/census", 0L,
+        Seq(("1_all", 999L, 999L)).toDF("stage", "n_docs", "n_tokens"))
+      tearTick(s"$torn/surv", 0L,
+        Seq((999L, 99L)).toDF("doc_id", "n_tokens"))
+      tearTick(s"$torn/sigs", 0L,
+        Seq((999L, 12345L)).toDF("doc_id", "simhash"))
+      tearTick(s"$torn/labels", 0L,
+        Seq((999L, 999L)).toDF("id", "cluster_id"))
+      val base = (1 to 60).map(i => s"word$i").mkString(" ") +
+        ". More full sentences follow here today!"
+      val docsByTick = Seq(
+        Seq((1L, base + " tail one"), (2L, base + " tail two"),
+          (7L, "short.")),
+        Seq((3L, base + " tail one"), (4L, "another quite long and " +
+          (1 to 60).map(i => s"only$i").mkString(" ") + " ending here.")))
+      def drive(work: String, cp: String): Unit = {
+        val mem = MemoryStream[(Long, String)]
+        def stream = mem.toDF().toDF("doc_id", "text")
+        docsByTick.zipWithIndex.foreach { case (tick, i) =>
+          mem.addData(tick: _*)
+          Streaming.funnelLedgerIngest(stream, work,
+            dir.resolve(s"$cp$i").toString, "doc_id", "text")
+            .awaitTermination()
+        }
+      }
+      drive(torn, "cpt")
+      drive(clean, "cpc")
+      def state(work: String) = {
+        val census = s.read.parquet(s"$work/census")
+          .groupBy(col("stage"))
+          .agg(sum(col("n_docs")).as("d"), sum(col("n_tokens")).as("t"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val surv = s.read.parquet(s"$work/surv/batch=*")
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        val last = new java.io.File(s"$work/labels").list()
+          .filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong).max
+        val labels = s.read.parquet(s"$work/labels/batch=$last")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (census, surv, labels)
+      }
+      val (ct, st, lt) = state(torn)
+      val (cc, sc, lc) = state(clean)
+      assert(ct == cc, s"torn census must heal to the clean run's: $ct")
+      assert(st == sc && lt == lc, "survivors and labels must heal")
+      assert(!st.contains(999L) && !lt.contains(999L),
+        "phantom debris must be overwritten, not absorbed")
+      // the all-docs stage is gate-independent: exact count + token sum
+      val all = docsByTick.flatten
+      assert(ct.exists(_ == (("1_all", all.size.toLong,
+        all.map(_._2.split(" ").count(_.nonEmpty).toLong).sum))),
+        s"stage 1_all must census every ingested doc: $ct")
+      // the engineered near-dup (1,2,3 share base) must fold to min id
+      // IF it survived the gates; either way no phantom cluster exists
+      assert(lt.values.forall(_ != 999L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("funnelStreamAvailableNow equals the batch q_filter_funnel " +
+      "report cell-exactly (shared oracle), at two and three ticks") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_filter_funnel")(s, dir)
+      .collect().toSeq
+    s.catalog.clearCache()
+    val stream2 = SparkEntry.queries("q_filter_funnel_stream")(s, dir)
+      .collect().toSeq
+    assert(stream2.nonEmpty, "the funnel must report at least one stage")
+    assert(stream2 == batch,
+      "per-tick censuses + the survivor ledger must sum to the batch " +
+        "attrition report")
+    s.catalog.clearCache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fun3_")
+    try {
+      val stream3 = Streaming.funnelStreamAvailableNow(s, dir,
+          tmp.toString, Streaming.nextQueryName("graft_fun3"), ticks = 3)
+        .orderBy(col("stage")).collect().toSeq
+      assert(stream3 == batch,
+        "a second-generation label fold must still sum to the batch report")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("pipelineIncrementalAvailableNow: the ledger-driven composition " +
       "equals the batch q_pipeline_export, cell for cell — at TWO and " +
       "THREE ticks (the 3-tick run folds a folded label snapshot)") {
