@@ -85,6 +85,39 @@ object PipelineStageProbe {
       .map { case ((n, s), (_, p)) => (n, math.max(s - p, 0.0)) }
     val dbody = deltas.map { case (n, s) => f""""$n":$s%.2f""" }.mkString(",")
     println(s"""{"metric":"pipeline_stages","sf":"$sfDir","cumulative":{$body},"stage_delta":{$dbody}}""")
+
+    // INCREMENTAL arm (q_pipeline_incremental, the suite's heaviest
+    // line): the AvailableNow call blocks through staging + both ingest
+    // ticks (per-tick stage ms land in Streaming.tickStages via the
+    // instrumented foreachBatch), while the returned mixPackExport TAIL
+    // is lazy — so ingest and tail time cleanly apart, and the bar the
+    // round report checks is tail <= the batch composition's own tail
+    // (bpe_train_encode + pack + bins_export above) + eps, ticks flat
+    // per the sig-ledger probe.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pincprobe_")
+    try {
+      val qn = "graft_pinc_probe"
+      val t0 = System.nanoTime()
+      val inc = graft.streaming.Streaming
+        .pipelineIncrementalAvailableNow(spark, sfDir, tmp.toString, qn)
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      inc.write.format("noop").mode("overwrite").save()
+      val tailSec = (System.nanoTime() - t1) / 1e9
+      val ticks = Option(graft.streaming.Streaming.tickStages.get(qn))
+        .map(_.toArray(Array.empty[(Long, Seq[(String, Long)])]))
+        .getOrElse(Array.empty)
+        .sortBy(_._1)
+        .map { case (b, st) =>
+          s""""tick_$b":{${st.map { case (n, m) =>
+            s""""$n":$m""" }.mkString(",")}}""" }
+        .mkString(",")
+      println(f"""{"metric":"pipeline_incremental_stages","sf":"$sfDir","ingest_sec":$ingestSec%.2f,"tail_sec":$tailSec%.2f,"tick_stage_ms":{$ticks}}""")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(tmp.toFile)
     spark.stop()
   }
 }

@@ -266,7 +266,58 @@ object ScaleProbe {
       val ratio = if (s1 > 0) s10 / s1 else -1.0
       f""""$name":{"s_1x":$s1%.2f,"rows_1x":$n1,"s_10x":$s10%.2f,"rows_10x":$n10,"time_ratio":$ratio%.2f}"""
     }.mkString(",")
-    println(s"""{"metric":"scale_probe","ops":{$body}}""")
+
+    // CANDIDATE census of the signature-ledger probe under both
+    // fingerprint geometries (Dedup.requireGeometry): the honest
+    // asymptotic caveat on the sig ledger is that chunk-collision
+    // candidates grow linearly with stored history even at fixed batch
+    // size — this measures the constant the geometry knob sets
+    // (2^16 buckets per chunk position at 4x16 vs 2^8 at 8x8) instead
+    // of asserting it. maxHamming = 3 on both arms so the verified
+    // pair set is identical and only the candidate volume moves.
+    // Candidate:pair ratio is the degradation guard: a corpus whose
+    // bucket occupancy collapses (boilerplate signatures piling into
+    // few chunk keys) shows up HERE as a ratio blow-up, not as a
+    // silent slowdown in some downstream tick.
+    val candBody =
+      if (selected.exists(_._1 == "sig_ledger_fixed_batch")) {
+        val geos = Seq(("geo_8x8", 8, 8), ("geo_4x16", 4, 16))
+        val stats = for ((gname, ch, bits) <- geos) yield {
+          val per = Seq(dir1, dir10).map { d =>
+            val batchSig = Dedup.simhashSignaturesLocal(
+              docs(d).filter(col("doc_id") < 500), "doc_id", "text")
+            val ledger = spark.read.parquet(sigLedger(d))
+            val (nb, nl) = (batchSig.count(), ledger.count())
+            val (cand, pairs) = Dedup.simhashLedgerCandidateStats(
+              batchSig, ledger, "doc_id",
+              maxHamming = 3, chunks = ch, chunkBits = bits)
+            spark.catalog.clearCache()
+            // the loose occupancy guard: under uniform bucket
+            // occupancy the expected candidate count is
+            // chunks·(batch·ledger + batch²/2)/2^chunkBits plus one
+            // row per true near-dup chunk agreement; planted dups and
+            // a skewed vocabulary land 3-6× over that on these corpora
+            // — 20× is DEGRADATION (signatures piling into few chunk
+            // keys), and the probe fails loudly so the blow-up lands
+            // in an artifact instead of a mystery wall-time. The
+            // LINEAR-in-ledger term itself is the documented caveat —
+            // this guard scales with it on purpose, flagging only a
+            // collapsing bucket distribution.
+            val analytic = ch.toDouble *
+              (nb.toDouble * nl + nb.toDouble * nb / 2) / (1L << bits)
+            require(cand <= 20.0 * analytic + 100.0 * math.max(pairs, 1L),
+              s"sig-ledger candidate blow-up at $gname on $d: $cand " +
+                s"candidates for $pairs pairs (analytic $analytic)")
+            (cand, pairs)
+          }
+          val ((c1, p1), (c10, p10)) = (per(0), per(1))
+          s""""$gname":{"cand_1x":$c1,"pairs_1x":$p1,"cand_10x":$c10,""" +
+            s""""pairs_10x":$p10,"cand_ratio":${if (c1 > 0)
+              f"${c10.toDouble / c1}%.2f" else "-1"}}"""
+        }
+        s""","sig_ledger_candidates":{${stats.mkString(",")}}"""
+      } else ""
+    println(s"""{"metric":"scale_probe","ops":{$body}$candBody}""")
     spark.stop()
   }
 }
