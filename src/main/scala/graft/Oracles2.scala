@@ -922,6 +922,9 @@ private[graft] object Oracles2 {
          FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""",
 
     "q_bpe_train" -> bpeTrainOracle(8),
+    // training from the maintained word census is value-identical to
+    // training from text (the census is the trainer's whole input)
+    "q_bpe_train_census" -> bpeTrainOracle(8),
 
     "q_unigram_vocab" ->
       s"""WITH $unigramChainSql

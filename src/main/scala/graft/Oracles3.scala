@@ -526,6 +526,8 @@ private[graft] object Oracles3 {
     // geometry-invariant, so the oracle is the shared simhash pair SQL
     // with the tighter verify threshold
     "q_dedup_simhash_geo" -> simhashPairsOracleAt(3),
+    // the multi-table construction is recall-exact too — same pair set
+    "q_dedup_simhash_tables" -> simhashPairsOracleAt(3),
     "q_dedup_ensemble" -> dedupEnsembleOracle,
     "q_late_audit" ->
       """WITH b AS (SELECT event_type, ts,

@@ -235,6 +235,19 @@ private[graft] object QueriesDedupSimMm {
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The FULL Manku table construction (C(6,3) = 20 tables of
+    // concatenated 30-bit keys — the WWW 2007 shape scaled to the
+    // 60-bit signature): exact recall at Hamming <= 3 via the
+    // generalized pigeonhole (any 3 clean fields of 6 match verbatim),
+    // with per-table occupancy 2^20x sparser than single-field keys.
+    // Construction-invariant pair set -> same shared oracle.
+    "q_dedup_simhash_tables" -> ((s, dir) =>
+      Dedup.simhashDupPairsMultiTable(Tables.read(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Pair→cluster resolution (iterative distributed min-label
     // propagation): duplicate clusters are CONNECTED COMPONENTS of the
     // pair graph — a≈b, b≈c chains into {a,b,c} even though (a,c) was

@@ -814,6 +814,20 @@ private[graft] object QueriesScaleText {
           numMerges = 8)
         .orderBy(col("step"))),
 
+    // LEDGER-FED training: the identical merge sequence from the
+    // per-doc word census (Bpe.docWordCensus — the relation the
+    // pipeline ledger maintains per tick) instead of corpus text. The
+    // census IS the trainer's whole input, so the gate shares
+    // q_bpe_train's oracle verbatim — proving a refresh can train from
+    // maintained state without a corpus re-read.
+    "q_bpe_train_census" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      graft.ext.Bpe.bpeTrainFromWords(
+          graft.ext.Bpe.docWordCensus(docs, "doc_id", "text"),
+          "w", "cnt", numMerges = 8)
+        .orderBy(col("step"))
+    }),
+
     // Tokenizer APPLY: train 8 merges, then encode the corpus with
     // them — per-document word and BPE-token counts. The merge chain
     // runs once per distinct word (vocabulary-sized), then one hash

@@ -315,7 +315,34 @@ object ScaleProbe {
             s""""pairs_10x":$p10,"cand_ratio":${if (c1 > 0)
               f"${c10.toDouble / c1}%.2f" else "-1"}}"""
         }
-        s""","sig_ledger_candidates":{${stats.mkString(",")}}"""
+        // full-corpus candidate mass across the three constructions at
+        // the SAME pair set (h=3): single-field 8x8 and 4x16 (via the
+        // ledger census with an empty ledger — internal pairs only)
+        // vs the Manku 20-table 30-bit-key construction. This is the
+        // knob's whole trade surface on one corpus.
+        val corpusStats = Seq(dir1, dir10).map { d =>
+          val sig = Dedup
+            .simhashSignaturesLocal(docs(d), "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val empty = sig.limit(0)
+          val g88 = Dedup.simhashLedgerCandidateStats(sig, empty,
+            "doc_id", maxHamming = 3)
+          val g416 = Dedup.simhashLedgerCandidateStats(sig, empty,
+            "doc_id", maxHamming = 3, chunks = 4, chunkBits = 16)
+          val mt = Dedup.simhashMultiTableCandidateStats(sig, "doc_id",
+            maxHamming = 3)
+          sig.unpersist()
+          spark.catalog.clearCache()
+          (g88, g416, mt)
+        }
+        val corpusBody = Seq("geo_8x8" -> corpusStats.map(_._1),
+            "geo_4x16" -> corpusStats.map(_._2),
+            "tables_6x10x3" -> corpusStats.map(_._3))
+          .map { case (n, Seq((c1, p1), (c10, p10))) =>
+            s""""$n":{"cand_1x":$c1,"pairs_1x":$p1,"cand_10x":$c10,"pairs_10x":$p10}""" }
+          .mkString(",")
+        s""","sig_ledger_candidates":{${stats.mkString(",")}},""" +
+          s""""corpus_candidates":{$corpusBody}"""
       } else ""
     println(s"""{"metric":"scale_probe","ops":{$body}$candBody}""")
     spark.stop()

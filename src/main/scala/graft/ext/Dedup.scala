@@ -704,6 +704,100 @@ object Dedup {
     } finally { scored.unpersist(); () }
   }
 
+  /** The FULL Manku-Jain-Das Sarma table construction (WWW 2007 §3) —
+    * [[simhashDupPairs]]' `(chunks, chunkBits)` geometry is its
+    * `keyBlocks = 1` special case: split the signature into `blocks`
+    * fields of `blockBits` bits, and use every `keyBlocks`-subset of
+    * fields, CONCATENATED, as one TABLE's exact-match key. A pair
+    * within Hamming ≤ `maxHamming` has differing bits in at most
+    * `maxHamming` fields, so any subset drawn from the other
+    * `blocks − maxHamming` clean fields matches verbatim — recall is
+    * exact iff `keyBlocks ≤ blocks − maxHamming` (the generalized
+    * pigeonhole). The trade: C(blocks, keyBlocks) tables, each with a
+    * `keyBlocks·blockBits`-bit key, so per-table bucket occupancy
+    * falls by 2^((keyBlocks−1)·blockBits) relative to single-field
+    * keys — the construction Manku et al. size at 64-bit fingerprints
+    * / k = 3 / 20 tables for web-scale dedup. The default here
+    * (6 fields × 10 bits, 3-field keys → C(6,3) = 20 tables of
+    * 30-bit keys) is that paper's shape scaled to the 60-bit
+    * signature.
+    *
+    * Same output contract as [[simhashDupPairs]] at the same
+    * `maxHamming` — the pair SET is construction-invariant (exact
+    * recall + exact Hamming verify), so the parameterized simhash
+    * oracle gates it; only the candidate volume moves (measured next
+    * to the single-field geometries in SCALING.md). */
+  def simhashDupPairsMultiTable(docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, n: Int = 3,
+      blocks: Int = 6, blockBits: Int = 10, keyBlocks: Int = 3)
+      : DataFrame = {
+    val sig = simhashSignaturesLocal(docs, idCol, textCol, n).persist(Spill)
+    val keyed = multiTableKeys(sig, idCol, blocks, blockBits, keyBlocks,
+      maxHamming)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.tkey") === col("b.tkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      // verify before the pair-dedup exchange (the family's plan note)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Signature → one row per (table id, concatenated key) under the
+    * multi-table construction; validates the generalized pigeonhole
+    * geometry. */
+  private def multiTableKeys(sig: DataFrame, idCol: String,
+      blocks: Int, blockBits: Int, keyBlocks: Int, maxHamming: Int)
+      : DataFrame = {
+    require(blocks >= 1 && blockBits >= 1 && blockBits <= 32,
+      s"multi-table geometry needs 1<=blockBits<=32, got ${blocks}x$blockBits")
+    require(blocks * blockBits <= 64,
+      s"multi-table geometry ${blocks}x$blockBits exceeds the 64-bit signature")
+    require(blocks * blockBits >= 60,
+      s"multi-table geometry ${blocks}x$blockBits does not cover the " +
+        "60-bit signature")
+    require(keyBlocks >= 1 && keyBlocks <= blocks,
+      s"keyBlocks must be in [1, blocks], got $keyBlocks of $blocks")
+    require(maxHamming <= blocks - keyBlocks,
+      s"generalized pigeonhole needs maxHamming <= blocks - keyBlocks " +
+        s"($maxHamming !<= $blocks - $keyBlocks)")
+    require(keyBlocks * blockBits <= 62,
+      "concatenated key must fit a long")
+    val combos = (0 until blocks).combinations(keyBlocks).toSeq
+    require(combos.size <= 256,
+      s"C($blocks, $keyBlocks) = ${combos.size} tables — cap the fan-out")
+    val mask = (1L << blockBits) - 1
+    val keyExprs = combos.map { combo =>
+      combo.map(b => s"(shiftright(simhash, ${b * blockBits}) & $mask)")
+        .reduceLeft((acc, v) => s"(($acc << $blockBits) | $v)")
+    }
+    sig.select(col(idCol), col("simhash"),
+      posexplode(array(keyExprs.map(expr): _*)).as(Seq("tbl", "tkey")))
+  }
+
+  /** Candidate-vs-pair census of [[simhashDupPairsMultiTable]] over a
+    * whole relation — the multi-table analogue of
+    * [[simhashLedgerCandidateStats]], for the geometry probe. */
+  def simhashMultiTableCandidateStats(sig: DataFrame, idCol: String,
+      maxHamming: Int = 3, blocks: Int = 6, blockBits: Int = 10,
+      keyBlocks: Int = 3): (Long, Long) = {
+    val keyed = multiTableKeys(sig, idCol, blocks, blockBits, keyBlocks,
+      maxHamming)
+    val scored = keyed.as("a").join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.tkey") === col("b.tkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .persist(Spill)
+    try {
+      val candidates = scored.count()
+      val pairs =
+        scored.filter(col("hamming") <= maxHamming).distinct().count()
+      (candidates, pairs)
+    } finally { scored.unpersist(); () }
+  }
+
   /** Near-dup pairs at Hamming ≤ `maxHamming` over an arbitrary 64-bit
     * hash relation — the [[simhashDupPairs]] pigeonhole generalized to
     * any fingerprint column (SimHash, image aHash, any 64-bit LSH):

@@ -408,6 +408,43 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
         chunks = 8, chunkBits = 16) }
   }
 
+  test("multi-table construction: same pair set as the single-field " +
+      "geometries and brute force; pigeonhole bound enforced") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, base + " tail one"),
+      (2L, base + " tail two"),
+      (3L, "something else entirely unrelated to the rest of them"),
+      (4L, base.split(" ").reverse.mkString(" ")),
+      (5L, base + " tail three"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chunked = pairs(Dedup.simhashDupPairs(d, "doc_id", "text",
+      maxHamming = 3))
+    // default 6x10 fields, 3-field keys, 20 tables
+    assert(pairs(Dedup.simhashDupPairsMultiTable(d, "doc_id", "text",
+      maxHamming = 3)) == chunked)
+    // keyBlocks = 1 degenerates to the chunk geometry exactly
+    assert(pairs(Dedup.simhashDupPairsMultiTable(d, "doc_id", "text",
+      maxHamming = 3, blocks = 8, blockBits = 8, keyBlocks = 1))
+      == chunked)
+    // a second admissible shape (C(5,2) = 10 tables of 24-bit keys)
+    assert(pairs(Dedup.simhashDupPairsMultiTable(d, "doc_id", "text",
+      maxHamming = 3, blocks = 5, blockBits = 12, keyBlocks = 2))
+      == chunked)
+    assert(chunked.nonEmpty)
+    // the generalized pigeonhole: maxHamming <= blocks - keyBlocks
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDupPairsMultiTable(d, "doc_id", "text",
+        maxHamming = 4, blocks = 6, blockBits = 10, keyBlocks = 3) }
+    // stats agree with the gate; wider concatenated keys shed
+    // candidates relative to the single-field census
+    val sig = Dedup.simhashSignaturesLocal(d, "doc_id", "text")
+    val (candT, pairsT) = Dedup.simhashMultiTableCandidateStats(
+      sig, "doc_id", maxHamming = 3)
+    assert(pairsT == chunked.size.toLong && candT >= pairsT)
+  }
+
   test("simhashLedgerCandidateStats: pairs match the gate under every " +
       "geometry; wider chunk keys strictly shed candidates") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
