@@ -776,6 +776,40 @@ object Dedup {
       posexplode(array(keyExprs.map(expr): _*)).as(Seq("tbl", "tkey")))
   }
 
+  /** [[simhashDupPairsFromSigLedger]] probed through the MULTI-TABLE
+    * keys instead of single-field chunks — the same stored `(id,
+    * simhash)` relation (keys derive from the signature at probe time,
+    * so the ledger needs NO new state), the same batch-touching pair
+    * output, but per-table bucket occupancy 2^((keyBlocks−1)·blockBits)
+    * sparser: the probe shape a corpus large enough to feel the
+    * chunk-collision term switches to (SCALING.md's measured table —
+    * candidates collapse to pairs × tables). Spec-pinned equal to the
+    * chunk-geometry probe at the same `maxHamming`. */
+  def simhashDupPairsFromSigLedgerTables(batchSig: DataFrame,
+      ledgerSig: DataFrame, idCol: String, maxHamming: Int = 3,
+      blocks: Int = 6, blockBits: Int = 10, keyBlocks: Int = 3)
+      : DataFrame = {
+    assertDisjointIds(batchSig, ledgerSig, idCol)
+    val kb = multiTableKeys(batchSig, idCol, blocks, blockBits,
+      keyBlocks, maxHamming)
+    val kl = multiTableKeys(ledgerSig, idCol, blocks, blockBits,
+      keyBlocks, maxHamming)
+    val internal = kb.as("a").join(kb.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.tkey") === col("b.tkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+    val cross = kb.as("a").join(kl.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.tkey") === col("b.tkey"))
+      .select(
+        least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+    internal.unionByName(cross)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Candidate-vs-pair census of [[simhashDupPairsMultiTable]] over a
     * whole relation — the multi-table analogue of
     * [[simhashLedgerCandidateStats]], for the geometry probe. */

@@ -437,6 +437,16 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] {
       Dedup.simhashDupPairsMultiTable(d, "doc_id", "text",
         maxHamming = 4, blocks = 6, blockBits = 10, keyBlocks = 3) }
+    // the LEDGER probe through multi-table keys: same stored state,
+    // same batch-touching pairs as the chunk-geometry probe
+    val ledgerSig = Dedup.simhashSignaturesLocal(
+      d.filter(col("doc_id") <= 3), "doc_id", "text")
+    val batchSig2 = Dedup.simhashSignaturesLocal(
+      d.filter(col("doc_id") > 3), "doc_id", "text")
+    assert(pairs(Dedup.simhashDupPairsFromSigLedgerTables(
+        batchSig2, ledgerSig, "doc_id", maxHamming = 3)) ==
+      pairs(Dedup.simhashDupPairsFromSigLedger(
+        batchSig2, ledgerSig, "doc_id", maxHamming = 3)))
     // stats agree with the gate; wider concatenated keys shed
     // candidates relative to the single-field census
     val sig = Dedup.simhashSignaturesLocal(d, "doc_id", "text")
