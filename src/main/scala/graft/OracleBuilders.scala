@@ -1549,8 +1549,15 @@ ${simhashCcChainSql("keptf")}"""
   def simhashPairsOracleAt(maxHamming: Int): String = {
     require(maxHamming >= 0 && maxHamming < 8,
       "the oracle's 8-chunk pigeonhole admits maxHamming < 8")
-    simhashPairsOracle.replace("WHERE hamming <= 7",
-      s"WHERE hamming <= $maxHamming")
+    // the substitution target must exist exactly once, or a reformat
+    // of the base oracle would silently gate the geometry queries
+    // against the wrong threshold
+    val target = "WHERE hamming <= 7"
+    require(simhashPairsOracle.indexOf(target) ==
+        simhashPairsOracle.lastIndexOf(target) &&
+        simhashPairsOracle.contains(target),
+      "simhashPairsOracle no longer carries the expected verify clause")
+    simhashPairsOracle.replace(target, s"WHERE hamming <= $maxHamming")
   }
 
   val simhashPairsOracle =

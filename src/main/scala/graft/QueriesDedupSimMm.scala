@@ -15,6 +15,27 @@ import graft.QueryHelpers._
   * registry for maintainability (no behavior change). Conventions for
   * hash-stable compares are documented on [[SparkEntry]]. */
 private[graft] object QueriesDedupSimMm {
+
+  /** The part-group co-order pair graph behind q_triangles and
+    * q_graph_health (l_partkey % 200 folds the part domain onto a
+    * fixed SF-invariant node set; edges need pair support >= 2 so the
+    * graph keeps structure instead of saturating). Shared with
+    * PlanSpec's no-cartesian pin so the pinned shape IS the shipped
+    * shape (the registrations run inside Pinned.scoped, whose
+    * materialized plan hides the joins from a registry-level pin). */
+  private[graft] def coOrderPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    val it = Tables.read(s, dir, "lineitem")
+      .select(col("l_orderkey").as("b"),
+        (col("l_partkey") % 200).as("i"))
+      .distinct()
+    it.as("x")
+      .join(it.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("id_a"), col("y.i").as("id_b"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+  }
+
   val map: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Extension scope: dedup family (SURVEY §7.5) ────────────────────
     "q_dedup_minhash" -> ((s, dir) =>
@@ -223,9 +244,9 @@ private[graft] object QueriesDedupSimMm {
     // NON-DEFAULT fingerprint geometry (the Manku et al. 2007 knob,
     // Dedup.requireGeometry): the same pair semantics at Hamming <= 3
     // through 4 chunks x 16 bits — 2^16 buckets per chunk position,
-    // ~2^8x fewer chunk-collision candidates than the default 8x8 on a
-    // uniform corpus, admissible because the pigeonhole only needs
-    // maxHamming < chunks. Shares the parameterized simhash oracle:
+    // ~512x fewer chunk-collision candidates than the default 8x8 on a
+    // uniform corpus (~250-290x measured with planted dups),
+    // admissible because the pigeonhole only needs maxHamming < chunks. Shares the parameterized simhash oracle:
     // the pair SET is geometry-invariant, only the candidate volume
     // (measured in SCALING.md's probe) moves.
     "q_dedup_simhash_geo" -> ((s, dir) =>
@@ -275,16 +296,7 @@ private[graft] object QueriesDedupSimMm {
     // hidden pins (the harness sweep covered this; loops outside it
     // did not).
     "q_triangles" -> ((s, dir) => graft.ext.Pinned.scoped(s) {
-      val it = Tables.read(s, dir, "lineitem")
-        .select(col("l_orderkey").as("b"),
-          (col("l_partkey") % 200).as("i"))
-        .distinct()
-      val pairs = it.as("x")
-        .join(it.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-        .groupBy(col("x.i").as("id_a"), col("y.i").as("id_b"))
-        .agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2)
-      graft.ext.Graph.triangleCounts(pairs, "id_a", "id_b")
+      graft.ext.Graph.triangleCounts(coOrderPairs(s, dir), "id_a", "id_b")
         .orderBy(col("node"))
     }),
 
@@ -294,16 +306,7 @@ private[graft] object QueriesDedupSimMm {
     // engine-exact discipline), so the only float op is one final
     // division — deterministic on both engines.
     "q_graph_health" -> ((s, dir) => graft.ext.Pinned.scoped(s) {
-      val it = Tables.read(s, dir, "lineitem")
-        .select(col("l_orderkey").as("b"),
-          (col("l_partkey") % 200).as("i"))
-        .distinct()
-      val pairs = it.as("x")
-        .join(it.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-        .groupBy(col("x.i").as("id_a"), col("y.i").as("id_b"))
-        .agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2)
-      graft.ext.Graph.triangleCounts(pairs, "id_a", "id_b")
+      graft.ext.Graph.triangleCounts(coOrderPairs(s, dir), "id_a", "id_b")
         .withColumn("cc_e6", expr("CASE WHEN degree >= 2 THEN " +
           "(n_triangles * 2000000) div (degree * (degree - 1)) END"))
         .agg(count(lit(1)).as("n_nodes"),

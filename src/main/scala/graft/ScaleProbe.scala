@@ -282,16 +282,25 @@ object ScaleProbe {
     val candBody =
       if (selected.exists(_._1 == "sig_ledger_fixed_batch")) {
         val geos = Seq(("geo_8x8", 8, 8), ("geo_4x16", 4, 16))
+        // the batch signatures are geometry-independent — compute the
+        // 500-doc kernel once per dir, not once per (geometry, count,
+        // scored) consumer
+        val batchSigCache = Seq(dir1, dir10).map { d =>
+          d -> Dedup.simhashSignaturesLocal(
+              docs(d).filter(col("doc_id") < 500), "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }.toMap
         val stats = for ((gname, ch, bits) <- geos) yield {
           val per = Seq(dir1, dir10).map { d =>
-            val batchSig = Dedup.simhashSignaturesLocal(
-              docs(d).filter(col("doc_id") < 500), "doc_id", "text")
+            val batchSig = batchSigCache(d)
             val ledger = spark.read.parquet(sigLedger(d))
             val (nb, nl) = (batchSig.count(), ledger.count())
             val (cand, pairs) = Dedup.simhashLedgerCandidateStats(
               batchSig, ledger, "doc_id",
               maxHamming = 3, chunks = ch, chunkBits = bits)
-            spark.catalog.clearCache()
+            // (no clearCache here — it would drop the hoisted batch
+            // signatures; the stats call unpersists its own scored
+            // relation in a finally)
             // the loose occupancy guard: under uniform bucket
             // occupancy the expected candidate count is
             // chunks·(batch·ledger + batch²/2)/2^chunkBits plus one
@@ -315,6 +324,8 @@ object ScaleProbe {
             s""""pairs_10x":$p10,"cand_ratio":${if (c1 > 0)
               f"${c10.toDouble / c1}%.2f" else "-1"}}"""
         }
+        batchSigCache.values.foreach(_.unpersist())
+        spark.catalog.clearCache()
         // full-corpus candidate mass across the three constructions at
         // the SAME pair set (h=3): single-field 8x8 and 4x16 (via the
         // ledger census with an empty ledger — internal pairs only)

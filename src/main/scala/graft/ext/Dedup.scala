@@ -536,12 +536,14 @@ object Dedup {
     * pigeonhole guarantee is exact for any geometry with
     * `maxHamming < chunks` (at most `maxHamming` chunks can contain a
     * differing bit, so some chunk agrees on every true near-dup pair),
-    * and the candidate volume is what the geometry trades: per chunk
-    * position the expected bucket occupancy is corpus/2^chunkBits, so
-    * batch×ledger chunk-collision candidates scale as
-    * `chunks² · |batch|·|ledger| / 2^chunkBits` — FEWER, WIDER chunks
-    * (4×16 instead of 8×8) cut candidates by the extra key width
-    * (2^8 ×) at the price of a lower admissible `maxHamming` (< 4
+    * and the candidate volume is what the geometry trades: the join
+    * key is (chunk INDEX, chunk value), so only same-position chunks
+    * collide and expected batch×ledger candidates scale as
+    * `chunks · |batch|·|ledger| / 2^chunkBits` (the exact analytic the
+    * scale probe's occupancy guard uses) — FEWER, WIDER chunks cut the
+    * constant by (8/2^8)/(4/2^16) = 2·2^8 ≈ 512× for 4×16 vs 8×8
+    * (measured ~250-290× on the probe corpora, where planted dups pad
+    * both), at the price of a lower admissible `maxHamming` (< 4
     * instead of < 8). That is the published mitigation for the one
     * honest asymptotic caveat on the signature ledger: at fixed batch
     * size the candidate count still grows LINEARLY with stored

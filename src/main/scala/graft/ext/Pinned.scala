@@ -43,27 +43,44 @@ object Pinned {
     * handle, freed by the caller via [[release]] (or the harness's
     * session sweep).
     *
-    * Mechanics: snapshot `getPersistentRDDs` before, diff after the
-    * result's checkpoint has materialized, unpersist everything new
-    * except the result's own leaf RDDs. Unpersisting a checkpointed
-    * intermediate is safe exactly because the result was materialized
-    * FIRST — nothing reads the intermediate again; unpersisting a
-    * `.persist()` intermediate is always safe (lineage intact).
+    * Mechanics: snapshot `getPersistentRDDs` before; after the
+    * result's checkpoint has materialized, `clearCache()` the
+    * session's relation cache (a `.persist()`ed Dataset must be
+    * uncached through the CacheManager — unpersisting only its
+    * underlying RDD strands a stale cache entry that poisons every
+    * later equivalent `.persist()` into a never-stored recompute),
+    * then unpersist every NEW persistent RDD except the result's own
+    * leaves (checkpoint blocks live outside the relation cache, so
+    * clearCache never frees those). If the body or its
+    * materialization THROWS, the same diff releases everything the
+    * body pinned before failing — the retry-in-a-loop path must not
+    * accumulate orphans — and the failure propagates.
     *
-    * Not safe against a concurrent pinner on the same session (the
-    * diff would claim its blocks); the query registry runs operators
-    * sequentially per session, which is the intended scope. */
+    * Scope contract: the session's relation cache is treated as
+    * scope-local (the scope ends with it empty), and a concurrent
+    * pinner on the same session would have its new blocks claimed by
+    * the diff. The query registry runs operators sequentially and the
+    * Verify/Bench harness clears the cache between queries anyway —
+    * a library caller holding its own cached relations across a scope
+    * should release the operator's pins manually via [[release]]
+    * instead. */
   def scoped(spark: SparkSession)(body: => DataFrame): DataFrame = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = body.localCheckpoint(true)
+    def sweep(keep: Set[Int]): Unit = {
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id) && !keep.contains(id))
+          rdd.unpersist(blocking = false)
+      }
+    }
+    val out =
+      try body.localCheckpoint(true)
+      catch { case e: Throwable => sweep(Set.empty); throw e }
     val keep = out.queryExecution.analyzed.collectLeaves().collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }.toSet
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id) && !keep.contains(id))
-        rdd.unpersist(blocking = false)
-    }
+    sweep(keep)
     out
   }
 

@@ -852,18 +852,30 @@ object Streaming {
   private[graft] val tickStages =
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[(String, Long)])]]()
+  /** Per-query retention cap: a long-running production ingest reusing
+    * one query name must not grow the registry without bound — the
+    * newest `TickStageCap` ticks stay (probes read the tail), older
+    * entries roll off. */
+  private val TickStageCap = 256
   private[graft] def recordTickStages(queryName: String, batchId: Long,
       stages: Seq[(String, Long)]): Unit =
     if (queryName.nonEmpty) {
-      tickStages
-        .computeIfAbsent(queryName,
-          _ => new java.util.concurrent.ConcurrentLinkedQueue())
-        .add((batchId, stages))
+      val q = tickStages.computeIfAbsent(queryName,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue())
+      q.add((batchId, stages))
+      while (q.size > TickStageCap) q.poll()
       System.err.println(s"[graft-stream] TICK STAGES query=$queryName " +
         s"batch=$batchId " +
         stages.map { case (n, ms) => s"$n=${ms}ms" }.mkString(" "))
       ()
     }
+  /** Wall-clock a stage inside an instrumented tick — the shared
+    * helper behind the [[recordTickStages]] stage splits. */
+  private[graft] def timedMs[T](body: => T): (T, Long) = {
+    val t0 = System.nanoTime()
+    val out = body
+    (out, (System.nanoTime() - t0) / 1000000L)
+  }
   private[graft] def timedTick[T](queryName: String, batchId: Long)(
       body: => T): T = {
     val start = System.nanoTime()
@@ -1491,11 +1503,6 @@ object Streaming {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) => timedTick(queryName, batchId) {
-          def ms[T](body: => T): (T, Long) = {
-            val t0 = System.nanoTime()
-            val out = body
-            (out, (System.nanoTime() - t0) / 1000000L)
-          }
           val df = batch.toDF().localCheckpoint(true)
           val sp = df.sparkSession
           val corpusPath = s"$workPath/corpus"
@@ -1520,7 +1527,7 @@ object Streaming {
           // replaying the probe per iteration; fold = incremental CC +
           // label snapshot write; bands/corpus = the at-ingest state
           // later ticks probe (work the pre-ledger r11 tick did not do)
-          val (pairsOpt, probeMs) = ms {
+          val (pairsOpt, probeMs) = timedMs {
             if (prior.isEmpty) None
             else {
               require(priorBands.length == prior.length,
@@ -1533,7 +1540,7 @@ object Streaming {
                 threshold).localCheckpoint(true))
             }
           }
-          val (_, foldMs) = ms {
+          val (_, foldMs) = timedMs {
             val labels = pairsOpt match {
               case None =>
                 graft.ext.Dedup.dupClusters(graft.ext.Dedup
@@ -1555,12 +1562,12 @@ object Streaming {
           }
           // the tick's own band relation JOINS the ledger — the
           // at-ingest sufficient statistic later ticks probe
-          val (_, bandMs) = ms {
+          val (_, bandMs) = timedMs {
             graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
               .write.mode("overwrite")
               .parquet(s"$bandsPath/batch=$batchId")
           }
-          val (_, corpusMs) = ms {
+          val (_, corpusMs) = timedMs {
             df.write.mode("overwrite")
               .parquet(s"$corpusPath/batch=$batchId")
           }
@@ -1666,16 +1673,11 @@ object Streaming {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) => timedTick(queryName, batchId) {
-          def ms[T](body: => T): (T, Long) = {
-            val t0 = System.nanoTime()
-            val out = body
-            (out, (System.nanoTime() - t0) / 1000000L)
-          }
           import graft.ext.{Dedup, TextAnalysis}
           val sp = batch.sparkSession
           // gate once, at ingest — the exact Curation.curate stage-1/2
           // expressions, so survivors match the batch pipeline's `kept`
-          val (gated, gateMs) = ms { batch.toDF()
+          val (gated, gateMs) = timedMs { batch.toDF()
             .select(col(idCol), col(textCol), col("source"),
               TextAnalysis.qualityScore(col(textCol)).as("quality"),
               TextAnalysis.nTokens(col(textCol)).as("n_tokens"))
@@ -1700,7 +1702,7 @@ object Streaming {
           // the tick's dominant cost, paid exactly once: the signature
           // relation both JOINS the ledger (written below) and drives
           // this tick's pair probe
-          val (sig, sigMs) = ms {
+          val (sig, sigMs) = timedMs {
             Dedup.simhashSignaturesLocal(gated, idCol, textCol)
               .localCheckpoint(true) }
           val labels =
@@ -1721,10 +1723,10 @@ object Streaming {
                 sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
                 pairs)
             }
-          val (_, foldMs) = ms {
+          val (_, foldMs) = timedMs {
             labels.write.mode("overwrite")
               .parquet(s"$labelsPath/batch=$batchId") }
-          val (_, stateMs) = ms {
+          val (_, stateMs) = timedMs {
             sig.write.mode("overwrite")
               .parquet(s"$sigsPath/batch=$batchId")
             gated.write.mode("overwrite")

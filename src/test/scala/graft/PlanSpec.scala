@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan contracts: the physical-plan properties the engine's scale
@@ -888,16 +887,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "no cartesian, no nested-loop, partial aggregation present") {
     // q_triangles now runs inside Pinned.scoped (its registration plan
     // is the materialized result's ExistingRDD scan), so the shape pin
-    // inspects the OPERATOR's plan over the same co-order pair graph
-    val it = Tables.read(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("b"), (col("l_partkey") % 200).as("i"))
-      .distinct()
-    val pairs = it.as("x")
-      .join(it.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("id_a"), col("y.i").as("id_b"))
-      .agg(count(lit(1)).as("supp"))
-      .filter(col("supp") >= 2)
-    val p = graft.ext.Graph.triangleCounts(pairs, "id_a", "id_b")
+    // inspects the OPERATOR's plan over the SHARED pair-graph builder
+    // the registration itself calls — the pinned shape cannot drift
+    // from the shipped one
+    val p = graft.ext.Graph
+      .triangleCounts(QueriesDedupSimMm.coOrderPairs(spark, dir),
+        "id_a", "id_b")
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
