@@ -866,6 +866,31 @@ private[graft] object Oracles2 {
          FROM lm l JOIN documents d USING (doc_id)
          ORDER BY l.doc_id""",
 
+    // the production CCNet form: cutoffs frozen from the deterministic
+    // 10% md5 sample's tertile floors, full corpus bucketed by
+    // threshold compare — the oracle replays the identical sample,
+    // window-on-sample, and CASE (NULL c2 falls through to 'tail')
+    "q_ccnet_frozen" ->
+      s"""WITH $lmBackoffCtes,
+         lm AS ($lmBackoffSelect),
+         ls AS (SELECT l.doc_id, d.source, l.n_scored, l.avg_logprob
+              FROM lm l JOIN documents d USING (doc_id)),
+         samp AS (SELECT *, ntile(3) OVER (PARTITION BY source
+                ORDER BY avg_logprob DESC, doc_id) AS t
+              FROM ls
+              WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                % 10 = 0),
+         cuts AS (SELECT source,
+                min(CASE WHEN t = 1 THEN avg_logprob END) AS c1,
+                min(CASE WHEN t = 2 THEN avg_logprob END) AS c2
+              FROM samp GROUP BY 1)
+         SELECT ls.doc_id, ls.source, ls.n_scored, ls.avg_logprob,
+                CASE WHEN ls.avg_logprob >= c.c1 THEN 'head'
+                     WHEN ls.avg_logprob >= c.c2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM ls JOIN cuts c USING (source)
+         ORDER BY ls.doc_id""",
+
     "q_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          c AS (SELECT doc_id, l,

@@ -750,6 +750,44 @@ private[graft] object QueriesScaleText {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet's PRODUCTION bucketing form — the shape the tertile
+    // window's comment names, now gated: freeze the two per-source
+    // cutoff scores from a DETERMINISTIC 10% sample (md5 bucket 0 of
+    // 10), then bucket the FULL corpus by broadcast threshold compare.
+    // The corpus-sized pass is window-free (one dominant source cannot
+    // funnel a rank partition); the only window runs on the SAMPLE,
+    // which is exactly why CCNet computes its percentile cutoffs on a
+    // sample. head = score >= the sample head-tertile floor; a source
+    // whose sample is too small to seat tertile 2 leaves c2 NULL and
+    // the compare falls through to tail — identical CASE semantics on
+    // both engines. Thresholding differs from exact ntile by design
+    // (ties and sampling error sit at the boundary), so the gate has
+    // its own oracle replaying the same sample + compare.
+    "q_ccnet_frozen" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val lm = TextAnalysis.stupidBackoffLogProb(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        // two consumers (sample cutoffs + full compare) over the
+        // expensive LM chain — pinned once, released by the harness
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("avg_logprob").desc, col("doc_id"))
+      val cuts = lm
+        .filter(graft.ext.Sampling.hashBucket(col("doc_id"), 10) === 0)
+        .withColumn("_t", ntile(3).over(w))
+        .groupBy(col("source"))
+        .agg(min(when(col("_t") === 1, col("avg_logprob"))).as("c1"),
+          min(when(col("_t") === 2, col("avg_logprob"))).as("c2"))
+      lm.join(broadcast(cuts), "source")
+        .select(col("doc_id"), col("source"), col("n_scored"),
+          col("avg_logprob"),
+          when(col("avg_logprob") >= col("c1"), "head")
+            .when(col("avg_logprob") >= col("c2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sliding-window chunking: 32-token windows stepping 16, so
     // consecutive chunks share 16 tokens of left context — the overlap
     // form of q_chunk_tokens for long-document splitting.

@@ -883,6 +883,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ccnet frozen: the corpus-sized pass is window-free — one Window " +
+      "(the sample's) and a broadcast compare join") {
+    val p = plan("q_ccnet_frozen")
+    assert("Window".r.findAllIn(p).size <= 2,
+      s"only the sample's rank window may appear (executed+AQE copy):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the frozen cutoffs must broadcast to the corpus side:\n$p")
+  }
+
   test("triangles: wedge and closing joins are shuffled equi-joins — " +
       "no cartesian, no nested-loop, partial aggregation present") {
     // q_triangles now runs inside Pinned.scoped (its registration plan
