@@ -784,6 +784,10 @@ private[graft] object Oracles2 {
     // applies the canonical-survivor rule over ledger state — same
     // report as the one-shot batch funnel, so the oracle is shared
     "q_filter_funnel_stream" -> filterFunnelOracle,
+    // ...and the pair SET is probe-geometry-invariant (both pigeonholes
+    // are exact at the same maxHamming), so the Manku table-keys run
+    // shares the identical oracle: the whole claim under test
+    "q_funnel_stream_tables" -> filterFunnelOracle,
 
     // the repetition family mirrors gopherRepetition definitionally:
     // dup counts/char mass from per-(doc, segment) GROUP BY counts
@@ -869,7 +873,9 @@ private[graft] object Oracles2 {
     // the production CCNet form: cutoffs frozen from the deterministic
     // 10% md5 sample's tertile floors, full corpus bucketed by
     // threshold compare — the oracle replays the identical sample,
-    // window-on-sample, and CASE (NULL c2 falls through to 'tail')
+    // window-on-sample, and CASE (NULL c2 falls through to 'tail';
+    // a source absent from the sample LEFT JOINs to NULL cutoffs and
+    // buckets 'tail' rather than being dropped)
     "q_ccnet_frozen" ->
       s"""WITH $lmBackoffCtes,
          lm AS ($lmBackoffSelect),
@@ -888,7 +894,7 @@ private[graft] object Oracles2 {
                 CASE WHEN ls.avg_logprob >= c.c1 THEN 'head'
                      WHEN ls.avg_logprob >= c.c2 THEN 'middle'
                      ELSE 'tail' END AS bucket
-         FROM ls JOIN cuts c USING (source)
+         FROM ls LEFT JOIN cuts c USING (source)
          ORDER BY ls.doc_id""",
 
     "q_chunk_overlap" ->

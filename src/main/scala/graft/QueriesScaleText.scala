@@ -641,6 +641,31 @@ private[graft] object QueriesScaleText {
       finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
+    // The SAME streaming funnel with its per-tick ledger probes keyed
+    // through the Manku multi-table construction instead of 8×8-bit
+    // chunks — 9 fields × 7 bits, 2-field keys: C(9,2) = 36 tables of
+    // 14-bit keys, the widest-key geometry that still admits the
+    // ingest's Hamming ≤ 7 contract (generalized pigeonhole
+    // maxHamming ≤ blocks − keyBlocks). Candidate constant 36/2^14 vs
+    // the chunk default's 8/2^8 (~14× fewer random collisions per
+    // probe at identical exact recall); the verified pair set — and so
+    // the whole attrition report — is geometry-invariant, which is why
+    // this gate shares q_filter_funnel's oracle cell-exactly. The
+    // at-scale deployment shape: table keys derive from the SAME
+    // stored 60-bit signature at probe time, so switching geometry
+    // needs no ledger migration.
+    "q_funnel_stream_tables" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_funnelt_")
+      try
+        Streaming.funnelStreamAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_funnelt"),
+            geometry = graft.ext.Dedup.TableGeometry(
+              blocks = 9, blockBits = 7, keyBlocks = 2))
+          .orderBy(col("stage"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // BM25 retrieval ranking for a literal query (Okapi k1=1.2,
     // b=0.75) — the search-side counterpart of the tf-idf profile.
     // Scores round to 6 dp BEFORE the rank cut so the top-k set is
@@ -760,16 +785,22 @@ private[graft] object QueriesScaleText {
     // sample. head = score >= the sample head-tertile floor; a source
     // whose sample is too small to seat tertile 2 leaves c2 NULL and
     // the compare falls through to tail — identical CASE semantics on
-    // both engines. Thresholding differs from exact ntile by design
-    // (ties and sampling error sit at the boundary), so the gate has
-    // its own oracle replaying the same sample + compare.
+    // both engines; a source with NO sampled docs at all left-joins to
+    // NULL cutoffs and likewise buckets 'tail' (never silently dropped
+    // from the output). Thresholding differs from exact ntile by
+    // design (ties and sampling error sit at the boundary), so the
+    // gate has its own oracle replaying the same sample + compare.
     "q_ccnet_frozen" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       val lm = TextAnalysis.stupidBackoffLogProb(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         // two consumers (sample cutoffs + full compare) over the
-        // expensive LM chain — pinned once, released by the harness
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // expensive LM chain — pinned ONCE as an eager disk-backed
+        // checkpoint (a MEMORY_AND_DISK persist can be evicted between
+        // the consumers, recomputing the suite's most expensive chain
+        // 2-4×; checkpoint blocks cannot). Released by the harness's
+        // persistent-RDD sweep after the query.
+        .localCheckpoint(true)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
         .orderBy(col("avg_logprob").desc, col("doc_id"))
@@ -779,7 +810,7 @@ private[graft] object QueriesScaleText {
         .groupBy(col("source"))
         .agg(min(when(col("_t") === 1, col("avg_logprob"))).as("c1"),
           min(when(col("_t") === 2, col("avg_logprob"))).as("c2"))
-      lm.join(broadcast(cuts), "source")
+      lm.join(broadcast(cuts), Seq("source"), "left")
         .select(col("doc_id"), col("source"), col("n_scored"),
           col("avg_logprob"),
           when(col("avg_logprob") >= col("c1"), "head")
@@ -1296,6 +1327,48 @@ private[graft] object QueriesScaleText {
           Tables.read(s, dir, "embeddings"),
           "vec_id", "label", nAnnotators = 3, nCats = 10),
         nRaters = 3)),
+
+    // URL canonicalization (graft.ext.Urls) — the stage RefinedWeb/
+    // CCNet run before any text operator: per-doc canonical URL + host
+    // over the deterministic URL fixture (documents carries no URL
+    // column; the fixture exercises every rule — mixed-case schemes,
+    // www., default/non-default ports, doubled and trailing slashes,
+    // unsorted params, utm_/gclid/ref decoration, fragments). Pure
+    // narrow expressions, shuffle-free.
+    "q_url_canonical" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ext.Urls.demoUrl(col("doc_id"), col("source")).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ext.Urls.urlCanonical(col("url")).as("url_canon"),
+          graft.ext.Urls.urlHost(col("url")).as("host"))
+        .orderBy(col("doc_id"))),
+
+    // Host-level rollup + URL dedup: docs keyed by canonical host,
+    // n_urls = DISTINCT canonical URLs (the URL-dedup statistic —
+    // fixture collisions collapse here), joined to the novelty census
+    // (q_novelty_by_source's truncated-mean convention) — the
+    // template-farm report per HOST instead of per source label. Two
+    // hash aggregations, both map-side combinable; the distinct-URL
+    // count plans as a (host, url_canon) partial dedup then a host
+    // agg, so heavy-hitter hosts arrive pre-combined.
+    "q_host_rollup" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val u = docs.select(col("doc_id"),
+          graft.ext.Urls.demoUrl(col("doc_id"), col("source")).as("url"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          graft.ext.Urls.urlCanonical(col("url")).as("url_canon"),
+          graft.ext.Urls.urlHost(col("url")).as("host"))
+      u.join(Dedup.noveltyCensus(docs, "doc_id", "text", n = 3)
+            .select(col("doc_id"), col("novelty_ppm")), "doc_id")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_canon")).as("n_urls"),
+          sum(col("n_tokens")).as("n_tokens"),
+          expr("sum(novelty_ppm) div count(1)").as("mean_novelty_ppm"))
+        .orderBy(col("host"))
+    }),
 
   )
 }

@@ -307,22 +307,27 @@ object ScaleProbe {
             // row per true near-dup chunk agreement; planted dups and
             // a skewed vocabulary land 3-6× over that on these corpora
             // — 20× is DEGRADATION (signatures piling into few chunk
-            // keys), and the probe fails loudly so the blow-up lands
-            // in an artifact instead of a mystery wall-time. The
+            // keys). The probe RECORDS the blow-up as a flagged field
+            // (a legitimately skewed corpus must not abort the run and
+            // lose every other arm's measurement); the loud `require`
+            // lives in the production ingest path
+            // ([[graft.ext.Dedup.requireLedgerOccupancy]]), where a
+            // degraded tick has no artifact to land in. The
             // LINEAR-in-ledger term itself is the documented caveat —
-            // this guard scales with it on purpose, flagging only a
+            // the bound scales with it on purpose, flagging only a
             // collapsing bucket distribution.
             val analytic = ch.toDouble *
               (nb.toDouble * nl + nb.toDouble * nb / 2) / (1L << bits)
-            require(cand <= 20.0 * analytic + 100.0 * math.max(pairs, 1L),
-              s"sig-ledger candidate blow-up at $gname on $d: $cand " +
-                s"candidates for $pairs pairs (analytic $analytic)")
-            (cand, pairs)
+            val bound = 20.0 * analytic + 100.0 * math.max(pairs, 1L)
+            (cand, pairs, if (bound > 0) cand / bound else 0.0)
           }
-          val ((c1, p1), (c10, p10)) = (per(0), per(1))
+          val ((c1, p1, o1), (c10, p10, o10)) = (per(0), per(1))
+          val degraded = o1 > 1.0 || o10 > 1.0
           s""""$gname":{"cand_1x":$c1,"pairs_1x":$p1,"cand_10x":$c10,""" +
             s""""pairs_10x":$p10,"cand_ratio":${if (c1 > 0)
-              f"${c10.toDouble / c1}%.2f" else "-1"}}"""
+              f"${c10.toDouble / c1}%.2f" else "-1"},""" +
+            f""""cand_over_bound_1x":$o1%.3f,""" +
+            f""""cand_over_bound_10x":$o10%.3f,"degraded":$degraded}"""
         }
         batchSigCache.values.foreach(_.unpersist())
         spark.catalog.clearCache()

@@ -43,32 +43,35 @@ object Pinned {
     * handle, freed by the caller via [[release]] (or the harness's
     * session sweep).
     *
-    * Mechanics: snapshot `getPersistentRDDs` before; after the
-    * result's checkpoint has materialized, `clearCache()` the
-    * session's relation cache (a `.persist()`ed Dataset must be
-    * uncached through the CacheManager — unpersisting only its
+    * Mechanics: snapshot `getPersistentRDDs` AND the relation-cache
+    * entry set before; after the result's checkpoint has materialized,
+    * uncache exactly the relation-cache entries the body created
+    * ([[org.apache.spark.sql.graft.RelationCache.uncacheNewSince]] —
+    * a `.persist()`ed Dataset must be uncached through the
+    * CacheManager, entry and buffers together: unpersisting only its
     * underlying RDD strands a stale cache entry that poisons every
     * later equivalent `.persist()` into a never-stored recompute),
     * then unpersist every NEW persistent RDD except the result's own
     * leaves (checkpoint blocks live outside the relation cache, so
-    * clearCache never frees those). If the body or its
+    * cache eviction never frees those). If the body or its
     * materialization THROWS, the same diff releases everything the
     * body pinned before failing — the retry-in-a-loop path must not
     * accumulate orphans — and the failure propagates.
     *
-    * Scope contract: the session's relation cache is treated as
-    * scope-local (the scope ends with it empty), and a concurrent
-    * pinner on the same session would have its new blocks claimed by
-    * the diff. The query registry runs operators sequentially and the
-    * Verify/Bench harness clears the cache between queries anyway —
-    * a library caller holding its own cached relations across a scope
-    * should release the operator's pins manually via [[release]]
-    * instead. */
+    * Scope contract: relation-cache entries the caller created BEFORE
+    * the scope survive it untouched (only the body's new entries are
+    * uncached); a concurrent pinner on the same session would still
+    * have its new blocks claimed by the diff, and a pre-existing
+    * entry the body forces a RECACHE of (e.g. by overwriting the
+    * cached relation's files) is claimed as new. The query registry
+    * runs operators sequentially, so neither edge arises there. */
   def scoped(spark: SparkSession)(body: => DataFrame): DataFrame = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
+    val cacheBefore = org.apache.spark.sql.graft.RelationCache.snapshot(spark)
     def sweep(keep: Set[Int]): Unit = {
-      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.RelationCache.uncacheNewSince(spark,
+        cacheBefore)
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!before.contains(id) && !keep.contains(id))
           rdd.unpersist(blocking = false)
