@@ -330,7 +330,32 @@ object Dedup {
   def minhashDupPairsFromLedger(batch: DataFrame, ledger: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    minhashLedgerImpl(batch, ledger, corpus, idCol, textCol, threshold,
+      k, bands, n)._1
+
+  /** [[minhashDupPairsFromLedger]] plus the probe's CANDIDATE count
+    * (distinct band-collision pairs, the verify's input volume) — the
+    * instrumented-tick form: [[graft.streaming.Streaming.clusterLedgerIngest]]
+    * records the count on each tick's stage line so band-bucket
+    * degradation (boilerplate shingles funneling into few band keys)
+    * shows up as a rising per-tick candidates column in the artifact,
+    * the MinHash twin of [[simhashLedgerProbeCensus]]'s census. The
+    * count is an extra action over the internally persisted candidate
+    * relation — candidate-sized, not corpus-sized. */
+  def minhashLedgerProbeCensus(batch: DataFrame, ledger: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      n: Int = 3): (DataFrame, Long) = {
+    val (pairs, cand) = minhashLedgerImpl(batch, ledger, corpus, idCol,
+      textCol, threshold, k, bands, n)
+    (pairs, cand.count())
+  }
+
+  private def minhashLedgerImpl(batch: DataFrame, ledger: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int, bands: Int, n: Int)
+      : (DataFrame, DataFrame) = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must divide evenly into bands=$bands")
     val setsB = shingleSets(batch, idCol, textCol, n).persist(Spill)
@@ -350,9 +375,9 @@ object Dedup {
       .union(cand.select(col("id_b").as(idCol))).distinct()
     val setsTouched = shingleSets(
       corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, n)
-    jaccardFromSets(cand,
+    (jaccardFromSets(cand,
         setsB.unionByName(setsTouched).withColumnRenamed(idCol, "id"))
-      .filter(round(col("jaccard"), 6) >= threshold)
+      .filter(round(col("jaccard"), 6) >= threshold), cand)
   }
 
   // ── Blocked n-gram Jaccard (exact, no hashing) ─────────────────────────
@@ -792,6 +817,19 @@ object Dedup {
       blocks: Int = 6, blockBits: Int = 10, keyBlocks: Int = 3)
       : DataFrame = {
     assertDisjointIds(batchSig, ledgerSig, idCol)
+    tableLedgerScored(batchSig, ledgerSig, idCol, blocks, blockBits,
+        keyBlocks, maxHamming)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Pre-verify candidate relation of the multi-table ledger probe —
+    * the [[simhashLedgerScored]] twin for table keys: one row per
+    * colliding (table, key), exact Hamming attached, before the
+    * `maxHamming` filter and the pair-dedup exchange. */
+  private def tableLedgerScored(batchSig: DataFrame, ledgerSig: DataFrame,
+      idCol: String, blocks: Int, blockBits: Int, keyBlocks: Int,
+      maxHamming: Int): DataFrame = {
     val kb = multiTableKeys(batchSig, idCol, blocks, blockBits,
       keyBlocks, maxHamming)
     val kl = multiTableKeys(ledgerSig, idCol, blocks, blockBits,
@@ -808,8 +846,6 @@ object Dedup {
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
         hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
     internal.unionByName(cross)
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Candidate-vs-pair census of [[simhashDupPairsMultiTable]] over a
@@ -833,6 +869,124 @@ object Dedup {
       (candidates, pairs)
     } finally { scored.unpersist(); () }
   }
+
+  /** Probe GEOMETRY selector for the signature-ledger pair finders —
+    * the deployment knob the streaming ingests take: the same stored
+    * `(id, simhash)` ledger can be probed through single-field chunk
+    * keys ([[simhashDupPairsFromSigLedger]]) or the Manku multi-table
+    * keys ([[simhashDupPairsFromSigLedgerTables]]); the verified PAIR
+    * SET is geometry-invariant (both pigeonholes are exact), only the
+    * candidate volume moves. `keyRows · 1/2^keyBits` is the geometry's
+    * candidate constant — the uniform-occupancy analytic the
+    * [[requireLedgerOccupancy]] guard scales from. */
+  sealed trait SigProbeGeometry {
+    /** key rows each signature explodes into (chunks, or table count) */
+    def keyRows: Int
+    /** effective bits per join key */
+    def keyBits: Int
+    def label: String
+  }
+  /** Single-field chunk keys — [[requireGeometry]]'s constraints apply
+    * at probe time (`maxHamming < chunks`). */
+  final case class ChunkGeometry(chunks: Int = 8, chunkBits: Int = 8)
+      extends SigProbeGeometry {
+    def keyRows: Int = chunks
+    def keyBits: Int = chunkBits
+    def label: String = s"chunks_${chunks}x$chunkBits"
+  }
+  /** Manku multi-table keys (WWW 2007 §3) — generalized pigeonhole
+    * `maxHamming ≤ blocks − keyBlocks` applies at probe time. The
+    * streaming default that admits the ingests' Hamming ≤ 7 contract
+    * is 9 fields × 7 bits with 2-field keys: C(9,2) = 36 tables of
+    * 14-bit keys, candidate constant 36/2^14 ≈ 0.0022 vs the 8×8
+    * chunk default's 8/2^8 ≈ 0.031 (~14× fewer random collisions at
+    * the same exact recall). */
+  final case class TableGeometry(blocks: Int = 6, blockBits: Int = 10,
+      keyBlocks: Int = 3) extends SigProbeGeometry {
+    def keyRows: Int = (0 until blocks).combinations(keyBlocks).size
+    def keyBits: Int = keyBlocks * blockBits
+    def label: String = s"tables_${blocks}x${blockBits}x$keyBlocks"
+  }
+
+  /** One ledger probe's measured shape: pre-verify candidate rows (the
+    * shuffled work), verified pairs (the useful output), the two input
+    * cardinalities, and the uniform-occupancy analytic
+    * `keyRows · (nBatch·nLedger + nBatch²/2) / 2^keyBits`. */
+  final case class LedgerProbeStats(geometry: String, candidates: Long,
+      pairs: Long, nBatch: Long, nLedger: Long, analytic: Double) {
+    /** The loose occupancy bound: planted dups and skewed vocabularies
+      * land 3-6× over the analytic on real corpora; 20× plus a
+      * 100×-pairs allowance (true near-dups collide in every agreeing
+      * key by construction) is DEGRADATION — signatures piling into
+      * few keys. */
+    def bound: Double = 20.0 * analytic + 100.0 * math.max(pairs, 1L)
+    def degraded: Boolean = candidates > bound
+  }
+
+  /** Geometry-dispatched pre-verify candidate relation of one ledger
+    * probe (batch-internal ∪ batch×ledger, exact Hamming attached). */
+  private def ledgerScoredFor(batchSig: DataFrame, ledgerSig: DataFrame,
+      idCol: String, maxHamming: Int, geo: SigProbeGeometry): DataFrame =
+    geo match {
+      case ChunkGeometry(c, b) =>
+        requireGeometry(maxHamming, c, b, sigBits = 60)
+        simhashLedgerScored(batchSig, ledgerSig, idCol, c, b)
+      case TableGeometry(bl, bb, kb) =>
+        assertDisjointIds(batchSig, ledgerSig, idCol)
+        tableLedgerScored(batchSig, ledgerSig, idCol, bl, bb, kb,
+          maxHamming)
+    }
+
+  /** The PRODUCTION-INGEST ledger probe: find the batch-touching
+    * near-dup pairs AND census the probe's candidate volume in one
+    * materialization — the scored relation persists once, the
+    * candidate count and the verified pairs both read its blocks, and
+    * the pairs come back PINNED (eager localCheckpoint; the caller
+    * releases via [[Pinned.release]] once the fold consumed them).
+    * This is what the instrumented streaming ticks run so every tick's
+    * stage line carries its candidate count and the occupancy guard
+    * ([[requireLedgerOccupancy]]) fires AT INGEST — a degraded corpus
+    * must fail the tick loudly, not surface as a mystery slowdown with
+    * no artifact to land in. An empty `ledgerSig` (first tick) censuses
+    * the batch-internal probe alone. */
+  def simhashLedgerProbeCensus(batchSig: DataFrame, ledgerSig: DataFrame,
+      idCol: String, maxHamming: Int = 7,
+      geo: SigProbeGeometry = ChunkGeometry())
+      : (DataFrame, LedgerProbeStats) = {
+    val scored = ledgerScoredFor(batchSig, ledgerSig, idCol, maxHamming,
+      geo).persist(Spill)
+    try {
+      val candidates = scored.count()
+      val pairs = scored.filter(col("hamming") <= maxHamming).distinct()
+        .localCheckpoint(true)
+      val nPairs = pairs.count()
+      val nb = batchSig.count()
+      val nl = ledgerSig.count()
+      val analytic = geo.keyRows.toDouble *
+        (nb.toDouble * nl + nb.toDouble * nb / 2) /
+        math.pow(2.0, geo.keyBits)
+      (pairs,
+        LedgerProbeStats(geo.label, candidates, nPairs, nb, nl, analytic))
+    } finally { scored.unpersist(); () }
+  }
+
+  /** The loose occupancy guard, production form (the scale probe
+    * RECORDS the same bound as a flagged artifact field; an ingest
+    * tick fails it loudly): candidate mass beyond 20× the
+    * uniform-occupancy analytic plus 100× the true pairs means bucket
+    * occupancy has collapsed — boilerplate-skewed signatures piling
+    * into few keys — and every later tick would quietly pay it. */
+  def requireLedgerOccupancy(stats: LedgerProbeStats,
+      context: String): Unit =
+    require(!stats.degraded,
+      s"$context: signature-ledger candidate blow-up under " +
+        s"${stats.geometry}: ${stats.candidates} candidates for " +
+        s"${stats.pairs} pairs over batch=${stats.nBatch} x " +
+        s"ledger=${stats.nLedger} " +
+        f"(uniform-occupancy analytic ${stats.analytic}%.1f, bound " +
+        f"${stats.bound}%.1f) — bucket occupancy has collapsed " +
+        "(boilerplate-skewed signatures); strip the boilerplate " +
+        "before signing, or probe through a wider-key TableGeometry")
 
   /** Near-dup pairs at Hamming ≤ `maxHamming` over an arbitrary 64-bit
     * hash relation — the [[simhashDupPairs]] pigeonhole generalized to

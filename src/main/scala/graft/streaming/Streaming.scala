@@ -1527,17 +1527,21 @@ object Streaming {
           // replaying the probe per iteration; fold = incremental CC +
           // label snapshot write; bands/corpus = the at-ingest state
           // later ticks probe (work the pre-ledger r11 tick did not do)
-          val (pairsOpt, probeMs) = timedMs {
-            if (prior.isEmpty) None
+          val ((pairsOpt, candRows), probeMs) = timedMs {
+            if (prior.isEmpty) (None, -1L)
             else {
               require(priorBands.length == prior.length,
                 s"cluster ledger: ${prior.length} corpus tick(s) but " +
                   s"${priorBands.length} band tick(s) — the signature " +
                   "ledger is out of step with the corpus store")
-              Some(graft.ext.Dedup.minhashDupPairsFromLedger(
+              // census form: the tick's stage line carries the probe's
+              // candidate count, so band-bucket degradation shows up
+              // as a rising per-tick column instead of wall-time
+              val (pairs, cand) = graft.ext.Dedup.minhashLedgerProbeCensus(
                 df, sp.read.parquet(priorBands.toSeq: _*),
                 sp.read.parquet(prior.toSeq: _*), idCol, textCol,
-                threshold).localCheckpoint(true))
+                threshold)
+              (Some(pairs.localCheckpoint(true)), cand)
             }
           }
           val (_, foldMs) = timedMs {
@@ -1580,7 +1584,8 @@ object Streaming {
           pairsOpt.foreach(graft.ext.Pinned.release)
           graft.ext.Pinned.release(df)
           recordTickStages(queryName, batchId, Seq("probe" -> probeMs,
-            "fold" -> foldMs, "bands" -> bandMs, "corpus" -> corpusMs))
+            "fold" -> foldMs, "bands" -> bandMs, "corpus" -> corpusMs) ++
+            (if (candRows >= 0) Seq("cand_rows" -> candRows) else Nil))
           ()
         }
       }
@@ -1666,7 +1671,9 @@ object Streaming {
   def pipelineLedgerIngest(docs: DataFrame, workPath: String,
       checkpointDir: String, idCol: String, textCol: String,
       lang: String = "en", minQuality: Double = 60.0,
-      maxHamming: Int = 7, queryName: String = "")
+      maxHamming: Int = 7, queryName: String = "",
+      geometry: graft.ext.Dedup.SigProbeGeometry =
+        graft.ext.Dedup.ChunkGeometry())
       : org.apache.spark.sql.streaming.StreamingQuery =
     named(docs.writeStream, queryName)
       .option("checkpointLocation", checkpointDir)
@@ -1705,10 +1712,20 @@ object Streaming {
           val (sig, sigMs) = timedMs {
             Dedup.simhashSignaturesLocal(gated, idCol, textCol)
               .localCheckpoint(true) }
+          // census probe under the configured geometry (empty ledger on
+          // tick 0 → batch-internal pairs only, same set as the direct
+          // pigeonhole): the stage line carries the candidate count and
+          // the occupancy guard fails a degraded corpus AT THE TICK
+          val ledgerSig =
+            if (priorSigs.isEmpty) sig.limit(0)
+            else sp.read.parquet(priorSigs.toSeq: _*)
+          val ((pairs, probeStats), probeMs) = timedMs {
+            Dedup.simhashLedgerProbeCensus(sig, ledgerSig, idCol,
+              maxHamming, geometry) }
+          Dedup.requireLedgerOccupancy(probeStats,
+            s"pipeline ledger tick $batchId")
           val labels =
-            if (priorSigs.isEmpty)
-              Dedup.dupClusters(
-                Dedup.hammingDupPairs(sig, idCol, "simhash", maxHamming))
+            if (priorSigs.isEmpty) Dedup.dupClusters(pairs)
             else {
               val lp = new org.apache.hadoop.fs.Path(labelsPath)
               val priorSnap = fs.listStatus(lp).map(_.getPath.getName)
@@ -1717,8 +1734,6 @@ object Streaming {
               require(priorSnap.nonEmpty,
                 s"pipeline ledger: signature ticks exist but no label " +
                   s"snapshot precedes batch $batchId")
-              val pairs = Dedup.simhashDupPairsFromSigLedger(sig,
-                sp.read.parquet(priorSigs.toSeq: _*), idCol, maxHamming)
               Dedup.dupClustersIncremental(
                 sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
                 pairs)
@@ -1746,8 +1761,12 @@ object Streaming {
           // accumulates two batch-sized pins per tick
           graft.ext.Pinned.release(gated)
           graft.ext.Pinned.release(sig)
+          graft.ext.Pinned.release(pairs)
           recordTickStages(queryName, batchId, Seq("gate" -> gateMs,
-            "sig" -> sigMs, "fold" -> foldMs, "state" -> stateMs))
+            "sig" -> sigMs, "probe" -> probeMs, "fold" -> foldMs,
+            "state" -> stateMs,
+            "cand_rows" -> probeStats.candidates,
+            "pair_rows" -> probeStats.pairs))
           ()
         }
       }
@@ -1764,7 +1783,9 @@ object Streaming {
     * the batch `q_pipeline_export` composition, whose oracle it
     * shares. */
   def pipelineIncrementalAvailableNow(spark: SparkSession, dir: String,
-      workDir: String, queryName: String, ticks: Int = 2): DataFrame = {
+      workDir: String, queryName: String, ticks: Int = 2,
+      geometry: graft.ext.Dedup.SigProbeGeometry =
+        graft.ext.Dedup.ChunkGeometry()): DataFrame = {
     require(ticks >= 2, "an incremental gate needs at least two ticks")
     val docs = graft.Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
@@ -1781,7 +1802,7 @@ object Streaming {
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
       awaitOneShot(
         pipelineLedgerIngest(stream, workDir, s"$workDir/cp",
-          "doc_id", "text", queryName = queryName),
+          "doc_id", "text", queryName = queryName, geometry = geometry),
         queryName)
       val lp = new org.apache.hadoop.fs.Path(s"$workDir/labels")
       val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1845,7 +1866,9 @@ object Streaming {
   def funnelLedgerIngest(docs: DataFrame, workPath: String,
       checkpointDir: String, idCol: String, textCol: String,
       lang: String = "en", minQuality: Double = 60.0,
-      maxHamming: Int = 7, queryName: String = "")
+      maxHamming: Int = 7, queryName: String = "",
+      geometry: graft.ext.Dedup.SigProbeGeometry =
+        graft.ext.Dedup.ChunkGeometry())
       : org.apache.spark.sql.streaming.StreamingQuery =
     named(docs.writeStream, queryName)
       .option("checkpointLocation", checkpointDir)
@@ -1854,7 +1877,10 @@ object Streaming {
          batchId: Long) => timedTick(queryName, batchId) {
           import graft.ext.{Dedup, TextAnalysis}
           val sp = batch.sparkSession
-          val d = batch.toDF()
+          // pin the micro-batch once — three consumers scan it (the
+          // repetition kernel, the synthetic page, the flag build),
+          // same discipline as the cluster/pipeline ledger ticks
+          val d = batch.toDF().localCheckpoint(true)
           val gr = TextAnalysis.gopherRepetitionLocal(d, idCol, textCol)
             .select(col(idCol), col("pass_repetition").as("p_gr"))
           val c4 = TextAnalysis.c4Rules(
@@ -1907,10 +1933,20 @@ object Streaming {
             else Array.empty[String]
           }
           val priorSigs = priorDirs(sigsPath)
+          // census probe under the configured geometry (empty ledger on
+          // tick 0 → batch-internal pairs only): stage line carries the
+          // candidate count, occupancy guard fails a degraded corpus at
+          // the tick (the pipelineLedgerIngest contract)
+          val ledgerSig =
+            if (priorSigs.isEmpty) sig.limit(0)
+            else sp.read.parquet(priorSigs.toSeq: _*)
+          val ((pairs, probeStats), probeMs) = timedMs {
+            Dedup.simhashLedgerProbeCensus(sig, ledgerSig, idCol,
+              maxHamming, geometry) }
+          Dedup.requireLedgerOccupancy(probeStats,
+            s"funnel ledger tick $batchId")
           val labels =
-            if (priorSigs.isEmpty)
-              Dedup.dupClusters(
-                Dedup.hammingDupPairs(sig, idCol, "simhash", maxHamming))
+            if (priorSigs.isEmpty) Dedup.dupClusters(pairs)
             else {
               val lp = new org.apache.hadoop.fs.Path(labelsPath)
               val priorSnap = fs.listStatus(lp).map(_.getPath.getName)
@@ -1921,19 +1957,24 @@ object Streaming {
                   s"snapshot precedes batch $batchId")
               Dedup.dupClustersIncremental(
                 sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
-                Dedup.simhashDupPairsFromSigLedger(sig,
-                  sp.read.parquet(priorSigs.toSeq: _*), idCol,
-                  maxHamming))
+                pairs)
             }
-          labels.write.mode("overwrite")
-            .parquet(s"$labelsPath/batch=$batchId")
+          val (_, foldMs) = timedMs {
+            labels.write.mode("overwrite")
+              .parquet(s"$labelsPath/batch=$batchId") }
           sig.write.mode("overwrite").parquet(s"$sigsPath/batch=$batchId")
           surv.select(col(idCol), col("n_tokens"))
             .write.mode("overwrite")
             .parquet(s"$workPath/surv/batch=$batchId")
           sp.catalog.clearCache()
+          graft.ext.Pinned.release(d)
           graft.ext.Pinned.release(flags)
           graft.ext.Pinned.release(sig)
+          graft.ext.Pinned.release(pairs)
+          recordTickStages(queryName, batchId, Seq("probe" -> probeMs,
+            "fold" -> foldMs,
+            "cand_rows" -> probeStats.candidates,
+            "pair_rows" -> probeStats.pairs))
           ()
         }
       }
@@ -1947,7 +1988,9 @@ object Streaming {
     * the latest label snapshot. Equal to the one-shot `q_filter_funnel`
     * report, whose oracle the gate shares. */
   def funnelStreamAvailableNow(spark: SparkSession, dir: String,
-      workDir: String, queryName: String, ticks: Int = 2): DataFrame = {
+      workDir: String, queryName: String, ticks: Int = 2,
+      geometry: graft.ext.Dedup.SigProbeGeometry =
+        graft.ext.Dedup.ChunkGeometry()): DataFrame = {
     require(ticks >= 2, "a funnel ledger gate needs at least two ticks")
     val docs = graft.Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -1963,7 +2006,7 @@ object Streaming {
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
       awaitOneShot(
         funnelLedgerIngest(stream, workDir, s"$workDir/cp",
-          "doc_id", "text", queryName = queryName),
+          "doc_id", "text", queryName = queryName, geometry = geometry),
         queryName)
       val c15 = spark.read.parquet(s"$workDir/census")
         .groupBy(col("stage"))

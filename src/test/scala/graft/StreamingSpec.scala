@@ -1590,6 +1590,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("occupancy guard: a boilerplate-skewed corpus fails the ingest " +
+      "tick loudly instead of degrading silently") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_skewg_")
+    try {
+      // 50 docs sharing a 200-word boilerplate template (stopwords
+      // sprinkled in so the language/quality gates KEEP them) with 32
+      // unique tail words each: the shared shingle mass pins most
+      // signature bits, so chunk buckets collapse — measured ~1.5k
+      // chunk-collision candidates against a ~880 occupancy bound —
+      // while at maxHamming = 0 (exact-signature dedup config) not one
+      // pair verifies. The tick must fail with the named blow-up, not
+      // quietly pay the quadratic probe forever.
+      val base = (1 to 200).map(i =>
+        if (i % 4 == 0) "the" else if (i % 8 == 1) "and" else s"boiler$i")
+        .mkString(" ")
+      val docs = (0 until 50).map { d =>
+        (d.toLong,
+          base + " " + (0 until 32).map(j => s"u${d}_$j").mkString(" "),
+          "src0")
+      }
+      val mem = MemoryStream[(Long, String, String)]
+      mem.addData(docs: _*)
+      val q = Streaming.pipelineLedgerIngest(
+        mem.toDF().toDF("doc_id", "text", "source"),
+        dir.resolve("work").toString, dir.resolve("cp").toString,
+        "doc_id", "text", maxHamming = 0)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.awaitTermination())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+        c.getMessage != null && c.getMessage.contains("candidate blow-up")),
+        s"the occupancy require must surface through the stream: $ex")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("chaos: pipelineLedgerIngest heals torn batch=0 gated/sigs/labels " +
       "on replay; gate runs at ingest; labels fold to min id") {
     val s = spark
@@ -1671,10 +1712,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       def drive(work: String, cp: String): Unit = {
         val mem = MemoryStream[(Long, String)]
         def stream = mem.toDF().toDF("doc_id", "text")
-        docsByTick.zipWithIndex.foreach { case (tick, i) =>
+        // ONE checkpoint dir across ticks (the clusterLedgerIngest
+        // chaos pattern): tick 1 must resume as batch 1 so the
+        // incremental label fold over the torn batch=0 snapshot is
+        // actually exercised — a fresh dir per tick would replay the
+        // whole stream as batch 0 and never hit that path
+        docsByTick.zipWithIndex.foreach { case (tick, _) =>
           mem.addData(tick: _*)
           Streaming.funnelLedgerIngest(stream, work,
-            dir.resolve(s"$cp$i").toString, "doc_id", "text")
+            dir.resolve(cp).toString, "doc_id", "text")
             .awaitTermination()
         }
       }
