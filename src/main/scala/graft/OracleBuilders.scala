@@ -21,6 +21,71 @@ private[graft] object OracleBuilders {
          ON instr(lower(d.text), p.phrase) > 0
        GROUP BY 1 ORDER BY 1"""
 
+  /** SQL twin of [[graft.ext.Urls.demoUrl]] — the deterministic URL
+    * fixture over `documents` (expression over doc_id/source). */
+  val demoUrlSql: String =
+    """concat(
+         CASE doc_id % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'HTTP://www.'
+              WHEN 2 THEN 'https://' ELSE 'HTTPS://WWW.' END,
+         source, '.example.com',
+         CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+              WHEN 2 THEN ':8080' ELSE '' END,
+         '/docs//', (doc_id % 97)::VARCHAR,
+         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+         CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+              WHEN 1 THEN '?b=2&utm_campaign=x&a=1&gclid=zz'
+              WHEN 2 THEN '?a=1&b=2' WHEN 3 THEN '?ref=tw' ELSE '' END,
+         CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"""
+
+  /** SQL twin of [[graft.ext.Urls.urlCanonical]]/[[graft.ext.Urls.urlHost]]:
+    * CTE chain from a relation `u(doc_id, url)` to
+    * `uc(doc_id, url, url_canon, host)` — rule for rule the engine's
+    * expression tree (fragment strip, lowercase scheme/host, www. and
+    * default-port strip, slash collapse + trailing-slash strip,
+    * tracking-param drop + param sort). Ends at `uc`; callers embed it
+    * mid-WITH. */
+  val urlCanonChainSql: String =
+    """u1 AS (SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+       u2 AS (SELECT doc_id, url,
+             split_part(nofrag, '?', 1) AS base,
+             CASE WHEN strpos(nofrag, '?') > 0
+                  THEN substr(nofrag, strpos(nofrag, '?') + 1)
+                  ELSE '' END AS rawq
+           FROM u1),
+       u3 AS (SELECT *, lower(split_part(base, '://', 1)) AS scheme,
+             substr(base, strpos(base, '://') + 3) AS rest FROM u2),
+       u4 AS (SELECT *, split_part(rest, '/', 1) AS hostport FROM u3),
+       u5 AS (SELECT *,
+             CASE WHEN scheme = 'http' THEN regexp_replace(
+                    regexp_replace(lower(hostport), '^www\.', ''),
+                    ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(
+                    regexp_replace(lower(hostport), '^www\.', ''),
+                    ':443$', '')
+                  ELSE regexp_replace(lower(hostport), '^www\.', '')
+             END AS chost,
+             regexp_replace(regexp_replace(
+               substr(rest, length(hostport) + 1), '/{2,}', '/', 'g'),
+               '/$', '') AS pathn,
+             array_to_string(list_sort(list_filter(
+               string_split(rawq, '&'),
+               x -> x <> ''
+                 AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+                 AND split_part(x, '=', 1) NOT IN
+                   ('gclid', 'fbclid', 'msclkid', 'ref'))), '&') AS q
+           FROM u4),
+       uc AS (SELECT doc_id, url,
+             CASE WHEN strpos(url, '://') > 0
+                    AND scheme IN ('http', 'https')
+                  THEN scheme || '://' || chost || pathn ||
+                    CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END
+             END AS url_canon,
+             CASE WHEN strpos(url, '://') > 0
+                    AND scheme IN ('http', 'https')
+                  THEN chost END AS host
+           FROM u5)"""
+
   /** Shared oracle for the batch PMI collocation scan and its
     * maintained-at-ingest census-ledger twin (q_pmi_collocations /
     * q_pmi_stream): both censuses are additive across doc-partitioned

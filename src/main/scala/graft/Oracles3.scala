@@ -141,6 +141,45 @@ private[graft] object Oracles3 {
          FROM per p JOIN documents d USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
 
+    // URL canonicalization over the deterministic fixture: the chain
+    // replays the engine's expression tree rule for rule
+    "q_url_canonical" ->
+      s"""WITH u AS (SELECT doc_id, ${OracleBuilders.demoUrlSql} AS url
+              FROM documents),
+         ${OracleBuilders.urlCanonChainSql}
+         SELECT doc_id, url, url_canon, host FROM uc ORDER BY doc_id""",
+
+    // host rollup + URL dedup: distinct canonical URLs per host plus
+    // the novelty chain's truncated-mean convention, keyed by HOST
+    "q_host_rollup" ->
+      s"""WITH u AS (SELECT doc_id, ${OracleBuilders.demoUrlSql} AS url
+              FROM documents),
+         ${OracleBuilders.urlCanonChainSql},
+         tok AS (SELECT doc_id, text, string_split(text, ' ') AS l
+              FROM documents),
+         shl AS (SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN list_distinct([array_to_string(l[i:i+2], ' ')
+                                    for i in generate_series(1, len(l) - 2)])
+                ELSE [text] END AS ss FROM tok),
+         sh AS (SELECT doc_id, unnest(ss) AS shingle FROM shl),
+         dfc AS (SELECT shingle, count(*)::BIGINT AS df FROM sh
+              GROUP BY 1),
+         j AS (SELECT doc_id, df FROM sh JOIN dfc USING (shingle)),
+         per AS (SELECT doc_id,
+                ((count(*) FILTER (WHERE df = 1)) * 1000000
+                  // count(*))::BIGINT AS novelty_ppm
+              FROM j GROUP BY 1),
+         nt AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT
+                  AS n_tokens
+              FROM documents)
+         SELECT uc.host, count(*)::BIGINT AS n_docs,
+                count(DISTINCT uc.url_canon)::BIGINT AS n_urls,
+                sum(nt.n_tokens)::BIGINT AS n_tokens,
+                (sum(per.novelty_ppm)::BIGINT // count(*))::BIGINT
+                  AS mean_novelty_ppm
+         FROM uc JOIN nt USING (doc_id) JOIN per USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+
     // identical novelty pipeline (df over the full union), restricted
     // to the batch's docs — exactly the incremental contract
     "q_novelty_incremental" ->

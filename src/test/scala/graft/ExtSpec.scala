@@ -511,6 +511,174 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       "releasing the returned handle frees the last block")
   }
 
+  test("urlCanonical rule table: ports, www, slashes, params, fragments") {
+    val s = spark
+    import s.implicits._
+    val cases: Seq[(String, String)] = Seq(
+      // mixed-case scheme/host + www + default port + doubled slash +
+      // trailing slash + tracking params + unsorted survivors + fragment
+      "HTTP://www.Ex.COM:80/a//b/?utm_source=f&b=2&a=1#x" ->
+        "http://ex.com/a/b?a=1&b=2",
+      // https default port stripped; root path renders empty
+      "https://Ex.com:443/" -> "https://ex.com",
+      // non-default port is identity-bearing and kept
+      "https://ex.com:8080/p" -> "https://ex.com:8080/p",
+      // :443 is NOT http's default — kept
+      "http://ex.com:443/p" -> "http://ex.com:443/p",
+      // all-tracking query drops to no query at all
+      "http://ex.com/p?gclid=1&ref=tw&utm_campaign=c" -> "http://ex.com/p",
+      // path case is preserved (RFC 3986: only scheme/host fold)
+      "http://ex.com/CaseKept" -> "http://ex.com/CaseKept",
+      // non-http(s) and non-absolute inputs → NULL
+      "ftp://ex.com/a" -> null,
+      "not a url" -> null)
+    val out = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), graft.ext.Urls.urlCanonical(col("url")).as("c"),
+        graft.ext.Urls.urlHost(col("url")).as("h"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          (if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(out(i.toLong)._1 == want, s"urlCanonical($u)") }
+    assert(out(0L)._2 == "ex.com", "host: lowercased, www+:80 stripped")
+    assert(out(2L)._2 == "ex.com:8080", "host keeps non-default port")
+    assert(out(7L)._2 == null, "host is NULL off-scheme")
+  }
+
+  test("signature-ledger occupancy guard: collapsed chunk buckets are " +
+      "flagged degraded and the production require fails loudly") {
+    val s = spark
+    import s.implicits._
+    // 40 signatures identical in the six low chunks (48 shared zero
+    // bits) and distinct above: every pair collides on >= 6 chunk keys
+    // yet NO pair verifies at maxHamming = 0 — pure wasted shuffle,
+    // the boilerplate blow-up shape
+    val skew = (0 until 40).map(i => (i.toLong, i.toLong << 52))
+      .toDF("doc_id", "simhash")
+    val (p1, st1) = Dedup.simhashLedgerProbeCensus(skew, skew.limit(0),
+      "doc_id", maxHamming = 0)
+    assert(st1.pairs == 0L && st1.candidates >= 6L * (40L * 39 / 2),
+      s"skew fixture must collide on the shared chunks: $st1")
+    assert(st1.degraded, s"collapsed occupancy must flag: $st1")
+    val ex = intercept[IllegalArgumentException](
+      Dedup.requireLedgerOccupancy(st1, "spec tick"))
+    assert(ex.getMessage.contains("candidate blow-up"))
+    graft.ext.Pinned.release(p1)
+    // control: spread signatures land near the analytic, far under
+    // the bound — the guard is loose on healthy corpora
+    val spread = (0 until 40).map { i =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s"a$i").toLong &
+        0x3FFFFFFFL
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s"b$i").toLong &
+        0x3FFFFFFFL
+      (i.toLong, (h1 << 30) | h2)
+    }.toDF("doc_id", "simhash")
+    val (p2, st2) = Dedup.simhashLedgerProbeCensus(spread, spread.limit(0),
+      "doc_id", maxHamming = 0)
+    assert(!st2.degraded, s"spread control must pass the guard: $st2")
+    Dedup.requireLedgerOccupancy(st2, "spec tick") // must not throw
+    graft.ext.Pinned.release(p2)
+    s.catalog.clearCache()
+  }
+
+  test("ledger probe pair set is geometry-invariant: chunk keys and " +
+      "Manku table keys verify identical pairs at the same maxHamming") {
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "morning sun rises over the quiet hills and the river runs to the " +
+      "sea past the old stone bridge near the mill"
+    val d = docs(
+      (1L, base + " tail alpha"), (2L, base + " tail beta"),
+      (3L, base + " tail gamma"), (4L, base + " tail delta"),
+      (5L, "a wholly unrelated document about spark query planning and " +
+        "shuffle exchanges that shares nothing with the fox"),
+      (6L, base + " tail epsilon"))
+    val sig = Dedup.simhashSignaturesLocal(d, "doc_id", "text")
+      .localCheckpoint(true)
+    val batch = sig.filter(col("doc_id") % 2 === 0)
+    val ledger = sig.filter(col("doc_id") % 2 === 1)
+    def pairsOf(geo: Dedup.SigProbeGeometry): Set[(Long, Long)] = {
+      val (p, st) = Dedup.simhashLedgerProbeCensus(batch, ledger,
+        "doc_id", maxHamming = 7, geo)
+      assert(st.pairs > 0, s"fixture must verify pairs under ${geo.label}")
+      val set = p.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.ext.Pinned.release(p)
+      set
+    }
+    val chunk = pairsOf(Dedup.ChunkGeometry())
+    val tables = pairsOf(Dedup.TableGeometry(9, 7, 2))
+    assert(chunk == tables,
+      s"pair sets must be construction-invariant: $chunk vs $tables")
+    graft.ext.Pinned.release(sig)
+    spark.catalog.clearCache()
+  }
+
+  test("Pinned.scoped leaves the caller's pre-existing cached relations " +
+      "cached and SERVING — only the body's new entries are uncached") {
+    val s = spark
+    import s.implicits._
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    val mine = Seq(1L, 2L, 3L).toDF("v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(mine.count() == 3L)
+    assert(mine.storageLevel.useMemory, "precondition: caller entry cached")
+    val out = graft.ext.Pinned.scoped(s) {
+      val inner = Seq(4L, 5L).toDF("w")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      inner.crossJoin(mine).agg(count(lit(1)).as("n"))
+    }
+    assert(out.collect().head.getLong(0) == 6L)
+    // the caller's entry survived the scope's sweep AND still serves
+    // (not the stale never-stored state the house gotcha describes)
+    assert(mine.storageLevel.useMemory,
+      "pre-scope cache entry must survive the scope")
+    assert(mine.count() == 3L)
+    val entries = org.apache.spark.sql.graft.RelationCache.snapshot(s)
+    assert(entries.size == 1,
+      s"the body's entry must be gone, found ${entries.size}")
+    graft.ext.Pinned.release(out)
+    mine.unpersist(blocking = false)
+    ()
+  }
+
+  test("unicode fold: an NFD variant of a leaked span evades the " +
+      "byte-level normalized gate and is caught by the unicode gate") {
+    import graft.ext.TextAnalysis.foldUnicode
+    // the fold itself, byte for byte
+    assert(foldUnicode("Cafe\u0301") == "Caf\u00e9",
+      "NFD composes to the precomposed form")
+    assert(foldUnicode("\uFF21\uFF22\uFF23") == "ABC",
+      "fullwidth letters fold")
+    assert(foldUnicode("\uFB01ne") == "fine", "ligature folds")
+    assert(foldUnicode("a\u200Bb\uFEFFc\u200Cd\u200De") == "abcde",
+      "zero-width characters strip")
+    // leaked span with accents every few words, so every clean run is
+    // SHORTER than minLen: the byte-level normalized gate maps the
+    // NFC form's accented char to a space but keeps the NFD form's
+    // base letter — the two sides normalize to different text and no
+    // minLen window can match; after the fold both sides are
+    // byte-identical and the span is long enough (>= 2*minLen - 1)
+    // that the tiling pigeonhole guarantees a hit
+    val nfc = "caf\u00e9 alpha beta caf\u00e9 gamma delta caf\u00e9 " +
+      "epsilon zeta caf\u00e9"
+    val nfd = nfc.replace("caf\u00e9", "cafe\u0301")
+    val train = docs((1L, "wholly distinct intro " + nfc + " first tail"))
+    val leak = docs((10L, "unrelated opening " + nfd + " second tail"))
+    val minLen = 20
+    val missed = graft.ext.Curation.substringContaminationNormalized(
+      train, leak, "doc_id", "text", minLen).count()
+    val caught = graft.ext.Curation.substringContaminationUnicode(
+      train, leak, "doc_id", "text", minLen).count()
+    assert(missed == 0,
+      "the byte-level gate must miss the NFD variant (the evasion)")
+    assert(caught > 0, "the unicode gate must catch the same leak")
+    spark.catalog.clearCache()
+  }
+
   test("hammingDistance column matches bitCount of xor") {
     val s = spark
     import s.implicits._
