@@ -613,6 +613,26 @@ private[graft] object Oracles1 {
                 len(string_split(norm, ' '))::BIGINT AS n_tokens
          FROM n ORDER BY doc_id""",
 
+    // DETERMINISTIC FIXTURE oracle for the Unicode fold (DuckDB has no
+    // NFKC): the engine dirties each doc with enumerable variants —
+    // NFD e+U+0301, fullwidth letters, the fi ligature, zero-width
+    // separators — and this replay appends each variant's KNOWN NFKC
+    // image instead (chr(233) = the precomposed e-acute); the corpus
+    // text itself is ASCII and unaffected by the fold, so the md5
+    // pins the engine's normalizer output byte for byte
+    "q_text_normalize_nfkc" ->
+      """WITH n AS (SELECT doc_id,
+                text || CASE doc_id % 5
+                  WHEN 0 THEN ' Caf' || chr(233) || ' menu'
+                  WHEN 1 THEN ' ABC wide'
+                  WHEN 2 THEN ' fine print'
+                  WHEN 3 THEN ' zerowidthmark'
+                  ELSE '' END AS t
+              FROM documents)
+         SELECT doc_id, md5(t) AS norm_md5,
+                length(t)::BIGINT AS n_chars
+         FROM n ORDER BY doc_id""",
+
     // the q_knn_quantized chain with labels carried through and the
     // mismatch predicate in the pair join
     "q_hard_negatives" ->

@@ -839,6 +839,31 @@ private[graft] object QueriesParity {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode compatibility fold (TextAnalysis.foldUnicode: zero-width
+    // strip + NFKC): the corpus is deterministically dirtied with
+    // ENUMERABLE Unicode dirt — an NFD sequence (e + combining acute),
+    // fullwidth letters, the fi ligature, zero-width separators — and
+    // the folded text must hash identically on both engines. DuckDB
+    // has no NFKC, so the oracle is a deterministic FIXTURE: it builds
+    // the known NFKC image of each injected variant directly (the
+    // corpus text itself is ASCII, untouched by the fold), which pins
+    // the engine's normalizer output byte for byte.
+    "q_text_normalize_nfkc" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        // NFD e + U+0301; fullwidth A B C; the fi ligature; ZWSP + BOM
+        when(col("doc_id") % 5 === 0, " Cafe\u0301 menu")
+          .when(col("doc_id") % 5 === 1, " \uFF21\uFF22\uFF23 wide")
+          .when(col("doc_id") % 5 === 2, " \uFB01ne print")
+          .when(col("doc_id") % 5 === 3, " zero\u200Bwidth\uFEFFmark")
+          .otherwise(""))
+      val d = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("text"))
+      TextAnalysis.normalizeUnicodeLocal(d, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("norm_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Count-min frequency sketch: per-value estimates must sit inside
     // the classic one-sided band [exact, exact + eps·N] — the
     // frequency-sketch sibling of the q_approx_distinct/q_hll_rollup

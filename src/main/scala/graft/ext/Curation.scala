@@ -494,6 +494,24 @@ object Curation {
       test.withColumn(textCol, TextAnalysis.normalize(col(textCol))),
       idCol, textCol, minLen)
 
+  /** [[substringContaminationNormalized]] with
+    * [[TextAnalysis.foldUnicode]] applied FIRST on both sides: an NFD
+    * variant of a leaked span (byte-different, visually identical) no
+    * longer evades the gate — without the fold, `normalize` maps the
+    * precomposed form's accented character to a space but keeps the
+    * decomposed form's base letter, so the two normalize to DIFFERENT
+    * canonical text and never tile-match (ExtSpec pins the catch).
+    * The fold is a narrow per-row kernel ahead of the identical join
+    * machinery — same cost shape. */
+  def substringContaminationUnicode(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame =
+    substringContaminationNormalized(
+      TextAnalysis.normalizeUnicodeLocal(
+        train.select(col(idCol), col(textCol)), idCol, textCol),
+      TextAnalysis.normalizeUnicodeLocal(
+        test.select(col(idCol), col(textCol)), idCol, textCol),
+      idCol, textCol, minLen)
+
   /** TOKEN-BUDGET data mixture — turn "train on W₁ parts source A, W₂
     * parts source B, … up to T tokens total" into a concrete document
     * selection, deterministically. Each source gets the budget

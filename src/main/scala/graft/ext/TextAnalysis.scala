@@ -52,6 +52,48 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Unicode compatibility fold: strip zero-width characters (ZWSP /
+    * ZWNJ / ZWJ / ZWNBSP-BOM — stripped FIRST so they cannot sit
+    * between a base character and its combining mark during
+    * composition), then NFKC-normalize. This is the pass [[normalize]]
+    * cannot express as portable SQL: an NFD sequence (`e` + U+0301)
+    * and its precomposed NFC form are byte-DIFFERENT but visually
+    * identical, so without the fold they hash to different row_hashes
+    * and a leaked span in the other form evades the normalized
+    * decontamination gate (ExtSpec pins exactly that catch); NFKC
+    * additionally folds compatibility variants — fullwidth forms,
+    * ligatures — that the same evasion can hide behind. */
+  def foldUnicode(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != 0x200B.toChar && c != 0x200C.toChar &&
+          c != 0x200D.toChar && c != 0xFEFF.toChar)
+        sb.append(c)
+      i += 1
+    }
+    java.text.Normalizer.normalize(sb, java.text.Normalizer.Form.NFKC)
+  }
+
+  /** [[foldUnicode]] as a typed per-row kernel over `(idCol, textCol)`
+    * — the JVM normalizer is not expressible as a Catalyst expression
+    * tree, so this is the one normalize-path stage that runs as a
+    * Dataset map (narrow, shuffle-free, text-size-linear; same scale
+    * shape as [[graft.ext.Dedup.simhashSignaturesLocal]]). Compose
+    * with [[normalize]] AFTER folding for the full canonical form.
+    * Null text rows pass through null (the [[normalize]] contract). */
+  def normalizeUnicodeLocal(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(java.lang.Long, String)]
+      .map { case (id, t) =>
+        (id, if (t == null) null else foldUnicode(t)) }
+      .toDF(idCol, textCol)
+  }
+
   // ── Language ID ────────────────────────────────────────────────────────
 
   /** Marker stopwords per language, checked in this fixed precedence
