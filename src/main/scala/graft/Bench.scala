@@ -183,12 +183,28 @@ object Bench {
     val top = failed ++
       best.toSeq.filter(_._2 >= 0).sortBy(-_._2)
         .take(40 - math.min(failed.size, 40))
+    // spread = worst/best across a query's runs; an entry still over
+    // 2x AFTER the tie-breaking extra runs is UNSTABLE: its reported
+    // min is a lottery ticket, not a measurement. Surfacing the list
+    // in the captured stdout line (not only per-entry in
+    // BENCH_FULL.json) makes the artifact self-report which headline
+    // numbers are load-contaminated — the reader discounts them
+    // instead of chasing phantom regressions.
+    def spreadOf(r: QRes): Double = {
+      val ok = r.runs.filter(_ >= 0)
+      if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min
+    }
+    val unstable = results2.toSeq
+      .filter { case (_, r) => r.best >= 0 && spreadOf(r) > 2.0 }
+      .map(_._1).sorted
+    val unstableJson = unstable.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     // the BENCH_FULL.json pointer is only honest on a full run —
     // SPARK_GRAFT_ONLY subset runs deliberately leave the file stale
     val fullPtr =
       if (only.isEmpty) ""","queries_full":"BENCH_FULL.json"""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(top)}$fullPtr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(top)},"unstable":$unstableJson$fullPtr,"sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(best)},"sf":"$sfDir"}"""
     if (only.isEmpty)
@@ -214,11 +230,11 @@ object Bench {
           else math.max(r.runs.head - r.best, 0.0)
         // spread = worst/best across the runs: >2 marks an entry whose
         // reported min is volatile (such queries also earned a third
-        // run above), so round-over-round diffs can discount it
-        val ok = r.runs.filter(_ >= 0)
-        val spread =
-          if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min
-        s"""  "$k": {"sec": ${r3(r.best)}, "cold_s": ${r3(cold)}, "spread": ${r3(spread)}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}, "gc_ms": ${arrL(r.gcMs)}, "heap_mb": ${arrL(r.heapMb)}}"""
+        // run above) — stamped "unstable" here AND surfaced as a list
+        // in the captured stdout line, so round-over-round diffs can
+        // discount it from the artifact alone
+        val spread = spreadOf(r)
+        s"""  "$k": {"sec": ${r3(r.best)}, "cold_s": ${r3(cold)}, "spread": ${r3(spread)}, "unstable": ${spread > 2.0}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}, "gc_ms": ${arrL(r.gcMs)}, "heap_mb": ${arrL(r.heapMb)}}"""
       }
       .mkString(
         s"""{\n  "_total_sec": ${r3(total)},\n  "_sf": "$sfDir",\n  "_cpus": $cpus,\n""" +

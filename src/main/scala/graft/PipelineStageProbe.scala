@@ -118,6 +118,43 @@ object PipelineStageProbe {
       println(f"""{"metric":"pipeline_incremental_stages","sf":"$sfDir","ingest_sec":$ingestSec%.2f,"tail_sec":$tailSec%.2f,"tick_stage_ms":{$ticks}}""")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(tmp.toFile)
+
+    // FUNNEL arm under both probe geometries: the streaming filter
+    // funnel's per-tick stage lines now carry cand_rows/pair_rows, so
+    // one run per geometry measures the candidate constant the
+    // (chunks vs Manku tables) knob sets ON THE STREAMING PATH — the
+    // SCALING.md per-tick candidate row. Chunk 8x8 is the artifact-
+    // continuity default; tables 9x7x2 is the widest-key construction
+    // admitting the funnel's Hamming <= 7 contract.
+    def tickJson(qn: String): String =
+      Option(graft.streaming.Streaming.tickStages.get(qn))
+        .map(_.toArray(Array.empty[(Long, Seq[(String, Long)])]))
+        .getOrElse(Array.empty)
+        .sortBy(_._1)
+        .map { case (b, st) =>
+          s""""tick_$b":{${st.map { case (n, m) =>
+            s""""$n":$m""" }.mkString(",")}}""" }
+        .mkString(",")
+    val geos = Seq(
+      "chunks_8x8" -> graft.ext.Dedup.ChunkGeometry(),
+      "tables_9x7x2" -> graft.ext.Dedup.TableGeometry(9, 7, 2))
+    val funnelBody = geos.map { case (gname, geo) =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val ftmp = java.nio.file.Files.createTempDirectory("graft_funprobe_")
+      try {
+        val qn = s"graft_funnel_probe_$gname"
+        val t0 = System.nanoTime()
+        graft.streaming.Streaming.funnelStreamAvailableNow(spark, sfDir,
+            ftmp.toString, qn, geometry = geo)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        f""""$gname":{"sec":$sec%.2f,"tick_stage_ms":{${tickJson(qn)}}}"""
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(ftmp.toFile)
+    }.mkString(",")
+    println(s"""{"metric":"funnel_stages","sf":"$sfDir",$funnelBody}""")
     spark.stop()
   }
 }
