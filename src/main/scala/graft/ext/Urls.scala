@@ -93,6 +93,56 @@ object Urls {
       .otherwise(lit(null))
   }
 
+  /** [[urlCanonical]] + [[urlHost]] as ONE typed per-row kernel — the
+    * hot-path form for a whole-crawl canonicalization pass (the house
+    * HOF-vs-kernel precedent: the expression form's query-param filter
+    * is an interpreted lambda, and a kernel pays one compiled regex
+    * set per partition instead of per-expression-tree). Returns
+    * `(idCol, urlCol, url_canon, host)`; ExtSpec pins it value-equal
+    * to the expression forms on the full fixture plus the edge table.
+    * The expression form stays the oracle-replayable reference. */
+  def urlCanonicalLocal(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, urlCol: String): org.apache.spark.sql.DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long"), col(urlCol).cast("string"))
+      .as[(java.lang.Long, String)]
+      .map { case (id, u) =>
+        val (c, h) = canonicalizeLocal(u)
+        (id, u, c, h) }
+      .toDF(idCol, urlCol, "url_canon", "host")
+  }
+
+  /** Scala twin of the expression rule table (shared by
+    * [[urlCanonicalLocal]]); null-safe, (canonical, host). */
+  private[graft] def canonicalizeLocal(u: String): (String, String) = {
+    if (u == null) return (null, null)
+    val noFrag = u.replaceAll("#.*$", "")
+    val qPos = noFrag.indexOf('?')
+    val base = if (qPos < 0) noFrag else noFrag.substring(0, qPos)
+    val rawQ = if (qPos < 0) "" else noFrag.substring(qPos + 1)
+    val sPos = base.indexOf("://")
+    if (sPos < 0) return (null, null)
+    val scheme = base.substring(0, sPos).toLowerCase
+    if (scheme != "http" && scheme != "https") return (null, null)
+    val rest = base.substring(sPos + 3)
+    val slash = rest.indexOf('/')
+    val hostport = (if (slash < 0) rest else rest.substring(0, slash))
+      .toLowerCase
+    val noWww = hostport.replaceFirst("^www\\.", "")
+    val host =
+      if (scheme == "http") noWww.replaceFirst(":80$", "")
+      else noWww.replaceFirst(":443$", "")
+    val path = if (slash < 0) "" else rest.substring(slash)
+    val pathNorm = path.replaceAll("/{2,}", "/").replaceAll("/$", "")
+    val kept = rawQ.split("&", -1).filter { p =>
+      val key = { val e = p.indexOf('='); if (e < 0) p else p.substring(0, e) }
+      p.nonEmpty && !key.startsWith("utm_") && !TrackingKeys.contains(key)
+    }.sorted
+    val q = if (kept.isEmpty) "" else kept.mkString("?", "&", "")
+    (s"$scheme://$host$pathNorm$q", host)
+  }
+
   /** Deterministic URL FIXTURE over the driver tables (`documents`
     * carries no URL column): every canonicalization rule appears —
     * mixed-case schemes, `www.` variants, default and non-default

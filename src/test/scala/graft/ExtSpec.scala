@@ -547,6 +547,41 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(out(7L)._2 == null, "host is NULL off-scheme")
   }
 
+  test("urlCanonicalLocal kernel is value-identical to the expression " +
+      "forms on the full fixture plus the edge table") {
+    val s = spark
+    import s.implicits._
+    // the whole demoUrl fixture space (every scheme/port/path/query/
+    // fragment combination the moduli generate) + adversarial edges
+    val fixture = (0L until 500L).map(i => (i, s"src${i % 20}"))
+      .toDF("doc_id", "source")
+      .select(col("doc_id"),
+        graft.ext.Urls.demoUrl(col("doc_id"), col("source")).as("url"))
+    val edges = Seq(
+      (9001L, "HTTP://www.Ex.COM:80/a//b/?utm_source=f&b=2&a=1#x"),
+      (9002L, "https://Ex.com:443/"), (9003L, "https://ex.com:8080/p"),
+      (9004L, "ftp://ex.com/a"), (9005L, "not a url"),
+      (9006L, "foo#http://x"), (9007L, "notaurl?x=a://b"),
+      (9008L, "http://ex.com/p?gclid=1&ref=tw&utm_campaign=c"),
+      (9009L, "http://ex.com"), (9010L, "http://ex.com/?&&"),
+      (9011L, "https://WWW.ex.com:443//"),
+      (9012L, "http://ex.com/a?b=2&a=1&a=0"))
+      .toDF("doc_id", "url")
+    val all = fixture.unionByName(edges)
+    val expr = all.select(col("doc_id"), col("url"),
+        graft.ext.Urls.urlCanonical(col("url")).as("url_canon"),
+        graft.ext.Urls.urlHost(col("url")).as("host"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    val kern = graft.ext.Urls.urlCanonicalLocal(all, "doc_id", "url")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(expr.keySet == kern.keySet)
+    expr.foreach { case (id, v) =>
+      assert(kern(id) == v, s"kernel != expression at doc $id: " +
+        s"${kern(id)} vs $v") }
+  }
+
   test("signature-ledger occupancy guard: collapsed chunk buckets are " +
       "flagged degraded and the production require fails loudly") {
     val s = spark
