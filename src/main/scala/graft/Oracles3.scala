@@ -149,6 +149,19 @@ private[graft] object Oracles3 {
          ${OracleBuilders.urlCanonChainSql}
          SELECT doc_id, url, url_canon, host FROM uc ORDER BY doc_id""",
 
+    // URL dedup proper: keeper = min doc_id per canonical URL
+    "q_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, ${OracleBuilders.demoUrlSql} AS url
+              FROM documents),
+         ${OracleBuilders.urlCanonChainSql},
+         k AS (SELECT url_canon, min(doc_id) AS keeper,
+                count(*)::BIGINT AS n_fetches
+              FROM uc GROUP BY 1)
+         SELECT uc.doc_id, uc.url_canon,
+                uc.doc_id = k.keeper AS keep, k.n_fetches
+         FROM uc JOIN k USING (url_canon)
+         ORDER BY uc.doc_id""",
+
     // host rollup + URL dedup: distinct canonical URLs per host plus
     // the novelty chain's truncated-mean convention, keyed by HOST
     "q_host_rollup" ->

@@ -1344,6 +1344,28 @@ private[graft] object QueriesScaleText {
           graft.ext.Urls.urlHost(col("url")).as("host"))
         .orderBy(col("doc_id"))),
 
+    // URL dedup proper (the RefinedWeb stage): one surviving doc per
+    // CANONICAL URL — smallest doc_id is the keeper (the house
+    // keep-canonical convention), every fixture collision collapses.
+    // One hash aggregation on url_canon + a broadcast-size join back;
+    // no window, no skew hazard (a canonical URL's group is refetch
+    // multiplicity, never corpus-sized).
+    "q_url_dedup" -> ((s, dir) => {
+      val u = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ext.Urls.urlCanonical(
+            graft.ext.Urls.demoUrl(col("doc_id"), col("source")))
+            .as("url_canon"))
+      val keepers = u.groupBy(col("url_canon"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_fetches"))
+      u.join(keepers, "url_canon")
+        .select(col("doc_id"), col("url_canon"),
+          (col("doc_id") === col("keeper")).as("keep"),
+          col("n_fetches"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Host-level rollup + URL dedup: docs keyed by canonical host,
     // n_urls = DISTINCT canonical URLs (the URL-dedup statistic —
     // fixture collisions collapse here), joined to the novelty census
