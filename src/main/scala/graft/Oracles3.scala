@@ -162,6 +162,19 @@ private[graft] object Oracles3 {
          FROM uc JOIN k USING (url_canon)
          ORDER BY uc.doc_id""",
 
+    // the ledger-maintained streaming twin shares the report verbatim
+    "q_url_dedup_stream" ->
+      s"""WITH u AS (SELECT doc_id, ${OracleBuilders.demoUrlSql} AS url
+              FROM documents),
+         ${OracleBuilders.urlCanonChainSql},
+         k AS (SELECT url_canon, min(doc_id) AS keeper,
+                count(*)::BIGINT AS n_fetches
+              FROM uc GROUP BY 1)
+         SELECT uc.doc_id, uc.url_canon,
+                uc.doc_id = k.keeper AS keep, k.n_fetches
+         FROM uc JOIN k USING (url_canon)
+         ORDER BY uc.doc_id""",
+
     // host rollup + URL dedup: distinct canonical URLs per host plus
     // the novelty chain's truncated-mean convention, keyed by HOST
     "q_host_rollup" ->

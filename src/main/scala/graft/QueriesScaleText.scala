@@ -1366,6 +1366,19 @@ private[graft] object QueriesScaleText {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING twin: the same URL-dedup report derived from the
+    // urls/batch=<id> ledger maintained at ingest (rows canonicalized
+    // exactly once, by the typed kernel, in their own tick) — shares
+    // q_url_dedup's oracle cell-exactly.
+    "q_url_dedup_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_urls_")
+      try
+        Streaming.urlStreamAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_urls"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // Host-level rollup + URL dedup: docs keyed by canonical host,
     // n_urls = DISTINCT canonical URLs (the URL-dedup statistic —
     // fixture collisions collapse here), joined to the novelty census

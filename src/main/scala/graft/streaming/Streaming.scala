@@ -1987,6 +1987,70 @@ object Streaming {
     * stage 6 by the canonical-survivor rule over the survivor union and
     * the latest label snapshot. Equal to the one-shot `q_filter_funnel`
     * report, whose oracle the gate shares. */
+  /** Streaming URL-canonicalization ledger: each micro-batch
+    * canonicalizes ITS OWN rows once, at ingest (the typed kernel —
+    * the hot-path form), and appends the `(id, url_canon)` relation
+    * under the idempotent `urls/batch=<id>` discipline. The relation
+    * is additive across doc-partitioned ticks, so the URL-dedup
+    * report (keeper = min id per canonical URL + refetch count) is a
+    * pure aggregation over the summed ledger — raw URLs are never
+    * re-canonicalized, the exact at-ingest sufficient-statistic
+    * pattern of the signature/band/census ledgers. Replay safety is
+    * the house `batch=<id>` overwrite. */
+  def urlLedgerIngest(docs: DataFrame, workPath: String,
+      checkpointDir: String, idCol: String, urlCol: String,
+      queryName: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    named(docs.writeStream, queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) => timedTick(queryName, batchId) {
+          graft.ext.Urls.urlCanonicalLocal(batch.toDF(), idCol, urlCol)
+            .select(col(idCol), col("url_canon"))
+            .write.mode("overwrite")
+            .parquet(s"$workPath/urls/batch=$batchId")
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Drive [[urlLedgerIngest]] over the driver documents (URL fixture
+    * built at ingest) as a bounded multi-tick stream, then derive the
+    * URL-dedup report from the MAINTAINED ledger alone — equal to the
+    * one-shot `q_url_dedup`, whose oracle the gate shares. */
+  def urlStreamAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, ticks: Int = 2): DataFrame = {
+    require(ticks >= 2, "a url ledger gate needs at least two ticks")
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ext.Urls.demoUrl(col("doc_id"), col("source")).as("url"))
+    val parts = (0 until ticks).map(i =>
+      docs.filter(pmod(hash(col("doc_id")), lit(ticks)) === i))
+    val schema = stageBatches(spark, s"$workDir/staged", parts)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(
+        urlLedgerIngest(stream, workDir, s"$workDir/cp",
+          "doc_id", "url", queryName = queryName),
+        queryName)
+      val u = spark.read.parquet(s"$workDir/urls/batch=*")
+        .select(col("doc_id"), col("url_canon"))
+      val keepers = u.groupBy(col("url_canon"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_fetches"))
+      u.join(keepers, "url_canon")
+        .select(col("doc_id"), col("url_canon"),
+          (col("doc_id") === col("keeper")).as("keep"),
+          col("n_fetches"))
+        .orderBy(col("doc_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   def funnelStreamAvailableNow(spark: SparkSession, dir: String,
       workDir: String, queryName: String, ticks: Int = 2,
       geometry: graft.ext.Dedup.SigProbeGeometry =

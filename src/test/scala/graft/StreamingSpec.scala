@@ -1590,6 +1590,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chaos: urlLedgerIngest heals torn batch=0 url state on replay; " +
+      "the report reads the ledger alone") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaosu_")
+    val work = dir.resolve("state").toString
+    try {
+      // plausible-but-wrong debris: a phantom doc claiming a canonical
+      // URL that would steal keeper status from every real doc
+      tearTick(s"$work/urls", 0L,
+        Seq((0L, "http://phantom.example/x")).toDF("doc_id", "url_canon"))
+      val mem = MemoryStream[(Long, String)]
+      def stream = mem.toDF().toDF("doc_id", "url")
+      // two docs collide on the canonical form, one stands alone
+      mem.addData(
+        (3L, "HTTP://www.Ex.COM:80/a//b/?utm_source=f&b=2&a=1#x"),
+        (5L, "http://ex.com/a/b?a=1&b=2"))
+      Streaming.urlLedgerIngest(stream, work,
+        dir.resolve("cp").toString, "doc_id", "url").awaitTermination()
+      mem.addData((9L, "https://solo.ex.com/p"))
+      Streaming.urlLedgerIngest(stream, work,
+        dir.resolve("cp").toString, "doc_id", "url").awaitTermination()
+      val u = s.read.parquet(s"$work/urls/batch=*")
+      val rows = u.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(3L, 5L, 9L),
+        s"phantom batch=0 debris must be overwritten by the replay: $rows")
+      assert(rows(3L) == "http://ex.com/a/b?a=1&b=2" &&
+        rows(3L) == rows(5L),
+        "the canonical collision must survive the ledger round-trip")
+      val keepers = u.groupBy(col("url_canon"))
+        .agg(min(col("doc_id")).as("k")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(keepers(rows(3L)) == 3L, "keeper = min doc_id per canonical")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("occupancy guard: a boilerplate-skewed corpus fails the ingest " +
       "tick loudly instead of degrading silently") {
     val s = spark
