@@ -613,6 +613,42 @@ private[graft] object Oracles1 {
                 len(string_split(norm, ' '))::BIGINT AS n_tokens
          FROM n ORDER BY doc_id""",
 
+    // HTML extraction replayed rule for rule (RE2 shares Java's (?is)
+    // + non-greedy semantics on this subset; entity decode order
+    // matters — &amp; last so &amp;lt; renders the literal &lt;)
+    "q_html_extract" ->
+      """WITH pg AS (SELECT doc_id,
+                '<html><head><title>Doc</title><style>p { margin: 0; }</style>'
+                || '<script>if (1 < 2) { alert("x &amp; y"); }</script></head><body>'
+                || CASE WHEN doc_id % 5 = 0
+                     THEN '<!-- boilerplate comment words -->' ELSE '' END
+                || '<h1 class="hd">Heading &amp; intro</h1><p>' || text
+                || '</p>'
+                || CASE WHEN doc_id % 3 = 0
+                     THEN '<p>Tail &lt;tagged&gt; &quot;quoted&quot;&nbsp;entity&#39;s &apos;end&apos;</p>'
+                     ELSE '' END
+                || '</body></html>' AS page
+              FROM documents),
+         x AS (SELECT doc_id,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(page,
+                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                      '<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                    '&amp;', '&'),
+                  '[ \t\n\r]+', ' ', 'g')) AS t
+              FROM pg)
+         SELECT doc_id, md5(t) AS text_md5,
+                len(string_split(t, ' '))::BIGINT AS n_tokens
+         FROM x ORDER BY doc_id""",
+
     // DETERMINISTIC FIXTURE oracle for the Unicode fold (DuckDB has no
     // NFKC): the engine dirties each doc with enumerable variants —
     // NFD e+U+0301, fullwidth letters, the fi ligature, zero-width

@@ -839,6 +839,23 @@ private[graft] object QueriesParity {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML -> text extraction (the Common-Crawl-WET-style stage before
+    // language ID): script/style blocks dropped WITH content, comments
+    // dropped, tags -> space, seven named entities decoded (&amp;
+    // last), whitespace collapsed — over the deterministic synthetic
+    // markup (the corpus carries no HTML; the fixture renders every
+    // rule's trigger). Pure per-row regexp chain, RE2-compatible so
+    // the oracle replays it verbatim.
+    "q_html_extract" -> ((s, dir) => {
+      val pg = TextAnalysis.htmlSyntheticPage(
+        Tables.read(s, dir, "documents"), "doc_id", "text")
+      pg.select(col("doc_id"),
+          TextAnalysis.htmlExtract(col("page")).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("text_md5"),
+          size(split(col("t"), " ", -1)).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode compatibility fold (TextAnalysis.foldUnicode: zero-width
     // strip + NFKC): the corpus is deterministically dirtied with
     // ENUMERABLE Unicode dirt — an NFD sequence (e + combining acute),

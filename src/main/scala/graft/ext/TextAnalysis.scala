@@ -688,6 +688,60 @@ object TextAnalysis {
           !col("has_lorem") && !col("has_brace"))
   }
 
+  /** HTML → text extraction — the stage a crawl pipeline runs before
+    * language ID ever sees a byte: drop `<script>`/`<style>` blocks
+    * WITH their content (code and CSS are not prose; a brace-counting
+    * quality gate downstream must not be fed them), drop comments,
+    * replace every remaining tag with a space, decode the common
+    * entities (`&amp;` LAST, so literal `&amp;lt;` correctly renders
+    * `&lt;` and never double-decodes), collapse whitespace, trim.
+    * Deliberately the deterministic regex subset both engines share
+    * (RE2 and Java agree on `(?is)`, non-greedy `.*?`, and explicit
+    * classes — the [[EmailRegex]] compatibility note applies): this is
+    * the Common-Crawl-WET-style extraction, not a DOM parser — no
+    * entity table beyond the named seven, no charset sniffing, no
+    * readability scoring (those are I/O-adjacent concerns a real
+    * ingest solves before the engine).
+    *
+    * Scale (100 TB): pure per-row regexp chain — zero shuffles, runs
+    * in the same scan as the quality gates. */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(
+      coalesce(html.cast("string"), lit("")),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** Deterministic SYNTHETIC page markup for the extraction gate (the
+    * [[c4SyntheticPage]] fixture precedent — the corpus carries no
+    * HTML, so the query renders every rule's trigger: script WITH a
+    * stray `<` and braces inside, style with braces, a comment plant
+    * on id % 5, attribute-carrying tags, all seven entities on
+    * id % 3). Output `(idCol, page)`. */
+  def htmlSyntheticPage(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), concat(
+      lit("<html><head><title>Doc</title>" +
+        "<style>p { margin: 0; }</style>" +
+        "<script>if (1 < 2) { alert(\"x &amp; y\"); }</script></head>" +
+        "<body>"),
+      when(col(idCol) % 5 === 0,
+        "<!-- boilerplate comment words -->").otherwise(""),
+      lit("<h1 class=\"hd\">Heading &amp; intro</h1><p>"),
+      coalesce(col(textCol).cast("string"), lit("")),
+      lit("</p>"),
+      when(col(idCol) % 3 === 0,
+        "<p>Tail &lt;tagged&gt; &quot;quoted&quot;&nbsp;" +
+          "entity&#39;s &apos;end&apos;</p>").otherwise(""),
+      lit("</body></html>")).as("page"))
+
   // ── PII scanning / redaction ───────────────────────────────────────────
 
   /** ASCII-only regexes shared verbatim with the oracle (Java regex and

@@ -680,6 +680,34 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     ()
   }
 
+  test("htmlExtract: blocks dropped with content, tags spaced, " +
+      "entities decoded in the safe order") {
+    val s = spark
+    import s.implicits._
+    val cases: Seq[(String, String)] = Seq(
+      // script content (with stray < and braces) vanishes entirely
+      "<p>a</p><script>if (1 < 2) { x(\"<b>\"); }</script><p>b</p>" ->
+        "a b",
+      // style vanishes; attributes don't leak; tags become spaces
+      "<style type=\"text/css\">p { color: red; }</style>" +
+        "<a href=\"http://x\">link</a>text" -> "link text",
+      // comments vanish even spanning tags
+      "pre<!-- <p>hidden</p> -->post" -> "pre post",
+      // entity decode order: literal &amp;lt; renders &lt;, never <
+      "x &amp;lt; y &amp; z &lt;tag&gt; &quot;q&quot; &#39;a&#39; " +
+        "&apos;b&apos;&nbsp;end" ->
+        "x &lt; y & z <tag> \"q\" 'a' 'b' end",
+      // whitespace collapse + trim
+      "  <p>  a \n\t b  </p>  " -> "a b")
+    val out = cases.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }
+      .toDF("id", "page")
+      .select(col("id"),
+        graft.ext.TextAnalysis.htmlExtract(col("page")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((h, want), i) =>
+      assert(out(i.toLong) == want, s"htmlExtract($h)") }
+  }
+
   test("unicode fold: an NFD variant of a leaked span evades the " +
       "byte-level normalized gate and is caught by the unicode gate") {
     import graft.ext.TextAnalysis.foldUnicode
