@@ -86,6 +86,37 @@ private[graft] object OracleBuilders {
                   THEN chost END AS host
            FROM u5)"""
 
+  /** SQL twin of [[graft.ext.TextAnalysis.htmlSyntheticPage]] — the
+    * deterministic markup fixture over `documents`. */
+  val htmlPageSql: String =
+    """('<html><head><title>Doc</title><style>p { margin: 0; }</style>'
+       || '<script>if (1 < 2) { alert("x &amp; y"); }</script></head><body>'
+       || CASE WHEN doc_id % 5 = 0
+            THEN '<!-- boilerplate comment words -->' ELSE '' END
+       || '<h1 class="hd">Heading &amp; intro</h1><p>' || text || '</p>'
+       || CASE WHEN doc_id % 3 = 0
+            THEN '<p>Tail &lt;tagged&gt; &quot;quoted&quot;&nbsp;entity&#39;s &apos;end&apos;</p>'
+            ELSE '' END
+       || '</body></html>')"""
+
+  /** SQL twin of [[graft.ext.TextAnalysis.htmlExtract]] applied to an
+    * arbitrary SQL expression `src` — the nested regexp_replace /
+    * replace chain, rule for rule (entity decode order matters:
+    * `&amp;` last). */
+  def htmlExtractSql(src: String): String =
+    s"""trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             $src,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '<[^>]*>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+           '&amp;', '&'),
+         '[ \t\n\r]+', ' ', 'g'))"""
+
   /** Shared oracle for the batch PMI collocation scan and its
     * maintained-at-ingest census-ledger twin (q_pmi_collocations /
     * q_pmi_stream): both censuses are additive across doc-partitioned

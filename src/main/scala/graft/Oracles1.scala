@@ -617,37 +617,55 @@ private[graft] object Oracles1 {
     // + non-greedy semantics on this subset; entity decode order
     // matters — &amp; last so &amp;lt; renders the literal &lt;)
     "q_html_extract" ->
-      """WITH pg AS (SELECT doc_id,
-                '<html><head><title>Doc</title><style>p { margin: 0; }</style>'
-                || '<script>if (1 < 2) { alert("x &amp; y"); }</script></head><body>'
-                || CASE WHEN doc_id % 5 = 0
-                     THEN '<!-- boilerplate comment words -->' ELSE '' END
-                || '<h1 class="hd">Heading &amp; intro</h1><p>' || text
-                || '</p>'
-                || CASE WHEN doc_id % 3 = 0
-                     THEN '<p>Tail &lt;tagged&gt; &quot;quoted&quot;&nbsp;entity&#39;s &apos;end&apos;</p>'
-                     ELSE '' END
-                || '</body></html>' AS page
+      s"""WITH pg AS (SELECT doc_id, ${OracleBuilders.htmlPageSql} AS page
               FROM documents),
          x AS (SELECT doc_id,
-                trim(regexp_replace(
-                  replace(replace(replace(replace(replace(replace(replace(
-                    regexp_replace(
-                      regexp_replace(
-                        regexp_replace(
-                          regexp_replace(page,
-                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                        '(?s)<!--.*?-->', ' ', 'g'),
-                      '<[^>]*>', ' ', 'g'),
-                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                    '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
-                    '&amp;', '&'),
-                  '[ \t\n\r]+', ' ', 'g')) AS t
+                ${OracleBuilders.htmlExtractSql("page")} AS t
               FROM pg)
          SELECT doc_id, md5(t) AS text_md5,
                 len(string_split(t, ' '))::BIGINT AS n_tokens
          FROM x ORDER BY doc_id""",
+
+    // per-<p> link-density rows: the planted nav bar is all link
+    // (density 1e6, dropped), the planted mixed paragraph is prose-
+    // dominated (kept), short main blocks drop on the word floor
+    "q_html_blocks" ->
+      s"""WITH pg AS (SELECT doc_id, ${OracleBuilders.htmlPageSql}
+                || CASE WHEN doc_id % 4 = 0
+                     THEN '<p><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></p>'
+                     ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                     THEN '<p>Read the <a href="/x">full story</a> and much more prose follows here today</p>'
+                     ELSE '' END AS page
+              FROM documents),
+         l AS (SELECT doc_id,
+                regexp_extract_all(page, '(?is)<p[^>]*>(.*?)</p>', 1) AS ps
+              FROM pg),
+         b AS (SELECT doc_id,
+                unnest([{'i': i - 1, 'r': ps[i]}
+                    for i in generate_series(1, len(ps))]) AS z
+              FROM l),
+         t AS (SELECT doc_id, z.i::BIGINT AS block_idx,
+                ${OracleBuilders.htmlExtractSql("z.r")} AS bt,
+                ${OracleBuilders.htmlExtractSql(
+                  // array_to_string([]) is NULL in DuckDB (array_join
+                  // is '' in Spark) — coalesce keeps no-anchor blocks
+                  "coalesce(array_to_string(regexp_extract_all(z.r, " +
+                  "'(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")} AS lk
+              FROM b),
+         m AS (SELECT doc_id, block_idx, bt,
+                length(bt)::BIGINT AS n_chars,
+                len(list_filter(string_split(bt, ' '),
+                  x -> x <> ''))::BIGINT AS n_words,
+                CASE WHEN length(bt) = 0 THEN 1000000
+                     ELSE (length(lk)::BIGINT * 1000000
+                       // length(bt)::BIGINT) END::BIGINT AS link_ppm
+              FROM t)
+         SELECT doc_id, block_idx, md5(bt) AS block_md5, n_chars,
+                n_words, link_ppm,
+                (link_ppm <= 500000 AND n_words >= 5)::BIGINT AS kept
+         FROM m ORDER BY doc_id, block_idx""",
+
 
     // DETERMINISTIC FIXTURE oracle for the Unicode fold (DuckDB has no
     // NFKC): the engine dirties each doc with enumerable variants —

@@ -856,6 +856,31 @@ private[graft] object QueriesParity {
         .orderBy(col("doc_id"))
     }),
 
+    // Block-level boilerplate removal (jusText's link-density signal):
+    // per-<p> rows with chars/words/link-ppm and the keep flag, over
+    // the synthetic page plus two planted blocks — an all-link nav bar
+    // (id % 4, dropped: density 1e6) and a mixed prose+link paragraph
+    // (id % 7, kept: density well under the 50% gate). Short main
+    // blocks (< 5 words) drop on the word floor, both engines agreeing.
+    "q_html_blocks" -> ((s, dir) => {
+      val pg = TextAnalysis.htmlSyntheticPage(
+          Tables.read(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), concat(col("page"),
+          when(col("doc_id") % 4 === 0,
+            "<p><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+              "<a href=\"/c\">Contact</a></p>").otherwise(""),
+          when(col("doc_id") % 7 === 0,
+            "<p>Read the <a href=\"/x\">full story</a> and much more " +
+              "prose follows here today</p>").otherwise(""))
+          .as("page"))
+      TextAnalysis.htmlBlocks(pg, "doc_id", "page")
+        .select(col("doc_id"), col("block_idx"),
+          md5(col("block_text")).as("block_md5"),
+          col("n_chars"), col("n_words"), col("link_ppm"),
+          col("kept").cast("long").as("kept"))
+        .orderBy(col("doc_id"), col("block_idx"))
+    }),
+
     // Unicode compatibility fold (TextAnalysis.foldUnicode: zero-width
     // strip + NFKC): the corpus is deterministically dirtied with
     // ENUMERABLE Unicode dirt — an NFD sequence (e + combining acute),

@@ -742,6 +742,45 @@ object TextAnalysis {
           "entity&#39;s &apos;end&apos;</p>").otherwise(""),
       lit("</body></html>")).as("page"))
 
+  /** Block-level boilerplate removal (jusText/trafilatura's core
+    * signal, the deterministic slice): per `<p>` block, LINK DENSITY =
+    * characters of anchor text / characters of block text (both
+    * measured on the EXTRACTED text, ppm-quantized) — navigation and
+    * footer blocks are link-dominated, prose is not. A block is kept
+    * when density ≤ `maxLinkPpm` AND it carries ≥ `minWords` words.
+    * One row per (doc, block) with the measures AND the flag, so
+    * dropped blocks are attributable (the rule-per-column house
+    * convention). Zero-char blocks (markup-only) report density 1e6 —
+    * all link, never prose.
+    *
+    * Scale: regexp_extract_all + posexplode — narrow, per-row work
+    * linear in page size, no shuffle beyond the caller's. */
+  def htmlBlocks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      htmlCol: String, maxLinkPpm: Long = 500000L, minWords: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxLinkPpm >= 0 && minWords >= 0)
+    val paras = regexp_extract_all(
+      coalesce(col(htmlCol).cast("string"), lit("")),
+      lit("(?is)<p[^>]*>(.*?)</p>"), lit(1))
+    docs.select(col(idCol), posexplode(paras).as(Seq("block_idx", "_raw")))
+      .select(col(idCol), col("block_idx").cast("long").as("block_idx"),
+        htmlExtract(col("_raw")).as("block_text"),
+        htmlExtract(concat_ws(" ", regexp_extract_all(col("_raw"),
+          lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)))).as("_link"))
+      .select(col(idCol), col("block_idx"), col("block_text"),
+        length(col("block_text")).cast("long").as("n_chars"),
+        size(filter(split(col("block_text"), " ", -1), w => w =!= ""))
+          .cast("long").as("n_words"),
+        // integer ppm (Scala/Spark `div` == DuckDB `//` on non-negative
+        // longs); the empty-block branch guards the ANSI div-by-zero
+        when(length(col("block_text")) === 0, lit(1000000L))
+          .otherwise(expr("CAST(length(_link) AS BIGINT) * 1000000 div " +
+            "CAST(length(block_text) AS BIGINT)"))
+          .as("link_ppm"))
+      .withColumn("kept",
+        col("link_ppm") <= maxLinkPpm && col("n_words") >= minWords)
+  }
+
   // ── PII scanning / redaction ───────────────────────────────────────────
 
   /** ASCII-only regexes shared verbatim with the oracle (Java regex and

@@ -708,6 +708,35 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       assert(out(i.toLong) == want, s"htmlExtract($h)") }
   }
 
+  test("htmlBlocks: nav bars drop on link density, prose with inline " +
+      "links survives, short blocks drop on the word floor") {
+    val s = spark
+    import s.implicits._
+    val page = "<body>" +
+      "<p><a href=\"/\">Home</a> <a href=\"/a\">About us</a></p>" + // nav
+      "<p>Read the <a href=\"/x\">full story</a> and much more prose " +
+      "follows in this paragraph today</p>" +                        // prose
+      "<p>too short</p>" +                                           // floor
+      "<p><!-- only markup --></p>" +                                // empty
+      "</body>"
+    val out = graft.ext.TextAnalysis.htmlBlocks(
+        Seq((1L, page)).toDF("doc_id", "page"), "doc_id", "page")
+      .collect().map(r => r.getAs[Long]("block_idx") ->
+        ((r.getAs[String]("block_text"), r.getAs[Long]("link_ppm"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L)._2 == 1000000L && !out(0L)._3,
+      s"the all-link nav bar must drop: ${out(0L)}")
+    assert(out(1L)._3 && out(1L)._2 < 500000L,
+      s"link-bearing prose must survive: ${out(1L)}")
+    assert(out(1L)._1.startsWith("Read the full story"),
+      "anchor text stays part of the block prose")
+    assert(!out(2L)._3 && out(2L)._2 == 0L,
+      "short blocks drop on the word floor, not density")
+    assert(out(3L)._1 == "" && out(3L)._2 == 1000000L && !out(3L)._3,
+      "markup-only blocks report all-link density")
+  }
+
   test("unicode fold: an NFD variant of a leaked span evades the " +
       "byte-level normalized gate and is caught by the unicode gate") {
     import graft.ext.TextAnalysis.foldUnicode
