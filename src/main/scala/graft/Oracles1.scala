@@ -667,6 +667,43 @@ private[graft] object Oracles1 {
          FROM m ORDER BY doc_id, block_idx""",
 
 
+    // CCNet stage-1 paragraph-hash dedup over the kept blocks: keeper
+    // = min (doc*10000 + idx) per digest, copy count carried
+    "q_para_dedup" ->
+      s"""WITH pg AS (SELECT doc_id, ${OracleBuilders.htmlPageSql} AS page
+              FROM documents),
+         l AS (SELECT doc_id,
+                regexp_extract_all(page, '(?is)<p[^>]*>(.*?)</p>', 1) AS ps
+              FROM pg),
+         b AS (SELECT doc_id,
+                unnest([{'i': i - 1, 'r': ps[i]}
+                    for i in generate_series(1, len(ps))]) AS z
+              FROM l),
+         t AS (SELECT doc_id, z.i::BIGINT AS block_idx,
+                ${OracleBuilders.htmlExtractSql("z.r")} AS bt,
+                ${OracleBuilders.htmlExtractSql(
+                  "coalesce(array_to_string(regexp_extract_all(z.r, " +
+                  "'(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")} AS lk
+              FROM b),
+         m AS (SELECT doc_id, block_idx, bt,
+                len(list_filter(string_split(bt, ' '),
+                  x -> x <> ''))::BIGINT AS n_words,
+                CASE WHEN length(bt) = 0 THEN 1000000
+                     ELSE (length(lk)::BIGINT * 1000000
+                       // length(bt)::BIGINT) END::BIGINT AS link_ppm
+              FROM t),
+         kb AS (SELECT doc_id, block_idx, md5(bt) AS block_md5
+              FROM m WHERE link_ppm <= 500000 AND n_words >= 5),
+         k AS (SELECT block_md5,
+                min(doc_id * 10000 + block_idx)::BIGINT AS k,
+                count(*)::BIGINT AS n_copies
+              FROM kb GROUP BY 1)
+         SELECT kb.doc_id, kb.block_idx, kb.block_md5,
+                (kb.doc_id * 10000 + kb.block_idx = k.k)::BIGINT AS keep,
+                k.n_copies
+         FROM kb JOIN k USING (block_md5)
+         ORDER BY kb.doc_id, kb.block_idx""",
+
     // DETERMINISTIC FIXTURE oracle for the Unicode fold (DuckDB has no
     // NFKC): the engine dirties each doc with enumerable variants —
     // NFD e+U+0301, fullwidth letters, the fi ligature, zero-width

@@ -881,6 +881,34 @@ private[graft] object QueriesParity {
         .orderBy(col("doc_id"), col("block_idx"))
     }),
 
+    // CCNet stage-1: PARAGRAPH-hash dedup (Wenzek et al. 2020 dedup
+    // paragraphs by hash before any doc-level op) — over the kept
+    // blocks of the rendered pages, keeper = smallest (doc, block)
+    // per block hash; n_copies carried so removal mass is auditable.
+    // One hash aggregation on the digest; group size = duplication
+    // multiplicity, never corpus-sized.
+    "q_para_dedup" -> ((s, dir) => {
+      val blocks = TextAnalysis.htmlBlocks(
+          TextAnalysis.htmlSyntheticPage(
+            Tables.read(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "page")
+        .filter(col("kept"))
+        .select(col("doc_id"), col("block_idx"),
+          md5(col("block_text")).as("block_md5"))
+      // keeper key = doc_id*10000 + block_idx (blocks per page are
+      // single digits — the encoding is ordinal-safe and replays as
+      // plain integer min on both engines)
+      val keepers = blocks.groupBy(col("block_md5"))
+        .agg(min(col("doc_id") * 10000 + col("block_idx")).as("k"),
+          count(lit(1)).as("n_copies"))
+      blocks.join(keepers, "block_md5")
+        .select(col("doc_id"), col("block_idx"), col("block_md5"),
+          (col("doc_id") * 10000 + col("block_idx") === col("k"))
+            .cast("long").as("keep"),
+          col("n_copies"))
+        .orderBy(col("doc_id"), col("block_idx"))
+    }),
+
     // Unicode compatibility fold (TextAnalysis.foldUnicode: zero-width
     // strip + NFKC): the corpus is deterministically dirtied with
     // ENUMERABLE Unicode dirt — an NFD sequence (e + combining acute),
