@@ -311,6 +311,36 @@ private[graft] object Oracles3 {
                   FILTER (WHERE keep), '')) AS aug_md5
          FROM k GROUP BY 1 ORDER BY doc_id""",
 
+    // FIM: cut draws mod length+1 keyed "d:fim1"/"d:fim2" (least/
+    // greatest orientation), 50% application draw keyed "d:fim",
+    // PSM re-ordering byte-gated via md5
+    "q_fim_transform" ->
+      """WITH p AS (SELECT doc_id, text, length(text)::BIGINT AS l,
+                (('0x' || substr(md5(doc_id::VARCHAR || ':fim1'), 1, 15))::UBIGINT
+                  % (length(text) + 1)::UBIGINT)::BIGINT AS d1,
+                (('0x' || substr(md5(doc_id::VARCHAR || ':fim2'), 1, 15))::UBIGINT
+                  % (length(text) + 1)::UBIGINT)::BIGINT AS d2,
+                ('0x' || substr(md5(doc_id::VARCHAR || ':fim'), 1, 15))::UBIGINT
+                  % 100 < 50 AND length(text) > 0 AS ap
+              FROM documents),
+         q AS (SELECT doc_id, text, l, ap,
+                least(d1, d2) AS lo, greatest(d1, d2) AS hi FROM p),
+         t AS (SELECT doc_id, ap,
+                CASE WHEN ap
+                  THEN '<fim_pre>' || substr(text, 1, lo::INTEGER)
+                    || '<fim_suf>' || substr(text, (hi + 1)::INTEGER)
+                    || '<fim_mid>'
+                    || substr(text, (lo + 1)::INTEGER, (hi - lo)::INTEGER)
+                  ELSE text END AS tr,
+                CASE WHEN ap THEN lo ELSE l END AS n_prefix,
+                CASE WHEN ap THEN hi - lo ELSE 0 END AS n_middle,
+                CASE WHEN ap THEN l - hi ELSE 0 END AS n_suffix
+              FROM q)
+         SELECT doc_id, ap::BIGINT AS fim_applied,
+                n_prefix::BIGINT AS n_prefix, n_middle::BIGINT AS n_middle,
+                n_suffix::BIGINT AS n_suffix, md5(tr) AS fim_md5
+         FROM t ORDER BY doc_id""",
+
     // adjacent-pair swap: disjoint pairs, pos xor 1 remap, draws keyed
     // by (doc, pair index)
     "q_aug_swap" ->

@@ -1292,6 +1292,15 @@ private[graft] object QueriesScaleText {
           "doc_id", "text", swapPct = 30)
         .orderBy(col("doc_id"))),
 
+    // Fill-in-the-middle (PSM re-ordering at md5-drawn cut points, 50%
+    // rate) — the infilling-data transform, byte-gated by the md5 of
+    // the transformed text; same id-only determinism contract as the
+    // EDA arms.
+    "q_fim_transform" -> ((s, dir) =>
+      graft.ext.Curation.fimTransform(Tables.read(s, dir, "documents"),
+          "doc_id", "text", ratePct = 50)
+        .orderBy(col("doc_id"))),
+
     // Preference pairs minted from the corpus's own duplication: near-
     // dup pairs labeled chosen/rejected by the deterministic quality
     // score (rounded ties dropped) — DPO/reward-model data from dedup

@@ -897,6 +897,47 @@ object Curation {
     *
     * Scale: one narrow posexplode + one doc-keyed aggregate — no
     * joins, no windows. */
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, "FIM"):
+    * split each selected document at two deterministic cut points and
+    * emit the PSM re-ordering `<fim_pre> prefix <fim_suf> suffix
+    * <fim_mid> middle` — the data-side op that teaches infilling to a
+    * left-to-right model; applied to `ratePct`% of documents (the
+    * paper's ~50% rate), the rest pass through verbatim (fim_applied
+    * = 0, the whole doc reported as prefix). Cut points are the
+    * portable md5 draws of the Sampling family (`"d:fim1"`/`"d:fim2"`
+    * mod length+1, orientation by least/greatest), so the transform —
+    * like every augmentation here — depends only on document ids and
+    * replays identically on any engine or partitioning. Pure per-row
+    * narrow expressions.
+    *
+    * Output: `(idCol, fim_applied, n_prefix, n_middle, n_suffix,
+    * fim_md5)` — the md5 gates the transformed BYTES. */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      ratePct: Int = 50): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100)
+    val t = col(textCol).cast("string")
+    val len = length(t).cast("long")
+    def draw(tag: String): Column = pmod(
+      Sampling.md5Top60(concat_ws(":", col(idCol), lit(tag))), len + 1L)
+    val lo = least(draw("fim1"), draw("fim2"))
+    val hi = greatest(draw("fim1"), draw("fim2"))
+    val applied =
+      Sampling.hashBucket(concat_ws(":", col(idCol), lit("fim")), 100) <
+        ratePct && len > 0
+    val transformed = when(applied,
+      concat(lit("<fim_pre>"), t.substr(lit(1), lo.cast("int")),
+        lit("<fim_suf>"), t.substr((hi + 1).cast("int"), len.cast("int")),
+        lit("<fim_mid>"), t.substr((lo + 1).cast("int"),
+          (hi - lo).cast("int"))))
+      .otherwise(t)
+    docs.select(col(idCol),
+      applied.cast("long").as("fim_applied"),
+      when(applied, lo).otherwise(len).cast("long").as("n_prefix"),
+      when(applied, hi - lo).otherwise(0L).cast("long").as("n_middle"),
+      when(applied, len - hi).otherwise(0L).cast("long").as("n_suffix"),
+      md5(transformed).as("fim_md5"))
+  }
+
   def wordDropout(docs: DataFrame, idCol: String, textCol: String,
       dropPct: Int = 15): DataFrame = {
     require(dropPct >= 0 && dropPct <= 100)

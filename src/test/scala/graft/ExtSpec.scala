@@ -680,6 +680,34 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     ()
   }
 
+  test("fimTransform: spans partition the document, passthrough docs " +
+      "report whole-doc prefix, transform is a pure re-ordering") {
+    val d = docs((1L, "abcdefghij"), (2L, "short doc here"),
+      (3L, (1 to 40).map(i => s"w$i").mkString(" ")))
+    val out = graft.ext.Curation.fimTransform(d, "doc_id", "text",
+        ratePct = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val lens = d.collect()
+      .map(r => r.getLong(0) -> r.getString(1).length.toLong).toMap
+    out.foreach { case (id, (ap, p, m, su)) =>
+      assert(ap == 1L, s"rate 100 applies everywhere (doc $id)")
+      assert(p + m + su == lens(id),
+        s"spans must partition doc $id: $p+$m+$su != ${lens(id)}")
+      assert(p >= 0 && m >= 0 && su >= 0)
+    }
+    // rate 0: verbatim passthrough, md5 equals the raw text's
+    val raw = graft.ext.Curation.fimTransform(d, "doc_id", "text",
+        ratePct = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(5)))).toMap
+    val md5s = d.select(col("doc_id"), md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    raw.foreach { case (id, (ap, p, h)) =>
+      assert(ap == 0L && p == lens(id) && h == md5s(id),
+        s"rate 0 must pass doc $id through verbatim") }
+  }
+
   test("htmlExtract: blocks dropped with content, tags spaced, " +
       "entities decoded in the safe order") {
     val s = spark
