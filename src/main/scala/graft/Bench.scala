@@ -31,8 +31,33 @@ object Bench {
     java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed >> 20
 
+  /** Storage actually held by the block manager right now: (MiB across
+    * memory+disk, number of RDDs with any stored blocks). Sampled at
+    * each query's START — a non-zero value there means the previous
+    * query's sweep left pins behind (the r14 heap-drift cluster's
+    * suspected mechanism), attributable per-entry from the artifact. */
+  private def cacheNow(sc: org.apache.spark.SparkContext): (Long, Int) = {
+    val infos = sc.getRDDStorageInfo
+    ((infos.map(i => i.memSize + i.diskSize).sum) >> 20, infos.length)
+  }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
+    // Wait-for-quiesce (bounded): three consecutive driver artifacts
+    // started at load1m > 5 and stamped _quiesce_ok: false — every
+    // non-code drift chase traced to those windows. Poll until the host
+    // is quiet or the budget runs out, so the canonical artifact starts
+    // quiet BY CONSTRUCTION instead of stamping the failure after the
+    // fact. The wait itself is recorded (_quiesce_waited_sec) either way.
+    val quiesceThreshold = 4.0
+    val loadPreWait = loadAvg1m()
+    val waitBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUIESCE_WAIT_SEC", "600").trim.toInt
+    var waitedSec = 0
+    while (loadAvg1m() >= quiesceThreshold && waitedSec < waitBudgetSec) {
+      Thread.sleep(15000L)
+      waitedSec += 15
+    }
     val loadStart = loadAvg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // parse up front: a non-numeric env value must fail fast here, not
@@ -73,7 +98,8 @@ object Bench {
     // inside a host-contention window, but runs=[26.1, 26.8] at load 31
     // vs runs=[2.3, 2.1] at load 8 tells the reader which happened.
     case class QRes(best: Double, runs: Seq[Double], loads: Seq[Double],
-      gcMs: Seq[Long], heapMb: Seq[Long])
+      gcMs: Seq[Long], heapMb: Seq[Long], heapStartMb: Seq[Long],
+      cacheStartMb: Seq[Long], rddsStart: Seq[Int])
     // Iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
     // Partial runs never touch the durable artifacts (guarded below) —
     // a clobbered BENCH_FULL.json would diff as a mass regression.
@@ -84,9 +110,24 @@ object Bench {
       require(missing.isEmpty, s"SPARK_GRAFT_ONLY unknown: $missing")
       SparkEntry.queries.view.filterKeys(names).toMap
     }
+    // pre-query storage drain threshold: after the sweep, if the heap
+    // still sits above this level the drift cluster's precondition is
+    // in force (r14: q_cms_stream 3.1×/q_anti_join 3.4× at 8-22 GB heap,
+    // par at 0.4-3 GB on the same tree) — one explicit GC collects the
+    // swept blocks' unreachable byte arrays before the next timed run
+    // instead of mid-run. Fires rarely on a healthy session; every
+    // firing is visible as a heap_start_mb drop in the artifact.
+    val drainMb =
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_MB", "8192").trim.toLong
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double, Long, Long) = {
+        : (Double, Double, Long, Long, Long, Long, Int) = {
+      // what the heap/block-manager hold as this query STARTS — a
+      // non-zero cache_start or high heap_start names the prior
+      // query's leftovers, separating "this query regressed" from
+      // "this query ran on a polluted heap" (the r14 drift cluster)
+      val (cacheStartMb, rddsStart) = cacheNow(spark.sparkContext)
+      val heapStart = heapUsedMb()
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation (projections, sorts, digests);
@@ -107,32 +148,37 @@ object Bench {
       // NOT in the catalog cache — without it a 288-query session
       // accumulates every query's checkpoint blocks
       spark.catalog.clearCache()
+      // blocking sweep: with blocking=false the removal messages can
+      // still be in flight when the NEXT query is timed, so its
+      // heap/cache start samples would blame the wrong query
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      (elapsed, loadAvg1m(), gcDelta, heapUsedMb())
+        .foreach(_.unpersist(blocking = true))
+      if (heapUsedMb() > drainMb) System.gc()
+      (elapsed, loadAvg1m(), gcDelta, heapUsedMb(), heapStart,
+        cacheStartMb, rddsStart)
     }
     val results = selected.map { case (name, fn) =>
-      def run(): (Double, Double, Long, Long) = timeOnce(name, fn)
-      val (first, load1, gc1, heap1) = run()
+      def run(): (Double, Double, Long, Long, Long, Long, Int) =
+        timeOnce(name, fn)
+      def mk(rs: Seq[(Double, Double, Long, Long, Long, Long, Int)]): QRes =
+        QRes(rs.map(_._1).filter(_ >= 0) match {
+            case Nil => rs.head._1
+            case ok => ok.min
+          }, rs.map(_._1), rs.map(_._2), rs.map(_._3), rs.map(_._4),
+          rs.map(_._5), rs.map(_._6), rs.map(_._7))
+      val r1 = run()
       val res =
-        if (first < 0) QRes(first, Seq(first), Seq(load1), Seq(gc1), Seq(heap1))
+        if (r1._1 < 0) mk(Seq(r1))
         else {
-          val (second, load2, gc2, heap2) = run()
+          val r2 = run()
           // a >2× spread between the two runs means min-of-2 is still
           // reporting noise (round 10's q_lm_backoff ran 6.9 vs 32.1 s)
           // — one tie-breaking third run pins which end was real; its
           // raw time rides BENCH_FULL like the others
-          if (second >= 0 &&
-              math.max(first, second) > 2 * math.min(first, second)) {
-            val (third, load3, gc3, heap3) = run()
-            val best = (Seq(first, second, third).filter(_ >= 0)).min
-            QRes(best, Seq(first, second, third), Seq(load1, load2, load3),
-              Seq(gc1, gc2, gc3), Seq(heap1, heap2, heap3))
-          } else {
-            val best = if (second < 0) first else math.min(first, second)
-            QRes(best, Seq(first, second), Seq(load1, load2), Seq(gc1, gc2),
-              Seq(heap1, heap2))
-          }
+          if (r2._1 >= 0 &&
+              math.max(r1._1, r2._1) > 2 * math.min(r1._1, r2._1))
+            mk(Seq(r1, r2, run()))
+          else mk(Seq(r1, r2))
         }
       name -> res
     }
@@ -143,7 +189,6 @@ object Bench {
     // extra timed run at end-of-bench — by then the start-window spike
     // has usually passed, so min-of-N reports the quiet number instead
     // of handing the next round a phantom regression to attribute.
-    val quiesceThreshold = 4.0
     val quiesceOk = loadStart >= 0 && loadStart < quiesceThreshold
     val results2 =
       if (quiesceOk || only.nonEmpty) results
@@ -153,10 +198,11 @@ object Bench {
         results.map { case (name, r) =>
           if (!heavy(name)) name -> r
           else {
-            val (t, l, g, h) = timeOnce(name, selected(name))
+            val (t, l, g, h, hs, cs, rs) = timeOnce(name, selected(name))
             val best = if (t >= 0) math.min(r.best, t) else r.best
             name -> QRes(best, r.runs :+ t, r.loads :+ l,
-              r.gcMs :+ g, r.heapMb :+ h)
+              r.gcMs :+ g, r.heapMb :+ h, r.heapStartMb :+ hs,
+              r.cacheStartMb :+ cs, r.rddsStart :+ rs)
           }
         }
       }
@@ -234,12 +280,20 @@ object Bench {
         // in the captured stdout line, so round-over-round diffs can
         // discount it from the artifact alone
         val spread = spreadOf(r)
-        s"""  "$k": {"sec": ${r3(r.best)}, "cold_s": ${r3(cold)}, "spread": ${r3(spread)}, "unstable": ${spread > 2.0}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}, "gc_ms": ${arrL(r.gcMs)}, "heap_mb": ${arrL(r.heapMb)}}"""
+        // heap_start_mb / cache_start_mb / rdds_start: what the JVM and
+        // block manager held as each run BEGAN — the r15 drift-cluster
+        // instrumentation. cache_start_mb > 0 names a pin that survived
+        // the previous query's sweep; heap_start_mb high with
+        // cache_start_mb 0 says uncollected garbage, which the
+        // post-sweep conditional drain (SPARK_GRAFT_DRAIN_MB) now
+        // collects before the run instead of mid-run.
+        s"""  "$k": {"sec": ${r3(r.best)}, "cold_s": ${r3(cold)}, "spread": ${r3(spread)}, "unstable": ${spread > 2.0}, "runs": ${arr(r.runs)}, "load1m": ${arr(r.loads)}, "gc_ms": ${arrL(r.gcMs)}, "heap_mb": ${arrL(r.heapMb)}, "heap_start_mb": ${arrL(r.heapStartMb)}, "cache_start_mb": ${arrL(r.cacheStartMb)}, "rdds_start": ${r.rddsStart.mkString("[", ",", "]")}}"""
       }
       .mkString(
         s"""{\n  "_total_sec": ${r3(total)},\n  "_sf": "$sfDir",\n  "_cpus": $cpus,\n""" +
           s"""  "_bench_wall_sec": ${r3(wallSec)},\n  "_jvm_uptime_sec": ${r3(jvmUp)},\n""" +
           s"""  "_load1m_start": ${r3(loadStart)},\n  "_load1m_end": ${r3(loadAvg1m())},\n""" +
+          s"""  "_load1m_prewait": ${r3(loadPreWait)},\n  "_quiesce_waited_sec": $waitedSec,\n""" +
           s"""  "_quiesce_ok": $quiesceOk,\n  "_quiesce_threshold": ${r3(quiesceThreshold)},\n""",
         ",\n", "\n}\n")
     if (only.isEmpty)

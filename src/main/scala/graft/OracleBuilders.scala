@@ -95,27 +95,49 @@ private[graft] object OracleBuilders {
             THEN '<!-- boilerplate comment words -->' ELSE '' END
        || '<h1 class="hd">Heading &amp; intro</h1><p>' || text || '</p>'
        || CASE WHEN doc_id % 3 = 0
-            THEN '<p>Tail &lt;tagged&gt; &quot;quoted&quot;&nbsp;entity&#39;s &apos;end&apos;</p>'
+            THEN '<p>Tail &lt;tagged&gt; &quot;quoted&quot;&nbsp;entity&#39;s &apos;end&apos; hex&#x27;s zero&#039;d dash&#8211;here amp&#38;lt;kept &#x2019;curly&#8217;</p>'
+            ELSE '' END
+       || CASE WHEN doc_id % 7 = 0
+            THEN '<a title="a>b" class=''c>d''>quoted attr text</a>'
             ELSE '' END
        || '</body></html>')"""
 
   /** SQL twin of [[graft.ext.TextAnalysis.htmlExtract]] applied to an
     * arbitrary SQL expression `src` — the nested regexp_replace /
-    * replace chain, rule for rule (entity decode order matters:
-    * `&amp;` last). */
-  def htmlExtractSql(src: String): String =
-    s"""trim(regexp_replace(
-         replace(replace(replace(replace(replace(replace(replace(
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    * replace chain, rule for rule, GENERATED from the engine's own
+    * shared tables ([[graft.ext.TextAnalysis.HtmlNumericRefs]],
+    * [[graft.ext.TextAnalysis.HtmlTagRegex]],
+    * [[graft.ext.TextAnalysis.HtmlAmpRegex]]) so the two chains
+    * cannot drift. Decode order matters: named entities, then the
+    * enumerated numeric references, then the amp step LAST (so
+    * `&amp;lt;` / `&#38;lt;` render the literal `&lt;`). Non-ASCII
+    * replacements are spelled `chr(<codepoint>)` — no raw unicode in
+    * the SQL text. */
+  def htmlExtractSql(src: String): String = {
+    import graft.ext.TextAnalysis
+    def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+    val stripped =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              $src,
              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
              '(?s)<!--.*?-->', ' ', 'g'),
-             '<[^>]*>', ' ', 'g'),
+             ${sq(TextAnalysis.HtmlTagRegex)}, ' ', 'g')"""
+    val named =
+      s"""replace(replace(replace(replace(replace(
+           $stripped,
            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-           '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
-           '&amp;', '&'),
+           '&apos;', ''''), '&nbsp;', ' ')"""
+    val numeric = TextAnalysis.HtmlNumericRefs.foldLeft(named) {
+      case (acc, (cp, v)) =>
+        val repl = if (cp > 127 && v != " ") s"chr($cp)" else sq(v)
+        s"""regexp_replace($acc,
+             ${sq(TextAnalysis.htmlNumericRefPattern(cp))}, $repl, 'g')"""
+    }
+    s"""trim(regexp_replace(regexp_replace($numeric,
+         ${sq(TextAnalysis.HtmlAmpRegex)}, '&', 'g'),
          '[ \t\n\r]+', ' ', 'g'))"""
+  }
 
   /** Shared oracle for the batch PMI collocation scan and its
     * maintained-at-ingest census-ledger twin (q_pmi_collocations /

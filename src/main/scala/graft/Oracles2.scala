@@ -788,6 +788,10 @@ private[graft] object Oracles2 {
     // are exact at the same maxHamming), so the Manku table-keys run
     // shares the identical oracle: the whole claim under test
     "q_funnel_stream_tables" -> filterFunnelOracle,
+    // ...and the Auto POLICY run (per-tick arm pick from the measured
+    // cost model) shares it too: whichever arm each tick picks, the
+    // verified pair set — and so the attrition report — is identical
+    "q_funnel_stream_auto" -> filterFunnelOracle,
 
     // the repetition family mirrors gopherRepetition definitionally:
     // dup counts/char mass from per-(doc, segment) GROUP BY counts

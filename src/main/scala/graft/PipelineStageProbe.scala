@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   * composition to a noop sink with the session cache cleared in
   * between, so stage cost = prefix(i) − prefix(i−1) and a drift in the
   * total is attributable to one stage instead of re-arguing the whole
-  * plan. Usage: `runMain graft.PipelineStageProbe [sfDir]`.
+  * plan. Usage: `runMain graft.PipelineStageProbe [sfDir] [arms]`
+  * where `arms` is a comma list from {batch, incremental, funnel}
+  * (default: all three) — the 100x geometry probe runs `funnel` (and
+  * `incremental`) alone so the batch prefixes don't bill a corpus two
+  * decades past their measured rows.
   */
 object PipelineStageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val arms = args.lift(1).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("batch", "incremental", "funnel"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim.toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,21 +76,23 @@ object PipelineStageProbe {
       "bpe_train_encode" -> (() => enc),
       "pack" -> (() => packed),
       "bins_export" -> (() => full))
-    // one untimed full pass absorbs session costs (codegen, footers)
-    full.write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    val times = prefixes.map { case (name, f) =>
-      val t0 = System.nanoTime()
-      f().write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
+    if (arms("batch")) {
+      // one untimed full pass absorbs session costs (codegen, footers)
+      full.write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
-      name -> sec
+      val times = prefixes.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> sec
+      }
+      val body = times.map { case (n, s) => f""""$n":$s%.2f""" }.mkString(",")
+      val deltas = times.zip(("start", 0.0) +: times.init)
+        .map { case ((n, s), (_, p)) => (n, math.max(s - p, 0.0)) }
+      val dbody = deltas.map { case (n, s) => f""""$n":$s%.2f""" }.mkString(",")
+      println(s"""{"metric":"pipeline_stages","sf":"$sfDir","cumulative":{$body},"stage_delta":{$dbody}}""")
     }
-    val body = times.map { case (n, s) => f""""$n":$s%.2f""" }.mkString(",")
-    val deltas = times.zip(("start", 0.0) +: times.init)
-      .map { case ((n, s), (_, p)) => (n, math.max(s - p, 0.0)) }
-    val dbody = deltas.map { case (n, s) => f""""$n":$s%.2f""" }.mkString(",")
-    println(s"""{"metric":"pipeline_stages","sf":"$sfDir","cumulative":{$body},"stage_delta":{$dbody}}""")
 
     // INCREMENTAL arm (q_pipeline_incremental, the suite's heaviest
     // line): the AvailableNow call blocks through staging + both ingest
@@ -94,30 +102,43 @@ object PipelineStageProbe {
     // round report checks is tail <= the batch composition's own tail
     // (bpe_train_encode + pack + bins_export above) + eps, ticks flat
     // per the sig-ledger probe.
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_pincprobe_")
-    try {
-      val qn = "graft_pinc_probe"
-      val t0 = System.nanoTime()
-      val inc = graft.streaming.Streaming
-        .pipelineIncrementalAvailableNow(spark, sfDir, tmp.toString, qn)
-      val ingestSec = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      inc.write.format("noop").mode("overwrite").save()
-      val tailSec = (System.nanoTime() - t1) / 1e9
-      val ticks = Option(graft.streaming.Streaming.tickStages.get(qn))
-        .map(_.toArray(Array.empty[(Long, Seq[(String, Long)])]))
-        .getOrElse(Array.empty)
-        .sortBy(_._1)
-        .map { case (b, st) =>
-          s""""tick_$b":{${st.map { case (n, m) =>
-            s""""$n":$m""" }.mkString(",")}}""" }
-        .mkString(",")
-      println(f"""{"metric":"pipeline_incremental_stages","sf":"$sfDir","ingest_sec":$ingestSec%.2f,"tail_sec":$tailSec%.2f,"tick_stage_ms":{$ticks}}""")
-    } finally org.apache.commons.io.FileUtils
-      .deleteDirectory(tmp.toFile)
+    if (arms("incremental")) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pincprobe_")
+      try {
+        val qn = "graft_pinc_probe"
+        // SPARK_GRAFT_PROBE_GEO=chunks|tables|auto picks the ingest's
+        // probe geometry (default chunks, the artifact-continuity
+        // arm) — the 100x probe runs tables/auto: the chunk arm's
+        // candidate term there is the already-measured superlinear
+        // stage and would shuffle ~7B rows for no new information
+        val geo = sys.env.getOrElse("SPARK_GRAFT_PROBE_GEO", "chunks") match {
+          case "tables" => graft.ext.Dedup.TableGeometry(9, 7, 2)
+          case "auto" => graft.ext.Dedup.AutoGeometry()
+          case _ => graft.ext.Dedup.ChunkGeometry()
+        }
+        val t0 = System.nanoTime()
+        val inc = graft.streaming.Streaming
+          .pipelineIncrementalAvailableNow(spark, sfDir, tmp.toString, qn,
+            geometry = geo)
+        val ingestSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        inc.write.format("noop").mode("overwrite").save()
+        val tailSec = (System.nanoTime() - t1) / 1e9
+        val ticks = Option(graft.streaming.Streaming.tickStages.get(qn))
+          .map(_.toArray(Array.empty[(Long, Seq[(String, Long)])]))
+          .getOrElse(Array.empty)
+          .sortBy(_._1)
+          .map { case (b, st) =>
+            s""""tick_$b":{${st.map { case (n, m) =>
+              s""""$n":$m""" }.mkString(",")}}""" }
+          .mkString(",")
+        println(f"""{"metric":"pipeline_incremental_stages","sf":"$sfDir","ingest_sec":$ingestSec%.2f,"tail_sec":$tailSec%.2f,"tick_stage_ms":{$ticks}}""")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(tmp.toFile)
+    }
 
     // FUNNEL arm under both probe geometries: the streaming filter
     // funnel's per-tick stage lines now carry cand_rows/pair_rows, so
@@ -135,10 +156,22 @@ object PipelineStageProbe {
           s""""tick_$b":{${st.map { case (n, m) =>
             s""""$n":$m""" }.mkString(",")}}""" }
         .mkString(",")
+    // optional 3rd arg: comma subset of geometry arms — the 100x run
+    // times tables/auto only (the chunk arm's candidate term at 250k
+    // docs/tick is the measured superlinear stage; re-paying it buys
+    // no new information and a ~1.7B-row shuffle)
+    val geoNames = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val geos = Seq(
       "chunks_8x8" -> graft.ext.Dedup.ChunkGeometry(),
-      "tables_9x7x2" -> graft.ext.Dedup.TableGeometry(9, 7, 2))
-    val funnelBody = geos.map { case (gname, geo) =>
+      "tables_9x7x2" -> graft.ext.Dedup.TableGeometry(9, 7, 2),
+      // the r15 POLICY arm: each tick picks its own geometry from the
+      // measured cost model; the pick lands on the tick stage line as
+      // `geo_auto-><arm>` — at sf0.1 (2.5k docs/tick) Auto must pick
+      // chunks, at the 10x corpus (25k docs/tick) tables, matching the
+      // r14 measured crossover
+      "auto" -> graft.ext.Dedup.AutoGeometry())
+      .filter { case (n, _) => geoNames.forall(_.contains(n)) }
+    val funnelBody = if (!arms("funnel")) "" else geos.map { case (gname, geo) =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -154,7 +187,8 @@ object PipelineStageProbe {
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(ftmp.toFile)
     }.mkString(",")
-    println(s"""{"metric":"funnel_stages","sf":"$sfDir",$funnelBody}""")
+    if (arms("funnel"))
+      println(s"""{"metric":"funnel_stages","sf":"$sfDir",$funnelBody}""")
     spark.stop()
   }
 }

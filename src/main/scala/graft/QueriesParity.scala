@@ -1080,14 +1080,16 @@ private[graft] object QueriesParity {
     // appears in the train split (composed from splitLabel + the native
     // MinKgramHash + a semi-join on fingerprint).
     "q_contamination" -> ((s, dir) => {
-      // the fingerprint pass feeds both branches below — persist it
-      // (released by the harness clearCache, see Dedup's cache contract)
+      // the fingerprint pass feeds both branches below — eager
+      // disk-backed pin (r15; a lazy persist could drop blocks between
+      // the branches under heap pressure and re-fingerprint the corpus
+      // — the q_ccnet eviction class), freed by the harness RDD sweep
       val d = Tables.read(s, dir, "documents")
         .withColumn("split", graft.ext.Sampling.splitLabel(col("doc_id"),
           Seq("train" -> 80, "val" -> 90), lastLabel = "test"))
         .withColumn("fp",
           TextAnalysis.minKgramFingerprintNative(col("text"), 8))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val trainFps = d.filter(col("split") === "train")
         .select(col("fp")).distinct()
       d.filter(col("split") === "test")

@@ -602,7 +602,12 @@ private[graft] object QueriesScaleText {
         .withColumn("p3", col("p_gf") && col("p_gr"))
         .withColumn("p4", col("p3") && col("p_c4"))
         .withColumn("p5", col("p4") && col("p_lq"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // seven consumers (six stage counts + the dedup arm) over the
+        // full gate chain (gopher repetition + c4 + lang/quality) —
+        // eager disk-backed pin (r15, the q_ccnet eviction-class fix):
+        // a lazy persist can drop blocks between consumers under heap
+        // pressure and replay the gates per stage line
+        .localCheckpoint(true)
       val s5 = flags.filter(col("p5"))
       val s6 = Dedup.keepCanonical(s5, "doc_id",
         Dedup.dupClusters(Dedup.simhashDupPairs(
@@ -661,6 +666,27 @@ private[graft] object QueriesScaleText {
             Streaming.nextQueryName("graft_funnelt"),
             geometry = graft.ext.Dedup.TableGeometry(
               blocks = 9, blockBits = 7, keyBlocks = 2))
+          .orderBy(col("stage"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
+    // The measured geometry rule AS POLICY, gated: the same streaming
+    // funnel probing through `Dedup.AutoGeometry` — each tick picks
+    // chunk keys or the Manku table keys from its own batch/ledger
+    // sizes via the cost model fit to the r14 crossover measurements
+    // (chunks at 2.5k docs/tick, tables at 25k; SCALING.md "STREAMING
+    // probe geometry"), recording the pick on the tick's stage line
+    // (`geo_auto-><arm>`). The verified pair set is
+    // construction-invariant whichever arm a tick picks, so this gate
+    // shares q_filter_funnel's oracle cell-exactly — correctness of
+    // the POLICY, not just of each arm.
+    "q_funnel_stream_auto" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_funnela_")
+      try
+        Streaming.funnelStreamAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_funnela"),
+            geometry = graft.ext.Dedup.AutoGeometry())
           .orderBy(col("stage"))
           .localCheckpoint(true)
       finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
@@ -1049,10 +1075,11 @@ private[graft] object QueriesScaleText {
       val docs = Tables.read(s, dir, "documents")
       // consumed by BOTH the packing pass and the token_ids join back —
       // unpinned, the whole train→segment→encode chain replays per
-      // consumer (the q_pipeline_export pattern)
+      // consumer (the q_pipeline_export pattern); eager disk-backed pin
+      // (r15) so heap pressure cannot evict between the two consumers
       val ids = graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text",
           graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       graft.ext.Packing.packConcatWithOffsets(
           ids.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", budget = 512L, shards = 4)
@@ -1083,12 +1110,14 @@ private[graft] object QueriesScaleText {
       // full bpeVocab().count() distinct-word pass; and `ids` is pinned
       // because packing + the token_ids join consume it twice — round
       // 10 measured the unpinned triple-replay at 2× the non-EOD export
+      // (eager disk-backed since r15: eviction-proof under heap
+      // pressure, the q_ccnet class fix)
       val eodId = graft.ext.Bpe.bpeVocabSize(docs, "text", merges)
       val ids = graft.ext.Bpe.bpeEncodeIds(docs, "doc_id", "text", merges)
         .withColumn("token_ids",
           concat(col("token_ids"), array(lit(eodId).cast("int"))))
         .withColumn("n_tokens", col("n_tokens") + 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       graft.ext.Packing.packConcatWithOffsets(
           ids.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", budget = 512L, shards = 4)

@@ -33,16 +33,18 @@ object Curation {
       cuts: Seq[(String, Int)] = Seq("train" -> 90),
       lastLabel: String = "val"): DataFrame = {
     // `kept` feeds two DAG branches (the dedup pipeline and the final
-    // survivor join) — persist so the gate expressions run once per
-    // row. Same caching contract as the Dedup pair-finders: lazy
-    // persist, released by the caller's clearCache between runs.
+    // survivor join) — pinned as an eager disk-backed checkpoint (r15)
+    // so the gate expressions run once per row even under heap
+    // pressure (a lazy persist can drop blocks between the branches
+    // and replay the lang/quality gates — the r14 q_ccnet eviction
+    // class). Freed by the harness's persistent-RDD sweep.
     val kept = docs
       .select(col(idCol), col(textCol),
         TextAnalysis.qualityScore(col(textCol)).as("quality"),
         TextAnalysis.nTokens(col(textCol)).as("n_tokens"))
       .filter(TextAnalysis.langId(col(textCol)) === lang &&
         col("quality") >= minQuality)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // survivors: docs in no duplicate pair + cluster canonicals
     Dedup.keepCanonical(kept, idCol,
         Dedup.dupClusters(
@@ -91,7 +93,9 @@ object Curation {
       weights, totalTokens)
     val corpus = mixed.select(col(idCol))
       .join(texts.select(col(idCol), col(textCol)), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // feeds bpeTrain AND bpeEncode — eager disk-backed pin (r15,
+      // eviction-proof; see the q_ccnet class note in TextAnalysis)
+      .localCheckpoint(true)
     val merges = docWords match {
       case Some(dw) => Bpe.bpeTrainFromWords(
         dw.join(mixed.select(col(idCol)), Seq(idCol), "left_semi"),

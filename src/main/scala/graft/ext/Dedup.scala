@@ -885,6 +885,10 @@ object Dedup {
     /** effective bits per join key */
     def keyBits: Int
     def label: String
+    /** The geometry actually probed for a tick of this shape — identity
+      * for the concrete geometries; [[AutoGeometry]] applies the
+      * measured cost model. */
+    def resolve(nBatch: Long, nLedger: Long): SigProbeGeometry = this
   }
   /** Single-field chunk keys — [[requireGeometry]]'s constraints apply
     * at probe time (`maxHamming < chunks`). */
@@ -906,6 +910,45 @@ object Dedup {
     def keyRows: Int = (0 until blocks).combinations(keyBlocks).size
     def keyBits: Int = keyBlocks * blockBits
     def label: String = s"tables_${blocks}x${blockBits}x$keyBlocks"
+  }
+  /** The measured geometry rule AS POLICY (r14 SCALING.md recorded it
+    * as a deployment rule in prose; this applies it per tick): probe
+    * through chunk keys while the key-explode term dominates, switch
+    * to the wider table keys once the collision term outgrows it.
+    *
+    * Cost model, fit to the r14 funnel measurements (2.5k docs/tick:
+    * chunks 0.73 s / tables 2.02 s; 25k docs/tick: chunks 6.5 s /
+    * tables 1.85 s, SCALING.md "STREAMING probe geometry" table):
+    * `cost(g) = keyRowCost · keyRows·(nb + nl) + analytic(g)` where
+    * `analytic = keyRows·(nb·nl + nb²/2)/2^keyBits` is the
+    * uniform-occupancy candidate estimate — a shuffled/sorted key row
+    * costs ~8× a codegen'd candidate-verify row (α ≈ 13 µs vs
+    * γ ≈ 1.4 µs back-solved from the four measured walls). With the
+    * streaming defaults the model picks chunks at 2.5k docs/tick and
+    * tables at 25k (crossover ≈ 10k with batch ≈ ledger), matching
+    * the measured crossover from both sides. The resolved pick rides
+    * the stats label (`auto->…`) onto the tick's stage line.
+    *
+    * Default table arm is the Hamming ≤ 7 streaming construction
+    * (9 blocks × 7 bits, 2-block keys: C(9,2) = 36 tables, 14-bit
+    * keys) — both arms admit the ingests' h ≤ 7 contract, so the
+    * verified pair set is identical whichever arm a tick picks (the
+    * oracle-gated geometry-invariance claim). */
+  final case class AutoGeometry(chunk: ChunkGeometry = ChunkGeometry(),
+      table: TableGeometry = TableGeometry(blocks = 9, blockBits = 7,
+        keyBlocks = 2),
+      keyRowCost: Double = 8.0) extends SigProbeGeometry {
+    def keyRows: Int = chunk.keyRows
+    def keyBits: Int = chunk.keyBits
+    def label: String = s"auto(${chunk.label}|${table.label})"
+    override def resolve(nBatch: Long, nLedger: Long): SigProbeGeometry = {
+      def cost(g: SigProbeGeometry): Double =
+        keyRowCost * g.keyRows.toDouble * (nBatch + nLedger) +
+          g.keyRows.toDouble *
+            (nBatch.toDouble * nLedger + nBatch.toDouble * nBatch / 2) /
+            math.pow(2.0, g.keyBits)
+      if (cost(table) < cost(chunk)) table else chunk
+    }
   }
 
   /** One ledger probe's measured shape: pre-verify candidate rows (the
@@ -935,6 +978,12 @@ object Dedup {
         assertDisjointIds(batchSig, ledgerSig, idCol)
         tableLedgerScored(batchSig, ledgerSig, idCol, bl, bb, kb,
           maxHamming)
+      // Auto is resolved to a concrete arm by the census probe BEFORE
+      // this dispatch; reaching here means a caller skipped resolve —
+      // fall back to resolving on the spot (one extra count per side)
+      case a: AutoGeometry =>
+        ledgerScoredFor(batchSig, ledgerSig, idCol, maxHamming,
+          a.resolve(batchSig.count(), ledgerSig.count()))
     }
 
   /** The PRODUCTION-INGEST ledger probe: find the batch-touching
@@ -953,20 +1002,29 @@ object Dedup {
       idCol: String, maxHamming: Int = 7,
       geo: SigProbeGeometry = ChunkGeometry())
       : (DataFrame, LedgerProbeStats) = {
+    // sizes first: the analytic needs them anyway, and AutoGeometry's
+    // per-tick arm pick is a function of exactly these two numbers
+    // (batch is tick-sized and pinned by the ingests; the ledger count
+    // is a stored-parquet count). The resolved arm is recorded in the
+    // stats label (`auto-><arm>`) so every tick's stage line carries
+    // its decision.
+    val nb = batchSig.count()
+    val nl = ledgerSig.count()
+    val resolved = geo.resolve(nb, nl)
+    val lbl =
+      if (resolved eq geo) geo.label else s"auto->${resolved.label}"
     val scored = ledgerScoredFor(batchSig, ledgerSig, idCol, maxHamming,
-      geo).persist(Spill)
+      resolved).persist(Spill)
     try {
       val candidates = scored.count()
       val pairs = scored.filter(col("hamming") <= maxHamming).distinct()
         .localCheckpoint(true)
       val nPairs = pairs.count()
-      val nb = batchSig.count()
-      val nl = ledgerSig.count()
-      val analytic = geo.keyRows.toDouble *
+      val analytic = resolved.keyRows.toDouble *
         (nb.toDouble * nl + nb.toDouble * nb / 2) /
-        math.pow(2.0, geo.keyBits)
+        math.pow(2.0, resolved.keyBits)
       (pairs,
-        LedgerProbeStats(geo.label, candidates, nPairs, nb, nl, analytic))
+        LedgerProbeStats(lbl, candidates, nPairs, nb, nl, analytic))
     } finally { scored.unpersist(); () }
   }
 

@@ -52,16 +52,17 @@ object Fuzzy {
     // LESS selective, never incorrect.
     val mask = expr(s"aggregate(split(`$strCol`, ''), CAST(0 AS BIGINT), " +
       "(acc, c) -> acc | shiftleft(CAST(1 AS BIGINT), pmod(ascii(c), 64)))")
-    // both join sides derive from `base`; persist so the scan and the
-    // interpreted per-char mask aggregate run once per row, not twice
-    // (caching contract as in Dedup: lazy persist, caller clearCache)
+    // both join sides derive from `base`; pinned (eager disk-backed
+    // checkpoint, r15) so the scan and the interpreted per-char mask
+    // aggregate run once per row, not twice — eviction-proof under
+    // heap pressure (the q_ccnet class), freed by the harness sweep
     val base = df
       .filter(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(blockCols.map(col) ++
         Seq(col(idCol), col(strCol), length(col(strCol)).as("_len"),
           mask.as("_mask"),
           floor(length(col(strCol)) / band).as("_band")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Meet-once banding with MINIMAL fan-out: the build side emits only
     // {b, b+1} (not b−1 too). A same-band pair meets twice (both
     // orientations) — the id order keeps one; a cross-band pair meets

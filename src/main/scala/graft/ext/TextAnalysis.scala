@@ -699,9 +699,19 @@ object TextAnalysis {
     * (RE2 and Java agree on `(?is)`, non-greedy `.*?`, and explicit
     * classes — the [[EmailRegex]] compatibility note applies): this is
     * the Common-Crawl-WET-style extraction, not a DOM parser — no
-    * entity table beyond the named seven, no charset sniffing, no
-    * readability scoring (those are I/O-adjacent concerns a real
-    * ingest solves before the engine).
+    * charset sniffing, no readability scoring (those are I/O-adjacent
+    * concerns a real ingest solves before the engine).
+    *
+    * Real-crawl hardening (r15): (a) the tag-strip regex skips QUOTED
+    * attribute spans, so `<a title="a>b">` strips as one tag instead
+    * of terminating at the quoted `>`; (b) NUMERIC character
+    * references decode over the enumerated [[HtmlNumericRefs]] set —
+    * decimal and hex forms, case-insensitive, leading zeros — with
+    * `&#38;`/`&#x26;` folded into the `&amp;`-LAST step so
+    * `&#38;lt;`, like `&amp;lt;`, renders the literal `&lt;` and
+    * never double-decodes. The entity table stays deliberately
+    * bounded (named seven + the enumerated numeric points): a full
+    * HTML5 table is a DOM parser's job.
     *
     * Scale (100 TB): pure per-row regexp chain — zero shuffles, runs
     * in the same scan as the quality gates. */
@@ -712,19 +722,54 @@ object TextAnalysis {
     val noStyle =
       regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val noTags = regexp_replace(noComment, HtmlTagRegex, " ")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&nbsp;" -> " ")
       .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val numeric = HtmlNumericRefs.foldLeft(named) { case (c, (cp, v)) =>
+      regexp_replace(c, htmlNumericRefPattern(cp), v)
+    }
+    val decoded = regexp_replace(numeric, HtmlAmpRegex, "&")
     trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
   }
+
+  /** Tag-strip regex that skips quoted attribute values — `"…"` and
+    * `'…'` spans may contain `>` without terminating the tag (the
+    * `<a title="a>b">` real-crawl case). Alternation branches are
+    * first-character-disjoint, so both RE2 and Java scan linearly. */
+  val HtmlTagRegex: String = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+
+  /** The enumerated numeric-reference codepoints [[htmlExtract]]
+    * decodes (the bounded table: ASCII marks crawls actually escape +
+    * the common typographic points), paired with their decoded text.
+    * 160 (nbsp) maps to a plain space exactly as `&nbsp;` does; 38
+    * (`&`) is deliberately ABSENT — it decodes in the amp-LAST step
+    * ([[HtmlAmpRegex]]) to preserve no-double-decode semantics. */
+  val HtmlNumericRefs: Seq[(Int, String)] = Seq(
+    34 -> "\"", 39 -> "'", 60 -> "<", 62 -> ">", 160 -> " ",
+    8211 -> "\u2013", 8212 -> "\u2014", 8216 -> "\u2018",
+    8217 -> "\u2019", 8220 -> "\u201c", 8221 -> "\u201d",
+    8226 -> "\u2022", 8230 -> "\u2026")
+
+  /** `(?i)&#(0*<dec>|x0*<hex>);` — both numeric forms of one
+    * codepoint, case-insensitive, tolerating leading zeros. */
+  def htmlNumericRefPattern(cp: Int): String =
+    s"(?i)&#(0*$cp|x0*${cp.toHexString});"
+
+  /** The LAST decode step: `&amp;` and its numeric spellings — after
+    * every other entity, so `&amp;lt;`/`&#38;lt;` render the literal
+    * `&lt;`. */
+  val HtmlAmpRegex: String = "(?i)&(amp|#0*38|#x0*26);"
 
   /** Deterministic SYNTHETIC page markup for the extraction gate (the
     * [[c4SyntheticPage]] fixture precedent — the corpus carries no
     * HTML, so the query renders every rule's trigger: script WITH a
     * stray `<` and braces inside, style with braces, a comment plant
-    * on id % 5, attribute-carrying tags, all seven entities on
-    * id % 3). Output `(idCol, page)`. */
+    * on id % 5, attribute-carrying tags, all seven entities PLUS the
+    * r15 numeric-reference forms — decimal, hex, leading-zero, and
+    * the `&#38;lt;` no-double-decode edge — on id % 3, and a tag
+    * whose quoted attributes contain `>` in both quote styles on
+    * id % 7). Output `(idCol, page)`. */
   def htmlSyntheticPage(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
     docs.select(col(idCol), concat(
@@ -739,7 +784,12 @@ object TextAnalysis {
       lit("</p>"),
       when(col(idCol) % 3 === 0,
         "<p>Tail &lt;tagged&gt; &quot;quoted&quot;&nbsp;" +
-          "entity&#39;s &apos;end&apos;</p>").otherwise(""),
+          "entity&#39;s &apos;end&apos; hex&#x27;s zero&#039;d " +
+          "dash&#8211;here amp&#38;lt;kept &#x2019;curly&#8217;</p>")
+        .otherwise(""),
+      when(col(idCol) % 7 === 0,
+        "<a title=\"a>b\" class='c>d'>quoted attr text</a>")
+        .otherwise(""),
       lit("</body></html>")).as("page"))
 
   /** Block-level boilerplate removal (jusText/trafilatura's core
@@ -924,21 +974,30 @@ object TextAnalysis {
     * on the doc id. No driver-side state beyond the 1-row total.
     *
     * Caching: the exploded token relation feeds three DAG branches, so
-    * it should be persisted ONCE (an eager materialize-and-release was
-    * measured to double end-to-end cost — see the Dedup caching-
-    * contract note). Lifecycle is API, not convention: build the
-    * relation with [[tokenRelation]], persist it, pass it here, and
-    * `unpersist()` it when done — no global `clearCache()` needed. The
-    * no-argument overload keeps the old behavior (persists internally,
-    * released by the session-level `clearCache()` Verify/Bench issue
-    * between corpora) for one-shot callers. */
+    * it must be materialized ONCE. Lifecycle is API, not convention:
+    * build the relation with [[tokenRelation]], persist it, pass it
+    * here, and `unpersist()` it when done — no global `clearCache()`
+    * needed. The no-argument overload pins internally with an eager
+    * disk-backed `localCheckpoint` (r15 — a lazy persist could drop
+    * blocks under heap pressure between the three consumers and
+    * recompute the explode per branch; checkpoint blocks spill but
+    * never recompute), released by the harness's persistent-RDD
+    * sweep. */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String,
       tokenRel: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val tok = tokenRel.getOrElse(
-      tokenRelation(docs, idCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // three consumers (freq, total, the probability join's scan) over
+      // the corpus-sized explode — pinned as an eager disk-backed
+      // checkpoint (r15): a lazy MEMORY_AND_DISK persist can drop
+      // blocks under heap pressure between consumers and recompute the
+      // scan per branch (the r14 q_ccnet eviction class); checkpoint
+      // blocks spill but never fall back to recompute. Released by the
+      // harness's persistent-RDD sweep. (Distinct from the reverted
+      // round-2 materialize-then-RELEASE: these blocks are KEPT, so the
+      // prefix still runs exactly once.)
+      tokenRelation(docs, idCol, textCol).localCheckpoint(true))
     val freq = tok.groupBy(col("token"))
       .agg(count(lit(1)).cast("double").as("_cnt"))
     val total = tok.agg(count(lit(1)).cast("double").as("_tot"))
@@ -978,7 +1037,11 @@ object TextAnalysis {
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two consumers (bigram counts + the scoring join's scan) over
+      // the corpus-sized adjacency explode — eager disk-backed pin,
+      // same eviction-class rationale as [[stupidBackoffLogProb]]'s
+      // inst relation (r15); freed by the harness RDD sweep
+      .localCheckpoint(true)
     val bc = big.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).cast("double").as("_bcnt"))
     val pc = bc.groupBy(col("prev")).agg(sum(col("_bcnt")).as("_pcnt"))
@@ -1037,7 +1100,16 @@ object TextAnalysis {
           element_at(t, i - 1).as("w2"),
           element_at(t, i).as("w3")))).as("g"))
       .select(col(idCol), col("g.w1"), col("g.w2"), col("g.w3"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // three consumers below (tri counts, the scoring join, and the
+      // final aggregate's scan) over the suite's most expensive
+      // corpus-sized relation — pinned as an eager DISK-BACKED
+      // checkpoint, not a MEMORY_AND_DISK persist: a persist can be
+      // evicted under heap pressure BETWEEN consumers and silently
+      // recompute the whole scan 2-4× (the r14 q_ccnet_frozen /
+      // q_ccnet_buckets eviction signature); checkpoint blocks spill
+      // to disk but cannot fall back to recompute. Released by the
+      // harness's persistent-RDD sweep after the caller's action.
+      .localCheckpoint(true)
     // count tables: unigrams/bigrams unpruned (denominators), pruned
     // trigram/bigram numerators
     val toks = docs.select(explode(t).as("w")).filter(col("w") =!= "")
@@ -1075,9 +1147,12 @@ object TextAnalysis {
       // micro-quantize BEFORE the sum: order-independent, engine-exact
       .select(col(idCol),
         floor(col("lp") * 1e6 + 0.5).cast("long").as("qlp"))
-    // caching contract: `inst` stays in the session cache after the
-    // caller's action (three consumers above) — clearCache() between
-    // runs, like bigramLogProb's bigram relation
+    // caching contract: `inst` is pinned above as an eager
+    // localCheckpoint whose blocks persist past the caller's action —
+    // the harness's persistent-RDD sweep (Verify/Bench) frees them
+    // after each query, so every consumer (q_lm_backoff,
+    // q_ccnet_buckets, q_ccnet_frozen's inner pass, the funnel's LM
+    // stage) reads the one materialization
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_scored"),
         round(sum(col("qlp")).cast("double") / 1e6 /

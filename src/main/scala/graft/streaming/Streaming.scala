@@ -1766,7 +1766,10 @@ object Streaming {
             "sig" -> sigMs, "probe" -> probeMs, "fold" -> foldMs,
             "state" -> stateMs,
             "cand_rows" -> probeStats.candidates,
-            "pair_rows" -> probeStats.pairs))
+            "pair_rows" -> probeStats.pairs,
+            // the geometry actually probed (Auto records its pick as
+            // `geo_auto-><arm>`) — the decision is ON the stage line
+            s"geo_${probeStats.geometry}" -> 1L))
           ()
         }
       }
@@ -1974,7 +1977,10 @@ object Streaming {
           recordTickStages(queryName, batchId, Seq("probe" -> probeMs,
             "fold" -> foldMs,
             "cand_rows" -> probeStats.candidates,
-            "pair_rows" -> probeStats.pairs))
+            "pair_rows" -> probeStats.pairs,
+            // the geometry actually probed (Auto records its pick as
+            // `geo_auto-><arm>`) — the decision is ON the stage line
+            s"geo_${probeStats.geometry}" -> 1L))
           ()
         }
       }

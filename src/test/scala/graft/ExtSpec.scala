@@ -726,7 +726,19 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
         "&apos;b&apos;&nbsp;end" ->
         "x &lt; y & z <tag> \"q\" 'a' 'b' end",
       // whitespace collapse + trim
-      "  <p>  a \n\t b  </p>  " -> "a b")
+      "  <p>  a \n\t b  </p>  " -> "a b",
+      // r15: quoted attribute values may contain '>' in either quote
+      // style without terminating the tag early
+      "<a title=\"a>b\" class='c>d'>kept</a> tail" -> "kept tail",
+      // r15: numeric character references — decimal, hex (either
+      // case), leading zeros, typographic points via chr()
+      "it&#39;s &#x27;x&#X27; &#039;z &#8211;dash&#x2013; " +
+        "&#8220;q&#8221; dots&#8230;" ->
+        "it's 'x' 'z –dash– “q” dots…",
+      // r15: &#38; is the amp step, decoded LAST — &#38;lt; renders
+      // the literal &lt; exactly like &amp;lt;, never twice
+      "a &#38; b &#38;lt; c &#x26;gt; d &#160;e" ->
+        "a & b &lt; c &gt; d e")
     val out = cases.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }
       .toDF("id", "page")
       .select(col("id"),
