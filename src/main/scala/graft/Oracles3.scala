@@ -8,12 +8,34 @@ import graft.OracleBuilders._
   * map is keyed by query name; family grouping lives in the Queries*
   * objects). No behavior change. */
 private[graft] object Oracles3 {
+  /** URL-dedup oracle — ONE value shared by q_url_dedup and its
+    * ledger-maintained streaming twin q_url_dedup_stream (the
+    * filterFunnelOracle sharing precedent: two gates proving the same
+    * report must reference the same SQL, not carry copies that can
+    * drift). */
+  private lazy val urlDedupOracle: String =
+    s"""WITH u AS (SELECT doc_id, ${OracleBuilders.demoUrlSql} AS url
+            FROM documents),
+       ${OracleBuilders.urlCanonChainSql},
+       k AS (SELECT url_canon, min(doc_id) AS keeper,
+              count(*)::BIGINT AS n_fetches
+            FROM uc GROUP BY 1)
+       SELECT uc.doc_id, uc.url_canon,
+              uc.doc_id = k.keeper AS keep, k.n_fetches
+       FROM uc JOIN k USING (url_canon)
+       ORDER BY uc.doc_id"""
+
   /** The composed batch pipeline's oracle SQL — shared verbatim by
     * q_pipeline_export and the ledger-driven q_pipeline_incremental
     * (their Spark sides share the Curation.mixPackExport tail). */
-  private lazy val pipelineExportOracle: String =
-      s"""$curationOraclePrefix,
-         surv AS (SELECT k.doc_id, k.n_tokens::BIGINT AS n_tokens,
+  /** The surv→trn→mixture→BPE→pack→export CTE tail over whatever
+    * `(doc_id, text)` relation fed the gates — parameterized on the
+    * TEXT source so the web capstone (which tokenizes the reassembled
+    * post-HTML text, not raw documents) shares it verbatim. Assumes
+    * `keptf` and `clus` are in scope; `source` always comes from
+    * `documents` (provenance survives rendering). */
+  private def mixPackExportTailSql(textSrc: String): String =
+      s"""surv AS (SELECT k.doc_id, k.n_tokens::BIGINT AS n_tokens,
                 $curationSplitSql AS split
               FROM keptf k LEFT JOIN clus c ON k.doc_id = c.id
               WHERE c.id IS NULL OR c.cluster_id = k.doc_id),
@@ -30,7 +52,7 @@ private[graft] object Oracles3 {
                 CASE source WHEN 'src0' THEN 600 ELSE 300 END AS budget
               FROM mh),
          corpus AS (SELECT d.doc_id, d.text
-              FROM documents d
+              FROM $textSrc d
               JOIN (SELECT doc_id FROM mixr WHERE cum - n_tokens < budget) m
                 USING (doc_id)),
          ${bpeWordChainSql(8, "corpus")},
@@ -67,6 +89,61 @@ private[graft] object Oracles3 {
                   ::BIGINT AS shard_pos,
                 pack_shard, bin, n_docs, bin_tokens, first_doc, last_doc
          FROM keyed ORDER BY shard, shard_pos"""
+
+  private lazy val pipelineExportOracle: String =
+      s"""$curationOraclePrefix,
+         ${mixPackExportTailSql("documents")}"""
+
+  /** The WEB-pipeline capstone's oracle: URL canonicalize → URL dedup
+    * (keeper per canonical URL; dead-letter NULLs dropped) → render →
+    * block extraction + jusText link-density gate → CCNet paragraph
+    * dedup → text REASSEMBLED from surviving blocks → the identical
+    * curation gates / near-dup CC / mixture / BPE / pack / export
+    * tail, every stage the shared builder the component oracle uses. */
+  private lazy val pipelineWebOracle: String =
+      s"""WITH RECURSIVE
+         u AS (SELECT doc_id, ${OracleBuilders.demoUrlSql} AS url
+              FROM documents),
+         ${OracleBuilders.urlCanonChainSql},
+         ukeep AS (SELECT min(doc_id) AS doc_id FROM uc
+              WHERE url_canon IS NOT NULL GROUP BY url_canon),
+         pg AS (SELECT d.doc_id, ${OracleBuilders.htmlPageSql} AS page
+              FROM documents d JOIN ukeep USING (doc_id)),
+         bl AS (SELECT doc_id,
+                regexp_extract_all(page, '(?is)<p[^>]*>(.*?)</p>', 1) AS ps
+              FROM pg),
+         bx AS (SELECT doc_id,
+                unnest([{'i': i - 1, 'r': ps[i]}
+                    for i in generate_series(1, len(ps))]) AS z
+              FROM bl),
+         btx AS (SELECT doc_id, z.i::BIGINT AS block_idx,
+                ${OracleBuilders.htmlExtractSql("z.r")} AS btxt,
+                ${OracleBuilders.htmlExtractSql(
+                  "coalesce(array_to_string(regexp_extract_all(z.r, " +
+                  "'(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")} AS lk
+              FROM bx),
+         bmx AS (SELECT doc_id, block_idx, btxt,
+                len(list_filter(string_split(btxt, ' '),
+                  x -> x <> ''))::BIGINT AS n_words,
+                CASE WHEN length(btxt) = 0 THEN 1000000
+                     ELSE length(lk)::BIGINT * 1000000
+                       // length(btxt)::BIGINT END AS link_ppm
+              FROM btx),
+         keptb AS (SELECT * FROM bmx
+              WHERE link_ppm <= 500000 AND n_words >= 5),
+         pkeep AS (SELECT md5(btxt) AS dg,
+                min(doc_id * 10000 + block_idx) AS kk
+              FROM keptb GROUP BY 1),
+         survb AS (SELECT b.doc_id, b.block_idx, b.btxt
+              FROM keptb b JOIN pkeep p
+                ON md5(b.btxt) = p.dg
+                   AND b.doc_id * 10000 + b.block_idx = p.kk),
+         web AS (SELECT doc_id,
+                string_agg(btxt, ' ' ORDER BY block_idx) AS text
+              FROM survb GROUP BY 1),
+${OracleBuilders.curationGateCtesFrom("web")}
+${OracleBuilders.simhashCcChainSql("keptf")},
+         ${mixPackExportTailSql("web")}"""
 
   val map: Map[String, String] = Map(
 
@@ -149,31 +226,13 @@ private[graft] object Oracles3 {
          ${OracleBuilders.urlCanonChainSql}
          SELECT doc_id, url, url_canon, host FROM uc ORDER BY doc_id""",
 
-    // URL dedup proper: keeper = min doc_id per canonical URL
-    "q_url_dedup" ->
-      s"""WITH u AS (SELECT doc_id, ${OracleBuilders.demoUrlSql} AS url
-              FROM documents),
-         ${OracleBuilders.urlCanonChainSql},
-         k AS (SELECT url_canon, min(doc_id) AS keeper,
-                count(*)::BIGINT AS n_fetches
-              FROM uc GROUP BY 1)
-         SELECT uc.doc_id, uc.url_canon,
-                uc.doc_id = k.keeper AS keep, k.n_fetches
-         FROM uc JOIN k USING (url_canon)
-         ORDER BY uc.doc_id""",
+    // URL dedup proper: keeper = min doc_id per canonical URL (one
+    // shared SQL value — the streaming twin references the SAME string
+    // so the two gates cannot silently drift on a future edit)
+    "q_url_dedup" -> urlDedupOracle,
 
     // the ledger-maintained streaming twin shares the report verbatim
-    "q_url_dedup_stream" ->
-      s"""WITH u AS (SELECT doc_id, ${OracleBuilders.demoUrlSql} AS url
-              FROM documents),
-         ${OracleBuilders.urlCanonChainSql},
-         k AS (SELECT url_canon, min(doc_id) AS keeper,
-                count(*)::BIGINT AS n_fetches
-              FROM uc GROUP BY 1)
-         SELECT uc.doc_id, uc.url_canon,
-                uc.doc_id = k.keeper AS keep, k.n_fetches
-         FROM uc JOIN k USING (url_canon)
-         ORDER BY uc.doc_id""",
+    "q_url_dedup_stream" -> urlDedupOracle,
 
     // host rollup + URL dedup: distinct canonical URLs per host plus
     // the novelty chain's truncated-mean convention, keyed by HOST
@@ -205,6 +264,35 @@ private[graft] object Oracles3 {
                   AS mean_novelty_ppm
          FROM uc JOIN nt USING (doc_id) JOIN per USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
+
+    // registrable-domain rollup + cap: the generated longest-match
+    // suffix fold (pldSql) replays the engine's fold pattern for
+    // pattern; the cap replays sourceCap's rank cut (n_tokens desc,
+    // doc_id tiebreak, top 3 per PLD); the NULL dead-letter group
+    // (bare suffixes, single-label hosts) is reported uncapped via
+    // the null-dropping LEFT JOIN
+    "q_pld_rollup" ->
+      s"""WITH h AS (SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                ${OracleBuilders.demoHostSql} AS host
+              FROM documents),
+         p AS (SELECT doc_id, n_tokens, host,
+                ${OracleBuilders.pldSql("host")} AS pld
+              FROM h),
+         r AS (SELECT *, row_number() OVER (PARTITION BY pld
+                  ORDER BY n_tokens DESC, doc_id) AS rk
+              FROM p WHERE pld IS NOT NULL),
+         cap AS (SELECT pld, count(*)::BIGINT AS n_kept,
+                sum(n_tokens)::BIGINT AS kept_tokens
+              FROM r WHERE rk <= 3 GROUP BY 1),
+         base AS (SELECT pld, count(*)::BIGINT AS n_docs,
+                count(DISTINCT host)::BIGINT AS n_hosts,
+                sum(n_tokens)::BIGINT AS n_tokens
+              FROM p GROUP BY 1)
+         SELECT base.pld, base.n_docs, base.n_hosts, base.n_tokens,
+                cap.n_kept, cap.kept_tokens
+         FROM base LEFT JOIN cap ON base.pld = cap.pld
+         ORDER BY base.pld""",
 
     // identical novelty pipeline (df over the full union), restricted
     // to the batch's docs — exactly the incremental contract
@@ -792,6 +880,11 @@ private[graft] object Oracles3 {
     // final export as the batch pipeline — shared oracle by design
     // (the Spark sides also share the mixPackExport tail)
     "q_pipeline_incremental" -> pipelineExportOracle,
+
+    // the web capstone: component-shared builders end to end (url
+    // chain, html page/extract, jusText gate, para-dedup keeper rule,
+    // curation gates from the reassembled text, CC, export tail)
+    "q_pipeline_web" -> pipelineWebOracle,
 
     "q_pack_curated" ->
       s"""$curationOraclePrefix,

@@ -505,6 +505,57 @@ private[graft] object QueriesDedupSimMm {
         docs.select(col("doc_id"), col("text")), "doc_id", "text")
     }),
 
+    // The WEB capstone: the r14 crawl families COMPOSED as one lazy
+    // plan — URL canonicalize → URL dedup (keeper per canonical URL,
+    // dead-letter NULLs dropped: invalid/credentialed/IPv6 URLs never
+    // reach a fetcher) → render → block extraction + jusText
+    // link-density gate → CCNet paragraph dedup → doc text REASSEMBLED
+    // from surviving blocks in block order → the IDENTICAL
+    // curate-gates/near-dup-CC/mixture/BPE/pack/export tail the batch
+    // pipeline runs (Curation.curate + mixPackExport, shared code).
+    // Every stage is the component query's own operator, so the
+    // composed oracle is built from the same shared SQL builders.
+    // Scale shape: URL dedup and para dedup are hash aggregations on
+    // canonical keys; the reassembly is one (doc)-keyed aggregate;
+    // everything else inherits the proven component plans — no
+    // cartesian, no corpus-wide window.
+    "q_pipeline_web" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val keepers = docs.select(col("doc_id"),
+          graft.ext.Urls.urlCanonical(
+            graft.ext.Urls.demoUrl(col("doc_id"), col("source")))
+            .as("url_canon"))
+        .filter(col("url_canon").isNotNull)
+        .groupBy(col("url_canon")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val pg = TextAnalysis.htmlSyntheticPage(
+        docs.join(keepers, "doc_id"), "doc_id", "text")
+      val blocks = TextAnalysis.htmlBlocks(pg, "doc_id", "page")
+        .filter(col("kept"))
+        .select(col("doc_id"), col("block_idx"), col("block_text"))
+      // CCNet stage-1 keeper rule (q_para_dedup's exact encoding:
+      // doc_id*10000 + block_idx, ordinal-safe for single-digit
+      // per-page block counts)
+      val pkeep = blocks
+        .groupBy(md5(col("block_text")).as("dg"))
+        .agg(min(col("doc_id") * 10000 + col("block_idx")).as("kk"))
+      val survb = blocks
+        .join(pkeep, md5(col("block_text")) === col("dg") &&
+          col("doc_id") * 10000 + col("block_idx") === col("kk"))
+      val web = survb.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("block_idx"),
+            col("block_text")))),
+          x => x.getField("block_text")), " ").as("text"))
+      val curated = graft.ext.Curation.curate(web, "doc_id", "text",
+        lang = "en", minQuality = 60.0)
+      val withSrc = curated.filter(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.ext.Curation.mixPackExport(withSrc,
+        web.select(col("doc_id"), col("text")), "doc_id", "text")
+    }),
+
     // The INCREMENTAL capstone: the same corpus→training-shards
     // pipeline, but driven per tick from MAINTAINED LEDGERS instead of
     // a batch pass — documents stream in two micro-batches; each tick

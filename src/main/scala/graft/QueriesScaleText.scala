@@ -1443,5 +1443,39 @@ private[graft] object QueriesScaleText {
         .orderBy(col("host"))
     }),
 
+    // REGISTRABLE-domain (PLD / eTLD+1) rollup + cap — the RefinedWeb
+    // move q_host_rollup's comment names: a host-level cap still lets
+    // one registrant flood the corpus through subdomain farms, so the
+    // quota keys on the registrable domain (news.bbc.co.uk and
+    // m.bbc.co.uk are one budget). PLD = longest matching embedded
+    // public-suffix-sample entry + one label (unknown TLDs fall back
+    // to the prevailing-'*' last-two-labels rule; bare suffixes and
+    // single-label hosts land in the NULL dead-letter group, reported
+    // but never capped). The cap composes the existing sourceCap
+    // machinery keyed on pld (rank = n_tokens desc, doc_id tiebreak,
+    // cap 3 — binding at sf0.01's ~4 docs/PLD). Two hash aggregations
+    // plus a PLD-keyed window whose partitions are domain-count many;
+    // the suffix fold is pure narrow expressions.
+    "q_pld_rollup" -> ((s, dir) => {
+      val h = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
+          graft.ext.Urls.demoHost(col("doc_id"), col("source")).as("host"))
+        .withColumn("pld",
+          graft.ext.Urls.urlRegistrableDomain(col("host")))
+      val capped = graft.ext.Curation.sourceCap(
+          h.filter(col("pld").isNotNull), "doc_id", "pld", "n_tokens",
+          cap = 3)
+        .groupBy(col("pld"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"))
+      h.groupBy(col("pld"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .join(capped, Seq("pld"), "left")
+        .orderBy(col("pld"))
+    }),
+
   )
 }
