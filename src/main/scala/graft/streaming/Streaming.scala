@@ -871,6 +871,24 @@ object Streaming {
     }
   /** Wall-clock a stage inside an instrumented tick — the shared
     * helper behind the [[recordTickStages]] stage splits. */
+  /** The occupancy guard with an availability escape hatch: the
+    * default HARD-FAILS a degraded tick (a boilerplate-skewed corpus
+    * must not surface as a mystery slowdown), but because ledger and
+    * checkpoint state persist, a legitimately skewed corpus would
+    * otherwise be PERMANENTLY unable to progress — `failOnDegraded =
+    * false` degrades to the ScaleProbe treatment: record loudly on
+    * stderr (and the stage line carries cand/pair rows either way),
+    * keep the tick. */
+  private def guardOccupancy(stats: graft.ext.Dedup.LedgerProbeStats,
+      context: String, failOnDegraded: Boolean): Unit =
+    if (failOnDegraded)
+      graft.ext.Dedup.requireLedgerOccupancy(stats, context)
+    else if (stats.degraded)
+      System.err.println(s"[graft-stream] DEGRADED OCCUPANCY $context: " +
+        s"${stats.candidates} candidates for ${stats.pairs} pairs " +
+        f"(analytic ${stats.analytic}%.1f, bound ${stats.bound}%.1f) — " +
+        "failOnDegraded=false, tick continues")
+
   private[graft] def timedMs[T](body: => T): (T, Long) = {
     val t0 = System.nanoTime()
     val out = body
@@ -1673,7 +1691,8 @@ object Streaming {
       lang: String = "en", minQuality: Double = 60.0,
       maxHamming: Int = 7, queryName: String = "",
       geometry: graft.ext.Dedup.SigProbeGeometry =
-        graft.ext.Dedup.ChunkGeometry())
+        graft.ext.Dedup.ChunkGeometry(),
+      failOnDegraded: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     named(docs.writeStream, queryName)
       .option("checkpointLocation", checkpointDir)
@@ -1722,8 +1741,8 @@ object Streaming {
           val ((pairs, probeStats), probeMs) = timedMs {
             Dedup.simhashLedgerProbeCensus(sig, ledgerSig, idCol,
               maxHamming, geometry) }
-          Dedup.requireLedgerOccupancy(probeStats,
-            s"pipeline ledger tick $batchId")
+          guardOccupancy(probeStats, s"pipeline ledger tick $batchId",
+            failOnDegraded)
           val labels =
             if (priorSigs.isEmpty) Dedup.dupClusters(pairs)
             else {
@@ -1871,7 +1890,8 @@ object Streaming {
       lang: String = "en", minQuality: Double = 60.0,
       maxHamming: Int = 7, queryName: String = "",
       geometry: graft.ext.Dedup.SigProbeGeometry =
-        graft.ext.Dedup.ChunkGeometry())
+        graft.ext.Dedup.ChunkGeometry(),
+      failOnDegraded: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     named(docs.writeStream, queryName)
       .option("checkpointLocation", checkpointDir)
@@ -1946,8 +1966,8 @@ object Streaming {
           val ((pairs, probeStats), probeMs) = timedMs {
             Dedup.simhashLedgerProbeCensus(sig, ledgerSig, idCol,
               maxHamming, geometry) }
-          Dedup.requireLedgerOccupancy(probeStats,
-            s"funnel ledger tick $batchId")
+          guardOccupancy(probeStats, s"funnel ledger tick $batchId",
+            failOnDegraded)
           val labels =
             if (priorSigs.isEmpty) Dedup.dupClusters(pairs)
             else {

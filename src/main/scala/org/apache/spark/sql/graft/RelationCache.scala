@@ -45,24 +45,32 @@ object RelationCache {
     * the cached logical plan REFERENCE: retained entries keep their
     * plan object across the manager's internal rebuilds, so a plan ref
     * absent from the snapshot means the entry was created after it.
-    * (A caller-held entry the body itself forces a recache of — e.g.
-    * by overwriting the cached relation's files — gets a fresh plan
-    * ref and is claimed by the diff; the scope contract documents
-    * that edge.) */
-  def snapshot(spark: SparkSession): Set[Int] =
-    entries(spark).getOrElse(Nil)
-      .map(e => System.identityHashCode(e.plan)).toSet
+    * The snapshot holds the plan REFERENCES themselves in an
+    * identity-keyed set (not their identityHashCode ints — hash codes
+    * are not unique, and a new entry colliding with a pre-scope
+    * entry's hash would be spared from [[uncacheNewSince]], a bounded
+    * cache leak). (A caller-held entry the body itself forces a
+    * recache of — e.g. by overwriting the cached relation's files —
+    * gets a fresh plan ref and is claimed by the diff; the scope
+    * contract documents that edge.) */
+  def snapshot(spark: SparkSession): java.util.Set[AnyRef] = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    entries(spark).getOrElse(Nil).foreach(e => s.add(e.plan))
+    s
+  }
 
   /** Uncache every relation-cache entry not present in `before`
     * (cascade=false: exactly the new entries, not caller plans built
     * over them). Falls back to `clearCache()` when the entry list is
     * not enumerable — the pre-round-14 blunt behavior, never a leak. */
-  def uncacheNewSince(spark: SparkSession, before: Set[Int]): Unit =
+  def uncacheNewSince(spark: SparkSession,
+      before: java.util.Set[AnyRef]): Unit =
     entries(spark) match {
       case None => spark.catalog.clearCache()
       case Some(es) =>
         val cm = session(spark).sharedState.cacheManager
-        es.filterNot(e => before(System.identityHashCode(e.plan)))
+        es.filterNot(e => before.contains(e.plan))
           .foreach { e =>
             cm.uncacheQuery(
               classic.Dataset.ofRows(session(spark), e.plan),

@@ -1665,6 +1665,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(causes(ex).exists(c =>
         c.getMessage != null && c.getMessage.contains("candidate blow-up")),
         s"the occupancy require must surface through the stream: $ex")
+      // r15 escape hatch: failOnDegraded = false degrades the same
+      // corpus to warn-and-record — the tick completes and the ledger
+      // state lands, so a legitimately boilerplate-skewed corpus is a
+      // perf problem, not permanent unavailability
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_skewg2_")
+      try {
+        val mem2 = MemoryStream[(Long, String, String)]
+        mem2.addData(docs: _*)
+        Streaming.pipelineLedgerIngest(
+            mem2.toDF().toDF("doc_id", "text", "source"),
+            dir2.resolve("work").toString, dir2.resolve("cp").toString,
+            "doc_id", "text", maxHamming = 0, failOnDegraded = false)
+          .awaitTermination()
+        val sigs = s.read.parquet(
+          dir2.resolve("work").resolve("sigs").toString + "/batch=*")
+        assert(sigs.count() == 50L,
+          "the degraded-but-allowed tick must land its ledger state")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(dir2.toFile)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
