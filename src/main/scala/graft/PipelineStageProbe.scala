@@ -164,6 +164,14 @@ object PipelineStageProbe {
     val geos = Seq(
       "chunks_8x8" -> graft.ext.Dedup.ChunkGeometry(),
       "tables_9x7x2" -> graft.ext.Dedup.TableGeometry(9, 7, 2),
+      // the next key-width rung at the same Hamming<=7 pigeonhole
+      // (maxHamming <= blocks - keyBlocks; 10x6 uses the full 60 sig
+      // bits): C(10,3)=120 tables of 18-bit keys — collision constant
+      // 120/2^18 ~ 4.6e-4 vs 36/2^14 ~ 2.2e-3, the documented fix
+      // path once the quadratic term dominates the 36-table probe
+      // (measured at 100x: 466M candidates, the tick's own
+      // superlinear stage)
+      "tables_10x6x3" -> graft.ext.Dedup.TableGeometry(10, 6, 3),
       // the r15 POLICY arm: each tick picks its own geometry from the
       // measured cost model; the pick lands on the tick stage line as
       // `geo_auto-><arm>` — at sf0.1 (2.5k docs/tick) Auto must pick

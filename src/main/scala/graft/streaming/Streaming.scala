@@ -329,7 +329,7 @@ object Streaming {
     // one-shot replay scope. The conf is read at query START, so
     // restoring it after the replay cannot affect the running query.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -356,14 +356,30 @@ object Streaming {
 
   /** AvailableNow terminates on its own; the bound is a guard so a hung
     * stream fails ITS query loudly instead of wedging the whole Verify
-    * run or returning a silently partial table. */
+    * run or returning a silently partial table. Default 300 s covers
+    * every bench-scale gate with an order of magnitude to spare; the
+    * 100x scale probes legitimately exceed it (a 250k-doc tick's
+    * table-key probe alone shuffles ~10^8 candidate rows), so the
+    * bound is env-tunable: SPARK_GRAFT_STREAM_TIMEOUT_SEC. */
+  private lazy val oneShotTimeoutMs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_TIMEOUT_SEC", "300")
+      .trim.toLong * 1000L
+
+  /** Shuffle-partition count the one-shot stream replays pin for the
+    * duration of the stream (restored after). 4 suits the bench-scale
+    * tick sizes (hundreds of rows — 32 near-empty tasks per tick are
+    * pure scheduling overhead); the 100x scale probes override via
+    * SPARK_GRAFT_STREAM_SHUFFLE (a 250k-doc tick's ~10^8-row candidate
+    * shuffle through 4 partitions is 4 giant spilling tasks). */
+  private lazy val streamShuffleParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4").trim
   private def awaitOneShot(
       q: org.apache.spark.sql.streaming.StreamingQuery,
       queryName: String): Unit =
-    if (!q.awaitTermination(300000L)) {
+    if (!q.awaitTermination(oneShotTimeoutMs)) {
       q.stop()
-      throw new RuntimeException(
-        s"stream $queryName did not terminate within 300s")
+      throw new RuntimeException(s"stream $queryName did not terminate " +
+        s"within ${oneShotTimeoutMs / 1000}s")
     }
 
   /** One-shot (`AvailableNow`) replay of [[asofStream]] over the events
@@ -477,7 +493,7 @@ object Streaming {
     sentinelDf(401).coalesce(1).write.mode("append").parquet(staging)
     stampStagedBatch(sfs, stagingPath, t0 + 120000, seen)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       def side(habit: String) = spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -1141,7 +1157,7 @@ object Streaming {
       .withColumn("weight", (col("user_email") % 5 + 1).cast("double"))
       .localCheckpoint(true)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream
         .schema(ev.schema).option("maxFilesPerTrigger", "1")
@@ -1201,7 +1217,7 @@ object Streaming {
       .withColumn("ts", dimTs)
       .withColumn("weight", (col("user_email") % 7 + 1).cast("double"))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream
         .schema(ev.schema).option("maxFilesPerTrigger", "1")
@@ -1386,7 +1402,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -1475,7 +1491,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -1623,7 +1639,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -1818,7 +1834,7 @@ object Streaming {
       docs.filter(pmod(hash(col("doc_id")), lit(ticks)) === i))
     val schema = stageBatches(spark, s"$workDir/staged", parts)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2056,7 +2072,7 @@ object Streaming {
       docs.filter(pmod(hash(col("doc_id")), lit(ticks)) === i))
     val schema = stageBatches(spark, s"$workDir/staged", parts)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2090,7 +2106,7 @@ object Streaming {
       docs.filter(pmod(hash(col("doc_id")), lit(ticks)) === i))
     val schema = stageBatches(spark, s"$workDir/staged", parts)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2211,7 +2227,7 @@ object Streaming {
       ev.filter(abs(hash(col("event_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2264,7 +2280,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2340,7 +2356,7 @@ object Streaming {
     val halves = Seq(ev.filter(tick === 0), ev.filter(tick === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2391,7 +2407,7 @@ object Streaming {
       ev.filter(abs(hash(col("event_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2468,7 +2484,7 @@ object Streaming {
       hot.filter(abs(hash(col("o_orderkey"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2522,7 +2538,7 @@ object Streaming {
       ev.filter(abs(hash(col("event_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2575,7 +2591,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2633,7 +2649,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2700,7 +2716,7 @@ object Streaming {
       vecs.filter(abs(hash(col("vec_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2753,7 +2769,7 @@ object Streaming {
       items.filter(abs(hash(col("vec_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2811,7 +2827,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2886,7 +2902,7 @@ object Streaming {
       rows.filter(abs(hash(col("b"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2917,7 +2933,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2944,7 +2960,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -2995,7 +3011,7 @@ object Streaming {
       ev.filter(abs(hash(col("event_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -3063,7 +3079,7 @@ object Streaming {
       ev.filter(abs(hash(col("event_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -3143,7 +3159,7 @@ object Streaming {
       train.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -3199,7 +3215,7 @@ object Streaming {
       docs.filter(abs(hash(col("doc_id"))) % 2 === 1))
     val schema = stageBatches(spark, s"$workDir/staged", halves)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
@@ -3281,7 +3297,7 @@ object Streaming {
       sfs.setTimes(f.getPath, t0 + i * 60000L, -1)
     }
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream
         .schema(spark.read.parquet(staging).schema)
@@ -3317,7 +3333,7 @@ object Streaming {
     val sink = s"$workDir/sink"
     current.write.parquet(sink)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")

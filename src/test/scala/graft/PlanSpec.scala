@@ -335,6 +335,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"no stage may serialize to a single partition:\n$p")
   }
 
+  test("web pipeline: the composed crawl stages never serialize the " +
+      "corpus to one partition and never go cartesian") {
+    val p = plan("q_pipeline_web")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"composition must stay equi-keyed:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may serialize to a single partition:\n$p")
+  }
+
   test("negative samples: the vocabulary prefix sum is salted — " +
       "every window partitions on the salt bucket") {
     val p = plan("q_negative_samples")
