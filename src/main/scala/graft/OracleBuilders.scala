@@ -168,12 +168,17 @@ private[graft] object OracleBuilders {
            $stripped,
            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
            '&apos;', ''''), '&nbsp;', ' ')"""
-    val numeric = TextAnalysis.HtmlNumericRefs.foldLeft(named) {
+    val chain = TextAnalysis.HtmlNumericRefs.foldLeft(named) {
       case (acc, (cp, v)) =>
         val repl = if (cp > 127 && v != " ") s"chr($cp)" else sq(v)
         s"""regexp_replace($acc,
              ${sq(TextAnalysis.htmlNumericRefPattern(cp))}, $repl, 'g')"""
     }
+    // the engine gates the numeric chain on contains("&#") — mirror
+    // the guard (semantics-free: ref-free strings are fixed points)
+    val numeric =
+      s"""(CASE WHEN strpos($named, '&#') > 0 THEN $chain
+           ELSE $named END)"""
     s"""trim(regexp_replace(regexp_replace($numeric,
          ${sq(TextAnalysis.HtmlAmpRegex)}, '&', 'g'),
          '[ \t\n\r]+', ' ', 'g'))"""

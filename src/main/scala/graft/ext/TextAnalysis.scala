@@ -726,9 +726,16 @@ object TextAnalysis {
     val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ")
       .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
-    val numeric = HtmlNumericRefs.foldLeft(named) { case (c, (cp, v)) =>
+    // the numeric-reference chain is ~14 regexp passes — gate it on a
+    // cheap contains("&#"): rows without any numeric ref (most of a
+    // real crawl after tag-strip) skip the whole chain, and the guard
+    // is semantics-free (a ref-free string is a fixed point of every
+    // pass). CaseWhen evaluates the THEN branch lazily, so the skip is
+    // real, not just plan-cosmetic. Mirrored textually in the oracle.
+    val chain = HtmlNumericRefs.foldLeft(named) { case (c, (cp, v)) =>
       regexp_replace(c, htmlNumericRefPattern(cp), v)
     }
+    val numeric = when(instr(named, "&#") > 0, chain).otherwise(named)
     val decoded = regexp_replace(numeric, HtmlAmpRegex, "&")
     trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
   }

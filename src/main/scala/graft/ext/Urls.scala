@@ -278,6 +278,48 @@ object Urls {
   private[graft] def pldPattern(suffix: String): String =
     "([^.]+\\." + suffix.replace(".", "\\.") + ")$"
 
+  // lazy: PublicSuffixSample/PldFallbackPattern are declared later in
+  // the object — a strict val here would capture them mid-init (null)
+  private lazy val SuffixSet: Set[String] = PublicSuffixSample.toSet
+  private lazy val PldFallbackRe = PldFallbackPattern.r
+
+  /** Typed twin of [[urlRegistrableDomain]] — the hot-path form (the
+    * house HOF-vs-kernel precedent: the expression form is a
+    * ~140-branch CaseWhen over per-suffix regexes, fine as the
+    * oracle-replayable reference but measurably slow per row; the
+    * kernel is O(labels) set lookups). Longest matching suffix = the
+    * suffix with the most labels, which is exactly what evaluating
+    * [[SuffixesOrdered]] first-match finds; the empty-label guard and
+    * the regex fallback mirror the expression's capture-group
+    * semantics on degenerate hosts. ExtSpec pins the two forms
+    * value-identical on the fixture space + a degenerate edge table. */
+  private[graft] def registrableDomainLocal(host: String): String = {
+    if (host == null) return null
+    if (SuffixSet.contains(host)) return null
+    val labels = host.split("\\.", -1)
+    var i = 1
+    while (i < labels.length) {
+      val suf = labels.slice(i, labels.length).mkString(".")
+      if (SuffixSet.contains(suf))
+        return if (labels(i - 1).isEmpty) null
+          else labels(i - 1) + "." + suf
+      i += 1
+    }
+    PldFallbackRe.findFirstIn(host).orNull
+  }
+
+  /** [[registrableDomainLocal]] over a `(idCol: long, hostCol:
+    * string)` relation — returns `(idCol, hostCol, pld)`. */
+  def registrableDomainLocalDf(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, hostCol: String): org.apache.spark.sql.DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long"), col(hostCol).cast("string"))
+      .as[(java.lang.Long, String)]
+      .map { case (id, h) => (id, h, registrableDomainLocal(h)) }
+      .toDF(idCol, hostCol, "pld")
+  }
+
   /** The prevailing-`*` fallback: last two labels. */
   private[graft] val PldFallbackPattern: String = "([^.]+\\.[^.]+)$"
 

@@ -631,6 +631,29 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
         (if (r.isNullAt(1)) null else r.getString(1))).toMap
     cases.zipWithIndex.foreach { case ((h, want), i) =>
       assert(out(i.toLong) == want, s"pld($h)") }
+    // the typed kernel (the hot-path form q_pld_rollup runs) must be
+    // value-identical to the expression reference — over the named
+    // cases, the whole demoHost fixture space, and degenerate hosts
+    // the fixture never produces
+    val degenerate = Seq("", ".", "x.", ".x", ".co.uk", "co.uk.",
+      "a..co.uk", "..")
+    val fixture = (0L until 500L).map(i => (i, s"src${i % 20}"))
+      .toDF("doc_id", "source")
+      .select(graft.ext.Urls.demoHost(col("doc_id"), col("source"))
+        .as("host"))
+      .collect().map(_.getString(0)).toSeq
+    (cases.map(_._1) ++ degenerate ++ fixture).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "host")
+      .select(col("id"), col("host"),
+        graft.ext.Urls.urlRegistrableDomain(col("host")).as("pld"))
+      .collect().foreach { r =>
+        val h = r.getString(1)
+        val expr = if (r.isNullAt(2)) null else r.getString(2)
+        val kern = graft.ext.Urls.registrableDomainLocal(h)
+        assert(kern == expr,
+          s"kernel != expression at host '$h': $kern vs $expr")
+      }
   }
 
   test("signature-ledger occupancy guard: collapsed chunk buckets are " +
