@@ -92,6 +92,51 @@ private[graft] object OracleBuilders {
                   THEN chost END AS host
            FROM u5)"""
 
+  /** SQL twin of [[graft.ext.Urls.demoCrawlUrl]] — the deterministic
+    * crawl-URL fixture for the frontier filter gate. */
+  val demoCrawlUrlSql: String =
+    """(CASE WHEN doc_id % 13 = 11 THEN 'http://u:p@x.example.com/a'
+            ELSE concat('https://', source, '.example.com',
+         CASE doc_id % 7 WHEN 0 THEN '/wp-admin/post.php'
+              WHEN 1 THEN '/assets/logo.png'
+              WHEN 2 THEN '/2024/01/02/03/04/05/06/07/08/trap'
+              WHEN 3 THEN concat('/a/',
+                replace(printf('%0250d', doc_id % 10), '0', 'x'))
+              ELSE concat('/page/', (doc_id % 50)::VARCHAR) END,
+         CASE doc_id % 5
+              WHEN 0 THEN '?color=red&size=xl&sort=asc&page=2&ref2=x'
+              WHEN 1 THEN '?x=1' ELSE '' END) END)"""
+
+  /** SQL twin of [[graft.ext.Urls.urlFilter]]'s rule columns over the
+    * `uc` relation — the blocked-extension / banned-path lists are
+    * GENERATED from the engine's own tables so the two rule sets
+    * cannot drift. Ends at `fr`; the caller selects reason/keep. */
+  lazy val urlFilterChainSql: String = {
+    val exts = graft.ext.Urls.BlockedExtensions
+      .map(e => s"ends_with(lpath, '$e')").mkString("\n              OR ")
+    val parts = graft.ext.Urls.BannedPathParts
+      .map(p => s"strpos(lpath, '$p') > 0").mkString("\n              OR ")
+    s"""fp AS (SELECT doc_id, url_canon,
+             CASE WHEN url_canon IS NULL THEN NULL
+                  ELSE regexp_replace(split_part(substr(url_canon,
+                    strpos(url_canon, '://') + 3), '?', 1), '^[^/]*', '')
+             END AS path,
+             CASE WHEN strpos(url_canon, '?') > 0
+                  THEN substr(url_canon, strpos(url_canon, '?') + 1)
+                  ELSE '' END AS q
+           FROM uc),
+       fl AS (SELECT *, lower(path) AS lpath FROM fp),
+       fr AS (SELECT doc_id, url_canon,
+             ($exts) AS ext_blocked,
+             ($parts) AS part_banned,
+             ((CASE WHEN length(q) = 0 THEN 0
+                    ELSE len(string_split(q, '&')) END) > 4)
+               AS too_many_params,
+             ((len(string_split(path, '/')) - 1) > 8) AS too_deep,
+             (length(url_canon) > 256) AS too_long
+           FROM fl)"""
+  }
+
   /** SQL twin of [[graft.ext.Urls.demoHost]] — the deterministic host
     * fixture for the PLD gate. */
   val demoHostSql: String =

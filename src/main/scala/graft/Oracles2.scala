@@ -615,6 +615,38 @@ private[graft] object Oracles2 {
 
     "q_tokenizer_fertility" -> tokenizerFertilityOracle(8),
 
+    // margin-gated language ID: same marker scores over the dirtied
+    // text; second-best via a descending list sort (ties → margin 0)
+    "q_lang_margin" -> {
+      val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      }
+      val scores = markers.map { case (l, arr) =>
+        s"len(list_filter(l, x -> list_contains($arr, x))) AS s_$l"
+      }.mkString(",\n                ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l =>
+        s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
+      val sorted = langs.map(l => s"s_$l::BIGINT")
+        .mkString("list_sort([", ", ", "], 'DESC')[2]")
+      s"""WITH t AS (SELECT doc_id, string_split(text ||
+                CASE doc_id % 7 WHEN 0 THEN ' el la de que y en un'
+                     WHEN 1 THEN ' der die und das ist'
+                     WHEN 2 THEN ' le les des et est'
+                     ELSE '' END, ' ') AS l
+              FROM documents),
+         s AS (SELECT doc_id, $scores FROM t),
+         b AS (SELECT *, $best AS best, $sorted AS second FROM s),
+         x AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang,
+                best::BIGINT AS best, second,
+                (best - second)::BIGINT AS margin
+              FROM b)
+         SELECT doc_id, lang, best, second, margin,
+                CASE WHEN best > 0 AND margin >= 2 THEN lang
+                     ELSE 'und' END AS lang_conf
+         FROM x ORDER BY doc_id""" },
+
     "q_lang_id" -> {
       val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
         l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -941,6 +973,43 @@ private[graft] object Oracles2 {
                   '<EMAIL>', 'g'),
                   '[0-9]{7,}', '<NUM>', 'g')) AS masked_md5
          FROM documents ORDER BY doc_id""",
+
+    // Luhn gate: candidates + validity replay the oracle's OWN
+    // checksum arithmetic (double every 2nd digit from the right,
+    // −9 over 9, sum mod 10); the masked hash is the fixture rebuild
+    // (only checksum-valid runs become <CARD>)
+    "q_pii_luhn" ->
+      """WITH d AS (SELECT doc_id, text,
+                text || CASE doc_id % 11
+                  WHEN 0 THEN ' 4111111111111111'
+                  WHEN 1 THEN ' 4111111111111112'
+                  WHEN 2 THEN ' 4222222222222'
+                  WHEN 3 THEN ' 41111111111111111111'
+                  ELSE '' END AS t
+              FROM documents),
+         r AS (SELECT doc_id, text, t,
+                regexp_extract_all(t,
+                  '(^|[^0-9])([0-9]{13,19})([^0-9]|$)', 2) AS runs
+              FROM d),
+         v AS (SELECT doc_id, text, runs,
+                list_filter(runs, x ->
+                  list_sum([CASE WHEN (length(x) - i + 1) % 2 = 0
+                      THEN CASE WHEN (ascii(substr(x, i, 1)) - 48) * 2 > 9
+                           THEN (ascii(substr(x, i, 1)) - 48) * 2 - 9
+                           ELSE (ascii(substr(x, i, 1)) - 48) * 2 END
+                      ELSE ascii(substr(x, i, 1)) - 48 END
+                    for i in generate_series(1, length(x))]) % 10 = 0)
+                  AS valid
+              FROM r)
+         SELECT doc_id, len(runs)::BIGINT AS n_candidates,
+                len(valid)::BIGINT AS n_valid,
+                md5(text || CASE doc_id % 11
+                  WHEN 0 THEN ' <CARD>'
+                  WHEN 1 THEN ' 4111111111111112'
+                  WHEN 2 THEN ' <CARD>'
+                  WHEN 3 THEN ' 41111111111111111111'
+                  ELSE '' END) AS masked_md5
+         FROM v ORDER BY doc_id""",
 
     "q_heavy_hitters" ->
       """SELECT term, count(*)::BIGINT AS cnt

@@ -265,6 +265,30 @@ ${OracleBuilders.simhashCcChainSql("keptf")},
          FROM uc JOIN nt USING (doc_id) JOIN per USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
 
+    // frontier URL filter: rule columns generated from the engine's
+    // own extension/path tables; reason = first failing rule in the
+    // engine's order, keep = no rule fired, NULL canonical = invalid
+    "q_url_filter" ->
+      s"""WITH u AS (SELECT doc_id, ${OracleBuilders.demoCrawlUrlSql}
+                AS url
+              FROM documents),
+         ${OracleBuilders.urlCanonChainSql},
+         ${OracleBuilders.urlFilterChainSql},
+         fx AS (SELECT *,
+                CASE WHEN url_canon IS NULL THEN 'invalid'
+                     WHEN ext_blocked THEN 'extension'
+                     WHEN part_banned THEN 'banned_path'
+                     WHEN too_many_params THEN 'param_explosion'
+                     WHEN too_deep THEN 'path_depth'
+                     WHEN too_long THEN 'too_long' END AS reason
+              FROM fr)
+         SELECT doc_id, url_canon, ext_blocked::BIGINT AS ext_blocked,
+                part_banned::BIGINT AS part_banned,
+                too_many_params::BIGINT AS too_many_params,
+                too_deep::BIGINT AS too_deep, too_long::BIGINT AS too_long,
+                (reason IS NULL)::BIGINT AS keep, reason
+         FROM fx ORDER BY doc_id""",
+
     // registrable-domain rollup + cap: the generated longest-match
     // suffix fold (pldSql) replays the engine's fold pattern for
     // pattern; the cap replays sourceCap's rank cut (n_tokens desc,

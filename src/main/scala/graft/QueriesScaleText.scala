@@ -365,6 +365,29 @@ private[graft] object QueriesScaleText {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy(col("doc_id"))),
 
+    // Language ID with a CONFIDENCE MARGIN — the thresholded gate
+    // CCNet-class pipelines run (fastText's probability threshold; the
+    // marker heuristic's analogue is best-vs-runner-up count gap).
+    // The corpus is deterministically dirtied with foreign marker
+    // spans on id % 7 residues so ambiguous bilingual rows exist at
+    // every SF: their argmax stays a coin-flip of one stopword, and
+    // lang_conf demotes them to 'und' instead of claiming them.
+    // All-integer scores; second-best via a descending sort (exact
+    // ties → margin 0), engine-exact replay.
+    "q_lang_margin" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 7 === 0, " el la de que y en un")
+          .when(col("doc_id") % 7 === 1, " der die und das ist")
+          .when(col("doc_id") % 7 === 2, " le les des et est")
+          .otherwise(""))
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.langIdMargin(dirty).as("m"))
+        .select(col("doc_id"), col("m.lang"), col("m.best"),
+          col("m.second"), col("m.margin"), col("m.lang_conf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer FERTILITY by language — tokens-per-word per marker-ID'd
     // language, the standard multilingual tokenizer-bias report (2×
     // fertility = 2× sequence length for the same text). Composes two
@@ -878,6 +901,35 @@ private[graft] object QueriesScaleText {
             .cast("long").as("n_long_numbers"),
           md5(TextAnalysis.maskPii(col("text"))).as("masked_md5"))
         .orderBy(col("doc_id"))),
+
+    // CHECKSUM-VALIDATED card-number detection + redaction — the
+    // precision upgrade over q_pii_scan's blanket digit-run rule: a
+    // 13-19-digit run is only PII when it passes the Luhn checksum
+    // (ISO/IEC 7812), so invoice/serial numbers survive and real card
+    // shapes redact. The corpus is deterministically dirtied with a
+    // valid 16-digit card, a checksum-broken twin, a valid 13-digit
+    // card, and a 20-digit run (boundary rule: no candidate at all) on
+    // id % 11 residues. n_candidates/n_valid replay through the
+    // oracle's own Luhn arithmetic; the masked hash pins the redaction
+    // byte-exactly via the fixture rebuild (valid runs → <CARD>,
+    // everything else untouched).
+    "q_pii_luhn" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 11 === 0, " 4111111111111111")
+          .when(col("doc_id") % 11 === 1, " 4111111111111112")
+          .when(col("doc_id") % 11 === 2, " 4222222222222")
+          .when(col("doc_id") % 11 === 3, " 41111111111111111111")
+          .otherwise(""))
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("_t"))
+        .select(col("doc_id"),
+          size(TextAnalysis.luhnCandidateRuns(col("_t")))
+            .cast("long").as("n_candidates"),
+          size(filter(TextAnalysis.luhnCandidateRuns(col("_t")),
+            r => TextAnalysis.luhnValid(r))).cast("long").as("n_valid"),
+          md5(TextAnalysis.maskLuhn(col("_t"))).as("masked_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Exact corpus heavy hitters through the pigeonhole candidate
     // pre-filter (local count ≥ ⌈minCount/P⌉ guarantees a candidate
@@ -1441,6 +1493,34 @@ private[graft] object QueriesScaleText {
           sum(col("n_tokens")).as("n_tokens"),
           expr("sum(novelty_ppm) div count(1)").as("mean_novelty_ppm"))
         .orderBy(col("host"))
+    }),
+
+    // RefinedWeb-style URL FILTER over the canonical form — the
+    // frontier gate a crawl runs before fetching: non-document
+    // extensions, admin/tag/feed surfaces, parameter explosions,
+    // calendar-trap path depth, over-long URLs, each rule its own
+    // column + keep + FIRST failing reason (dropped URLs are
+    // attributable; per-reason attrition is one aggregation away).
+    // The dead-letter plant lands as reason='invalid'. Pure narrow
+    // expressions over the canonical string — zero shuffles.
+    "q_url_filter" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ext.Urls.urlCanonical(
+            graft.ext.Urls.demoCrawlUrl(col("doc_id"), col("source")))
+            .as("url_canon"))
+        .withColumn("f", graft.ext.Urls.urlFilter(col("url_canon")))
+      // rule flags cast to long: the dead-letter rows carry NULL
+      // flags, and nullable booleans hash as mixed dtypes in the
+      // driver compare (the house cast-to-BIGINT convention)
+      c.select(col("doc_id"), col("url_canon"),
+          col("f.ext_blocked").cast("long").as("ext_blocked"),
+          col("f.part_banned").cast("long").as("part_banned"),
+          col("f.too_many_params").cast("long").as("too_many_params"),
+          col("f.too_deep").cast("long").as("too_deep"),
+          col("f.too_long").cast("long").as("too_long"),
+          col("f.keep").cast("long").as("keep"), col("f.reason"))
+        .orderBy(col("doc_id"))
     }),
 
     // REGISTRABLE-domain (PLD / eTLD+1) rollup + cap — the RefinedWeb

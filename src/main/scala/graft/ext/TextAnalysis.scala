@@ -120,6 +120,32 @@ object TextAnalysis {
     }
   }
 
+  /** [[langId]] with a CONFIDENCE MARGIN — the thresholded form
+    * CCNet-class pipelines actually gate on (fastText emits a
+    * probability; this heuristic's analogue is the best-vs-runner-up
+    * marker-count gap): `lang` is the plain argmax (precedence
+    * tie-break), `margin = best − second` over the per-language
+    * scores (exact ties → 0 via a descending sort, not a leave-one-out
+    * max), and `lang_conf` keeps the argmax only when at least one
+    * marker fired AND the margin clears `minMargin` — ambiguous
+    * bilingual text demotes to "und" instead of being claimed by
+    * whichever language wins by one stopword. All-integer scores, so
+    * the gate replays engine-exact. */
+  def langIdMargin(text: Column, minMargin: Int = 2): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = greatest(scores.map(_._2): _*)
+    val second = sort_array(
+      array(scores.map(_._2.cast("long")): _*), asc = false).getItem(1)
+    val lang = scores.foldRight(lit("und")) { case ((l, s), rest) =>
+      when(s > 0 && s === best, lit(l)).otherwise(rest)
+    }
+    val margin = best.cast("long") - second
+    struct(lang.as("lang"), best.cast("long").as("best"),
+      second.as("second"), margin.as("margin"),
+      when(best > 0 && margin >= minMargin, lang).otherwise("und")
+        .as("lang_conf"))
+  }
+
   // ── Char-n-gram language ID (the CLD/textcat profile family) ──────────
 
   /** Per-language seed corpora the trigram profiles train from — a few
@@ -852,6 +878,42 @@ object TextAnalysis {
   /** Non-overlapping match count of `regex` in `text`. */
   def countMatches(text: Column, regex: String): Column =
     size(regexp_extract_all(text, lit(regex), lit(0)))
+
+  /** Card-number-shaped digit runs: 13-19 contiguous digits with
+    * NON-DIGIT boundaries expressed via capture groups (RE2 has no
+    * lookaround) — a 20-digit run yields no match instead of a
+    * truncated false positive. Boundary caveat: two runs separated by
+    * a SINGLE non-digit share the boundary character, so the second
+    * is not re-matched (non-overlapping scan); card numbers in prose
+    * do not abut that way. */
+  def luhnCandidateRuns(text: Column): Column =
+    regexp_extract_all(text, lit("(^|[^0-9])([0-9]{13,19})([^0-9]|$)"),
+      lit(2))
+
+  /** Luhn checksum (ISO/IEC 7812) of a digit-run column: double every
+    * second digit from the RIGHT, subtract 9 from doubles over 9, sum
+    * ≡ 0 (mod 10). Pure integer expression work per run (runs are
+    * rare — the HOF cost is bounded by match count, not text size);
+    * mirrored arithmetic in the oracle. */
+  def luhnValid(run: Column): Column = {
+    val total = aggregate(
+      sequence(lit(1), length(run)), lit(0),
+      (acc, i) => {
+        val d = ascii(run.substr(i, lit(1))) - 48
+        val fromRight = length(run) - i + 1
+        acc + when(fromRight % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    total % 10 === 0
+  }
+
+  /** Replace every Luhn-VALID card-shaped run with `<CARD>` — the
+    * precision upgrade over [[maskPii]]'s blanket digit-run redaction:
+    * invoice/serial numbers that fail the checksum survive, real card
+    * numbers do not. */
+  def maskLuhn(text: Column): Column =
+    aggregate(filter(luhnCandidateRuns(text), r => luhnValid(r)),
+      text, (acc, r) => replace(acc, r, lit("<CARD>")))
 
   /** Redact URLs, then emails, then long digit runs (that order: the
     * placeholder tokens contain no digits or '@', so later passes can't

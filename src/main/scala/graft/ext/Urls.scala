@@ -323,6 +323,91 @@ object Urls {
   /** The prevailing-`*` fallback: last two labels. */
   private[graft] val PldFallbackPattern: String = "([^.]+\\.[^.]+)$"
 
+  // ── Crawl-frontier URL filtering ───────────────────────────────────
+
+  /** Path extensions that are never HTML documents — fetching them
+    * wastes the crawl budget and their bytes poison text pipelines. */
+  val BlockedExtensions: Seq[String] = Seq(
+    ".css", ".js", ".json", ".xml", ".rss",
+    ".jpg", ".jpeg", ".png", ".gif", ".svg", ".ico", ".webp",
+    ".mp3", ".mp4", ".avi", ".mov", ".webm",
+    ".pdf", ".doc", ".docx", ".xls", ".ppt",
+    ".zip", ".tar", ".gz", ".rar", ".exe", ".dmg")
+
+  /** Path fragments marking machine/admin/tag surfaces, not content. */
+  val BannedPathParts: Seq[String] = Seq(
+    "/wp-admin/", "/wp-login", "/cgi-bin/", "/xmlrpc",
+    "/tag/", "/feed/", "/print/", "/login", "/signup", "/cart")
+
+  /** RefinedWeb-style URL filter over the CANONICAL form — the
+    * frontier gate a crawl runs before fetching: drop non-document
+    * extensions, admin/tag/feed surfaces, parameter explosions
+    * (faceted-navigation traps), pathological path depth (calendar /
+    * session-id traps), and over-long URLs. One row per URL with
+    * every rule as its own column plus `keep` and the FIRST failing
+    * rule as `reason` (the house rule-per-column convention — dropped
+    * URLs are attributable, and per-reason attrition is one
+    * aggregation away). NULL canonical input (the dead-letter lane)
+    * reports keep = false, reason = 'invalid'.
+    *
+    * Scale: pure per-row narrow expressions over the canonical
+    * string — zero shuffles, runs in the frontier's dedup scan. */
+  def urlFilter(urlCanon: Column, maxParams: Int = 4, maxDepth: Int = 8,
+      maxLen: Int = 256): Column = {
+    val path = regexp_replace(
+      substring_index(urlCanon.substr(instr(urlCanon, "://") + 3,
+        lit(1000000)), "?", 1), "^[^/]*", "")
+    val query = when(instr(urlCanon, "?") > 0,
+      urlCanon.substr(instr(urlCanon, "?") + 1, lit(1000000)))
+      .otherwise(lit(""))
+    val lowPath = lower(path)
+    val extBlocked = BlockedExtensions
+      .map(e => endswith(lowPath, lit(e)))
+      .reduce(_ || _)
+    val partBanned = BannedPathParts
+      .map(p => instr(lowPath, p) > 0)
+      .reduce(_ || _)
+    val nParams = when(length(query) === 0, lit(0))
+      .otherwise(size(split(query, "&", -1)))
+    val depth = size(split(path, "/", -1)) - 1
+    val tooManyParams = nParams > maxParams
+    val tooDeep = depth > maxDepth
+    val tooLong = length(urlCanon) > maxLen
+    val reason = when(urlCanon.isNull, "invalid")
+      .when(extBlocked, "extension")
+      .when(partBanned, "banned_path")
+      .when(tooManyParams, "param_explosion")
+      .when(tooDeep, "path_depth")
+      .when(tooLong, "too_long")
+      .otherwise(lit(null).cast("string"))
+    struct(
+      extBlocked.as("ext_blocked"),
+      partBanned.as("part_banned"),
+      tooManyParams.as("too_many_params"),
+      tooDeep.as("too_deep"),
+      tooLong.as("too_long"),
+      reason.isNull.as("keep"),
+      reason.as("reason"))
+  }
+
+  /** Deterministic CRAWL-URL fixture for the filter gate: admin
+    * paths, asset extensions, deep calendar-trap paths, faceted-nav
+    * parameter explosions, over-long slugs, ordinary content pages —
+    * and the %13 dead-letter plants ride in via [[demoUrl]] callers.
+    * Replayed verbatim by [[graft.OracleBuilders.demoCrawlUrlSql]]. */
+  def demoCrawlUrl(docId: Column, source: Column): Column =
+    when(docId % 13 === 11, "http://u:p@x.example.com/a")
+      .otherwise(concat(lit("https://"), source, lit(".example.com"),
+        when(docId % 7 === 0, "/wp-admin/post.php")
+          .when(docId % 7 === 1, "/assets/logo.png")
+          .when(docId % 7 === 2, "/2024/01/02/03/04/05/06/07/08/trap")
+          .when(docId % 7 === 3, concat(lit("/a/"),
+            regexp_replace(format_string("%0250d", docId % 10), "0", "x")))
+          .otherwise(concat(lit("/page/"), (docId % 50).cast("string"))),
+        when(docId % 5 === 0, "?color=red&size=xl&sort=asc&page=2&ref2=x")
+          .when(docId % 5 === 1, "?x=1")
+          .otherwise("")))
+
   /** Deterministic HOST fixture for the PLD gate (`documents` carries
     * no host column): subdomain depths 0-2 over per-source site names
     * under multi-label suffixes (`co.uk`, `org.uk`, `com.au`), plain
