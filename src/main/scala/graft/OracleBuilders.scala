@@ -137,6 +137,18 @@ private[graft] object OracleBuilders {
            FROM fl)"""
   }
 
+  /** The first-failing-rule CASE over `fr`'s columns — ONE value
+    * shared by the per-URL filter oracle and the attrition rollup
+    * (two gates proving the same rule order must reference the same
+    * SQL). */
+  val urlFilterReasonSql: String =
+    """CASE WHEN url_canon IS NULL THEN 'invalid'
+         WHEN ext_blocked THEN 'extension'
+         WHEN part_banned THEN 'banned_path'
+         WHEN too_many_params THEN 'param_explosion'
+         WHEN too_deep THEN 'path_depth'
+         WHEN too_long THEN 'too_long' END"""
+
   /** SQL twin of [[graft.ext.Urls.demoHost]] — the deterministic host
     * fixture for the PLD gate. */
   val demoHostSql: String =

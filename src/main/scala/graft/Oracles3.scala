@@ -25,6 +25,20 @@ private[graft] object Oracles3 {
        FROM uc JOIN k USING (url_canon)
        ORDER BY uc.doc_id"""
 
+  /** Frontier-attrition oracle — ONE value shared by the batch scan
+    * and the ledger-maintained stream twin. */
+  private lazy val urlFrontierOracle: String =
+    s"""WITH u AS (SELECT doc_id, ${OracleBuilders.demoCrawlUrlSql} AS url
+            FROM documents),
+       ${OracleBuilders.urlCanonChainSql},
+       ${OracleBuilders.urlFilterChainSql},
+       fx AS (SELECT *, ${OracleBuilders.urlFilterReasonSql} AS reason
+            FROM fr)
+       SELECT coalesce(reason, 'kept') AS stage,
+              count(*)::BIGINT AS n_urls,
+              count(DISTINCT url_canon)::BIGINT AS n_canonical
+       FROM fx GROUP BY 1 ORDER BY 1"""
+
   /** The composed batch pipeline's oracle SQL — shared verbatim by
     * q_pipeline_export and the ledger-driven q_pipeline_incremental
     * (their Spark sides share the Curation.mixPackExport tail). */
@@ -274,13 +288,7 @@ ${OracleBuilders.simhashCcChainSql("keptf")},
               FROM documents),
          ${OracleBuilders.urlCanonChainSql},
          ${OracleBuilders.urlFilterChainSql},
-         fx AS (SELECT *,
-                CASE WHEN url_canon IS NULL THEN 'invalid'
-                     WHEN ext_blocked THEN 'extension'
-                     WHEN part_banned THEN 'banned_path'
-                     WHEN too_many_params THEN 'param_explosion'
-                     WHEN too_deep THEN 'path_depth'
-                     WHEN too_long THEN 'too_long' END AS reason
+         fx AS (SELECT *, ${OracleBuilders.urlFilterReasonSql} AS reason
               FROM fr)
          SELECT doc_id, url_canon, ext_blocked::BIGINT AS ext_blocked,
                 part_banned::BIGINT AS part_banned,
@@ -288,6 +296,11 @@ ${OracleBuilders.simhashCcChainSql("keptf")},
                 too_deep::BIGINT AS too_deep, too_long::BIGINT AS too_long,
                 (reason IS NULL)::BIGINT AS keep, reason
          FROM fx ORDER BY doc_id""",
+
+    // frontier attrition: the summed at-ingest verdicts equal the
+    // batch scan — one shared oracle for both gates
+    "q_url_frontier" -> urlFrontierOracle,
+    "q_url_frontier_stream" -> urlFrontierOracle,
 
     // registrable-domain rollup + cap: the generated longest-match
     // suffix fold (pldSql) replays the engine's fold pattern for

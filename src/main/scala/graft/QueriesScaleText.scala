@@ -1523,6 +1523,38 @@ private[graft] object QueriesScaleText {
         .orderBy(col("doc_id"))
     }),
 
+    // Frontier ATTRITION report — how much of the crawl each filter
+    // rule sheds (the run report a frontier publishes): one row per
+    // reason (kept incluced) with URL and distinct-canonical counts.
+    // One hash aggregation over the per-URL verdicts.
+    "q_url_frontier" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ext.Urls.urlCanonical(
+            graft.ext.Urls.demoCrawlUrl(col("doc_id"), col("source")))
+            .as("url_canon"))
+        .select(col("url_canon"),
+          graft.ext.Urls.urlFilter(col("url_canon"))
+            .getField("reason").as("reason"))
+        .groupBy(coalesce(col("reason"), lit("kept")).as("stage"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url_canon")).as("n_canonical"))
+        .orderBy(col("stage"))),
+
+    // ...the same report derived from the urls/batch=<id> ledger
+    // maintained at ingest (verdict stored next to the canonical by
+    // the typed-kernel tick) — shares q_url_frontier's oracle
+    // cell-exactly: the at-ingest verdicts provably sum to the batch
+    // report.
+    "q_url_frontier_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_urlf_")
+      try
+        Streaming.urlFrontierStreamAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_urlf"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }),
+
     // REGISTRABLE-domain (PLD / eTLD+1) rollup + cap — the RefinedWeb
     // move q_host_rollup's comment names: a host-level cap still lets
     // one registrant flood the corpus through subdomain farms, so the

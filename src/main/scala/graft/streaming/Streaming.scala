@@ -2049,7 +2049,15 @@ object Streaming {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) => timedTick(queryName, batchId) {
           graft.ext.Urls.urlCanonicalLocal(batch.toDF(), idCol, urlCol)
-            .select(col(idCol), col("url_canon"))
+            .select(col(idCol), col("url_canon"),
+              // the frontier verdict rides the ledger (r15): the
+              // filter is pure narrow expressions over the canonical,
+              // so the crawl's keep/drop decision is paid once, at
+              // ingest, and the attrition report is a ledger
+              // aggregation — raw URLs never re-canonicalized OR
+              // re-judged
+              graft.ext.Urls.urlFilter(col("url_canon"))
+                .getField("reason").as("reason"))
             .write.mode("overwrite")
             .parquet(s"$workPath/urls/batch=$batchId")
           ()
@@ -2090,6 +2098,40 @@ object Streaming {
           (col("doc_id") === col("keeper")).as("keep"),
           col("n_fetches"))
         .orderBy(col("doc_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Frontier-filter attrition off the SAME at-ingest URL ledger: the
+    * crawl-URL fixture streams through [[urlLedgerIngest]] (which
+    * stores the filter VERDICT next to the canonical), and the report
+    * is a pure aggregation of the summed ledger by reason — equal to
+    * the one-shot `q_url_frontier`, whose oracle the gate shares.
+    * `n_canonical` counts DISTINCT canonical URLs per stage (NULL
+    * dead-letter canonicals count zero, both engines). */
+  def urlFrontierStreamAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, ticks: Int = 2): DataFrame = {
+    require(ticks >= 2, "a url ledger gate needs at least two ticks")
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ext.Urls.demoCrawlUrl(col("doc_id"), col("source"))
+          .as("url"))
+    val parts = (0 until ticks).map(i =>
+      docs.filter(pmod(hash(col("doc_id")), lit(ticks)) === i))
+    val schema = stageBatches(spark, s"$workDir/staged", parts)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(
+        urlLedgerIngest(stream, workDir, s"$workDir/cp",
+          "doc_id", "url", queryName = queryName),
+        queryName)
+      spark.read.parquet(s"$workDir/urls/batch=*")
+        .groupBy(coalesce(col("reason"), lit("kept")).as("stage"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url_canon")).as("n_canonical"))
+        .orderBy(col("stage"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 

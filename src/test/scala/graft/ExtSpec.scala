@@ -656,6 +656,93 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       }
   }
 
+  test("urlFilter rule table: extensions, banned paths, param " +
+      "explosions, depth, length, dead-letter; first-reason precedence") {
+    val s = spark
+    import s.implicits._
+    val cases: Seq[(String, (java.lang.Long, String))] = Seq(
+      "https://ex.com/page/1" -> (1L, null),
+      "https://ex.com/assets/App.PNG" -> (0L, "extension"),
+      "https://ex.com/wp-admin/x.php" -> (0L, "banned_path"),
+      "https://ex.com/p?a=1&b=2&c=3&d=4&e=5" -> (0L, "param_explosion"),
+      "https://ex.com/1/2/3/4/5/6/7/8/9" -> (0L, "path_depth"),
+      ("https://ex.com/" + "x" * 300) -> (0L, "too_long"),
+      // precedence: an admin path that ALSO explodes params reports
+      // the earlier rule
+      "https://ex.com/wp-admin/x?a=1&b=2&c=3&d=4&e=5" ->
+        (0L, "banned_path"),
+      // dead-letter canonical (userinfo) → invalid
+      "http://u:p@ex.com/a" -> (0L, "invalid"))
+    val out = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), graft.ext.Urls.urlFilter(
+        graft.ext.Urls.urlCanonical(col("url"))).as("f"))
+      .select(col("id"), col("f.keep").cast("long").as("keep"),
+        col("f.reason"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))))
+      .toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(out(i.toLong) == ((want._1.longValue, want._2)),
+        s"urlFilter($u): ${out(i.toLong)}") }
+  }
+
+  test("luhnValid: checksum accepts real card shapes, rejects " +
+      "off-by-one twins; boundary rule yields no 20-digit candidate") {
+    val s = spark
+    import s.implicits._
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      (0L, "pay 4111111111111111 now"),      // valid 16
+      (1L, "pay 4111111111111112 now"),      // invalid 16
+      (2L, "card 4222222222222 ok"),         // valid 13
+      (3L, "id 41111111111111111111 x"),     // 20 digits: no candidate
+      (4L, "short 411111111111 x"),          // 12 digits: no candidate
+      (5L, "4111111111111111"))              // run IS the whole string
+      .toDF("id", "t")
+    val out = rows
+      .select(col("id"),
+        size(TextAnalysis.luhnCandidateRuns(col("t"))).as("nc"),
+        size(filter(TextAnalysis.luhnCandidateRuns(col("t")),
+          r => TextAnalysis.luhnValid(r))).as("nv"),
+        TextAnalysis.maskLuhn(col("t")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(0L) == ((1, 1, "pay <CARD> now")))
+    assert(out(1L) == ((1, 0, "pay 4111111111111112 now")),
+      "checksum-broken twin must survive unmasked")
+    assert(out(2L) == ((1, 1, "card <CARD> ok")))
+    assert(out(3L) == ((0, 0, "id 41111111111111111111 x")),
+      "a 20-digit run is no candidate, never a truncated match")
+    assert(out(4L) == ((0, 0, "short 411111111111 x")))
+    assert(out(5L) == ((1, 1, "<CARD>")),
+      "string-boundary anchors count as boundaries")
+  }
+
+  test("langIdMargin: exact ties score margin 0 and demote; a clear " +
+      "winner keeps its confident label") {
+    val s = spark
+    import s.implicits._
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      (0L, "the of and to in"),                    // en margin 5
+      (1L, "the la"),                              // en-es tie -> margin 0
+      (2L, "the of la de"),                        // 2-2 tie
+      (3L, "xyzzy plugh"),                         // no markers -> und
+      (4L, "the of la"))                           // en 2 vs es 1: margin 1 < 2
+      .toDF("id", "t")
+    val out = rows.select(col("id"),
+        TextAnalysis.langIdMargin(col("t")).as("m"))
+      .select(col("id"), col("m.lang"), col("m.margin"), col("m.lang_conf"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == (("en", 5L, "en")))
+    assert(out(1L) == (("en", 0L, "und")), "tie: precedence argmax, demoted")
+    assert(out(2L) == (("en", 0L, "und")))
+    assert(out(3L)._1 == "und" && out(3L)._3 == "und")
+    assert(out(4L) == (("en", 1L, "und")), "sub-threshold margin demotes")
+  }
+
   test("signature-ledger occupancy guard: collapsed chunk buckets are " +
       "flagged degraded and the production require fails loudly") {
     val s = spark
