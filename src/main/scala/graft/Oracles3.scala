@@ -923,6 +923,11 @@ ${OracleBuilders.simhashCcChainSql("keptf")},
     // curation gates from the reassembled text, CC, export tail)
     "q_pipeline_web" -> pipelineWebOracle,
 
+    // the ledger-driven streaming twin runs the IDENTICAL
+    // webAssembleExport tail over at-ingest url/block/meta state —
+    // shared oracle by design (the Spark sides share the code)
+    "q_pipeline_web_stream" -> pipelineWebOracle,
+
     "q_pack_curated" ->
       s"""$curationOraclePrefix,
          surv AS (SELECT k.doc_id, k.n_tokens::BIGINT AS n_tokens,

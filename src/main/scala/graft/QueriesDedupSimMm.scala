@@ -521,39 +521,45 @@ private[graft] object QueriesDedupSimMm {
     // cartesian, no corpus-wide window.
     "q_pipeline_web" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      val keepers = docs.select(col("doc_id"),
-          graft.ext.Urls.urlCanonical(
-            graft.ext.Urls.demoUrl(col("doc_id"), col("source")))
-            .as("url_canon"))
-        .filter(col("url_canon").isNotNull)
+      val urls = docs.select(col("doc_id"),
+        graft.ext.Urls.urlCanonical(
+          graft.ext.Urls.demoUrl(col("doc_id"), col("source")))
+          .as("url_canon"))
+      // render/extract ONLY the URL keepers (the batch form knows
+      // keeper status up front and prunes the expensive extraction;
+      // the helper's internal keeper join is then the identity) —
+      // the streaming twin extracts every fetched doc at ingest and
+      // lets the same join restrict at the head
+      val keepers = urls.filter(col("url_canon").isNotNull)
         .groupBy(col("url_canon")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val pg = TextAnalysis.htmlSyntheticPage(
-        docs.join(keepers, "doc_id"), "doc_id", "text")
-      val blocks = TextAnalysis.htmlBlocks(pg, "doc_id", "page")
+      val blocks = TextAnalysis.htmlBlocks(
+          TextAnalysis.htmlSyntheticPage(
+            docs.join(keepers, "doc_id"), "doc_id", "text"),
+          "doc_id", "page")
         .filter(col("kept"))
         .select(col("doc_id"), col("block_idx"), col("block_text"))
-      // CCNet stage-1 keeper rule (q_para_dedup's exact encoding:
-      // doc_id*10000 + block_idx, ordinal-safe for single-digit
-      // per-page block counts)
-      val pkeep = blocks
-        .groupBy(md5(col("block_text")).as("dg"))
-        .agg(min(col("doc_id") * 10000 + col("block_idx")).as("kk"))
-      val survb = blocks
-        .join(pkeep, md5(col("block_text")) === col("dg") &&
-          col("doc_id") * 10000 + col("block_idx") === col("kk"))
-      val web = survb.groupBy(col("doc_id"))
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("block_idx"),
-            col("block_text")))),
-          x => x.getField("block_text")), " ").as("text"))
-      val curated = graft.ext.Curation.curate(web, "doc_id", "text",
-        lang = "en", minQuality = 60.0)
-      val withSrc = curated.filter(col("split") === "train")
-        .select(col("doc_id"), col("n_tokens"))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      graft.ext.Curation.mixPackExport(withSrc,
-        web.select(col("doc_id"), col("text")), "doc_id", "text")
+      graft.ext.Curation.webAssembleExport(urls, blocks,
+        docs.select(col("doc_id"), col("source")), "doc_id")
+    }),
+
+    // ...the same final training-data export driven from WEB LEDGERS
+    // maintained at ingest: each tick canonicalizes its URLs (typed
+    // kernel + verdict) and renders/extracts/gates its pages' blocks
+    // EXACTLY ONCE, appending url/block/meta state under the
+    // idempotent batch=<id> discipline; the head derives the global
+    // URL- and paragraph-keeper rules from the SUMMED ledgers (hash
+    // aggregations — pages are never re-rendered) and runs the
+    // IDENTICAL Curation.webAssembleExport tail. Shares
+    // q_pipeline_web's oracle cell-exactly: the at-ingest extraction
+    // statistics provably compose into the same export.
+    "q_pipeline_web_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_webs_")
+      try
+        Streaming.webStreamAvailableNow(s, dir, tmp.toString,
+            Streaming.nextQueryName("graft_webs"))
+          .localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }),
 
     // The INCREMENTAL capstone: the same corpus→training-shards

@@ -815,6 +815,50 @@ object Curation {
     withLen.withColumn("stage", stage)
   }
 
+  /** The WEB capstone's shared composition TAIL from the two
+    * crawl-sufficient-statistic relations — factored so the batch
+    * composition (`q_pipeline_web`, which computes urls/blocks
+    * inline) and the ledger-driven streaming twin
+    * (`q_pipeline_web_stream`, which reads them from `urls/batch=*` /
+    * `blocks/batch=*` state maintained at ingest) run the IDENTICAL
+    * plan and share one oracle.
+    *
+    * `urls` is `(idCol, url_canon)` (NULL = dead-letter, dropped);
+    * `blocks` is the KEPT jusText blocks `(idCol, block_idx,
+    * block_text)` — for any superset of the URL-keeper docs (the
+    * stream extracts every fetched doc before keeper status is
+    * knowable; the keeper join here restricts identically);
+    * `docsMeta` supplies `(idCol, source)`. Stages: URL dedup
+    * (keeper = min id per canonical) → CCNet paragraph dedup (keeper
+    * = min (doc, block) per digest) → per-doc text REASSEMBLY in
+    * block order → [[curate]]'s gates/near-dup/split → train slice →
+    * [[mixPackExport]]. */
+  def webAssembleExport(urls: DataFrame, blocks: DataFrame,
+      docsMeta: DataFrame, idCol: String): DataFrame = {
+    val keepers = urls.filter(col("url_canon").isNotNull)
+      .groupBy(col("url_canon")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val kb = blocks.join(keepers, idCol)
+    val pkeep = kb
+      .groupBy(md5(col("block_text")).as("dg"))
+      .agg(min(col(idCol) * 10000 + col("block_idx")).as("kk"))
+    val survb = kb
+      .join(pkeep, md5(col("block_text")) === col("dg") &&
+        col(idCol) * 10000 + col("block_idx") === col("kk"))
+    val web = survb.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("block_idx"),
+          col("block_text")))),
+        x => x.getField("block_text")), " ").as("text"))
+    val curated = curate(web, idCol, "text", lang = "en",
+      minQuality = 60.0)
+    val withSrc = curated.filter(col("split") === "train")
+      .select(col(idCol), col("n_tokens"))
+      .join(docsMeta.select(col(idCol), col("source")), idCol)
+    mixPackExport(withSrc, web.select(col(idCol), col("text")),
+      idCol, "text")
+  }
+
   /** Per-source document quota — the CommonCrawl-style per-domain cap:
     * keep at most `cap` documents from each source, preferring high
     * `rankCol` (ties broken by ascending id so the cut is total-order

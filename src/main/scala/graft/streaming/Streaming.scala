@@ -2101,6 +2101,88 @@ object Streaming {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming WEB-pipeline ledgers: each micro-batch pays the
+    * crawl's EXTRACTION stages exactly once, at ingest — URL
+    * canonicalization (typed kernel) into `urls/batch=<id>`, HTML
+    * render + block extraction + jusText gate into
+    * `blocks/batch=<id>` (KEPT blocks only: `(id, block_idx,
+    * block_text)`), and `(id, source)` provenance into
+    * `meta/batch=<id>`. Keeper status (URL and paragraph) is GLOBAL —
+    * a later tick can carry the smaller-id fetch of an already-seen
+    * canonical, stealing keeper status retroactively — so the head
+    * derives both keeper rules from the SUMMED ledgers (hash
+    * aggregations over ledger-sized state; pages are never
+    * re-rendered — the expensive extraction is the at-ingest
+    * sufficient statistic). Replay safety: the house idempotent
+    * `batch=<id>` overwrite discipline. */
+  def webLedgerIngest(docs: DataFrame, workPath: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      urlCol: String, queryName: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    named(docs.writeStream, queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) => timedTick(queryName, batchId) {
+          import graft.ext.TextAnalysis
+          // pin once — the url pass, the block pass, and the meta
+          // write all scan the micro-batch
+          val d = batch.toDF().localCheckpoint(true)
+          val (_, urlMs) = timedMs {
+            graft.ext.Urls.urlCanonicalLocal(d, idCol, urlCol)
+              .select(col(idCol), col("url_canon"))
+              .write.mode("overwrite")
+              .parquet(s"$workPath/urls/batch=$batchId") }
+          val (_, blkMs) = timedMs {
+            TextAnalysis.htmlBlocks(
+                TextAnalysis.htmlSyntheticPage(d, idCol, textCol),
+                idCol, "page")
+              .filter(col("kept"))
+              .select(col(idCol), col("block_idx"), col("block_text"))
+              .write.mode("overwrite")
+              .parquet(s"$workPath/blocks/batch=$batchId") }
+          d.select(col(idCol), col("source"))
+            .write.mode("overwrite")
+            .parquet(s"$workPath/meta/batch=$batchId")
+          graft.ext.Pinned.release(d)
+          recordTickStages(queryName, batchId,
+            Seq("url" -> urlMs, "blocks" -> blkMs))
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Drive [[webLedgerIngest]] over the driver documents as a bounded
+    * multi-tick stream, then run [[graft.ext.Curation.webAssembleExport]]
+    * — the IDENTICAL tail the batch `q_pipeline_web` runs — over the
+    * summed url/block/meta ledgers. Equal to the batch composition,
+    * whose oracle the gate shares. */
+  def webStreamAvailableNow(spark: SparkSession, dir: String,
+      workDir: String, queryName: String, ticks: Int = 2): DataFrame = {
+    require(ticks >= 2, "a web ledger gate needs at least two ticks")
+    val docs = graft.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"),
+        graft.ext.Urls.demoUrl(col("doc_id"), col("source")).as("url"))
+    val parts = (0 until ticks).map(i =>
+      docs.filter(pmod(hash(col("doc_id")), lit(ticks)) === i))
+    val schema = stageBatches(spark, s"$workDir/staged", parts)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShuffleParts)
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$workDir/staged")
+      awaitOneShot(
+        webLedgerIngest(stream, workDir, s"$workDir/cp",
+          "doc_id", "text", "url", queryName = queryName),
+        queryName)
+      graft.ext.Curation.webAssembleExport(
+        spark.read.parquet(s"$workDir/urls/batch=*"),
+        spark.read.parquet(s"$workDir/blocks/batch=*"),
+        spark.read.parquet(s"$workDir/meta/batch=*"), "doc_id")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Frontier-filter attrition off the SAME at-ingest URL ledger: the
     * crawl-URL fixture streams through [[urlLedgerIngest]] (which
     * stores the filter VERDICT next to the canonical), and the report

@@ -1690,6 +1690,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chaos: webLedgerIngest heals torn batch=0 url/block/meta state " +
+      "on replay; extraction runs at ingest; keepers fold globally") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaosweb_")
+    val work = dir.resolve("state").toString
+    try {
+      // plausible-but-wrong debris in all THREE stateful dirs — the
+      // idempotent batch=<id> overwrite must replace it wholesale
+      tearTick(s"$work/urls", 0L,
+        Seq((999L, "https://phantom.example.com/x"))
+          .toDF("doc_id", "url_canon"))
+      tearTick(s"$work/blocks", 0L,
+        Seq((999L, 0L, "phantom block text")).toDF(
+          "doc_id", "block_idx", "block_text"))
+      tearTick(s"$work/meta", 0L,
+        Seq((999L, "src9")).toDF("doc_id", "source"))
+      val mem = MemoryStream[(Long, String, String, String)]
+      def stream = mem.toDF().toDF("doc_id", "text", "source", "url")
+      // docs 1 and 2 collide on the canonical URL (1 is keeper);
+      // doc 4 is its own canonical
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again", "src0",
+          "https://www.ex.com/a"),
+        (2L, "wholly different words live in this other page today",
+          "src1", "HTTPS://ex.com:443/a"),
+        (4L, "the solo document speaks of other quiet things entirely",
+          "src0", "https://ex.com/b"))
+      Streaming.webLedgerIngest(stream, work, dir.resolve("cp").toString,
+          "doc_id", "text", "url").awaitTermination()
+      val urls = s.read.parquet(s"$work/urls/batch=*")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(!urls.contains(999L), "phantom url debris must be gone")
+      assert(urls(1L) == urls(2L),
+        s"the canonical collision must survive the ledger: $urls")
+      val blocks = s.read.parquet(s"$work/blocks/batch=*")
+      assert(blocks.filter(col("doc_id") === 999L).count() == 0,
+        "phantom block debris must be gone")
+      assert(blocks.filter(col("doc_id") === 1L).count() >= 1,
+        "extraction runs at ingest: doc 1's kept blocks are state")
+      // the head's keeper joins: doc 2 (url loser) contributes no text
+      val out = graft.ext.Curation.webAssembleExport(
+        s.read.parquet(s"$work/urls/batch=*"),
+        s.read.parquet(s"$work/blocks/batch=*"),
+        s.read.parquet(s"$work/meta/batch=*"), "doc_id")
+      assert(out.count() >= 1, "the composed head runs off pure state")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      s.catalog.clearCache()
+    }
+  }
+
   test("chaos: pipelineLedgerIngest heals torn batch=0 gated/sigs/labels " +
       "on replay; gate runs at ingest; labels fold to min id") {
     val s = spark
