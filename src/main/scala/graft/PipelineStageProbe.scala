@@ -102,6 +102,54 @@ object PipelineStageProbe {
     // round report checks is tail <= the batch composition's own tail
     // (bpe_train_encode + pack + bins_export above) + eps, ticks flat
     // per the sig-ledger probe.
+    // WEB capstone stage attribution (r15): cumulative prefixes of
+    // q_pipeline_web — url canonicalization, keeper-pruned render +
+    // block extraction, paragraph dedup + reassembly, the full
+    // assemble/curate/export tail — same prefix-delta method as the
+    // batch arm, so a 10x run names which crawl stage grows.
+    if (arms("web")) {
+      def urls = docs.select(col("doc_id"),
+        graft.ext.Urls.urlCanonical(
+          graft.ext.Urls.demoUrl(col("doc_id"), col("source")))
+          .as("url_canon"))
+      def keepers = urls.filter(col("url_canon").isNotNull)
+        .groupBy(col("url_canon")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      def blocks = graft.ext.TextAnalysis.htmlBlocks(
+          graft.ext.TextAnalysis.htmlSyntheticPage(
+            docs.join(keepers, "doc_id"), "doc_id", "text"),
+          "doc_id", "page")
+        .filter(col("kept"))
+        .select(col("doc_id"), col("block_idx"), col("block_text"))
+      def webFull = graft.ext.Curation.webAssembleExport(urls, blocks,
+        docs.select(col("doc_id"), col("source")), "doc_id")
+      val prefixesW: Seq[(String, () => DataFrame)] = Seq(
+        "url_canon" -> (() => urls),
+        "url_keepers" -> (() => keepers),
+        "render_blocks" -> (() => blocks),
+        "assemble_export" -> (() => webFull))
+      webFull.write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val timesW = prefixesW.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> sec
+      }
+      val bodyW = timesW.map { case (n, t) => f""""$n":$t%.2f""" }
+        .mkString(",")
+      val deltasW = timesW.zip(("start", 0.0) +: timesW.init)
+        .map { case ((n, t), (_, p)) => (n, math.max(t - p, 0.0)) }
+      val dbodyW = deltasW.map { case (n, t) => f""""$n":$t%.2f""" }
+        .mkString(",")
+      println(s"""{"metric":"web_pipeline_stages","sf":"$sfDir","cumulative":{$bodyW},"stage_delta":{$dbodyW}}""")
+    }
+
     if (arms("incremental")) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
