@@ -117,8 +117,16 @@ object Bench {
     // swept blocks' unreachable byte arrays before the next timed run
     // instead of mid-run. Fires rarely on a healthy session; every
     // firing is visible as a heap_start_mb drop in the artifact.
+    // r16: default lowered 8192 → 4096. The forked bench JVM runs at
+    // -Xmx8g, so a threshold of 8192 MB could only fire with the heap
+    // literally full — r15's driver artifact showed q_ccnet_frozen's
+    // first run starting at heap_start_mb 8190 (one MB under the
+    // threshold) and paying the collection mid-query (20.3 s vs 8.7 s
+    // quiet). Half the heap is the level at which the next query's
+    // allocation burst forces a mid-run collection; draining above it
+    // costs one explicit GC outside the timed window instead.
     val drainMb =
-      sys.env.getOrElse("SPARK_GRAFT_DRAIN_MB", "8192").trim.toLong
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_MB", "4096").trim.toLong
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Double, Long, Long, Long, Long, Int) = {

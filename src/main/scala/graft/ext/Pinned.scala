@@ -95,4 +95,56 @@ object Pinned {
     val pinned = df.localCheckpoint(true)
     try body(pinned) finally release(pinned)
   }
+
+  /** COLUMNAR eviction-immune pin: write `df` once to scratch parquet
+    * and read it back. Same replay-safety contract as an eager
+    * `localCheckpoint(true)` — the files can neither be evicted nor
+    * recomputed — at columnar scan speed: consumers read a compressed
+    * parquet relation with column pruning per consumer (a checkpoint
+    * stores deserialized row objects on the HEAP, so every consumer
+    * pays full-width row iteration and the pin's footprint leans on
+    * the collector; r15 measured that as q_lm_backoff 4.65 → 7.95 s).
+    * The trade: no heap residency at all — scratch disk instead — and
+    * a write that costs one encode pass.
+    *
+    * Scratch lifecycle: dirs land under `spark.graft.scratch.dir`
+    * (default `java.io.tmpdir`), are uniquely named per call, and are
+    * deleted by one JVM shutdown hook — never mid-session, because a
+    * caller may hold the returned frame across later pins (funnel
+    * replays score per tick and consume all ticks at the end). A
+    * long-lived production session should point the conf at a
+    * job-scoped scratch root its orchestrator TTLs, exactly like
+    * shuffle dirs.
+    *
+    * Type caveat: parquet roundtrip is exact for the primitive/struct
+    * types the pin sites use (longs, doubles, strings); do not route
+    * exotic types (ltz timestamps under a shifted session zone)
+    * through without checking the read-back schema. */
+  def columnarPin(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val root = spark.conf.getOption("spark.graft.scratch.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = new java.io.File(new java.io.File(root),
+      s"graft-pin-$tag-${java.util.UUID.randomUUID()}")
+    registerScratch(dir)
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = scratchDirs.poll()
+      while (d != null) {
+        try org.apache.commons.io.FileUtils.deleteDirectory(d)
+        catch { case _: Throwable => () }
+        d = scratchDirs.poll()
+      }
+    }, "graft-scratch-cleanup"))
+  }
+  private def registerScratch(dir: java.io.File): Unit = {
+    scratchHook
+    scratchDirs.add(dir)
+  }
 }

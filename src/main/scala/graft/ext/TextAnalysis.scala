@@ -28,9 +28,20 @@ object TextAnalysis {
     * array — the `when` guard is load-bearing. */
   def wordShingles(text: Column, n: Int): Column = {
     val t = tokens(text)
+    // r16: positional-zip form. The old lambda (`transform(sequence,
+    // i => concat_ws(" ", slice(t, i, n)))`) re-evaluated `t` — the
+    // whole-document split — at EVERY shingle position (Catalyst
+    // re-evaluates lambda-captured expressions per element): O(tokens²)
+    // per doc. Zipping n whole-array slices evaluates the split a
+    // constant (2n+2) times per row and the per-element work is struct
+    // field reads — output-sized. Values and order are identical:
+    // position i of the zip joins tokens i..i+n-1, exactly the old
+    // slice.
+    val m = size(t) - (n - 1)
     when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+      transform(
+        arrays_zip((1 to n).map(j => slice(t, lit(j), m).as(s"_w$j")): _*),
+        s => concat_ws(" ", (1 to n).map(j => s(s"_w$j")): _*)))
       .otherwise(array(text))
   }
 
@@ -748,7 +759,20 @@ object TextAnalysis {
     val noStyle =
       regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, HtmlTagRegex, " ")
+    // the quote-aware tag regex's alternation costs ~3× the plain
+    // class scan, and quoted attributes are absent from most BLOCK
+    // bodies (the htmlBlocks per-<p> path) — gate it on a cheap
+    // contains-quote test, the same discipline as the numeric-ref
+    // chain's contains("&#") below. Semantics-free: on a string with
+    // no '"' and no '\'' the hardened alternation's quoted branches
+    // can never fire, so it degenerates to exactly `<[^>]*>` — the
+    // two branches strip identical spans. CaseWhen evaluates the
+    // chosen branch lazily, so the skip is real. The oracle needs no
+    // mirror: the output is pointwise identical for every input.
+    val noTags = when(
+      instr(noComment, "\"") > 0 || instr(noComment, "'") > 0,
+      regexp_replace(noComment, HtmlTagRegex, " "))
+      .otherwise(regexp_replace(noComment, "<[^>]*>", " "))
     val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ")
       .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
@@ -1013,17 +1037,24 @@ object TextAnalysis {
     require(step > 0 && step <= chunkSize,
       "step must be in [1, chunkSize]: a larger step would silently " +
         "drop the tokens between consecutive windows")
-    val t = tokens(col(textCol))
+    // r16: token array materialized ONCE per row (`_t`) — the lambda
+    // below slices it per window, and a lambda-captured EXPRESSION is
+    // re-evaluated per element (the whole-doc split would run once per
+    // window: O(tokens²/step) per doc; see stupidBackoffLogProb's
+    // rewrite note). Values identical: slice of the materialized array
+    // is the same slice.
+    val tk = col("_t")
     // ceil((n - chunkSize) / step) via (n - chunkSize + step - 1) div
     // step, clamped at 0; step == chunkSize reduces to (n-1) div step,
     // the disjoint chunker's index bound exactly
     val last = greatest(lit(0),
-      ((size(t) - lit(chunkSize) + lit(step) - 1) / lit(step)).cast("int"))
-    docs.select(col(idCol), posexplode(
+      ((size(tk) - lit(chunkSize) + lit(step) - 1) / lit(step)).cast("int"))
+    docs.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), posexplode(
         transform(
           sequence(lit(0), last),
           i => concat_ws(" ",
-            slice(t, i * step + lit(1), lit(chunkSize)))))
+            slice(tk, i * step + lit(1), lit(chunkSize)))))
         .as(Seq("chunk_idx", "chunk")))
   }
 
@@ -1160,34 +1191,53 @@ object TextAnalysis {
       idCol: String, textCol: String, prune: Int = 2)
       : org.apache.spark.sql.DataFrame = {
     val t = tokens(col(textCol))
-    // token-instance trigram relation (corpus-sized, the scan pass)
+    // token-instance trigram relation (corpus-sized, the scan pass).
+    // r16: the token array is materialized ONCE per row into `_t`
+    // before any per-position work — the r15 form's lambda
+    // (`transform(sequence(...), i => element_at(t, i))`) referenced
+    // the raw `tokens(text)` EXPRESSION per element, and Catalyst
+    // re-evaluates a lambda-captured expression at every element, so
+    // each trigram position re-split the whole document: O(tokens²)
+    // per doc. CollapseProject keeps the split in its own Project
+    // (non-cheap expression referenced more than once), so `_t` is
+    // computed once; the trigram build is then three output-sized
+    // array slices zipped positionally. Measured (LmProbe, sf0.1,
+    // 260k instances): explode 3.76 s → 0.46 s.
+    val tk = col("_t")
     val inst = docs
-      .filter(size(t) >= 3)
-      .select(col(idCol), explode(transform(
-        sequence(lit(3), size(t)),
-        i => struct(element_at(t, i - 2).as("w1"),
-          element_at(t, i - 1).as("w2"),
-          element_at(t, i).as("w3")))).as("g"))
+      .select(col(idCol), t.as("_t"))
+      .filter(size(tk) >= 3)
+      .select(col(idCol), explode(arrays_zip(
+        slice(tk, lit(1), size(tk) - 2).as("w1"),
+        slice(tk, lit(2), size(tk) - 2).as("w2"),
+        slice(tk, lit(3), size(tk) - 2).as("w3"))).as("g"))
       .select(col(idCol), col("g.w1"), col("g.w2"), col("g.w3"))
-      // three consumers below (tri counts, the scoring join, and the
-      // final aggregate's scan) over the suite's most expensive
-      // corpus-sized relation — pinned as an eager DISK-BACKED
-      // checkpoint, not a MEMORY_AND_DISK persist: a persist can be
-      // evicted under heap pressure BETWEEN consumers and silently
-      // recompute the whole scan 2-4× (the r14 q_ccnet_frozen /
-      // q_ccnet_buckets eviction signature); checkpoint blocks spill
-      // to disk but cannot fall back to recompute. Released by the
-      // harness's persistent-RDD sweep after the caller's action.
-      .localCheckpoint(true)
+      // two consumers below (tri counts and the scoring join) over the
+      // suite's most expensive corpus-sized relation — pinned
+      // COLUMNAR (scratch parquet, [[Pinned.columnarPin]]): same
+      // eviction-and-recompute immunity as the r15 eager checkpoint
+      // (files can neither be dropped under heap pressure nor
+      // recomputed — the r14 q_ccnet eviction class stays closed) but
+      // consumers scan compressed columnar batches with per-consumer
+      // column pruning (tri reads only w1..w3) instead of full-width
+      // heap row objects, and the pin carries ZERO heap residency —
+      // r15's row-object form cost q_lm_backoff 4.65 → 7.95 s and held
+      // the session heap at ~8 GB into the next queries.
+      .transform(df => Pinned.columnarPin(df, "lm-inst"))
     // count tables: unigrams/bigrams unpruned (denominators), pruned
     // trigram/bigram numerators
     val toks = docs.select(explode(t).as("w")).filter(col("w") =!= "")
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val n = toks.count()
-    val big = docs.filter(size(t) >= 2)
-      .select(explode(transform(sequence(lit(2), size(t)),
-        i => struct(element_at(t, i - 1).as("w1"),
-          element_at(t, i).as("w2")))).as("g"))
+    // same materialize-once + positional-zip rewrite as `inst` (the
+    // r15 element_at-lambda form re-split the doc per bigram position;
+    // LmProbe measured this table's build at 2.55 s → output-sized)
+    val big = docs
+      .select(t.as("_t"))
+      .filter(size(tk) >= 2)
+      .select(explode(zip_with(
+        slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col("g.w1"), col("g.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val tri = inst.groupBy(col("w1"), col("w2"), col("w3"))
@@ -1216,12 +1266,11 @@ object TextAnalysis {
       // micro-quantize BEFORE the sum: order-independent, engine-exact
       .select(col(idCol),
         floor(col("lp") * 1e6 + 0.5).cast("long").as("qlp"))
-    // caching contract: `inst` is pinned above as an eager
-    // localCheckpoint whose blocks persist past the caller's action —
-    // the harness's persistent-RDD sweep (Verify/Bench) frees them
-    // after each query, so every consumer (q_lm_backoff,
-    // q_ccnet_buckets, q_ccnet_frozen's inner pass, the funnel's LM
-    // stage) reads the one materialization
+    // caching contract: `inst` is pinned above as scratch parquet
+    // (columnarPin) — every consumer (q_lm_backoff, q_ccnet_buckets,
+    // q_ccnet_frozen's inner pass, the funnel's LM stage) reads the
+    // one materialization; the scratch dir is freed by the session
+    // shutdown hook (no block-manager state for the harness to sweep)
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_scored"),
         round(sum(col("qlp")).cast("double") / 1e6 /
