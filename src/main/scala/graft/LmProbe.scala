@@ -105,6 +105,20 @@ object LmProbe {
       noop(pinned.groupBy(col("w1"), col("w2"), col("w3"))
         .agg(count(lit(1)).as("c3")).filter(col("c3") >= 2)))
 
+    // gate-expression probes (the funnel/pipeline per-tick `gate` stage)
+    import graft.ext.TextAnalysis
+    results += time("gate_langid_noop")(
+      noop(docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("l"))))
+    results += time("gate_quality_noop")(
+      noop(docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))))
+    results += time("gate_full_noop")(
+      noop(docs.select(col("doc_id"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"))
+        .filter(TextAnalysis.langId(col("text")) === "en" &&
+          col("quality") >= 60.0)))
     results += time("full_chain_total")(
       noop(graft.ext.TextAnalysis.stupidBackoffLogProb(docs, "doc_id", "text")
         .orderBy(col("doc_id"))))

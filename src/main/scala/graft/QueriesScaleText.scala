@@ -616,11 +616,11 @@ private[graft] object QueriesScaleText {
           TextAnalysis.c4SyntheticPage(docs, "doc_id", "text"),
           "doc_id", "page")
         .select(col("doc_id"), col("pass").as("p_c4"))
-      val flags = docs.select(col("doc_id"),
-          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
-          TextAnalysis.gopherPass(col("text")).as("p_gf"),
-          (TextAnalysis.langId(col("text")) === "en" &&
-            TextAnalysis.qualityScore(col("text")) >= 60.0).as("p_lq"))
+      // r16: flag trio via the typed kernel twin (bit-identical,
+      // ExtSpec-pinned) — the expression form's interpreted per-token
+      // isin/rlike HOFs dominated this scan
+      val flags = TextAnalysis.gopherLangFlagsLocal(docs, "doc_id",
+          "text", "en", 60.0)
         .join(gr, "doc_id").join(c4, "doc_id")
         .withColumn("p3", col("p_gf") && col("p_gr"))
         .withColumn("p4", col("p3") && col("p_c4"))

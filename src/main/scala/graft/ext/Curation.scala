@@ -34,16 +34,15 @@ object Curation {
       lastLabel: String = "val"): DataFrame = {
     // `kept` feeds two DAG branches (the dedup pipeline and the final
     // survivor join) — pinned as an eager disk-backed checkpoint (r15)
-    // so the gate expressions run once per row even under heap
-    // pressure (a lazy persist can drop blocks between the branches
-    // and replay the lang/quality gates — the r14 q_ccnet eviction
-    // class). Freed by the harness's persistent-RDD sweep.
-    val kept = docs
-      .select(col(idCol), col(textCol),
-        TextAnalysis.qualityScore(col(textCol)).as("quality"),
-        TextAnalysis.nTokens(col(textCol)).as("n_tokens"))
-      .filter(TextAnalysis.langId(col(textCol)) === lang &&
-        col("quality") >= minQuality)
+    // so the gate runs once per row even under heap pressure (a lazy
+    // persist can drop blocks between the branches and replay the
+    // lang/quality gates — the r14 q_ccnet eviction class). Freed by
+    // the harness's persistent-RDD sweep. r16: the gate itself is the
+    // typed kernel twin (bit-identical values, ExtSpec-pinned; the
+    // expression form's interpreted per-token isin cost ~0.87 s per
+    // sf0.1 corpus pass).
+    val kept = TextAnalysis.langQualityGateLocal(docs, idCol, textCol,
+        lang, minQuality)
       .localCheckpoint(true)
     // survivors: docs in no duplicate pair + cluster canonicals
     Dedup.keepCanonical(kept, idCol,

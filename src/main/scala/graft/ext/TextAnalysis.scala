@@ -316,6 +316,188 @@ object TextAnalysis {
       lit(25.0) * (lit(1.0) - punctRatio(text)) +
       lit(25.0) * least(stopwordRatio(text) * lit(8.0), lit(1.0))
 
+  // ── Typed-kernel twin of the curate language/quality gate ─────────────
+
+  /** Per-row marker scores in [[LangMarkers]] order (multiplicity
+    * counted — the [[langScore]] definition). */
+  private def langScoresLocal(toks: Array[String]): Array[Int] = {
+    val out = new Array[Int](LangMarkerSets.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var l = 0
+      while (l < LangMarkerSets.length) {
+        if (LangMarkerSets(l).contains(t)) out(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    out
+  }
+  private lazy val LangMarkerSets: Array[Set[String]] =
+    LangMarkers.map(_._2.toSet).toArray
+
+  /** Driver/executor-side twin of [[langId]] over pre-split tokens:
+    * argmax marker count, precedence tie-break, all-zero → "und". */
+  private def langIdOf(scores: Array[Int]): String = {
+    var mx = 0
+    var i = 0
+    while (i < scores.length) { if (scores(i) > mx) mx = scores(i); i += 1 }
+    if (mx <= 0) "und"
+    else {
+      var l = 0
+      while (scores(l) != mx) l += 1
+      LangMarkers(l)._1
+    }
+  }
+
+  /** Bit-exact local twin of [[qualityScore]]: every division,
+    * `least`, multiply and the left-associated sum mirror the
+    * expression's IEEE operation order, so the double compares the
+    * gate makes (`quality >= minQuality`) cannot flip between forms.
+    * `scoreEn` is the en-marker count (stopwordRatio's numerator). */
+  private def qualityScoreOf(text: String, toks: Array[String],
+      scoreEn: Int): Double = {
+    val n = toks.length
+    val nd = n.toDouble
+    var punct = 0
+    var j = 0
+    while (j < text.length) {
+      val c = text.charAt(j)
+      if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' '))
+        punct += 1
+      j += 1
+    }
+    25.0 * math.min(nd / 50.0, 1.0) +
+      25.0 * math.min(((text.length - (n - 1)).toDouble / nd) / 6.0, 1.0) +
+      25.0 * (1.0 - punct.toDouble / math.max(text.length, 1).toDouble) +
+      25.0 * math.min(
+        (scoreEn.toDouble / math.max(n, 1).toDouble) * 8.0, 1.0)
+  }
+
+  /** The funnel's per-row flag trio — `n_tokens`,
+    * `p_gf` ([[gopherPass]]) and `p_lq` (`langId === lang &&
+    * qualityScore >= minQuality`) — as ONE typed partition-local pass.
+    * Same rationale as [[langQualityGateLocal]] (interpreted
+    * per-token `isin`/`rlike` HOFs dominate the expression form;
+    * values bit-identical, ExtSpec-pinned, expression form stays the
+    * oracle's SQL reference). Null text mirrors the expression
+    * exactly: `n_tokens` and `p_gf` are NULL, but `p_lq` is FALSE —
+    * `langId(null)` falls through every `when` to the literal "und",
+    * so `langId === lang` is a non-null false and three-valued `&&`
+    * collapses the null quality compare to false.
+    * Output: `(idCol[, textCol], n_tokens long, p_gf, p_lq)`. */
+  def gopherLangFlagsLocal(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, lang: String, minQuality: Double,
+      minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2,
+      keepText: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = docs.select(col(idCol), col(textCol).cast("string").as(textCol))
+    val outSchema = StructType(
+      (in.schema.fields.take(if (keepText) 2 else 1) :+
+        StructField("n_tokens", LongType) :+
+        StructField("p_gf", BooleanType) :+
+        StructField("p_lq", BooleanType)).toArray)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val enMarkers = LangMarkers.head._2.toSet
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(0)
+        val text = r.getAs[String](1)
+        val prefix = if (keepText) Seq(id, text) else Seq(id)
+        if (text == null) {
+          // expression replay: "und" === lang is false → p_lq false;
+          // but a (pathological) lang == "und" gate turns the compare
+          // true and `true && null-quality` stays NULL
+          val pLqNull: Any = if (lang == "und") null else false
+          org.apache.spark.sql.Row.fromSeq(
+            prefix ++ Seq(null, null, pLqNull))
+        } else {
+          val toks = text.split(" ", -1)
+          val nw = toks.length
+          val mwl = (text.length - (nw - 1)).toDouble / nw.toDouble
+          var alpha = 0
+          val stopSeen =
+            new java.util.HashSet[String](enMarkers.size * 2)
+          var i = 0
+          while (i < nw) {
+            val t = toks(i)
+            var hasA = false
+            var j = 0
+            while (!hasA && j < t.length) {
+              val c = t.charAt(j)
+              if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+                hasA = true
+              j += 1
+            }
+            if (hasA) alpha += 1
+            if (enMarkers.contains(t)) { stopSeen.add(t); () }
+            i += 1
+          }
+          val alphaRatio = alpha.toDouble / math.max(nw, 1).toDouble
+          val pGf = nw >= minWords && nw <= maxWords &&
+            mwl >= 3.0 && mwl <= 10.0 &&
+            alphaRatio >= 0.8 && stopSeen.size >= minStopHits
+          val scores = langScoresLocal(toks)
+          val pLq = langIdOf(scores) == lang &&
+            qualityScoreOf(text, toks, scores(0)) >= minQuality
+          org.apache.spark.sql.Row.fromSeq(
+            prefix ++ Seq(nw.toLong, pGf, pLq))
+        }
+      }
+    }(enc)
+  }
+
+  /** The curate stage-1/2 gate (`langId === lang && qualityScore >=
+    * minQuality`, appending `quality` + `n_tokens`) as ONE typed
+    * partition-local pass — the hot per-tick expression of the
+    * pipeline/funnel ledger ingests and [[graft.ext.Curation.curate]].
+    *
+    * Why a kernel (r16): [[langScore]]'s higher-order `filter` runs an
+    * INTERPRETED `isin` over every (token, language) pair — ~50
+    * linear-scanned string compares per token across the five marker
+    * lists — and the composite expression re-splits the text several
+    * times; measured 0.87 s per sf0.1 corpus pass against ~0.05 s for
+    * this kernel. Values are bit-identical (ExtSpec pins kernel ==
+    * expression on the corpus, including the exact `quality` doubles,
+    * so the `>= minQuality` boundary cannot diverge); the expression
+    * form remains the SQL-replayable reference the oracle mirrors —
+    * the [[graft.ext.Dedup.simhashSignaturesLocal]] dispatch contract.
+    *
+    * Row contract mirrors the expression pipeline: null text never
+    * passes the gate (its `langId` is "und" and its quality is null);
+    * all `carryCols` ride through untouched. Output columns:
+    * `(idCol, textCol, carryCols..., quality, n_tokens)`. */
+  def langQualityGateLocal(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, lang: String, minQuality: Double,
+      carryCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val in = docs.select(
+      (Seq(col(idCol), col(textCol).cast("string").as(textCol)) ++
+        carryCols.map(col)): _*)
+    val outSchema = in.schema
+      .add("quality", org.apache.spark.sql.types.DoubleType)
+      .add("n_tokens", org.apache.spark.sql.types.IntegerType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val text = r.getAs[String](1)
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.split(" ", -1)
+          val scores = langScoresLocal(toks)
+          if (langIdOf(scores) != lang) Iterator.empty
+          else {
+            val q = qualityScoreOf(text, toks, scores(0))
+            if (q >= minQuality)
+              Iterator.single(org.apache.spark.sql.Row.fromSeq(
+                r.toSeq :+ q :+ toks.length))
+            else Iterator.empty
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Gopher-style rule gate (Rae et al. 2021, the repetition/format
     * filter table, adapted to the word-level signals a single-line
     * corpus carries): each rule reports its measured value AND its

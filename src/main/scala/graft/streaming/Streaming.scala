@@ -1718,14 +1718,13 @@ object Streaming {
           import graft.ext.{Dedup, TextAnalysis}
           val sp = batch.sparkSession
           // gate once, at ingest — the exact Curation.curate stage-1/2
-          // expressions, so survivors match the batch pipeline's `kept`
-          val (gated, gateMs) = timedMs { batch.toDF()
-            .select(col(idCol), col(textCol), col("source"),
-              TextAnalysis.qualityScore(col(textCol)).as("quality"),
-              TextAnalysis.nTokens(col(textCol)).as("n_tokens"))
-            .filter(TextAnalysis.langId(col(textCol)) === lang &&
-              col("quality") >= minQuality)
-            .localCheckpoint(true) }
+          // semantics via the typed kernel twin (bit-identical values,
+          // ExtSpec-pinned), so survivors match the batch pipeline's
+          // `kept`
+          val (gated, gateMs) = timedMs {
+            TextAnalysis.langQualityGateLocal(batch.toDF(), idCol,
+                textCol, lang, minQuality, carryCols = Seq("source"))
+              .localCheckpoint(true) }
           val gatedPath = s"$workPath/gated"
           val sigsPath = s"$workPath/sigs"
           val labelsPath = s"$workPath/labels"
@@ -1928,14 +1927,10 @@ object Streaming {
             .select(col(idCol), col("pass").as("p_c4"))
           // one pass, gates stacked as columns — the batch funnel's
           // flag frame, per tick; pinned because census, survivors and
-          // signatures all read it
-          val flags = d.select(col(idCol), col(textCol),
-              TextAnalysis.nTokens(col(textCol)).cast("long")
-                .as("n_tokens"),
-              TextAnalysis.gopherPass(col(textCol)).as("p_gf"),
-              (TextAnalysis.langId(col(textCol)) === lang &&
-                TextAnalysis.qualityScore(col(textCol)) >= minQuality)
-                .as("p_lq"))
+          // signatures all read it. r16: the per-row trio via the
+          // typed kernel twin (bit-identical, ExtSpec-pinned)
+          val flags = TextAnalysis.gopherLangFlagsLocal(d, idCol,
+              textCol, lang, minQuality, keepText = true)
             .join(gr, Seq(idCol)).join(c4, Seq(idCol))
             .withColumn("p3", col("p_gf") && col("p_gr"))
             .withColumn("p4", col("p3") && col("p_c4"))

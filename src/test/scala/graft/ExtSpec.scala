@@ -259,6 +259,88 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(agg.contains(7L) && agg.contains(8L) && !agg.contains(9L))
   }
 
+  test("langQualityGateLocal is bit-identical to the expression gate, " +
+      "incl. quality doubles at the boundary, ties, empty/null text") {
+    val s = spark
+    import s.implicits._
+    // edge fixtures: clean english, stopword-free, es/en tie, empty,
+    // null, punctuation-heavy, 60-ish boundary candidates from varied
+    // lengths, and a carried source column
+    val base = Seq(
+      (1L, "the cat and the dog sat on the mat for a while", "s0"),
+      (2L, "zzz qqq www", "s1"),
+      (3L, "the la", "s0"),
+      (4L, "", "s2"),
+      (6L, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "s1"),
+      (7L, "the!!! and??? of... to,,, in;;; is:: it{} that[] for()", "s3"),
+      (8L, "the quick brown fox jumps over the lazy dog and runs to " +
+        "the old market in the morning for a fresh loaf that it likes",
+        "s0")).toDF("doc_id", "text", "source")
+      .union(Seq(Tuple1(5L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("source", lit("s4")))
+    for (minQ <- Seq(0.0, 60.0, 75.0)) {
+      val expr = base
+        .select(col("doc_id"), col("text"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"))
+        .filter(TextAnalysis.langId(col("text")) === "en" &&
+          col("quality") >= minQ)
+      val kern = TextAnalysis.langQualityGateLocal(base, "doc_id",
+        "text", "en", minQ, carryCols = Seq("source"))
+      assert(kern.schema == expr.schema)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2),
+          // bit-exact double compare — boundary flips must not hide
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+          r.getInt(4))).toSet
+      assert(rows(kern) == rows(expr), s"minQuality=$minQ")
+    }
+  }
+
+  test("gopherLangFlagsLocal is bit-identical to the expression flag " +
+      "trio, incl. null text (null flags, not false)") {
+    val s = spark
+    import s.implicits._
+    val longDoc = ("the quick brown fox jumps over the lazy dog and " +
+      "runs to the old market in the morning for a fresh loaf of " +
+      "bread that it likes to eat with the family at the table ") * 2
+    val base = Seq(
+      (1L, longDoc),
+      (2L, "zzz qqq www 123 456"),
+      (3L, "the " + ("ab " * 60).trim),
+      (4L, ""),
+      (6L, ("1 2 3 4 " * 20) + "the and of"))
+      .toDF("doc_id", "text")
+      .union(Seq(Tuple1(5L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    val expr = base.select(col("doc_id"),
+      TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.gopherPass(col("text")).as("p_gf"),
+      (TextAnalysis.langId(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 60.0).as("p_lq"))
+    val kern = TextAnalysis.gopherLangFlagsLocal(base, "doc_id", "text",
+      "en", 60.0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getBoolean(3))).toSet
+    assert(rows(kern) == rows(expr))
+    // the null-text row: n_tokens/p_gf NULL, but p_lq FALSE — langId
+    // of null text is the literal "und", so the === compare is a
+    // non-null false and the && collapses
+    val nullRow = kern.filter(col("doc_id") === 5L).collect()(0)
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2))
+    assert(!nullRow.isNullAt(3) && !nullRow.getBoolean(3))
+    // keepText carries the text column through in position 1
+    val withText = TextAnalysis.gopherLangFlagsLocal(base, "doc_id",
+      "text", "en", 60.0, keepText = true)
+    assert(withText.columns.toSeq ==
+      Seq("doc_id", "text", "n_tokens", "p_gf", "p_lq"))
+  }
+
   test("simhash of near-dups is close in Hamming distance, far docs far") {
     val sig = Dedup.simhashSignatures(nearDupDocs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
