@@ -849,6 +849,13 @@ object Curation {
         array_sort(collect_list(struct(col("block_idx"),
           col("block_text")))),
         x => x.getField("block_text")), " ").as("text"))
+      // two consumers (curate's gate and mixPackExport's text join)
+      // — without the pin the whole head (URL dedup, block join,
+      // paragraph dedup, reassembly — and in the batch twin the HTML
+      // render feeding `blocks`) re-runs per consumer (r16: measured
+      // ~2.5 s of q_pipeline_web's 9 s tail). Doc-sized relation;
+      // eager pin, freed by the harness sweep.
+      .localCheckpoint(true)
     val curated = curate(web, idCol, "text", lang = "en",
       minQuality = 60.0)
     val withSrc = curated.filter(col("split") === "train")

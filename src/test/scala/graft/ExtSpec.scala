@@ -1998,6 +1998,28 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(got == (1L to 10L).map(_ -> 1L).toMap)
   }
 
+  test("dupClusters small-graph union-find arm matches the iterative " +
+      "star arm label-for-label") {
+    val s = spark
+    import s.implicits._
+    // mixed shapes: a path, a star, a triangle-with-tail, self-pairs,
+    // duplicated and reversed edges — everything the distinct/orient
+    // normalization must absorb identically in both arms
+    val pairs = ((1L until 40L).map(i => (i + 1, i)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (103L, 100L),
+        (200L, 201L), (201L, 202L), (202L, 200L), (202L, 203L),
+        (300L, 300L), (301L, 301L), (50L, 60L), (60L, 50L)))
+      .toDF("id_a", "id_b")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labelMap(Dedup.dupClusters(pairs))
+    val (iter, _) =
+      Dedup.dupClustersWithRounds(pairs, "id_a", "id_b", 50)
+    assert(fast == labelMap(iter))
+    // self-pair-only nodes appear with self labels in both arms
+    assert(fast(300L) == 300L && fast(301L) == 301L)
+  }
+
   test("dupClusters converges in O(log diameter) rounds on a 1000-node path") {
     val s = spark
     import s.implicits._
