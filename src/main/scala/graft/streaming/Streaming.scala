@@ -650,8 +650,12 @@ object Streaming {
             else
               // bootstrap tick: no prior corpus — batch-internal dups
               graft.ext.Dedup.minhashDupPairs(df, idCol, textCol, threshold)
-          pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
-          df.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          // independent writes off the pinned batch — overlap (r16, §2.6)
+          parWrites(
+            "pairs" -> (() => pairs.write.mode("overwrite")
+              .parquet(s"$pairsPath/batch=$batchId")),
+            "corpus" -> (() => df.write.mode("overwrite")
+              .parquet(s"$corpusPath/batch=$batchId")))
           // release the pair-finder's persisted shingle/band relations
           // (its documented contract: the caller clears) — without this
           // a long-running stream accumulates one persisted set per tick
@@ -909,6 +913,33 @@ object Streaming {
     val t0 = System.nanoTime()
     val out = body
     (out, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  /** Run INDEPENDENT per-tick state writes concurrently (guide-§2.6
+    * job overlap: Spark's scheduler happily runs several jobs at
+    * once; ticks ran their 2-3 ledger writes sequentially, paying
+    * each small job's full scheduling+commit latency back-to-back).
+    * Inputs must be materialized or independent — every call site
+    * writes from an eagerly pinned micro-batch or an
+    * already-checkpointed relation, so the concurrent jobs share
+    * nothing mutable. Returns each stage's own wall (concurrent, so
+    * the stage walls can sum past the tick's). Failures propagate:
+    * any stage's exception fails the tick, as the sequential form
+    * did. */
+  private[graft] def parWrites(stages: (String, () => Unit)*)
+      : Seq[(String, Long)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(stages.toSeq.map { case (n, f) =>
+        Future {
+          val t0 = System.nanoTime()
+          f()
+          (n, (System.nanoTime() - t0) / 1000000L)
+        }
+      }),
+      Duration.Inf)
   }
   private[graft] def timedTick[T](queryName: String, batchId: Long)(
       body: => T): T = {
@@ -1465,11 +1496,18 @@ object Streaming {
                 threshold)
             } else
               graft.ext.Dedup.minhashDupPairs(df, idCol, textCol, threshold)
-          pairs.write.mode("overwrite")
-            .parquet(s"$workPath/pairs/batch=$batchId")
-          graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
-            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
-          df.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          // three independent writes off the pinned batch (pairs
+          // probes the PRIOR ledger, bands/corpus are the tick's own
+          // state) — overlap them (r16, guide §2.6)
+          parWrites(
+            "pairs" -> (() => pairs.write.mode("overwrite")
+              .parquet(s"$workPath/pairs/batch=$batchId")),
+            "bands" -> (() =>
+              graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
+                .write.mode("overwrite")
+                .parquet(s"$bandsPath/batch=$batchId")),
+            "corpus" -> (() => df.write.mode("overwrite")
+              .parquet(s"$corpusPath/batch=$batchId")))
           sp.catalog.clearCache()
           graft.ext.Pinned.release(df)
           ()
@@ -1578,8 +1616,8 @@ object Streaming {
               (Some(pairs.localCheckpoint(true)), cand)
             }
           }
-          val (_, foldMs) = timedMs {
-            val labels = pairsOpt match {
+          val (labels, labelMs) = timedMs {
+            pairsOpt match {
               case None =>
                 graft.ext.Dedup.dupClusters(graft.ext.Dedup
                   .minhashDupPairs(df, idCol, textCol, threshold))
@@ -1595,20 +1633,26 @@ object Streaming {
                   sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
                   pairs)
             }
-            labels.write.mode("overwrite")
-              .parquet(s"$labelsPath/batch=$batchId")
           }
-          // the tick's own band relation JOINS the ledger — the
-          // at-ingest sufficient statistic later ticks probe
-          val (_, bandMs) = timedMs {
-            graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
-              .write.mode("overwrite")
-              .parquet(s"$bandsPath/batch=$batchId")
+          // label snapshot (checkpointed by dupClusters), the tick's
+          // band relation (the at-ingest sufficient statistic later
+          // ticks probe) and the corpus copy are independent writes
+          // off materialized state — overlap them (r16, guide §2.6)
+          val stageWrites = timedMs {
+            parWrites(
+              "labels" -> (() => labels.write.mode("overwrite")
+                .parquet(s"$labelsPath/batch=$batchId")),
+              "bands" -> (() =>
+                graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
+                  .write.mode("overwrite")
+                  .parquet(s"$bandsPath/batch=$batchId")),
+              "corpus" -> (() => df.write.mode("overwrite")
+                .parquet(s"$corpusPath/batch=$batchId")))
           }
-          val (_, corpusMs) = timedMs {
-            df.write.mode("overwrite")
-              .parquet(s"$corpusPath/batch=$batchId")
-          }
+          val perWrite = stageWrites._1.toMap
+          val foldMs = labelMs + perWrite("labels")
+          val bandMs = perWrite("bands")
+          val corpusMs = perWrite("corpus")
           // release this tick's persisted shingle/band relations (the
           // pair-finders' documented caching contract: the CALLER
           // clears) — a long-running stream must not accumulate them
@@ -1775,19 +1819,25 @@ object Streaming {
           val (_, foldMs) = timedMs {
             labels.write.mode("overwrite")
               .parquet(s"$labelsPath/batch=$batchId") }
+          // the three state writes are independent reads of the
+          // pinned `gated`/`sig` relations — overlap them (r16,
+          // guide §2.6); the words census is the tokenizer trainer's
+          // sufficient statistic, paid at ingest: per-doc word census
+          // rows are additive across ticks and semi-joinable to any
+          // survivor subset, so a refresh's BPE train step reads THIS
+          // state (mixture-scoped, summed) instead of re-splitting
+          // text
           val (_, stateMs) = timedMs {
-            sig.write.mode("overwrite")
-              .parquet(s"$sigsPath/batch=$batchId")
-            gated.write.mode("overwrite")
-              .parquet(s"$gatedPath/batch=$batchId")
-            // the tokenizer trainer's sufficient statistic, paid at
-            // ingest: per-doc word census rows are additive across
-            // ticks and semi-joinable to any survivor subset, so a
-            // refresh's BPE train step reads THIS state
-            // (mixture-scoped, summed) instead of re-splitting text
-            graft.ext.Bpe.docWordCensus(gated, idCol, textCol)
-              .write.mode("overwrite")
-              .parquet(s"$workPath/words/batch=$batchId") }
+            parWrites(
+              "sig" -> (() => sig.write.mode("overwrite")
+                .parquet(s"$sigsPath/batch=$batchId")),
+              "gated" -> (() => gated.write.mode("overwrite")
+                .parquet(s"$gatedPath/batch=$batchId")),
+              "words" -> (() =>
+                graft.ext.Bpe.docWordCensus(gated, idCol, textCol)
+                  .write.mode("overwrite")
+                  .parquet(s"$workPath/words/batch=$batchId")))
+            () }
           sp.catalog.clearCache()
           // the tick's two checkpoint pins are dead once their parquet
           // snapshots landed — clearCache does not release checkpoint
@@ -1993,13 +2043,19 @@ object Streaming {
                 sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
                 pairs)
             }
+          // labels (checkpointed by dupClusters), sig (pinned) and
+          // surv (off the pinned flags) are materialized and
+          // independent — overlap the three writes (r16, guide §2.6)
           val (_, foldMs) = timedMs {
-            labels.write.mode("overwrite")
-              .parquet(s"$labelsPath/batch=$batchId") }
-          sig.write.mode("overwrite").parquet(s"$sigsPath/batch=$batchId")
-          surv.select(col(idCol), col("n_tokens"))
-            .write.mode("overwrite")
-            .parquet(s"$workPath/surv/batch=$batchId")
+            parWrites(
+              "labels" -> (() => labels.write.mode("overwrite")
+                .parquet(s"$labelsPath/batch=$batchId")),
+              "sig" -> (() => sig.write.mode("overwrite")
+                .parquet(s"$sigsPath/batch=$batchId")),
+              "surv" -> (() => surv.select(col(idCol), col("n_tokens"))
+                .write.mode("overwrite")
+                .parquet(s"$workPath/surv/batch=$batchId")))
+            () }
           sp.catalog.clearCache()
           graft.ext.Pinned.release(d)
           graft.ext.Pinned.release(flags)
@@ -2123,25 +2179,28 @@ object Streaming {
           // pin once — the url pass, the block pass, and the meta
           // write all scan the micro-batch
           val d = batch.toDF().localCheckpoint(true)
-          val (_, urlMs) = timedMs {
-            graft.ext.Urls.urlCanonicalLocal(d, idCol, urlCol)
-              .select(col(idCol), col("url_canon"))
-              .write.mode("overwrite")
-              .parquet(s"$workPath/urls/batch=$batchId") }
-          val (_, blkMs) = timedMs {
-            TextAnalysis.htmlBlocks(
-                TextAnalysis.htmlSyntheticPage(d, idCol, textCol),
-                idCol, "page")
-              .filter(col("kept"))
-              .select(col(idCol), col("block_idx"), col("block_text"))
-              .write.mode("overwrite")
-              .parquet(s"$workPath/blocks/batch=$batchId") }
-          d.select(col(idCol), col("source"))
-            .write.mode("overwrite")
-            .parquet(s"$workPath/meta/batch=$batchId")
+          // the three extraction writes scan the one pinned batch
+          // independently — overlap them (r16, guide §2.6)
+          val stages = parWrites(
+            "url" -> (() =>
+              graft.ext.Urls.urlCanonicalLocal(d, idCol, urlCol)
+                .select(col(idCol), col("url_canon"))
+                .write.mode("overwrite")
+                .parquet(s"$workPath/urls/batch=$batchId")),
+            "blocks" -> (() =>
+              TextAnalysis.htmlBlocks(
+                  TextAnalysis.htmlSyntheticPage(d, idCol, textCol),
+                  idCol, "page")
+                .filter(col("kept"))
+                .select(col(idCol), col("block_idx"), col("block_text"))
+                .write.mode("overwrite")
+                .parquet(s"$workPath/blocks/batch=$batchId")),
+            "meta" -> (() =>
+              d.select(col(idCol), col("source"))
+                .write.mode("overwrite")
+                .parquet(s"$workPath/meta/batch=$batchId")))
           graft.ext.Pinned.release(d)
-          recordTickStages(queryName, batchId,
-            Seq("url" -> urlMs, "blocks" -> blkMs))
+          recordTickStages(queryName, batchId, stages)
           ()
         }
       }
@@ -2450,6 +2509,11 @@ object Streaming {
                   col(tsCol) < col("__hw") - expr(s"INTERVAL $allowedLag"))
                 .drop("__hw")
             else df.limit(0)
+          // NOT parallelizable (r16 note): `late` READS the wm root —
+          // on a replayed tick that listing includes this tick's own
+          // stale `wm/batch=<id>` dir, which the wm write below
+          // overwrites; racing the two turns the late read into
+          // FAILED_READ_FILE. The anti-dependency is the order.
           late.write.mode("overwrite")
             .parquet(s"$statePath/late/batch=$batchId")
           df.agg(max(col(tsCol)).as("max_ts"))
@@ -2805,17 +2869,24 @@ object Streaming {
           val dims = graft.ext.Similarity
             .quantizedDims(batch.toDF(), idCol, vecCol)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          dims.groupBy(col("d")).agg(sum(col("xq")).as("s1"))
-            .write.mode("overwrite")
-            .parquet(s"$statePath/s1/batch=$batchId")
-          dims.as("a").join(dims.as("b"), "vid")
-            .groupBy(col("a.d").as("dj"), col("b.d").as("dk"))
-            .agg(sum(col("a.xq") * col("b.xq")).as("s"))
-            .write.mode("overwrite")
-            .parquet(s"$statePath/s2/batch=$batchId")
-          Seq(batch.count()).toDF("n")
-            .write.mode("overwrite")
-            .parquet(s"$statePath/n/batch=$batchId")
+          // three independent census writes (s1/s2 share the persisted
+          // dims — the block manager's per-partition locks make the
+          // concurrent fill compute-once) — overlap them (r16, §2.6)
+          parWrites(
+            "s1" -> (() =>
+              dims.groupBy(col("d")).agg(sum(col("xq")).as("s1"))
+                .write.mode("overwrite")
+                .parquet(s"$statePath/s1/batch=$batchId")),
+            "s2" -> (() =>
+              dims.as("a").join(dims.as("b"), "vid")
+                .groupBy(col("a.d").as("dj"), col("b.d").as("dk"))
+                .agg(sum(col("a.xq") * col("b.xq")).as("s"))
+                .write.mode("overwrite")
+                .parquet(s"$statePath/s2/batch=$batchId")),
+            "n" -> (() =>
+              Seq(batch.count()).toDF("n")
+                .write.mode("overwrite")
+                .parquet(s"$statePath/n/batch=$batchId")))
           dims.unpersist(blocking = false)
           ()
       }
@@ -2919,15 +2990,21 @@ object Streaming {
           val toks = batch.toDF()
             .select(split(col(textCol).cast("string"), " ").as("t"))
             .filter(col("t").isNotNull)
-          toks.select(explode(col("t")).as("w"))
-            .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-            .write.mode("overwrite").parquet(s"$statePath/uni/batch=$batchId")
-          toks.filter(size(col("t")) >= 2)
-            .select(explode(expr("transform(sequence(1, size(t)-1), " +
-              "i -> named_struct('w1', t[i-1], 'w2', t[i]))")).as("bg"))
-            .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-            .agg(count(lit(1)).as("freq"))
-            .write.mode("overwrite").parquet(s"$statePath/big/batch=$batchId")
+          // the two census writes are independent — overlap (r16, §2.6)
+          parWrites(
+            "uni" -> (() =>
+              toks.select(explode(col("t")).as("w"))
+                .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+                .write.mode("overwrite")
+                .parquet(s"$statePath/uni/batch=$batchId")),
+            "big" -> (() =>
+              toks.filter(size(col("t")) >= 2)
+                .select(explode(expr("transform(sequence(1, size(t)-1), " +
+                  "i -> named_struct('w1', t[i-1], 'w2', t[i]))")).as("bg"))
+                .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+                .agg(count(lit(1)).as("freq"))
+                .write.mode("overwrite")
+                .parquet(s"$statePath/big/batch=$batchId")))
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2987,19 +3064,26 @@ object Streaming {
             .select(col("b"))
           val kept = items.join(sized, "b").persist()
           try {
-            kept.groupBy(col("i")).agg(count(lit(1)).as("supp"))
-              .write.mode("overwrite")
-              .parquet(s"$statePath/item/batch=$batchId")
-            kept.as("x")
-              .join(kept.as("y"),
-                col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-              .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
-              .agg(count(lit(1)).as("supp_ab"))
-              .write.mode("overwrite")
-              .parquet(s"$statePath/pair/batch=$batchId")
-            kept.agg(countDistinct(col("b")).as("n"))
-              .write.mode("overwrite")
-              .parquet(s"$statePath/n/batch=$batchId")
+            // three independent census writes over the persisted kept
+            // relation — overlap (r16, §2.6)
+            parWrites(
+              "item" -> (() =>
+                kept.groupBy(col("i")).agg(count(lit(1)).as("supp"))
+                  .write.mode("overwrite")
+                  .parquet(s"$statePath/item/batch=$batchId")),
+              "pair" -> (() =>
+                kept.as("x")
+                  .join(kept.as("y"),
+                    col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+                  .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+                  .agg(count(lit(1)).as("supp_ab"))
+                  .write.mode("overwrite")
+                  .parquet(s"$statePath/pair/batch=$batchId")),
+              "n" -> (() =>
+                kept.agg(countDistinct(col("b")).as("n"))
+                  .write.mode("overwrite")
+                  .parquet(s"$statePath/n/batch=$batchId")))
+            ()
           } finally { kept.unpersist(); () }
       }
       .trigger(Trigger.AvailableNow())
@@ -3170,11 +3254,15 @@ object Streaming {
           // quarantine side — a row the expectation cannot vouch for
           // waits in the ledger, never vanishes
           val pass = coalesce(predicate, lit(false))
-          df.filter(pass)
-            .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
-          df.filter(!pass)
-            .write.mode("overwrite")
-            .parquet(s"$quarantinePath/batch=$batchId")
+          // the two sides of the split are independent scans of the
+          // pinned batch — overlap (r16, §2.6)
+          parWrites(
+            "sink" -> (() => df.filter(pass)
+              .write.mode("overwrite")
+              .parquet(s"$sinkPath/batch=$batchId")),
+            "quarantine" -> (() => df.filter(!pass)
+              .write.mode("overwrite")
+              .parquet(s"$quarantinePath/batch=$batchId")))
           graft.ext.Pinned.release(df)
           ()
       }
@@ -3310,10 +3398,12 @@ object Streaming {
           val df = batch.toDF().localCheckpoint(true)
           val (postings, lens) =
             graft.ext.TextAnalysis.invertedIndex(df, idCol, textCol)
-          postings.write.mode("overwrite")
-            .parquet(s"$indexPath/postings/batch=$batchId")
-          lens.write.mode("overwrite")
-            .parquet(s"$indexPath/lens/batch=$batchId")
+          // independent writes off the pinned batch — overlap (r16, §2.6)
+          parWrites(
+            "postings" -> (() => postings.write.mode("overwrite")
+              .parquet(s"$indexPath/postings/batch=$batchId")),
+            "lens" -> (() => lens.write.mode("overwrite")
+              .parquet(s"$indexPath/lens/batch=$batchId")))
           graft.ext.Pinned.release(df)
           ()
       }
