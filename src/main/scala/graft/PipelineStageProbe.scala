@@ -10,16 +10,24 @@ import org.apache.spark.sql.functions._
   * between, so stage cost = prefix(i) − prefix(i−1) and a drift in the
   * total is attributable to one stage instead of re-arguing the whole
   * plan. Usage: `runMain graft.PipelineStageProbe [sfDir] [arms]`
-  * where `arms` is a comma list from {batch, incremental, funnel}
-  * (default: all three) — the 100x geometry probe runs `funnel` (and
-  * `incremental`) alone so the batch prefixes don't bill a corpus two
-  * decades past their measured rows.
+  * where `arms` is a comma list from {batch, incremental, funnel,
+  * web} (default: the first three; `web` — the q_pipeline_web crawl
+  * capstone's stage attribution — is opt-in) — the 100x geometry
+  * probe runs `funnel` (and `incremental`) alone so the batch
+  * prefixes don't bill a corpus two decades past their measured rows.
   */
 object PipelineStageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val arms = args.lift(1).map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("batch", "incremental", "funnel"))
+    // a typo'd arm (e.g. "funel") must fail loudly, not silently
+    // probe nothing (`web` is opt-in: it is not in the default set
+    // because the 100x geometry probes run the other arms alone)
+    val knownArms = Set("batch", "incremental", "funnel", "web")
+    require(arms.subsetOf(knownArms),
+      s"unknown arm(s) ${arms.diff(knownArms).mkString(",")} — " +
+        s"choose from ${knownArms.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim.toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1107,12 +1107,17 @@ private[graft] object QueriesScaleText {
           graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 8))
         .agg(sum(col("n_bpe_tokens")).as("total_units"))
         .select(lit("bpe8").as("tokenizer"), col("total_units"))
+      // one seed census, two consumers (each encoder COLLECTS the
+      // vocab, so an unpinned seed would run the candidate-piece
+      // census once per tokenizer) — r16, vocab-sized pin
+      val seed = graft.ext.Unigram.unigramSeed(docs, "text")
+        .localCheckpoint(true)
       val uni = graft.ext.Unigram.unigramEncode(docs, "doc_id", "text",
-          graft.ext.Unigram.unigramSeed(docs, "text"))
+          seed)
         .agg(sum(col("n_pieces")).as("total_units"))
         .select(lit("unigram40").as("tokenizer"), col("total_units"))
       val wp = graft.ext.WordPiece.wordPieceEncode(docs, "doc_id", "text",
-          graft.ext.Unigram.unigramSeed(docs, "text"))
+          seed)
         .agg(sum(col("n_pieces")).as("total_units"))
         .select(lit("wordpiece40").as("tokenizer"), col("total_units"))
       bpe.unionByName(uni).unionByName(wp).orderBy(col("tokenizer"))

@@ -270,11 +270,27 @@ object TextAnalysis {
         i => col("_t").substr(i, lit(3)))).as("tg"))
       .groupBy(col(idCol), col("tg"))
       .agg(count(lit(1)).as("_c"))
-    val scored = counts
+    // r16: score the OOV mass arithmetically instead of crossJoining
+    // the trigram relation with the language table — the old plan
+    // multiplied the (doc, trigram) relation ×|langs| before its
+    // aggregate; `Σ c·(lp or OOV)` decomposes exactly (all-long
+    // arithmetic) into `Σ_hits c·lp + (N_doc − Σ_hits c)·OOV`, so the
+    // only lang-multiplied relation is the DOC-sized total, and the
+    // profile join is an inner broadcast join on the trigram alone.
+    val tot = counts.groupBy(col(idCol))
+      .agg(sum(col("_c")).as("_n"))
+    val hits = counts
+      .join(prof, Seq("tg"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("_c") * col("lp")).as("_hit"),
+        sum(col("_c")).as("_m"))
+    val scored = tot
       .crossJoin(langs)
-      .join(prof, Seq("lang", "tg"), "left")
-      .groupBy(col(idCol), col("lang"), col("prec"))
-      .agg(sum(col("_c") * coalesce(col("lp"), lit(LangOovLp))).as("_score"))
+      .join(hits, Seq(idCol, "lang"), "left")
+      .select(col(idCol), col("lang"), col("prec"),
+        (coalesce(col("_hit"), lit(0L)) +
+          (col("_n") - coalesce(col("_m"), lit(0L))) * lit(LangOovLp))
+          .as("_score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("_score").desc, col("prec").asc)
