@@ -349,7 +349,17 @@ object Dedup {
       n: Int = 3): (DataFrame, Long) = {
     val (pairs, cand) = minhashLedgerImpl(batch, ledger, corpus, idCol,
       textCol, threshold, k, bands, n)
-    (pairs, cand.count())
+    // the candidate census and the verified-pair materialization are
+    // independent consumers of the internally persisted candidate
+    // relation — overlap them (r16, guide §2.6), returning the pairs
+    // PINNED (the caller previously checkpointed them itself; it now
+    // just releases the pin once the fold consumed them)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val candF = Future(cand.count())
+    val pinned = pairs.localCheckpoint(true)
+    (pinned, Await.result(candF, Duration.Inf))
   }
 
   private def minhashLedgerImpl(batch: DataFrame, ledger: DataFrame,
@@ -1008,18 +1018,28 @@ object Dedup {
     // is a stored-parquet count). The resolved arm is recorded in the
     // stats label (`auto-><arm>`) so every tick's stage line carries
     // its decision.
+    // overlap the independent size probes and, below, the candidate
+    // census with the pair materialization (r16, guide §2.6 — the
+    // probe's per-tick wall was a chain of small sequential jobs;
+    // concurrent consumers of the lazily persisted `scored` compute
+    // it once under the block manager's per-partition locks)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val nlF = Future(ledgerSig.count())
     val nb = batchSig.count()
-    val nl = ledgerSig.count()
+    val nl = Await.result(nlF, Duration.Inf)
     val resolved = geo.resolve(nb, nl)
     val lbl =
       if (resolved eq geo) geo.label else s"auto->${resolved.label}"
     val scored = ledgerScoredFor(batchSig, ledgerSig, idCol, maxHamming,
       resolved).persist(Spill)
     try {
-      val candidates = scored.count()
+      val candF = Future(scored.count())
       val pairs = scored.filter(col("hamming") <= maxHamming).distinct()
         .localCheckpoint(true)
       val nPairs = pairs.count()
+      val candidates = Await.result(candF, Duration.Inf)
       val analytic = resolved.keyRows.toDouble *
         (nb.toDouble * nl + nb.toDouble * nb / 2) /
         math.pow(2.0, resolved.keyBits)

@@ -1609,11 +1609,13 @@ object Streaming {
               // census form: the tick's stage line carries the probe's
               // candidate count, so band-bucket degradation shows up
               // as a rising per-tick column instead of wall-time
+              // pairs come back PINNED from the census (r16) — the
+              // release below frees them once the fold consumed them
               val (pairs, cand) = graft.ext.Dedup.minhashLedgerProbeCensus(
                 df, sp.read.parquet(priorBands.toSeq: _*),
                 sp.read.parquet(prior.toSeq: _*), idCol, textCol,
                 threshold)
-              (Some(pairs.localCheckpoint(true)), cand)
+              (Some(pairs), cand)
             }
           }
           val (labels, labelMs) = timedMs {
