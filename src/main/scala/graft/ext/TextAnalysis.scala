@@ -277,8 +277,14 @@ object TextAnalysis {
     // arithmetic) into `Σ_hits c·lp + (N_doc − Σ_hits c)·OOV`, so the
     // only lang-multiplied relation is the DOC-sized total, and the
     // profile join is an inner broadcast join on the trigram alone.
-    val tot = counts.groupBy(col(idCol))
-      .agg(sum(col("_c")).as("_n"))
+    // per-doc trigram total = normalized length − 2 (every position
+    // contributes one trigram), straight off the doc scan — never a
+    // second pass over the counts relation
+    val tot = docs
+      .select(col(idCol), langNormalize(col(textCol)).as("_t"))
+      .filter(length(col("_t")) >= 3)
+      .select(col(idCol),
+        (length(col("_t")) - 2).cast("long").as("_n"))
     val hits = counts
       .join(prof, Seq("tg"))
       .groupBy(col(idCol), col("lang"))
