@@ -1077,10 +1077,18 @@ object Streaming {
         val done = VersionedStore.maxCommitted(s, factStore, "streamBatch")
         if (done.forall(_ < id)) {
           val meta = Map("streamBatch" -> id.toString)
-          val vF =
+          // the two commits land in DIFFERENT stores (disjoint paths,
+          // no shared driver state) — overlap them (r16, guide §2.6);
+          // the view advance below depends on both and stays after
+          // the join
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val vFf = Future {
             if (VersionedStore.versions(s, factStore).isEmpty)
               VersionedStore.create(df, factStore, meta = meta)
             else VersionedStore.upsert(s, factStore, df, keys, meta = meta)
+          }
           val vD = dimForBatch(id) match {
             case Some(dimBatch) =>
               if (VersionedStore.versions(s, dimStore).isEmpty)
@@ -1094,6 +1102,7 @@ object Streaming {
                 "must supply the bootstrap dim for the first batch")
               vs.last
           }
+          val vF = Await.result(vFf, Duration.Inf)
           val fs = new org.apache.hadoop.fs.Path(viewDir).getFileSystem(
             s.sparkContext.hadoopConfiguration)
           val gen = "v(\\d+)_(\\d+)".r
