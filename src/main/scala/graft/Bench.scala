@@ -196,6 +196,12 @@ object Bench {
       // heap/cache start samples would blame the wrong query
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // scratch-parquet pins (Pinned.columnarPin) are disk state, not
+      // block-manager state: release them per query too, or a full
+      // bench session accumulates one corpus-sized dir per pinning
+      // query invocation until JVM exit (safe here: the result was
+      // fully materialized to the noop sink above)
+      graft.ext.Pinned.releaseAllScratch()
       if (heapUsedMb() > drainMb) System.gc()
       (elapsed, loadAvg1m(), gcDelta, heapUsedMb(), heapStart,
         cacheStartMb, rddsStart)

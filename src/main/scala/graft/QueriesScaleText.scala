@@ -637,19 +637,30 @@ private[graft] object QueriesScaleText {
           s5.select(col("doc_id"))
             .join(docs.select(col("doc_id"), col("text")), "doc_id"),
           "doc_id", "text")))
-      val stages = Seq(
-        "1_all" -> flags,
-        "2_gopher_format" -> flags.filter(col("p_gf")),
-        "3_gopher_repetition" -> flags.filter(col("p3")),
-        "4_c4" -> flags.filter(col("p4")),
-        "5_lang_quality" -> s5,
-        "6_dedup_canonical" -> s6)
-      stages.map { case (n, df) =>
-          df.select(lit(n).as("stage"), col("n_tokens")) }
-        .reduce(_ unionByName _)
-        .groupBy(col("stage"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"))
+      // ONE aggregate pass over the pinned flag frame builds stages
+      // 1-5 (r17): the union-of-filters form re-scanned the frame five
+      // times and shuffled for a 5-row groupBy; count(when)/sum(when)
+      // are exactly each filter's count/sum, and `n_docs > 0`
+      // reproduces the inner groupBy's empty-stage drop. Stage 6 is
+      // the dedup arm's own relation, aggregated separately as before.
+      val stages5 = Seq(
+        "1_all" -> lit(true), "2_gopher_format" -> col("p_gf"),
+        "3_gopher_repetition" -> col("p3"), "4_c4" -> col("p4"),
+        "5_lang_quality" -> col("p5"))
+      val aggs = stages5.flatMap { case (n, p) => Seq(
+        count(when(p, 1)).as(s"c_$n"),
+        sum(when(p, col("n_tokens"))).as(s"t_$n")) }
+      val rows5 = flags.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(stages5.map { case (n, _) =>
+          struct(lit(n).as("stage"), col(s"c_$n").as("n_docs"),
+            col(s"t_$n").as("n_tokens")) }: _*)).as("s"))
+        .select(col("s.stage"), col("s.n_docs"), col("s.n_tokens"))
+      rows5.unionByName(
+          s6.agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).as("n_tokens"))
+            .select(lit("6_dedup_canonical").as("stage"),
+              col("n_docs"), col("n_tokens")))
+        .filter(col("n_docs") > 0)
         .orderBy(col("stage"))
     }),
 

@@ -38,6 +38,9 @@ object Verify {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // scratch-parquet pins are disk state the RDD sweep can't see —
+      // release per query (the result landed in parquet above)
+      graft.ext.Pinned.releaseAllScratch()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

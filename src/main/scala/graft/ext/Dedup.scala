@@ -354,10 +354,10 @@ object Dedup {
     // relation — overlap them (r16, guide §2.6), returning the pairs
     // PINNED (the caller previously checkpointed them itself; it now
     // just releases the pin once the fold consumed them)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val candF = Future(cand.count())
+    val candF = Future(blocking(cand.count()))
     val pinned = pairs.localCheckpoint(true)
     (pinned, Await.result(candF, Duration.Inf))
   }
@@ -1023,10 +1023,10 @@ object Dedup {
     // probe's per-tick wall was a chain of small sequential jobs;
     // concurrent consumers of the lazily persisted `scored` compute
     // it once under the block manager's per-partition locks)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val nlF = Future(ledgerSig.count())
+    val nlF = Future(blocking(ledgerSig.count()))
     val nb = batchSig.count()
     val nl = Await.result(nlF, Duration.Inf)
     val resolved = geo.resolve(nb, nl)
@@ -1035,11 +1035,22 @@ object Dedup {
     val scored = ledgerScoredFor(batchSig, ledgerSig, idCol, maxHamming,
       resolved).persist(Spill)
     try {
-      val candF = Future(scored.count())
-      val pairs = scored.filter(col("hamming") <= maxHamming).distinct()
-        .localCheckpoint(true)
-      val nPairs = pairs.count()
-      val candidates = Await.result(candF, Duration.Inf)
+      // ONE census job yields BOTH stats (r17, the r16 verdict's
+      // probe-action cut): candidates = scored rows, pairs = distinct
+      // full rows under the verify filter — count_distinct over the
+      // row struct is exactly the filter().distinct().count() the
+      // stats used to pay a third job for. The pin and the census
+      // still overlap (§2.6) and compute `scored` once under the
+      // block manager's per-partition locks.
+      val pairsF = Future(blocking(
+        scored.filter(col("hamming") <= maxHamming).distinct()
+          .localCheckpoint(true)))
+      val censusRow = scored.agg(
+        count(lit(1)).as("cand"),
+        count_distinct(when(col("hamming") <= maxHamming,
+          struct(scored.columns.map(col): _*))).as("pairs")).head()
+      val (candidates, nPairs) = (censusRow.getLong(0), censusRow.getLong(1))
+      val pairs = Await.result(pairsF, Duration.Inf)
       val analytic = resolved.keyRows.toDouble *
         (nb.toDouble * nl + nb.toDouble * nb / 2) /
         math.pow(2.0, resolved.keyBits)
@@ -1412,8 +1423,22 @@ object Dedup {
     * the fast arm only engages for integral id types, where driver
     * `Long` ordering matches the column ordering (string ids keep the
     * iterative arm — UTF8 binary order is not `String.compareTo`). */
-  private val SmallGraphMaxEdges: Int =
-    sys.env.getOrElse("SPARK_GRAFT_CC_SMALL_MAX", "200000").trim.toInt
+  private val SmallGraphMaxEdges: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_CC_SMALL_MAX", "200000").trim
+    // the bound drives a driver `head(n + 1)` — an unvalidated large
+    // value silently turns every dupClusters call into a driver
+    // collect (OOM risk), and a typo'd value would throw a bare
+    // NumberFormatException at class init. Cap at 5M edges (~120 MB
+    // of driver rows), far above any tick-sized fold.
+    val n = try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CC_SMALL_MAX must be an integer, got '$raw'")
+    }
+    require(n > 0 && n <= 5000000,
+      s"SPARK_GRAFT_CC_SMALL_MAX must be in (0, 5000000], got $n — " +
+        "the bound sizes a driver-side edge collect")
+    n
+  }
 
   /** [[dupClusters]] plus the number of alternating-star rounds it took
     * — exposed so the spec can pin the O(log diameter) bound on a

@@ -131,6 +131,24 @@ object Pinned {
     spark.read.parquet(dir.getAbsolutePath)
   }
 
+  /** Delete every scratch dir [[columnarPin]] has registered so far —
+    * the mid-session release API: a long-lived session invoking
+    * pinning operators in a loop (every stupidBackoffLogProb call
+    * leaves a corpus-sized dir) would otherwise grow scratch disk
+    * until the JVM shutdown hook runs. Call it only at a point where
+    * no returned frame still reads a pin (the Verify/Bench
+    * between-query sweep — results there are fully materialized before
+    * the sweep); the shutdown hook stays as the backstop for dirs
+    * registered after the last sweep. */
+  def releaseAllScratch(): Unit = {
+    var d = scratchDirs.poll()
+    while (d != null) {
+      try org.apache.commons.io.FileUtils.deleteDirectory(d)
+      catch { case _: Throwable => () }
+      d = scratchDirs.poll()
+    }
+  }
+
   private val scratchDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
   private lazy val scratchHook: Unit = {

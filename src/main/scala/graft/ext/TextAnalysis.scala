@@ -382,17 +382,25 @@ object TextAnalysis {
       scoreEn: Int): Double = {
     val n = toks.length
     val nd = n.toDouble
+    // lengths in CODE POINTS, not UTF-16 units: the expression twin's
+    // length()/regexp_replace count code points, so a supplementary-
+    // plane char (emoji, rare CJK) must count once here too or the
+    // quality double — and the `>= minQuality` gate — diverges between
+    // the kernel and the oracle-mirrored expression form (r17, the
+    // advisor's non-BMP finding; the parity specs carry an emoji
+    // fixture now)
+    val cpLen = text.codePointCount(0, text.length)
     var punct = 0
     var j = 0
     while (j < text.length) {
-      val c = text.charAt(j)
-      if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' '))
+      val cp = text.codePointAt(j)
+      if (!((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '))
         punct += 1
-      j += 1
+      j += Character.charCount(cp)
     }
     25.0 * math.min(nd / 50.0, 1.0) +
-      25.0 * math.min(((text.length - (n - 1)).toDouble / nd) / 6.0, 1.0) +
-      25.0 * (1.0 - punct.toDouble / math.max(text.length, 1).toDouble) +
+      25.0 * math.min(((cpLen - (n - 1)).toDouble / nd) / 6.0, 1.0) +
+      25.0 * (1.0 - punct.toDouble / math.max(cpLen, 1).toDouble) +
       25.0 * math.min(
         (scoreEn.toDouble / math.max(n, 1).toDouble) * 8.0, 1.0)
   }
@@ -437,7 +445,10 @@ object TextAnalysis {
         } else {
           val toks = text.split(" ", -1)
           val nw = toks.length
-          val mwl = (text.length - (nw - 1)).toDouble / nw.toDouble
+          // code points, matching the expression twin's length() (see
+          // qualityScoreOf's note)
+          val mwl = (text.codePointCount(0, text.length) - (nw - 1))
+            .toDouble / nw.toDouble
           var alpha = 0
           val stopSeen =
             new java.util.HashSet[String](enMarkers.size * 2)

@@ -627,14 +627,19 @@ object Streaming {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-          val df = batch.toDF().localCheckpoint(true)
-          val sp = df.sparkSession
+          val sp = batch.sparkSession
           val p = new org.apache.hadoop.fs.Path(corpusPath)
           val fs = p.getFileSystem(sp.sessionState.newHadoopConf())
-          // the corpus is every PRIOR tick's subdir; this tick's own
-          // replayed leftovers (crash after corpus write, before ledger
-          // write) must not count as "existing" or its docs would pair
-          // against themselves
+          // pin THROUGH the corpus state write (r17): one job where
+          // the tick paid a checkpoint pin AND a corpus copy. The
+          // prior-dir exclusion below keeps replay safe: the corpus is
+          // every PRIOR tick's subdir; this tick's own replayed
+          // leftovers (crash after corpus write, before ledger write)
+          // must not count as "existing" or its docs would pair
+          // against themselves.
+          batch.toDF().write.mode("overwrite")
+            .parquet(s"$corpusPath/batch=$batchId")
+          val df = sp.read.parquet(s"$corpusPath/batch=$batchId")
           val prior =
             if (fs.exists(p))
               fs.listStatus(p).map(_.getPath.getName)
@@ -650,19 +655,12 @@ object Streaming {
             else
               // bootstrap tick: no prior corpus — batch-internal dups
               graft.ext.Dedup.minhashDupPairs(df, idCol, textCol, threshold)
-          // independent writes off the pinned batch — overlap (r16, §2.6)
-          parWrites(
-            "pairs" -> (() => pairs.write.mode("overwrite")
-              .parquet(s"$pairsPath/batch=$batchId")),
-            "corpus" -> (() => df.write.mode("overwrite")
-              .parquet(s"$corpusPath/batch=$batchId")))
+          pairs.write.mode("overwrite")
+            .parquet(s"$pairsPath/batch=$batchId")
           // release the pair-finder's persisted shingle/band relations
           // (its documented contract: the caller clears) — without this
           // a long-running stream accumulates one persisted set per tick
           sp.catalog.clearCache()
-          // ...and the batch pin itself: clearCache does not cover
-          // checkpoint blocks
-          graft.ext.Pinned.release(df)
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -928,18 +926,26 @@ object Streaming {
     * did. */
   private[graft] def parWrites(stages: (String, () => Unit)*)
       : Seq[(String, Long)] = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
+    // collect EVERY stage's outcome before raising (Future.sequence
+    // fails fast, which would return control to the tick while a
+    // sibling write is still running detached — a failed tick must not
+    // leave a zombie job writing into a batch= dir the caller may
+    // retry). blocking{} tells the global pool these threads park on
+    // Spark actions, so nested overlaps cannot starve it.
+    val outcomes = Await.result(
       Future.sequence(stages.toSeq.map { case (n, f) =>
-        Future {
+        Future(blocking {
           val t0 = System.nanoTime()
-          f()
-          (n, (System.nanoTime() - t0) / 1000000L)
-        }
+          val r = try Right(f()) catch { case e: Throwable => Left(e) }
+          (n, (System.nanoTime() - t0) / 1000000L, r)
+        })
       }),
       Duration.Inf)
+    outcomes.collectFirst { case (_, _, Left(e)) => e }.foreach(throw _)
+    outcomes.map { case (n, ms, _) => (n, ms) }
   }
   private[graft] def timedTick[T](queryName: String, batchId: Long)(
       body: => T): T = {
@@ -1477,10 +1483,19 @@ object Streaming {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-          val df = batch.toDF().localCheckpoint(true)
-          val sp = df.sparkSession
+          val sp = batch.sparkSession
           val corpusPath = s"$workPath/corpus"
           val bandsPath = s"$workPath/bands"
+          // pin THROUGH the tick's own corpus state write (r17): the
+          // corpus `batch=<id>` subdir has to be written anyway, and a
+          // parquet read-back is the same eviction-immune replay-safe
+          // pin a localCheckpoint was — one job instead of a pin job
+          // PLUS a corpus write, with per-consumer column pruning for
+          // free. Replay-safe: overwrite mode, and priorDirs below
+          // excludes this tick's own (possibly replayed) subdir.
+          batch.toDF().write.mode("overwrite")
+            .parquet(s"$corpusPath/batch=$batchId")
+          val df = sp.read.parquet(s"$corpusPath/batch=$batchId")
           val fs = new org.apache.hadoop.fs.Path(workPath)
             .getFileSystem(sp.sessionState.newHadoopConf())
           def priorDirs(root: String): Array[String] = {
@@ -1505,20 +1520,17 @@ object Streaming {
                 threshold)
             } else
               graft.ext.Dedup.minhashDupPairs(df, idCol, textCol, threshold)
-          // three independent writes off the pinned batch (pairs
-          // probes the PRIOR ledger, bands/corpus are the tick's own
-          // state) — overlap them (r16, guide §2.6)
+          // two independent writes off the on-disk batch (pairs probes
+          // the PRIOR ledger, bands is the tick's own state) — overlap
+          // them (r16, guide §2.6)
           parWrites(
             "pairs" -> (() => pairs.write.mode("overwrite")
               .parquet(s"$workPath/pairs/batch=$batchId")),
             "bands" -> (() =>
               graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
                 .write.mode("overwrite")
-                .parquet(s"$bandsPath/batch=$batchId")),
-            "corpus" -> (() => df.write.mode("overwrite")
-              .parquet(s"$corpusPath/batch=$batchId")))
+                .parquet(s"$bandsPath/batch=$batchId")))
           sp.catalog.clearCache()
-          graft.ext.Pinned.release(df)
           ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1584,11 +1596,19 @@ object Streaming {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) => timedTick(queryName, batchId) {
-          val df = batch.toDF().localCheckpoint(true)
-          val sp = df.sparkSession
+          val sp = batch.sparkSession
           val corpusPath = s"$workPath/corpus"
           val labelsPath = s"$workPath/labels"
           val bandsPath = s"$workPath/bands"
+          // pin THROUGH the corpus state write (r17, the bandLedger
+          // note): one job where the tick paid a checkpoint pin AND a
+          // corpus copy; replay-safe because priorDirs excludes this
+          // tick's own subdir
+          val (df, corpusMs) = timedMs {
+            batch.toDF().write.mode("overwrite")
+              .parquet(s"$corpusPath/batch=$batchId")
+            sp.read.parquet(s"$corpusPath/batch=$batchId")
+          }
           val cp = new org.apache.hadoop.fs.Path(corpusPath)
           val fs = cp.getFileSystem(sp.sessionState.newHadoopConf())
           def priorDirs(root: String): Array[String] = {
@@ -1645,10 +1665,11 @@ object Streaming {
                   pairs)
             }
           }
-          // label snapshot (checkpointed by dupClusters), the tick's
-          // band relation (the at-ingest sufficient statistic later
-          // ticks probe) and the corpus copy are independent writes
-          // off materialized state — overlap them (r16, guide §2.6)
+          // label snapshot (checkpointed by dupClusters) and the
+          // tick's band relation (the at-ingest sufficient statistic
+          // later ticks probe) are independent writes off materialized
+          // state — overlap them (r16, guide §2.6; the corpus copy now
+          // IS the pin above)
           val stageWrites = timedMs {
             parWrites(
               "labels" -> (() => labels.write.mode("overwrite")
@@ -1656,22 +1677,18 @@ object Streaming {
               "bands" -> (() =>
                 graft.ext.Dedup.minhashBandRelation(df, idCol, textCol)
                   .write.mode("overwrite")
-                  .parquet(s"$bandsPath/batch=$batchId")),
-              "corpus" -> (() => df.write.mode("overwrite")
-                .parquet(s"$corpusPath/batch=$batchId")))
+                  .parquet(s"$bandsPath/batch=$batchId")))
           }
           val perWrite = stageWrites._1.toMap
           val foldMs = labelMs + perWrite("labels")
           val bandMs = perWrite("bands")
-          val corpusMs = perWrite("corpus")
           // release this tick's persisted shingle/band relations (the
           // pair-finders' documented caching contract: the CALLER
           // clears) — a long-running stream must not accumulate them
           sp.catalog.clearCache()
-          // ...and the batch + pair pins (checkpoint blocks are outside
-          // the relation cache)
+          // ...and the pair pin (checkpoint blocks are outside the
+          // relation cache); the batch itself is parquet-backed now
           pairsOpt.foreach(graft.ext.Pinned.release)
-          graft.ext.Pinned.release(df)
           recordTickStages(queryName, batchId, Seq("probe" -> probeMs,
             "fold" -> foldMs, "bands" -> bandMs, "corpus" -> corpusMs) ++
             (if (candRows >= 0) Seq("cand_rows" -> candRows) else Nil))
@@ -1772,17 +1789,34 @@ object Streaming {
          batchId: Long) => timedTick(queryName, batchId) {
           import graft.ext.{Dedup, TextAnalysis}
           val sp = batch.sparkSession
-          // gate once, at ingest — the exact Curation.curate stage-1/2
-          // semantics via the typed kernel twin (bit-identical values,
-          // ExtSpec-pinned), so survivors match the batch pipeline's
-          // `kept`
-          val (gated, gateMs) = timedMs {
-            TextAnalysis.langQualityGateLocal(batch.toDF(), idCol,
-                textCol, lang, minQuality, carryCols = Seq("source"))
-              .localCheckpoint(true) }
           val gatedPath = s"$workPath/gated"
           val sigsPath = s"$workPath/sigs"
           val labelsPath = s"$workPath/labels"
+          // gate once, at ingest — the exact Curation.curate stage-1/2
+          // semantics via the typed kernel twin (bit-identical values,
+          // ExtSpec-pinned), so survivors match the batch pipeline's
+          // `kept`. r17: the gate output pins THROUGH its own state
+          // write — the `gated/batch=<id>` subdir had to be written
+          // anyway, and the parquet read-back is the same replay-safe
+          // pin the checkpoint was, one job instead of two (plus
+          // column pruning per consumer).
+          val (gated, gateMs) = timedMs {
+            TextAnalysis.langQualityGateLocal(batch.toDF(), idCol,
+                textCol, lang, minQuality, carryCols = Seq("source"))
+              .write.mode("overwrite")
+              .parquet(s"$gatedPath/batch=$batchId")
+            sp.read.parquet(s"$gatedPath/batch=$batchId") }
+          // the words census (the tokenizer trainer's sufficient
+          // statistic, additive across ticks) reads only the on-disk
+          // gated state — run it CONCURRENTLY with the sig/probe/fold
+          // chain below (guide §2.6) instead of at the tick's tail
+          import scala.concurrent.{Await, Future, blocking}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val wordsF = Future(blocking(timedMs {
+            graft.ext.Bpe.docWordCensus(gated, idCol, textCol)
+              .write.mode("overwrite")
+              .parquet(s"$workPath/words/batch=$batchId") }._2))
           val fs = new org.apache.hadoop.fs.Path(workPath)
             .getFileSystem(sp.sessionState.newHadoopConf())
           def priorDirs(root: String): Array[String] = {
@@ -1796,11 +1830,14 @@ object Streaming {
           }
           val priorSigs = priorDirs(sigsPath)
           // the tick's dominant cost, paid exactly once: the signature
-          // relation both JOINS the ledger (written below) and drives
-          // this tick's pair probe
+          // relation both JOINS the ledger and drives this tick's pair
+          // probe — pinned through its own `sigs/batch=<id>` state
+          // write (r17), one job instead of pin + write
           val (sig, sigMs) = timedMs {
             Dedup.simhashSignaturesLocal(gated, idCol, textCol)
-              .localCheckpoint(true) }
+              .write.mode("overwrite")
+              .parquet(s"$sigsPath/batch=$batchId")
+            sp.read.parquet(s"$sigsPath/batch=$batchId") }
           // census probe under the configured geometry (empty ledger on
           // tick 0 → batch-internal pairs only, same set as the direct
           // pigeonhole): the stage line carries the candidate count and
@@ -1830,32 +1867,15 @@ object Streaming {
           val (_, foldMs) = timedMs {
             labels.write.mode("overwrite")
               .parquet(s"$labelsPath/batch=$batchId") }
-          // the three state writes are independent reads of the
-          // pinned `gated`/`sig` relations — overlap them (r16,
-          // guide §2.6); the words census is the tokenizer trainer's
-          // sufficient statistic, paid at ingest: per-doc word census
-          // rows are additive across ticks and semi-joinable to any
-          // survivor subset, so a refresh's BPE train step reads THIS
-          // state (mixture-scoped, summed) instead of re-splitting
-          // text
-          val (_, stateMs) = timedMs {
-            parWrites(
-              "sig" -> (() => sig.write.mode("overwrite")
-                .parquet(s"$sigsPath/batch=$batchId")),
-              "gated" -> (() => gated.write.mode("overwrite")
-                .parquet(s"$gatedPath/batch=$batchId")),
-              "words" -> (() =>
-                graft.ext.Bpe.docWordCensus(gated, idCol, textCol)
-                  .write.mode("overwrite")
-                  .parquet(s"$workPath/words/batch=$batchId")))
-            () }
+          // gated/sig state landed as the pins above; the words census
+          // has been running concurrently since the gate — collect its
+          // wall now (it bounds the tick only when it outlasts the
+          // whole sig/probe/fold chain)
+          val stateMs = Await.result(wordsF, Duration.Inf)
           sp.catalog.clearCache()
-          // the tick's two checkpoint pins are dead once their parquet
-          // snapshots landed — clearCache does not release checkpoint
-          // blocks, so free them explicitly or a long-running ingest
-          // accumulates two batch-sized pins per tick
-          graft.ext.Pinned.release(gated)
-          graft.ext.Pinned.release(sig)
+          // the pair pin is dead once the fold consumed it —
+          // clearCache does not release checkpoint blocks; gated/sig
+          // are parquet-backed now, nothing to free there
           graft.ext.Pinned.release(pairs)
           recordTickStages(queryName, batchId, Seq("gate" -> gateMs,
             "sig" -> sigMs, "probe" -> probeMs, "fold" -> foldMs,
@@ -1997,25 +2017,50 @@ object Streaming {
             .withColumn("p4", col("p3") && col("p_c4"))
             .withColumn("p5", col("p4") && col("p_lq"))
             .localCheckpoint(true)
+          // ONE aggregate pass builds all five stage rows (r17): the
+          // 5-way union-of-filters re-scanned the pinned flag frame
+          // five times and paid a groupBy shuffle for a 5-row result;
+          // `count(when(p,1))`/`sum(when(p,n_tokens))` are exactly
+          // `filter(p)`'s count/sum (when() is null on false/null
+          // rows, and count/sum skip nulls), and the trailing
+          // `n_docs > 0` filter reproduces the inner groupBy's
+          // empty-stage drop.
           val stages = Seq(
             "1_all" -> lit(true), "2_gopher_format" -> col("p_gf"),
             "3_gopher_repetition" -> col("p3"), "4_c4" -> col("p4"),
             "5_lang_quality" -> col("p5"))
-          stages.map { case (n, p) =>
-              flags.filter(p)
-                .select(lit(n).as("stage"), col("n_tokens")) }
-            .reduce(_ unionByName _)
-            .groupBy(col("stage"))
-            .agg(count(lit(1)).as("n_docs"),
-              sum(col("n_tokens")).as("n_tokens"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(s"$workPath/census/batch=$batchId")
+          val aggs = stages.flatMap { case (n, p) => Seq(
+            count(when(p, 1)).as(s"c_$n"),
+            sum(when(p, col("n_tokens"))).as(s"t_$n")) }
+          // the census reads only the pinned flag frame — run its
+          // write CONCURRENTLY with the sig/probe/fold chain below
+          // (guide §2.6) instead of serializing the tick behind it
+          import scala.concurrent.{Await, Future, blocking}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val censusF = Future(blocking {
+            flags.agg(aggs.head, aggs.tail: _*)
+              .select(explode(array(stages.map { case (n, _) =>
+                struct(lit(n).as("stage"), col(s"c_$n").as("n_docs"),
+                  col(s"t_$n").as("n_tokens")) }: _*)).as("s"))
+              .select(col("s.stage"), col("s.n_docs"), col("s.n_tokens"))
+              .filter(col("n_docs") > 0)
+              .coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"$workPath/census/batch=$batchId")
+          })
           val surv = flags.filter(col("p5"))
-          val sig = Dedup.simhashSignaturesLocal(surv, idCol, textCol)
-            .localCheckpoint(true)
           val sigsPath = s"$workPath/sigs"
           val labelsPath = s"$workPath/labels"
+          // the signature relation pins THROUGH its own state write
+          // (r17): one job where the tick paid a checkpoint pin and a
+          // later sig write
+          val sig = {
+            Dedup.simhashSignaturesLocal(surv, idCol, textCol)
+              .write.mode("overwrite")
+              .parquet(s"$sigsPath/batch=$batchId")
+            sp.read.parquet(s"$sigsPath/batch=$batchId")
+          }
           val fs = new org.apache.hadoop.fs.Path(workPath)
             .getFileSystem(sp.sessionState.newHadoopConf())
           def priorDirs(root: String): Array[String] = {
@@ -2054,23 +2099,23 @@ object Streaming {
                 sp.read.parquet(s"$labelsPath/batch=${priorSnap.max}"),
                 pairs)
             }
-          // labels (checkpointed by dupClusters), sig (pinned) and
-          // surv (off the pinned flags) are materialized and
-          // independent — overlap the three writes (r16, guide §2.6)
+          // labels (checkpointed by dupClusters) and surv (off the
+          // pinned flags) are materialized and independent — overlap
+          // the two writes (r16, guide §2.6; sig landed as its pin)
           val (_, foldMs) = timedMs {
             parWrites(
               "labels" -> (() => labels.write.mode("overwrite")
                 .parquet(s"$labelsPath/batch=$batchId")),
-              "sig" -> (() => sig.write.mode("overwrite")
-                .parquet(s"$sigsPath/batch=$batchId")),
               "surv" -> (() => surv.select(col(idCol), col("n_tokens"))
                 .write.mode("overwrite")
                 .parquet(s"$workPath/surv/batch=$batchId")))
             () }
+          // the census has been writing concurrently since the flag
+          // frame pinned — the tick completes only when it landed
+          Await.result(censusF, Duration.Inf)
           sp.catalog.clearCache()
           graft.ext.Pinned.release(d)
           graft.ext.Pinned.release(flags)
-          graft.ext.Pinned.release(sig)
           graft.ext.Pinned.release(pairs)
           recordTickStages(queryName, batchId, Seq("probe" -> probeMs,
             "fold" -> foldMs,
@@ -2187,11 +2232,15 @@ object Streaming {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) => timedTick(queryName, batchId) {
           import graft.ext.TextAnalysis
-          // pin once — the url pass, the block pass, and the meta
-          // write all scan the micro-batch
-          val d = batch.toDF().localCheckpoint(true)
-          // the three extraction writes scan the one pinned batch
-          // independently — overlap them (r16, guide §2.6)
+          // r17: no checkpoint pin — the micro-batch source is staged
+          // parquet, and each extraction write needs a DIFFERENT
+          // column slice (url, text, source). The pin forced one
+          // full-width row materialization plus three full-width block
+          // scans; three direct column-pruned scans of the source are
+          // strictly less work, and the concurrent writes (r16, guide
+          // §2.6) stay independent because the source files are
+          // immutable for the tick.
+          val d = batch.toDF()
           val stages = parWrites(
             "url" -> (() =>
               graft.ext.Urls.urlCanonicalLocal(d, idCol, urlCol)
@@ -2210,7 +2259,6 @@ object Streaming {
               d.select(col(idCol), col("source"))
                 .write.mode("overwrite")
                 .parquet(s"$workPath/meta/batch=$batchId")))
-          graft.ext.Pinned.release(d)
           recordTickStages(queryName, batchId, stages)
           ()
         }

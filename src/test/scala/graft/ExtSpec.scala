@@ -275,7 +275,14 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       (7L, "the!!! and??? of... to,,, in;;; is:: it{} that[] for()", "s3"),
       (8L, "the quick brown fox jumps over the lazy dog and runs to " +
         "the old market in the morning for a fresh loaf that it likes",
-        "s0")).toDF("doc_id", "text", "source")
+        "s0"),
+      // non-BMP fixture: supplementary-plane chars (emoji = surrogate
+      // PAIRS in UTF-16) — the kernel must count code points exactly
+      // like the expression's length(), or mean-token-len/punct-ratio
+      // and hence the quality double diverge (r17 advisor finding)
+      (9L, "the cat 😀🐈 and the dog 🐕 " +
+        "sat on the mat 🏠 for a while today", "s5"))
+      .toDF("doc_id", "text", "source")
       .union(Seq(Tuple1(5L)).toDF("doc_id")
         .withColumn("text", lit(null).cast("string"))
         .withColumn("source", lit("s4")))
@@ -311,7 +318,11 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       (2L, "zzz qqq www 123 456"),
       (3L, "the " + ("ab " * 60).trim),
       (4L, ""),
-      (6L, ("1 2 3 4 " * 20) + "the and of"))
+      (6L, ("1 2 3 4 " * 20) + "the and of"),
+      // non-BMP: emoji force the code-point/UTF-16 length distinction
+      // through mean-word-len and the quality term (advisor finding)
+      (7L, ("the fox 😀 and the dog 🐕 ran to the " +
+        "market 🏠 with a basket ") * 3))
       .toDF("doc_id", "text")
       .union(Seq(Tuple1(5L)).toDF("doc_id")
         .withColumn("text", lit(null).cast("string")))
