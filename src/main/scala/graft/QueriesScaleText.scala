@@ -380,11 +380,14 @@ private[graft] object QueriesScaleText {
           .when(col("doc_id") % 7 === 1, " der die und das ist")
           .when(col("doc_id") % 7 === 2, " le les des et est")
           .otherwise(""))
-      Tables.read(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.langIdMargin(dirty).as("m"))
-        .select(col("doc_id"), col("m.lang"), col("m.best"),
-          col("m.second"), col("m.margin"), col("m.lang_conf"))
+      // r17: typed kernel twin (bit-identical integer scores,
+      // ExtSpec-pinned; the expression form re-embedded the five
+      // interpreted marker filters twice) — the dirtying concat stays
+      // a Catalyst expression
+      TextAnalysis.langIdMarginLocal(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), dirty.as("text")),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -409,8 +412,13 @@ private[graft] object QueriesScaleText {
         .orderBy(col("lang"))
     }),
 
+    // r17: typed kernel twin — one shuffle-free corpus pass against
+    // the broadcast literal profile instead of explode + two hash
+    // aggregates + broadcast join + rank window (values identical,
+    // all-long arithmetic, ExtSpec-pinned; langIdNgram stays the
+    // relational reference)
     "q_lang_id_ngram" -> ((s, dir) =>
-      TextAnalysis.langIdNgram(Tables.read(s, dir, "documents"),
+      TextAnalysis.langIdNgramLocal(Tables.read(s, dir, "documents"),
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 

@@ -309,6 +309,129 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("lang"), lit("und")).as("lang_guess"))
   }
 
+  /** Typed-kernel twin of [[langIdNgram]] (r17): the expression form
+    * pays a trigram explode, a (doc, trigram) hash aggregate, a
+    * broadcast profile join, a (doc, lang) aggregate and a per-doc
+    * rank window — five relational passes for what is per-row
+    * arithmetic against a KB-sized literal profile. This kernel scores
+    * each document in ONE partition-local pass: normalization stays
+    * the CATALYST expression ([[langNormalize]], so the char-level
+    * semantics the oracle mirrors are untouched), then per row the
+    * code-point trigrams accumulate `Σ c·lp` and hit-mass per language
+    * off a driver-built trigram → per-lang-lp table, the OOV mass is
+    * added arithmetically (`(n − m)·OOV`, the r16 decomposition), and
+    * the argmax with precedence tie-break replicates the rank window.
+    * All-long arithmetic — values bit-identical by construction;
+    * ExtSpec pins kernel == expression on the corpus fixtures. No
+    * shuffle at all: at 100 TB this is a narrow map over the corpus,
+    * where the expression form shuffled the exploded trigram relation
+    * twice. */
+  def langIdNgramLocal(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val nLangs = LangSeeds.length
+    // trigram → dense per-lang lp vector (Long.MinValue = absent);
+    // profiles are ≤ 5×96 entries, broadcast-by-closure is KBs
+    val profMap: Map[String, Array[Long]] = LangProfiles
+      .groupBy(_._3)
+      .map { case (tg, rows) =>
+        val v = Array.fill(nLangs)(Long.MinValue)
+        rows.foreach { case (_, prec, _, lp) => v(prec) = lp }
+        tg -> v
+      }
+    val langNames = LangSeeds.map(_._1).toArray
+    docs
+      .select(col(idCol), langNormalize(col(textCol)).as("_t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        if (t == null) (id, "und")
+        else {
+          val cps = t.codePoints().toArray
+          val n = cps.length - 2
+          if (n <= 0) (id, "und")
+          else {
+            val hit = new Array[Long](nLangs)
+            val m = new Array[Long](nLangs)
+            var i = 0
+            while (i < n) {
+              val tg = new String(cps, i, 3)
+              profMap.get(tg) match {
+                case Some(v) =>
+                  var l = 0
+                  while (l < nLangs) {
+                    if (v(l) != Long.MinValue) { hit(l) += v(l); m(l) += 1 }
+                    l += 1
+                  }
+                case None => ()
+              }
+              i += 1
+            }
+            // argmax by score desc, precedence asc — the rank window's
+            // order, exactly: strict > keeps the earliest (lowest-prec)
+            // language on ties
+            var bestL = 0
+            var bestScore = Long.MinValue
+            var l = 0
+            while (l < nLangs) {
+              val score = hit(l) + (n - m(l)) * LangOovLp
+              if (score > bestScore) { bestScore = score; bestL = l }
+              l += 1
+            }
+            (id, langNames(bestL))
+          }
+        }
+      }
+      .toDF(idCol, "lang_guess")
+  }
+
+  /** Typed-kernel twin of [[langIdMargin]] (r17): the expression form
+    * embeds the five interpreted [[langScore]] higher-order filters
+    * TWICE (once under `greatest`, once under the descending
+    * sort_array) — ~100 linear-scanned string compares per token. One
+    * partition-local pass computes the marker counts once
+    * ([[langScoresLocal]], the gate kernels' ExtSpec-pinned primitive)
+    * and derives best/second/margin/lang/lang_conf with the
+    * expression's exact integer semantics (ties → margin 0; all-zero
+    * scores → "und"; null text → ("und", null, null, null, "und"),
+    * mirroring size(null) = null three-valued logic). Output:
+    * `(idCol, lang, best, second, margin, lang_conf)`. */
+  def langIdMarginLocal(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, minMargin: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = docs.select(col(idCol),
+      col(textCol).cast("string").as(textCol))
+    val outSchema = StructType(Array(
+      in.schema.fields.head,
+      StructField("lang", StringType),
+      StructField("best", LongType),
+      StructField("second", LongType),
+      StructField("margin", LongType),
+      StructField("lang_conf", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(0)
+        val text = r.getAs[String](1)
+        if (text == null)
+          org.apache.spark.sql.Row(id, "und", null, null, null, "und")
+        else {
+          val scores = langScoresLocal(text.split(" ", -1))
+          val lang = langIdOf(scores)
+          val sorted = scores.clone()
+          java.util.Arrays.sort(sorted)
+          val best = sorted(sorted.length - 1).toLong
+          val second = sorted(sorted.length - 2).toLong
+          val margin = best - second
+          val conf =
+            if (best > 0 && margin >= minMargin) lang else "und"
+          org.apache.spark.sql.Row(id, lang, best, second, margin, conf)
+        }
+      }
+    }(enc)
+  }
+
   // ── Quality scoring ────────────────────────────────────────────────────
 
   def nTokens(text: Column): Column = size(tokens(text))

@@ -74,6 +74,67 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
     assert(empty == "und")
   }
 
+  test("langIdNgramLocal is identical to the relational langIdNgram, " +
+      "incl. null/empty/short/CJK/tied text") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "the weather this morning was cold but the birds kept " +
+        "singing in the garden"),
+      (2L, "la ventana grande del edificio estaba abierta durante toda " +
+        "aquella mañana fría"),
+      (3L, "gestern abend haben wir zusammen gekocht und danach lange " +
+        "am tisch gesessen"),
+      (4L, "chaque matin nous marchons ensemble jusqu au petit jardin " +
+        "derrière notre immeuble"),
+      (5L, "昨天晚上我们一起做饭 然后在桌子旁坐了很久"),
+      (6L, "hablamos demasiado durante aquella tarde soleada"),
+      (7L, "!!"), (8L, ""), (9L, "ab"), (10L, "abc"),
+      (11L, "the casa der rue 的 mixed bag of everything at once"),
+      (12L, "😀🐕🏠 emoji only text"))
+      .toDF("doc_id", "text")
+      .union(Seq(Tuple1(13L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(TextAnalysis.langIdNgramLocal(base, "doc_id", "text")) ==
+      rows(TextAnalysis.langIdNgram(base, "doc_id", "text")))
+  }
+
+  test("langIdMarginLocal is identical to the langIdMargin expression, " +
+      "incl. ties, all-zero and null text") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "the cat and the dog sat on the mat"),
+      (2L, "el que de la casa y en un"),
+      (3L, "zzz qqq www"),
+      (4L, "the la"),                      // 1-1 tie -> margin 0
+      (5L, "the el la de and of to in"),   // bilingual, small margin
+      (6L, ""))
+      .toDF("doc_id", "text")
+      .union(Seq(Tuple1(7L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    for (minMargin <- Seq(1, 2, 4)) {
+      val expr = base
+        .select(col("doc_id"),
+          TextAnalysis.langIdMargin(col("text"), minMargin).as("m"))
+        .select(col("doc_id"), col("m.lang"), col("m.best"),
+          col("m.second"), col("m.margin"), col("m.lang_conf"))
+      val kern = TextAnalysis.langIdMarginLocal(base, "doc_id", "text",
+        minMargin)
+      assert(kern.columns.toSeq == expr.columns.toSeq)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0),
+          r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          r.getString(5))).toSet
+      assert(rows(kern) == rows(expr), s"minMargin=$minMargin")
+    }
+  }
+
   test("quality score is bounded and rewards clean stopword-bearing text") {
     val out = docs(
       (1L, "the quick brown fox jumps over the lazy dog it is a fine day " +
