@@ -77,12 +77,23 @@ object IncrementalView {
       .filter(c => cdf.columns.contains(c + "_new")).toSeq
     val keys = cdf.columns.filterNot(c => c == "op" ||
       payload.exists(p => c == s"${p}_old" || c == s"${p}_new")).toSeq
-    def side(keep: Column, suffix: String, sign: Long) =
-      cdf.filter(keep).select(keys.map(col) ++
-        payload.map(c => col(s"$c$suffix").as(c)) :+
-        lit(sign).as("_sign"): _*)
-    side(col("op") =!= "delete", "_new", 1L)
-      .unionByName(side(col("op") =!= "insert", "_old", -1L))
+    // ONE pass over the feed (r17): each row explodes to its signed
+    // image(s) directly — insert → (+1, new), delete → (−1, old),
+    // update → both. The previous union-of-two-filters form consumed
+    // `cdf` TWICE, and the feed behind it is the manifest-diff
+    // full-outer join of [[VersionedStore.changes]] — every matview
+    // advance paid that join once per side. Multiset-identical output
+    // (downstream is a signed aggregate; row order never mattered).
+    val newImg = struct(payload.map(c => col(s"${c}_new").as(c)) :+
+      lit(1L).as("_sign"): _*)
+    val oldImg = struct(payload.map(c => col(s"${c}_old").as(c)) :+
+      lit(-1L).as("_sign"): _*)
+    cdf.select(keys.map(col) :+ explode(
+        when(col("op") === "insert", array(newImg))
+          .when(col("op") === "delete", array(oldImg))
+          .otherwise(array(newImg, oldImg))).as("_img"): _*)
+      .select(keys.map(col) ++ payload.map(c => col(s"_img.$c").as(c)) :+
+        col("_img._sign").as("_sign"): _*)
   }
 
   /** Incremental maintenance for an additive aggregate over an

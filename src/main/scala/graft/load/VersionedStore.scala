@@ -526,15 +526,19 @@ object VersionedStore {
       batch: DataFrame, keys: Seq[String]): Set[String] = {
     val batchDays = batch
       .select(to_date(col("ts")).cast("string").as("d"))
-      .distinct().collect().map(_.getString(0)).toSet
-    if (keys.contains("ts")) batchDays
+      .distinct()
+    if (keys.contains("ts"))
+      batchDays.collect().map(_.getString(0)).toSet
     else {
+      // ONE collect for both day sets (r17): the sequential pair paid
+      // two driver round-trips per non-ts-keyed commit
       val matchDays = snapshot(spark, path, Some(head))
         .select((keys :+ "ts").distinct.map(col): _*)
         .join(batch.select(keys.map(col): _*).distinct(), keys, "left_semi")
         .select(to_date(col("ts")).cast("string").as("d"))
-        .distinct().collect().map(_.getString(0)).toSet
-      batchDays ++ matchDays
+        .distinct()
+      batchDays.union(matchDays).distinct()
+        .collect().map(_.getString(0)).toSet
     }
   }
 
