@@ -123,7 +123,7 @@ object PipelineStageProbe {
       def keepers = urls.filter(col("url_canon").isNotNull)
         .groupBy(col("url_canon")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      def blocks = graft.ext.TextAnalysis.htmlBlocks(
+      def blocks = graft.ext.TextAnalysis.htmlBlocksLocal(
           graft.ext.TextAnalysis.htmlSyntheticPage(
             docs.join(keepers, "doc_id"), "doc_id", "text"),
           "doc_id", "page")

@@ -533,7 +533,7 @@ private[graft] object QueriesDedupSimMm {
       val keepers = urls.filter(col("url_canon").isNotNull)
         .groupBy(col("url_canon")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val blocks = TextAnalysis.htmlBlocks(
+      val blocks = TextAnalysis.htmlBlocksLocal(
           TextAnalysis.htmlSyntheticPage(
             docs.join(keepers, "doc_id"), "doc_id", "text"),
           "doc_id", "page")

@@ -873,7 +873,10 @@ private[graft] object QueriesParity {
             "<p>Read the <a href=\"/x\">full story</a> and much more " +
               "prose follows here today</p>").otherwise(""))
           .as("page"))
-      TextAnalysis.htmlBlocks(pg, "doc_id", "page")
+      // r17: typed kernel twin (pointwise-identical extraction,
+      // ExtSpec-pinned) — the expression chain's giant codegen
+      // method was the q_html_blocks cold-run outlier
+      TextAnalysis.htmlBlocksLocal(pg, "doc_id", "page")
         .select(col("doc_id"), col("block_idx"),
           md5(col("block_text")).as("block_md5"),
           col("n_chars"), col("n_words"), col("link_ppm"),
@@ -888,7 +891,7 @@ private[graft] object QueriesParity {
     // One hash aggregation on the digest; group size = duplication
     // multiplicity, never corpus-sized.
     "q_para_dedup" -> ((s, dir) => {
-      val blocks = TextAnalysis.htmlBlocks(
+      val blocks = TextAnalysis.htmlBlocksLocal(
           TextAnalysis.htmlSyntheticPage(
             Tables.read(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "page")

@@ -2248,7 +2248,7 @@ object Streaming {
                 .write.mode("overwrite")
                 .parquet(s"$workPath/urls/batch=$batchId")),
             "blocks" -> (() =>
-              TextAnalysis.htmlBlocks(
+              TextAnalysis.htmlBlocksLocal(
                   TextAnalysis.htmlSyntheticPage(d, idCol, textCol),
                   idCol, "page")
                 .filter(col("kept"))

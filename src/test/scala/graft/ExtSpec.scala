@@ -101,6 +101,44 @@ class ExtSpec extends AnyFunSuite with SparkTestSession {
       rows(TextAnalysis.langIdNgram(base, "doc_id", "text")))
   }
 
+  test("htmlBlocksLocal is identical to the htmlBlocks expression form " +
+      "on the synthetic pages incl. planted nav/prose/quoted-attr blocks") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 60L).map(i => (i,
+      s"some text body number $i with the usual words and a few more " +
+        "tokens to cross the word floor for block keeping"))
+      .toDF("doc_id", "text")
+      .union(Seq(Tuple1(999L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    val pg = TextAnalysis.htmlSyntheticPage(docs, "doc_id", "text")
+      .select(col("doc_id"), concat(col("page"),
+        when(col("doc_id") % 4 === 0,
+          "<p><a href=\"/\">Home</a> <a href=\"/a\">About</a></p>")
+          .otherwise(""),
+        when(col("doc_id") % 7 === 0,
+          "<p>Read the <a href=\"/x\">full story</a> and much more " +
+            "prose follows here today</p>").otherwise(""))
+        .as("page"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    val expr = TextAnalysis.htmlBlocks(pg, "doc_id", "page")
+    val kern = TextAnalysis.htmlBlocksLocal(pg, "doc_id", "page")
+    assert(kern.columns.toSeq == expr.columns.toSeq)
+    assert(rows(kern) == rows(expr))
+    // htmlExtractLocal pointwise == the expression chain on the raw
+    // pages too (script/style/comment/entity/numeric-ref edges)
+    val pages = pg.select(col("doc_id"), col("page")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exprExtract = pg.select(col("doc_id"),
+        TextAnalysis.htmlExtract(col("page")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    exprExtract.foreach { case (id, want) =>
+      assert(TextAnalysis.htmlExtractLocal(pages(id)) == want,
+        s"doc $id extraction diverged") }
+  }
+
   test("langIdMarginLocal is identical to the langIdMargin expression, " +
       "incl. ties, all-zero and null text") {
     val s = spark
