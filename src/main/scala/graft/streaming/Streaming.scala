@@ -1409,21 +1409,64 @@ object Streaming {
     }
   }
 
-  /** Stage `batches` as sequential parquet appends into one directory,
-    * each batch's files stamped with a strictly later mtime, so a
-    * `maxFilesPerTrigger = batch-file-count` replay processes them in
-    * list order — the generalized form of the per-wrapper staging the
-    * joinView replays do inline. Returns (staging dir, schema). */
+  /** Stage `batches` as one flat parquet directory, one file per
+    * batch, each stamped with a strictly later mtime, so a
+    * `maxFilesPerTrigger = 1` replay processes them in list order —
+    * the generalized form of the per-wrapper staging the joinView
+    * replays do inline.
+    *
+    * r17: ONE tick-tagged job stages every batch — the K sequential
+    * `coalesce(1)` appends each paid a full job (scheduling + source
+    * scan) back-to-back, a pure fixed cost across the ~20 staged
+    * replays. The union's branches scan concurrently, the
+    * tick-keyed repartition puts each batch's rows in one task, the
+    * partitioned write strips the tag from the file contents, and
+    * the partition dirs then flatten to the source-visible flat
+    * files (rename is metadata-only). A batch with ZERO rows writes
+    * no partition dir; the fallback writes its empty file the old
+    * way so tick numbering never silently shifts. */
   private def stageBatches(spark: SparkSession, staging: String,
       batches: Seq[DataFrame]): StructType = {
     val p = new org.apache.hadoop.fs.Path(staging)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val t0 = System.currentTimeMillis()
-    var seen = Set.empty[String]
-    batches.zipWithIndex.foreach { case (b, i) =>
-      b.coalesce(1).write.mode("append").parquet(staging)
-      seen = stampStagedBatch(fs, p, t0 + i * 60000L, seen)
+    val tmp = s"$staging/_graft_stage_tmp"
+    // per-branch coalesce(1), NOT a tick-keyed repartition: each
+    // branch collapses to one task (exactly the work the old
+    // per-batch coalesce(1) write did), the K tasks run CONCURRENTLY
+    // in one job, and no exchange ever moves the staged payload
+    batches.zipWithIndex
+      .map { case (b, i) =>
+        b.withColumn("__graft_tick", lit(i)).coalesce(1) }
+      .reduce(_ unionByName _)
+      .write.partitionBy("__graft_tick").parquet(tmp)
+    batches.indices.foreach { i =>
+      val sub = new org.apache.hadoop.fs.Path(tmp, s"__graft_tick=$i")
+      val files =
+        if (fs.exists(sub))
+          fs.listStatus(sub).toSeq.filter(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+        else Nil
+      if (files.isEmpty) {
+        // empty batch: the partitioned write emits no dir — keep the
+        // tick by writing its empty file the sequential way (stamp
+        // only the files this write created: earlier ticks' files
+        // already carry their own times)
+        val before = fs.listStatus(p).toSeq.filter(_.isFile)
+          .map(_.getPath.getName).toSet
+        batches(i).coalesce(1).write.mode("append").parquet(staging)
+        stampStagedBatch(fs, p, t0 + i * 60000L, before)
+        ()
+      } else files.zipWithIndex.foreach { case (f, j) =>
+        val dst = new org.apache.hadoop.fs.Path(p, f"b$i%03d-$j%03d.parquet")
+        require(fs.rename(f.getPath, dst),
+          s"stageBatches: rename ${f.getPath} -> $dst failed")
+        fs.setTimes(dst, t0 + i * 60000L, -1)
+      }
     }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     spark.read.parquet(staging).schema
   }
 
