@@ -804,15 +804,20 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "word results join back via broadcast under AQE, not a shuffle join")
   }
 
-  test("lang id ngram: profile lookup is a broadcast join, rank window " +
-      "is doc-partitioned — no cartesian, no single-partition exchange") {
+  test("lang id ngram: one shuffle-free typed pass against the literal " +
+      "profile — no join, no window, only the presentation sort's " +
+      "exchange (r17 kernel)") {
     val p = plan("q_lang_id_ngram")
-    assert(p.contains("BroadcastHashJoin"),
-      "the KB-sized profile must broadcast, never shuffle the corpus side")
-    assert(!p.contains("CartesianProduct"),
-      "the 5-row language fan-out must ride a broadcast, not a cartesian")
-    assert(!p.contains("Exchange SinglePartition"),
-      s"rank window must partition by doc:\n$p")
+    assert(p.contains("MapElements") || p.contains("MapPartitions"),
+      "classification must run as the typed per-row kernel")
+    assert(!p.contains("Join"),
+      "the profile is a closure-captured literal table — no join of " +
+        s"any kind:\n$p")
+    assert(!p.contains("Window"),
+      "the precedence argmax replaced the rank window")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"only the output sort may exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("lm backoff: n-gram count joins stay equi-joins with partial " +
